@@ -1,0 +1,109 @@
+"""Tests for the LLM training-data pipeline operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from verified_sources_spark.llm.exact_dedup import exact_dedup, exact_dedup_groups
+from verified_sources_spark.llm.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+)
+from verified_sources_spark.llm.multimodal import (
+    attach_binary_column,
+    extract_features,
+    frame_sample_plan,
+)
+from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk
+from verified_sources_spark.llm.simhash import simhash64, simhash_near_pairs
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    groups = exact_dedup_groups(d, "doc_id", "text")
+    assert groups.count() == 3
+    dup = groups.filter(F.col("n_copies") == 2).collect()[0]
+    assert dup["canonical_id"] == 1
+    kept = exact_dedup(d, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    d = _docs(spark)
+    sig = minhash_signatures(d, "doc_id", "text", k=8, shingle_n=2)
+    assert sig.columns == ["doc_id"] + [f"mh_{i}" for i in range(8)]
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(d, "doc_id", "text", shingle_n=2).collect()}
+    assert (1, 4) in pairs  # exact dups always collide
+    assert (1, 2) in pairs  # near dups share most shingles
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(d, "doc_id", "text", shingle_n=2).collect()}
+    assert jac[(1, 4)] == 1.0
+    assert 0.5 < jac[(1, 2)] < 1.0
+
+
+def test_simhash(spark):
+    d = _docs(spark)
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(d, "doc_id", "text").collect()}
+    assert sig[1] == sig[4]  # identical text → identical fingerprint
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_pairs(d, "doc_id", "text", max_hamming=16, n_bands=32).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark):
+    e = _vecs(spark)
+    q = e.filter(F.col("vec_id") == 1)
+    out = cosine_topk(e, q, k=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert rows[0] == (1, 2)  # nearest neighbor of 1 is 2
+    assert all(r["query_id"] == 1 for r in out.collect())
+
+
+def test_lsh_bucketed_topk_same_schema(spark):
+    e = _vecs(spark)
+    q = e.filter(F.col("vec_id") == 1)
+    out = lsh_bucketed_topk(e, q, k=2, n_planes=2)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    # recall against brute force for the colliding bucket is exact
+    for r in out.collect():
+        assert r["cosine"] <= 1.0001
+
+
+def test_multimodal_plumbing(spark):
+    d = _docs(spark)
+    withbin = attach_binary_column(d, "text")
+    assert dict(withbin.dtypes)["asset"] == "binary"
+    meta = withbin.select("asset_meta.byte_len", "asset_meta.sha256").collect()[0]
+    assert meta["byte_len"] > 0 and len(meta["sha256"]) == 64
+    feats = extract_features(withbin, "doc_id", "asset")
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["decoded_ok"] and rows[1]["n_bytes"] == rows[4]["n_bytes"]
+    # frame sampling plan explodes timestamps from duration metadata
+    vid = withbin.withColumn(
+        "asset_meta",
+        F.col("asset_meta").withField("duration_ms", F.lit(2500).cast("long")),
+    )
+    plan = frame_sample_plan(vid, every_ms=1000)
+    assert plan.filter(F.col("doc_id") == 1).count() == 3  # 0,1000,2000 (+cap)

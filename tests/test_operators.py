@@ -1,0 +1,202 @@
+"""Unit tests for the core operator algebra (incremental, dedup, merge,
+routing, normalize, pivot) — modeled on the reference's operator-level
+tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from verified_sources_spark.operators.dedup import drop_exact_duplicates, keep_latest
+from verified_sources_spark.operators.incremental import (
+    CursorStore,
+    date_range_chunks,
+    grouped_cursor_values,
+    incremental_filter,
+    max_cursor_value,
+)
+from verified_sources_spark.operators.merge import ParquetSink, merge_dataframes
+from verified_sources_spark.operators.normalize import (
+    extract_child_table,
+    flatten_structs,
+    parse_json_column,
+)
+from verified_sources_spark.operators.pivot import (
+    custom_field_pivot,
+    rename_from_mapping,
+    unpivot,
+)
+from verified_sources_spark.operators.routing import route_by_column, route_counts
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+# ------------------------------------------------------------- incremental
+def test_incremental_filter_max_inclusive_start(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(10)], "id int, cur int")
+    out = incremental_filter(df, "cur", last_value=30, end_value=70)
+    assert _rows(out, "cur") == [(30,), (40,), (50,), (60,)]  # >= start, < end
+
+
+def test_incremental_filter_min_mode(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "cur int")
+    out = incremental_filter(df, "cur", last_value=6, end_value=2, last_value_func="min")
+    assert _rows(out, "cur") == [(3,), (4,), (5,), (6,)]  # <= start, > end
+
+
+def test_incremental_alternate_cursor_paths(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, 9, 1), (3, None, 2)], "id int, a int, b int"
+    )
+    out = incremental_filter(df, "a|b", last_value=5)
+    assert _rows(out, "id") == [(1,), (2,)]  # coalesce(a,b) >= 5
+
+
+def test_max_cursor_and_store(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (7,), (3,)], "cur int")
+    assert max_cursor_value(df, "cur") == 7
+    store = CursorStore(str(tmp_path / "state.json"))
+    store.set("r1", 7)
+    assert CursorStore(str(tmp_path / "state.json")).get("r1") == 7
+
+
+def test_grouped_cursor_values(spark):
+    df = spark.createDataFrame(
+        [("s1", 5), ("s1", 9), ("s2", 2)], "shard string, seq int"
+    )
+    out = {r["shard"]: r["last_value"] for r in grouped_cursor_values(df, "shard", "seq").collect()}
+    assert out == {"s1": 9, "s2": 2}
+
+
+def test_date_range_chunks(spark):
+    out = date_range_chunks(spark, "2024-01-01", "2024-01-10", 4).collect()
+    spans = [(r["range_start"], r["range_end"]) for r in sorted(out, key=lambda r: r["range_start"])]
+    assert spans[0][0] == dt.datetime(2024, 1, 1)
+    assert spans[-1][1] == dt.datetime(2024, 1, 10)  # clipped to end
+    assert len(spans) == 3
+
+
+# ------------------------------------------------------------------- dedup
+def test_keep_latest(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 3, "c"), (1, 2, "b"), (2, 1, "x")], "k int, v int, s string"
+    )
+    out = _rows(keep_latest(df, ["k"], ["v"]), "k", "s")
+    assert out == [(1, "c"), (2, "x")]
+
+
+def test_drop_exact_duplicates(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, s string")
+    assert drop_exact_duplicates(df).count() == 2
+
+
+# ------------------------------------------------------------------- merge
+def test_merge_upsert_and_insert(spark):
+    tgt = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    src = spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string")
+    out = _rows(merge_dataframes(tgt, src, ["k"]), "k", "v")
+    assert out == [(1, "new"), (2, "keep"), (3, "ins")]
+
+
+def test_merge_dedup_sort_keeps_max(spark):
+    src = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, lsn int, v string"
+    )
+    out = _rows(merge_dataframes(None, src, ["k"], dedup_sort=["lsn"]), "k", "v")
+    assert out == [(1, "b"), (2, "c")]
+
+
+def test_merge_hard_delete(spark):
+    tgt = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    src = spark.createDataFrame(
+        [(1, "z", None), (2, "dead", "2024-01-01")], "k int, v string, deleted_ts string"
+    )
+    out = _rows(merge_dataframes(tgt, src, ["k"], hard_delete_col="deleted_ts"), "k", "v")
+    assert out == [(1, "z")]  # key 2 deleted
+
+
+def test_parquet_sink_dispositions(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path / "t"))
+    sink.write(spark.createDataFrame([(1, "a")], "k int, v string"), "append")
+    sink.write(spark.createDataFrame([(2, "b")], "k int, v string"), "append")
+    assert sink.read().count() == 2
+    sink.write(spark.createDataFrame([(9, "r")], "k int, v string"), "replace")
+    assert _rows(sink.read(), "k") == [(9,)]
+    sink.write(
+        spark.createDataFrame([(9, "upd"), (10, "new")], "k int, v string"),
+        "merge",
+        keys=["k"],
+    )
+    assert _rows(sink.read(), "k", "v") == [(9, "upd"), (10, "new")]
+
+
+# ----------------------------------------------------------------- routing
+def test_route_by_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("t1", 1), ("t2", 2), ("t1", 3)], "topic string, v int"
+    )
+    tables = route_by_column(df, "topic", str(tmp_path), name_template="msgs_{route}")
+    assert set(tables) == {"msgs_t1", "msgs_t2"}
+    assert spark.read.parquet(tables["msgs_t1"]).count() == 2
+    counts = {r["topic"]: r["n_rows"] for r in route_counts(df, "topic").collect()}
+    assert counts == {"t1": 2, "t2": 1}
+
+
+# --------------------------------------------------------------- normalize
+def test_flatten_structs_depth(spark):
+    df = spark.range(1).select(
+        F.struct(F.lit(1).alias("a"), F.struct(F.lit(2).alias("b")).alias("inner")).alias("top")
+    )
+    out = flatten_structs(df, max_nesting=2)
+    assert set(out.columns) == {"top__a", "top__inner__b"}
+    shallow = flatten_structs(
+        spark.range(1).select(
+            F.struct(F.struct(F.lit(2).alias("b")).alias("inner")).alias("top")
+        ),
+        max_nesting=1,
+    )
+    # depth cap: remaining struct serialized to JSON string
+    assert dict(shallow.dtypes)["top__inner"] == "string"
+
+
+def test_extract_child_table(spark):
+    df = spark.createDataFrame([(1, ["x", "y"]), (2, [])], "id int, tags array<string>")
+    out = _rows(extract_child_table(df, "tags", ["id"]), "id", "_list_idx", "tags")
+    assert out == [(1, 0, "x"), (1, 1, "y"), (2, None, None)]
+
+
+def test_parse_json_column(spark):
+    df = spark.createDataFrame([('{"a": 1}',), ('{"a": 2}',)], "js string")
+    out = parse_json_column(df, "js")
+    assert [r["js"]["a"] for r in out.orderBy(F.col("js.a")).collect()] == [1, 2]
+
+
+# ------------------------------------------------------------------- pivot
+def test_custom_field_pivot(spark):
+    tickets = spark.createDataFrame(
+        [(1, [{"id": 10, "value": "opt1"}, {"id": 11, "value": "hello"}]), (2, [{"id": 10, "value": "opt2"}])],
+        "ticket_id int, custom_fields array<struct<id:int,value:string>>",
+    )
+    dim = spark.createDataFrame(
+        [(10, "Color", {"opt1": "Red", "opt2": "Blue"}), (11, "Note", None)],
+        "id int, title string, options map<string,string>",
+    )
+    out = custom_field_pivot(tickets, dim, "ticket_id")
+    rows = {r["ticket_id"]: (r["color"], r["note"]) for r in out.collect()}
+    assert rows == {1: ("Red", "hello"), 2: ("Blue", None)}
+
+
+def test_unpivot(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, a double, b double")
+    out = _rows(unpivot(df, ["id"], ["a", "b"], "var", "val"), "id", "var", "val")
+    assert out == [(1, "a", 10.0), (1, "b", 20.0)]
+
+
+def test_rename_from_mapping_first_seen_wins(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "h1 int, h2 int, h3 int")
+    out = rename_from_mapping(df, {"h1": "My Field", "h2": "My Field", "h3": "Other"})
+    assert out.columns == ["my_field", "h2", "other"]  # h2 loses the name race

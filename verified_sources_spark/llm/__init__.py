@@ -1,0 +1,12 @@
+"""Training-data pipeline operators: dedup, similarity, multimodal, text.
+
+Each operator is a DataFrame transform designed for 100 TB inputs:
+candidate generation is always hash-bucketed (never all-pairs), joins on
+bucket keys shuffle only the signatures (not the documents), and nothing
+collects to the driver.
+"""
+
+from verified_sources_spark.llm.exact_dedup import exact_dedup, exact_dedup_groups  # noqa: F401
+from verified_sources_spark.llm.minhash import minhash_signatures, lsh_candidate_pairs, ngram_jaccard  # noqa: F401
+from verified_sources_spark.llm.simhash import simhash64, simhash_near_pairs  # noqa: F401
+from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk  # noqa: F401

@@ -1,0 +1,389 @@
+"""DuckDB oracle SQL — one entry per SQL-expressible query in
+plans/queries.py, same column names, engineered for bit-identical values:
+double sums go through DECIMAL, timestamps through epoch_us/strftime.
+
+The driver registers views: region nation customer supplier part orders
+lineitem events documents embeddings.  NOTE events.ts is TIMESTAMP_NS in
+DuckDB; ``epoch_us`` truncates exactly like the Spark-side ns→us DIV.
+"""
+
+from __future__ import annotations
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# per-language stopword score fragments (must mirror functions.text.LANG_STOPWORDS)
+_SW = {
+    "en": "['the','a','of','and','to']",
+    "de": "['der','die','und','das','ein']",
+    "fr": "['le','la','et','les','des']",
+    "es": "['el','la','de','que','los']",
+    "zh": "['de5','shi4','le5','zai4','he2']",
+}
+
+
+def _score(lang: str) -> str:
+    return f"CAST(len(list_filter({_TOKS}, t -> list_contains({_SW[lang]}, t))) AS INT)"
+
+
+_LANG_SCORES = ", ".join(f"{_score(g)} AS s_{g}" for g in _SW)
+_BEST = "greatest(s_en, s_de, s_fr, s_es, s_zh)"
+_PRED = (
+    "CASE WHEN s_en = best AND best > 0 THEN 'en' "
+    "WHEN s_de = best AND best > 0 THEN 'de' "
+    "WHEN s_fr = best AND best > 0 THEN 'fr' "
+    "WHEN s_es = best AND best > 0 THEN 'es' "
+    "WHEN s_zh = best AND best > 0 THEN 'zh' ELSE 'und' END"
+)
+
+# minhash: k=8 seeds over word trigram shingles (mirrors shingles(n=3):
+# sliding 3-token windows joined by spaces, with repeats; empty when <3 tokens)
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END"
+)
+_MH = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh_{i}" for i in range(8)
+)
+_SIG_CTE = (
+    f"WITH sig AS (SELECT doc_id, {_MH} FROM "
+    f"(SELECT doc_id, {_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)))"
+)
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_hash "
+        f"FROM sig WHERE mh_0 IS NOT NULL AND mh_1 IS NOT NULL AND mh_2 IS NOT NULL AND mh_3 IS NOT NULL "
+        f"AND mh_4 IS NOT NULL AND mh_5 IS NOT NULL AND mh_6 IS NOT NULL AND mh_7 IS NOT NULL"
+        for b in range(4)
+    )
+    + ")"
+)
+_PAIRS_SQL = (
+    f"{_SIG_CTE}, {_BANDS_CTE} "
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id"
+)
+
+_DOT64 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+ORACLE_SQL: dict[str, str] = {
+    # ---------------------------------------------------------- relational
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          o_orderpriority
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q6_revenue_change": """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "top_k_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "rollup_revenue": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "window_top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+          FROM orders)
+        WHERE rn <= 3
+    """,
+    "window_order_gaps": """
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC),
+                    o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+    """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total
+        FROM orders
+    """,
+    "semi_join_segment_counts": """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "anti_join_idle_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "set_except_customers": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+    "set_intersect_customers": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "pivot_qty_by_status": """
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+          CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "unpivot_lineitem_charges": """
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS charge_type, l_extendedprice AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    "date_chunk_order_counts": """
+        WITH chunks AS (
+          SELECT rs AS range_start,
+                 least(rs + INTERVAL 365 DAY, TIMESTAMP '2002-01-01') AS range_end
+          FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2002-01-01',
+                               INTERVAL 365 DAY) t(rs)
+          WHERE rs < TIMESTAMP '2002-01-01')
+        SELECT strftime(range_start, '%Y-%m-%d') AS range_start,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM chunks LEFT JOIN orders
+          ON o_orderdate >= range_start AND o_orderdate < range_end
+        GROUP BY 1
+    """,
+    "scalar_functions_showcase": """
+        SELECT o_orderkey,
+          lower(o_orderpriority) AS priority_lower,
+          regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority_clean,
+          md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS row_id,
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+          substring(o_orderstatus, 1, 1) AS status_code,
+          CAST(length(o_orderpriority) AS BIGINT) AS priority_len
+        FROM orders
+    """,
+    # ------------------------------------------------------- events / ELT
+    "incremental_events_window": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+    """,
+    "events_keep_latest_per_user": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+    """,
+    "merge_upsert_events": """
+        WITH src AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'),
+             tgt AS (SELECT * FROM events WHERE ts <  TIMESTAMP '2024-01-20 00:00:00')
+        SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM src
+        UNION ALL
+        SELECT event_id, event_type, epoch_us(ts), value FROM tgt
+        WHERE event_id NOT IN (SELECT event_id FROM src)
+    """,
+    "cdc_apply_changes": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "route_counts_events": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type
+    """,
+    "sessionize_events": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        sess AS (
+          SELECT user_id, event_id, ts,
+            CAST(SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM flagged)
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "stream_bounded_offsets": """
+        WITH msg AS (
+          SELECT event_type AS topic,
+                 CAST(user_id % 4 AS INT) AS "partition",
+                 ts, event_id,
+                 CAST(row_number() OVER (PARTITION BY event_type, user_id % 4
+                      ORDER BY ts ASC, event_id ASC) AS BIGINT) - 1 AS "offset"
+          FROM events)
+        SELECT topic, "partition", "offset",
+               md5(concat_ws('|', topic, CAST("partition" AS VARCHAR),
+                             CAST("offset" AS VARCHAR))) AS msg_id,
+               event_id
+        FROM msg WHERE "offset" >= 5
+    """,
+    "json_extract_events": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    # ------------------------------------------------ documents/embeddings
+    "dedup_exact_docs": """
+        SELECT md5(text) AS content_md5,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+        FROM documents
+    """,
+    "token_stats_docs": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / greatest(CAST(len(toks) AS BIGINT), 1) AS avg_token_len,
+          CAST(len(list_filter(toks, x -> list_contains({_SW['en']}, x))) AS BIGINT) AS n_stopwords,
+          CAST(len(list_filter(toks, x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+            / greatest(CAST(len(toks) AS BIGINT), 1) AS stopword_ratio
+        FROM t
+    """,
+    "lang_id_docs": f"""
+        WITH s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM documents),
+             b AS (SELECT *, {_BEST} AS best FROM s)
+        SELECT doc_id, lang, {_PRED} AS lang_pred,
+               CAST(CASE WHEN {_PRED} = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        FROM b
+    """,
+    "minhash_signatures_docs": f"{_SIG_CTE} SELECT * FROM sig",
+    "lsh_candidate_pairs_docs": _PAIRS_SQL,
+    "ngram_jaccard_docs": f"""
+        {_SIG_CTE}, {_BANDS_CTE},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        sets AS (SELECT doc_id, list_distinct({_SHINGLES.replace('toks', 'toks2')}) AS sh
+                 FROM (SELECT doc_id, {_TOKS} AS toks2 FROM documents))
+        SELECT id_a, id_b,
+          round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+            AS jaccard
+        FROM pairs
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.0
+    """,
+    "cosine_topk_embeddings": f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_DOT64.replace('a.embedding', 'q.embedding').replace('b.embedding', 'b.embedding')}
+                 / ({_NORM.format(v='q.embedding')} * {_NORM.format(v='b.embedding')}) AS cos
+          FROM q, embeddings b WHERE b.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+                 round(cos, 4) AS cosine
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+    """,
+    "embedding_label_stats": """
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+          FROM embeddings)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(norm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm
+        FROM n GROUP BY label
+    """,
+    "multimodal_manifest": """
+        SELECT doc_id,
+               'application/octet-stream' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+}

@@ -1,0 +1,596 @@
+"""The declared query surface (driver contract: __spark_entry__.queries).
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose column
+names/values match the DuckDB oracle in plans/oracle.py exactly.
+
+Float determinism convention (so value-hashes match the oracle):
+- row-level double arithmetic is IEEE-deterministic → used freely;
+- SUM/AVG over doubles is order-dependent → always summed as DECIMAL
+  (exact, order-independent) and cast back to double;
+- ratios divide exact ints/doubles computed per-row.
+
+Timestamps are returned as epoch microseconds (``unix_micros``) or
+formatted date strings — never raw timestamps — to dodge tz/precision
+mismatches between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from verified_sources_spark.catalog import load_table, load_tables
+from verified_sources_spark.functions import row_digest
+from verified_sources_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_scores,
+    tokens,
+)
+from verified_sources_spark.llm.exact_dedup import exact_dedup_groups
+from verified_sources_spark.llm.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+)
+from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk
+from verified_sources_spark.llm.simhash import simhash_near_pairs
+from verified_sources_spark.operators.dedup import keep_latest
+from verified_sources_spark.operators.incremental import (
+    date_range_chunks,
+    incremental_filter,
+)
+from verified_sources_spark.operators.merge import merge_dataframes
+from verified_sources_spark.operators.pivot import unpivot
+from verified_sources_spark.operators.routing import route_counts
+
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent exact sum of a double expression → double."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+def _revenue():
+    # lazy: building Columns requires an active SparkContext in classic mode
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# relational surface (scan → filter → project → join → agg → window → sort)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+groupBy+agg+sort on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(_revenue(), 6).alias("sum_disc_price"),
+            _dsum(_revenue() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", 4)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (broadcast dims, one shuffle
+    on the groupBy key)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(_revenue(), 6).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: region→nation broadcast down to lineitem, revenue
+    per nation where customer and supplier share the nation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(_revenue(), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure filter + single-row agg (fully pushed-down scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (order + tie-break + limit → TakeOrdered)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) over customer order revenue."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias("gap_days"),
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer — exact decimal prefix sums."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def semi_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: customers that have at least one order, per segment."""
+    t = load_tables(spark, sf_dir)
+    active = t["customer"].join(
+        t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+    return active.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: BUILDING-segment customers minus big spenders."""
+    t = load_tables(spark, sf_dir)
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = (
+        t["orders"].filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("custkey"))
+    )
+    return building.subtract(big)  # EXCEPT (distinct) semantics
+
+
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers both in BUILDING and with a PRIORITY-1 order."""
+    t = load_tables(spark, sf_dir)
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    )
+    return building.intersect(urgent)
+
+
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy+pivot: lineitem quantity by linestatus per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.toDF("l_returnflag", "qty_f", "qty_o")
+
+
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the three charge columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return unpivot(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        value_cols=["l_extendedprice", "l_discount", "l_tax"],
+        var_name="charge_type",
+        value_name="amount",
+    )
+
+
+def date_chunk_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range_chunks (sequence+explode) + interval join + count."""
+    o = load_table(spark, sf_dir, "orders")
+    chunks = date_range_chunks(spark, "1995-01-01", "2002-01-01", 365)
+    joined = chunks.join(
+        o,
+        (F.col("o_orderdate") >= F.col("range_start")) & (F.col("o_orderdate") < F.col("range_end")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.date_format("range_start", "yyyy-MM-dd").alias("range_start"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar library over orders: case, regex, digest ids, date trunc."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.regexp_replace("o_orderpriority", "^[0-9]-", "").alias("priority_clean"),
+        row_digest("o_orderkey", "o_orderstatus").alias("row_id"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("order_month"),
+        F.substring("o_orderstatus", 1, 1).alias("status_code"),
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental / ELT operator surface over `events`
+# --------------------------------------------------------------------------
+
+def _ts_us():
+    return F.unix_micros(F.col("ts")).alias("ts_us")
+
+
+def incremental_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental cursor filter: [last_value, end_value) on ts (>= not >,
+    the boundary row re-reads and dedups downstream)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = incremental_filter(
+        ev,
+        "ts",
+        last_value="2024-01-15 00:00:00",
+        end_value="2024-01-22 00:00:00",
+    )
+    return ev.select("event_id", _ts_us(), "user_id", "event_type", "value")
+
+
+def events_keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_sort: latest event per user (window row_number=1)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = keep_latest(ev, ["user_id"], ["ts", "event_id"], descending=True)
+    return latest.select("user_id", "event_id", _ts_us(), "event_type")
+
+
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge disposition: overlap re-read upserts over an older target —
+    target ⟕anti src ∪ src (the boundary-row dedup of `>=` cursors)."""
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.filter(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    source = ev.filter(F.col("ts") >= F.lit("2024-01-18 00:00:00").cast("timestamp"))
+    merged = merge_dataframes(target, source, keys=["event_id"])
+    return merged.select("event_id", "event_type", _ts_us(), "value")
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: events as a change feed keyed by user — keep max-(ts,id)
+    row per key, hard-delete keys whose last op is 'error' (pg_replication
+    merge semantics: dedup_sort desc + deleted_ts delete)."""
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.withColumn(
+        "deleted_ts", F.when(F.col("event_type") == "error", F.col("ts"))
+    )
+    final = merge_dataframes(
+        None,
+        feed,
+        keys=["user_id"],
+        dedup_sort=["ts", "event_id"],
+        hard_delete_col="deleted_ts",
+    )
+    return final.select("user_id", "event_id", _ts_us(), "event_type", "value")
+
+
+def route_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item table dispatch plan: rows per route value."""
+    ev = load_table(spark, sf_dir, "events")
+    return route_counts(ev, "event_type")
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment: 30-min inactivity gap starts a new session
+    (matomo session-close heuristic as a window cumsum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+    )
+
+
+def stream_bounded_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shape bounded replay: derive (topic, partition, offset)
+    envelope from events, resume past a per-partition watermark, attach
+    digest message ids (reference envelope semantics,
+    sources/kafka/helpers.py:15-51)."""
+    ev = load_table(spark, sf_dir, "events")
+    msg = ev.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("topic", "partition").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    msg = msg.withColumn("offset", F.row_number().over(w).cast("long") - 1)
+    bounded = msg.filter(F.col("offset") >= 5)  # resume at cur+1 per state
+    return bounded.select(
+        "topic",
+        "partition",
+        "offset",
+        row_digest("topic", "partition", "offset").alias("msg_id"),
+        "event_id",
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath extraction from the props payload + agg per extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value", 6)).cast("double").alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(toks), " ")).alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality stats, all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v)
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (total_len.cast("double") / F.greatest(n_tok, F.lit(1))).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    langs = list(scores)
+    best = F.greatest(*[scores[g] for g in langs])
+    pred = F.lit("und")
+    for g in reversed(langs):
+        pred = F.when((scores[g] == best) & (best > 0), F.lit(g)).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).cast("int").cast("long").alias("is_match"),
+    )
+
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned for CPU-bound hashing: the table is one
+    parquet file (one input split), but signature computation is
+    hash-dominated, so spread it across all cores.  On a real cluster the
+    input would already be many splits and this is a no-op cost-wise."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, shingle_n=3)
+
+
+def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, bands=4, shingle_n=3)
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard(_docs_parallel(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.0)
+
+
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return cosine_topk(e, queries, k=3)
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats; norms summed as decimals for exactness."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+        )
+    )
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("norm").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_norm"
+            ),
+        )
+    )
+
+
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload + typed metadata columns."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+# --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
+
+def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — no DuckDB equivalent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12, n_bands=16)
+
+
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets (scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(e, queries, k=3, n_planes=6)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_revenue_change": q6_revenue_change,
+    "top_k_orders": top_k_orders,
+    "rollup_revenue": rollup_revenue,
+    "window_top_orders_per_customer": window_top_orders_per_customer,
+    "window_order_gaps": window_order_gaps,
+    "window_running_total": window_running_total,
+    "semi_join_segment_counts": semi_join_segment_counts,
+    "anti_join_idle_customers": anti_join_idle_customers,
+    "set_except_customers": set_except_customers,
+    "set_intersect_customers": set_intersect_customers,
+    "pivot_qty_by_status": pivot_qty_by_status,
+    "unpivot_lineitem_charges": unpivot_lineitem_charges,
+    "date_chunk_order_counts": date_chunk_order_counts,
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "incremental_events_window": incremental_events_window,
+    "events_keep_latest_per_user": events_keep_latest_per_user,
+    "merge_upsert_events": merge_upsert_events,
+    "cdc_apply_changes": cdc_apply_changes,
+    "route_counts_events": route_counts_events,
+    "sessionize_events": sessionize_events,
+    "stream_bounded_offsets": stream_bounded_offsets,
+    "json_extract_events": json_extract_events,
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_fingerprints": doc_fingerprints,
+    "token_stats_docs": token_stats_docs,
+    "lang_id_docs": lang_id_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "cosine_topk_embeddings": cosine_topk_embeddings,
+    "embedding_label_stats": embedding_label_stats,
+    "multimodal_manifest": multimodal_manifest,
+    "simhash_near_pairs_docs": simhash_near_pairs_docs,
+    "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+}
