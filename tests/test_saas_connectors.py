@@ -1,0 +1,126 @@
+"""Connector-shape tests over LocalPagesTransport fixtures (the engine's
+analogue of the reference's per-source pipeline tests)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from verified_sources_spark.operators.routing import route_by_column
+from verified_sources_spark.sources.rest import LocalPagesTransport, RestClient
+from verified_sources_spark.sources.saas import (
+    FieldMappingState,
+    github_events,
+    hubspot_objects,
+    hubspot_stage_unpivot,
+    pipedrive_recents,
+    stripe_incremental,
+    zendesk_tickets,
+)
+
+
+def _client(pages):
+    return RestClient(LocalPagesTransport(pages))
+
+
+def test_zendesk_tickets_incremental_with_pivot(spark):
+    pages = {
+        "https://z/incremental/tickets": [
+            (
+                {
+                    "tickets": [
+                        {"id": 1, "updated_at": "2024-01-01", "status": "open",
+                         "tags": ["a"], "custom_fields": [{"id": 10, "value": "opt1"}]},
+                    ],
+                    "end_time": 100,
+                    "end_of_stream": False,
+                },
+                {},
+            ),
+            (
+                {
+                    "tickets": [
+                        {"id": 2, "updated_at": "2024-01-02", "status": "closed",
+                         "tags": [], "custom_fields": [{"id": 10, "value": "opt2"}]},
+                    ],
+                    "end_time": 200,
+                    "end_of_stream": True,
+                },
+                {},
+            ),
+        ]
+    }
+    dim = spark.createDataFrame(
+        [(10, "Priority", {"opt1": "High", "opt2": "Low"})],
+        "id long, title string, options map<string,string>",
+    )
+    df = zendesk_tickets(spark, _client(pages), "https://z", start_time=0, fields_dim=dim)
+    rows = {r["id"]: r["priority"] for r in df.collect()}
+    assert rows == {1: "High", 2: "Low"}
+
+
+def test_hubspot_objects_archived_union_and_unpivot(spark):
+    pages = {
+        "https://h/objects/deals": [
+            ({"results": [{"id": 1, "properties": {"hs_date_entered_won": "2024-01-05",
+                                                    "hs_date_entered_lost": None}}]}, {}),
+            ({"results": [{"id": 2, "properties": {"hs_date_entered_won": None,
+                                                    "hs_date_entered_lost": "2024-01-06"}}]}, {}),
+        ]
+    }
+    df = hubspot_objects(
+        spark, _client(pages), "https://h", "deals",
+        ["hs_date_entered_won", "hs_date_entered_lost"],
+    )
+    assert df.filter(F.col("is_deleted")).count() == 1  # second page served as archived fetch
+    long = hubspot_stage_unpivot(df, "id", ["hs_date_entered_won", "hs_date_entered_lost"])
+    stages = {(r["id"], r["stage"]) for r in long.collect()}
+    assert stages == {(1, "won"), (2, "lost")}
+
+
+def test_pipedrive_recents_rename_first_seen_wins(spark):
+    pages = {
+        "https://p/recents": [
+            ({"data": [{"data": {"id": 1, "abc123hash": "v1"}}]}, {}),
+        ]
+    }
+    state = FieldMappingState()
+    state.update([{"key": "abc123hash", "name": "Deal Value"}])
+    state.update([{"key": "abc123hash", "name": "Renamed Later"}])  # ignored
+    df = pipedrive_recents(
+        spark, _client(pages), "https://p", "2024-01-01",
+        "id long, abc123hash string", field_state=state,
+    )
+    assert df.columns == ["id", "deal_value"]
+
+
+def test_stripe_incremental_pushdown_and_keyset(spark):
+    pages = {
+        "https://s/v1/charges": [
+            ({"data": [{"id": "ch_1", "created": 50}, {"id": "ch_2", "created": 60}], "has_more": True}, {}),
+            ({"data": [{"id": "ch_3", "created": 70}], "has_more": False}, {}),
+        ]
+    }
+    client = _client(pages)
+    df = stripe_incremental(
+        spark, client, "https://s", "charges", "id string, created long", created_gte=40
+    )
+    assert df.count() == 3
+    first_call = client.transport.calls[0]
+    assert first_call[1]["created[gte]"] == 40  # predicate pushdown into request
+    assert client.transport.calls[1][1]["starting_after"] == "ch_2"
+
+
+def test_github_events_route_by_type(spark, tmp_path):
+    pages = {
+        "https://g/repos/o/r/events": [
+            ({"data": [
+                {"id": "1", "type": "PushEvent", "actor": "a", "created_at": "t"},
+                {"id": "2", "type": "WatchEvent", "actor": "b", "created_at": "t"},
+                {"id": "3", "type": "PushEvent", "actor": "c", "created_at": "t"},
+            ]}, {}),
+        ]
+    }
+    df = github_events(spark, _client(pages), "https://g", "o/r")
+    tables = route_by_column(df, "type", str(tmp_path), name_template="events_{route}")
+    assert set(tables) == {"events_push_event", "events_watch_event"}
+    assert spark.read.parquet(tables["events_push_event"]).count() == 2

@@ -1,0 +1,235 @@
+"""Tests for the source connector layer: REST framework (all pagination
+protocols, retry, fan-out), filesystem incremental, sheets grid, CDC."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from verified_sources_spark.operators.incremental import CursorStore
+from verified_sources_spark.sources.cdc import (
+    apply_changes,
+    replication_origin_progress,
+    txn_aligned_batches,
+)
+from verified_sources_spark.sources.filesystem import read_files, read_new_files
+from verified_sources_spark.sources.rest import (
+    CursorPaginator,
+    HeaderLinkPaginator,
+    KeysetPaginator,
+    LocalPagesTransport,
+    OffsetPaginator,
+    PageNumberPaginator,
+    RestClient,
+    RestEndpoint,
+    StartTimePaginator,
+    TransportError,
+    fetch_partitioned,
+    fetch_to_dataframe,
+)
+from verified_sources_spark.sources.sheets import detect_headers, grid_to_dataframe
+
+
+# ----------------------------------------------------------------- REST
+def _client(pages, failures=None):
+    sleeps = []
+    c = RestClient(LocalPagesTransport(pages, failures), sleep=sleeps.append)
+    return c, sleeps
+
+
+def test_offset_paginator():
+    pages = {
+        "/items": [
+            ({"data": [{"id": i} for i in range(3)]}, {}),
+            ({"data": [{"id": 3}]}, {}),
+        ]
+    }
+    c, _ = _client(pages)
+    ep = RestEndpoint("/items", records_path="data", paginator=OffsetPaginator(limit=3))
+    recs = list(c.records(ep))
+    assert [r["id"] for r in recs] == [0, 1, 2, 3]
+    # second page shorter than limit → stopped (2 calls only)
+    assert len(c.transport.calls) == 2
+    assert c.transport.calls[1][1]["offset"] == 3
+
+
+def test_page_number_paginator_stops_on_empty():
+    pages = {"/p": [({"data": [{"id": 1}]}, {}), ({"data": []}, {})]}
+    c, _ = _client(pages)
+    recs = list(c.records(RestEndpoint("/p", paginator=PageNumberPaginator())))
+    assert len(recs) == 1 and c.transport.calls[1][1]["page"] == 2
+
+
+def test_cursor_paginator_opaque_and_has_more():
+    pages = {
+        "/c": [
+            ({"data": [{"id": 1}], "meta": {"has_more": True}, "links": {"next": "abc"}}, {}),
+            ({"data": [{"id": 2}], "meta": {"has_more": False}, "links": {"next": "def"}}, {}),
+        ]
+    }
+    c, _ = _client(pages)
+    ep = RestEndpoint(
+        "/c",
+        paginator=CursorPaginator(cursor_path="links.next", more_path="meta.has_more"),
+    )
+    assert [r["id"] for r in c.records(ep)] == [1, 2]
+    assert c.transport.calls[1][1]["cursor"] == "abc"
+
+
+def test_keyset_paginator_stripe_style():
+    pages = {
+        "/s": [
+            ({"data": [{"id": "a"}, {"id": "b"}], "has_more": True}, {}),
+            ({"data": [{"id": "c"}], "has_more": False}, {}),
+        ]
+    }
+    c, _ = _client(pages)
+    recs = list(c.records(RestEndpoint("/s", paginator=KeysetPaginator())))
+    assert [r["id"] for r in recs] == ["a", "b", "c"]
+    assert c.transport.calls[1][1]["starting_after"] == "b"
+
+
+def test_header_link_paginator_github_style():
+    pages = {
+        "/r": [({"data": [{"id": 1}]}, {"Link": '</r2>; rel="next", </r>; rel="first"'})],
+        "/r2": [({"data": [{"id": 2}]}, {})],
+    }
+    c, _ = _client(pages)
+    recs = list(c.records(RestEndpoint("/r", paginator=HeaderLinkPaginator())))
+    assert [r["id"] for r in recs] == [1, 2]
+    assert c.transport.calls[1][0] == "/r2"
+
+
+def test_start_time_paginator_zendesk_export():
+    pages = {
+        "/e": [
+            ({"data": [{"id": 1}], "end_time": 100, "end_of_stream": False}, {}),
+            ({"data": [{"id": 2}], "end_time": 200, "end_of_stream": True}, {}),
+        ]
+    }
+    c, _ = _client(pages)
+    recs = list(c.records(RestEndpoint("/e", paginator=StartTimePaginator())))
+    assert [r["id"] for r in recs] == [1, 2]
+    assert c.transport.calls[1][1]["start_time"] == 100
+
+
+def test_retry_429_honors_retry_after_then_succeeds():
+    pages = {"/x": [({"data": [{"id": 1}]}, {})]}
+    failures = [TransportError(429, "slow down", retry_after=1.5), TransportError(500)]
+    c, sleeps = _client(pages, failures)
+    recs = list(c.records(RestEndpoint("/x")))
+    assert [r["id"] for r in recs] == [1]
+    assert sleeps[0] == 1.5  # Retry-After honored
+    assert len(sleeps) == 2  # then exponential backoff for the 500
+
+
+def test_retry_gives_up_on_4xx():
+    c, _ = _client({}, [TransportError(404)])
+    with pytest.raises(TransportError):
+        list(c.records(RestEndpoint("/nope")))
+
+
+def test_fetch_to_dataframe_and_fanout(spark):
+    pages = {
+        "/t/1": [({"data": [{"id": 1, "v": "a"}]}, {})],
+        "/t/2": [({"data": [{"id": 2, "v": "b"}]}, {})],
+    }
+    df = fetch_to_dataframe(
+        spark,
+        _client(pages)[0],
+        RestEndpoint("/t/1", paginator=OffsetPaginator(limit=10)),
+        "id long, v string",
+    )
+    assert df.collect()[0]["v"] == "a"
+    eps = [RestEndpoint(f"/t/{i}", paginator=OffsetPaginator(limit=10)) for i in (1, 2)]
+    out = fetch_partitioned(
+        spark,
+        lambda: RestClient(LocalPagesTransport(pages)),
+        eps,
+        "id long, v string",
+        transform=lambda r: {**r, "v": r["v"].upper()},
+    )
+    assert sorted(r["v"] for r in out.collect()) == ["A", "B"]
+
+
+# ------------------------------------------------------------- filesystem
+def test_read_files_jsonl_and_csv(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    assert read_files(spark, str(p), "jsonl").count() == 2
+    c = tmp_path / "d.csv"
+    c.write_text("a,b\n1,x\n")
+    row = read_files(spark, str(c), "csv").collect()[0]
+    assert row["a"] == 1 and row["b"] == "x"
+
+
+def test_read_new_files_incremental(spark, tmp_path):
+    store = CursorStore(str(tmp_path / "state" / "cursors.json"))  # outside the data glob
+    (tmp_path / "f1.json").write_text('{"a": 1}\n')
+    df1 = read_new_files(spark, str(tmp_path / "*.json"), store, "r", fmt="jsonl")
+    assert df1.count() == 1
+    assert read_new_files(spark, str(tmp_path / "*.json"), store, "r", fmt="jsonl") is None
+    import os, time
+    f2 = tmp_path / "f2.json"
+    f2.write_text('{"a": 2}\n')
+    now = time.time() + 2
+    os.utime(f2, (now, now))  # ensure mtime advances past watermark
+    df2 = read_new_files(spark, str(tmp_path / "*.json"), store, "r", fmt="jsonl")
+    assert df2 is not None and df2.collect()[0]["a"] == 2
+
+
+# ------------------------------------------------------------------ sheets
+def test_detect_headers():
+    assert detect_headers(["Name", "", "Name", 42]) == ["name", "col_2", "name_2", "col_4"]
+
+
+def test_grid_to_dataframe_serials_and_empty_rows(spark):
+    grid = [
+        ["Date", "Amount", "Note"],
+        [45292.5, 10, "x"],
+        [None, "", None],  # dropped
+        [45293.0, 20, None],
+    ]
+    df = grid_to_dataframe(spark, grid, date_columns={0})
+    rows = df.collect()
+    assert df.columns == ["date", "amount", "note"]
+    assert rows[0]["date"] == dt.datetime(2024, 1, 1, 12, 0)
+    assert len(rows) == 2
+
+
+# --------------------------------------------------------------------- CDC
+def _changes(spark):
+    rows = [
+        # (table, op, lsn, txn, key, val, )
+        ("t", "I", 1, 100, 1, "a"),
+        ("t", "I", 2, 100, 2, "b"),
+        ("t", "U", 3, 101, 1, "a2"),
+        ("t", "D", 4, 102, 2, None),
+        ("t", "U", 5, 102, 1, "a3"),
+        ("t", "I", 6, 103, 3, "c"),
+    ]
+    return spark.createDataFrame(
+        rows, "table string, op string, lsn long, txn_id long, k long, v string"
+    )
+
+
+def test_txn_aligned_batches_never_split_txn(spark):
+    ch = _changes(spark)
+    out = txn_aligned_batches(ch, target_batch_size=2)
+    by_txn = {}
+    for r in out.collect():
+        by_txn.setdefault(r["txn_id"], set()).add(r["batch_id"])
+    assert all(len(b) == 1 for b in by_txn.values())  # txn in one batch
+    # txn 102 (rows 4,5) lands with its commit even though target=2 reached
+    assert len({b for s in by_txn.values() for b in s}) >= 2
+
+
+def test_apply_changes_upsert_and_delete(spark):
+    tgt = spark.createDataFrame([(1, "old"), (9, "keep")], "k long, v string")
+    final = apply_changes(tgt, _changes(spark), keys=["k"], payload_cols=["v"])
+    rows = {r["k"]: r["v"] for r in final.collect()}
+    assert rows == {1: "a3", 3: "c", 9: "keep"}  # 2 deleted, 1 upserted to max lsn
+    assert replication_origin_progress(_changes(spark)) == 6

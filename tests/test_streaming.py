@@ -1,0 +1,58 @@
+"""Structured Streaming: bounded AvailableNow runs, checkpoint resume,
+foreachBatch keyed merge."""
+
+from __future__ import annotations
+
+import json
+
+from verified_sources_spark.operators.merge import ParquetSink
+from verified_sources_spark.streaming.bounded import (
+    bounded_file_stream,
+    foreach_batch_merge,
+    run_available_now,
+)
+
+SCHEMA = "id long, v string, seq long"
+
+
+def _write_batch(dirpath, name, rows):
+    (dirpath / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def test_bounded_run_and_checkpoint_resume(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.json", [{"id": 1, "v": "a", "seq": 1}, {"id": 2, "v": "b", "seq": 1}])
+
+    stream = bounded_file_stream(spark, str(src), SCHEMA)
+    run_available_now(stream, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert out1.count() == 2
+
+    # new file appears; resume from checkpoint processes ONLY the new file
+    _write_batch(src, "b2.json", [{"id": 3, "v": "c", "seq": 2}])
+    stream2 = bounded_file_stream(spark, str(src), SCHEMA)
+    run_available_now(stream2, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert out2.count() == 3  # 2 old + 1 new, no reprocessing
+
+
+def test_foreach_batch_merge_upserts(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = ParquetSink(spark, str(tmp_path / "table"))
+    _write_batch(src, "b1.json", [{"id": 1, "v": "a", "seq": 1}, {"id": 2, "v": "b", "seq": 1}])
+    stream = bounded_file_stream(spark, str(src), SCHEMA)
+    foreach_batch_merge(stream, str(tmp_path / "ck"), sink, keys=["id"], dedup_sort=["seq"])
+    assert sink.read().count() == 2
+
+    # duplicate + update + insert in the next run: keyed merge keeps latest
+    _write_batch(
+        src,
+        "b2.json",
+        [{"id": 2, "v": "b2", "seq": 2}, {"id": 2, "v": "b3", "seq": 3}, {"id": 4, "v": "d", "seq": 2}],
+    )
+    stream2 = bounded_file_stream(spark, str(src), SCHEMA)
+    foreach_batch_merge(stream2, str(tmp_path / "ck"), sink, keys=["id"], dedup_sort=["seq"])
+    rows = {r["id"]: r["v"] for r in sink.read().collect()}
+    assert rows == {1: "a", 2: "b3", 4: "d"}  # within-batch dedup kept max seq

@@ -1,0 +1,323 @@
+"""Generic paginated REST reader framework (SURVEY.md §2.2).
+
+The reference implements ~10 pagination protocols ad hoc per connector;
+here each is a small strategy object and every connector is just config:
+
+- ``OffsetPaginator``       — ``offset``/``limit`` params until short page
+  (jira ``startAt``, GA4 offsets; reference sources/jira/__init__.py:124-150)
+- ``PageNumberPaginator``   — ``page=N`` until empty
+- ``CursorPaginator``       — opaque cursor in the response body
+  (zendesk ``links.next`` / ``meta.has_more``; hubspot ``paging.next.link``;
+  reference sources/zendesk/helpers/talk_api.py:104-107)
+- ``KeysetPaginator``       — ``starting_after=<last id>`` (stripe;
+  reference sources/stripe_analytics/helpers.py:11-39)
+- ``HeaderLinkPaginator``   — RFC5988 ``Link: <url>; rel="next"`` (github;
+  reference sources/github/helpers.py:25-43)
+- ``StartTimePaginator``    — time-cursor protocol: next ``start_time``
+  from the response, stop on ``count == 0`` / end_of_stream (zendesk
+  incremental exports; reference sources/zendesk/helpers/talk_api.py:111-116)
+
+Transport is pluggable.  ``LocalPagesTransport`` serves canned page dicts
+for tests (the container has no network); a real ``requests``-based
+transport drops in behind the same interface.  Retry/backoff with 429
+``Retry-After`` handling wraps any transport
+(reference sources/freshdesk/freshdesk_client.py:37-64).
+
+Scale model: page fetching is inherently sequential per endpoint (each
+page points at the next), so the unit of parallelism is the *endpoint ×
+key-range* — ``fetch_partitioned`` fans endpoint instances out across
+executors via ``mapPartitions`` style threading on the driver, and at
+cluster scale via an exploded parameter DataFrame.  The extracted pages
+land in a DataFrame immediately; everything downstream (flatten, route,
+merge) is distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.types as T
+
+
+# ----------------------------------------------------------------- transport
+class TransportError(Exception):
+    def __init__(self, status: int, message: str = "", retry_after: float | None = None):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+        self.retry_after = retry_after
+
+
+class Transport:
+    """Minimal HTTP-ish interface: request(url, params) -> (body, headers)."""
+
+    def request(self, url: str, params: dict[str, Any]) -> tuple[dict, dict]:
+        raise NotImplementedError
+
+
+class LocalPagesTransport(Transport):
+    """Serves pre-baked pages keyed by URL; each call pops the next page
+    for that URL (or resolves an absolute page URL directly).  Can inject
+    failures to exercise the retry path."""
+
+    def __init__(self, pages: dict[str, list[tuple[dict, dict]]], failures: list[TransportError] | None = None):
+        self._pages = {k: list(v) for k, v in pages.items()}
+        self._failures = list(failures or [])
+        self.calls: list[tuple[str, dict]] = []
+
+    def request(self, url: str, params: dict[str, Any]) -> tuple[dict, dict]:
+        self.calls.append((url, dict(params)))
+        if self._failures:
+            raise self._failures.pop(0)
+        queue = self._pages.get(url)
+        if not queue:
+            return {}, {}
+        return queue.pop(0)
+
+
+# ---------------------------------------------------------------- paginators
+class Paginator:
+    """Strategy: mutate request params / URL between pages and decide when
+    to stop.  ``first`` seeds the initial request; ``next`` inspects the
+    last (body, headers) and returns the next (url, params) or None."""
+
+    def first(self, url: str, params: dict) -> tuple[str, dict]:
+        return url, params
+
+    def next(self, url: str, params: dict, body: dict, headers: dict, n_records: int) -> tuple[str, dict] | None:
+        raise NotImplementedError
+
+
+@dataclass
+class OffsetPaginator(Paginator):
+    limit: int = 100
+    offset_param: str = "offset"
+    limit_param: str = "limit"
+    _offset: int = field(default=0, init=False)
+
+    def first(self, url, params):
+        self._offset = int(params.get(self.offset_param, 0))
+        return url, {**params, self.offset_param: self._offset, self.limit_param: self.limit}
+
+    def next(self, url, params, body, headers, n_records):
+        if n_records < self.limit:
+            return None
+        self._offset += self.limit
+        return url, {**params, self.offset_param: self._offset, self.limit_param: self.limit}
+
+
+@dataclass
+class PageNumberPaginator(Paginator):
+    page_param: str = "page"
+    _page: int = field(default=1, init=False)
+
+    def first(self, url, params):
+        self._page = int(params.get(self.page_param, 1))
+        return url, {**params, self.page_param: self._page}
+
+    def next(self, url, params, body, headers, n_records):
+        if n_records == 0:
+            return None
+        self._page += 1
+        return url, {**params, self.page_param: self._page}
+
+
+@dataclass
+class CursorPaginator(Paginator):
+    """Opaque cursor: read ``cursor_path`` from the body; stop when absent
+    or when ``more_path`` says no more (pipedrive
+    ``more_items_in_collection``, zendesk ``meta.has_more``)."""
+
+    cursor_path: str = "next_cursor"
+    cursor_param: str = "cursor"
+    more_path: str | None = None
+
+    def next(self, url, params, body, headers, n_records):
+        if self.more_path is not None and not _json_path(body, self.more_path):
+            return None
+        cur = _json_path(body, self.cursor_path)
+        if not cur:
+            return None
+        if str(cur).startswith("http"):
+            return str(cur), dict(params)  # absolute next-page URL
+        return url, {**params, self.cursor_param: cur}
+
+
+@dataclass
+class KeysetPaginator(Paginator):
+    """``starting_after = id of last record`` (stripe keyset)."""
+
+    id_key: str = "id"
+    param: str = "starting_after"
+    records_path: str = "data"
+
+    def next(self, url, params, body, headers, n_records):
+        if not _json_path(body, "has_more"):
+            return None
+        records = _json_path(body, self.records_path) or []
+        if not records:
+            return None
+        return url, {**params, self.param: records[-1][self.id_key]}
+
+
+@dataclass
+class HeaderLinkPaginator(Paginator):
+    """RFC5988 Link header, rel=next (github REST)."""
+
+    def next(self, url, params, body, headers, n_records):
+        link = headers.get("Link") or headers.get("link") or ""
+        for part in link.split(","):
+            if 'rel="next"' in part:
+                u = part.split(";")[0].strip().strip("<>")
+                return u, {}
+        return None
+
+
+@dataclass
+class StartTimePaginator(Paginator):
+    """Time-cursor export protocol: next start_time from body; stop when
+    no records or end_of_stream."""
+
+    start_time_path: str = "end_time"
+    start_time_param: str = "start_time"
+    end_of_stream_path: str | None = "end_of_stream"
+
+    def next(self, url, params, body, headers, n_records):
+        if n_records == 0:
+            return None
+        if self.end_of_stream_path and _json_path(body, self.end_of_stream_path):
+            return None
+        nxt = _json_path(body, self.start_time_path)
+        if nxt is None:
+            return None
+        return url, {**params, self.start_time_param: nxt}
+
+
+# ---------------------------------------------------------------- JSON paths
+def _json_path(obj: Any, path: str) -> Any:
+    """Dot-path extraction ('a.b.0.c'); the engine's JSONPath-lite used for
+    response record/cursor paths (reference sources/slack/helpers.py:24-36)."""
+    cur = obj
+    for part in path.split("."):
+        if cur is None:
+            return None
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(part)]
+            except (ValueError, IndexError):
+                return None
+        elif isinstance(cur, dict):
+            cur = cur.get(part)
+        else:
+            return None
+    return cur
+
+
+# ------------------------------------------------------------------- client
+@dataclass
+class RestEndpoint:
+    """One resource: URL + params + where the records live in the body."""
+
+    url: str
+    params: dict[str, Any] = field(default_factory=dict)
+    records_path: str = "data"
+    paginator: Paginator = field(default_factory=OffsetPaginator)
+
+
+class RestClient:
+    """Drives a paginator over a transport with retry/backoff; yields
+    record batches (one list per page)."""
+
+    def __init__(
+        self,
+        transport: Transport,
+        max_retries: int = 3,
+        backoff_base: float = 0.01,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.transport = transport
+        self.max_retries = max_retries
+        self.backoff_base = backoff_base
+        self.sleep = sleep
+
+    def _request(self, url: str, params: dict) -> tuple[dict, dict]:
+        attempt = 0
+        while True:
+            try:
+                return self.transport.request(url, params)
+            except TransportError as e:
+                retriable = e.status == 429 or e.status >= 500
+                if not retriable or attempt >= self.max_retries:
+                    raise
+                # honor Retry-After on 429 (reference freshdesk_client.py:37-64)
+                delay = e.retry_after if e.retry_after is not None else self.backoff_base * (2**attempt)
+                self.sleep(delay)
+                attempt += 1
+
+    def pages(self, ep: RestEndpoint) -> Iterator[list[dict]]:
+        url, params = ep.paginator.first(ep.url, dict(ep.params))
+        while True:
+            body, headers = self._request(url, params)
+            records = _json_path(body, ep.records_path)
+            if records is None:
+                records = body if isinstance(body, list) else []
+            yield list(records)
+            nxt = ep.paginator.next(url, params, body, headers, len(records))
+            if nxt is None:
+                return
+            url, params = nxt
+
+    def records(self, ep: RestEndpoint) -> Iterator[dict]:
+        for page in self.pages(ep):
+            yield from page
+
+
+def fetch_to_dataframe(
+    spark: SparkSession,
+    client: RestClient,
+    ep: RestEndpoint,
+    schema: T.StructType | str,
+    transform: Callable[[dict], dict] | None = None,
+) -> DataFrame:
+    """Extract one endpoint into a typed DataFrame.  Records pass through
+    an optional per-record transform (the reference's ``msg_processor`` /
+    transformer hook) before schema application."""
+    rows = [transform(r) if transform else r for r in client.records(ep)]
+    return spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
+
+
+def fetch_partitioned(
+    spark: SparkSession,
+    make_client: Callable[[], RestClient],
+    endpoints: Sequence[RestEndpoint],
+    schema: T.StructType | str,
+    max_workers: int = 8,
+    transform: Callable[[dict], dict] | None = None,
+) -> DataFrame:
+    """Parallel fan-out over endpoint instances (the reference's
+    ``@dlt.defer`` thread pool, sources/chess/__init__.py:55) then one
+    union'd DataFrame.  Each worker gets its own client/transport.
+
+    At cluster scale the same shape becomes: endpoint-param DataFrame →
+    ``mapPartitions(fetch)`` so executors do the IO; the driver-side pool
+    here is the local[HTTP-bound] equivalent."""
+
+    def fetch(ep: RestEndpoint) -> list[dict]:
+        c = make_client()
+        return [transform(r) if transform else r for r in c.records(ep)]
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        batches = list(pool.map(fetch, endpoints))
+    rows = [r for b in batches for r in b]
+    return spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
+
+
+def records_to_json_df(spark: SparkSession, records: list[dict]) -> DataFrame:
+    """Schema-on-read fallback: land records as JSON strings and let the
+    normalizer (operators.normalize.parse_json_column) type them."""
+    return spark.createDataFrame([(json.dumps(r),) for r in records], "raw string")

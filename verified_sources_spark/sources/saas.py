@@ -1,0 +1,191 @@
+"""Concrete SaaS connectors expressed as config + transforms over the
+REST framework — demonstrating that each reference connector reduces to
+(endpoint config, paginator, schema, small DataFrame transform).
+
+Implemented connector shapes (SURVEY.md §2.1):
+
+- ``zendesk_tickets``  — incremental time-export + custom-field pivot
+  (reference sources/zendesk/__init__.py:218-436,
+  helpers/api_helpers.py:20-80)
+- ``hubspot_objects``  — property selection, archived+live union with
+  ``is_deleted`` flag, stage-date unpivot
+  (reference sources/hubspot/__init__.py:92-105, 186-219)
+- ``pipedrive_recents`` — /recents incremental feed + custom-field
+  hash→name rename with first-seen-wins state
+  (reference sources/pipedrive/__init__.py:30-34,
+  helpers/custom_fields_munger.py:44-102)
+- ``stripe_incremental`` — keyset pagination + created >= cursor pushdown
+  (reference sources/stripe_analytics/__init__.py:54-60, helpers.py:11-39)
+- ``github_events``    — Link-header pagination + per-event-type table
+  routing (reference sources/github/__init__.py:68-90, helpers.py:25-43)
+
+Every connector returns plain DataFrames; sinks/dispositions come from
+operators.merge per the hints the reference declares (merge on pk,
+replace, append)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from verified_sources_spark.operators.pivot import custom_field_pivot, rename_from_mapping, unpivot
+from verified_sources_spark.sources.rest import (
+    HeaderLinkPaginator,
+    KeysetPaginator,
+    OffsetPaginator,
+    RestClient,
+    RestEndpoint,
+    StartTimePaginator,
+    fetch_to_dataframe,
+)
+
+
+# ------------------------------------------------------------------ zendesk
+TICKET_SCHEMA = (
+    "id long, updated_at string, status string, tags array<string>, "
+    "custom_fields array<struct<id:long, value:string>>"
+)
+
+
+def zendesk_tickets(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    start_time: int,
+    fields_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ticket export from ``start_time``; custom fields pivoted
+    to columns when the fields dimension is supplied."""
+    ep = RestEndpoint(
+        f"{base_url}/incremental/tickets",
+        params={"start_time": start_time},
+        records_path="tickets",
+        paginator=StartTimePaginator(),
+    )
+    df = fetch_to_dataframe(spark, client, ep, TICKET_SCHEMA)
+    if fields_dim is not None:
+        pivoted = custom_field_pivot(df, fields_dim, "id")
+        df = df.drop("custom_fields").join(pivoted, "id", "left")
+    return df
+
+
+# ------------------------------------------------------------------ hubspot
+def hubspot_objects(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    object_type: str,
+    properties: list[str],
+    include_archived: bool = True,
+) -> DataFrame:
+    """CRM objects: live + archived unioned with an ``is_deleted`` flag
+    (the reference's soft-delete context, sources/hubspot/__init__.py:92-105).
+    Property list is explicit — the connector-level projection pushdown."""
+    schema = "id long, " + ", ".join(f"{p} string" for p in properties)
+    prop_param = ",".join(properties)
+
+    def _fetch(archived: bool) -> DataFrame:
+        ep = RestEndpoint(
+            f"{base_url}/objects/{object_type}",
+            params={"properties": prop_param, "archived": str(archived).lower()},
+            records_path="results",
+            paginator=OffsetPaginator(limit=100, offset_param="after"),
+        )
+        return fetch_to_dataframe(
+            spark, client, ep, schema,
+            transform=lambda r: {"id": r["id"], **r.get("properties", {})},
+        ).withColumn("is_deleted", F.lit(archived))
+
+    live = _fetch(False)
+    return live.unionByName(_fetch(True), allowMissingColumns=True) if include_archived else live
+
+
+def hubspot_stage_unpivot(df: DataFrame, id_col: str, stage_cols: list[str]) -> DataFrame:
+    """Wide `hs_date_entered_<stage>` columns → long (id, stage, date_entered)
+    (reference sources/hubspot/__init__.py:186-219)."""
+    long = unpivot(df, [id_col], stage_cols, "stage", "date_entered")
+    return long.withColumn("stage", F.regexp_replace("stage", "^hs_date_entered_", "")).filter(
+        F.col("date_entered").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------- pipedrive
+@dataclass
+class FieldMappingState:
+    """Custom-field hash→name mapping with first-seen-wins persistence
+    (reference custom_fields_munger.py:44-80): once a hash maps to a name,
+    later renames don't break existing columns."""
+
+    mapping: dict[str, str] = field(default_factory=dict)
+
+    def update(self, fields: list[dict[str, Any]], key="key", name="name") -> None:
+        for f_ in fields:
+            self.mapping.setdefault(f_[key], f_[name])
+
+
+def pipedrive_recents(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    since: str,
+    schema: str,
+    field_state: FieldMappingState | None = None,
+) -> DataFrame:
+    """/recents incremental entity feed; custom-field columns renamed via
+    the persisted mapping."""
+    ep = RestEndpoint(
+        f"{base_url}/recents",
+        params={"since_timestamp": since, "limit": 500},
+        records_path="data",
+        paginator=OffsetPaginator(limit=500, offset_param="start"),
+    )
+    df = fetch_to_dataframe(spark, client, ep, schema, transform=lambda r: r.get("data", r))
+    if field_state:
+        df = rename_from_mapping(df, field_state.mapping)
+    return df
+
+
+# ------------------------------------------------------------------- stripe
+def stripe_incremental(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    endpoint: str,
+    schema: str,
+    created_gte: int | None = None,
+) -> DataFrame:
+    """Append-mode incremental endpoint: keyset pagination ordered by id,
+    ``created >= watermark`` pushed into the request params."""
+    params: dict[str, Any] = {"limit": 100}
+    if created_gte is not None:
+        params["created[gte]"] = created_gte
+    ep = RestEndpoint(
+        f"{base_url}/v1/{endpoint}",
+        params=params,
+        records_path="data",
+        paginator=KeysetPaginator(),
+    )
+    return fetch_to_dataframe(spark, client, ep, schema)
+
+
+# ------------------------------------------------------------------- github
+def github_events(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    repo: str,
+) -> DataFrame:
+    """Repo events with Link-header pagination; the ``type`` column is the
+    table-routing key (one table per event type downstream via
+    operators.routing.route_by_column)."""
+    ep = RestEndpoint(
+        f"{base_url}/repos/{repo}/events",
+        records_path="data",
+        paginator=HeaderLinkPaginator(),
+    )
+    return fetch_to_dataframe(
+        spark, client, ep, "id string, type string, actor string, created_at string"
+    )

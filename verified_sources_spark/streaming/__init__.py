@@ -1,0 +1,5 @@
+from verified_sources_spark.streaming.bounded import (  # noqa: F401
+    bounded_file_stream,
+    run_available_now,
+    foreach_batch_merge,
+)
