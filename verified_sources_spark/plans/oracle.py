@@ -387,3 +387,70 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
 }
+
+ORACLE_SQL.update({
+    "as_of_latest_order": """
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               (SELECT strftime(max(o_orderdate), '%Y-%m-%d') FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                 AS prev_order_date
+        FROM events e
+    """,
+    "cdc_txn_batches": """
+        WITH r AS (
+          SELECT event_id AS lsn, user_id AS txn_id,
+                 row_number() OVER (ORDER BY event_id) AS rows_so_far
+          FROM events),
+        te AS (SELECT txn_id, max(rows_so_far) AS txn_end FROM r GROUP BY txn_id)
+        SELECT r.lsn AS event_id, r.txn_id,
+               CAST(floor((te.txn_end - 1) / 500.0) AS BIGINT) AS batch_id
+        FROM r JOIN te USING (txn_id)
+    """,
+    "grouped_shard_cursors": """
+        SELECT CAST(user_id % 8 AS INT) AS shard,
+               CAST(max(event_id) AS BIGINT) AS last_value
+        FROM events GROUP BY 1
+    """,
+    "token_child_table": f"""
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) - 1 AS INT) AS _list_idx,
+               unnest(toks) AS token
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+    "quality_score_docs": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (SELECT doc_id, text,
+                CAST(len(toks) AS INT) AS n_tok,
+                CAST(len(list_filter(toks, x -> list_contains({_SW['en']}, x))) AS INT) AS n_stop
+              FROM t)
+        SELECT doc_id,
+          round(
+            0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)
+            + 0.2 * (1.0 - (CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT)
+                            / greatest(length(text), 1))), 6) AS quality
+        FROM m
+    """,
+    "dedup_exact_keep_docs": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (SELECT CAST(min(doc_id) AS BIGINT) FROM documents GROUP BY md5(text))
+    """,
+    "count_distinct_customers": """
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "union_by_name_segments": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL BY NAME
+        SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "events_daily_rollup": """
+        SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+})

@@ -555,6 +555,126 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(e, queries, k=3, n_planes=6)
 
 
+
+
+# --------------------------------------------------------------------------
+# round-1 widening: as-of join, CDC batching, shard cursors, child tables,
+# quality scoring, tumbling windows, distinct counts, union-by-name
+# --------------------------------------------------------------------------
+
+def as_of_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark-native addition): each event picks the user's
+    latest order at-or-before the event time — one shuffle+sort, no join
+    explosion (operators.joins.as_of_join)."""
+    from verified_sources_spark.operators.joins import as_of_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", F.col("user_id"), "ts")
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = as_of_join(
+        ev, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        right_payload=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("prev_order_date"),
+    )
+
+
+def cdc_txn_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-aligned CDC batching over events-as-feed (user_id as
+    txn id, event_id as LSN): batches of ~500 rows that never split a
+    transaction (sources.cdc.txn_aligned_batches)."""
+    from verified_sources_spark.sources.cdc import txn_aligned_batches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"), F.col("user_id").alias("txn_id")
+    )
+    out = txn_aligned_batches(ev, target_batch_size=500)
+    return out.select(F.col("lsn").alias("event_id"), "txn_id", "batch_id")
+
+
+def grouped_shard_cursors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis-style per-shard cursor state: max sequence per shard
+    (operators.incremental.grouped_cursor_values)."""
+    from verified_sources_spark.operators.incremental import grouped_cursor_values
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("user_id") % 8).cast("int")
+    )
+    return grouped_cursor_values(ev, "shard", "event_id")
+
+
+def token_child_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-list normalization: tokens exploded into a child table with
+    parent key + position (operators.normalize.extract_child_table)."""
+    from verified_sources_spark.operators.normalize import extract_child_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn("token", tokens("text"))
+    child = extract_child_table(d, "token", ["doc_id"])
+    return child.select("doc_id", F.col("_list_idx").cast("int").alias("_list_idx"), "token")
+
+
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-quality heuristic (functions.text.quality_score)."""
+    from verified_sources_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def dedup_exact_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-side: only canonical (min-id per content) rows
+    survive (llm.exact_dedup.exact_dedup -> left_semi)."""
+    from verified_sources_spark.llm.exact_dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").select("doc_id", "lang", "n_chars")
+
+
+def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (the reference test-oracle shape,
+    tests/utils.py:253-267)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def union_by_name_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns): endpoint outputs with drifted
+    column sets land in one table (reference hubspot archived+live union)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name", "c_acctbal")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey", "c_name")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows (streaming-style window() in
+    batch): per (day, event_type) counts + exact value sums."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -593,4 +713,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_manifest": multimodal_manifest,
     "simhash_near_pairs_docs": simhash_near_pairs_docs,
     "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+    "as_of_latest_order": as_of_latest_order,
+    "cdc_txn_batches": cdc_txn_batches,
+    "grouped_shard_cursors": grouped_shard_cursors,
+    "token_child_table": token_child_table,
+    "quality_score_docs": quality_score_docs,
+    "dedup_exact_keep_docs": dedup_exact_keep_docs,
+    "count_distinct_customers": count_distinct_customers,
+    "union_by_name_segments": union_by_name_segments,
+    "events_daily_rollup": events_daily_rollup,
 }
