@@ -109,6 +109,19 @@ def grouped_cursor_values(df: DataFrame, group_col: str, cursor_col: str) -> Dat
     return df.groupBy(group_col).agg(F.max(F.col(cursor_col)).alias("last_value"))
 
 
+def lagged_watermark(last_value, lag_days: int):
+    """Attribution-window re-read: restart the cursor N days before the
+    stored watermark and re-merge (reference:
+    sources/facebook_ads/helpers.py:33-61).  Returns the adjusted start
+    value for incremental_filter; downstream keyed MERGE dedups the
+    overlap (same contract as the `>=` boundary re-read)."""
+    import datetime as dt
+
+    if isinstance(last_value, str):
+        last_value = dt.datetime.fromisoformat(last_value)
+    return last_value - dt.timedelta(days=lag_days)
+
+
 def date_range_chunks(spark, start, end, step_days: int) -> DataFrame:
     """Split [start, end) into fixed-step ranges (reference:
     sources/zendesk/helpers/__init__.py:9-25 ``make_date_ranges``).
