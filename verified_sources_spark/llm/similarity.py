@@ -47,11 +47,17 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, rank, cosine) — cosine rounded to 4dp,
     rank tie-broken by neighbor id for determinism."""
+    # norms precomputed per side (N+Q sqrt-folds), NOT per pair (N*Q) —
+    # the cross join then evaluates only the dot product per pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     prod = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -59,9 +65,7 @@ def cosine_topk(
     scored = prod.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias(
-            "__cos"
-        ),
+        (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias("__cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -113,20 +117,20 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         bucket_col(F.col(vec_col)).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         bucket_col(F.col(vec_col)).alias("__bucket"),
     )
     prod = c.join(F.broadcast(q), "__bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = prod.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias(
-            "__cos"
-        ),
+        (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias("__cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
