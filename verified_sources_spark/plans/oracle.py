@@ -454,3 +454,68 @@ ORACLE_SQL.update({
         FROM events GROUP BY 1, 2
     """,
 })
+
+ORACLE_SQL.update({
+    "map_explode_properties": """
+        SELECT c_custkey, 'segment' AS property, c_mktsegment AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'name', c_name FROM customer
+    """,
+    "window_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w AS moving_avg_3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "cube_status_priority": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "ntile_customer_quartiles": """
+        SELECT c_custkey, c_acctbal,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               CAST(row_number() OVER w AS BIGINT) AS balance_rank
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "string_functions_showcase": """
+        SELECT c_custkey,
+          upper(c_name) AS name_upper,
+          lpad(c_mktsegment, 12, '*') AS seg_padded,
+          translate(c_name, 'aeiou', 'AEIOU') AS name_translated,
+          split_part(c_name, '#', 2) AS name_number,
+          CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_distance,
+          reverse(c_mktsegment) AS seg_reversed,
+          CAST(length(trim(c_name)) AS BIGINT) AS name_len
+        FROM customer
+    """,
+    "datetime_functions_showcase": """
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(quarter(o_orderdate) AS BIGINT) AS q,
+          CAST(month(o_orderdate) AS BIGINT) AS m,
+          CAST(day(o_orderdate) AS BIGINT) AS d,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+          strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+          strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+          epoch_us(o_orderdate) AS epoch_us
+        FROM orders
+    """,
+    "conditional_functions_showcase": """
+        SELECT c_custkey,
+          nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+          COALESCE(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+          greatest(c_acctbal, 0.0) AS bal_floor,
+          least(c_acctbal, 5000.0) AS bal_cap,
+          CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+               WHEN c_acctbal < 5000 THEN 'normal'
+               ELSE 'high' END AS bal_bucket,
+          CAST(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_positive
+        FROM customer
+    """,
+})

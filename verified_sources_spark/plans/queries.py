@@ -675,6 +675,117 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def map_explode_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-map flatten (HubSpot propertiesWithHistory shape,
+    reference sources/hubspot/helpers.py:71-81): map column → one row per
+    (entity, property, value) via explode(map)."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("segment"), F.col("c_mktsegment"),
+        F.lit("name"), F.col("c_name"),
+    )
+    return c.select("c_custkey", F.explode(m).alias("property", "value"))
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving frame window: 3-order trailing average revenue per customer
+    (exact: decimal sum / frame count)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent-style ranking over account balances (fully ordered
+    → deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("balance_rank"),
+    )
+
+
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library parity (§2.10): case, pad, translate,
+    split_part, levenshtein, reverse."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lpad("c_mktsegment", 12, "*").alias("seg_padded"),
+        F.translate("c_name", "aeiou", "AEIOU").alias("name_translated"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_number"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("long").alias("seg_distance"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
+        F.length(F.trim(F.col("c_name"))).cast("long").alias("name_len"),
+    )
+
+
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar library parity (§2.10): parts extraction, last_day,
+    interval add, epoch."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow1"),  # 1=Sunday
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        # orderdate is TIMESTAMP_NTZ; cast via UTC session tz for epoch
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_us"),
+    )
+
+
+def conditional_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null scalar parity: nullif, coalesce, greatest/least,
+    CASE bucketing."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias("seg_defaulted"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "normal")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        (F.col("c_acctbal") > 0).cast("int").cast("long").alias("is_positive"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -722,4 +833,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_distinct_customers": count_distinct_customers,
     "union_by_name_segments": union_by_name_segments,
     "events_daily_rollup": events_daily_rollup,
+    "map_explode_properties": map_explode_properties,
+    "window_moving_avg": window_moving_avg,
+    "cube_status_priority": cube_status_priority,
+    "ntile_customer_quartiles": ntile_customer_quartiles,
+    "string_functions_showcase": string_functions_showcase,
+    "datetime_functions_showcase": datetime_functions_showcase,
+    "conditional_functions_showcase": conditional_functions_showcase,
 }
