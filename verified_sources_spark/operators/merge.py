@@ -73,25 +73,49 @@ class ParquetSink:
     change.)
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.partition_by = list(partition_by or [])
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: tolerate column drift across appended batches
+        # (dlt's schema-evolution contract; new columns read as NULL in
+        # old files).  Partition columns come back via directory discovery.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _writer(self, df: DataFrame):
+        w = df.write
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
 
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path)
+        self._writer(df).mode("append").parquet(self.path)
 
     def replace(self, df: DataFrame) -> None:
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        self._writer(df).mode("overwrite").parquet(tmp)
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.replace(tmp, self.path)
+
+    def replace_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite: rewrite ONLY the partitions present
+        in *df*, leave others untouched — the scale path for replace-mode
+        loads of date-partitioned tables (a full-table replace at 100 TB
+        rewrites everything; this rewrites one day)."""
+        if not self.partition_by:
+            raise ValueError("replace_partitions requires partition_by")
+        (
+            self._writer(df)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
 
     def merge(
         self,

@@ -82,6 +82,29 @@ def apply_changes(
     return merged.drop(lsn_col)
 
 
+def split_on_schema_change(
+    changes: DataFrame, schema_ver_col: str, lsn_col: str = "lsn"
+) -> DataFrame:
+    """Schema-drift batch split (reference: a changed Relation message
+    aborts the batch so the new schema starts fresh,
+    sources/pg_replication/helpers.py:725-736): assign ``schema_epoch``
+    that increments at every schema-version change point in LSN order.
+    Downstream applies each epoch separately (fresh MERGE with the
+    evolved schema)."""
+    w = Window.orderBy(lsn_col)
+    flag = (
+        F.when(
+            F.lag(F.col(schema_ver_col)).over(w).isNull()
+            | (F.col(schema_ver_col) != F.lag(F.col(schema_ver_col)).over(w)),
+            1,
+        ).otherwise(0)
+    )
+    return changes.withColumn(
+        "schema_epoch",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
 def replication_origin_progress(changes: DataFrame, lsn_col: str = "lsn") -> int | None:
     """Max LSN in the applied feed — the next run's slot-flush watermark."""
     row = changes.agg(F.max(lsn_col).alias("v")).collect()

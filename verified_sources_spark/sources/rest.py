@@ -221,12 +221,17 @@ def _json_path(obj: Any, path: str) -> Any:
 # ------------------------------------------------------------------- client
 @dataclass
 class RestEndpoint:
-    """One resource: URL + params + where the records live in the body."""
+    """One resource: URL + params + where the records live in the body.
+
+    ``stop_when(record) -> bool``: early-termination predicate — stop
+    paging after the page containing the first matching record (use with
+    server-side sort + a cursor bound)."""
 
     url: str
     params: dict[str, Any] = field(default_factory=dict)
     records_path: str = "data"
     paginator: Paginator = field(default_factory=OffsetPaginator)
+    stop_when: Callable[[dict], bool] | None = None
 
 
 class RestClient:
@@ -266,7 +271,19 @@ class RestClient:
             records = _json_path(body, ep.records_path)
             if records is None:
                 records = body if isinstance(body, list) else []
-            yield list(records)
+            records = list(records)
+            stop = False
+            if ep.stop_when is not None and records:
+                # early termination (reference `start_out_of_range` /
+                # `end_out_of_range`, sources/pipedrive/__init__.py:197-206,
+                # sources/zendesk/__init__.py:141-143): an IO optimization —
+                # once a sorted page crosses the cursor bound, stop paging.
+                # The page itself still yields; the semantic range filter
+                # (incremental_filter) stays in the plan.
+                stop = any(ep.stop_when(r) for r in records)
+            yield records
+            if stop:
+                return
             nxt = ep.paginator.next(url, params, body, headers, len(records))
             if nxt is None:
                 return
