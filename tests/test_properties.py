@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the core operator algebra —
+invariants that must hold for ANY input, not just fixtures."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from verified_sources_spark.operators.dedup import keep_latest
+from verified_sources_spark.operators.incremental import incremental_filter
+from verified_sources_spark.operators.joins import salted_join
+from verified_sources_spark.operators.merge import merge_dataframes
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # key
+        st.integers(min_value=0, max_value=100),   # version
+        st.integers(min_value=-10, max_value=10),  # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@_slow
+@given(target=rows_strategy, source=rows_strategy)
+def test_merge_key_uniqueness_and_source_wins(spark, target, source):
+    """After merge with dedup_sort: keys unique; every source key carries
+    its max-version payload; untouched target keys survive."""
+    tgt = spark.createDataFrame(target, "k int, v int, p int") if target else None
+    src = spark.createDataFrame(source, "k int, v int, p int") if source else None
+    if src is None:
+        return
+    # pre-dedup target (a real target table has unique keys)
+    if tgt is not None:
+        tgt = keep_latest(tgt, ["k"], ["v", "p"])
+    out = merge_dataframes(tgt, keep_latest(src, ["k"], ["v", "p"]), ["k"]).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))  # key uniqueness
+    src_best = {}
+    for k, v, p in source:
+        if k not in src_best or (v, p) > src_best[k]:
+            src_best[k] = (v, p)
+    got = {r["k"]: (r["v"], r["p"]) for r in out}
+    for k, vp in src_best.items():
+        assert got[k] == vp  # source wins with its latest version
+    if tgt is not None:
+        for r in tgt.collect():
+            if r["k"] not in src_best:
+                assert got[r["k"]] == (r["v"], r["p"])  # untouched survive
+
+
+@_slow
+@given(rows=rows_strategy, lo=st.integers(0, 100), hi=st.integers(0, 100))
+def test_incremental_window_is_half_open_partition(spark, rows, lo, hi):
+    """filter(>=lo) ∪ filter(<lo) == all rows; [lo,hi) excludes hi."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, cur int, p int")
+    kept = incremental_filter(df, "cur", last_value=lo, end_value=max(lo, hi)).collect()
+    for r in kept:
+        assert lo <= r["cur"] < max(lo, hi)
+    below = df.filter(F.col("cur") < lo).count()
+    atleast = incremental_filter(df, "cur", last_value=lo).count()
+    assert below + atleast == len(rows)
+
+
+@_slow
+@given(left=rows_strategy, right=st.lists(st.tuples(st.integers(0, 5), st.text("ab", max_size=2)), max_size=10))
+def test_salted_join_equals_plain_join(spark, left, right):
+    if not left or not right:
+        return
+    l = spark.createDataFrame(left, "k int, v int, p int")
+    r = spark.createDataFrame(right, "k int, name string").dropDuplicates(["k"])
+    plain = sorted(tuple(x) for x in l.join(r, "k").collect())
+    salted = sorted(tuple(x) for x in salted_join(l, r, "k", salt_buckets=4).collect())
+    assert plain == salted

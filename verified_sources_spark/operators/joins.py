@@ -88,6 +88,29 @@ def as_of_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the (large, skewed) left side gets a
+    random-free deterministic salt (hash of all columns mod buckets); the
+    right side is exploded ``salt_buckets`` times so every (key, salt)
+    pair matches.  Hot keys spread across ``salt_buckets`` tasks instead
+    of one straggler.  Result set is identical to a plain join — tests
+    assert equivalence.  Use when AQE's skew-join split is unavailable
+    (e.g. bucketed tables disable AQE reshuffle) or insufficient."""
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets).alias("__salt")
+    l_salted = left.withColumn("__salt", salt)
+    r_exploded = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_exploded, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     intervals: DataFrame,

@@ -519,3 +519,40 @@ ORACLE_SQL.update({
         FROM customer
     """,
 })
+
+ORACLE_SQL.update({
+    "session_window_events": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        sess AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged)
+        SELECT user_id,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+               CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "incremental_events_descending": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        FROM events
+        WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts >  TIMESTAMP '2024-01-05 00:00:00'
+    """,
+    "alternate_cursor_events": """
+        WITH e AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 3 = 0 THEN epoch_us(ts) END AS updated_at_us,
+                 epoch_us(ts) - 1000000 AS created_at_us
+          FROM events)
+        SELECT event_id, updated_at_us, created_at_us FROM e
+        WHERE COALESCE(updated_at_us, created_at_us) >= 1705276800000000
+    """,
+})

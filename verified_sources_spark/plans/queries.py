@@ -786,6 +786,51 @@ def conditional_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (streaming session_window() in batch): events
+    within 30-min gaps merge into one session; window end = last ts + gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def incremental_events_descending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min-cursor (descending-load) incremental window: cursor <= last AND
+    cursor > end (reference Mongo $lte/$gt variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = incremental_filter(
+        ev,
+        "ts",
+        last_value="2024-01-10 00:00:00",
+        end_value="2024-01-05 00:00:00",
+        last_value_func="min",
+    )
+    return ev.select("event_id", _ts_us(), "user_id", "event_type")
+
+
+def alternate_cursor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate cursor paths 'a|b': first non-null field is the cursor
+    (built here from a synthetically nulled column + fallback)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "updated_at_us",
+        F.when(F.col("event_id") % 3 == 0, F.unix_micros(F.col("ts"))),
+    ).withColumn("created_at_us", F.unix_micros(F.col("ts")) - F.lit(1000000))
+    filtered = incremental_filter(
+        ev, "updated_at_us|created_at_us", last_value=1705276800000000  # 2024-01-15 UTC
+    )
+    return filtered.select("event_id", "updated_at_us", "created_at_us")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -840,4 +885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions_showcase": string_functions_showcase,
     "datetime_functions_showcase": datetime_functions_showcase,
     "conditional_functions_showcase": conditional_functions_showcase,
+    "session_window_events": session_window_events,
+    "incremental_events_descending": incremental_events_descending,
+    "alternate_cursor_events": alternate_cursor_events,
 }
