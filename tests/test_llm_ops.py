@@ -107,3 +107,15 @@ def test_multimodal_plumbing(spark):
     )
     plan = frame_sample_plan(vid, every_ms=1000)
     assert plan.filter(F.col("doc_id") == 1).count() == 3  # 0,1000,2000 (+cap)
+
+
+def test_ivf_topk_recall(spark):
+    from verified_sources_spark.catalog import load_table
+    from verified_sources_spark.llm.similarity import ivf_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(e, q, k=3, n_centroids=8, n_probe=3).collect()}
+    assert len(approx & exact) / len(exact) >= 0.6  # probing 3/8 lists

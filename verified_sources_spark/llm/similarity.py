@@ -75,6 +75,91 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → inverted lists →
+    probe the ``n_probe`` nearest lists per query → exact rerank.
+
+    The quantizer is trained with Lloyd iterations expressed as DataFrame
+    ops: assignment is a broadcast cross join against the (tiny) centroid
+    set; the update step is posexplode → groupBy(cluster, dim) avg.  Only
+    the centroid table (n_centroids x dim floats — metadata-sized) ever
+    reaches the driver; corpus vectors never collect.  At 100 TB the same
+    plan holds: one narrow assignment pass per iteration plus a
+    dim-keyed aggregate, then the probe join shuffles only (bucket, query)
+    pairs.  Initialization is deterministic (first n_centroids by id)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+
+    # deterministic init: the n_centroids lowest-id vectors
+    init = (
+        c.orderBy("neighbor_id").limit(n_centroids).select("__cv").collect()
+    )
+    centroids = [list(r["__cv"]) for r in init]
+
+    def centroid_df():
+        rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)]
+        return c.sparkSession.createDataFrame(rows, "cluster int, cvec array<double>")
+
+    def assign(df, id_name, vec):
+        cd = centroid_df()
+        scored = df.crossJoin(F.broadcast(cd)).withColumn(
+            "__dist",
+            F.aggregate(
+                F.zip_with(vec, F.col("cvec"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        w = Window.partitionBy(id_name).orderBy(F.col("__dist").asc(), F.col("cluster").asc())
+        return scored.withColumn("__rn", F.row_number().over(w))
+
+    for _ in range(lloyd_iters):
+        assigned = (
+            assign(c, "neighbor_id", F.col("__cv")).filter(F.col("__rn") == 1).select("neighbor_id", "__cv", "cluster")
+        )
+        new_rows = (
+            assigned.select("cluster", F.posexplode("__cv").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("cvec"))
+            .collect()
+        )
+        for r in new_rows:
+            centroids[r["cluster"]] = list(r["cvec"])
+
+    buckets = assign(c, "neighbor_id", F.col("__cv")).filter(F.col("__rn") == 1).select(
+        "neighbor_id", "__cv", "cluster"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q_probes = assign(q, "query_id", F.col("__qv")).filter(F.col("__rn") <= n_probe).select(
+        "query_id", "__qv", "cluster"
+    )
+    prod = buckets.join(F.broadcast(q_probes), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = prod.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("__cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
     import hashlib

@@ -831,6 +831,18 @@ def alternate_cursor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.select("event_id", "updated_at_us", "created_at_us")
 
 
+
+
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe=4/16) — rows-only check
+    (iterative algorithm; ~97% recall@3 vs brute force at sf0.01)."""
+    from verified_sources_spark.llm.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, queries, k=3, n_centroids=16, n_probe=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -869,6 +881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_manifest": multimodal_manifest,
     "simhash_near_pairs_docs": simhash_near_pairs_docs,
     "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+    "ivf_topk_embeddings": ivf_topk_embeddings,
     "as_of_latest_order": as_of_latest_order,
     "cdc_txn_batches": cdc_txn_batches,
     "grouped_shard_cursors": grouped_shard_cursors,
