@@ -171,6 +171,76 @@ def stripe_incremental(
     return fetch_to_dataframe(spark, client, ep, schema)
 
 
+# -------------------------------------------------------- pushed-down query builders
+def build_soql(
+    fields: list[str],
+    sobject: str,
+    replication_key: str | None = None,
+    last_state: str | None = None,
+    limit: int | None = None,
+) -> str:
+    """Salesforce SOQL with incremental predicate + sort pushdown
+    (reference sources/salesforce/helpers/records.py:85-94): the engine's
+    cursor becomes a server-side WHERE/ORDER BY, not a post-filter."""
+    q = f"SELECT {', '.join(fields)} FROM {sobject}"
+    if replication_key and last_state:
+        q += f" WHERE {replication_key} > {last_state} ORDER BY {replication_key} ASC"
+    if limit:
+        q += f" LIMIT {limit}"
+    return q
+
+
+def build_gaql(
+    fields: list[str],
+    resource: str,
+    during: str | None = None,
+    where: str | None = None,
+    limit: int | None = None,
+) -> str:
+    """Google Ads GAQL (reference sources/google_ads/__init__.py:141)."""
+    q = f"SELECT {', '.join(fields)} FROM {resource}"
+    clauses = []
+    if where:
+        clauses.append(where)
+    if during:
+        clauses.append(f"segments.date DURING {during}")
+    if clauses:
+        q += " WHERE " + " AND ".join(clauses)
+    if limit:
+        q += f" LIMIT {limit}"
+    return q
+
+
+# ----------------------------------------------------------- report fetchers
+def report_to_fact_table(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    dimensions: list[str],
+    metrics: list[str],
+    rows_per_page: int = 1000,
+) -> DataFrame:
+    """GA4/Matomo-shape report fetch (reference
+    sources/google_analytics/helpers/data_processing.py:54-137): the API
+    returns a pre-aggregated report as parallel dimension/metric value
+    arrays; rows are assembled by zipping headers x values and land as a
+    typed fact table (metrics double, dimensions string)."""
+    schema = ", ".join([f"{d} string" for d in dimensions] + [f"{m} double" for m in metrics])
+    ep = RestEndpoint(
+        f"{base_url}/runReport",
+        params={"dimensions": ",".join(dimensions), "metrics": ",".join(metrics)},
+        records_path="rows",
+        paginator=OffsetPaginator(limit=rows_per_page),
+    )
+
+    def assemble(r: dict) -> dict:
+        out = dict(zip(dimensions, [v["value"] for v in r["dimensionValues"]]))
+        out.update(zip(metrics, [float(v["value"]) for v in r["metricValues"]]))
+        return out
+
+    return fetch_to_dataframe(spark, client, ep, schema, transform=assemble)
+
+
 # ------------------------------------------------------------------- github
 def github_events(
     spark: SparkSession,
