@@ -556,3 +556,34 @@ ORACLE_SQL.update({
         WHERE COALESCE(updated_at_us, created_at_us) >= 1705276800000000
     """,
 })
+
+ORACLE_SQL.update({
+    "filter_doc_orders": """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_totalprice >= 100000.0 AND o_totalprice < 300000.0
+          AND o_orderstatus IN ('O', 'F')
+          AND (o_orderpriority = '1-URGENT' OR regexp_matches(o_orderpriority, '^2-'))
+    """,
+    "bag_set_ops_orders": """
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        EXCEPT ALL
+        SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "correlated_order_stats": """
+        SELECT c_custkey,
+               CAST(COALESCE((SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey), 0) AS BIGINT) AS n_orders,
+               (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        FROM customer
+    """,
+    "min_by_part_per_brand": """
+        WITH ranked AS (
+          SELECT p_brand, p_name, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                      ORDER BY p_retailprice ASC, p_partkey ASC) AS rn,
+                 MIN(p_retailprice) OVER (PARTITION BY p_brand) AS min_price
+          FROM part)
+        SELECT p_brand, p_name AS cheapest_part, min_price
+        FROM ranked WHERE rn = 1
+    """,
+})

@@ -843,6 +843,67 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=3, n_centroids=16, n_probe=4)
 
 
+
+
+def filter_doc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative Mongo-style filter document compiled to Catalyst
+    predicates (operators.predicates.filter_doc_to_column)."""
+    from verified_sources_spark.operators.predicates import apply_filter_doc
+
+    o = load_table(spark, sf_dir, "orders")
+    doc = {
+        "o_totalprice": {"$gte": 100000.0, "$lt": 300000.0},
+        "o_orderstatus": {"$in": ["O", "F"]},
+        "$or": [
+            {"o_orderpriority": "1-URGENT"},
+            {"o_orderpriority": {"$regex": "^2-"}},
+        ],
+    }
+    return apply_filter_doc(o, doc).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+def bag_set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per-status order-priority rows minus the
+    urgent subset — multiplicity preserved."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return o.exceptAll(urgent)
+
+
+def correlated_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: per-customer order count + max price
+    (decorrelated to a left join + aggregate in Spark; DuckDB runs the
+    correlated scalar subqueries directly — results identical)."""
+    t = load_tables(spark, sf_dir)
+    stats = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.max("o_totalprice").alias("max_price"))
+    )
+    return (
+        t["customer"]
+        .join(stats, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "max_price",
+        )
+    )
+
+
+def min_by_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin per group: cheapest part per brand (min_by with a struct
+    tie-break on partkey — deterministic)."""
+    p = load_table(spark, sf_dir, "part")
+    pair = F.struct(F.col("p_retailprice").alias("price"), F.col("p_partkey").alias("pk"))
+    return p.groupBy("p_brand").agg(
+        F.min_by(F.col("p_name"), pair).alias("cheapest_part"),
+        F.min("p_retailprice").alias("min_price"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -882,6 +943,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs_docs": simhash_near_pairs_docs,
     "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
+    "filter_doc_orders": filter_doc_orders,
+    "bag_set_ops_orders": bag_set_ops_orders,
+    "correlated_order_stats": correlated_order_stats,
+    "min_by_part_per_brand": min_by_part_per_brand,
     "as_of_latest_order": as_of_latest_order,
     "cdc_txn_batches": cdc_txn_batches,
     "grouped_shard_cursors": grouped_shard_cursors,
