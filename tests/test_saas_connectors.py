@@ -124,3 +124,23 @@ def test_github_events_route_by_type(spark, tmp_path):
     tables = route_by_column(df, "type", str(tmp_path), name_template="events_{route}")
     assert set(tables) == {"events_push_event", "events_watch_event"}
     assert spark.read.parquet(tables["events_push_event"]).count() == 2
+
+
+def test_chained_detail_fetch(spark):
+    from verified_sources_spark.sources.saas import chained_detail_fetch
+
+    pages = {
+        "https://a/workspaces/w1/projects": [({"data": [{"pid": 11}, {"pid": 12}]}, {})],
+        "https://a/workspaces/w2/projects": [({"data": [{"pid": 21}]}, {})],
+    }
+    parents = spark.createDataFrame([("w1",), ("w2",), ("w2",)], "gid string")
+    children = chained_detail_fetch(
+        spark,
+        lambda: _client(pages),
+        parents,
+        "gid",
+        "https://a/workspaces/{key}/projects",
+        "pid long, gid string",
+    )
+    rows = sorted((r["gid"], r["pid"]) for r in children.collect())
+    assert rows == [("w1", 11), ("w1", 12), ("w2", 21)]  # parent keys carried

@@ -171,6 +171,47 @@ def stripe_incremental(
     return fetch_to_dataframe(spark, client, ep, schema)
 
 
+# ------------------------------------------------------- transformer chains
+def chained_detail_fetch(
+    spark: SparkSession,
+    make_client,
+    parent: DataFrame,
+    parent_key: str,
+    url_template: str,
+    schema: str,
+    records_path: str = "data",
+    max_workers: int = 8,
+) -> DataFrame:
+    """Parent→child transformer chain (reference asana workspaces →
+    projects → tasks → stories, sources/asana_dlt/__init__.py:64-207;
+    workable candidates → details, workable/__init__.py:92-120): each
+    parent row fans out one detail endpoint; children carry the parent
+    key.  The endpoint list derives from the parent DataFrame (a
+    metadata-sized collect of KEYS, not rows), then fetches run in the
+    shared thread-pool fan-out and land as one DataFrame — an
+    index-nested-loop join against a remote API."""
+    from verified_sources_spark.sources.rest import RestEndpoint
+
+    keys = [r[parent_key] for r in parent.select(parent_key).distinct().collect()]
+    endpoints = [
+        RestEndpoint(url_template.format(key=k), records_path=records_path) for k in keys
+    ]
+    key_by_url = {ep.url: k for ep, k in zip(endpoints, keys)}
+
+    # fetch per-endpoint so each child record can be tagged with its
+    # parent key before landing
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(ep: RestEndpoint):
+        c = make_client()
+        return [{**r, parent_key: key_by_url[ep.url]} for r in c.records(ep)]
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        batches = list(pool.map(fetch, endpoints))
+    rows = [r for b in batches for r in b]
+    return spark.createDataFrame(rows, schema)
+
+
 # -------------------------------------------------------- pushed-down query builders
 def build_soql(
     fields: list[str],
