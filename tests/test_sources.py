@@ -233,3 +233,31 @@ def test_apply_changes_upsert_and_delete(spark):
     rows = {r["k"]: r["v"] for r in final.collect()}
     assert rows == {1: "a3", 3: "c", 9: "keep"}  # 2 deleted, 1 upserted to max lsn
     assert replication_origin_progress(_changes(spark)) == 6
+
+
+def test_poll_async_job_backoff_and_completion():
+    from verified_sources_spark.sources.rest import poll_async_job
+
+    pages = {
+        "/submit": [({"job_url": "/job/1"}, {})],
+        "/job/1": [
+            ({"status": "running"}, {}),
+            ({"status": "running"}, {}),
+            ({"status": "completed", "result_url": "/job/1/result"}, {}),
+        ],
+    }
+    sleeps = []
+    client = RestClient(LocalPagesTransport(pages), sleep=sleeps.append)
+    url, body = poll_async_job(client, "/submit", {"report": "x"})
+    assert url == "/job/1/result" and body["status"] == "completed"
+    assert len(sleeps) == 2 and sleeps[1] > sleeps[0]  # exponential backoff
+
+
+def test_poll_async_job_failure():
+    from verified_sources_spark.sources.rest import poll_async_job
+
+    pages = {"/submit": [({"job_url": "/job/2"}, {})],
+             "/job/2": [({"status": "failed", "error": "boom"}, {})]}
+    client = RestClient(LocalPagesTransport(pages), sleep=lambda s: None)
+    with pytest.raises(TransportError, match="async job failed"):
+        poll_async_job(client, "/submit", {})

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pyspark.sql.functions as F
+
 from verified_sources_spark.operators.merge import ParquetSink
 from verified_sources_spark.streaming.bounded import (
     bounded_file_stream,
@@ -56,3 +58,30 @@ def test_foreach_batch_merge_upserts(spark, tmp_path):
     foreach_batch_merge(stream2, str(tmp_path / "ck"), sink, keys=["id"], dedup_sort=["seq"])
     rows = {r["id"]: r["v"] for r in sink.read().collect()}
     assert rows == {1: "a", 2: "b3", 4: "d"}  # within-batch dedup kept max seq
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming digest-id dedup: duplicate message ids arriving within
+    the watermark window are dropped (the reference's at-least-once +
+    _kafka_msg_id dedup, SURVEY §2.11)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.json", [
+        {"id": 1, "v": "a", "seq": 1}, {"id": 1, "v": "a", "seq": 1},  # dup in batch
+        {"id": 2, "v": "b", "seq": 1},
+    ])
+    stream = (
+        bounded_file_stream(spark, str(src), SCHEMA)
+        .withColumn("ts", F.current_timestamp())
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start(str(tmp_path / "out"))
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2  # in-batch duplicate dropped

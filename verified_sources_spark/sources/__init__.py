@@ -1,5 +1,5 @@
-"""Source connectors: filesystem, REST framework, message streams, CDC,
-spreadsheet grids.
+"""Source connectors: filesystem, REST framework, SaaS connector shapes,
+message streams, CDC (pgoutput decode + apply), inbox, spreadsheet grids.
 
 Connectors produce DataFrames with explicit schemas and pushdown-style
 options (predicates / column lists / cursor ranges) — the engine's
@@ -8,7 +8,7 @@ remote APIs happens in the connector adapter (driver side or
 ``mapPartitions``); everything after that is a plain DataFrame.
 """
 
-from verified_sources_spark.sources.filesystem import read_files  # noqa: F401
+from verified_sources_spark.sources.filesystem import read_files, read_new_files  # noqa: F401
 from verified_sources_spark.sources.rest import (  # noqa: F401
     CursorPaginator,
     HeaderLinkPaginator,
@@ -19,4 +19,24 @@ from verified_sources_spark.sources.rest import (  # noqa: F401
     RestClient,
     RestEndpoint,
     StartTimePaginator,
+    fetch_partitioned,
+    fetch_to_dataframe,
 )
+from verified_sources_spark.sources.streams import (  # noqa: F401
+    OffsetTracker,
+    bounded_read,
+    timestamp_bounded,
+    with_envelope,
+)
+from verified_sources_spark.sources.cdc import (  # noqa: F401
+    apply_changes,
+    replication_origin_progress,
+    split_on_schema_change,
+    txn_aligned_batches,
+)
+from verified_sources_spark.sources.pg_decoders import (  # noqa: F401
+    decode_message,
+    messages_to_change_rows,
+)
+from verified_sources_spark.sources.inbox import read_inbox, attachments_table  # noqa: F401
+from verified_sources_spark.sources.sheets import grid_to_dataframe  # noqa: F401

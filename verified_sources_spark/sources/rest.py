@@ -294,6 +294,35 @@ class RestClient:
             yield from page
 
 
+def poll_async_job(
+    client: RestClient,
+    submit_url: str,
+    submit_params: dict[str, Any],
+    status_path: str = "status",
+    done_value: str = "completed",
+    failed_value: str = "failed",
+    job_url_path: str = "job_url",
+    max_polls: int = 30,
+    backoff_base: float = 0.01,
+) -> tuple[str, dict]:
+    """Async report-job protocol (reference facebook_ads insights jobs,
+    sources/facebook_ads/helpers.py:134-180): submit → poll status with
+    exponential backoff → return the result URL + final status body.
+
+    Raises on failure status or poll exhaustion."""
+    body, _ = client._request(submit_url, submit_params)
+    job_url = _json_path(body, job_url_path) or submit_url
+    for attempt in range(max_polls):
+        status_body, _ = client._request(job_url, {})
+        status = _json_path(status_body, status_path)
+        if status == done_value:
+            return _json_path(status_body, "result_url") or job_url, status_body
+        if status == failed_value:
+            raise TransportError(500, f"async job failed: {status_body}")
+        client.sleep(backoff_base * (2**attempt))
+    raise TransportError(504, f"async job did not complete after {max_polls} polls")
+
+
 def fetch_to_dataframe(
     spark: SparkSession,
     client: RestClient,
