@@ -33,8 +33,12 @@ HEADLINE = [
     "window_running_total",
     "merge_upsert_events",
     "sessionize_events",
+    "session_window_events",
     "events_keep_latest_per_user",
+    "as_of_latest_order",
+    "cdc_apply_changes",
     "lsh_candidate_pairs_docs",
+    "minhash_signatures_docs",
     "cosine_topk_embeddings",
     "token_stats_docs",
 ]
