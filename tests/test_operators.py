@@ -200,3 +200,32 @@ def test_rename_from_mapping_first_seen_wins(spark):
     df = spark.createDataFrame([(1, 2, 3)], "h1 int, h2 int, h3 int")
     out = rename_from_mapping(df, {"h1": "My Field", "h2": "My Field", "h3": "Other"})
     assert out.columns == ["my_field", "h2", "other"]  # h2 loses the name race
+
+
+def test_map_to_columns_dynamic_attributes(spark):
+    from verified_sources_spark.operators.normalize import map_to_columns
+
+    df = spark.createDataFrame(
+        [(1, {"First Name": "Ada", "Hire Date": "2024-01-01"}), (2, {"First Name": "Bob"})],
+        "id int, attrs map<string,string>",
+    )
+    out = map_to_columns(df, "attrs")
+    assert set(out.columns) == {"id", "first_name", "hire_date"}
+    rows = {r["id"]: (r["first_name"], r["hire_date"]) for r in out.collect()}
+    assert rows == {1: ("Ada", "2024-01-01"), 2: ("Bob", None)}
+
+
+def test_dlt_type_map(spark):
+    from verified_sources_spark.functions import spark_type_for
+
+    import pyspark.sql.functions as F
+    # a wei-typed column holds >64-bit integers exactly
+    # decimal(38,0) holds up to 38 digits — wei values beyond that must be
+    # range-checked upstream (Spark has no 256-bit integer type)
+    df = spark.createDataFrame([("15792089237316195423570985008687907853",)], "w string")
+    wei = df.select(F.col("w").cast(spark_type_for("wei")).alias("w")).collect()[0]["w"]
+    assert str(wei) == "15792089237316195423570985008687907853"
+    assert spark_type_for("time") == "long"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        spark_type_for("nope")

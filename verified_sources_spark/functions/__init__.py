@@ -93,3 +93,31 @@ def hex_decode(col: str | Column) -> Column:
     sources/pg_replication/schema_types.py:131-133)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unhex(F.regexp_replace(c, r"^\\x", ""))
+
+
+# ------------------------------------------------------------ type mapping
+# Canonical engine types for the reference's column-type vocabulary
+# (reference sources/pg_replication/schema_types.py:15-27 dummy-value map;
+# SURVEY.md §1.2).  `time` has no Spark type → nanos-of-day long;
+# `json` stays a string column (parse on demand with from_json);
+# `wei` (256-bit-ish integer) → Decimal(38,0), the widest exact integer.
+DLT_TYPE_TO_SPARK: dict[str, str] = {
+    "bigint": "long",
+    "double": "double",
+    "bool": "boolean",
+    "timestamp": "timestamp",
+    "text": "string",
+    "decimal": "decimal(38,9)",
+    "binary": "binary",
+    "json": "string",
+    "date": "date",
+    "time": "long",  # nanos-of-day convention
+    "wei": "decimal(38,0)",
+}
+
+
+def spark_type_for(dlt_type: str) -> str:
+    try:
+        return DLT_TYPE_TO_SPARK[dlt_type]
+    except KeyError:
+        raise ValueError(f"unknown dlt column type: {dlt_type!r}") from None

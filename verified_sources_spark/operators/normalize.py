@@ -85,3 +85,19 @@ def parse_json_column(df: DataFrame, col: str, schema: T.DataType | str | None =
             F.schema_of_json(F.lit(sample[0])).alias("s")
         ).collect()[0]["s"]
     return df.withColumn(col, F.from_json(F.col(col), schema))
+
+
+def map_to_columns(df: DataFrame, map_col: str, keys: Sequence[str] | None = None) -> DataFrame:
+    """Dynamic attribute map → flat snake_case columns (reference personio
+    dynamic attributes, sources/personio/__init__.py:54-68).  If *keys* is
+    None they are discovered with one distinct-keys aggregate (metadata-
+    sized collect)."""
+    if keys is None:
+        keys = [
+            r["k"]
+            for r in df.select(F.explode(F.map_keys(F.col(map_col))).alias("k")).distinct().collect()
+        ]
+    out = df.select(
+        "*", *[F.col(map_col)[k].alias(snake_case(k)) for k in keys]
+    ).drop(map_col)
+    return out
