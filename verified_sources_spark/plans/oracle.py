@@ -587,3 +587,24 @@ ORACLE_SQL.update({
         FROM ranked WHERE rn = 1
     """,
 })
+
+ORACLE_SQL.update({
+    "lag_reread_merge_events": """
+        WITH src AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-23 00:00:00'),
+             tgt AS (SELECT * FROM events WHERE ts <  TIMESTAMP '2024-01-25 00:00:00')
+        SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM src
+        UNION ALL
+        SELECT event_id, event_type, epoch_us(ts), value FROM tgt
+        WHERE event_id NOT IN (SELECT event_id FROM src)
+    """,
+    "control_table_archive_dedup": """
+        WITH archives AS (
+          SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+        fetched AS (
+          SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+          WHERE ts < TIMESTAMP '2024-01-11 00:00:00')
+        SELECT user_id, day FROM archives
+        WHERE NOT EXISTS (SELECT 1 FROM fetched f
+                          WHERE f.user_id = archives.user_id AND f.day = archives.day)
+    """,
+})

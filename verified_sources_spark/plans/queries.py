@@ -904,6 +904,38 @@ def min_by_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def lag_reread_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window re-read: cursor restarts 2 days before the
+    stored watermark (2024-01-25), the overlap re-merges keyed by event_id
+    (facebook-insights lag semantics via incremental.lagged_watermark)."""
+    from verified_sources_spark.operators.incremental import lagged_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.filter(F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"))
+    start = lagged_watermark("2024-01-25T00:00:00", 2)
+    source = incremental_filter(ev, "ts", last_value=start)
+    merged = merge_dataframes(target, source, keys=["event_id"])
+    return merged.select("event_id", "event_type", _ts_us(), "value")
+
+
+def control_table_archive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-based set dedup: skip already-fetched archive keys via
+    left_anti against a control table (chess archive-URL state,
+    reference sources/chess/__init__.py:97,115-124)."""
+    ev = load_table(spark, sf_dir, "events")
+    # control table: archives (user_id, day) already fetched — first 10 days
+    fetched = (
+        ev.filter(F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+    archives = ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
+    todo = archives.join(fetched, ["user_id", "day"], "left_anti")
+    return todo.select("user_id", "day")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -947,6 +979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bag_set_ops_orders": bag_set_ops_orders,
     "correlated_order_stats": correlated_order_stats,
     "min_by_part_per_brand": min_by_part_per_brand,
+    "lag_reread_merge_events": lag_reread_merge_events,
+    "control_table_archive_dedup": control_table_archive_dedup,
     "as_of_latest_order": as_of_latest_order,
     "cdc_txn_batches": cdc_txn_batches,
     "grouped_shard_cursors": grouped_shard_cursors,
