@@ -5,9 +5,16 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count); a
-warmup pass on sf0.001 primes the JVM/codegen so we measure the engine,
-not JIT warmup.
+Each query is timed end-to-end with FULL evaluation of every output
+column: we aggregate xxhash64 over all projected columns so Catalyst
+cannot prune the projection the way a bare ``.count()`` would (a count
+over a projection-only query collapses to a parquet scan + count(1),
+which measures nothing). A warmup pass on sf0.001 primes the
+JVM/codegen so we measure the engine, not JIT warmup.
+
+If BENCH_baseline.json exists at the repo root, per-query deltas vs
+that snapshot are printed to stderr so regressions are visible at a
+glance.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
 
 from verified_sources_spark.plans.queries import QUERIES  # noqa: E402
 from verified_sources_spark.session import get_spark  # noqa: E402
@@ -43,6 +52,32 @@ HEADLINE = [
     "token_stats_docs",
 ]
 
+_BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_baseline.json")
+
+
+def _force_eval(df) -> int:
+    """Fully evaluate every output column; return the row count.
+
+    ``xxhash64(*)`` over all columns forces the projected expressions to
+    actually run (md5 signatures, token stats, ...) — a bare ``count()``
+    lets Catalyst prune unreferenced projections down to count(1).
+    Complex types (arrays/structs/maps) are stringified first since
+    xxhash64 takes atomic inputs.
+    """
+    cols = []
+    for name, dtype in df.dtypes:
+        c = F.col(f"`{name}`")
+        if dtype.startswith(("array", "struct", "map")):
+            c = F.to_json(c) if not dtype.startswith("array<binary") else F.lit(None)
+        cols.append(c)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # try_sum: hash sum may overflow long under ANSI; null result is fine,
+        # the point is forcing every projected expression to evaluate
+        F.try_sum(F.xxhash64(*cols)).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,10 +85,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    baseline: dict[str, float] = {}
+    if os.path.exists(_BASELINE_PATH):
+        try:
+            with open(_BASELINE_PATH) as f:
+                baseline = json.load(f).get("queries", {})
+        except Exception:
+            baseline = {}
+
     # warmup: run each headline query once at the smallest sf
     for name in HEADLINE:
         try:
-            QUERIES[name](spark, "/root/testdata/sf0.001").count()
+            _force_eval(QUERIES[name](spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 
@@ -64,13 +107,25 @@ def main() -> None:
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
-            n = QUERIES[name](spark, sf_dir).count()
+            n = _force_eval(QUERIES[name](spark, sf_dir))
             el = time.time() - t0
             best = el if best is None or el < best else best
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        delta = ""
+        if name in baseline and baseline[name] > 0:
+            pct = 100.0 * (timings[name] - baseline[name]) / baseline[name]
+            delta = f" [{pct:+.0f}% vs baseline {baseline[name]}s]"
+        print(f"# {name}: {timings[name]}s ({n} rows){delta}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    if baseline:
+        base_total = sum(v for k, v in baseline.items() if k in timings)
+        if base_total > 0:
+            print(
+                f"# TOTAL {total}s vs baseline {round(base_total, 3)}s "
+                f"({100.0 * (total - base_total) / base_total:+.0f}%)",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {

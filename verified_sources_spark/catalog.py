@@ -31,6 +31,22 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively set runtime-settable confs this catalog depends on.
+
+    The harness may hand us a plain ``SparkSession`` built without our
+    ``session.get_spark`` defaults. ``events.parquet`` carries
+    ``TIMESTAMP(NANOS)`` columns which Spark refuses to read unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set — and that conf is
+    runtime-settable, so set it here (idempotent) rather than relying on
+    who built the session.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down — fall through and let the read report it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table; normalizes physical quirks.
 
@@ -39,6 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP at microsecond precision (floor division — matches DuckDB's
     ``epoch_us`` on the same values).
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV — a double division would lose precision at ns scale
@@ -46,13 +63,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+class LazyTables(dict):
+    """Mapping of table name → DataFrame that loads each table on first access.
+
+    Keeps the ``load_tables(...)["orders"]`` call-site contract while making
+    sure a query only touches the parquet footers of tables it actually uses
+    — one unreadable table can no longer sink unrelated queries.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self.keys():
+            if name not in TABLES:
+                raise KeyError(name)
+            super().__setitem__(name, load_table(self._spark, self._sf_dir, name))
+        return super().__getitem__(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+    """Lazy table map — parquet footers are read only for tables a query uses."""
+    return LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register all tables as temp views (for the SQL surface)."""
+    """Register all tables as temp views (for the SQL surface) — eager by design."""
     dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    for name in TABLES:
+        dfs[name].createOrReplaceTempView(name)
     return dfs

@@ -29,6 +29,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from verified_sources_spark.operators.merge import merge_dataframes
+from verified_sources_spark.operators.prefix import (
+    BUCKET_COL,
+    bucketed_lag,
+    bucketed_prefix_sum,
+    with_range_buckets,
+)
 
 
 def txn_aligned_batches(changes: DataFrame, target_batch_size: int, txn_col: str = "txn_id") -> DataFrame:
@@ -36,25 +42,22 @@ def txn_aligned_batches(changes: DataFrame, target_batch_size: int, txn_col: str
     rows but transactions never straddle batches (they may overshoot —
     same contract as the reference's target_batch_size).
 
-    One window pass ordered by lsn: running row count at each
-    transaction's *end*, integer-divided by the target, numbers the
-    batches.  All rows of a txn share its end-count → same batch."""
-    w_txn = Window.partitionBy(txn_col)
-    w_run = Window.orderBy("lsn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_end = changes.withColumn("__txn_max_lsn", F.max("lsn").over(w_txn))
-    # running count of rows up to each row, then take the txn's value at its max lsn
-    running = with_end.withColumn("__rows_so_far", F.count(F.lit(1)).over(w_run))
-    txn_end_rows = (
-        running.groupBy(txn_col)
-        .agg(F.max("__rows_so_far").alias("__txn_end_rows"))
-    )
+    Running row count at each transaction's *end* position in LSN order,
+    integer-divided by the target, numbers the batches; all rows of a txn
+    share its end-count → same batch.  The running count is a distributed
+    two-pass prefix sum (operators.prefix) — bucket-parallel windows plus
+    a broadcast of per-bucket offsets — NOT a global single-partition
+    window, so the step scales to a 100 TB change feed."""
+    bucketed = with_range_buckets(changes, "lsn")
+    running = bucketed_prefix_sum(bucketed, "lsn", F.lit(1), "__rows_so_far")
+    txn_end_rows = running.groupBy(txn_col).agg(F.max("__rows_so_far").alias("__txn_end_rows"))
     out = (
         running.join(txn_end_rows, txn_col)
         .withColumn(
             "batch_id",
             (((F.col("__txn_end_rows") - 1) / F.lit(target_batch_size)).cast("long")),
         )
-        .drop("__txn_max_lsn", "__rows_so_far", "__txn_end_rows")
+        .drop(BUCKET_COL, "__rows_so_far", "__txn_end_rows")
     )
     return out
 
@@ -90,19 +93,23 @@ def split_on_schema_change(
     sources/pg_replication/helpers.py:725-736): assign ``schema_epoch``
     that increments at every schema-version change point in LSN order.
     Downstream applies each epoch separately (fresh MERGE with the
-    evolved schema)."""
-    w = Window.orderBy(lsn_col)
+    evolved schema).
+
+    Both the global lag (previous row's schema version) and the running
+    change-point count are bucket-parallel two-pass scans
+    (operators.prefix), not single-partition windows — see
+    txn_aligned_batches for the scale rationale."""
+    bucketed = with_range_buckets(changes, lsn_col)
+    lagged = bucketed_lag(bucketed, lsn_col, schema_ver_col, "__prev_ver")
     flag = (
         F.when(
-            F.lag(F.col(schema_ver_col)).over(w).isNull()
-            | (F.col(schema_ver_col) != F.lag(F.col(schema_ver_col)).over(w)),
+            F.col("__prev_ver").isNull()
+            | (F.col(schema_ver_col) != F.col("__prev_ver")),
             1,
         ).otherwise(0)
     )
-    return changes.withColumn(
-        "schema_epoch",
-        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    out = bucketed_prefix_sum(lagged, lsn_col, flag, "schema_epoch")
+    return out.drop(BUCKET_COL, "__prev_ver")
 
 
 def replication_origin_progress(changes: DataFrame, lsn_col: str = "lsn") -> int | None:
