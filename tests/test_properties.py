@@ -81,3 +81,18 @@ def test_salted_join_equals_plain_join(spark, left, right):
     plain = sorted(tuple(x) for x in l.join(r, "k").collect())
     salted = sorted(tuple(x) for x in salted_join(l, r, "k", salt_buckets=4).collect())
     assert plain == salted
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Unmatched right rows would be emitted once per salt bucket — the
+    plain-join equivalence claim only holds for inner/left shapes."""
+    import pytest
+
+    l = spark.createDataFrame([(1, "x")], "k int, v string")
+    r = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(l, r, "k", how=how)
+    # left_semi/left_anti stay supported and correct
+    assert [t["k"] for t in salted_join(l, r, "k", how="left_semi").collect()] == [1]
+    assert salted_join(l, r, "k", how="left_anti").count() == 0

@@ -144,3 +144,39 @@ def test_chained_detail_fetch(spark):
     )
     rows = sorted((r["gid"], r["pid"]) for r in children.collect())
     assert rows == [("w1", 11), ("w1", 12), ("w2", 21)]  # parent keys carried
+
+
+def test_chained_detail_fetch_distributed_matches_driver_path(spark):
+    """VERDICT r1 #6: the executor-side path (param DF → mapPartitions
+    fetch, no driver collect) must produce exactly the driver-side pool's
+    rows."""
+    from verified_sources_spark.sources.saas import (
+        chained_detail_fetch,
+        chained_detail_fetch_distributed,
+    )
+
+    pages = {
+        "https://a/workspaces/w1/projects": [({"data": [{"pid": 11}, {"pid": 12}]}, {})],
+        "https://a/workspaces/w2/projects": [({"data": [{"pid": 21}]}, {})],
+        "https://a/workspaces/w3/projects": [({"data": [{"pid": 31}]}, {})],
+    }
+    parents = spark.createDataFrame([("w1",), ("w2",), ("w2",), ("w3",)], "gid string")
+    kwargs = dict(
+        parent_key="gid",
+        url_template="https://a/workspaces/{key}/projects",
+        schema="pid long, gid string",
+    )
+
+    # local closure (not the module-level _client): cloudpickle ships it by
+    # VALUE to executors — test modules aren't importable there; a fresh
+    # transport per call is exactly how a real client factory reconnects
+    def make_client():
+        from verified_sources_spark.sources.rest import LocalPagesTransport, RestClient
+
+        return RestClient(LocalPagesTransport(pages))
+
+    driver_side = chained_detail_fetch(spark, make_client, parents, **kwargs)
+    exec_side = chained_detail_fetch_distributed(parents, make_client, **kwargs)
+    d = sorted(map(tuple, driver_side.collect()))
+    e = sorted(map(tuple, exec_side.collect()))
+    assert d == e == [(11, "w1"), (12, "w1"), (21, "w2"), (31, "w3")]

@@ -48,6 +48,88 @@ def test_partitioned_sink_dynamic_overwrite(spark, tmp_path):
     assert rows == [("2024-01-01", 99), ("2024-01-02", 3)]
 
 
+def _partition_file_bytes(root, frag):
+    import os
+
+    d = os.path.join(root, frag)
+    out = {}
+    for dirpath, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, d)] = fh.read()
+    return out
+
+
+def test_partition_pruned_merge_leaves_untouched_files_byte_identical(spark, tmp_path):
+    """VERDICT r1 #5: merge must not rewrite the whole table. Only
+    partitions containing touched keys are rewritten; others' files stay
+    byte-identical on disk (the plain-parquet analogue of Delta MERGE
+    file pruning, reference sources/pg_replication/helpers.py:758-773)."""
+    root = str(tmp_path / "t")
+    sink = ParquetSink(spark, root, partition_by=["day"])
+    sink.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"), ("2024-01-03", 3, "c")],
+            "day string, k long, v string",
+        )
+    )
+    before = _partition_file_bytes(root, "day=2024-01-03")
+    assert before  # sanity: files exist
+    sink.merge(
+        spark.createDataFrame([("2024-01-01", 1, "a2")], "day string, k long, v string"),
+        keys=["k"],
+    )
+    after = _partition_file_bytes(root, "day=2024-01-03")
+    assert after == before  # untouched partition: bytes unchanged
+    rows = {r["k"]: (str(r["day"]), r["v"]) for r in sink.read().collect()}
+    assert rows == {1: ("2024-01-01", "a2"), 2: ("2024-01-02", "b"), 3: ("2024-01-03", "c")}
+
+
+def test_partition_pruned_merge_key_moves_partition(spark, tmp_path):
+    """A key whose partition value changes must not leave its old row
+    behind in the previous partition (pruning by source partitions alone
+    would miss it)."""
+    root = str(tmp_path / "t")
+    sink = ParquetSink(spark, root, partition_by=["day"])
+    sink.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")], "day string, k long, v string"
+        )
+    )
+    sink.merge(
+        spark.createDataFrame([("2024-01-05", 1, "moved")], "day string, k long, v string"),
+        keys=["k"],
+    )
+    rows = {r["k"]: str(r["day"]) for r in sink.read().collect()}
+    assert rows == {1: "2024-01-05", 2: "2024-01-02"}
+
+
+def test_partition_pruned_merge_hard_delete_empties_partition(spark, tmp_path):
+    """Hard-deleting every row of a partition removes the partition dir
+    (dynamic partition overwrite alone would leave the stale files)."""
+    import os
+
+    root = str(tmp_path / "t")
+    sink = ParquetSink(spark, root, partition_by=["day"])
+    sink.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")], "day string, k long, v string"
+        )
+    )
+    sink.merge(
+        spark.createDataFrame(
+            [("2024-01-01", 1, None, 999)], "day string, k long, v string, deleted_ts long"
+        ),
+        keys=["k"],
+        hard_delete_col="deleted_ts",
+    )
+    assert not os.path.isdir(os.path.join(root, "day=2024-01-01"))
+    rows = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert rows == {2: "b"}
+
+
 def test_split_on_schema_change(spark):
     ch = spark.createDataFrame(
         [(1, "v1"), (2, "v1"), (3, "v2"), (4, "v2"), (5, "v1")],

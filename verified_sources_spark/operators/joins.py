@@ -101,7 +101,18 @@ def salted_join(
     pair matches.  Hot keys spread across ``salt_buckets`` tasks instead
     of one straggler.  Result set is identical to a plain join — tests
     assert equivalence.  Use when AQE's skew-join split is unavailable
-    (e.g. bucketed tables disable AQE reshuffle) or insufficient."""
+    (e.g. bucketed tables disable AQE reshuffle) or insufficient.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
+    exploded right side would emit unmatched right rows once per salt
+    bucket under right/full joins (plain-join equivalence would break)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: the "
+            "salt-exploded right side duplicates unmatched right rows under "
+            "right/full joins"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets).alias("__salt")
     l_salted = left.withColumn("__salt", salt)
     r_exploded = right.withColumn(

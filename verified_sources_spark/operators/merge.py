@@ -117,6 +117,43 @@ class ParquetSink:
             .parquet(self.path)
         )
 
+    @staticmethod
+    def _part_dir_value(v) -> str:
+        """Value → hive partition-dir fragment (matches Spark's writer for
+        the types our dispositions use: str/int/date/bool/None)."""
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    def _touched_partitions(
+        self, target: DataFrame, df: DataFrame, keys: Sequence[str]
+    ) -> list[tuple]:
+        """Partition tuples a merge may modify: the source's own partitions
+        plus partitions of target rows whose key appears in the source
+        (keys can move partitions — pruning by source partitions alone
+        would strand the old row). The key scan is column-pruned (keys +
+        partition columns only); the result is metadata-sized (a few
+        partition values per batch), like the engine's cursor collects.
+        This is the plain-parquet analogue of Delta MERGE file pruning."""
+        pcols = list(self.partition_by)
+        src_keys = df.select(*keys).distinct()
+        tgt_parts = (
+            target.join(src_keys, on=list(keys), how="left_semi").select(*pcols).distinct()
+        )
+        src_parts = df.select(*pcols).distinct()
+        rows = tgt_parts.unionByName(src_parts).distinct().collect()
+        # dedup by directory fragment: the same partition can surface twice
+        # with different Python types (partition-dir values read back
+        # type-inferred, e.g. date vs the string that was written)
+        seen: dict[tuple, tuple] = {}
+        for r in rows:
+            vals = tuple(r[c] for c in pcols)
+            frag = tuple(self._part_dir_value(v) for v in vals)
+            seen.setdefault(frag, vals)
+        return list(seen.values())
+
     def merge(
         self,
         df: DataFrame,
@@ -124,13 +161,56 @@ class ParquetSink:
         dedup_sort: Sequence[str] | None = None,
         hard_delete_col: str | None = None,
     ) -> None:
+        """Keyed upsert. With ``partition_by`` set, only partitions that
+        contain touched keys are read in full and rewritten — untouched
+        partition files stay byte-identical (asserted in
+        tests/test_sink_evolution.py). Without partitioning, falls back to
+        the full-table rewrite (reference merge semantics:
+        sources/pg_replication/helpers.py:758-773)."""
         target = self.read() if self.exists() else None
+        if target is None or not self.partition_by:
+            merged = merge_dataframes(
+                target, df, keys, dedup_sort=dedup_sort, hard_delete_col=hard_delete_col
+            )
+            # replace() writes to a tmp dir first, so the lazy plan still
+            # reads the old files while producing the new ones.
+            self.replace(merged)
+            return
+
+        pcols = list(self.partition_by)
+        touched = self._touched_partitions(target, df, keys)
+        if not touched:
+            return
+        # partition-pruned target slice: filter on partition columns only,
+        # so the parquet scan prunes untouched directories entirely
+        cond = F.lit(False)
+        for vals in touched:
+            row_match = F.lit(True)
+            for c, v in zip(pcols, vals):
+                row_match = row_match & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
+            cond = cond | row_match
+        target_slice = target.filter(cond)
         merged = merge_dataframes(
-            target, df, keys, dedup_sort=dedup_sort, hard_delete_col=hard_delete_col
+            target_slice, df, keys, dedup_sort=dedup_sort, hard_delete_col=hard_delete_col
         )
-        # replace() writes to a tmp dir first, so the lazy plan still reads
-        # the old files while producing the new ones; swap happens after.
-        self.replace(merged)
+
+        # materialize to tmp while the old files are still readable, then
+        # swap at partition-directory granularity. A partition emptied by
+        # hard deletes is absent from tmp and simply removed — dynamic
+        # partition overwrite alone would leave its stale files behind.
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        self._writer(merged).mode("overwrite").parquet(tmp)
+        for vals in touched:
+            frag = "/".join(
+                f"{c}={self._part_dir_value(v)}" for c, v in zip(pcols, vals)
+            )
+            tgt_dir, tmp_dir = f"{self.path}/{frag}", f"{tmp}/{frag}"
+            if os.path.isdir(tgt_dir):
+                shutil.rmtree(tgt_dir)
+            if os.path.isdir(tmp_dir):
+                os.makedirs(os.path.dirname(tgt_dir), exist_ok=True)
+                os.replace(tmp_dir, tgt_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def write(self, df: DataFrame, disposition: str = "append", **kwargs) -> None:
         if disposition == "append":

@@ -212,6 +212,36 @@ def chained_detail_fetch(
     return spark.createDataFrame(rows, schema)
 
 
+def chained_detail_fetch_distributed(
+    parent: DataFrame,
+    make_client,
+    parent_key: str,
+    url_template: str,
+    schema: str,
+    records_path: str = "data",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Executor-side variant of ``chained_detail_fetch``: parent keys stay
+    a DataFrame end-to-end (distinct → repartition → ``mapPartitions``
+    fetch), so nothing collects to the driver and fetch parallelism scales
+    with the cluster instead of one thread pool (VERDICT r1 #6). Results
+    are row-equal to the driver-side path (asserted in
+    tests/test_saas_connectors.py)."""
+    from verified_sources_spark.sources.rest import RestEndpoint, fetch_distributed
+
+    keys_df = parent.select(parent_key).distinct()
+    return fetch_distributed(
+        keys_df,
+        make_client,
+        lambda p: RestEndpoint(
+            url_template.format(key=p[parent_key]), records_path=records_path
+        ),
+        schema,
+        transform=lambda rec, p: {**rec, parent_key: p[parent_key]},
+        num_slices=num_slices,
+    )
+
+
 # -------------------------------------------------------- pushed-down query builders
 def build_soql(
     fields: list[str],
