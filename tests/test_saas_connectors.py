@@ -180,3 +180,234 @@ def test_chained_detail_fetch_distributed_matches_driver_path(spark):
     d = sorted(map(tuple, driver_side.collect()))
     e = sorted(map(tuple, exec_side.collect()))
     assert d == e == [(11, "w1"), (12, "w1"), (21, "w2"), (31, "w3")]
+
+
+# ------------------------------------------------------ round-2 concrete shapes
+def test_slack_thread_replies_self_join(spark):
+    """Slack threads (reference sources/slack/__init__.py:158-180): only
+    threaded messages fan out, the echoed parent is dropped, replies join
+    back to their parent message."""
+    from verified_sources_spark.sources.saas import (
+        slack_replies_with_parent,
+        slack_thread_replies,
+    )
+
+    pages = {
+        "https://s/conversations.replies": [
+            # transport pops one page per call; two threaded messages = two calls
+            (
+                {"messages": [
+                    {"ts": "100.1", "user": "alice", "text": "parent a"},
+                    {"ts": "100.5", "user": "bob", "text": "re: a"},
+                    {"ts": "100.9", "user": "carol", "text": "re: a 2"},
+                ]},
+                {},
+            ),
+            (
+                {"messages": [
+                    {"ts": "200.1", "user": "dan", "text": "parent b"},
+                    {"ts": "200.2", "user": "erin", "text": "re: b"},
+                ]},
+                {},
+            ),
+        ]
+    }
+    messages = spark.createDataFrame(
+        [
+            ("C1", "100.1", "100.1", "alice", "parent a"),   # threaded (is a thread root)
+            ("C1", "100.2", None, "zoe", "no thread"),        # not threaded -> no fetch
+            ("C1", "200.1", "200.1", "dan", "parent b"),      # threaded
+        ],
+        "channel string, ts string, thread_ts string, user string, text string",
+    )
+
+    def make_client():
+        from verified_sources_spark.sources.rest import LocalPagesTransport, RestClient
+
+        return RestClient(LocalPagesTransport(pages))
+
+    replies = slack_thread_replies(messages, make_client, "https://s", num_slices=1)
+    got = sorted((r["thread_ts"], r["ts"], r["user"]) for r in replies.collect())
+    # parent echoes (ts == thread_ts) dropped — reference's page_data[1:]
+    assert got == [("100.1", "100.5", "bob"), ("100.1", "100.9", "carol"), ("200.1", "200.2", "erin")]
+
+    enriched = slack_replies_with_parent(messages, replies)
+    by_ts = {r["ts"]: (r["parent_user"], r["parent_text"]) for r in enriched.collect()}
+    assert by_ts["100.5"] == ("alice", "parent a")
+    assert by_ts["200.2"] == ("dan", "parent b")
+
+
+def test_matomo_visitors_batch_lookup(spark):
+    """Matomo visitors (reference sources/matomo/__init__.py:193-230):
+    distinct visitor ids fetched in size-capped id batches, then the
+    lookup join enriches visits."""
+    from verified_sources_spark.sources.saas import (
+        matomo_visitors_batch_lookup,
+        matomo_visits_enriched,
+    )
+
+    profiles = {
+        "v1": {"visitorId": "v1", "visits": 3, "country": "de"},
+        "v2": {"visitorId": "v2", "visits": 1, "country": "fr"},
+        "v3": {"visitorId": "v3", "visits": 7, "country": "us"},
+    }
+
+    class BatchTransport:
+        """Returns profiles for exactly the ids in the request — and
+        asserts the batch-size cap the reference exists to enforce."""
+
+        def request(self, url, params):
+            ids = params["visitorIds"].split(",")
+            assert len(ids) <= 2  # chunk_size respected
+            return {"data": [profiles[i] for i in ids]}, {}
+
+    def make_client():
+        from verified_sources_spark.sources.rest import RestClient
+
+        return RestClient(BatchTransport())
+
+    visits = spark.createDataFrame(
+        [("v1", 10), ("v2", 11), ("v1", 12), ("v3", 13)], "visitorId string, action long"
+    )
+    visitors = matomo_visitors_batch_lookup(
+        visits, make_client, "https://m", site_id=5, chunk_size=2, num_slices=2
+    )
+    got = {r["visitorId"]: (r["visits"], r["country"]) for r in visitors.collect()}
+    assert got == {"v1": (3, "de"), "v2": (1, "fr"), "v3": (7, "us")}
+
+    enriched = matomo_visits_enriched(visits, visitors)
+    assert enriched.filter(F.col("country") == "de").count() == 2  # v1's two visits
+
+
+def test_salesforce_bulk_query_job_flow(spark):
+    """Bulk job: submit → poll (InProgress → JobComplete) → locator-paged
+    results (reference sources/salesforce/helpers/records.py:85-121)."""
+    from verified_sources_spark.sources.saas import salesforce_bulk_query
+
+    pages = {
+        "https://sf/jobs/query": [
+            ({"id": "750x", "state": "UploadComplete", "job_url": "https://sf/jobs/query/750x"}, {}),
+            # poll 1: still running; poll 2: done
+            ({"state": "InProgress"}, {}),
+            ({"state": "JobComplete", "result_url": "https://sf/jobs/query/750x/results"}, {}),
+        ],
+        "https://sf/jobs/query/750x": [
+            ({"state": "InProgress"}, {}),
+            ({"state": "JobComplete", "result_url": "https://sf/jobs/query/750x/results"}, {}),
+        ],
+        "https://sf/jobs/query/750x/results": [
+            ({"records": [{"Id": "a", "Amount": 1.0}], "nextLocator": "L2"}, {}),
+            ({"records": [{"Id": "b", "Amount": 2.0}], "nextLocator": None}, {}),
+        ],
+    }
+    df = salesforce_bulk_query(
+        spark, _client(pages), "https://sf", "SELECT Id, Amount FROM Opportunity",
+        "Id string, Amount double",
+    )
+    assert sorted((r["Id"], r["Amount"]) for r in df.collect()) == [("a", 1.0), ("b", 2.0)]
+
+
+def test_salesforce_bulk_falls_back_to_sync_soql(spark):
+    """FeatureNotEnabled → standard sync SOQL with nextRecordsUrl paging —
+    the reference's except-branch."""
+    from verified_sources_spark.sources.rest import TransportError
+    from verified_sources_spark.sources.saas import salesforce_bulk_query
+
+    pages = {
+        "https://sf/query": [
+            ({"records": [{"Id": "a"}], "done": False,
+              "nextRecordsUrl": "https://sf/query/next-2000"}, {}),
+        ],
+        "https://sf/query/next-2000": [
+            ({"records": [{"Id": "b"}], "done": True, "nextRecordsUrl": None}, {}),
+        ],
+    }
+    client = _client(pages)
+    client.transport._failures.append(
+        TransportError(400, "FeatureNotEnabled: Async API not enabled for this org")
+    )
+    df = salesforce_bulk_query(spark, client, "https://sf", "SELECT Id FROM Account", "Id string")
+    assert sorted(r["Id"] for r in df.collect()) == ["a", "b"]
+
+
+def test_ga4_metadata_tables(spark):
+    """GA4 metadata → two replace-disposition dim tables (reference
+    sources/google_analytics/__init__.py:120-153)."""
+    from verified_sources_spark.sources.saas import ga4_metadata_tables
+
+    pages = {
+        "https://g/properties/123/metadata": [
+            (
+                {
+                    "metrics": [
+                        {"apiName": "activeUsers", "uiName": "Active users", "category": "User"},
+                        {"apiName": "sessions", "uiName": "Sessions", "category": "Session"},
+                    ],
+                    "dimensions": [
+                        {"apiName": "country", "uiName": "Country", "category": "Geography"},
+                    ],
+                },
+                {},
+            )
+        ]
+    }
+    tables = ga4_metadata_tables(spark, _client(pages), "https://g", "123")
+    assert sorted(r["api_name"] for r in tables["metrics"].collect()) == ["activeUsers", "sessions"]
+    d = tables["dimensions"].collect()
+    assert len(d) == 1 and d[0]["category"] == "Geography"
+
+
+def test_hubspot_props_chunk_union(spark):
+    """Property list longer than one request: chunked fetches merge back
+    to one row per id with the full property map (reference
+    sources/hubspot/__init__.py:245-252, utils.py:14-26)."""
+    from verified_sources_spark.sources.saas import (
+        chunk_props_by_joined_length,
+        hubspot_props_chunk_union,
+    )
+
+    # chunking honors the joined-length cap
+    chunks = chunk_props_by_joined_length(["aaaa", "bbbb", "cccc", "dd"], 9)
+    assert chunks == [["aaaa", "bbbb"], ["cccc", "dd"]]
+    assert all(len(",".join(c)) <= 9 for c in chunks)
+
+    class PropsTransport:
+        """Serves the same two objects, projecting whatever property chunk
+        the request asks for."""
+
+        data = {
+            "1": {"aaaa": "1a", "bbbb": "1b", "cccc": "1c", "dd": "1d"},
+            "2": {"aaaa": "2a", "bbbb": "2b", "cccc": "2c", "dd": "2d"},
+        }
+
+        def request(self, url, params):
+            props = params["properties"].split(",")
+            assert len(params["properties"]) <= 9  # chunk cap reached the wire
+            return {
+                "results": [
+                    {"id": i, "properties": {p: v[p] for p in props}}
+                    for i, v in self.data.items()
+                ]
+            }, {}
+
+    client = RestClient(PropsTransport())
+    df = hubspot_props_chunk_union(
+        spark, client, "https://h", "companies", ["aaaa", "bbbb", "cccc", "dd"],
+        max_props_length=9,
+    )
+    rows = {r["id"]: dict(r["properties"]) for r in df.collect()}
+    assert rows == {"1": PropsTransport.data["1"], "2": PropsTransport.data["2"]}
+
+
+def test_select_hubspot_props_rules(spark):
+    from verified_sources_spark.sources.saas import select_hubspot_props
+    import pytest
+
+    avail = {"hs_a": "string", "hs_b": "number", "custom_x": "string"}
+    # full request honors include_custom
+    assert select_hubspot_props(list(avail), avail, include_custom=False) == ["hs_a", "hs_b"]
+    # partial request unions customs when asked
+    assert select_hubspot_props(["hs_a"], avail, include_custom=True) == ["custom_x", "hs_a"]
+    # unknown prop errors
+    with pytest.raises(ValueError):
+        select_hubspot_props(["nope"], avail)

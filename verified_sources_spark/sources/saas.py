@@ -330,3 +330,275 @@ def github_events(
     return fetch_to_dataframe(
         spark, client, ep, "id string, type string, actor string, created_at string"
     )
+
+
+# -------------------------------------------------------------------- slack
+def slack_thread_replies(
+    messages: DataFrame,
+    make_client,
+    base_url: str,
+    reply_schema: str = "channel string, thread_ts string, ts string, user string, text string",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Thread replies for every threaded message (reference
+    sources/slack/__init__.py:158-180): messages with a non-NULL
+    ``thread_ts`` each fan out one ``conversations.replies`` call; the API
+    echoes the parent message as the first reply item (the reference drops
+    it with ``page_data[1:]``), expressed here relationally as
+    ``ts != thread_ts``. Fetches run executor-side (fetch_distributed) —
+    thread keys never collect to the driver."""
+    from verified_sources_spark.sources.rest import RestEndpoint, fetch_distributed
+
+    threads = (
+        messages.filter(F.col("thread_ts").isNotNull())
+        .select("channel", "thread_ts")
+        .distinct()
+    )
+    replies = fetch_distributed(
+        threads,
+        make_client,
+        lambda p: RestEndpoint(
+            f"{base_url}/conversations.replies",
+            params={"channel": p["channel"], "ts": p["thread_ts"]},
+            records_path="messages",
+        ),
+        reply_schema,
+        transform=lambda rec, p: {**rec, "channel": p["channel"], "thread_ts": p["thread_ts"]},
+        num_slices=num_slices,
+    )
+    return replies.filter(F.col("ts") != F.col("thread_ts"))
+
+
+def slack_replies_with_parent(messages: DataFrame, replies: DataFrame) -> DataFrame:
+    """The thread self-join shape: each reply row enriched with its parent
+    message's user/text by equi-joining replies.(channel, thread_ts) to
+    messages.(channel, ts). Shuffles once on (channel, ts); at scale both
+    sides hash-partition on the same key, and a bucketed messages table
+    makes it shuffle-free."""
+    parents = messages.select(
+        "channel",
+        F.col("ts").alias("thread_ts"),
+        F.col("user").alias("parent_user"),
+        F.col("text").alias("parent_text"),
+    )
+    return replies.join(parents, ["channel", "thread_ts"], "left")
+
+
+# ------------------------------------------------------------------- matomo
+def matomo_visitors_batch_lookup(
+    visits: DataFrame,
+    make_client,
+    base_url: str,
+    site_id: int,
+    chunk_size: int = 20,
+    visitor_schema: str = "visitorId string, visits long, country string",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Unique-visitor profile lookup in id batches (reference
+    sources/matomo/__init__.py:193-230: visitor ids from the visits feed
+    are chunked ``chunk_size`` at a time into one API call each, to avoid
+    too-long URLs). Spark-first: distinct ids stay a DataFrame; chunking
+    happens partition-locally inside ``mapPartitions`` (chunk membership
+    is an API-efficiency detail, not a semantic grouping), so no driver
+    collect and no global ordering is needed."""
+    spark = visits.sparkSession
+    ids = visits.select("visitorId").distinct()
+    n = num_slices or spark.sparkContext.defaultParallelism
+    spread = ids.repartition(min(n, max(1, ids.count())))
+
+    def run(it):
+        client = make_client()
+        from verified_sources_spark.sources.rest import RestEndpoint
+
+        def flush(chunk):
+            if not chunk:
+                return
+            ep = RestEndpoint(
+                f"{base_url}/visitors.batch",
+                params={"idSite": site_id, "visitorIds": ",".join(chunk)},
+                records_path="data",
+            )
+            yield from client.records(ep)
+
+        chunk: list[str] = []
+        for row in it:
+            chunk.append(row["visitorId"])
+            if len(chunk) >= chunk_size:
+                yield from flush(chunk)
+                chunk = []
+        yield from flush(chunk)
+
+    return spark.createDataFrame(spread.rdd.mapPartitions(run), visitor_schema)
+
+
+def matomo_visits_enriched(visits: DataFrame, visitors: DataFrame) -> DataFrame:
+    """Visits ⋈ visitor profiles on visitorId (merge-disposition lookup
+    join; the visitors side is per-id deduped so a broadcast works when
+    the id set is small)."""
+    return visits.join(visitors, "visitorId", "left")
+
+
+# --------------------------------------------------------------- salesforce
+def salesforce_bulk_query(
+    spark: SparkSession,
+    client,
+    base_url: str,
+    soql: str,
+    schema: str,
+) -> DataFrame:
+    """Salesforce Bulk-API job flow (reference
+    sources/salesforce/helpers/records.py:85-121): submit the query as an
+    async job, poll to completion, page the results; if the org has the
+    Async API disabled (``FeatureNotEnabled``), fall back to the standard
+    sync SOQL endpoint with ``done``/``nextRecordsUrl`` paging — exactly
+    the reference's try/except structure."""
+    from verified_sources_spark.sources.rest import (
+        CursorPaginator,
+        RestEndpoint,
+        TransportError,
+        fetch_to_dataframe,
+        poll_async_job,
+    )
+
+    try:
+        result_url, _status = poll_async_job(
+            client,
+            f"{base_url}/jobs/query",
+            {"q": soql},
+            status_path="state",
+            done_value="JobComplete",
+            failed_value="Failed",
+            job_url_path="job_url",
+        )
+        ep = RestEndpoint(
+            result_url,
+            records_path="records",
+            paginator=CursorPaginator(cursor_path="nextLocator", cursor_param="locator"),
+        )
+        return fetch_to_dataframe(spark, client, ep, schema)
+    except TransportError as e:
+        if "FeatureNotEnabled" not in str(e):
+            raise
+        ep = RestEndpoint(
+            f"{base_url}/query",
+            params={"q": soql},
+            records_path="records",
+            paginator=CursorPaginator(cursor_path="nextRecordsUrl", more_path=None),
+        )
+        return fetch_to_dataframe(spark, client, ep, schema)
+
+
+# ----------------------------------------------------- google analytics (GA4)
+def ga4_metadata_tables(
+    spark: SparkSession,
+    client,
+    base_url: str,
+    property_id: str,
+) -> dict[str, DataFrame]:
+    """GA4 metadata dimension tables (reference
+    sources/google_analytics/__init__.py:120-153): one ``/metadata`` call
+    fans out into two replace-disposition tables, ``metrics`` and
+    ``dimensions``, one row per metric/dimension dict."""
+    from verified_sources_spark.sources.rest import RestEndpoint
+
+    ep = RestEndpoint(f"{base_url}/properties/{property_id}/metadata", records_path=None)
+    body, _hdrs = client._request(ep.url, dict(ep.params))
+    schema = "api_name string, ui_name string, category string"
+    metrics = spark.createDataFrame(
+        [
+            {"api_name": m.get("apiName"), "ui_name": m.get("uiName"), "category": m.get("category")}
+            for m in body.get("metrics", [])
+        ]
+        or [],
+        schema,
+    )
+    dims = spark.createDataFrame(
+        [
+            {"api_name": d.get("apiName"), "ui_name": d.get("uiName"), "category": d.get("category")}
+            for d in body.get("dimensions", [])
+        ]
+        or [],
+        schema,
+    )
+    return {"metrics": metrics, "dimensions": dims}
+
+
+# ------------------------------------------------------------------ hubspot
+def chunk_props_by_joined_length(props: list[str], max_length: int) -> list[list[str]]:
+    """Split a property list so each chunk's comma-joined length stays
+    ≤ max_length (reference sources/hubspot/utils.py:14-26 — the API caps
+    the ``properties=`` query-string length)."""
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    length = 0
+    for prop in props:
+        plen = len(prop) + (1 if cur else 0)
+        if length + plen > max_length and cur:
+            chunks.append(cur)
+            cur, length = [prop], len(prop)
+        else:
+            cur.append(prop)
+            length += plen
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def select_hubspot_props(
+    requested: list[str], available: dict[str, str], include_custom: bool = True
+) -> list[str]:
+    """The reference's property-selection rule (hubspot/__init__.py:442-481):
+    requesting everything honors ``include_custom``; a partial request
+    errors on unknown props and unions customs when asked (custom = not
+    ``hs_``-prefixed)."""
+    req, avail = set(requested), set(available)
+    custom = {p for p in avail if not p.startswith("hs_")}
+    if req == avail:
+        selected = avail if include_custom else avail - custom
+    else:
+        unknown = req - avail
+        if unknown:
+            raise ValueError(f"requested props {sorted(unknown)} don't exist in the source")
+        selected = req | custom if include_custom else req
+    return sorted(selected)
+
+
+def hubspot_props_chunk_union(
+    spark: SparkSession,
+    client,
+    base_url: str,
+    object_type: str,
+    props: list[str],
+    max_props_length: int = 100,
+) -> DataFrame:
+    """Wide-object fetch where the property list exceeds one request
+    (reference sources/hubspot/__init__.py:245-252): fetch the object
+    pages once per property chunk, then merge the chunks back to one row
+    per object id. Spark-first merge: each chunk lands as
+    (id, properties map); the union groups by id and concatenates the
+    disjoint maps — one shuffle on id, no driver-side stitching."""
+    from verified_sources_spark.sources.rest import OffsetPaginator, RestEndpoint, fetch_to_dataframe
+
+    chunk_frames = []
+    for chunk in chunk_props_by_joined_length(props, max_props_length):
+        ep = RestEndpoint(
+            f"{base_url}/crm/v3/objects/{object_type}",
+            params={"properties": ",".join(sorted(chunk)), "limit": 100},
+            records_path="results",
+            paginator=OffsetPaginator(limit=100),
+        )
+        chunk_frames.append(
+            fetch_to_dataframe(
+                spark, client, ep, "id string, properties map<string,string>"
+            )
+        )
+    if not chunk_frames:
+        return spark.createDataFrame([], "id string, properties map<string,string>")
+    unioned = chunk_frames[0]
+    for f in chunk_frames[1:]:
+        unioned = unioned.unionByName(f)
+    return unioned.groupBy("id").agg(
+        F.map_from_entries(
+            F.array_sort(F.flatten(F.collect_list(F.map_entries("properties"))))
+        ).alias("properties")
+    )
