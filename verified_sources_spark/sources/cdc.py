@@ -112,6 +112,47 @@ def split_on_schema_change(
     return out.drop(BUCKET_COL, "__prev_ver")
 
 
+def snapshot_at_lsn(
+    base: DataFrame | None,
+    changes: DataFrame,
+    slot_lsn: int,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """The consistent snapshot a replication slot exports: the base table
+    with every change at or below ``slot_lsn`` applied (reference
+    ``persist_snapshot_table`` copies the table under the slot's exported
+    snapshot, sources/pg_replication/helpers.py:394-422 — same state,
+    expressed as a bounded replay)."""
+    upto = changes.filter(F.col(lsn_col) <= F.lit(slot_lsn))
+    return apply_changes(base, upto, keys, payload_cols, lsn_col, op_col)
+
+
+def snapshot_then_stream(
+    snapshot: DataFrame,
+    slot_lsn: int,
+    changes: DataFrame,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Initial-load → replication handoff at a consistent LSN (reference
+    ``init_replication`` snapshot resources + subsequent slot reads,
+    sources/pg_replication/helpers.py:185-223): changes with
+    ``lsn <= slot_lsn`` are already reflected in the snapshot and MUST be
+    skipped (re-delivery is expected — the slot re-sends from the last
+    confirmed flush); applying the strict tail converges to the live
+    table state with no duplicates and no gaps.
+
+    The LSN filter is a pushdown predicate (reaches the parquet/Kafka
+    scan), so re-bootstraps don't re-read already-applied history."""
+    tail = changes.filter(F.col(lsn_col) > F.lit(slot_lsn))
+    return apply_changes(snapshot, tail, keys, payload_cols, lsn_col, op_col)
+
+
 def replication_origin_progress(changes: DataFrame, lsn_col: str = "lsn") -> int | None:
     """Max LSN in the applied feed — the next run's slot-flush watermark."""
     row = changes.agg(F.max(lsn_col).alias("v")).collect()
