@@ -411,3 +411,155 @@ def test_select_hubspot_props_rules(spark):
     # unknown prop errors
     with pytest.raises(ValueError):
         select_hubspot_props(["nope"], avail)
+
+
+def test_zendesk_four_protocol_matrix(spark):
+    """One connector config drives all four Zendesk pagination protocols
+    (reference talk_api.py:84-116) — each against its own fixture."""
+    from verified_sources_spark.sources.saas import zendesk_endpoint_matrix
+
+    eps = zendesk_endpoint_matrix("https://z")
+    pages = {
+        # OFFSET: absolute next_page until absent
+        "https://z/api/v2/channels/voice/calls": [
+            ({"calls": [{"id": 1}], "next_page": "https://z/calls?page=2"}, {}),
+        ],
+        "https://z/calls?page=2": [({"calls": [{"id": 2}], "next_page": None}, {})],
+        # CURSOR: links.next guarded by meta.has_more
+        "https://z/api/v2/tickets": [
+            ({"tickets": [{"id": 10}], "meta": {"has_more": True},
+              "links": {"next": "https://z/tickets?cursor=c2"}}, {}),
+        ],
+        "https://z/tickets?cursor=c2": [
+            ({"tickets": [{"id": 11}], "meta": {"has_more": False}, "links": {}}, {}),
+        ],
+        # STREAM: next_page until end_of_stream
+        "https://z/api/v2/incremental/ticket_events": [
+            ({"ticket_events": [{"id": 20}], "end_of_stream": False,
+              "next_page": "https://z/events?start=2"}, {}),
+        ],
+        "https://z/events?start=2": [
+            ({"ticket_events": [{"id": 21}], "end_of_stream": True, "next_page": "https://z/x"}, {}),
+        ],
+        # START_TIME: next_page while count > 0
+        "https://z/api/v2/channels/voice/legs/incremental": [
+            ({"legs": [{"id": 30}], "count": 1, "next_page": "https://z/legs?start=2"}, {}),
+        ],
+        "https://z/legs?start=2": [({"legs": [], "count": 0, "next_page": "https://z/y"}, {})],
+    }
+    got = {}
+    for name, ep in eps.items():
+        client = _client(pages)
+        got[name] = [r["id"] for r in client.records(ep)]
+    assert got == {
+        "calls": [1, 2],
+        "tickets": [10, 11],
+        "ticket_events": [20, 21],
+        "legs": [30],
+    }
+
+
+def test_bing_page_stats_composite_key_merge(spark):
+    """Composite-key merge shape (reference bing_webmaster/__init__.py:38-63):
+    same (site_url, page, date) upserts, different composite stays."""
+    from verified_sources_spark.operators.merge import merge_dataframes
+    from verified_sources_spark.sources.saas import (
+        BING_PAGE_STATS_MERGE_KEYS,
+        bing_page_stats,
+    )
+
+    pages = {
+        "https://b/GetPageStats": [
+            ({"d": [
+                {"page": "/home", "date": "2024-01-01", "clicks": 5, "impressions": 100},
+                {"page": "/docs", "date": "2024-01-01", "clicks": 2, "impressions": 30},
+            ]}, {}),
+        ]
+    }
+    df = bing_page_stats(spark, _client(pages), "https://b", "https://site")
+    assert df.count() == 2 and df.filter(F.col("site_url") == "https://site").count() == 2
+
+    refresh = spark.createDataFrame(
+        [("https://site", "/home", "2024-01-01", 9, 150)], df.schema
+    )
+    merged = merge_dataframes(df, refresh, keys=list(BING_PAGE_STATS_MERGE_KEYS))
+    rows = {(r["page"], r["date"]): r["clicks"] for r in merged.collect()}
+    assert rows == {("/home", "2024-01-01"): 9, ("/docs", "2024-01-01"): 2}
+
+
+def test_arrow_batched_collection_scan(spark):
+    """Mongo Arrow-loader analogue (reference mongodb/helpers.py:309-465):
+    parallel skip/limit windows fetched executor-side, results crossing
+    the boundary as Arrow batches."""
+    from verified_sources_spark.sources.arrow_ingest import (
+        batched_collection_scan,
+        plan_skip_limit_batches,
+    )
+
+    batches = plan_skip_limit_batches(total=10, batch_size=4)
+    assert batches == [
+        {"skip": 0, "limit": 4}, {"skip": 4, "limit": 4}, {"skip": 8, "limit": 2},
+    ]
+
+    def make_fetch():
+        import pandas as pd
+
+        # deterministic fake collection: doc i -> {"_id": i, "v": i*i}
+        def fetch(skip, limit):
+            ids = list(range(skip, min(skip + limit, 10)))
+            return pd.DataFrame({"_id": ids, "v": [i * i for i in ids]})
+
+        return fetch
+
+    df = batched_collection_scan(spark, make_fetch, batches, "_id long, v long")
+    got = sorted((r["_id"], r["v"]) for r in df.collect())
+    assert got == [(i, i * i) for i in range(10)]
+
+
+def test_arrow_table_to_df(spark):
+    import pyarrow as pa
+
+    from verified_sources_spark.sources.arrow_ingest import arrow_table_to_df
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = arrow_table_to_df(spark, t)
+    assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_http_transport_contract():
+    """HttpTransport speaks the Transport contract against a fake
+    requests.Session — network never involved; Retry-After surfaces on
+    the TransportError for RestClient's 429 protocol."""
+    import pytest
+
+    from verified_sources_spark.sources.rest import HttpTransport, TransportError
+
+    class FakeResp:
+        def __init__(self, status, body, headers=None):
+            self.status_code = status
+            self._body = body
+            import json as j
+
+            self.content = j.dumps(body).encode()
+            self.text = j.dumps(body)
+            self.headers = headers or {}
+
+        def json(self):
+            return self._body
+
+    class FakeSession:
+        def __init__(self):
+            self.calls = []
+
+        def get(self, url, params=None, headers=None, timeout=None):
+            self.calls.append((url, params))
+            if url.endswith("/limited"):
+                return FakeResp(429, {"error": "rate"}, {"Retry-After": "1.5"})
+            return FakeResp(200, {"data": [{"id": 1}]}, {"X-H": "v"})
+
+    t = HttpTransport(session=FakeSession())
+    body, headers = t.request("https://api/x", {"p": 1})
+    assert body == {"data": [{"id": 1}]} and headers["X-H"] == "v"
+    with pytest.raises(TransportError) as ei:
+        t.request("https://api/limited", {})
+    assert ei.value.status == 429 and ei.value.retry_after == 1.5

@@ -608,3 +608,7 @@ ORACLE_SQL.update({
                           WHERE f.user_id = archives.user_id AND f.day = archives.day)
     """,
 })
+
+# the vectorized GEMM path shares cosine_topk's exact output contract
+# (cosine rounded 4dp, id-tie-broken ranks) — same oracle by definition
+ORACLE_SQL["cosine_topk_vectorized_embeddings"] = ORACLE_SQL["cosine_topk_embeddings"]

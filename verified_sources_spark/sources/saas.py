@@ -602,3 +602,72 @@ def hubspot_props_chunk_union(
             F.array_sort(F.flatten(F.collect_list(F.map_entries("properties"))))
         ).alias("properties")
     )
+
+
+# ----------------------------------------------------- zendesk protocol matrix
+def zendesk_endpoint_matrix(base_url: str) -> dict[str, "RestEndpoint"]:
+    """The reference's four Zendesk pagination protocols as ONE connector
+    config (reference sources/zendesk/helpers/talk_api.py:14-18, 84-116 —
+    PaginationType.{OFFSET, CURSOR, STREAM, START_TIME}), each mapped to
+    an engine paginator:
+
+    - OFFSET     → follow absolute ``next_page`` until absent
+    - CURSOR     → ``links.next`` guarded by ``meta.has_more``
+    - STREAM     → follow ``next_page`` until ``end_of_stream`` is true
+    - START_TIME → follow ``next_page`` while ``count`` > 0
+    """
+    from verified_sources_spark.sources.rest import CursorPaginator
+
+    return {
+        "calls": RestEndpoint(  # OFFSET
+            f"{base_url}/api/v2/channels/voice/calls",
+            records_path="calls",
+            paginator=CursorPaginator(cursor_path="next_page"),
+        ),
+        "tickets": RestEndpoint(  # CURSOR
+            f"{base_url}/api/v2/tickets",
+            params={"page[size]": 100},
+            records_path="tickets",
+            paginator=CursorPaginator(cursor_path="links.next", more_path="meta.has_more"),
+        ),
+        "ticket_events": RestEndpoint(  # STREAM
+            f"{base_url}/api/v2/incremental/ticket_events",
+            params={"per_page": 1000},
+            records_path="ticket_events",
+            paginator=CursorPaginator(cursor_path="next_page", stop_path="end_of_stream"),
+        ),
+        "legs": RestEndpoint(  # START_TIME
+            f"{base_url}/api/v2/channels/voice/legs/incremental",
+            params={"limit": 1000},
+            records_path="legs",
+            paginator=CursorPaginator(cursor_path="next_page", more_path="count"),
+        ),
+    }
+
+
+# ----------------------------------------------------------- bing webmaster
+def bing_page_stats(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    site_url: str,
+    schema: str = "site_url string, page string, date string, clicks long, impressions long",
+) -> DataFrame:
+    """Bing Webmaster page stats with the reference's COMPOSITE merge key
+    (reference sources/bing_webmaster/__init__.py:38-63: primary_key =
+    ("site_url", "page", "Date"), merge disposition): one unpaginated call
+    per site, rows tagged with the site; dedup/merge downstream is
+    ``merge_dataframes(keys=["site_url", "page", "date"])``."""
+    from verified_sources_spark.sources.rest import fetch_to_dataframe
+
+    ep = RestEndpoint(
+        f"{base_url}/GetPageStats",
+        params={"siteUrl": site_url},
+        records_path="d",
+    )
+    return fetch_to_dataframe(
+        spark, client, ep, schema, transform=lambda r: {**r, "site_url": site_url}
+    )
+
+
+BING_PAGE_STATS_MERGE_KEYS = ("site_url", "page", "date")
