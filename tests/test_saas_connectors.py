@@ -563,3 +563,140 @@ def test_http_transport_contract():
     with pytest.raises(TransportError) as ei:
         t.request("https://api/limited", {})
     assert ei.value.status == 429 and ei.value.retry_after == 1.5
+
+
+def test_shopify_partner_graphql_cursor_feedback(spark):
+    """Last edge's cursor becomes the next page's variable (reference
+    shopify_dlt/helpers.py:127-145); stops on empty page."""
+    from verified_sources_spark.sources.saas import shopify_partner_graphql_records
+
+    pages = {
+        "https://p/graphql.json": [
+            ({"data": {"transactions": {"edges": [
+                {"cursor": "c1", "node": {"id": "t1"}},
+                {"cursor": "c2", "node": {"id": "t2"}},
+            ]}}}, {}),
+            ({"data": {"transactions": {"edges": [
+                {"cursor": "c3", "node": {"id": "t3"}},
+            ]}}}, {}),
+            ({"data": {"transactions": {"edges": []}}}, {}),
+        ]
+    }
+    client = _client(pages)
+    edges = list(shopify_partner_graphql_records(client, "https://p/graphql.json", "query {}"))
+    assert [e["node"]["id"] for e in edges] == ["t1", "t2", "t3"]
+    # cursor feedback: calls 2 and 3 carry the previous page's LAST cursor
+    assert client.transport.calls[1][1]["after"] == "c2"
+    assert client.transport.calls[2][1]["after"] == "c3"
+
+
+def test_google_ads_gaql_reports(spark):
+    from verified_sources_spark.sources.saas import (
+        GOOGLE_ADS_DEFAULT_REPORTS,
+        google_ads_report,
+    )
+
+    assert set(GOOGLE_ADS_DEFAULT_REPORTS) == {
+        "customers", "campaigns", "change_events", "customer_clients",
+    }
+    pages = {
+        "https://ads/v/customers/123/googleAds:searchStream": [
+            ({"results": [{"id": 1, "descriptive_name": "acme"}],
+              "nextPageToken": "p2"}, {}),
+        ],
+    }
+    # follow-up page arrives via pageToken param on the same URL
+    pages["https://ads/v/customers/123/googleAds:searchStream"].append(
+        ({"results": [{"id": 2, "descriptive_name": "beta"}], "nextPageToken": None}, {})
+    )
+    client = _client(pages)
+    df = google_ads_report(
+        spark, client, "https://ads", "123",
+        GOOGLE_ADS_DEFAULT_REPORTS["customers"], "id long, descriptive_name string",
+    )
+    assert df.count() == 2
+    assert client.transport.calls[0][1]["query"].startswith("SELECT customer.id")
+    assert client.transport.calls[1][1]["pageToken"] == "p2"
+
+
+def test_jira_dual_pagination(spark):
+    """One shape, both Jira protocols: classic startAt offsets and the
+    newer nextPageToken cursor."""
+    from verified_sources_spark.sources.saas import jira_issues
+
+    offset_pages = {
+        "https://j/rest/api/3/search": [
+            ({"issues": [{"key": f"A-{i}"} for i in range(50)]}, {}),
+            ({"issues": [{"key": "A-50"}]}, {}),
+        ]
+    }
+    c1 = _client(offset_pages)
+    df = jira_issues(spark, c1, "https://j", "project=A", "key string")
+    assert df.count() == 51
+    assert c1.transport.calls[0][1]["startAt"] == 0 and c1.transport.calls[1][1]["startAt"] == 50
+    assert c1.transport.calls[0][1]["jql"] == "project=A"  # predicate pushdown
+
+    token_pages = {
+        "https://j/rest/api/3/search": [
+            ({"issues": [{"key": "B-1"}], "nextPageToken": "tok2"}, {}),
+            ({"issues": [{"key": "B-2"}], "nextPageToken": None}, {}),
+        ]
+    }
+    c2 = _client(token_pages)
+    df2 = jira_issues(spark, c2, "https://j", "project=B", "key string", use_token_paging=True)
+    assert df2.count() == 2
+    assert c2.transport.calls[1][1]["nextPageToken"] == "tok2"
+
+
+def test_airtable_reflected_schema_tables(spark):
+    """Schema reflection: field types map to an explicit StructType; the
+    primary field becomes the merge-key hint (reference
+    airtable/__init__.py:29-57)."""
+    from verified_sources_spark.sources.saas import airtable_base_tables
+
+    pages = {
+        "https://air/meta/bases/app1/tables": [
+            ({"tables": [
+                {"id": "tblX", "name": "Leads", "primaryFieldId": "fld1",
+                 "fields": [
+                     {"id": "fld1", "name": "Name", "type": "singleLineText"},
+                     {"id": "fld2", "name": "Score", "type": "number"},
+                     {"id": "fld3", "name": "Won", "type": "checkbox"},
+                 ]},
+                {"id": "tblY", "name": "Skipped", "primaryFieldId": "f",
+                 "fields": [{"id": "f", "name": "N", "type": "singleLineText"}]},
+            ]}, {}),
+        ],
+        "https://air/app1/tblX": [
+            ({"records": [
+                {"id": "rec1", "fields": {"Name": "a", "Score": 1.5, "Won": True}},
+                {"id": "rec2", "fields": {"Name": "b", "Score": 2.0, "Won": False}},
+            ], "offset": None}, {}),
+        ],
+    }
+    tables = airtable_base_tables(spark, _client(pages), "https://air", "app1",
+                                  table_names=["Leads"])
+    assert list(tables) == ["Leads"]
+    df = tables["Leads"]
+    dtypes = dict(df.dtypes)
+    assert dtypes["Name"] == "string" and dtypes["Score"] == "double" and dtypes["Won"] == "boolean"
+    assert df.select("_merge_key").first()[0] == "Name"  # primary field hint
+    assert df.count() == 2
+
+
+def test_notion_search_cursor_paging(spark):
+    from verified_sources_spark.sources.saas import notion_search
+
+    pages = {
+        "https://n/v1/search": [
+            ({"results": [{"id": "p1", "object": "page", "last_edited_time": "t1"}],
+              "has_more": True, "next_cursor": "cur2"}, {}),
+            ({"results": [{"id": "p2", "object": "page", "last_edited_time": "t2"}],
+              "has_more": False, "next_cursor": None}, {}),
+        ]
+    }
+    client = _client(pages)
+    df = notion_search(spark, client, "https://n", "roadmap", object_filter="page")
+    assert sorted(r["id"] for r in df.collect()) == ["p1", "p2"]
+    assert client.transport.calls[1][1]["start_cursor"] == "cur2"
+    assert client.transport.calls[0][1]["filter[value]"] == "page"

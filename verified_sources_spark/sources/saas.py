@@ -671,3 +671,191 @@ def bing_page_stats(
 
 
 BING_PAGE_STATS_MERGE_KEYS = ("site_url", "page", "date")
+
+
+# ------------------------------------------------- shopify partner (GraphQL)
+def shopify_partner_graphql_records(
+    client: RestClient,
+    url: str,
+    query: str,
+    records_path: str = "data.transactions.edges",
+    cursor_field: str = "cursor",
+    cursor_var: str = "after",
+    variables: dict[str, Any] | None = None,
+):
+    """Shopify Partner GraphQL pagination (reference
+    sources/shopify_dlt/helpers.py:104-145): run the query, yield the edge
+    list, feed the LAST edge's cursor back as the pagination variable;
+    stop when a page has no items or no cursors. Generator of edge dicts
+    — land with ``spark.createDataFrame`` or ``records_to_json_df``."""
+    from verified_sources_spark.sources.rest import _json_path
+
+    variables = dict(variables or {})
+    while True:
+        body, _hdrs = client._request(url, {"query": query, **variables})
+        items = _json_path(body, records_path) or []
+        if not items:
+            return
+        yield from items
+        cursors = [it[cursor_field] for it in items if it.get(cursor_field)]
+        if not cursors:
+            return
+        variables[cursor_var] = cursors[-1]
+
+
+# ---------------------------------------------------------------- google ads
+GOOGLE_ADS_DEFAULT_REPORTS: dict[str, str] = {
+    # the reference's four fixed GAQL resources
+    # (sources/google_ads/__init__.py:95-160)
+    "customers": "SELECT customer.id, customer.descriptive_name FROM customer",
+    "campaigns": "SELECT campaign.id, campaign.labels FROM campaign",
+    "change_events": (
+        "SELECT change_event.change_date_time FROM change_event "
+        "WHERE change_event.change_date_time during LAST_14_DAYS LIMIT 1000"
+    ),
+    "customer_clients": "SELECT customer_client.status FROM customer_client",
+}
+
+
+def google_ads_report(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    customer_id: str,
+    gaql: str,
+    schema: str,
+) -> DataFrame:
+    """One GAQL report via searchStream-style paging (reference
+    sources/google_ads/__init__.py:95-160: each resource is a fixed GAQL
+    query against the service, streamed in batches): the query is pushed
+    down server-side; batches page via nextPageToken."""
+    from verified_sources_spark.sources.rest import CursorPaginator, fetch_to_dataframe
+
+    ep = RestEndpoint(
+        f"{base_url}/v/customers/{customer_id}/googleAds:searchStream",
+        params={"query": gaql},
+        records_path="results",
+        paginator=CursorPaginator(cursor_path="nextPageToken", cursor_param="pageToken"),
+    )
+    return fetch_to_dataframe(spark, client, ep, schema)
+
+
+# --------------------------------------------------------------------- jira
+def jira_issues(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    jql: str,
+    schema: str,
+    use_token_paging: bool = False,
+) -> DataFrame:
+    """Jira search with the DUAL pagination protocol (reference
+    sources/jira/__init__.py + settings: classic ``startAt`` offset pages
+    vs the newer ``nextPageToken`` cursor API) — one shape, paginator
+    chosen by endpoint generation; JQL is the pushed-down predicate."""
+    from verified_sources_spark.sources.rest import (
+        CursorPaginator,
+        OffsetPaginator,
+        fetch_to_dataframe,
+    )
+
+    paginator = (
+        CursorPaginator(cursor_path="nextPageToken", cursor_param="nextPageToken")
+        if use_token_paging
+        else OffsetPaginator(limit=50, offset_param="startAt", limit_param="maxResults")
+    )
+    ep = RestEndpoint(
+        f"{base_url}/rest/api/3/search",
+        params={"jql": jql},
+        records_path="issues",
+        paginator=paginator,
+    )
+    return fetch_to_dataframe(spark, client, ep, schema)
+
+
+# ----------------------------------------------------------------- airtable
+AIRTABLE_TYPE_MAP: dict[str, str] = {
+    # airtable field type -> Spark SQL type (reflection contract; the
+    # reference reflects pyairtable's schema, airtable/__init__.py:29-57)
+    "singleLineText": "string",
+    "multilineText": "string",
+    "richText": "string",
+    "email": "string",
+    "url": "string",
+    "phoneNumber": "string",
+    "singleSelect": "string",
+    "number": "double",
+    "percent": "double",
+    "currency": "double",
+    "rating": "int",
+    "checkbox": "boolean",
+    "date": "date",
+    "dateTime": "timestamp",
+    "autoNumber": "long",
+}
+
+
+def airtable_base_tables(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    base_id: str,
+    table_names: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Reflected-schema base load (reference airtable/__init__.py:29-57):
+    one metadata call lists the base's tables with field types and the
+    primary field; each selected table loads with an explicit StructType
+    derived from AIRTABLE_TYPE_MAP (never schema-on-read guessing), and
+    the primary field name travels as the merge key hint."""
+    from verified_sources_spark.sources.rest import CursorPaginator, fetch_to_dataframe
+
+    meta, _hdrs = client._request(f"{base_url}/meta/bases/{base_id}/tables", {})
+    out: dict[str, DataFrame] = {}
+    for t in meta.get("tables", []):
+        if table_names and t["id"] not in table_names and t["name"] not in table_names:
+            continue
+        fields = [(f["name"], AIRTABLE_TYPE_MAP.get(f["type"], "string")) for f in t["fields"]]
+        schema = "id string, " + ", ".join(f"`{n}` {ty}" for n, ty in fields)
+        ep = RestEndpoint(
+            f"{base_url}/{base_id}/{t['id']}",
+            records_path="records",
+            paginator=CursorPaginator(cursor_path="offset", cursor_param="offset"),
+        )
+        df = fetch_to_dataframe(
+            spark, client, ep, schema,
+            transform=lambda r: {"id": r["id"], **r.get("fields", {})},
+        )
+        pk = next((f["name"] for f in t["fields"] if f["id"] == t.get("primaryFieldId")), None)
+        out[t["name"]] = df
+        if pk is not None:
+            # merge-key hint the dispositions consume (primary field)
+            out[t["name"]] = df.withColumn("_merge_key", F.lit(pk))
+    return out
+
+
+# ------------------------------------------------------------------- notion
+def notion_search(
+    spark: SparkSession,
+    client: RestClient,
+    base_url: str,
+    query: str,
+    object_filter: str | None = None,
+    schema: str = "id string, object string, last_edited_time string",
+) -> DataFrame:
+    """Notion search with start_cursor/has_more paging (reference
+    sources/notion/helpers/client.py:106-145); the object filter is
+    pushed into the request."""
+    from verified_sources_spark.sources.rest import CursorPaginator, fetch_to_dataframe
+
+    params: dict[str, Any] = {"query": query}
+    if object_filter:
+        params["filter[value]"] = object_filter
+    ep = RestEndpoint(
+        f"{base_url}/v1/search",
+        params=params,
+        records_path="results",
+        paginator=CursorPaginator(
+            cursor_path="next_cursor", cursor_param="start_cursor", more_path="has_more"
+        ),
+    )
+    return fetch_to_dataframe(spark, client, ep, schema)
