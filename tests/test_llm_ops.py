@@ -119,3 +119,38 @@ def test_ivf_topk_recall(spark):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in ivf_topk(e, q, k=3, n_centroids=8, n_probe=3).collect()}
     assert len(approx & exact) / len(exact) >= 0.6  # probing 3/8 lists
+
+
+def test_embedding_near_dup_lsh_matches_exact_on_true_dups(spark):
+    """Scale path vs baseline: planted near-duplicate vectors (cosine
+    ~0.999) must surface identically from the LSH-bucketed path and the
+    exact all-pairs path; the greedy keep rule drops non-minimal ids."""
+    import random
+
+    from verified_sources_spark.llm.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dups_lsh,
+        near_dup_keep,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant 5 near-dup clones: id 100+i ≈ id i with tiny noise
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((100 + i, [x + rng.gauss(0, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = embedding_near_dup_pairs(df, threshold=0.98)
+    exact_pairs = sorted((r["id_a"], r["id_b"]) for r in exact.collect())
+    assert exact_pairs == [(i, 100 + i) for i in range(5)]  # exactly the planted dups
+
+    lsh = embedding_near_dups_lsh(df, threshold=0.98, n_planes=4, n_bands=8)
+    lsh_pairs = sorted((r["id_a"], r["id_b"]) for r in lsh.collect())
+    assert lsh_pairs == exact_pairs  # candidate recall 1.0 on true dups
+
+    kept = near_dup_keep(df, exact, id_col="vec_id")
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert kept_ids == set(range(40))  # clones dropped, originals kept

@@ -286,3 +286,103 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine >= threshold.  The all-pairs self-join is the CORRECTNESS
+    baseline (oracle-checkable); at corpus scale use
+    ``embedding_near_dups_lsh`` which only compares within sign-LSH
+    buckets.  Cosine uses the same sequential JVM fold as ``cosine_topk``
+    so results are bit-stable against the DuckDB oracle."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("__cos"),
+    )
+    return scored.filter(F.col("__cos") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("__cos", 4).alias("cosine")
+    )
+
+
+def embedding_near_dups_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup detection: candidate pairs form
+    only inside sign-LSH buckets (``n_bands`` independent plane sets — a
+    pair is a candidate if ANY band agrees), then the exact cosine filter
+    verifies.  High-cosine pairs have low angular distance, so the
+    probability at least one of ``n_bands`` sign-buckets agrees → 1;
+    shuffle volume is bucket-local candidates, never the full cross
+    product.  Same output schema as ``embedding_near_dup_pairs``."""
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def band_bucket(vec, band: int):
+        bits = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, band * n_planes + p, seed)
+            plane_arr = F.array(*[F.lit(x) for x in plane])
+            bits.append(F.when(_dot(vec, plane_arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(F.lit(f"b{band}:"), *bits)
+
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    exploded = base.withColumn(
+        "__bucket",
+        F.explode(F.array(*[band_bucket(F.col("__v"), band) for band in range(n_bands)])),
+    )
+    left = exploded.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
+    )
+    right = exploded.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
+    )
+    cand = (
+        left.join(right, ["__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair can agree in several bands
+    )
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("__cos"),
+    )
+    return scored.filter(F.col("__cos") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("__cos", 4).alias("cosine")
+    )
+
+
+def near_dup_keep(corpus: DataFrame, pairs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Greedy canonical selection over near-dup pairs: drop every item
+    that duplicates a LOWER id (the same keep-min-id rule as
+    ``exact_dedup``; transitive chains collapse to their minimum without
+    union-find — any non-minimal member matches at least one lower id)."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drop, id_col, "left_anti")

@@ -612,3 +612,18 @@ ORACLE_SQL.update({
 # the vectorized GEMM path shares cosine_topk's exact output contract
 # (cosine rounded 4dp, id-tie-broken ranks) — same oracle by definition
 ORACLE_SQL["cosine_topk_vectorized_embeddings"] = ORACLE_SQL["cosine_topk_embeddings"]
+
+ORACLE_SQL["embedding_near_dup_pairs_embeddings"] = """
+    WITH n AS (SELECT vec_id, embedding,
+      sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.35
+"""

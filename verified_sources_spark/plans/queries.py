@@ -520,6 +520,19 @@ def cosine_topk_vectorized_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     return cosine_topk_vectorized(e, queries, k=3)
 
 
+def embedding_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    (llm.similarity.embedding_near_dup_pairs; the LSH-bucketed scale path
+    is embedding_near_dups_lsh, pytest-verified). Threshold 0.35 sits at
+    the ~99.9th percentile of this corpus's pair cosines."""
+    from verified_sources_spark.llm.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return embedding_near_dup_pairs(e, threshold=0.35)
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats; norms summed as decimals for exactness."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -1024,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conditional_functions_showcase": conditional_functions_showcase,
     "dedup_exact_keep_docs": dedup_exact_keep_docs,
     "doc_fingerprints": doc_fingerprints,
+    "embedding_near_dup_pairs_embeddings": embedding_near_dup_pairs_embeddings,
     "simhash_near_pairs_docs": simhash_near_pairs_docs,
     "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
