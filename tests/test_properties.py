@@ -96,3 +96,48 @@ def test_salted_join_rejects_right_and_full(spark):
     # left_semi/left_anti stay supported and correct
     assert [t["k"] for t in salted_join(l, r, "k", how="left_semi").collect()] == [1]
     assert salted_join(l, r, "k", how="left_anti").count() == 0
+
+
+@_slow
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order key (may repeat)
+            st.integers(min_value=-5, max_value=5),        # value to scan
+            st.sampled_from(["v1", "v2", "v3"]),           # version for lag
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],  # unique order keys: global order well-defined
+    ),
+)
+def test_bucketed_prefix_scan_equals_global_window(spark, vals):
+    """operators/prefix must produce EXACTLY the single-partition global
+    window's running sum and lag for any input — the whole point of the
+    two-pass scheme is changing the plan, not the answer."""
+    from pyspark.sql import Window
+
+    from verified_sources_spark.operators.prefix import (
+        bucketed_lag,
+        bucketed_prefix_sum,
+        with_range_buckets,
+    )
+
+    df = spark.createDataFrame(vals, "k long, v long, ver string")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expect_sum = {
+        r["k"]: r["s"]
+        for r in df.withColumn("s", F.sum("v").over(w)).collect()
+    }
+    expect_lag = {
+        r["k"]: r["p"]
+        for r in df.withColumn("p", F.lag("ver").over(Window.orderBy("k"))).collect()
+    }
+
+    b = with_range_buckets(df, "k", num_buckets=4)
+    got_sum = {
+        r["k"]: r["s"] for r in bucketed_prefix_sum(b, "k", F.col("v"), "s").collect()
+    }
+    got_lag = {r["k"]: r["p"] for r in bucketed_lag(b, "k", "ver", "p").collect()}
+    assert got_sum == expect_sum
+    assert got_lag == expect_lag

@@ -49,3 +49,55 @@ def test_state_survives_across_runs(spark, tmp_path):
             latest[k] = (r["n"], r["last_value"])
     assert latest["a"] == (3, 9.0)  # 2 from run1 + 1 new, state carried
     assert latest["c"] == (1, 7.0)
+
+
+def test_sessionize_stateful_gap_close_matches_batch_rule(spark, tmp_path):
+    """Streaming sessionizer: a gap above the threshold closes the session
+    and emits it; the open session stays in state (append mode emits only
+    CLOSED sessions). Gap rule identical to the batch sessionizer."""
+    from verified_sources_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "src"
+    src.mkdir()
+    GAP = 30 * 60 * 1_000_000  # 30 min in us
+    t0 = 1_700_000_000_000_000
+    _write(src, "b1.json", [
+        {"user": "u1", "ts_us": t0},
+        {"user": "u1", "ts_us": t0 + 60_000_000},          # same session (1 min later)
+        {"user": "u1", "ts_us": t0 + GAP + 120_000_000},   # gap -> closes session 1
+        {"user": "u2", "ts_us": t0},
+    ])
+
+    out = tmp_path / "out"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    stream = bounded_file_stream(spark, str(src), "user string, ts_us long")
+    # NOTE: timer-bearing stateful queries never self-terminate (state
+    # cleanup batches keep the trigger active) and processAllAvailable can
+    # block on them — so poll the sink for the expected emission, then stop.
+    q = (
+        sessionize_stateful(stream, gap_us=GAP)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(str(out)).count() >= 1:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination()
+
+    rows = [tuple(r) for r in spark.read.parquet(str(out)).collect()]
+    # exactly ONE closed session: u1's first (2 events, 60s span).
+    # u1's second session and u2's only session remain open in state.
+    assert rows == [("u1", t0, t0 + 60_000_000, 2)]
