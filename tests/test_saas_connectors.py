@@ -700,3 +700,52 @@ def test_notion_search_cursor_paging(spark):
     assert sorted(r["id"] for r in df.collect()) == ["p1", "p2"]
     assert client.transport.calls[1][1]["start_cursor"] == "cur2"
     assert client.transport.calls[0][1]["filter[value]"] == "page"
+
+
+def test_facebook_batch_enrich(spark):
+    """Batch-API enrichment (reference facebook_ads/helpers.py:90-128):
+    ids chunked into batch calls executor-side; responses left-join back
+    onto the base rows."""
+    from verified_sources_spark.sources.saas import facebook_batch_enrich
+
+    thumbs = {"a1": "https://t/1.png", "a2": "https://t/2.png", "a3": "https://t/3.png"}
+
+    class BatchTransport:
+        def request(self, url, params):
+            ids = params["ids"].split(",")
+            assert len(ids) <= 2  # chunk cap respected
+            assert params["fields"] == "thumbnail_url"
+            return {"data": [{"id": i, "thumbnail_url": thumbs[i]} for i in ids]}, {}
+
+    def make_client():
+        from verified_sources_spark.sources.rest import RestClient
+
+        return RestClient(BatchTransport())
+
+    creatives = spark.createDataFrame(
+        [("a1", "creative 1"), ("a2", "creative 2"), ("a3", "creative 3"), ("a1", "dup row")],
+        "id string, name string",
+    )
+    out = facebook_batch_enrich(
+        creatives, make_client, "https://fb", ["thumbnail_url"], chunk_size=2, num_slices=2
+    )
+    rows = {(r["id"], r["name"]): r["thumbnail_url"] for r in out.collect()}
+    assert rows == {
+        ("a1", "creative 1"): "https://t/1.png",
+        ("a1", "dup row"): "https://t/1.png",
+        ("a2", "creative 2"): "https://t/2.png",
+        ("a3", "creative 3"): "https://t/3.png",
+    }
+
+
+def test_resize_images_plumbing(spark):
+    from verified_sources_spark.llm.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01" * 500)), (2, bytearray(b"\x02" * 10))],
+        "doc_id long, asset binary",
+    )
+    out = resize_images(df, width=224, height=224)
+    rows = {r["doc_id"]: (r["width"], r["height"], len(r["resized"])) for r in out.collect()}
+    assert rows[1] == (224, 224, 12)  # 224*224//4096 = 12-byte fake payload
+    assert rows[2] == (224, 224, 10)  # capped at input length

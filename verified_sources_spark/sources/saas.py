@@ -859,3 +859,56 @@ def notion_search(
         ),
     )
     return fetch_to_dataframe(spark, client, ep, schema)
+
+
+# ------------------------------------------------------------- facebook ads
+def facebook_batch_enrich(
+    objects: DataFrame,
+    make_client,
+    base_url: str,
+    fields: list[str],
+    id_col: str = "id",
+    chunk_size: int = 50,
+    enrich_schema: str | None = None,
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Batch-API object enrichment (reference
+    sources/facebook_ads/helpers.py:90-128: ``enrich_ad_objects`` queues
+    one ``api_get`` per object into a Facebook batch request and merges
+    each response into its item). Spark-first: distinct object ids are
+    chunked partition-locally into batch calls (one request per
+    ``chunk_size`` ids, executor-side), the per-id field payloads land as
+    a DataFrame, and the merge-into-item step is a left join — the base
+    rows never leave the cluster."""
+    spark = objects.sparkSession
+    if enrich_schema is None:
+        enrich_schema = f"{id_col} string, " + ", ".join(f"{f} string" for f in fields)
+    ids = objects.select(id_col).distinct()
+    n = num_slices or spark.sparkContext.defaultParallelism
+    spread = ids.repartition(min(n, max(1, ids.count())))
+    field_list = ",".join(sorted(fields))
+
+    def run(it):
+        client = make_client()
+        from verified_sources_spark.sources.rest import RestEndpoint
+
+        def flush(chunk):
+            if not chunk:
+                return
+            ep = RestEndpoint(
+                f"{base_url}/batch",
+                params={"ids": ",".join(chunk), "fields": field_list},
+                records_path="data",
+            )
+            yield from client.records(ep)
+
+        chunk: list[str] = []
+        for row in it:
+            chunk.append(str(row[id_col]))
+            if len(chunk) >= chunk_size:
+                yield from flush(chunk)
+                chunk = []
+        yield from flush(chunk)
+
+    enrich = spark.createDataFrame(spread.rdd.mapPartitions(run), enrich_schema)
+    return objects.join(enrich, id_col, "left")
