@@ -1,0 +1,110 @@
+"""ManifestTable: transactional commits, snapshot isolation, time travel,
+pruned merge, vacuum (operators/table_format.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from verified_sources_spark.operators.table_format import CommitConflict, ManifestTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_append_read_roundtrip_with_partitions(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(spark.createDataFrame([("2024-01-01", 1, "a")], "day string, k long, v string"))
+    t.append(spark.createDataFrame([("2024-01-02", 2, "b")], "day string, k long, v string"))
+    df = t.read()
+    assert {c for c in df.columns} == {"day", "k", "v"}  # partition col preserved
+    assert {(str(r["day"]), r["k"], r["v"]) for r in df.collect()} == {
+        ("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"),
+    }
+    assert t.versions() == [1, 2]
+
+
+def test_merge_prunes_and_time_travels(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"), ("2024-01-03", 3, "c")],
+            "day string, k long, v string",
+        )
+    )
+    v1_files = {e["path"] for e in t._manifest(1)["files"]}
+    untouched_v1 = {p for p in v1_files if "day=2024-01-03" in p}
+    assert untouched_v1
+
+    t.merge(
+        spark.createDataFrame([("2024-01-01", 1, "a2")], "day string, k long, v string"),
+        keys=["k"],
+    )
+    v2_files = {e["path"] for e in t._manifest(2)["files"]}
+    # untouched partition's FILES carry over verbatim in the new manifest
+    assert untouched_v1 <= v2_files
+    # touched partition got new files; old ones still on disk (time travel)
+    assert {(r["k"], r["v"]) for r in t.read().select("k", "v").collect()} == {
+        (1, "a2"), (2, "b"), (3, "c"),
+    }
+    assert {(r["k"], r["v"]) for r in t.read(version=1).select("k", "v").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
+def test_snapshot_isolation_reader_pinned_across_merge(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(spark.createDataFrame([("2024-01-01", 1, "a")], "day string, k long, v string"))
+    pinned = t.read(version=1)  # lazy plan holding v1's file list
+    t.merge(
+        spark.createDataFrame([("2024-01-01", 1, "NEW")], "day string, k long, v string"),
+        keys=["k"],
+    )
+    # the pinned reader still sees v1 — its files were not deleted
+    assert [r["v"] for r in pinned.collect()] == ["a"]
+    assert [r["v"] for r in t.read().collect()] == ["NEW"]
+
+
+def test_hard_delete_and_unpartitioned_merge(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(
+        spark.createDataFrame([(1, None, 99)], "k long, v string, del long"),
+        keys=["k"],
+        hard_delete_col="del",
+    )
+    assert _rows(t.read()) == {(2, "b")}
+    assert _rows(t.read(version=1)) == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_drops_unreferenced_files_keeps_latest(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+    t.append(spark.createDataFrame([("2024-01-01", 1, "a")], "day string, k long, v string"))
+    t.merge(
+        spark.createDataFrame([("2024-01-01", 1, "a2")], "day string, k long, v string"),
+        keys=["k"],
+    )
+    deleted = t.vacuum(keep_versions=1)
+    assert deleted  # v1's replaced file went away
+    assert t.versions() == [2]
+    assert [r["v"] for r in t.read().collect()] == ["a2"]
+    with pytest.raises(FileNotFoundError):
+        open(os.path.join(str(tmp_path / "t"), "_manifests", "v1.json"))
+
+
+def test_commit_conflict_on_racing_writer(spark, tmp_path):
+    t1 = ManifestTable(spark, str(tmp_path / "t"))
+    t2 = ManifestTable(spark, str(tmp_path / "t"))
+    t1.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # simulate the race: t2 resolved latest=1, then t1 commits v2 first
+    entries = t2._write_files(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t1.append(spark.createDataFrame([(3, "c")], "k long, v string"))  # commits v2
+    t2.latest_version = lambda: 1  # t2's stale view of the log
+    with pytest.raises(CommitConflict):
+        t2._commit(entries)
+    # the winning commit was not clobbered
+    assert {e["path"] for e in t1._manifest(2)["files"]} >= {
+        e["path"] for e in t1._manifest(1)["files"]
+    }
