@@ -1,0 +1,94 @@
+"""Physical-plan quality gates: the properties that make these queries
+hold up at 100 TB, asserted so a refactor can't silently regress them.
+
+Checks run on the sf0.001 data (plan shape is data-size independent for
+these: broadcasts are literal F.broadcast hints, pushdowns are static).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_joins_broadcast_dims(spark):
+    """q3/q5/rollup broadcast their dimension sides — the fact table never
+    shuffles for the dim join."""
+    for q in ("q3_shipping_priority", "q5_local_supplier_volume", "rollup_revenue"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_filters_reach_the_parquet_scan(spark):
+    """Scan-level predicate pushdown: q6's range filters appear as
+    PushedFilters on the lineitem scan, not as a post-scan Filter only."""
+    plan = _plan(spark, "q6_revenue_change")
+    assert "PushedFilters: [" in plan
+    assert "l_discount" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_projection_prunes_read_schema(spark):
+    """top_k_orders reads 4 columns of orders — the scan's ReadSchema must
+    not include the rest (o_comment etc. stay on disk)."""
+    plan = _plan(spark, "top_k_orders")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema
+
+
+def test_no_cartesian_products_anywhere_in_headline_plans(spark):
+    """No headline query may degenerate into a cartesian product (the
+    near-dup query is all-pairs BY CONTRACT and is excluded)."""
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "rollup_revenue", "semi_join_segment_counts", "anti_join_idle_customers",
+        "as_of_latest_order", "window_top_orders_per_customer",
+        "lsh_candidate_pairs_docs", "cosine_topk_embeddings",
+    ]
+    for q in headline:
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_semi_anti_joins_stay_semi_anti(spark):
+    """Existence filters compile to LeftSemi/LeftAnti joins — never a full
+    join + distinct."""
+    assert "LeftSemi" in _plan(spark, "semi_join_segment_counts")
+    assert "LeftAnti" in _plan(spark, "anti_join_idle_customers")
+
+
+def test_cdc_txn_batches_parallel_plan(spark):
+    """The CDC batching plan keeps every exchange hash/range partitioned
+    (the round-1 single-partition window is structurally gone)."""
+    plan = _plan(spark, "cdc_txn_batches")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_as_of_join_no_explosion(spark):
+    """as-of = union + last-ignorenulls window: exactly zero join nodes
+    (the naive formulation is a range join that explodes)."""
+    plan = _plan(spark, "as_of_latest_order")
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_queries_stay_jvm_side(spark):
+    """Scalar/text queries never leave the JVM: no row-at-a-time Python
+    UDF executors anywhere in the plan. (Plain scalar expressions also
+    whole-stage-codegen — the `*(n)` node prefix; higher-order-function
+    lambdas are CodegenFallback by Spark design but still JVM
+    expressions.)"""
+    for q in ("scalar_functions_showcase", "token_stats_docs", "lang_id_docs",
+              "minhash_signatures_docs", "doc_fingerprints", "quality_score_docs"):
+        plan = _plan(spark, q)
+        assert "BatchEvalPython" not in plan, q   # row-wise Python UDF
+        assert "ArrowEvalPython" not in plan, q   # pandas UDF (none needed here)
+    # the pure-scalar showcase additionally compiles to whole-stage codegen
+    assert "*(" in _plan(spark, "scalar_functions_showcase")
