@@ -749,3 +749,50 @@ def test_resize_images_plumbing(spark):
     rows = {r["doc_id"]: (r["width"], r["height"], len(r["resized"])) for r in out.collect()}
     assert rows[1] == (224, 224, 12)  # 224*224//4096 = 12-byte fake payload
     assert rows[2] == (224, 224, 10)  # capped at input length
+
+
+def test_matomo_report_processing_shapes(spark):
+    """Date-keyed report nesting → rows (reference
+    data_processing.py:12-43): list values, dict values, plain lists."""
+    from verified_sources_spark.sources.saas import (
+        matomo_process_report,
+        matomo_report_to_rows,
+    )
+
+    keyed_lists = {"2024-01-01": [{"v": 1}, {"v": 2}], "2024-01-02": [{"v": 3}]}
+    df = matomo_report_to_rows(spark, keyed_lists, "v long, date string")
+    assert sorted((r["date"], r["v"]) for r in df.collect()) == [
+        ("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3),
+    ]
+
+    keyed_dicts = {"2024-01-01": {"v": 9}}
+    assert matomo_process_report(keyed_dicts) == [{"v": 9, "date": "2024-01-01"}]
+
+    plain = [{"v": 5}, {"v": 6}]
+    assert matomo_process_report(plain) == plain
+
+    scalar_report = {"nb_visits": 10}  # non-nested values → returned whole
+    assert matomo_process_report(scalar_report) == [scalar_report]
+
+
+def test_matomo_remove_active_visits_cutoff_rule(spark):
+    """Reference rule: cut at the LAST active visit, dropping it and all
+    earlier rows — even closed ones before it."""
+    from verified_sources_spark.sources.saas import matomo_remove_active_visits
+
+    NOW = 10_000.0
+    rows = [
+        # idx, first, last           active?
+        (0, 1000.0, 2000.0),       # closed (old)
+        (1, 9000.0, 9900.0),       # ACTIVE (recent, short)
+        (2, 1000.0, 3000.0),       # closed but BEFORE... no, after idx1
+        (3, 1000.0, 4000.0),       # closed
+    ]
+    df = spark.createDataFrame(rows, "idx long, firstActionTimestamp double, lastActionTimestamp double")
+    out = matomo_remove_active_visits(df, visit_timeout_seconds=300,
+                                      visit_max_duration_seconds=3600, now_ts=NOW)
+    assert sorted(r["idx"] for r in out.collect()) == [2, 3]  # idx<=1 dropped
+
+    # no active visits → unchanged
+    closed = matomo_remove_active_visits(df.filter(F.col("idx") > 1), 300, 3600, NOW)
+    assert closed.count() == 2

@@ -912,3 +912,52 @@ def facebook_batch_enrich(
 
     enrich = spark.createDataFrame(spread.rdd.mapPartitions(run), enrich_schema)
     return objects.join(enrich, id_col, "left")
+
+
+# ------------------------------------------------- matomo report processing
+def matomo_process_report(body) -> list[dict]:
+    """Normalize a Matomo report response into rows (reference
+    sources/matomo/helpers/data_processing.py:12-43): a date-keyed dict
+    maps each key's list (or single dict) to rows tagged with that date;
+    a plain list is returned as-is (caller supplies the date); anything
+    else is a scalar report returned unchanged. Runs on ONE API response
+    (response-sized, before landing) — everything after createDataFrame
+    is relational."""
+    out: list[dict] = []
+    if isinstance(body, dict):
+        for key, value in body.items():
+            if isinstance(value, list):
+                for el in value:
+                    out.append({**el, "date": key})
+            elif isinstance(value, dict):
+                out.append({**value, "date": key})
+            else:
+                return [body]
+        return out
+    return [dict(v) for v in body]
+
+
+def matomo_report_to_rows(spark: SparkSession, body, schema: str) -> DataFrame:
+    return spark.createDataFrame(matomo_process_report(body), schema)
+
+
+def matomo_remove_active_visits(
+    visits: DataFrame,
+    visit_timeout_seconds: int,
+    visit_max_duration_seconds: int,
+    now_ts: float,
+    order_col: str = "idx",
+) -> DataFrame:
+    """Drop possibly-still-open visits (reference data_processing.py:46-76):
+    the reference walks the visit list and cuts off at the LAST active
+    visit, discarding it and everything earlier. Relationally: the cutoff
+    is max(order) over active rows (a scalar agg — metadata-sized), and
+    the filter keeps strictly later rows."""
+    active = (
+        (F.lit(now_ts) - F.col("lastActionTimestamp") < visit_timeout_seconds)
+        & (F.lit(now_ts) - F.col("firstActionTimestamp") < visit_max_duration_seconds)
+    )
+    cutoff = visits.filter(active).agg(F.max(order_col).alias("m")).first()["m"]
+    if cutoff is None:
+        return visits
+    return visits.filter(F.col(order_col) > F.lit(cutoff))
