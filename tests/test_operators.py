@@ -229,3 +229,18 @@ def test_dlt_type_map(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         spark_type_for("nope")
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """SURVEY §7 step-4 row: approx_count_distinct (HLL++) — the sketch
+    path for COUNT(DISTINCT) at 100 TB where exactness isn't required.
+    Default rsd=0.05; assert the estimate lands within 10% of exact on
+    the orders customer keys."""
+    import pyspark.sql.functions as F
+
+    from verified_sources_spark.catalog import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey")).first()[0]
+    assert abs(approx - exact) / exact < 0.10
