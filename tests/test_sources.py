@@ -339,3 +339,31 @@ def test_poll_async_job_failure():
     client = RestClient(LocalPagesTransport(pages), sleep=lambda s: None)
     with pytest.raises(TransportError, match="async job failed"):
         poll_async_job(client, "/submit", {})
+
+
+def test_jdbc_scan_plan_pushdown_and_partitioning():
+    """sql_database scan planning: cursor window + projection pushed into
+    the dbtable subquery (run BY the database), split column parallelizes
+    the read."""
+    from verified_sources_spark.sources.jdbc import incremental_scan_plan
+
+    plan = incremental_scan_plan(
+        "jdbc:postgresql://db/x", "public.orders", "updated_at",
+        last_value="2024-01-01", end_value="2024-02-01",
+        columns=["id", "updated_at", "total"],
+        split_column="id", bounds=(0, 1_000_000), num_partitions=16,
+    )
+    opts = plan.reader_options()
+    assert opts["dbtable"] == (
+        "(SELECT id, updated_at, total FROM public.orders "
+        "WHERE (updated_at >= '2024-01-01') AND (updated_at < '2024-02-01')) AS src"
+    )
+    assert opts["partitionColumn"] == "id" and opts["numPartitions"] == "16"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000000"
+
+    import pytest
+
+    from verified_sources_spark.sources.jdbc import JdbcScanPlan
+
+    with pytest.raises(ValueError):
+        JdbcScanPlan("u", "t", split_column="id").reader_options()  # bounds required
