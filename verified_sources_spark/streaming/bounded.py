@@ -63,13 +63,16 @@ def run_available_now(
 def foreach_batch_merge(
     stream_df: DataFrame,
     checkpoint_dir: str,
-    sink: ParquetSink,
+    sink,  # anything with .merge(df, keys=..., dedup_sort=...): ParquetSink | ManifestTable
     keys: Sequence[str],
     dedup_sort: Sequence[str] | None = None,
 ) -> StreamingQuery:
     """AvailableNow run that MERGEs each micro-batch into the sink by key.
     At-least-once delivery + keyed merge = effective exactly-once for the
-    table state (the reference's late/duplicate model, §2.11)."""
+    table state (the reference's late/duplicate model, §2.11).  With a
+    ManifestTable sink every micro-batch is one atomic manifest commit —
+    a crashed batch retries into a NEW version, readers never see a
+    half-applied batch."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sink.merge(batch_df, keys=keys, dedup_sort=dedup_sort)
