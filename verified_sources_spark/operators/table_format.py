@@ -160,9 +160,10 @@ class ManifestTable:
             merged = merge_dataframes(target, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
             # full rewrite is correct for unpartitioned tables; the commit
-            # is still atomic and old versions still time-travel
-            entries = self._write_files(merged.localCheckpoint())
-            return self._commit(entries)
+            # is still atomic and old versions still time-travel. The lazy
+            # plan reads the CURRENT files while staging new ones — safe
+            # because data files are immutable (nothing rewrites in place)
+            return self._commit(self._write_files(merged))
 
         target = self.read()
         pcols = self.partition_by
