@@ -108,3 +108,18 @@ def test_commit_conflict_on_racing_writer(spark, tmp_path):
     assert {e["path"] for e in t1._manifest(2)["files"]} >= {
         e["path"] for e in t1._manifest(1)["files"]
     }
+
+
+def test_delete_everything_keeps_schema(spark, tmp_path):
+    """A merge that hard-deletes every row commits an EMPTY version that
+    still reads back with the table's schema (recorded in the manifest)."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(
+        spark.createDataFrame([(1, None, 9)], "k long, v string, del long"),
+        keys=["k"],
+        hard_delete_col="del",
+    )
+    empty = t.read()
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v"}

@@ -68,12 +68,19 @@ class ManifestTable:
         with open(f"{self._manifests}/v{version}.json") as f:
             return json.load(f)
 
-    def _commit(self, entries: list[dict]) -> int:
+    def _commit(self, entries: list[dict], schema_json: str | None = None) -> int:
         """Atomically create the next manifest version (exclusive create —
-        a racing writer raises CommitConflict instead of clobbering)."""
+        a racing writer raises CommitConflict instead of clobbering).
+        ``schema_json`` is recorded so an all-rows-deleted (empty-file)
+        version still reads back with the right schema."""
         os.makedirs(self._manifests, exist_ok=True)
         v = (self.latest_version() or 0) + 1
-        manifest = {"version": v, "partition_by": self.partition_by, "files": entries}
+        manifest = {
+            "version": v,
+            "partition_by": self.partition_by,
+            "files": entries,
+            "schema": schema_json,
+        }
         try:
             with open(f"{self._manifests}/v{v}.json", "x") as f:
                 json.dump(manifest, f)
@@ -122,9 +129,17 @@ class ManifestTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version in {self.path}")
-        files = [f"{self.path}/{e['path']}" for e in self._manifest(v)["files"]]
+        m = self._manifest(v)
+        files = [f"{self.path}/{e['path']}" for e in m["files"]]
         if not files:
-            return self.spark.createDataFrame([], "x int").limit(0)
+            import pyspark.sql.types as T
+
+            schema_json = m.get("schema")
+            if schema_json is None:
+                raise FileNotFoundError(f"version {v} is empty and has no schema")
+            return self.spark.createDataFrame([], T.StructType.fromJson(
+                __import__("json").loads(schema_json)
+            ))
         return (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self._data)
@@ -134,10 +149,10 @@ class ManifestTable:
     # --------------------------------------------------------------- writes
     def append(self, df: DataFrame) -> int:
         prev = self._manifest(self.latest_version())["files"] if self.exists() else []
-        return self._commit(prev + self._write_files(df))
+        return self._commit(prev + self._write_files(df), df.schema.json())
 
     def replace(self, df: DataFrame) -> int:
-        return self._commit(self._write_files(df))
+        return self._commit(self._write_files(df), df.schema.json())
 
     def merge(
         self,
@@ -154,7 +169,7 @@ class ManifestTable:
         if not self.exists():
             merged = merge_dataframes(None, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
-            return self._commit(self._write_files(merged))
+            return self._commit(self._write_files(merged), merged.schema.json())
         if not self.partition_by:
             target = self.read()
             merged = merge_dataframes(target, df, keys, dedup_sort=dedup_sort,
@@ -163,7 +178,7 @@ class ManifestTable:
             # is still atomic and old versions still time-travel. The lazy
             # plan reads the CURRENT files while staging new ones — safe
             # because data files are immutable (nothing rewrites in place)
-            return self._commit(self._write_files(merged))
+            return self._commit(self._write_files(merged), merged.schema.json())
 
         target = self.read()
         pcols = self.partition_by
@@ -196,7 +211,7 @@ class ManifestTable:
         # localCheckpoint: materialize BEFORE committing so the new files
         # are complete when the manifest lands (commit is the atomic point)
         new_entries = self._write_files(merged)
-        return self._commit(keep + new_entries)
+        return self._commit(keep + new_entries, merged.schema.json())
 
     # -------------------------------------------------------------- vacuum
     def vacuum(self, keep_versions: int = 1) -> list[str]:
