@@ -157,3 +157,25 @@ def test_rest_early_stop_on_cursor_bound():
     recs = list(client.records(ep))
     assert [r["id"] for r in recs] == [3, 2, 1]  # page 2 yielded, page 3 never fetched
     assert len(client.transport.calls) == 2
+
+
+def test_partition_pruned_merge_with_hive_escaped_values(spark, tmp_path):
+    """Partition values Spark hive-escapes in dir names (':' -> %3A) must
+    still swap correctly — dir names are resolved by listing + decoding,
+    never by re-encoding."""
+    root = str(tmp_path / "t")
+    sink = ParquetSink(spark, root, partition_by=["shard"])
+    sink.append(
+        spark.createDataFrame(
+            [("us:east", 1, "a"), ("eu:west", 2, "b")], "shard string, k long, v string"
+        )
+    )
+    before = _partition_file_bytes(root, "shard=eu%3Awest")
+    assert before  # writer escaped the colon
+    sink.merge(
+        spark.createDataFrame([("us:east", 1, "a2")], "shard string, k long, v string"),
+        keys=["k"],
+    )
+    assert _partition_file_bytes(root, "shard=eu%3Awest") == before  # untouched
+    rows = {r["k"]: (r["shard"], r["v"]) for r in sink.read().collect()}
+    assert rows == {1: ("us:east", "a2"), 2: ("eu:west", "b")}

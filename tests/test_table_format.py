@@ -123,3 +123,22 @@ def test_delete_everything_keeps_schema(spark, tmp_path):
     empty = t.read()
     assert empty.count() == 0
     assert set(empty.columns) == {"k", "v"}
+
+
+def test_manifest_merge_with_hive_escaped_partition_values(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["shard"])
+    t.append(
+        spark.createDataFrame(
+            [("us:east", 1, "a"), ("eu:west", 2, "b")], "shard string, k long, v string"
+        )
+    )
+    t.merge(
+        spark.createDataFrame([("us:east", 1, "a2")], "shard string, k long, v string"),
+        keys=["k"],
+    )
+    rows = {r["k"]: (r["shard"], r["v"]) for r in t.read().collect()}
+    assert rows == {1: ("us:east", "a2"), 2: ("eu:west", "b")}
+    # untouched eu:west file carried over verbatim into v2
+    v1 = {e["path"] for e in t._manifest(1)["files"] if e["partition"]["shard"] == "eu:west"}
+    v2 = {e["path"] for e in t._manifest(2)["files"]}
+    assert v1 and v1 <= v2

@@ -119,13 +119,47 @@ class ParquetSink:
 
     @staticmethod
     def _part_dir_value(v) -> str:
-        """Value → hive partition-dir fragment (matches Spark's writer for
-        the types our dispositions use: str/int/date/bool/None)."""
+        """Value → UNESCAPED partition value string (canonical form used
+        for matching; directory names are matched by percent-DECODING what
+        the writer produced, never by re-encoding)."""
         if v is None:
             return "__HIVE_DEFAULT_PARTITION__"
         if isinstance(v, bool):
             return "true" if v else "false"
         return str(v)
+
+    def _partition_dirs(self, root: str) -> dict[tuple, str]:
+        """Map canonical partition-value tuple → relative dir fragment by
+        LISTING what the writer actually wrote and percent-decoding the
+        hive-escaped dir names (Spark escapes ':', '%', etc. as %XX —
+        reconstructing names by re-encoding would have to replicate the
+        exact escape set; decoding is the safe direction)."""
+        from urllib.parse import unquote
+
+        pcols = list(self.partition_by)
+        out: dict[tuple, str] = {}
+
+        def walk(d: str, depth: int, frag_parts: list[str], vals: list[str]):
+            if depth == len(pcols):
+                out[tuple(vals)] = "/".join(frag_parts)
+                return
+            if not os.path.isdir(d):
+                return
+            for name in os.listdir(d):
+                if "=" not in name:
+                    continue
+                col, _, raw = name.partition("=")
+                if col != pcols[depth]:
+                    continue
+                walk(
+                    os.path.join(d, name),
+                    depth + 1,
+                    frag_parts + [name],
+                    vals + [unquote(raw)],
+                )
+
+        walk(root, 0, [], [])
+        return out
 
     def _touched_partitions(
         self, target: DataFrame, df: DataFrame, keys: Sequence[str]
@@ -200,16 +234,19 @@ class ParquetSink:
         # partition overwrite alone would leave its stale files behind.
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         self._writer(merged).mode("overwrite").parquet(tmp)
+        # resolve actual (hive-escaped) dir names by listing, never by
+        # re-encoding values — ':' and friends become %XX on disk
+        tmp_dirs = self._partition_dirs(tmp)
+        tgt_dirs = self._partition_dirs(self.path)
         for vals in touched:
-            frag = "/".join(
-                f"{c}={self._part_dir_value(v)}" for c, v in zip(pcols, vals)
-            )
-            tgt_dir, tmp_dir = f"{self.path}/{frag}", f"{tmp}/{frag}"
-            if os.path.isdir(tgt_dir):
-                shutil.rmtree(tgt_dir)
-            if os.path.isdir(tmp_dir):
-                os.makedirs(os.path.dirname(tgt_dir), exist_ok=True)
-                os.replace(tmp_dir, tgt_dir)
+            key = tuple(self._part_dir_value(v) for v in vals)
+            tgt_frag, tmp_frag = tgt_dirs.get(key), tmp_dirs.get(key)
+            if tgt_frag is not None:
+                shutil.rmtree(f"{self.path}/{tgt_frag}")
+            if tmp_frag is not None:
+                dst = f"{self.path}/{tgt_frag or tmp_frag}"
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(f"{tmp}/{tmp_frag}", dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def write(self, df: DataFrame, disposition: str = "append", **kwargs) -> None:

@@ -104,9 +104,14 @@ class ManifestTable:
             rel = os.path.relpath(dirpath, tmp)
             part: dict[str, str] = {}
             if rel != ".":
+                from urllib.parse import unquote
+
                 for seg in rel.split(os.sep):
                     k, _, val = seg.partition("=")
-                    part[k] = val
+                    # store CANONICAL (percent-decoded) values: the writer
+                    # hive-escapes ':' etc. as %XX in dir names, and merge
+                    # matches against str()-rendered row values
+                    part[k] = unquote(val)
             for fname in files:
                 if not fname.endswith(".parquet"):
                     continue
