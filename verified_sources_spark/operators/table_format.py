@@ -190,8 +190,13 @@ class ManifestTable:
         src_keys = df.select(*keys).distinct()
         tgt_parts = target.join(src_keys, on=list(keys), how="left_semi").select(*pcols)
         src_parts = df.select(*pcols)
+        # canonical rendering shared with the dir-name side (None →
+        # __HIVE_DEFAULT_PARTITION__, bools lowercase)
+        from verified_sources_spark.operators.merge import ParquetSink
+
+        canon = ParquetSink._part_dir_value
         touched = {
-            tuple(str(r[c]) for c in pcols)
+            tuple(canon(r[c]) for c in pcols)
             for r in tgt_parts.unionByName(src_parts).distinct().collect()
         }
         prev_entries = self._manifest(self.latest_version())["files"]
