@@ -67,3 +67,16 @@ def test_manifest_format_pipeline_time_travels(spark, tmp_path):
     sink = p.sink("t")
     assert [r["v"] for r in sink.read(version=1).collect()] == ["a"]
     assert [r["v"] for r in p.read("t").collect()] == ["a2"]
+
+
+def test_run_source_multi_table(spark, tmp_path):
+    """dlt.source analogue: one call loads every resource of a source
+    (e.g. ga4_metadata_tables' metrics + dimensions dict)."""
+    p = pipeline(spark, str(tmp_path / "ds"))
+    tables = {
+        "metrics": spark.createDataFrame([("activeUsers",)], "api_name string"),
+        "dimensions": spark.createDataFrame([("country",), ("city",)], "api_name string"),
+    }
+    infos = p.run_source(tables, write_disposition="replace")
+    assert [(i.table, i.rows_loaded) for i in infos] == [("metrics", 1), ("dimensions", 2)]
+    assert p.read("dimensions").count() == 2

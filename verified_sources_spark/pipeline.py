@@ -129,6 +129,27 @@ class Pipeline:
         return LoadInfo(table_name, write_disposition, rows, cursor_val)
 
 
+    def run_source(
+        self,
+        tables: dict[str, DataFrame],
+        write_disposition: str = "append",
+        primary_keys: dict[str, Any] | None = None,
+        **kwargs,
+    ) -> list[LoadInfo]:
+        """Load a multi-resource source (the reference's ``dlt.source``
+        yields several resources; here: table name → DataFrame). A shared
+        disposition applies to every table; per-table primary keys come
+        from ``primary_keys``."""
+        infos = []
+        for name, df in tables.items():
+            pk = (primary_keys or {}).get(name)
+            infos.append(
+                self.run(df, name, write_disposition=write_disposition,
+                         primary_key=pk, **kwargs)
+            )
+        return infos
+
+
 def pipeline(
     spark: SparkSession, dataset_path: str, name: str = "pipeline", **kwargs
 ) -> Pipeline:
