@@ -367,3 +367,32 @@ def test_jdbc_scan_plan_pushdown_and_partitioning():
 
     with pytest.raises(ValueError):
         JdbcScanPlan("u", "t", split_column="id").reader_options()  # bounds required
+
+
+def test_row_order_pushdown_with_early_stop():
+    """dlt row_order (§2.3): the sort is pushed into the request params so
+    the server returns ordered rows; descending + stop_when on the cursor
+    bound stops paging one page past the watermark."""
+    pages = {
+        "/ordered": [
+            ({"data": [{"id": 5, "updated": 50}, {"id": 4, "updated": 40}]}, {}),
+            ({"data": [{"id": 3, "updated": 30}, {"id": 2, "updated": 20}]}, {}),
+            ({"data": [{"id": 1, "updated": 10}]}, {}),
+        ]
+    }
+    c, _ = _client(pages)
+    ep = RestEndpoint(
+        "/ordered",
+        paginator=OffsetPaginator(limit=2),
+        row_order=("updated", "desc"),
+        stop_when=lambda r: r["updated"] < 35,  # watermark: 35
+    )
+    recs = list(c.records(ep))
+    assert [r["id"] for r in recs] == [5, 4, 3, 2]  # page 2 still yields
+    assert len(c.transport.calls) == 2              # page 3 never fetched
+    assert c.transport.calls[0][1]["order"] == "updated.desc"  # pushed down
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        RestEndpoint("/x", row_order=("updated", "sideways"))

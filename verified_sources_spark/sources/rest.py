@@ -272,13 +272,34 @@ class RestEndpoint:
 
     ``stop_when(record) -> bool``: early-termination predicate — stop
     paging after the page containing the first matching record (use with
-    server-side sort + a cursor bound)."""
+    server-side sort + a cursor bound).
+
+    ``row_order``: the dlt ``row_order`` sort pushdown — (column,
+    direction, param_name, template) rendered into the request params so
+    the SERVER returns rows sorted; descending order + ``stop_when`` on
+    the cursor bound is the reference's start_out_of_range early stop
+    (one request past the watermark instead of the full history)."""
 
     url: str
     params: dict[str, Any] = field(default_factory=dict)
     records_path: str = "data"
     paginator: Paginator = field(default_factory=OffsetPaginator)
     stop_when: Callable[[dict], bool] | None = None
+    row_order: tuple[str, str] | None = None  # (column, "asc"|"desc")
+    row_order_param: str = "order"
+    row_order_template: str = "{column}.{direction}"
+
+    def __post_init__(self):
+        if self.row_order is not None:
+            col, direction = self.row_order
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"row_order direction must be asc|desc, got {direction!r}")
+            self.params = {
+                **self.params,
+                self.row_order_param: self.row_order_template.format(
+                    column=col, direction=direction
+                ),
+            }
 
 
 class RestClient:
