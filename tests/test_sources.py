@@ -396,3 +396,43 @@ def test_row_order_pushdown_with_early_stop():
 
     with pytest.raises(ValueError):
         RestEndpoint("/x", row_order=("updated", "sideways"))
+
+
+def test_kinesis_shard_iterator_resolution_with_reshard_children():
+    """Reference get_shard_iterator rules + child-shard follow-up: stored
+    sequence resumes AFTER_SEQUENCE_NUMBER; a reshard child whose parent
+    has consumed state starts TRIM_HORIZON (never LATEST — that would
+    drop the child's backlog); fresh streams honor the initial position."""
+    from verified_sources_spark.sources.streams import resolve_shard_iterators
+
+    shards = [
+        {"shard_id": "s1", "parent_shard_id": None},
+        {"shard_id": "s2", "parent_shard_id": None},
+        {"shard_id": "s2-child", "parent_shard_id": "s2"},   # from a reshard
+        {"shard_id": "s3", "parent_shard_id": "never-seen"},
+    ]
+    state = {"s1": "49590", "s2": "49600"}
+    out = resolve_shard_iterators(shards, state, initial_at_timestamp=0.0)
+    assert out["s1"] == {"ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                         "StartingSequenceNumber": "49590"}
+    assert out["s2-child"] == {"ShardIteratorType": "TRIM_HORIZON"}
+    assert out["s3"] == {"ShardIteratorType": "LATEST"}  # initial position 0.0
+    # timestamp + fallback variants
+    out2 = resolve_shard_iterators([{"shard_id": "x"}], {}, initial_at_timestamp=1700000000.0)
+    assert out2["x"]["ShardIteratorType"] == "AT_TIMESTAMP"
+    assert resolve_shard_iterators([{"shard_id": "y"}], {})["y"] == {
+        "ShardIteratorType": "TRIM_HORIZON"
+    }
+
+
+def test_spreadsheet_info_catalog_table(spark):
+    from verified_sources_spark.sources.sheets import spreadsheet_info
+
+    meta = spreadsheet_info(spark, [
+        {"title": "Sales", "range": "A1:C10",
+         "grid": [["Date", "Amount", "Note"], [45292.5, 10, "x"]]},
+        {"title": "Empty", "range": "A1:A1", "grid": []},
+    ])
+    rows = {r["title"]: (r["n_rows"], r["n_cols"], list(r["headers"])) for r in meta.collect()}
+    assert rows["Sales"] == (2, 3, ["date", "amount", "note"])
+    assert rows["Empty"] == (0, 0, [])

@@ -79,3 +79,25 @@ def grid_to_dataframe(
     return spark.createDataFrame(rows, schema=", ".join(f"`{h}` string" for h in headers)) if not rows else (
         spark.createDataFrame(rows, schema=headers)
     )
+
+
+def spreadsheet_info(
+    spark, sheets: list[dict]
+):
+    """The reference's ``spreadsheet_info`` metadata catalog table
+    (sources/google_sheets/__init__.py:143-152): one row per loaded
+    range with its title, A1 range, and grid dimensions — loaded
+    replace-mode alongside the data tables."""
+    rows = [
+        {
+            "title": s["title"],
+            "range": s.get("range", ""),
+            "n_rows": len(s.get("grid", [])),
+            "n_cols": max((len(r) for r in s.get("grid", [])), default=0),
+            "headers": detect_headers(s["grid"][0]) if s.get("grid") else [],
+        }
+        for s in sheets
+    ]
+    return spark.createDataFrame(
+        rows, "title string, range string, n_rows int, n_cols int, headers array<string>"
+    )

@@ -107,3 +107,47 @@ def timestamp_bounded(
     if end is not None:
         messages = messages.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
     return messages
+
+
+def resolve_shard_iterators(
+    shards: list[dict],
+    sequence_state: dict[str, str] | None,
+    initial_at_timestamp: float | None = None,
+) -> dict[str, dict]:
+    """Kinesis shard-iterator resolution incl. child-shard follow-up
+    (reference sources/kinesis/helpers.py:8-43): per shard —
+
+    - a stored sequence → AFTER_SEQUENCE_NUMBER (resume exactly past it);
+    - no sequence, but the PARENT shard has consumed state → the shard is
+      a reshard child: TRIM_HORIZON so the handoff loses nothing
+      (resuming a resharded stream at LATEST would drop the child's
+      backlog);
+    - otherwise the configured initial position: None → TRIM_HORIZON,
+      0.0 → LATEST, a timestamp → AT_TIMESTAMP.
+
+    ``shards``: [{"shard_id": ..., "parent_shard_id": ...}]. Returns
+    shard_id → iterator params (driver-side, metadata-sized — one entry
+    per shard, like the reference's per-shard incremental state).
+    """
+    state = dict(sequence_state or {})
+    out: dict[str, dict] = {}
+    for sh in shards:
+        sid = sh["shard_id"]
+        seq = state.get(sid)
+        if seq:
+            out[sid] = {
+                "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                "StartingSequenceNumber": seq,
+            }
+        elif sh.get("parent_shard_id") in state:
+            out[sid] = {"ShardIteratorType": "TRIM_HORIZON"}  # reshard child
+        elif initial_at_timestamp is None:
+            out[sid] = {"ShardIteratorType": "TRIM_HORIZON"}
+        elif initial_at_timestamp == 0.0:
+            out[sid] = {"ShardIteratorType": "LATEST"}
+        else:
+            out[sid] = {
+                "ShardIteratorType": "AT_TIMESTAMP",
+                "Timestamp": initial_at_timestamp,
+            }
+    return out
