@@ -53,6 +53,53 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert 0.5 < jac[(1, 2)] < 1.0
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """Over-cap buckets degrade to star pairs (bounded, connected) instead of
+    quadratic expansion; small buckets are unaffected."""
+    n_hot = 2000
+    boiler = "accept all cookies to continue reading this templated page " * 3
+    rows = [(i, boiler) for i in range(n_hot)]
+    # a small near-dup pair that must still expand through the normal path
+    rows += [
+        (100001, "spark engines process distributed dataframes quickly"),
+        (100002, "spark engines process distributed dataframes quickly"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 64
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", max_bucket_size=cap).collect()
+    hot = [(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 100000]
+    small = [(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] >= 100000]
+    # linear star/sub-star expansion, not the O(n^2) ~2M pairs of full LSH
+    assert len(hot) < n_hot * 8
+    # every hot doc is connected to doc 0 through the star edges (what
+    # dedup grouping needs from a hot bucket)
+    parent = list(range(n_hot))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in hot:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_hot)}) == 1
+    assert (100001, 100002) in small
+    # the normal corpus is unchanged by the cap (all buckets under it)
+    base = _docs(spark)
+    default_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(base, "doc_id", "text", shingle_n=2).collect()
+    }
+    uncapped_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            base, "doc_id", "text", shingle_n=2, max_bucket_size=10**9
+        ).collect()
+    }
+    assert default_pairs == uncapped_pairs
+
+
 def test_simhash(spark):
     d = _docs(spark)
     sig = {r["doc_id"]: r["simhash"] for r in simhash64(d, "doc_id", "text").collect()}
