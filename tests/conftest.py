@@ -22,3 +22,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(params=["local", "hadoop"])
+def sink_fs(request, spark):
+    """Both sink-commit FS backends: POSIX and Hadoop FileSystem (the
+    object-store-shaped path). Sink/table-format tests run on each."""
+    from verified_sources_spark.operators.fs import HadoopFS, LocalFS
+
+    return LocalFS() if request.param == "local" else HadoopFS(spark)

@@ -15,14 +15,19 @@ sources/pg_replication/helpers.py:758-773) expressed Spark-first:
   target the shuffle disappears.
 
 - ``ParquetSink`` materializes the dispositions on plain parquet
-  directories with atomic swap (write tmp → rename), the closest we get to
-  transactional semantics without a table format dependency.
+  directories with rename-based swap (write tmp → rename aside → rename
+  in → delete staged), the closest we get to transactional semantics
+  without a table format dependency.  Crash-consistency here is
+  best-effort (a crash mid-swap leaves hidden ``.__old`` staging dirs to
+  recover from); use ``ManifestTable`` when the commit itself must be
+  atomic.  All driver-side file operations go through
+  ``operators.fs.FS`` — ``HadoopFS`` by default, so the same commit code
+  runs against hdfs:// / s3a:// / abfs:// paths, not only a local disk.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 import uuid
 from collections.abc import Sequence
 
@@ -30,6 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from verified_sources_spark.operators.dedup import keep_latest
+from verified_sources_spark.operators.fs import FS, HadoopFS
 
 
 def merge_dataframes(
@@ -73,13 +79,20 @@ class ParquetSink:
     change.)
     """
 
-    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] | None = None,
+        fs: FS | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by or [])
+        self.fs = fs if fs is not None else HadoopFS(spark)
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and bool(os.listdir(self.path))
+        return self.fs.isdir(self.path) and bool(self.fs.listdir(self.path))
 
     def read(self) -> DataFrame:
         # mergeSchema: tolerate column drift across appended batches
@@ -97,11 +110,20 @@ class ParquetSink:
         self._writer(df).mode("append").parquet(self.path)
 
     def replace(self, df: DataFrame) -> None:
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        # rename-aside: the old table moves to a sibling staging name and is
+        # deleted only after the new one is in place, so a crash at any
+        # single point leaves either the old or the new table intact (plus,
+        # at worst, a leftover staging dir to clean up)
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{self.path}.__tmp_{token}"
         self._writer(df).mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        aside = None
+        if self.fs.isdir(self.path):
+            aside = f"{self.path}.__old_{token}"
+            self.fs.rename(self.path, aside)
+        self.fs.rename(tmp, self.path)
+        if aside is not None:
+            self.fs.rmtree(aside, ignore_errors=True)
 
     def replace_partitions(self, df: DataFrame) -> None:
         """Dynamic partition overwrite: rewrite ONLY the partitions present
@@ -143,16 +165,16 @@ class ParquetSink:
             if depth == len(pcols):
                 out[tuple(vals)] = "/".join(frag_parts)
                 return
-            if not os.path.isdir(d):
+            if not self.fs.isdir(d):
                 return
-            for name in os.listdir(d):
+            for name in self.fs.listdir(d):
                 if "=" not in name:
                     continue
                 col, _, raw = name.partition("=")
                 if col != pcols[depth]:
                     continue
                 walk(
-                    os.path.join(d, name),
+                    posixpath.join(d, name),
                     depth + 1,
                     frag_parts + [name],
                     vals + [unquote(raw)],
@@ -232,22 +254,34 @@ class ParquetSink:
         # swap at partition-directory granularity. A partition emptied by
         # hard deletes is absent from tmp and simply removed — dynamic
         # partition overwrite alone would leave its stale files behind.
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{self.path}.__tmp_{token}"
         self._writer(merged).mode("overwrite").parquet(tmp)
         # resolve actual (hive-escaped) dir names by listing, never by
         # re-encoding values — ':' and friends become %XX on disk
         tmp_dirs = self._partition_dirs(tmp)
         tgt_dirs = self._partition_dirs(self.path)
-        for vals in touched:
+        # rename-aside swap: old partition dirs move to dot-prefixed staging
+        # names (invisible to Spark's file listing) and are deleted only
+        # after every new partition is in place — a crash mid-loop leaves
+        # recoverable staged dirs, never a half-deleted partition
+        staged: list[str] = []
+        for i, vals in enumerate(touched):
             key = tuple(self._part_dir_value(v) for v in vals)
             tgt_frag, tmp_frag = tgt_dirs.get(key), tmp_dirs.get(key)
             if tgt_frag is not None:
-                shutil.rmtree(f"{self.path}/{tgt_frag}")
+                aside = f"{self.path}/.__old_{token}_{i}"
+                self.fs.rename(f"{self.path}/{tgt_frag}", aside)
+                staged.append(aside)
             if tmp_frag is not None:
                 dst = f"{self.path}/{tgt_frag or tmp_frag}"
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(f"{tmp}/{tmp_frag}", dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+                parent = posixpath.dirname(dst)
+                if parent:
+                    self.fs.makedirs(parent)
+                self.fs.rename(f"{tmp}/{tmp_frag}", dst)
+        for aside in staged:
+            self.fs.rmtree(aside, ignore_errors=True)
+        self.fs.rmtree(tmp, ignore_errors=True)
 
     def write(self, df: DataFrame, disposition: str = "append", **kwargs) -> None:
         if disposition == "append":
