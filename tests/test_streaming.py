@@ -139,3 +139,55 @@ def test_streaming_cdc_into_manifest_table_exactly_once(spark, tmp_path):
         (1, "a2"), (2, "b9"),
     }
     assert table.latest_version() > v_before  # new commits, same state
+
+
+def test_idempotent_streaming_commits_survive_batch_replay(spark, tmp_path):
+    """A micro-batch that COMMITTED to the ManifestTable but crashed before
+    the checkpoint advanced is replayed by Spark on restart with the same
+    batch_id — the (stream_id, batch_id) recorded inside the manifest lets
+    the sink skip it: same final table state, exactly one table version per
+    unique batch."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from verified_sources_spark.operators.table_format import ManifestTable
+
+    class CrashAfterCommitTable(ManifestTable):
+        crash_armed = True
+
+        def merge(self, *args, **kwargs):
+            v = super().merge(*args, **kwargs)
+            if CrashAfterCommitTable.crash_armed:
+                CrashAfterCommitTable.crash_armed = False
+                raise RuntimeError("simulated crash after commit, before checkpoint")
+            return v
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.json", [{"id": 1, "v": "a", "seq": 1}, {"id": 2, "v": "b", "seq": 1}])
+    _write_batch(src, "b2.json", [{"id": 3, "v": "c", "seq": 1}])
+
+    table = CrashAfterCommitTable(spark, str(tmp_path / "t"))
+    # one file per trigger → two micro-batches; the first one commits v1
+    # then "crashes" before Spark records batch completion
+    stream = bounded_file_stream(spark, str(src), SCHEMA, max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException):
+        foreach_batch_merge(
+            stream, str(tmp_path / "ck"), table, keys=["id"], dedup_sort=["seq"],
+            stream_id="s1",
+        )
+    assert table.versions() == [1]
+    assert table.last_batch_id("s1") == 0
+
+    # restart: Spark replays batch 0 (same data, same id) — skipped — then
+    # processes batch 1
+    stream2 = bounded_file_stream(spark, str(src), SCHEMA, max_files_per_trigger=1)
+    foreach_batch_merge(
+        stream2, str(tmp_path / "ck"), table, keys=["id"], dedup_sort=["seq"],
+        stream_id="s1",
+    )
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # ONE version per unique batch — the replay did not create a duplicate
+    assert table.versions() == [1, 2]
+    assert table.last_batch_id("s1") == 1

@@ -14,8 +14,8 @@ def _rows(df):
     return {tuple(r) for r in df.collect()}
 
 
-def test_append_read_roundtrip_with_partitions(spark, tmp_path):
-    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+def test_append_read_roundtrip_with_partitions(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
     t.append(spark.createDataFrame([("2024-01-01", 1, "a")], "day string, k long, v string"))
     t.append(spark.createDataFrame([("2024-01-02", 2, "b")], "day string, k long, v string"))
     df = t.read()
@@ -26,8 +26,8 @@ def test_append_read_roundtrip_with_partitions(spark, tmp_path):
     assert t.versions() == [1, 2]
 
 
-def test_merge_prunes_and_time_travels(spark, tmp_path):
-    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+def test_merge_prunes_and_time_travels(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
     t.append(
         spark.createDataFrame(
             [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"), ("2024-01-03", 3, "c")],
@@ -54,8 +54,8 @@ def test_merge_prunes_and_time_travels(spark, tmp_path):
     }
 
 
-def test_snapshot_isolation_reader_pinned_across_merge(spark, tmp_path):
-    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+def test_snapshot_isolation_reader_pinned_across_merge(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
     t.append(spark.createDataFrame([("2024-01-01", 1, "a")], "day string, k long, v string"))
     pinned = t.read(version=1)  # lazy plan holding v1's file list
     t.merge(
@@ -67,8 +67,8 @@ def test_snapshot_isolation_reader_pinned_across_merge(spark, tmp_path):
     assert [r["v"] for r in t.read().collect()] == ["NEW"]
 
 
-def test_hard_delete_and_unpartitioned_merge(spark, tmp_path):
-    t = ManifestTable(spark, str(tmp_path / "t"))
+def test_hard_delete_and_unpartitioned_merge(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
     t.merge(
         spark.createDataFrame([(1, None, 99)], "k long, v string, del long"),
@@ -79,8 +79,8 @@ def test_hard_delete_and_unpartitioned_merge(spark, tmp_path):
     assert _rows(t.read(version=1)) == {(1, "a"), (2, "b")}
 
 
-def test_vacuum_drops_unreferenced_files_keeps_latest(spark, tmp_path):
-    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"])
+def test_vacuum_drops_unreferenced_files_keeps_latest(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
     t.append(spark.createDataFrame([("2024-01-01", 1, "a")], "day string, k long, v string"))
     t.merge(
         spark.createDataFrame([("2024-01-01", 1, "a2")], "day string, k long, v string"),
@@ -94,9 +94,9 @@ def test_vacuum_drops_unreferenced_files_keeps_latest(spark, tmp_path):
         open(os.path.join(str(tmp_path / "t"), "_manifests", "v1.json"))
 
 
-def test_commit_conflict_on_racing_writer(spark, tmp_path):
-    t1 = ManifestTable(spark, str(tmp_path / "t"))
-    t2 = ManifestTable(spark, str(tmp_path / "t"))
+def test_commit_conflict_on_racing_writer(spark, tmp_path, sink_fs):
+    t1 = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    t2 = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     t1.append(spark.createDataFrame([(1, "a")], "k long, v string"))
     # simulate the race: t2 resolved latest=1, then t1 commits v2 first
     entries = t2._write_files(spark.createDataFrame([(2, "b")], "k long, v string"))
@@ -110,10 +110,10 @@ def test_commit_conflict_on_racing_writer(spark, tmp_path):
     }
 
 
-def test_delete_everything_keeps_schema(spark, tmp_path):
+def test_delete_everything_keeps_schema(spark, tmp_path, sink_fs):
     """A merge that hard-deletes every row commits an EMPTY version that
     still reads back with the table's schema (recorded in the manifest)."""
-    t = ManifestTable(spark, str(tmp_path / "t"))
+    t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
     t.merge(
         spark.createDataFrame([(1, None, 9)], "k long, v string, del long"),
@@ -125,8 +125,8 @@ def test_delete_everything_keeps_schema(spark, tmp_path):
     assert set(empty.columns) == {"k", "v"}
 
 
-def test_manifest_merge_with_hive_escaped_partition_values(spark, tmp_path):
-    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["shard"])
+def test_manifest_merge_with_hive_escaped_partition_values(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["shard"], fs=sink_fs)
     t.append(
         spark.createDataFrame(
             [("us:east", 1, "a"), ("eu:west", 2, "b")], "shard string, k long, v string"
@@ -142,3 +142,64 @@ def test_manifest_merge_with_hive_escaped_partition_values(spark, tmp_path):
     v1 = {e["path"] for e in t._manifest(1)["files"] if e["partition"]["shard"] == "eu:west"}
     v2 = {e["path"] for e in t._manifest(2)["files"]}
     assert v1 and v1 <= v2
+
+
+def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink_fs):
+    """Two writers race the same commit version: exactly one CommitConflict,
+    the loser retries against the fresh log, and no update is lost — the
+    snapshot-isolation claim exercised with real interleaving, not a stale
+    mock."""
+    import threading
+
+    barrier = threading.Barrier(2)
+
+    class RacingFS:
+        """Delegates to the real backend, but holds both writers at the
+        v2 manifest create until each has computed version=2 — the exact
+        read-modify-write race the exclusive create must arbitrate."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def create_exclusive(self, path, text):
+            if path.endswith("v2.json"):
+                try:
+                    barrier.wait(timeout=30)
+                except threading.BrokenBarrierError:
+                    pass
+            self.inner.create_exclusive(path, text)
+
+    racing = RacingFS(sink_fs)
+    base = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    base.append(spark.createDataFrame([(0, "base")], "k long, v string"))  # v1
+
+    df_a = spark.createDataFrame([(1, "a")], "k long, v string")
+    df_b = spark.createDataFrame([(2, "b")], "k long, v string")
+    conflicts, errors = [], []
+
+    def writer(df):
+        t = ManifestTable(spark, str(tmp_path / "t"), fs=racing)
+        for _ in range(5):
+            try:
+                t.append(df)
+                return
+            except CommitConflict:
+                conflicts.append(1)
+        errors.append("retries exhausted")
+
+    th_a = threading.Thread(target=writer, args=(df_a,))
+    th_b = threading.Thread(target=writer, args=(df_b,))
+    th_a.start(); th_b.start()
+    th_a.join(timeout=120); th_b.join(timeout=120)
+
+    assert not errors
+    assert len(conflicts) == 1  # exactly one loser, exactly one retry
+    final = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    assert final.versions() == [1, 2, 3]
+    # no lost update: the retry rebuilt on the winner's manifest
+    assert {(r["k"], r["v"]) for r in final.read().collect()} == {
+        (0, "base"), (1, "a"), (2, "b"),
+    }

@@ -22,19 +22,24 @@ ones, so
 Single-writer-per-table is assumed (exclusive manifest create detects a
 racing writer and raises — the caller retries); that is the same model
 as a Delta commit loop without the log-store service.
+
+All driver-side file operations go through ``operators.fs.FS``
+(``HadoopFS`` by default): the staging rename, the manifest create, and
+vacuum run identically against local disk, HDFS, or an object store —
+the commit atom is one manifest write, never a directory swap.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import posixpath
 import uuid
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from verified_sources_spark.operators.fs import FS, HadoopFS
 from verified_sources_spark.operators.merge import merge_dataframes
 
 
@@ -43,19 +48,26 @@ class CommitConflict(Exception):
 
 
 class ManifestTable:
-    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] | None = None,
+        fs: FS | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by or [])
+        self.fs = fs if fs is not None else HadoopFS(spark)
         self._data = f"{self.path}/data"
         self._manifests = f"{self.path}/_manifests"
 
     # ------------------------------------------------------------- commit log
     def versions(self) -> list[int]:
-        if not os.path.isdir(self._manifests):
+        if not self.fs.isdir(self._manifests):
             return []
         out = []
-        for f in os.listdir(self._manifests):
+        for f in self.fs.listdir(self._manifests):
             if f.startswith("v") and f.endswith(".json"):
                 out.append(int(f[1:-5]))
         return sorted(out)
@@ -65,28 +77,53 @@ class ManifestTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
-        with open(f"{self._manifests}/v{version}.json") as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(f"{self._manifests}/v{version}.json"))
 
-    def _commit(self, entries: list[dict], schema_json: str | None = None) -> int:
+    def _commit(
+        self,
+        entries: list[dict],
+        schema_json: str | None = None,
+        stream: tuple[str, int] | None = None,
+    ) -> int:
         """Atomically create the next manifest version (exclusive create —
         a racing writer raises CommitConflict instead of clobbering).
         ``schema_json`` is recorded so an all-rows-deleted (empty-file)
-        version still reads back with the right schema."""
-        os.makedirs(self._manifests, exist_ok=True)
+        version still reads back with the right schema.  The manifest
+        create IS the commit atom — no directory swap anywhere, so the
+        protocol is object-store-shaped (immutable files + one log write).
+
+        ``stream=(stream_id, batch_id)`` records a streaming micro-batch id
+        IN the same atomic commit (carried forward manifest-to-manifest), so
+        a replayed foreachBatch can be recognized and skipped — the
+        reference's exactly-once slot contract
+        (sources/pg_replication/__init__.py:77-80) applied to the sink side."""
+        self.fs.makedirs(self._manifests)
         v = (self.latest_version() or 0) + 1
+        streams: dict[str, int] = {}
+        if v > 1:
+            streams = dict(self._manifest(v - 1).get("streams") or {})
+        if stream is not None:
+            streams[stream[0]] = int(stream[1])
         manifest = {
             "version": v,
             "partition_by": self.partition_by,
             "files": entries,
             "schema": schema_json,
+            "streams": streams,
         }
         try:
-            with open(f"{self._manifests}/v{v}.json", "x") as f:
-                json.dump(manifest, f)
+            self.fs.create_exclusive(f"{self._manifests}/v{v}.json", json.dumps(manifest))
         except FileExistsError as e:
             raise CommitConflict(f"version {v} already committed") from e
         return v
+
+    def last_batch_id(self, stream_id: str) -> int | None:
+        """Highest micro-batch id committed for *stream_id*, or None."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        got = (self._manifest(v).get("streams") or {}).get(stream_id)
+        return None if got is None else int(got)
 
     # ------------------------------------------------------------ data files
     def _write_files(self, df: DataFrame) -> list[dict]:
@@ -100,13 +137,13 @@ class ManifestTable:
         w.mode("overwrite").parquet(tmp)
         prefix = uuid.uuid4().hex[:8]
         entries: list[dict] = []
-        for dirpath, _dirs, files in os.walk(tmp):
-            rel = os.path.relpath(dirpath, tmp)
+        for dirpath, _dirs, files in self.fs.walk(tmp):
+            rel = dirpath[len(tmp) :].strip("/") or "."
             part: dict[str, str] = {}
             if rel != ".":
                 from urllib.parse import unquote
 
-                for seg in rel.split(os.sep):
+                for seg in rel.split("/"):
                     k, _, val = seg.partition("=")
                     # store CANONICAL (percent-decoded) values: the writer
                     # hive-escapes ':' etc. as %XX in dir names, and merge
@@ -118,10 +155,10 @@ class ManifestTable:
                 frag = "" if rel == "." else rel + "/"
                 dst_rel = f"data/{frag}{prefix}-{fname}"
                 dst = f"{self.path}/{dst_rel}"
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(dirpath, fname), dst)
+                self.fs.makedirs(posixpath.dirname(dst))
+                self.fs.rename(posixpath.join(dirpath, fname), dst)
                 entries.append({"path": dst_rel, "partition": part})
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.rmtree(tmp, ignore_errors=True)
         return entries
 
     # ---------------------------------------------------------------- reads
@@ -152,12 +189,12 @@ class ManifestTable:
         )
 
     # --------------------------------------------------------------- writes
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, stream: tuple[str, int] | None = None) -> int:
         prev = self._manifest(self.latest_version())["files"] if self.exists() else []
-        return self._commit(prev + self._write_files(df), df.schema.json())
+        return self._commit(prev + self._write_files(df), df.schema.json(), stream=stream)
 
-    def replace(self, df: DataFrame) -> int:
-        return self._commit(self._write_files(df), df.schema.json())
+    def replace(self, df: DataFrame, stream: tuple[str, int] | None = None) -> int:
+        return self._commit(self._write_files(df), df.schema.json(), stream=stream)
 
     def merge(
         self,
@@ -165,6 +202,7 @@ class ManifestTable:
         keys: Sequence[str],
         dedup_sort: Sequence[str] | None = None,
         hard_delete_col: str | None = None,
+        stream: tuple[str, int] | None = None,
     ) -> int:
         """Keyed upsert as a manifest swap: touched partitions' files are
         replaced by newly-written merged files; untouched entries carry
@@ -174,7 +212,8 @@ class ManifestTable:
         if not self.exists():
             merged = merge_dataframes(None, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
-            return self._commit(self._write_files(merged), merged.schema.json())
+            return self._commit(self._write_files(merged), merged.schema.json(),
+                                stream=stream)
         if not self.partition_by:
             target = self.read()
             merged = merge_dataframes(target, df, keys, dedup_sort=dedup_sort,
@@ -183,7 +222,8 @@ class ManifestTable:
             # is still atomic and old versions still time-travel. The lazy
             # plan reads the CURRENT files while staging new ones — safe
             # because data files are immutable (nothing rewrites in place)
-            return self._commit(self._write_files(merged), merged.schema.json())
+            return self._commit(self._write_files(merged), merged.schema.json(),
+                                stream=stream)
 
         target = self.read()
         pcols = self.partition_by
@@ -221,7 +261,7 @@ class ManifestTable:
         # localCheckpoint: materialize BEFORE committing so the new files
         # are complete when the manifest lands (commit is the atomic point)
         new_entries = self._write_files(merged)
-        return self._commit(keep + new_entries, merged.schema.json())
+        return self._commit(keep + new_entries, merged.schema.json(), stream=stream)
 
     # -------------------------------------------------------------- vacuum
     def vacuum(self, keep_versions: int = 1) -> list[str]:
@@ -233,13 +273,14 @@ class ManifestTable:
         for v in keep_vs:
             referenced.update(e["path"] for e in self._manifest(v)["files"])
         deleted: list[str] = []
-        for dirpath, _dirs, files in os.walk(self._data):
+        for dirpath, _dirs, files in self.fs.walk(self._data):
             for fname in files:
-                rel = os.path.relpath(os.path.join(dirpath, fname), self.path)
+                full = posixpath.join(dirpath, fname)
+                rel = full[len(self.path) :].strip("/")
                 if rel.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(dirpath, fname))
+                    self.fs.remove(full)
                     deleted.append(rel)
         for v in vs:
             if v not in keep_vs:
-                os.remove(f"{self._manifests}/v{v}.json")
+                self.fs.remove(f"{self._manifests}/v{v}.json")
         return deleted

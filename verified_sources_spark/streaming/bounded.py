@@ -66,16 +66,33 @@ def foreach_batch_merge(
     sink,  # anything with .merge(df, keys=..., dedup_sort=...): ParquetSink | ManifestTable
     keys: Sequence[str],
     dedup_sort: Sequence[str] | None = None,
+    stream_id: str | None = None,
 ) -> StreamingQuery:
     """AvailableNow run that MERGEs each micro-batch into the sink by key.
     At-least-once delivery + keyed merge = effective exactly-once for the
     table state (the reference's late/duplicate model, §2.11).  With a
     ManifestTable sink every micro-batch is one atomic manifest commit —
     a crashed batch retries into a NEW version, readers never see a
-    half-applied batch."""
+    half-applied batch.
+
+    Pass ``stream_id`` with a ManifestTable sink for true idempotent
+    replay: the (stream_id, batch_id) pair is recorded inside the same
+    atomic manifest commit as the data, so a micro-batch that committed
+    but crashed before the checkpoint advanced is recognized on restart
+    and skipped — one table version per unique batch, no duplicate merge
+    (the reference's exactly-once slot contract,
+    sources/pg_replication/__init__.py:77-80, applied to the sink side)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        sink.merge(batch_df, keys=keys, dedup_sort=dedup_sort)
+        if stream_id is not None and hasattr(sink, "last_batch_id"):
+            last = sink.last_batch_id(stream_id)
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already in the table, atomically
+            sink.merge(
+                batch_df, keys=keys, dedup_sort=dedup_sort, stream=(stream_id, batch_id)
+            )
+        else:
+            sink.merge(batch_df, keys=keys, dedup_sort=dedup_sort)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
