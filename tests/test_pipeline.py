@@ -80,3 +80,33 @@ def test_run_source_multi_table(spark, tmp_path):
     infos = p.run_source(tables, write_disposition="replace")
     assert [(i.table, i.rows_loaded) for i in infos] == [("metrics", 1), ("dimensions", 2)]
     assert p.read("dimensions").count() == 2
+
+
+def test_append_boundary_reread_deduped_by_row_identity(spark, tmp_path):
+    """ADVICE r2: the >= last_value boundary re-read must not duplicate
+    rows under APPEND — identical boundary rows are recognized by the
+    hashes stored with the cursor; a NEW row at the same cursor value
+    still loads."""
+    p = pipeline(spark, str(tmp_path / "ds"))
+    src = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, updated long, v string"
+    )
+    p.run(src, "t", write_disposition="append", incremental="updated")
+    assert p.read("t").count() == 2
+
+    # second run re-reads the boundary row (2, 20, "b") byte-identical,
+    # plus a genuinely new row at the SAME cursor value, plus a later row
+    src2 = spark.createDataFrame(
+        [(2, 20, "b"), (9, 20, "tie"), (3, 30, "c")],
+        "id long, updated long, v string",
+    )
+    info = p.run(src2, "t", write_disposition="append", incremental="updated")
+    assert info.rows_loaded == 2  # boundary duplicate dropped, tie + new kept
+    rows = sorted((r["id"], r["v"]) for r in p.read("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (9, "tie")]
+
+    # third run re-reads BOTH rows now at the old boundary (updated=30's
+    # boundary is 30; re-sending everything ≤ cursor loads nothing new)
+    info3 = p.run(src2, "t", write_disposition="append", incremental="updated")
+    assert info3.rows_loaded == 0
+    assert p.read("t").count() == 4

@@ -796,3 +796,52 @@ def test_matomo_remove_active_visits_cutoff_rule(spark):
     # no active visits → unchanged
     closed = matomo_remove_active_visits(df.filter(F.col("idx") > 1), 300, 3600, NOW)
     assert closed.count() == 2
+
+
+def test_chained_detail_fetch_routes_distributed_above_threshold(spark, monkeypatch):
+    """Above distributed_threshold parent keys the short name must route
+    through the executor-side path — no unbounded driver collect (VERDICT
+    r2 next-step #5)."""
+    from verified_sources_spark.sources import saas
+
+    pages = {
+        f"https://a/w/w{i}/p": [({"data": [{"pid": i * 10}]}, {})] for i in range(4)
+    }
+    parents = spark.createDataFrame([(f"w{i}",) for i in range(4)], "gid string")
+
+    def make_client():
+        from verified_sources_spark.sources.rest import LocalPagesTransport, RestClient
+
+        return RestClient(LocalPagesTransport(pages))
+
+    routed = []
+    real = saas.chained_detail_fetch_distributed
+
+    def spy(*args, **kwargs):
+        routed.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(saas, "chained_detail_fetch_distributed", spy)
+    out = saas.chained_detail_fetch(
+        spark, make_client, parents, "gid", "https://a/w/{key}/p",
+        "pid long, gid string", distributed_threshold=2,
+    )
+    rows = sorted((r["gid"], r["pid"]) for r in out.collect())
+    assert rows == [(f"w{i}", i * 10) for i in range(4)]
+    assert routed == [1]  # took the distributed path
+
+    # below the threshold: driver-side pool, no routing
+    routed.clear()
+    few = spark.createDataFrame([("w1",), ("w2",)], "gid string")
+    pages2 = {f"https://a/w/w{i}/p": [({"data": [{"pid": i * 10}]}, {})] for i in (1, 2)}
+
+    def make_client2():
+        from verified_sources_spark.sources.rest import LocalPagesTransport, RestClient
+
+        return RestClient(LocalPagesTransport(pages2))
+
+    out2 = saas.chained_detail_fetch(
+        spark, make_client2, few, "gid", "https://a/w/{key}/p",
+        "pid long, gid string", distributed_threshold=2,
+    )
+    assert out2.count() == 2 and not routed

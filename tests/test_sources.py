@@ -436,3 +436,28 @@ def test_spreadsheet_info_catalog_table(spark):
     rows = {r["title"]: (r["n_rows"], r["n_cols"], list(r["headers"])) for r in meta.collect()}
     assert rows["Sales"] == (2, 3, ["date", "amount", "note"])
     assert rows["Empty"] == (0, 0, [])
+
+
+def test_jdbc_typed_cursor_literals():
+    """ADVICE r2: numeric/datetime cursors must not render as quoted
+    strings (string comparison defeats the cursor index on strict
+    databases); strings are quote-escaped, never raw-interpolated."""
+    import datetime as dt
+
+    from verified_sources_spark.sources.jdbc import (
+        incremental_scan_plan,
+        render_sql_literal,
+    )
+
+    assert render_sql_literal(42) == "42"
+    assert render_sql_literal(dt.date(2024, 1, 2)) == "DATE '2024-01-02'"
+    assert (
+        render_sql_literal(dt.datetime(2024, 1, 2, 3, 4, 5))
+        == "TIMESTAMP '2024-01-02 03:04:05'"
+    )
+    assert render_sql_literal("O'Hara") == "'O''Hara'"
+
+    plan = incremental_scan_plan(
+        "jdbc:postgresql://db/x", "t", "seq", last_value=100, end_value=200
+    )
+    assert "(seq >= 100) AND (seq < 200)" in plan.reader_options()["dbtable"]

@@ -45,6 +45,11 @@ class CursorStore:
     def get(self, resource: str, default: Any = None) -> Any:
         return self._state.get(resource, {}).get("last_value", default)
 
+    def get_extra(self, resource: str, key: str, default: Any = None) -> Any:
+        """Auxiliary state stored alongside the cursor (e.g. the boundary
+        row hashes the pipeline uses to dedup the >= last_value re-read)."""
+        return self._state.get(resource, {}).get(key, default)
+
     def set(self, resource: str, last_value: Any, **extra: Any) -> None:
         self._state[resource] = {"last_value": last_value, **extra}
         self._flush()

@@ -14,8 +14,16 @@ One ``Pipeline`` owns a dataset directory:
                                   load never advances the cursor)
 
 ``run`` applies the incremental window at extract time (>= last_value
-half-open, the §2.3 boundary contract, re-read boundary deduped by the
-merge), dispatches the write disposition, then advances state.
+half-open, the §2.3 boundary contract), dispatches the write
+disposition, then advances state.  Boundary rows equal to last_value
+are re-read and deduplicated by ROW IDENTITY against hashes stored with
+the cursor — like the reference's incremental unique-hash dedup, this
+holds for EVERY disposition, append included, not only keyed merge.
+
+The incremental batch is localCheckpoint'ed before writing, so the
+write, the row count, and the committed cursor all come from the same
+evaluation — a non-deterministic source (API fetch, mapPartitions IO)
+can never advance the cursor past rows that were not actually written.
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from verified_sources_spark.operators.incremental import (
     CursorStore,
+    _cursor_col,
     incremental_filter,
     max_cursor_value,
 )
@@ -94,11 +103,25 @@ class Pipeline:
         """
         df = data
         resource = f"{table_name}"
+        last = None
         if incremental is not None:
             last = self.state.get(resource)
             df = incremental_filter(
                 df, incremental, last_value=last, end_value=incremental_end
             )
+            # the >= last_value boundary re-read: drop rows ALREADY LOADED
+            # last run, identified by row hash (the reference's incremental
+            # unique-hash dedup) — so append does not duplicate the
+            # boundary, and merge skips a no-op re-upsert
+            known = self.state.get_extra(resource, "boundary_hashes")
+            if last is not None and known:
+                at_boundary = _cursor_col(incremental) == F.lit(last)
+                df = df.filter(~(at_boundary & self._row_hash(df).isin(list(known))))
+            # pin ONE evaluation: the write, the row count, and the cursor
+            # below must all describe the same data — a non-deterministic
+            # source re-evaluated after the write could otherwise commit a
+            # cursor past rows that were never written (silent data loss)
+            df = df.localCheckpoint(eager=True)
 
         sink = self.sink(table_name, partition_by=partition_by)
         if write_disposition == "append":
@@ -124,9 +147,34 @@ class Pipeline:
             cursor_val = max_cursor_value(df, incremental)
             if cursor_val is not None:
                 # commit AFTER the successful write — a failed load never
-                # advances the cursor (the reference's state contract)
-                self.state.set(resource, cursor_val)
+                # advances the cursor (the reference's state contract).
+                # Record the hashes of rows AT the new boundary so the next
+                # run's >= re-read can drop exactly them; if the watermark
+                # did not move, the previously-known hashes stay valid too.
+                boundary = (
+                    df.filter(_cursor_col(incremental) == F.lit(cursor_val))
+                    .select(self._row_hash(df).alias("h"))
+                    .limit(self.BOUNDARY_HASH_CAP + 1)
+                    .collect()
+                )
+                hashes = [r["h"] for r in boundary]
+                if len(hashes) > self.BOUNDARY_HASH_CAP:
+                    hashes = []  # too many ties to track — fall back to re-read
+                elif last is not None and str(cursor_val) == str(last):
+                    hashes = sorted(
+                        set(hashes)
+                        | set(self.state.get_extra(resource, "boundary_hashes") or [])
+                    )
+                self.state.set(resource, cursor_val, boundary_hashes=hashes)
         return LoadInfo(table_name, write_disposition, rows, cursor_val)
+
+    BOUNDARY_HASH_CAP = 4096
+
+    @staticmethod
+    def _row_hash(df: DataFrame):
+        """Deterministic row identity over all columns (sorted by name, so
+        column-order drift between runs doesn't change identities)."""
+        return F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
 
 
     def run_source(

@@ -61,6 +61,32 @@ class JdbcScanPlan:
         return opts
 
 
+def render_sql_literal(value) -> str:
+    """Render a cursor value as a typed ANSI-SQL literal for pushdown.
+
+    - int/float/Decimal → unquoted numeric
+    - datetime → TIMESTAMP 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+    - date → DATE 'YYYY-MM-DD'
+    - str → single-quoted with '' escaping (never raw interpolation);
+      ISO-looking strings stay plain strings — the caller chose the type
+    """
+    import datetime as dt
+    from decimal import Decimal
+
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float, Decimal)):
+        return str(value)
+    if isinstance(value, dt.datetime):
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}" + (
+            f".{value.microsecond:06d}'" if value.microsecond else "'"
+        )
+    if isinstance(value, dt.date):
+        return f"DATE '{value.isoformat()}'"
+    escaped = str(value).replace("'", "''")
+    return f"'{escaped}'"
+
+
 def incremental_scan_plan(
     url: str,
     table: str,
@@ -75,10 +101,15 @@ def incremental_scan_plan(
     """The reference's incremental SQL read as a scan plan: the cursor
     window becomes WHERE predicates evaluated by the DATABASE (the
     engine's `>= last AND < end` half-open contract), and the split
-    column parallelizes the read across ``num_partitions`` executors."""
-    preds = [f"{cursor_col} >= '{last_value}'"]
+    column parallelizes the read across ``num_partitions`` executors.
+
+    Cursor values render as TYPED SQL literals (`render_sql_literal`):
+    numerics unquoted (a quoted '42' makes strict databases string-compare
+    and defeats the cursor index), datetimes/dates as TIMESTAMP/DATE
+    literals, strings quote-escaped."""
+    preds = [f"{cursor_col} >= {render_sql_literal(last_value)}"]
     if end_value is not None:
-        preds.append(f"{cursor_col} < '{end_value}'")
+        preds.append(f"{cursor_col} < {render_sql_literal(end_value)}")
     plan = JdbcScanPlan(
         url=url,
         table=table,

@@ -181,18 +181,38 @@ def chained_detail_fetch(
     schema: str,
     records_path: str = "data",
     max_workers: int = 8,
+    distributed_threshold: int = 64,
+    num_slices: int | None = None,
 ) -> DataFrame:
     """Parent→child transformer chain (reference asana workspaces →
     projects → tasks → stories, sources/asana_dlt/__init__.py:64-207;
     workable candidates → details, workable/__init__.py:92-120): each
     parent row fans out one detail endpoint; children carry the parent
-    key.  The endpoint list derives from the parent DataFrame (a
-    metadata-sized collect of KEYS, not rows), then fetches run in the
-    shared thread-pool fan-out and land as one DataFrame — an
-    index-nested-loop join against a remote API."""
+    key, and results land as one DataFrame — an index-nested-loop join
+    against a remote API.
+
+    Above ``distributed_threshold`` distinct parent keys the fetch routes
+    through ``chained_detail_fetch_distributed`` automatically (keys stay
+    a DataFrame, executors do the IO), so no caller collects unbounded
+    key lists to the driver by reaching for the shorter name; below it,
+    a metadata-sized key collect feeds the driver-side thread pool.  The
+    probe is a ``limit(threshold+1)`` collect — bounded either way."""
     from verified_sources_spark.sources.rest import RestEndpoint
 
-    keys = [r[parent_key] for r in parent.select(parent_key).distinct().collect()]
+    probe = (
+        parent.select(parent_key).distinct().limit(distributed_threshold + 1).collect()
+    )
+    if len(probe) > distributed_threshold:
+        return chained_detail_fetch_distributed(
+            parent,
+            make_client,
+            parent_key,
+            url_template,
+            schema,
+            records_path=records_path,
+            num_slices=num_slices,
+        )
+    keys = [r[parent_key] for r in probe]
     endpoints = [
         RestEndpoint(url_template.format(key=k), records_path=records_path) for k in keys
     ]
