@@ -23,8 +23,6 @@ LSN order; here the order is logical, the compute parallel).
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -50,20 +48,44 @@ def with_range_buckets(
             uniq.append(b)
     if not uniq:
         return df.withColumn(BUCKET_COL, F.lit(0))
-    bucket: Column = reduce(
-        lambda acc, b: acc + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0),
-        uniq,
-        F.lit(0),
+    return df.withColumn(
+        BUCKET_COL, _bucket_of(F.col(order_col), uniq).cast("int")
     )
-    return df.withColumn(BUCKET_COL, bucket.cast("int"))
+
+
+def _bucket_of(col: Column, bounds: list[float]) -> Column:
+    """bucket(v) = |{b in bounds : v > b}| via a balanced binary comparison
+    tree: O(log B) comparisons per row instead of the flat O(B) CASE chain,
+    so bucket counts can track cluster cores into the thousands. The
+    branches of each ``when`` are evaluated lazily per row, so only one
+    root-to-leaf path runs."""
+
+    def tree(lo: int, hi: int) -> Column:
+        # resolves to a bucket id in [lo, hi] using bounds[lo..hi-1]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        # v > bounds[mid] ⟹ v exceeds every earlier bound too (sorted,
+        # strictly increasing) ⟹ bucket >= mid + 1
+        return F.when(col > F.lit(bounds[mid]), tree(mid + 1, hi)).otherwise(
+            tree(lo, mid)
+        )
+
+    return tree(0, len(bounds))
 
 
 def _bucket_literal_map(pairs: dict[int, object], default=None) -> Column:
-    """bucket-id → literal value lookup as a CASE chain (metadata-sized)."""
-    expr: Column = F.lit(default)
+    """bucket-id → literal value lookup: a dense literal array indexed by
+    bucket id — O(1) per row (the old CASE chain was O(B)). Bucket ids
+    absent from ``pairs`` hold ``default``, but are never looked up (an
+    absent id means no row carries it)."""
+    if not pairs:
+        return F.lit(default)
+    dense = [default] * (max(pairs) + 1)
     for bkt, val in pairs.items():
-        expr = F.when(F.col(BUCKET_COL) == F.lit(bkt), F.lit(val)).otherwise(expr)
-    return expr
+        dense[bkt] = val
+    arr = F.array(*[F.lit(v) for v in dense])
+    return F.element_at(arr, F.col(BUCKET_COL) + 1)
 
 
 def bucketed_prefix_sum(bdf: DataFrame, order_col: str, value: Column, out_col: str) -> DataFrame:
