@@ -354,6 +354,30 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.0
     """,
+    "near_dedup_docs_keep": f"""
+        {_SIG_CTE.replace("WITH sig", "WITH RECURSIVE sig", 1)}, {_BANDS_CTE},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        sets AS (SELECT doc_id, list_distinct({_SHINGLES.replace('toks', 'toks2')}) AS sh
+                 FROM (SELECT doc_id, {_TOKS} AS toks2 FROM documents)),
+        verified AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN sets sa ON sa.doc_id = id_a
+          JOIN sets sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                  UNION SELECT id_b AS src, id_a AS dst FROM verified),
+        reach AS (
+          SELECT src AS node, src AS r FROM edges
+          UNION
+          SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
     "cosine_topk_embeddings": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         scored AS (

@@ -565,6 +565,19 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH (hot-bucket capped) → Jaccard-verified
+    pairs → connected components (iterative min-label propagation) → keep
+    one doc per cluster.  Oracle: same pairs + a recursive CTE computing
+    reachability-to-minimum (llm/neardup.py)."""
+    from verified_sources_spark.llm.neardup import near_dedup_docs
+
+    kept = near_dedup_docs(
+        _docs_parallel(spark, sf_dir), "doc_id", "text", threshold=0.5, shingle_n=3
+    )
+    return kept.select("doc_id")
+
+
 # --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
 
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,4 +1054,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs_docs": simhash_near_pairs_docs,
     "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
+    "near_dedup_docs_keep": near_dedup_docs_keep,
 }
