@@ -144,6 +144,69 @@ def test_manifest_merge_with_hive_escaped_partition_values(spark, tmp_path, sink
     assert v1 and v1 <= v2
 
 
+def test_scan_skips_files_by_column_stats(spark, tmp_path, sink_fs):
+    """Footer min/max recorded at commit time prune files from the scan;
+    results stay exact because the residual predicate is always applied."""
+    t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    t.append(spark.createDataFrame([(k, f"v{k}") for k in range(0, 50)],
+                                   "k long, v string").coalesce(1))
+    t.append(spark.createDataFrame([(k, f"v{k}") for k in range(50, 100)],
+                                   "k long, v string").coalesce(1))
+    all_entries = t._manifest(t.latest_version())["files"]
+    assert all(e.get("stats") for e in all_entries)  # stats recorded at commit
+    assert all(e["stats"]["rows"] == 50 for e in all_entries)
+
+    cand = t.candidate_entries([("k", ">=", 75)])
+    assert len(cand) == 1 and len(all_entries) == 2  # low-range file skipped
+    got = _rows(t.scan([("k", ">=", 75)]))
+    assert got == _rows(t.read().where("k >= 75"))
+    # conjunction that no file satisfies -> empty scan, schema intact
+    none = t.scan([("k", ">", 20), ("k", "<", 30), ("v", "=", "nope")])
+    assert none.count() == 0 and set(none.columns) == {"k", "v"}
+
+
+def test_scan_partition_pruning_and_string_stats(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1, "apple"), ("2024-01-02", 2, "banana"),
+             ("2024-01-03", 3, "cherry")],
+            "day string, k long, v string",
+        )
+    )
+    def kv(df):  # hive partition col is type-inferred and ordered last
+        return {(str(r["day"]), r["k"], r["v"]) for r in df.collect()}
+
+    # equality on the partition column prunes by rendered partition value
+    assert len(t.candidate_entries([("day", "=", "2024-01-02")])) == 1
+    assert kv(t.scan([("day", "=", "2024-01-02")])) == {("2024-01-02", 2, "banana")}
+    # IN-list on the partition column
+    cand = t.candidate_entries([("day", "in", ["2024-01-01", "2024-01-03"])])
+    assert len(cand) == 2
+    # range op on hive-rendered partition strings must NOT prune (unsafe)
+    assert len(t.candidate_entries([("day", ">", "2024-01-02")])) == 3
+    assert kv(t.scan([("day", ">", "2024-01-02")])) == {("2024-01-03", 3, "cherry")}
+    # string-column stats prune data files too
+    assert len(t.candidate_entries([("v", "=", "banana")])) == 1
+
+
+def test_scan_without_stats_never_skips(spark, tmp_path, sink_fs):
+    """Entries with no stats (e.g. object-store footers unreadable from the
+    driver) are never pruned — correctness does not depend on stats."""
+    import json as _json
+
+    t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    t.append(spark.createDataFrame([(k,) for k in range(10)], "k long").coalesce(1))
+    t.append(spark.createDataFrame([(k,) for k in range(10, 20)], "k long").coalesce(1))
+    m = t._manifest(2)
+    for e in m["files"]:
+        e.pop("stats", None)
+    sink_fs.remove(f"{t.path}/_manifests/v2.json")
+    sink_fs.create_exclusive(f"{t.path}/_manifests/v2.json", _json.dumps(m))
+    assert len(t.candidate_entries([("k", ">=", 15)])) == 2  # nothing skipped
+    assert _rows(t.scan([("k", ">=", 15)])) == {(k,) for k in range(15, 20)}
+
+
 def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink_fs):
     """Two writers race the same commit version: exactly one CommitConflict,
     the loser retries against the fresh log, and no update is lost — the

@@ -31,20 +31,167 @@ the commit atom is one manifest write, never a directory swap.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
+import math
 import posixpath
 import uuid
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-from verified_sources_spark.operators.fs import FS, HadoopFS
+from verified_sources_spark.operators.fs import FS, HadoopFS, _is_local_uri
 from verified_sources_spark.operators.merge import merge_dataframes
 
 
 class CommitConflict(Exception):
     """Another writer committed this version first — re-resolve and retry."""
+
+
+# ------------------------------------------------------------- file statistics
+#
+# Per-file column min/max recorded in the manifest at commit time enable
+# FILE SKIPPING on read (the Delta/Iceberg data-skipping model): at 100 TB
+# a selective predicate on a clustered column prunes the overwhelming
+# majority of files from the scan BEFORE Spark plans it — row-group-level
+# parquet pruning still applies inside whatever survives.  Stats are read
+# from parquet FOOTERS (metadata-only, no data bytes) driver-side; a file
+# whose footer can't be reached (non-local scheme without a pyarrow
+# filesystem) simply carries no stats and is never skipped — pruning is an
+# optimization, the residual predicate is always applied to the scan.
+
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+    T.DoubleType, T.DecimalType, T.StringType, T.DateType,
+    T.TimestampType, T.BooleanType,
+)
+_MAX_STATS_COLUMNS = 32
+
+
+def _stat_encode(v):
+    """Canonical JSON-safe encoding for a stat or filter literal so the
+    two sides of the skip comparison order consistently: numerics stay
+    numeric, temporal values become ISO strings (ISO ordering == time
+    ordering), everything else str()."""
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _cmp_ok(a, b) -> bool:
+    """True when a and b are mutually comparable encoded stat values."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return not (isinstance(a, float) and math.isnan(a)) and not (
+            isinstance(b, float) and math.isnan(b)
+        )
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _file_column_stats(local_path: str, columns: Sequence[str]) -> dict | None:
+    """Aggregate row-group footer statistics for *columns* of one parquet
+    file: {"rows": N, "min": {col: v}, "max": {col: v}}.  A column missing
+    stats in ANY row group is omitted (unknown ⇒ unprunable)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked into this env
+        return None
+    try:
+        md = pq.ParquetFile(local_path).metadata
+    except Exception:
+        return None
+    want = set(columns)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+            if name in mins:
+                prev_lo, prev_hi = mins[name], maxs[name]
+                if not (_cmp_ok(prev_lo, lo) and _cmp_ok(prev_hi, hi)):
+                    bad.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                lo = prev_lo if prev_lo <= lo else lo
+                hi = prev_hi if prev_hi >= hi else hi
+            mins[name], maxs[name] = lo, hi
+    return {"rows": md.num_rows, "min": mins, "max": maxs}
+
+
+def _stats_columns(schema: T.StructType, partition_by: Sequence[str]) -> list[str]:
+    """Leading stats-eligible data columns (orderable scalar types only;
+    partition columns are pruned by partition value, not footer stats)."""
+    cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, _STATS_TYPES) and f.name not in partition_by
+    ]
+    return cols[:_MAX_STATS_COLUMNS]
+
+
+_SKIP_OPS = ("=", "in", ">", ">=", "<", "<=")
+
+
+def _entry_may_match(entry: dict, col: str, op: str, value) -> bool:
+    """Can the file behind *entry* contain a row satisfying `col op value`?
+    Unknown stats ⇒ True (never skip on missing information)."""
+    vals = value if op == "in" else [value]
+    enc = [_stat_encode(v) for v in vals]
+    # partition-value pruning (exact string rendering, equality-class ops)
+    part = entry.get("partition") or {}
+    if col in part:
+        if op in ("=", "in"):
+            from verified_sources_spark.operators.merge import ParquetSink
+
+            rendered = {ParquetSink._part_dir_value(v) for v in vals}
+            return part[col] in rendered
+        return True  # range ops on hive-rendered strings are unsafe
+    stats = entry.get("stats") or {}
+    lo = (stats.get("min") or {}).get(col)
+    hi = (stats.get("max") or {}).get(col)
+    if lo is None or hi is None:
+        return True
+    if not all(_cmp_ok(lo, e) and _cmp_ok(hi, e) for e in enc):
+        return True
+    if op == "=":
+        return lo <= enc[0] <= hi
+    if op == "in":
+        return any(lo <= e <= hi for e in enc)
+    if op == ">":
+        return hi > enc[0]
+    if op == ">=":
+        return hi >= enc[0]
+    if op == "<":
+        return lo < enc[0]
+    if op == "<=":
+        return lo <= enc[0]
+    return True
 
 
 class ManifestTable:
@@ -136,6 +283,7 @@ class ManifestTable:
             w = w.partitionBy(*self.partition_by)
         w.mode("overwrite").parquet(tmp)
         prefix = uuid.uuid4().hex[:8]
+        stat_cols = _stats_columns(df.schema, self.partition_by)
         entries: list[dict] = []
         for dirpath, _dirs, files in self.fs.walk(tmp):
             rel = dirpath[len(tmp) :].strip("/") or "."
@@ -157,7 +305,15 @@ class ManifestTable:
                 dst = f"{self.path}/{dst_rel}"
                 self.fs.makedirs(posixpath.dirname(dst))
                 self.fs.rename(posixpath.join(dirpath, fname), dst)
-                entries.append({"path": dst_rel, "partition": part})
+                entry = {"path": dst_rel, "partition": part}
+                if stat_cols and _is_local_uri(dst):
+                    from urllib.parse import urlparse
+
+                    local = urlparse(dst).path if dst.startswith("file:") else dst
+                    stats = _file_column_stats(local, stat_cols)
+                    if stats is not None:
+                        entry["stats"] = stats
+                entries.append(entry)
         self.fs.rmtree(tmp, ignore_errors=True)
         return entries
 
@@ -187,6 +343,65 @@ class ManifestTable:
             .option("basePath", self._data)
             .parquet(*files)
         )
+
+    def candidate_entries(
+        self, filters: Sequence[tuple], version: int | None = None
+    ) -> list[dict]:
+        """Manifest entries whose file MAY contain a row matching every
+        ``(col, op, value)`` filter (AND semantics) — the data-skipping
+        decision, exposed so tests/tools can measure pruning."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        for _c, op, _v in filters:
+            if op not in _SKIP_OPS:
+                raise ValueError(f"unsupported scan op {op!r}; use one of {_SKIP_OPS}")
+        return [
+            e
+            for e in self._manifest(v)["files"]
+            if all(_entry_may_match(e, c, op, val) for c, op, val in filters)
+        ]
+
+    def scan(
+        self, filters: Sequence[tuple] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with manifest-level FILE SKIPPING: files whose
+        recorded min/max (or partition value) cannot satisfy the conjunction
+        of ``(col, op, value)`` filters are dropped from the scan before
+        Spark ever plans it.  The residual predicate is ALWAYS applied to
+        the surviving files, so results are exact whether or not stats
+        exist — pruning is purely an optimization.  At 100 TB this is the
+        difference between listing+scanning every file of a table and
+        touching only the partitions/files a selective predicate allows
+        (the Delta/Iceberg data-skipping model)."""
+        filters = list(filters or [])
+        if not filters:
+            return self.read(version)
+        entries = self.candidate_entries(filters, version)
+        files = [f"{self.path}/{e['path']}" for e in entries]
+        if not files:
+            v = self.latest_version() if version is None else version
+            schema_json = self._manifest(v).get("schema")
+            if schema_json is None:
+                raise FileNotFoundError(f"version {v} is empty and has no schema")
+            df = self.spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
+        else:
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self._data)
+                .parquet(*files)
+            )
+        for col, op, value in filters:
+            c = F.col(col)
+            if op == "in":
+                df = df.where(c.isin(list(value)))
+            else:
+                df = df.where(
+                    {"=": c == F.lit(value), ">": c > F.lit(value),
+                     ">=": c >= F.lit(value), "<": c < F.lit(value),
+                     "<=": c <= F.lit(value)}[op]
+                )
+        return df
 
     # --------------------------------------------------------------- writes
     def append(self, df: DataFrame, stream: tuple[str, int] | None = None) -> int:
