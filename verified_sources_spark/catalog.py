@@ -47,6 +47,15 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # conf locked down — fall through and let the read report it
 
 
+# plan cache: (applicationId, sf_dir, name) → DataFrame.  A DataFrame is an
+# immutable lazy plan, so handing the same object to every caller is safe;
+# re-reading the parquet footer per call costs ~0.2s of driver time (schema
+# inference round trips) — pure fixed overhead when a benchmark or notebook
+# builds the same query repeatedly.  Keyed by applicationId so a stopped
+# session's plans are never reused by its successor.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table; normalizes physical quirks.
 
@@ -55,11 +64,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP at microsecond precision (floor division — matches DuckDB's
     ``epoch_us`` on the same values).
     """
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    except Exception:
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV — a double division would lose precision at ns scale
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if key is not None:
+        _TABLE_CACHE[key] = df
     return df
 
 

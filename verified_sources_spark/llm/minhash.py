@@ -1,11 +1,20 @@
 """MinHash + LSH near-duplicate detection.
 
-shingle → k seeded min-hashes → band → bucket-join:
+shingle → base hash → k linear min-hashes → band → bucket-join:
 
-- Signatures are pure Column expressions (array_min over md5(seed|shingle))
-  — JVM-side, no UDFs.  md5 is used (not xxhash64) so the DuckDB oracle
-  can reproduce signatures bit-for-bit; swap ``_hash_fn`` for xxhash64 in
-  production for ~4x hash throughput.
+- Signatures are declarative SQL expressions, JVM-side, no UDFs.  Each
+  shingle is hashed ONCE (md5 → 60-bit prefix → bigint); the k minhash
+  functions are linear transforms ``(a_i·h + b_i) mod P`` of that base
+  (the classic universal-hash family, same shape as Spark MLlib's
+  MinHashLSH) — pure long arithmetic, no per-seed string allocation.
+  An earlier formulation ran md5 k times per shingle; at 18M hashes the
+  k× hex-string churn dominated GC.  md5 (not xxhash64) is kept as the
+  base so the DuckDB oracle reproduces signatures bit-for-bit.
+- The pipeline is generated as ONE SQL string per call (``spark.sql``
+  with a ``{df}`` table argument): an equivalent Column-by-Column
+  builder spent ~0.7s of driver time per plan on py4j round trips —
+  pure fixed overhead on short interactive runs and on a 1000-executor
+  cluster alike.  The plan Catalyst sees is identical.
 - Candidate generation groups by (band_idx, band_hash): documents agreeing
   on any band meet in one bucket.  The self-join shuffles only
   (band_hash, doc_id) pairs — signature-sized, not document-sized — and
@@ -19,32 +28,83 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from verified_sources_spark.functions.text import shingles, tokens
+from verified_sources_spark.functions.text import TOKEN_RE, shingles
+
+# FROZEN universal-hash family parameters: the DuckDB oracle renders the
+# same literals (plans/oracle.py imports these), so any change is a format
+# break for recorded signatures.  P is the 31-bit prime Spark MLlib's
+# MinHashLSH uses; base < P and a < P keep a·h + b < 2^62 — no bigint
+# overflow on either engine.
+MINHASH_PRIME = 2038074743
 
 
-def _minhash_col(shingle_col, seed: int):
-    return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+def minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for seed *i* — splitmix-style mix, frozen."""
+    x = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+    a = (x % (MINHASH_PRIME - 1)) + 1
+    b = (x >> 32) % MINHASH_PRIME
+    return a, b
+
+
+def _tokens_sql(col: str) -> str:
+    """SQL form of functions.text.tokens (same regex, same semantics)."""
+    return f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)"
+
+
+def _shingles_sql(n: int, toks: str = "toks") -> str:
+    """SQL form of functions.text.shingles over a projected token column.
+
+    zip_with over shifted slices — ``toks`` is a COLUMN REFERENCE here, so
+    the tokenizer runs once per row (an index-lambda formulation would
+    re-embed regexp_extract_all per element; observed 50x slowdown)."""
+    if n == 1:
+        return toks
+    expr = (
+        f"zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    for j in range(2, n):
+        expr = (
+            f"zip_with({expr}, slice({toks}, {j + 1}, greatest(size({toks}) - {j}, 0)), "
+            "(ab, c) -> concat(ab, ' ', c))"
+        )
+    return f"filter({expr}, s -> s IS NOT NULL)"
+
+
+def _base_hash_sql(shingles_expr: str) -> str:
+    """One md5 per shingle: 60-bit hex prefix → bigint → mod P.
+    (15 hex chars = 60 bits, safely inside signed-64 for both engines.)"""
+    return (
+        f"transform({shingles_expr}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_PRIME}L)"
+    )
+
+
+def _mins_sql(k: int) -> str:
+    """The k linear min-hash projections over a `_mh_base` column."""
+    return ", ".join(
+        "array_min(transform(_mh_base, x -> (x * {a}L + {b}L) % {p}L)) AS mh_{i}".format(
+            a=minhash_ab(i)[0], b=minhash_ab(i)[1], p=MINHASH_PRIME, i=i
+        )
+        for i in range(k)
     )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) — k independent min-hashes over word shingles.
-    Documents too short to shingle get NULL signatures (excluded from LSH)."""
-    sh = shingles(text_col, shingle_n)
-    out = df.select(
-        F.col(id_col),
-        *[_minhash_col(sh, i).alias(f"mh_{i}") for i in range(k)],
+    """(id, mh_0..mh_{k-1}) — k min-hashes (bigint) over word shingles.
+    Documents too short to shingle get NULL signatures (excluded from LSH).
+
+    The base-hash array is projected once per row in its own step, then
+    the k mins reference that column — inlining the md5 transform into
+    each min would re-hash every shingle k times."""
+    sql = (
+        f"WITH _t AS (SELECT `{id_col}`, {_tokens_sql(f'`{text_col}`')} AS toks FROM {{df}}), "
+        f"_b AS (SELECT `{id_col}`, {_base_hash_sql(_shingles_sql(shingle_n))} AS _mh_base FROM _t) "
+        f"SELECT `{id_col}`, {_mins_sql(k)} FROM _b"
     )
-    return out
-
-
-def _shingleable(text_col: str, shingle_n: int):
-    from verified_sources_spark.functions.text import tokens
-
-    return F.size(tokens(text_col)) >= shingle_n
+    return df.sparkSession.sql(sql, df=df)
 
 
 def lsh_candidate_pairs(
@@ -92,85 +152,89 @@ def lsh_candidate_pairs(
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
-    # pre-filter un-shingleable docs on the cheap token count BEFORE the
-    # signature projection: an na.drop() after it would push a Filter that
-    # duplicates all k signature expressions (2x the hash work)
-    sig = minhash_signatures(
-        df.filter(_shingleable(text_col, shingle_n)), id_col, text_col, k, shingle_n
-    )
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
-    # bucket-grouped pair expansion instead of a self-join: signatures are
-    # computed once (a self-join would re-derive them for both sides)
-    cap = F.lit(max_bucket_size)
-    # one explicit shuffle on the band keys serves every stage downstream:
-    # hash partitioning on (band_idx, band_hash) satisfies the clustering
-    # requirement of BOTH the salted level-1 groupBy (subset rule) and the
-    # level-2 groupBy, so neither adds an exchange, and the sub-star branch
-    # reuses the same exchange.  This keeps the capped plan at the exact
-    # two-shuffle shape of the uncapped one (band shuffle + final distinct).
-    banded = banded.repartition("band_idx", "band_hash")
-    l1 = banded.groupBy(
-        "band_idx",
-        "band_hash",
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_buckets)).alias("salt"),
-    ).agg(
-        F.count(F.lit(1)).alias("cnt_s"),
-        F.min(F.col(id_col)).alias("min_s"),
-        F.collect_list(F.col(id_col)).alias("ids_s"),
-    )
-    sub_star = (
-        l1.filter(F.col("cnt_s") > cap)
-        .select(F.col("min_s").alias("id_a"), F.explode("ids_s").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
-    kept = F.when(F.col("cnt_s") <= cap, F.col("ids_s")).otherwise(
-        F.slice(F.col("ids_s"), 1, 0)
-    )
-    l2 = l1.groupBy("band_idx", "band_hash").agg(
-        F.sum("cnt_s").alias("bucket_n"),
-        F.min("min_s").alias("bucket_rep"),
-        F.flatten(F.collect_list(kept)).alias("ids"),
-        F.collect_list("min_s").alias("sub_reps"),
-    )
-    tail = lambda ids, i: F.slice(  # noqa: E731 — ids[i+2:], the combos tail
-        ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                tail(F.col("ids"), i),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
+    cap = int(max_bucket_size)
+    band_structs = ", ".join(
+        "struct({b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash)".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(mh_{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
             ),
         )
+        for b in range(bands)
     )
-    small_pairs = (
-        l2.filter((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= cap))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-    # hot bucket star: rep = global minimum, so rep < member always and the
-    # (id_a < id_b) ordering holds without least/greatest
-    hot_star = (
-        l2.filter(F.col("bucket_n") > cap)
-        .select(
-            F.col("bucket_rep"),
-            F.explode(F.concat("ids", "sub_reps")).alias("member"),
-        )
-        .filter(F.col("member") != F.col("bucket_rep"))
-        .select(F.col("bucket_rep").alias("id_a"), F.col("member").alias("id_b"))
-    )
-    return small_pairs.unionByName(hot_star).unionByName(sub_star).distinct()
+    # Plan shape (all one SQL statement; comments map CTE → rationale):
+    # - _t filters un-shingleable docs on the cheap token count BEFORE the
+    #   signature projection (a drop afterwards would duplicate the hash
+    #   expressions into the filter).
+    # - banded's REPARTITION hint is the ONE explicit shuffle every stage
+    #   downstream reuses: hash partitioning on (band_idx, band_hash)
+    #   satisfies the clustering requirement of both the salted level-1
+    #   GROUP BY (subset rule) and the level-2 GROUP BY, so neither adds
+    #   an exchange — the capped plan keeps the exact two-shuffle shape
+    #   of an uncapped one (band shuffle + final DISTINCT).
+    # - bucket-grouped pair expansion instead of a self-join: signatures
+    #   are computed once.
+    sql = f"""
+WITH _t AS (
+  SELECT `{id_col}` AS id, {_tokens_sql(f'`{text_col}`')} AS toks FROM {{df}}
+),
+_s AS (
+  SELECT id, {_shingles_sql(shingle_n)} AS sh FROM _t WHERE size(toks) >= {shingle_n}
+),
+_b AS (
+  SELECT id, {_base_hash_sql('sh')} AS _mh_base FROM _s
+),
+sig AS (
+  SELECT id, {_mins_sql(k)} FROM _b
+),
+banded AS (
+  SELECT /*+ REPARTITION(band_idx, band_hash) */ id, band.band_idx, band.band_hash
+  FROM (SELECT id, explode(array({band_structs})) AS band FROM sig)
+),
+l1 AS (
+  SELECT band_idx, band_hash, pmod(xxhash64(id), {sub_buckets}) AS salt,
+         count(1) AS cnt_s, min(id) AS min_s, collect_list(id) AS ids_s
+  FROM banded
+  GROUP BY band_idx, band_hash, pmod(xxhash64(id), {sub_buckets})
+),
+l2 AS (
+  SELECT band_idx, band_hash,
+         sum(cnt_s) AS bucket_n,
+         min(min_s) AS bucket_rep,
+         flatten(collect_list(CASE WHEN cnt_s <= {cap} THEN ids_s
+                                   ELSE slice(ids_s, 1, 0) END)) AS ids,
+         collect_list(min_s) AS sub_reps
+  FROM l1 GROUP BY band_idx, band_hash
+),
+small_pairs AS (
+  -- combos: for each ids[i], pair with the tail ids[i+2:]
+  -- (slice is 1-based; i is the 0-based lambda index)
+  SELECT p.id_a, p.id_b FROM (
+    SELECT explode(flatten(transform(ids, (x, i) ->
+      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)),
+                y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))) AS p
+    FROM l2 WHERE bucket_n >= 2 AND bucket_n <= {cap})
+),
+hot_star AS (
+  -- rep = global minimum, so rep < member always and (id_a < id_b) holds
+  SELECT bucket_rep AS id_a, member AS id_b FROM (
+    SELECT bucket_rep, explode(concat(ids, sub_reps)) AS member
+    FROM l2 WHERE bucket_n > {cap})
+  WHERE member != bucket_rep
+),
+sub_star AS (
+  SELECT min_s AS id_a, member AS id_b FROM (
+    SELECT min_s, explode(ids_s) AS member FROM l1 WHERE cnt_s > {cap})
+  WHERE member != min_s
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT id_a, id_b FROM small_pairs
+  UNION ALL SELECT id_a, id_b FROM hot_star
+  UNION ALL SELECT id_a, id_b FROM sub_star
+)
+"""
+    return df.sparkSession.sql(sql, df=df)
 
 
 def ngram_jaccard(

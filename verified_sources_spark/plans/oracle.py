@@ -35,18 +35,27 @@ _PRED = (
     "WHEN s_zh = best AND best > 0 THEN 'zh' ELSE 'und' END"
 )
 
-# minhash: k=8 seeds over word trigram shingles (mirrors shingles(n=3):
-# sliding 3-token windows joined by spaces, with repeats; empty when <3 tokens)
+# minhash: k=8 linear min-hashes over word trigram shingles (mirrors
+# shingles(n=3): sliding 3-token windows joined by spaces, with repeats;
+# empty when <3 tokens).  Hash family mirrors llm.minhash: ONE md5 per
+# shingle (60-bit hex prefix → ubigint → mod P), then (a_i·h + b_i) mod P
+# with the FROZEN (a_i, b_i) pairs imported from the engine itself.
+from verified_sources_spark.llm.minhash import MINHASH_PRIME as _MHP  # noqa: E402
+from verified_sources_spark.llm.minhash import minhash_ab as _mh_ab  # noqa: E402
+
 _SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END"
 )
+_BASE = f"list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT % {_MHP} AS BIGINT))"
 _MH = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh_{i}" for i in range(8)
+    f"list_min(list_transform(base, h -> (h * {_mh_ab(i)[0]} + {_mh_ab(i)[1]}) % {_MHP})) AS mh_{i}"
+    for i in range(8)
 )
 _SIG_CTE = (
     f"WITH sig AS (SELECT doc_id, {_MH} FROM "
-    f"(SELECT doc_id, {_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)))"
+    f"(SELECT doc_id, {_BASE} AS base FROM "
+    f"(SELECT doc_id, {_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))))"
 )
 _BANDS_CTE = (
     "bands AS ("
