@@ -207,6 +207,52 @@ def test_scan_without_stats_never_skips(spark, tmp_path, sink_fs):
     assert _rows(t.scan([("k", ">=", 15)])) == {(k,) for k in range(15, 20)}
 
 
+def test_compact_coalesces_small_files(spark, tmp_path, sink_fs):
+    """Many small appends -> one compacted file per partition; rows
+    unchanged, big files untouched, old version still time-travels."""
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(f"2024-01-0{1 + i % 2}", i, f"v{i}")], "day string, k long, v string"
+            )
+        )
+    v_before = t.latest_version()
+    n_before = len(t._manifest(v_before)["files"])
+    assert n_before >= 6
+    before = {(str(r["day"]), r["k"], r["v"]) for r in t.read().collect()}
+
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v == v_before + 1
+    after_entries = t._manifest(v)["files"]
+    # one file per partition now (2 partitions), all with sizes + stats
+    assert len(after_entries) == 2
+    assert all("bytes" in e and e.get("stats") for e in after_entries)
+    assert {(str(r["day"]), r["k"], r["v"]) for r in t.read().collect()} == before
+    # purely physical: the pre-compaction version still reads identically
+    assert {
+        (str(r["day"]), r["k"], r["v"]) for r in t.read(version=v_before).collect()
+    } == before
+    # second compact is a no-op
+    assert t.compact(target_file_bytes=1 << 30) is None
+    # vacuum now reclaims the replaced small files
+    assert len(t.vacuum(keep_versions=1)) >= 4
+
+
+def test_compact_leaves_large_files_alone(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    t.append(spark.createDataFrame([(k, "x" * 50) for k in range(5000)],
+                                   "k long, v string").coalesce(1))  # "large"
+    big = {e["path"] for e in t._manifest(1)["files"]}
+    t.append(spark.createDataFrame([(99990, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(99991, "b")], "k long, v string"))
+    v = t.compact(target_file_bytes=1 << 30, small_file_bytes=10 * 1024)
+    assert v is not None
+    after = {e["path"] for e in t._manifest(v)["files"]}
+    assert big <= after  # the large file carried over byte-identical
+    assert t.read().count() == 5002
+
+
 def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink_fs):
     """Two writers race the same commit version: exactly one CommitConflict,
     the loser retries against the fresh log, and no update is lost — the

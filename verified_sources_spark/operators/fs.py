@@ -57,6 +57,10 @@ class FS:
     def remove(self, path: str) -> None:
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """File length in bytes."""
+        raise NotImplementedError
+
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
         raise NotImplementedError
 
@@ -93,6 +97,9 @@ class LocalFS(FS):
 
     def remove(self, path: str) -> None:
         os.remove(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
         shutil.rmtree(path, ignore_errors=ignore_errors)
@@ -143,6 +150,9 @@ class HadoopFS(FS):
 
     def remove(self, path: str) -> None:
         self._jfs(path).delete(self._jpath(path), False)
+
+    def size(self, path: str) -> int:
+        return int(self._jfs(path).getFileStatus(self._jpath(path)).getLen())
 
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
         try:

@@ -306,6 +306,10 @@ class ManifestTable:
                 self.fs.makedirs(posixpath.dirname(dst))
                 self.fs.rename(posixpath.join(dirpath, fname), dst)
                 entry = {"path": dst_rel, "partition": part}
+                try:
+                    entry["bytes"] = self.fs.size(dst)
+                except Exception:
+                    pass  # size is advisory (compaction planning only)
                 if stat_cols and _is_local_uri(dst):
                     from urllib.parse import urlparse
 
@@ -477,6 +481,81 @@ class ManifestTable:
         # are complete when the manifest lands (commit is the atomic point)
         new_entries = self._write_files(merged)
         return self._commit(keep + new_entries, merged.schema.json(), stream=stream)
+
+    # ---------------------------------------------------------- compaction
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+    ) -> int | None:
+        """Coalesce small files (the Delta/Iceberg OPTIMIZE operation).
+
+        Streaming appends and fine-grained merges accrete many small
+        files; at 100 TB a scan over millions of KB-sized files is
+        dominated by open/seek overhead and task-scheduling latency, not
+        bytes.  Per partition, every file under ``small_file_bytes``
+        (default: half the target) is rewritten into
+        ``ceil(total/target_file_bytes)`` files; files already at or above
+        the threshold carry over untouched, byte-for-byte.  The rewrite
+        commits as ONE new manifest version — readers pinned to older
+        versions are undisturbed, and the replaced small files remain on
+        disk for time travel until ``vacuum``.
+
+        Returns the new version, or None when nothing needed compaction.
+        Rows are only rewritten, never changed — the operation is purely
+        physical.
+        """
+        import math
+
+        if not self.exists():
+            return None
+        small = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
+        entries = self._manifest(self.latest_version())["files"]
+
+        def _bytes(e: dict) -> int:
+            if "bytes" in e:
+                return int(e["bytes"])
+            try:
+                return self.fs.size(f"{self.path}/{e['path']}")
+            except Exception:
+                return small  # unknown size: treat as not-small (never rewrite)
+
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            key = tuple(sorted((e.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(e)
+
+        keep: list[dict] = []
+        rewrite: list[dict] = []
+        for _key, group in groups.items():
+            candidates = [e for e in group if _bytes(e) < small]
+            # one small file alone cannot be made fewer
+            if len(candidates) >= 2:
+                rewrite.extend(candidates)
+                keep.extend(e for e in group if e not in candidates)
+            else:
+                keep.extend(group)
+        if not rewrite:
+            return None
+
+        files = [f"{self.path}/{e['path']}" for e in rewrite]
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self._data)
+            .parquet(*files)
+        )
+        total = sum(_bytes(e) for e in rewrite)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if self.partition_by:
+            # co-locate each partition's rows in one task so the writer
+            # emits ONE file per (task, partition) — coalesce would let
+            # every task touch every partition it happens to hold
+            df = df.repartition(n_out, *self.partition_by)
+        else:
+            df = df.coalesce(n_out)
+        new_entries = self._write_files(df)
+        schema_json = self._manifest(self.latest_version()).get("schema")
+        return self._commit(keep + new_entries, schema_json)
 
     # -------------------------------------------------------------- vacuum
     def vacuum(self, keep_versions: int = 1) -> list[str]:
