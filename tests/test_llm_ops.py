@@ -298,3 +298,73 @@ def test_near_dedup_docs_collapses_clusters(spark):
         for r in near_dup_clusters(df, "doc_id", "text", threshold=0.5).collect()
     }
     assert clusters == {1: 3}
+
+
+def test_repetition_signals(spark):
+    """Crafted docs: boilerplate (repeated lines / one dominant bigram)
+    scores high; varied text scores low; empty text yields zeros."""
+    from verified_sources_spark.llm.text_prep import repetition_signals
+
+    docs = [
+        (1, "accept cookies\naccept cookies\naccept cookies\nreal content"),
+        (2, "alpha beta gamma delta\nepsilon zeta eta theta"),
+        (3, ""),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(d, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert abs(r1["dup_line_frac"] - 0.5) < 1e-9  # 2 distinct / 4 lines
+    # 3 repeated 'accept cookies' lines = 42 chars of 54 total line chars
+    assert r1["dup_line_char_frac"] > 0.7
+    # 'accept cookies' bigram occurs 3x out of 6 bigrams... dominant
+    assert r1["top_bigram_frac"] >= 0.3
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_line_char_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_lines"] == 0 and r3["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    from verified_sources_spark.llm.text_prep import pii_scrub
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk or call +1 555-123-4567 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255, no pii otherwise"),
+            (3, "clean text with numbers 42 and 3.14"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(d, "text", out_col="scrubbed").collect()}
+    assert "<EMAIL>" in out[1]["scrubbed"] and "bob.smith" not in out[1]["scrubbed"]
+    assert "<PHONE>" in out[1]["scrubbed"] and "555-123-4567" not in out[1]["scrubbed"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["scrubbed"].count("<IP>") == 2 and out[2]["n_ipv4"] == 2
+    # the phone pattern must NOT fire on the already-masked IPs
+    assert out[2]["n_phone"] == 0
+    assert out[3]["scrubbed"] == "clean text with numbers 42 and 3.14"
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+def test_token_chunks(spark):
+    from verified_sources_spark.llm.text_prep import token_chunks
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    d = spark.createDataFrame([(1, text), (2, "only three tokens"), (3, "")],
+                              "doc_id long, text string")
+    rows = token_chunks(d, "doc_id", "text", chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: starts 0,3,6 -> [0:4],[3:7],[6:10] (ceil((10-4)/3)=2 -> idx 0..2)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    # doc2: 3 tokens < chunk_size -> one short chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    # doc3: empty -> no chunks
+    assert 3 not in by_doc

@@ -1,0 +1,176 @@
+"""Training-data text preparation: repetition signals, PII scrubbing,
+token-window chunking.
+
+These are the per-document filters/transforms a large-scale LLM data
+pipeline runs between raw ingestion and tokenization (the quality-filter
+stage popularized by the Gopher/MassiveText and C4 data recipes —
+published methodology, re-expressed as Spark dataflows):
+
+- ``repetition_signals``: documents dominated by repeated lines or a few
+  repeated n-grams are boilerplate (cookie banners, navigation, scraper
+  loops) and get filtered before training.  Implemented as EXPLODE +
+  two-level aggregation rather than per-row quadratic array scans: a
+  transform(distinct, d -> count_in(lines)) formulation is O(L·D) per
+  document and serializes on pathological megadocs, while the exploded
+  groupBy is linear, spills, and spreads one huge document's lines
+  across the cluster like any other skewed key.
+- ``pii_scrub``: masks emails / IPv4 / phone-shaped substrings and counts
+  the hits, keeping the patterns inside the regex subset Java and RE2
+  share so the DuckDB oracle replays them bit-for-bit.
+- ``token_chunks``: overlapping fixed-size token windows (the context-
+  window packing step before tokenizer/embedding jobs), exploded into a
+  child table with deterministic chunk ids.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from verified_sources_spark.functions.text import TOKEN_RE, shingles
+
+# kept to the Java/RE2 COMMON regex subset (no lookarounds, no \b at the
+# pattern edge differences): the DuckDB oracle replays these literally
+PII_PATTERNS = {
+    # local@domain.tld — conservative, favors precision over recall
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad; \b is supported identically by Java regex and RE2
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # +country / separator-tolerant phone shape, 9+ digits total
+    "phone": r"\+?\d[\d\-\. ]{7,}\d",
+}
+PII_MASK = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style):
+
+    - ``n_lines``: non-empty (after trim) line count
+    - ``dup_line_frac``: 1 − distinct/total over those lines
+    - ``dup_line_char_frac``: fraction of line characters that live in a
+      line occurring more than once
+    - ``top_bigram_frac``: occurrences of the most frequent word 2-gram
+      over total 2-gram occurrences
+
+    Documents with no qualifying lines (or <2 tokens) report zeros so the
+    output stays one row per input document.
+
+    Scale shape: two exploded aggregations (lines, bigrams), each a
+    groupBy on (doc, unit) then (doc) — linear work, hash-partitioned,
+    no per-row quadratic array scans; a single pathological megadoc
+    spreads across the (doc, unit) shuffle instead of pinning one task.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("_id", "line").agg(
+        F.count(F.lit(1)).alias("cnt"), F.length("line").alias("len")
+    )
+    line_stats = per_line.groupBy("_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        (1.0 - F.count(F.lit(1)) / F.sum("cnt")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")).otherwise(0))
+            / F.sum(F.col("cnt") * F.col("len"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    bigrams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, 2)).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    bg_stats = per_bg.groupBy("_id").agg(
+        (F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac")
+    )
+
+    return (
+        df.select(F.col(id_col))
+        .join(line_stats, F.col(id_col) == line_stats["_id"], "left")
+        .drop("_id")
+        .join(bg_stats, F.col(id_col) == bg_stats["_id"], "left")
+        .drop("_id")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+# F.expr can't call a python helper: inline the token expression textually
+def _inline_tokens(sql: str, text_col: str) -> str:
+    return sql.replace(f"_tp_toks({text_col})", f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def pii_scrub(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped substrings in *text_col* and
+    count the hits per kind.  Adds ``{out_col}`` (default: the input
+    column, replaced) plus ``n_email`` / ``n_ipv4`` / ``n_phone``.
+
+    Masking order matters and is FIXED (email → ipv4 → phone) so the
+    phone pattern cannot eat the digits of an already-masked IP; counts
+    are taken on the original text for email/ipv4 and on the
+    email+ip-masked text for phone (a phone match inside an email local
+    part would otherwise double-count).  Pure JVM regex — one projection,
+    no shuffle, no UDFs."""
+    out = out_col or text_col
+    email, ipv4, phone = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    c = F.col(text_col)
+    after_email = F.regexp_replace(c, email, PII_MASK["email"])
+    after_ip = F.regexp_replace(after_email, ipv4, PII_MASK["ipv4"])
+    scrubbed = F.regexp_replace(after_ip, phone, PII_MASK["phone"])
+    counts = [
+        F.regexp_count(c, F.lit(email)).cast("long").alias("n_email"),
+        F.regexp_count(c, F.lit(ipv4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(after_ip, F.lit(phone)).cast("long").alias("n_phone"),
+    ]
+    keep = [F.col(n) for n in df.columns if n != out]
+    return df.select(*keep, scrubbed.alias(out), *counts)
+
+
+def token_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Overlapping token windows as a child table:
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    Chunk *i* covers tokens ``[i·stride, i·stride + chunk_size)``;
+    ``stride`` defaults to ``chunk_size`` (no overlap).  The last chunk
+    may be short; documents with no tokens yield no chunks.  One
+    projection + explode — the token array is materialized once per row
+    and sliced per chunk (array slice is O(chunk), not O(doc))."""
+    stride = stride or chunk_size
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    sql = _inline_tokens(
+        f"""
+SELECT `{id_col}`, chunk.chunk_idx,
+       array_join(chunk.toks_slice, ' ') AS chunk_text,
+       CAST(size(chunk.toks_slice) AS BIGINT) AS n_tokens
+FROM (
+  SELECT `{id_col}`,
+         explode(transform(
+           sequence(0, CAST(greatest(ceil((size(toks) - {chunk_size}) / {stride}.0), 0) AS INT)),
+           i -> struct(i AS chunk_idx,
+                       slice(toks, i * {stride} + 1, {chunk_size}) AS toks_slice)
+         )) AS chunk
+  FROM (SELECT `{id_col}`, _tp_toks(`{text_col}`) AS toks FROM {{df}})
+  WHERE size(toks) > 0
+)
+""",
+        f"`{text_col}`",
+    )
+    return df.sparkSession.sql(sql, df=df)

@@ -660,3 +660,69 @@ ORACLE_SQL["embedding_near_dup_pairs_embeddings"] = """
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
           / (a.nrm * b.nrm) >= 0.35
 """
+
+# training-data text prep (llm/text_prep.py) — patterns and constants are
+# imported from the engine so the two sides cannot drift
+from verified_sources_spark.llm.text_prep import PII_PATTERNS as _PII  # noqa: E402
+
+ORACLE_SQL["repetition_signals_docs"] = f"""
+    WITH lines AS (
+      SELECT doc_id, line FROM (
+        SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        FROM documents)
+      WHERE line != ''),
+    pl AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+           FROM lines GROUP BY doc_id, line),
+    ls AS (SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_lines,
+             round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+               AS dup_line_frac,
+             round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(cnt * len) AS DOUBLE), 6) AS dup_line_char_frac
+           FROM pl GROUP BY doc_id),
+    bgl AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 2 THEN list_transform(
+          generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+        ELSE [] END) AS bg
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    pb AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY doc_id, bg),
+    bs AS (SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS top_bigram_frac
+           FROM pb GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(ls.n_lines, 0) AS n_lines,
+           coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+           coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN ls ON ls.doc_id = d.doc_id
+    LEFT JOIN bs ON bs.doc_id = d.doc_id
+"""
+
+ORACLE_SQL["pii_scrub_docs"] = f"""
+    WITH s AS (
+      SELECT doc_id, text,
+        regexp_replace(regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g'),
+                       '{_PII["ipv4"]}', '<IP>', 'g') AS after_ip
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(after_ip, '{_PII["phone"]}', '<PHONE>', 'g') AS scrubbed,
+      CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(after_ip, '{_PII["phone"]}')) AS BIGINT) AS n_phone
+    FROM s
+"""
+
+ORACLE_SQL["token_chunks_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, toks,
+            unnest(generate_series(0,
+              CAST(greatest(ceil((len(toks) - 64) / 48.0), 0) AS INT))) AS i
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT) AS n_tokens
+    FROM e
+"""

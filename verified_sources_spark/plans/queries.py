@@ -578,6 +578,42 @@ def near_dedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (llm/text_prep.py):
+    duplicate-line fraction, duplicate-line character fraction, top-bigram
+    fraction.  Ratios rounded to 6 so the DuckDB comparison is not at the
+    mercy of HUGEINT→DOUBLE promotion differences."""
+    from verified_sources_spark.llm.text_prep import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    out = repetition_signals(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + per-kind hit counts (llm/text_prep.py)."""
+    from verified_sources_spark.llm.text_prep import pii_scrub
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_scrub(d, "text", out_col="scrubbed").select(
+        "doc_id", "scrubbed", "n_email", "n_ipv4", "n_phone"
+    )
+
+
+def token_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows with stride 48 (llm/text_prep.py)."""
+    from verified_sources_spark.llm.text_prep import token_chunks
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_chunks(d, "doc_id", "text", chunk_size=64, stride=48)
+
+
 # --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
 
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,4 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "near_dedup_docs_keep": near_dedup_docs_keep,
+    "repetition_signals_docs": repetition_signals_docs,
+    "pii_scrub_docs": pii_scrub_docs,
+    "token_chunks_docs": token_chunks_docs,
 }
