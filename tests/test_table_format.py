@@ -239,6 +239,33 @@ def test_compact_coalesces_small_files(spark, tmp_path, sink_fs):
     assert len(t.vacuum(keep_versions=1)) >= 4
 
 
+def test_compact_cluster_by_makes_skipping_surgical(spark, tmp_path, sink_fs):
+    """OPTIMIZE-with-clustering: after compact(cluster_by=[k]), output
+    files cover disjoint k ranges, so a point predicate prunes to one
+    file via the recorded stats."""
+    import random
+
+    t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    rng = random.Random(7)
+    ks = list(range(2000))
+    rng.shuffle(ks)
+    for i in range(4):  # interleaved appends: every file spans ~full k range
+        chunk = ks[i * 500 : (i + 1) * 500]
+        t.append(spark.createDataFrame([(k, "x" * 40) for k in chunk],
+                                       "k long, v string").coalesce(1))
+    # un-clustered: every file may contain any k -> nothing prunes
+    assert len(t.candidate_entries([("k", "=", 1234)])) == 4
+
+    v = t.compact(target_file_bytes=4 * 1024, cluster_by=["k"])
+    assert v is not None
+    n_files = len(t._manifest(v)["files"])
+    assert n_files >= 2
+    hits = t.candidate_entries([("k", "=", 1234)])
+    assert len(hits) == 1  # disjoint ranges -> exactly one candidate
+    assert {r["k"] for r in t.scan([("k", "=", 1234)]).collect()} == {1234}
+    assert t.read().count() == 2000
+
+
 def test_compact_leaves_large_files_alone(spark, tmp_path, sink_fs):
     t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     t.append(spark.createDataFrame([(k, "x" * 50) for k in range(5000)],

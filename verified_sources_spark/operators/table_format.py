@@ -487,8 +487,10 @@ class ManifestTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         small_file_bytes: int | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> int | None:
-        """Coalesce small files (the Delta/Iceberg OPTIMIZE operation).
+        """Coalesce small files (the Delta/Iceberg OPTIMIZE operation),
+        optionally range-clustering the data while rewriting.
 
         Streaming appends and fine-grained merges accrete many small
         files; at 100 TB a scan over millions of KB-sized files is
@@ -500,6 +502,18 @@ class ManifestTable:
         commits as ONE new manifest version — readers pinned to older
         versions are undisturbed, and the replaced small files remain on
         disk for time travel until ``vacuum``.
+
+        ``cluster_by``: rewrite EVERY file (not just small ones),
+        range-partitioned and sorted on the given columns — the
+        OPTIMIZE-with-clustering operation.  Each output file then covers
+        a disjoint range of the cluster key, so the per-file min/max
+        stats recorded at commit make ``scan``'s file skipping surgical:
+        a point/range predicate on the cluster column touches one file
+        (or one file per partition) instead of all of them.  On a
+        partitioned table, rows are co-located per partition and sorted
+        by (partition, cluster) within tasks — file-level ranges stay
+        per-partition and parquet row-group pruning gets the sorted
+        order inside each file.
 
         Returns the new version, or None when nothing needed compaction.
         Rows are only rewritten, never changed — the operation is purely
@@ -527,14 +541,17 @@ class ManifestTable:
 
         keep: list[dict] = []
         rewrite: list[dict] = []
-        for _key, group in groups.items():
-            candidates = [e for e in group if _bytes(e) < small]
-            # one small file alone cannot be made fewer
-            if len(candidates) >= 2:
-                rewrite.extend(candidates)
-                keep.extend(e for e in group if e not in candidates)
-            else:
-                keep.extend(group)
+        if cluster_by:
+            rewrite = list(entries)  # clustering re-lays-out everything
+        else:
+            for _key, group in groups.items():
+                candidates = [e for e in group if _bytes(e) < small]
+                # one small file alone cannot be made fewer
+                if len(candidates) >= 2:
+                    rewrite.extend(candidates)
+                    keep.extend(e for e in group if e not in candidates)
+                else:
+                    keep.extend(group)
         if not rewrite:
             return None
 
@@ -546,11 +563,18 @@ class ManifestTable:
         )
         total = sum(_bytes(e) for e in rewrite)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        if self.partition_by:
+        if cluster_by and not self.partition_by:
+            # disjoint cluster-key ranges per output file → surgical
+            # file skipping off the recorded min/max
+            df = df.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+            df = df.sortWithinPartitions(*cluster_by)
+        elif self.partition_by:
             # co-locate each partition's rows in one task so the writer
             # emits ONE file per (task, partition) — coalesce would let
             # every task touch every partition it happens to hold
             df = df.repartition(n_out, *self.partition_by)
+            if cluster_by:
+                df = df.sortWithinPartitions(*self.partition_by, *cluster_by)
         else:
             df = df.coalesce(n_out)
         new_entries = self._write_files(df)
