@@ -368,3 +368,60 @@ def test_token_chunks(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
     # doc3: empty -> no chunks
     assert 3 not in by_doc
+
+
+def test_decontaminate(spark):
+    from verified_sources_spark.llm.text_prep import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words about spark engines and tables"),
+            (3, "quick brown fox appears but only four overlapping tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            corpus, "doc_id", "text", bench, shingle_n=5, min_overlap=2
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 2
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert not out[3]["contaminated"]  # shares <2 distinct 5-gram shingles
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from verified_sources_spark.llm.text_prep import hash_sample
+
+    d = spark.createDataFrame([(i, "s") for i in range(2000)], "k long, src string")
+    s10 = {r["k"] for r in hash_sample(d, "k", fraction=0.1).collect()}
+    s10_again = {r["k"] for r in hash_sample(d, "k", fraction=0.1).collect()}
+    s50 = {r["k"] for r in hash_sample(d, "k", fraction=0.5).collect()}
+    assert s10 == s10_again            # reproducible
+    assert s10 <= s50                  # nested across rates
+    assert 120 <= len(s10) <= 280      # ~200 expected
+    assert 800 <= len(s50) <= 1200     # ~1000 expected
+    # different salt -> a different (still deterministic) subset
+    s10_salt = {r["k"] for r in hash_sample(d, "k", fraction=0.1, salt="v2").collect()}
+    assert s10_salt != s10
+
+
+def test_hash_sample_strata(spark):
+    from verified_sources_spark.llm.text_prep import hash_sample
+
+    rows = [(i, "keep_all") for i in range(200)] + [(i + 1000, "drop_all") for i in range(200)]
+    d = spark.createDataFrame(rows, "k long, src string")
+    out = hash_sample(
+        d, "k", strata_col="src",
+        fractions={"keep_all": 1.0, "drop_all": 0.0},
+        default_fraction=0.5,
+    ).collect()
+    srcs = {r["src"] for r in out}
+    assert srcs == {"keep_all"}
+    assert len(out) == 200

@@ -174,3 +174,105 @@ FROM (
         f"`{text_col}`",
     )
     return df.sparkSession.sql(sql, df=df)
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str | None = None,
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_overlap`` DISTINCT word n-gram shingles with any benchmark
+    document (the train/test-overlap scrub every published LLM data
+    recipe runs before training).
+
+    Adds ``n_overlap`` (distinct shared shingles) and ``contaminated``.
+
+    Scale shape: the benchmark side collapses to a DISTINCT shingle set —
+    benchmark suites are tiny next to a 100 TB corpus, so it broadcasts
+    (set ``broadcast_benchmark=False`` to let AQE decide for outsized
+    ones) and the corpus-side explode + broadcast-hash-join + groupBy
+    never shuffles document text, only (id, shingle-hit) rows."""
+    bench_text_col = bench_text_col or text_col
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(shingles(bench_text_col, shingle_n))).alias("sh")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corpus_sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
+    )
+    hits = corpus_sh.join(bench_sh, "sh").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        df.join(hits, df[id_col] == hits["_id"], "left")
+        .drop("_id")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_overlap") >= F.lit(min_overlap))
+    )
+
+
+# hash-sample keyspace: thresholds are computed in PYTHON as integers so
+# the Spark side and any SQL oracle share exact literals (no float drift)
+HASH_SAMPLE_BUCKETS = 1_000_000
+
+
+def hash_sample_threshold(fraction: float) -> int:
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    return int(round(fraction * HASH_SAMPLE_BUCKETS))
+
+
+def hash_sample_bucket(key_col, salt: str = ""):
+    """Deterministic per-key bucket in [0, HASH_SAMPLE_BUCKETS): md5 of the
+    salted key, 60-bit hex prefix → bigint → mod.  Content-addressed and
+    engine-portable (DuckDB reproduces it bit-for-bit), unlike rand() or
+    sample() — the same row lands in the same bucket on every run, every
+    engine, every cluster size, so samples are reproducible and
+    subset-nested across rates (a 1% sample is contained in the 10%)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % F.lit(HASH_SAMPLE_BUCKETS)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float | None = None,
+    strata_col: str | None = None,
+    fractions: dict | None = None,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic (reproducible, engine-portable) sampling — the
+    mixture-weighting step of a training-data pipeline: keep each row iff
+    its key's hash bucket falls under the stratum's threshold.
+
+    Either a global ``fraction``, or per-stratum ``fractions`` keyed by
+    ``strata_col`` values (rows from unlisted strata keep
+    ``default_fraction``).  One projection + filter, no shuffle, no RNG
+    state — scales to any corpus size and any retry/replay semantics."""
+    bucket = hash_sample_bucket(key_col, salt)
+    if fractions is not None:
+        if strata_col is None:
+            raise ValueError("fractions requires strata_col")
+        thr = F.lit(hash_sample_threshold(default_fraction))
+        for value, frac in sorted(fractions.items()):
+            thr = F.when(
+                F.col(strata_col) == F.lit(value), F.lit(hash_sample_threshold(frac))
+            ).otherwise(thr)
+    elif fraction is not None:
+        thr = F.lit(hash_sample_threshold(fraction))
+    else:
+        raise ValueError("pass fraction or fractions")
+    return df.filter(bucket < thr)

@@ -726,3 +726,41 @@ ORACLE_SQL["token_chunks_docs"] = f"""
            CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT) AS n_tokens
     FROM e
 """
+
+from verified_sources_spark.llm.text_prep import (  # noqa: E402
+    HASH_SAMPLE_BUCKETS as _HSB,
+    hash_sample_threshold as _hs_thr,
+)
+
+_SH5 = (
+    "CASE WHEN len(toks) >= 5 THEN list_transform(generate_series(1, len(toks)-4), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) "
+    "ELSE [] END"
+)
+
+ORACLE_SQL["decontaminate_docs"] = f"""
+    WITH sh5 AS (
+      SELECT doc_id, source, {_SH5} AS sh
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)),
+    bench AS (SELECT DISTINCT unnest(list_distinct(sh)) AS s FROM sh5 WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh5 WHERE source != 'src0'),
+    hits AS (SELECT doc_id, count(*) AS n_overlap
+             FROM corpus JOIN bench ON corpus.s = bench.s GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN coalesce(h.n_overlap, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.source != 'src0'
+"""
+
+ORACLE_SQL["hash_sample_docs"] = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+             % {_HSB} AS BIGINT) AS b
+      FROM documents)
+    WHERE b < CASE source WHEN 'src1' THEN {_hs_thr(0.5)}
+                          WHEN 'src2' THEN {_hs_thr(0.25)}
+                          ELSE {_hs_thr(0.1)} END
+"""

@@ -614,6 +614,39 @@ def token_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_chunks(d, "doc_id", "text", chunk_size=64, stride=48)
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination demo: src0 documents play the held-out
+    benchmark; every other source is the training corpus
+    (llm/text_prep.decontaminate, broadcast benchmark shingle set)."""
+    from verified_sources_spark.llm.text_prep import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    out = decontaminate(corpus, "doc_id", "text", bench, shingle_n=5, min_overlap=3)
+    return out.select(
+        "doc_id",
+        "n_overlap",
+        F.col("contaminated").cast("int").cast("long").alias("contaminated"),
+    )
+
+
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (mixture weighting): per-source
+    keep rates, content-addressed buckets (llm/text_prep.hash_sample)."""
+    from verified_sources_spark.llm.text_prep import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = hash_sample(
+        d,
+        "doc_id",
+        strata_col="source",
+        fractions={"src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
 # --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
 
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,4 +1127,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals_docs": repetition_signals_docs,
     "pii_scrub_docs": pii_scrub_docs,
     "token_chunks_docs": token_chunks_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "hash_sample_docs": hash_sample_docs,
 }
