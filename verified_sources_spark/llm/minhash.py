@@ -116,6 +116,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     max_bucket_size: int = 1024,
     sub_buckets: int = 32,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
 
@@ -149,6 +150,20 @@ def lsh_candidate_pairs(
     partition; every per-partition step there is linear (salted buffers,
     star expansion), so the straggler degrades to a linear scan of skinny
     (id, band) rows instead of a quadratic pair blow-up.
+
+    The level-1 summaries are MATERIALIZED (lazy ``localCheckpoint``)
+    before the three pair branches (complete buckets / hot stars / hot
+    sub-bucket stars) read them.  The branches form a DAG fork, and Spark
+    cannot share the subtree across them: CTEs inline, and exchange reuse
+    never matches plans containing higher-order functions (lambda
+    variables defeat canonicalization) — without the checkpoint the whole
+    signature pipeline (the md5 of every shingle in the corpus) executes
+    once PER BRANCH, tripling the dominant cost at any scale.  l1 is the
+    smallest correct cut: one row per (band, band_hash, salt) with
+    member arrays already capped, orders of magnitude smaller than the
+    corpus.  On a multi-executor cluster prefer ``materialize="persist"``
+    (StorageLevel MEMORY_AND_DISK survives executor loss via lineage;
+    localCheckpoint blocks do not — flagged by Spark's own docs).
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
@@ -175,7 +190,7 @@ def lsh_candidate_pairs(
     #   of an uncapped one (band shuffle + final DISTINCT).
     # - bucket-grouped pair expansion instead of a self-join: signatures
     #   are computed once.
-    sql = f"""
+    sql_l1 = f"""
 WITH _t AS (
   SELECT `{id_col}` AS id, {_tokens_sql(f'`{text_col}`')} AS toks FROM {{df}}
 ),
@@ -191,21 +206,29 @@ sig AS (
 banded AS (
   SELECT /*+ REPARTITION(band_idx, band_hash) */ id, band.band_idx, band.band_hash
   FROM (SELECT id, explode(array({band_structs})) AS band FROM sig)
-),
-l1 AS (
-  SELECT band_idx, band_hash, pmod(xxhash64(id), {sub_buckets}) AS salt,
-         count(1) AS cnt_s, min(id) AS min_s, collect_list(id) AS ids_s
-  FROM banded
-  GROUP BY band_idx, band_hash, pmod(xxhash64(id), {sub_buckets})
-),
-l2 AS (
+)
+SELECT band_idx, band_hash, pmod(xxhash64(id), {sub_buckets}) AS salt,
+       count(1) AS cnt_s, min(id) AS min_s, collect_list(id) AS ids_s
+FROM banded
+GROUP BY band_idx, band_hash, pmod(xxhash64(id), {sub_buckets})
+"""
+    l1 = df.sparkSession.sql(sql_l1, df=df)
+    if materialize == "localCheckpoint":
+        l1 = l1.localCheckpoint(eager=False)
+    elif materialize == "persist":
+        l1 = l1.persist()
+    elif materialize is not None:
+        raise ValueError("materialize must be 'localCheckpoint', 'persist', or None")
+
+    sql_pairs = f"""
+WITH l2 AS (
   SELECT band_idx, band_hash,
          sum(cnt_s) AS bucket_n,
          min(min_s) AS bucket_rep,
          flatten(collect_list(CASE WHEN cnt_s <= {cap} THEN ids_s
                                    ELSE slice(ids_s, 1, 0) END)) AS ids,
          collect_list(min_s) AS sub_reps
-  FROM l1 GROUP BY band_idx, band_hash
+  FROM {{l1}} GROUP BY band_idx, band_hash
 ),
 small_pairs AS (
   -- combos: for each ids[i], pair with the tail ids[i+2:]
@@ -225,7 +248,7 @@ hot_star AS (
 ),
 sub_star AS (
   SELECT min_s AS id_a, member AS id_b FROM (
-    SELECT min_s, explode(ids_s) AS member FROM l1 WHERE cnt_s > {cap})
+    SELECT min_s, explode(ids_s) AS member FROM {{l1}} WHERE cnt_s > {cap})
   WHERE member != min_s
 )
 SELECT DISTINCT id_a, id_b FROM (
@@ -234,7 +257,7 @@ SELECT DISTINCT id_a, id_b FROM (
   UNION ALL SELECT id_a, id_b FROM sub_star
 )
 """
-    return df.sparkSession.sql(sql, df=df)
+    return df.sparkSession.sql(sql_pairs, l1=l1)
 
 
 def ngram_jaccard(
