@@ -271,25 +271,32 @@ def ngram_jaccard(
     """Exact shingle-set Jaccard for given candidate pairs (or LSH pairs if
     none given): |A∩B| / |A∪B| on distinct shingles.
 
-    The shingle arrays are joined to the (small) pair list — at scale the
-    pair side is the result of LSH so it is orders of magnitude smaller
-    than the corpus; broadcast when it fits."""
+    The pair list is exploded to one row per (pair, side) and joined to
+    the corpus shingle arrays ONCE, then regrouped per pair.  A
+    two-sided join (sets ⨝ id_a, sets ⨝ id_b) would evaluate the
+    tokenize→shingle projection — the corpus-dominant cost — twice: the
+    two join branches fork the plan DAG and Spark cannot share a subtree
+    across them.  The regroup shuffles only candidate-matched shingle
+    arrays (LSH output × 2 rows), never the corpus."""
     if pairs is None:
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n)
     sets = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
     )
-    out = (
-        pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(sets.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    sides = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
     )
+    both = (
+        sides.join(sets, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("sh").alias("shs"))
+        .filter(F.size("shs") == 2)  # drop pairs with an un-shingleable side
+    )
+    a, b = F.col("shs")[0], F.col("shs")[1]
+    out = both.select(
+        "id_a",
+        "id_b",
+        (F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
