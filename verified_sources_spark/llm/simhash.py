@@ -54,7 +54,11 @@ def simhash_near_pairs(
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
     assert 64 % n_bands == 0
     band_bits = 64 // n_bands
-    sig = simhash64(df, id_col, text_col)
+    # materialize the signatures (skinny: id + one bigint) before the
+    # self-join: the two join sides fork the plan DAG, and without the
+    # checkpoint the per-token hashing + 64 per-bit aggregations would
+    # execute once PER SIDE (Spark cannot share subtrees across a fork)
+    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -336,7 +336,15 @@ def embedding_near_dups_lsh(
     verifies.  High-cosine pairs have low angular distance, so the
     probability at least one of ``n_bands`` sign-buckets agrees → 1;
     shuffle volume is bucket-local candidates, never the full cross
-    product.  Same output schema as ``embedding_near_dup_pairs``."""
+    product.  Same output schema as ``embedding_near_dup_pairs``.
+
+    Plan shape: the per-row sign bits (``n_bands * n_planes`` dot
+    products — the dominant per-row cost) are projected once into a
+    SKINNY (id, buckets) frame and materialized (lazy localCheckpoint)
+    before the bucket self-join; without that, the two join sides fork
+    the DAG and every dot product runs twice.  Scoring then re-reads the
+    corpus exactly once via the explode-pair-sides/regroup shape (same
+    as ``ngram_jaccard``): only candidate-matched vectors shuffle."""
     dim = len(corpus.select(vec_col).first()[0])
 
     def band_bucket(vec, band: int):
@@ -347,32 +355,34 @@ def embedding_near_dups_lsh(
             bits.append(F.when(_dot(vec, plane_arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(F.lit(f"b{band}:"), *bits)
 
-    base = corpus.select(
+    buckets = corpus.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col)).alias("__n"),
-    )
-    exploded = base.withColumn(
-        "__bucket",
-        F.explode(F.array(*[band_bucket(F.col("__v"), band) for band in range(n_bands)])),
-    )
-    left = exploded.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__bucket",
-    )
-    right = exploded.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__bucket",
-    )
+        F.array(
+            *[band_bucket(F.col(vec_col), band) for band in range(n_bands)]
+        ).alias("__buckets"),
+    ).localCheckpoint(eager=False)
+    exploded = buckets.select("__id", F.explode("__buckets").alias("__bucket"))
     cand = (
-        left.join(right, ["__bucket"])
+        exploded.select(F.col("__id").alias("id_a"), "__bucket")
+        .join(exploded.select(F.col("__id").alias("id_b"), "__bucket"), ["__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # a pair can agree in several bands
     )
-    scored = cand.select(
-        "id_a",
-        "id_b",
-        (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("__cos"),
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.struct(
+            F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("n")
+        ).alias("__vn"),
+    )
+    sides = cand.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id"))
+    both = (
+        sides.join(vecs, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("__vn").alias("vns"))
+    )
+    a, b = F.col("vns")[0], F.col("vns")[1]
+    scored = both.select(
+        "id_a", "id_b", (_dot(a["v"], b["v"]) / (a["n"] * b["n"])).alias("__cos")
     )
     return scored.filter(F.col("__cos") >= F.lit(threshold)).select(
         "id_a", "id_b", F.round("__cos", 4).alias("cosine")
