@@ -40,3 +40,16 @@ from verified_sources_spark.sources.pg_decoders import (  # noqa: F401
 )
 from verified_sources_spark.sources.inbox import read_inbox, attachments_table  # noqa: F401
 from verified_sources_spark.sources.sheets import grid_to_dataframe  # noqa: F401
+from verified_sources_spark.sources.pg_wire import (  # noqa: F401
+    WalsenderClient,
+    fetch_slot_changes,
+)
+from verified_sources_spark.sources.kafka_wire import (  # noqa: F401
+    KafkaWireClient,
+    fetch_bounded as kafka_fetch_bounded,
+    records_to_rows as kafka_records_to_rows,
+)
+from verified_sources_spark.sources.kinesis_wire import (  # noqa: F401
+    KinesisClient,
+    fetch_stream as kinesis_fetch_stream,
+)
