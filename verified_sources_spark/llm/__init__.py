@@ -10,3 +10,9 @@ from verified_sources_spark.llm.exact_dedup import exact_dedup, exact_dedup_grou
 from verified_sources_spark.llm.minhash import minhash_signatures, lsh_candidate_pairs, ngram_jaccard  # noqa: F401
 from verified_sources_spark.llm.simhash import simhash64, simhash_near_pairs  # noqa: F401
 from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk  # noqa: F401
+from verified_sources_spark.llm.line_dedup import (  # noqa: F401
+    line_dedup,
+    rebuild_docs,
+    split_lines,
+    split_token_windows,
+)

@@ -1,0 +1,135 @@
+"""Corpus-level line/paragraph deduplication (the CCNet recipe).
+
+Per-document repetition signals (text_prep.repetition_signals) catch
+intra-document boilerplate; this operator removes units duplicated
+ACROSS documents — navigation chrome, cookie banners, license headers —
+the CCNet/MassiveText "shard-level paragraph dedup" step that runs
+before near-dup detection in large-scale training-data pipelines
+(published methodology, re-expressed as Spark dataflows).
+
+Shape: explode documents into positioned units (newline paragraphs, or
+fixed token windows for corpora without line structure), count each
+unit corpus-wide, drop units over the occurrence threshold (optionally
+keeping the first occurrence), then reassemble documents in unit order.
+
+Scale shape: the corpus-wide count groups on ``xxhash64(unit)`` — an
+8-byte shuffle key instead of the unit string — and the stats join back
+to the exploded units is a plain shuffle join on that key, so one hot
+unit (a banner occurring millions of times) is ONE aggregation row, not
+a collected bucket; reassembly is a per-document groupBy whose rows are
+the document's own units.  No window over the whole corpus, no
+collect_list across documents, no driver-side state.  Hash collisions
+(~2^-64 per pair) can at worst drop an extra unit — the standard
+hash-dedup tradeoff; oracles group by the unit string itself and agree
+on collision-free corpora.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from verified_sources_spark.functions.text import tokens
+
+
+def split_lines(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n", min_chars: int = 1
+) -> DataFrame:
+    """(id, pos, line) — one row per positioned unit, splitting on
+    ``sep``; units shorter than ``min_chars`` after trim are dropped
+    (they carry no dedup signal and bloat the hash table)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    )
+    return exploded.filter(F.length(F.trim("line")) >= min_chars)
+
+
+def split_token_windows(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """(id, pos, line) where a unit is a fixed ``window``-token slice —
+    the re-lining used for corpora without newline structure.  Stays in
+    one projection (no shuffle): slice the token array per document and
+    posexplode.  Joining the kept units back with a single space
+    reproduces the tokenized document exactly when nothing is dropped."""
+    toks = tokens(F.col(text_col))
+    n_units = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    wins: Column = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(wins).alias("pos", "line")
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    min_occurrences: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Drop units occurring ``>= min_occurrences`` times corpus-wide.
+
+    ``keep_first=True`` keeps the single occurrence with the smallest
+    (id, pos) — exact unit-level dedup; ``False`` removes every copy —
+    boilerplate scrubbing (a unit repeated that often is chrome, not
+    content).  One aggregation on the unit hash + one join back; both
+    argmin and count come from the same grouped pass."""
+    h = F.xxhash64(line_col).alias("_h")
+    keyed = lines.select(id_col, pos_col, line_col, h)
+    stats = keyed.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(id_col, pos_col)).alias("_first"),
+    )
+    joined = keyed.join(stats, "_h")
+    below = F.col("_cnt") < min_occurrences
+    if keep_first:
+        is_first = (F.col(f"_first.{id_col}") == F.col(id_col)) & (
+            F.col(f"_first.{pos_col}") == F.col(pos_col)
+        )
+        kept = joined.filter(below | is_first)
+    else:
+        kept = joined.filter(below)
+    return kept.drop("_h", "_cnt", "_first")
+
+
+def rebuild_docs(
+    kept: DataFrame,
+    all_lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    sep: str = "\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """One row per ORIGINAL document: kept units re-joined in position
+    order (documents whose units were all dropped survive with an empty
+    string — pipeline composition needs the row), plus kept/dropped
+    counts.  collect_list here is per-document only — bounded by the
+    document's own size, never corpus-wide."""
+    totals = all_lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    parts = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, line_col))),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(parts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_units") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

@@ -764,3 +764,49 @@ ORACLE_SQL["hash_sample_docs"] = f"""
                           WHEN 'src2' THEN {_hs_thr(0.25)}
                           ELSE {_hs_thr(0.1)} END
 """
+
+# CCNet-style corpus-level unit dedup over 8-token windows: count every
+# window corpus-wide, scrub (or keep-first) duplicated ones, reassemble
+# documents in position order.  DuckDB groups by the window string; the
+# Spark side groups by xxhash64 of it — identical absent 64-bit
+# collisions (none at oracle scale).
+_LD_WINDOWS = f"""
+  t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  w AS (
+    SELECT doc_id, pos, array_to_string(toks[pos*8+1 : pos*8+8], ' ') AS line
+    FROM (SELECT doc_id, toks,
+                 unnest(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS pos
+          FROM t)
+  ),
+  c AS (SELECT line, COUNT(*) AS cnt FROM w GROUP BY line)
+"""
+
+_LD_REBUILD = """
+  tot AS (SELECT doc_id, COUNT(*) AS n_units FROM w GROUP BY doc_id),
+  parts AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM k GROUP BY doc_id)
+  SELECT tot.doc_id,
+         coalesce(parts.text_clean, '') AS text_clean,
+         CAST(coalesce(parts.n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(tot.n_units - coalesce(parts.n_kept, 0) AS BIGINT) AS n_dropped
+  FROM tot LEFT JOIN parts USING (doc_id)
+"""
+
+ORACLE_SQL["line_dedup_docs"] = f"""
+    WITH {_LD_WINDOWS},
+    k AS (SELECT w.doc_id, w.pos, w.line
+          FROM w JOIN c USING (line) WHERE c.cnt < 2),
+    {_LD_REBUILD}
+"""
+
+ORACLE_SQL["line_dedup_keep_first_docs"] = f"""
+    WITH {_LD_WINDOWS},
+    k AS (SELECT doc_id, pos, line FROM (
+            SELECT w.doc_id, w.pos, w.line, c.cnt,
+                   ROW_NUMBER() OVER (PARTITION BY w.line
+                                      ORDER BY w.doc_id, w.pos) AS rn
+            FROM w JOIN c USING (line))
+          WHERE cnt < 2 OR rn = 1),
+    {_LD_REBUILD}
+"""

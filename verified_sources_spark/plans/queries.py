@@ -647,6 +647,40 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level unit dedup: 8-token windows counted
+    corpus-wide on an 8-byte hash key; windows occurring >= 2 times are
+    scrubbed from every document, documents reassembled in unit order
+    (llm/line_dedup — the cross-document boilerplate-removal step that
+    complements intra-doc repetition_signals)."""
+    from verified_sources_spark.llm.line_dedup import (
+        line_dedup,
+        rebuild_docs,
+        split_token_windows,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lines = split_token_windows(d, "doc_id", "text", window=8)
+    kept = line_dedup(lines, min_occurrences=2)
+    return rebuild_docs(kept, lines, sep=" ")
+
+
+def line_dedup_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-level exact dedup: duplicated 8-token windows keep only the
+    occurrence with the smallest (doc_id, pos) — argmin and count come
+    from one grouped pass (llm/line_dedup keep_first)."""
+    from verified_sources_spark.llm.line_dedup import (
+        line_dedup,
+        rebuild_docs,
+        split_token_windows,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lines = split_token_windows(d, "doc_id", "text", window=8)
+    kept = line_dedup(lines, min_occurrences=2, keep_first=True)
+    return rebuild_docs(kept, lines, sep=" ")
+
+
 # --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
 
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,4 +1163,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_chunks_docs": token_chunks_docs,
     "decontaminate_docs": decontaminate_docs,
     "hash_sample_docs": hash_sample_docs,
+    "line_dedup_docs": line_dedup_docs,
+    "line_dedup_keep_first_docs": line_dedup_keep_first_docs,
 }
