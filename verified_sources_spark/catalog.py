@@ -43,6 +43,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→LTZ normalization below interprets naive wall-clock values
+        # in the session timezone; pin it so `unix_micros(ts)` equals DuckDB's
+        # `epoch_us(ts)` on the same naive parquet values regardless of host TZ.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down — fall through and let the read report it
 
@@ -59,10 +63,12 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table; normalizes physical quirks.
 
-    ``events.ts`` is stored as parquet ``timestamp[ns]`` which Spark's
-    reader only exposes as int64 (``nanosAsLong``); convert to a proper
-    TIMESTAMP at microsecond precision (floor division — matches DuckDB's
-    ``epoch_us`` on the same values).
+    ``events.ts`` has shipped in different physical forms across testdata
+    generations: parquet ``timestamp[ns]`` (Spark exposes it as int64 under
+    ``nanosAsLong``) and parquet ``timestamp[us]`` with no timezone (Spark 4
+    infers TIMESTAMP_NTZ, which ``unix_micros``/``window`` reject). Normalize
+    both to a proper TIMESTAMP (LTZ) at microsecond precision under the UTC
+    session timezone — matches DuckDB's ``epoch_us`` on the same values.
     """
     try:
         key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
@@ -72,9 +78,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV — a double division would lose precision at ns scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer DIV — a double division would lose precision at ns scale
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # naive wall-clock → instant; session TZ pinned to UTC above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if key is not None:
         _TABLE_CACHE[key] = df
     return df
