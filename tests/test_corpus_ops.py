@@ -1,0 +1,108 @@
+"""Corpus-level curation operators (llm/corpus.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from verified_sources_spark.llm.corpus import (
+    domain_cap,
+    incremental_dedup,
+    pack_manifest,
+    semantic_dedup,
+    unigram_rarity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_domain_cap_keeps_top_n_per_domain(spark):
+    rows = [(i, f"d{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, domain string, score long")
+    out = domain_cap(df, "domain", 4, [F.col("score").desc(), F.col("id").asc()])
+    got = {(r["domain"], r["id"], r["domain_rank"]) for r in out.collect()}
+    assert len(got) == 12  # 3 domains x cap 4
+    # per domain, ids ascend with score descending: best of d0 is id=0
+    assert ("d0", 0, 1) in got and ("d0", 3, 2) in got
+    assert all(rank <= 4 for _, _, rank in got)
+
+
+def test_unigram_rarity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the dog"), (3, "")],
+        "doc_id long, text string",
+    )
+    # corpus counts: the=3, cat=1, dog=1; total=5
+    out = {r["doc_id"]: r for r in unigram_rarity(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    # doc1: rare tokens (cnt<=2): cat only -> 1/3
+    assert abs(out[1]["rare_frac"] - round(1 / 3, 6)) < 1e-9
+    # doc1 mean prob: (3+3+1)/(3*5)
+    assert abs(out[1]["mean_token_prob"] - round(7 / 15, 12)) < 1e-12
+    assert out[3]["n_tokens"] == 0 and out[3]["rare_frac"] is None
+
+
+def test_pack_manifest_matches_naive_window_and_no_single_partition(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = pack_manifest(docs, "doc_id", "text", 64)
+    # naive single-partition reference
+    from verified_sources_spark.functions.text import token_count
+
+    d = docs.select(F.col("doc_id"), token_count(F.col("text")).cast("long").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = d.withColumn("cum", F.sum("n").over(w)).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("cum") - F.col("n")).alias("start_offset"),
+        F.floor((F.col("cum") - F.col("n")) / 64).cast("long").alias("seq_first"),
+        F.when(F.col("n") > 0, F.floor((F.col("cum") - 1) / 64))
+        .otherwise(F.floor((F.col("cum") - F.col("n")) / 64))
+        .cast("long")
+        .alias("seq_last"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_incremental_dedup_flags_planted_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(60):  # standing corpus: ids 0..59 (pred: id < 60)
+        rows.append((i, f"{base} standing document number {i} with unique suffix {i * 7}"))
+    rows.append((100, rows[5][1]))  # exact copy of standing doc 5
+    rows.append((101, rows[6][1] + " tiny change"))  # near-dup of standing doc 6
+    rows.append((102, "completely different content about spark engines " * 3))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(df, "doc_id", "text", F.col("doc_id") < 60).collect()
+    }
+    assert set(out) == {100, 101, 102}
+    assert out[100]["is_exact_dup"] == 1 and out[100]["keep"] == 0
+    assert out[101]["is_exact_dup"] == 0
+    assert out[101]["is_near_dup"] == 1 and out[101]["keep"] == 0
+    assert out[102]["is_exact_dup"] == 0 and out[102]["keep"] == 1
+
+
+def test_semantic_dedup_drops_planted_near_identical_vectors(spark):
+    import math
+
+    def unit(angle, dim=8):
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(angle), math.sin(angle)
+        return v
+
+    rows = []
+    for i in range(32):  # spread: one vector per distinct angle
+        rows.append((i, unit(0.4 * i + 2.0)))
+    # planted near-identical group at a fresh angle: ids 100,101,102
+    for j, eps in [(100, 0.0), (101, 1e-4), (102, 2e-4)]:
+        rows.append((j, unit(1.234 + eps)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, "vec_id", "embedding", n_clusters=4, threshold=0.999)
+    kept = {r["vec_id"]: r["n_dropped_dups"] for r in out.collect()}
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert kept[100] == 2  # absorbed both planted twins
+    # everything else survives
+    assert all(i in kept for i in range(32))

@@ -1,0 +1,299 @@
+"""Corpus-level curation operators for training-data pipelines.
+
+The operations a web-scale (Common-Crawl-shaped) corpus build runs between
+per-document filtering and tokenization — published methodology (C4 /
+Gopher-MassiveText / SemDeDup data recipes), re-expressed as Spark
+dataflows:
+
+- ``domain_cap``: per-domain document quotas (C4-style source balancing) —
+  keep at most N docs per domain by a deterministic priority order.
+- ``unigram_nll``: corpus-unigram language-model scoring (the cheap
+  perplexity proxy used for quality bucketing): two aggregation passes,
+  token-frequency table joined back, bits-per-token per document.
+- ``pack_manifest``: global token-offset assignment for sequence packing
+  (concat-then-chunk training prep).  The global running sum uses the
+  bucketed two-pass prefix scan from ``operators.prefix`` — a plain
+  ``Window.orderBy`` with no partitionBy would drag the whole corpus
+  through one partition.
+- ``incremental_dedup``: dedup an incoming batch against a STANDING corpus
+  without re-pairing the corpus with itself — the operation a 100 TB
+  pipeline actually runs daily (you never re-dedup the whole corpus).
+  Exact layer: content-md5 semi-join.  Near layer: MinHash LSH band
+  hashes of the incoming batch semi-joined against the standing corpus's
+  band table (which at scale is a maintained, incremental table itself).
+- ``semantic_dedup``: SemDeDup-style embedding dedup — k-means clusters
+  (shared quantizer with ``similarity.ivf_topk``), pairwise cosine only
+  WITHIN a cluster, drop all but the lowest id of each near-identical
+  group.  All-pairs across the corpus never happens; per-cluster work is
+  bounded by cluster size.
+
+Reference parity: the reference pipeline ships no corpus-level curation —
+these extend the engine for the training-data workloads named in
+SURVEY.md §7's build plan (dedup/similarity/text-analysis pillar).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from verified_sources_spark.functions.text import token_count, tokens
+from verified_sources_spark.llm.minhash import minhash_signatures
+from verified_sources_spark.llm.similarity import (
+    _dot,
+    _norm,
+    assign_clusters,
+    train_kmeans,
+)
+from verified_sources_spark.operators.prefix import (
+    BUCKET_COL,
+    bucketed_prefix_sum,
+    with_range_buckets,
+)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_by: list[Column],
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, by a deterministic priority.
+
+    One hash shuffle on the domain key, then a per-domain sort that spills;
+    a mega-domain (half the crawl is one host) sorts in a single task —
+    if that's the workload, pre-filter with a per-domain count and sample
+    the giants by hash before ranking.  The rank column is kept so the
+    output is self-describing (rank 1 = best doc of its domain).
+    """
+    w = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+    )
+
+
+def unigram_rarity(df: DataFrame, id_col: str, text_col: str, rare_max_count: int = 2) -> DataFrame:
+    """Corpus-unigram rarity scoring per document — the cheap LM-quality
+    proxy (a doc of common in-distribution tokens scores a high mean token
+    probability; rare-token gibberish scores low; a high rare-token
+    fraction flags OCR noise / codes / non-language).
+
+    Deliberately integer-exact (no logs, no order-dependent double sums)
+    so the DuckDB oracle hash-matches bit-for-bit:
+
+    - ``n_tokens``: doc token count;
+    - ``rare_frac``: fraction of tokens whose CORPUS count ≤
+      ``rare_max_count`` (exact int ratio, one rounded division);
+    - ``mean_token_prob``: mean over the doc's tokens of corpus p(tok) =
+      Σ cnt(tok) / (n_tokens · total) — exact bigint sums, one double
+      division at the end.
+
+    Plan shape: explode → (token) count agg builds the frequency table;
+    the corpus total is a one-row aggregate cross-joined in (broadcast
+    nested loop of a single row); the score join is token-keyed and left
+    to AQE — the vocabulary of a web corpus has a long unique-token tail,
+    so it is NOT forced broadcast.  Docs with zero tokens survive with
+    n_tokens=0 and NULL scores (the left join back to the id spine).
+    """
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") <= rare_max_count, 1).otherwise(0)).cast("long").alias("_n_rare"),
+        F.sum("cnt").cast("long").alias("_sum_cnt"),
+        F.max("total").alias("_total"),
+    )
+    spine = df.select(F.col(id_col).alias("_id"))
+    out = spine.join(per_doc, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.col("_n_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
+        F.round(F.col("_sum_cnt") / (F.col("n_tokens") * F.col("_total")), 12).alias(
+            "mean_token_prob"
+        ),
+    )
+
+
+def pack_manifest(
+    df: DataFrame, id_col: str, text_col: str, seq_len: int
+) -> DataFrame:
+    """Token-offset packing manifest: where each document lands when the
+    corpus is concatenated in ``id_col`` order and chunked into fixed
+    ``seq_len``-token training sequences.
+
+    Output per doc: ``n_tokens``, ``start_offset`` (global exclusive
+    prefix sum), ``seq_first``/``seq_last`` (the training-sequence ids the
+    doc spans; equal for empty docs).  The global running sum is the
+    bucketed two-pass prefix scan (operators/prefix.py) — range-bucket on
+    id, per-bucket windows in parallel, cross-bucket offsets applied as
+    literals; the plan has NO SinglePartition exchange, so the manifest
+    scales to any corpus a cluster can scan.
+    """
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    b = with_range_buckets(d, "_id")
+    c = bucketed_prefix_sum(b, "_id", F.col("n_tokens"), "_cum")
+    start = F.col("_cum") - F.col("n_tokens")
+    return c.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("long").alias("seq_first"),
+        F.when(F.col("n_tokens") > 0, F.floor((F.col("_cum") - 1) / seq_len))
+        .otherwise(F.floor(start / seq_len))
+        .cast("long")
+        .alias("seq_last"),
+    ).drop(BUCKET_COL)
+
+
+def incremental_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    existing_pred: Column,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup the incoming batch (rows where NOT ``existing_pred``) against
+    the standing corpus (rows where ``existing_pred``), never pairing the
+    standing corpus with itself.
+
+    - exact layer: md5(text) of incoming semi-joined against the standing
+      corpus's distinct content hashes;
+    - near layer: MinHash LSH band hashes (same frozen family as
+      ``minhash.lsh_candidate_pairs``) of incoming semi-joined against the
+      standing corpus's band table on (band_idx, band_hash).
+
+    Both joins shuffle only hash-sized keys.  At 100 TB the standing
+    corpus's hash/band tables are maintained incrementally (append each
+    accepted batch's hashes), so a daily increment costs
+    O(increment + matching buckets), not O(corpus).
+
+    Output: one row per incoming doc — ``is_exact_dup``, ``is_near_dup``
+    (band collision with the standing corpus, candidate-level), ``keep``.
+    """
+    rows_per_band = k // bands
+    assert rows_per_band * bands == k, "k must divide into equal bands"
+
+    existing = df.filter(existing_pred)
+    incoming = df.filter(~existing_pred)
+
+    content_h = F.md5(F.col(text_col)).alias("_h")
+    existing_h = existing.select(content_h).distinct()
+    inc_ids = incoming.select(F.col(id_col), content_h)
+    exact_hits = (
+        inc_ids.join(existing_h, "_h", "left_semi").select(id_col).distinct()
+    )
+
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n).filter(
+        F.col("mh_0").isNotNull()
+    )
+
+    def bands_of(sdf: DataFrame) -> DataFrame:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+        return sdf.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+        ).select(id_col, "band.band_idx", "band.band_hash")
+
+    existing_ids = existing.select(id_col)
+    incoming_ids = incoming.select(id_col)
+    sig_bands = bands_of(sig)
+    existing_bands = sig_bands.join(existing_ids, id_col, "left_semi").select(
+        "band_idx", "band_hash"
+    ).distinct()
+    incoming_bands = sig_bands.join(incoming_ids, id_col, "left_semi")
+    near_hits = (
+        incoming_bands.join(existing_bands, ["band_idx", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+    ex = exact_hits.withColumn("_ex", F.lit(1))
+    nr = near_hits.withColumn("_nr", F.lit(1))
+    out = incoming.select(id_col).join(ex, id_col, "left").join(nr, id_col, "left")
+    is_exact = F.coalesce(F.col("_ex"), F.lit(0)).cast("long")
+    is_near = F.coalesce(F.col("_nr"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        is_exact.alias("is_exact_dup"),
+        is_near.alias("is_near_dup"),
+        ((is_exact == 0) & (is_near == 0)).cast("long").alias("keep"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: k-means partition, cosine pairs only
+    within a cluster, keep the lowest id of each near-identical pair group.
+
+    The quantizer is the shared deterministic Lloyd loop
+    (``similarity.train_kmeans`` — centroid-only collects).  The pairwise
+    stage self-joins on the cluster id, so its cost is Σ|cluster|², never
+    |corpus|²; at 100 TB you raise ``n_clusters`` with corpus size to hold
+    the per-cluster bound (SemDeDup's published recipe).
+
+    Output: kept rows as (id, cluster) plus ``n_dropped_dups`` — how many
+    near-identical neighbors this survivor absorbed (0 for most rows).
+    """
+    c = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
+    assigned = (
+        assign_clusters(c, "_id", "_v", centroids)
+        .filter(F.col("__rn") == 1)
+        .select("_id", "_v", "cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    drops = pairs.select(F.col("id_b").alias("_id")).distinct()
+    absorbed = pairs.join(drops.withColumnRenamed("_id", "id_a"), "id_a", "left_anti")
+    n_absorbed = absorbed.groupBy(F.col("id_a").alias("_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped_dups")
+    )
+    kept = assigned.join(drops, "_id", "left_anti").join(n_absorbed, "_id", "left")
+    return kept.select(
+        F.col("_id").alias(id_col),
+        F.col("cluster"),
+        F.coalesce(F.col("n_dropped_dups"), F.lit(0)).cast("long").alias("n_dropped_dups"),
+    )

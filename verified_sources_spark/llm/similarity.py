@@ -138,6 +138,70 @@ def cosine_topk_vectorized(
     )
 
 
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cluster int, cvec array<double>")
+
+
+def assign_clusters(
+    df: DataFrame, id_name: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid ranking: broadcast cross join against the (tiny)
+    centroid table, squared-L2 distance as a zip_with fold, ``__rn`` ranks
+    centroids per row (rn=1 is the assignment; rn<=p gives multi-probe)."""
+    cd = _centroid_df(df.sparkSession, centroids)
+    scored = df.crossJoin(F.broadcast(cd)).withColumn(
+        "__dist",
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy(id_name).orderBy(F.col("__dist").asc(), F.col("cluster").asc())
+    return scored.withColumn("__rn", F.row_number().over(w))
+
+
+def train_kmeans(
+    vectors: DataFrame,
+    id_name: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over a vector column, as DataFrame ops.
+
+    Initialization is the ``n_centroids`` lowest-id vectors; each iteration
+    is one broadcast-assignment pass plus a posexplode → (cluster, dim) avg.
+    Only the centroid table (n_centroids × dim doubles — metadata-sized)
+    ever reaches the driver; the corpus never collects, so the same loop
+    runs unchanged against a 100 TB embedding table."""
+    init = vectors.orderBy(id_name).limit(n_centroids).select(vec_col).collect()
+    centroids = [list(r[vec_col]) for r in init]
+    for _ in range(lloyd_iters):
+        assigned = (
+            assign_clusters(vectors, id_name, vec_col, centroids)
+            .filter(F.col("__rn") == 1)
+            .select(vec_col, "cluster")
+        )
+        new_rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("cvec"))
+            .collect()
+        )
+        for r in new_rows:
+            centroids[r["cluster"]] = list(r["cvec"])
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,52 +224,18 @@ def ivf_topk(
     dim-keyed aggregate, then the probe join shuffles only (bucket, query)
     pairs.  Initialization is deterministic (first n_centroids by id)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    centroids = train_kmeans(c, "neighbor_id", "__cv", n_centroids, lloyd_iters)
 
-    # deterministic init: the n_centroids lowest-id vectors
-    init = (
-        c.orderBy("neighbor_id").limit(n_centroids).select("__cv").collect()
-    )
-    centroids = [list(r["__cv"]) for r in init]
-
-    def centroid_df():
-        rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)]
-        return c.sparkSession.createDataFrame(rows, "cluster int, cvec array<double>")
-
-    def assign(df, id_name, vec):
-        cd = centroid_df()
-        scored = df.crossJoin(F.broadcast(cd)).withColumn(
-            "__dist",
-            F.aggregate(
-                F.zip_with(vec, F.col("cvec"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        w = Window.partitionBy(id_name).orderBy(F.col("__dist").asc(), F.col("cluster").asc())
-        return scored.withColumn("__rn", F.row_number().over(w))
-
-    for _ in range(lloyd_iters):
-        assigned = (
-            assign(c, "neighbor_id", F.col("__cv")).filter(F.col("__rn") == 1).select("neighbor_id", "__cv", "cluster")
-        )
-        new_rows = (
-            assigned.select("cluster", F.posexplode("__cv").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.col("dm.m").alias("cvec"))
-            .collect()
-        )
-        for r in new_rows:
-            centroids[r["cluster"]] = list(r["cvec"])
-
-    buckets = assign(c, "neighbor_id", F.col("__cv")).filter(F.col("__rn") == 1).select(
-        "neighbor_id", "__cv", "cluster"
+    buckets = (
+        assign_clusters(c, "neighbor_id", "__cv", centroids)
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cv", "cluster")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    q_probes = assign(q, "query_id", F.col("__qv")).filter(F.col("__rn") <= n_probe).select(
-        "query_id", "__qv", "cluster"
+    q_probes = (
+        assign_clusters(q, "query_id", "__qv", centroids)
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cluster")
     )
     prod = buckets.join(F.broadcast(q_probes), "cluster").filter(
         F.col("neighbor_id") != F.col("query_id")

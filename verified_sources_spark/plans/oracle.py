@@ -810,3 +810,66 @@ ORACLE_SQL["line_dedup_keep_first_docs"] = f"""
           WHERE cnt < 2 OR rn = 1),
     {_LD_REBUILD}
 """
+
+# corpus-level curation (llm/corpus.py)
+
+ORACLE_SQL["domain_cap_docs"] = """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS domain_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 15
+"""
+
+ORACLE_SQL["unigram_rarity_docs"] = f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    sc AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+             CAST(MAX(total) AS BIGINT) AS total
+           FROM tk JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(CAST(sc.n_rare AS DOUBLE) / sc.n_tokens, 6) AS rare_frac,
+           round(CAST(sc.sum_cnt AS DOUBLE) / (sc.n_tokens * sc.total), 12)
+             AS mean_token_prob
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+ORACLE_SQL["pack_manifest_docs"] = f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                     ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
+    FROM c
+"""
+
+ORACLE_SQL["incremental_dedup_docs"] = f"""
+    {_SIG_CTE}, {_BANDS_CTE},
+    exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 7),
+    inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
+    exact_hits AS (
+      SELECT DISTINCT doc_id FROM inc WHERE md5(text) IN (SELECT h FROM exh)),
+    exb AS (SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 10 < 7),
+    near_hits AS (
+      SELECT DISTINCT b.doc_id FROM bands b
+      JOIN exb USING (band_idx, band_hash) WHERE b.doc_id % 10 >= 7)
+    SELECT i.doc_id,
+      CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+      CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup,
+      CAST(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        AS keep
+    FROM inc i
+    LEFT JOIN exact_hits e ON e.doc_id = i.doc_id
+    LEFT JOIN near_hits n ON n.doc_id = i.doc_id
+"""

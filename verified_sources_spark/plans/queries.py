@@ -1077,6 +1077,57 @@ def control_table_archive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return todo.select("user_id", "day")
 
 
+# --------------------------------------------------------------------------
+# corpus-level curation (llm/corpus.py)
+# --------------------------------------------------------------------------
+
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain quota: keep the 15 highest-priority docs per
+    source (priority = longest first, id tiebreak)."""
+    from verified_sources_spark.llm.corpus import domain_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(d, "source", 15, [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    return capped.select(
+        "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
+    )
+
+
+def unigram_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram rarity quality signals (cheap perplexity proxy)."""
+    from verified_sources_spark.llm.corpus import unigram_rarity
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_rarity(d, "doc_id", "text")
+
+
+def pack_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-offset packing manifest (256-token sequences) via the
+    bucketed prefix scan — no SinglePartition exchange."""
+    from verified_sources_spark.llm.corpus import pack_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_manifest(d, "doc_id", "text", 256)
+
+
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the incoming 30% of docs (doc_id % 10 >= 7) against the
+    standing 70% corpus: exact content-hash + LSH band semi-joins."""
+    from verified_sources_spark.llm.corpus import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(d, "doc_id", "text", (F.col("doc_id") % 10) < 7)
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters, within-cluster cosine >= 0.92 dedup,
+    keep lowest id per group (rows-only: k-means isn't SQL-expressible)."""
+    from verified_sources_spark.llm.corpus import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "vec_id", "embedding", n_clusters=16, threshold=0.92)
+
+
 # Registry order is a GRADING contract: the driver's correctness gate runs
 # exactly the first 50 entries in dict order (verified in round 1). The
 # first 50 are therefore all oracle-backed and chosen for operator-family
@@ -1165,4 +1216,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample_docs": hash_sample_docs,
     "line_dedup_docs": line_dedup_docs,
     "line_dedup_keep_first_docs": line_dedup_keep_first_docs,
+    "domain_cap_docs": domain_cap_docs,
+    "unigram_rarity_docs": unigram_rarity_docs,
+    "pack_manifest_docs": pack_manifest_docs,
+    "incremental_dedup_docs": incremental_dedup_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
 }
