@@ -425,3 +425,33 @@ def test_hash_sample_strata(spark):
     srcs = {r["src"] for r in out}
     assert srcs == {"keep_all"}
     assert len(out) == 200
+
+
+def test_minhash_family_seeds_are_independent():
+    """Regression: the (a_i, b_i) family must be bit-mixed per seed.  The
+    pre-fix family was near-linear in i (golden-ratio multiply without a
+    finalizer), so one shingle with a small transformed value under seed 1
+    was ALSO the minimum under seeds 3/5/7 — the signature's effective k
+    collapsed.  Over a deterministic pool of base hashes, the 8 seeds must
+    pick a diverse set of argmins, and no odd-seed minima may sit in the
+    near-multiple pattern of the linear family."""
+    import hashlib
+
+    from verified_sources_spark.llm.minhash import MINHASH_PRIME, minhash_ab
+
+    hashes = [
+        int(hashlib.md5(f"shingle-{j}".encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+        for j in range(200)
+    ]
+    argmins, minvals = [], []
+    for i in range(8):
+        a, b = minhash_ab(i)
+        vals = [(a * h + b) % MINHASH_PRIME for h in hashes]
+        m = min(range(len(vals)), key=vals.__getitem__)
+        argmins.append(m)
+        minvals.append(vals[m])
+    assert len(set(argmins)) >= 5, f"correlated seeds: argmins={argmins}"
+    # odd-seed minima of the linear family satisfied v_{2j+1} ≈ (j+1)·v_1
+    v1 = minvals[1]
+    for j, i in enumerate((3, 5, 7), start=2):
+        assert abs(minvals[i] - j * v1) > 1000, "linear-family pattern detected"

@@ -153,6 +153,47 @@ def pack_manifest(
     ).drop(BUCKET_COL)
 
 
+def band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — the MinHash LSH band table of a corpus
+    (same frozen hash family as ``minhash.lsh_candidate_pairs``).
+
+    This is the table a standing corpus MAINTAINS incrementally for
+    membership-style near-dup checks: hash-sized rows, k/bands per doc,
+    appended batch by batch — never recomputed over the whole corpus.
+    Docs too short to shingle produce no rows (NULL signatures filtered).
+    """
+    rows_per_band = k // bands
+    assert rows_per_band * bands == k, "k must divide into equal bands"
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n).filter(
+        F.col("mh_0").isNotNull()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
 def incremental_dedup(
     df: DataFrame,
     id_col: str,
@@ -180,9 +221,6 @@ def incremental_dedup(
     Output: one row per incoming doc — ``is_exact_dup``, ``is_near_dup``
     (band collision with the standing corpus, candidate-level), ``keep``.
     """
-    rows_per_band = k // bands
-    assert rows_per_band * bands == k, "k must divide into equal bands"
-
     existing = df.filter(existing_pred)
     incoming = df.filter(~existing_pred)
 
@@ -193,33 +231,9 @@ def incremental_dedup(
         inc_ids.join(existing_h, "_h", "left_semi").select(id_col).distinct()
     )
 
-    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n).filter(
-        F.col("mh_0").isNotNull()
-    )
-
-    def bands_of(sdf: DataFrame) -> DataFrame:
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-        return sdf.select(
-            F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-        ).select(id_col, "band.band_idx", "band.band_hash")
-
     existing_ids = existing.select(id_col)
     incoming_ids = incoming.select(id_col)
-    sig_bands = bands_of(sig)
+    sig_bands = band_table(df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n)
     existing_bands = sig_bands.join(existing_ids, id_col, "left_semi").select(
         "band_idx", "band_hash"
     ).distinct()

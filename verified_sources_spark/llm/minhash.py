@@ -38,11 +38,31 @@ from verified_sources_spark.functions.text import TOKEN_RE, shingles
 MINHASH_PRIME = 2038074743
 
 
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — full avalanche, so consecutive seeds yield
+    uncorrelated outputs."""
+    x &= (1 << 64) - 1
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) % (1 << 64)
+    x ^= x >> 31
+    return x
+
+
 def minhash_ab(i: int) -> tuple[int, int]:
-    """Deterministic (a_i, b_i) for seed *i* — splitmix-style mix, frozen."""
-    x = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
-    a = (x % (MINHASH_PRIME - 1)) + 1
-    b = (x >> 32) % MINHASH_PRIME
+    """Deterministic (a_i, b_i) for seed *i*, frozen.
+
+    Each parameter gets its own fully-mixed splitmix64 stream.  An earlier
+    version multiplied the seed by the golden-ratio constant WITHOUT the
+    finalizer — multiplication alone is linear, so (a_i, b_i) were near-
+    linear in i and a shingle whose transformed value was small under one
+    seed was small under every second seed: half the k "independent"
+    min-hashes picked the same argmin shingle, silently collapsing the
+    family's effective k and skewing every LSH band probability.
+    """
+    a = (_mix64(2 * i + 1) % (MINHASH_PRIME - 1)) + 1
+    b = _mix64(2 * i + 2) % MINHASH_PRIME
     return a, b
 
 

@@ -1,0 +1,153 @@
+"""Streaming corpus ingestion: the end-to-end training-data front door.
+
+Composes the engine's pieces into the pipeline a 100 TB corpus build runs
+continuously: landing files stream in (Structured Streaming,
+``Trigger.AvailableNow`` per bounded run), each micro-batch passes a
+quality gate, dedups within itself, dedups against the STANDING corpus,
+and the survivors append to a ManifestTable with idempotent per-batch
+commits.
+
+The scale-critical design decision is the **fingerprint table**: the
+standing corpus is never re-scanned for dedup.  Instead a second
+ManifestTable holds one row per accepted content hash and per accepted
+LSH band hash — hash-sized, not document-sized — and each micro-batch
+semi-joins its own fingerprints against it.  A daily increment therefore
+costs O(increment + matching fingerprints), independent of corpus size;
+the documents table is only ever appended.
+
+Crash/replay contract (the reference's exactly-once slot semantics,
+sources/pg_replication/__init__.py:77-80, applied to a two-table sink):
+
+- docs commit FIRST, fingerprints second, both carrying the same
+  (stream_id, batch_id) in their atomic manifest commits;
+- each table skips a batch id it has already committed, so a crash
+  between the two commits replays into "skip docs, redo fingerprints";
+- the accepted set is recomputed deterministically on replay: it depends
+  only on the batch content and the FINGERPRINT table state, which is
+  unchanged until the fingerprint commit lands — so the redone
+  fingerprint append describes exactly the docs that were committed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from verified_sources_spark.functions.text import quality_score
+from verified_sources_spark.llm.corpus import band_table
+from verified_sources_spark.operators.table_format import ManifestTable
+
+
+class CorpusIngest:
+    """Micro-batch corpus ingestion into (documents, fingerprints) tables.
+
+    ``docs_table`` holds accepted documents; ``fp_table`` holds their
+    fingerprints as (kind, fp) rows — kind 'md5' for exact content hashes,
+    'band{i}' for LSH band hashes.  Near-dedup is candidate-level (any
+    band collision with the standing corpus rejects the doc); pass
+    ``near_dedup=False`` for exact-only ingestion.
+    """
+
+    def __init__(
+        self,
+        docs_table: ManifestTable,
+        fp_table: ManifestTable,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        quality_min: float = 0.0,
+        near_dedup: bool = True,
+        stream_id: str = "corpus-ingest",
+        k: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ):
+        self.docs_table = docs_table
+        self.fp_table = fp_table
+        self.id_col = id_col
+        self.text_col = text_col
+        self.quality_min = quality_min
+        self.near_dedup = near_dedup
+        self.stream_id = stream_id
+        self.k, self.bands, self.shingle_n = k, bands, shingle_n
+
+    # ------------------------------------------------------------ fingerprints
+    def _fingerprints(self, df: DataFrame) -> DataFrame:
+        """(id, kind, fp) fingerprint rows for a document set."""
+        md5s = df.select(
+            F.col(self.id_col),
+            F.lit("md5").alias("kind"),
+            F.md5(F.col(self.text_col)).alias("fp"),
+        )
+        if not self.near_dedup:
+            return md5s
+        bands = band_table(
+            df, self.id_col, self.text_col, k=self.k, bands=self.bands, shingle_n=self.shingle_n
+        ).select(
+            F.col(self.id_col),
+            F.concat(F.lit("band"), F.col("band_idx").cast("string")).alias("kind"),
+            F.col("band_hash").alias("fp"),
+        )
+        return md5s.unionByName(bands)
+
+    # ---------------------------------------------------------------- batching
+    def accepted(self, batch_df: DataFrame) -> DataFrame:
+        """The batch rows that survive quality gate + in-batch dedup +
+        standing-corpus dedup.  Deterministic in (batch content, current
+        fingerprint-table state)."""
+        gated = batch_df.filter(
+            quality_score(F.col(self.text_col)) >= F.lit(self.quality_min)
+        )
+        # in-batch exact dedup: keep the lowest id per content hash
+        w_key = F.md5(F.col(self.text_col))
+        in_batch = (
+            gated.withColumn("_h", w_key)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_h").orderBy(F.col(self.id_col).asc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_h", "_rn")
+        )
+        if not self.fp_table.exists():
+            return in_batch
+        standing = self.fp_table.read().select("kind", "fp").distinct()
+        batch_fps = self._fingerprints(in_batch)
+        dup_ids = (
+            batch_fps.join(standing, ["kind", "fp"], "left_semi")
+            .select(self.id_col)
+            .distinct()
+        )
+        return in_batch.join(dup_ids, self.id_col, "left_anti")
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent two-commit apply — see module docstring for the
+        crash/replay contract."""
+        docs_last = self.docs_table.last_batch_id(self.stream_id)
+        fp_last = self.fp_table.last_batch_id(self.stream_id)
+        if docs_last is not None and fp_last is not None and batch_id <= min(docs_last, fp_last):
+            return  # fully committed already
+        acc = self.accepted(batch_df)
+        # Materialize ONCE: the two commits below (and the fingerprint
+        # derivation) must describe the same accepted set; without the
+        # checkpoint each sink write would recompute the dedup joins.
+        acc = acc.localCheckpoint(eager=True)
+        if docs_last is None or batch_id > docs_last:
+            self.docs_table.append(acc, stream=(self.stream_id, batch_id))
+        if fp_last is None or batch_id > fp_last:
+            self.fp_table.append(
+                self._fingerprints(acc), stream=(self.stream_id, batch_id)
+            )
+
+    def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
+        """One bounded AvailableNow pass of the landing stream."""
+        q = (
+            stream_df.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
