@@ -27,6 +27,19 @@ def test_domain_cap_keeps_top_n_per_domain(spark):
     assert all(rank <= 4 for _, _, rank in got)
 
 
+def test_domain_cap_two_stage_equals_single_stage_on_skew(spark):
+    """The salted two-stage path must be EXACT: same survivors and ranks
+    as the plain single-window formulation, on a skewed domain layout
+    (one mega-domain, several small ones, priority ties broken by id)."""
+    rows = [(i, "mega", (i * 37) % 11) for i in range(2000)]
+    rows += [(10_000 + i, f"small{i % 5}", i % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, domain string, score long").repartition(16)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    two = domain_cap(df, "domain", 25, order, two_stage=True)
+    one = domain_cap(df, "domain", 25, order, two_stage=False)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
 def test_unigram_rarity_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, "the the cat"), (2, "the dog"), (3, "")],

@@ -455,3 +455,33 @@ def test_minhash_family_seeds_are_independent():
     v1 = minvals[1]
     for j, i in enumerate((3, 5, 7), start=2):
         assert abs(minvals[i] - j * v1) > 1000, "linear-family pattern detected"
+
+
+def test_simhash_dedup_groups_linear_scheme(spark):
+    """Planted near-identical cluster collapses into ONE group via sorted-
+    neighbor chaining; distinct docs stay singletons; groups agree with the
+    transitive closure of the exact pair lister on this data."""
+    from verified_sources_spark.llm.neardup import connected_components
+    from verified_sources_spark.llm.simhash import simhash_dedup_groups, simhash_near_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain falls on "
+        "the quiet town and the river runs to the sea beyond the old bridge"
+    )
+    rows = [(i, base + f" variant token{i % 2}") for i in range(20)]  # near-dup cluster
+    rows += [
+        (100, "completely different text about database engines and storage"),
+        (101, "another unrelated piece concerning orchestral music and violins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r["doc_id"]: (r["group"], r["group_size"]) for r in
+              simhash_dedup_groups(df, "doc_id", "text").collect()}
+    assert len(groups) == 22  # one row per doc
+    cluster_groups = {groups[i][0] for i in range(20)}
+    assert len(cluster_groups) == 1 and groups[0][1] == 20
+    assert groups[100][1] == 1 and groups[101][1] == 1
+    # cross-check vs exact pair lister's transitive closure
+    pairs = simhash_near_pairs(df, "doc_id", "text")
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    for i in range(20):
+        assert comp[i] == comp[0]

@@ -58,15 +58,31 @@ def domain_cap(
     cap: int,
     order_by: list[Column],
     rank_col: str = "domain_rank",
+    two_stage: bool = True,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per domain, by a deterministic priority.
+    The rank column is kept so the output is self-describing (rank 1 =
+    best doc of its domain).
 
-    One hash shuffle on the domain key, then a per-domain sort that spills;
-    a mega-domain (half the crawl is one host) sorts in a single task —
-    if that's the workload, pre-filter with a per-domain count and sample
-    the giants by hash before ranking.  The rank column is kept so the
-    output is self-describing (rank 1 = best doc of its domain).
+    ``two_stage=True`` (default) is the salted EXACT top-N optimization
+    for skewed domains.  A single window on the domain key shuffles a
+    mega-domain (half the crawl is one host) into ONE task that must sort
+    it.  Stage 1 instead windows on (domain, salt) — salt = row hash mod
+    64, so the one full-data shuffle is skew-free — and keeps only each
+    sub-group's top ``cap``.  Stage 2 ranks the ≤ cap × 64 survivors per
+    domain on the domain key alone: a metadata-sized second shuffle and a
+    bounded final sort.  The survivors are a superset of the true global
+    top-cap (a domain's global top-cap rows are within the top-cap of
+    whatever sub-group holds them), so the result is EXACT.
     """
+    if two_stage:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(64))
+        w_local = Window.partitionBy(F.col(domain_col), salt).orderBy(*order_by)
+        df = (
+            df.withColumn("_lrn", F.row_number().over(w_local))
+            .filter(F.col("_lrn") <= cap)
+            .drop("_lrn")
+        )
     w = Window.partitionBy(domain_col).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
@@ -151,6 +167,58 @@ def pack_manifest(
         .cast("long")
         .alias("seq_last"),
     ).drop(BUCKET_COL)
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Multi-signal document quality gate (the C4/Gopher filter recipe as
+    ONE verdict table): length bounds, heuristic quality score, and
+    repetition signals each raise a flag; a doc passes when no flag is up.
+
+    Output is one row per doc with bigint flag columns (flag_length /
+    flag_quality / flag_repetition) and the ``passes`` verdict — the
+    self-describing shape downstream sampling reads (filter on passes,
+    or audit why a slice was dropped).  All signals are per-row
+    arithmetic over exact counts, so the verdicts are engine-deterministic.
+    """
+    from verified_sources_spark.functions.text import quality_score, token_count
+    from verified_sources_spark.llm.text_prep import repetition_signals
+
+    base = df.select(
+        F.col(id_col),
+        quality_score(F.col(text_col)).alias("_q"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    rep = repetition_signals(df, id_col, text_col).select(
+        F.col(id_col), "dup_line_frac", "top_bigram_frac"
+    )
+    j = base.join(rep, id_col)
+    flag_length = (
+        (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)
+    ).cast("long")
+    flag_quality = (F.col("_q") < min_quality).cast("long")
+    flag_repetition = (
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac)
+    ).cast("long")
+    return j.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        flag_length.alias("flag_length"),
+        flag_quality.alias("flag_quality"),
+        flag_repetition.alias("flag_repetition"),
+        (
+            (flag_length == 0) & (flag_quality == 0) & (flag_repetition == 0)
+        ).cast("long").alias("passes"),
+    )
 
 
 def band_table(

@@ -50,7 +50,14 @@ def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
     """Pairs (id_a < id_b, hamming <= max_hamming).  n_bands must exceed
-    max_hamming for the pigeonhole guarantee."""
+    max_hamming for the pigeonhole guarantee.
+
+    Scale caveat: this lists EVERY qualifying pair, and a corpus with a
+    giant near-identical cluster (templated/boilerplate text is the
+    common case — observed: 5k synthetic docs → 1M pairs) has Ω(|cluster|²)
+    output no matter how the join is organized.  When the consumer is
+    dedup grouping — the usual case — use ``simhash_dedup_groups``, whose
+    candidate set and output are linear in the corpus."""
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
     assert 64 % n_bands == 0
     band_bits = 64 // n_bands
@@ -91,3 +98,90 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    neighbor_window: int = 8,
+) -> DataFrame:
+    """(id, group, group_size) — near-duplicate groups under transitive
+    closure of hamming <= max_hamming edges, with LINEAR candidate volume.
+
+    The pair-listing formulation is Ω(|cluster|²) on boilerplate-heavy
+    corpora; dedup only needs connectivity.  This is the sorted-probe
+    scheme of the simhash dedup paper (Manku et al., WWW'07) expressed as
+    DataFrame ops: within each (band_idx, band_val) bucket, sort by
+    (simhash, id) and link each fingerprint to its ``neighbor_window``
+    predecessors (lag 1..W — a per-bucket window over a hash-partitioned
+    key, no global sort), keep edges whose full hamming distance passes,
+    then run hash-min connected components over the sparse verified
+    edge set.  Candidates are n_bands × W per doc — linear.
+
+    Semantics note: groups are components of the SAMPLED edge graph — a
+    qualifying pair more than W apart in every shared bucket's sort order
+    can land in different groups (under-merge, never over-merge; every
+    edge is hamming-verified).  The hot case that breaks pair listing —
+    thousands of near-identical fingerprints sharing a bucket — is
+    exactly where sorted adjacency chains the whole cluster together.
+    """
+    assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
+    assert 64 % n_bands == 0
+    band_bits = 64 // n_bands
+    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        _band(F.col("simhash"), i, band_bits).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_val").orderBy("simhash", id_col)
+    lagged = banded.select(
+        F.col(id_col),
+        F.col("simhash"),
+        *[F.lag(F.col(id_col), k).over(w).alias(f"_nid{k}") for k in range(1, neighbor_window + 1)],
+        *[F.lag(F.col("simhash"), k).over(w).alias(f"_nsh{k}") for k in range(1, neighbor_window + 1)],
+    )
+    edge_parts = [
+        lagged.select(
+            F.least(F.col(id_col), F.col(f"_nid{k}")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col(f"_nid{k}")).alias("id_b"),
+        ).filter(
+            F.col(f"_nid{k}").isNotNull()
+            & (
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col(f"_nsh{k}")))
+                <= max_hamming
+            )
+        )
+        for k in range(1, neighbor_window + 1)
+    ]
+    edges = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.distinct()
+
+    from verified_sources_spark.llm.neardup import connected_components
+
+    comp = connected_components(edges)
+    ids = sig.select(F.col(id_col).alias("node"))
+    labeled = ids.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("group"),
+    )
+    sizes = labeled.groupBy("group").agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    return labeled.join(sizes, "group").select(id_col, "group", "group_size")

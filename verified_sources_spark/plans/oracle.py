@@ -873,3 +873,52 @@ ORACLE_SQL["incremental_dedup_docs"] = f"""
     LEFT JOIN exact_hits e ON e.doc_id = i.doc_id
     LEFT JOIN near_hits n ON n.doc_id = i.doc_id
 """
+
+ORACLE_SQL["quality_filter_docs"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * least((CAST(len(list_filter(toks, x -> list_contains({_SW['en']}, x))) AS INT)
+                           / greatest(CAST(len(toks) AS INT), 1)) * 5.0, 1.0)
+            + 0.2 * (1.0 - (CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT)
+                            / greatest(length(text), 1))) AS q
+          FROM t),
+    lines AS (
+      SELECT doc_id, line FROM (
+        SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        FROM documents)
+      WHERE line != ''),
+    pl AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+           FROM lines GROUP BY doc_id, line),
+    ls AS (SELECT doc_id,
+             1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac
+           FROM pl GROUP BY doc_id),
+    bgl AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 2 THEN list_transform(
+          generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+        ELSE [] END) AS bg
+      FROM t),
+    pb AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY doc_id, bg),
+    bs AS (SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+           FROM pb GROUP BY doc_id),
+    sig AS (
+      SELECT q.doc_id, q.n_tokens, q.q,
+             coalesce(ls.dup_line_frac, 0.0) AS dlf,
+             coalesce(bs.top_bigram_frac, 0.0) AS tbf
+      FROM q LEFT JOIN ls ON ls.doc_id = q.doc_id
+             LEFT JOIN bs ON bs.doc_id = q.doc_id)
+    SELECT doc_id, n_tokens,
+      CAST(CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 1 ELSE 0 END AS BIGINT)
+        AS flag_length,
+      CAST(CASE WHEN round(q, 6) < 0.3 THEN 1 ELSE 0 END AS BIGINT) AS flag_quality,
+      CAST(CASE WHEN dlf > 0.3 OR tbf > 0.2 THEN 1 ELSE 0 END AS BIGINT)
+        AS flag_repetition,
+      CAST(CASE WHEN (n_tokens >= 5 AND n_tokens <= 100000)
+                 AND round(q, 6) >= 0.3
+                 AND NOT (dlf > 0.3 OR tbf > 0.2)
+            THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM sig
+"""

@@ -1119,6 +1119,24 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(d, "doc_id", "text", (F.col("doc_id") % 10) < 7)
 
 
+def simhash_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-candidate simhash dedup groups (sorted-probe scheme) —
+    rows-only: xxhash64 + iterative components aren't SQL-expressible."""
+    from verified_sources_spark.llm.simhash import simhash_dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_groups(d, "doc_id", "text")
+
+
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate: length + heuristic quality
+    + repetition flags, one verdict row per doc."""
+    from verified_sources_spark.llm.corpus import quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_filter(d, "doc_id", "text")
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters, within-cluster cosine >= 0.92 dedup,
     keep lowest id per group (rows-only: k-means isn't SQL-expressible)."""
@@ -1220,5 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_rarity_docs": unigram_rarity_docs,
     "pack_manifest_docs": pack_manifest_docs,
     "incremental_dedup_docs": incremental_dedup_docs,
+    "quality_filter_docs": quality_filter_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
 }
