@@ -119,3 +119,29 @@ def test_semantic_dedup_drops_planted_near_identical_vectors(spark):
     assert kept[100] == 2  # absorbed both planted twins
     # everything else survives
     assert all(i in kept for i in range(32))
+
+
+def test_mixture_sample_targets_and_nesting(spark):
+    from verified_sources_spark.llm.corpus import mixture_sample
+
+    rows = [(i, f"d{i % 4}", "tok " * 50) for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), d) for i, d, t in rows], "doc_id long, text string, source string"
+    )
+    # per domain: 100 docs x 50 tokens = 5000 tokens
+    weights = {"d0": 0.5, "d1": 0.25, "d2": 0.25}  # d3 unweighted -> dropped
+    small = mixture_sample(df, "doc_id", "text", "source", weights, token_budget=4000)
+    got = {d: 0 for d in ("d0", "d1", "d2")}
+    ids_small = set()
+    for r in small.collect():
+        assert r["source"] != "d3"
+        got[r["source"]] += r["n_tokens"]
+        ids_small.add(r["doc_id"])
+    # targets: d0 2000, d1/d2 1000 of 5000 available — binomial jitter around
+    # the rate, so assert within a wide band
+    assert 1000 < got["d0"] < 3000
+    assert 400 < got["d1"] < 1800 and 400 < got["d2"] < 1800
+    # nesting: doubling the budget keeps every previously sampled doc
+    big = mixture_sample(df, "doc_id", "text", "source", weights, token_budget=8000)
+    ids_big = {r["doc_id"] for r in big.collect()}
+    assert ids_small <= ids_big

@@ -39,6 +39,7 @@ CORPUS_OPS = [
     "pack_manifest_docs",
     "incremental_dedup_docs",
     "quality_filter_docs",
+    "mixture_sample_docs",
     "semantic_dedup_embeddings",
     "simhash_near_pairs_docs",
     "simhash_dedup_groups_docs",

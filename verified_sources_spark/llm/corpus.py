@@ -169,6 +169,58 @@ def pack_manifest(
     ).drop(BUCKET_COL)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture sampling to a token budget (the Pile/FineWeb
+    mixture-weights step): domain s gets a target of ``token_budget ×
+    weights[s]`` tokens, realized as a deterministic content-addressed
+    hash sample at rate ``min(1, target / domain_tokens)``.  Domains
+    without a weight are dropped.
+
+    Fully declarative — per-domain token totals are one aggregation whose
+    (tiny) result broadcasts back onto the corpus; the keep decision is a
+    hash compare per row.  Reuses ``text_prep.hash_sample_bucket``, so
+    samples are reproducible across engines/runs and subset-nested when
+    the budget grows.  Rates derive from exact bigint token totals; the
+    achieved token count is rate-proportional (hash sampling is
+    per-document, so expect binomial jitter around the target).
+    """
+    from verified_sources_spark.llm.text_prep import (
+        HASH_SAMPLE_BUCKETS,
+        hash_sample_bucket,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    totals = toks.groupBy(domain_col).agg(F.sum("n_tokens").alias("_dom_tokens"))
+    w = F.lit(0.0)
+    for dom, frac in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == F.lit(dom), F.lit(float(frac))).otherwise(w)
+    rates = totals.select(
+        F.col(domain_col),
+        F.round(
+            F.least(F.lit(1.0), F.lit(float(token_budget)) * w / F.col("_dom_tokens"))
+            * HASH_SAMPLE_BUCKETS
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    joined = toks.join(F.broadcast(rates), domain_col)
+    return joined.filter(hash_sample_bucket(id_col, salt=salt) < F.col("_thr")).select(
+        id_col, domain_col, "n_tokens"
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

@@ -922,3 +922,22 @@ ORACLE_SQL["quality_filter_docs"] = f"""
             THEN 1 ELSE 0 END AS BIGINT) AS passes
     FROM sig
 """
+
+ORACLE_SQL["mixture_sample_docs"] = f"""
+    WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    d AS (SELECT source, SUM(n_tokens) AS dom_tokens FROM t GROUP BY source),
+    r AS (SELECT source,
+            CAST(round(least(1.0,
+                   2000.0 * (CASE source WHEN 'src1' THEN 0.4
+                                         WHEN 'src2' THEN 0.3
+                                         WHEN 'src3' THEN 0.2
+                                         WHEN 'src4' THEN 0.1
+                                         ELSE 0.0 END)
+                   / dom_tokens) * {_HSB}) AS BIGINT) AS thr
+          FROM d)
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+               % {_HSB} AS BIGINT) < r.thr
+"""

@@ -1119,6 +1119,22 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(d, "doc_id", "text", (F.col("doc_id") % 10) < 7)
 
 
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a 2000-token budget over four weighted
+    sources (deterministic hash sample at per-domain computed rates)."""
+    from verified_sources_spark.llm.corpus import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        d,
+        "doc_id",
+        "text",
+        "source",
+        weights={"src1": 0.4, "src2": 0.3, "src3": 0.2, "src4": 0.1},
+        token_budget=2000,
+    )
+
+
 def simhash_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-candidate simhash dedup groups (sorted-probe scheme) —
     rows-only: xxhash64 + iterative components aren't SQL-expressible."""
@@ -1239,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_manifest_docs": pack_manifest_docs,
     "incremental_dedup_docs": incremental_dedup_docs,
     "quality_filter_docs": quality_filter_docs,
+    "mixture_sample_docs": mixture_sample_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
 }
