@@ -47,6 +47,11 @@ class CorpusIngest:
     'band{i}' for LSH band hashes.  Near-dedup is candidate-level (any
     band collision with the standing corpus rejects the doc); pass
     ``near_dedup=False`` for exact-only ingestion.
+
+    ``stream_id`` scopes batch-id idempotency: use ONE id per logical
+    stream (a bootstrap load and a landing stream sharing the tables need
+    different ids, or the landing stream's batch 0 is mistaken for a
+    bootstrap replay).
     """
 
     def __init__(
