@@ -92,3 +92,26 @@ def test_scalar_queries_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, q   # pandas UDF (none needed here)
     # the pure-scalar showcase additionally compiles to whole-stage codegen
     assert "*(" in _plan(spark, "scalar_functions_showcase")
+
+
+def test_corpus_ops_plan_shapes(spark):
+    """Round-4 corpus operators keep their scale-critical plan shapes:
+    mixture_sample broadcasts the (tiny) per-domain rate table;
+    incremental_dedup stays on semi/anti joins with no cartesian;
+    pack_manifest has no SinglePartition exchange; domain_cap's two-stage
+    path runs exactly two window nodes."""
+    plan = _plan(spark, "mixture_sample_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "incremental_dedup_docs")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+    plan = _plan(spark, "pack_manifest_docs")
+    assert "Exchange SinglePartition" not in plan
+
+    plan = _plan(spark, "domain_cap_docs")
+    assert plan.count("Window [") == 2  # salted stage + final ranking
+    assert "Exchange SinglePartition" not in plan
