@@ -167,3 +167,31 @@ def test_binary_search_bucket_assignment_matches_linear_definition(spark, vals):
             uniq.append(b)
     for r in with_range_buckets(df, "x", num_buckets=nb).collect():
         assert r[BUCKET_COL] == sum(1 for b in uniq if r["x"] > b)
+
+
+@_slow
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    seq_len=st.sampled_from([4, 16, 64]),
+)
+def test_pack_manifest_offsets_are_a_valid_packing(spark, toks, seq_len):
+    """For ANY doc/token-count layout: start offsets are the exclusive
+    prefix sums in id order, the last doc's end equals the corpus total,
+    and every doc's sequence span is consistent with its offsets."""
+    from verified_sources_spark.llm.corpus import pack_manifest
+
+    rows = [(i, "tok " * n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["n_tokens"], r["start_offset"], r["seq_first"], r["seq_last"])
+        for r in pack_manifest(df, "doc_id", "text", seq_len).collect()
+    )
+    run = 0
+    for i, (doc_id, n, start, first, last) in enumerate(out):
+        assert doc_id == i and n == toks[i]
+        assert start == run  # exclusive prefix sum in id order
+        run += n
+        assert first == start // seq_len
+        end = start + n - 1 if n > 0 else start
+        assert last == end // seq_len
+    assert run == sum(toks)
