@@ -145,3 +145,30 @@ def test_mixture_sample_targets_and_nesting(spark):
     big = mixture_sample(df, "doc_id", "text", "source", weights, token_budget=8000)
     ids_big = {r["doc_id"] for r in big.collect()}
     assert ids_small <= ids_big
+
+
+def test_incremental_dedup_jaccard_verify_layer(spark):
+    """min_jaccard turns band collisions from candidate-level rejections
+    into verified ones: a true near-dup stays rejected at a moderate
+    threshold but is KEPT when the threshold exceeds its real Jaccard."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (i, f"{base} standing document number {i} with unique suffix {i * 7}")
+        for i in range(60)
+    ]
+    near = rows[6][1] + " tiny change"  # true Jaccard ~0.85 vs doc 6
+    rows.append((101, near))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = F.col("doc_id") < 60
+
+    moderate = {
+        r["doc_id"]: r
+        for r in incremental_dedup(df, "doc_id", "text", pred, min_jaccard=0.5).collect()
+    }
+    assert moderate[101]["is_near_dup"] == 1 and moderate[101]["keep"] == 0
+
+    strict = {
+        r["doc_id"]: r
+        for r in incremental_dedup(df, "doc_id", "text", pred, min_jaccard=0.99).collect()
+    }
+    assert strict[101]["is_near_dup"] == 0 and strict[101]["keep"] == 1

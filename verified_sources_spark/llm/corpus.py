@@ -322,6 +322,7 @@ def incremental_dedup(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Dedup the incoming batch (rows where NOT ``existing_pred``) against
     the standing corpus (rows where ``existing_pred``), never pairing the
@@ -338,8 +339,17 @@ def incremental_dedup(
     accepted batch's hashes), so a daily increment costs
     O(increment + matching buckets), not O(corpus).
 
-    Output: one row per incoming doc — ``is_exact_dup``, ``is_near_dup``
-    (band collision with the standing corpus, candidate-level), ``keep``.
+    ``min_jaccard=None`` (default) flags near-dups at CANDIDATE level: any
+    band collision rejects — cheap, but a band of 2 minhashes collides
+    with noticeable probability at moderate similarity, so good docs can
+    be over-rejected.  Set ``min_jaccard`` (e.g. 0.7) to verify: colliding
+    (incoming, standing) pairs — candidates only, never all-pairs — get
+    an exact shingle-set Jaccard, and only pairs at or above the
+    threshold count as near-dups.  Shingle sets are computed for the
+    docs in colliding pairs only.
+
+    Output: one row per incoming doc — ``is_exact_dup``, ``is_near_dup``,
+    ``keep``.
     """
     existing = df.filter(existing_pred)
     incoming = df.filter(~existing_pred)
@@ -354,15 +364,46 @@ def incremental_dedup(
     existing_ids = existing.select(id_col)
     incoming_ids = incoming.select(id_col)
     sig_bands = band_table(df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n)
-    existing_bands = sig_bands.join(existing_ids, id_col, "left_semi").select(
-        "band_idx", "band_hash"
-    ).distinct()
+    existing_band_rows = sig_bands.join(existing_ids, id_col, "left_semi")
     incoming_bands = sig_bands.join(incoming_ids, id_col, "left_semi")
-    near_hits = (
-        incoming_bands.join(existing_bands, ["band_idx", "band_hash"], "left_semi")
-        .select(id_col)
-        .distinct()
-    )
+    if min_jaccard is None:
+        existing_bands = existing_band_rows.select("band_idx", "band_hash").distinct()
+        near_hits = (
+            incoming_bands.join(existing_bands, ["band_idx", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        from verified_sources_spark.functions.text import shingles as _shingles
+
+        cand = (
+            incoming_bands.select(
+                F.col(id_col).alias("_inc"), "band_idx", "band_hash"
+            )
+            .join(
+                existing_band_rows.select(
+                    F.col(id_col).alias("_ex"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select("_inc", "_ex")
+            .distinct()
+        )
+        sh = df.select(
+            F.col(id_col),
+            F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        )
+        pairs = (
+            cand.join(sh.select(F.col(id_col).alias("_inc"), F.col("_sh").alias("_sa")), "_inc")
+            .join(sh.select(F.col(id_col).alias("_ex"), F.col("_sh").alias("_sb")), "_ex")
+        )
+        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+        near_hits = (
+            pairs.filter(inter / F.greatest(union, F.lit(1)) >= min_jaccard)
+            .select(F.col("_inc").alias(id_col))
+            .distinct()
+        )
 
     ex = exact_hits.withColumn("_ex", F.lit(1))
     nr = near_hits.withColumn("_nr", F.lit(1))
