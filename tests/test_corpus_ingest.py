@@ -103,3 +103,31 @@ def test_replay_after_crash_between_commits_is_idempotent(spark, tmp_path):
     ing.apply_batch(batch2, 1)
     assert ing.docs_table.read().count() == 3
     assert ing.docs_table.last_batch_id(ing.stream_id) == 1
+
+
+def test_ingest_jaccard_verified_near_dedup(spark, tmp_path):
+    """min_jaccard verifies band collisions against the standing DOCS
+    table: a true near-dup is rejected below its real Jaccard and
+    accepted when the threshold exceeds it."""
+    def mk(thr, sub):
+        docs = ManifestTable(spark, str(tmp_path / sub / "docs"))
+        fps = ManifestTable(spark, str(tmp_path / sub / "fps"))
+        return CorpusIngest(docs, fps, quality_min=0.2, min_jaccard=thr)
+
+    day1 = spark.createDataFrame(
+        [(1, GOOD + " standing body one", "s1"), (2, GOOD + " standing body two", "s1")],
+        SCHEMA,
+    )
+    near = spark.createDataFrame(
+        [(10, GOOD + " standing body two extra", "s2")], SCHEMA  # J ~0.9 vs doc 2
+    )
+
+    moderate = mk(0.5, "m")
+    moderate.apply_batch(day1, 0)
+    moderate.apply_batch(near, 1)
+    assert {r["doc_id"] for r in moderate.docs_table.read().collect()} == {1, 2}
+
+    strict = mk(0.999, "s")
+    strict.apply_batch(day1, 0)
+    strict.apply_batch(near, 1)
+    assert {r["doc_id"] for r in strict.docs_table.read().collect()} == {1, 2, 10}

@@ -44,9 +44,13 @@ class CorpusIngest:
 
     ``docs_table`` holds accepted documents; ``fp_table`` holds their
     fingerprints as (kind, fp) rows — kind 'md5' for exact content hashes,
-    'band{i}' for LSH band hashes.  Near-dedup is candidate-level (any
-    band collision with the standing corpus rejects the doc); pass
-    ``near_dedup=False`` for exact-only ingestion.
+    'band{i}' for LSH band hashes.  Near-dedup is candidate-level by
+    default (any band collision with the standing corpus rejects the
+    doc); set ``min_jaccard`` to verify collisions with an exact
+    shingle-set Jaccard against the standing docs table — the standing
+    texts are fetched by candidate id only (semi-joined, stats-prunable
+    read), so verification costs O(colliding pairs), not O(corpus).
+    Pass ``near_dedup=False`` for exact-only ingestion.
 
     ``stream_id`` scopes batch-id idempotency: use ONE id per logical
     stream (a bootstrap load and a landing stream sharing the tables need
@@ -66,6 +70,7 @@ class CorpusIngest:
         k: int = 8,
         bands: int = 4,
         shingle_n: int = 3,
+        min_jaccard: float | None = None,
     ):
         self.docs_table = docs_table
         self.fp_table = fp_table
@@ -75,6 +80,7 @@ class CorpusIngest:
         self.near_dedup = near_dedup
         self.stream_id = stream_id
         self.k, self.bands, self.shingle_n = k, bands, shingle_n
+        self.min_jaccard = min_jaccard
 
     # ------------------------------------------------------------ fingerprints
     def _fingerprints(self, df: DataFrame) -> DataFrame:
@@ -118,13 +124,62 @@ class CorpusIngest:
         )
         if not self.fp_table.exists():
             return in_batch
-        standing = self.fp_table.read().select("kind", "fp").distinct()
         batch_fps = self._fingerprints(in_batch)
-        dup_ids = (
-            batch_fps.join(standing, ["kind", "fp"], "left_semi")
+        standing_rows = self.fp_table.read()
+        if self.min_jaccard is None or not self.near_dedup:
+            standing = standing_rows.select("kind", "fp").distinct()
+            dup_ids = (
+                batch_fps.join(standing, ["kind", "fp"], "left_semi")
+                .select(self.id_col)
+                .distinct()
+            )
+            return in_batch.join(dup_ids, self.id_col, "left_anti")
+
+        # verified mode: exact hashes always reject; band collisions are
+        # candidates whose STANDING texts are fetched from the docs table
+        # (by candidate id only — a semi-joined, stats-prunable read) and
+        # confirmed with an exact shingle-set Jaccard.
+        from verified_sources_spark.functions.text import shingles as _shingles
+
+        exact_standing = (
+            standing_rows.filter(F.col("kind") == "md5").select("kind", "fp").distinct()
+        )
+        exact_dups = (
+            batch_fps.filter(F.col("kind") == "md5")
+            .join(exact_standing, ["kind", "fp"], "left_semi")
             .select(self.id_col)
             .distinct()
         )
+        cand = (
+            batch_fps.filter(F.col("kind") != "md5")
+            .select(F.col(self.id_col).alias("_inc"), "kind", "fp")
+            .join(
+                standing_rows.filter(F.col("kind") != "md5").select(
+                    F.col(self.id_col).alias("_ex"), "kind", "fp"
+                ),
+                ["kind", "fp"],
+            )
+            .select("_inc", "_ex")
+            .distinct()
+        )
+        sh_of = lambda d: F.array_distinct(_shingles(F.col(self.text_col), self.shingle_n))  # noqa: E731
+        inc_sh = in_batch.select(F.col(self.id_col).alias("_inc"), sh_of(in_batch).alias("_sa"))
+        standing_docs = self.docs_table.read()
+        ex_sh = (
+            standing_docs.join(
+                cand.select(F.col("_ex").alias(self.id_col)).distinct(), self.id_col, "left_semi"
+            )
+            .select(F.col(self.id_col).alias("_ex"), sh_of(standing_docs).alias("_sb"))
+        )
+        pairs = cand.join(inc_sh, "_inc").join(ex_sh, "_ex")
+        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+        near_dups = (
+            pairs.filter(inter / F.greatest(union, F.lit(1)) >= self.min_jaccard)
+            .select(F.col("_inc").alias(self.id_col))
+            .distinct()
+        )
+        dup_ids = exact_dups.unionByName(near_dups).distinct()
         return in_batch.join(dup_ids, self.id_col, "left_anti")
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
