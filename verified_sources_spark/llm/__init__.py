@@ -8,7 +8,17 @@ collects to the driver.
 
 from verified_sources_spark.llm.exact_dedup import exact_dedup, exact_dedup_groups  # noqa: F401
 from verified_sources_spark.llm.minhash import minhash_signatures, lsh_candidate_pairs, ngram_jaccard  # noqa: F401
-from verified_sources_spark.llm.simhash import simhash64, simhash_near_pairs  # noqa: F401
+from verified_sources_spark.llm.simhash import simhash64, simhash_near_pairs, simhash_dedup_groups  # noqa: F401
+from verified_sources_spark.llm.corpus import (  # noqa: F401
+    band_table,
+    domain_cap,
+    incremental_dedup,
+    mixture_sample,
+    pack_manifest,
+    quality_filter,
+    semantic_dedup,
+    unigram_rarity,
+)
 from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk  # noqa: F401
 from verified_sources_spark.llm.line_dedup import (  # noqa: F401
     line_dedup,

@@ -3,3 +3,4 @@ from verified_sources_spark.streaming.bounded import (  # noqa: F401
     run_available_now,
     foreach_batch_merge,
 )
+from verified_sources_spark.streaming.corpus_ingest import CorpusIngest  # noqa: F401
