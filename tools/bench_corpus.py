@@ -40,6 +40,7 @@ CORPUS_OPS = [
     "incremental_dedup_docs",
     "quality_filter_docs",
     "mixture_sample_docs",
+    "corpus_report_docs",
     "semantic_dedup_embeddings",
     "simhash_near_pairs_docs",
     "simhash_dedup_groups_docs",

@@ -221,6 +221,45 @@ def mixture_sample(
     )
 
 
+def corpus_report(df: DataFrame, id_col: str, text_col: str, domain_col: str) -> DataFrame:
+    """Per-domain corpus audit table — the report a curation pipeline
+    publishes after each build: document and token counts, exact-duplicate
+    rate, and quality-gate pass rate, one row per domain.
+
+    One exploded-free pass for counts (token counts are per-row
+    expressions), one content-hash aggregation for dup rates, and the
+    quality verdicts reused from ``quality_filter`` — all rolled into a
+    single domain-keyed aggregation.  Rates are exact-int ratios
+    (hash-deterministic).
+    """
+    q = quality_filter(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count(F.col(text_col)).cast("long").alias("_n_tok"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    j = base.join(q.select(F.col(id_col), "passes"), id_col)
+    return (
+        j.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("n_tokens"),
+            F.countDistinct("_h").cast("long").alias("n_unique_contents"),
+            F.sum("passes").cast("long").alias("n_pass_quality"),
+        )
+        .select(
+            F.col(domain_col),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique_contents")) / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.round(F.col("n_pass_quality") / F.col("n_docs"), 6).alias("quality_pass_rate"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

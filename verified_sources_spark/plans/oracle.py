@@ -941,3 +941,17 @@ ORACLE_SQL["mixture_sample_docs"] = f"""
     WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
                % {_HSB} AS BIGINT) < r.thr
 """
+
+ORACLE_SQL["corpus_report_docs"] = f"""
+    WITH qf AS ({ORACLE_SQL["quality_filter_docs"]}),
+    b AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                 md5(text) AS h
+          FROM documents)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens,
+           round((COUNT(*) - COUNT(DISTINCT b.h)) / COUNT(*), 6) AS exact_dup_rate,
+           round(SUM(qf.passes) / COUNT(*), 6) AS quality_pass_rate
+    FROM b JOIN qf ON qf.doc_id = b.doc_id
+    GROUP BY b.source
+"""

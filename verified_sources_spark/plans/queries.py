@@ -1119,6 +1119,14 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(d, "doc_id", "text", (F.col("doc_id") % 10) < 7)
 
 
+def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: docs/tokens/exact-dup-rate/quality-pass-rate."""
+    from verified_sources_spark.llm.corpus import corpus_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_report(d, "doc_id", "text", "source")
+
+
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling to a 2000-token budget over four weighted
     sources (deterministic hash sample at per-domain computed rates)."""
@@ -1256,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_docs": incremental_dedup_docs,
     "quality_filter_docs": quality_filter_docs,
     "mixture_sample_docs": mixture_sample_docs,
+    "corpus_report_docs": corpus_report_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
 }
