@@ -101,3 +101,17 @@ def test_content_hash_matches_md5(spark):
         content_hash("t").alias("h")
     ).collect()[0]
     assert r["h"] == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_normalized_text_collapses_variants(spark):
+    from verified_sources_spark.functions.text import normalized_text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO ... world\n"),
+         (4, "a different doc")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", normalized_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] == "a different doc"

@@ -41,6 +41,7 @@ CORPUS_OPS = [
     "quality_filter_docs",
     "mixture_sample_docs",
     "corpus_report_docs",
+    "dedup_normalized_docs",
     "semantic_dedup_embeddings",
     "simhash_near_pairs_docs",
     "simhash_dedup_groups_docs",

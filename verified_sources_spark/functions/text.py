@@ -88,6 +88,16 @@ def lang_id(col: str | Column) -> Column:
     return expr
 
 
+def normalized_text(col: str | Column) -> Column:
+    """CCNet-style dedup normalization: lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed — so case/punctuation/spacing
+    variants of the same content hash identically.  Kept to the Java∩RE2
+    regex subset so the DuckDB oracle replays it bit-for-bit."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
 def fingerprint(col: str | Column) -> Column:
     """Normalized document fingerprint: md5 over sorted distinct tokens —
     order- and whitespace-insensitive content identity."""

@@ -955,3 +955,14 @@ ORACLE_SQL["corpus_report_docs"] = f"""
     FROM b JOIN qf ON qf.doc_id = b.doc_id
     GROUP BY b.source
 """
+
+ORACLE_SQL["dedup_normalized_docs"] = """
+    SELECT md5(norm) AS content_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                '\s+', ' ', 'g')) AS norm
+          FROM documents)
+    GROUP BY md5(norm)
+"""

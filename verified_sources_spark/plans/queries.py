@@ -1119,6 +1119,20 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(d, "doc_id", "text", (F.col("doc_id") % 10) < 7)
 
 
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED content (CCNet-style: case/punct/
+    whitespace variants collapse): one row per normalized content."""
+    from verified_sources_spark.functions.text import normalized_text
+
+    d = load_table(spark, sf_dir, "documents")
+    normed = d.select("doc_id", normalized_text(F.col("text")).alias("_norm"))
+    return exact_dedup_groups(normed, "doc_id", "_norm").select(
+        "content_md5",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus audit: docs/tokens/exact-dup-rate/quality-pass-rate."""
     from verified_sources_spark.llm.corpus import corpus_report
@@ -1265,6 +1279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_docs": quality_filter_docs,
     "mixture_sample_docs": mixture_sample_docs,
     "corpus_report_docs": corpus_report_docs,
+    "dedup_normalized_docs": dedup_normalized_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
 }
