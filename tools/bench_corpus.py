@@ -42,6 +42,7 @@ CORPUS_OPS = [
     "mixture_sample_docs",
     "corpus_report_docs",
     "dedup_normalized_docs",
+    "curated_corpus_docs",
     "semantic_dedup_embeddings",
     "simhash_near_pairs_docs",
     "simhash_dedup_groups_docs",

@@ -966,3 +966,20 @@ ORACLE_SQL["dedup_normalized_docs"] = """
           FROM documents)
     GROUP BY md5(norm)
 """
+
+ORACLE_SQL["curated_corpus_docs"] = f"""
+    WITH qf AS ({ORACLE_SQL["quality_filter_docs"]}),
+    good AS (SELECT d.doc_id, d.source, d.n_chars, d.text
+             FROM documents d JOIN qf ON qf.doc_id = d.doc_id AND qf.passes = 1),
+    n AS (SELECT doc_id, source, n_chars,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                '\s+', ' ', 'g')) AS norm
+          FROM good),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY md5(norm)),
+    kept AS (SELECT n.doc_id, n.source, n.n_chars FROM n JOIN canon USING (doc_id)),
+    r AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM kept)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS domain_rank FROM r WHERE rn <= 10
+"""

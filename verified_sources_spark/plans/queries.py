@@ -1119,6 +1119,30 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(d, "doc_id", "text", (F.col("doc_id") % 10) < 7)
 
 
+def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain as ONE Catalyst plan: quality gate → normalized
+    exact dedup (keep canonical) → per-domain cap.  Composition is the
+    point — each stage is the already-verified operator, fused by the
+    optimizer into a single job."""
+    from verified_sources_spark.functions.text import normalized_text
+    from verified_sources_spark.llm.corpus import domain_cap, quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    passing = quality_filter(d, "doc_id", "text").filter(F.col("passes") == 1).select("doc_id")
+    good = d.join(passing, "doc_id")
+    normed = good.select(
+        "doc_id", "source", "n_chars", normalized_text(F.col("text")).alias("_n")
+    )
+    canon = exact_dedup_groups(normed, "doc_id", "_n").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = normed.join(canon, "doc_id", "left_semi")
+    capped = domain_cap(kept, "source", 10, [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    return capped.select(
+        "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
+    )
+
+
 def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over NORMALIZED content (CCNet-style: case/punct/
     whitespace variants collapse): one row per normalized content."""
@@ -1280,6 +1304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_docs": mixture_sample_docs,
     "corpus_report_docs": corpus_report_docs,
     "dedup_normalized_docs": dedup_normalized_docs,
+    "curated_corpus_docs": curated_corpus_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
 }
