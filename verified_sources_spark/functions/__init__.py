@@ -95,6 +95,21 @@ def hex_decode(col: str | Column) -> Column:
     return F.unhex(F.regexp_replace(c, r"^\\x", ""))
 
 
+def url_quote(col: str | Column) -> Column:
+    """Percent-encode a value for safe embedding in a request path/query
+    (reference: sources/hubspot/__init__.py:524-525 `urllib.parse.quote`).
+    Spark's url_encode is application/x-www-form-urlencoded (space → '+'),
+    so spaces are re-mapped to %20 to match path-style quoting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(F.url_encode(c), F.lit("+"), F.lit("%20"))
+
+
+def url_unquote(col: str | Column) -> Column:
+    """Inverse of ``url_quote`` (percent-decoding)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.url_decode(F.replace(c, F.lit("+"), F.lit("%2B")))
+
+
 # ------------------------------------------------------------ type mapping
 # Canonical engine types for the reference's column-type vocabulary
 # (reference sources/pg_replication/schema_types.py:15-27 dummy-value map;
