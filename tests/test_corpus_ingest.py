@@ -74,9 +74,13 @@ def test_replay_after_crash_between_commits_is_idempotent(spark, tmp_path):
         [(1, GOOD + " replay body one", "s1"), (2, GOOD + " replay body two", "s1")],
         SCHEMA,
     )
-    # crash simulation: docs commit lands, fingerprint commit does not
+    # crash simulation: docs commit lands (tagged, as apply_batch writes
+    # it), fingerprint commit does not
     acc = ing.accepted(batch).localCheckpoint(eager=True)
-    ing.docs_table.append(acc, stream=(ing.stream_id, 0))
+    tagged = acc.withColumn("_ingest_stream", F.lit(ing.stream_id)).withColumn(
+        "_ingest_batch", F.lit(0)
+    )
+    ing.docs_table.append(tagged, stream=(ing.stream_id, 0))
     assert ing.fp_table.last_batch_id(ing.stream_id) is None
 
     # replay of batch 0: docs skipped (no new version), fingerprints redone

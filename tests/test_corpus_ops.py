@@ -172,3 +172,17 @@ def test_incremental_dedup_jaccard_verify_layer(spark):
         for r in incremental_dedup(df, "doc_id", "text", pred, min_jaccard=0.99).collect()
     }
     assert strict[101]["is_near_dup"] == 0 and strict[101]["keep"] == 1
+
+
+def test_incremental_dedup_null_predicate_rows_are_incoming(spark):
+    """Three-valued logic: rows whose existing_pred is NULL must be
+    treated as incoming (checked + reported), not silently dropped."""
+    df = spark.createDataFrame(
+        [(1, "standing doc with plenty of words to shingle properly", 1),
+         (2, "a fresh incoming doc about something else entirely new", 0),
+         (3, "null-flagged doc that must not vanish from the output", None)],
+        "doc_id long, text string, flag int",
+    )
+    out = {r["doc_id"] for r in
+           incremental_dedup(df, "doc_id", "text", F.col("flag") == 1).collect()}
+    assert out == {2, 3}

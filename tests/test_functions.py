@@ -121,12 +121,11 @@ def test_url_quote_roundtrip(spark):
     from verified_sources_spark.functions import url_quote, url_unquote
     import pyspark.sql.functions as F
 
-    vals = ["plain", "a b/c", "x&y=z?", "café + 2%", "100%/50%"]
+    vals = ["plain", "a b/c", "x&y=z?", "café + 2%", "100%/50%", "a*b~c", "p/q r"]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v string")
     out = df.select("id", "v", url_quote(F.col("v")).alias("q"),
                     url_unquote(url_quote(F.col("v"))).alias("rt")).collect()
     import urllib.parse
     for r in out:
         assert r["rt"] == r["v"], r  # lossless round trip
-        assert " " not in r["q"] and "+" not in r["q"]
-        assert urllib.parse.unquote(r["q"]) == r["v"]
+        assert r["q"] == urllib.parse.quote(r["v"]), r  # exact quote() parity

@@ -485,3 +485,29 @@ def test_simhash_dedup_groups_linear_scheme(spark):
     comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     for i in range(20):
         assert comp[i] == comp[0]
+
+
+def test_connected_components_converges_on_long_chains(spark):
+    """Pointer jumping: a 400-node chain (diameter 399) must converge
+    within the default 25 iterations — plain hash-min would need ~400."""
+    from verified_sources_spark.llm.neardup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs).collect()
+    assert len(comp) == 400
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_simhash_dedup_groups_keeps_zero_token_docs(spark):
+    from verified_sources_spark.llm.simhash import simhash_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "a real document with several words inside of it"),
+         (2, "!!! ...,,,"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in simhash_dedup_groups(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}  # one row per input doc, tokenless included
+    assert out[2]["group_size"] == 1 and out[3]["group_size"] == 1

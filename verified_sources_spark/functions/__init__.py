@@ -96,16 +96,22 @@ def hex_decode(col: str | Column) -> Column:
 
 
 def url_quote(col: str | Column) -> Column:
-    """Percent-encode a value for safe embedding in a request path/query
-    (reference: sources/hubspot/__init__.py:524-525 `urllib.parse.quote`).
-    Spark's url_encode is application/x-www-form-urlencoded (space → '+'),
-    so spaces are re-mapped to %20 to match path-style quoting."""
+    """Percent-encode matching ``urllib.parse.quote`` with its default
+    ``safe='/'`` (reference: sources/hubspot/__init__.py:524-525).
+
+    Spark's ``url_encode`` is java.net.URLEncoder — form encoding, which
+    differs from ``quote()`` on exactly four characters; each is remapped:
+    space ('+' → %20), '*' (literal → %2A), '~' (%7E → literal), and '/'
+    (%2F → literal, quote's default safe set)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.replace(F.url_encode(c), F.lit("+"), F.lit("%20"))
+    out = F.url_encode(c)
+    for old, new in (("+", "%20"), ("*", "%2A"), ("%7E", "~"), ("%2F", "/")):
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
 
 
 def url_unquote(col: str | Column) -> Column:
-    """Inverse of ``url_quote`` (percent-decoding)."""
+    """Inverse of ``url_quote`` (percent-decoding; literal '+' survives)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.url_decode(F.replace(c, F.lit("+"), F.lit("%2B")))
 

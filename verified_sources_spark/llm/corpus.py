@@ -129,9 +129,14 @@ def unigram_rarity(df: DataFrame, id_col: str, text_col: str, rare_max_count: in
         F.col("_id").alias(id_col),
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.round(F.col("_n_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
-        F.round(F.col("_sum_cnt") / (F.col("n_tokens") * F.col("_total")), 12).alias(
-            "mean_token_prob"
-        ),
+        # denominator multiplied in DOUBLE: n_tokens × corpus_total overflows
+        # bigint at web scale (1e6-token doc × 1e13-token corpus), and Spark's
+        # non-ANSI long multiply would wrap silently where DuckDB errors
+        F.round(
+            F.col("_sum_cnt")
+            / (F.col("n_tokens").cast("double") * F.col("_total").cast("double")),
+            12,
+        ).alias("mean_token_prob"),
     )
 
 
@@ -353,6 +358,45 @@ def band_table(
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
+def verified_near_inc_ids(
+    cand: DataFrame,
+    inc_texts: DataFrame,
+    ex_texts: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    min_jaccard: float,
+) -> DataFrame:
+    """Distinct ``_inc`` ids from candidate pairs (``_inc``, ``_ex``)
+    whose exact shingle-set Jaccard against the paired text reaches
+    ``min_jaccard``.  BOTH text sides are semi-joined down to the ids
+    that actually appear in candidate pairs before any tokenization, so
+    the heavy string work is O(colliding docs), never O(corpus) — shared
+    by ``incremental_dedup`` and ``CorpusIngest``.
+    """
+    from verified_sources_spark.functions.text import shingles as _shingles
+
+    def sets(texts: DataFrame, key: str, out: str) -> DataFrame:
+        pruned = texts.join(
+            cand.select(F.col(key).alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        return pruned.select(
+            F.col(id_col).alias(key),
+            F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias(out),
+        )
+
+    pairs = cand.join(sets(inc_texts, "_inc", "_sa"), "_inc").join(
+        sets(ex_texts, "_ex", "_sb"), "_ex"
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    return (
+        pairs.filter(inter / F.greatest(union, F.lit(1)) >= min_jaccard)
+        .select(F.col("_inc").alias(id_col))
+        .distinct()
+    )
+
+
 def incremental_dedup(
     df: DataFrame,
     id_col: str,
@@ -390,8 +434,11 @@ def incremental_dedup(
     Output: one row per incoming doc — ``is_exact_dup``, ``is_near_dup``,
     ``keep``.
     """
+    # NULL-safe split: a row whose predicate evaluates NULL would vanish
+    # from BOTH filter(pred) and filter(~pred) under three-valued logic;
+    # treat NULL as incoming so every row is dedup-checked and reported
     existing = df.filter(existing_pred)
-    incoming = df.filter(~existing_pred)
+    incoming = df.filter(~F.coalesce(existing_pred, F.lit(False)))
 
     content_h = F.md5(F.col(text_col)).alias("_h")
     existing_h = existing.select(content_h).distinct()
@@ -413,8 +460,6 @@ def incremental_dedup(
             .distinct()
         )
     else:
-        from verified_sources_spark.functions.text import shingles as _shingles
-
         cand = (
             incoming_bands.select(
                 F.col(id_col).alias("_inc"), "band_idx", "band_hash"
@@ -428,20 +473,8 @@ def incremental_dedup(
             .select("_inc", "_ex")
             .distinct()
         )
-        sh = df.select(
-            F.col(id_col),
-            F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        )
-        pairs = (
-            cand.join(sh.select(F.col(id_col).alias("_inc"), F.col("_sh").alias("_sa")), "_inc")
-            .join(sh.select(F.col(id_col).alias("_ex"), F.col("_sh").alias("_sb")), "_ex")
-        )
-        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
-        near_hits = (
-            pairs.filter(inter / F.greatest(union, F.lit(1)) >= min_jaccard)
-            .select(F.col("_inc").alias(id_col))
-            .distinct()
+        near_hits = verified_near_inc_ids(
+            cand, incoming, existing, id_col, text_col, shingle_n, min_jaccard
         )
 
     ex = exact_hits.withColumn("_ex", F.lit(1))

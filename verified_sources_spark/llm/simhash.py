@@ -178,7 +178,10 @@ def simhash_dedup_groups(
     from verified_sources_spark.llm.neardup import connected_components
 
     comp = connected_components(edges)
-    ids = sig.select(F.col(id_col).alias("node"))
+    # id spine from the INPUT, not the signature table: docs with zero
+    # tokens produce no explode rows (hence no signature) but must still
+    # appear in the output as their own singleton group
+    ids = df.select(F.col(id_col).alias("node")).distinct()
     labeled = ids.join(comp, "node", "left").select(
         F.col("node").alias(id_col),
         F.coalesce(F.col("component"), F.col("node")).alias("group"),

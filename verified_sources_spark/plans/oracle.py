@@ -835,7 +835,8 @@ ORACLE_SQL["unigram_rarity_docs"] = f"""
     SELECT d.doc_id,
            CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
            round(CAST(sc.n_rare AS DOUBLE) / sc.n_tokens, 6) AS rare_frac,
-           round(CAST(sc.sum_cnt AS DOUBLE) / (sc.n_tokens * sc.total), 12)
+           round(CAST(sc.sum_cnt AS DOUBLE)
+                 / (CAST(sc.n_tokens AS DOUBLE) * CAST(sc.total AS DOUBLE)), 12)
              AS mean_token_prob
     FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """

@@ -138,8 +138,8 @@ class CorpusIngest:
         # verified mode: exact hashes always reject; band collisions are
         # candidates whose STANDING texts are fetched from the docs table
         # (by candidate id only — a semi-joined, stats-prunable read) and
-        # confirmed with an exact shingle-set Jaccard.
-        from verified_sources_spark.functions.text import shingles as _shingles
+        # confirmed with an exact shingle-set Jaccard (shared helper).
+        from verified_sources_spark.llm.corpus import verified_near_inc_ids
 
         exact_standing = (
             standing_rows.filter(F.col("kind") == "md5").select("kind", "fp").distinct()
@@ -162,25 +162,21 @@ class CorpusIngest:
             .select("_inc", "_ex")
             .distinct()
         )
-        sh_of = lambda d: F.array_distinct(_shingles(F.col(self.text_col), self.shingle_n))  # noqa: E731
-        inc_sh = in_batch.select(F.col(self.id_col).alias("_inc"), sh_of(in_batch).alias("_sa"))
-        standing_docs = self.docs_table.read()
-        ex_sh = (
-            standing_docs.join(
-                cand.select(F.col("_ex").alias(self.id_col)).distinct(), self.id_col, "left_semi"
-            )
-            .select(F.col(self.id_col).alias("_ex"), sh_of(standing_docs).alias("_sb"))
-        )
-        pairs = cand.join(inc_sh, "_inc").join(ex_sh, "_ex")
-        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
-        near_dups = (
-            pairs.filter(inter / F.greatest(union, F.lit(1)) >= self.min_jaccard)
-            .select(F.col("_inc").alias(self.id_col))
-            .distinct()
+        near_dups = verified_near_inc_ids(
+            cand,
+            in_batch,
+            self.docs_table.read(),
+            self.id_col,
+            self.text_col,
+            self.shingle_n,
+            self.min_jaccard,
         )
         dup_ids = exact_dups.unionByName(near_dups).distinct()
         return in_batch.join(dup_ids, self.id_col, "left_anti")
+
+    # internal columns stamped on every appended doc row so a replay can
+    # recover EXACTLY which rows a (stream, batch) commit accepted
+    _STREAM_COL, _BATCH_COL = "_ingest_stream", "_ingest_batch"
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Idempotent two-commit apply — see module docstring for the
@@ -189,16 +185,34 @@ class CorpusIngest:
         fp_last = self.fp_table.last_batch_id(self.stream_id)
         if docs_last is not None and fp_last is not None and batch_id <= min(docs_last, fp_last):
             return  # fully committed already
-        acc = self.accepted(batch_df)
-        # Materialize ONCE: the two commits below (and the fingerprint
-        # derivation) must describe the same accepted set; without the
-        # checkpoint each sink write would recompute the dedup joins.
-        acc = acc.localCheckpoint(eager=True)
         if docs_last is None or batch_id > docs_last:
-            self.docs_table.append(acc, stream=(self.stream_id, batch_id))
+            # Materialize ONCE: both commits below must describe the same
+            # accepted set; without the checkpoint each sink write would
+            # recompute the dedup joins.
+            acc = self.accepted(batch_df).localCheckpoint(eager=True)
+            tagged = acc.withColumn(self._STREAM_COL, F.lit(self.stream_id)).withColumn(
+                self._BATCH_COL, F.lit(int(batch_id))
+            )
+            self.docs_table.append(tagged, stream=(self.stream_id, batch_id))
+            fp_src = acc
+        else:
+            # docs committed, fingerprints missing (crash between the two
+            # commits): recover the accepted set from the DOCS TABLE's own
+            # rows for this (stream, batch) — recomputing accepted() here
+            # would be wrong if ANOTHER stream sharing these tables
+            # committed fingerprints since the docs commit (the batch
+            # would re-dedup against state it was not accepted under).
+            committed = self.docs_table.read()
+            if self._BATCH_COL in committed.columns:
+                fp_src = committed.filter(
+                    (F.col(self._STREAM_COL) == self.stream_id)
+                    & (F.col(self._BATCH_COL) == int(batch_id))
+                ).drop(self._STREAM_COL, self._BATCH_COL)
+            else:  # pre-tagging table (legacy): fall back to recompute
+                fp_src = self.accepted(batch_df)
         if fp_last is None or batch_id > fp_last:
             self.fp_table.append(
-                self._fingerprints(acc), stream=(self.stream_id, batch_id)
+                self._fingerprints(fp_src), stream=(self.stream_id, batch_id)
             )
 
     def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
