@@ -16,6 +16,13 @@ GOOD = (
     "the quick brown fox jumps over the lazy dog and then the dog naps "
     "while the fox runs to the forest to find a meal of the day"
 )
+# a second base text sharing no shingles with GOOD, so the two standing
+# docs never band-collide with each other (in-batch near-dedup is
+# candidate-level: any band collision with a lower id drops the doc)
+GOOD2 = (
+    "deep in the winter harbor an old sailor mends a torn grey sail and "
+    "hums a slow tune about distant islands rich with fruit and warm rain"
+)
 
 
 def _land(tmp_path, name: str, rows: list[tuple[int, str, str]]) -> None:
@@ -34,12 +41,14 @@ def _mk(spark, tmp_path):
 def test_ingest_dedups_within_and_across_batches(spark, tmp_path):
     land = tmp_path / "landing"
     land.mkdir()
-    # batch A: two distinct docs + one in-batch exact dup + one junk doc
+    # batch A: two distinct docs + one in-batch exact dup + one in-batch
+    # NEAR dup (band-collides with doc 1, lowest id wins) + one junk doc
     _land(land, "a.json", [
         (1, GOOD + " first document body", "s1"),
-        (2, GOOD + " second document body", "s1"),
+        (2, GOOD2 + " second document body", "s1"),
         (3, GOOD + " first document body", "s2"),   # exact dup of 1, same batch
         (4, "@@@@ ###", "s2"),                       # fails the quality gate
+        (5, GOOD + " first document body extra", "s2"),  # near dup of 1, same batch
     ])
     ing = _mk(spark, tmp_path)
     stream = bounded_file_stream(spark, str(land), SCHEMA, max_files_per_trigger=1)
@@ -50,7 +59,7 @@ def test_ingest_dedups_within_and_across_batches(spark, tmp_path):
     # batch B: exact dup of standing doc, near dup of standing doc, fresh doc
     _land(land, "b.json", [
         (10, GOOD + " first document body", "s3"),            # exact dup of 1
-        (11, GOOD + " second document body extra", "s3"),     # near dup of 2
+        (11, GOOD2 + " second document body extra", "s3"),    # near dup of 2
         (12, "an entirely different tale about the spark engine and the "
              "catalyst optimizer that rewrites the plan of the day for the "
              "cluster to run with the best of the shuffles", "s3"),
@@ -71,7 +80,7 @@ def test_ingest_dedups_within_and_across_batches(spark, tmp_path):
 def test_replay_after_crash_between_commits_is_idempotent(spark, tmp_path):
     ing = _mk(spark, tmp_path)
     batch = spark.createDataFrame(
-        [(1, GOOD + " replay body one", "s1"), (2, GOOD + " replay body two", "s1")],
+        [(1, GOOD + " replay body one", "s1"), (2, GOOD2 + " replay body two", "s1")],
         SCHEMA,
     )
     # crash simulation: docs commit lands (tagged, as apply_batch writes
@@ -119,11 +128,11 @@ def test_ingest_jaccard_verified_near_dedup(spark, tmp_path):
         return CorpusIngest(docs, fps, quality_min=0.2, min_jaccard=thr)
 
     day1 = spark.createDataFrame(
-        [(1, GOOD + " standing body one", "s1"), (2, GOOD + " standing body two", "s1")],
+        [(1, GOOD + " standing body one", "s1"), (2, GOOD2 + " standing body two", "s1")],
         SCHEMA,
     )
     near = spark.createDataFrame(
-        [(10, GOOD + " standing body two extra", "s2")], SCHEMA  # J ~0.9 vs doc 2
+        [(10, GOOD2 + " standing body two extra", "s2")], SCHEMA  # J ~0.9 vs doc 2
     )
 
     moderate = mk(0.5, "m")
@@ -135,3 +144,44 @@ def test_ingest_jaccard_verified_near_dedup(spark, tmp_path):
     strict.apply_batch(day1, 0)
     strict.apply_batch(near, 1)
     assert {r["doc_id"] for r in strict.docs_table.read().collect()} == {1, 2, 10}
+
+
+def test_in_batch_near_dup_jaccard_verified(spark, tmp_path):
+    """Same-batch band collisions honor min_jaccard: a moderate threshold
+    drops the in-batch near dup (lowest id wins), a stricter-than-actual
+    threshold keeps both."""
+    def mk(thr, sub):
+        docs = ManifestTable(spark, str(tmp_path / sub / "docs"))
+        fps = ManifestTable(spark, str(tmp_path / sub / "fps"))
+        return CorpusIngest(docs, fps, quality_min=0.2, min_jaccard=thr)
+
+    batch = spark.createDataFrame(
+        [(1, GOOD + " same batch body", "s1"),
+         (20, GOOD + " same batch body extra", "s1")],  # J ~0.9 vs doc 1
+        SCHEMA,
+    )
+    moderate = mk(0.5, "m2")
+    moderate.apply_batch(batch, 0)
+    assert {r["doc_id"] for r in moderate.docs_table.read().collect()} == {1}
+
+    strict = mk(0.999, "s2")
+    strict.apply_batch(batch, 0)
+    assert {r["doc_id"] for r in strict.docs_table.read().collect()} == {1, 20}
+
+
+def test_batch_id_regression_raises(spark, tmp_path):
+    """A fresh checkpoint dir restarts batch ids at 0; reusing the tables
+    and stream_id must fail loudly, not silently skip every batch."""
+    import pytest
+
+    ing = _mk(spark, tmp_path)
+    b0 = spark.createDataFrame([(1, GOOD + " regression one", "s1")], SCHEMA)
+    b1 = spark.createDataFrame([(2, GOOD2 + " regression two", "s1")], SCHEMA)
+    ing.apply_batch(b0, 0)
+    ing.apply_batch(b1, 1)
+    # replay of the LAST batch is a legitimate idempotent skip
+    ing.apply_batch(b1, 1)
+    assert ing.docs_table.read().count() == 2
+    # a batch id below the committed high-water mark is a config error
+    with pytest.raises(ValueError, match="regressed below"):
+        ing.apply_batch(b0, 0)

@@ -40,6 +40,14 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     ``spark.sql.legacy.parquet.nanosAsLong`` is set — and that conf is
     runtime-settable, so set it here (idempotent) rather than relying on
     who built the session.
+
+    NOTE the engine-wide contract this enforces: **the session timezone is
+    UTC whenever this catalog is in use** — ``session.get_spark`` builds
+    sessions that way, and ``load_table`` pins it on foreign sessions too,
+    SESSION-WIDE (``spark.sql.session.timeZone`` has no narrower scope).
+    Caller-side timestamp logic that wants host-local-TZ behavior must run
+    on a separate session; mixing it with this catalog silently changes
+    its semantics after the first table load.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

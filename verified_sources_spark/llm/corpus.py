@@ -59,6 +59,7 @@ def domain_cap(
     order_by: list[Column],
     rank_col: str = "domain_rank",
     two_stage: bool = True,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per domain, by a deterministic priority.
     The rank column is kept so the output is self-describing (rank 1 =
@@ -74,9 +75,19 @@ def domain_cap(
     bounded final sort.  The survivors are a superset of the true global
     top-cap (a domain's global top-cap rows are within the top-cap of
     whatever sub-group holds them), so the result is EXACT.
+
+    ``salt_cols`` names the columns hashed into the stage-1 salt; any
+    per-row-varying subset works (the salt only needs to spread a domain's
+    rows, correctness never depends on WHICH sub-group a row lands in).
+    Pass the id/order columns to avoid hashing wide text payloads; default
+    is every column, cast to string so unhashable types (maps, nested
+    structs) degrade to their string form instead of failing xxhash64.
     """
     if two_stage:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(64))
+        salt_src = salt_cols if salt_cols else df.columns
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in salt_src]), F.lit(64)
+        )
         w_local = Window.partitionBy(F.col(domain_col), salt).orderBy(*order_by)
         df = (
             df.withColumn("_lrn", F.row_number().over(w_local))
@@ -509,6 +520,18 @@ def semantic_dedup(
 
     Output: kept rows as (id, cluster) plus ``n_dropped_dups`` — how many
     near-identical neighbors this survivor absorbed (0 for most rows).
+
+    Drop/attribution semantics are **per-pair greedy**, not transitive:
+    a row is dropped iff some pair ranks it second (``id_b``), and
+    ``n_dropped_dups`` counts only pairs whose FIRST member survived.  On
+    a chain a~b, b~c (no a~c pair) that drops b and c, a's count is 1 —
+    c's drop is attributed to nobody because its keeper b was itself
+    dropped, and c may have no surviving near-identical representative.
+    Computing drops over connected components (``neardup.
+    connected_components``) would change the kept set on chains (SemDeDup
+    proper is pairwise within a cluster, as here), so the greedy form is
+    the contract; treat ``n_dropped_dups`` as a per-pair diagnostic, and
+    sum of counts ≤ number of dropped rows.
     """
     c = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)

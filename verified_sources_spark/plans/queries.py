@@ -1087,7 +1087,9 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verified_sources_spark.llm.corpus import domain_cap
 
     d = load_table(spark, sf_dir, "documents")
-    capped = domain_cap(d, "source", 15, [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    capped = domain_cap(
+        d, "source", 15, [F.col("n_chars").desc(), F.col("doc_id").asc()], salt_cols=["doc_id"]
+    )
     return capped.select(
         "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
     )
@@ -1137,7 +1139,9 @@ def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").alias("doc_id")
     )
     kept = normed.join(canon, "doc_id", "left_semi")
-    capped = domain_cap(kept, "source", 10, [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    capped = domain_cap(
+        kept, "source", 10, [F.col("n_chars").desc(), F.col("doc_id").asc()], salt_cols=["doc_id"]
+    )
     return capped.select(
         "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
     )

@@ -7,7 +7,10 @@ Design notes (100 TB target):
   coalesces.  On a real cluster set it to ~2-3x total cores.
 - Arrow enabled so any pandas-UDF fallback path is batch-columnar.
 - UTC session timezone so timestamp semantics are reproducible across
-  engines (the DuckDB oracle is naive/UTC).
+  engines (the DuckDB oracle is naive/UTC).  This is an engine-wide
+  contract: ``catalog.load_table`` re-pins it (session-wide) even on
+  sessions not built here, so any code sharing a session with this
+  engine sees UTC timestamp semantics.
 - ``nanosAsLong``: the driver's ``events`` table stores ``timestamp[ns]``
   which Spark's vectorized parquet reader refuses; we read the raw int64
   and convert (see catalog.load_tables).

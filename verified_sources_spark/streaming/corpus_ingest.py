@@ -101,11 +101,40 @@ class CorpusIngest:
         )
         return md5s.unionByName(bands)
 
+    def _in_batch_near_dup_ids(self, in_batch: DataFrame, batch_fps: DataFrame) -> DataFrame:
+        """Ids of batch docs that band-collide with a LOWER-id batch doc.
+
+        Same candidate-level semantics as the standing-corpus check: a
+        collision with a lower id drops the doc whether or not that lower
+        doc itself survives (pessimistic, single-pass — no chain
+        resolution, mirroring the fingerprint-table reject rule).  With
+        ``min_jaccard`` set, collisions are verified with the exact
+        shingle-set Jaccard before dropping (both texts are in-batch).
+        """
+        bands = batch_fps.filter(F.col("kind") != "md5")
+        lo = bands.select(F.col(self.id_col).alias("_ex"), "kind", "fp")
+        hi = bands.select(F.col(self.id_col).alias("_inc"), "kind", "fp")
+        cand = (
+            lo.join(hi, ["kind", "fp"])
+            .filter(F.col("_ex") < F.col("_inc"))
+            .select("_inc", "_ex")
+            .distinct()
+        )
+        if self.min_jaccard is None:
+            return cand.select(F.col("_inc").alias(self.id_col)).distinct()
+        from verified_sources_spark.llm.corpus import verified_near_inc_ids
+
+        return verified_near_inc_ids(
+            cand, in_batch, in_batch, self.id_col, self.text_col,
+            self.shingle_n, self.min_jaccard,
+        )
+
     # ---------------------------------------------------------------- batching
     def accepted(self, batch_df: DataFrame) -> DataFrame:
-        """The batch rows that survive quality gate + in-batch dedup +
-        standing-corpus dedup.  Deterministic in (batch content, current
-        fingerprint-table state)."""
+        """The batch rows that survive quality gate + in-batch dedup
+        (exact AND, when ``near_dedup``, band-level near) + standing-corpus
+        dedup.  Deterministic in (batch content, current fingerprint-table
+        state)."""
         gated = batch_df.filter(
             quality_score(F.col(self.text_col)) >= F.lit(self.quality_min)
         )
@@ -122,9 +151,17 @@ class CorpusIngest:
             .filter(F.col("_rn") == 1)
             .drop("_h", "_rn")
         )
+        batch_fps = self._fingerprints(in_batch)
+        if self.near_dedup:
+            # in-batch NEAR dedup (band self-collision, lowest id wins) —
+            # without this, near-dups arriving in the same micro-batch all
+            # pass the standing-corpus check (which only sees prior
+            # batches) and are committed together.
+            near_ids = self._in_batch_near_dup_ids(in_batch, batch_fps)
+            in_batch = in_batch.join(near_ids, self.id_col, "left_anti")
+            batch_fps = batch_fps.join(near_ids, self.id_col, "left_anti")
         if not self.fp_table.exists():
             return in_batch
-        batch_fps = self._fingerprints(in_batch)
         standing_rows = self.fp_table.read()
         if self.min_jaccard is None or not self.near_dedup:
             standing = standing_rows.select("kind", "fp").distinct()
@@ -184,7 +221,20 @@ class CorpusIngest:
         docs_last = self.docs_table.last_batch_id(self.stream_id)
         fp_last = self.fp_table.last_batch_id(self.stream_id)
         if docs_last is not None and fp_last is not None and batch_id <= min(docs_last, fp_last):
-            return  # fully committed already
+            if batch_id < min(docs_last, fp_last):
+                # Structured Streaming only ever re-delivers the LAST
+                # in-flight batch under the same checkpoint; a batch id
+                # below the fully-committed high-water mark means the
+                # checkpoint dir was recreated (ids restart at 0) while
+                # stream_id and tables were reused — silently skipping
+                # would drop every new batch until ids catch up.
+                raise ValueError(
+                    f"batch_id {batch_id} regressed below committed "
+                    f"high-water mark {min(docs_last, fp_last)} for "
+                    f"stream_id={self.stream_id!r}: a new checkpointLocation "
+                    "requires a new stream_id (see run() docstring)"
+                )
+            return  # fully committed already (idempotent last-batch replay)
         if docs_last is None or batch_id > docs_last:
             # Materialize ONCE: both commits below must describe the same
             # accepted set; without the checkpoint each sink write would
@@ -216,7 +266,14 @@ class CorpusIngest:
             )
 
     def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
-        """One bounded AvailableNow pass of the landing stream."""
+        """One bounded AvailableNow pass of the landing stream.
+
+        ``checkpoint_dir`` and ``stream_id`` are a PAIR: batch ids are
+        assigned by the checkpoint and committed under the stream_id, so a
+        fresh checkpoint dir restarts ids at 0 and MUST come with a fresh
+        stream_id when the tables are reused — ``apply_batch`` raises on
+        the id regression instead of silently skipping.
+        """
         q = (
             stream_df.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_dir)
