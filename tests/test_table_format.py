@@ -339,3 +339,186 @@ def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink
     assert {(r["k"], r["v"]) for r in final.read().collect()} == {
         (0, "base"), (1, "a"), (2, "b"),
     }
+
+
+# -------------------------------------------------------------------------
+# Object-store commit atomicity (operators/fs.py commit backends)
+# -------------------------------------------------------------------------
+
+
+class _SimulatedObjectStore:
+    """S3-shaped blob namespace for the commit-race tests.  Blobs land on
+    the local disk (so ManifestTable's reads see them); an injectable
+    ``hold`` callback stalls every writer between its existence check and
+    its write, forcing the check-then-create race window deterministically
+    instead of hoping two threads interleave."""
+
+    def __init__(self, hold=None):
+        import threading
+
+        self.hold = hold or (lambda: None)
+        self._cas = threading.Lock()
+
+    # -- what FS.create_exclusive degrades to on a store WITHOUT
+    #    conditional write: check, (window), create — NOT atomic
+    def naive_put_if_absent(self, path: str, text: str) -> None:
+        if os.path.exists(path):
+            raise FileExistsError(path)
+        self.hold()
+        with open(path, "w") as f:
+            f.write(text)
+
+    # -- conditional write (S3 `If-None-Match: *` / GCS ifGenerationMatch=0):
+    #    the STORE arbitrates — decision and visibility are one atomic op
+    def put_if_none_match(self, path: str, data: bytes) -> bool:
+        self.hold()
+        with self._cas:
+            if os.path.exists(path):
+                return False
+            with open(path, "wb") as f:
+                f.write(data)
+            return True
+
+
+class _NaiveStoreBackend:
+    """CommitBackend over the store's non-atomic personality."""
+
+    def __init__(self, store):
+        self.store = store
+
+    def put_if_absent(self, path: str, text: str) -> None:
+        self.store.naive_put_if_absent(path, text)
+
+
+def _race_two_appends(spark, tmp_path, sink_fs, make_backend):
+    """Drive two writers into the same commit version with the race window
+    held open; returns (n_conflicts, final_table)."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=30)
+
+    def hold():
+        # only the first, racing attempt per writer holds; retries after a
+        # conflict run solo and must not wait for a second party
+        try:
+            barrier.wait(timeout=5)
+        except threading.BrokenBarrierError:
+            pass
+
+    store = _SimulatedObjectStore(hold=hold)
+    backend = make_backend(store)
+    base = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    base.append(spark.createDataFrame([(0, "base")], "k long, v string"))  # v1
+
+    conflicts, errors = [], []
+
+    def writer(df):
+        t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs, commit_backend=backend)
+        for _ in range(5):
+            try:
+                t.append(df)
+                return
+            except CommitConflict:
+                conflicts.append(1)
+        errors.append("retries exhausted")
+
+    th_a = threading.Thread(
+        target=writer, args=(spark.createDataFrame([(1, "a")], "k long, v string"),)
+    )
+    th_b = threading.Thread(
+        target=writer, args=(spark.createDataFrame([(2, "b")], "k long, v string"),)
+    )
+    th_a.start(); th_b.start()
+    th_a.join(timeout=120); th_b.join(timeout=120)
+    assert not errors
+    return len(conflicts), ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+
+
+def test_naive_object_store_commit_loses_an_update(spark, tmp_path, sink_fs):
+    """Control: check-then-create on an object store is NOT a commit atom.
+    Both writers pass the existence check inside the held-open window,
+    both believe they committed v2, and one manifest silently clobbers
+    the other — a lost update.  This is the failure mode the pluggable
+    backends exist to close; if this test ever starts conflicting, the
+    simulated race window is broken and the backend tests prove nothing."""
+    n_conflicts, final = _race_two_appends(
+        spark, tmp_path, sink_fs, lambda store: _NaiveStoreBackend(store)
+    )
+    assert n_conflicts == 0          # neither writer saw the other
+    assert final.versions() == [1, 2]  # two commits, one surviving manifest
+    rows = {(r["k"], r["v"]) for r in final.read().collect()}
+    assert (0, "base") in rows
+    assert len(rows) == 2            # one of the two appends vanished
+
+
+@pytest.mark.parametrize("kind", ["conditional_put", "lock_table"])
+def test_object_store_backends_guarantee_one_winner(spark, tmp_path, sink_fs, kind):
+    """Same forced race, real backends: exactly one writer wins v2, the
+    loser gets CommitConflict, retries on the fresh log, and no update is
+    lost."""
+    from verified_sources_spark.operators.fs import (
+        ConditionalPutCommitBackend,
+        InProcessCoordinator,
+        LocalFS,
+        LockTableCommitBackend,
+    )
+
+    def make_backend(store):
+        if kind == "conditional_put":
+            return ConditionalPutCommitBackend(store)
+        coord = InProcessCoordinator()
+
+        class _HoldingLockBackend(LockTableCommitBackend):
+            # route the forced hold through the claim path: both writers
+            # arrive at the coordinator together, then CAS arbitrates
+            def put_if_absent(self, path, text):
+                store.hold()
+                return super().put_if_absent(path, text)
+
+        return _HoldingLockBackend(coord, LocalFS())
+
+    n_conflicts, final = _race_two_appends(spark, tmp_path, sink_fs, make_backend)
+    assert n_conflicts == 1
+    assert final.versions() == [1, 2, 3]
+    assert {(r["k"], r["v"]) for r in final.read().collect()} == {
+        (0, "base"), (1, "a"), (2, "b"),
+    }
+
+
+def test_lock_table_ttl_steal_after_crashed_winner():
+    """A claim whose owner died before writing the manifest must not wedge
+    the log forever: past the TTL the claim is stealable — but only
+    because the file never appeared."""
+    from verified_sources_spark.operators.fs import InProcessCoordinator
+
+    t = [0.0]
+    coord = InProcessCoordinator(ttl_s=60.0, clock=lambda: t[0])
+    assert coord.try_claim("v2.json", "crasher")
+    assert coord.try_claim("v2.json", "crasher")      # idempotent re-claim
+    assert not coord.try_claim("v2.json", "other")    # fresh claim holds
+    t[0] = 59.0
+    assert not coord.try_claim("v2.json", "other")    # still fresh
+    t[0] = 61.0
+    assert coord.try_claim("v2.json", "other")        # expired: stolen
+    assert not coord.try_claim("v2.json", "crasher")  # original now locked out
+
+
+def test_lock_table_backend_fails_fast_on_committed_path(tmp_path):
+    """An already-committed manifest path conflicts without burning a
+    coordinator claim."""
+    from verified_sources_spark.operators.fs import (
+        InProcessCoordinator,
+        LocalFS,
+        LockTableCommitBackend,
+    )
+
+    coord = InProcessCoordinator()
+    backend = LockTableCommitBackend(coord, LocalFS(), owner="w1")
+    p = str(tmp_path / "v1.json")
+    backend.put_if_absent(p, '{"version": 1}')
+    with pytest.raises(FileExistsError):
+        backend.put_if_absent(p, '{"version": 1, "other": true}')
+    # the claim table never saw a second entry for a committed path
+    other = LockTableCommitBackend(coord, LocalFS(), owner="w2")
+    with pytest.raises(FileExistsError):
+        other.put_if_absent(p, "{}")

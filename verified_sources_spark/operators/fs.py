@@ -18,10 +18,23 @@ by Spark executors as before.  Atomicity notes:
 
 - ``rename`` requires the destination not to exist (callers delete first)
   — that is the portable subset of Hadoop vs POSIX rename semantics.
-- ``create_exclusive`` is the commit atom for ManifestTable.  It is truly
-  atomic on POSIX (O_EXCL) and HDFS (``create(path, overwrite=false)``);
-  on S3-like stores it is best-effort exactly as a Delta commit is without
-  a coordinating LogStore service — pair with an external lock there.
+- ``create_exclusive`` is atomic on POSIX (O_EXCL) and HDFS
+  (``create(path, overwrite=false)`` is namenode-arbitrated); on S3-like
+  stores it degrades to check-then-create — NOT atomic.
+
+The commit atom itself is therefore pluggable (``CommitBackend``): the
+table log needs exactly one primitive — put-if-absent on the next
+manifest path — and each storage class has a different correct
+implementation:
+
+- ``FSCommitBackend``        POSIX / HDFS (exclusive create; the default);
+- ``ConditionalPutCommitBackend``  object stores with conditional write
+  (S3 ``If-None-Match: *`` PUT, GCS ``ifGenerationMatch=0``, Azure Blob
+  ``If-None-Match: *``) — the store arbitrates the race;
+- ``LockTableCommitBackend``  object stores WITHOUT conditional write:
+  an external CAS coordinator (DynamoDB-conditional-put-shaped) elects
+  the single writer of each manifest path first, then only the winner
+  writes the file.
 """
 
 from __future__ import annotations
@@ -29,6 +42,8 @@ from __future__ import annotations
 import os
 import posixpath
 import shutil
+import threading
+import time
 from collections.abc import Iterator
 from urllib.parse import urlparse
 
@@ -72,6 +87,11 @@ class FS:
         """Create *path* with *text*; raise FileExistsError if present."""
         raise NotImplementedError
 
+    def write_text(self, path: str, text: str) -> None:
+        """Create or overwrite *path* with *text* (no exclusivity — used
+        only by commit backends that arbitrate exclusivity elsewhere)."""
+        raise NotImplementedError
+
     def read_text(self, path: str) -> str:
         raise NotImplementedError
 
@@ -109,6 +129,10 @@ class LocalFS(FS):
 
     def create_exclusive(self, path: str, text: str) -> None:
         with open(path, "x") as f:
+            f.write(text)
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
             f.write(text)
 
     def read_text(self, path: str) -> str:
@@ -185,6 +209,13 @@ class HadoopFS(FS):
         finally:
             out.close()
 
+    def write_text(self, path: str, text: str) -> None:
+        out = self._jfs(path).create(self._jpath(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
     def read_text(self, path: str) -> str:
         stream = self._jfs(path).open(self._jpath(path))
         try:
@@ -203,3 +234,128 @@ class HadoopFS(FS):
         yield path, dirs, files
         for d in dirs:
             yield from self.walk(posixpath.join(path, d))
+
+
+# --------------------------------------------------------------------------
+# Commit backends: the pluggable put-if-absent atom of the table log.
+# --------------------------------------------------------------------------
+
+
+class CommitBackend:
+    """Put-if-absent on a manifest path — ManifestTable's ONE commit atom.
+
+    Contract: ``put_if_absent(path, text)`` either durably creates *path*
+    with *text* such that any subsequent reader sees it, or raises
+    ``FileExistsError`` — and under N concurrent callers for the same
+    path, EXACTLY one succeeds.  Everything else in the table format
+    (snapshot isolation, idempotent streaming batches, time travel) is
+    built on this single guarantee.
+    """
+
+    def put_if_absent(self, path: str, text: str) -> None:
+        raise NotImplementedError
+
+
+class FSCommitBackend(CommitBackend):
+    """Exclusive create on the filesystem — the default backend.
+
+    Truly atomic on POSIX (``O_EXCL``) and HDFS (``create(path,
+    overwrite=false)`` is arbitrated by the namenode).  On S3A this
+    degrades to check-then-create: use ``ConditionalPutCommitBackend`` or
+    ``LockTableCommitBackend`` there instead.
+    """
+
+    def __init__(self, fs: FS):
+        self.fs = fs
+
+    def put_if_absent(self, path: str, text: str) -> None:
+        self.fs.create_exclusive(path, text)
+
+
+class ConditionalPutCommitBackend(CommitBackend):
+    """Conditional-write object stores: the store arbitrates the race.
+
+    ``store`` is any client exposing ``put_if_none_match(path, data:
+    bytes) -> bool`` — True iff the object was created because no object
+    existed (S3 ``PutObject`` with ``If-None-Match: *``, GCS insert with
+    ``ifGenerationMatch=0``, Azure Blob ``Put Blob`` with ``If-None-Match:
+    *``).  All current major object stores support one of these, which
+    makes this the preferred 100 TB backend; the HTTP client itself is
+    environment-specific and injected, not vendored here.
+    """
+
+    def __init__(self, store):
+        self.store = store
+
+    def put_if_absent(self, path: str, text: str) -> None:
+        if not self.store.put_if_none_match(path, text.encode("utf-8")):
+            raise FileExistsError(path)
+
+
+class Coordinator:
+    """External CAS service electing the single writer of a key.
+
+    ``try_claim(key, owner)`` returns True iff *owner* now holds the
+    claim: first-claimer wins, re-claims by the SAME owner stay True
+    (idempotent retry), and a claim whose age exceeds the coordinator's
+    TTL may be stolen — the crashed-winner escape hatch.  Production
+    shape: a DynamoDB/Spanner row per key written with a conditional put
+    of ``attribute_not_exists(key) OR expiry < now``.
+    """
+
+    def try_claim(self, key: str, owner: str) -> bool:
+        raise NotImplementedError
+
+
+class InProcessCoordinator(Coordinator):
+    """Reference Coordinator for single-process multi-writer drivers and
+    for tests; claim table under one mutex, monotonic-clock TTL."""
+
+    def __init__(self, ttl_s: float = 300.0, clock=time.monotonic):
+        self.ttl_s = ttl_s
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._claims: dict[str, tuple[str, float]] = {}
+
+    def try_claim(self, key: str, owner: str) -> bool:
+        with self._lock:
+            now = self._clock()
+            cur = self._claims.get(key)
+            if cur is not None and cur[0] != owner and (now - cur[1]) < self.ttl_s:
+                return False
+            self._claims[key] = (owner, now)
+            return True
+
+
+class LockTableCommitBackend(CommitBackend):
+    """CAS-coordinator fallback for stores WITHOUT conditional write.
+
+    Two-step commit: (1) win the claim on the manifest path in the
+    external ``Coordinator``; (2) only the winner writes the file — a
+    plain overwrite is safe because exclusivity was already arbitrated.
+    A pre-claim existence check makes an already-committed path fail
+    fast without burning a claim.
+
+    The TTL caveat is fundamental to lock-with-expiry (no fencing
+    tokens): the coordinator TTL must exceed the worst-case manifest
+    write time, or a stalled winner and its thief can both write.
+    Manifest writes are one small JSON object, so a TTL in minutes
+    leaves orders of magnitude of headroom.
+    """
+
+    def __init__(self, coordinator: Coordinator, fs: FS, owner: str | None = None):
+        self.coordinator = coordinator
+        self.fs = fs
+        self.owner = owner or f"{os.getpid()}-{id(self):x}"
+
+    def put_if_absent(self, path: str, text: str) -> None:
+        if self.fs.exists(path):
+            raise FileExistsError(path)
+        if not self.coordinator.try_claim(path, self.owner):
+            raise FileExistsError(path)
+        # claim won but the file may have landed between check and claim
+        # (a prior winner's write racing our check): re-check before the
+        # non-exclusive write.
+        if self.fs.exists(path):
+            raise FileExistsError(path)
+        self.fs.write_text(path, text)

@@ -43,7 +43,13 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-from verified_sources_spark.operators.fs import FS, HadoopFS, _is_local_uri
+from verified_sources_spark.operators.fs import (
+    FS,
+    CommitBackend,
+    FSCommitBackend,
+    HadoopFS,
+    _is_local_uri,
+)
 from verified_sources_spark.operators.merge import merge_dataframes
 
 
@@ -201,11 +207,19 @@ class ManifestTable:
         path: str,
         partition_by: Sequence[str] | None = None,
         fs: FS | None = None,
+        commit_backend: CommitBackend | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by or [])
         self.fs = fs if fs is not None else HadoopFS(spark)
+        # The commit atom is storage-class-specific (see operators/fs.py):
+        # exclusive create is correct on POSIX/HDFS (the default), but an
+        # object store needs ConditionalPutCommitBackend (S3 conditional
+        # PUT) or LockTableCommitBackend (external CAS).
+        self.commit_backend = (
+            commit_backend if commit_backend is not None else FSCommitBackend(self.fs)
+        )
         self._data = f"{self.path}/data"
         self._manifests = f"{self.path}/_manifests"
 
@@ -259,7 +273,9 @@ class ManifestTable:
             "streams": streams,
         }
         try:
-            self.fs.create_exclusive(f"{self._manifests}/v{v}.json", json.dumps(manifest))
+            self.commit_backend.put_if_absent(
+                f"{self._manifests}/v{v}.json", json.dumps(manifest)
+            )
         except FileExistsError as e:
             raise CommitConflict(f"version {v} already committed") from e
         return v
