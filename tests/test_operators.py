@@ -244,3 +244,23 @@ def test_approx_count_distinct_within_tolerance(spark):
     exact = o.select(F.countDistinct("o_custkey")).first()[0]
     approx = o.select(F.approx_count_distinct("o_custkey")).first()[0]
     assert abs(approx - exact) / exact < 0.10
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """ntile_from_rank reproduces SQL ntile(k) exactly across uneven
+    splits, k > n, and k | n."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from verified_sources_spark.operators.prefix import ntile_from_rank
+
+    for n, k in [(10, 4), (12, 4), (3, 7), (1, 1), (100, 7)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "v")
+        w = Window.orderBy("v")
+        got = (
+            df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("expected", F.ntile(k).over(w))
+            .withColumn("derived", ntile_from_rank(F.col("rank"), n, k))
+        )
+        bad = got.filter(F.col("expected") != F.col("derived")).count()
+        assert bad == 0, f"n={n} k={k}"

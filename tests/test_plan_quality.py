@@ -115,3 +115,12 @@ def test_corpus_ops_plan_shapes(spark):
     plan = _plan(spark, "domain_cap_docs")
     assert plan.count("Window [") == 2  # salted stage + final ranking
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ntile_quartiles_parallel_plan(spark):
+    """The global rank/ntile query runs on the bucketed prefix scan: its
+    plan contains per-bucket windows only, never a single-partition sort
+    of the whole table."""
+    plan = _plan(spark, "ntile_customer_quartiles")
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile" not in plan  # derived from the rank expression, not a window

@@ -139,3 +139,54 @@ def bucketed_lag(bdf: DataFrame, order_col: str, val_col: str, out_col: str) -> 
         out_col,
         F.coalesce(F.lag(F.col(val_col)).over(w_local), _bucket_literal_map(prev)),
     )
+
+
+def bucketed_row_number(
+    bdf: DataFrame, order_cols: list[Column], out_col: str
+) -> tuple[DataFrame, int]:
+    """Global ``row_number`` over ``order_cols``, bucket-parallel.
+
+    ``order_cols`` must refine the bucket order (first key = the bucketed
+    column) and be a TOTAL order (tie-break on a unique key), or ranks are
+    nondeterministic. Per-bucket counts collect to the driver (one row per
+    bucket) and become exclusive literal offsets; returns the ranked frame
+    plus the total row count — free from the same collect, callers need it
+    for rank-derived stats (ntile, percentile).
+    """
+    counts = {
+        r[BUCKET_COL]: r["__n"]
+        for r in bdf.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+    w_local = Window.partitionBy(BUCKET_COL).orderBy(*order_cols)
+    ranked = bdf.withColumn(
+        out_col,
+        (F.row_number().over(w_local) + _bucket_literal_map(offsets, default=0)).cast(
+            "long"
+        ),
+    )
+    return ranked, acc
+
+
+def ntile_from_rank(rank: Column, n_rows: int, tiles: int) -> Column:
+    """SQL ``ntile(tiles)`` derived from a precomputed global rank — pure
+    expression, no window.
+
+    Standard ntile fill: with n = tiles*size + rem, the first ``rem``
+    tiles hold ``size + 1`` rows, the rest ``size`` (one extra row per
+    tile from the front). Exact for n_rows < 2^53 (double-division floor;
+    any conceivable table is orders of magnitude below that).
+    """
+    size, rem = divmod(int(n_rows), tiles)
+    big = rem * (size + 1)  # rows living in the size+1 tiles
+    if size == 0:
+        return rank.cast("int")  # more tiles than rows: tile i = row i
+    return (
+        F.when(rank <= F.lit(big), F.floor((rank - 1) / F.lit(size + 1)))
+        .otherwise(F.lit(rem) + F.floor((rank - 1 - F.lit(big)) / F.lit(size)))
+        + F.lit(1)
+    ).cast("int")

@@ -864,14 +864,33 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + percent-style ranking over account balances (fully ordered
-    → deterministic)."""
+    → deterministic).
+
+    Scale shape: a bare ``Window.orderBy`` would sort the whole table in
+    ONE task; instead the global rank comes from the bucketed two-pass
+    prefix scan (range-bucket on the order key, per-bucket parallel
+    windows, driver-side literal offsets — same primitive as
+    ``cdc_txn_batches``/``pack_manifest``) and ntile is derived from the
+    rank as a pure expression. No SinglePartition exchange in the plan
+    (asserted in test_plan_quality.py); output is identical to the
+    single-window form.
+    """
+    from verified_sources_spark.operators.prefix import (
+        bucketed_row_number,
+        ntile_from_rank,
+        with_range_buckets,
+    )
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select(
+    bdf = with_range_buckets(c, "c_acctbal")
+    ranked, n_rows = bucketed_row_number(
+        bdf, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], "balance_rank"
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.row_number().over(w).cast("long").alias("balance_rank"),
+        ntile_from_rank(F.col("balance_rank"), n_rows, 4).alias("quartile"),
+        F.col("balance_rank"),
     )
 
 
