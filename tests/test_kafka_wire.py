@@ -15,6 +15,7 @@ import pytest
 
 from verified_sources_spark.sources.kafka_wire import (
     EARLIEST_TS,
+    KafkaRecord,
     KafkaWireClient,
     crc32c,
     decode_record_batches,
@@ -88,6 +89,11 @@ class _Rd:
         self.pos += n
         return s
 
+    def raw(self, n):
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
 
 class _FakeBroker(socketserver.BaseRequestHandler):
     """Scripted broker: one topic log of pre-encoded RecordBatch v2
@@ -96,6 +102,9 @@ class _FakeBroker(socketserver.BaseRequestHandler):
 
     def setup(self):
         self._buf = b""
+        self._mech = None
+        self._scram = None
+        self._authed = False
 
     def _recv_exact(self, n):
         while len(self._buf) < n:
@@ -120,7 +129,49 @@ class _FakeBroker(socketserver.BaseRequestHandler):
             r = _Rd(self._recv_exact(size))
             api, ver, corr = r.take(">hhi")
             self.server.seen.append((api, ver, r.string()))  # client_id
-            if api == 18:  # ApiVersions
+            if (
+                self.server.sasl_creds is not None
+                and not self._authed
+                and api not in (17, 36, 18)
+            ):
+                # SASL listener: unauthenticated data-plane request →
+                # connection killed (what a real broker does)
+                return
+            if api == 17:  # SaslHandshake v1
+                mech = r.string()
+                self._mech = mech
+                known = ("SCRAM-SHA-256", "SCRAM-SHA-512", "PLAIN")
+                err = 0 if (self.server.sasl_creds and mech in known) else 33
+                body = struct.pack(">hi", err, len(known))
+                for m in known:
+                    body += _str(m)
+                self._reply(corr, body)
+            elif api == 36:  # SaslAuthenticate v0
+                from verified_sources_spark.sources.scram import ScramServer
+
+                n = r.take(">i")
+                payload = r.raw(n)
+                user, pw = self.server.sasl_creds
+                try:
+                    if self._mech == "PLAIN":
+                        _z, u, p = payload.split(b"\x00")
+                        if (u.decode(), p.decode()) != (user, pw):
+                            raise ValueError("PLAIN credentials rejected")
+                        out, self._authed = b"", True
+                    elif self._scram is None:
+                        self._scram = ScramServer(self._mech, user, pw)
+                        out = self._scram.handle_client_first(payload)
+                    else:
+                        out = self._scram.handle_client_final(payload)
+                        self._authed = True
+                    body = struct.pack(">h", 0) + _str(None)
+                    body += struct.pack(">i", len(out)) + out
+                except Exception as e:  # real broker: SASL_AUTHENTICATION_FAILED
+                    body = struct.pack(">h", 58) + _str(str(e))
+                    body += struct.pack(">i", 0)
+                    self._scram = None
+                self._reply(corr, body)
+            elif api == 18:  # ApiVersions
                 body = struct.pack(">h", 0) + struct.pack(">i", 3)
                 for key, lo, hi in ((1, 0, 4), (2, 0, 1), (3, 0, 1)):
                     body += struct.pack(">hhh", key, lo, hi)
@@ -195,6 +246,7 @@ class _Broker(socketserver.ThreadingTCPServer):
         super().__init__(("127.0.0.1", 0), _FakeBroker)
         self.log = {}
         self.seen = []
+        self.sasl_creds = None  # (user, password) switches SASL enforcement on
 
     def load(self, topic, pid, base, records, ts=1_000):
         batch = encode_record_batch(base, ts, records)
@@ -266,3 +318,105 @@ def test_records_to_spark_envelope(spark, broker):
     byid = {(r["partition"], r["offset"]): r for r in out}
     assert bytes(byid[(0, 2)]["value"]) == b"ev-c"
     assert bytes(byid[(0, 2)]["headers"]["src"]) == b"unit"
+
+
+# ---------------------------------------------------------------- SASL / TLS
+
+
+def _sasl_broker():
+    srv = _Broker()
+    srv.sasl_creds = ("alice", "s3cret")
+    srv.load("t", 0, 0, [(b"k", b"v", [])])
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+def test_sasl_scram_handshake_then_fetch():
+    """Full KIP-152 flow against a proof-verifying broker: handshake,
+    two SCRAM rounds, mutual-auth check, then the data plane works."""
+    srv = _sasl_broker()
+    try:
+        host, port = srv.server_address
+        with KafkaWireClient(host, port) as c:
+            c.sasl_authenticate("alice", "s3cret", "SCRAM-SHA-256")
+            md = c.metadata(["t"])
+            assert md["topics"]["t"] == [0]
+        # the wire saw handshake(17) then two authenticate(36) rounds
+        apis = [a for a, _, _ in srv.seen]
+        assert apis[:3] == [17, 36, 36]
+    finally:
+        srv.shutdown()
+
+
+def test_sasl_plain_inside_and_wrong_password():
+    srv = _sasl_broker()
+    try:
+        host, port = srv.server_address
+        with KafkaWireClient(host, port) as c:
+            c.sasl_authenticate("alice", "s3cret", "PLAIN")
+            assert c.metadata(["t"])["topics"]["t"] == [0]
+        with KafkaWireClient(host, port) as c:
+            with pytest.raises(ValueError, match="SaslAuthenticate error 58"):
+                c.sasl_authenticate("alice", "wrong", "SCRAM-SHA-256")
+    finally:
+        srv.shutdown()
+
+
+def test_unauthenticated_data_plane_is_refused():
+    srv = _sasl_broker()
+    try:
+        host, port = srv.server_address
+        with KafkaWireClient(host, port) as c:
+            with pytest.raises((ConnectionError, ValueError)):
+                c.metadata(["t"])
+    finally:
+        srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed cert with a 127.0.0.1 SAN so real hostname
+    verification runs."""
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    key, crt = str(d / "key.pem"), str(d / "crt.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", crt, "-days", "2", "-subj", "/CN=localhost",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+    return key, crt
+
+
+def test_tls_wrapped_broker_socket(tls_cert):
+    """The client's tls= knob performs a real TLS handshake (cert loaded
+    into the client context, hostname-verified) and SASL+fetch run
+    inside the channel — the SASL_SSL listener stack."""
+    import ssl as _ssl
+
+    key, crt = tls_cert
+    server_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    server_ctx.load_cert_chain(crt, key)
+
+    class _TlsBroker(_Broker):
+        def get_request(self):
+            sock, addr = socketserver.ThreadingTCPServer.get_request(self)
+            return server_ctx.wrap_socket(sock, server_side=True), addr
+
+    srv = _TlsBroker()
+    srv.sasl_creds = ("alice", "s3cret")
+    srv.load("t", 0, 0, [(b"k", b"v", [])])
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        client_ctx = _ssl.create_default_context(cafile=crt)
+        with KafkaWireClient(host, port, tls=client_ctx) as c:
+            c.sasl_authenticate("alice", "s3cret", "SCRAM-SHA-512")
+            assert c.metadata(["t"])["topics"]["t"] == [0]
+    finally:
+        srv.shutdown()

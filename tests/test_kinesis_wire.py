@@ -39,8 +39,43 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         srv = self.server
         op = self.headers["X-Amz-Target"].split(".")[-1]
-        req = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        req = json.loads(body)
         srv.calls.append((op, req))
+        if getattr(srv, "sigv4_creds", None) is not None:
+            # verify like AWS does: recompute the signature from the
+            # received request with the shared secret and compare
+            from verified_sources_spark.sources.sigv4 import sign_request
+
+            access, secret, region = srv.sigv4_creds
+            auth = self.headers.get("Authorization") or ""
+            try:
+                signed_names = auth.split("SignedHeaders=")[1].split(",")[0]
+                hdrs = {
+                    name: self.headers[name]
+                    for name in signed_names.split(";")
+                    if name != "x-amz-date"
+                }
+                expected = sign_request(
+                    "POST",
+                    f"http://{self.headers['Host']}/",
+                    hdrs,
+                    body,
+                    access,
+                    secret,
+                    region,
+                    "kinesis",
+                    self.headers["x-amz-date"],
+                )["Authorization"]
+            except Exception:
+                expected = None
+            if auth != expected:
+                self._json(
+                    {"__type": "InvalidSignatureException",
+                     "message": "signature mismatch"},
+                    status=403,
+                )
+                return
         if op == "ListShards":
             # two pages to exercise NextToken
             if "NextToken" in req:
@@ -203,3 +238,31 @@ def test_rows_to_spark(spark, endpoint):
         ("shardId-001", 1),
         ("shardId-002", 2),
     }
+
+
+def test_sigv4_signed_calls_verified_by_endpoint(endpoint):
+    """End-to-end SigV4: the endpoint recomputes every signature with the
+    shared secret (what AWS does) and 403s mismatches; a correctly signed
+    client reads the stream, a wrong-secret client is rejected."""
+    from verified_sources_spark.sources.kinesis_wire import KinesisClient, KinesisError
+    from verified_sources_spark.sources.sigv4 import sigv4_signer
+
+    endpoint.sigv4_creds = ("AKIDTEST", "the-secret", "us-east-1")
+    url = _url(endpoint)
+    good = KinesisClient(
+        url, sign=sigv4_signer(url, "AKIDTEST", "the-secret", "us-east-1")
+    )
+    shards = good.list_shards("s")
+    assert [s["shard_id"] for s in shards] == [
+        "shardId-000", "shardId-001", "shardId-002",
+    ]
+
+    bad = KinesisClient(
+        url, sign=sigv4_signer(url, "AKIDTEST", "wrong-secret", "us-east-1")
+    )
+    with pytest.raises(KinesisError, match="InvalidSignatureException"):
+        bad.list_shards("s")
+
+    unsigned = KinesisClient(url)
+    with pytest.raises(KinesisError, match="InvalidSignatureException"):
+        unsigned.list_shards("s")

@@ -117,6 +117,33 @@ class _FakeWalsender(socketserver.BaseRequestHandler):
         params = body[4:].rstrip(b"\x00").split(b"\x00")
         srv.startup_params = dict(zip(params[::2], params[1::2]))
         srv.protocol = proto
+        if getattr(srv, "scram_creds", None) is not None:
+            from verified_sources_spark.sources.scram import ScramServer
+
+            user, pw = srv.scram_creds
+            # AuthenticationSASL: advertise mechanisms (null-terminated
+            # list, empty string terminator)
+            self._send(
+                b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"
+            )
+            mtype, mbody = self._read_client()
+            assert mtype == b"p"
+            mech_end = mbody.index(b"\x00")
+            assert mbody[:mech_end] == b"SCRAM-SHA-256"
+            (ilen,) = struct.unpack(">i", mbody[mech_end + 1 : mech_end + 5])
+            client_first = mbody[mech_end + 5 : mech_end + 5 + ilen]
+            scram = ScramServer("SCRAM-SHA-256", user, pw)
+            server_first = scram.handle_client_first(client_first)
+            self._send(b"R", struct.pack(">I", 11) + server_first)
+            mtype, mbody = self._read_client()
+            assert mtype == b"p"
+            try:
+                server_final = scram.handle_client_final(mbody)
+            except Exception as e:
+                err = b"SMFATAL\x00C28P01\x00M" + str(e).encode() + b"\x00\x00"
+                self._send(b"E", err)
+                return
+            self._send(b"R", struct.pack(">I", 12) + server_final)
         self._send(b"R", struct.pack(">I", 0))  # AuthenticationOk
         self._send(b"S", _cstr("server_version") + _cstr("16.3"))
         self._send(b"Z", b"I")
@@ -234,3 +261,32 @@ def test_stream_to_spark_apply_changes(spark, walsender):
     final = apply_changes(None, df, keys=["id"], payload_cols=["name"])
     got = {(r["id"], r["name"]) for r in final.collect()}
     assert got == {("1", "alice2")}  # bob deleted, alice updated
+
+
+# ---------------------------------------------------------------- SCRAM auth
+
+
+def test_scram_sha256_auth_then_stream(walsender):
+    """AuthenticationSASL → SASLInitialResponse → SASLContinue →
+    SASLResponse → SASLFinal (server signature verified) → Ok, then the
+    replication session works as before."""
+    walsender.scram_creds = ("repl", "wal-pass")
+    host, port = walsender.server_address
+    with WalsenderClient(host, port, "testdb", "repl", password="wal-pass") as c:
+        assert c.identify_system()["xlogpos"] == fmt_lsn(LAST_LSN)
+
+
+def test_scram_wrong_password_rejected(walsender):
+    from verified_sources_spark.sources.pg_wire import PgError
+
+    walsender.scram_creds = ("repl", "wal-pass")
+    host, port = walsender.server_address
+    with pytest.raises(PgError):
+        WalsenderClient(host, port, "testdb", "repl", password="nope")
+
+
+def test_scram_without_password_raises(walsender):
+    walsender.scram_creds = ("repl", "wal-pass")
+    host, port = walsender.server_address
+    with pytest.raises(NotImplementedError, match="no password"):
+        WalsenderClient(host, port, "testdb", "repl")

@@ -23,6 +23,7 @@ parallel unit is partitions, which Spark reads via one
 from __future__ import annotations
 
 import socket
+import ssl
 import struct
 from dataclasses import dataclass
 from typing import Iterable
@@ -30,7 +31,9 @@ from typing import Iterable
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
 
 EARLIEST_TS = -2
 LATEST_TS = -1
@@ -234,9 +237,20 @@ class KafkaWireClient:
         port: int,
         client_id: str = "verified_sources_spark",
         connect_timeout: float = 10.0,
+        tls: bool | ssl.SSLContext = False,
+        server_hostname: str | None = None,
     ):
+        """``tls=True`` wraps the broker socket in the default TLS context
+        (certificate + hostname verification); pass an ``ssl.SSLContext``
+        for mTLS / custom CAs.  SASL (``sasl_authenticate``) runs inside
+        the TLS channel, matching broker listener stacks like
+        SASL_SSL://."""
         self.client_id = client_id
-        self._sock = socket.create_connection((host, port), timeout=connect_timeout)
+        sock = socket.create_connection((host, port), timeout=connect_timeout)
+        if tls:
+            ctx = tls if isinstance(tls, ssl.SSLContext) else ssl.create_default_context()
+            sock = ctx.wrap_socket(sock, server_hostname=server_hostname or host)
+        self._sock = sock
         self._buf = b""
         self._corr = 0
 
@@ -274,6 +288,49 @@ class KafkaWireClient:
             key, lo, hi = r.take(">hhh")
             out[key] = (lo, hi)
         return out
+
+    # --- SASL ------------------------------------------------------------
+    def _sasl_round(self, payload: bytes) -> bytes:
+        """One SaslAuthenticate v0 round: bytes in, server bytes out."""
+        body = struct.pack(">i", len(payload)) + payload
+        r = self._call(API_SASL_AUTHENTICATE, 0, body)
+        error = r.take(">h")
+        message = r.string()
+        if error:
+            raise ValueError(f"SaslAuthenticate error {error}: {message}")
+        n = r.take(">i")
+        return r.raw(n) if n >= 0 else b""
+
+    def sasl_authenticate(
+        self, username: str, password: str, mechanism: str = "SCRAM-SHA-256"
+    ) -> None:
+        """SaslHandshake v1 + SaslAuthenticate flow (KIP-152 framing —
+        auth bytes ride inside normal Kafka requests, never raw on the
+        socket).  Mechanisms: SCRAM-SHA-256 / SCRAM-SHA-512 (RFC 5802
+        exchange via ``sources.scram``) and PLAIN (RFC 4616; only
+        acceptable inside TLS).  Run immediately after connect, before
+        any metadata/fetch call — brokers require it on SASL listeners.
+        Matches the reference's credential flow
+        (sources/kafka/helpers.py:240-262) without the client library.
+        """
+        r = self._call(API_SASL_HANDSHAKE, 1, _str(mechanism))
+        error = r.take(">h")
+        offered = [r.string() for _ in range(r.take(">i"))]
+        if error:
+            raise ValueError(
+                f"SaslHandshake error {error}: mechanism {mechanism!r} "
+                f"not enabled (broker offers {offered})"
+            )
+        if mechanism == "PLAIN":
+            first = b"\x00" + username.encode() + b"\x00" + password.encode()
+            self._sasl_round(first)
+            return
+        from verified_sources_spark.sources.scram import ScramClient
+
+        scram = ScramClient(mechanism, username, password)
+        server_first = self._sasl_round(scram.client_first())
+        server_final = self._sasl_round(scram.client_final(server_first))
+        scram.verify_server_final(server_final)
 
     def metadata(self, topics: list[str] | None = None) -> dict:
         """Metadata v1: brokers + topic → sorted partition ids.  ``None``

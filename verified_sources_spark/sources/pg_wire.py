@@ -26,13 +26,16 @@ framed (lsn, payload) feed this client lands.
 
 from __future__ import annotations
 
+import hashlib
 import socket
+import ssl
 import struct
 import time
 from dataclasses import dataclass
 from typing import Iterator
 
 PG_PROTOCOL_VERSION = 196608  # 3.0
+PG_SSL_REQUEST_CODE = 80877103
 PG_EPOCH_OFFSET_US = 946_684_800_000_000  # 2000-01-01 minus 1970-01-01, µs
 
 
@@ -90,10 +93,34 @@ class WalsenderClient:
         database: str,
         user: str,
         connect_timeout: float = 10.0,
+        password: str | None = None,
+        tls: bool | ssl.SSLContext = False,
     ):
+        """``password`` enables the server-chosen auth exchange:
+        SCRAM-SHA-256 (AuthenticationSASL, the modern default — RFC 5802
+        flow via ``sources.scram``, mutual-auth verified), MD5, or
+        cleartext.  ``tls=True``/an ``ssl.SSLContext`` performs the
+        PostgreSQL STARTTLS dance (SSLRequest before startup) and
+        refuses to continue if the server declines TLS.  Mirrors the
+        reference's credential connect
+        (sources/pg_replication/helpers.py ConnectionStringCredentials).
+        """
         self.host, self.port = host, port
         self.database, self.user = database, user
-        self._sock = socket.create_connection((host, port), timeout=connect_timeout)
+        self.password = password
+        sock = socket.create_connection((host, port), timeout=connect_timeout)
+        if tls:
+            sock.sendall(struct.pack(">II", 8, PG_SSL_REQUEST_CODE))
+            answer = sock.recv(1)
+            if answer != b"S":
+                sock.close()
+                raise ConnectionError(
+                    f"server declined TLS (got {answer!r}); refusing to "
+                    "continue in cleartext when tls was requested"
+                )
+            ctx = tls if isinstance(tls, ssl.SSLContext) else ssl.create_default_context()
+            sock = ctx.wrap_socket(sock, server_hostname=host)
+        self._sock = sock
         self._buf = b""
         self._startup()
         self.flushed_lsn = 0
@@ -151,12 +178,49 @@ class WalsenderClient:
             if mtype == b"R":
                 (code,) = struct.unpack(">I", mbody[:4])
                 if code != 0:
-                    raise NotImplementedError(
-                        f"auth method {code} not supported (trust/AuthenticationOk only)"
-                    )
+                    self._authenticate(code, mbody[4:])
             elif mtype == b"Z":  # ReadyForQuery
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+
+    def _authenticate(self, code: int, extra: bytes) -> None:
+        """One Authentication* request from the server (message flow of
+        the frontend/backend protocol, §55.2 "SASL Authentication" for
+        codes 10/11/12).  Runs inside _startup's R/Z loop: each branch
+        sends its response and returns; the server answers with the next
+        R message (SASLContinue/SASLFinal/Ok) or an ErrorResponse."""
+        if self.password is None:
+            raise NotImplementedError(
+                f"server requires auth method {code} but no password was given"
+            )
+        if code == 3:  # AuthenticationCleartextPassword
+            self._send(b"p", self.password.encode() + b"\x00")
+        elif code == 5:  # AuthenticationMD5Password
+            salt = extra[:4]
+            inner = hashlib.md5(
+                self.password.encode() + self.user.encode()
+            ).hexdigest()
+            digest = hashlib.md5(inner.encode() + salt).hexdigest()
+            self._send(b"p", b"md5" + digest.encode() + b"\x00")
+        elif code == 10:  # AuthenticationSASL: server lists mechanisms
+            from verified_sources_spark.sources.scram import ScramClient
+
+            mechanisms = [m for m in extra.split(b"\x00") if m]
+            if b"SCRAM-SHA-256" not in mechanisms:
+                raise NotImplementedError(
+                    f"no supported SASL mechanism in {mechanisms} "
+                    "(SCRAM-SHA-256 only; -PLUS needs TLS channel binding)"
+                )
+            self._scram = ScramClient("SCRAM-SHA-256", self.user, self.password)
+            first = self._scram.client_first()
+            body = b"SCRAM-SHA-256\x00" + struct.pack(">i", len(first)) + first
+            self._send(b"p", body)
+        elif code == 11:  # AuthenticationSASLContinue: server-first message
+            self._send(b"p", self._scram.client_final(extra))
+        elif code == 12:  # AuthenticationSASLFinal: server signature
+            self._scram.verify_server_final(extra)
+        else:
+            raise NotImplementedError(f"auth method {code} not supported")
 
     def simple_query(self, sql: str) -> list[tuple[str | None, ...]]:
         """Send a simple-protocol query, return DataRow values as text."""
