@@ -1,0 +1,188 @@
+"""Delta log interop (operators/delta_interop.py): reading external
+Delta tables and exporting ManifestTable snapshots as Delta logs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from verified_sources_spark.operators.delta_interop import (
+    DeltaProtocolError,
+    export_manifest_as_delta,
+    read_delta_log,
+    read_delta_table,
+)
+from verified_sources_spark.operators.table_format import ManifestTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _write_commit(table_dir, version, actions):
+    log = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+
+
+def _mk_external_delta(spark, tmp_path):
+    """Hand-craft a two-commit partitioned Delta table: commit 0 adds two
+    files, commit 1 removes one and adds another — replay must apply the
+    tombstone."""
+    root = str(tmp_path / "ext")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+        ],
+    }
+
+    def data_file(name, rows):
+        df = spark.createDataFrame(rows, "k long, v string")
+        tmp = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.makedirs(os.path.join(root, "d"), exist_ok=True)
+        os.replace(os.path.join(tmp, part), os.path.join(root, "d", name))
+        return f"d/{name}"
+
+    p1 = data_file("f1.parquet", [(1, "a")])
+    p2 = data_file("f2.parquet", [(2, "b")])
+    p3 = data_file("f3.parquet", [(3, "c")])
+    meta = {
+        "metaData": {
+            "id": "0000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["day"],
+            "configuration": {},
+        }
+    }
+    add = lambda p, day: {
+        "add": {
+            "path": p,
+            "partitionValues": {"day": day},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        meta, add(p1, "2024-01-01"), add(p2, "2024-01-02"),
+    ])
+    _write_commit(root, 1, [
+        {"remove": {"path": p1, "deletionTimestamp": 0, "dataChange": True}},
+        add(p3, "2024-01-01"),
+    ])
+    return root
+
+
+def test_read_external_delta_with_removes_and_partitions(spark, tmp_path):
+    import datetime as dt
+
+    root = _mk_external_delta(spark, tmp_path)
+    df = read_delta_table(spark, root)
+    assert set(df.columns) == {"k", "v", "day"}
+    assert _rows(df.select("k", "v", "day")) == {
+        (2, "b", dt.date(2024, 1, 2)),
+        (3, "c", dt.date(2024, 1, 1)),
+    }
+    # time travel: version 0 still sees f1+f2
+    v0 = read_delta_table(spark, root, version=0)
+    assert _rows(v0.select("k", "v")) == {(1, "a"), (2, "b")}
+
+
+def test_reader_refuses_advanced_reader_features(spark, tmp_path):
+    root = str(tmp_path / "adv")
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps({"type": "struct", "fields": []}),
+                      "partitionColumns": [], "configuration": {}}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta_log(spark, root)
+
+
+def test_checkpoint_short_circuits_log_replay(spark, tmp_path):
+    """A parquet checkpoint + _last_checkpoint replaces replaying the
+    JSON commits at/below its version."""
+    import datetime as dt
+
+    root = _mk_external_delta(spark, tmp_path)
+    adds, meta = read_delta_log(spark, root)
+    # build a checkpoint parquet describing the post-commit-1 state
+    cp_rows = [{"metaData": meta, "add": None, "protocol": None}] + [
+        {"metaData": None, "add": a, "protocol": None} for a in adds
+    ]
+    cp = spark.createDataFrame(
+        [json.dumps(r) for r in cp_rows], "string"
+    )
+    import pyspark.sql.functions as F
+
+    cp_schema = (
+        "metaData struct<id string, format struct<provider string>, "
+        "schemaString string, partitionColumns array<string>>, "
+        "add struct<path string, partitionValues map<string,string>, size long, "
+        "modificationTime long, dataChange boolean>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int>"
+    )
+    parsed = cp.select(F.from_json(F.col("value"), cp_schema).alias("a")).select("a.*")
+    cp_path = os.path.join(root, "_delta_log", f"{1:020d}.checkpoint.parquet")
+    tmp_cp = str(tmp_path / "cpstage")
+    parsed.coalesce(1).write.mode("overwrite").parquet(tmp_cp)
+    part = next(f for f in os.listdir(tmp_cp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp_cp, part), cp_path)
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(cp_rows)}, f)
+    # delete the JSON commits the checkpoint covers: replay must not need them
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    df = read_delta_table(spark, root)
+    assert _rows(df.select("k", "v", "day")) == {
+        (2, "b", dt.date(2024, 1, 2)),
+        (3, "c", dt.date(2024, 1, 1)),
+    }
+
+
+def test_manifest_export_roundtrip(spark, tmp_path, sink_fs):
+    """ManifestTable → Delta log → read back via the Delta reader:
+    row-identical, partitions re-attached; a second export appends an
+    incremental commit with the remove/add diff."""
+    t = ManifestTable(spark, str(tmp_path / "t"), partition_by=["day"], fs=sink_fs)
+    t.append(spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")],
+        "day string, k long, v string",
+    ))
+    p0 = export_manifest_as_delta(t)
+    assert p0.endswith(f"{0:020d}.json")
+    got = read_delta_table(spark, t.path)
+    # the exported schema is the COMMITTED schema (day: string);
+    # ManifestTable.read() hive-infers partition dirs as dates — cast for
+    # the value comparison
+    import pyspark.sql.functions as F
+
+    ours = t.read().select(F.col("day").cast("string"), "k", "v")
+    assert _rows(got.select("day", "k", "v")) == _rows(ours)
+
+    # replace rewrites the file set; the next export appends ONE diff commit
+    t.replace(spark.createDataFrame(
+        [("2024-01-03", 3, "c")], "day string, k long, v string"
+    ))
+    p1 = export_manifest_as_delta(t)
+    assert p1.endswith(f"{1:020d}.json")
+    got2 = read_delta_table(spark, t.path)
+    assert _rows(got2.select("day", "k", "v")) == {("2024-01-03", 3, "c")}
+    # idempotent: nothing changed → no empty commit is written
+    assert export_manifest_as_delta(t) == p1
+    # the v0 reader view still replays (time travel over the export log)
+    v0 = read_delta_table(spark, t.path, version=0)
+    assert _rows(v0.select("day", "k", "v")) == {
+        ("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"),
+    }

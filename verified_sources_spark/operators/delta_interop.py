@@ -1,0 +1,267 @@
+"""Delta Lake interop: read external Delta tables, export ManifestTable
+snapshots as a Delta-compatible log.
+
+ManifestTable has the right transactional semantics but a proprietary
+log; a lakehouse user needs tables OTHER engines can read, and needs to
+read tables other engines wrote (the reference hands data to real
+warehouses, e.g. sources/mongodb_pipeline.py:22-35).  Both directions
+speak the PUBLIC Delta transaction-log protocol (the delta.io PROTOCOL
+spec): ``_delta_log/%020d.json`` NDJSON commits of
+protocol/metaData/add/remove actions plus optional parquet checkpoints.
+
+Scale shape: log replay is driver-side and metadata-sized (one dict per
+live file — the same cardinality the ManifestTable log already holds);
+big logs short-circuit through the parquet checkpoint, which Spark reads
+distributed.  Data files are never touched — interop is a pure metadata
+exchange.
+
+No delta-spark dependency: the format is JSON + parquet, and the point
+is reading/writing it with the stdlib + Spark alone.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+from urllib.parse import quote, unquote
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from verified_sources_spark.operators.fs import FS, HadoopFS
+
+_LOG_DIR = "_delta_log"
+# Reader-version-2 tables (column mapping) change how file columns map to
+# schema names; v3 adds deletion vectors.  Both silently corrupt a naive
+# read, so refuse anything above plain v1 semantics.
+_MAX_READER_VERSION = 1
+
+
+class DeltaProtocolError(RuntimeError):
+    pass
+
+
+def _log_path(table_path: str, version: int) -> str:
+    return f"{table_path}/{_LOG_DIR}/{version:020d}.json"
+
+
+def _list_log_versions(fs: FS, table_path: str) -> list[int]:
+    log_dir = f"{table_path}/{_LOG_DIR}"
+    if not fs.isdir(log_dir):
+        return []
+    out = []
+    for name in fs.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+class _Snapshot:
+    """Replayed log state: live adds keyed by path + latest metaData."""
+
+    def __init__(self):
+        self.adds: dict[str, dict] = {}
+        self.meta: dict | None = None
+
+    def apply(self, action: dict) -> None:
+        if "protocol" in action:
+            v = action["protocol"].get("minReaderVersion", 1)
+            if v > _MAX_READER_VERSION:
+                raise DeltaProtocolError(
+                    f"minReaderVersion {v} needs reader features "
+                    "(column mapping / deletion vectors) this reader "
+                    "does not implement; refusing a silently-wrong read"
+                )
+        elif "metaData" in action:
+            self.meta = action["metaData"]
+        elif "add" in action:
+            self.adds[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            self.adds.pop(action["remove"]["path"], None)
+
+
+def _read_checkpoint(
+    spark: SparkSession, fs: FS, table_path: str, snap: _Snapshot
+) -> int | None:
+    """Load ``_last_checkpoint`` state into *snap*; returns the checkpoint
+    version or None.  Checkpoints are parquet (Spark-read, distributed),
+    single or multi-part."""
+    lc_path = f"{table_path}/{_LOG_DIR}/_last_checkpoint"
+    if not fs.exists(lc_path):
+        return None
+    lc = json.loads(fs.read_text(lc_path))
+    v, parts = int(lc["version"]), lc.get("parts")
+    if parts:
+        files = [
+            f"{table_path}/{_LOG_DIR}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            for i in range(1, int(parts) + 1)
+        ]
+    else:
+        files = [f"{table_path}/{_LOG_DIR}/{v:020d}.checkpoint.parquet"]
+    cp = spark.read.parquet(*files)
+    cols = set(cp.columns)
+    for row in cp.toLocalIterator():  # one row per action — metadata-sized
+        d = row.asDict(recursive=True)
+        for kind in ("protocol", "metaData", "add"):
+            if kind in cols and d.get(kind) is not None:
+                snap.apply({kind: d[kind]})
+        # removes in a checkpoint are expired tombstones, never live files
+    return v
+
+
+def read_delta_log(
+    spark: SparkSession, path: str, version: int | None = None, fs: FS | None = None
+) -> tuple[list[dict], dict]:
+    """Replay an external Delta log; returns (live add-actions, metaData).
+
+    ``version`` pins time travel (replay commits ≤ version); default is
+    the latest commit.  Raises on reader-version requirements above plain
+    parquet semantics rather than mis-reading."""
+    fs = fs or HadoopFS(spark)
+    path = path.rstrip("/")
+    versions = _list_log_versions(fs, path)
+    snap = _Snapshot()
+    cp_version = None
+    if version is None:
+        cp_version = _read_checkpoint(spark, fs, path, snap)
+    if not versions and cp_version is None:
+        raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
+    target = version if version is not None else (versions[-1] if versions else cp_version)
+    for v in versions:
+        if cp_version is not None and v <= cp_version:
+            continue
+        if v > target:
+            break
+        for line in fs.read_text(_log_path(path, v)).splitlines():
+            if line.strip():
+                snap.apply(json.loads(line))
+    if snap.meta is None:
+        raise DeltaProtocolError(f"no metaData action found in {path}/{_LOG_DIR}")
+    return list(snap.adds.values()), snap.meta
+
+
+def read_delta_table(
+    spark: SparkSession, path: str, version: int | None = None, fs: FS | None = None
+) -> DataFrame:
+    """External Delta table → DataFrame (no delta-spark dependency).
+
+    Partition columns are not stored in Delta data files; they are
+    re-attached from each add-action's ``partitionValues`` and cast to
+    the schema type.  Files are grouped by partition tuple — one Spark
+    scan per distinct partition combination, unioned by name; fine for
+    the metadata-exchange use, and each scan is itself distributed.
+    """
+    path = path.rstrip("/")
+    adds, meta = read_delta_log(spark, path, version, fs)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+    types = {f.name: f.dataType for f in schema.fields}
+    if not adds:
+        return spark.createDataFrame([], schema)
+
+    groups: dict[tuple, list[str]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        rel = unquote(a["path"])
+        full = rel if "://" in rel else posixpath.join(path, rel)
+        groups.setdefault(key, []).append(full)
+
+    parts_out = []
+    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(raw).cast(types[c]))
+        parts_out.append(df.select([f.name for f in schema.fields]))
+    out = parts_out[0]
+    for df in parts_out[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def export_manifest_as_delta(table, version: int | None = None) -> str:
+    """Write/extend a Delta-compatible log describing a ManifestTable
+    snapshot, so external Delta readers can consume the table in place.
+
+    First export writes commit 0 with the full file list; later exports
+    append ONE commit containing the add/remove diff against the last
+    exported state — a real incremental log, not a rewrite, so a reader
+    that cached version N replays N+1.. like any Delta table.  Returns
+    the path of the commit file written.  The export is exactly as
+    current as the manifest version exported (default latest); writes go
+    through the table's commit backend, so concurrent exporters conflict
+    instead of clobbering.
+    """
+    fs = table.fs
+    root = table.path
+    manifest = table._manifest(version if version is not None else table.latest_version())
+    entries = manifest["files"]
+    schema_json = manifest.get("schema")
+    if schema_json is None:
+        raise DeltaProtocolError("manifest has no schema to export")
+
+    prev_adds: dict[str, dict] = {}
+    existing = _list_log_versions(fs, root)
+    if existing:
+        snap = _Snapshot()
+        for v in existing:
+            for line in fs.read_text(_log_path(root, v)).splitlines():
+                if line.strip():
+                    snap.apply(json.loads(line))
+        prev_adds = snap.adds
+
+    now_ms = 0  # deterministic export: mod times are advisory in the spec
+    current: dict[str, dict] = {}
+    for e in entries:
+        rel = quote(e["path"], safe="/-_.~=")
+        current[rel] = {
+            "path": rel,
+            "partitionValues": {k: str(v) for k, v in (e.get("partition") or {}).items()},
+            "size": int(e.get("bytes") or 0),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+
+    actions: list[dict] = []
+    next_v = (existing[-1] + 1) if existing else 0
+    if next_v == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    # metaData rides in every exported commit: schema may have evolved
+    actions.append(
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": list(manifest.get("partition_by") or []),
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        }
+    )
+    for path_ in sorted(set(prev_adds) - set(current)):
+        actions.append(
+            {
+                "remove": {
+                    "path": path_,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for path_ in sorted(set(current) - set(prev_adds)):
+        actions.append({"add": current[path_]})
+    if next_v > 0 and len(actions) == 1:
+        return _log_path(root, existing[-1])  # nothing changed: no empty commit
+
+    out_path = _log_path(root, next_v)
+    fs.makedirs(f"{root}/{_LOG_DIR}")
+    table.commit_backend.put_if_absent(
+        out_path, "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    )
+    return out_path
