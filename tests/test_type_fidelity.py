@@ -92,3 +92,135 @@ def test_nullability_conformance(spark, tmp_path):
     for f in SCHEMA.fields:
         if not f.nullable:
             assert df.filter(F.col(f.name).isNull()).count() == 0
+
+
+# ------------------------------------------------------------- BSON coercion
+
+
+class _FakeObjectId:
+    """bson.ObjectId stand-in: str() is the 24-char hex form."""
+
+    def __init__(self, raw: bytes):
+        self.raw = raw
+
+    def __str__(self):
+        return self.raw.hex()
+
+
+_FakeObjectId.__name__ = "ObjectId"
+
+
+class _FakeDecimal128:
+    def __init__(self, s):
+        self.s = s
+
+    def __str__(self):
+        return self.s
+
+
+_FakeDecimal128.__name__ = "Decimal128"
+
+
+class _FakeRegex:
+    def __init__(self, pattern):
+        self.pattern = pattern
+
+    def try_compile(self):
+        import re
+
+        return re.compile(self.pattern)
+
+
+_FakeRegex.__name__ = "Regex"
+
+
+class _FakeTimestamp:
+    def __init__(self, dt_):
+        self._dt = dt_
+
+    def as_datetime(self):
+        return self._dt
+
+
+_FakeTimestamp.__name__ = "Timestamp"
+
+
+def test_bson_value_coercions_match_reference_map():
+    """ObjectId/Decimal128 → str, Regex → pattern, Timestamp → tz-aware
+    datetime, naive datetime → UTC; nested docs and arrays recurse
+    (reference sources/mongodb/helpers.py:552-570)."""
+    import datetime as dt
+
+    from verified_sources_spark.sources.bson_coerce import convert_bson_value
+
+    oid = _FakeObjectId(bytes(range(12)))
+    doc = {
+        "_id": oid,
+        "amount": _FakeDecimal128("12.50"),
+        "pat": _FakeRegex("^a.*b$"),
+        "ts": _FakeTimestamp(dt.datetime(2024, 3, 1, 12, 0, 0)),
+        "created": dt.datetime(2024, 3, 1, 8, 30),  # naive → UTC
+        "tags": [_FakeObjectId(b"\xff" * 12), 7],
+        "nested": {"inner": _FakeDecimal128("0.1")},
+        "plain": "keep",
+        "n": 3,
+    }
+    out = convert_bson_value(doc)
+    assert out["_id"] == "000102030405060708090a0b"
+    assert out["amount"] == "12.50"
+    assert out["pat"] == "^a.*b$"
+    assert out["ts"] == dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    assert out["created"] == dt.datetime(2024, 3, 1, 8, 30, tzinfo=dt.timezone.utc)
+    assert out["tags"] == ["ff" * 12, 7]
+    assert out["nested"] == {"inner": "0.1"}
+    assert out["plain"] == "keep" and out["n"] == 3
+
+
+def test_bson_arrow_column_coercions(spark):
+    """Arrow path: fixed_size_binary[12] → hex string (str(ObjectId)
+    parity), decimal128 → string, other fixed binary → plain binary,
+    naive timestamp → UTC; coerced table lands in Spark with the right
+    schema (reference sources/mongodb/helpers.py:572-618)."""
+    import datetime as dt
+    import decimal
+
+    import pyarrow as pa
+
+    from verified_sources_spark.sources.arrow_ingest import arrow_table_to_df
+    from verified_sources_spark.sources.bson_coerce import convert_arrow_bson_columns
+
+    table = pa.table(
+        {
+            "_id": pa.array([bytes(range(12)), None, b"\xab" * 12],
+                            type=pa.binary(12)),
+            "amount": pa.array(
+                [decimal.Decimal("12.50"), None, decimal.Decimal("0.10")],
+                type=pa.decimal128(10, 2),
+            ),
+            "blob": pa.array([b"12345", None, b"67890"], type=pa.binary(5)),
+            "ts": pa.array(
+                [dt.datetime(2024, 3, 1, 12, 0), None, dt.datetime(2024, 3, 2)],
+                type=pa.timestamp("us"),
+            ),
+            "n": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    out = convert_arrow_bson_columns(table)
+    assert out.schema.field("_id").type == pa.string()
+    assert out.column("_id").to_pylist() == [
+        "000102030405060708090a0b", None, "ab" * 12,
+    ]
+    assert out.schema.field("amount").type == pa.string()
+    assert out.column("amount").to_pylist() == ["12.50", None, "0.10"]
+    assert out.schema.field("blob").type == pa.binary()
+    assert out.schema.field("ts").type == pa.timestamp("us", tz="UTC")
+    assert out.schema.field("n").type == pa.int64()
+
+    df = arrow_table_to_df(spark, out)
+    kinds = dict(df.dtypes)
+    assert kinds["_id"] == "string"
+    assert kinds["amount"] == "string"
+    assert kinds["blob"] == "binary"
+    assert kinds["ts"] == "timestamp"
+    row = df.orderBy("n").first()
+    assert row["_id"] == "000102030405060708090a0b"
