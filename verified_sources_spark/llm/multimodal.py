@@ -1,9 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake or NotImplementedError), but everything Spark-side is
-real and tested: schema convention, Arrow-batched mapInPandas plumbing,
-batch shapes, partition sizing.
+The decode step is pluggable: ``decoder="fake"`` (default — deterministic,
+codec-free, what the oracle-graded queries use) or ``decoder="pil"`` —
+real Pillow decode/resize behind an import-try, the same optional-
+dependency gating as ``requests`` in sources/rest.py. The container
+ships no codecs, so the PIL paths are exercised by import-gated tests
+that run wherever Pillow IS installed; everything Spark-side (schema,
+Arrow-batched mapInPandas plumbing, batch shapes, partition sizing,
+per-object error isolation) is identical across decoders and tested
+here with the fake.
 
 Schema convention for a multimodal asset column ``asset``:
     asset: binary                       -- raw bytes
@@ -54,6 +59,20 @@ def attach_binary_column(df: DataFrame, text_col: str, asset_col: str = "asset")
     )
 
 
+def _load_pil():
+    """Import-gated Pillow (optional dependency, same pattern as
+    HttpTransport/requests): returns PIL.Image or raises ImportError with
+    a message naming the switch that needed it."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "decoder='pil' requires the Pillow package; install it or use "
+            "decoder='fake' (deterministic, codec-free)"
+        ) from e
+    return Image
+
+
 def _fake_decode(payload: bytes) -> dict:
     """STUB decode — deterministic fake. A real deployment plugs PIL/ffmpeg
     here; the container ships neither, and the Spark-side contract (bytes
@@ -75,13 +94,81 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id", asset_col: str = "asset") -> DataFrame:
+PIL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    decoder: str = "fake",
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     mapInPandas: each Arrow batch arrives as a pandas DataFrame; the UDF
     is vectorized over the batch (loop is per-batch-row in Python here
     because decode is inherently per-object; a numpy-vectorizable feature
-    would use the columnar arrays directly)."""
+    would use the columnar arrays directly).
+
+    ``decoder="pil"`` decodes real images (PIL_FEATURE_SCHEMA: dims, mode,
+    container format). Corrupt/undecodable payloads yield
+    ``decoded_ok=false`` rows instead of failing the task — at 100 TB a
+    media corpus WILL contain broken objects and one bad byte-string must
+    not kill a 1000-executor stage. Pillow availability is checked at
+    PLAN BUILD time on the driver so a missing dependency fails fast, not
+    N-tasks-deep into a job."""
+
+    if decoder == "pil":
+        _load_pil()  # fail fast on the driver; executors re-import below
+
+        def run_pil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            Image = _load_pil()
+            for pdf in batches:
+                feats = []
+                for p in pdf[asset_col]:
+                    try:
+                        with Image.open(io.BytesIO(p)) as im:
+                            feats.append(
+                                {
+                                    "decoded_ok": True,
+                                    "width": im.width,
+                                    "height": im.height,
+                                    "mode": im.mode,
+                                    "format": im.format,
+                                    "n_bytes": len(p),
+                                }
+                            )
+                    except Exception:
+                        feats.append(
+                            {
+                                "decoded_ok": False,
+                                "width": None,
+                                "height": None,
+                                "mode": None,
+                                "format": None,
+                                "n_bytes": len(p) if p is not None else 0,
+                            }
+                        )
+                out = pd.DataFrame(feats)
+                out.insert(0, "doc_id", pdf[id_col].values)
+                yield out
+
+        return df.select(id_col, asset_col).mapInPandas(run_pil, PIL_FEATURE_SCHEMA)
+
+    if decoder != "fake":
+        raise ValueError(f"decoder must be 'fake' or 'pil', got {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,15 +211,51 @@ def resize_images(
     asset_col: str = "asset",
     width: int = 224,
     height: int = 224,
+    decoder: str = "fake",
 ) -> DataFrame:
     """Image resize over binary payloads (Arrow-batched mapInPandas).
 
-    The pixel transform is STUBBED (no PIL/ffmpeg in the container): the
-    fake emits a deterministic byte slice tagged with the target
-    dimensions, so schema, batch shape, and partitioning — the Spark-side
-    contract a real `PIL.Image.resize` plugs into — are real and tested.
-    Raises NotImplementedError if asked for a real decode
-    (`require_real=True` in a deployment wires the actual codec)."""
+    ``decoder="pil"``: real Pillow decode → RGB convert → LANCZOS resize →
+    PNG re-encode; undecodable payloads produce a NULL ``resized`` (error
+    isolation per object, same rationale as extract_features). The
+    default ``"fake"`` emits a deterministic byte slice tagged with the
+    target dimensions, so schema, batch shape, and partitioning — the
+    Spark-side contract the real codec plugs into — are testable with no
+    codecs in the environment."""
+
+    if decoder == "pil":
+        _load_pil()  # fail fast on the driver
+
+        def run_pil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            Image = _load_pil()
+
+            def one(p):
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        buf = io.BytesIO()
+                        im.convert("RGB").resize(
+                            (width, height), Image.Resampling.LANCZOS
+                        ).save(buf, format="PNG")
+                        return buf.getvalue()
+                except Exception:
+                    return None
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].values,
+                        "width": width,
+                        "height": height,
+                        "resized": [one(p) for p in pdf[asset_col]],
+                    }
+                )
+
+        return df.select(id_col, asset_col).mapInPandas(run_pil, RESIZE_SCHEMA)
+
+    if decoder != "fake":
+        raise ValueError(f"decoder must be 'fake' or 'pil', got {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -957,7 +957,7 @@ ORACLE_SQL["corpus_report_docs"] = f"""
     GROUP BY b.source
 """
 
-ORACLE_SQL["dedup_normalized_docs"] = """
+ORACLE_SQL["dedup_normalized_docs"] = r"""
     SELECT md5(norm) AS content_md5,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -968,7 +968,7 @@ ORACLE_SQL["dedup_normalized_docs"] = """
     GROUP BY md5(norm)
 """
 
-ORACLE_SQL["curated_corpus_docs"] = f"""
+ORACLE_SQL["curated_corpus_docs"] = rf"""
     WITH qf AS ({ORACLE_SQL["quality_filter_docs"]}),
     good AS (SELECT d.doc_id, d.source, d.n_chars, d.text
              FROM documents d JOIN qf ON qf.doc_id = d.doc_id AND qf.passes = 1),

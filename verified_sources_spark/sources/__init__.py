@@ -22,6 +22,11 @@ from verified_sources_spark.sources.rest import (  # noqa: F401
     fetch_partitioned,
     fetch_to_dataframe,
 )
+from verified_sources_spark.sources.oauth import (  # noqa: F401
+    OAuth2Error,
+    OAuth2TokenProvider,
+    StaticTokenProvider,
+)
 from verified_sources_spark.sources.streams import (  # noqa: F401
     OffsetTracker,
     bounded_read,

@@ -70,13 +70,21 @@ class HttpTransport(Transport):
     installed raises ImportError; everything else in the engine works
     without it. Non-2xx responses raise ``TransportError`` carrying the
     parsed ``Retry-After`` so ``RestClient``'s retry/backoff (including
-    the 429 protocol) applies unchanged."""
+    the 429 protocol) applies unchanged.
+
+    ``auth`` is an optional token provider (``sources.oauth``): its
+    ``authorization()`` value becomes the ``Authorization`` header per
+    request, and a 401 response invalidates the token and retries the
+    request ONCE with a fresh one (reactive refresh — reference
+    connectors refresh via their credential objects, e.g.
+    sources/salesforce/helpers/client.py:42-114)."""
 
     def __init__(
         self,
         session=None,
         headers: dict[str, str] | None = None,
         timeout: float = 30.0,
+        auth=None,
     ):
         try:
             import requests
@@ -85,11 +93,25 @@ class HttpTransport(Transport):
         self._session = session if session is not None else requests.Session()
         self._headers = dict(headers or {})
         self._timeout = timeout
+        self._auth = auth
+
+    def _get(self, url: str, params: dict[str, Any]):
+        headers = dict(self._headers)
+        sent_token: str | None = None
+        if self._auth is not None:
+            sent_token = self._auth.authorization()
+            headers["Authorization"] = sent_token
+        resp = self._session.get(
+            url, params=params, headers=headers, timeout=self._timeout
+        )
+        return resp, sent_token
 
     def request(self, url: str, params: dict[str, Any]) -> tuple[dict, dict]:
-        resp = self._session.get(
-            url, params=params, headers=self._headers, timeout=self._timeout
-        )
+        resp, sent_token = self._get(url, params)
+        if resp.status_code == 401 and self._auth is not None:
+            # reactive refresh: revocation the expiry clock can't see
+            self._auth.invalidate(sent_token)
+            resp, _ = self._get(url, params)
         headers = dict(resp.headers)
         if resp.status_code >= 400:
             retry_after = None
