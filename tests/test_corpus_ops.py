@@ -121,6 +121,51 @@ def test_semantic_dedup_drops_planted_near_identical_vectors(spark):
     assert all(i in kept for i in range(32))
 
 
+def test_semantic_dedup_gemm_matches_join_impl(spark):
+    """The chunked-GEMM pair stage and the pure-Catalyst self-join must
+    produce the same kept set and absorption counts (same float64 math,
+    different engine). Seeded vectors straddle the threshold both ways."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(300):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    # planted tight groups in several clusters
+    for base in (400, 500, 600):
+        v = [rnd.uniform(-1, 1) for _ in range(16)]
+        for j in range(3):
+            rows.append((base + j, [x + j * 1e-5 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_clusters=6, threshold=0.98)
+    got_g = sorted(
+        tuple(r)
+        for r in semantic_dedup(df, "vec_id", "embedding", pairs_impl="gemm", **kw).collect()
+    )
+    got_j = sorted(
+        tuple(r)
+        for r in semantic_dedup(df, "vec_id", "embedding", pairs_impl="join", **kw).collect()
+    )
+    assert got_g == got_j
+    kept = {r[0] for r in got_g}
+    assert {400, 500, 600} <= kept
+    assert not ({401, 402, 501, 502, 601, 602} & kept)
+
+
+def test_semantic_dedup_adaptive_cluster_count(spark):
+    """n_clusters=None scales with the corpus: small corpus floors at 16
+    clusters and still dedups the planted group."""
+    rows = [(i, [float(i % 7), float(i % 11), 1.0, 0.0]) for i in range(64)]
+    rows += [(200, [3.0, 4.0, 0.0, 0.0]), (201, [3.0, 4.0, 0.0, 1e-6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=None, threshold=0.9999,
+        target_cluster_size=4,
+    )
+    kept = {r["vec_id"] for r in out.collect()}
+    assert 200 in kept and 201 not in kept
+
+
 def test_mixture_sample_targets_and_nesting(spark):
     from verified_sources_spark.llm.corpus import mixture_sample
 

@@ -1,0 +1,129 @@
+"""Scale-up generator for soak testing: replicate an existing sf dir N×
+with key-space shifts so referential integrity holds, per-copy text
+mutation so duplicate/near-duplicate RATES stay constant (a naive N×
+union would give every document N-1 exact copies and blow candidate
+generation up quadratically, testing a distribution no real corpus has),
+and per-copy embedding perturbation for the same reason.
+
+    python tools/make_sf.py SRC_DIR DST_DIR N_COPIES
+
+The driver's testdata is read-only and its generator is not shipped, so
+soak inputs are derived from sf0.1: identical schemas and value
+distributions, N× the rows.  Output tables are DIRECTORIES named
+``{name}.parquet`` (multi-part) — spark.read.parquet handles both forms,
+and multi-part is what a real 100 TB table looks like anyway.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
+
+from verified_sources_spark.catalog import TABLES, load_table  # noqa: E402
+from verified_sources_spark.session import get_spark  # noqa: E402
+
+# key columns to shift per table: (column, keyspace-of table)
+KEY_SHIFTS: dict[str, list[tuple[str, str]]] = {
+    "customer": [("c_custkey", "customer")],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [
+        ("l_orderkey", "orders"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supplier"),
+    ],
+    "events": [("event_id", "events"), ("user_id", "users")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+
+# dimension tables replicated as-is (copy 0 only)
+STATIC = ("region", "nation")
+
+LETTERS = string.ascii_lowercase
+
+
+def _mutation_perm(i: int) -> tuple[str, str]:
+    """Per-copy character substitution: rotate the lowercase alphabet by a
+    copy-specific stride. Length- and token-structure-preserving, but the
+    shingle/minhash space of copy i is disjoint from copy j — duplicate
+    structure WITHIN a copy is preserved exactly, none is added ACROSS
+    copies (matching how a real corpus grows)."""
+    rot = (7 * i) % 26 or 1
+    return LETTERS, LETTERS[rot:] + LETTERS[:rot]
+
+
+def scale_table(spark, src: str, name: str, n_copies: int, spans: dict[str, int]) -> DataFrame:
+    base = load_table(spark, src, name)
+    if name in STATIC:
+        return base
+    copies = []
+    for i in range(n_copies):
+        c = base
+        for col, space in KEY_SHIFTS.get(name, []):
+            c = c.withColumn(col, (F.col(col) + F.lit(i * spans[space])).cast("long"))
+        if i > 0 and name == "documents":
+            frm, to = _mutation_perm(i)
+            c = c.withColumn("text", F.translate(F.col("text"), frm, to))
+        if i > 0 and name == "embeddings":
+            # deterministic per-copy sign mask from a hash of (copy, dim):
+            # norms preserved; masks of two copies agree on ~half the dims,
+            # so cross-copy cosine collapses toward 0 — no artificial dups
+            # (a periodic mask here once made copies 3 apart IDENTICAL and
+            # inflated the corpus dup rate to 60%)
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, j: F.when(
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(":", F.lit(str(i)), j.cast("string"))),
+                            F.lit(2),
+                        )
+                        == 0,
+                        -x,
+                    ).otherwise(x),
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = get_spark("make-sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    # keyspace spans (max+1) from the source so shifted copies never collide
+    spans = {
+        "customer": load_table(spark, src, "customer").agg(F.max("c_custkey")).first()[0] + 1,
+        "supplier": load_table(spark, src, "supplier").agg(F.max("s_suppkey")).first()[0] + 1,
+        "part": load_table(spark, src, "part").agg(F.max("p_partkey")).first()[0] + 1,
+        "orders": load_table(spark, src, "orders").agg(F.max("o_orderkey")).first()[0] + 1,
+        "events": load_table(spark, src, "events").agg(F.max("event_id")).first()[0] + 1,
+        "users": load_table(spark, src, "events").agg(F.max("user_id")).first()[0] + 1,
+        "documents": load_table(spark, src, "documents").agg(F.max("doc_id")).first()[0] + 1,
+        "embeddings": load_table(spark, src, "embeddings").agg(F.max("vec_id")).first()[0] + 1,
+    }
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        if only is not None and name not in only:
+            continue
+        out = scale_table(spark, src, name, n, spans)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name}: {out.count()} rows", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -501,22 +501,88 @@ def incremental_dedup(
     )
 
 
+def _cluster_pairs_gemm(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Over-threshold cosine pairs within each cluster via chunked numpy
+    matrix products (one ``applyInPandas`` group per cluster).
+
+    Memory per task is O(block × n_i), never the full n_i² score matrix:
+    rows are scored in 1024-row blocks against the whole cluster, and
+    only (id_a < id_b, score >= threshold) hits are emitted.  All math in
+    float64, matching the ``"join"`` implementation up to rounding at the
+    threshold boundary."""
+    import pandas as pd
+
+    def one_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        order = np.argsort(pdf["_id"].values, kind="stable")
+        ids = pdf["_id"].values[order]
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"].values[order]])
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0, never a dup
+        xn = x / norms[:, None]
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            scores = xn[s:e] @ xn.T  # (block, n)
+            # only the strict upper triangle: pair (i, j) with i < j
+            for bi in range(e - s):
+                i = s + bi
+                js = np.nonzero(scores[bi, i + 1 :] >= threshold)[0] + i + 1
+                if js.size:
+                    out_a.extend([ids[i]] * js.size)
+                    out_b.extend(ids[js].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    return assigned.groupBy("cluster").applyInPandas(
+        one_cluster, "id_a long, id_b long"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     threshold: float = 0.92,
     lloyd_iters: int = 2,
+    pairs_impl: str = "gemm",
+    target_cluster_size: int = 512,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup: k-means partition, cosine pairs only
     within a cluster, keep the lowest id of each near-identical pair group.
 
     The quantizer is the shared deterministic Lloyd loop
     (``similarity.train_kmeans`` — centroid-only collects).  The pairwise
-    stage self-joins on the cluster id, so its cost is Σ|cluster|², never
-    |corpus|²; at 100 TB you raise ``n_clusters`` with corpus size to hold
-    the per-cluster bound (SemDeDup's published recipe).
+    stage runs only within a cluster, so its cost is Σ|cluster|², never
+    |corpus|²; ``n_clusters=None`` applies SemDeDup's published recipe —
+    scale the cluster count with the corpus (``max(16, n //
+    target_cluster_size)``) so the per-cluster quadratic bound stays
+    constant as the corpus grows (one metadata-sized count() job).
+
+    ``pairs_impl`` picks the within-cluster engine:
+
+    - ``"gemm"`` (default) — ``applyInPandas`` per cluster: vectors are
+      L2-normalized once, then scored in CHUNKED numpy matrix products
+      (1024-row blocks × the cluster), emitting only over-threshold
+      pairs.  Arrow-batched, linear memory in the cluster (never the
+      n_i² score matrix at once).  The sf1 soak measured the expression
+      alternative at 100+ s for 20k×64-d vectors — interpreted
+      higher-order-function dot products per pair are ~50x slower than
+      one BLAS call per block.
+    - ``"join"`` — the pure-Catalyst self-join with zip_with dot
+      products; no Python boundary, but per-pair interpreted expression
+      cost.  Kept for environments where the Python worker path is
+      unavailable.
+
+    Both produce the same pairs up to float64 rounding exactly at the
+    threshold boundary (gemm normalizes then dots; join computes
+    dot/(|a||b|) — algebraically equal, one ulp apart in the last
+    operation order).
 
     Output: kept rows as (id, cluster) plus ``n_dropped_dups`` — how many
     near-identical neighbors this survivor absorbed (0 for most rows).
@@ -534,28 +600,35 @@ def semantic_dedup(
     sum of counts ≤ number of dropped rows.
     """
     c = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if n_clusters is None:
+        n_clusters = max(16, c.count() // max(1, target_cluster_size))
     centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
     assigned = (
         assign_clusters(c, "_id", "_v", centroids)
         .filter(F.col("__rn") == 1)
         .select("_id", "_v", "cluster")
     )
-    a = assigned.select(
-        F.col("cluster"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
-    )
-    b = assigned.select(
-        F.col("cluster"), F.col("_id").alias("id_b"), F.col("_v").alias("vb")
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb")))
-            >= threshold
+    if pairs_impl == "gemm":
+        pairs = _cluster_pairs_gemm(assigned, threshold)
+    elif pairs_impl == "join":
+        a = assigned.select(
+            F.col("cluster"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
         )
-        .select("id_a", "id_b")
-    )
+        b = assigned.select(
+            F.col("cluster"), F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+                >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        raise ValueError(f"pairs_impl must be 'gemm' or 'join', got {pairs_impl!r}")
     drops = pairs.select(F.col("id_b").alias("_id")).distinct()
     absorbed = pairs.join(drops.withColumnRenamed("_id", "id_a"), "id_a", "left_anti")
     n_absorbed = absorbed.groupBy(F.col("id_a").alias("_id")).agg(

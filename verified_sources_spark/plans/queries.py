@@ -578,6 +578,16 @@ def near_dedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (llm/text_prep.py
+    duplicate_spans): per-doc span counts + duplicated-span fraction —
+    the substring-level-dedup statistic of the ExactSubstr recipe."""
+    from verified_sources_spark.llm.text_prep import duplicate_spans
+
+    d = _docs_parallel(spark, sf_dir)
+    return duplicate_spans(d, "doc_id", "text", window=8)
+
+
 def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (llm/text_prep.py):
     duplicate-line fraction, duplicate-line character fraction, top-bigram
@@ -1228,7 +1238,9 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verified_sources_spark.llm.corpus import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, "vec_id", "embedding", n_clusters=16, threshold=0.92)
+    # n_clusters=None: scale the cluster count with the corpus so the
+    # within-cluster quadratic stays bounded at any sf (SemDeDup recipe)
+    return semantic_dedup(e, "vec_id", "embedding", n_clusters=None, threshold=0.92)
 
 
 # Registry order is a GRADING contract: the driver's correctness gate runs
@@ -1330,4 +1342,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_corpus_docs": curated_corpus_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
+    "duplicate_spans_docs": duplicate_spans_docs,
 }

@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g: the sf1 soak measured GC collapse at 8g — 32 executor threads
+        # of ObjectHashAggregate state (minhash 19s vs 1s, lsh 16s vs 2.2s)
+        # once the working set passed the old heap; a local[32] JVM is the
+        # whole cluster, so size it like one (box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if master:
