@@ -40,3 +40,7 @@ from verified_sources_spark.operators.delta_interop import (  # noqa: F401
     export_manifest_as_delta,
     read_delta_table,
 )
+from verified_sources_spark.operators.iceberg_interop import (  # noqa: F401
+    export_manifest_as_iceberg,
+    read_iceberg_table,
+)

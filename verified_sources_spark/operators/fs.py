@@ -95,6 +95,14 @@ class FS:
     def read_text(self, path: str) -> str:
         raise NotImplementedError
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Create or overwrite *path* with binary *data* (Avro manifests,
+        checkpoint payloads — anything not line-oriented)."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
     def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]:
         """os.walk-alike over (dirpath, dirnames, filenames), top-down."""
         raise NotImplementedError
@@ -137,6 +145,14 @@ class LocalFS(FS):
 
     def read_text(self, path: str) -> str:
         with open(path) as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
             return f.read()
 
     def walk(self, path: str):
@@ -217,10 +233,19 @@ class HadoopFS(FS):
             out.close()
 
     def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        out = self._jfs(path).create(self._jpath(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, path: str) -> bytes:
         stream = self._jfs(path).open(self._jpath(path))
         try:
-            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            return bytes(data).decode("utf-8")
+            return bytes(self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
         finally:
             stream.close()
 

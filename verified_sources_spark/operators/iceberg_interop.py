@@ -1,0 +1,551 @@
+"""Apache Iceberg interop: read external Iceberg tables, export the
+ManifestTable log as an Iceberg table.
+
+Same motivation as ``delta_interop`` (the reference hands data off to
+real warehouses — sources/mongodb_pipeline.py:22-35 — and a lakehouse
+user needs tables other engines can read): both directions speak the
+PUBLIC Iceberg table spec (iceberg.apache.org/spec) with no iceberg
+runtime dependency — the format is JSON metadata + Avro manifests +
+parquet data, and ``operators.avro_codec`` covers the Avro part.
+
+Read path: resolve the current metadata JSON (``version-hint.text`` or
+highest ``*.metadata.json``), walk current snapshot → manifest list →
+manifests → live data files (status != DELETED), then ONE distributed
+parquet scan per partition tuple.  Iceberg v2 row-level deletes
+(position/equality delete files) change read semantics and are REFUSED,
+not skipped — reading past them would resurrect deleted rows.
+
+Identity-partition columns may be absent from data files (the spec's
+Hive-migration rule: resolve missing identity-source fields from the
+partition tuple); the reader fills them with ``coalesce(column,
+partition_value)``, which is exact for identity partitions — every row
+in the file belongs to that partition, so a stored value can only equal
+the tuple value (modulo both being null).
+
+Export path: each export writes a COMPLETE snapshot (one manifest with
+every live file, a manifest list, the next ``vN.metadata.json`` with the
+snapshot appended, ``version-hint.text``).  Unlike Delta's replayed
+commit diffs, Iceberg snapshots are self-contained by design, so a full
+manifest per export IS the protocol, not a shortcut.  Field-ids are
+assigned in schema order and stamped into the Avro schemas as the spec
+requires.
+
+Column resolution caveat (documented, not hidden): Iceberg proper maps
+parquet columns by field-id, which survives renames.  This reader maps
+by NAME — correct for tables whose columns were never renamed (and for
+everything this engine exports); a renamed-column table needs the real
+Iceberg runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from verified_sources_spark.operators.avro_codec import read_container, write_container
+from verified_sources_spark.operators.fs import FS, HadoopFS
+
+
+class IcebergProtocolError(RuntimeError):
+    pass
+
+
+# ----------------------------------------------------------- type mapping
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _ice_type_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        if t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed["):
+            return T.BinaryType()
+        raise IcebergProtocolError(f"unsupported iceberg type: {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _ice_type_to_spark(f["type"]), not f.get("required", False)
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _ice_type_to_spark(t["element"]), not t.get("element-required", False)
+        )
+    if kind == "map":
+        return T.MapType(
+            _ice_type_to_spark(t["key"]),
+            _ice_type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise IcebergProtocolError(f"unsupported iceberg type: {t!r}")
+
+
+_SPARK_TO_ICE = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.ShortType(): "int",
+    T.ByteType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.DateType(): "date",
+    T.TimestampNTZType(): "timestamp",
+    T.TimestampType(): "timestamptz",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+}
+
+
+def _spark_type_to_ice(dt: T.DataType, next_id: list[int]):
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [_ice_field(f, next_id) for f in dt.fields],
+        }
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _spark_type_to_ice(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _spark_type_to_ice(dt.keyType, next_id),
+            "value-id": vid,
+            "value": _spark_type_to_ice(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    for k, v in _SPARK_TO_ICE.items():
+        if dt == k:
+            return v
+    raise IcebergProtocolError(f"cannot export spark type {dt} to iceberg")
+
+
+def _ice_field(f: T.StructField, next_id: list[int]) -> dict:
+    fid = next_id[0]
+    next_id[0] += 1
+    return {
+        "id": fid,
+        "name": f.name,
+        "required": not f.nullable,
+        "type": _spark_type_to_ice(f.dataType, next_id),
+    }
+
+
+def iceberg_schema_from_spark(schema: T.StructType) -> dict:
+    """Spark schema → Iceberg schema JSON with sequential field-ids."""
+    next_id = [1]
+    fields = [_ice_field(f, next_id) for f in schema.fields]
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def spark_schema_from_iceberg(ice: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"], _ice_type_to_spark(f["type"]), not f.get("required", False)
+            )
+            for f in ice["fields"]
+        ]
+    )
+
+
+# -------------------------------------------------------------- read path
+def _metadata_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/metadata"
+
+
+def read_iceberg_metadata(
+    spark: SparkSession, path: str, fs: FS | None = None
+) -> dict:
+    """Resolve and parse the CURRENT table metadata JSON."""
+    fs = fs or HadoopFS(spark)
+    md = _metadata_dir(path)
+    hint = f"{md}/version-hint.text"
+    name = None
+    if fs.exists(hint):
+        v = fs.read_text(hint).strip()
+        for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            if fs.exists(f"{md}/{cand}"):
+                name = cand
+                break
+    if name is None:
+        if not fs.isdir(md):
+            raise FileNotFoundError(f"no Iceberg metadata dir at {md}")
+        cands = sorted(n for n in fs.listdir(md) if n.endswith(".metadata.json"))
+        if not cands:
+            raise FileNotFoundError(f"no *.metadata.json under {md}")
+        name = cands[-1]  # names sort by version in both naming schemes
+    return json.loads(fs.read_text(f"{md}/{name}"))
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+    if "schema" in meta:
+        return meta["schema"]
+    raise IcebergProtocolError("metadata carries no schema")
+
+
+def _identity_partition_sources(meta: dict) -> dict[str, int]:
+    """partition field name → source field id, identity transforms only;
+    raises on any other transform (bucket/truncate/day values are DERIVED
+    and cannot reconstruct the source column)."""
+    specs = meta.get("partition-specs")
+    if specs:
+        sid = meta.get("default-spec-id", 0)
+        spec = next((s for s in specs if s.get("spec-id") == sid), specs[0])
+        fields = spec.get("fields", [])
+    else:
+        fields = meta.get("partition-spec", [])
+    out = {}
+    for f in fields:
+        if f.get("transform") not in ("identity", "void"):
+            raise IcebergProtocolError(
+                f"unsupported partition transform {f.get('transform')!r} "
+                "(only identity partitioning is readable without the runtime)"
+            )
+        if f.get("transform") == "identity":
+            out[f["name"]] = f["source-id"]
+    return out
+
+
+def read_iceberg_files(
+    spark: SparkSession, path: str, fs: FS | None = None
+) -> tuple[list[dict], dict]:
+    """Live data-file entries of the current snapshot + the metadata dict.
+
+    Each entry: {"file_path", "partition": {name: value}, "record_count",
+    "file_size_in_bytes"}."""
+    fs = fs or HadoopFS(spark)
+    path = path.rstrip("/")
+    meta = read_iceberg_metadata(spark, path, fs)
+    if int(meta.get("format-version", 1)) > 2:
+        raise IcebergProtocolError(f"format-version {meta['format-version']} unsupported")
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        return [], meta
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s.get("snapshot-id") == snap_id), None
+    )
+    if snap is None:
+        raise IcebergProtocolError(f"current-snapshot-id {snap_id} not in snapshots")
+
+    def _resolve_rel(p: str) -> str:
+        return p if "://" in p or p.startswith("/") else posixpath.join(path, p)
+
+    manifest_paths: list[str] = []
+    if snap.get("manifest-list"):
+        _, entries = read_container(_read_bytes(fs, _resolve_rel(snap["manifest-list"])))
+        for e in entries:
+            if int(e.get("content") or 0) != 0:
+                raise IcebergProtocolError(
+                    "snapshot carries DELETE manifests (v2 row-level deletes); "
+                    "refusing to read without delete application"
+                )
+            manifest_paths.append(_resolve_rel(e["manifest_path"]))
+    elif snap.get("manifests"):
+        manifest_paths = [_resolve_rel(p) for p in snap["manifests"]]
+    else:
+        raise IcebergProtocolError("snapshot has neither manifest-list nor manifests")
+
+    live: list[dict] = []
+    part_names = list(_identity_partition_sources(meta))
+    for mp in manifest_paths:
+        _, entries = read_container(_read_bytes(fs, mp))
+        for e in entries:
+            if int(e.get("status") or 0) == 2:  # DELETED
+                continue
+            df_ = e["data_file"]
+            if int(df_.get("content") or 0) != 0:
+                raise IcebergProtocolError("v2 delete file in manifest; refusing")
+            fmt = str(df_.get("file_format") or "").upper()
+            if fmt != "PARQUET":
+                raise IcebergProtocolError(f"unsupported data file format {fmt}")
+            part_rec = df_.get("partition") or {}
+            live.append(
+                {
+                    "file_path": _resolve_rel(df_["file_path"]),
+                    "partition": {k: part_rec.get(k) for k in part_names}
+                    if part_names
+                    else dict(part_rec),
+                    "record_count": int(df_.get("record_count") or 0),
+                    "file_size_in_bytes": int(df_.get("file_size_in_bytes") or 0),
+                }
+            )
+    return live, meta
+
+
+def read_iceberg_table(
+    spark: SparkSession, path: str, fs: FS | None = None
+) -> DataFrame:
+    """External Iceberg table → DataFrame (no iceberg runtime).
+
+    One distributed scan per distinct partition tuple; identity-partition
+    source columns missing from data files are filled from the tuple."""
+    files, meta = read_iceberg_files(spark, path, fs)
+    schema = spark_schema_from_iceberg(_current_schema(meta))
+    if not files:
+        return spark.createDataFrame([], schema)
+    types = {f.name: f.dataType for f in schema.fields}
+
+    groups: dict[tuple, list[str]] = {}
+    for e in files:
+        key = tuple(sorted(e["partition"].items()))
+        groups.setdefault(key, []).append(e["file_path"])
+
+    parts_out = []
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(schema).parquet(*paths)
+        for name, raw in key:
+            if name in types:
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(raw).cast(types[name]))
+                )
+        parts_out.append(df.select([f.name for f in schema.fields]))
+    out = parts_out[0]
+    for df in parts_out[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _read_bytes(fs: FS, path: str) -> bytes:
+    return fs.read_bytes(path)
+
+
+# ------------------------------------------------------------ export path
+# Avro field-ids per the Iceberg spec's manifest tables (Appendix C)
+def _partition_avro_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """Avro record for the partition tuple; Iceberg partition field-ids
+    start at 1000."""
+    fields = []
+    for i, (name, ice_type) in enumerate(part_fields):
+        avro_t = {"int": "int", "long": "long", "string": "string",
+                  "boolean": "boolean", "double": "double", "float": "float"}.get(ice_type)
+        if avro_t is None:
+            raise IcebergProtocolError(
+                f"partition column {name!r} of type {ice_type!r} not exportable"
+            )
+        fields.append(
+            {"name": name, "type": ["null", avro_t], "default": None,
+             "field-id": 1000 + i}
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_entry_schema(part_schema: dict) -> dict:
+    df_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": part_schema, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {
+                "name": "data_file",
+                "type": {"type": "record", "name": "r2", "fields": df_fields},
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None, "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"], "default": None, "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"], "default": None, "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"], "default": None, "field-id": 506},
+    ],
+}
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _typed_partition_value(raw, ice_type: str):
+    if raw is None or raw == _HIVE_NULL or raw == "":
+        return None
+    if ice_type == "int" or ice_type == "long":
+        return int(raw)
+    if ice_type in ("double", "float"):
+        return float(raw)
+    if ice_type == "boolean":
+        return str(raw).lower() == "true"
+    return str(raw)
+
+
+def export_manifest_as_iceberg(table, version: int | None = None) -> str:
+    """Write the next Iceberg metadata version describing a ManifestTable
+    snapshot; returns the metadata JSON path.
+
+    Each call appends one self-contained Iceberg snapshot (full manifest —
+    that IS the Iceberg protocol; snapshots never replay).  Iceberg
+    identity-partitioned tables resolve partition source columns missing
+    from data files via the partition tuple, which matches how
+    ManifestTable lays files out (hive dirs, columns dropped from files).
+    """
+    fs = table.fs
+    root = table.path.rstrip("/")
+    mv = version if version is not None else table.latest_version()
+    manifest = table._manifest(mv)
+    schema_json = manifest.get("schema")
+    if schema_json is None:
+        raise IcebergProtocolError("manifest has no schema to export")
+    spark_schema = T.StructType.fromJson(json.loads(schema_json))
+    ice_schema = iceberg_schema_from_spark(spark_schema)
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    part_cols = list(manifest.get("partition_by") or [])
+    for c in part_cols:
+        if c not in by_name:
+            raise IcebergProtocolError(f"partition column {c!r} missing from schema")
+    part_fields = [(c, by_name[c]["type"]) for c in part_cols]
+    for c, t in part_fields:
+        if not isinstance(t, str):
+            raise IcebergProtocolError(f"partition column {c!r} has a nested type")
+
+    md = _metadata_dir(root)
+    fs.makedirs(md)
+    existing = sorted(
+        int(n[1 : -len(".metadata.json")])
+        for n in (fs.listdir(md) if fs.isdir(md) else [])
+        if n.startswith("v") and n.endswith(".metadata.json")
+        and n[1 : -len(".metadata.json")].isdigit()
+    )
+    next_v = (existing[-1] + 1) if existing else 1
+    snapshot_id = next_v
+
+    part_avro = _partition_avro_schema(part_fields)
+    entries = []
+    for e in manifest["files"]:
+        part_rec = {
+            c: _typed_partition_value((e.get("partition") or {}).get(c), t)
+            for c, t in part_fields
+        }
+        stats = e.get("stats") or {}
+        entries.append(
+            {
+                "status": 1,  # ADDED (snapshot is self-contained)
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": f"{root}/{e['path']}",
+                    "file_format": "PARQUET",
+                    "partition": part_rec,
+                    "record_count": int(stats.get("rows") or 0),
+                    "file_size_in_bytes": int(e.get("bytes") or 0),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                },
+            }
+        )
+    manifest_rel = f"metadata/manifest-{next_v}.avro"
+    manifest_bytes = write_container(_manifest_entry_schema(part_avro), entries)
+    fs.write_bytes(f"{root}/{manifest_rel}", manifest_bytes)
+
+    mlist_rel = f"metadata/snap-{snapshot_id}-manifest-list.avro"
+    mlist_bytes = write_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"{root}/{manifest_rel}",
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            }
+        ],
+    )
+    fs.write_bytes(f"{root}/{mlist_rel}", mlist_bytes)
+
+    prev_snapshots = []
+    if existing:
+        prev = json.loads(fs.read_text(f"{md}/v{existing[-1]}.metadata.json"))
+        prev_snapshots = prev.get("snapshots", [])
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, (c, _t) in enumerate(part_fields)
+    ]
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),
+        "location": root,
+        "last-updated-ms": 0,  # deterministic export, like the Delta path
+        "last-column-id": max(
+            [f["id"] for f in ice_schema["fields"]] + [0]
+        ),
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": prev_snapshots
+        + [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": f"{root}/{mlist_rel}",
+                "schema-id": 0,
+            }
+        ],
+    }
+    out_path = f"{md}/v{next_v}.metadata.json"
+    fs.write_text(out_path, json.dumps(meta, indent=2))
+    fs.write_text(f"{md}/version-hint.text", str(next_v))
+    return out_path
