@@ -511,3 +511,27 @@ def test_simhash_dedup_groups_keeps_zero_token_docs(spark):
     out = {r["doc_id"]: r for r in simhash_dedup_groups(df, "doc_id", "text").collect()}
     assert set(out) == {1, 2, 3}  # one row per input doc, tokenless included
     assert out[2]["group_size"] == 1 and out[3]["group_size"] == 1
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    """An 8-token span shared by two docs marks those occurrences in BOTH;
+    within-doc repetition of a span no other doc has does NOT count."""
+    from verified_sources_spark.llm.text_prep import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " unique tail one two three"),
+        (2, "prefix words here " + shared),
+        # doc 3 repeats ITS OWN span twice; no other doc has it
+        (3, "red orange yellow green blue indigo violet mauve " * 2),
+        (4, "short doc"),  # < 8 tokens: zero windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(df, "doc_id", "text", window=8).collect()}
+    assert out[1]["n_windows"] == 13 - 8 + 1  # 13 tokens
+    assert out[1]["n_dup_windows"] == 1  # only the shared leading span
+    assert out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0  # self-repetition excluded
+    assert out[3]["n_windows"] == 16 - 8 + 1
+    assert out[4]["n_windows"] == 0 and out[4]["dup_span_frac"] == 0.0
+    assert abs(out[1]["dup_span_frac"] - 1 / 6) < 1e-6

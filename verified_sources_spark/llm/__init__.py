@@ -20,6 +20,14 @@ from verified_sources_spark.llm.corpus import (  # noqa: F401
     unigram_rarity,
 )
 from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk  # noqa: F401
+from verified_sources_spark.llm.text_prep import (  # noqa: F401
+    decontaminate,
+    duplicate_spans,
+    hash_sample,
+    pii_scrub,
+    repetition_signals,
+    token_chunks,
+)
 from verified_sources_spark.llm.line_dedup import (  # noqa: F401
     line_dedup,
     rebuild_docs,

@@ -176,6 +176,66 @@ FROM (
     return df.sparkSession.sql(sql, df=df)
 
 
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Cross-document duplicated n-gram spans — the statistics side of
+    substring-level dedup (the ExactSubstr recipe from the published
+    "Deduplicating Training Data Makes Language Models Better"
+    methodology, re-expressed as a corpus statistic rather than a suffix
+    array): every sliding ``window``-token span is hashed, and a span
+    appearing in >= 2 DISTINCT documents marks each of its occurrences
+    as duplicated material.  Within-document repetition is deliberately
+    excluded (that is ``repetition_signals``' job).
+
+    Output per document: ``n_windows`` (total spans), ``n_dup_windows``
+    (spans shared with another doc), ``dup_span_frac`` (their ratio; 0.0
+    for docs too short to window).  Downstream recipes drop or trim docs
+    above a frac threshold.
+
+    Scale shape: spans are md5'd IMMEDIATELY, so the two shuffles carry
+    (hash, doc_id) pairs — never text; both aggregations are map-side
+    partial hash aggs, and the occurrence→span-count join and the
+    span-count groupBy share the same hash key, so the exchange is
+    reused.  A boilerplate span shared by millions of docs is one
+    grouping key with a long count — skew-safe, no pair expansion.
+    """
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(text_col, window), lambda s: F.md5(s))
+        ).alias("_h"),
+    )
+    span_docs = occ.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    per_doc = (
+        occ.join(span_docs, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("_ndocs") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) > 0,
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,

@@ -984,3 +984,24 @@ ORACLE_SQL["curated_corpus_docs"] = rf"""
           FROM kept)
     SELECT doc_id, source, CAST(rn AS BIGINT) AS domain_rank FROM r WHERE rn <= 10
 """
+
+# duplicate_spans: 8-token sliding windows, md5'd; a span in >= 2 distinct
+# docs marks its occurrences duplicated (llm/text_prep.duplicate_spans)
+_SPAN8 = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
+ORACLE_SQL["duplicate_spans_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, md5({_SPAN8}) AS h FROM
+          (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM t)),
+    sd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY h),
+    pd AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+                  SUM(CASE WHEN sd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM w JOIN sd USING (h) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(CASE WHEN COALESCE(pd.n_windows, 0) > 0
+                      THEN COALESCE(pd.n_dup, 0) / CAST(pd.n_windows AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_span_frac
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
