@@ -42,7 +42,7 @@ from verified_sources_spark.llm.minhash import minhash_signatures
 from verified_sources_spark.llm.similarity import (
     _dot,
     _norm,
-    assign_clusters,
+    argmin_cluster,
     train_kmeans,
 )
 from verified_sources_spark.operators.prefix import (
@@ -603,11 +603,7 @@ def semantic_dedup(
     if n_clusters is None:
         n_clusters = max(16, c.count() // max(1, target_cluster_size))
     centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
-    assigned = (
-        assign_clusters(c, "_id", "_v", centroids)
-        .filter(F.col("__rn") == 1)
-        .select("_id", "_v", "cluster")
-    )
+    assigned = argmin_cluster(c, "_id", "_v", centroids)
     if pairs_impl == "gemm":
         pairs = _cluster_pairs_gemm(assigned, threshold)
     elif pairs_impl == "join":

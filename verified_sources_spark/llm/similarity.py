@@ -166,6 +166,39 @@ def assign_clusters(
     return scored.withColumn("__rn", F.row_number().over(w))
 
 
+def argmin_cluster(
+    df: DataFrame, id_name: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid ASSIGNMENT (the ``__rn == 1`` case of
+    ``assign_clusters``) as one hash aggregation instead of a sort-window:
+    ``min(struct(dist, cluster))`` per row id needs no N×K sort shuffle,
+    only a partial-aggregating groupBy — at corpus scale with hundreds of
+    centroids the window's sort dominates assignment, and every Lloyd
+    iteration pays it.  Tie-break matches the window form exactly (lowest
+    distance, then lowest cluster id).  Returns (id, vec, cluster)."""
+    cd = _centroid_df(df.sparkSession, centroids)
+    scored = df.crossJoin(F.broadcast(cd)).withColumn(
+        "__dist",
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        scored.groupBy(id_name)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.min(F.struct("__dist", "cluster")).alias("_m"),
+        )
+        .select(id_name, vec_col, F.col("_m.cluster").alias("cluster"))
+    )
+
+
 def train_kmeans(
     vectors: DataFrame,
     id_name: str,
@@ -183,10 +216,8 @@ def train_kmeans(
     init = vectors.orderBy(id_name).limit(n_centroids).select(vec_col).collect()
     centroids = [list(r[vec_col]) for r in init]
     for _ in range(lloyd_iters):
-        assigned = (
-            assign_clusters(vectors, id_name, vec_col, centroids)
-            .filter(F.col("__rn") == 1)
-            .select(vec_col, "cluster")
+        assigned = argmin_cluster(vectors, id_name, vec_col, centroids).select(
+            vec_col, "cluster"
         )
         new_rows = (
             assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
