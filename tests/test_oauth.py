@@ -260,3 +260,37 @@ def test_grant_validation():
         OAuth2TokenProvider("http://x/token", "cid", grant_type="refresh_token")
     with pytest.raises(ValueError):
         OAuth2TokenProvider("http://x/token", "cid", grant_type="password")
+
+
+def test_end_to_end_extraction_with_midstream_token_expiry(spark):
+    """The Google-family connector shape (reference
+    setup_script_gcp_oauth.py: refresh-token -> access token -> paged
+    API): tokens die every 2 resource calls, pagination needs 3 pages —
+    the middleware refreshes transparently mid-extraction and the full
+    DataFrame lands."""
+    from verified_sources_spark.sources.rest import fetch_to_dataframe
+
+    srv = _OAuthServer()
+    try:
+        calls = {"n": 0}
+        prov = _provider(srv, grant_type="client_credentials")
+
+        class RevokingTransport(HttpTransport):
+            # the server revokes ALL tokens after every 2nd successful
+            # data call — forced mid-pagination expiry
+            def request(self, url, params):
+                body, headers = super().request(url, params)
+                calls["n"] += 1
+                if calls["n"] % 2 == 0:
+                    srv.revoke_all()
+                return body, headers
+
+        client = RestClient(RevokingTransport(auth=prov))
+        ep = RestEndpoint(
+            url=f"{srv.base}/data", paginator=OffsetPaginator(limit=3)
+        )
+        df = fetch_to_dataframe(spark, client, ep, "id long")
+        assert sorted(r["id"] for r in df.collect()) == list(range(7))
+        assert prov.n_token_requests >= 2  # refreshed at least once mid-run
+    finally:
+        srv.close()
