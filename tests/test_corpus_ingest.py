@@ -185,3 +185,21 @@ def test_batch_id_regression_raises(spark, tmp_path):
     # a batch id below the committed high-water mark is a config error
     with pytest.raises(ValueError, match="regressed below"):
         ing.apply_batch(b0, 0)
+
+
+def test_recreated_checkpoint_at_highwater_raises(spark, tmp_path):
+    """batch_id == high-water with DIFFERENT input rows is a recreated
+    checkpoint (ids restarted at 0), not a replay — must raise, not
+    silently swallow the new batch."""
+    import pytest
+
+    ing = _mk(spark, tmp_path)
+    b0 = spark.createDataFrame([(1, GOOD + " token alpha", "s1")], SCHEMA)
+    ing.apply_batch(b0, 0)
+    # genuine replay: identical rows, same id → idempotent skip
+    ing.apply_batch(b0, 0)
+    assert ing.docs_table.read().count() == 1
+    # recreated checkpoint: NEW rows delivered as batch 0 again
+    b_new = spark.createDataFrame([(2, GOOD2 + " token beta", "s1")], SCHEMA)
+    with pytest.raises(ValueError, match="DIFFERENT input rows"):
+        ing.apply_batch(b_new, 0)

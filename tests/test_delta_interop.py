@@ -186,3 +186,61 @@ def test_manifest_export_roundtrip(spark, tmp_path, sink_fs):
     assert _rows(v0.select("day", "k", "v")) == {
         ("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"),
     }
+
+
+def test_time_travel_uses_checkpoint_for_cleaned_up_commits(spark, tmp_path):
+    """Writers clean up JSON commits once a checkpoint covers them; a
+    version=N read must load the checkpoint (≤ N) instead of replaying
+    only the surviving jsons into partial state."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    root = _mk_external_delta(spark, tmp_path)
+    adds, meta = read_delta_log(spark, root)
+    cp_rows = [{"metaData": meta, "add": None, "protocol": None}] + [
+        {"metaData": None, "add": a, "protocol": None} for a in adds
+    ]
+    cp = spark.createDataFrame([json.dumps(r) for r in cp_rows], "string")
+    cp_schema = (
+        "metaData struct<id string, format struct<provider string>, "
+        "schemaString string, partitionColumns array<string>>, "
+        "add struct<path string, partitionValues map<string,string>, size long, "
+        "modificationTime long, dataChange boolean>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int>"
+    )
+    parsed = cp.select(F.from_json(F.col("value"), cp_schema).alias("a")).select("a.*")
+    tmp_cp = str(tmp_path / "cpstage2")
+    parsed.coalesce(1).write.mode("overwrite").parquet(tmp_cp)
+    part = next(f for f in os.listdir(tmp_cp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp_cp, part),
+               os.path.join(root, "_delta_log", f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(cp_rows)}, f)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+
+    # version=1 equals the checkpoint: full state, no jsons needed
+    df = read_delta_table(spark, root, version=1)
+    assert _rows(df.select("k", "v", "day")) == {
+        (2, "b", dt.date(2024, 1, 2)),
+        (3, "c", dt.date(2024, 1, 1)),
+    }
+    # version=0 predates the checkpoint and its commits are gone:
+    # must refuse, never return partial state
+    with pytest.raises((DeltaProtocolError, FileNotFoundError)):
+        read_delta_table(spark, root, version=0)
+
+
+def test_export_null_partition_value_is_json_null(spark, tmp_path, sink_fs):
+    """A null partition value must export as JSON null in partitionValues,
+    not the hive sentinel string."""
+    t = ManifestTable(spark, str(tmp_path / "np"), partition_by=["p"], fs=sink_fs)
+    t.append(spark.createDataFrame([(None, 1), ("x", 2)], "p string, k long"))
+    export_manifest_as_delta(t)
+    adds, _ = read_delta_log(spark, t.path)
+    vals = {a["partitionValues"]["p"] for a in adds}
+    assert None in vals and "x" in vals
+    assert "__HIVE_DEFAULT_PARTITION__" not in vals
+    df = read_delta_table(spark, t.path)
+    assert _rows(df.select("k", "p")) == {(1, None), (2, "x")}

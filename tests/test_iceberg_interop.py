@@ -272,3 +272,127 @@ def test_export_refuses_unexportable_partition_type(spark, tmp_path):
     ))
     with pytest.raises(IcebergProtocolError, match="not exportable"):
         export_manifest_as_iceberg(t)
+
+
+def test_metadata_resolution_is_numeric_not_lexicographic(tmp_path, spark):
+    """v10 must beat v9 when no version-hint exists (lexicographic sort
+    picks v9)."""
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_metadata
+
+    md = tmp_path / "tbl" / "metadata"
+    md.mkdir(parents=True)
+    for v in (9, 10):
+        (md / f"v{v}.metadata.json").write_text(json.dumps({"marker": v}))
+    meta = read_iceberg_metadata(spark, str(tmp_path / "tbl"))
+    assert meta["marker"] == 10
+
+
+def test_partition_fill_value_converts_physical_forms():
+    """Iceberg manifests carry date partitions as int day-ordinals and
+    timestamps as long micros; a raw cast crashes (int→date) or
+    mis-scales (long cast as seconds)."""
+    import datetime as dt
+    import decimal
+
+    import pyspark.sql.types as T
+
+    from verified_sources_spark.operators.iceberg_interop import _partition_fill_value
+
+    assert _partition_fill_value(19723, T.DateType()) == dt.date(1970, 1, 1) + dt.timedelta(days=19723)
+    ts = _partition_fill_value(1_700_000_000_000_000, T.TimestampType())
+    assert ts == dt.datetime(2023, 11, 14, 22, 13, 20, tzinfo=dt.timezone.utc)
+    ntz = _partition_fill_value(86_400_000_000, T.TimestampNTZType())
+    assert ntz == dt.datetime(1970, 1, 2)
+    dec = _partition_fill_value((1234).to_bytes(3, "big", signed=True), T.DecimalType(10, 2))
+    assert dec == decimal.Decimal("12.34")
+    assert _partition_fill_value(None, T.DateType()) is None
+    assert _partition_fill_value("x", T.StringType()) == "x"
+
+
+def test_read_external_date_partitioned_table(spark, tmp_path):
+    """End-to-end: an external Iceberg table identity-partitioned on a
+    DATE column whose data files omit the column (Hive-migration layout,
+    partition value stored as an int day-ordinal) must read back with the
+    date reconstructed — this crashed at plan time before the typed fill."""
+    import datetime as dt
+
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+
+    root = tmp_path / "ext_date"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    # data file WITHOUT the partition column
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(root / "stage"))
+    part = next(p for p in (root / "stage").iterdir() if p.name.endswith(".parquet"))
+    part.replace(root / "data" / "f1.parquet")
+
+    day_ord = (dt.date(2024, 1, 15) - dt.date(1970, 1, 1)).days
+    part_schema = {"type": "record", "name": "r102", "fields": [
+        {"name": "day", "type": ["null", "int"], "default": None, "field-id": 1000}]}
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "type": part_schema, "field-id": 102},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            ]}, "field-id": 2},
+        ]}
+    manifest = write_container(entry_schema, [{
+        "status": 1,
+        "data_file": {"file_path": f"{root}/data/f1.parquet", "file_format": "PARQUET",
+                      "partition": {"day": day_ord}, "record_count": 2,
+                      "file_size_in_bytes": 1}}])
+    (root / "metadata" / "m1.avro").write_bytes(manifest)
+    mlist = write_container(
+        {"type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501}]},
+        [{"manifest_path": f"{root}/metadata/m1.avro", "manifest_length": len(manifest)}])
+    (root / "metadata" / "snap-1.avro").write_bytes(mlist)
+    meta = {
+        "format-version": 1, "location": str(root),
+        "schema": {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+            {"id": 3, "name": "day", "required": False, "type": "date"}]},
+        "partition-spec": [{"name": "day", "transform": "identity",
+                            "source-id": 3, "field-id": 1000}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    df = read_iceberg_table(spark, str(root))
+    assert _rows(df) == {(1, "a", __import__("datetime").date(2024, 1, 15)),
+                         (2, "b", __import__("datetime").date(2024, 1, 15))}
+
+
+def test_export_manifests_carry_spec_metadata(spark, tmp_path):
+    """Iceberg runtimes read the table schema / partition spec from the
+    manifest's Avro FILE METADATA, not the table JSON — the export must
+    stamp the spec-required keys."""
+    from verified_sources_spark.operators.avro_codec import read_container_full
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_metadata
+
+    t = ManifestTable(spark, str(tmp_path / "m"), partition_by=["p"])
+    t.append(spark.createDataFrame([("x", 1)], "p string, k long"))
+    export_manifest_as_iceberg(t)
+    meta = read_iceberg_metadata(spark, t.path)
+    snap = meta["snapshots"][-1]
+    _, mlist_entries, mlist_meta = read_container_full(
+        t.fs.read_bytes(snap["manifest-list"]))
+    assert mlist_meta.get("format-version") == b"1"
+    _, _, man_meta = read_container_full(
+        t.fs.read_bytes(mlist_entries[0]["manifest_path"]))
+    assert json.loads(man_meta["schema"])["type"] == "struct"
+    spec = json.loads(man_meta["partition-spec"])
+    assert spec[0]["name"] == "p" and spec[0]["transform"] == "identity"
+    assert man_meta["partition-spec-id"] == b"0"
+    assert man_meta["format-version"] == b"1"
+    assert man_meta["content"] == b"data"

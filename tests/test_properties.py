@@ -195,3 +195,25 @@ def test_pack_manifest_offsets_are_a_valid_packing(spark, toks, seq_len):
         end = start + n - 1 if n > 0 else start
         assert last == end // seq_len
     assert run == sum(toks)
+
+
+def test_make_sf_mutation_perms_are_distinct():
+    """The old Caesar rotation aliased copies ((7*i)%26 repeats, 'or 1'
+    folds rot-0 onto rot-1), making whole copies exact duplicates; the
+    Fisher-Yates permutation must be identity-free and pairwise distinct
+    across any realistic copy count."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_sf", os.path.join(os.path.dirname(__file__), "..", "tools", "make_sf.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    perms = [mod._mutation_perm(i)[1] for i in range(1, 65)]
+    assert len(set(perms)) == len(perms)
+    import string
+    assert string.ascii_lowercase not in perms
+    # the specific aliases the review caught
+    assert mod._mutation_perm(15)[1] != mod._mutation_perm(26)[1]
+    assert mod._mutation_perm(1)[1] != mod._mutation_perm(27)[1]

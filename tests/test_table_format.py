@@ -395,15 +395,22 @@ def _race_two_appends(spark, tmp_path, sink_fs, make_backend):
     held open; returns (n_conflicts, final_table)."""
     import threading
 
-    barrier = threading.Barrier(2, timeout=30)
+    barrier = threading.Barrier(2, timeout=60)
+    calls, calls_lock = [0], threading.Lock()
 
     def hold():
-        # only the first, racing attempt per writer holds; retries after a
-        # conflict run solo and must not wait for a second party
-        try:
-            barrier.wait(timeout=5)
-        except threading.BrokenBarrierError:
-            pass
+        # only the first, racing attempt per writer holds (calls 1 and 2 —
+        # the Spark write before each put can be slow under load, so the
+        # window must WAIT for both parties, not time out and serialize the
+        # race); retries after a conflict run solo and skip the barrier
+        with calls_lock:
+            calls[0] += 1
+            nth = calls[0]
+        if nth <= 2:
+            try:
+                barrier.wait(timeout=60)
+            except threading.BrokenBarrierError:
+                pass
 
     store = _SimulatedObjectStore(hold=hold)
     backend = make_backend(store)

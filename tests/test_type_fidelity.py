@@ -224,3 +224,20 @@ def test_bson_arrow_column_coercions(spark):
     assert kinds["ts"] == "timestamp"
     row = df.orderBy("n").first()
     assert row["_id"] == "000102030405060708090a0b"
+
+
+def test_bson_timestamp_name_collision_with_pandas():
+    """pandas.Timestamp shares bson.Timestamp's type NAME but not its
+    API; the name-based dispatch must fall through to the datetime branch
+    instead of calling .as_datetime()."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from verified_sources_spark.sources.bson_coerce import convert_bson_value
+
+    out = convert_bson_value(pd.Timestamp("2024-03-01 12:00:00"))
+    assert out.tzinfo == dt.timezone.utc
+    assert out.year == 2024 and out.hour == 12
+    aware = convert_bson_value(pd.Timestamp("2024-03-01 12:00:00+02:00"))
+    assert aware.hour == 10 and aware.tzinfo == dt.timezone.utc

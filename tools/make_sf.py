@@ -51,13 +51,32 @@ LETTERS = string.ascii_lowercase
 
 
 def _mutation_perm(i: int) -> tuple[str, str]:
-    """Per-copy character substitution: rotate the lowercase alphabet by a
-    copy-specific stride. Length- and token-structure-preserving, but the
-    shingle/minhash space of copy i is disjoint from copy j — duplicate
-    structure WITHIN a copy is preserved exactly, none is added ACROSS
-    copies (matching how a real corpus grows)."""
-    rot = (7 * i) % 26 or 1
-    return LETTERS, LETTERS[rot:] + LETTERS[:rot]
+    """Per-copy character substitution: a deterministic Fisher-Yates
+    permutation of the lowercase alphabet keyed on the copy index.
+    Length- and token-structure-preserving; duplicate structure WITHIN a
+    copy is preserved exactly, and across copies the substituted texts
+    differ (26! permutation space — the old Caesar rotation had only 25
+    distinct values and ``(7*i)%26`` aliased copies 15/26 etc., making
+    whole copies exact duplicates, the blow-up this tool exists to avoid)."""
+    mask = (1 << 64) - 1
+    state = (i * 0x9E3779B97F4A7C15) & mask
+
+    def rnd(n: int) -> int:  # splitmix64 stream
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & mask
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return (z ^ (z >> 31)) % n
+
+    letters = list(LETTERS)
+    for j in range(len(letters) - 1, 0, -1):
+        k = rnd(j + 1)
+        letters[j], letters[k] = letters[k], letters[j]
+    out = "".join(letters)
+    if out == LETTERS:  # identity would re-create an exact copy
+        out = LETTERS[1:] + LETTERS[:1]
+    return LETTERS, out
 
 
 def scale_table(spark, src: str, name: str, n_copies: int, spans: dict[str, int]) -> DataFrame:

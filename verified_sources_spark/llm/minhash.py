@@ -188,11 +188,10 @@ def lsh_candidate_pairs(
       executor loss via lineage (Spark's own docs flag localCheckpoint
       blocks as NOT recoverable), and measures fastest of the
       materialized modes locally (no separate block-write job).  The
-      cache entry lives until ``session.catalog.clearCache()`` /
-      session end — a long-lived driver invoking this thousands of
-      times should clear the cache between corpora or use
-      ``"localCheckpoint"``, whose blocks self-clean when the plan is
-      garbage-collected.
+      returned DataFrame carries a ``release_candidate_cut()`` hook that
+      unpersists the cut — call it once the pairs are materialized
+      (``near_dedup_docs`` does); a long-lived driver that skips it
+      accumulates one cache entry per invocation until session end.
     - ``"localCheckpoint"`` — lazy, self-cleaning, but blocks are lost
       with their executor.
     - ``None`` — no materialization; only sane for interactive runs on
@@ -297,7 +296,15 @@ SELECT DISTINCT id_a, id_b FROM (
   UNION ALL SELECT id_a, id_b FROM sub_star
 )
 """
-    return df.sparkSession.sql(sql_pairs, l1=l1)
+    pairs = df.sparkSession.sql(sql_pairs, l1=l1)
+    # Consumers that fully materialize the pairs (near_dedup's eager
+    # connected-components checkpoint, a sink write) should release the
+    # persisted cut afterwards — a long-lived driver calling this per
+    # corpus/batch otherwise accumulates one cache entry per call.
+    pairs.release_candidate_cut = (
+        l1.unpersist if materialize == "persist" else (lambda: None)
+    )
+    return pairs
 
 
 def ngram_jaccard(
@@ -339,4 +346,8 @@ def ngram_jaccard(
         "id_b",
         (F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    out = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # propagate the cache-release hook so callers of the verified form can
+    # still free the LSH cut after materializing
+    out.release_candidate_cut = getattr(pairs, "release_candidate_cut", lambda: None)
+    return out

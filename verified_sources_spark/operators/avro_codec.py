@@ -170,6 +170,13 @@ class _Reader:
 
 def read_container(data: bytes) -> tuple[Any, list[Any]]:
     """Parse an Object Container File → (writer schema, list of records)."""
+    schema, records, _meta = read_container_full(data)
+    return schema, records
+
+
+def read_container_full(data: bytes) -> tuple[Any, list[Any], dict[str, bytes]]:
+    """Like ``read_container`` but also returns the raw file-metadata map
+    (spec consumers — e.g. Iceberg manifest readers — key off it)."""
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise AvroError("not an avro object container file (bad magic)")
@@ -196,7 +203,7 @@ def read_container(data: bytes) -> tuple[Any, list[Any]]:
             records.append(br.decode(schema, names))
         if r.read(16) != sync:
             raise AvroError("sync marker mismatch (corrupt container)")
-    return schema, records
+    return schema, records, meta
 
 
 # ----------------------------------------------------------------- encoding
@@ -310,9 +317,15 @@ def write_container(
     records: list[Any],
     codec: str = "deflate",
     sync: bytes = b"verified-sources",  # deterministic 16-byte marker
+    metadata: dict[str, bytes | str] | None = None,
 ) -> bytes:
     """Serialize records into an Object Container File (one data block —
-    these are metadata files, not data files)."""
+    these are metadata files, not data files).
+
+    ``metadata`` adds extra file-metadata entries (consumers like Iceberg
+    require spec keys — e.g. ``schema`` / ``partition-spec`` on manifest
+    files — in the container's key-value metadata, not just the records).
+    Keys must not start with ``avro.`` (reserved by the Avro spec)."""
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported avro codec: {codec}")
     if len(sync) != 16:
@@ -332,6 +345,10 @@ def write_container(
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
     }
+    for k, v in (metadata or {}).items():
+        if k.startswith("avro."):
+            raise AvroError(f"metadata key {k!r} is reserved (avro.*)")
+        meta[k] = v.encode("utf-8") if isinstance(v, str) else bytes(v)
     out.encode({"type": "map", "values": "bytes"}, meta, {})
     out.write(sync)
     out.long(len(records))

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from verified_sources_spark.operators.fs import FS, HadoopFS
 
 _LOG_DIR = "_delta_log"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # Reader-version-2 tables (column mapping) change how file columns map to
 # schema names; v3 adds deletion vectors.  Both silently corrupt a naive
 # read, so refuse anything above plain v1 semantics.
@@ -83,16 +84,20 @@ class _Snapshot:
 
 
 def _read_checkpoint(
-    spark: SparkSession, fs: FS, table_path: str, snap: _Snapshot
+    spark: SparkSession, fs: FS, table_path: str, snap: _Snapshot,
+    max_version: int | None = None,
 ) -> int | None:
     """Load ``_last_checkpoint`` state into *snap*; returns the checkpoint
     version or None.  Checkpoints are parquet (Spark-read, distributed),
-    single or multi-part."""
+    single or multi-part.  ``max_version`` skips a checkpoint newer than a
+    time-travel target (full state can't be rolled back)."""
     lc_path = f"{table_path}/{_LOG_DIR}/_last_checkpoint"
     if not fs.exists(lc_path):
         return None
     lc = json.loads(fs.read_text(lc_path))
     v, parts = int(lc["version"]), lc.get("parts")
+    if max_version is not None and v > max_version:
+        return None
     if parts:
         files = [
             f"{table_path}/{_LOG_DIR}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
@@ -123,20 +128,40 @@ def read_delta_log(
     path = path.rstrip("/")
     versions = _list_log_versions(fs, path)
     snap = _Snapshot()
-    cp_version = None
-    if version is None:
-        cp_version = _read_checkpoint(spark, fs, path, snap)
+    # The checkpoint is needed for time travel too: writers clean up JSON
+    # commits older than the retention window once a checkpoint exists, so
+    # replaying "surviving jsons ≤ version" alone reconstructs PARTIAL
+    # state.  Use the checkpoint whenever it is at-or-before the target;
+    # a checkpoint NEWER than the target can't serve it (checkpoints are
+    # full state, not invertible) — then the early commits must still
+    # exist on disk or the travel is impossible.
+    cp_version = _read_checkpoint(
+        spark, fs, path, snap, max_version=version
+    )
     if not versions and cp_version is None:
         raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
     target = version if version is not None else (versions[-1] if versions else cp_version)
+    replay_floor = cp_version if cp_version is not None else -1
+    expected = replay_floor + 1
     for v in versions:
-        if cp_version is not None and v <= cp_version:
+        if v <= replay_floor:
             continue
         if v > target:
             break
+        if v != expected:
+            raise DeltaProtocolError(
+                f"cannot reconstruct version {target}: commits "
+                f"{expected}..{v - 1} are missing from {path}/{_LOG_DIR} "
+                "(cleaned up past the checkpoint?)"
+            )
+        expected = v + 1
         for line in fs.read_text(_log_path(path, v)).splitlines():
             if line.strip():
                 snap.apply(json.loads(line))
+    if expected <= target:
+        raise DeltaProtocolError(
+            f"cannot reconstruct version {target}: log ends at {expected - 1}"
+        )
     if snap.meta is None:
         raise DeltaProtocolError(f"no metaData action found in {path}/{_LOG_DIR}")
     return list(snap.adds.values()), snap.meta
@@ -219,7 +244,14 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
         rel = quote(e["path"], safe="/-_.~=")
         current[rel] = {
             "path": rel,
-            "partitionValues": {k: str(v) for k, v in (e.get("partition") or {}).items()},
+            # ManifestTable stores null partition values as the hive
+            # sentinel dir name; Delta represents them as JSON null —
+            # exporting the sentinel verbatim would materialize the
+            # 26-char string as data in external readers.
+            "partitionValues": {
+                k: (None if v is None or str(v) == _HIVE_NULL else str(v))
+                for k, v in (e.get("partition") or {}).items()
+            },
             "size": int(e.get("bytes") or 0),
             "modificationTime": now_ms,
             "dataChange": True,

@@ -39,6 +39,8 @@ Iceberg runtime.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import posixpath
 import uuid
@@ -205,11 +207,31 @@ def read_iceberg_metadata(
     if name is None:
         if not fs.isdir(md):
             raise FileNotFoundError(f"no Iceberg metadata dir at {md}")
-        cands = sorted(n for n in fs.listdir(md) if n.endswith(".metadata.json"))
+        cands = [n for n in fs.listdir(md) if n.endswith(".metadata.json")]
         if not cands:
             raise FileNotFoundError(f"no *.metadata.json under {md}")
-        name = cands[-1]  # names sort by version in both naming schemes
+        # Pick by NUMERIC version, not lexicographic: 'v10' must beat 'v9'
+        # (the HadoopCatalog vN scheme is unpadded; only the '00010-uuid'
+        # scheme happens to sort as text).
+        name = max(cands, key=lambda n: (_metadata_version(n), n))
     return json.loads(fs.read_text(f"{md}/{name}"))
+
+
+def _metadata_version(name: str) -> int:
+    """Leading version number of a metadata file name; -1 if none.
+
+    Handles both public naming schemes: ``v3.metadata.json`` and
+    ``00010-<uuid>.metadata.json``."""
+    stem = name[: -len(".metadata.json")]
+    if stem.startswith("v"):
+        stem = stem[1:]
+    digits = ""
+    for ch in stem:
+        if ch.isdigit():
+            digits += ch
+        else:
+            break
+    return int(digits) if digits else -1
 
 
 def _current_schema(meta: dict) -> dict:
@@ -336,7 +358,13 @@ def read_iceberg_table(
         for name, raw in key:
             if name in types:
                 df = df.withColumn(
-                    name, F.coalesce(F.col(name), F.lit(raw).cast(types[name]))
+                    name,
+                    F.coalesce(
+                        F.col(name),
+                        F.lit(_partition_fill_value(raw, types[name])).cast(
+                            types[name]
+                        ),
+                    ),
                 )
         parts_out.append(df.select([f.name for f in schema.fields]))
     out = parts_out[0]
@@ -347,6 +375,32 @@ def read_iceberg_table(
 
 def _read_bytes(fs: FS, path: str) -> bytes:
     return fs.read_bytes(path)
+
+
+def _partition_fill_value(raw, dt: T.DataType):
+    """Manifest partition value → a Python value ``F.lit`` can carry for
+    the target Spark type.
+
+    Iceberg manifests store identity-partition values in their Avro
+    physical form (spec Appendix D): ``date`` as int days since epoch,
+    ``timestamp``/``timestamptz`` as long micros since epoch, decimals as
+    big-endian unscaled bytes — casting the raw int/long/bytes directly
+    would fail analysis (int→date) or silently mis-scale (long cast as
+    SECONDS to timestamp)."""
+    if raw is None:
+        return None
+    if isinstance(dt, T.DateType) and isinstance(raw, int):
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=raw)
+    if isinstance(dt, T.TimestampType) and isinstance(raw, int):
+        return datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(microseconds=raw)
+    if isinstance(dt, T.TimestampNTZType) and isinstance(raw, int):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=raw)
+    if isinstance(dt, T.DecimalType) and isinstance(raw, (bytes, bytearray)):
+        unscaled = int.from_bytes(bytes(raw), "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-dt.scale)
+    return raw
 
 
 # ------------------------------------------------------------ export path
@@ -484,8 +538,32 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
                 },
             }
         )
+    ice_schema_json = json.dumps(ice_schema, separators=(",", ":"))
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, (c, _t) in enumerate(part_fields)
+    ]
     manifest_rel = f"metadata/manifest-{next_v}.avro"
-    manifest_bytes = write_container(_manifest_entry_schema(part_avro), entries)
+    # The Iceberg spec requires these keys in the manifest's Avro
+    # file-metadata — runtimes' ManifestReaders key off them, not the
+    # table metadata JSON.
+    manifest_bytes = write_container(
+        _manifest_entry_schema(part_avro),
+        entries,
+        metadata={
+            "schema": ice_schema_json,
+            "schema-id": "0",
+            "partition-spec": json.dumps(spec_fields, separators=(",", ":")),
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
     fs.write_bytes(f"{root}/{manifest_rel}", manifest_bytes)
 
     mlist_rel = f"metadata/snap-{snapshot_id}-manifest-list.avro"
@@ -502,6 +580,10 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
                 "deleted_data_files_count": 0,
             }
         ],
+        metadata={
+            "format-version": "1",
+            "snapshot-id": str(snapshot_id),
+        },
     )
     fs.write_bytes(f"{root}/{mlist_rel}", mlist_bytes)
 
@@ -509,15 +591,6 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     if existing:
         prev = json.loads(fs.read_text(f"{md}/v{existing[-1]}.metadata.json"))
         prev_snapshots = prev.get("snapshots", [])
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": by_name[c]["id"],
-            "field-id": 1000 + i,
-        }
-        for i, (c, _t) in enumerate(part_fields)
-    ]
     meta = {
         "format-version": 1,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),

@@ -244,7 +244,7 @@ class ManifestTable:
         self,
         entries: list[dict],
         schema_json: str | None = None,
-        stream: tuple[str, int] | None = None,
+        stream: tuple | None = None,
     ) -> int:
         """Atomically create the next manifest version (exclusive create —
         a racing writer raises CommitConflict instead of clobbering).
@@ -260,11 +260,18 @@ class ManifestTable:
         (sources/pg_replication/__init__.py:77-80) applied to the sink side."""
         self.fs.makedirs(self._manifests)
         v = (self.latest_version() or 0) + 1
-        streams: dict[str, int] = {}
+        streams: dict = {}
         if v > 1:
             streams = dict(self._manifest(v - 1).get("streams") or {})
         if stream is not None:
-            streams[stream[0]] = int(stream[1])
+            # 2-tuple: plain batch id.  3-tuple: (stream_id, batch_id,
+            # token) — the token (an input digest) lets a caller tell a
+            # genuine same-id replay from a recreated checkpoint whose
+            # ids restarted (see CorpusIngest.apply_batch).
+            if len(stream) >= 3 and stream[2] is not None:
+                streams[stream[0]] = {"batch": int(stream[1]), "token": str(stream[2])}
+            else:
+                streams[stream[0]] = int(stream[1])
         manifest = {
             "version": v,
             "partition_by": self.partition_by,
@@ -282,11 +289,22 @@ class ManifestTable:
 
     def last_batch_id(self, stream_id: str) -> int | None:
         """Highest micro-batch id committed for *stream_id*, or None."""
+        got = self._stream_entry(stream_id)
+        if got is None:
+            return None
+        return int(got["batch"]) if isinstance(got, dict) else int(got)
+
+    def last_batch_token(self, stream_id: str) -> str | None:
+        """Input-digest token recorded with the last batch commit for
+        *stream_id* (None for pre-token commits)."""
+        got = self._stream_entry(stream_id)
+        return got.get("token") if isinstance(got, dict) else None
+
+    def _stream_entry(self, stream_id: str):
         v = self.latest_version()
         if v is None:
             return None
-        got = (self._manifest(v).get("streams") or {}).get(stream_id)
-        return None if got is None else int(got)
+        return (self._manifest(v).get("streams") or {}).get(stream_id)
 
     # ------------------------------------------------------------ data files
     def _write_files(self, df: DataFrame) -> list[dict]:
@@ -424,11 +442,11 @@ class ManifestTable:
         return df
 
     # --------------------------------------------------------------- writes
-    def append(self, df: DataFrame, stream: tuple[str, int] | None = None) -> int:
+    def append(self, df: DataFrame, stream: tuple | None = None) -> int:
         prev = self._manifest(self.latest_version())["files"] if self.exists() else []
         return self._commit(prev + self._write_files(df), df.schema.json(), stream=stream)
 
-    def replace(self, df: DataFrame, stream: tuple[str, int] | None = None) -> int:
+    def replace(self, df: DataFrame, stream: tuple | None = None) -> int:
         return self._commit(self._write_files(df), df.schema.json(), stream=stream)
 
     def merge(
@@ -437,7 +455,7 @@ class ManifestTable:
         keys: Sequence[str],
         dedup_sort: Sequence[str] | None = None,
         hard_delete_col: str | None = None,
-        stream: tuple[str, int] | None = None,
+        stream: tuple | None = None,
     ) -> int:
         """Keyed upsert as a manifest swap: touched partitions' files are
         replaced by newly-written merged files; untouched entries carry

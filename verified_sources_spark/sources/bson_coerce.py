@@ -40,7 +40,9 @@ def convert_bson_value(value):
         return str(value)
     if name == "Regex":
         return value.try_compile().pattern
-    if name == "Timestamp":
+    if name == "Timestamp" and hasattr(value, "as_datetime"):
+        # attribute-guarded: pandas.Timestamp shares the NAME but is a
+        # datetime subclass — the isinstance branch below coerces it
         return _as_utc(value.as_datetime())
     if isinstance(value, _dt.datetime):
         return _as_utc(value)

@@ -215,6 +215,17 @@ class CorpusIngest:
     # recover EXACTLY which rows a (stream, batch) commit accepted
     _STREAM_COL, _BATCH_COL = "_ingest_stream", "_ingest_batch"
 
+    def _input_token(self, batch_df: DataFrame) -> str:
+        """Order-independent digest of the INPUT batch (count + xor of row
+        hashes).  Committed alongside the batch id so a same-id delivery
+        can be classified: equal token ⇒ genuine replay, different token ⇒
+        the checkpoint dir was recreated and ids restarted."""
+        h = F.xxhash64(*[F.col(c).cast("string") for c in batch_df.columns])
+        row = batch_df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+        ).first()
+        return f"{row['n']}:{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Idempotent two-commit apply — see module docstring for the
         crash/replay contract."""
@@ -234,7 +245,23 @@ class CorpusIngest:
                     f"stream_id={self.stream_id!r}: a new checkpointLocation "
                     "requires a new stream_id (see run() docstring)"
                 )
+            # batch_id EQUALS the high-water mark: either the genuine
+            # last-batch replay (same data — skip) or a recreated
+            # checkpoint whose ids restarted exactly at the mark (new
+            # data — raising is the only safe move).  The committed input
+            # token disambiguates; without one (legacy commit) assume
+            # replay, as before.
+            committed_tok = self.docs_table.last_batch_token(self.stream_id)
+            if committed_tok is not None and self._input_token(batch_df) != committed_tok:
+                raise ValueError(
+                    f"batch_id {batch_id} equals the committed high-water "
+                    f"mark for stream_id={self.stream_id!r} but carries "
+                    "DIFFERENT input rows: the checkpoint dir was recreated "
+                    "— a new checkpointLocation requires a new stream_id "
+                    "(see run() docstring)"
+                )
             return  # fully committed already (idempotent last-batch replay)
+        token = self._input_token(batch_df)
         if docs_last is None or batch_id > docs_last:
             # Materialize ONCE: both commits below must describe the same
             # accepted set; without the checkpoint each sink write would
@@ -243,7 +270,7 @@ class CorpusIngest:
             tagged = acc.withColumn(self._STREAM_COL, F.lit(self.stream_id)).withColumn(
                 self._BATCH_COL, F.lit(int(batch_id))
             )
-            self.docs_table.append(tagged, stream=(self.stream_id, batch_id))
+            self.docs_table.append(tagged, stream=(self.stream_id, batch_id, token))
             fp_src = acc
         else:
             # docs committed, fingerprints missing (crash between the two
@@ -262,7 +289,7 @@ class CorpusIngest:
                 fp_src = self.accepted(batch_df)
         if fp_last is None or batch_id > fp_last:
             self.fp_table.append(
-                self._fingerprints(fp_src), stream=(self.stream_id, batch_id)
+                self._fingerprints(fp_src), stream=(self.stream_id, batch_id, token)
             )
 
     def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
