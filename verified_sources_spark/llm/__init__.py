@@ -20,6 +20,23 @@ from verified_sources_spark.llm.corpus import (  # noqa: F401
     unigram_rarity,
 )
 from verified_sources_spark.llm.similarity import cosine_topk, lsh_bucketed_topk  # noqa: F401
+from verified_sources_spark.llm.splits import (  # noqa: F401
+    leakage_safe_split,
+    md5_bucket,
+    shuffled_shards,
+)
+from verified_sources_spark.llm.bpe import (  # noqa: F401
+    apply_bpe,
+    decode_bpe,
+    train_bpe,
+    word_frequencies,
+)
+from verified_sources_spark.llm.quality_model import (  # noqa: F401
+    quality_filter_learned,
+    score_quality,
+    train_quality_classifier,
+    weak_labels,
+)
 from verified_sources_spark.llm.text_prep import (  # noqa: F401
     decontaminate,
     duplicate_spans,

@@ -1005,3 +1005,52 @@ ORACLE_SQL["duplicate_spans_docs"] = f"""
                       ELSE 0.0 END, 6) AS dup_span_frac
     FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
+
+# leakage_safe_split: the near_dedup component chain (LSH bands →
+# Jaccard-verified pairs → recursive-CTE connected components), then an
+# md5-bucket split on the COMPONENT (llm/splits.leakage_safe_split;
+# eval_frac 0.2 → cut 0x33 = round(256*0.2))
+ORACLE_SQL["leakage_safe_split_docs"] = f"""
+    {_SIG_CTE.replace("WITH sig", "WITH RECURSIVE sig", 1)}, {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct({_SHINGLES.replace('toks', 'toks2')}) AS sh
+             FROM (SELECT doc_id, {_TOKS} AS toks2 FROM documents)),
+    verified AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sets sa ON sa.doc_id = id_a
+      JOIN sets sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION SELECT id_b AS src, id_a AS dst FROM verified),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, CAST(component AS BIGINT) AS component,
+           CASE WHEN substr(md5(CAST(component AS VARCHAR) || '|split'), 1, 2) < '33'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM labeled
+"""
+
+# shuffled_shards: md5(id|salt) first 8 hex chars as the portable hash
+# key; shard = key mod 8, pos = rank by (key, id) within the shard
+# (llm/splits.shuffled_shards)
+ORACLE_SQL["shuffled_shards_docs"] = """
+    WITH k AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuffle'), 1, 8))
+                  AS UBIGINT) AS key
+      FROM documents)
+    SELECT doc_id,
+           CAST(key % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INT) AS pos
+    FROM k
+"""

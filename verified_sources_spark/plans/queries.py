@@ -578,6 +578,26 @@ def near_dedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/eval split (llm/splits.py): near-dup connected
+    components move as one unit, split decided by an md5 bucket of the
+    component — no near-dup pair ever straddles the split."""
+    from verified_sources_spark.llm.splits import leakage_safe_split
+
+    d = _docs_parallel(spark, sf_dir)
+    return leakage_safe_split(d, "doc_id", "text", eval_frac=0.2, threshold=0.5)
+
+
+def shuffled_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 8 training shards
+    (llm/splits.py): shard + intra-shard position from md5(id|salt),
+    reproducible on any engine — no RNG, no ORDER BY rand()."""
+    from verified_sources_spark.llm.splits import shuffled_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffled_shards(d, "doc_id", n_shards=8)
+
+
 def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 8-token spans (llm/text_prep.py
     duplicate_spans): per-doc span counts + duplicated-span fraction —
@@ -1343,4 +1363,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "simhash_dedup_groups_docs": simhash_dedup_groups_docs,
     "duplicate_spans_docs": duplicate_spans_docs,
+    "leakage_safe_split_docs": leakage_safe_split_docs,
+    "shuffled_shards_docs": shuffled_shards_docs,
 }
