@@ -124,3 +124,21 @@ def test_ntile_quartiles_parallel_plan(spark):
     plan = _plan(spark, "ntile_customer_quartiles")
     assert "Exchange SinglePartition" not in plan
     assert "ntile" not in plan  # derived from the rank expression, not a window
+
+
+def test_shuffled_shards_no_global_sort(spark):
+    """The corpus shuffle must never funnel into a single-task total
+    order: the per-shard rank window partitions by shard, so no
+    SinglePartition exchange appears in the plan."""
+    plan = _plan(spark, "shuffled_shards_docs")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_leakage_split_reuses_banded_pipeline(spark):
+    """The split's candidate stage is the capped LSH pipeline — no
+    all-pairs: the plan must contain no cartesian product and no
+    single-partition exchange."""
+    plan = _plan(spark, "leakage_safe_split_docs")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
