@@ -99,15 +99,104 @@ def test_read_external_delta_with_removes_and_partitions(spark, tmp_path):
 
 
 def test_reader_refuses_advanced_reader_features(spark, tmp_path):
+    meta = {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                         "schemaString": json.dumps({"type": "struct", "fields": []}),
+                         "partitionColumns": [], "configuration": {}}}
+    # v3 without readerFeatures is spec-malformed: refuse, don't guess
     root = str(tmp_path / "adv")
     _write_commit(root, 0, [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
-        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
-                      "schemaString": json.dumps({"type": "struct", "fields": []}),
-                      "partitionColumns": [], "configuration": {}}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}, meta,
     ])
     with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
         read_delta_log(spark, root)
+    # v3 with a feature this reader does not implement
+    root2 = str(tmp_path / "adv2")
+    _write_commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}}, meta,
+    ])
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_delta_log(spark, root2)
+
+
+def _cm_schema():
+    """Column-mapping 'name'-mode schema: logical names k/v/tags/day map
+    to uuid-ish physical names, incl. a NESTED struct field."""
+    phys = lambda p, i: {"delta.columnMapping.physicalName": p,
+                         "delta.columnMapping.id": i}
+    return {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": phys("col-aaa", 1)},
+            {"name": "v", "type": "string", "nullable": True, "metadata": phys("col-bbb", 2)},
+            {"name": "tags", "nullable": True, "metadata": phys("col-ccc", 3),
+             "type": {"type": "struct", "fields": [
+                 {"name": "lang", "type": "string", "nullable": True,
+                  "metadata": phys("col-ddd", 4)}]}},
+            {"name": "day", "type": "string", "nullable": True, "metadata": phys("col-eee", 5)},
+        ],
+    }
+
+
+def test_read_column_mapping_name_mode(spark, tmp_path):
+    """minReaderVersion-2 table in column-mapping 'name' mode: data files
+    carry PHYSICAL column names (top-level and nested) and partitionValues
+    keys are physical too — the read must surface logical names/values."""
+    root = str(tmp_path / "cm")
+    os.makedirs(os.path.join(root, "d"))
+    stage = str(tmp_path / "cm_stage")
+    spark.createDataFrame(
+        [(1, "a", ("en",)), (2, "b", ("fr",))],
+        "`col-aaa` long, `col-bbb` string, `col-ccc` struct<`col-ddd`: string>",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), os.path.join(root, "d", "f1.parquet"))
+
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cm", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(_cm_schema()),
+                      "partitionColumns": ["day"],
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "d/f1.parquet",
+                 "partitionValues": {"col-eee": "2024-06-01"},  # physical key
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta_table(spark, root)
+    assert df.columns == ["k", "v", "tags", "day"]
+    assert df.schema["tags"].dataType.fieldNames() == ["lang"]
+    got = {(r.k, r.v, r.tags.lang, r.day) for r in df.collect()}
+    assert got == {(1, "a", "en", "2024-06-01"), (2, "b", "fr", "2024-06-01")}
+
+
+def test_reader_refuses_id_mode_and_deletion_vectors(spark, tmp_path):
+    # id-mode needs parquet field-id matching: refuse
+    root = str(tmp_path / "cmid")
+    schema = _cm_schema()
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="'id'"):
+        read_delta_log(spark, root)
+    # an add action carrying a deletionVector: rows would resurrect
+    root2 = str(tmp_path / "dv")
+    _write_commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": []}},
+        {"metaData": {"id": "y", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "d/f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                    "offset": 1, "sizeInBytes": 40,
+                                    "cardinality": 2}}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        read_delta_log(spark, root2)
 
 
 def test_checkpoint_short_circuits_log_replay(spark, tmp_path):

@@ -230,7 +230,10 @@ def _patch_manifest_list(t, spark, mutate):
     t.fs.write_bytes(mlist, write_container(schema, entries))
 
 
-def test_reader_refuses_v2_delete_manifests(spark, tmp_path):
+def test_reader_refuses_malformed_delete_manifest(spark, tmp_path):
+    """A manifest-list entry claiming content=1 (DELETES) whose manifest
+    holds plain data files (content=0) is spec-invalid — raise, don't
+    guess which side lied."""
     t = ManifestTable(spark, str(tmp_path / "d"))
     t.append(spark.createDataFrame([(1,)], "k long"))
     export_manifest_as_iceberg(t)
@@ -247,6 +250,151 @@ def test_reader_refuses_v2_delete_manifests(spark, tmp_path):
     _patch_manifest_list(t, spark, add_content)
     with pytest.raises(IcebergProtocolError, match="DELETE"):
         read_iceberg_table(spark, t.path)
+
+
+def _write_one_parquet(spark, df, dest):
+    """Write *df* as exactly one parquet file at *dest* (row order kept)."""
+    stage = dest.parent / (dest.name + ".stage")
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+    part.replace(dest)
+
+
+def test_v2_position_and_equality_deletes_applied(spark, tmp_path):
+    """Hand-crafted Iceberg v2 table exercising the whole delete matrix:
+
+    - f1 (data seq 1, explicit) holds k=1..4; f2 (seq inherited 3 from the
+      manifest-list entry) holds k=5,6.
+    - A position-delete file (seq 2) kills f1 rows 0 and 2 (k=1, k=3) and
+      names f2 row 0 too — which must SURVIVE (delete seq 2 < data seq 3).
+    - An equality-delete file (seq 2, equality_ids=[v]) names v='b' (k=2,
+      seq 1 < 2 → deleted) and v='f' (k=6, seq 3 ≥ 2 → survives: the
+      equality gate is STRICT).
+
+    Expected survivors: k ∈ {4, 5, 6}.
+    """
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import (
+        read_iceberg_files,
+        read_iceberg_snapshot,
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v2tbl"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+
+    _write_one_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        ),
+        root / "data" / "f1.parquet",
+    )
+    _write_one_parquet(
+        spark,
+        spark.createDataFrame([(5, "e"), (6, "f")], "k long, v string"),
+        root / "data" / "f2.parquet",
+    )
+    f1, f2 = f"{root}/data/f1.parquet", f"{root}/data/f2.parquet"
+    _write_one_parquet(
+        spark,
+        spark.createDataFrame(
+            [(f1, 0), (f1, 2), (f2, 0)], "file_path string, pos long"
+        ),
+        root / "data" / "pd1.parquet",
+    )
+    _write_one_parquet(
+        spark,
+        spark.createDataFrame([("b",), ("f",)], "v string"),
+        root / "data" / "ed1.parquet",
+    )
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None, "field-id": 135},
+            ]}, "field-id": 2},
+        ]}
+
+    def _entry(status, seq, content, path_, n, eq_ids=None):
+        return {"status": status, "sequence_number": seq,
+                "data_file": {"content": content, "file_path": path_,
+                              "file_format": "PARQUET", "record_count": n,
+                              "file_size_in_bytes": 1, "equality_ids": eq_ids}}
+
+    m_data = write_container(entry_schema, [
+        _entry(0, 1, 0, f1, 4),          # EXISTING, explicit seq 1
+        _entry(1, None, 0, f2, 2),       # ADDED, inherits list seq 3
+    ])
+    (root / "metadata" / "m-data.avro").write_bytes(m_data)
+    m_del = write_container(entry_schema, [
+        _entry(1, 2, 1, f"{root}/data/pd1.parquet", 3),
+        _entry(1, 2, 2, f"{root}/data/ed1.parquet", 2, eq_ids=[2]),
+    ])
+    (root / "metadata" / "m-del.avro").write_bytes(m_del)
+
+    mlist_schema = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+    ]}
+    mlist = write_container(mlist_schema, [
+        {"manifest_path": f"{root}/metadata/m-data.avro",
+         "manifest_length": len(m_data), "content": 0, "sequence_number": 3},
+        {"manifest_path": f"{root}/metadata/m-del.avro",
+         "manifest_length": len(m_del), "content": 1, "sequence_number": 2},
+    ])
+    (root / "metadata" / "snap-1.avro").write_bytes(mlist)
+
+    meta = {
+        "format-version": 2, "location": str(root),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    # snapshot parse: sequence inheritance + classification
+    data, pos_del, eq_del, _ = read_iceberg_snapshot(spark, str(root))
+    assert {e["file_path"]: e["sequence_number"] for e in data} == {f1: 1, f2: 3}
+    assert len(pos_del) == 1 and pos_del[0]["sequence_number"] == 2
+    assert len(eq_del) == 1 and eq_del[0]["equality_ids"] == [2]
+
+    got = read_iceberg_table(spark, str(root))
+    assert set(got.columns) == {"k", "v"}
+    assert _rows(got) == {(4, "d"), (5, "e"), (6, "f")}
+
+    # the pre-delete FILE-LIST view cannot represent deletes: refuse
+    with pytest.raises(IcebergProtocolError, match="row-level DELETE"):
+        read_iceberg_files(spark, str(root))
+
+
+def test_norm_path_forms_compare_equal():
+    from verified_sources_spark.operators.iceberg_interop import _norm_path_py
+
+    assert _norm_path_py("file:///tmp/x.parquet") == "/tmp/x.parquet"
+    assert _norm_path_py("file:/tmp/x.parquet") == "/tmp/x.parquet"
+    assert _norm_path_py("/tmp/x.parquet") == "/tmp/x.parquet"
+    assert _norm_path_py("s3a://bucket/k.parquet") == "/bucket/k.parquet"
 
 
 def test_reader_refuses_non_identity_transforms(spark, tmp_path):

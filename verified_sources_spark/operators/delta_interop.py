@@ -34,10 +34,13 @@ from verified_sources_spark.operators.fs import FS, HadoopFS
 
 _LOG_DIR = "_delta_log"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-# Reader-version-2 tables (column mapping) change how file columns map to
-# schema names; v3 adds deletion vectors.  Both silently corrupt a naive
-# read, so refuse anything above plain v1 semantics.
-_MAX_READER_VERSION = 1
+# Reader versions this reader can honor: v1 is plain parquet semantics;
+# v2 is column mapping, which we implement for mode "name" (physical
+# column names from field metadata); v3 gates on explicit readerFeatures,
+# accepted only when every listed feature is one we implement.  Anything
+# else (deletion vectors, id-mode mapping, v2 checkpoints...) refuses
+# rather than silently mis-reading.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
 
 
 class DeltaProtocolError(RuntimeError):
@@ -60,27 +63,73 @@ def _list_log_versions(fs: FS, table_path: str) -> list[int]:
 
 
 class _Snapshot:
-    """Replayed log state: live adds keyed by path + latest metaData."""
+    """Replayed log state: live adds keyed by path + latest metaData.
+
+    Protocol validation is deferred to :meth:`validate` — minReaderVersion
+    2 is only readable once the metaData's column-mapping MODE is known,
+    and the metaData action may replay after the protocol action.
+    """
 
     def __init__(self):
         self.adds: dict[str, dict] = {}
         self.meta: dict | None = None
+        self.protocol: dict | None = None
 
     def apply(self, action: dict) -> None:
         if "protocol" in action:
-            v = action["protocol"].get("minReaderVersion", 1)
-            if v > _MAX_READER_VERSION:
-                raise DeltaProtocolError(
-                    f"minReaderVersion {v} needs reader features "
-                    "(column mapping / deletion vectors) this reader "
-                    "does not implement; refusing a silently-wrong read"
-                )
+            self.protocol = action["protocol"]
         elif "metaData" in action:
             self.meta = action["metaData"]
         elif "add" in action:
-            self.adds[action["add"]["path"]] = action["add"]
+            add = action["add"]
+            if add.get("deletionVector"):
+                raise DeltaProtocolError(
+                    "table has deletion vectors; refusing a silently-wrong "
+                    "read (rows would resurrect)"
+                )
+            self.adds[add["path"]] = add
         elif "remove" in action:
             self.adds.pop(action["remove"]["path"], None)
+
+    def validate(self) -> None:
+        if self.protocol is None:
+            return
+        v = int(self.protocol.get("minReaderVersion", 1))
+        mode = column_mapping_mode(self.meta) if self.meta else "none"
+        if v == 2 or (v == 1 and mode != "none"):
+            if mode not in ("none", "name"):
+                raise DeltaProtocolError(
+                    f"column mapping mode {mode!r} needs field-id matching "
+                    "this reader does not implement (only 'name' mode)"
+                )
+        elif v == 3:
+            if self.protocol.get("readerFeatures") is None:
+                # v3 REQUIRES the feature list; absent = malformed, and
+                # guessing "no features" would mis-read feature tables
+                raise DeltaProtocolError(
+                    "minReaderVersion 3 protocol carries no readerFeatures"
+                )
+            feats = set(self.protocol.get("readerFeatures") or [])
+            unsupported = feats - _SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"reader features {sorted(unsupported)} not implemented; "
+                    "refusing a silently-wrong read"
+                )
+            if "columnMapping" in feats and mode not in ("none", "name"):
+                raise DeltaProtocolError(
+                    f"column mapping mode {mode!r} not implemented (only 'name')"
+                )
+        elif v > 3:
+            raise DeltaProtocolError(f"minReaderVersion {v} unsupported")
+
+
+def column_mapping_mode(meta: dict | None) -> str:
+    return str(
+        ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+    )
 
 
 def _read_checkpoint(
@@ -164,7 +213,36 @@ def read_delta_log(
         )
     if snap.meta is None:
         raise DeltaProtocolError(f"no metaData action found in {path}/{_LOG_DIR}")
+    snap.validate()
     return list(snap.adds.values()), snap.meta
+
+
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _to_physical_type(dt: T.DataType) -> T.DataType:
+    """Rename every nested struct field to its column-mapping physical
+    name (identity for non-mapped tables — no metadata, names stay)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(_PHYS_KEY, f.name),
+                    _to_physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_to_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _to_physical_type(dt.keyType),
+            _to_physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def read_delta_table(
@@ -177,20 +255,38 @@ def read_delta_table(
     the schema type.  Files are grouped by partition tuple — one Spark
     scan per distinct partition combination, unioned by name; fine for
     the metadata-exchange use, and each scan is itself distributed.
+
+    Column mapping (mode "name", minReaderVersion 2/3): data files and
+    ``partitionValues`` keys use each field's
+    ``delta.columnMapping.physicalName``; the scan reads the PHYSICAL
+    schema and a positional struct cast renames every nesting level back
+    to logical names — one projection, no Python row work.
     """
     path = path.rstrip("/")
     adds, meta = read_delta_log(spark, path, version, fs)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+    phys_of = {
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in schema.fields
+    }
     types = {f.name: f.dataType for f in schema.fields}
     if not adds:
         return spark.createDataFrame([], schema)
 
+    data_schema = T.StructType(
+        [
+            T.StructField(
+                phys_of[f.name], _to_physical_type(f.dataType), f.nullable
+            )
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+    )
+
     groups: dict[tuple, list[str]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols)
         rel = unquote(a["path"])
         full = rel if "://" in rel else posixpath.join(path, rel)
         groups.setdefault(key, []).append(full)
@@ -198,9 +294,18 @@ def read_delta_table(
     parts_out = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
-        for c, raw in zip(part_cols, key):
-            df = df.withColumn(c, F.lit(raw).cast(types[c]))
-        parts_out.append(df.select([f.name for f in schema.fields]))
+        cols = []
+        for f in schema.fields:
+            if f.name in part_cols:
+                raw = dict(zip(part_cols, key))[f.name]
+                cols.append(F.lit(raw).cast(types[f.name]).alias(f.name))
+            else:
+                # positional struct cast: physical → logical names at
+                # every nesting level in one expression
+                cols.append(
+                    F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+                )
+        parts_out.append(df.select(cols))
     out = parts_out[0]
     for df in parts_out[1:]:
         out = out.unionByName(df)

@@ -11,9 +11,25 @@ parquet data, and ``operators.avro_codec`` covers the Avro part.
 Read path: resolve the current metadata JSON (``version-hint.text`` or
 highest ``*.metadata.json``), walk current snapshot → manifest list →
 manifests → live data files (status != DELETED), then ONE distributed
-parquet scan per partition tuple.  Iceberg v2 row-level deletes
-(position/equality delete files) change read semantics and are REFUSED,
-not skipped — reading past them would resurrect deleted rows.
+parquet scan per partition tuple.  Iceberg v2 row-level deletes are
+APPLIED, Spark-first, not row-by-row:
+
+- position deletes (delete-file content=1: ``file_path``/``pos`` rows)
+  become a distributed LEFT ANTI join against the data scan's
+  ``_metadata.file_path`` / ``_metadata.row_index`` columns — Spark's
+  native per-file row position, so no Python-side row counting;
+- equality deletes (content=2) become one LEFT ANTI join per
+  (equality-field-set, sequence-number) group with null-safe ``<=>``
+  equality, matching the spec's "null equals null" rule;
+- the spec's sequence-number visibility gates ride the join conditions:
+  a position delete applies to data files with data sequence number
+  ``<= `` the delete's, an equality delete STRICTLY ``<`` (v2 spec,
+  Scan Planning) — so a delete committed with its data never kills it,
+  and sequence numbers inherit from the manifest-list entry for ADDED
+  entries exactly as the inheritance rules say.
+
+Malformed mixes (a DATA manifest carrying delete files or vice versa)
+raise instead of guessing.
 
 Identity-partition columns may be absent from data files (the spec's
 Hive-migration rule: resolve missing identity-source fields from the
@@ -268,13 +284,19 @@ def _identity_partition_sources(meta: dict) -> dict[str, int]:
     return out
 
 
-def read_iceberg_files(
+def read_iceberg_snapshot(
     spark: SparkSession, path: str, fs: FS | None = None
-) -> tuple[list[dict], dict]:
-    """Live data-file entries of the current snapshot + the metadata dict.
+) -> tuple[list[dict], list[dict], list[dict], dict]:
+    """Current-snapshot entries: (data_files, position_deletes,
+    equality_deletes, metadata).
 
-    Each entry: {"file_path", "partition": {name: value}, "record_count",
-    "file_size_in_bytes"}."""
+    Data entries: {"file_path", "partition", "record_count",
+    "file_size_in_bytes", "sequence_number"}.  Position-delete entries
+    add nothing; equality-delete entries add "equality_ids".  Sequence
+    numbers follow the v2 inheritance rule: an ADDED entry with a null
+    ``sequence_number`` inherits the manifest-list entry's; v1 tables
+    have no sequence numbers and read as 0 everywhere.
+    """
     fs = fs or HadoopFS(spark)
     path = path.rstrip("/")
     meta = read_iceberg_metadata(spark, path, fs)
@@ -282,7 +304,7 @@ def read_iceberg_files(
         raise IcebergProtocolError(f"format-version {meta['format-version']} unsupported")
     snap_id = meta.get("current-snapshot-id")
     if snap_id in (None, -1):
-        return [], meta
+        return [], [], [], meta
     snap = next(
         (s for s in meta.get("snapshots", []) if s.get("snapshot-id") == snap_id), None
     )
@@ -292,69 +314,132 @@ def read_iceberg_files(
     def _resolve_rel(p: str) -> str:
         return p if "://" in p or p.startswith("/") else posixpath.join(path, p)
 
-    manifest_paths: list[str] = []
+    # (manifest_path, manifest_content, manifest_sequence_number)
+    manifests: list[tuple[str, int, int]] = []
     if snap.get("manifest-list"):
         _, entries = read_container(_read_bytes(fs, _resolve_rel(snap["manifest-list"])))
         for e in entries:
-            if int(e.get("content") or 0) != 0:
-                raise IcebergProtocolError(
-                    "snapshot carries DELETE manifests (v2 row-level deletes); "
-                    "refusing to read without delete application"
+            manifests.append(
+                (
+                    _resolve_rel(e["manifest_path"]),
+                    int(e.get("content") or 0),
+                    int(e.get("sequence_number") or 0),
                 )
-            manifest_paths.append(_resolve_rel(e["manifest_path"]))
+            )
     elif snap.get("manifests"):
-        manifest_paths = [_resolve_rel(p) for p in snap["manifests"]]
+        manifests = [(_resolve_rel(p), 0, 0) for p in snap["manifests"]]
     else:
         raise IcebergProtocolError("snapshot has neither manifest-list nor manifests")
 
-    live: list[dict] = []
+    data: list[dict] = []
+    pos_del: list[dict] = []
+    eq_del: list[dict] = []
     part_names = list(_identity_partition_sources(meta))
-    for mp in manifest_paths:
+    for mp, m_content, m_seq in manifests:
+        if m_content not in (0, 1):
+            raise IcebergProtocolError(f"unknown manifest content {m_content}")
         _, entries = read_container(_read_bytes(fs, mp))
         for e in entries:
             if int(e.get("status") or 0) == 2:  # DELETED
                 continue
             df_ = e["data_file"]
-            if int(df_.get("content") or 0) != 0:
-                raise IcebergProtocolError("v2 delete file in manifest; refusing")
+            f_content = int(df_.get("content") or 0)
+            if m_content == 0 and f_content != 0:
+                raise IcebergProtocolError(
+                    f"DATA manifest {mp} carries a delete file (content={f_content})"
+                )
+            if m_content == 1 and f_content not in (1, 2):
+                raise IcebergProtocolError(
+                    f"DELETE manifest {mp} carries a data file (content={f_content})"
+                )
             fmt = str(df_.get("file_format") or "").upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(f"unsupported data file format {fmt}")
+            seq = e.get("sequence_number")
+            if seq is None:
+                # inheritance: ADDED entries inherit the manifest's sequence
+                # number; EXISTING entries must carry their own (a writer
+                # that omits it produced a spec-invalid manifest — treat as
+                # the manifest's, the least-wrong visible choice for v1-ish
+                # files, rather than crashing on real-world laxity)
+                seq = m_seq
             part_rec = df_.get("partition") or {}
-            live.append(
-                {
-                    "file_path": _resolve_rel(df_["file_path"]),
-                    "partition": {k: part_rec.get(k) for k in part_names}
-                    if part_names
-                    else dict(part_rec),
-                    "record_count": int(df_.get("record_count") or 0),
-                    "file_size_in_bytes": int(df_.get("file_size_in_bytes") or 0),
-                }
-            )
-    return live, meta
+            entry = {
+                "file_path": _resolve_rel(df_["file_path"]),
+                "partition": {k: part_rec.get(k) for k in part_names}
+                if part_names
+                else dict(part_rec),
+                "record_count": int(df_.get("record_count") or 0),
+                "file_size_in_bytes": int(df_.get("file_size_in_bytes") or 0),
+                "sequence_number": int(seq),
+            }
+            if f_content == 0:
+                data.append(entry)
+            elif f_content == 1:
+                pos_del.append(entry)
+            else:
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise IcebergProtocolError(
+                        f"equality delete file {entry['file_path']} has no equality_ids"
+                    )
+                entry["equality_ids"] = [int(i) for i in ids]
+                eq_del.append(entry)
+    return data, pos_del, eq_del, meta
 
 
-def read_iceberg_table(
+def read_iceberg_files(
     spark: SparkSession, path: str, fs: FS | None = None
+) -> tuple[list[dict], dict]:
+    """Live data-file entries of the current snapshot + the metadata dict.
+
+    Each entry: {"file_path", "partition": {name: value}, "record_count",
+    "file_size_in_bytes"}.  This is the FILE-LIST view (record counts are
+    pre-delete), so a snapshot with row-level deletes raises — use
+    ``read_iceberg_table`` for delete-applied rows."""
+    data, pos_del, eq_del, meta = read_iceberg_snapshot(spark, path, fs)
+    if pos_del or eq_del:
+        raise IcebergProtocolError(
+            "snapshot carries v2 row-level DELETE files; the file-list view "
+            "cannot represent them (use read_iceberg_table, which applies them)"
+        )
+    return data, meta
+
+
+def _norm_path_py(p: str) -> str:
+    """Normalize a file URI/path so manifest-recorded paths and Spark's
+    ``_metadata.file_path`` compare equal: ``file:///x``, ``file:/x`` and
+    ``/x`` all become ``/x`` (scheme+slashes collapse to one slash)."""
+    import re
+
+    return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/", p)
+
+
+def _norm_path_expr(col):
+    return F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/")
+
+
+def _scan_data_files(
+    spark: SparkSession, files: list[dict], schema: T.StructType, with_meta: bool
 ) -> DataFrame:
-    """External Iceberg table → DataFrame (no iceberg runtime).
-
-    One distributed scan per distinct partition tuple; identity-partition
-    source columns missing from data files are filled from the tuple."""
-    files, meta = read_iceberg_files(spark, path, fs)
-    schema = spark_schema_from_iceberg(_current_schema(meta))
-    if not files:
-        return spark.createDataFrame([], schema)
+    """One scan per partition tuple, unioned; identity-partition source
+    columns missing from data files are filled from the tuple.  With
+    ``with_meta``, each row carries ``__ice_fp``/``__ice_pos`` (normalized
+    file path + row position) for delete application."""
     types = {f.name: f.dataType for f in schema.fields}
-
     groups: dict[tuple, list[str]] = {}
     for e in files:
         key = tuple(sorted(e["partition"].items()))
         groups.setdefault(key, []).append(e["file_path"])
 
+    out_cols = [f.name for f in schema.fields]
     parts_out = []
     for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(schema).parquet(*paths)
+        if with_meta:
+            df = df.withColumn(
+                "__ice_fp", _norm_path_expr(F.col("_metadata.file_path"))
+            ).withColumn("__ice_pos", F.col("_metadata.row_index"))
         for name, raw in key:
             if name in types:
                 df = df.withColumn(
@@ -366,11 +451,110 @@ def read_iceberg_table(
                         ),
                     ),
                 )
-        parts_out.append(df.select([f.name for f in schema.fields]))
+        cols = out_cols + (["__ice_fp", "__ice_pos"] if with_meta else [])
+        parts_out.append(df.select(cols))
     out = parts_out[0]
     for df in parts_out[1:]:
         out = out.unionByName(df)
     return out
+
+
+_POS_DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+
+def read_iceberg_table(
+    spark: SparkSession, path: str, fs: FS | None = None
+) -> DataFrame:
+    """External Iceberg table → DataFrame (no iceberg runtime).
+
+    One distributed scan per distinct partition tuple; identity-partition
+    source columns missing from data files are filled from the tuple.
+    v2 row-level deletes are applied as distributed anti-joins (see the
+    module docstring) — position deletes against Spark's native
+    ``_metadata.row_index``, equality deletes with null-safe equality —
+    with the spec's sequence-number visibility conditions in the join
+    predicates, so the plan stays one Catalyst DAG with no driver-side
+    row work."""
+    files, pos_del, eq_del, meta = read_iceberg_snapshot(spark, path, fs)
+    schema = spark_schema_from_iceberg(_current_schema(meta))
+    if not files:
+        return spark.createDataFrame([], schema)
+    out_cols = [f.name for f in schema.fields]
+    has_deletes = bool(pos_del or eq_del)
+    data = _scan_data_files(spark, files, schema, with_meta=has_deletes)
+    if not has_deletes:
+        return data
+
+    # data sequence numbers ride in as a tiny broadcast map keyed on the
+    # normalized file path (metadata-sized: one row per data FILE)
+    seq_rows = [
+        (_norm_path_py(e["file_path"]), e["sequence_number"]) for e in files
+    ]
+    seq_df = spark.createDataFrame(
+        seq_rows, "__ice_fp string, __ice_data_seq long"
+    )
+    data = data.join(F.broadcast(seq_df), "__ice_fp", "left").withColumn(
+        "__ice_data_seq", F.coalesce(F.col("__ice_data_seq"), F.lit(0))
+    )
+
+    if pos_del:
+        # all position-delete files with one delete-sequence column each;
+        # a delete applies to data files with data_seq <= delete_seq
+        dfs = []
+        for e in pos_del:
+            dfs.append(
+                spark.read.schema(_POS_DELETE_SCHEMA)
+                .parquet(e["file_path"])
+                .select(
+                    _norm_path_expr(F.col("file_path")).alias("__del_fp"),
+                    F.col("pos").alias("__del_pos"),
+                    F.lit(e["sequence_number"]).alias("__del_seq"),
+                )
+            )
+        pd_all = dfs[0]
+        for d in dfs[1:]:
+            pd_all = pd_all.unionByName(d)
+        cond = (
+            (F.col("__ice_fp") == F.col("__del_fp"))
+            & (F.col("__ice_pos") == F.col("__del_pos"))
+            & (F.col("__del_seq") >= F.col("__ice_data_seq"))
+        )
+        data = data.join(pd_all, cond, "left_anti")
+
+    # equality deletes: one anti-join per (field set, sequence) group;
+    # null-safe equality (spec: "null equals null"), STRICTLY-older gate
+    if eq_del:
+        id_to_name = {
+            f["id"]: f["name"] for f in _current_schema(meta)["fields"]
+        }
+        eq_groups: dict[tuple, list[dict]] = {}
+        for e in eq_del:
+            key = (tuple(sorted(e["equality_ids"])), e["sequence_number"])
+            eq_groups.setdefault(key, []).append(e)
+        for (ids, seq), entries in sorted(eq_groups.items()):
+            try:
+                cols = [id_to_name[i] for i in ids]
+            except KeyError as exc:
+                raise IcebergProtocolError(
+                    f"equality_ids {list(ids)} reference unknown/nested "
+                    f"fields (have {sorted(id_to_name)})"
+                ) from exc
+            ed = (
+                spark.read.parquet(*[e["file_path"] for e in entries])
+                .select([F.col(c).alias(f"__eq_{c}") for c in cols])
+                .dropDuplicates()
+            )
+            cond = F.lit(seq) > F.col("__ice_data_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            data = data.join(ed, cond, "left_anti")
+
+    return data.select(out_cols)
 
 
 def _read_bytes(fs: FS, path: str) -> bytes:

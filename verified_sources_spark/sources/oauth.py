@@ -22,8 +22,9 @@ the *refresh* behavior is transport middleware:
   server-side revocation that expiry tracking cannot see.
 
 The JWT-bearer grant (salesforce client.py:94, Google service accounts)
-needs RS256 signing and is out of scope: there is no RSA primitive in
-the stdlib and this engine does not take on a crypto dependency.
+is :class:`JwtBearerProvider`: RFC 7523 §2.1 — a fresh RS256-signed
+assertion per token request, signed by ``sources.rsa_jwt`` (pure-stdlib
+RSA, see that module's scope note).
 
 Thread-safe: ``fetch_partitioned`` drives one transport from many
 threads; acquisition is serialized under a lock so a fleet of workers
@@ -163,6 +164,75 @@ class OAuth2TokenProvider:
             if token is None or self._token is None or token.endswith(self._token):
                 self._token = None
                 self._expires_at = None
+
+
+class JwtBearerProvider(OAuth2TokenProvider):
+    """RFC 7523 JWT-bearer grant: the Google service-account /
+    Salesforce JWT flow.
+
+    Each token request posts ``grant_type=urn:ietf:params:oauth:
+    grant-type:jwt-bearer`` with a FRESHLY signed assertion (``iat``/
+    ``exp`` stamped at request time — a cached assertion would expire
+    independently of the access token and start failing exchanges).
+    ``private_key_pem`` accepts PKCS#8 or PKCS#1 PEM — the format inside
+    a downloaded Google service-account JSON's ``private_key`` field.
+
+    Inherits the proactive-expiry + reactive-401 refresh middleware
+    behavior from :class:`OAuth2TokenProvider` unchanged.
+    """
+
+    GRANT_TYPE = "urn:ietf:params:oauth:grant-type:jwt-bearer"
+
+    def __init__(
+        self,
+        token_url: str,
+        issuer: str,
+        private_key_pem: str,
+        scope: str | None = None,
+        subject: str | None = None,
+        audience: str | None = None,
+        assertion_lifetime: int = 3600,
+        key_id: str | None = None,
+        expiry_skew: float = 30.0,
+        post: Callable[[str, dict[str, str]], tuple[int, dict]] | None = None,
+        clock: Callable[[], float] = time.monotonic,
+        wall_clock: Callable[[], float] = time.time,
+    ):
+        from verified_sources_spark.sources.rsa_jwt import parse_pem_private_key
+
+        super().__init__(
+            token_url=token_url,
+            client_id=issuer,
+            grant_type="client_credentials",  # placeholder; _grant_form overrides
+            scope=scope,
+            expiry_skew=expiry_skew,
+            post=post,
+            clock=clock,
+        )
+        self._key = parse_pem_private_key(private_key_pem)
+        self.issuer = issuer
+        self.subject = subject
+        self.audience = audience if audience is not None else token_url
+        self.assertion_lifetime = assertion_lifetime
+        self.key_id = key_id
+        self._wall_clock = wall_clock
+
+    def _grant_form(self) -> dict[str, str]:
+        from verified_sources_spark.sources.rsa_jwt import jwt_bearer_assertion
+
+        return {
+            "grant_type": self.GRANT_TYPE,
+            "assertion": jwt_bearer_assertion(
+                self._key,
+                issuer=self.issuer,
+                audience=self.audience,
+                scope=self.scope,
+                subject=self.subject,
+                lifetime=self.assertion_lifetime,
+                now=self._wall_clock(),
+                key_id=self.key_id,
+            ),
+        }
 
 
 class StaticTokenProvider:
