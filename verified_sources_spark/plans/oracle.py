@@ -1054,3 +1054,55 @@ ORACLE_SQL["shuffled_shards_docs"] = """
            CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INT) AS pos
     FROM k
 """
+
+# tf-idf top terms: the ln is computed once from exact integer inputs with
+# the same expression shape Spark uses, rounded to 6 immediately; rank ties
+# break on (rounded score desc, term asc) so both engines agree.
+ORACLE_SQL["tfidf_top_terms_docs"] = f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(CAST(tf.tf AS DOUBLE)
+                   * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfq.df + 1)) + 1.0),
+                   6) AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    rk AS (SELECT sc.*,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS term_rank
+           FROM sc)
+    SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+    FROM rk WHERE term_rank <= 3
+"""
+
+# bigram LM: per-bigram -ln p rounded to 6 then summed through DECIMAL so
+# aggregation order cannot perturb the hash; add-one smoothing over the
+# full corpus unigram counts and vocabulary size.
+ORACLE_SQL["bigram_lm_scores_docs"] = f"""
+    WITH tk AS (SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS pos
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    big AS (SELECT doc_id, w1, term AS w2 FROM (
+              SELECT doc_id, term, pos,
+                     lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM tk)
+            WHERE w1 IS NOT NULL),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM big GROUP BY w1, w2),
+    c1 AS (SELECT term AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM tk GROUP BY term),
+    v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tk),
+    lp AS (SELECT big.doc_id,
+             CAST(-round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6)
+                  AS DECIMAL(18,6)) AS nlp
+           FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+           FROM lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.avg_nll
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""

@@ -598,6 +598,27 @@ def shuffled_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffled_shards(d, "doc_id", n_shards=8)
 
 
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf·idf
+    (llm/relevance.py) — keyword extraction for corpus browsing /
+    mixture labeling.  Rank ties break on (rounded score, term) so the
+    engines agree deterministically."""
+    from verified_sources_spark.llm.relevance import tf_idf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(d, "doc_id", "text", k=3)
+
+
+def bigram_lm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-one bigram
+    LM trained on the corpus itself (llm/relevance.py) — the CCNet-style
+    perplexity-filter signal with an exactly re-derivable model."""
+    from verified_sources_spark.llm.relevance import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text")
+
+
 def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 8-token spans (llm/text_prep.py
     duplicate_spans): per-doc span counts + duplicated-span fraction —
@@ -1365,4 +1386,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans_docs": duplicate_spans_docs,
     "leakage_safe_split_docs": leakage_safe_split_docs,
     "shuffled_shards_docs": shuffled_shards_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "bigram_lm_scores_docs": bigram_lm_scores_docs,
 }
