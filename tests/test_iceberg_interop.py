@@ -397,16 +397,29 @@ def test_norm_path_forms_compare_equal():
     assert _norm_path_py("s3a://bucket/k.parquet") == "/bucket/k.parquet"
 
 
-def test_reader_refuses_non_identity_transforms(spark, tmp_path):
+def test_partition_transform_handling(spark, tmp_path):
+    """Derived transforms (bucket/day/...) read fine — their source
+    columns live in the data files, the tuple is ignored; an UNKNOWN
+    transform refuses (can't know whether the source column exists)."""
     t = ManifestTable(spark, str(tmp_path / "b"), partition_by=["day"])
     t.append(spark.createDataFrame([("2024-01-01", 1)], "day string, k long"))
     p = export_manifest_as_iceberg(t)
     meta = json.loads(t.fs.read_text(p))
-    for spec in meta["partition-specs"]:
-        for f in spec["fields"]:
-            f["transform"] = "bucket[16]"
-    meta["partition-spec"][0]["transform"] = "bucket[16]"
-    t.fs.write_text(p, json.dumps(meta))
+
+    def set_transform(tr):
+        for spec in meta["partition-specs"]:
+            for f in spec["fields"]:
+                f["transform"] = tr
+        meta["partition-spec"][0]["transform"] = tr
+        t.fs.write_text(p, json.dumps(meta))
+
+    # bucket[16]: no identity fill happens; the day value still arrives
+    # because Spark's hive-path partition discovery resolves it from the
+    # file's directory (ManifestTable's layout), and k survives
+    set_transform("bucket[16]")
+    got = {tuple(r) for r in read_iceberg_table(spark, t.path).collect()}
+    assert got == {("2024-01-01", 1)}
+    set_transform("zorder")
     with pytest.raises(IcebergProtocolError, match="transform"):
         read_iceberg_table(spark, t.path)
 

@@ -261,10 +261,23 @@ def _current_schema(meta: dict) -> dict:
     raise IcebergProtocolError("metadata carries no schema")
 
 
+_DERIVED_TRANSFORM_RE = (
+    r"^(bucket\[\d+\]|truncate\[\d+\]|year|month|day|hour)$"
+)
+
+
 def _identity_partition_sources(meta: dict) -> dict[str, int]:
-    """partition field name → source field id, identity transforms only;
-    raises on any other transform (bucket/truncate/day values are DERIVED
-    and cannot reconstruct the source column)."""
+    """partition field name → source field id, identity transforms only.
+
+    Only IDENTITY partition columns can be absent from data files (the
+    spec's Hive-migration rule) and need filling from the partition
+    tuple.  DERIVED transforms (bucket/truncate/year/month/day/hour)
+    always have their source column written to the data files — their
+    tuple values are ignored here and the read proceeds.  An UNKNOWN
+    transform still raises: we cannot know whether its source column is
+    in the files."""
+    import re
+
     specs = meta.get("partition-specs")
     if specs:
         sid = meta.get("default-spec-id", 0)
@@ -274,13 +287,16 @@ def _identity_partition_sources(meta: dict) -> dict[str, int]:
         fields = meta.get("partition-spec", [])
     out = {}
     for f in fields:
-        if f.get("transform") not in ("identity", "void"):
-            raise IcebergProtocolError(
-                f"unsupported partition transform {f.get('transform')!r} "
-                "(only identity partitioning is readable without the runtime)"
-            )
-        if f.get("transform") == "identity":
+        tr = f.get("transform")
+        if tr == "identity":
             out[f["name"]] = f["source-id"]
+        elif tr == "void" or re.match(_DERIVED_TRANSFORM_RE, str(tr)):
+            continue
+        else:
+            raise IcebergProtocolError(
+                f"unknown partition transform {tr!r} "
+                "(cannot tell whether its source column is in the data files)"
+            )
     return out
 
 
