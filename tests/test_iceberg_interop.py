@@ -203,6 +203,12 @@ def test_manifest_export_roundtrip_partitioned(spark, tmp_path, sink_fs):
     meta = json.loads(open(p2).read()) if os.path.exists(p2) else None
     if meta:
         assert len(meta["snapshots"]) == 2
+    # snapshot time travel: snapshot 1 still reads the ORIGINAL file set
+    # (Iceberg snapshots are self-contained — no log replay)
+    old = read_iceberg_table(spark, t.path, snapshot_id=1)
+    assert _rows(old.select("day", "k", "v")) == _rows(ours)
+    with pytest.raises(IcebergProtocolError, match="snapshot-id 99"):
+        read_iceberg_table(spark, t.path, snapshot_id=99)
     # record_count rides the manifest (from parquet stats)
     files, _ = read_iceberg_files(spark, t.path)
     assert sum(e["record_count"] for e in files) in (0, 1)  # 0 if stats absent

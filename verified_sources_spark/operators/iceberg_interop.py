@@ -301,10 +301,16 @@ def _identity_partition_sources(meta: dict) -> dict[str, int]:
 
 
 def read_iceberg_snapshot(
-    spark: SparkSession, path: str, fs: FS | None = None
+    spark: SparkSession,
+    path: str,
+    fs: FS | None = None,
+    snapshot_id: int | None = None,
 ) -> tuple[list[dict], list[dict], list[dict], dict]:
-    """Current-snapshot entries: (data_files, position_deletes,
-    equality_deletes, metadata).
+    """Snapshot entries: (data_files, position_deletes,
+    equality_deletes, metadata).  ``snapshot_id`` time-travels to any
+    snapshot still listed in the metadata (Iceberg snapshots are
+    self-contained, so no replay is needed — the chosen snapshot's
+    manifest list IS the full state); default is the current snapshot.
 
     Data entries: {"file_path", "partition", "record_count",
     "file_size_in_bytes", "sequence_number"}.  Position-delete entries
@@ -318,14 +324,19 @@ def read_iceberg_snapshot(
     meta = read_iceberg_metadata(spark, path, fs)
     if int(meta.get("format-version", 1)) > 2:
         raise IcebergProtocolError(f"format-version {meta['format-version']} unsupported")
-    snap_id = meta.get("current-snapshot-id")
+    snap_id = (
+        snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    )
     if snap_id in (None, -1):
         return [], [], [], meta
     snap = next(
         (s for s in meta.get("snapshots", []) if s.get("snapshot-id") == snap_id), None
     )
     if snap is None:
-        raise IcebergProtocolError(f"current-snapshot-id {snap_id} not in snapshots")
+        have = [s.get("snapshot-id") for s in meta.get("snapshots", [])]
+        raise IcebergProtocolError(
+            f"snapshot-id {snap_id} not in snapshots (have {have})"
+        )
 
     def _resolve_rel(p: str) -> str:
         return p if "://" in p or p.startswith("/") else posixpath.join(path, p)
@@ -484,19 +495,26 @@ _POS_DELETE_SCHEMA = T.StructType(
 
 
 def read_iceberg_table(
-    spark: SparkSession, path: str, fs: FS | None = None
+    spark: SparkSession,
+    path: str,
+    fs: FS | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """External Iceberg table → DataFrame (no iceberg runtime).
 
     One distributed scan per distinct partition tuple; identity-partition
     source columns missing from data files are filled from the tuple.
-    v2 row-level deletes are applied as distributed anti-joins (see the
-    module docstring) — position deletes against Spark's native
-    ``_metadata.row_index``, equality deletes with null-safe equality —
-    with the spec's sequence-number visibility conditions in the join
-    predicates, so the plan stays one Catalyst DAG with no driver-side
-    row work."""
-    files, pos_del, eq_del, meta = read_iceberg_snapshot(spark, path, fs)
+    ``snapshot_id`` time-travels (the Delta reader's ``version=``
+    analogue — Iceberg snapshots are self-contained so any listed
+    snapshot reads directly).  v2 row-level deletes are applied as
+    distributed anti-joins (see the module docstring) — position deletes
+    against Spark's native ``_metadata.row_index``, equality deletes
+    with null-safe equality — with the spec's sequence-number visibility
+    conditions in the join predicates, so the plan stays one Catalyst
+    DAG with no driver-side row work."""
+    files, pos_del, eq_del, meta = read_iceberg_snapshot(
+        spark, path, fs, snapshot_id=snapshot_id
+    )
     schema = spark_schema_from_iceberg(_current_schema(meta))
     if not files:
         return spark.createDataFrame([], schema)
