@@ -169,6 +169,33 @@ def test_read_column_mapping_name_mode(spark, tmp_path):
     assert got == {(1, "a", "en", "2024-06-01"), (2, "b", "fr", "2024-06-01")}
 
 
+def test_leftover_mapping_metadata_ignored_when_mode_none(spark, tmp_path):
+    """physicalName metadata is honored ONLY when columnMapping mode is
+    'name' — a mode-'none' table with leftover metadata (cloned schema)
+    must read the LOGICAL names actually present in the files."""
+    root = str(tmp_path / "cmnone")
+    os.makedirs(os.path.join(root, "d"))
+    stage = str(tmp_path / "cmnone_stage")
+    spark.createDataFrame(
+        [(1, "a", ("en",))],
+        "k long, v string, tags struct<lang: string>",  # LOGICAL names
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), os.path.join(root, "d", "f1.parquet"))
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "cn", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(_cm_schema()),
+                      "partitionColumns": ["day"],
+                      "configuration": {}}},  # mode none, metadata leftover
+        {"add": {"path": "d/f1.parquet", "partitionValues": {"day": "2024-06-01"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta_table(spark, root)
+    got = {(r.k, r.v, r.tags.lang, r.day) for r in df.collect()}
+    assert got == {(1, "a", "en", "2024-06-01")}
+
+
 def test_reader_refuses_id_mode_and_deletion_vectors(spark, tmp_path):
     # id-mode needs parquet field-id matching: refuse
     root = str(tmp_path / "cmid")

@@ -394,6 +394,265 @@ def test_v2_position_and_equality_deletes_applied(spark, tmp_path):
         read_iceberg_files(spark, str(root))
 
 
+_ENTRY_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": ["null", {"type": "record", "name": "r102", "fields": [
+                 {"name": "day", "type": ["null", "string"],
+                  "default": None, "field-id": 1000}]}],
+             "default": None, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None, "field-id": 135},
+        ]}, "field-id": 2},
+    ]}
+
+_MLIST_SCHEMA_V2 = {"type": "record", "name": "manifest_file", "fields": [
+    {"name": "manifest_path", "type": "string", "field-id": 500},
+    {"name": "manifest_length", "type": "long", "field-id": 501},
+    {"name": "partition_spec_id", "type": "int", "field-id": 502},
+    {"name": "content", "type": "int", "field-id": 517},
+    {"name": "sequence_number", "type": "long", "field-id": 515},
+]}
+
+
+def _v2_entry(status, seq, content, path_, n, day=None, eq_ids=None):
+    return {"status": status, "sequence_number": seq,
+            "data_file": {"content": content, "file_path": path_,
+                          "file_format": "PARQUET",
+                          "partition": {"day": day} if day is not None else None,
+                          "record_count": n, "file_size_in_bytes": 1,
+                          "equality_ids": eq_ids}}
+
+
+def test_equality_deletes_respect_partition_scope(spark, tmp_path):
+    """Spec rule: a delete file written under a PARTITIONED spec applies
+    only within its partition tuple.  The same id exists in two day
+    partitions; an equality delete scoped to day=B (newer sequence) must
+    kill only B's row — before the fix it deleted the day=A row too."""
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+
+    root = tmp_path / "eqscope"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    _write_one_parquet(
+        spark, spark.createDataFrame([(5, "A")], "k long, day string"),
+        root / "data" / "fa.parquet")
+    _write_one_parquet(
+        spark, spark.createDataFrame([(5, "B"), (6, "B")], "k long, day string"),
+        root / "data" / "fb.parquet")
+    _write_one_parquet(
+        spark, spark.createDataFrame([(5,)], "k long"),
+        root / "data" / "ed.parquet")
+    fa, fb = f"{root}/data/fa.parquet", f"{root}/data/fb.parquet"
+
+    m_data = write_container(_ENTRY_SCHEMA_V2, [
+        _v2_entry(1, None, 0, fa, 1, day="A"),
+        _v2_entry(1, None, 0, fb, 2, day="B"),
+    ])
+    (root / "metadata" / "m-data.avro").write_bytes(m_data)
+    m_del = write_container(_ENTRY_SCHEMA_V2, [
+        _v2_entry(1, 2, 2, f"{root}/data/ed.parquet", 1, day="B", eq_ids=[1]),
+    ])
+    (root / "metadata" / "m-del.avro").write_bytes(m_del)
+    mlist = write_container(_MLIST_SCHEMA_V2, [
+        {"manifest_path": f"{root}/metadata/m-data.avro",
+         "manifest_length": len(m_data), "partition_spec_id": 0,
+         "content": 0, "sequence_number": 1},
+        {"manifest_path": f"{root}/metadata/m-del.avro",
+         "manifest_length": len(m_del), "partition_spec_id": 0,
+         "content": 1, "sequence_number": 2},
+    ])
+    (root / "metadata" / "snap-1.avro").write_bytes(mlist)
+    meta = {
+        "format-version": 2, "location": str(root),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "day", "required": False, "type": "string"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "day", "transform": "identity", "source-id": 2,
+             "field-id": 1000}]}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    got = read_iceberg_table(spark, str(root))
+    # day=B k=5 deleted; day=A k=5 SURVIVES (scope); k=6 untouched
+    assert _rows(got.select("k", "day")) == {(5, "A"), (6, "B")}
+
+
+def test_scanned_path_mismatch_raises_not_misapplies(spark, tmp_path):
+    """If a scanned file's _metadata.file_path cannot be matched back to
+    its manifest entry (normalization drift), the read must FAIL, not
+    default the sequence number and misapply deletes.  Trigger: a
+    manifest path containing a '/./' segment that Hadoop normalizes
+    away."""
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+
+    root = tmp_path / "drift"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    _write_one_parquet(
+        spark, spark.createDataFrame([(1,)], "k long"),
+        root / "data" / "f1.parquet")
+    _write_one_parquet(
+        spark, spark.createDataFrame([("x", 0)], "file_path string, pos long"),
+        root / "data" / "pd.parquet")
+    crooked = f"{root}/data/./f1.parquet"
+    m_data = write_container(_ENTRY_SCHEMA_V2, [_v2_entry(1, None, 0, crooked, 1)])
+    (root / "metadata" / "m-data.avro").write_bytes(m_data)
+    m_del = write_container(_ENTRY_SCHEMA_V2, [
+        _v2_entry(1, 1, 1, f"{root}/data/pd.parquet", 1)])
+    (root / "metadata" / "m-del.avro").write_bytes(m_del)
+    mlist = write_container(_MLIST_SCHEMA_V2, [
+        {"manifest_path": f"{root}/metadata/m-data.avro",
+         "manifest_length": len(m_data), "partition_spec_id": 0,
+         "content": 0, "sequence_number": 1},
+        {"manifest_path": f"{root}/metadata/m-del.avro",
+         "manifest_length": len(m_del), "partition_spec_id": 0,
+         "content": 1, "sequence_number": 1},
+    ])
+    (root / "metadata" / "snap-1.avro").write_bytes(mlist)
+    meta = {
+        "format-version": 2, "location": str(root),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    with pytest.raises(Exception, match="matches no manifest entry"):
+        read_iceberg_table(spark, str(root)).collect()
+
+
+def test_time_travel_reads_snapshot_schema(spark, tmp_path):
+    """A time-traveled snapshot reads under ITS schema-id: after a column
+    rename (v→val, schema-id 1), snapshot 1 must still surface 'v' with
+    data — not the current schema's 'val' as all-NULL."""
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+
+    root = tmp_path / "ttschema"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    _write_one_parquet(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"),
+        root / "data" / "f1.parquet")
+    m1 = write_container(_ENTRY_SCHEMA_V2, [
+        _v2_entry(1, None, 0, f"{root}/data/f1.parquet", 1)])
+    (root / "metadata" / "m1.avro").write_bytes(m1)
+    mlist = write_container(_MLIST_SCHEMA_V2, [
+        {"manifest_path": f"{root}/metadata/m1.avro", "manifest_length": len(m1),
+         "partition_spec_id": 0, "content": 0, "sequence_number": 1}])
+    (root / "metadata" / "snap-1.avro").write_bytes(mlist)
+    (root / "metadata" / "snap-2.avro").write_bytes(mlist)
+    meta = {
+        "format-version": 2, "location": str(root),
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "string"}]},
+            {"type": "struct", "schema-id": 1, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "val", "required": False, "type": "string"}]},
+        ],
+        "current-schema-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "schema-id": 0,
+             "manifest-list": f"{root}/metadata/snap-1.avro"},
+            {"snapshot-id": 2, "schema-id": 1,
+             "manifest-list": f"{root}/metadata/snap-2.avro"},
+        ],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    old = read_iceberg_table(spark, str(root), snapshot_id=1)
+    assert old.columns == ["k", "v"]
+    assert _rows(old) == {(1, "a")}
+    # current read surfaces the renamed column (by-name caveat: old files
+    # have no 'val', documented limitation)
+    cur = read_iceberg_table(spark, str(root))
+    assert cur.columns == ["k", "val"]
+
+
+def test_bucket_only_spec_never_fills_from_tuple(spark, tmp_path):
+    """A bucket[16] partition field NAMED like the source column must not
+    inject the bucket ordinal into NULL source values."""
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+
+    root = tmp_path / "bonly"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    _write_one_parquet(
+        spark, spark.createDataFrame([(None,), (7,)], "k long"),
+        root / "data" / "f1.parquet")
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition",
+                 "type": {"type": "record", "name": "r102", "fields": [
+                     {"name": "k", "type": ["null", "int"],
+                      "default": None, "field-id": 1000}]}, "field-id": 102},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            ]}, "field-id": 2}]}
+    m1 = write_container(entry_schema, [{
+        "status": 1,
+        "data_file": {"file_path": f"{root}/data/f1.parquet",
+                      "file_format": "PARQUET", "partition": {"k": 3},
+                      "record_count": 2, "file_size_in_bytes": 1}}])
+    (root / "metadata" / "m1.avro").write_bytes(m1)
+    mlist = write_container(
+        {"type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501}]},
+        [{"manifest_path": f"{root}/metadata/m1.avro", "manifest_length": len(m1)}])
+    (root / "metadata" / "snap-1.avro").write_bytes(mlist)
+    meta = {
+        "format-version": 1, "location": str(root),
+        "schema": {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        "partition-spec": [{"name": "k", "transform": "bucket[16]",
+                            "source-id": 1, "field-id": 1000}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    got = read_iceberg_table(spark, str(root))
+    assert _rows(got) == {(None,), (7,)}  # NULL stays NULL, 3 never appears
+
+
 def test_norm_path_forms_compare_equal():
     from verified_sources_spark.operators.iceberg_interop import _norm_path_py
 
@@ -419,12 +678,12 @@ def test_partition_transform_handling(spark, tmp_path):
         meta["partition-spec"][0]["transform"] = tr
         t.fs.write_text(p, json.dumps(meta))
 
-    # bucket[16]: no identity fill happens; the day value still arrives
-    # because Spark's hive-path partition discovery resolves it from the
-    # file's directory (ManifestTable's layout), and k survives
+    # bucket[16]: the tuple value is a DERIVED ordinal, never injected
+    # into the source column — day (absent from the data files) reads
+    # NULL, and k survives
     set_transform("bucket[16]")
     got = {tuple(r) for r in read_iceberg_table(spark, t.path).collect()}
-    assert got == {("2024-01-01", 1)}
+    assert got == {(None, 1)}
     set_transform("zorder")
     with pytest.raises(IcebergProtocolError, match="transform"):
         read_iceberg_table(spark, t.path)

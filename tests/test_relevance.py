@@ -79,7 +79,14 @@ def test_relevance_plans_stay_distributed(spark, docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        # every row_number/lag window is keyed (never a global window)
-        for ln in plan.splitlines():
-            if "Window" in ln and ("row_number" in ln or "lag(" in ln):
-                assert "partition" not in ln.lower() or "_id" in ln, ln
+        # every row_number/lag window is keyed on the doc id — Spark
+        # renders window specs as windowspecdefinition(partExprs...,
+        # orderExprs..., frame), so an unkeyed window would lose the
+        # leading _id# reference
+        specs = [
+            ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+        ]
+        assert specs, "expected at least one window in the plan"
+        for ln in specs:
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            assert spec.startswith("_id#"), ln

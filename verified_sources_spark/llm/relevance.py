@@ -32,8 +32,9 @@ Scale shape (100 TB):
   corpus vocabulary has a long tail — forcing broadcast would OOM the
   driver at scale, exactly like unigram_rarity's freq join);
 - corpus-level scalars (N docs, vocabulary size) are one-row aggregates
-  cross-joined via broadcast — no ``.collect()`` in the plan, no
-  SinglePartition exchange;
+  cross-joined via broadcast — no ``.collect()`` in the plan; their
+  final single-partition aggregation step is one row (inherent to any
+  global scalar), never row data;
 - the per-doc top-k window partitions by document id (never global).
 """
 

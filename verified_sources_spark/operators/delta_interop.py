@@ -266,8 +266,14 @@ def read_delta_table(
     adds, meta = read_delta_log(spark, path, version, fs)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    # the spec says physicalName metadata is honored ONLY when column
+    # mapping is active — leftover metadata on a mode-'none' table (e.g.
+    # a cloned schemaString) must be ignored or every mapped column
+    # would read all-NULL from files that use logical names
+    mapped = column_mapping_mode(meta) == "name"
     phys_of = {
-        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in schema.fields
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) if mapped else f.name
+        for f in schema.fields
     }
     types = {f.name: f.dataType for f in schema.fields}
     if not adds:
@@ -276,7 +282,9 @@ def read_delta_table(
     data_schema = T.StructType(
         [
             T.StructField(
-                phys_of[f.name], _to_physical_type(f.dataType), f.nullable
+                phys_of[f.name],
+                _to_physical_type(f.dataType) if mapped else f.dataType,
+                f.nullable,
             )
             for f in schema.fields
             if f.name not in part_cols

@@ -312,15 +312,24 @@ def read_iceberg_snapshot(
     self-contained, so no replay is needed — the chosen snapshot's
     manifest list IS the full state); default is the current snapshot.
 
-    Data entries: {"file_path", "partition", "record_count",
+    Data entries: {"file_path", "partition" (identity fields only, for
+    column fill), "raw_partition" (canonical JSON of the FULL tuple, for
+    delete partition-scoping), "spec_id", "record_count",
     "file_size_in_bytes", "sequence_number"}.  Position-delete entries
     add nothing; equality-delete entries add "equality_ids".  Sequence
     numbers follow the v2 inheritance rule: an ADDED entry with a null
     ``sequence_number`` inherits the manifest-list entry's; v1 tables
     have no sequence numbers and read as 0 everywhere.
     """
+    import os
+
     fs = fs or HadoopFS(spark)
     path = path.rstrip("/")
+    if "://" not in path and not path.startswith("/"):
+        # a relative local path would leave the manifest-recorded file
+        # paths relative while Spark's _metadata.file_path is absolute,
+        # silently breaking the delete-application path joins
+        path = os.path.abspath(path)
     meta = read_iceberg_metadata(spark, path, fs)
     if int(meta.get("format-version", 1)) > 2:
         raise IcebergProtocolError(f"format-version {meta['format-version']} unsupported")
@@ -341,8 +350,8 @@ def read_iceberg_snapshot(
     def _resolve_rel(p: str) -> str:
         return p if "://" in p or p.startswith("/") else posixpath.join(path, p)
 
-    # (manifest_path, manifest_content, manifest_sequence_number)
-    manifests: list[tuple[str, int, int]] = []
+    # (manifest_path, manifest_content, manifest_sequence_number, spec_id)
+    manifests: list[tuple[str, int, int, int]] = []
     if snap.get("manifest-list"):
         _, entries = read_container(_read_bytes(fs, _resolve_rel(snap["manifest-list"])))
         for e in entries:
@@ -351,10 +360,11 @@ def read_iceberg_snapshot(
                     _resolve_rel(e["manifest_path"]),
                     int(e.get("content") or 0),
                     int(e.get("sequence_number") or 0),
+                    int(e.get("partition_spec_id") or 0),
                 )
             )
     elif snap.get("manifests"):
-        manifests = [(_resolve_rel(p), 0, 0) for p in snap["manifests"]]
+        manifests = [(_resolve_rel(p), 0, 0, 0) for p in snap["manifests"]]
     else:
         raise IcebergProtocolError("snapshot has neither manifest-list nor manifests")
 
@@ -362,7 +372,7 @@ def read_iceberg_snapshot(
     pos_del: list[dict] = []
     eq_del: list[dict] = []
     part_names = list(_identity_partition_sources(meta))
-    for mp, m_content, m_seq in manifests:
+    for mp, m_content, m_seq, m_spec in manifests:
         if m_content not in (0, 1):
             raise IcebergProtocolError(f"unknown manifest content {m_content}")
         _, entries = read_container(_read_bytes(fs, mp))
@@ -393,9 +403,18 @@ def read_iceberg_snapshot(
             part_rec = df_.get("partition") or {}
             entry = {
                 "file_path": _resolve_rel(df_["file_path"]),
-                "partition": {k: part_rec.get(k) for k in part_names}
-                if part_names
-                else dict(part_rec),
+                # identity fields only — the ONLY partition values that
+                # fill missing columns; derived-transform values (bucket
+                # ordinals, day numbers) must never be injected as data
+                "partition": {k: part_rec.get(k) for k in part_names},
+                # full raw tuple, canonicalized, for delete partition
+                # scoping (spec: a delete file from a partitioned spec
+                # applies only within its partition)
+                "raw_partition": json.dumps(
+                    {k: _json_safe(v) for k, v in sorted(part_rec.items())},
+                    separators=(",", ":"),
+                ),
+                "spec_id": m_spec,
                 "record_count": int(df_.get("record_count") or 0),
                 "file_size_in_bytes": int(df_.get("file_size_in_bytes") or 0),
                 "sequence_number": int(seq),
@@ -433,17 +452,31 @@ def read_iceberg_files(
     return data, meta
 
 
+# one shared scheme-stripping pattern for BOTH the driver-side helper and
+# the Catalyst expression — the delete joins depend on the two producing
+# identical normal forms, so the pattern must never drift between them
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:/+"
+_SCHEME_PAT = None  # compiled lazily
+
+
 def _norm_path_py(p: str) -> str:
     """Normalize a file URI/path so manifest-recorded paths and Spark's
     ``_metadata.file_path`` compare equal: ``file:///x``, ``file:/x`` and
     ``/x`` all become ``/x`` (scheme+slashes collapse to one slash)."""
-    import re
+    global _SCHEME_PAT
+    if _SCHEME_PAT is None:
+        import re
 
-    return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/", p)
+        _SCHEME_PAT = re.compile(_SCHEME_RE)
+    return _SCHEME_PAT.sub("/", p)
 
 
 def _norm_path_expr(col):
-    return F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/")
+    return F.regexp_replace(col, _SCHEME_RE, "/")
+
+
+def _json_safe(v):
+    return v.hex() if isinstance(v, (bytes, bytearray)) else v
 
 
 def _scan_data_files(
@@ -515,7 +548,7 @@ def read_iceberg_table(
     files, pos_del, eq_del, meta = read_iceberg_snapshot(
         spark, path, fs, snapshot_id=snapshot_id
     )
-    schema = spark_schema_from_iceberg(_current_schema(meta))
+    schema = spark_schema_from_iceberg(_snapshot_schema(meta, snapshot_id))
     if not files:
         return spark.createDataFrame([], schema)
     out_cols = [f.name for f in schema.fields]
@@ -524,16 +557,41 @@ def read_iceberg_table(
     if not has_deletes:
         return data
 
-    # data sequence numbers ride in as a tiny broadcast map keyed on the
-    # normalized file path (metadata-sized: one row per data FILE)
+    # per-data-file attributes (sequence number, spec, raw partition
+    # tuple) ride in as a tiny broadcast map keyed on the normalized file
+    # path (metadata-sized: one row per data FILE).  A row whose scanned
+    # _metadata.file_path fails to match its manifest entry would falsify
+    # BOTH sequence-visibility gates, so a miss raises instead of
+    # defaulting (assert_true evaluates inside the kept column — Catalyst
+    # cannot prune it away).
     seq_rows = [
-        (_norm_path_py(e["file_path"]), e["sequence_number"]) for e in files
+        (
+            _norm_path_py(e["file_path"]),
+            e["sequence_number"],
+            e["spec_id"],
+            e["raw_partition"],
+        )
+        for e in files
     ]
     seq_df = spark.createDataFrame(
-        seq_rows, "__ice_fp string, __ice_data_seq long"
+        seq_rows, "__ice_fp string, __ice_data_seq long, __ice_spec long, __ice_part string"
     )
     data = data.join(F.broadcast(seq_df), "__ice_fp", "left").withColumn(
-        "__ice_data_seq", F.coalesce(F.col("__ice_data_seq"), F.lit(0))
+        "__ice_data_seq",
+        F.when(
+            F.assert_true(
+                F.col("__ice_data_seq").isNotNull(),
+                F.concat(
+                    F.lit("iceberg read: scanned file path "),
+                    F.col("__ice_fp"),
+                    F.lit(
+                        " matches no manifest entry — path normalization "
+                        "drift would misapply row-level deletes"
+                    ),
+                ),
+            ).isNull(),
+            F.col("__ice_data_seq"),
+        ),
     )
 
     if pos_del:
@@ -560,17 +618,28 @@ def read_iceberg_table(
         )
         data = data.join(pd_all, cond, "left_anti")
 
-    # equality deletes: one anti-join per (field set, sequence) group;
-    # null-safe equality (spec: "null equals null"), STRICTLY-older gate
+    # equality deletes: one anti-join per (field set, sequence, partition
+    # scope) group; null-safe equality (spec: "null equals null"),
+    # STRICTLY-older sequence gate, and the spec's partition scoping — a
+    # delete file written under a partitioned spec applies only to data
+    # files of the SAME partition tuple; only an unpartitioned-spec
+    # delete (empty tuple) is global.
     if eq_del:
         id_to_name = {
-            f["id"]: f["name"] for f in _current_schema(meta)["fields"]
+            f["id"]: f["name"]
+            for f in _snapshot_schema(meta, snapshot_id)["fields"]
         }
+        data_specs = {e["spec_id"] for e in files}
         eq_groups: dict[tuple, list[dict]] = {}
         for e in eq_del:
-            key = (tuple(sorted(e["equality_ids"])), e["sequence_number"])
+            key = (
+                tuple(sorted(e["equality_ids"])),
+                e["sequence_number"],
+                e["spec_id"],
+                e["raw_partition"],
+            )
             eq_groups.setdefault(key, []).append(e)
-        for (ids, seq), entries in sorted(eq_groups.items()):
+        for (ids, seq, spec_id, raw_part), entries in sorted(eq_groups.items()):
             try:
                 cols = [id_to_name[i] for i in ids]
             except KeyError as exc:
@@ -578,17 +647,52 @@ def read_iceberg_table(
                     f"equality_ids {list(ids)} reference unknown/nested "
                     f"fields (have {sorted(id_to_name)})"
                 ) from exc
+            scoped = raw_part != "{}"
+            if scoped and data_specs - {spec_id}:
+                # a partition-scoped delete cannot be matched against
+                # data files laid out under a DIFFERENT spec without
+                # evaluating partition transforms — refuse, don't guess
+                raise IcebergProtocolError(
+                    f"equality delete under spec {spec_id} is partition-"
+                    f"scoped but data files use specs {sorted(data_specs)}"
+                )
             ed = (
                 spark.read.parquet(*[e["file_path"] for e in entries])
                 .select([F.col(c).alias(f"__eq_{c}") for c in cols])
                 .dropDuplicates()
             )
             cond = F.lit(seq) > F.col("__ice_data_seq")
+            if scoped:
+                cond = cond & (F.col("__ice_part") == F.lit(raw_part))
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             data = data.join(ed, cond, "left_anti")
 
     return data.select(out_cols)
+
+
+def _snapshot_schema(meta: dict, snapshot_id: int | None) -> dict:
+    """Schema for the snapshot being read: a time-traveled snapshot reads
+    under ITS recorded ``schema-id`` (reading old files under the current
+    schema would surface renamed columns as all-NULL with this reader's
+    by-name resolution); falls back to the current schema when the
+    snapshot predates schema tracking."""
+    snap = None
+    if snapshot_id is not None:
+        snap = next(
+            (
+                s
+                for s in meta.get("snapshots", [])
+                if s.get("snapshot-id") == snapshot_id
+            ),
+            None,
+        )
+    if snap is not None and snap.get("schema-id") is not None and "schemas" in meta:
+        sid = snap["schema-id"]
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+    return _current_schema(meta)
 
 
 def _read_bytes(fs: FS, path: str) -> bytes:
