@@ -348,6 +348,40 @@ def test_time_travel_uses_checkpoint_for_cleaned_up_commits(spark, tmp_path):
         read_delta_table(spark, root, version=0)
 
 
+def test_write_checkpoint_replaces_json_replay(spark, tmp_path, sink_fs):
+    """write_delta_checkpoint produces a spec-shaped V1 checkpoint that
+    fully replaces the JSON commits it covers: after deleting them the
+    table still reads, and a post-checkpoint commit replays on top."""
+    from verified_sources_spark.operators.delta_interop import write_delta_checkpoint
+
+    t = ManifestTable(spark, str(tmp_path / "cp"), partition_by=["day"], fs=sink_fs)
+    t.append(spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")],
+        "day string, k long, v string"))
+    export_manifest_as_delta(t)
+    t.append(spark.createDataFrame(
+        [("2024-01-03", 3, "c")], "day string, k long, v string"))
+    export_manifest_as_delta(t)
+
+    cp = write_delta_checkpoint(spark, t.path)
+    assert cp.endswith(f"{1:020d}.checkpoint.parquet")
+    lc = json.loads(open(os.path.join(t.path, "_delta_log", "_last_checkpoint")).read())
+    assert lc["version"] == 1
+    # checkpoint state alone reconstructs the table: drop the JSONs
+    os.remove(os.path.join(t.path, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(t.path, "_delta_log", f"{1:020d}.json"))
+    got = read_delta_table(spark, t.path)
+    assert _rows(got.select("day", "k", "v")) == {
+        ("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"), ("2024-01-03", 3, "c")}
+
+    # a commit AFTER the checkpoint still replays on top of it
+    t.replace(spark.createDataFrame(
+        [("2024-01-04", 4, "d")], "day string, k long, v string"))
+    export_manifest_as_delta(t)
+    got2 = read_delta_table(spark, t.path)
+    assert _rows(got2.select("day", "k", "v")) == {("2024-01-04", 4, "d")}
+
+
 def test_export_null_partition_value_is_json_null(spark, tmp_path, sink_fs):
     """A null partition value must export as JSON null in partitionValues,
     not the hive sentinel string."""

@@ -320,6 +320,154 @@ def read_delta_table(
     return out
 
 
+_CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "protocol",
+            T.StructType(
+                [
+                    T.StructField("minReaderVersion", T.IntegerType()),
+                    T.StructField("minWriterVersion", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "metaData",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField(
+                        "format",
+                        T.StructType(
+                            [
+                                T.StructField("provider", T.StringType()),
+                                T.StructField(
+                                    "options", T.MapType(T.StringType(), T.StringType())
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField("schemaString", T.StringType()),
+                    T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                    T.StructField(
+                        "configuration", T.MapType(T.StringType(), T.StringType())
+                    ),
+                    T.StructField("createdTime", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "add",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField(
+                        "partitionValues", T.MapType(T.StringType(), T.StringType())
+                    ),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("modificationTime", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def write_delta_checkpoint(
+    spark: SparkSession, path: str, version: int | None = None, fs: FS | None = None
+) -> str:
+    """Write a classic single-file parquet checkpoint + ``_last_checkpoint``
+    for the Delta log at *path*; returns the checkpoint file path.
+
+    The spec's V1 checkpoint: one parquet file named
+    ``%020d.checkpoint.parquet`` holding the full replayed state — one
+    row per action with exactly one of protocol/metaData/add non-null
+    (expired remove tombstones are not obligatory and none are written).
+    After this, readers (ours included — ``_read_checkpoint`` above)
+    replay only commits AFTER the checkpoint version, and log-cleanup of
+    older JSON commits becomes safe.  The row build is driver-side but
+    metadata-sized (one dict per live file — the same cardinality the
+    log replay already materializes).
+    """
+    fs = fs or HadoopFS(spark)
+    path = path.rstrip("/")
+    versions = _list_log_versions(fs, path)
+    snap = _Snapshot()
+    cp_floor = _read_checkpoint(spark, fs, path, snap, max_version=version)
+    target = version if version is not None else (
+        versions[-1] if versions else cp_floor
+    )
+    if target is None:
+        raise DeltaProtocolError(f"no Delta log at {path}/{_LOG_DIR}")
+    for v in versions:
+        if (cp_floor is None or v > cp_floor) and v <= target:
+            for line in fs.read_text(_log_path(path, v)).splitlines():
+                if line.strip():
+                    snap.apply(json.loads(line))
+    if snap.meta is None:
+        raise DeltaProtocolError("cannot checkpoint a log with no metaData")
+    snap.validate()
+
+    protocol = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rows = [
+        (
+            (
+                int(protocol.get("minReaderVersion", 1)),
+                int(protocol.get("minWriterVersion", 2)),
+            ),
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                str(snap.meta.get("id", "")),
+                (
+                    str((snap.meta.get("format") or {}).get("provider", "parquet")),
+                    dict((snap.meta.get("format") or {}).get("options") or {}),
+                ),
+                str(snap.meta.get("schemaString", "")),
+                list(snap.meta.get("partitionColumns") or []),
+                dict(snap.meta.get("configuration") or {}),
+                int(snap.meta.get("createdTime") or 0),
+            ),
+            None,
+        ),
+    ]
+    for a in snap.adds.values():
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    str(a["path"]),
+                    {
+                        k: (None if v is None else str(v))
+                        for k, v in (a.get("partitionValues") or {}).items()
+                    },
+                    int(a.get("size") or 0),
+                    int(a.get("modificationTime") or 0),
+                    bool(a.get("dataChange", True)),
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
+    stage = f"{path}/{_LOG_DIR}/.checkpoint_stage_{target}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        n for n in fs.listdir(stage) if n.endswith(".parquet")
+    )
+    cp_path = f"{path}/{_LOG_DIR}/{target:020d}.checkpoint.parquet"
+    fs.rename(f"{stage}/{part}", cp_path)
+    fs.rmtree(stage, ignore_errors=True)
+    fs.write_text(
+        f"{path}/{_LOG_DIR}/_last_checkpoint",
+        json.dumps({"version": target, "size": len(rows)}),
+    )
+    return cp_path
+
+
 def export_manifest_as_delta(table, version: int | None = None) -> str:
     """Write/extend a Delta-compatible log describing a ManifestTable
     snapshot, so external Delta readers can consume the table in place.
@@ -343,13 +491,23 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
 
     prev_adds: dict[str, dict] = {}
     existing = _list_log_versions(fs, root)
-    if existing:
-        snap = _Snapshot()
-        for v in existing:
-            for line in fs.read_text(_log_path(root, v)).splitlines():
-                if line.strip():
-                    snap.apply(json.loads(line))
+    snap = _Snapshot()
+    # the previous exported state may live partly in a checkpoint (JSON
+    # commits at/below it can be legally cleaned up) — replay checkpoint
+    # first, then the commits past it, or the diff and the next version
+    # number are both computed against partial state
+    cp_v = _read_checkpoint(table.spark, fs, root, snap)
+    for v in existing:
+        if cp_v is not None and v <= cp_v:
+            continue
+        for line in fs.read_text(_log_path(root, v)).splitlines():
+            if line.strip():
+                snap.apply(json.loads(line))
+    if existing or cp_v is not None:
         prev_adds = snap.adds
+    last_v = max(
+        [v for v in existing] + ([cp_v] if cp_v is not None else [])
+    ) if (existing or cp_v is not None) else None
 
     now_ms = 0  # deterministic export: mod times are advisory in the spec
     current: dict[str, dict] = {}
@@ -371,7 +529,7 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
         }
 
     actions: list[dict] = []
-    next_v = (existing[-1] + 1) if existing else 0
+    next_v = (last_v + 1) if last_v is not None else 0
     if next_v == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -402,7 +560,7 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
     for path_ in sorted(set(current) - set(prev_adds)):
         actions.append({"add": current[path_]})
     if next_v > 0 and len(actions) == 1:
-        return _log_path(root, existing[-1])  # nothing changed: no empty commit
+        return _log_path(root, last_v)  # nothing changed: no empty commit
 
     out_path = _log_path(root, next_v)
     fs.makedirs(f"{root}/{_LOG_DIR}")
