@@ -266,7 +266,7 @@ _DERIVED_TRANSFORM_RE = (
 )
 
 
-def _identity_partition_sources(meta: dict) -> dict[str, int]:
+def _spec_identity_fields(fields: list[dict]) -> dict[str, int]:
     """partition field name → source field id, identity transforms only.
 
     Only IDENTITY partition columns can be absent from data files (the
@@ -278,13 +278,6 @@ def _identity_partition_sources(meta: dict) -> dict[str, int]:
     in the files."""
     import re
 
-    specs = meta.get("partition-specs")
-    if specs:
-        sid = meta.get("default-spec-id", 0)
-        spec = next((s for s in specs if s.get("spec-id") == sid), specs[0])
-        fields = spec.get("fields", [])
-    else:
-        fields = meta.get("partition-spec", [])
     out = {}
     for f in fields:
         tr = f.get("transform")
@@ -298,6 +291,27 @@ def _identity_partition_sources(meta: dict) -> dict[str, int]:
                 "(cannot tell whether its source column is in the data files)"
             )
     return out
+
+
+def _identity_sources_by_spec(meta: dict) -> dict[int, dict[str, int]]:
+    """spec-id → identity partition fields — partition evolution means
+    each manifest's files must be interpreted under the manifest's OWN
+    spec, not the table's default."""
+    specs = meta.get("partition-specs")
+    if specs:
+        return {
+            int(s.get("spec-id", 0)): _spec_identity_fields(s.get("fields", []))
+            for s in specs
+        }
+    return {0: _spec_identity_fields(meta.get("partition-spec", []))}
+
+
+def _identity_partition_sources(meta: dict) -> dict[str, int]:
+    """Default-spec identity fields (compat shim for callers that only
+    care about the current layout)."""
+    by_spec = _identity_sources_by_spec(meta)
+    sid = meta.get("default-spec-id", 0)
+    return by_spec.get(sid, next(iter(by_spec.values()), {}))
 
 
 def read_iceberg_snapshot(
@@ -371,10 +385,14 @@ def read_iceberg_snapshot(
     data: list[dict] = []
     pos_del: list[dict] = []
     eq_del: list[dict] = []
-    part_names = list(_identity_partition_sources(meta))
+    identity_by_spec = _identity_sources_by_spec(meta)
     for mp, m_content, m_seq, m_spec in manifests:
         if m_content not in (0, 1):
             raise IcebergProtocolError(f"unknown manifest content {m_content}")
+        # each manifest's files interpret their partition tuple under the
+        # manifest's OWN spec (partition evolution); an unlisted spec-id
+        # conservatively resolves to no identity fields (no fill)
+        part_names = list(identity_by_spec.get(m_spec, {}))
         _, entries = read_container(_read_bytes(fs, mp))
         for e in entries:
             if int(e.get("status") or 0) == 2:  # DELETED
