@@ -306,12 +306,6 @@ def _identity_sources_by_spec(meta: dict) -> dict[int, dict[str, int]]:
     return {0: _spec_identity_fields(meta.get("partition-spec", []))}
 
 
-def _identity_partition_sources(meta: dict) -> dict[str, int]:
-    """Default-spec identity fields (compat shim for callers that only
-    care about the current layout)."""
-    by_spec = _identity_sources_by_spec(meta)
-    sid = meta.get("default-spec-id", 0)
-    return by_spec.get(sid, next(iter(by_spec.values()), {}))
 
 
 def read_iceberg_snapshot(
