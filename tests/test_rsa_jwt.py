@@ -168,3 +168,47 @@ def test_jwt_bearer_provider_fresh_assertion_per_refresh(key):
     c2 = jwt_decode_unverified(minted[1])[1]
     assert c2["iat"] - c1["iat"] == 120
     assert c1["scope"] == "sheets.readonly"
+
+
+# ---------------------------------------------------------------- properties
+from hypothesis import given, settings, strategies as st
+
+from verified_sources_spark.sources.rsa_jwt import _enc_int, _read_tlv, _der_int
+
+
+@given(st.integers(min_value=0, max_value=2**4096))
+@settings(max_examples=200, deadline=None)
+def test_der_integer_roundtrip(v):
+    der = _enc_int(v)
+    tag, raw, end = _read_tlv(der, 0)
+    assert tag == 0x02 and end == len(der)
+    assert _der_int(raw) == v
+    # DER minimal-encoding invariants: no redundant leading 0x00 unless
+    # needed for the sign bit
+    if len(raw) > 1 and raw[0] == 0:
+        assert raw[1] & 0x80
+
+
+@given(st.dictionaries(
+    st.text(min_size=1, max_size=8),
+    st.one_of(st.text(max_size=16), st.integers(-2**31, 2**31), st.booleans()),
+    max_size=6,
+))
+@settings(max_examples=100, deadline=None)
+def test_jwt_claims_roundtrip(key, claims):
+    tok = jwt_encode_rs256(claims, key)
+    header, got, signing_input, sig = jwt_decode_unverified(tok)
+    assert got == claims
+    assert rs256_verify(signing_input, sig, key.public())
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_tlv_reader_never_overreads(junk):
+    try:
+        tag, raw, end = _read_tlv(junk, 0)
+        assert end <= len(junk)
+        assert len(raw) <= len(junk)
+    except Exception as e:
+        from verified_sources_spark.sources.rsa_jwt import DerError
+        assert isinstance(e, DerError)
