@@ -535,3 +535,26 @@ def test_duplicate_spans_cross_doc_only(spark):
     assert out[3]["n_windows"] == 16 - 8 + 1
     assert out[4]["n_windows"] == 0 and out[4]["dup_span_frac"] == 0.0
     assert abs(out[1]["dup_span_frac"] - 1 / 6) < 1e-6
+
+
+def test_remove_duplicate_spans_pinned(spark):
+    """window=2 removal, hand-computed: the shared span 'x y' is cut
+    from BOTH docs wherever it occurs; non-duplicated tokens survive in
+    order; a doc made entirely of shared spans empties; a doc too short
+    to window is untouched."""
+    from verified_sources_spark.llm.text_prep import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a x y b"),      # spans: 'a x','x y','y b' — only 'x y' shared
+            (2, "x y"),          # exactly the shared span → fully removed
+            (3, "q"),            # too short to window → untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, "doc_id", "text", window=2).collect()}
+    # doc1: positions 1,2 covered ('x','y') → kept 'a','b'
+    assert out[1].clean_text == "a b"
+    assert (out[1].n_tokens, out[1].n_tokens_removed) == (4, 2)
+    assert out[2].clean_text == "" and out[2].n_tokens_removed == 2
+    assert out[3].clean_text == "q" and out[3].n_tokens_removed == 0

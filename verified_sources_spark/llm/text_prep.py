@@ -236,6 +236,86 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """The removal side of ExactSubstr dedup: tokens covered by any
+    ``window``-token span that appears in >= 2 DISTINCT documents are cut
+    and the remaining tokens re-joined — the published recipe removes
+    the duplicated substring from all-but-one (or all) occurrences; this
+    Spark form removes every cross-document duplicated span occurrence,
+    the simplest deterministic policy (no occurrence ordering needed).
+
+    Output per document: ``clean_text`` (kept tokens joined by single
+    spaces — TOKEN-LEVEL reconstruction: original whitespace/punctuation
+    between tokens is not preserved, matching the token-stream view the
+    tokenizer consumes anyway), ``n_tokens`` (original), and
+    ``n_tokens_removed``.  A fully-duplicated document comes back with
+    ``clean_text = ''``.
+
+    Scale shape: span hashes and (doc, position) pairs are the only
+    shuffled payloads until the final per-doc reassembly, which carries
+    each document's KEPT tokens once (the same cardinality any
+    text-rewrite must touch).  The duplicated-span set is NOT broadcast
+    — it is corpus-sized in the worst case — the join is hash-keyed and
+    left to AQE.  Reassembly sorts per-doc token arrays (array_sort on
+    (pos, term) structs), not a global sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)).alias(
+            "pos", "term"
+        ),
+    )
+    sp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(shingles(text_col, window), lambda s: F.md5(s))
+        ).alias("spos", "_h"),
+    )
+    dup = sp.join(
+        sp.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("_h"),
+        "_h",
+    )
+    covered = dup.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("spos"), F.col("spos") + F.lit(window - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    spine = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        spine.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,

@@ -1106,3 +1106,33 @@ ORACLE_SQL["bigram_lm_scores_docs"] = f"""
            sc.avg_nll
     FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
+
+# ExactSubstr removal: same span construction as duplicate_spans_docs;
+# covered positions = every (doc, pos) inside a cross-doc duplicated
+# span occurrence; reassembly is an ordered string_agg of the survivors.
+ORACLE_SQL["remove_duplicate_spans_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS pos FROM t),
+    w AS (SELECT doc_id, i, md5({_SPAN8}) AS h FROM
+          (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM t)),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT w.doc_id, w.i + o.k AS pos
+            FROM w JOIN dup USING (h)
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) o),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.term
+             FROM tok LEFT JOIN cov
+               ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+             WHERE cov.pos IS NULL),
+    reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM documents d
+    JOIN t ON t.doc_id = d.doc_id
+    LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""

@@ -598,6 +598,17 @@ def shuffled_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffled_shards(d, "doc_id", n_shards=8)
 
 
+def remove_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL: cut every cross-document duplicated 8-token
+    span occurrence and rebuild the token stream
+    (llm/text_prep.remove_duplicate_spans) — the transform side of the
+    duplicate_spans statistic."""
+    from verified_sources_spark.llm.text_prep import remove_duplicate_spans
+
+    d = _docs_parallel(spark, sf_dir)
+    return remove_duplicate_spans(d, "doc_id", "text", window=8)
+
+
 def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf·idf
     (llm/relevance.py) — keyword extraction for corpus browsing /
@@ -1388,4 +1399,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffled_shards_docs": shuffled_shards_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "bigram_lm_scores_docs": bigram_lm_scores_docs,
+    "remove_duplicate_spans_docs": remove_duplicate_spans_docs,
 }
