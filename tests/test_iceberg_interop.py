@@ -689,12 +689,27 @@ def test_partition_transform_handling(spark, tmp_path):
         read_iceberg_table(spark, t.path)
 
 
-def test_export_refuses_unexportable_partition_type(spark, tmp_path):
+def test_export_date_partition_roundtrip(spark, tmp_path):
+    """DATE partition columns (the common case) export as spec int
+    day-ordinals and read back as dates via the typed fill."""
     import datetime as dt
 
     t = ManifestTable(spark, str(tmp_path / "x"), partition_by=["day"])
     t.append(spark.createDataFrame(
-        [(dt.date(2024, 1, 1), 1)], "day date, k long"
+        [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 2), 2)], "day date, k long"
+    ))
+    export_manifest_as_iceberg(t)
+    got = read_iceberg_table(spark, t.path)
+    assert _rows(got.select("day", "k")) == {
+        (dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 2), 2)}
+
+
+def test_export_refuses_unexportable_partition_type(spark, tmp_path):
+    import decimal
+
+    t = ManifestTable(spark, str(tmp_path / "xd"), partition_by=["p"])
+    t.append(spark.createDataFrame(
+        [(decimal.Decimal("1.50"), 1)], "p decimal(10,2), k long"
     ))
     with pytest.raises(IcebergProtocolError, match="not exportable"):
         export_manifest_as_iceberg(t)

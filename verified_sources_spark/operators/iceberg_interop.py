@@ -744,8 +744,11 @@ def _partition_avro_schema(part_fields: list[tuple[str, str]]) -> dict:
     start at 1000."""
     fields = []
     for i, (name, ice_type) in enumerate(part_fields):
+        # dates ride as int day-ordinals — the spec's Avro physical form
+        # for partition tuples (Appendix D)
         avro_t = {"int": "int", "long": "long", "string": "string",
-                  "boolean": "boolean", "double": "double", "float": "float"}.get(ice_type)
+                  "boolean": "boolean", "double": "double", "float": "float",
+                  "date": "int"}.get(ice_type)
         if avro_t is None:
             raise IcebergProtocolError(
                 f"partition column {name!r} of type {ice_type!r} not exportable"
@@ -807,6 +810,14 @@ def _typed_partition_value(raw, ice_type: str):
         return float(raw)
     if ice_type == "boolean":
         return str(raw).lower() == "true"
+    if ice_type == "date":
+        # hive dir value "YYYY-MM-DD" (or a date) → spec day-ordinal int
+        d = (
+            raw
+            if isinstance(raw, datetime.date)
+            else datetime.date.fromisoformat(str(raw))
+        )
+        return (d - datetime.date(1970, 1, 1)).days
     return str(raw)
 
 
