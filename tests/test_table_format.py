@@ -413,13 +413,17 @@ def _race_two_appends(spark, tmp_path, sink_fs, make_backend):
                 pass
 
     store = _SimulatedObjectStore(hold=hold)
-    backend = make_backend(store)
     base = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     base.append(spark.createDataFrame([(0, "base")], "k long, v string"))  # v1
 
     conflicts, errors = [], []
 
     def writer(df):
+        # one backend PER WRITER (sharing the store/coordinator through
+        # make_backend's closure): two real writers are two distinct
+        # owner identities — a shared backend instance would race one
+        # owner against itself, which lock-with-TTL legitimately allows
+        backend = make_backend(store)
         t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs, commit_backend=backend)
         for _ in range(5):
             try:
@@ -470,10 +474,11 @@ def test_object_store_backends_guarantee_one_winner(spark, tmp_path, sink_fs, ki
         LockTableCommitBackend,
     )
 
+    coord = InProcessCoordinator()  # shared: ONE coordinator, two owners
+
     def make_backend(store):
         if kind == "conditional_put":
             return ConditionalPutCommitBackend(store)
-        coord = InProcessCoordinator()
 
         class _HoldingLockBackend(LockTableCommitBackend):
             # route the forced hold through the claim path: both writers
