@@ -382,6 +382,49 @@ def test_write_checkpoint_replaces_json_replay(spark, tmp_path, sink_fs):
     assert _rows(got2.select("day", "k", "v")) == {("2024-01-04", 4, "d")}
 
 
+def test_checkpoint_writer_refuses_partial_state_and_is_idempotent(
+    spark, tmp_path, sink_fs
+):
+    """write_delta_checkpoint must never persist partial state: a
+    version pinned BELOW an existing checkpoint whose covered commits
+    were cleaned up raises (same gap validation the readers use), and a
+    re-run at the same version is an idempotent no-op."""
+    from verified_sources_spark.operators.delta_interop import write_delta_checkpoint
+
+    t = ManifestTable(spark, str(tmp_path / "cpi"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+    cp = write_delta_checkpoint(spark, t.path)
+    # idempotent: same version, same path, no error, no rewrite
+    assert write_delta_checkpoint(spark, t.path) == cp
+    os.remove(os.path.join(t.path, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(t.path, "_delta_log", f"{1:020d}.json"))
+    # version 0's commits are gone and the checkpoint (v1) can't serve a
+    # v0 target: refuse, never write a checkpoint missing commit 0's adds
+    with pytest.raises((DeltaProtocolError, FileNotFoundError)):
+        write_delta_checkpoint(spark, t.path, version=0)
+    # _last_checkpoint untouched by the refused attempt
+    lc = json.loads(open(os.path.join(t.path, "_delta_log", "_last_checkpoint")).read())
+    assert lc["version"] == 1
+
+
+def test_checkpoint_adds_carry_datachange_false(spark, tmp_path, sink_fs):
+    """Spec: checkpoint actions describe STATE — dataChange must be
+    false or streaming readers bootstrapping from the checkpoint re-emit
+    every file as a change event."""
+    from verified_sources_spark.operators.delta_interop import write_delta_checkpoint
+
+    t = ManifestTable(spark, str(tmp_path / "cpd"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    cp = write_delta_checkpoint(spark, t.path)
+    rows = spark.read.parquet(cp).collect()
+    adds = [r.add for r in rows if r.add is not None]
+    assert adds and all(a.dataChange is False for a in adds)
+
+
 def test_export_null_partition_value_is_json_null(spark, tmp_path, sink_fs):
     """A null partition value must export as JSON null in partitionValues,
     not the hive sentinel string."""

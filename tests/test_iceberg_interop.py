@@ -653,6 +653,29 @@ def test_bucket_only_spec_never_fills_from_tuple(spark, tmp_path):
     assert _rows(got) == {(None,), (7,)}  # NULL stays NULL, 3 never appears
 
 
+def test_unused_bad_spec_does_not_block_read(spark, tmp_path):
+    """An unknown transform in an OLD spec no live manifest references
+    must not fail the table; a manifest referencing an UNDEFINED spec-id
+    must (filling nothing would read identity columns all-NULL)."""
+    t = ManifestTable(spark, str(tmp_path / "ls"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    p = export_manifest_as_iceberg(t)
+    meta = json.loads(t.fs.read_text(p))
+    # dead spec 7 with a transform this reader can't interpret
+    meta["partition-specs"].append(
+        {"spec-id": 7, "fields": [
+            {"name": "z", "transform": "zorder", "source-id": 1, "field-id": 1001}]})
+    t.fs.write_text(p, json.dumps(meta))
+    assert _rows(read_iceberg_table(spark, t.path)) == {(1,)}
+
+    # now drop the spec the manifests actually use: must refuse
+    meta["partition-specs"] = [s for s in meta["partition-specs"]
+                               if s["spec-id"] != 0]
+    t.fs.write_text(p, json.dumps(meta))
+    with pytest.raises(IcebergProtocolError, match="does not define"):
+        read_iceberg_table(spark, t.path)
+
+
 def test_norm_path_forms_compare_equal():
     from verified_sources_spark.operators.iceberg_interop import _norm_path_py
 

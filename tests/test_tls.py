@@ -96,3 +96,31 @@ def test_client_rejects_unknown_server_ca(certs):
         with socket.create_connection(("127.0.0.1", port)) as raw:
             ctx.wrap_socket(raw)
     t.join(5)
+
+
+def test_default_cert_valid_now_and_2050_uses_generalizedtime():
+    """Default-minted certs must be valid at mint time (a fixed epoch
+    default is a time bomb), and validity dates >= 2050 must encode as
+    GeneralizedTime (UTCTime's 2-digit years wrap to 19xx)."""
+    import base64
+    import datetime
+
+    from verified_sources_spark.sources.rsa_jwt import _read_tlv, generate_rsa_key
+    from verified_sources_spark.sources.tls import _x509_time, self_signed_cert
+
+    # UTCTime (0x17) below 2050, GeneralizedTime (0x18) at/after
+    assert _x509_time(datetime.datetime(2049, 12, 31))[0] == 0x17
+    assert _x509_time(datetime.datetime(2050, 1, 1))[0] == 0x18
+    tag, val, _ = _read_tlv(_x509_time(datetime.datetime(2055, 6, 1, 12)), 0)
+    assert val == b"20550601120000Z"
+
+    # a default-minted cert loads as a trust anchor RIGHT NOW
+    import ssl
+
+    key = generate_rsa_key(2048, rng=random.Random(77))
+    pem = self_signed_cert(key, "now.test")
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.load_verify_locations(cadata=pem)
+    der = base64.b64decode(
+        "".join(l for l in pem.splitlines() if not l.startswith("-----")))
+    assert der[0] == 0x30

@@ -165,16 +165,14 @@ def _read_checkpoint(
     return v
 
 
-def read_delta_log(
-    spark: SparkSession, path: str, version: int | None = None, fs: FS | None = None
-) -> tuple[list[dict], dict]:
-    """Replay an external Delta log; returns (live add-actions, metaData).
-
-    ``version`` pins time travel (replay commits ≤ version); default is
-    the latest commit.  Raises on reader-version requirements above plain
-    parquet semantics rather than mis-reading."""
-    fs = fs or HadoopFS(spark)
-    path = path.rstrip("/")
+def _replay_snapshot(
+    spark: SparkSession, fs: FS, path: str, version: int | None
+) -> tuple[_Snapshot, int]:
+    """Replay checkpoint + contiguous commits to *version* (default
+    latest); returns (snapshot, replayed_version).  ALL consumers of log
+    state go through here so the gap/contiguity validation cannot be
+    bypassed — a replay over missing commits raises, never silently
+    reconstructs partial state."""
     versions = _list_log_versions(fs, path)
     snap = _Snapshot()
     # The checkpoint is needed for time travel too: writers clean up JSON
@@ -214,6 +212,20 @@ def read_delta_log(
     if snap.meta is None:
         raise DeltaProtocolError(f"no metaData action found in {path}/{_LOG_DIR}")
     snap.validate()
+    return snap, target
+
+
+def read_delta_log(
+    spark: SparkSession, path: str, version: int | None = None, fs: FS | None = None
+) -> tuple[list[dict], dict]:
+    """Replay an external Delta log; returns (live add-actions, metaData).
+
+    ``version`` pins time travel (replay commits ≤ version); default is
+    the latest commit.  Raises on reader-version requirements above plain
+    parquet semantics rather than mis-reading."""
+    fs = fs or HadoopFS(spark)
+    path = path.rstrip("/")
+    snap, _ = _replay_snapshot(spark, fs, path, version)
     return list(snap.adds.values()), snap.meta
 
 
@@ -392,22 +404,15 @@ def write_delta_checkpoint(
     """
     fs = fs or HadoopFS(spark)
     path = path.rstrip("/")
-    versions = _list_log_versions(fs, path)
-    snap = _Snapshot()
-    cp_floor = _read_checkpoint(spark, fs, path, snap, max_version=version)
-    target = version if version is not None else (
-        versions[-1] if versions else cp_floor
-    )
-    if target is None:
-        raise DeltaProtocolError(f"no Delta log at {path}/{_LOG_DIR}")
-    for v in versions:
-        if (cp_floor is None or v > cp_floor) and v <= target:
-            for line in fs.read_text(_log_path(path, v)).splitlines():
-                if line.strip():
-                    snap.apply(json.loads(line))
-    if snap.meta is None:
-        raise DeltaProtocolError("cannot checkpoint a log with no metaData")
-    snap.validate()
+    # the SAME validated replay readers use: a gap (commits cleaned up
+    # past an unusable checkpoint, corrupted _last_checkpoint...) raises
+    # here instead of silently persisting a checkpoint of partial state
+    snap, target = _replay_snapshot(spark, fs, path, version)
+    cp_path = f"{path}/{_LOG_DIR}/{target:020d}.checkpoint.parquet"
+    if fs.exists(cp_path):
+        # idempotent re-run: the log below `target` is immutable, so an
+        # existing checkpoint at that version is already this state
+        return cp_path
 
     protocol = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     rows = [
@@ -448,19 +453,24 @@ def write_delta_checkpoint(
                     },
                     int(a.get("size") or 0),
                     int(a.get("modificationTime") or 0),
-                    bool(a.get("dataChange", True)),
+                    # spec: checkpoint actions carry dataChange=false —
+                    # they describe state, not new data; a streaming
+                    # reader bootstrapping from the checkpoint must not
+                    # re-emit every file as a change event
+                    False,
                 ),
             )
         )
     df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
     stage = f"{path}/{_LOG_DIR}/.checkpoint_stage_{target}"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(
-        n for n in fs.listdir(stage) if n.endswith(".parquet")
-    )
-    cp_path = f"{path}/{_LOG_DIR}/{target:020d}.checkpoint.parquet"
-    fs.rename(f"{stage}/{part}", cp_path)
-    fs.rmtree(stage, ignore_errors=True)
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            n for n in fs.listdir(stage) if n.endswith(".parquet")
+        )
+        fs.rename(f"{stage}/{part}", cp_path)
+    finally:
+        fs.rmtree(stage, ignore_errors=True)
     fs.write_text(
         f"{path}/{_LOG_DIR}/_last_checkpoint",
         json.dumps({"version": target, "size": len(rows)}),
@@ -560,7 +570,13 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
     for path_ in sorted(set(current) - set(prev_adds)):
         actions.append({"add": current[path_]})
     if next_v > 0 and len(actions) == 1:
-        return _log_path(root, last_v)  # nothing changed: no empty commit
+        # nothing changed: no empty commit.  The last commit's JSON may
+        # have been cleaned up past a checkpoint — return whichever form
+        # of version `last_v` actually exists on disk.
+        prev_path = _log_path(root, last_v)
+        if fs.exists(prev_path):
+            return prev_path
+        return f"{root}/{_LOG_DIR}/{last_v:020d}.checkpoint.parquet"
 
     out_path = _log_path(root, next_v)
     fs.makedirs(f"{root}/{_LOG_DIR}")

@@ -293,17 +293,31 @@ def _spec_identity_fields(fields: list[dict]) -> dict[str, int]:
     return out
 
 
-def _identity_sources_by_spec(meta: dict) -> dict[int, dict[str, int]]:
-    """spec-id → identity partition fields — partition evolution means
-    each manifest's files must be interpreted under the manifest's OWN
-    spec, not the table's default."""
-    specs = meta.get("partition-specs")
-    if specs:
-        return {
-            int(s.get("spec-id", 0)): _spec_identity_fields(s.get("fields", []))
-            for s in specs
-        }
-    return {0: _spec_identity_fields(meta.get("partition-spec", []))}
+class _SpecResolver:
+    """spec-id → identity partition fields, resolved LAZILY — partition
+    evolution means each manifest's files must be interpreted under the
+    manifest's OWN spec, and an unreadable transform in an old spec no
+    live manifest references must not fail the whole table.  An unknown
+    spec-id raises (filling nothing would silently read identity
+    partition columns as all-NULL — the refuse-don't-misread policy)."""
+
+    def __init__(self, meta: dict):
+        specs = meta.get("partition-specs")
+        if specs:
+            self._raw = {int(s.get("spec-id", 0)): s.get("fields", []) for s in specs}
+        else:
+            self._raw = {0: meta.get("partition-spec", [])}
+        self._resolved: dict[int, dict[str, int]] = {}
+
+    def identity_fields(self, spec_id: int) -> dict[str, int]:
+        if spec_id not in self._resolved:
+            if spec_id not in self._raw:
+                raise IcebergProtocolError(
+                    f"manifest references partition spec {spec_id} which the "
+                    f"table metadata does not define (have {sorted(self._raw)})"
+                )
+            self._resolved[spec_id] = _spec_identity_fields(self._raw[spec_id])
+        return self._resolved[spec_id]
 
 
 
@@ -379,14 +393,11 @@ def read_iceberg_snapshot(
     data: list[dict] = []
     pos_del: list[dict] = []
     eq_del: list[dict] = []
-    identity_by_spec = _identity_sources_by_spec(meta)
+    specs = _SpecResolver(meta)
     for mp, m_content, m_seq, m_spec in manifests:
         if m_content not in (0, 1):
             raise IcebergProtocolError(f"unknown manifest content {m_content}")
-        # each manifest's files interpret their partition tuple under the
-        # manifest's OWN spec (partition evolution); an unlisted spec-id
-        # conservatively resolves to no identity fields (no fill)
-        part_names = list(identity_by_spec.get(m_spec, {}))
+        part_names = list(specs.identity_fields(m_spec))
         _, entries = read_container(_read_bytes(fs, mp))
         for e in entries:
             if int(e.get("status") or 0) == 2:  # DELETED

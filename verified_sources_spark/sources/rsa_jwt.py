@@ -238,6 +238,25 @@ def parse_pem_public_key(pem: str) -> RsaPublicKey:
     return RsaPublicKey(ints[0], ints[1])
 
 
+def pem_wrap(label: str, der: bytes) -> str:
+    """DER → PEM with the standard 64-column base64 body."""
+    b64 = base64.b64encode(der).decode()
+    lines = [b64[i : i + 64] for i in range(0, len(b64), 64)]
+    return (
+        f"-----BEGIN {label}-----\n" + "\n".join(lines) + f"\n-----END {label}-----\n"
+    )
+
+
+def spki_der(n: int, e: int) -> bytes:
+    """SubjectPublicKeyInfo DER for an RSA public key — shared by the
+    public-key PEM writer and the X.509 certificate minter."""
+    rsa_pub = _enc_seq(_enc_int(n), _enc_int(e))
+    return _enc_seq(
+        _enc_seq(_enc_oid(_RSA_OID), _tlv(0x05, b"")),
+        _tlv(0x03, b"\x00" + rsa_pub),
+    )
+
+
 def private_key_to_pem(key: RsaPrivateKey, pkcs8: bool = True) -> str:
     body = _enc_seq(
         _enc_int(0), _enc_int(key.n), _enc_int(key.e), _enc_int(key.d),
@@ -250,23 +269,12 @@ def private_key_to_pem(key: RsaPrivateKey, pkcs8: bool = True) -> str:
             _enc_seq(_enc_oid(_RSA_OID), _tlv(0x05, b"")),  # NULL params
             _tlv(0x04, body),
         )
-        label = "PRIVATE KEY"
-    else:
-        label = "RSA PRIVATE KEY"
-    b64 = base64.b64encode(body).decode()
-    lines = [b64[i : i + 64] for i in range(0, len(b64), 64)]
-    return f"-----BEGIN {label}-----\n" + "\n".join(lines) + f"\n-----END {label}-----\n"
+        return pem_wrap("PRIVATE KEY", body)
+    return pem_wrap("RSA PRIVATE KEY", body)
 
 
 def public_key_to_pem(key: RsaPublicKey) -> str:
-    rsa_pub = _enc_seq(_enc_int(key.n), _enc_int(key.e))
-    spki = _enc_seq(
-        _enc_seq(_enc_oid(_RSA_OID), _tlv(0x05, b"")),
-        _tlv(0x03, b"\x00" + rsa_pub),
-    )
-    b64 = base64.b64encode(spki).decode()
-    lines = [b64[i : i + 64] for i in range(0, len(b64), 64)]
-    return "-----BEGIN PUBLIC KEY-----\n" + "\n".join(lines) + "\n-----END PUBLIC KEY-----\n"
+    return pem_wrap("PUBLIC KEY", spki_der(key.n, key.e))
 
 
 # -------------------------------------------------------- sign and verify

@@ -21,7 +21,6 @@ certs; the minting exists for fixtures and local fakes, exactly like
 
 from __future__ import annotations
 
-import base64
 import datetime
 import ssl
 
@@ -31,11 +30,12 @@ from verified_sources_spark.sources.rsa_jwt import (
     _enc_oid,
     _enc_seq,
     _tlv,
+    pem_wrap,
     rs256_sign,
+    spki_der,
 )
 
 _SHA256_RSA_OID = "1.2.840.113549.1.1.11"  # sha256WithRSAEncryption
-_RSA_OID = "1.2.840.113549.1.1.1"
 _CN_OID = "2.5.4.3"  # commonName
 
 
@@ -44,16 +44,13 @@ def _name(cn: str) -> bytes:
     return _enc_seq(_tlv(0x31, atv))  # RDNSequence = SEQUENCE OF SET
 
 
-def _utctime(dt: datetime.datetime) -> bytes:
+def _x509_time(dt: datetime.datetime) -> bytes:
+    # X.509: UTCTime (2-digit year) covers 1950-2049 ONLY; dates from
+    # 2050 MUST use GeneralizedTime or they'd silently wrap to 19xx and
+    # read as expired
+    if dt.year >= 2050:
+        return _tlv(0x18, dt.strftime("%Y%m%d%H%M%SZ").encode())
     return _tlv(0x17, dt.strftime("%y%m%d%H%M%SZ").encode())
-
-
-def _spki(key: RsaPrivateKey) -> bytes:
-    rsa_pub = _enc_seq(_enc_int(key.n), _enc_int(key.e))
-    return _enc_seq(
-        _enc_seq(_enc_oid(_RSA_OID), _tlv(0x05, b"")),
-        _tlv(0x03, b"\x00" + rsa_pub),
-    )
 
 
 def self_signed_cert(
@@ -70,25 +67,26 @@ def self_signed_cert(
     as a trust anchor for stdlib ``ssl`` (verified by the live-handshake
     tests).  Hostname checking needs a SAN, so pair with
     ``check_hostname=False`` + explicit CA pinning — the fixture/fake
-    use this exists for."""
-    nb = not_before if not_before is not None else datetime.datetime(2026, 1, 1)
+    use this exists for.  The default validity window starts an hour ago
+    (clock-skew headroom) and runs ``days`` forward — a fixed default
+    epoch would turn every test/fixture cert into a time bomb."""
+    nb = (
+        not_before
+        if not_before is not None
+        else datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        - datetime.timedelta(hours=1)
+    )
     alg = _enc_seq(_enc_oid(_SHA256_RSA_OID), _tlv(0x05, b""))
     tbs = _enc_seq(
         _enc_int(serial),
         alg,
         _name(common_name),
-        _enc_seq(_utctime(nb), _utctime(nb + datetime.timedelta(days=days))),
+        _enc_seq(_x509_time(nb), _x509_time(nb + datetime.timedelta(days=days))),
         _name(common_name),
-        _spki(key),
+        spki_der(key.n, key.e),
     )
     cert = _enc_seq(tbs, alg, _tlv(0x03, b"\x00" + rs256_sign(tbs, key)))
-    b64 = base64.b64encode(cert).decode()
-    lines = [b64[i : i + 64] for i in range(0, len(b64), 64)]
-    return (
-        "-----BEGIN CERTIFICATE-----\n"
-        + "\n".join(lines)
-        + "\n-----END CERTIFICATE-----\n"
-    )
+    return pem_wrap("CERTIFICATE", cert)
 
 
 def client_context(
