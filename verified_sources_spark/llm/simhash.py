@@ -1,9 +1,19 @@
 """SimHash near-duplicate fingerprinting.
 
-64-bit simhash: each token hashes to 64 bits (xxhash64); bit i of the
-fingerprint is 1 iff the sum over tokens of (+1 / -1 for bit i set/unset)
-is positive.  Computed entirely with Column expressions: explode tokens →
-per-bit sign aggregation → reassemble.  One shuffle on the doc id.
+Simhash: each token hashes to B bits; bit i of the fingerprint is 1 iff
+the sum over tokens of (+1 / -1 for bit i set/unset) is positive.
+Computed entirely with Column expressions: explode tokens → per-bit sign
+aggregation → reassemble.  One shuffle on the doc id.
+
+Two base-hash families, same dataflow:
+
+- ``xxhash64`` (default): 64-bit, the fastest JVM hash;
+- ``md5_60``: 60 bits from the md5 hex prefix — the SAME portable hash
+  construction the MinHash family uses (llm/minhash.py), which a DuckDB
+  oracle can recompute exactly (``('0x' || substr(md5(tok),1,15))::
+  UBIGINT``), turning the simhash queries from rows-only checks into
+  hash-compared ones.  4 fewer bits widens each per-bit sign's variance
+  share by ~7% — immaterial for near-dup blocking.
 
 Near-pair search blocks on bit-bands (pigeonhole: two fingerprints within
 hamming distance d must agree exactly on at least one of d+1 disjoint
@@ -19,21 +29,40 @@ from pyspark.sql import DataFrame
 from verified_sources_spark.functions.text import tokens
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) with simhash as a signed 64-bit long."""
+def _bits_of(base_hash: str) -> int:
+    if base_hash == "xxhash64":
+        return 64
+    if base_hash == "md5_60":
+        return 60
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
+def _base_hash_col(col, base_hash: str):
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    # md5 hex prefix of 15 nibbles = 60 bits, always positive in a long —
+    # mirrors llm/minhash.py's portable base hash
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, base_hash: str = "xxhash64"
+) -> DataFrame:
+    """(id, simhash) with simhash as a signed long (64 or 60 bits used)."""
+    bits = _bits_of(base_hash)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
+    tok = tok.withColumn("h", _base_hash_col(F.col("tok"), base_hash))
     # per-bit contribution: +1 if bit set else -1; sum per doc
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
@@ -47,7 +76,12 @@ def _band(col, band_idx: int, band_bits: int):
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs (id_a < id_b, hamming <= max_hamming).  n_bands must exceed
     max_hamming for the pigeonhole guarantee.
@@ -58,14 +92,15 @@ def simhash_near_pairs(
     output no matter how the join is organized.  When the consumer is
     dedup grouping — the usual case — use ``simhash_dedup_groups``, whose
     candidate set and output are linear in the corpus."""
+    bits = _bits_of(base_hash)
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
-    assert 64 % n_bands == 0
-    band_bits = 64 // n_bands
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
     # materialize the signatures (skinny: id + one bigint) before the
     # self-join: the two join sides fork the plan DAG, and without the
-    # checkpoint the per-token hashing + 64 per-bit aggregations would
+    # checkpoint the per-token hashing + per-bit aggregations would
     # execute once PER SIDE (Spark cannot share subtrees across a fork)
-    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
+    sig = simhash64(df, id_col, text_col, base_hash).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -107,6 +142,7 @@ def simhash_dedup_groups(
     max_hamming: int = 3,
     n_bands: int = 4,
     neighbor_window: int = 8,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, group, group_size) — near-duplicate groups under transitive
     closure of hamming <= max_hamming edges, with LINEAR candidate volume.
@@ -128,10 +164,11 @@ def simhash_dedup_groups(
     thousands of near-identical fingerprints sharing a bucket — is
     exactly where sorted adjacency chains the whole cluster together.
     """
+    bits = _bits_of(base_hash)
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
-    assert 64 % n_bands == 0
-    band_bits = 64 // n_bands
-    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    sig = simhash64(df, id_col, text_col, base_hash).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -1136,3 +1136,73 @@ ORACLE_SQL["remove_duplicate_spans_docs"] = f"""
     JOIN t ON t.doc_id = d.doc_id
     LEFT JOIN reb ON reb.doc_id = d.doc_id
 """
+
+# --- simhash (md5-60 portable base hash): fingerprints, banding, hamming,
+# and the sorted-probe group sampling are all replayed exactly ---
+_SH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(60)
+)
+_SH_FP = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+)
+_SH_SIG = (
+    "sig AS (SELECT doc_id, CAST(" + _SH_FP + " AS BIGINT) AS fp FROM ("
+    "SELECT doc_id, " + _SH_SUMS + " FROM ("
+    "SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS h "
+    f"FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)) "
+    "GROUP BY doc_id))"
+)
+
+# pairs: 15 bands x 4 bits, hamming <= 12 via bit_count(xor)
+ORACLE_SQL["simhash_near_pairs_docs"] = f"""
+    WITH {_SH_SIG},
+    banded AS (
+      SELECT doc_id, fp, o.band_idx,
+             (fp >> (o.band_idx * 4)) & 15 AS band_val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS band_idx) o)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 12
+"""
+
+# groups: 4 bands x 15 bits, lag-window edge sampling (W=8), hamming <= 3,
+# min-reach components via recursive CTE, singleton spine, sizes
+_SH_LAGS = ", ".join(
+    f"lag(doc_id, {k}) OVER w AS nid{k}, lag(fp, {k}) OVER w AS nsh{k}"
+    for k in range(1, 9)
+)
+_SH_EDGE_PARTS = " UNION ALL ".join(
+    f"SELECT least(doc_id, nid{k}) AS id_a, greatest(doc_id, nid{k}) AS id_b "
+    f"FROM lagged WHERE nid{k} IS NOT NULL AND bit_count(xor(fp, nsh{k})) <= 3"
+    for k in range(1, 9)
+)
+ORACLE_SQL["simhash_dedup_groups_docs"] = f"""
+    WITH RECURSIVE {_SH_SIG},
+    banded AS (
+      SELECT doc_id, fp, o.band_idx,
+             (fp >> (o.band_idx * 15)) & 32767 AS band_val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) o),
+    lagged AS (
+      SELECT doc_id, fp, {_SH_LAGS}
+      FROM banded
+      WINDOW w AS (PARTITION BY band_idx, band_val ORDER BY fp, doc_id)),
+    e0 AS (SELECT DISTINCT id_a, id_b FROM ({_SH_EDGE_PARTS})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+              UNION SELECT id_b AS src, id_a AS dst FROM e0),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS grp
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS group_size
+              FROM labeled GROUP BY grp)
+    SELECT l.doc_id, l.grp AS "group", s.group_size
+    FROM labeled l JOIN sizes s ON s.grp = l.grp
+"""

@@ -746,9 +746,14 @@ def line_dedup_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
 
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — no DuckDB equivalent)."""
+    """SimHash near-dup pairs on the PORTABLE md5-60 base hash (same
+    construction as the MinHash family), so the DuckDB oracle recomputes
+    fingerprints, banding, and hamming distances exactly — this was a
+    rows-only check while it used xxhash64."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12, n_bands=16)
+    return simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=12, n_bands=15, base_hash="md5_60"
+    )
 
 
 def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,12 +1272,14 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-candidate simhash dedup groups (sorted-probe scheme) —
-    rows-only: xxhash64 + iterative components aren't SQL-expressible."""
+    """Linear-candidate simhash dedup groups (sorted-probe scheme) on
+    the portable md5-60 base hash: the DuckDB oracle replays the
+    fingerprints, the per-bucket lag-window edge sampling, AND the
+    connected components (recursive CTE) exactly."""
     from verified_sources_spark.llm.simhash import simhash_dedup_groups
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_dedup_groups(d, "doc_id", "text")
+    return simhash_dedup_groups(d, "doc_id", "text", base_hash="md5_60")
 
 
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
