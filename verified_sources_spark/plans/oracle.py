@@ -1206,3 +1206,43 @@ ORACLE_SQL["simhash_dedup_groups_docs"] = f"""
     SELECT l.doc_id, l.grp AS "group", s.group_size
     FROM labeled l JOIN sizes s ON s.grp = l.grp
 """
+
+# sign-LSH ANN: the hyperplanes are deterministic md5-derived constants
+# (llm/similarity._hyperplane, seed 42) — imported from the engine and
+# inlined as literal double lists, so DuckDB recomputes the exact same
+# buckets, then reranks in-bucket with the same cosine expression the
+# exact-top-k oracle uses.
+from verified_sources_spark.llm.similarity import _hyperplane as _ann_plane  # noqa: E402
+
+
+def _ann_bucket_expr(v: str, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    bits = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(x) for x in _ann_plane(dim, p, seed)) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({lit})[i])) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+ORACLE_SQL["ann_lsh_topk_embeddings"] = f"""
+    WITH c AS (SELECT vec_id, embedding,
+                      {_ann_bucket_expr('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / ({_NORM.format(v='q.embedding')} * {_NORM.format(v='b.embedding')}) AS cos
+      FROM q JOIN c b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+             round(cos, 4) AS cosine
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""
