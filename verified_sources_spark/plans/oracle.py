@@ -1246,3 +1246,38 @@ ORACLE_SQL["ann_lsh_topk_embeddings"] = f"""
       FROM scored)
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
 """
+
+# cohort retention: first-seen-day cohorts, per (cohort, offset) distinct
+# actives; exact ints + one rounded division
+ORACLE_SQL["cohort_retention_events"] = """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_day),
+    act AS (SELECT f.cohort_day,
+                   CAST(ev.day - f.cohort_day AS INT) AS offset_days,
+                   CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+            FROM ev JOIN first f USING (user_id)
+            GROUP BY f.cohort_day, offset_days)
+    SELECT a.cohort_day, a.offset_days, a.n_active, s.cohort_size,
+           round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM act a JOIN sizes s USING (cohort_day)
+"""
+
+# funnel: earliest view -> strictly-later click -> strictly-later purchase
+ORACLE_SQL["funnel_conversion_events"] = """
+    WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM u2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM u3) AS BIGINT) AS n_full_funnel,
+           round(CAST((SELECT COUNT(*) FROM u3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM u1), 6) AS view_to_purchase
+"""

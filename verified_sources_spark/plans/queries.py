@@ -598,6 +598,82 @@ def shuffled_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffled_shards(d, "doc_id", n_shards=8)
 
 
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention analysis: users cohorted by FIRST-seen
+    day, activity counted per (cohort, day-offset) — the product-
+    analytics query every event warehouse runs.  Exact integers + one
+    rounded division; both aggregations are map-side-combinable hash
+    aggs and the cohort join is user-keyed (AQE-broadcastable)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select("cohort_day", F.datediff("day", F.col("cohort_day")).alias("offset_days"), "user_id")
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+    return act.join(sizes, "cohort_day").select(
+        "cohort_day",
+        F.col("offset_days").cast("int").alias("offset_days"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click (strictly later) → purchase
+    (strictly later still), per user, earliest-qualifying chain; one
+    summary row of step counts + rounded conversion.  Three user-keyed
+    min-aggregations chained by joins — no window over the whole event
+    stream, no per-user event collection."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # ONE declarative plan: four one-row aggregates broadcast-crossed —
+    # no driver-side .count() actions in the query path
+    n_users = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    n1 = u1.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    n2 = u2.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
+    n3 = u3.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel"))
+    return (
+        n_users.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_users",
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(F.col("n_full_funnel") / F.col("n_view"), 6).alias(
+                "view_to_purchase"
+            ),
+        )
+    )
+
+
 def remove_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr REMOVAL: cut every cross-document duplicated 8-token
     span occurrence and rebuild the token stream
@@ -1407,4 +1483,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "bigram_lm_scores_docs": bigram_lm_scores_docs,
     "remove_duplicate_spans_docs": remove_duplicate_spans_docs,
+    "cohort_retention_events": cohort_retention_events,
+    "funnel_conversion_events": funnel_conversion_events,
 }
