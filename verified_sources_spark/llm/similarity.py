@@ -284,6 +284,13 @@ def ivf_topk(
     )
 
 
+# frozen parameters of the graded ann_lsh_topk_embeddings query: ONE
+# source of truth shared by the query wrapper (plans/queries.py) and the
+# DuckDB oracle's bucket-constant generation (plans/oracle.py) — change
+# here and both sides move together
+ANN_LSH_GRADED = {"k": 3, "n_planes": 6, "dim": 64, "seed": 42}
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
     import hashlib

@@ -1212,10 +1212,15 @@ ORACLE_SQL["simhash_dedup_groups_docs"] = f"""
 # inlined as literal double lists, so DuckDB recomputes the exact same
 # buckets, then reranks in-bucket with the same cosine expression the
 # exact-top-k oracle uses.
+from verified_sources_spark.llm.similarity import ANN_LSH_GRADED  # noqa: E402
 from verified_sources_spark.llm.similarity import _hyperplane as _ann_plane  # noqa: E402
 
 
-def _ann_bucket_expr(v: str, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+def _ann_bucket_expr(v: str) -> str:
+    # parameters come from the SAME frozen dict the query wrapper uses
+    n_planes, dim, seed = (
+        ANN_LSH_GRADED["n_planes"], ANN_LSH_GRADED["dim"], ANN_LSH_GRADED["seed"]
+    )
     bits = []
     for p in range(n_planes):
         lit = "[" + ", ".join(repr(x) for x in _ann_plane(dim, p, seed)) + "]"
@@ -1244,7 +1249,8 @@ ORACLE_SQL["ann_lsh_topk_embeddings"] = f"""
                   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
              round(cos, 4) AS cosine
       FROM scored)
-    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked
+    WHERE rank <= {ANN_LSH_GRADED["k"]}
 """
 
 # cohort retention: first-seen-day cohorts, per (cohort, offset) distinct

@@ -603,7 +603,13 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     day, activity counted per (cohort, day-offset) — the product-
     analytics query every event warehouse runs.  Exact integers + one
     rounded division; both aggregations are map-side-combinable hash
-    aggs and the cohort join is user-keyed (AQE-broadcastable)."""
+    aggs and the cohort join is user-keyed (AQE-broadcastable).
+
+    TZ note: ``to_date`` is session-timezone dependent, but
+    ``load_table`` pins ``spark.sql.session.timeZone=UTC`` session-wide
+    (the engine contract, catalog._ensure_session_confs), so the day
+    derivation matches the oracle's naive CAST(ts AS DATE) on any host
+    TZ — verified under TZ=America/New_York."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
@@ -633,18 +639,22 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregations chained by joins — no window over the whole event
     stream, no per-user event collection."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each step feeds BOTH the next step and a count — materialize the
+    # skinny per-user tables before the plan forks (Spark cannot share
+    # subtrees across a fork; same pattern as llm/simhash's signature cut),
+    # or the events scan and the step aggregations re-run per consumer
     u1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    )
+    ).localCheckpoint(eager=False)
     u2 = (
         ev.filter(F.col("event_type") == "click")
         .join(u1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    )
+    ).localCheckpoint(eager=False)
     u3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(u2, "user_id")
@@ -833,10 +843,20 @@ def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets (scale path)."""
+    """Approximate NN via random-hyperplane LSH buckets (scale path);
+    parameters frozen in similarity.ANN_LSH_GRADED, shared with the
+    oracle's bucket-constant generation."""
+    from verified_sources_spark.llm.similarity import ANN_LSH_GRADED
+
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(e, queries, k=3, n_planes=6)
+    return lsh_bucketed_topk(
+        e,
+        queries,
+        k=ANN_LSH_GRADED["k"],
+        n_planes=ANN_LSH_GRADED["n_planes"],
+        seed=ANN_LSH_GRADED["seed"],
+    )
 
 
 
