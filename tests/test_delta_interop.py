@@ -410,6 +410,37 @@ def test_checkpoint_writer_refuses_partial_state_and_is_idempotent(
     assert lc["version"] == 1
 
 
+def test_clean_delta_log_removes_only_covered_commits(spark, tmp_path, sink_fs):
+    """Log cleanup deletes commits <= the checkpoint version, the table
+    still reads, post-checkpoint commits survive, and a missing
+    checkpoint file refuses cleanup."""
+    from verified_sources_spark.operators.delta_interop import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "cl"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+    write_delta_checkpoint(spark, t.path)
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    export_manifest_as_delta(t)  # commit 2, AFTER the checkpoint at 1
+
+    assert clean_delta_log(spark, t.path) == [0, 1]
+    assert not os.path.exists(os.path.join(t.path, "_delta_log", f"{0:020d}.json"))
+    assert os.path.exists(os.path.join(t.path, "_delta_log", f"{2:020d}.json"))
+    got = read_delta_table(spark, t.path)
+    assert _rows(got.select("k", "v")) == {(1, "a"), (2, "b"), (3, "c")}
+    assert clean_delta_log(spark, t.path) == []  # idempotent
+
+    # sabotage: _last_checkpoint names a checkpoint that is gone
+    os.remove(os.path.join(t.path, "_delta_log", f"{1:020d}.checkpoint.parquet"))
+    with pytest.raises(DeltaProtocolError, match="refusing to delete"):
+        clean_delta_log(spark, t.path)
+
+
 def test_checkpoint_adds_carry_datachange_false(spark, tmp_path, sink_fs):
     """Spec: checkpoint actions describe STATE — dataChange must be
     false or streaming readers bootstrapping from the checkpoint re-emit

@@ -478,6 +478,39 @@ def write_delta_checkpoint(
     return cp_path
 
 
+def clean_delta_log(
+    spark: SparkSession, path: str, fs: FS | None = None
+) -> list[int]:
+    """Remove JSON commits fully covered by the CURRENT checkpoint;
+    returns the versions removed.
+
+    Mirrors Delta's log-retention cleanup in its safe form: only commits
+    ``<= _last_checkpoint.version`` are candidates (readers replay from
+    the checkpoint), and the checkpoint is re-validated to exist before
+    anything is deleted.  Time travel to versions below the checkpoint
+    becomes impossible after cleanup — the same trade every Delta
+    deployment makes when VACUUM/log-retention runs."""
+    fs = fs or HadoopFS(spark)
+    path = path.rstrip("/")
+    lc_path = f"{path}/{_LOG_DIR}/_last_checkpoint"
+    if not fs.exists(lc_path):
+        return []
+    lc = json.loads(fs.read_text(lc_path))
+    cp_v = int(lc["version"])
+    cp_file = f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.parquet"
+    if not fs.exists(cp_file) and not lc.get("parts"):
+        raise DeltaProtocolError(
+            f"_last_checkpoint names version {cp_v} but {cp_file} is missing; "
+            "refusing to delete commits the checkpoint cannot replace"
+        )
+    removed = []
+    for v in _list_log_versions(fs, path):
+        if v <= cp_v:
+            fs.remove(_log_path(path, v))
+            removed.append(v)
+    return removed
+
+
 def export_manifest_as_delta(table, version: int | None = None) -> str:
     """Write/extend a Delta-compatible log describing a ManifestTable
     snapshot, so external Delta readers can consume the table in place.
