@@ -32,6 +32,7 @@ def run(workdir: str) -> None:
     from verified_sources_spark.session import get_spark
     from verified_sources_spark.operators.table_format import ManifestTable
     from verified_sources_spark.operators.delta_interop import (
+        clean_delta_log,
         export_manifest_as_delta,
         read_delta_table,
         write_delta_checkpoint,
@@ -61,8 +62,10 @@ def run(workdir: str) -> None:
     export_manifest_as_delta(t)
     cp = write_delta_checkpoint(spark, t.path)
     print(f"delta checkpoint: {os.path.basename(cp)}")
+    removed = clean_delta_log(spark, t.path)  # retention: checkpoint covers them
     delta_now = read_delta_table(spark, t.path)
-    print(f"delta reader sees {delta_now.count()} rows:")
+    print(f"delta reader sees {delta_now.count()} rows "
+          f"(after cleaning commits {removed}):")
     delta_now.orderBy("user_id").show()
 
     # 3. Iceberg: self-contained snapshot, read back (+ time travel)

@@ -860,3 +860,38 @@ def test_export_manifests_carry_spec_metadata(spark, tmp_path):
     assert man_meta["partition-spec-id"] == b"0"
     assert man_meta["format-version"] == b"1"
     assert man_meta["content"] == b"data"
+
+
+# ---------------------------------------------------------------- properties
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.lists(
+    st.fixed_dictionaries({
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.text(max_size=40),
+        "b": st.binary(max_size=24),
+        "d": st.floats(allow_nan=False, allow_infinity=True, width=64),
+        "maybe": st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+        "arr": st.lists(st.integers(-(2**40), 2**40), max_size=5),
+    }),
+    max_size=8,
+))
+@settings(max_examples=60, deadline=None)
+def test_avro_codec_property_roundtrip(records):
+    """Zigzag varints at the 64-bit extremes, empty/unicode strings,
+    arbitrary bytes, ±inf doubles, null unions, nested arrays — all
+    round-trip bit-exactly through the container codec."""
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "maybe", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ]}
+    data = write_container(schema, records)
+    got_schema, got = read_container(data)
+    assert got_schema == schema
+    assert got == records
