@@ -534,3 +534,51 @@ def test_lock_table_backend_fails_fast_on_committed_path(tmp_path):
     other = LockTableCommitBackend(coord, LocalFS(), owner="w2")
     with pytest.raises(FileExistsError):
         other.put_if_absent(p, "{}")
+
+
+def test_many_writer_contention_serializes_without_loss(spark, tmp_path, sink_fs):
+    """Scale shape of the commit protocol: FOUR concurrent writers, TWO
+    appends each, all racing the same log through the conditional-put
+    backend.  Every append must eventually land (retry-on-conflict),
+    versions must be contiguous, and the final table must contain every
+    row exactly once — the multi-job cluster scenario, not just the
+    two-writer race."""
+    import threading
+
+    from verified_sources_spark.operators.fs import ConditionalPutCommitBackend
+
+    store = _SimulatedObjectStore()
+    base = ManifestTable(spark, str(tmp_path / "mw"), fs=sink_fs)
+    base.append(spark.createDataFrame([(0, "base")], "k long, v string"))
+
+    errors = []
+
+    def writer(widx):
+        backend = ConditionalPutCommitBackend(store)
+        t = ManifestTable(
+            spark, str(tmp_path / "mw"), fs=sink_fs, commit_backend=backend
+        )
+        for j in range(2):
+            df = spark.createDataFrame([(widx * 10 + j, f"w{widx}-{j}")], "k long, v string")
+            for _ in range(20):
+                try:
+                    t.append(df)
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                errors.append(f"writer {widx} append {j} never landed")
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors
+    final = ManifestTable(spark, str(tmp_path / "mw"), fs=sink_fs)
+    assert final.versions() == list(range(1, 10))  # 1 base + 8 appends
+    rows = {(r["k"], r["v"]) for r in final.read().collect()}
+    expected = {(0, "base")} | {
+        (w * 10 + j, f"w{w}-{j}") for w in range(1, 5) for j in range(2)
+    }
+    assert rows == expected

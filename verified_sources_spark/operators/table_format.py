@@ -245,6 +245,7 @@ class ManifestTable:
         entries: list[dict],
         schema_json: str | None = None,
         stream: tuple | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Atomically create the next manifest version (exclusive create —
         a racing writer raises CommitConflict instead of clobbering).
@@ -253,13 +254,23 @@ class ManifestTable:
         create IS the commit atom — no directory swap anywhere, so the
         protocol is object-store-shaped (immutable files + one log write).
 
+        ``base_version`` is the version the caller DERIVED ``entries``
+        from: the commit lands at exactly ``base_version + 1``, so a
+        writer whose base went stale conflicts instead of committing its
+        stale file list into the next free slot (which would silently
+        drop the interleaved commit — the classic lost update).  ``None``
+        (internal callers that re-resolve state themselves) falls back to
+        latest+1.
+
         ``stream=(stream_id, batch_id)`` records a streaming micro-batch id
         IN the same atomic commit (carried forward manifest-to-manifest), so
         a replayed foreachBatch can be recognized and skipped — the
         reference's exactly-once slot contract
         (sources/pg_replication/__init__.py:77-80) applied to the sink side."""
         self.fs.makedirs(self._manifests)
-        v = (self.latest_version() or 0) + 1
+        v = (
+            base_version if base_version is not None else (self.latest_version() or 0)
+        ) + 1
         streams: dict = {}
         if v > 1:
             streams = dict(self._manifest(v - 1).get("streams") or {})
@@ -442,12 +453,27 @@ class ManifestTable:
         return df
 
     # --------------------------------------------------------------- writes
+    #
+    # Optimistic concurrency: every write captures the version it READ
+    # (``base``) and commits at exactly ``base + 1``.  Without this, a
+    # writer whose base went stale mid-operation would commit its stale
+    # file list into whatever version number is free NEXT — succeeding
+    # with no conflict while silently dropping the interleaved commit's
+    # files (a lost update the 4-writer contention test reproduces).
     def append(self, df: DataFrame, stream: tuple | None = None) -> int:
-        prev = self._manifest(self.latest_version())["files"] if self.exists() else []
-        return self._commit(prev + self._write_files(df), df.schema.json(), stream=stream)
+        base = (self.latest_version() or 0) if self.exists() else 0
+        prev = self._manifest(base)["files"] if base else []
+        return self._commit(
+            prev + self._write_files(df), df.schema.json(), stream=stream,
+            base_version=base,
+        )
 
     def replace(self, df: DataFrame, stream: tuple | None = None) -> int:
-        return self._commit(self._write_files(df), df.schema.json(), stream=stream)
+        base = (self.latest_version() or 0) if self.exists() else 0
+        return self._commit(
+            self._write_files(df), df.schema.json(), stream=stream,
+            base_version=base,
+        )
 
     def merge(
         self,
@@ -466,9 +492,10 @@ class ManifestTable:
             merged = merge_dataframes(None, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
             return self._commit(self._write_files(merged), merged.schema.json(),
-                                stream=stream)
+                                stream=stream, base_version=0)
+        base = self.latest_version() or 0
         if not self.partition_by:
-            target = self.read()
+            target = self.read(version=base)
             merged = merge_dataframes(target, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
             # full rewrite is correct for unpartitioned tables; the commit
@@ -476,9 +503,9 @@ class ManifestTable:
             # plan reads the CURRENT files while staging new ones — safe
             # because data files are immutable (nothing rewrites in place)
             return self._commit(self._write_files(merged), merged.schema.json(),
-                                stream=stream)
+                                stream=stream, base_version=base)
 
-        target = self.read()
+        target = self.read(version=base)
         pcols = self.partition_by
         src_keys = df.select(*keys).distinct()
         tgt_parts = target.join(src_keys, on=list(keys), how="left_semi").select(*pcols)
@@ -492,7 +519,7 @@ class ManifestTable:
             tuple(canon(r[c]) for c in pcols)
             for r in tgt_parts.unionByName(src_parts).distinct().collect()
         }
-        prev_entries = self._manifest(self.latest_version())["files"]
+        prev_entries = self._manifest(base)["files"]
         keep = [
             e for e in prev_entries
             if tuple(e["partition"].get(c) for c in pcols) not in touched
@@ -514,7 +541,8 @@ class ManifestTable:
         # localCheckpoint: materialize BEFORE committing so the new files
         # are complete when the manifest lands (commit is the atomic point)
         new_entries = self._write_files(merged)
-        return self._commit(keep + new_entries, merged.schema.json(), stream=stream)
+        return self._commit(keep + new_entries, merged.schema.json(), stream=stream,
+                            base_version=base)
 
     # ---------------------------------------------------------- compaction
     def compact(
@@ -558,7 +586,8 @@ class ManifestTable:
         if not self.exists():
             return None
         small = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
-        entries = self._manifest(self.latest_version())["files"]
+        base = self.latest_version() or 0
+        entries = self._manifest(base)["files"]
 
         def _bytes(e: dict) -> int:
             if "bytes" in e:
@@ -612,8 +641,8 @@ class ManifestTable:
         else:
             df = df.coalesce(n_out)
         new_entries = self._write_files(df)
-        schema_json = self._manifest(self.latest_version()).get("schema")
-        return self._commit(keep + new_entries, schema_json)
+        schema_json = self._manifest(base).get("schema")
+        return self._commit(keep + new_entries, schema_json, base_version=base)
 
     # -------------------------------------------------------------- vacuum
     def vacuum(self, keep_versions: int = 1) -> list[str]:
