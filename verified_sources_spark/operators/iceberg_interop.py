@@ -975,6 +975,11 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
         ],
     }
     out_path = f"{md}/v{next_v}.metadata.json"
-    fs.write_text(out_path, json.dumps(meta, indent=2))
+    # the metadata JSON is the commit atom — route it through the table's
+    # commit backend (same as the Delta export) so two concurrent
+    # exporters conflict instead of silently clobbering one snapshot;
+    # manifest/manifest-list files above are uniquely named per version
+    # so their plain writes cannot collide once this create is exclusive
+    table.commit_backend.put_if_absent(out_path, json.dumps(meta, indent=2))
     fs.write_text(f"{md}/version-hint.text", str(next_v))
     return out_path
