@@ -582,3 +582,46 @@ def test_many_writer_contention_serializes_without_loss(spark, tmp_path, sink_fs
         (w * 10 + j, f"w{w}-{j}") for w in range(1, 5) for j in range(2)
     }
     assert rows == expected
+
+
+def test_concurrent_merges_preserve_both_writers_rows(spark, tmp_path, sink_fs):
+    """Two writers MERGE different keys concurrently (partitioned table,
+    overlapping partitions).  The base+1 commit rule forces the loser to
+    recompute its keep-list from the winner's manifest on retry, so both
+    upserts land and untouched rows survive — the merge-path analogue of
+    the append contention test."""
+    import threading
+
+    from verified_sources_spark.operators.fs import ConditionalPutCommitBackend
+
+    store = _SimulatedObjectStore()
+    base = ManifestTable(spark, str(tmp_path / "cm"), partition_by=["day"], fs=sink_fs)
+    base.append(spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+        "day string, k long, v string"))
+
+    errors = []
+
+    def merger(key, new_v):
+        t = ManifestTable(
+            spark, str(tmp_path / "cm"), partition_by=["day"], fs=sink_fs,
+            commit_backend=ConditionalPutCommitBackend(store),
+        )
+        df = spark.createDataFrame([("d1", key, new_v)], "day string, k long, v string")
+        for _ in range(20):
+            try:
+                t.merge(df, keys=["k"])
+                return
+            except CommitConflict:
+                continue
+        errors.append(f"merge of k={key} never landed")
+
+    th_a = threading.Thread(target=merger, args=(1, "a2"))
+    th_b = threading.Thread(target=merger, args=(2, "b2"))
+    th_a.start(); th_b.start()
+    th_a.join(timeout=300); th_b.join(timeout=300)
+    assert not errors
+    final = ManifestTable(spark, str(tmp_path / "cm"), fs=sink_fs)
+    rows = {(r["k"], r["v"]) for r in final.read().select("k", "v").collect()}
+    # BOTH upserts applied, untouched d2 row intact
+    assert rows == {(1, "a2"), (2, "b2"), (3, "c")}
