@@ -487,7 +487,14 @@ class ManifestTable:
         replaced by newly-written merged files; untouched entries carry
         over verbatim (their bytes are never read in full or rewritten).
         Old files stay on disk until vacuum → previous versions remain
-        readable."""
+        readable.
+
+        Concurrency contract (all write methods): the commit lands at
+        exactly base+1 for the version this call READ; a racing writer
+        that commits first turns this call into ``CommitConflict`` — the
+        caller retries the whole operation, which recomputes against the
+        new base (tested under 4-writer append and 2-writer merge
+        contention)."""
         if not self.exists():
             merged = merge_dataframes(None, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
