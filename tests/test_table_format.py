@@ -98,12 +98,11 @@ def test_commit_conflict_on_racing_writer(spark, tmp_path, sink_fs):
     t1 = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     t2 = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
     t1.append(spark.createDataFrame([(1, "a")], "k long, v string"))
-    # simulate the race: t2 resolved latest=1, then t1 commits v2 first
+    # simulate the race: t2 resolved base=1, then t1 commits v2 first
     entries = t2._write_files(spark.createDataFrame([(2, "b")], "k long, v string"))
     t1.append(spark.createDataFrame([(3, "c")], "k long, v string"))  # commits v2
-    t2.latest_version = lambda: 1  # t2's stale view of the log
     with pytest.raises(CommitConflict):
-        t2._commit(entries)
+        t2._commit(entries, base_version=1)  # stale base -> v2 taken
     # the winning commit was not clobbered
     assert {e["path"] for e in t1._manifest(2)["files"]} >= {
         e["path"] for e in t1._manifest(1)["files"]
@@ -317,14 +316,17 @@ def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink
     conflicts, errors = [], []
 
     def writer(df):
-        t = ManifestTable(spark, str(tmp_path / "t"), fs=racing)
-        for _ in range(5):
-            try:
-                t.append(df)
-                return
-            except CommitConflict:
-                conflicts.append(1)
-        errors.append("retries exhausted")
+        try:
+            t = ManifestTable(spark, str(tmp_path / "t"), fs=racing)
+            for _ in range(5):
+                try:
+                    t.append(df)
+                    return
+                except CommitConflict:
+                    conflicts.append(1)
+            errors.append("retries exhausted")
+        except Exception as e:  # a dying thread must FAIL the test loudly
+            errors.append(f"writer raised: {e!r}")
 
     th_a = threading.Thread(target=writer, args=(df_a,))
     th_b = threading.Thread(target=writer, args=(df_b,))
@@ -423,15 +425,18 @@ def _race_two_appends(spark, tmp_path, sink_fs, make_backend):
         # make_backend's closure): two real writers are two distinct
         # owner identities — a shared backend instance would race one
         # owner against itself, which lock-with-TTL legitimately allows
-        backend = make_backend(store)
-        t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs, commit_backend=backend)
-        for _ in range(5):
-            try:
-                t.append(df)
-                return
-            except CommitConflict:
-                conflicts.append(1)
-        errors.append("retries exhausted")
+        try:
+            backend = make_backend(store)
+            t = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs, commit_backend=backend)
+            for _ in range(5):
+                try:
+                    t.append(df)
+                    return
+                except CommitConflict:
+                    conflicts.append(1)
+            errors.append("retries exhausted")
+        except Exception as e:
+            errors.append(f"writer raised: {e!r}")
 
     th_a = threading.Thread(
         target=writer, args=(spark.createDataFrame([(1, "a")], "k long, v string"),)
@@ -566,6 +571,9 @@ def test_many_writer_contention_serializes_without_loss(spark, tmp_path, sink_fs
                     break
                 except CommitConflict:
                     continue
+                except Exception as e:
+                    errors.append(f"writer {widx} raised: {e!r}")
+                    return
             else:
                 errors.append(f"writer {widx} append {j} never landed")
 
@@ -614,6 +622,9 @@ def test_concurrent_merges_preserve_both_writers_rows(spark, tmp_path, sink_fs):
                 return
             except CommitConflict:
                 continue
+            except Exception as e:
+                errors.append(f"merger raised: {e!r}")
+                return
         errors.append(f"merge of k={key} never landed")
 
     th_a = threading.Thread(target=merger, args=(1, "a2"))

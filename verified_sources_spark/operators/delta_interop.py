@@ -496,12 +496,20 @@ def clean_delta_log(
     if not fs.exists(lc_path):
         return []
     lc = json.loads(fs.read_text(lc_path))
-    cp_v = int(lc["version"])
-    cp_file = f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.parquet"
-    if not fs.exists(cp_file) and not lc.get("parts"):
+    cp_v, parts = int(lc["version"]), lc.get("parts")
+    if parts:
+        cp_files = [
+            f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet"
+            for i in range(1, int(parts) + 1)
+        ]
+    else:
+        cp_files = [f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.parquet"]
+    missing = [p for p in cp_files if not fs.exists(p)]
+    if missing:
         raise DeltaProtocolError(
-            f"_last_checkpoint names version {cp_v} but {cp_file} is missing; "
-            "refusing to delete commits the checkpoint cannot replace"
+            f"_last_checkpoint names version {cp_v} but checkpoint file(s) "
+            f"{missing} are missing; refusing to delete commits the "
+            "checkpoint cannot replace"
         )
     removed = []
     for v in _list_log_versions(fs, path):

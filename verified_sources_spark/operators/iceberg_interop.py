@@ -904,7 +904,13 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
         }
         for i, (c, _t) in enumerate(part_fields)
     ]
-    manifest_rel = f"metadata/manifest-{next_v}.avro"
+    # per-export unique names (real Iceberg embeds a commit UUID too):
+    # two racing exporters computing the same next version must write
+    # DIFFERENT avro files — the loser's metadata-JSON create fails, and
+    # its orphaned avros are harmless, instead of the loser overwriting
+    # the winner's manifest bytes under a shared deterministic name
+    export_uid = uuid.uuid4().hex[:8]
+    manifest_rel = f"metadata/manifest-{next_v}-{export_uid}.avro"
     # The Iceberg spec requires these keys in the manifest's Avro
     # file-metadata — runtimes' ManifestReaders key off them, not the
     # table metadata JSON.
@@ -922,7 +928,7 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     )
     fs.write_bytes(f"{root}/{manifest_rel}", manifest_bytes)
 
-    mlist_rel = f"metadata/snap-{snapshot_id}-manifest-list.avro"
+    mlist_rel = f"metadata/snap-{snapshot_id}-{export_uid}-manifest-list.avro"
     mlist_bytes = write_container(
         _MANIFEST_LIST_SCHEMA,
         [
@@ -981,5 +987,15 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     # manifest/manifest-list files above are uniquely named per version
     # so their plain writes cannot collide once this create is exclusive
     table.commit_backend.put_if_absent(out_path, json.dumps(meta, indent=2))
-    fs.write_text(f"{md}/version-hint.text", str(next_v))
+    # the hint is an advisory pointer; guard against REGRESSING it when a
+    # stalled earlier exporter resumes after a later one already advanced
+    # it (self-heals on the next export either way — readers fall back to
+    # the numeric listing when the hint is absent)
+    hint_path = f"{md}/version-hint.text"
+    try:
+        current_hint = int(fs.read_text(hint_path).strip()) if fs.exists(hint_path) else -1
+    except (ValueError, OSError):
+        current_hint = -1
+    if next_v > current_hint:
+        fs.write_text(hint_path, str(next_v))
     return out_path

@@ -245,7 +245,8 @@ class ManifestTable:
         entries: list[dict],
         schema_json: str | None = None,
         stream: tuple | None = None,
-        base_version: int | None = None,
+        *,
+        base_version: int,
     ) -> int:
         """Atomically create the next manifest version (exclusive create —
         a racing writer raises CommitConflict instead of clobbering).
@@ -254,13 +255,13 @@ class ManifestTable:
         create IS the commit atom — no directory swap anywhere, so the
         protocol is object-store-shaped (immutable files + one log write).
 
-        ``base_version`` is the version the caller DERIVED ``entries``
-        from: the commit lands at exactly ``base_version + 1``, so a
-        writer whose base went stale conflicts instead of committing its
-        stale file list into the next free slot (which would silently
-        drop the interleaved commit — the classic lost update).  ``None``
-        (internal callers that re-resolve state themselves) falls back to
-        latest+1.
+        ``base_version`` is REQUIRED: the version the caller DERIVED
+        ``entries`` from.  The commit lands at exactly
+        ``base_version + 1``, so a writer whose base went stale conflicts
+        instead of committing its stale file list into the next free slot
+        (which would silently drop the interleaved commit — the classic
+        lost update).  There is deliberately no latest+1 fallback: it
+        would reintroduce that lost-update path as the default.
 
         ``stream=(stream_id, batch_id)`` records a streaming micro-batch id
         IN the same atomic commit (carried forward manifest-to-manifest), so
@@ -268,9 +269,7 @@ class ManifestTable:
         reference's exactly-once slot contract
         (sources/pg_replication/__init__.py:77-80) applied to the sink side."""
         self.fs.makedirs(self._manifests)
-        v = (
-            base_version if base_version is not None else (self.latest_version() or 0)
-        ) + 1
+        v = base_version + 1
         streams: dict = {}
         if v > 1:
             streams = dict(self._manifest(v - 1).get("streams") or {})
@@ -461,7 +460,7 @@ class ManifestTable:
     # with no conflict while silently dropping the interleaved commit's
     # files (a lost update the 4-writer contention test reproduces).
     def append(self, df: DataFrame, stream: tuple | None = None) -> int:
-        base = (self.latest_version() or 0) if self.exists() else 0
+        base = self.latest_version() or 0  # one LIST on the hot path
         prev = self._manifest(base)["files"] if base else []
         return self._commit(
             prev + self._write_files(df), df.schema.json(), stream=stream,
@@ -469,7 +468,7 @@ class ManifestTable:
         )
 
     def replace(self, df: DataFrame, stream: tuple | None = None) -> int:
-        base = (self.latest_version() or 0) if self.exists() else 0
+        base = self.latest_version() or 0
         return self._commit(
             self._write_files(df), df.schema.json(), stream=stream,
             base_version=base,
