@@ -541,17 +541,26 @@ def test_lock_table_backend_fails_fast_on_committed_path(tmp_path):
         other.put_if_absent(p, "{}")
 
 
-def test_many_writer_contention_serializes_without_loss(spark, tmp_path, sink_fs):
+@pytest.mark.parametrize("backend_kind", ["conditional_put", "lock_table"])
+def test_many_writer_contention_serializes_without_loss(
+    spark, tmp_path, sink_fs, backend_kind
+):
     """Scale shape of the commit protocol: FOUR concurrent writers, TWO
-    appends each, all racing the same log through the conditional-put
-    backend.  Every append must eventually land (retry-on-conflict),
+    appends each, all racing the same log — over BOTH object-store
+    backends.  Every append must eventually land (retry-on-conflict),
     versions must be contiguous, and the final table must contain every
     row exactly once — the multi-job cluster scenario, not just the
     two-writer race."""
     import threading
 
-    from verified_sources_spark.operators.fs import ConditionalPutCommitBackend
+    from verified_sources_spark.operators.fs import (
+        ConditionalPutCommitBackend,
+        InProcessCoordinator,
+        LocalFS,
+        LockTableCommitBackend,
+    )
 
+    coord = InProcessCoordinator()  # shared CAS service; one owner per writer
     store = _SimulatedObjectStore()
     base = ManifestTable(spark, str(tmp_path / "mw"), fs=sink_fs)
     base.append(spark.createDataFrame([(0, "base")], "k long, v string"))
@@ -559,7 +568,11 @@ def test_many_writer_contention_serializes_without_loss(spark, tmp_path, sink_fs
     errors = []
 
     def writer(widx):
-        backend = ConditionalPutCommitBackend(store)
+        backend = (
+            ConditionalPutCommitBackend(store)
+            if backend_kind == "conditional_put"
+            else LockTableCommitBackend(coord, LocalFS(), owner=f"w{widx}")
+        )
         t = ManifestTable(
             spark, str(tmp_path / "mw"), fs=sink_fs, commit_backend=backend
         )
