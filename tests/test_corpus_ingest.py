@@ -203,3 +203,18 @@ def test_recreated_checkpoint_at_highwater_raises(spark, tmp_path):
     b_new = spark.createDataFrame([(2, GOOD2 + " token beta", "s1")], SCHEMA)
     with pytest.raises(ValueError, match="DIFFERENT input rows"):
         ing.apply_batch(b_new, 0)
+
+
+def test_input_token_distinguishes_multiplicity(spark, tmp_path):
+    """The batch input token must change when row MULTIPLICITY changes:
+    {A,A,A,B} vs {A,B,B,B} share count and XOR-of-hashes, so a pure
+    count+xor digest would classify a different restarted batch as a
+    replay and silently skip it.  The wrapping hash-sum component breaks
+    the tie; row ORDER still doesn't matter."""
+    ing = _mk(spark, tmp_path)
+    A, B = (1, "x", "s"), (2, "y", "s")
+    ta = ing._input_token(spark.createDataFrame([A, A, A, B], SCHEMA))
+    tb = ing._input_token(spark.createDataFrame([A, B, B, B], SCHEMA))
+    assert ta != tb
+    rev = ing._input_token(spark.createDataFrame([B, A, A, A], SCHEMA))
+    assert rev == ta

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 
@@ -468,3 +469,62 @@ def test_export_null_partition_value_is_json_null(spark, tmp_path, sink_fs):
     assert "__HIVE_DEFAULT_PARTITION__" not in vals
     df = read_delta_table(spark, t.path)
     assert _rows(df.select("k", "p")) == {(1, None), (2, "x")}
+
+
+def test_checkpoint_retains_unexpired_tombstones(spark, tmp_path, sink_fs):
+    """The protocol requires unexpired remove tombstones be carried into
+    checkpoints (writers' conflict detection / VACUUM still see them);
+    expired ones (older than delta.deletedFileRetentionDuration) are
+    dropped.  Neither kind resurrects rows on read."""
+    from verified_sources_spark.operators.delta_interop import write_delta_checkpoint
+
+    t = ManifestTable(spark, str(tmp_path / "tomb"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    # replace drops the first file → export emits a FRESH remove tombstone
+    t.replace(spark.createDataFrame([(2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+    # hand-append a commit carrying an EXPIRED tombstone (8 days old,
+    # default retention is 1 week) for a path never in the adds
+    old_ms = int(time.time() * 1000) - 8 * 86_400_000
+    with open(os.path.join(t.path, "_delta_log", f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {
+            "path": "part-stale-0000.parquet",
+            "deletionTimestamp": old_ms,
+            "dataChange": False,
+        }}))
+
+    cp = write_delta_checkpoint(spark, t.path)
+    rows = spark.read.parquet(cp).collect()
+    removes = {r.remove.path for r in rows if r.remove is not None}
+    assert removes, "fresh tombstone must be retained in the checkpoint"
+    assert "part-stale-0000.parquet" not in removes, "expired tombstone dropped"
+    # tombstones never resurrect rows: snapshot reads stay identical
+    for v in os.listdir(os.path.join(t.path, "_delta_log")):
+        if v.endswith(".json"):
+            os.remove(os.path.join(t.path, "_delta_log", v))
+    got = read_delta_table(spark, t.path)
+    assert _rows(got.select("k", "v")) == {(2, "b")}
+
+
+def test_checkpoint_last_checkpoint_crash_repair(spark, tmp_path, sink_fs):
+    """A crash between the checkpoint rename and the _last_checkpoint
+    write must not leave the checkpoint permanently unregistered: the
+    idempotent re-run repairs the pointer instead of returning early."""
+    from verified_sources_spark.operators.delta_interop import write_delta_checkpoint
+
+    t = ManifestTable(spark, str(tmp_path / "crash"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    cp = write_delta_checkpoint(spark, t.path)
+    lc_path = os.path.join(t.path, "_delta_log", "_last_checkpoint")
+    # simulate the crash: pointer never written
+    os.remove(lc_path)
+    assert write_delta_checkpoint(spark, t.path) == cp
+    lc = json.loads(open(lc_path).read())
+    assert lc["version"] == 0
+    assert lc["size"] == spark.read.parquet(cp).count()
+    # a current pointer is left untouched (no rewrite churn)
+    before = os.stat(lc_path).st_mtime_ns
+    assert write_delta_checkpoint(spark, t.path) == cp
+    assert os.stat(lc_path).st_mtime_ns == before

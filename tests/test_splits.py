@@ -105,3 +105,24 @@ def test_md5_bucket_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_shuffled_shards_payload_without_id(spark):
+    """payload_cols omitting id_col must still work — the id column is
+    needed internally for the hash key and the window tiebreak, but the
+    caller's projection wins in the output."""
+    d = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = shuffled_shards(d, "doc_id", n_shards=5, payload_cols=["text"])
+    assert set(out.columns) == {"text", "shard", "pos"}
+    rows = out.collect()
+    assert len(rows) == 40
+    # same permutation as the id-included call
+    ref = {
+        r["text"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(
+            d, "doc_id", n_shards=5, payload_cols=["text", "doc_id"]
+        ).collect()
+    }
+    assert {r["text"]: (r["shard"], r["pos"]) for r in rows} == ref

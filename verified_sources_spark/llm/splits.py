@@ -126,12 +126,18 @@ def shuffled_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    cols = payload_cols if payload_cols is not None else [id_col]
+    cols = list(payload_cols) if payload_cols is not None else [id_col]
+    # the window tiebreak orders by id_col, so it must survive the payload
+    # projection even when the caller's payload_cols omit it
+    extra_id = id_col not in cols
+    if extra_id:
+        cols.append(id_col)
     key = md5_bucket(F.col(id_col), salt)
     w = Window.partitionBy("shard").orderBy("_key", id_col)
-    return (
+    out = (
         df.select(*cols, key.alias("_key"))
         .withColumn("shard", (F.col("_key") % n_shards).cast("int"))
         .withColumn("pos", F.row_number().over(w))
         .drop("_key")
     )
+    return out.drop(id_col) if extra_id else out

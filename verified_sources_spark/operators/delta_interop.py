@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import time
 import uuid
 from urllib.parse import quote, unquote
 
@@ -74,6 +75,11 @@ class _Snapshot:
         self.adds: dict[str, dict] = {}
         self.meta: dict | None = None
         self.protocol: dict | None = None
+        # remove tombstones still standing (path not re-added since) —
+        # irrelevant to snapshot reads, but the protocol requires unexpired
+        # tombstones be carried into checkpoints so external writers'
+        # conflict detection and VACUUM keep seeing them
+        self.removes: dict[str, dict] = {}
 
     def apply(self, action: dict) -> None:
         if "protocol" in action:
@@ -88,8 +94,11 @@ class _Snapshot:
                     "read (rows would resurrect)"
                 )
             self.adds[add["path"]] = add
+            self.removes.pop(add["path"], None)
         elif "remove" in action:
-            self.adds.pop(action["remove"]["path"], None)
+            rm = action["remove"]
+            self.adds.pop(rm["path"], None)
+            self.removes[rm["path"]] = rm
 
     def validate(self) -> None:
         if self.protocol is None:
@@ -161,7 +170,12 @@ def _read_checkpoint(
         for kind in ("protocol", "metaData", "add"):
             if kind in cols and d.get(kind) is not None:
                 snap.apply({kind: d[kind]})
-        # removes in a checkpoint are expired tombstones, never live files
+        # removes in a checkpoint are never live files, but they ARE
+        # unexpired tombstones that the next checkpoint must carry forward
+        if "remove" in cols and d.get("remove") is not None:
+            rm = d["remove"]
+            if rm["path"] not in snap.adds:
+                snap.removes[rm["path"]] = rm
     return v
 
 
@@ -382,8 +396,47 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # unexpired remove tombstones — the protocol requires checkpoints
+        # retain them so external writers' conflict detection and VACUUM
+        # still see recently-deleted files after JSON commits are cleaned
+        T.StructField(
+            "remove",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("deletionTimestamp", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
+        ),
     ]
 )
+
+
+def _tombstone_retention_millis(meta: dict | None) -> int:
+    """Parse ``delta.deletedFileRetentionDuration`` (default
+    ``interval 1 week``) into milliseconds.  Format per the Delta spec:
+    ``interval <n> <unit>`` with calendar-free units."""
+    raw = str(
+        ((meta or {}).get("configuration") or {}).get(
+            "delta.deletedFileRetentionDuration", "interval 1 week"
+        )
+    )
+    parts = raw.strip().lower().split()
+    unit_ms = {
+        "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+        "day": 86_400_000, "week": 604_800_000,
+    }
+    try:
+        if parts[0] == "interval":
+            parts = parts[1:]
+        n = int(parts[0])
+        unit = parts[1].rstrip("s")
+        return n * unit_ms[unit]
+    except (IndexError, ValueError, KeyError):
+        raise DeltaProtocolError(
+            f"unparseable delta.deletedFileRetentionDuration: {raw!r}"
+        )
 
 
 def write_delta_checkpoint(
@@ -394,8 +447,11 @@ def write_delta_checkpoint(
 
     The spec's V1 checkpoint: one parquet file named
     ``%020d.checkpoint.parquet`` holding the full replayed state — one
-    row per action with exactly one of protocol/metaData/add non-null
-    (expired remove tombstones are not obligatory and none are written).
+    row per action with exactly one of protocol/metaData/add/remove
+    non-null.  Unexpired remove tombstones (younger than
+    ``delta.deletedFileRetentionDuration``, default 1 week) are retained
+    as the protocol requires, so external writers' conflict detection
+    and VACUUM still see them once the JSON commits are cleaned up.
     After this, readers (ours included — ``_read_checkpoint`` above)
     replay only commits AFTER the checkpoint version, and log-cleanup of
     older JSON commits becomes safe.  The row build is driver-side but
@@ -409,9 +465,22 @@ def write_delta_checkpoint(
     # here instead of silently persisting a checkpoint of partial state
     snap, target = _replay_snapshot(spark, fs, path, version)
     cp_path = f"{path}/{_LOG_DIR}/{target:020d}.checkpoint.parquet"
+    lc_path = f"{path}/{_LOG_DIR}/_last_checkpoint"
     if fs.exists(cp_path):
         # idempotent re-run: the log below `target` is immutable, so an
-        # existing checkpoint at that version is already this state
+        # existing checkpoint at that version is already this state.  But
+        # a crash between the stage rename and the _last_checkpoint write
+        # leaves it unregistered — repair that here, or every rerun would
+        # return early and readers/clean_delta_log never see it.
+        # (a corrupt pointer never reaches here — _replay_snapshot above
+        # already refuses it loudly, the readers' contract)
+        stale = (
+            not fs.exists(lc_path)
+            or int(json.loads(fs.read_text(lc_path))["version"]) < target
+        )
+        if stale:
+            n = spark.read.parquet(cp_path).count()
+            fs.write_text(lc_path, json.dumps({"version": target, "size": n}))
         return cp_path
 
     protocol = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -421,6 +490,7 @@ def write_delta_checkpoint(
                 int(protocol.get("minReaderVersion", 1)),
                 int(protocol.get("minWriterVersion", 2)),
             ),
+            None,
             None,
             None,
         ),
@@ -437,6 +507,7 @@ def write_delta_checkpoint(
                 dict(snap.meta.get("configuration") or {}),
                 int(snap.meta.get("createdTime") or 0),
             ),
+            None,
             None,
         ),
     ]
@@ -459,6 +530,22 @@ def write_delta_checkpoint(
                     # re-emit every file as a change event
                     False,
                 ),
+                None,
+            )
+        )
+    # unexpired tombstones: deletionTimestamp within the retention window
+    # (a missing deletionTimestamp can't be proven expired — retain it)
+    expiry = int(time.time() * 1000) - _tombstone_retention_millis(snap.meta)
+    for rm in snap.removes.values():
+        ts = rm.get("deletionTimestamp")
+        if ts is not None and int(ts) < expiry:
+            continue
+        rows.append(
+            (
+                None,
+                None,
+                None,
+                (str(rm["path"]), None if ts is None else int(ts), False),
             )
         )
     df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
@@ -561,6 +648,11 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
     ) if (existing or cp_v is not None) else None
 
     now_ms = 0  # deterministic export: mod times are advisory in the spec
+    # deletionTimestamp is NOT advisory: external VACUUM uses it to decide
+    # when a removed file is safe to physically delete, and checkpoint
+    # writers use it for tombstone retention — epoch 0 would mark every
+    # tombstone instantly expired and let VACUUM break older readers
+    deleted_ms = int(time.time() * 1000)
     current: dict[str, dict] = {}
     for e in entries:
         rel = quote(e["path"], safe="/-_.~=")
@@ -603,7 +695,7 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
             {
                 "remove": {
                     "path": path_,
-                    "deletionTimestamp": now_ms,
+                    "deletionTimestamp": deleted_ms,
                     "dataChange": True,
                 }
             }

@@ -216,15 +216,28 @@ class CorpusIngest:
     _STREAM_COL, _BATCH_COL = "_ingest_stream", "_ingest_batch"
 
     def _input_token(self, batch_df: DataFrame) -> str:
-        """Order-independent digest of the INPUT batch (count + xor of row
-        hashes).  Committed alongside the batch id so a same-id delivery
-        can be classified: equal token ⇒ genuine replay, different token ⇒
-        the checkpoint dir was recreated and ids restarted."""
+        """Order-independent digest of the INPUT batch (count + xor + sum of
+        row hashes, sum wrapping mod 2^64).  Committed alongside the batch id
+        so a same-id delivery can be classified: equal token ⇒ genuine replay,
+        different token ⇒ the checkpoint dir was recreated and ids restarted.
+
+        XOR alone is multiset-weak (rows {A,A,A,B} and {A,B,B,B} share count
+        and XOR); the wrapping sum changes with multiplicity, so the pair
+        (xor, sum) distinguishes those batches."""
         h = F.xxhash64(*[F.col(c).cast("string") for c in batch_df.columns])
         row = batch_df.select(h.alias("h")).agg(
-            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            # sum over bigint wraps on overflow only with ANSI off; sum the
+            # two 32-bit halves separately instead so the digest is exact
+            # arithmetic regardless of spark.sql.ansi.enabled.
+            F.sum(F.shiftrightunsigned("h", 32)).alias("hi"),
+            F.sum(F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
         ).first()
-        return f"{row['n']}:{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        s = (((row["hi"] or 0) << 32) + (row["lo"] or 0)) & 0xFFFFFFFFFFFFFFFF
+        return (
+            f"{row['n']}:{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{s:016x}"
+        )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Idempotent two-commit apply — see module docstring for the
@@ -252,7 +265,12 @@ class CorpusIngest:
             # token disambiguates; without one (legacy commit) assume
             # replay, as before.
             committed_tok = self.docs_table.last_batch_token(self.stream_id)
-            if committed_tok is not None and self._input_token(batch_df) != committed_tok:
+            fresh_tok = None if committed_tok is None else self._input_token(batch_df)
+            if committed_tok is not None and committed_tok.count(":") == 1:
+                # token committed before the sum field existed — compare on
+                # the fields it has (count:xor) rather than spuriously raising
+                fresh_tok = fresh_tok.rsplit(":", 1)[0]
+            if committed_tok is not None and fresh_tok != committed_tok:
                 raise ValueError(
                     f"batch_id {batch_id} equals the committed high-water "
                     f"mark for stream_id={self.stream_id!r} but carries "
