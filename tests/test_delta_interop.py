@@ -114,9 +114,9 @@ def test_reader_refuses_advanced_reader_features(spark, tmp_path):
     root2 = str(tmp_path / "adv2")
     _write_commit(root2, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}}, meta,
+                      "readerFeatures": ["v2Checkpoint"]}}, meta,
     ])
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta_log(spark, root2)
 
 
@@ -197,7 +197,7 @@ def test_leftover_mapping_metadata_ignored_when_mode_none(spark, tmp_path):
     assert got == {(1, "a", "en", "2024-06-01")}
 
 
-def test_reader_refuses_id_mode_and_deletion_vectors(spark, tmp_path):
+def test_reader_refuses_id_mode(spark, tmp_path):
     # id-mode needs parquet field-id matching: refuse
     root = str(tmp_path / "cmid")
     schema = _cm_schema()
@@ -209,22 +209,6 @@ def test_reader_refuses_id_mode_and_deletion_vectors(spark, tmp_path):
     ])
     with pytest.raises(DeltaProtocolError, match="'id'"):
         read_delta_log(spark, root)
-    # an add action carrying a deletionVector: rows would resurrect
-    root2 = str(tmp_path / "dv")
-    _write_commit(root2, 0, [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": []}},
-        {"metaData": {"id": "y", "format": {"provider": "parquet", "options": {}},
-                      "schemaString": json.dumps(schema), "partitionColumns": [],
-                      "configuration": {}}},
-        {"add": {"path": "d/f.parquet", "partitionValues": {}, "size": 1,
-                 "modificationTime": 0, "dataChange": True,
-                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
-                                    "offset": 1, "sizeInBytes": 40,
-                                    "cardinality": 2}}},
-    ])
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        read_delta_log(spark, root2)
 
 
 def test_checkpoint_short_circuits_log_replay(spark, tmp_path):

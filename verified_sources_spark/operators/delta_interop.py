@@ -31,7 +31,12 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
+from verified_sources_spark.operators.deletion_vectors import expanded_delete_rows
 from verified_sources_spark.operators.fs import FS, HadoopFS
+from verified_sources_spark.operators.iceberg_interop import (
+    _norm_path_expr,
+    _norm_path_py,
+)
 
 _LOG_DIR = "_delta_log"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -41,7 +46,7 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # accepted only when every listed feature is one we implement.  Anything
 # else (deletion vectors, id-mode mapping, v2 checkpoints...) refuses
 # rather than silently mis-reading.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 
 
 class DeltaProtocolError(RuntimeError):
@@ -88,11 +93,6 @@ class _Snapshot:
             self.meta = action["metaData"]
         elif "add" in action:
             add = action["add"]
-            if add.get("deletionVector"):
-                raise DeltaProtocolError(
-                    "table has deletion vectors; refusing a silently-wrong "
-                    "read (rows would resurrect)"
-                )
             self.adds[add["path"]] = add
             self.removes.pop(add["path"], None)
         elif "remove" in action:
@@ -287,6 +287,14 @@ def read_delta_table(
     ``delta.columnMapping.physicalName``; the scan reads the PHYSICAL
     schema and a positional struct cast renames every nesting level back
     to logical names — one projection, no Python row work.
+
+    Deletion vectors (the default row-level-delete mechanism on modern
+    Databricks tables): each DV'd add's RoaringBitmap blob is fetched
+    and expanded to ``(file_path, row_index)`` rows on executors
+    (operators/deletion_vectors.py), then removed with a distributed
+    LEFT ANTI join against Spark's native ``_metadata.file_path`` /
+    ``_metadata.row_index`` — the same mechanism the Iceberg reader uses
+    for position deletes.  No driver-side row work, one Catalyst DAG.
     """
     path = path.rstrip("/")
     adds, meta = read_delta_log(spark, path, version, fs)
@@ -318,12 +326,15 @@ def read_delta_table(
     )
 
     groups: dict[tuple, list[str]] = {}
+    dv_descs: list[tuple[str, dict]] = []
     for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols)
         rel = unquote(a["path"])
         full = rel if "://" in rel else posixpath.join(path, rel)
         groups.setdefault(key, []).append(full)
+        if a.get("deletionVector"):
+            dv_descs.append((_norm_path_py(full), dict(a["deletionVector"])))
 
     parts_out = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
@@ -339,10 +350,20 @@ def read_delta_table(
                 cols.append(
                     F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
                 )
+        if dv_descs:
+            cols.append(
+                _norm_path_expr(F.col("_metadata.file_path")).alias("__dv_fp")
+            )
+            cols.append(F.col("_metadata.row_index").alias("__dv_pos"))
         parts_out.append(df.select(cols))
     out = parts_out[0]
     for df in parts_out[1:]:
         out = out.unionByName(df)
+    if dv_descs:
+        deleted = expanded_delete_rows(spark, path, dv_descs)
+        out = out.join(
+            deleted, ["__dv_fp", "__dv_pos"], "left_anti"
+        ).drop("__dv_fp", "__dv_pos")
     return out
 
 
@@ -354,6 +375,10 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    # v3 protocols are MALFORMED without their feature
+                    # lists — a checkpoint must round-trip them
+                    T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+                    T.StructField("writerFeatures", T.ArrayType(T.StringType())),
                 ]
             ),
         ),
@@ -393,6 +418,20 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("size", T.LongType()),
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    # a DV'd add MUST keep its descriptor through the
+                    # checkpoint or deleted rows resurrect on replay
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField("storageType", T.StringType()),
+                                T.StructField("pathOrInlineDv", T.StringType()),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField("sizeInBytes", T.IntegerType()),
+                                T.StructField("cardinality", T.LongType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -489,6 +528,8 @@ def write_delta_checkpoint(
             (
                 int(protocol.get("minReaderVersion", 1)),
                 int(protocol.get("minWriterVersion", 2)),
+                protocol.get("readerFeatures"),
+                protocol.get("writerFeatures"),
             ),
             None,
             None,
@@ -512,6 +553,7 @@ def write_delta_checkpoint(
         ),
     ]
     for a in snap.adds.values():
+        dv = a.get("deletionVector")
         rows.append(
             (
                 None,
@@ -529,6 +571,15 @@ def write_delta_checkpoint(
                     # reader bootstrapping from the checkpoint must not
                     # re-emit every file as a change event
                     False,
+                    None
+                    if not dv
+                    else (
+                        str(dv["storageType"]),
+                        str(dv["pathOrInlineDv"]),
+                        None if dv.get("offset") is None else int(dv["offset"]),
+                        int(dv["sizeInBytes"]),
+                        int(dv["cardinality"]),
+                    ),
                 ),
                 None,
             )
