@@ -197,17 +197,83 @@ def test_leftover_mapping_metadata_ignored_when_mode_none(spark, tmp_path):
     assert got == {(1, "a", "en", "2024-06-01")}
 
 
-def test_reader_refuses_id_mode(spark, tmp_path):
-    # id-mode needs parquet field-id matching: refuse
+def _arrow_file_with_ids(path, cols, rows):
+    """Write a parquet file whose columns carry the given parquet field
+    ids — what a column-mapping 'id' writer produces.  *cols* is
+    [(name, pa_type, field_id or (field_id, nested_cols))]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def field(name, typ, fid):
+        if isinstance(typ, list):  # nested struct
+            inner = [field(n, t, i) for n, t, i in typ]
+            return pa.field(
+                name, pa.struct(inner),
+                metadata={b"PARQUET:field_id": str(fid).encode()},
+            )
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(fid).encode()})
+
+    schema = pa.schema([field(n, t, i) for n, t, i in cols])
+    pq.write_table(pa.table(rows, schema=schema), path)
+
+
+def test_read_column_mapping_id_mode(spark, tmp_path):
+    """Column-mapping 'id' mode resolves columns by parquet FIELD ID —
+    robust to the schema-evolution torture the mode exists for: physical
+    names are arbitrary, a dropped-and-re-added column's file field
+    carries a NEW id under a reused name and must NOT be matched."""
+    import pyarrow as pa
+
     root = str(tmp_path / "cmid")
-    schema = _cm_schema()
+    os.makedirs(os.path.join(root, "d"))
+    # file 1: ids 1,2,3(4 nested) under arbitrary physical names
+    _arrow_file_with_ids(
+        os.path.join(root, "d", "f1.parquet"),
+        [("zz-1", pa.int64(), 1), ("zz-2", pa.string(), 2),
+         ("zz-3", [("zz-4", pa.string(), 4)], 3)],
+        {"zz-1": [1, 2], "zz-2": ["a", "b"], "zz-3": [{"zz-4": "en"}, {"zz-4": "fr"}]},
+    )
+    # file 2: written AFTER v was dropped and a new column re-added with
+    # id 99 under v's old physical name — id 2 must read as NULL here,
+    # and id-99 data must not leak into any logical column
+    _arrow_file_with_ids(
+        os.path.join(root, "d", "f2.parquet"),
+        [("zz-1", pa.int64(), 1), ("col-bbb", pa.int64(), 99),
+         ("zz-3", [("zz-4", pa.string(), 4)], 3)],
+        {"zz-1": [3], "col-bbb": [777], "zz-3": [{"zz-4": "de"}]},
+    )
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmid", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(_cm_schema()),
+                      "partitionColumns": ["day"],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "d/f1.parquet",
+                 "partitionValues": {"col-eee": "2024-06-01"},  # physical key
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "d/f2.parquet",
+                 "partitionValues": {"col-eee": "2024-06-02"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta_table(spark, root)
+    assert df.columns == ["k", "v", "tags", "day"]
+    got = {(r.k, r.v, r.tags.lang, r.day) for r in df.collect()}
+    assert got == {
+        (1, "a", "en", "2024-06-01"),
+        (2, "b", "fr", "2024-06-01"),
+        (3, None, "de", "2024-06-02"),
+    }
+
+
+def test_reader_refuses_unknown_mapping_mode(spark, tmp_path):
+    root = str(tmp_path / "cmweird")
     _write_commit(root, 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
-                      "schemaString": json.dumps(schema), "partitionColumns": [],
-                      "configuration": {"delta.columnMapping.mode": "id"}}},
+                      "schemaString": json.dumps(_cm_schema()), "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "weird"}}},
     ])
-    with pytest.raises(DeltaProtocolError, match="'id'"):
+    with pytest.raises(DeltaProtocolError, match="'weird'"):
         read_delta_log(spark, root)
 
 

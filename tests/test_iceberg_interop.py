@@ -169,7 +169,14 @@ def test_schema_mapping_roundtrip(spark):
     walk(ice)
     assert len(ids) == len(set(ids))  # field ids unique
     back = spark_schema_from_iceberg(ice)
-    assert back == s
+    from verified_sources_spark.operators.iceberg_interop import _strip_field_ids
+
+    # names/types/nullability round-trip; the read schema additionally
+    # carries the iceberg field ids as parquet.field.id annotations
+    assert _strip_field_ids(back) == s
+    assert [f.metadata.get("parquet.field.id") for f in back.fields] == [
+        f["id"] for f in ice["fields"]
+    ]
 
 
 # --------------------------------------------------- export → read roundtrip
@@ -926,3 +933,89 @@ def test_concurrent_iceberg_exports_conflict_not_clobber(spark, tmp_path):
             ice.export_manifest_as_iceberg(t)
         finally:
             t.fs.listdir = orig
+
+
+def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
+    """Iceberg resolves columns by FIELD ID, not name: a table whose
+    column was renamed through another engine still reads correctly when
+    the data files carry parquet field ids — and a same-named column
+    written later under a NEW id does not leak into the old field."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from verified_sources_spark.operators.avro_codec import write_container
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+
+    root = tmp_path / "fidtbl"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+
+    def fid_field(name, typ, i):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(i).encode()})
+
+    # written when the columns were named a/b (ids 1/2)
+    pq.write_table(
+        pa.table(
+            {"a": [1, 2], "b": ["x", "y"]},
+            schema=pa.schema([fid_field("a", pa.int64(), 1),
+                              fid_field("b", pa.string(), 2)]),
+        ),
+        str(root / "data" / "f1.parquet"),
+    )
+    # written after b was dropped and a NEW column reusing the name "b"
+    # (id 3) was added; current schema: id1 renamed to a2, id2 dropped,
+    # id3 is logical "b_new"
+    pq.write_table(
+        pa.table(
+            {"a": [3], "b": [99]},
+            schema=pa.schema([fid_field("a", pa.int64(), 1),
+                              fid_field("b", pa.int64(), 3)]),
+        ),
+        str(root / "data" / "f2.parquet"),
+    )
+
+    f1, f2 = f"{root}/data/f1.parquet", f"{root}/data/f2.parquet"
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            ]}, "field-id": 2},
+        ]}
+    m = write_container(entry_schema, [
+        {"status": 1, "data_file": {"file_path": f1, "file_format": "PARQUET",
+                                    "record_count": 2, "file_size_in_bytes": 1}},
+        {"status": 1, "data_file": {"file_path": f2, "file_format": "PARQUET",
+                                    "record_count": 1, "file_size_in_bytes": 1}},
+    ])
+    (root / "metadata" / "m1.avro").write_bytes(m)
+    mlist_schema = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+    ]}
+    (root / "metadata" / "snap-1.avro").write_bytes(write_container(mlist_schema, [
+        {"manifest_path": f"{root}/metadata/m1.avro", "manifest_length": len(m)},
+    ]))
+    meta = {
+        "format-version": 1, "location": str(root),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "a2", "required": False, "type": "long"},
+            {"id": 3, "name": "b_new", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    got = read_iceberg_table(spark, str(root))
+    assert set(got.columns) == {"a2", "b_new"}
+    rows = {(r.a2, r.b_new) for r in got.collect()}
+    # f1: id3 absent -> b_new NULL; f2: id3=99; the id-2 "b" strings and
+    # the name-collision never surface anywhere
+    assert rows == {(1, None), (2, None), (3, 99)}

@@ -106,10 +106,10 @@ class _Snapshot:
         v = int(self.protocol.get("minReaderVersion", 1))
         mode = column_mapping_mode(self.meta) if self.meta else "none"
         if v == 2 or (v == 1 and mode != "none"):
-            if mode not in ("none", "name"):
+            if mode not in ("none", "name", "id"):
                 raise DeltaProtocolError(
-                    f"column mapping mode {mode!r} needs field-id matching "
-                    "this reader does not implement (only 'name' mode)"
+                    f"unknown column mapping mode {mode!r}; refusing a "
+                    "silently-wrong read"
                 )
         elif v == 3:
             if self.protocol.get("readerFeatures") is None:
@@ -125,9 +125,10 @@ class _Snapshot:
                     f"reader features {sorted(unsupported)} not implemented; "
                     "refusing a silently-wrong read"
                 )
-            if "columnMapping" in feats and mode not in ("none", "name"):
+            if "columnMapping" in feats and mode not in ("none", "name", "id"):
                 raise DeltaProtocolError(
-                    f"column mapping mode {mode!r} not implemented (only 'name')"
+                    f"unknown column mapping mode {mode!r}; refusing a "
+                    "silently-wrong read"
                 )
         elif v > 3:
             raise DeltaProtocolError(f"minReaderVersion {v} unsupported")
@@ -244,6 +245,42 @@ def read_delta_log(
 
 
 _PHYS_KEY = "delta.columnMapping.physicalName"
+_ID_KEY = "delta.columnMapping.id"
+
+
+def _to_fieldid_type(dt: T.DataType) -> T.DataType:
+    """Column-mapping 'id' mode: keep LOGICAL names but annotate every
+    struct field with ``parquet.field.id`` (from the table schema's
+    ``delta.columnMapping.id``) so Spark's field-id scan path resolves
+    columns by id — the spec's rule for 'id' tables, robust to renames
+    and drop/re-add through other engines."""
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            fid = (f.metadata or {}).get(_ID_KEY)
+            if fid is None:
+                raise DeltaProtocolError(
+                    f"column-mapping 'id' table field {f.name!r} carries no "
+                    f"{_ID_KEY}; schema is malformed"
+                )
+            out.append(
+                T.StructField(
+                    f.name,
+                    _to_fieldid_type(f.dataType),
+                    f.nullable,
+                    {"parquet.field.id": int(fid)},
+                )
+            )
+        return T.StructType(out)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_to_fieldid_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _to_fieldid_type(dt.keyType),
+            _to_fieldid_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def _to_physical_type(dt: T.DataType) -> T.DataType:
@@ -304,26 +341,39 @@ def read_delta_table(
     # mapping is active — leftover metadata on a mode-'none' table (e.g.
     # a cloned schemaString) must be ignored or every mapped column
     # would read all-NULL from files that use logical names
-    mapped = column_mapping_mode(meta) == "name"
+    mode = column_mapping_mode(meta)
+    mapped = mode == "name"
+    id_mode = mode == "id"
+    # partitionValues keys use PHYSICAL names in both mapping modes
     phys_of = {
-        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) if mapped else f.name
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name)
+        if (mapped or id_mode)
+        else f.name
         for f in schema.fields
     }
     types = {f.name: f.dataType for f in schema.fields}
     if not adds:
         return spark.createDataFrame([], schema)
 
-    data_schema = T.StructType(
-        [
-            T.StructField(
-                phys_of[f.name],
-                _to_physical_type(f.dataType) if mapped else f.dataType,
-                f.nullable,
-            )
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
-    )
+    if id_mode:
+        # field-id resolution: logical names in the requested schema,
+        # parquet.field.id annotations drive the match inside the scan
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = _to_fieldid_type(
+            T.StructType([f for f in schema.fields if f.name not in part_cols])
+        )
+    else:
+        data_schema = T.StructType(
+            [
+                T.StructField(
+                    phys_of[f.name],
+                    _to_physical_type(f.dataType) if mapped else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
 
     groups: dict[tuple, list[str]] = {}
     dv_descs: list[tuple[str, dict]] = []
@@ -345,11 +395,11 @@ def read_delta_table(
                 raw = dict(zip(part_cols, key))[f.name]
                 cols.append(F.lit(raw).cast(types[f.name]).alias(f.name))
             else:
-                # positional struct cast: physical → logical names at
-                # every nesting level in one expression
-                cols.append(
-                    F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
-                )
+                # 'name' mode: positional struct cast renames physical →
+                # logical at every nesting level in one expression;
+                # 'id' mode already read under logical names
+                src = f.name if id_mode else phys_of[f.name]
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
         if dv_descs:
             cols.append(
                 _norm_path_expr(F.col("_metadata.file_path")).alias("__dv_fp")

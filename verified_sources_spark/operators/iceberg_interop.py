@@ -104,7 +104,13 @@ def _ice_type_to_spark(t) -> T.DataType:
         return T.StructType(
             [
                 T.StructField(
-                    f["name"], _ice_type_to_spark(f["type"]), not f.get("required", False)
+                    f["name"],
+                    _ice_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                    # carry the Iceberg field id so scans can resolve
+                    # columns by id (the spec's rule) when data files
+                    # carry parquet field ids
+                    {"parquet.field.id": int(f["id"])} if "id" in f else None,
                 )
                 for f in t["fields"]
             ]
@@ -194,10 +200,51 @@ def spark_schema_from_iceberg(ice: dict) -> T.StructType:
     return T.StructType(
         [
             T.StructField(
-                f["name"], _ice_type_to_spark(f["type"]), not f.get("required", False)
+                f["name"],
+                _ice_type_to_spark(f["type"]),
+                not f.get("required", False),
+                {"parquet.field.id": int(f["id"])} if "id" in f else None,
             )
             for f in ice["fields"]
         ]
+    )
+
+
+def _strip_field_ids(dt: T.DataType) -> T.DataType:
+    """Schema without the parquet.field.id annotations — the name-based
+    resolution fallback for data files written without field ids."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_field_ids(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_field_ids(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_field_ids(dt.keyType),
+            _strip_field_ids(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _parquet_has_field_ids(path: str) -> bool:
+    """Footer sniff (driver-side, one file per scan group — metadata
+    sized): do this file's parquet columns carry field ids?"""
+    import pyarrow.parquet as pq
+
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        sch = pq.read_schema(p, filesystem=fs)
+    else:
+        sch = pq.read_schema(_norm_path_py(path))
+    return any(
+        f.metadata is not None and b"PARQUET:field_id" in f.metadata for f in sch
     )
 
 
@@ -516,9 +563,21 @@ def _scan_data_files(
         groups.setdefault(key, []).append(e["file_path"])
 
     out_cols = [f.name for f in schema.fields]
+    schema_has_ids = any(
+        "parquet.field.id" in (f.metadata or {}) for f in schema.fields
+    )
     parts_out = []
     for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(schema).parquet(*paths)
+        # the spec resolves columns by FIELD ID; data files written
+        # without ids (added via migration tools, or our own export of
+        # plain-parquet manifests) fall back to name resolution.  One
+        # footer sniff per scan group decides — a group is one writer
+        # lineage, so files within it are uniform.
+        use_ids = schema_has_ids and _parquet_has_field_ids(paths[0])
+        if use_ids:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = schema if use_ids else _strip_field_ids(schema)
+        df = spark.read.schema(read_schema).parquet(*paths)
         if with_meta:
             df = df.withColumn(
                 "__ice_fp", _norm_path_expr(F.col("_metadata.file_path"))
