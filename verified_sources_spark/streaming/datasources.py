@@ -1,0 +1,457 @@
+"""Spark Python Data Source API adapters (Spark 4+).
+
+Packages the engine's wire clients and table format as REAL Spark data
+sources, so users drive them through ``spark.readStream.format(...)``
+/ ``spark.read.format(...)`` instead of engine helper functions:
+
+- ``kafka_wire``   streaming source over sources/kafka_wire.py — full
+  ``DataSourceStreamReader``: offsets live in SPARK CHECKPOINTS (one
+  JSON dict of per-partition next-offsets), and each Kafka partition
+  becomes one executor task that fetches its ``[start, end)`` slice
+  directly from the broker.  This replaces the OffsetTracker control
+  table for offset storage, matching the reference consumer's
+  snapshot-then-drain loop (reference sources/kafka/__init__.py:104-134)
+  under ``Trigger.AvailableNow``.
+- ``kinesis_wire`` streaming source over sources/kinesis_wire.py —
+  ``SimpleDataSourceStreamReader`` (per-shard sequence state is the
+  offset; Kinesis has no cheap log-end probe, so the simple
+  read-all-available API is the right shape).
+- ``pg_cdc``       streaming source over sources/pg_wire.py — offset is
+  the WAL LSN.  The replication slot is confirmed only up to the START
+  offset of each read (data already committed to the Spark checkpoint),
+  so the slot trails by one batch and a crash never loses WAL — the
+  same deferred-confirm contract the engine's CDC pipeline uses.
+- ``manifest``     batch source over operators/table_format.py —
+  ``spark.read.format("manifest").load(path)`` with manifest-level FILE
+  SKIPPING driven by Spark's pushed filters (``pushFilters``): pruning
+  uses the per-file min/max + partition values already recorded in the
+  manifest, filters are returned to Spark un-absorbed so results stay
+  exact.
+
+Register everything with :func:`register_all`.
+
+Scale note: the streaming readers move record bytes executor-side
+(kafka) or driver-side in bounded pages (kinesis/cdc — the simple API's
+contract); the manifest reader yields Arrow record batches per file.
+For the large-fact scan path prefer ``ManifestTable.read``/``scan``
+(native parquet scan); the data source exists for SQL-surface access
+and engine-tracked pushdown.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+import pyspark.sql.types as T
+
+
+# ------------------------------------------------------------- kafka_wire
+
+KAFKA_SCHEMA = (
+    "topic string, partition int, offset long, ts long, key string, "
+    "value binary, headers map<string,binary>"
+)
+
+
+@dataclass
+class _KafkaSlice(InputPartition):
+    host: str
+    port: int
+    topic: str
+    pid: int
+    start: int
+    end: int
+
+
+class _KafkaWireStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", 9092))
+        self.topic = options["topic"]
+        self.starting = options.get("startingoffsets", "earliest").lower()
+
+    def _offsets(self, which: int) -> dict:
+        from verified_sources_spark.sources.kafka_wire import KafkaWireClient
+
+        with KafkaWireClient(self.host, self.port) as c:
+            pids = c.metadata([self.topic])["topics"].get(self.topic, [])
+            got = c.list_offsets(self.topic, pids, which)
+        return {str(p): int(o) for p, o in got.items()}
+
+    def initialOffset(self) -> dict:
+        from verified_sources_spark.sources.kafka_wire import EARLIEST_TS, LATEST_TS
+
+        return self._offsets(LATEST_TS if self.starting == "latest" else EARLIEST_TS)
+
+    def latestOffset(self) -> dict:
+        from verified_sources_spark.sources.kafka_wire import LATEST_TS
+
+        return self._offsets(LATEST_TS)
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out = []
+        for pid, hi in end.items():
+            lo = int(start.get(pid, 0))  # new partition: from its beginning
+            if int(hi) > lo:
+                out.append(
+                    _KafkaSlice(self.host, self.port, self.topic, int(pid), lo, int(hi))
+                )
+        return out
+
+    def read(self, part: _KafkaSlice) -> Iterator[tuple]:
+        # executor-side: fetch exactly [start, end) from the broker
+        from verified_sources_spark.sources.kafka_wire import KafkaWireClient
+
+        with KafkaWireClient(part.host, part.port) as c:
+            pos = part.start
+            while pos < part.end:
+                recs, _hw = c.fetch(part.topic, part.pid, pos)
+                recs = [r for r in recs if r.offset < part.end]
+                if not recs:
+                    break
+                for r in recs:
+                    yield (
+                        r.topic,
+                        r.partition,
+                        r.offset,
+                        r.timestamp_ms,
+                        r.key.decode() if r.key is not None else None,
+                        r.value,
+                        {k: v for k, v in r.headers},
+                    )
+                pos = max(r.offset for r in recs) + 1
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the Spark checkpoint — nothing to persist here
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaWireDataSource(DataSource):
+    """``spark.readStream.format("kafka_wire").option("host", h)
+    .option("port", p).option("topic", t)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_wire"
+
+    def schema(self) -> str:
+        return KAFKA_SCHEMA
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _KafkaWireStreamReader(self.options)
+
+
+# ----------------------------------------------------------- kinesis_wire
+
+KINESIS_SCHEMA = (
+    "shard_id string, sequence_number string, partition_key string, "
+    "data binary, arrival_ts double"
+)
+
+
+class _KinesisStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.endpoint = options["endpoint"]
+        self.stream = options["stream"]
+
+    def initialOffset(self) -> dict:
+        return {"seq": {}}
+
+    def _fetch(self, state: dict):
+        from verified_sources_spark.sources.kinesis_wire import fetch_stream
+
+        rows, new_state = fetch_stream(self.endpoint, self.stream, dict(state))
+        return rows, new_state
+
+    @staticmethod
+    def _row(r) -> tuple:
+        return (
+            r["shard_id"],
+            r["sequence_number"],
+            r.get("partition_key"),
+            r["data"],
+            None if r.get("arrival_ts") is None else float(r["arrival_ts"]),
+        )
+
+    def read(self, start: dict):
+        rows, new_state = self._fetch(start.get("seq") or {})
+        return iter([self._row(r) for r in rows]), {"seq": new_state}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay: refetch from the start sequences and cut each shard at
+        # its end sequence.  Sequence numbers are OPAQUE ordered strings,
+        # so the cut is positional: rows arrive per-shard in order, emit
+        # until the bound sequence (inclusive) is seen.
+        lo = start.get("seq") or {}
+        bound = end.get("seq") or {}
+        rows, _ = self._fetch(lo)
+        done = {
+            sid for sid, hi in bound.items() if lo.get(sid) == hi
+        }  # shard had no rows in (start, end]
+        for r in rows:
+            sid = r["shard_id"]
+            hi = bound.get(sid)
+            if hi is None or sid in done:
+                continue  # shard appeared after the end offset was taken
+            yield self._row(r)
+            if r["sequence_number"] == hi:
+                done.add(sid)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class KinesisWireDataSource(DataSource):
+    """``spark.readStream.format("kinesis_wire").option("endpoint", url)
+    .option("stream", name)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_wire"
+
+    def schema(self) -> str:
+        return KINESIS_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _KinesisStreamReader(self.options)
+
+
+# ---------------------------------------------------------------- pg_cdc
+
+PG_CDC_SCHEMA = "lsn long, payload binary"
+
+
+class _PgCdcStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", 5432))
+        self.database = options["database"]
+        self.user = options["user"]
+        self.slot = options["slot"]
+        self.publication = options["publication"]
+
+    def initialOffset(self) -> dict:
+        return {"lsn": 0}
+
+    def _drain(self, start_lsn: int):
+        """One walsender drain from *start_lsn*.  The slot is confirmed
+        only up to start_lsn (that data is already in the Spark
+        checkpoint) — never past WAL that has not been committed, so a
+        crash replays instead of losing."""
+        from verified_sources_spark.sources.pg_wire import WalsenderClient
+
+        framed: list[tuple[int, bytes]] = []
+        with WalsenderClient(self.host, self.port, self.database, self.user) as c:
+            # keepalive replies during the stream report this flush
+            # position — the slot advances to exactly the WAL the Spark
+            # checkpoint has committed, never past in-flight data
+            c.flushed_lsn = start_lsn
+            last = start_lsn
+            for msg in c.start_replication(
+                self.slot, self.publication, start_lsn=start_lsn
+            ):
+                framed.append((msg.wal_start, msg.payload))
+                last = max(last, msg.wal_start)
+        return framed, last
+
+    def read(self, start: dict):
+        framed, last = self._drain(int(start.get("lsn") or 0))
+        return iter(framed), {"lsn": int(last)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        framed, _ = self._drain(int(start.get("lsn") or 0))
+        hi = int(end.get("lsn") or 0)
+        return iter([f for f in framed if f[0] <= hi])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class PgCdcDataSource(DataSource):
+    """``spark.readStream.format("pg_cdc").option("database", db)
+    .option("user", u).option("slot", s).option("publication", p)``.
+    Rows are raw (lsn, payload) frames — decode with
+    sources/pg_decoders.py operators downstream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pg_cdc"
+
+    def schema(self) -> str:
+        return PG_CDC_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _PgCdcStreamReader(self.options)
+
+
+# --------------------------------------------------------------- manifest
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _local_path(p: str) -> str:
+    """SQL surfaces hand the option in URI form (``file:/x`` /
+    ``file:///x``) — collapse to the plain path LocalFS expects."""
+    if p.startswith("file:"):
+        rest = p[len("file:") :]
+        return "/" + rest.lstrip("/")
+    return p
+
+
+@dataclass
+class _ManifestFile(InputPartition):
+    file_path: str
+    partition: dict
+
+
+def _filter_to_tuple(f: Filter):
+    """Spark pushed Filter → the (col, op, value) shape
+    ManifestTable.candidate_entries understands; None if untranslatable
+    (nested column, unsupported op)."""
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return (col, "=", f.value)
+    if isinstance(f, GreaterThan):
+        return (col, ">", f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return (col, ">=", f.value)
+    if isinstance(f, LessThan):
+        return (col, "<", f.value)
+    if isinstance(f, LessThanOrEqual):
+        return (col, "<=", f.value)
+    if isinstance(f, In):
+        return (col, "in", list(f.value))
+    return None
+
+
+class _ManifestReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self.path = _local_path(options["path"])
+        self.version = (
+            int(options["version"]) if options.get("version") is not None else None
+        )
+        self.schema = schema
+        self._filters: list[tuple] = []
+
+    def _table(self):
+        from verified_sources_spark.operators.fs import LocalFS
+        from verified_sources_spark.operators.table_format import ManifestTable
+
+        # driver-side metadata only (manifest JSON reads) — no Spark
+        # session is available inside a data source instance
+        return ManifestTable(None, self.path, fs=LocalFS())
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            t = _filter_to_tuple(f)
+            if t is not None:
+                self._filters.append(t)
+        # file skipping is pruning, not exact evaluation: give every
+        # filter back so Spark still applies the residual predicate
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        t = self._table()
+        if self._filters:
+            entries = t.candidate_entries(self._filters, self.version)
+        else:
+            v = t.latest_version() if self.version is None else self.version
+            if v is None:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            entries = t._manifest(v)["files"]
+        return [
+            _ManifestFile(f"{self.path}/{e['path']}", dict(e.get("partition") or {}))
+            for e in entries
+        ]
+
+    def read(self, part: _ManifestFile):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        tbl = pq.read_table(part.file_path)
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in self.schema.fields:
+            names.append(f.name)
+            target = to_arrow_type(f.dataType)
+            if f.name in tbl.column_names:
+                cols.append(tbl[f.name].combine_chunks().cast(target))
+            elif f.name in part.partition:
+                raw = part.partition[f.name]
+                if raw is None or raw == _HIVE_NULL:
+                    cols.append(pa.nulls(n, type=target))
+                else:
+                    cols.append(pa.array([str(raw)] * n, type=pa.string()).cast(target))
+            else:
+                cols.append(pa.nulls(n, type=target))
+        out = pa.table(dict(zip(names, cols)))
+        yield from out.to_batches()
+
+
+class ManifestDataSource(DataSource):
+    """``spark.read.format("manifest").load(path)`` — batch reads of the
+    engine's transactional ManifestTable with manifest-stat file
+    skipping driven by Spark's pushed-down filters."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self):
+        opts = self.options
+        from verified_sources_spark.operators.fs import LocalFS
+        from verified_sources_spark.operators.table_format import ManifestTable
+
+        path = _local_path(opts["path"])
+        t = ManifestTable(None, path, fs=LocalFS())
+        v = (
+            int(opts["version"])
+            if opts.get("version") is not None
+            else t.latest_version()
+        )
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {path}")
+        schema_json = t._manifest(v).get("schema")
+        if not schema_json:
+            raise FileNotFoundError(f"manifest v{v} records no schema")
+        return T.StructType.fromJson(json.loads(schema_json))
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ManifestReader(self.options, schema)
+
+
+def register_all(spark) -> None:
+    """Register every engine data source on *spark* (idempotent)."""
+    # the manifest reader's pushFilters() requires the engine-side opt-in
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    for cls in (
+        KafkaWireDataSource,
+        KinesisWireDataSource,
+        PgCdcDataSource,
+        ManifestDataSource,
+    ):
+        spark.dataSource.register(cls)
