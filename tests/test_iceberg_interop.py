@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
@@ -1019,3 +1020,169 @@ def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
     # f1: id3 absent -> b_new NULL; f2: id3=99; the id-2 "b" strings and
     # the name-collision never surface anywhere
     assert rows == {(1, None), (2, None), (3, 99)}
+
+
+# ----------------------------------------------------- REST catalog
+
+
+class _FakeRestCatalog(ThreadingHTTPServer):
+    """In-process Iceberg REST catalog implementing config / namespaces /
+    register / loadTable / commitTable with the optimistic-requirements
+    check.  On commit it writes the next metadata JSON itself (that is
+    the catalog's job in the REST spec) and serves the new location."""
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _CatalogHandler)
+        self.namespaces = set()
+        self.tables = {}  # (ns, name) -> {"metadata-location", "metadata"}
+        self.commits = 0
+
+
+class _CatalogHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def _json(self, obj, status=200):
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, status, typ, msg):
+        self._json({"error": {"type": typ, "message": msg, "code": status}}, status)
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n)) if n else {}
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/v1/config":
+            return self._json({"defaults": {}, "overrides": {"prefix": "cat"}})
+        m = self.path.split("/")
+        # /v1/cat/namespaces/{ns}/tables/{t}
+        if len(m) == 7 and m[3] == "namespaces" and m[5] == "tables":
+            key = (m[4], m[6])
+            if key not in srv.tables:
+                return self._err(404, "NoSuchTableException", f"{key} not found")
+            return self._json(srv.tables[key])
+        self._err(404, "NotFound", self.path)
+
+    def do_POST(self):
+        srv = self.server
+        m = self.path.split("/")
+        body = self._body()
+        if self.path == "/v1/cat/namespaces":
+            ns = ".".join(body["namespace"])
+            if ns in srv.namespaces:
+                return self._err(409, "AlreadyExistsException", ns)
+            srv.namespaces.add(ns)
+            return self._json({"namespace": body["namespace"], "properties": {}})
+        if len(m) == 6 and m[3] == "namespaces" and m[5] == "register":
+            key = (m[4], body["name"])
+            if key in srv.tables:
+                return self._err(409, "AlreadyExistsException", str(key))
+            loc = body["metadata-location"]
+            with open(loc) as f:
+                meta = json.load(f)
+            srv.tables[key] = {"metadata-location": loc, "metadata": meta}
+            return self._json(srv.tables[key])
+        if len(m) == 7 and m[3] == "namespaces" and m[5] == "tables":
+            key = (m[4], m[6])
+            if key not in srv.tables:
+                return self._err(404, "NoSuchTableException", str(key))
+            cur = srv.tables[key]["metadata"]
+            for req in body.get("requirements", []):
+                if req["type"] == "assert-table-uuid":
+                    if req["uuid"] != cur.get("table-uuid"):
+                        return self._err(409, "CommitFailedException", "uuid drift")
+                elif req["type"] == "assert-ref-snapshot-id":
+                    if req["snapshot-id"] != cur.get("current-snapshot-id"):
+                        return self._err(
+                            409, "CommitFailedException",
+                            f"ref {req['ref']} moved: expected "
+                            f"{req['snapshot-id']}, at {cur.get('current-snapshot-id')}",
+                        )
+                else:
+                    return self._err(400, "BadRequest", req["type"])
+            new_meta = dict(cur)
+            for up in body.get("updates", []):
+                if up["action"] == "add-snapshot":
+                    new_meta["snapshots"] = list(new_meta.get("snapshots", [])) + [
+                        up["snapshot"]
+                    ]
+                elif up["action"] == "set-snapshot-ref":
+                    new_meta["current-snapshot-id"] = up["snapshot-id"]
+                else:
+                    return self._err(400, "BadRequest", up["action"])
+            # the catalog writes the new metadata file (its job per spec)
+            srv.commits += 1
+            mdir = os.path.join(new_meta["location"], "metadata")
+            loc = os.path.join(mdir, f"catalog-{srv.commits:05d}.metadata.json")
+            with open(loc, "w") as f:
+                json.dump(new_meta, f)
+            srv.tables[key] = {"metadata-location": loc, "metadata": new_meta}
+            return self._json(srv.tables[key])
+        self._err(404, "NotFound", self.path)
+
+
+def test_rest_catalog_register_commit_and_resolve(spark, tmp_path, sink_fs):
+    """Export → catalog registration end-to-end: first export registers
+    the metadata location, the next commits add-snapshot/set-snapshot-ref
+    under assert-ref-snapshot-id, a second reader resolves the table
+    THROUGH the catalog (no version-hint), and a stale commit conflicts."""
+    import threading
+
+    from verified_sources_spark.operators.iceberg_interop import read_iceberg_table
+    from verified_sources_spark.sources.iceberg_catalog import (
+        CatalogCommitConflict,
+        IcebergRestCatalog,
+        register_iceberg_export,
+    )
+
+    srv = _FakeRestCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        cat = IcebergRestCatalog(f"http://{host}:{port}")
+        assert cat.prefix == "cat"
+        cat.create_namespace("lake")
+        cat.create_namespace("lake")  # idempotent
+
+        t = ManifestTable(spark, str(tmp_path / "cattbl"), fs=sink_fs)
+        t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+        loc1 = register_iceberg_export(cat, "lake", "orders", t)
+        got = cat.load_table("lake", "orders")
+        assert got["metadata-location"] == loc1
+
+        # reader resolves THROUGH the catalog, not the version hint
+        df = read_iceberg_table(
+            spark, t.path, metadata_location=got["metadata-location"]
+        )
+        assert _rows(df.select("k", "v")) == {(1, "a")}
+
+        # second export commits through the optimistic protocol
+        t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+        loc2 = register_iceberg_export(cat, "lake", "orders", t)
+        assert loc2 != loc1 and srv.commits == 1
+        got2 = cat.load_table("lake", "orders")
+        df2 = read_iceberg_table(
+            spark, t.path, metadata_location=got2["metadata-location"]
+        )
+        assert _rows(df2.select("k", "v")) == {(1, "a"), (2, "b")}
+
+        # stale writer: asserts the OLD snapshot id -> 409 conflict
+        old_snap = json.loads(open(loc1).read())["current-snapshot-id"]
+        with pytest.raises(CatalogCommitConflict, match="moved"):
+            cat.commit_table(
+                "lake", "orders",
+                [{"type": "assert-ref-snapshot-id", "ref": "main",
+                  "snapshot-id": old_snap}],
+                [{"action": "set-snapshot-ref", "ref-name": "main",
+                  "type": "branch", "snapshot-id": old_snap}],
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -46,11 +46,11 @@ manifest per export IS the protocol, not a shortcut.  Field-ids are
 assigned in schema order and stamped into the Avro schemas as the spec
 requires.
 
-Column resolution caveat (documented, not hidden): Iceberg proper maps
-parquet columns by field-id, which survives renames.  This reader maps
-by NAME — correct for tables whose columns were never renamed (and for
-everything this engine exports); a renamed-column table needs the real
-Iceberg runtime.
+Column resolution follows the spec's FIELD-ID rule when data files
+carry parquet field ids (Spark's field-id scan path, one footer sniff
+per scan group) — renames/drops/re-adds through other engines read
+correctly; id-less files (Hive migrations, this engine's own
+plain-parquet exports) fall back to name resolution.
 """
 
 from __future__ import annotations
@@ -254,10 +254,18 @@ def _metadata_dir(path: str) -> str:
 
 
 def read_iceberg_metadata(
-    spark: SparkSession, path: str, fs: FS | None = None
+    spark: SparkSession, path: str, fs: FS | None = None,
+    metadata_location: str | None = None,
 ) -> dict:
-    """Resolve and parse the CURRENT table metadata JSON."""
+    """Resolve and parse the CURRENT table metadata JSON.
+
+    ``metadata_location`` pins an exact metadata file — the catalog
+    resolution path (a REST/Hive/Glue ``loadTable`` returns the
+    location; filesystem hint/listing resolution is the no-catalog
+    fallback)."""
     fs = fs or HadoopFS(spark)
+    if metadata_location is not None:
+        return json.loads(fs.read_text(metadata_location))
     md = _metadata_dir(path)
     hint = f"{md}/version-hint.text"
     name = None
@@ -374,6 +382,7 @@ def read_iceberg_snapshot(
     path: str,
     fs: FS | None = None,
     snapshot_id: int | None = None,
+    metadata_location: str | None = None,
 ) -> tuple[list[dict], list[dict], list[dict], dict]:
     """Snapshot entries: (data_files, position_deletes,
     equality_deletes, metadata).  ``snapshot_id`` time-travels to any
@@ -399,7 +408,7 @@ def read_iceberg_snapshot(
         # paths relative while Spark's _metadata.file_path is absolute,
         # silently breaking the delete-application path joins
         path = os.path.abspath(path)
-    meta = read_iceberg_metadata(spark, path, fs)
+    meta = read_iceberg_metadata(spark, path, fs, metadata_location)
     if int(meta.get("format-version", 1)) > 2:
         raise IcebergProtocolError(f"format-version {meta['format-version']} unsupported")
     snap_id = (
@@ -614,6 +623,7 @@ def read_iceberg_table(
     path: str,
     fs: FS | None = None,
     snapshot_id: int | None = None,
+    metadata_location: str | None = None,
 ) -> DataFrame:
     """External Iceberg table → DataFrame (no iceberg runtime).
 
@@ -628,7 +638,7 @@ def read_iceberg_table(
     conditions in the join predicates, so the plan stays one Catalyst
     DAG with no driver-side row work."""
     files, pos_del, eq_del, meta = read_iceberg_snapshot(
-        spark, path, fs, snapshot_id=snapshot_id
+        spark, path, fs, snapshot_id=snapshot_id, metadata_location=metadata_location
     )
     schema = spark_schema_from_iceberg(_snapshot_schema(meta, snapshot_id))
     if not files:
