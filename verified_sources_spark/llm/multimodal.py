@@ -167,8 +167,46 @@ def extract_features(
 
         return df.select(id_col, asset_col).mapInPandas(run_pil, PIL_FEATURE_SCHEMA)
 
+    if decoder == "png":
+        # pure-stdlib real decode (llm/png_codec.py) — always available,
+        # so the real path runs in codec-free environments too
+        def run_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from verified_sources_spark.llm.png_codec import probe
+
+            for pdf in batches:
+                feats = []
+                for p in pdf[asset_col]:
+                    try:
+                        info = probe(bytes(p))
+                        feats.append(
+                            {
+                                "decoded_ok": True,
+                                "width": info["width"],
+                                "height": info["height"],
+                                "mode": info["mode"],
+                                "format": "PNG",
+                                "n_bytes": len(p),
+                            }
+                        )
+                    except Exception:
+                        feats.append(
+                            {
+                                "decoded_ok": False,
+                                "width": None,
+                                "height": None,
+                                "mode": None,
+                                "format": None,
+                                "n_bytes": len(p) if p is not None else 0,
+                            }
+                        )
+                out = pd.DataFrame(feats)
+                out.insert(0, "doc_id", pdf[id_col].values)
+                yield out
+
+        return df.select(id_col, asset_col).mapInPandas(run_png, PIL_FEATURE_SCHEMA)
+
     if decoder != "fake":
-        raise ValueError(f"decoder must be 'fake' or 'pil', got {decoder!r}")
+        raise ValueError(f"decoder must be 'fake', 'png' or 'pil', got {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,8 +292,41 @@ def resize_images(
 
         return df.select(id_col, asset_col).mapInPandas(run_pil, RESIZE_SCHEMA)
 
+    if decoder == "png":
+        # stdlib decode → nearest-neighbor resample → PNG re-encode;
+        # per-object error isolation identical to the pil path
+        def run_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from verified_sources_spark.llm.png_codec import (
+                decode,
+                encode,
+                resize_nearest,
+            )
+
+            def one(p):
+                try:
+                    im = decode(bytes(p))
+                    ch = 4 if im["mode"] == "RGBA" else 3
+                    px = resize_nearest(
+                        im["pixels"], im["width"], im["height"], width, height, ch
+                    )
+                    return encode(width, height, px, im["mode"])
+                except Exception:
+                    return None
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].values,
+                        "width": width,
+                        "height": height,
+                        "resized": [one(p) for p in pdf[asset_col]],
+                    }
+                )
+
+        return df.select(id_col, asset_col).mapInPandas(run_png, RESIZE_SCHEMA)
+
     if decoder != "fake":
-        raise ValueError(f"decoder must be 'fake' or 'pil', got {decoder!r}")
+        raise ValueError(f"decoder must be 'fake', 'png' or 'pil', got {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
