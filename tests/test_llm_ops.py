@@ -558,3 +558,41 @@ def test_remove_duplicate_spans_pinned(spark):
     assert (out[1].n_tokens, out[1].n_tokens_removed) == (4, 2)
     assert out[2].clean_text == "" and out[2].n_tokens_removed == 2
     assert out[3].clean_text == "q" and out[3].n_tokens_removed == 0
+
+
+def test_remove_maximal_duplicate_spans_pinned(spark):
+    """window=2, min_span=4: adjacent duplicated windows merge into one
+    maximal span; a merged run shorter than min_span SURVIVES (the
+    recipe's point — short incidental overlaps are kept), a long run is
+    cut whole, and two runs separated by a unique gap stay separate."""
+    from verified_sources_spark.llm.text_prep import remove_maximal_duplicate_spans
+
+    shared4 = "w x y z"            # 3 windows of 2 merging into a 4-token span
+    shared2 = "p q"                # a single 2-token duplicated window
+    rows = [
+        # doc1: long shared run (cut: >= 4) + unique gap + short shared
+        # run (kept: 2 < 4)
+        (1, f"a {shared4} b c {shared2} d"),
+        (2, f"lead {shared4} tail"),
+        (3, f"{shared2} other words here"),
+        # doc4: TWO long runs separated by a unique token — two spans
+        (4, f"{shared4} u {shared4}"),
+        (5, "solo document nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_maximal_duplicate_spans(
+            df, "doc_id", "text", window=2, min_span_tokens=4
+        ).collect()
+    }
+    # doc1: w x y z removed (4 tokens), p q kept (run of 2 < min_span)
+    assert out[1].clean_text == "a b c p q d"
+    assert (out[1].n_tokens_removed, out[1].n_spans) == (4, 1)
+    assert out[2].clean_text == "lead tail" and out[2].n_spans == 1
+    # doc3's only shared material is the short run -> untouched
+    assert out[3].clean_text == "p q other words here" and out[3].n_spans == 0
+    # doc4: two maximal spans (the unique 'u' breaks the run), both cut
+    assert out[4].clean_text == "u" and out[4].n_spans == 2
+    assert out[4].n_tokens_removed == 8
+    assert out[5].n_tokens_removed == 0 and out[5].n_spans == 0

@@ -416,3 +416,117 @@ def hash_sample(
     else:
         raise ValueError("pass fraction or fractions")
     return df.filter(bucket < thr)
+
+
+def remove_maximal_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_span_tokens: int = 50,
+) -> DataFrame:
+    """Variable-length ExactSubstr removal: merge ADJACENT duplicated
+    windows into MAXIMAL spans and cut only spans of at least
+    ``min_span_tokens`` tokens — the published recipe ("Deduplicating
+    Training Data Makes Language Models Better") removes maximal
+    duplicated substrings >= 50 tokens, not every 8-token hit, so short
+    incidental overlaps (quotes, idioms) survive while long boilerplate
+    runs are cut whole.
+
+    Construction: duplicated ``window``-token hits per document (same
+    cross-document >= 2-distinct-docs rule as
+    :func:`remove_duplicate_spans`), then a gaps-and-islands merge —
+    sorted hit starts, a new island when the gap exceeds ``window``
+    (i.e. the covered intervals are neither overlapping nor adjacent),
+    island extent = [min(start), max(start)+window-1].  Linear run-length
+    over window hits; no suffix array needed.
+
+    Output per document: ``clean_text`` (kept tokens, single-space
+    joined), ``n_tokens``, ``n_tokens_removed``, ``n_spans`` (maximal
+    spans actually cut).
+
+    Scale shape: everything up to the island merge shuffles (hash,
+    doc_id, position) triples only; the merge itself is one
+    partition-by-document window (documents are tiny next to the
+    corpus, so per-doc ordering is safe), and reassembly is the same
+    per-doc array_sort as the fixed-window form — no global sort."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    )
+    sp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(shingles(text_col, window), lambda s: F.md5(s))
+        ).alias("spos", "_h"),
+    )
+    hits = sp.join(
+        sp.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("_h"),
+        "_h",
+    ).select("_id", "spos").distinct()
+
+    w_ord = W.partitionBy("_id").orderBy("spos")
+    isl = (
+        hits.withColumn("_prev", F.lag("spos").over(w_ord))
+        .withColumn(
+            "_new_run",
+            (
+                F.col("_prev").isNull()
+                | ((F.col("spos") - F.col("_prev")) > F.lit(window))
+            ).cast("int"),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new_run").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    spans = (
+        isl.groupBy("_id", "_island")
+        .agg(
+            F.min("spos").alias("_start"),
+            (F.max("spos") + F.lit(window - 1)).alias("_end"),
+        )
+        .filter(F.col("_end") - F.col("_start") + 1 >= F.lit(min_span_tokens))
+    )
+    covered = spans.select(
+        "_id", F.explode(F.sequence("_start", "_end")).alias("pos")
+    ).distinct()
+    n_spans = spans.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    spine = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        spine.join(rebuilt, "_id", "left")
+        .join(n_spans, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )

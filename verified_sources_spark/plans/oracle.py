@@ -1287,3 +1287,48 @@ ORACLE_SQL["funnel_conversion_events"] = """
            round(CAST((SELECT COUNT(*) FROM u3) AS DOUBLE)
                  / (SELECT COUNT(*) FROM u1), 6) AS view_to_purchase
 """
+
+# Variable-length ExactSubstr: duplicated 8-token window hits merged
+# gaps-and-islands style (new island when the start gap exceeds the
+# window, i.e. covered intervals are neither overlapping nor adjacent),
+# islands below 50 tokens KEPT, the rest cut and the stream rebuilt.
+ORACLE_SQL["max_dup_span_removal_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS pos FROM t),
+    w AS (SELECT doc_id, i, md5({_SPAN8}) AS h FROM
+          (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM t)),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT w.doc_id, w.i FROM w JOIN dup USING (h)),
+    lg AS (SELECT doc_id, i,
+                  lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+           FROM hits),
+    isl AS (SELECT doc_id, i,
+                   SUM(CASE WHEN pi IS NULL OR i - pi > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM lg),
+    spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+              HAVING MAX(i) + 7 - MIN(i) + 1 >= 50),
+    nsp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY doc_id),
+    cov AS (SELECT DISTINCT doc_id, pos FROM
+            (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.term
+             FROM tok LEFT JOIN cov
+               ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+             WHERE cov.pos IS NULL),
+    reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           COALESCE(nsp.n_spans, 0) AS n_spans
+    FROM documents d
+    JOIN t ON t.doc_id = d.doc_id
+    LEFT JOIN reb ON reb.doc_id = d.doc_id
+    LEFT JOIN nsp ON nsp.doc_id = d.doc_id
+"""

@@ -695,6 +695,19 @@ def remove_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(d, "doc_id", "text", window=8)
 
 
+def max_dup_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr: maximal merged duplicated spans >= 50
+    tokens cut whole, shorter incidental overlaps kept
+    (llm/text_prep.remove_maximal_duplicate_spans) — the published
+    recipe's span policy, vs the fixed-window removal query."""
+    from verified_sources_spark.llm.text_prep import remove_maximal_duplicate_spans
+
+    d = _docs_parallel(spark, sf_dir)
+    return remove_maximal_duplicate_spans(
+        d, "doc_id", "text", window=8, min_span_tokens=50
+    )
+
+
 def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf·idf
     (llm/relevance.py) — keyword extraction for corpus browsing /
@@ -1505,4 +1518,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_duplicate_spans_docs": remove_duplicate_spans_docs,
     "cohort_retention_events": cohort_retention_events,
     "funnel_conversion_events": funnel_conversion_events,
+    "max_dup_span_removal_docs": max_dup_span_removal_docs,
 }
