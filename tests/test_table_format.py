@@ -495,7 +495,11 @@ def test_object_store_backends_guarantee_one_winner(spark, tmp_path, sink_fs, ki
         return _HoldingLockBackend(coord, LocalFS())
 
     n_conflicts, final = _race_two_appends(spark, tmp_path, sink_fs, make_backend)
-    assert n_conflicts == 1
+    # at least one conflict (the forced race) — the loser may conflict
+    # MORE than once when it retries before the winner's multi-step
+    # commit (fence write + token check + promote) becomes visible;
+    # extra retries are benign, losing an update is not
+    assert n_conflicts >= 1
     assert final.versions() == [1, 2, 3]
     assert {(r["k"], r["v"]) for r in final.read().collect()} == {
         (0, "base"), (1, "a"), (2, "b"),
@@ -649,3 +653,53 @@ def test_concurrent_merges_preserve_both_writers_rows(spark, tmp_path, sink_fs):
     rows = {(r["k"], r["v"]) for r in final.read().select("k", "v").collect()}
     # BOTH upserts applied, untouched d2 row intact
     assert rows == {(1, "a2"), (2, "b2"), (3, "c")}
+
+
+def test_fencing_stalled_winner_write_is_invisible(tmp_path):
+    """THE fencing-token scenario (the documented TTL-steal hole, now
+    closed): winner A writes its fence file then stalls past the TTL;
+    thief B steals the claim — the token bumps — and commits.  A's
+    resume must abort at the token check, its bytes never become
+    visible, and no stale fence file survives."""
+    import os
+
+    from verified_sources_spark.operators.fs import (
+        InProcessCoordinator,
+        LocalFS,
+        LockTableCommitBackend,
+    )
+
+    t = [0.0]
+    coord = InProcessCoordinator(ttl_s=60.0, clock=lambda: t[0])
+    fs = LocalFS()
+    p = str(tmp_path / "v2.json")
+    thief = LockTableCommitBackend(coord, fs, owner="B")
+
+    def stall():
+        t[0] = 61.0                      # A's lease expires mid-stall
+        thief.put_if_absent(p, "THIEF")  # B steals the claim and commits
+
+    stale = LockTableCommitBackend(coord, fs, owner="A", _stall_hook=stall)
+    with pytest.raises(FileExistsError):
+        stale.put_if_absent(p, "STALE")
+    assert fs.read_text(p) == "THIEF"
+    assert [n for n in os.listdir(tmp_path) if ".fence." in n] == []
+    # the thief's token is strictly newer than the stalled winner's
+    assert coord.current(p) == ("B", 2)
+
+
+def test_promote_exclusive_never_overwrites(tmp_path):
+    """The storage half of fencing: promotion is atomic-no-overwrite, so
+    even a writer that passed the token check a microsecond before the
+    steal cannot clobber an already-promoted manifest."""
+    from verified_sources_spark.operators.fs import LocalFS
+
+    fs = LocalFS()
+    s1, s2, dst = (str(tmp_path / n) for n in ("s1", "s2", "dst"))
+    fs.write_text(s1, "one")
+    fs.write_text(s2, "two")
+    fs.promote_exclusive(s1, dst)
+    assert fs.read_text(dst) == "one" and not fs.exists(s1)
+    with pytest.raises(FileExistsError):
+        fs.promote_exclusive(s2, dst)
+    assert fs.read_text(dst) == "one"  # loser's content stayed invisible

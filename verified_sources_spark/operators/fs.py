@@ -92,6 +92,14 @@ class FS:
         only by commit backends that arbitrate exclusivity elsewhere)."""
         raise NotImplementedError
 
+    def promote_exclusive(self, src: str, dst: str) -> None:
+        """Atomically make *src* visible as *dst* WITHOUT overwriting:
+        raises FileExistsError if *dst* already exists, and on a race at
+        most one promoter wins.  POSIX: hardlink (link(2) is
+        atomic-exclusive); HDFS: rename, which refuses an existing
+        destination.  The fencing half of LockTableCommitBackend."""
+        raise NotImplementedError
+
     def read_text(self, path: str) -> str:
         raise NotImplementedError
 
@@ -142,6 +150,10 @@ class LocalFS(FS):
     def write_text(self, path: str, text: str) -> None:
         with open(path, "w") as f:
             f.write(text)
+
+    def promote_exclusive(self, src: str, dst: str) -> None:
+        os.link(src, dst)  # atomic; FileExistsError if dst exists
+        os.remove(src)
 
     def read_text(self, path: str) -> str:
         with open(path) as f:
@@ -205,6 +217,22 @@ class HadoopFS(FS):
         ok = self._jfs(src).rename(self._jpath(src), self._jpath(dst))
         if not ok:
             raise OSError(f"rename failed: {src} -> {dst}")
+
+    def promote_exclusive(self, src: str, dst: str) -> None:
+        if _is_local_uri(src):
+            # RawLocalFileSystem rename silently overwrites; POSIX link
+            # is the real atomic-exclusive primitive here
+            s = urlparse(src).path if src.startswith("file:") else src
+            d = urlparse(dst).path if dst.startswith("file:") else dst
+            os.link(s, d)
+            os.remove(s)
+            return
+        # HDFS rename REFUSES an existing destination (namenode-arbitrated)
+        ok = self._jfs(src).rename(self._jpath(src), self._jpath(dst))
+        if not ok:
+            if self._jfs(dst).exists(self._jpath(dst)):
+                raise FileExistsError(dst)
+            raise OSError(f"promote failed: {src} -> {dst}")
 
     def create_exclusive(self, path: str, text: str) -> None:
         if _is_local_uri(path):
@@ -320,67 +348,130 @@ class ConditionalPutCommitBackend(CommitBackend):
 class Coordinator:
     """External CAS service electing the single writer of a key.
 
-    ``try_claim(key, owner)`` returns True iff *owner* now holds the
-    claim: first-claimer wins, re-claims by the SAME owner stay True
-    (idempotent retry), and a claim whose age exceeds the coordinator's
-    TTL may be stolen — the crashed-winner escape hatch.  Production
+    ``claim(key, owner)`` returns a monotonic FENCING TOKEN iff *owner*
+    now holds the claim (None otherwise): first-claimer wins, re-claims
+    by the SAME owner return the SAME token (idempotent retry), a claim
+    whose age exceeds the coordinator's TTL may be stolen — and every
+    ownership change BUMPS the token, so a stalled winner's token is
+    provably stale.  ``current(key)`` reports the standing
+    (owner, token) pair for the write-visibility check.  Production
     shape: a DynamoDB/Spanner row per key written with a conditional put
-    of ``attribute_not_exists(key) OR expiry < now``.
+    of ``attribute_not_exists(key) OR expiry < now``, token as an
+    atomically incremented attribute.
     """
 
-    def try_claim(self, key: str, owner: str) -> bool:
+    def claim(self, key: str, owner: str) -> int | None:
         raise NotImplementedError
+
+    def current(self, key: str) -> tuple[str, int] | None:
+        raise NotImplementedError
+
+    def try_claim(self, key: str, owner: str) -> bool:
+        return self.claim(key, owner) is not None
 
 
 class InProcessCoordinator(Coordinator):
     """Reference Coordinator for single-process multi-writer drivers and
-    for tests; claim table under one mutex, monotonic-clock TTL."""
+    for tests; claim table under one mutex, monotonic-clock TTL,
+    per-key monotonic fencing tokens."""
 
     def __init__(self, ttl_s: float = 300.0, clock=time.monotonic):
         self.ttl_s = ttl_s
         self._clock = clock
         self._lock = threading.Lock()
-        self._claims: dict[str, tuple[str, float]] = {}
+        self._claims: dict[str, tuple[str, float, int]] = {}
 
-    def try_claim(self, key: str, owner: str) -> bool:
+    def claim(self, key: str, owner: str) -> int | None:
         with self._lock:
             now = self._clock()
             cur = self._claims.get(key)
-            if cur is not None and cur[0] != owner and (now - cur[1]) < self.ttl_s:
-                return False
-            self._claims[key] = (owner, now)
-            return True
+            if cur is not None:
+                held_by, ts, token = cur
+                if held_by == owner:
+                    # idempotent re-claim: refresh the lease, SAME token
+                    self._claims[key] = (owner, now, token)
+                    return token
+                if (now - ts) < self.ttl_s:
+                    return None
+                # steal: ownership changes, token bumps
+                self._claims[key] = (owner, now, token + 1)
+                return token + 1
+            self._claims[key] = (owner, now, 1)
+            return 1
+
+    def current(self, key: str) -> tuple[str, int] | None:
+        with self._lock:
+            cur = self._claims.get(key)
+            return None if cur is None else (cur[0], cur[2])
 
 
 class LockTableCommitBackend(CommitBackend):
     """CAS-coordinator fallback for stores WITHOUT conditional write.
 
-    Two-step commit: (1) win the claim on the manifest path in the
-    external ``Coordinator``; (2) only the winner writes the file — a
-    plain overwrite is safe because exclusivity was already arbitrated.
-    A pre-claim existence check makes an already-committed path fail
-    fast without burning a claim.
+    Fenced three-step commit:
 
-    The TTL caveat is fundamental to lock-with-expiry (no fencing
-    tokens): the coordinator TTL must exceed the worst-case manifest
-    write time, or a stalled winner and its thief can both write.
-    Manifest writes are one small JSON object, so a TTL in minutes
-    leaves orders of magnitude of headroom.
+    1. win the claim on the manifest path — the coordinator hands back a
+       monotonic FENCING TOKEN (bumped on every ownership change);
+    2. write the content to a token-named FENCE file (unique name, plain
+       write is safe), then re-check ``coordinator.current``: if the
+       claim was stolen while this writer stalled, the token no longer
+       matches and the write is abandoned — the stale bytes were never
+       visible;
+    3. promote fence → manifest path with the filesystem's
+       atomic-no-overwrite primitive (POSIX link(2), HDFS rename), so
+       even a writer that stalls BETWEEN the token check and the
+       promote loses to the thief's already-promoted file instead of
+       clobbering it.
+
+    The remaining caveat is narrow and explicit: a store with neither a
+    conditional write NOR an atomic no-overwrite promote cannot close
+    the check→promote window — on such a store prefer
+    ``ConditionalPutCommitBackend``.
+
+    ``_stall_hook`` is a test seam invoked after the fence write (the
+    stall window the fencing exists for); production callers leave it
+    None.
     """
 
-    def __init__(self, coordinator: Coordinator, fs: FS, owner: str | None = None):
+    def __init__(
+        self,
+        coordinator: Coordinator,
+        fs: FS,
+        owner: str | None = None,
+        _stall_hook=None,
+    ):
         self.coordinator = coordinator
         self.fs = fs
         self.owner = owner or f"{os.getpid()}-{id(self):x}"
+        self._stall_hook = _stall_hook
 
     def put_if_absent(self, path: str, text: str) -> None:
         if self.fs.exists(path):
             raise FileExistsError(path)
-        if not self.coordinator.try_claim(path, self.owner):
+        token = self.coordinator.claim(path, self.owner)
+        if token is None:
             raise FileExistsError(path)
         # claim won but the file may have landed between check and claim
-        # (a prior winner's write racing our check): re-check before the
-        # non-exclusive write.
+        # (a prior winner's promote racing our check)
         if self.fs.exists(path):
             raise FileExistsError(path)
-        self.fs.write_text(path, text)
+        fence = f"{path}.fence.{self.owner}.{token}"
+        self.fs.write_text(fence, text)
+        if self._stall_hook is not None:
+            self._stall_hook()
+        cur = self.coordinator.current(path)
+        if cur != (self.owner, token):
+            # stolen while we stalled: our bytes must stay invisible
+            try:
+                self.fs.remove(fence)
+            except OSError:
+                pass
+            raise FileExistsError(path)
+        try:
+            self.fs.promote_exclusive(fence, path)
+        except FileExistsError:
+            try:
+                self.fs.remove(fence)
+            except OSError:
+                pass
+            raise
