@@ -302,7 +302,11 @@ def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink
         def create_exclusive(self, path, text):
             if path.endswith("v2.json"):
                 try:
-                    barrier.wait(timeout=30)
+                    # generous: each append runs a Spark write before the
+                    # commit, and under a fully-loaded machine 30s was
+                    # occasionally exceeded — a broken barrier serializes
+                    # the writers and voids the exactly-one-conflict claim
+                    barrier.wait(timeout=120)
                 except threading.BrokenBarrierError:
                     pass
             self.inner.create_exclusive(path, text)

@@ -169,34 +169,54 @@ def assign_clusters(
 def argmin_cluster(
     df: DataFrame, id_name: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
-    """Nearest-centroid ASSIGNMENT (the ``__rn == 1`` case of
-    ``assign_clusters``) as one hash aggregation instead of a sort-window:
-    ``min(struct(dist, cluster))`` per row id needs no N×K sort shuffle,
-    only a partial-aggregating groupBy — at corpus scale with hundreds of
-    centroids the window's sort dominates assignment, and every Lloyd
-    iteration pays it.  Tie-break matches the window form exactly (lowest
-    distance, then lowest cluster id).  Returns (id, vec, cluster)."""
-    cd = _centroid_df(df.sparkSession, centroids)
-    scored = df.crossJoin(F.broadcast(cd)).withColumn(
-        "__dist",
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.col("cvec"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    """Nearest-centroid ASSIGNMENT as an Arrow-batched numpy GEMM.
+
+    Round-6 sf10 soak finding: the former broadcast-crossJoin +
+    per-element zip_with fold materialized n×k rows of
+    Catalyst-interpreted array arithmetic — and because SemDeDup grows k
+    with n (k = n/512 keeps cluster sizes bounded for the pair stage),
+    assignment cost rose as n² in wall clock (8.2s at sf1 → 192s at
+    sf10).  The GEMM form does the same n×k×d FLOPs in BLAS inside each
+    Arrow batch — exactly the treatment the SemDeDup PAIR stage got in
+    round 5 — with no cross join, no shuffle, and only the (tiny)
+    centroid matrix broadcast in the task closure.  sf10: 192s → single
+    seconds.  (The asymptotic fix past ~10^6 centroids is a two-level
+    coarse/fine quantizer — n×2√k — noted in SCALE.md; at SemDeDup's
+    k = n/512 the flat GEMM carries 10^8-vector corpora comfortably.)
+
+    argmin over d² = |x|² − 2x·c + |c|² ≡ argmin over |c|²/2 − x·c
+    (the |x|² term is constant per row); numpy argmin takes the FIRST
+    minimum, i.e. the lowest cluster id on ties — the same tie-break as
+    the window/agg forms.  Returns (id, vec, cluster)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × d
+    half_cn = 0.5 * (C * C).sum(axis=1)
+
+    id_f = df.schema[id_name]
+    vec_f = df.schema[vec_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_name, id_f.dataType, id_f.nullable),
+            T.StructField(vec_col, vec_f.dataType, vec_f.nullable),
+            T.StructField("cluster", T.IntegerType()),
+        ]
     )
-    return (
-        scored.groupBy(id_name)
-        .agg(
-            F.first(vec_col).alias(vec_col),
-            F.min(F.struct("__dist", "cluster")).alias("_m"),
-        )
-        .select(id_name, vec_col, F.col("_m.cluster").alias("cluster"))
-    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)  # B × d
+            scores = half_cn[None, :] - X @ C.T
+            cl = np.argmin(scores, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {id_name: pdf[id_name], vec_col: pdf[vec_col], "cluster": cl}
+            )
+
+    return df.select(id_name, vec_col).mapInPandas(assign, schema)
 
 
 def train_kmeans(
@@ -257,10 +277,11 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     centroids = train_kmeans(c, "neighbor_id", "__cv", n_centroids, lloyd_iters)
 
-    buckets = (
-        assign_clusters(c, "neighbor_id", "__cv", centroids)
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "cluster")
+    # corpus side: plain assignment — the GEMM form, not the n×k ranking
+    # cross join (the query side below genuinely needs the rn<=p ranking,
+    # and queries are small)
+    buckets = argmin_cluster(c, "neighbor_id", "__cv", centroids).select(
+        "neighbor_id", "__cv", "cluster"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     q_probes = (
