@@ -114,9 +114,9 @@ def test_reader_refuses_advanced_reader_features(spark, tmp_path):
     root2 = str(tmp_path / "adv2")
     _write_commit(root2, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}}, meta,
+                      "readerFeatures": ["typeWidening"]}}, meta,
     ])
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta_log(spark, root2)
 
 
@@ -578,3 +578,158 @@ def test_checkpoint_last_checkpoint_crash_repair(spark, tmp_path, sink_fs):
     before = os.stat(lc_path).st_mtime_ns
     assert write_delta_checkpoint(spark, t.path) == cp
     assert os.stat(lc_path).st_mtime_ns == before
+
+
+def _v2_data_file(spark, tmp_path, root, name, rows):
+    df = spark.createDataFrame(rows, "k long, v string")
+    stage = str(tmp_path / ("v2stage_" + name))
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(root, "d"), exist_ok=True)
+    os.replace(os.path.join(stage, part), os.path.join(root, "d", name))
+    return f"d/{name}"
+
+
+def _v2_sidecar(spark, root, name, adds, removes=()):
+    """Write a sidecar parquet of add/remove actions under _sidecars/."""
+    rows = [
+        ((p, {}, 1, 0, False), None) for p in adds
+    ] + [
+        (None, (p, 1000, False)) for p in removes
+    ]
+    schema = (
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:bigint, modificationTime:bigint, dataChange:boolean>, "
+        "remove struct<path:string, deletionTimestamp:bigint, dataChange:boolean>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    stage = os.path.join(root, "_delta_log", ".sc_stage_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(root, "_delta_log", "_sidecars"), exist_ok=True)
+    os.replace(
+        os.path.join(stage, part),
+        os.path.join(root, "_delta_log", "_sidecars", name),
+    )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return name
+
+
+_V2_SCHEMA_JSON = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ],
+})
+
+
+def test_v2_checkpoint_json_with_sidecars(spark, tmp_path):
+    """A UUID-named JSON v2 checkpoint whose file actions live in two
+    sidecar parquets: the reader must resolve it from _last_checkpoint,
+    apply both sidecars (incl. a remove tombstone that must NOT
+    resurrect), and replay post-checkpoint commits on top — with every
+    covered JSON commit deleted."""
+    root = str(tmp_path / "v2cp")
+    f1 = _v2_data_file(spark, tmp_path, root, "f1.parquet", [(1, "a")])
+    f2 = _v2_data_file(spark, tmp_path, root, "f2.parquet", [(2, "b")])
+    f3 = _v2_data_file(spark, tmp_path, root, "f3.parquet", [(3, "c")])
+    _v2_sidecar(spark, root, "sc1.parquet", adds=[f1])
+    _v2_sidecar(spark, root, "sc2.parquet", adds=[f2], removes=["d/gone.parquet"])
+
+    log = os.path.join(root, "_delta_log")
+    uuid_name = f"{1:020d}.checkpoint.2aae1b12-3f9c-4c02-9e4e-7a1f6c111111.json"
+    with open(os.path.join(log, uuid_name), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in [
+            {"checkpointMetadata": {"version": 1}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "v2", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _V2_SCHEMA_JSON,
+                          "partitionColumns": [], "configuration": {}}},
+            {"sidecar": {"path": "sc1.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}},
+            {"sidecar": {"path": "sc2.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ]))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": 5}))
+    # a post-checkpoint commit adds f3
+    _write_commit(root, 2, [
+        {"add": {"path": f3, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+
+    got = read_delta_table(spark, root)
+    assert _rows(got.select("k", "v")) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_v2_checkpoint_parquet_inline_actions(spark, tmp_path):
+    """A UUID-named PARQUET v2 checkpoint with file actions stored
+    INLINE (no sidecars) — the other legal v2 layout."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "v2cpi")
+    f1 = _v2_data_file(spark, tmp_path, root, "g1.parquet", [(7, "x")])
+    log = os.path.join(root, "_delta_log")
+
+    schema = T.StructType([
+        T.StructField("checkpointMetadata", T.StructType([
+            T.StructField("version", T.LongType())])),
+        T.StructField("protocol", T.StructType([
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+            T.StructField("writerFeatures", T.ArrayType(T.StringType()))])),
+        T.StructField("metaData", T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("format", T.StructType([
+                T.StructField("provider", T.StringType())])),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("configuration",
+                          T.MapType(T.StringType(), T.StringType()))])),
+        T.StructField("add", T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues",
+                          T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType())])),
+    ])
+    rows = [
+        ((1,), None, None, None),
+        (None, (3, 7, ["v2Checkpoint"], ["v2Checkpoint"]), None, None),
+        (None, None, ("v2i", ("parquet",), _V2_SCHEMA_JSON, [], {}), None),
+        (None, None, None, (f1, {}, 1, 0, False)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    stage = os.path.join(log, ".cp_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(log, exist_ok=True)
+    os.replace(
+        os.path.join(stage, part),
+        os.path.join(log, f"{0:020d}.checkpoint.5b8e0d44-aaaa-bbbb-cccc-000000000001.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 0, "size": 4}))
+
+    got = read_delta_table(spark, root)
+    assert _rows(got.select("k", "v")) == {(7, "x")}
+
+
+def test_missing_v2_checkpoint_file_raises(spark, tmp_path):
+    root = str(tmp_path / "v2miss")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 3, "size": 1}))
+    with pytest.raises(DeltaProtocolError, match="no checkpoint file"):
+        read_delta_table(spark, root)

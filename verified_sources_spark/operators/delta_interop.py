@@ -46,7 +46,12 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # accepted only when every listed feature is one we implement.  Anything
 # else (deletion vectors, id-mode mapping, v2 checkpoints...) refuses
 # rather than silently mis-reading.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "timestampNtz",
+    "deletionVectors",
+    "v2Checkpoint",
+}
 
 
 class DeltaProtocolError(RuntimeError):
@@ -142,14 +147,36 @@ def column_mapping_mode(meta: dict | None) -> str:
     )
 
 
+def _apply_checkpoint_row(snap: _Snapshot, d: dict, cols) -> None:
+    for kind in ("protocol", "metaData", "add"):
+        if kind in cols and d.get(kind) is not None:
+            snap.apply({kind: d[kind]})
+    # removes in a checkpoint are never live files, but they ARE
+    # unexpired tombstones that the next checkpoint must carry forward
+    if "remove" in cols and d.get("remove") is not None:
+        rm = d["remove"]
+        if rm["path"] not in snap.adds:
+            snap.removes[rm["path"]] = rm
+
+
 def _read_checkpoint(
     spark: SparkSession, fs: FS, table_path: str, snap: _Snapshot,
     max_version: int | None = None,
 ) -> int | None:
     """Load ``_last_checkpoint`` state into *snap*; returns the checkpoint
-    version or None.  Checkpoints are parquet (Spark-read, distributed),
-    single or multi-part.  ``max_version`` skips a checkpoint newer than a
-    time-travel target (full state can't be rolled back)."""
+    version or None.  ``max_version`` skips a checkpoint newer than a
+    time-travel target (full state can't be rolled back).
+
+    Three published checkpoint shapes are read:
+
+    - classic single-file ``{v}.checkpoint.parquet`` and multi-part
+      ``{v}.checkpoint.{i}.{n}.parquet`` (V1);
+    - **V2** UUID-named ``{v}.checkpoint.{uuid}.parquet`` or ``.json``:
+      the top-level file carries protocol/metaData/checkpointMetadata
+      plus either inline file actions or ``sidecar`` references — each
+      sidecar parquet under ``_delta_log/_sidecars/`` holds the
+      add/remove actions and is applied in turn.
+    """
     lc_path = f"{table_path}/{_LOG_DIR}/_last_checkpoint"
     if not fs.exists(lc_path):
         return None
@@ -157,27 +184,64 @@ def _read_checkpoint(
     v, parts = int(lc["version"]), lc.get("parts")
     if max_version is not None and v > max_version:
         return None
+    log_dir = f"{table_path}/{_LOG_DIR}"
+    classic = f"{log_dir}/{v:020d}.checkpoint.parquet"
     if parts:
         files = [
-            f"{table_path}/{_LOG_DIR}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            f"{log_dir}/{v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet"
             for i in range(1, int(parts) + 1)
         ]
+        _apply_parquet_checkpoint(spark, snap, files)
+        return v
+    if fs.exists(classic):
+        _apply_parquet_checkpoint(spark, snap, [classic])
+        return v
+    # V2: UUID-named {v}.checkpoint.<uuid>.{parquet|json}
+    prefix = f"{v:020d}.checkpoint."
+    cands = sorted(
+        n
+        for n in fs.listdir(log_dir)
+        if n.startswith(prefix) and n.endswith((".parquet", ".json"))
+    )
+    if not cands:
+        raise DeltaProtocolError(
+            f"_last_checkpoint names version {v} but no checkpoint file "
+            f"matches {prefix}* under {log_dir}"
+        )
+    top = f"{log_dir}/{cands[-1]}"
+    sidecars: list[dict] = []
+    if top.endswith(".json"):
+        rows = [
+            json.loads(line)
+            for line in fs.read_text(top).splitlines()
+            if line.strip()
+        ]
+        for d in rows:
+            _apply_checkpoint_row(snap, d, d.keys())
+            if d.get("sidecar") is not None:
+                sidecars.append(d["sidecar"])
     else:
-        files = [f"{table_path}/{_LOG_DIR}/{v:020d}.checkpoint.parquet"]
+        cp = spark.read.parquet(top)
+        cols = set(cp.columns)
+        for row in cp.toLocalIterator():
+            d = row.asDict(recursive=True)
+            _apply_checkpoint_row(snap, d, cols)
+            if "sidecar" in cols and d.get("sidecar") is not None:
+                sidecars.append(d["sidecar"])
+    for sc in sidecars:
+        p = sc["path"]
+        full = p if "://" in p or p.startswith("/") else f"{log_dir}/_sidecars/{p}"
+        _apply_parquet_checkpoint(spark, snap, [full])
+    return v
+
+
+def _apply_parquet_checkpoint(
+    spark: SparkSession, snap: _Snapshot, files: list[str]
+) -> None:
     cp = spark.read.parquet(*files)
     cols = set(cp.columns)
     for row in cp.toLocalIterator():  # one row per action — metadata-sized
-        d = row.asDict(recursive=True)
-        for kind in ("protocol", "metaData", "add"):
-            if kind in cols and d.get(kind) is not None:
-                snap.apply({kind: d[kind]})
-        # removes in a checkpoint are never live files, but they ARE
-        # unexpired tombstones that the next checkpoint must carry forward
-        if "remove" in cols and d.get("remove") is not None:
-            rm = d["remove"]
-            if rm["path"] not in snap.adds:
-                snap.removes[rm["path"]] = rm
-    return v
+        _apply_checkpoint_row(snap, row.asDict(recursive=True), cols)
 
 
 def _replay_snapshot(
