@@ -235,3 +235,36 @@ def test_manifest_datasource_sql_surface(registered, tmp_path):
         assert "BatchScan manifest" in plan
     finally:
         spark.catalog.dropTempView("mt_sql")
+
+
+def test_kafka_wire_readstream_sasl(registered, tmp_path):
+    """SASL options flow through to every broker connection the source
+    opens (driver offset probes AND executor fetch tasks) — against the
+    fake broker with SASL enforcement on."""
+    from test_kafka_wire import _Broker
+
+    spark = registered
+    srv = _Broker()
+    srv.sasl_creds = ("svc", "hunter2")
+    srv.load("events", 0, 0, [(b"a", b"ev-a", [])])
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        df = (
+            spark.readStream.format("kafka_wire")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "events")
+            .option("sasl_username", "svc")
+            .option("sasl_password", "hunter2")
+            .load()
+        )
+        got: list = []
+        _run_available_now(spark, df, str(tmp_path / "sck"), got)
+        assert got == [(0, 0, "a")]
+        # and the broker actually saw SASL traffic (handshake api 17)
+        assert any(api == 17 for api, _, _ in srv.seen)
+    finally:
+        srv.shutdown()
+        srv.server_close()

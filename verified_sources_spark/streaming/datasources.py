@@ -77,6 +77,20 @@ class _KafkaSlice(InputPartition):
     pid: int
     start: int
     end: int
+    tls: bool = False
+    sasl: tuple | None = None
+
+
+def _kafka_client(host, port, tls, sasl):
+    """Connect + authenticate per the source options.  ``sasl`` is
+    (mechanism, username, password) or None; ``tls`` a bool."""
+    from verified_sources_spark.sources.kafka_wire import KafkaWireClient
+
+    c = KafkaWireClient(host, port, tls=tls)
+    if sasl is not None:
+        mech, user, pw = sasl
+        c.sasl_authenticate(user, pw, mechanism=mech)
+    return c
 
 
 class _KafkaWireStreamReader(DataSourceStreamReader):
@@ -85,11 +99,20 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         self.port = int(options.get("port", 9092))
         self.topic = options["topic"]
         self.starting = options.get("startingoffsets", "earliest").lower()
+        self.tls = str(options.get("tls", "false")).lower() == "true"
+        user = options.get("sasl_username")
+        self.sasl = (
+            None
+            if user is None
+            else (
+                options.get("sasl_mechanism", "SCRAM-SHA-256"),
+                user,
+                options.get("sasl_password", ""),
+            )
+        )
 
     def _offsets(self, which: int) -> dict:
-        from verified_sources_spark.sources.kafka_wire import KafkaWireClient
-
-        with KafkaWireClient(self.host, self.port) as c:
+        with _kafka_client(self.host, self.port, self.tls, self.sasl) as c:
             pids = c.metadata([self.topic])["topics"].get(self.topic, [])
             got = c.list_offsets(self.topic, pids, which)
         return {str(p): int(o) for p, o in got.items()}
@@ -110,15 +133,16 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
             lo = int(start.get(pid, 0))  # new partition: from its beginning
             if int(hi) > lo:
                 out.append(
-                    _KafkaSlice(self.host, self.port, self.topic, int(pid), lo, int(hi))
+                    _KafkaSlice(
+                        self.host, self.port, self.topic, int(pid), lo, int(hi),
+                        self.tls, self.sasl,
+                    )
                 )
         return out
 
     def read(self, part: _KafkaSlice) -> Iterator[tuple]:
         # executor-side: fetch exactly [start, end) from the broker
-        from verified_sources_spark.sources.kafka_wire import KafkaWireClient
-
-        with KafkaWireClient(part.host, part.port) as c:
+        with _kafka_client(part.host, part.port, part.tls, part.sasl) as c:
             pos = part.start
             while pos < part.end:
                 recs, _hw = c.fetch(part.topic, part.pid, pos)
