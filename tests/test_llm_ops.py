@@ -596,3 +596,76 @@ def test_remove_maximal_duplicate_spans_pinned(spark):
     assert out[4].clean_text == "u" and out[4].n_spans == 2
     assert out[4].n_tokens_removed == 8
     assert out[5].n_tokens_removed == 0 and out[5].n_spans == 0
+
+
+def test_two_level_quantizer_matches_planted_clusters(spark):
+    """Hierarchical coarse/fine k-means: vectors planted in 8 well-
+    separated blobs must land one blob per fine cluster (global ids
+    consistent with offsets), and assignment agrees with a brute-force
+    nearest-centroid over the flattened fine centroid list."""
+    import numpy as np
+
+    from verified_sources_spark.llm.similarity import (
+        assign_two_level,
+        train_kmeans_two_level,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    centers = [np.full(8, 100.0 * c) for c in range(8)]
+    i = 0
+    for c, mu in enumerate(centers):
+        for _ in range(30):
+            rows.append((i, (mu + rng.normal(0, 0.5, 8)).tolist()))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    coarse, fine = train_kmeans_two_level(
+        df, "vec_id", "embedding", n_centroids=8, lloyd_iters=3, coarse_k=3
+    )
+    assert len(coarse) == 3 and sum(len(f) for f in fine) >= 8 - 3
+    out = assign_two_level(df, "vec_id", "embedding", coarse, fine).collect()
+    assert len(out) == 240
+
+    # agreement with brute force over the flattened centroid list,
+    # restricted to each vector's coarse cell (the approximation the
+    # hierarchy makes): every vector's assigned centroid must be its
+    # nearest among its OWN cell's fine centroids
+    flat = [np.asarray(c) for f in fine for c in f]
+    offsets = np.cumsum([0] + [len(f) for f in fine])
+    Cc = np.asarray(coarse)
+    for r in out:
+        x = np.asarray(r["embedding"])
+        cell = int(np.argmin(((Cc - x) ** 2).sum(axis=1)))
+        local = [
+            float(((np.asarray(c) - x) ** 2).sum()) for c in fine[cell]
+        ]
+        expect = offsets[cell] + int(np.argmin(local))
+        assert r["cluster"] == expect
+
+    # blob purity: rows of one blob share a cluster, blobs don't merge
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] // 30)
+    assert all(len(blobs) == 1 for blobs in by_cluster.values())
+
+
+def test_two_level_empty_cell_keeps_assignable(spark):
+    """A coarse cell that captures no vectors must still be assignable
+    (falls back to its coarse centroid as the single fine centroid)."""
+    from verified_sources_spark.llm.similarity import (
+        assign_two_level,
+        train_kmeans_two_level,
+    )
+
+    # 4 identical-ish vectors but coarse_k=3: two cells end up empty
+    df = spark.createDataFrame(
+        [(i, [float(i % 2)] * 4) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    coarse, fine = train_kmeans_two_level(
+        df, "vec_id", "embedding", n_centroids=3, lloyd_iters=2, coarse_k=3
+    )
+    assert len(fine) == len(coarse) and all(len(f) >= 1 for f in fine)
+    out = assign_two_level(df, "vec_id", "embedding", coarse, fine).collect()
+    assert len(out) == 4

@@ -602,8 +602,24 @@ def semantic_dedup(
     c = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if n_clusters is None:
         n_clusters = max(16, c.count() // max(1, target_cluster_size))
-    centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
-    assigned = argmin_cluster(c, "_id", "_v", centroids)
+    if n_clusters > 4096:
+        # asymptotic path: with k ∝ n, flat training/assignment is n×k
+        # ∝ n² FLOPs even in BLAS — the two-level coarse/fine quantizer
+        # (similarity.train_kmeans_two_level) brings both to n×O(√k);
+        # fine counts are population-proportional, preserving the
+        # bounded-cluster-size property the pair stage depends on
+        from verified_sources_spark.llm.similarity import (
+            assign_two_level,
+            train_kmeans_two_level,
+        )
+
+        coarse, fine = train_kmeans_two_level(
+            c, "_id", "_v", n_clusters, lloyd_iters
+        )
+        assigned = assign_two_level(c, "_id", "_v", coarse, fine)
+    else:
+        centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
+        assigned = argmin_cluster(c, "_id", "_v", centroids)
     if pairs_impl == "gemm":
         pairs = _cluster_pairs_gemm(assigned, threshold)
     elif pairs_impl == "join":

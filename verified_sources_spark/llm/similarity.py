@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -485,3 +487,156 @@ def near_dup_keep(corpus: DataFrame, pairs: DataFrame, id_col: str = "vec_id") -
     union-find — any non-minimal member matches at least one lower id)."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------- two-level IVF
+
+
+def _local_lloyd(X, ids, k: int, iters: int):
+    """Deterministic in-memory Lloyd over one coarse cell (numpy GEMM
+    form).  Init is greedy FARTHEST-POINT (start at the lowest id, then
+    repeatedly take the vector farthest from its nearest chosen seed,
+    lowest id on ties) — deterministic like a lowest-id init but it
+    cannot collapse all seeds into one dense blob; empty clusters keep
+    their previous centroid.  Returns k' x d (k' = min(k, |cell|))."""
+    import numpy as np
+
+    k = min(k, len(X))
+    order = np.argsort(ids, kind="stable")
+    seeds = [order[0]]
+    d2 = ((X - X[seeds[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        # ties → lowest id: scan in id order for the max distance
+        best = order[np.argmax(d2[order])]
+        seeds.append(best)
+        d2 = np.minimum(d2, ((X - X[best]) ** 2).sum(axis=1))
+    C = X[seeds].astype(np.float64).copy()
+    for _ in range(iters):
+        scores = 0.5 * (C * C).sum(axis=1)[None, :] - X @ C.T
+        a = np.argmin(scores, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def train_kmeans_two_level(
+    vectors: DataFrame,
+    id_name: str,
+    vec_col: str,
+    n_centroids: int,
+    lloyd_iters: int = 2,
+    coarse_k: int | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Hierarchical coarse/fine quantizer: the asymptotic fix for flat
+    k-means when k grows with n (SemDeDup's k = n/512 makes flat
+    assignment n x k ∝ n² FLOPs).
+
+    Structure: ``coarse_k`` (default ceil(sqrt(k))) coarse centroids
+    trained with the flat GEMM Lloyd (n x sqrt(k) per pass), then each
+    coarse CELL trains its own ~k/coarse_k fine centroids IN PARALLEL —
+    one ``applyInPandas`` task per cell running a local numpy Lloyd over
+    the cell's vectors (cell size ≈ n/sqrt(k): at n=10^8, k=2x10^5
+    that is ~220k x d doubles per task — executor-memory sized).  Both
+    training and assignment then cost n x O(sqrt(k)) instead of n x k.
+
+    Returns ``(coarse_centroids, fine_centroids_per_cell)``; the global
+    fine-cluster id of (cell c, local j) is ``offset[c] + j`` where
+    offsets are the running sum of per-cell counts — what
+    :func:`assign_two_level` emits.  Deterministic throughout (coarse
+    init = lowest-id vectors; per-cell init = the cell's lowest ids)."""
+    import numpy as np
+    import pandas as pd
+
+    if coarse_k is None:
+        coarse_k = max(1, int(math.isqrt(max(1, n_centroids - 1))) + 1)
+    coarse = train_kmeans(vectors, id_name, vec_col, coarse_k, lloyd_iters)
+
+    assigned = argmin_cluster(vectors, id_name, vec_col, coarse)
+    total_n = max(1, vectors.count())
+
+    out_schema = "cell int, centroids array<array<double>>"
+
+    def fit_cell(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        X = np.array(list(pdf[vec_col]), dtype=np.float64)
+        ids = pdf[id_name].to_numpy()
+        # fine centroids PROPORTIONAL to cell population — a uniform
+        # quota starves dense cells (blobs merge) and wastes centroids
+        # on sparse ones; proportional sizing is also what bounds
+        # cluster SIZE, the property SemDeDup's pair stage needs
+        k_cell = max(1, round(n_centroids * len(pdf) / total_n))
+        C = _local_lloyd(X, ids, k_cell, lloyd_iters)
+        return pd.DataFrame({"cell": [int(key[0])], "centroids": [C.tolist()]})
+
+    rows = (
+        assigned.groupBy("cluster")
+        .applyInPandas(fit_cell, out_schema)
+        .collect()
+    )  # centroid tables only — k x d doubles, metadata-sized
+    fine: list[list[list[float]]] = [[] for _ in range(len(coarse))]
+    for r in rows:
+        fine[int(r["cell"])] = [list(c) for c in r["centroids"]]
+    # a coarse cell that captured no vectors keeps its coarse centroid as
+    # its single fine centroid, so every cell id stays assignable
+    for c in range(len(coarse)):
+        if not fine[c]:
+            fine[c] = [list(coarse[c])]
+    return coarse, fine
+
+
+def assign_two_level(
+    df: DataFrame,
+    id_name: str,
+    vec_col: str,
+    coarse: list[list[float]],
+    fine: list[list[list[float]]],
+) -> DataFrame:
+    """Two-stage nearest-centroid assignment: coarse GEMM argmin picks
+    the cell, a per-cell fine GEMM argmin picks the cluster — n x
+    O(sqrt(k)) total.  Returns (id, vec, cluster) with GLOBAL fine ids
+    (offset[cell] + local index), same output shape as
+    :func:`argmin_cluster`."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    Cc = np.asarray(coarse, dtype=np.float64)
+    half_cc = 0.5 * (Cc * Cc).sum(axis=1)
+    Fs = [np.asarray(f, dtype=np.float64) for f in fine]
+    half_fs = [0.5 * (Fm * Fm).sum(axis=1) for Fm in Fs]
+    offsets = np.zeros(len(Fs) + 1, dtype=np.int64)
+    for i, Fm in enumerate(Fs):
+        offsets[i + 1] = offsets[i] + len(Fm)
+
+    id_f = df.schema[id_name]
+    vec_f = df.schema[vec_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_name, id_f.dataType, id_f.nullable),
+            T.StructField(vec_col, vec_f.dataType, vec_f.nullable),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cells = np.argmin(half_cc[None, :] - X @ Cc.T, axis=1)
+            out = np.empty(len(X), dtype=np.int64)
+            for cell in np.unique(cells):
+                m = cells == cell
+                Fm, hf = Fs[cell], half_fs[cell]
+                local = np.argmin(hf[None, :] - X[m] @ Fm.T, axis=1)
+                out[m] = offsets[cell] + local
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    vec_col: pdf[vec_col],
+                    "cluster": out.astype("int32"),
+                }
+            )
+
+    return df.select(id_name, vec_col).mapInPandas(assign, schema)
