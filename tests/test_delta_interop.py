@@ -733,3 +733,73 @@ def test_missing_v2_checkpoint_file_raises(spark, tmp_path):
         f.write(json.dumps({"version": 3, "size": 1}))
     with pytest.raises(DeltaProtocolError, match="no checkpoint file"):
         read_delta_table(spark, root)
+
+
+def test_checkpoint_retains_set_transactions(spark, tmp_path, sink_fs):
+    """SetTransaction (txn) actions are external streaming writers'
+    idempotence watermark — the LATEST version per appId must survive
+    into checkpoints (spec requirement), or log cleanup would reset
+    their exactly-once tracking."""
+    from verified_sources_spark.operators.delta_interop import (
+        read_delta_log,
+        write_delta_checkpoint,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "txn"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    # a foreign streaming writer appended txn actions across commits
+    with open(os.path.join(t.path, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in [
+            {"txn": {"appId": "streamA", "version": 3, "lastUpdated": 111}},
+            {"txn": {"appId": "streamB", "version": 9}},
+        ]))
+    with open(os.path.join(t.path, "_delta_log", f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps(
+            {"txn": {"appId": "streamA", "version": 5, "lastUpdated": 222}}
+        ))
+    cp = write_delta_checkpoint(spark, t.path)
+    rows = spark.read.parquet(cp).collect()
+    txns = {r.txn.appId: r.txn for r in rows if r.txn is not None}
+    assert txns["streamA"].version == 5 and txns["streamA"].lastUpdated == 222
+    assert txns["streamB"].version == 9 and txns["streamB"].lastUpdated is None
+    # and the snapshot still reads after cleanup
+    for n in list(os.listdir(os.path.join(t.path, "_delta_log"))):
+        if n.endswith(".json") and n[:-5].isdigit():
+            os.remove(os.path.join(t.path, "_delta_log", n))
+    adds, _ = read_delta_log(spark, t.path)
+    assert len(adds) >= 1
+
+
+def test_clean_delta_log_accepts_v2_checkpoint(spark, tmp_path):
+    """clean_delta_log must recognize a UUID-named V2 checkpoint as
+    covering its commits (refusing would wedge cleanup forever on
+    modern-writer tables)."""
+    from verified_sources_spark.operators.delta_interop import clean_delta_log
+
+    root = str(tmp_path / "v2clean")
+    f1 = _v2_data_file(spark, tmp_path, root, "c1.parquet", [(1, "a")])
+    log = os.path.join(root, "_delta_log")
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "vc", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _V2_SCHEMA_JSON,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    uuid_name = f"{0:020d}.checkpoint.7da00b4c-0000-1111-2222-333333333333.json"
+    with open(os.path.join(log, uuid_name), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "vc", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _V2_SCHEMA_JSON,
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": False}},
+        ]))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 0, "size": 3}))
+    assert clean_delta_log(spark, root) == [0]
+    got = read_delta_table(spark, root)
+    assert _rows(got.select("k", "v")) == {(1, "a")}

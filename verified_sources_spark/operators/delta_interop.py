@@ -41,11 +41,11 @@ from verified_sources_spark.operators.iceberg_interop import (
 _LOG_DIR = "_delta_log"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # Reader versions this reader can honor: v1 is plain parquet semantics;
-# v2 is column mapping, which we implement for mode "name" (physical
-# column names from field metadata); v3 gates on explicit readerFeatures,
-# accepted only when every listed feature is one we implement.  Anything
-# else (deletion vectors, id-mode mapping, v2 checkpoints...) refuses
-# rather than silently mis-reading.
+# v2 is column mapping ('name' and 'id' modes both implemented); v3
+# gates on explicit readerFeatures, accepted only when every listed
+# feature is one we implement — deletion vectors, timestampNtz and V2
+# checkpoints included.  Unknown features/modes refuse rather than
+# silently mis-read.
 _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
@@ -90,6 +90,9 @@ class _Snapshot:
         # tombstones be carried into checkpoints so external writers'
         # conflict detection and VACUUM keep seeing them
         self.removes: dict[str, dict] = {}
+        # latest SetTransaction per appId — external streaming writers'
+        # idempotence watermark; checkpoints must retain them
+        self.txns: dict[str, dict] = {}
 
     def apply(self, action: dict) -> None:
         if "protocol" in action:
@@ -104,6 +107,10 @@ class _Snapshot:
             rm = action["remove"]
             self.adds.pop(rm["path"], None)
             self.removes[rm["path"]] = rm
+        elif "txn" in action:
+            tx = action["txn"]
+            if tx.get("appId") is not None:
+                self.txns[tx["appId"]] = tx
 
     def validate(self) -> None:
         if self.protocol is None:
@@ -157,6 +164,8 @@ def _apply_checkpoint_row(snap: _Snapshot, d: dict, cols) -> None:
         rm = d["remove"]
         if rm["path"] not in snap.adds:
             snap.removes[rm["path"]] = rm
+    if "txn" in cols and d.get("txn") is not None:
+        snap.apply({"txn": d["txn"]})
 
 
 def _read_checkpoint(
@@ -549,6 +558,18 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # latest SetTransaction per appId — streaming writers' idempotence
+        # watermark survives log cleanup
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                    T.StructField("lastUpdated", T.LongType()),
+                ]
+            ),
+        ),
         # unexpired remove tombstones — the protocol requires checkpoints
         # retain them so external writers' conflict detection and VACUUM
         # still see recently-deleted files after JSON commits are cleaned
@@ -648,6 +669,7 @@ def write_delta_checkpoint(
             None,
             None,
             None,
+            None,
         ),
         (
             None,
@@ -664,8 +686,23 @@ def write_delta_checkpoint(
             ),
             None,
             None,
+            None,
         ),
     ]
+    for tx in snap.txns.values():
+        rows.append(
+            (
+                None,
+                None,
+                None,
+                (
+                    str(tx["appId"]),
+                    int(tx.get("version") or 0),
+                    None if tx.get("lastUpdated") is None else int(tx["lastUpdated"]),
+                ),
+                None,
+            )
+        )
     for a in snap.adds.values():
         dv = a.get("deletionVector")
         rows.append(
@@ -696,6 +733,7 @@ def write_delta_checkpoint(
                     ),
                 ),
                 None,
+                None,
             )
         )
     # unexpired tombstones: deletionTimestamp within the retention window
@@ -707,6 +745,7 @@ def write_delta_checkpoint(
             continue
         rows.append(
             (
+                None,
                 None,
                 None,
                 None,
@@ -754,9 +793,17 @@ def clean_delta_log(
             f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet"
             for i in range(1, int(parts) + 1)
         ]
+        missing = [p for p in cp_files if not fs.exists(p)]
+    elif fs.exists(f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.parquet"):
+        missing = []
     else:
-        cp_files = [f"{path}/{_LOG_DIR}/{cp_v:020d}.checkpoint.parquet"]
-    missing = [p for p in cp_files if not fs.exists(p)]
+        # V2 UUID-named checkpoint counts too
+        prefix = f"{cp_v:020d}.checkpoint."
+        has_v2 = any(
+            n.startswith(prefix) and n.endswith((".parquet", ".json"))
+            for n in fs.listdir(f"{path}/{_LOG_DIR}")
+        )
+        missing = [] if has_v2 else [f"{path}/{_LOG_DIR}/{prefix}*"]
     if missing:
         raise DeltaProtocolError(
             f"_last_checkpoint names version {cp_v} but checkpoint file(s) "
