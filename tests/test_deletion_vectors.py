@@ -230,3 +230,37 @@ def test_corrupt_dv_fails_loudly_not_wrong(spark, tmp_path):
                 os.remove(os.path.join(dirpath, n))
     with pytest.raises(Exception):
         read_delta_table(spark, root).collect()
+
+
+def test_decode_run_containers_with_offset_header():
+    """>= 4 containers with run flags set: the offset header IS present
+    (NO_OFFSET_THRESHOLD) and must be skipped correctly before the
+    container bodies."""
+    n = 4
+    cookie = struct.pack("<I", 12347 | ((n - 1) << 16))
+    run_flags = bytes([0b0101])  # containers 0 and 2 are runs
+    desc = (
+        struct.pack("<HH", 0, 3 - 1)    # run [5..7]
+        + struct.pack("<HH", 1, 2 - 1)  # array {1, 4}
+        + struct.pack("<HH", 2, 2 - 1)  # run [9..10]
+        + struct.pack("<HH", 5, 1 - 1)  # array {8}
+    )
+    c0 = struct.pack("<H", 1) + struct.pack("<HH", 5, 2)
+    c1 = struct.pack("<2H", 1, 4)
+    c2 = struct.pack("<H", 1) + struct.pack("<HH", 9, 1)
+    c3 = struct.pack("<1H", 8)
+    base = 4 + 1 + len(desc) + 4 * n  # relative layout; values unchecked by decoder
+    offs = struct.pack("<4I", base, base + len(c0), base + len(c0) + len(c1),
+                       base + len(c0) + len(c1) + len(c2))
+    blob = (
+        struct.pack("<i", MAGIC)
+        + struct.pack("<q", 1)
+        + struct.pack("<i", 0)
+        + cookie + run_flags + desc + offs + c0 + c1 + c2 + c3
+    )
+    assert decode_blob(blob) == [
+        5, 6, 7,
+        (1 << 16) + 1, (1 << 16) + 4,
+        (2 << 16) + 9, (2 << 16) + 10,
+        (5 << 16) + 8,
+    ]

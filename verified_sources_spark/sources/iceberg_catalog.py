@@ -75,9 +75,15 @@ class IcebergRestCatalog:
                 e.code, err.get("type", "unknown"), err.get("message", raw[:200])
             ) from e
 
+    @staticmethod
+    def _ns_enc(namespace: str) -> str:
+        # multi-level namespaces join with the unit separator %1F per the
+        # REST spec ("a.b.c" → "a%1Fb%1Fc")
+        return urllib.parse.quote("\x1f".join(namespace.split(".")), safe="")
+
     def _tpath(self, namespace: str, name: str | None = None) -> str:
         p = f"/v1/{self.prefix}/namespaces" if self.prefix else "/v1/namespaces"
-        ns = urllib.parse.quote(namespace, safe="")
+        ns = self._ns_enc(namespace)
         if name is None:
             return p if namespace == "" else f"{p}/{ns}"
         return f"{p}/{ns}/tables/{urllib.parse.quote(name, safe='')}"
@@ -108,11 +114,10 @@ class IcebergRestCatalog:
         return self._req("GET", self._tpath(namespace, name))
 
     def register_table(self, namespace: str, name: str, metadata_location: str) -> dict:
-        ns = urllib.parse.quote(namespace, safe="")
         base = f"/v1/{self.prefix}/namespaces" if self.prefix else "/v1/namespaces"
         return self._req(
             "POST",
-            f"{base}/{ns}/register",
+            f"{base}/{self._ns_enc(namespace)}/register",
             {"name": name, "metadata-location": metadata_location},
         )
 
