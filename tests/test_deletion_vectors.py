@@ -264,3 +264,46 @@ def test_decode_run_containers_with_offset_header():
         (2 << 16) + 9, (2 << 16) + 10,
         (5 << 16) + 8,
     ]
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    """DVs + hive partitions: the (file_path, row_index) anti-join must
+    compose with partition-value re-attachment."""
+    root = str(tmp_path / "dvp")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "day", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+
+    def data_file(name, rows):
+        df = spark.createDataFrame(rows, "k long")
+        tmp = str(tmp_path / ("pstage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.makedirs(os.path.join(root, "d"), exist_ok=True)
+        os.replace(os.path.join(tmp, part), os.path.join(root, "d", name))
+        return f"d/{name}"
+
+    p1 = data_file("p1.parquet", [(i,) for i in range(3)])
+    p2 = data_file("p2.parquet", [(10 + i,) for i in range(3)])
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dvp", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["day"], "configuration": {}}},
+        {"add": {"path": p1, "partitionValues": {"day": "2024-01-01"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": inline_descriptor([1])}},
+        {"add": {"path": p2, "partitionValues": {"day": "2024-01-02"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    got = {tuple(r) for r in read_delta_table(spark, root).select("k", "day").collect()}
+    assert got == {
+        (0, "2024-01-01"), (2, "2024-01-01"),
+        (10, "2024-01-02"), (11, "2024-01-02"), (12, "2024-01-02"),
+    }

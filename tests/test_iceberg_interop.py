@@ -1186,3 +1186,32 @@ def test_rest_catalog_register_commit_and_resolve(spark, tmp_path, sink_fs):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_snapshot_refs_branch_and_tag(spark, tmp_path, sink_fs):
+    """Time travel by NAMED REF (branch/tag) — how real catalogs pin
+    audit snapshots; ref resolution comes straight from metadata refs."""
+    t = ManifestTable(spark, str(tmp_path / "refs"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_iceberg(t)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    p2 = export_manifest_as_iceberg(t)
+
+    # stamp refs into the current metadata: a tag at snapshot 1, main at 2
+    meta = json.loads(open(p2).read())
+    meta["refs"] = {
+        "main": {"snapshot-id": meta["current-snapshot-id"], "type": "branch"},
+        "audit-v1": {"snapshot-id": meta["snapshots"][0]["snapshot-id"],
+                     "type": "tag"},
+    }
+    with open(p2, "w") as f:
+        json.dump(meta, f)
+
+    main = read_iceberg_table(spark, t.path, ref="main")
+    assert _rows(main.select("k", "v")) == {(1, "a"), (2, "b")}
+    tagged = read_iceberg_table(spark, t.path, ref="audit-v1")
+    assert _rows(tagged.select("k", "v")) == {(1, "a")}
+    with pytest.raises(IcebergProtocolError, match="nope"):
+        read_iceberg_table(spark, t.path, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_table(spark, t.path, ref="main", snapshot_id=1)

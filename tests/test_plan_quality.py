@@ -142,3 +142,20 @@ def test_leakage_split_reuses_banded_pipeline(spark):
     plan = _plan(spark, "leakage_safe_split_docs")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_gemm_assignment_plan_has_no_cross_join(spark):
+    """Nearest-centroid assignment (similarity.argmin_cluster) must not
+    plan a cartesian/broadcast-nested-loop product — the round-6 GEMM
+    form is one mapInPandas over the vector scan."""
+    from verified_sources_spark.llm.similarity import argmin_cluster
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = argmin_cluster(df, "vec_id", "embedding", [[0.0, 0.0], [9.0, 0.0]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan

@@ -383,6 +383,7 @@ def read_iceberg_snapshot(
     fs: FS | None = None,
     snapshot_id: int | None = None,
     metadata_location: str | None = None,
+    ref: str | None = None,
 ) -> tuple[list[dict], list[dict], list[dict], dict]:
     """Snapshot entries: (data_files, position_deletes,
     equality_deletes, metadata).  ``snapshot_id`` time-travels to any
@@ -411,6 +412,15 @@ def read_iceberg_snapshot(
     meta = read_iceberg_metadata(spark, path, fs, metadata_location)
     if int(meta.get("format-version", 1)) > 2:
         raise IcebergProtocolError(f"format-version {meta['format-version']} unsupported")
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or ref, not both")
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise IcebergProtocolError(
+                f"snapshot ref {ref!r} not in table metadata (have {sorted(refs)})"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     snap_id = (
         snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     )
@@ -624,6 +634,7 @@ def read_iceberg_table(
     fs: FS | None = None,
     snapshot_id: int | None = None,
     metadata_location: str | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """External Iceberg table → DataFrame (no iceberg runtime).
 
@@ -638,7 +649,8 @@ def read_iceberg_table(
     conditions in the join predicates, so the plan stays one Catalyst
     DAG with no driver-side row work."""
     files, pos_del, eq_del, meta = read_iceberg_snapshot(
-        spark, path, fs, snapshot_id=snapshot_id, metadata_location=metadata_location
+        spark, path, fs, snapshot_id=snapshot_id,
+        metadata_location=metadata_location, ref=ref,
     )
     schema = spark_schema_from_iceberg(_snapshot_schema(meta, snapshot_id))
     if not files:
