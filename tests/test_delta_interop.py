@@ -803,3 +803,53 @@ def test_clean_delta_log_accepts_v2_checkpoint(spark, tmp_path):
     assert clean_delta_log(spark, root) == [0]
     got = read_delta_table(spark, root)
     assert _rows(got.select("k", "v")) == {(1, "a")}
+
+
+def test_timestamp_time_travel_mtime_and_ict(spark, tmp_path, sink_fs):
+    """resolve_version_at_timestamp: last-commit-at-or-before semantics
+    over file mtimes, and the in-commit-timestamp override when the
+    table property is on (ICT values WIN over contradicting mtimes)."""
+    from verified_sources_spark.operators.delta_interop import (
+        resolve_version_at_timestamp,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "tt"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+    log = os.path.join(t.path, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (1000, 1000))    # t=1000s
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))    # t=2000s
+
+    assert resolve_version_at_timestamp(spark, t.path, 1_500_000) == 0
+    assert resolve_version_at_timestamp(spark, t.path, 2_000_000) == 1
+    assert resolve_version_at_timestamp(spark, t.path, 9_999_999_000) == 1
+    with pytest.raises(DeltaProtocolError, match="precedes"):
+        resolve_version_at_timestamp(spark, t.path, 500_000)
+    got = read_delta_table(
+        spark, t.path, version=resolve_version_at_timestamp(spark, t.path, 1_500_000)
+    )
+    assert _rows(got.select("k", "v")) == {(1, "a")}
+
+    # ICT table: commitInfo timestamps CONTRADICT the mtimes and must win
+    root = str(tmp_path / "ict")
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    meta = {"metaData": {"id": "ict", "format": {"provider": "parquet", "options": {}},
+                         "schemaString": json.dumps(schema), "partitionColumns": [],
+                         "configuration": {"delta.enableInCommitTimestamps": "true"}}}
+    _write_commit(root, 0, [
+        {"commitInfo": {"inCommitTimestamp": 5_000_000}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta,
+    ])
+    _write_commit(root, 1, [
+        {"commitInfo": {"inCommitTimestamp": 6_000_000}},
+    ])
+    # mtimes say "ancient" — ICT must override
+    os.utime(os.path.join(root, "_delta_log", f"{0:020d}.json"), (1, 1))
+    os.utime(os.path.join(root, "_delta_log", f"{1:020d}.json"), (2, 2))
+    assert resolve_version_at_timestamp(spark, root, 5_500_000) == 0
+    assert resolve_version_at_timestamp(spark, root, 6_000_000) == 1
+    with pytest.raises(DeltaProtocolError, match="precedes"):
+        resolve_version_at_timestamp(spark, root, 4_000_000)

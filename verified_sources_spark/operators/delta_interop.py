@@ -929,3 +929,57 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
         out_path, "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     )
     return out_path
+
+
+def resolve_version_at_timestamp(
+    spark: SparkSession, path: str, timestamp_ms: int, fs: FS | None = None
+) -> int:
+    """Version whose commit is the LAST at-or-before *timestamp_ms* —
+    Delta's timestamp time-travel rule.
+
+    Tables with ``delta.enableInCommitTimestamps`` resolve against the
+    ``commitInfo.inCommitTimestamp`` of each commit (the spec REQUIRES
+    it once the feature is on: file mtimes are rewritten by copies/
+    restores and stop being authoritative); otherwise the commit file's
+    modification time is used, exactly like delta-spark.  Raises when
+    *timestamp_ms* precedes the earliest available commit."""
+    fs = fs or HadoopFS(spark)
+    path = path.rstrip("/")
+    versions = _list_log_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
+    snap, latest = _replay_snapshot(spark, fs, path, None)
+    use_ict = str(
+        ((snap.meta or {}).get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps", "false"
+        )
+    ).lower() == "true"
+
+    def commit_ts(v: int) -> int:
+        p = _log_path(path, v)
+        if use_ict:
+            for line in fs.read_text(p).splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci is not None and ci.get("inCommitTimestamp") is not None:
+                    return int(ci["inCommitTimestamp"])
+            raise DeltaProtocolError(
+                f"commit {v} carries no commitInfo.inCommitTimestamp but "
+                "delta.enableInCommitTimestamps is on"
+            )
+        return fs.mtime_ms(p)
+
+    best: int | None = None
+    for v in versions:
+        if commit_ts(v) <= timestamp_ms:
+            best = v
+        else:
+            break  # commit timestamps are monotonic per the protocol
+    if best is None:
+        raise DeltaProtocolError(
+            f"timestamp {timestamp_ms} precedes the earliest available "
+            f"commit ({versions[0]}) of {path}"
+        )
+    return best

@@ -76,6 +76,10 @@ class FS:
         """File length in bytes."""
         raise NotImplementedError
 
+    def mtime_ms(self, path: str) -> int:
+        """Last-modification time in epoch milliseconds."""
+        raise NotImplementedError
+
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
         raise NotImplementedError
 
@@ -136,6 +140,9 @@ class LocalFS(FS):
 
     def size(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def mtime_ms(self, path: str) -> int:
+        return int(os.path.getmtime(path) * 1000)
 
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
         shutil.rmtree(path, ignore_errors=ignore_errors)
@@ -205,6 +212,11 @@ class HadoopFS(FS):
 
     def size(self, path: str) -> int:
         return int(self._jfs(path).getFileStatus(self._jpath(path)).getLen())
+
+    def mtime_ms(self, path: str) -> int:
+        return int(
+            self._jfs(path).getFileStatus(self._jpath(path)).getModificationTime()
+        )
 
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
         try:
