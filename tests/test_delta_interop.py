@@ -853,3 +853,71 @@ def test_timestamp_time_travel_mtime_and_ict(spark, tmp_path, sink_fs):
     assert resolve_version_at_timestamp(spark, root, 6_000_000) == 1
     with pytest.raises(DeltaProtocolError, match="precedes"):
         resolve_version_at_timestamp(spark, root, 4_000_000)
+
+
+def test_change_data_feed_read(spark, tmp_path):
+    """CDF over three commits: plain-append commit (adds = inserts),
+    a cdc-action commit (the _change_data file alone represents the
+    commit — its adds/removes must NOT be double counted), and a
+    dataChange-remove commit (deletes reconstructed from the removed
+    file).  Range and gap semantics included."""
+    from verified_sources_spark.operators.delta_interop import read_delta_changes
+
+    root = str(tmp_path / "cdf")
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}}]}
+
+    def pfile(dirname, name, rows, ddl):
+        df = spark.createDataFrame(rows, ddl)
+        stage = str(tmp_path / ("cdfstage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.makedirs(os.path.join(root, dirname), exist_ok=True)
+        os.replace(os.path.join(stage, part), os.path.join(root, dirname, name))
+        return f"{dirname}/{name}"
+
+    f1 = pfile("d", "f1.parquet", [(1, "a"), (2, "b")], "k long, v string")
+    # commit 0: create + insert f1
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "cdf", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.enableChangeDataFeed": "true"}}},
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    # commit 1: an UPDATE expressed with cdc files (rewrite f1 -> f2);
+    # the add/remove in this commit must not surface as insert/delete
+    f2 = pfile("d", "f2.parquet", [(1, "a"), (2, "B")], "k long, v string")
+    c1 = pfile("_change_data", "c1.parquet",
+               [(2, "b", "update_preimage"), (2, "B", "update_postimage")],
+               "k long, v string, _change_type string")
+    _write_commit(root, 1, [
+        {"remove": {"path": f1, "deletionTimestamp": 1, "dataChange": True}},
+        {"add": {"path": f2, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"cdc": {"path": c1, "partitionValues": {}, "size": 1,
+                 "dataChange": False}},
+    ])
+    # commit 2: plain delete of f2 (no cdc action): delete rows come
+    # from the removed file itself
+    _write_commit(root, 2, [
+        {"remove": {"path": f2, "deletionTimestamp": 2, "dataChange": True}},
+    ])
+
+    ch = read_delta_changes(spark, root, 0)
+    got = {(r.k, r.v, r._change_type, r._commit_version) for r in ch.collect()}
+    assert got == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 1), (2, "B", "update_postimage", 1),
+        (1, "a", "delete", 2), (2, "B", "delete", 2),
+    }
+    # sub-range
+    ch12 = read_delta_changes(spark, root, 1, 1)
+    assert {r._change_type for r in ch12.collect()} == {
+        "update_preimage", "update_postimage"}
+    # gap refusal
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="missing"):
+        read_delta_changes(spark, root, 0)

@@ -1215,3 +1215,36 @@ def test_snapshot_refs_branch_and_tag(spark, tmp_path, sink_fs):
         read_iceberg_table(spark, t.path, ref="nope")
     with pytest.raises(ValueError, match="not both"):
         read_iceberg_table(spark, t.path, ref="main", snapshot_id=1)
+
+
+def test_inspect_iceberg_metadata_tables(spark, tmp_path, sink_fs):
+    from verified_sources_spark.operators.iceberg_interop import inspect_iceberg
+
+    t = ManifestTable(spark, str(tmp_path / "insp"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_iceberg(t)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    p2 = export_manifest_as_iceberg(t)
+    meta = json.loads(open(p2).read())
+    meta["refs"] = {"main": {"snapshot-id": meta["current-snapshot-id"],
+                             "type": "branch"}}
+    with open(p2, "w") as f:
+        json.dump(meta, f)
+
+    snaps = inspect_iceberg(spark, t.path, "snapshots").collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2]
+    assert all(r.operation == "append" for r in snaps)
+
+    hist = {r.snapshot_id: r.is_current
+            for r in inspect_iceberg(spark, t.path, "history").collect()}
+    assert hist == {1: False, 2: True}
+
+    refs = inspect_iceberg(spark, t.path, "refs").collect()
+    assert [(r.name, r.type) for r in refs] == [("main", "branch")]
+
+    files = inspect_iceberg(spark, t.path, "files").collect()
+    assert len(files) >= 2 and all(r.record_count >= 0 for r in files)
+    assert sum(r.record_count for r in files) == 2
+
+    with pytest.raises(ValueError, match="unknown inspection"):
+        inspect_iceberg(spark, t.path, "bogus")

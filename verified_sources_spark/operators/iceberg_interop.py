@@ -1080,3 +1080,80 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     if next_v > current_hint:
         fs.write_text(hint_path, str(next_v))
     return out_path
+
+
+def inspect_iceberg(
+    spark: SparkSession,
+    path: str,
+    table: str = "files",
+    fs: FS | None = None,
+) -> DataFrame:
+    """Metadata inspection tables — the ``table$files`` /
+    ``table$snapshots`` / ``table$history`` / ``table$refs`` surface
+    every Iceberg engine exposes, as DataFrames:
+
+    - ``files``:     one row per live data file of the current snapshot
+                     (path, partition JSON, record_count, size, seq)
+    - ``snapshots``: every snapshot in the metadata
+    - ``history``:   (snapshot_id, timestamp_ms, is_current)
+    - ``refs``:      named branches/tags
+
+    All metadata-sized (driver-built rows over the already-parsed
+    manifests) — inspection never touches data files."""
+    fs = fs or HadoopFS(spark)
+    meta = read_iceberg_metadata(spark, path.rstrip("/"), fs)
+    if table == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s.get("timestamp-ms") or 0),
+                s.get("manifest-list"),
+                str((s.get("summary") or {}).get("operation", "")),
+                int(s["schema-id"]) if s.get("schema-id") is not None else None,
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, timestamp_ms long, manifest_list string, "
+            "operation string, schema_id int",
+        )
+    if table == "history":
+        cur = meta.get("current-snapshot-id")
+        rows = [
+            (int(s["snapshot-id"]), int(s.get("timestamp-ms") or 0),
+             s["snapshot-id"] == cur)
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, timestamp_ms long, is_current boolean"
+        )
+    if table == "refs":
+        rows = [
+            (name, str(r.get("type", "branch")), int(r["snapshot-id"]))
+            for name, r in (meta.get("refs") or {}).items()
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if table == "files":
+        files, pos_del, eq_del, _ = read_iceberg_snapshot(spark, path, fs)
+        rows = [
+            (
+                e["file_path"],
+                json.dumps(e.get("partition") or {}, sort_keys=True, default=_json_safe),
+                int(e.get("record_count") or 0),
+                int(e.get("file_size_in_bytes") or 0),
+                int(e.get("sequence_number") or 0),
+            )
+            for e in files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count long, "
+            "file_size_in_bytes long, sequence_number long",
+        )
+    raise ValueError(
+        f"unknown inspection table {table!r} "
+        "(expected files|snapshots|history|refs)"
+    )
