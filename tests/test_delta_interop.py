@@ -921,3 +921,18 @@ def test_change_data_feed_read(spark, tmp_path):
     os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(DeltaProtocolError, match="missing"):
         read_delta_changes(spark, root, 0)
+
+
+def test_read_delta_table_timestamp_param(spark, tmp_path, sink_fs):
+    t = ManifestTable(spark, str(tmp_path / "ttp"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    export_manifest_as_delta(t)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+    log = os.path.join(t.path, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (1000, 1000))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+    got = read_delta_table(spark, t.path, timestamp_ms=1_500_000)
+    assert _rows(got.select("k", "v")) == {(1, "a")}
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_table(spark, t.path, version=0, timestamp_ms=1)

@@ -382,7 +382,11 @@ def _to_physical_type(dt: T.DataType) -> T.DataType:
 
 
 def read_delta_table(
-    spark: SparkSession, path: str, version: int | None = None, fs: FS | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fs: FS | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """External Delta table → DataFrame (no delta-spark dependency).
 
@@ -407,6 +411,10 @@ def read_delta_table(
     for position deletes.  No driver-side row work, one Catalyst DAG.
     """
     path = path.rstrip("/")
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp_ms, not both")
+        version = resolve_version_at_timestamp(spark, path, timestamp_ms, fs)
     adds, meta = read_delta_log(spark, path, version, fs)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
