@@ -936,3 +936,24 @@ def test_read_delta_table_timestamp_param(spark, tmp_path, sink_fs):
     assert _rows(got.select("k", "v")) == {(1, "a")}
     with pytest.raises(ValueError, match="not both"):
         read_delta_table(spark, t.path, version=0, timestamp_ms=1)
+
+
+def test_change_feed_over_exported_manifest_log(spark, tmp_path, sink_fs):
+    """The manifest→Delta export emits dataChange adds/removes, which IS
+    a valid change feed for append/replace workloads: read_delta_changes
+    over the exported log reconstructs the row-level history."""
+    from verified_sources_spark.operators.delta_interop import read_delta_changes
+
+    t = ManifestTable(spark, str(tmp_path / "cdfexp"), fs=sink_fs)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+    t.replace(spark.createDataFrame([(3, "c")], "k long, v string"))
+    export_manifest_as_delta(t)
+
+    ch = read_delta_changes(spark, t.path, 0)
+    got = {(r.k, r.v, r._change_type, r._commit_version) for r in ch.collect()}
+    assert got == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (1, "a", "delete", 1), (2, "b", "delete", 1),
+        (3, "c", "insert", 1),
+    }
