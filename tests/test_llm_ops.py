@@ -669,3 +669,39 @@ def test_two_level_empty_cell_keeps_assignable(spark):
     assert len(fine) == len(coarse) and all(len(f) >= 1 for f in fine)
     out = assign_two_level(df, "vec_id", "embedding", coarse, fine).collect()
     assert len(out) == 4
+
+
+def test_remove_contaminated_spans_pinned(spark):
+    """Benchmark-overlap scrubbing, window=2, min_span=3: the quoted
+    benchmark passage is cut as ONE maximal span, surrounding original
+    prose survives, sub-min_span brushes survive, and a fully-quoted doc
+    empties — without dropping any document wholesale."""
+    from verified_sources_spark.llm.text_prep import remove_contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france"), (2, "p q")],
+        "qid long, question string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes a full benchmark question mid-document
+            (1, "intro words what is the capital of france outro words"),
+            # only the 2-token benchmark brush 'p q' (< min_span 3): kept
+            (2, "mentions p q briefly"),
+            (3, "what is the capital of france"),   # fully contaminated
+            (4, "completely unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(
+            corpus, "doc_id", "text", bench, "question",
+            window=2, min_span_tokens=3,
+        ).collect()
+    }
+    assert out[1].clean_text == "intro words outro words"
+    assert out[1].n_spans == 1 and out[1].n_tokens_removed == 6
+    assert out[2].clean_text == "mentions p q briefly" and out[2].n_spans == 0
+    assert out[3].clean_text == "" and out[3].n_tokens_removed == 6
+    assert out[4].n_tokens_removed == 0

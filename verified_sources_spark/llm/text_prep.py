@@ -530,3 +530,116 @@ def remove_maximal_duplicate_spans(
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         )
     )
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str | None = None,
+    window: int = 8,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """Decontamination by REMOVAL: cut maximal corpus spans that overlap
+    a benchmark suite, instead of dropping whole documents.
+
+    :func:`decontaminate` (llm/__init__) FLAGS documents sharing
+    benchmark shingles; published pipelines often prefer scrubbing just
+    the overlapping passage — a long document with one quoted benchmark
+    question keeps its other 5k tokens.  Construction mirrors
+    :func:`remove_maximal_duplicate_spans`: corpus ``window``-token hits
+    whose hash appears in the BENCHMARK's shingle set, merged
+    gaps-and-islands into maximal spans, spans >= ``min_span_tokens``
+    cut, token stream rebuilt.
+
+    Scale shape: the benchmark collapses to a DISTINCT hash set
+    (suite-sized — tiny next to the corpus) and is broadcast into one
+    hash semi-join against the corpus window hashes; everything after is
+    the same linear islands merge + per-doc reassembly.  Output:
+    ``clean_text``, ``n_tokens``, ``n_tokens_removed``, ``n_spans``."""
+    from pyspark.sql import Window as W
+
+    bcol = bench_text_col or text_col
+    bench_hashes = (
+        benchmark.select(
+            F.explode(
+                F.transform(shingles(bcol, window), lambda s: F.md5(s))
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    )
+    sp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(shingles(text_col, window), lambda s: F.md5(s))
+        ).alias("spos", "_h"),
+    )
+    hits = (
+        sp.join(F.broadcast(bench_hashes), "_h", "left_semi")
+        .select("_id", "spos")
+        .distinct()
+    )
+    w_ord = W.partitionBy("_id").orderBy("spos")
+    isl = (
+        hits.withColumn("_prev", F.lag("spos").over(w_ord))
+        .withColumn(
+            "_new_run",
+            (
+                F.col("_prev").isNull()
+                | ((F.col("spos") - F.col("_prev")) > F.lit(window))
+            ).cast("int"),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new_run").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    spans = (
+        isl.groupBy("_id", "_island")
+        .agg(
+            F.min("spos").alias("_start"),
+            (F.max("spos") + F.lit(window - 1)).alias("_end"),
+        )
+        .filter(F.col("_end") - F.col("_start") + 1 >= F.lit(min_span_tokens))
+    )
+    covered = spans.select(
+        "_id", F.explode(F.sequence("_start", "_end")).alias("pos")
+    ).distinct()
+    n_spans = spans.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    spine = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        spine.join(rebuilt, "_id", "left")
+        .join(n_spans, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )

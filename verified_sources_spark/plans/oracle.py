@@ -1332,3 +1332,51 @@ ORACLE_SQL["max_dup_span_removal_docs"] = f"""
     LEFT JOIN reb ON reb.doc_id = d.doc_id
     LEFT JOIN nsp ON nsp.doc_id = d.doc_id
 """
+
+# Decontamination by removal: benchmark = doc_id % 50 == 0; corpus
+# windows whose 8-token shingle hash appears in the benchmark's shingle
+# set merge gaps-and-islands into maximal spans; spans >= 16 tokens cut.
+ORACLE_SQL["decontaminate_spans_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE doc_id % 50 <> 0),
+    bt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE doc_id % 50 = 0),
+    tok AS (SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS pos FROM t),
+    w AS (SELECT doc_id, i, md5({_SPAN8}) AS h FROM
+          (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM t)),
+    bw AS (SELECT DISTINCT md5({_SPAN8}) AS h FROM
+           (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+            FROM bt)),
+    hits AS (SELECT DISTINCT w.doc_id, w.i FROM w JOIN bw USING (h)),
+    lg AS (SELECT doc_id, i,
+                  lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+           FROM hits),
+    isl AS (SELECT doc_id, i,
+                   SUM(CASE WHEN pi IS NULL OR i - pi > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM lg),
+    spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+              HAVING MAX(i) + 7 - MIN(i) + 1 >= 16),
+    nsp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY doc_id),
+    cov AS (SELECT DISTINCT doc_id, pos FROM
+            (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.term
+             FROM tok LEFT JOIN cov
+               ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+             WHERE cov.pos IS NULL),
+    reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           COALESCE(nsp.n_spans, 0) AS n_spans
+    FROM t
+    LEFT JOIN reb ON reb.doc_id = t.doc_id
+    LEFT JOIN nsp ON nsp.doc_id = t.doc_id
+"""

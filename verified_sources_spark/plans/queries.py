@@ -708,6 +708,23 @@ def max_dup_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by REMOVAL (llm/text_prep.remove_contaminated_spans):
+    documents with doc_id % 50 == 0 act as the benchmark suite; maximal
+    overlapping spans >= 16 tokens are scrubbed from the remaining
+    corpus — the span-level alternative to whole-doc dropping."""
+    import pyspark.sql.functions as F
+
+    from verified_sources_spark.llm.text_prep import remove_contaminated_spans
+
+    d = _docs_parallel(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return remove_contaminated_spans(
+        corpus, "doc_id", "text", bench, "text", window=8, min_span_tokens=16
+    )
+
+
 def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf·idf
     (llm/relevance.py) — keyword extraction for corpus browsing /
@@ -1519,4 +1536,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_events": cohort_retention_events,
     "funnel_conversion_events": funnel_conversion_events,
     "max_dup_span_removal_docs": max_dup_span_removal_docs,
+    "decontaminate_spans_docs": decontaminate_spans_docs,
 }
