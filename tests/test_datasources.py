@@ -268,3 +268,77 @@ def test_kafka_wire_readstream_sasl(registered, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_delta_cdf_readstream(registered, tmp_path):
+    """The change feed as a STREAM: commit versions are the checkpointed
+    offset, each restart picks up only commits made since, DV'd adds
+    mask their deleted rows, and cdc-action commits are exclusive."""
+    import json as _json
+    import os
+
+    from verified_sources_spark.operators.deletion_vectors import (
+        inline_descriptor,
+    )
+    from verified_sources_spark.operators.delta_interop import (
+        export_manifest_as_delta,
+    )
+    from verified_sources_spark.operators.table_format import ManifestTable
+
+    spark = registered
+    t = ManifestTable(spark, str(tmp_path / "cdfstream"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    export_manifest_as_delta(t)
+
+    df = (
+        spark.readStream.format("delta_cdf")
+        .option("path", t.path)
+        .load()
+    )
+    assert df.schema.fieldNames()[-2:] == ["_change_type", "_commit_version"]
+    ckpt = str(tmp_path / "cdfck")
+    got: list = []
+
+    def run():
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _id: got.extend(
+                    (r.k, r.v, r._change_type, r._commit_version)
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    assert sorted(got) == [(1, "a", "insert", 0), (2, "b", "insert", 0)]
+
+    # next commit: replace → removes + add; restart reads ONLY commit 1
+    t.replace(spark.createDataFrame([(3, "c")], "k long, v string"))
+    export_manifest_as_delta(t)
+    got.clear()
+    run()
+    assert sorted(got) == [
+        (1, "a", "delete", 1), (2, "b", "delete", 1), (3, "c", "insert", 1),
+    ]
+
+    # commit 2: hand-written add WITH a deletion vector masking row 0 of
+    # a two-row file — only the surviving row streams as an insert
+    stage = str(tmp_path / "dvstage")
+    spark.createDataFrame([(7, "x"), (8, "y")], "k long, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(t.path, "dv"), exist_ok=True)
+    os.replace(os.path.join(stage, part), os.path.join(t.path, "dv", "f.parquet"))
+    with open(os.path.join(t.path, "_delta_log", f"{2:020d}.json"), "w") as f:
+        f.write(_json.dumps({"add": {
+            "path": "dv/f.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": inline_descriptor([0]),
+        }}))
+    got.clear()
+    run()
+    assert got == [(8, "y", "insert", 2)]

@@ -477,5 +477,207 @@ def register_all(spark) -> None:
         KinesisWireDataSource,
         PgCdcDataSource,
         ManifestDataSource,
+        DeltaCdfDataSource,
     ):
         spark.dataSource.register(cls)
+
+
+# -------------------------------------------------------------- delta_cdf
+
+
+@dataclass
+class _CdfSlice(InputPartition):
+    table_path: str
+    file_path: str
+    version: int
+    change_type: str | None  # None = embedded _change_type column
+    partition: dict
+    dv: dict | None = None
+
+
+def _delta_log_versions(log_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and n[:-5].isdigit():
+            out.append(int(n[:-5]))
+    return sorted(out)
+
+
+def _delta_meta_from_log(path: str) -> dict:
+    """Latest metaData action via plain file IO (data source instances
+    have no SparkSession — and need none for log metadata)."""
+    import os
+
+    log = f"{path}/_delta_log"
+    meta = None
+    for v in _delta_log_versions(log):
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+    if meta is None:
+        raise FileNotFoundError(f"no metaData action under {log}")
+    return meta
+
+
+class _DeltaCdfStreamReader(DataSourceStreamReader):
+    """Change-feed stream over a Delta log: the offset is the COMMIT
+    VERSION (checkpointed by Spark), each micro-batch covers the commits
+    in (start, end], and every change/add/remove file becomes one
+    executor task read with pyarrow.  Same per-commit semantics as
+    operators.delta_interop.read_delta_changes (cdc actions exclusive
+    when present; dataChange adds = inserts, dataChange removes =
+    deletes), plus deletion-vector masking on DV'd adds."""
+
+    def __init__(self, options, schema):
+        self.path = _local_path(options["path"]).rstrip("/")
+        self.starting = int(options.get("startingversion", 0))
+        meta = _delta_meta_from_log(self.path)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode != "none":
+            raise ValueError(
+                f"delta_cdf over column-mapping mode {mode!r} not implemented"
+            )
+        self.meta = meta
+        self.part_cols = list(meta.get("partitionColumns") or [])
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting - 1}
+
+    def latestOffset(self) -> dict:
+        vs = _delta_log_versions(f"{self.path}/_delta_log")
+        return {"version": vs[-1] if vs else self.starting - 1}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import os
+        from urllib.parse import unquote
+
+        lo, hi = int(start["version"]), int(end["version"])
+        out: list[_CdfSlice] = []
+        for v in range(lo + 1, hi + 1):
+            p = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"commit {v} missing from the log — CDF over a gap "
+                    "would silently drop changes"
+                )
+            with open(p) as f:
+                actions = [json.loads(ln) for ln in f if ln.strip()]
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+
+            def full(rel):
+                rel = unquote(rel)
+                return rel if "://" in rel or rel.startswith("/") else (
+                    f"{self.path}/{rel}"
+                )
+
+            if cdcs:
+                for c in cdcs:
+                    out.append(_CdfSlice(
+                        self.path, full(c["path"]), v, None,
+                        dict(c.get("partitionValues") or {}),
+                    ))
+                continue
+            for a in actions:
+                if "add" in a and a["add"].get("dataChange"):
+                    ad = a["add"]
+                    out.append(_CdfSlice(
+                        self.path, full(ad["path"]), v, "insert",
+                        dict(ad.get("partitionValues") or {}),
+                        dict(ad["deletionVector"]) if ad.get("deletionVector") else None,
+                    ))
+                elif "remove" in a and a["remove"].get("dataChange"):
+                    rm = a["remove"]
+                    if self.part_cols and rm.get("partitionValues") is None:
+                        raise ValueError(
+                            f"commit {v}: dataChange remove without "
+                            "partitionValues on a partitioned table"
+                        )
+                    out.append(_CdfSlice(
+                        self.path, full(rm["path"]), v, "delete",
+                        dict(rm.get("partitionValues") or {}),
+                    ))
+        return out
+
+    def read(self, part: _CdfSlice):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        tbl = pq.read_table(part.file_path)
+        if part.dv is not None:
+            from verified_sources_spark.operators.deletion_vectors import (
+                dv_row_indexes,
+            )
+
+            deleted = set(dv_row_indexes(part.table_path, part.dv))
+            keep = [i for i in range(tbl.num_rows) if i not in deleted]
+            tbl = tbl.take(keep)
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in self.schema.fields:
+            if f.name in ("_change_type", "_commit_version"):
+                continue
+            names.append(f.name)
+            target = to_arrow_type(f.dataType)
+            if f.name in part.partition:
+                raw = part.partition[f.name]
+                if raw is None or raw == _HIVE_NULL:
+                    cols.append(pa.nulls(n, type=target))
+                else:
+                    cols.append(
+                        pa.array([str(raw)] * n, type=pa.string()).cast(target)
+                    )
+            elif f.name in tbl.column_names:
+                cols.append(tbl[f.name].combine_chunks().cast(target))
+            else:
+                cols.append(pa.nulls(n, type=target))
+        names.append("_change_type")
+        if part.change_type is None:
+            cols.append(tbl["_change_type"].combine_chunks().cast(pa.string()))
+        else:
+            cols.append(pa.array([part.change_type] * n, type=pa.string()))
+        names.append("_commit_version")
+        cols.append(pa.array([part.version] * n, type=pa.int64()))
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaCdfDataSource(DataSource):
+    """``spark.readStream.format("delta_cdf").option("path", p)
+    [.option("startingVersion", n)]`` — the table's change feed as a
+    stream with commit-version offsets in the Spark checkpoint."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdf"
+
+    def schema(self):
+        path = _local_path(self.options["path"]).rstrip("/")
+        meta = _delta_meta_from_log(path)
+        base = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _DeltaCdfStreamReader(self.options, schema)
