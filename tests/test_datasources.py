@@ -342,3 +342,40 @@ def test_delta_cdf_readstream(registered, tmp_path):
     got.clear()
     run()
     assert got == [(8, "y", "insert", 2)]
+
+
+def test_kinesis_wire_readstream_sigv4(registered, tmp_path):
+    """SigV4 credentials flow through the source options; the fake
+    endpoint verifies signatures AWS-style (recompute + compare) and
+    rejects unsigned requests."""
+    from test_kinesis_wire import _Endpoint, _url
+
+    spark = registered
+    srv = _Endpoint()
+    srv.sigv4_creds = ("AKTEST", "s3cr3t", "eu-west-1")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = (
+            spark.readStream.format("kinesis_wire")
+            .option("endpoint", _url(srv))
+            .option("stream", "events")
+            .option("aws_access_key", "AKTEST")
+            .option("aws_secret_key", "s3cr3t")
+            .option("region", "eu-west-1")
+            .load()
+        )
+        got: list = []
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _id: got.extend(bytes(r["data"]) for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "sigck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert len(got) == 5 and b"p0-a" in got
+    finally:
+        srv.shutdown()
+        srv.server_close()

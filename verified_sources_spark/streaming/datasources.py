@@ -196,6 +196,26 @@ class _KinesisStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.endpoint = options["endpoint"]
         self.stream = options["stream"]
+        # SigV4 signing for the real service; unsigned by default (local
+        # emulators) — same boundary as sources/kinesis_wire
+        self.creds = None
+        if options.get("aws_access_key") is not None:
+            self.creds = (
+                options["aws_access_key"],
+                options.get("aws_secret_key", ""),
+                options.get("region", "us-east-1"),
+                options.get("session_token"),
+            )
+
+    def _signer(self):
+        if self.creds is None:
+            return None
+        from verified_sources_spark.sources.sigv4 import sigv4_signer
+
+        ak, sk, region, tok = self.creds
+        return sigv4_signer(
+            self.endpoint, ak, sk, region, service="kinesis", session_token=tok
+        )
 
     def initialOffset(self) -> dict:
         return {"seq": {}}
@@ -203,7 +223,9 @@ class _KinesisStreamReader(SimpleDataSourceStreamReader):
     def _fetch(self, state: dict):
         from verified_sources_spark.sources.kinesis_wire import fetch_stream
 
-        rows, new_state = fetch_stream(self.endpoint, self.stream, dict(state))
+        rows, new_state = fetch_stream(
+            self.endpoint, self.stream, dict(state), sign=self._signer()
+        )
         return rows, new_state
 
     @staticmethod
