@@ -335,7 +335,9 @@ def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink
     th_a = threading.Thread(target=writer, args=(df_a,))
     th_b = threading.Thread(target=writer, args=(df_b,))
     th_a.start(); th_b.start()
-    th_a.join(timeout=120); th_b.join(timeout=120)
+    # join margin must exceed the barrier timeout + both commits, or a
+    # loaded machine asserts against threads that have not finished
+    th_a.join(timeout=300); th_b.join(timeout=300)
 
     assert not errors
     assert len(conflicts) == 1  # exactly one loser, exactly one retry
@@ -449,7 +451,9 @@ def _race_two_appends(spark, tmp_path, sink_fs, make_backend):
         target=writer, args=(spark.createDataFrame([(2, "b")], "k long, v string"),)
     )
     th_a.start(); th_b.start()
-    th_a.join(timeout=120); th_b.join(timeout=120)
+    # join margin must exceed the barrier timeout + both commits, or a
+    # loaded machine asserts against threads that have not finished
+    th_a.join(timeout=300); th_b.join(timeout=300)
     assert not errors
     return len(conflicts), ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
 
