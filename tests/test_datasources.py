@@ -379,3 +379,64 @@ def test_kinesis_wire_readstream_sigv4(registered, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_manifest_readstream_tails_appends(registered, tmp_path):
+    """readStream.format('manifest'): manifest versions are the offset —
+    each restart reads exactly the files appended since; a
+    replace/merge version refuses by default and passes with
+    ignoreChanges (new files only), Delta's contract."""
+    from verified_sources_spark.operators.table_format import ManifestTable
+
+    spark = registered
+    t = ManifestTable(spark, str(tmp_path / "mst"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+
+    df = spark.readStream.format("manifest").option("path", t.path).load()
+    ckpt = str(tmp_path / "msck")
+    got: list = []
+
+    def run(stream_df, cp):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                lambda b, _id: got.extend((r.k, r.v) for r in b.collect())
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return q
+
+    run(df, ckpt)
+    assert sorted(got) == [(1, "a"), (2, "b")]
+
+    # append-only increment: only the new rows stream
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    got.clear()
+    run(df, ckpt)
+    assert got == [(3, "c")]
+
+    # a REPLACE drops files: the stream must fail loudly...
+    t.replace(spark.createDataFrame([(9, "z")], "k long, v string"))
+    got.clear()
+    q = (
+        df.writeStream.foreachBatch(lambda b, _id: None)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|REMOVED"):
+        q.awaitTermination(60)
+        if q.exception() is not None:
+            raise q.exception()
+    # ...and pass with ignoreChanges=true (new files only)
+    df_ic = (
+        spark.readStream.format("manifest")
+        .option("path", t.path)
+        .option("ignoreChanges", "true")
+        .load()
+    )
+    got.clear()
+    run(df_ic, ckpt)
+    assert got == [(9, "z")]

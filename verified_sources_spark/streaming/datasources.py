@@ -458,10 +458,86 @@ class _ManifestReader(DataSourceReader):
         yield from out.to_batches()
 
 
+class _ManifestStreamReader(DataSourceStreamReader):
+    """ManifestTable as a STREAM — the table-as-a-stream surface Delta
+    users get from ``readStream.table(...)``: the checkpointed offset is
+    the manifest VERSION, each micro-batch reads exactly the FILES ADDED
+    by the versions landed since (file-set diff against the previous
+    manifest — data files are immutable, so a path appearing in v but
+    not v-1 is precisely v's new data).
+
+    Non-append versions (replace/merge drop files) break stream
+    semantics: refused by default — updated rows would re-emit with no
+    retraction — or passed through as their NEW files only with
+    ``ignorechanges=true``, exactly Delta's ignoreChanges contract."""
+
+    def __init__(self, options, schema):
+        self.path = _local_path(options["path"]).rstrip("/")
+        self.starting = int(options.get("startingversion", 0))
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.schema = schema
+
+    def _table(self):
+        from verified_sources_spark.operators.fs import LocalFS
+        from verified_sources_spark.operators.table_format import ManifestTable
+
+        return ManifestTable(None, self.path, fs=LocalFS())
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        latest = self._table().latest_version()
+        return {"version": latest if latest is not None else self.starting}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        t = self._table()
+        lo, hi = int(start["version"]), int(end["version"])
+        out: list[_ManifestFile] = []
+        prev = (
+            {e["path"] for e in t._manifest(lo)["files"]} if lo >= 1 else set()
+        )
+        for v in range(lo + 1, hi + 1):
+            entries = t._manifest(v)["files"]
+            cur = {e["path"] for e in entries}
+            if (prev - cur) and not self.ignore_changes:
+                raise ValueError(
+                    f"manifest version {v} REMOVED files (replace/merge) — "
+                    "not an append-only stream; restart from a fresh "
+                    "checkpoint or set ignoreChanges=true to emit only the "
+                    "new files"
+                )
+            for e in entries:
+                if e["path"] not in prev:
+                    out.append(
+                        _ManifestFile(
+                            f"{self.path}/{e['path']}",
+                            dict(e.get("partition") or {}),
+                        )
+                    )
+            prev = cur
+        return out
+
+    def read(self, part: _ManifestFile):
+        # same arrow per-file read as the batch reader
+        rdr = _ManifestReader({"path": self.path}, self.schema)
+        yield from rdr.read(part)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("manifest").load(path)`` — batch reads of the
     engine's transactional ManifestTable with manifest-stat file
-    skipping driven by Spark's pushed-down filters."""
+    skipping driven by Spark's pushed-down filters; ``readStream`` on
+    the same format tails the table's append-only versions with the
+    manifest version as the checkpointed offset."""
 
     @classmethod
     def name(cls) -> str:
@@ -488,6 +564,9 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _ManifestReader(self.options, schema)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _ManifestStreamReader(self.options, schema)
 
 
 def register_all(spark) -> None:
