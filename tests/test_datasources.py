@@ -77,6 +77,37 @@ def test_kafka_wire_readstream_checkpoint_resume(registered, tmp_path):
         srv.server_close()
 
 
+def test_kafka_slice_raises_on_truncated_range(registered):
+    """Regression (advisor r6): a checkpointed [start, end) slice that
+    the broker can no longer serve (log truncated under the checkpoint)
+    must RAISE, not silently under-deliver; and non-UTF-8 keys must not
+    fail the task."""
+    from test_kafka_wire import _Broker
+
+    from verified_sources_spark.streaming.datasources import (
+        _KafkaSlice,
+        _KafkaWireStreamReader,
+    )
+
+    srv = _Broker()
+    srv.load("events", 0, 0, [(b"\xff\xfe", b"ev-a", [])])  # non-UTF-8 key
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        rdr = _KafkaWireStreamReader(
+            {"host": host, "port": str(port), "topic": "events"}
+        )
+        rows = list(rdr.read(_KafkaSlice(host, port, "events", 0, 0, 1)))
+        assert len(rows) == 1 and isinstance(rows[0][4], str)  # key replaced
+        # end=5 was checkpointed but offsets 1..4 no longer exist
+        with pytest.raises(RuntimeError, match="truncated"):
+            list(rdr.read(_KafkaSlice(host, port, "events", 0, 0, 5)))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 # ----------------------------------------------------------- kinesis_wire
 
 

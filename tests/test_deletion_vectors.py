@@ -307,3 +307,108 @@ def test_dv_on_partitioned_table(spark, tmp_path):
         (0, "2024-01-01"), (2, "2024-01-01"),
         (10, "2024-01-02"), (11, "2024-01-02"), (12, "2024-01-02"),
     }
+
+
+def test_read_table_dv_relative_path(spark, tmp_path, monkeypatch):
+    """Regression: a RELATIVE local table path must still apply DVs.  The
+    anti-join compares manifest paths against Spark's ABSOLUTE
+    ``_metadata.file_path`` — without absolutizing, the join keys never
+    match, the anti-join removes nothing, and deleted rows silently
+    resurrect."""
+    root = _mk_dv_table(spark, tmp_path, inline=True)
+    monkeypatch.chdir(os.path.dirname(root))
+    got = {
+        tuple(r)
+        for r in read_delta_table(spark, os.path.basename(root)).collect()
+    }
+    assert got == {(1, "a1"), (3, "a3"), (10, "b0"), (12, "b2")}
+
+
+def _mk_dv_delete_history(spark, tmp_path):
+    """The commit pattern Databricks DELETE produces: v0 adds a plain
+    file; v1 row-deletes k=1 via remove(no DV)+add(DV {1}); v2 deletes
+    k=3 via remove(DV {1})+add(DV {1,3}) — the remove carries the
+    PRE-image DV."""
+    root = str(tmp_path / "dvcdf")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    df = spark.createDataFrame([(i, f"a{i}") for i in range(4)], "k long, v string")
+    stage = str(tmp_path / "dvcdf_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(root, "d"), exist_ok=True)
+    os.replace(os.path.join(stage, part), os.path.join(root, "d", "f1.parquet"))
+    add = lambda dv: {
+        "path": "d/f1.parquet", "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+        **({"deletionVector": dv} if dv else {}),
+    }
+    rm = lambda dv: {
+        "path": "d/f1.parquet", "deletionTimestamp": 1, "dataChange": True,
+        **({"deletionVector": dv} if dv else {}),
+    }
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dvcdf", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": add(None)},
+    ])
+    _write_commit(root, 1, [{"remove": rm(None)},
+                            {"add": add(inline_descriptor([1]))}])
+    _write_commit(root, 2, [{"remove": rm(inline_descriptor([1]))},
+                            {"add": add(inline_descriptor([1, 3]))}])
+    return root
+
+
+def test_cdf_masks_dv_deletes(spark, tmp_path):
+    """Regression (advisor r6, high): the CDF fallback must mask DV'd
+    actions.  Un-masked, a DV-DELETE commit's remove+add pair cancels out
+    and the change feed never reports the deletion; and a remove's
+    pre-image DV rows must not re-emit as deletes."""
+    from verified_sources_spark.operators.delta_interop import read_delta_changes
+
+    root = _mk_dv_delete_history(spark, tmp_path)
+    ch = read_delta_changes(spark, root, 0).collect()
+    by = lambda v, t: {r.k for r in ch if r._commit_version == v and r._change_type == t}
+    assert by(0, "insert") == {0, 1, 2, 3}      # earlier un-DV'd add untouched
+    assert by(1, "delete") == {0, 1, 2, 3}      # pre-image: no DV yet
+    assert by(1, "insert") == {0, 2, 3}         # post-image masks k=1
+    assert by(2, "delete") == {0, 2, 3}         # pre-image DV {1} masked
+    assert by(2, "insert") == {0, 2}            # post-image masks {1,3}
+    # net change replay: inserts minus deletes per key leaves exactly the
+    # live rows — the deletion of k=1 and k=3 is visible, not cancelled
+    net = {}
+    for r in ch:
+        net[r.k] = net.get(r.k, 0) + (1 if r._change_type == "insert" else -1)
+    assert {k for k, n in net.items() if n > 0} == {0, 2}
+
+
+def test_cdf_stream_masks_remove_preimage_dv(spark, tmp_path):
+    """The delta_cdf STREAM reader applies the same pre-image masking on
+    dataChange removes."""
+    from verified_sources_spark.streaming import datasources as ds
+
+    spark.dataSource.register(ds.DeltaCdfDataSource)
+    root = _mk_dv_delete_history(spark, tmp_path)
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+    (
+        spark.readStream.format("delta_cdf").option("path", root)
+        .load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start().awaitTermination(120)
+    )
+    ch = spark.read.parquet(out).collect()
+    by = lambda v, t: {r.k for r in ch if r._commit_version == v and r._change_type == t}
+    assert by(1, "delete") == {0, 1, 2, 3}
+    assert by(1, "insert") == {0, 2, 3}
+    assert by(2, "delete") == {0, 2, 3}
+    assert by(2, "insert") == {0, 2}

@@ -263,6 +263,16 @@ def test_read_column_mapping_id_mode(spark, tmp_path):
         (2, "b", "fr", "2024-06-01"),
         (3, None, "de", "2024-06-02"),
     }
+    # regression (advisor r6): the id-mode scan must NOT flip the
+    # session-level fieldId conf — unrelated later reads whose schemas
+    # carry parquet.field.id metadata would silently change resolution.
+    # The conf is pinned on a cloned session the relation captures, so
+    # the scan still resolves by id even when collected AFTER this check.
+    assert (
+        spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+        == "false"
+    )
+    assert {r.k for r in read_delta_table(spark, root).collect()} == {1, 2, 3}
 
 
 def test_reader_refuses_unknown_mapping_mode(spark, tmp_path):
@@ -853,6 +863,51 @@ def test_timestamp_time_travel_mtime_and_ict(spark, tmp_path, sink_fs):
     assert resolve_version_at_timestamp(spark, root, 6_000_000) == 1
     with pytest.raises(DeltaProtocolError, match="precedes"):
         resolve_version_at_timestamp(spark, root, 4_000_000)
+
+
+def test_timestamp_time_travel_mid_history_ict_enablement(spark, tmp_path):
+    """A table that turned ICT on MID-history legitimately has ICT-less
+    older commits: below delta.inCommitTimestampEnablementVersion the
+    resolver must fall back to file mtime, at/above it ICT is required
+    (spec: Clock-Based vs In-Commit timestamps switch at the enablement
+    version)."""
+    from verified_sources_spark.operators.delta_interop import (
+        resolve_version_at_timestamp,
+    )
+
+    root = str(tmp_path / "ict_mid")
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "im", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {}}},
+    ])
+    _write_commit(root, 1, [])  # still pre-ICT, no commitInfo at all
+    # commit 2 enables the feature and records the enablement properties
+    _write_commit(root, 2, [
+        {"commitInfo": {"inCommitTimestamp": 5_000_000}},
+        {"metaData": {"id": "im", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableInCommitTimestamps": "true",
+                          "delta.inCommitTimestampEnablementVersion": "2",
+                          "delta.inCommitTimestampEnablementTimestamp": "5000000",
+                      }}},
+    ])
+    log = os.path.join(root, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (1000, 1000))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+    os.utime(os.path.join(log, f"{2:020d}.json"), (1, 1))  # mtime lies; ICT wins
+    assert resolve_version_at_timestamp(spark, root, 1_500_000) == 0
+    assert resolve_version_at_timestamp(spark, root, 2_500_000) == 1
+    assert resolve_version_at_timestamp(spark, root, 5_000_000) == 2
+    # an ICT missing AT/ABOVE the enablement version is still a protocol
+    # violation, not a fallback
+    _write_commit(root, 3, [])
+    with pytest.raises(DeltaProtocolError, match="inCommitTimestamp"):
+        resolve_version_at_timestamp(spark, root, 9_000_000)
 
 
 def test_change_data_feed_read(spark, tmp_path):

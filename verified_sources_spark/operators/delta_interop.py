@@ -22,6 +22,7 @@ is reading/writing it with the stdlib + Spark alone.
 from __future__ import annotations
 
 import json
+import os
 import posixpath
 import time
 import uuid
@@ -34,9 +35,21 @@ from pyspark.sql import DataFrame, SparkSession
 from verified_sources_spark.operators.deletion_vectors import expanded_delete_rows
 from verified_sources_spark.operators.fs import FS, HadoopFS
 from verified_sources_spark.operators.iceberg_interop import (
+    _fieldid_read_session,
     _norm_path_expr,
     _norm_path_py,
 )
+
+
+def _abs_table_path(path: str) -> str:
+    """Absolutize a local relative table path.  DV masking and CDF
+    anti-joins compare manifest-recorded paths against Spark's absolute
+    ``_metadata.file_path`` — a relative path never matches, and the
+    left-anti join would silently remove nothing (deleted rows
+    resurrect).  Mirrors read_iceberg_snapshot's os.path.abspath guard."""
+    if "://" not in path and not os.path.isabs(path):
+        return os.path.abspath(path)
+    return path
 
 _LOG_DIR = "_delta_log"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -410,7 +423,7 @@ def read_delta_table(
     ``_metadata.row_index`` — the same mechanism the Iceberg reader uses
     for position deletes.  No driver-side row work, one Catalyst DAG.
     """
-    path = path.rstrip("/")
+    path = _abs_table_path(path.rstrip("/"))
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass either version or timestamp_ms, not both")
@@ -436,10 +449,13 @@ def read_delta_table(
     if not adds:
         return spark.createDataFrame([], schema)
 
+    scan_spark = spark
     if id_mode:
         # field-id resolution: logical names in the requested schema,
-        # parquet.field.id annotations drive the match inside the scan
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # parquet.field.id annotations drive the match inside the scan.
+        # The conf is pinned on a CLONED session so later unrelated reads
+        # on the caller's session keep their resolution behavior.
+        scan_spark = _fieldid_read_session(spark)
         data_schema = _to_fieldid_type(
             T.StructType([f for f in schema.fields if f.name not in part_cols])
         )
@@ -469,7 +485,7 @@ def read_delta_table(
 
     parts_out = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*files)
+        df = scan_spark.read.schema(data_schema).parquet(*files)
         cols = []
         for f in schema.fields:
             if f.name in part_cols:
@@ -949,23 +965,34 @@ def resolve_version_at_timestamp(
     ``commitInfo.inCommitTimestamp`` of each commit (the spec REQUIRES
     it once the feature is on: file mtimes are rewritten by copies/
     restores and stop being authoritative); otherwise the commit file's
-    modification time is used, exactly like delta-spark.  Raises when
-    *timestamp_ms* precedes the earliest available commit."""
+    modification time is used, exactly like delta-spark.  A table that
+    enabled ICT mid-history legitimately has ICT-less older commits —
+    the spec records the switchover in
+    ``delta.inCommitTimestampEnablementVersion`` /
+    ``-EnablementTimestamp``: commits BELOW the enablement version
+    resolve by file mtime, commits at/above it by ICT (and an ICT
+    missing there is a protocol violation).  Raises when *timestamp_ms*
+    precedes the earliest available commit."""
     fs = fs or HadoopFS(spark)
     path = path.rstrip("/")
     versions = _list_log_versions(fs, path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
     snap, latest = _replay_snapshot(spark, fs, path, None)
+    table_conf = (snap.meta or {}).get("configuration") or {}
     use_ict = str(
-        ((snap.meta or {}).get("configuration") or {}).get(
-            "delta.enableInCommitTimestamps", "false"
-        )
+        table_conf.get("delta.enableInCommitTimestamps", "false")
     ).lower() == "true"
+    # absent enablement properties mean the feature was on from commit 0
+    ict_floor = (
+        int(table_conf.get("delta.inCommitTimestampEnablementVersion", 0))
+        if use_ict
+        else 0
+    )
 
     def commit_ts(v: int) -> int:
         p = _log_path(path, v)
-        if use_ict:
+        if use_ict and v >= ict_floor:
             for line in fs.read_text(p).splitlines():
                 if not line.strip():
                     continue
@@ -975,7 +1002,8 @@ def resolve_version_at_timestamp(
                     return int(ci["inCommitTimestamp"])
             raise DeltaProtocolError(
                 f"commit {v} carries no commitInfo.inCommitTimestamp but "
-                "delta.enableInCommitTimestamps is on"
+                "delta.enableInCommitTimestamps is on from version "
+                f"{ict_floor}"
             )
         return fs.mtime_ms(p)
 
@@ -1010,6 +1038,12 @@ def read_delta_changes(
     update_postimage).  Otherwise the commit's ``dataChange`` adds read
     as inserts and ``dataChange`` removes read as deletes (from the
     still-present removed files — immutability makes that sound).
+    Actions carrying a ``deletionVector`` are MASKED by it (distributed
+    anti-join on ``_metadata.row_index``, per commit so a file's earlier
+    un-DV'd insert is untouched): a DV-DELETE commit's remove+add pair
+    thus emits exactly the file's pre-delete survivors as deletes and
+    its post-delete survivors as inserts — the newly-deleted rows are
+    the difference, never silently dropped.
     Output = table schema + ``_change_type`` + ``_commit_version``.
 
     Refusals: a gap in the commit range (CDF over missing commits would
@@ -1019,7 +1053,7 @@ def read_delta_changes(
     action lacks partitionValues (the delete rows' partition columns
     would be unknowable)."""
     fs = fs or HadoopFS(spark)
-    path = path.rstrip("/")
+    path = _abs_table_path(path.rstrip("/"))
     versions = _list_log_versions(fs, path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}/{_LOG_DIR}")
@@ -1047,8 +1081,9 @@ def read_delta_changes(
         list(data_schema.fields) + [T.StructField("_change_type", T.StringType())]
     )
 
-    # (version, change_type|None=embedded, partition_tuple) -> [files]
-    groups: dict[tuple, list[str]] = {}
+    # (version, change_type|None=embedded, partition_tuple)
+    #   -> [(file, dv-descriptor|None)]
+    groups: dict[tuple, list[tuple[str, dict | None]]] = {}
     for v in want:
         actions = [
             json.loads(line)
@@ -1078,7 +1113,12 @@ def read_delta_changes(
             key = (v, ctype, tuple(pv.get(c) for c in part_cols))
             rel = unquote(e["path"])
             full = rel if "://" in rel else posixpath.join(path, rel)
-            groups.setdefault(key, []).append(full)
+            # adds mask the rows their DV deletes (post-image of the
+            # file); removes mask rows ALREADY deleted before this
+            # commit (their pre-image DV) so prior deletes don't
+            # re-emit.  cdc actions never carry DVs.
+            dv = e.get("deletionVector") if ctype is not None else None
+            groups.setdefault(key, []).append((full, dict(dv) if dv else None))
 
     out_fields = [f.name for f in schema.fields] + [
         "_change_type", "_commit_version",
@@ -1086,7 +1126,7 @@ def read_delta_changes(
     parts_out = []
     for (v, ctype, pkey), files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(cdc_schema if ctype is None else data_schema).parquet(
-            *files
+            *[f for f, _ in files]
         )
         cols = []
         for f in schema.fields:
@@ -1100,7 +1140,28 @@ def read_delta_changes(
         else:
             cols.append(F.lit(ctype).alias("_change_type"))
         cols.append(F.lit(v).cast("long").alias("_commit_version"))
-        parts_out.append(df.select(cols))
+        # per-group DV mask: within one commit a path appears at most
+        # once per action kind, so keying the anti-join on (file, pos)
+        # inside the group is exact — and grouping by commit keeps a
+        # file's earlier (un-DV'd) appearances out of the mask's reach
+        dvs = [(_norm_path_py(f), dv) for f, dv in files if dv]
+        if dvs:
+            cols.append(
+                _norm_path_expr(F.col("_metadata.file_path")).alias("__dv_fp")
+            )
+            cols.append(F.col("_metadata.row_index").alias("__dv_pos"))
+            sel = (
+                df.select(cols)
+                .join(
+                    expanded_delete_rows(spark, path, dvs),
+                    ["__dv_fp", "__dv_pos"],
+                    "left_anti",
+                )
+                .drop("__dv_fp", "__dv_pos")
+            )
+        else:
+            sel = df.select(cols)
+        parts_out.append(sel)
     if not parts_out:
         return spark.createDataFrame(
             [],

@@ -568,6 +568,23 @@ def _json_safe(v):
     return v.hex() if isinstance(v, (bytes, bytearray)) else v
 
 
+def _fieldid_read_session(spark: SparkSession) -> SparkSession:
+    """A cloned session (shared SparkContext, runtime confs copied) with
+    ``spark.sql.parquet.fieldId.read.enabled`` pinned on.
+
+    Field-id resolution is a SESSION conf consumed at execution time, so
+    setting it on the caller's session would silently change how every
+    LATER read resolves schemas that carry ``parquet.field.id`` metadata
+    — and restoring it after building the (lazy) scan would turn it off
+    again before the scan ever runs.  A parquet relation captures the
+    session that built it, so scans built on this clone keep id
+    resolution no matter which session ultimately executes the plan,
+    and the caller's session is never mutated."""
+    clone = SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
+    clone.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return clone
+
+
 def _scan_data_files(
     spark: SparkSession, files: list[dict], schema: T.StructType, with_meta: bool
 ) -> DataFrame:
@@ -593,10 +610,9 @@ def _scan_data_files(
         # footer sniff per scan group decides — a group is one writer
         # lineage, so files within it are uniform.
         use_ids = schema_has_ids and _parquet_has_field_ids(paths[0])
-        if use_ids:
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_spark = _fieldid_read_session(spark) if use_ids else spark
         read_schema = schema if use_ids else _strip_field_ids(schema)
-        df = spark.read.schema(read_schema).parquet(*paths)
+        df = scan_spark.read.schema(read_schema).parquet(*paths)
         if with_meta:
             df = df.withColumn(
                 "__ice_fp", _norm_path_expr(F.col("_metadata.file_path"))

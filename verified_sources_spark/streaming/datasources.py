@@ -146,20 +146,38 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
             pos = part.start
             while pos < part.end:
                 recs, _hw = c.fetch(part.topic, part.pid, pos)
-                recs = [r for r in recs if r.offset < part.end]
                 if not recs:
+                    # end came from latestOffset() at planning time, so
+                    # records below it existed then; an empty fetch here
+                    # means the log was truncated underneath the
+                    # checkpoint — raise instead of silently
+                    # under-delivering the committed [start, end) range
+                    raise RuntimeError(
+                        f"kafka {part.topic}[{part.pid}]: empty fetch at "
+                        f"offset {pos} with checkpointed end {part.end} — "
+                        "log truncated past the checkpoint?"
+                    )
+                in_range = [r for r in recs if r.offset < part.end]
+                if not in_range:
+                    # records exist but all at/past end: the remainder of
+                    # the range was compaction-collapsed — legitimately
+                    # empty, not lost
                     break
-                for r in recs:
+                for r in in_range:
                     yield (
                         r.topic,
                         r.partition,
                         r.offset,
                         r.timestamp_ms,
-                        r.key.decode() if r.key is not None else None,
+                        # keys are not contractually UTF-8 — replace,
+                        # don't fail the task
+                        r.key.decode(errors="replace")
+                        if r.key is not None
+                        else None,
                         r.value,
                         {k: v for k, v in r.headers},
                     )
-                pos = max(r.offset for r in recs) + 1
+                pos = max(r.offset for r in in_range) + 1
 
     def commit(self, end: dict) -> None:
         # offsets live in the Spark checkpoint — nothing to persist here
@@ -706,6 +724,12 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
                     out.append(_CdfSlice(
                         self.path, full(rm["path"]), v, "delete",
                         dict(rm.get("partitionValues") or {}),
+                        # a remove's DV is the file's PRE-image: those
+                        # rows were already deleted in an earlier commit
+                        # and must not re-emit as deletes now
+                        dict(rm["deletionVector"])
+                        if rm.get("deletionVector")
+                        else None,
                     ))
         return out
 
