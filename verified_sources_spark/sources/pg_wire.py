@@ -161,13 +161,18 @@ class WalsenderClient:
 
     # --- session ----------------------------------------------------------
 
+    # subclasses that open a REGULAR session (queries, COPY) clear this;
+    # the walsender needs replication=database for logical replication
+    _REPLICATION = True
+
     def _startup(self) -> None:
         params = {
             "user": self.user,
             "database": self.database,
-            "replication": "database",  # logical replication needs a db
             "application_name": "verified_sources_spark",
         }
+        if self._REPLICATION:
+            params["replication"] = "database"  # logical replication needs a db
         body = struct.pack(">I", PG_PROTOCOL_VERSION)
         for k, v in params.items():
             body += k.encode() + b"\x00" + v.encode() + b"\x00"
@@ -222,9 +227,31 @@ class WalsenderClient:
         else:
             raise NotImplementedError(f"auth method {code} not supported")
 
+    def _drain_to_ready(self) -> None:
+        """Consume messages until ReadyForQuery.  After an ErrorResponse
+        the server still finishes the cycle with a Z — raising without
+        eating it would desynchronize every later exchange on this
+        connection (the next query would return the stale Z first)."""
+        while True:
+            mtype = self._recv_exact(1)
+            (length,) = struct.unpack(">I", self._recv_exact(4))
+            self._recv_exact(length - 4)
+            if mtype == b"Z":
+                return
+
     def simple_query(self, sql: str) -> list[tuple[str | None, ...]]:
-        """Send a simple-protocol query, return DataRow values as text."""
+        """Send a simple-protocol query, return DataRow values as text.
+        On a server error the response cycle is drained to ReadyForQuery
+        before :class:`PgError` propagates, so the session stays usable
+        (e.g. for a ROLLBACK)."""
         self._send(b"Q", sql.encode() + b"\x00")
+        try:
+            return self._simple_query_rows()
+        except PgError:
+            self._drain_to_ready()
+            raise
+
+    def _simple_query_rows(self) -> list[tuple[str | None, ...]]:
         rows: list[tuple[str | None, ...]] = []
         while True:
             mtype, body = self._read_message()
@@ -334,6 +361,83 @@ class WalsenderClient:
         return self
 
     def __exit__(self, *exc):
+        self.close()
+
+
+class PgQueryClient(WalsenderClient):
+    """Regular (non-replication) PostgreSQL session over the same wire
+    protocol: simple queries, transactions, and ``COPY FROM STDIN`` —
+    the write-back transport (the reference's entire load path lands in
+    a SQL destination through a client like this, reference:
+    sources/mongodb_pipeline.py:22-35; tests observe results through
+    ``pipeline.sql_client()``, reference tests/utils.py:209-227).
+
+    Everything (framing, auth incl. SCRAM, TLS, error decoding) is
+    inherited; only the startup parameters and the COPY-IN flow differ.
+    One client = one connection = one session; the Spark sink opens one
+    per writer task."""
+
+    _REPLICATION = False
+
+    def execute(self, sql: str) -> list[tuple[str | None, ...]]:
+        """Alias of :meth:`simple_query` — reads better at call sites
+        that run DDL/DML and ignore the (empty) result."""
+        return self.simple_query(sql)
+
+    def copy_in(self, sql: str, lines: "Iterator[bytes] | list[bytes]") -> int:
+        """``COPY table (cols) FROM STDIN`` with text-format *lines*
+        (each already ``\\t``-separated, escaped, ``\\n``-terminated).
+        Returns the server-reported row count.
+
+        Lines are coalesced into ~256 KiB CopyData frames — the batch
+        size matters far more than protocol overhead at COPY speeds.  A
+        server error mid-copy raises :class:`PgError`; the surrounding
+        transaction (if any) is rolled back by the server and the
+        connection should be closed (COPY sub-protocol state is not
+        recovered)."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        try:
+            mtype, _body = self._read_message()
+            if mtype != b"G":  # CopyInResponse
+                raise PgError({"M": f"expected CopyInResponse, got {mtype!r}"})
+            buf = bytearray()
+            for ln in lines:
+                buf += ln
+                if len(buf) >= 262_144:
+                    self._send(b"d", bytes(buf))
+                    buf.clear()
+            if buf:
+                self._send(b"d", bytes(buf))
+            self._send(b"c", b"")  # CopyDone
+            rows = 0
+            while True:
+                mtype, body = self._read_message()
+                if mtype == b"C":  # CommandComplete: b"COPY <n>\x00"
+                    tag = body.rstrip(b"\x00").decode()
+                    rows = int(tag.split()[-1])
+                elif mtype == b"Z":
+                    return rows
+        except PgError:
+            self._drain_to_ready()
+            raise
+
+    # --- transactions -------------------------------------------------
+
+    def begin(self) -> None:
+        self.execute("BEGIN")
+
+    def commit(self) -> None:
+        self.execute("COMMIT")
+
+    def rollback(self) -> None:
+        self.execute("ROLLBACK")
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            try:
+                self.rollback()
+            except Exception:
+                pass
         self.close()
 
 
