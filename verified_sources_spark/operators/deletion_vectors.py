@@ -268,26 +268,44 @@ def dv_row_indexes(table_path: str, desc: dict) -> list[int]:
     return idx
 
 
+def _write_file_bytes(path: str, data: bytes) -> None:
+    """Executor-safe byte write mirroring :func:`_read_file_bytes`:
+    local paths via open(), URI schemes via pyarrow's filesystem."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        fs.create_dir(posixpath.dirname(p), recursive=True)
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+        return
+    import os
+
+    local = path.removeprefix("file:")
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    with open(local, "wb") as f:
+        f.write(data)
+
+
 def write_dv_file(
     table_path: str, indexes: Iterable[int], prefix: str = ""
 ) -> dict:
     """Write a spec-shaped DV file under *table_path*; returns the 'u'
-    descriptor.  (Local-filesystem writer — used by tests and the export
-    path; the read side accepts any store.)"""
+    descriptor.  Local paths and pyarrow-resolvable URIs both work, so
+    executor tasks can write DVs next to the data files they mask."""
     data = encode_blob(indexes)
     u = _uuid.uuid4()
     enc = base64.b85encode(u.bytes).decode("ascii")
     name = f"deletion_vector_{u}.bin"
     dir_ = posixpath.join(table_path, prefix) if prefix else table_path
-    import os
-
-    os.makedirs(dir_, exist_ok=True)
     offset = 1
-    with open(posixpath.join(dir_, name), "wb") as f:
-        f.write(b"\x01")
-        f.write(struct.pack(">i", len(data)))
-        f.write(data)
-        f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    body = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    _write_file_bytes(posixpath.join(dir_, name), body)
     card = len(decode_blob(data))
     return {
         "storageType": "u",

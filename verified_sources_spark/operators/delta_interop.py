@@ -854,10 +854,27 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
     current as the manifest version exported (default latest); writes go
     through the table's commit backend, so concurrent exporters conflict
     instead of clobbering.
+
+    Deletion vectors: a manifest entry's ``dv`` descriptor exports
+    verbatim as the add's ``deletionVector`` (both roots resolve the
+    same ``_deletes/`` files), the protocol upgrades to
+    minReaderVersion 3 + the deletionVectors feature in the commit that
+    first carries one, and a DV that WIDENED on an existing file exports
+    as the spec's remove(old DV) + add(new DV) pair with
+    ``dataChange=true`` — exactly the commit shape a Databricks
+    row-level DELETE writes.
+
+    Change data feed: when the exported manifest recorded ``changes``
+    files (a ``change_data=True`` merge/delete) and this export covers
+    exactly that one manifest version (tracked via ``commitInfo``), the
+    commit also carries ``cdc`` actions — external CDF readers (and
+    ``read_delta_changes``) then serve insert/delete/update_preimage/
+    update_postimage rows instead of reconstructing from add/remove.
     """
     fs = table.fs
     root = table.path
-    manifest = table._manifest(version if version is not None else table.latest_version())
+    exp_v = version if version is not None else table.latest_version()
+    manifest = table._manifest(exp_v)
     entries = manifest["files"]
     schema_json = manifest.get("schema")
     if schema_json is None:
@@ -906,12 +923,34 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
             "modificationTime": now_ms,
             "dataChange": True,
         }
+        if e.get("dv"):
+            current[rel]["deletionVector"] = dict(e["dv"])
+
+    def _dv_sig(add: dict) -> str | None:
+        dv = add.get("deletionVector")
+        return json.dumps(dv, sort_keys=True) if dv else None
 
     actions: list[dict] = []
     next_v = (last_v + 1) if last_v is not None else 0
+    has_dvs = any(a.get("deletionVector") for a in current.values())
+    prev_protocol = snap.protocol if (existing or cp_v is not None) else None
     if next_v == 0:
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+            if has_dvs
+            else {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    elif has_dvs and "deletionVectors" not in set(
+        (prev_protocol or {}).get("readerFeatures") or []
+    ):
+        # first DV on a previously-plain table: upgrade in THIS commit,
+        # as the spec requires before any DV'd add may appear
+        actions.append(
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
         )
     # metaData rides in every exported commit: schema may have evolved
     actions.append(
@@ -926,19 +965,26 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
             }
         }
     )
-    for path_ in sorted(set(prev_adds) - set(current)):
-        actions.append(
-            {
-                "remove": {
-                    "path": path_,
-                    "deletionTimestamp": deleted_ms,
-                    "dataChange": True,
-                }
-            }
-        )
-    for path_ in sorted(set(current) - set(prev_adds)):
+    n_meta = len(actions)
+    # a path whose DV changed re-exports as the spec's remove(pre-image
+    # DV) + add(post-image DV) pair — the commit shape of a DV DELETE
+    dv_changed = {
+        p
+        for p in set(prev_adds) & set(current)
+        if _dv_sig(prev_adds[p]) != _dv_sig(current[p])
+    }
+    for path_ in sorted((set(prev_adds) - set(current)) | dv_changed):
+        rm: dict = {
+            "path": path_,
+            "deletionTimestamp": deleted_ms,
+            "dataChange": True,
+        }
+        if prev_adds[path_].get("deletionVector"):
+            rm["deletionVector"] = dict(prev_adds[path_]["deletionVector"])
+        actions.append({"remove": rm})
+    for path_ in sorted((set(current) - set(prev_adds)) | dv_changed):
         actions.append({"add": current[path_]})
-    if next_v > 0 and len(actions) == 1:
+    if next_v > 0 and len(actions) == n_meta:
         # nothing changed: no empty commit.  The last commit's JSON may
         # have been cleaned up past a checkpoint — return whichever form
         # of version `last_v` actually exists on disk.
@@ -946,6 +992,40 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
         if fs.exists(prev_path):
             return prev_path
         return f"{root}/{_LOG_DIR}/{last_v:020d}.checkpoint.parquet"
+
+    # change-data feed: attach cdc actions when this export covers
+    # EXACTLY the one manifest version that recorded them (the previous
+    # export's commitInfo carries its manifest version); a multi-version
+    # export falls back to add/remove semantics, which the readers mask
+    # correctly — never a wrong feed, only a coarser one.
+    prev_mv = None
+    if last_v is not None and fs.exists(_log_path(root, last_v)):
+        for line in fs.read_text(_log_path(root, last_v)).splitlines():
+            if line.strip():
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("manifestVersion") is not None:
+                    prev_mv = int(ci["manifestVersion"])
+    covers_one = (next_v == 0 and int(exp_v) == 1) or (
+        prev_mv is not None and int(exp_v) == prev_mv + 1
+    )
+    if covers_one and manifest.get("changes"):
+        for ch in manifest["changes"]:
+            size = 0
+            try:
+                size = fs.size(f"{root}/{ch['path']}")
+            except Exception:
+                pass
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(ch["path"], safe="/-_.~="),
+                        "partitionValues": {},
+                        "size": int(size),
+                        "dataChange": False,
+                    }
+                }
+            )
+    actions.append({"commitInfo": {"manifestVersion": int(exp_v)}})
 
     out_path = _log_path(root, next_v)
     fs.makedirs(f"{root}/{_LOG_DIR}")

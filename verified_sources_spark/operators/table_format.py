@@ -35,6 +35,7 @@ import datetime
 import decimal
 import json
 import math
+import os
 import posixpath
 import uuid
 from collections.abc import Sequence
@@ -210,7 +211,12 @@ class ManifestTable:
         commit_backend: CommitBackend | None = None,
     ):
         self.spark = spark
-        self.path = path.rstrip("/")
+        path = path.rstrip("/")
+        if "://" not in path and not os.path.isabs(path):
+            # deletion-vector anti-joins key on Spark's ABSOLUTE
+            # _metadata.file_path — a relative root would never match
+            path = os.path.abspath(path)
+        self.path = path
         self.partition_by = list(partition_by or [])
         self.fs = fs if fs is not None else HadoopFS(spark)
         # The commit atom is storage-class-specific (see operators/fs.py):
@@ -247,6 +253,7 @@ class ManifestTable:
         stream: tuple | None = None,
         *,
         base_version: int,
+        changes: list[dict] | None = None,
     ) -> int:
         """Atomically create the next manifest version (exclusive create —
         a racing writer raises CommitConflict instead of clobbering).
@@ -289,6 +296,10 @@ class ManifestTable:
             "schema": schema_json,
             "streams": streams,
         }
+        if changes:
+            # change-data files describing THIS commit's row changes
+            # (CDF); absent on plain commits
+            manifest["changes"] = changes
         try:
             self.commit_backend.put_if_absent(
                 f"{self._manifests}/v{v}.json", json.dumps(manifest)
@@ -369,28 +380,66 @@ class ManifestTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Read a pinned snapshot (default: latest). basePath keeps the
-        hive partition columns of the manifest's file list."""
-        v = self.latest_version() if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"no committed version in {self.path}")
-        m = self._manifest(v)
-        files = [f"{self.path}/{e['path']}" for e in m["files"]]
-        if not files:
-            import pyspark.sql.types as T
+    def _entries_df(
+        self, entries: list[dict], with_meta: bool = False
+    ) -> DataFrame:
+        """Scan manifest *entries*, applying any deletion vectors with a
+        distributed anti-join on ``(_metadata.file_path, row_index)`` —
+        the same mechanism the Delta/Iceberg readers use, so row-level
+        deletes never rewrite data files.  ``with_meta`` keeps the
+        normalized file path / row position as ``__fp``/``__pos`` for
+        callers that need to address rows (delete/merge DV writers)."""
+        from verified_sources_spark.operators.deletion_vectors import (
+            expanded_delete_rows,
+        )
+        from verified_sources_spark.operators.iceberg_interop import (
+            _norm_path_expr,
+            _norm_path_py,
+        )
 
-            schema_json = m.get("schema")
-            if schema_json is None:
-                raise FileNotFoundError(f"version {v} is empty and has no schema")
-            return self.spark.createDataFrame([], T.StructType.fromJson(
-                __import__("json").loads(schema_json)
-            ))
-        return (
+        files = [f"{self.path}/{e['path']}" for e in entries]
+        df = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self._data)
             .parquet(*files)
         )
+        dvs = [
+            (_norm_path_py(f"{self.path}/{e['path']}"), e["dv"])
+            for e in entries
+            if e.get("dv")
+        ]
+        if not (dvs or with_meta):
+            return df
+        cols = df.columns
+        df = df.withColumn(
+            "__fp", _norm_path_expr(F.col("_metadata.file_path"))
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if dvs:
+            deleted = expanded_delete_rows(self.spark, self.path, dvs).select(
+                F.col("__dv_fp").alias("__fp"), F.col("__dv_pos").alias("__pos")
+            )
+            df = df.join(deleted, ["__fp", "__pos"], "left_anti")
+        return df if with_meta else df.select(cols)
+
+    def _empty_df(self, m: dict, v: int) -> DataFrame:
+        schema_json = m.get("schema")
+        if schema_json is None:
+            raise FileNotFoundError(f"version {v} is empty and has no schema")
+        return self.spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(schema_json))
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a pinned snapshot (default: latest). basePath keeps the
+        hive partition columns of the manifest's file list; deletion
+        vectors (row-level deletes) are applied distributed."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        m = self._manifest(v)
+        if not m["files"]:
+            return self._empty_df(m, v)
+        return self._entries_df(m["files"])
 
     def candidate_entries(
         self, filters: Sequence[tuple], version: int | None = None
@@ -426,19 +475,11 @@ class ManifestTable:
         if not filters:
             return self.read(version)
         entries = self.candidate_entries(filters, version)
-        files = [f"{self.path}/{e['path']}" for e in entries]
-        if not files:
+        if not entries:
             v = self.latest_version() if version is None else version
-            schema_json = self._manifest(v).get("schema")
-            if schema_json is None:
-                raise FileNotFoundError(f"version {v} is empty and has no schema")
-            df = self.spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
+            df = self._empty_df(self._manifest(v), v)
         else:
-            df = (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", self._data)
-                .parquet(*files)
-            )
+            df = self._entries_df(entries)
         for col, op, value in filters:
             c = F.col(col)
             if op == "in":
@@ -481,6 +522,8 @@ class ManifestTable:
         dedup_sort: Sequence[str] | None = None,
         hard_delete_col: str | None = None,
         stream: tuple | None = None,
+        row_level: bool = False,
+        change_data: bool = False,
     ) -> int:
         """Keyed upsert as a manifest swap: touched partitions' files are
         replaced by newly-written merged files; untouched entries carry
@@ -494,11 +537,24 @@ class ManifestTable:
         caller retries the whole operation, which recomputes against the
         new base (tested under 4-writer append and 2-writer merge
         contention)."""
+        if row_level and self.exists():
+            return self._merge_row_level(
+                df, keys, dedup_sort, hard_delete_col, stream, change_data
+            )
+        if change_data and not row_level:
+            raise ValueError("change_data emission requires row_level=True")
         if not self.exists():
             merged = merge_dataframes(None, df, keys, dedup_sort=dedup_sort,
                                       hard_delete_col=hard_delete_col)
+            changes = (
+                self._write_change_files(
+                    merged.withColumn("_change_type", F.lit("insert"))
+                )
+                if change_data
+                else None
+            )
             return self._commit(self._write_files(merged), merged.schema.json(),
-                                stream=stream, base_version=0)
+                                stream=stream, base_version=0, changes=changes)
         base = self.latest_version() or 0
         if not self.partition_by:
             target = self.read(version=base)
@@ -530,18 +586,13 @@ class ManifestTable:
             e for e in prev_entries
             if tuple(e["partition"].get(c) for c in pcols) not in touched
         ]
-        touched_files = [
-            f"{self.path}/{e['path']}" for e in prev_entries
+        touched_entries = [
+            e for e in prev_entries
             if tuple(e["partition"].get(c) for c in pcols) in touched
         ]
-        if touched_files:
-            slice_df = (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", self._data)
-                .parquet(*touched_files)
-            )
-        else:
-            slice_df = None
+        # _entries_df applies any deletion vectors on the touched files —
+        # a raw scan would resurrect DV-deleted rows into the rewrite
+        slice_df = self._entries_df(touched_entries) if touched_entries else None
         merged = merge_dataframes(slice_df, df, keys, dedup_sort=dedup_sort,
                                   hard_delete_col=hard_delete_col)
         # localCheckpoint: materialize BEFORE committing so the new files
@@ -549,6 +600,219 @@ class ManifestTable:
         new_entries = self._write_files(merged)
         return self._commit(keep + new_entries, merged.schema.json(), stream=stream,
                             base_version=base)
+
+    # --------------------------------------------- row-level deletes (DVs)
+    def _write_dvs(self, hits: DataFrame, entries: list[dict]) -> dict[str, dict]:
+        """Write one deletion vector per file containing *hits* rows
+        (``__fp``/``__pos`` columns) and return {normalized file path →
+        descriptor}.  Bitmap encode + file write run in EXECUTOR tasks
+        (one per affected file, ``applyInPandas``); the driver sees only
+        descriptors — metadata-sized, like every other commit input.  A
+        file's existing DV is unioned in, so repeated deletes accumulate
+        without ever rewriting data."""
+        import pandas as pd
+
+        from verified_sources_spark.operators.iceberg_interop import _norm_path_py
+
+        old_dvs = {
+            _norm_path_py(f"{self.path}/{e['path']}"): e["dv"]
+            for e in entries
+            if e.get("dv")
+        }
+        table_path = self.path
+
+        def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            from verified_sources_spark.operators.deletion_vectors import (
+                dv_row_indexes,
+                write_dv_file,
+            )
+
+            fp = pdf["__fp"].iloc[0]
+            idx = set(int(p) for p in pdf["__pos"])
+            old = old_dvs.get(fp)
+            if old:
+                idx.update(dv_row_indexes(table_path, old))
+            desc = write_dv_file(table_path, sorted(idx), prefix="_deletes/")
+            return pd.DataFrame({"fp": [fp], "dv": [json.dumps(desc)]})
+
+        rows = (
+            hits.select("__fp", "__pos")
+            .groupBy("__fp")
+            .applyInPandas(write_group, "fp string, dv string")
+            .collect()
+        )
+        return {r.fp: json.loads(r.dv) for r in rows}
+
+    def _apply_dv_updates(
+        self, entries: list[dict], new_dvs: dict[str, dict]
+    ) -> list[dict]:
+        from verified_sources_spark.operators.iceberg_interop import _norm_path_py
+
+        out = []
+        for e in entries:
+            fp = _norm_path_py(f"{self.path}/{e['path']}")
+            if fp in new_dvs:
+                e = dict(e)
+                e["dv"] = new_dvs[fp]
+            out.append(e)
+        return out
+
+    def delete_where(
+        self, condition, stream: tuple | None = None, change_data: bool = False
+    ) -> int | None:
+        """Row-level DELETE via deletion vectors — no data file is read
+        in full or rewritten; each affected file gains (or widens) a DV
+        and every other entry carries over verbatim.  This is the
+        Delta-writer behavior modern engines default to (the r6 READ
+        side of operators/deletion_vectors.py, now produced too).
+        Returns the new version, or None when nothing matched."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        m = self._manifest(base)
+        if not m["files"]:
+            return None
+        snap = self._entries_df(m["files"], with_meta=True)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hits = snap.filter(cond)
+        changes = None
+        if change_data:
+            data_cols = [c for c in snap.columns if c not in ("__fp", "__pos")]
+            changes = self._write_change_files(
+                hits.select(data_cols).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        new_dvs = self._write_dvs(hits, m["files"])
+        if not new_dvs:
+            return None
+        entries = self._apply_dv_updates(m["files"], new_dvs)
+        return self._commit(
+            entries, m.get("schema"), stream=stream, base_version=base,
+            changes=changes,
+        )
+
+    def _merge_row_level(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        dedup_sort: Sequence[str] | None,
+        hard_delete_col: str | None,
+        stream: tuple | None,
+        change_data: bool,
+    ) -> int:
+        """Merge as DV-delete + append: touched target ROWS are masked by
+        deletion vectors on their existing files, upserts land as new
+        files — nothing is rewritten, which at 100 TB is the difference
+        between a merge that touches O(changed rows) and one that
+        rewrites every touched partition.  Untouched entries (and their
+        existing DVs) carry over verbatim.
+
+        With ``change_data=True`` the commit also records change-data
+        files (insert / delete / update_preimage / update_postimage) that
+        :meth:`read_changes` and the Delta export's ``cdc`` actions
+        serve — the lakehouse CDF contract."""
+        base = self.latest_version() or 0
+        m = self._manifest(base)
+        target = self._entries_df(m["files"], with_meta=True) if m["files"] else None
+        upserts = merge_dataframes(
+            None, df, keys, dedup_sort=dedup_sort, hard_delete_col=hard_delete_col
+        )
+        key_cols = list(keys)
+        if target is not None:
+            src_keys = df.select(*key_cols).distinct()
+            hits = target.join(src_keys, on=key_cols, how="left_semi")
+            new_dvs = self._write_dvs(hits, m["files"])
+        else:
+            hits, new_dvs = None, {}
+
+        changes = None
+        if change_data:
+            changes = self._write_change_files(
+                self._merge_change_rows(hits, upserts, key_cols)
+            )
+        entries = self._apply_dv_updates(m["files"], new_dvs)
+        new_entries = self._write_files(upserts)
+        return self._commit(
+            entries + new_entries, upserts.schema.json(), stream=stream,
+            base_version=base, changes=changes,
+        )
+
+    def _merge_change_rows(
+        self, hits: DataFrame | None, upserts: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """CDF rows for a row-level merge: a touched target row whose key
+        is re-inserted is an ``update_preimage`` (else ``delete``); an
+        upsert whose key existed is an ``update_postimage`` (else
+        ``insert``)."""
+        up_keys = upserts.select(*keys).distinct()
+        if hits is None:
+            return upserts.withColumn("_change_type", F.lit("insert"))
+        pre_cols = [c for c in hits.columns if c not in ("__fp", "__pos")]
+        marker = F.lit(1).alias("__is_up")
+        pre = (
+            hits.select(pre_cols)
+            .join(up_keys.select(*keys, marker), on=keys, how="left")
+            .withColumn(
+                "_change_type",
+                F.when(F.col("__is_up").isNotNull(), "update_preimage").otherwise(
+                    "delete"
+                ),
+            )
+            .drop("__is_up")
+        )
+        hit_keys = hits.select(*keys).distinct()
+        post = (
+            upserts.join(hit_keys.select(*keys, marker), on=keys, how="left")
+            .withColumn(
+                "_change_type",
+                F.when(F.col("__is_up").isNotNull(), "update_postimage").otherwise(
+                    "insert"
+                ),
+            )
+            .drop("__is_up")
+        )
+        return pre.unionByName(post, allowMissingColumns=True)
+
+    def _write_change_files(self, change_df: DataFrame) -> list[dict]:
+        """Materialize CDF rows under ``_change_data/`` (immutable, like
+        data files); returns manifest ``changes`` entries.  Partitioned
+        tables are refused for now — the Delta cdc action carries the
+        partition values OUTSIDE the file, which needs per-partition
+        change files (extension point, not a silent mis-write)."""
+        if self.partition_by:
+            raise NotImplementedError(
+                "change_data emission on partitioned tables not implemented"
+            )
+        tmp = f"{self.path}/.__cdstage_{uuid.uuid4().hex[:8]}"
+        change_df.write.mode("overwrite").parquet(tmp)
+        prefix = uuid.uuid4().hex[:8]
+        out: list[dict] = []
+        for dirpath, _dirs, files in self.fs.walk(tmp):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = f"_change_data/{prefix}-{fname}"
+                dst = f"{self.path}/{rel}"
+                self.fs.makedirs(posixpath.dirname(dst))
+                self.fs.rename(posixpath.join(dirpath, fname), dst)
+                out.append({"path": rel, "partition": {}})
+        self.fs.rmtree(tmp, ignore_errors=True)
+        return out
+
+    def read_changes(self, version: int) -> DataFrame:
+        """The change-data rows recorded by commit *version* (a
+        ``change_data=True`` merge/delete) — table columns plus
+        ``_change_type``.  Raises when the commit recorded none."""
+        m = self._manifest(version)
+        changes = m.get("changes")
+        if not changes:
+            raise FileNotFoundError(
+                f"version {version} recorded no change-data files"
+            )
+        return self.spark.read.parquet(
+            *[f"{self.path}/{c['path']}" for c in changes]
+        )
 
     # ---------------------------------------------------------- compaction
     def compact(
@@ -614,9 +878,13 @@ class ManifestTable:
             rewrite = list(entries)  # clustering re-lays-out everything
         else:
             for _key, group in groups.items():
-                candidates = [e for e in group if _bytes(e) < small]
-                # one small file alone cannot be made fewer
-                if len(candidates) >= 2:
+                # DV'd files are always candidates: rewriting PURGES the
+                # deletion vector (Delta's REORG PURGE), and a lone DV'd
+                # file is still worth rewriting for that
+                candidates = [
+                    e for e in group if _bytes(e) < small or e.get("dv")
+                ]
+                if len(candidates) >= 2 or any(e.get("dv") for e in candidates):
                     rewrite.extend(candidates)
                     keep.extend(e for e in group if e not in candidates)
                 else:
@@ -624,12 +892,9 @@ class ManifestTable:
         if not rewrite:
             return None
 
-        files = [f"{self.path}/{e['path']}" for e in rewrite]
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self._data)
-            .parquet(*files)
-        )
+        # _entries_df applies deletion vectors — compaction must not
+        # resurrect DV-deleted rows into the rewritten files
+        df = self._entries_df(rewrite)
         total = sum(_bytes(e) for e in rewrite)
         n_out = max(1, math.ceil(total / target_file_bytes))
         if cluster_by and not self.partition_by:
@@ -653,20 +918,37 @@ class ManifestTable:
     # -------------------------------------------------------------- vacuum
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop all but the newest ``keep_versions`` manifests and delete
-        data files no kept manifest references. Returns deleted paths."""
+        data files (and deletion-vector / change-data files) no kept
+        manifest references. Returns deleted paths."""
+        from verified_sources_spark.operators.deletion_vectors import (
+            dv_absolute_path,
+        )
+
         vs = self.versions()
         keep_vs = vs[-keep_versions:] if keep_versions > 0 else []
         referenced = set()
+        dv_referenced = set()
         for v in keep_vs:
-            referenced.update(e["path"] for e in self._manifest(v)["files"])
+            m = self._manifest(v)
+            for e in m["files"]:
+                referenced.add(e["path"])
+                if e.get("dv") and e["dv"].get("storageType") == "u":
+                    p = dv_absolute_path(self.path, e["dv"])
+                    dv_referenced.add(p[len(self.path) :].strip("/"))
+            referenced.update(c["path"] for c in (m.get("changes") or []))
         deleted: list[str] = []
-        for dirpath, _dirs, files in self.fs.walk(self._data):
-            for fname in files:
-                full = posixpath.join(dirpath, fname)
-                rel = full[len(self.path) :].strip("/")
-                if rel.endswith(".parquet") and rel not in referenced:
-                    self.fs.remove(full)
-                    deleted.append(rel)
+        scan_roots = [self._data, f"{self.path}/_deletes", f"{self.path}/_change_data"]
+        for root in scan_roots:
+            for dirpath, _dirs, files in self.fs.walk(root):
+                for fname in files:
+                    full = posixpath.join(dirpath, fname)
+                    rel = full[len(self.path) :].strip("/")
+                    unref = (
+                        rel.endswith(".parquet") and rel not in referenced
+                    ) or (rel.endswith(".bin") and rel not in dv_referenced)
+                    if unref:
+                        self.fs.remove(full)
+                        deleted.append(rel)
         for v in vs:
             if v not in keep_vs:
                 self.fs.remove(f"{self._manifests}/v{v}.json")

@@ -385,6 +385,8 @@ def _local_path(p: str) -> str:
 class _ManifestFile(InputPartition):
     file_path: str
     partition: dict
+    table_path: str | None = None
+    dv: dict | None = None  # deletion-vector descriptor (row-level deletes)
 
 
 def _filter_to_tuple(f: Filter):
@@ -446,7 +448,10 @@ class _ManifestReader(DataSourceReader):
                 raise FileNotFoundError(f"no committed version in {self.path}")
             entries = t._manifest(v)["files"]
         return [
-            _ManifestFile(f"{self.path}/{e['path']}", dict(e.get("partition") or {}))
+            _ManifestFile(
+                f"{self.path}/{e['path']}", dict(e.get("partition") or {}),
+                self.path, e.get("dv"),
+            )
             for e in entries
         ]
 
@@ -457,6 +462,13 @@ class _ManifestReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_type
 
         tbl = pq.read_table(part.file_path)
+        if part.dv is not None:
+            from verified_sources_spark.operators.deletion_vectors import (
+                dv_row_indexes,
+            )
+
+            deleted = set(dv_row_indexes(part.table_path or self.path, part.dv))
+            tbl = tbl.take([i for i in range(tbl.num_rows) if i not in deleted])
         n = tbl.num_rows
         cols, names = [], []
         for f in self.schema.fields:
@@ -514,18 +526,29 @@ class _ManifestStreamReader(DataSourceStreamReader):
         t = self._table()
         lo, hi = int(start["version"]), int(end["version"])
         out: list[_ManifestFile] = []
+
+        def sig(e):  # identity incl. deletion vector: a widened DV is a
+            # row-level CHANGE, not an append
+            return json.dumps(e.get("dv"), sort_keys=True)
+
         prev = (
-            {e["path"] for e in t._manifest(lo)["files"]} if lo >= 1 else set()
+            {e["path"]: sig(e) for e in t._manifest(lo)["files"]}
+            if lo >= 1
+            else {}
         )
         for v in range(lo + 1, hi + 1):
             entries = t._manifest(v)["files"]
-            cur = {e["path"] for e in entries}
-            if (prev - cur) and not self.ignore_changes:
+            cur = {e["path"]: sig(e) for e in entries}
+            removed = set(prev) - set(cur)
+            dv_changed = {
+                p for p in set(prev) & set(cur) if prev[p] != cur[p]
+            }
+            if (removed or dv_changed) and not self.ignore_changes:
                 raise ValueError(
-                    f"manifest version {v} REMOVED files (replace/merge) — "
-                    "not an append-only stream; restart from a fresh "
-                    "checkpoint or set ignoreChanges=true to emit only the "
-                    "new files"
+                    f"manifest version {v} removed files or widened "
+                    "deletion vectors (replace/merge/delete) — not an "
+                    "append-only stream; restart from a fresh checkpoint "
+                    "or set ignoreChanges=true to emit only the new files"
                 )
             for e in entries:
                 if e["path"] not in prev:
@@ -533,6 +556,8 @@ class _ManifestStreamReader(DataSourceStreamReader):
                         _ManifestFile(
                             f"{self.path}/{e['path']}",
                             dict(e.get("partition") or {}),
+                            self.path,
+                            e.get("dv"),
                         )
                     )
             prev = cur
