@@ -154,6 +154,24 @@ def test_kinesis_wire_readstream_resume(registered, tmp_path):
         srv.server_close()
 
 
+def test_kinesis_full_reader_one_partition_per_shard(registered):
+    """The r7 upgrade contract: planning yields ONE executor task per
+    shard with (after-sequence start, inclusive end) bounds; unchanged
+    shards plan no task."""
+    from verified_sources_spark.streaming.datasources import (
+        _KinesisWireStreamReader,
+    )
+
+    rdr = _KinesisWireStreamReader({"endpoint": "http://x", "stream": "s"})
+    start = {"seq": {"shardId-000": "a1", "shardId-001": "b1"}}
+    end = {"seq": {"shardId-000": "a9", "shardId-001": "b1", "shardId-002": "c5"}}
+    parts = rdr.partitions(start, end)
+    assert [(p.shard_id, p.start, p.end) for p in parts] == [
+        ("shardId-000", "a1", "a9"),   # resumes AFTER a1
+        ("shardId-002", None, "c5"),   # new shard: from TRIM_HORIZON
+    ]
+
+
 # ---------------------------------------------------------------- pg_cdc
 
 
@@ -190,6 +208,23 @@ def test_pg_cdc_readstream_lsn_offsets(registered, tmp_path):
         # the stream reported the checkpoint-committed flush position,
         # never past the data it had not yet committed
         assert srv.flushed_lsn <= LAST_LSN
+
+        # planning (r7 full reader): one IDENTIFY_SYSTEM probe defines the
+        # WAL slice; exactly one executor task per batch (one walsender
+        # stream per slot is the protocol's parallelism limit), and an
+        # empty range plans no task
+        from verified_sources_spark.streaming.datasources import (
+            _PgCdcStreamReader,
+        )
+
+        rdr = _PgCdcStreamReader(
+            {"host": host, "port": port, "database": "testdb",
+             "user": "repl", "slot": "slot1", "publication": "pub1"}
+        )
+        assert rdr.latestOffset() == {"lsn": LAST_LSN}
+        parts = rdr.partitions({"lsn": 0}, {"lsn": LAST_LSN})
+        assert len(parts) == 1 and (parts[0].start, parts[0].end) == (0, LAST_LSN)
+        assert rdr.partitions({"lsn": LAST_LSN}, {"lsn": LAST_LSN}) == []
     finally:
         srv.shutdown()
         srv.server_close()
