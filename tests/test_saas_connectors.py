@@ -845,3 +845,171 @@ def test_chained_detail_fetch_routes_distributed_above_threshold(spark, monkeypa
         "pid long, gid string", distributed_threshold=2,
     )
     assert out2.count() == 2 and not routed
+
+
+# ------------------------------------------------- r7 long-tail connectors
+
+
+def test_workable_endpoints_and_details(spark):
+    """Workable (reference workable/__init__.py:30-120): paging.next
+    absolute-URL pagination, records under the endpoint-named key,
+    created_after on list endpoints vs updated_after on candidates, and
+    the jobs-by-shortcode dependent details."""
+    from verified_sources_spark.sources.saas import (
+        WORKABLE_DETAIL_DISPOSITIONS,
+        WORKABLE_DETAILS,
+        workable_details,
+        workable_endpoints,
+    )
+
+    eps = workable_endpoints(
+        "https://w/spi/v3", created_after="2000-01-01", updated_after="2024-01-01"
+    )
+    assert set(eps) == {
+        "members", "recruiters", "stages", "requisitions", "jobs",
+        "custom_attributes", "events", "candidates",
+    }
+    assert eps["jobs"].params["created_after"] == "2000-01-01"
+    assert "updated_after" not in eps["jobs"].params
+    assert eps["candidates"].params["updated_after"] == "2024-01-01"
+
+    pages = {
+        "https://w/spi/v3/jobs": [
+            ({"jobs": [{"shortcode": "J1"}],
+              "paging": {"next": "https://w/spi/v3/jobs?since=2"}}, {}),
+        ],
+        "https://w/spi/v3/jobs?since=2": [({"jobs": [{"shortcode": "J2"}]}, {})],
+    }
+    jobs = [r["shortcode"] for r in _client(pages).records(eps["jobs"])]
+    assert jobs == ["J1", "J2"]
+
+    # dependent details: one fetch per parent code, children keyed back
+    parent = spark.createDataFrame([("J1",), ("J2",)], "shortcode string")
+    detail_pages = {
+        f"https://w/spi/v3/jobs/{c}/questions": [
+            ({"questions": [{"q": f"q-{c}"}]}, {})
+        ]
+        for c in ("J1", "J2")
+    }
+    df = workable_details(
+        spark, lambda: _client(detail_pages), parent, "jobs", "questions",
+        "https://w/spi/v3", "q string, shortcode string",
+    )
+    assert {(r.q, r.shortcode) for r in df.collect()} == {
+        ("q-J1", "J1"), ("q-J2", "J2"),
+    }
+    assert WORKABLE_DETAIL_DISPOSITIONS == {"candidates": "append", "jobs": "replace"}
+    assert "application_form" in WORKABLE_DETAILS["jobs"]
+
+
+def test_freshdesk_endpoint_matrix(spark):
+    """Freshdesk (reference freshdesk_client.py:66-102): bare-array
+    bodies, page-number pagination stopping on the first empty page, and
+    the tickets/contacts incremental params under their two different
+    names."""
+    from verified_sources_spark.sources.saas import (
+        FRESHDESK_ENDPOINTS,
+        FRESHDESK_PRIMARY_KEY,
+        freshdesk_endpoints,
+    )
+
+    eps = freshdesk_endpoints("https://f/api/v2", per_page=2,
+                              updated_since="2024-05-01T00:00:00Z")
+    assert set(eps) == set(FRESHDESK_ENDPOINTS)
+    assert eps["tickets"].params["updated_since"] == "2024-05-01T00:00:00Z"
+    assert eps["contacts"].params["_updated_since"] == "2024-05-01T00:00:00Z"
+    assert "updated_since" not in eps["agents"].params
+    assert FRESHDESK_PRIMARY_KEY == "id"
+
+    pages = {
+        "https://f/api/v2/tickets": [
+            ([{"id": 1}, {"id": 2}], {}),   # page 1 (full)
+            ([{"id": 3}], {}),              # page 2 (short but non-empty)
+            ([], {}),                       # page 3: empty → stop
+        ],
+    }
+    transport = LocalPagesTransport(pages)
+    got = [r["id"] for r in RestClient(transport).records(eps["tickets"])]
+    assert got == [1, 2, 3]
+    assert [p["page"] for _u, p in transport.calls] == [1, 2, 3]
+
+
+def test_personio_attribute_flatten():
+    """Personio (reference personio/__init__.py:54-68): universal_id
+    naming with label fallback, date coercion to aware datetimes."""
+    from verified_sources_spark.sources.saas import (
+        personio_employee_rows,
+        personio_employees_endpoint,
+    )
+
+    items = [
+        {"attributes": {
+            "a": {"universal_id": "first_name", "label": "First name",
+                  "type": "standard", "value": "Ada"},
+            "b": {"universal_id": None, "label": "Hire Date",
+                  "type": "date", "value": "2023-04-01T00:00:00Z"},
+            "c": {"universal_id": "office", "label": "Office",
+                  "type": "standard", "value": None},
+        }},
+    ]
+    rows = personio_employee_rows(items)
+    assert rows[0]["first_name"] == "Ada"
+    assert rows[0]["office"] is None
+    hd = rows[0]["hire_date"]  # label fallback: lowercased, underscored
+    assert hd.year == 2023 and hd.tzinfo is not None
+
+    ep = personio_employees_endpoint("https://p/v1", updated_since="2024-01-01T00:00:00")
+    assert ep.params == {"limit": 200, "updated_since": "2024-01-01T00:00:00"}
+    assert ep.records_path == "data"
+
+
+def test_mux_strapi_pokemon_configs():
+    """Connector matrix for the remaining starters (reference mux/
+    __init__.py:27-85, strapi/helpers.py:10-46, pokemon/__init__.py:15-32)."""
+    from verified_sources_spark.sources.saas import (
+        MUX_DISPOSITIONS,
+        mux_endpoints,
+        pokemon_endpoints,
+        strapi_endpoints,
+    )
+
+    mux = mux_endpoints("https://api.mux.com", limit=2, view_window=(100, 200))
+    assert MUX_DISPOSITIONS == {"assets": "merge", "views": "append"}
+    # assets: ONE call even when the page is full (no paginator loop)
+    pages = {
+        "https://api.mux.com/video/v1/assets": [
+            ({"data": [{"id": "a"}, {"id": "b"}]}, {}),
+            ({"data": [{"id": "SHOULD-NOT-FETCH"}]}, {}),
+        ],
+    }
+    t = LocalPagesTransport(pages)
+    assert [r["id"] for r in RestClient(t).records(mux["assets"])] == ["a", "b"]
+    assert len(t.calls) == 1
+    # views: page-number pagination within the timeframe window
+    vpages = {
+        "https://api.mux.com/data/v1/video-views": [
+            ({"data": [{"id": "v1"}, {"id": "v2"}]}, {}),
+            ({"data": []}, {}),
+        ],
+    }
+    vt = LocalPagesTransport(vpages)
+    assert [r["id"] for r in RestClient(vt).records(mux["views"])] == ["v1", "v2"]
+    assert all(p["timeframe[]"] == [100, 200] for _u, p in vt.calls)
+
+    strapi = strapi_endpoints("https://s", ["articles"], page_size=2)
+    spages = {
+        "https://s/api/articles": [
+            ({"data": [{"id": 1}, {"id": 2}],
+              "meta": {"pagination": {"total": 3}}}, {}),
+            ({"data": [{"id": 3}],
+              "meta": {"pagination": {"total": 3}}}, {}),
+        ],
+    }
+    st = LocalPagesTransport(spages)
+    assert [r["id"] for r in RestClient(st).records(strapi["articles"])] == [1, 2, 3]
+    # offset advanced under strapi's bracketed param names
+    assert [p["pagination[start]"] for _u, p in st.calls] == [0, 2]
+
+    pk = pokemon_endpoints("https://pk")
+    ppages = {"https://pk/berry": [({"results": [{"name": "cheri"}]}, {})]}
+    assert [r["name"] for r in RestClient(LocalPagesTransport(ppages)).records(pk["berries"])] == ["cheri"]

@@ -248,6 +248,15 @@ class HeaderLinkPaginator(Paginator):
 
 
 @dataclass
+class SinglePagePaginator(Paginator):
+    """One request, no paging — endpoints that return everything at once
+    (mux assets, pokemon lists)."""
+
+    def next(self, url, params, body, headers, n_records):
+        return None
+
+
+@dataclass
 class StartTimePaginator(Paginator):
     """Time-cursor export protocol: next start_time from body; stop when
     no records or end_of_stream."""

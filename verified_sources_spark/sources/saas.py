@@ -981,3 +981,233 @@ def matomo_remove_active_visits(
     if cutoff is None:
         return visits
     return visits.filter(F.col(order_col) > F.lit(cutoff))
+
+
+# ------------------------------------------------------------------ workable
+# reference sources/workable/settings.py:4-30 — list endpoints load in
+# replace mode (no updated_at in their payloads); candidates alone is
+# incremental on updated_at; dependent details hang off jobs (by
+# shortcode, replace) and candidates (by id, append)
+WORKABLE_LIST_ENDPOINTS = (
+    "members", "recruiters", "stages", "requisitions", "jobs",
+    "custom_attributes", "events",
+)
+WORKABLE_DETAILS = {
+    "candidates": ("activities", "offer"),
+    "jobs": ("activities", "application_form", "questions", "stages",
+             "custom_attributes", "members", "recruiters"),
+}
+WORKABLE_DETAIL_KEYS = {"candidates": "id", "jobs": "shortcode"}
+WORKABLE_DETAIL_DISPOSITIONS = {"candidates": "append", "jobs": "replace"}
+
+
+def workable_endpoints(
+    base_url: str,
+    created_after: str | None = None,
+    updated_after: str | None = None,
+    limit: int = 100,
+) -> dict[str, "RestEndpoint"]:
+    """Workable connector config (reference sources/workable/
+    __init__.py:30-90, workable_client.py:59-97): every endpoint's
+    records live under a body key NAMED like the endpoint, pagination
+    follows the absolute ``paging.next`` URL, list endpoints filter on
+    ``created_after`` while candidates resumes on ``updated_after`` —
+    the one incremental resource the API supports."""
+    from verified_sources_spark.sources.rest import CursorPaginator
+
+    def ep(name: str, extra: dict) -> RestEndpoint:
+        return RestEndpoint(
+            f"{base_url}/{name}",
+            params={"limit": limit, **{k: v for k, v in extra.items() if v}},
+            records_path=name,
+            paginator=CursorPaginator(cursor_path="paging.next"),
+        )
+
+    out = {
+        n: ep(n, {"created_after": created_after})
+        for n in WORKABLE_LIST_ENDPOINTS
+    }
+    out["candidates"] = ep("candidates", {"updated_after": updated_after})
+    return out
+
+
+def workable_details(
+    spark: SparkSession,
+    make_client,
+    parent: DataFrame,
+    main_endpoint: str,
+    sub_endpoint: str,
+    base_url: str,
+    schema: str,
+    **kwargs,
+) -> DataFrame:
+    """Dependent-details transformer (reference workable/__init__.py:
+    92-120): one ``{base}/{main}/{code}/{sub}`` fetch per parent row,
+    keyed by id (candidates) or shortcode (jobs), children tagged with
+    the parent key — the engine's chained_detail_fetch shape, routed to
+    executors above the key-count threshold."""
+    key = WORKABLE_DETAIL_KEYS[main_endpoint]
+    return chained_detail_fetch(
+        spark, make_client, parent, key,
+        f"{base_url}/{main_endpoint}/{{key}}/{sub_endpoint}",
+        schema, records_path=sub_endpoint, **kwargs,
+    )
+
+
+# ----------------------------------------------------------------- freshdesk
+# reference sources/freshdesk/settings.py:9 + __init__.py:39-76: every
+# endpoint merges on primary_key=id with an updated_at incremental
+FRESHDESK_ENDPOINTS = ("agents", "companies", "contacts", "groups", "roles", "tickets")
+FRESHDESK_PRIMARY_KEY = "id"
+FRESHDESK_CURSOR = ("updated_at", "2022-01-01T00:00:00Z")
+
+
+def freshdesk_endpoints(
+    base_url: str, per_page: int = 100, updated_since: str | None = None
+) -> dict[str, "RestEndpoint"]:
+    """Freshdesk connector config (reference freshdesk_client.py:66-102):
+    page-number pagination (stop on the first empty page), bare-array
+    bodies, and the per-endpoint incremental quirk — only tickets and
+    contacts accept a server-side updated-since filter, under DIFFERENT
+    param names (``updated_since`` vs ``_updated_since``); the other
+    endpoints re-read and rely on merge-on-id to dedup.  The 429
+    Retry-After handling lives in the shared RestClient."""
+    from verified_sources_spark.sources.rest import PageNumberPaginator
+
+    incr_param = {"tickets": "updated_since", "contacts": "_updated_since"}
+    out = {}
+    for name in FRESHDESK_ENDPOINTS:
+        params: dict[str, Any] = {"per_page": per_page}
+        if updated_since is not None and name in incr_param:
+            params[incr_param[name]] = updated_since
+        out[name] = RestEndpoint(
+            f"{base_url}/{name}",
+            params=params,
+            records_path=".",  # body IS the record array
+            paginator=PageNumberPaginator(),
+        )
+    return out
+
+
+# ------------------------------------------------------------------ personio
+def personio_employee_rows(items: list[dict]) -> list[dict]:
+    """The reference's employee attribute flatten (reference
+    sources/personio/__init__.py:54-68): each employee arrives as
+    ``{"attributes": {<key>: {universal_id, label, type, value}}}``;
+    columns take the ``universal_id`` name, falling back to the
+    lowercased label with spaces as underscores, and date-typed values
+    coerce to timezone-aware datetimes.  Pure function — feed the rows
+    to ``records_to_json_df`` / createDataFrame."""
+    import datetime as _dt
+
+    out = []
+    for item in items:
+        row: dict[str, Any] = {}
+        for v in (item.get("attributes") or {}).values():
+            name = v.get("universal_id")
+            if not name:
+                name = str(v.get("label", "")).replace(" ", "_").lower()
+            val = v.get("value")
+            if v.get("type") == "date" and val:
+                val = _dt.datetime.fromisoformat(
+                    str(val).replace("Z", "+00:00")
+                )
+                if val.tzinfo is None:
+                    val = val.replace(tzinfo=_dt.timezone.utc)
+            row[name] = val
+        out.append(row)
+    return out
+
+
+def personio_employees_endpoint(
+    base_url: str, updated_since: str | None = None, limit: int = 200
+) -> "RestEndpoint":
+    """Personio employees (reference personio/__init__.py:40-76,
+    helpers.py:38-85): offset/limit pagination under ``data``, with the
+    incremental ``updated_since`` rendered as ``YYYY-MM-DDTHH:mm:ss``."""
+    params: dict[str, Any] = {"limit": limit}
+    if updated_since is not None:
+        params["updated_since"] = updated_since
+    return RestEndpoint(
+        f"{base_url}/company/employees",
+        params=params,
+        records_path="data",
+        paginator=OffsetPaginator(limit=limit),
+    )
+
+
+# ---------------------------------------------------------------------- mux
+MUX_DISPOSITIONS = {"assets": "merge", "views": "append"}
+
+
+def mux_endpoints(
+    base_url: str, limit: int = 100, view_window: tuple[int, int] | None = None
+) -> dict[str, "RestEndpoint"]:
+    """Mux connector config (reference sources/mux/__init__.py:27-85):
+    ``assets`` is one unpaginated list call (merge on id); ``views`` is
+    page-number paginated over yesterday's ``timeframe[]`` window
+    (append — views are immutable events).  Both authenticate with HTTP
+    basic (token/secret) at the transport."""
+    from verified_sources_spark.sources.rest import (
+        PageNumberPaginator,
+        SinglePagePaginator,
+    )
+
+    views_params: dict[str, Any] = {"limit": limit}
+    if view_window is not None:
+        views_params["timeframe[]"] = list(view_window)
+    return {
+        "assets": RestEndpoint(
+            f"{base_url}/video/v1/assets",
+            params={"limit": limit},
+            records_path="data",
+            paginator=SinglePagePaginator(),
+        ),
+        "views": RestEndpoint(
+            f"{base_url}/data/v1/video-views",
+            params=views_params,
+            records_path="data",
+            paginator=PageNumberPaginator(),
+        ),
+    }
+
+
+# -------------------------------------------------------------------- strapi
+def strapi_endpoints(
+    base_url: str, endpoints: list[str], page_size: int = 25
+) -> dict[str, "RestEndpoint"]:
+    """Strapi collections (reference sources/strapi/helpers.py:10-46):
+    ``pagination[start]``/``pagination[limit]`` offset pages under
+    ``data``, replace disposition per collection (the API exposes no
+    change cursor)."""
+    return {
+        name: RestEndpoint(
+            f"{base_url}/api/{name}",
+            params={"pagination[withCount]": 1},
+            records_path="data",
+            paginator=OffsetPaginator(
+                limit=page_size,
+                offset_param="pagination[start]",
+                limit_param="pagination[limit]",
+            ),
+        )
+        for name in endpoints
+    }
+
+
+# ------------------------------------------------------------------- pokemon
+def pokemon_endpoints(base_url: str = "https://pokeapi.co/api/v2") -> dict[str, "RestEndpoint"]:
+    """The reference's starter source (sources/pokemon/__init__.py:15-32):
+    two replace-mode list resources under ``results``."""
+    from verified_sources_spark.sources.rest import SinglePagePaginator
+
+    return {
+        "berries": RestEndpoint(
+            f"{base_url}/berry", records_path="results",
+            paginator=SinglePagePaginator(),
+        ),
+        "pokemon": RestEndpoint(
+            f"{base_url}/pokemon", records_path="results",
+            paginator=SinglePagePaginator(),
+        ),
+    }
