@@ -93,3 +93,31 @@ def test_apply_bpe_preserves_schema_and_scales_partitions(spark):
     assert out.columns == ["doc_id", "text", "bpe_tokens"]
     n = out.filter(F.size("bpe_tokens") > 0).count()
     assert n == 100
+
+
+def test_distributed_trainer_matches_driver_path(spark):
+    """max_vocab_rows=None (r7): the distributed trainer learns
+    byte-equal merges to the driver path on the same corpus — same
+    greedy winners, same tie-breaks, same early stop."""
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest wider wide low low newer",),
+         ("the cat sat on the mat, the cat ate",),
+         ("aaa aaab abab banana bandana",)],
+        "text string",
+    )
+    driver = train_bpe(df, "text", n_merges=25, min_freq=1)
+    dist = train_bpe(df, "text", n_merges=25, min_freq=1, max_vocab_rows=None)
+    assert dist == driver and len(dist) > 10
+
+
+def test_distributed_trainer_works_above_the_driver_cap(spark):
+    """A vocabulary larger than max_vocab_rows raises on the driver path
+    (with the distributed hint) and trains fine distributed."""
+    import pytest as _pytest
+
+    rows = [(f"w{i:03d}x w{i:03d}x common common",) for i in range(40)]
+    df = spark.createDataFrame(rows, "text string")
+    with _pytest.raises(ValueError, match="max_vocab_rows=None"):
+        train_bpe(df, "text", n_merges=3, min_freq=1, max_vocab_rows=10)
+    merges = train_bpe(df, "text", n_merges=3, min_freq=1, max_vocab_rows=None)
+    assert merges == train_bpe(df, "text", n_merges=3, min_freq=1)

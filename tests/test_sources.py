@@ -461,3 +461,54 @@ def test_jdbc_typed_cursor_literals():
         "jdbc:postgresql://db/x", "t", "seq", last_value=100, end_value=200
     )
     assert "(seq >= 100) AND (seq < 200)" in plan.reader_options()["dbtable"]
+
+
+def test_sheets_named_range_discovery_loads_own_table(spark):
+    """Named-range enumeration (r7, reference api_calls.py:90-103): a
+    spreadsheets.get response yields sheet names AND named ranges, each
+    resolved to a loadable A1 range; the named range then loads as its
+    own table."""
+    from verified_sources_spark.sources.sheets import (
+        grid_range_to_a1,
+        grid_to_dataframe,
+        ranges_to_load,
+        spreadsheet_metadata,
+    )
+
+    metadata = {
+        "properties": {"title": "Budget 2024"},
+        "sheets": [
+            {"properties": {"sheetId": 0, "title": "Sheet1"}},
+            {"properties": {"sheetId": 7, "title": "Raw Data"}},
+        ],
+        "namedRanges": [
+            {"namedRangeId": "n1", "name": "Q1 Totals",
+             "range": {"sheetId": 7, "startRowIndex": 1, "endRowIndex": 4,
+                       "startColumnIndex": 0, "endColumnIndex": 2}},
+            {"namedRangeId": "n2", "name": "dangling",
+             "range": {"sheetId": 99}},  # its sheet was deleted
+        ],
+    }
+    info = spreadsheet_metadata(metadata)
+    assert info["title"] == "Budget 2024"
+    assert info["sheet_names"] == ["Sheet1", "Raw Data"]
+    assert info["named_ranges"] == [
+        {"name": "Q1 Totals", "a1": "'Raw Data'!A2:B4"}
+    ]
+    assert ranges_to_load(metadata) == [
+        ("sheet1", "Sheet1"),
+        ("raw_data", "Raw Data"),
+        ("q1_totals", "'Raw Data'!A2:B4"),
+    ]
+    # gridRange corner cases: unbounded edges and multi-letter columns
+    assert grid_range_to_a1("S", {"startColumnIndex": 26, "endColumnIndex": 28,
+                                  "startRowIndex": 0, "endRowIndex": 10}) == "S!AA1:AB10"
+    assert grid_range_to_a1("S", {"startRowIndex": 2, "endRowIndex": 3}) == "S!3:3"
+
+    # the named range's fetched grid loads as its own table
+    grid = [["Region", "Total"], ["north", 10], ["south", 20]]
+    df = grid_to_dataframe(spark, grid)
+    assert df.columns == ["region", "total"]
+    assert {(r.region, r.total) for r in df.collect()} == {
+        ("north", 10), ("south", 20),
+    }

@@ -85,7 +85,7 @@ def train_bpe(
     text_col: str,
     n_merges: int,
     min_freq: int = 2,
-    max_vocab_rows: int = 5_000_000,
+    max_vocab_rows: int | None = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
     merge list (rank = position).
@@ -96,14 +96,24 @@ def train_bpe(
     word).  Incremental maintenance: merging (a,b) re-counts only the
     words that contain the pair — the standard index trick that makes
     tens of thousands of merges tractable on a multi-million-row vocab.
-    """
+
+    ``max_vocab_rows=None`` switches to the DISTRIBUTED trainer: the
+    vocab never collects, per-iteration pair counts run as a DataFrame
+    aggregation and the merge applies as a JVM-side array fold — same
+    greedy algorithm, same tie-break, byte-equal merges (asserted in
+    tests), at one shuffle per merge instead of a driver working set.
+    Use it when the vocabulary exceeds driver memory; the driver path
+    stays the low-latency default for vocabularies that fit."""
     wf = word_frequencies(df, text_col).filter(F.col("freq") >= int(min_freq))
+    if max_vocab_rows is None:
+        return _train_bpe_distributed(wf, n_merges)
     n = wf.count()
     if n > max_vocab_rows:
         raise ValueError(
             f"word-frequency table has {n} rows > max_vocab_rows="
-            f"{max_vocab_rows}; raise min_freq (training operates on the "
-            "vocab driver-side — the corpus itself is never collected)"
+            f"{max_vocab_rows}; raise min_freq, or pass "
+            "max_vocab_rows=None for the distributed trainer (the corpus "
+            "itself is never collected either way)"
         )
     words: dict[int, tuple[str, ...]] = {}
     freqs: dict[int, int] = {}
@@ -157,6 +167,89 @@ def train_bpe(
             else:
                 del words[idx]
                 del freqs[idx]
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (C-style escapes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _train_bpe_distributed(wf: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """Distributed greedy BPE over the word-frequency DataFrame: the
+    vocabulary stays a DataFrame end-to-end (no driver ceiling).
+
+    Per merge iteration (the algorithm is inherently sequential — merge
+    i+1 depends on merge i):
+
+    1. adjacent-pair counts as ``explode → groupBy(pair) → sum(freq)``
+       (map-side partial aggregation, one shuffle of pair-sized rows);
+    2. the winner by ``ORDER BY cnt DESC, a, b LIMIT 1`` — the driver
+       sees ONE row, the same (count desc, lexicographic pair)
+       tie-break as the driver trainer;
+    3. the merge applied to every word as a JVM-side ``aggregate`` fold
+       over the symbol array (left-to-right greedy, identical to
+       ``_merge_word`` including the a==b overlap case) — no Python in
+       the loop.
+
+    ``localCheckpoint`` after every iteration caps lineage growth (each
+    fold would otherwise nest the previous plan).  Cost: one shuffle +
+    one vocab materialization per merge — the price of exceeding driver
+    memory; byte-equal output to the driver path is test-asserted."""
+    cur = (
+        wf.select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> "
+                "case when i = length(word) "
+                f"then concat(substring(word, i, 1), '{EOW}') "
+                "else substring(word, i, 1) end)"
+            ).alias("sym"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .filter(F.size("sym") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.expr(
+        "transform(slice(sym, 1, size(sym) - 1), (s, i) -> "
+        "named_struct('a', s, 'b', element_at(sym, i + 2)))"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        best = (
+            cur.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        la, lb, lab = _sql_str(a), _sql_str(b), _sql_str(a + b)
+        fold = (
+            "aggregate(sym, "
+            "named_struct('acc', cast(array() as array<string>), 'pend', false), "
+            "(st, x) -> CASE "
+            f"WHEN st.pend AND x = {lb} THEN named_struct("
+            f"'acc', concat(st.acc, array({lab})), 'pend', false) "
+            f"WHEN st.pend AND x = {la} THEN named_struct("
+            f"'acc', concat(st.acc, array({la})), 'pend', true) "
+            f"WHEN st.pend THEN named_struct("
+            f"'acc', concat(st.acc, array({la}, x)), 'pend', false) "
+            f"WHEN x = {la} THEN named_struct('acc', st.acc, 'pend', true) "
+            "ELSE named_struct('acc', concat(st.acc, array(x)), 'pend', false) "
+            "END, "
+            f"st -> CASE WHEN st.pend THEN concat(st.acc, array({la})) "
+            "ELSE st.acc END)"
+        )
+        cur = (
+            cur.withColumn("sym", F.expr(fold))
+            .filter(F.size("sym") >= 2)
+            .localCheckpoint(eager=True)
+        )
     return merges
 
 

@@ -101,3 +101,73 @@ def spreadsheet_info(
     return spark.createDataFrame(
         rows, "title string, range string, n_rows int, n_cols int, headers array<string>"
     )
+
+
+def _col_letters(index: int) -> str:
+    """0-based column index → A1 letters (0→A, 25→Z, 26→AA)."""
+    out = ""
+    i = index + 1
+    while i > 0:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def grid_range_to_a1(sheet_title: str, gr: dict) -> str:
+    """Sheets API gridRange (0-based, end-exclusive) → A1 notation.
+    Unbounded edges (missing keys) yield open-ended A1 (whole rows or
+    columns), like the API's own rendering."""
+    start_col = gr.get("startColumnIndex")
+    end_col = gr.get("endColumnIndex")
+    start_row = gr.get("startRowIndex")
+    end_row = gr.get("endRowIndex")
+    left = (
+        ("" if start_col is None else _col_letters(start_col))
+        + ("" if start_row is None else str(start_row + 1))
+    )
+    right = (
+        ("" if end_col is None else _col_letters(end_col - 1))
+        + ("" if end_row is None else str(end_row))
+    )
+    quoted = f"'{sheet_title}'" if any(c in sheet_title for c in " !:'") else sheet_title
+    return f"{quoted}!{left}:{right}" if left or right else quoted
+
+
+def spreadsheet_metadata(metadata: dict) -> dict:
+    """Discovery from one ``spreadsheets.get`` response: sheet names AND
+    named ranges, each resolved to a loadable A1 range (reference
+    sources/google_sheets/helpers/api_calls.py:90-103
+    ``get_known_range_names`` — the reference returns just the names;
+    here the named range's gridRange is also rendered to A1 so it loads
+    as its own table without a second metadata call).
+
+    Returns ``{"title", "sheet_names", "named_ranges": [{name, a1}]}``.
+    """
+    sheets = metadata.get("sheets") or []
+    titles_by_id = {
+        s["properties"].get("sheetId"): s["properties"]["title"] for s in sheets
+    }
+    named = []
+    for nr in metadata.get("namedRanges") or []:
+        gr = nr.get("range") or {}
+        sheet_title = titles_by_id.get(gr.get("sheetId"))
+        if sheet_title is None:
+            continue  # dangling named range (its sheet was deleted)
+        named.append({"name": nr["name"], "a1": grid_range_to_a1(sheet_title, gr)})
+    return {
+        "title": (metadata.get("properties") or {}).get("title", ""),
+        "sheet_names": [s["properties"]["title"] for s in sheets],
+        "named_ranges": named,
+    }
+
+
+def ranges_to_load(metadata: dict, include_named_ranges: bool = True) -> list[tuple[str, str]]:
+    """(table_name, A1 range) pairs the connector should fetch: one per
+    sheet, plus one per named range when enabled — named ranges load as
+    their own tables under their own (snake_cased) names, the
+    reference's contract."""
+    info = spreadsheet_metadata(metadata)
+    out = [(snake_case(name), name) for name in info["sheet_names"]]
+    if include_named_ranges:
+        out.extend((snake_case(nr["name"]), nr["a1"]) for nr in info["named_ranges"])
+    return out
