@@ -1380,3 +1380,16 @@ ORACLE_SQL["decontaminate_spans_docs"] = f"""
     LEFT JOIN reb ON reb.doc_id = t.doc_id
     LEFT JOIN nsp ON nsp.doc_id = t.doc_id
 """
+
+ORACLE_SQL["dv_delete_orders"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+ORACLE_SQL["dv_merge_orders"] = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders
+"""

@@ -725,6 +725,45 @@ def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via write-side deletion vectors (r7,
+    operators/table_format.delete_where): orders land in a
+    ManifestTable, the 'F' rows are masked by per-file DVs — no data
+    file is rewritten — and the masked snapshot reads back through the
+    distributed anti-join.  Oracle = the equivalent SQL filter."""
+    import tempfile
+
+    from verified_sources_spark.operators.table_format import ManifestTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = load_table(spark, sf_dir, "orders").select(cols)
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="vss_dvq_"))
+    t.append(o.repartition(4))
+    t.delete_where("o_orderstatus = 'F'")
+    return t.read().select(cols)
+
+
+def dv_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE as DV-delete + append (r7,
+    table_format.merge(row_level=True)): every tenth order re-lands with
+    status 'X'; the touched target rows are masked in place by deletion
+    vectors and the upserts append as new files.  Oracle = the CASE
+    projection of the same upsert."""
+    import tempfile
+
+    from verified_sources_spark.operators.table_format import ManifestTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = load_table(spark, sf_dir, "orders").select(cols)
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="vss_dvm_"))
+    t.append(o.repartition(4))
+    src = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    t.merge(src, ["o_orderkey"], row_level=True)
+    return t.read().select(cols)
+
+
 def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf·idf
     (llm/relevance.py) — keyword extraction for corpus browsing /
@@ -1537,4 +1576,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion_events": funnel_conversion_events,
     "max_dup_span_removal_docs": max_dup_span_removal_docs,
     "decontaminate_spans_docs": decontaminate_spans_docs,
+    "dv_delete_orders": dv_delete_orders,
+    "dv_merge_orders": dv_merge_orders,
 }
