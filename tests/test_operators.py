@@ -264,3 +264,51 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
         )
         bad = got.filter(F.col("expected") != F.col("derived")).count()
         assert bad == 0, f"n={n} k={k}"
+
+
+def test_sessionize_bucketed_matches_plain(spark):
+    """The skew-proof (user, time-bucket) sessionizer must be
+    value-identical to the one-window cumsum — including sessions that
+    STRADDLE bucket boundaries (merge), multi-bucket chains, and
+    bucket-boundary gaps that genuinely start new sessions."""
+    import datetime as dt
+
+    from verified_sources_spark.operators.sessionize import (
+        sessionize_bucketed,
+        sessionize_plain,
+    )
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    m = lambda minutes: (base + dt.timedelta(minutes=minutes),)
+    rows = []
+    eid = 0
+    # user 1: a session straddling midnight (23:50 → 00:10 next day),
+    # then a >30min gap inside the next day
+    for minutes in (23 * 60 + 50, 24 * 60 + 10, 24 * 60 + 20, 26 * 60):
+        rows.append((1, eid, base + dt.timedelta(minutes=minutes))); eid += 1
+    # user 2: a chain covering three consecutive days via boundary merges
+    for minutes in (23 * 60 + 55, 24 * 60 + 15, 47 * 60 + 55, 48 * 60 + 5):
+        rows.append((2, eid, base + dt.timedelta(minutes=minutes))); eid += 1
+    # user 3: boundary gap JUST over 30min — no merge
+    for minutes in (23 * 60 + 25, 24 * 60):
+        rows.append((3, eid, base + dt.timedelta(minutes=minutes))); eid += 1
+    # user 4: single event
+    rows.append((4, eid, base)); eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    plain = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in sessionize_plain(df, "user_id", "ts", "event_id").collect()
+    }
+    bucketed = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in sessionize_bucketed(df, "user_id", "ts", "event_id").collect()
+    }
+    assert bucketed == plain
+    by_user = {}
+    for u, _e, s in sorted(bucketed):
+        by_user.setdefault(u, []).append(s)
+    assert by_user[1] == [1, 1, 1, 2]   # straddle merged, later gap splits
+    assert by_user[2] == [1, 1, 2, 2]   # two straddling sessions
+    assert by_user[3] == [1, 2]         # 35-min boundary gap: no merge
+    assert by_user[4] == [1]

