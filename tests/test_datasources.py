@@ -230,6 +230,48 @@ def test_pg_cdc_readstream_lsn_offsets(registered, tmp_path):
         srv.server_close()
 
 
+def test_pg_cdc_boundary_lsn_frames_all_land_in_lower_batch(monkeypatch):
+    """Two XLogData frames sharing one wal_start at the slice boundary:
+    the lower batch delivers BOTH (break only on wal_start > end), and
+    the next batch's <= start skip is the exact complement — no frame is
+    yielded twice or lost (r7 advisor finding: breaking at >= end
+    dropped the second boundary frame silently)."""
+    import test_pg_wire as tpw
+
+    from verified_sources_spark.streaming.datasources import (
+        _PgCdcStreamReader,
+        _PgWalSlice,
+    )
+
+    script = [(100, b"a"), (110, b"b"), (110, b"c"), (120, b"d")]
+    monkeypatch.setattr(tpw, "SCRIPT", script)
+    monkeypatch.setattr(tpw, "LAST_LSN", 120)
+    srv = tpw._Server()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        rdr = _PgCdcStreamReader(
+            {"host": host, "port": port, "database": "testdb",
+             "user": "repl", "slot": "slot1", "publication": "pub1"}
+        )
+
+        def slice_(lo, hi):
+            return list(
+                rdr.read(
+                    _PgWalSlice(
+                        host, port, "testdb", "repl", "slot1", "pub1", lo, hi
+                    )
+                )
+            )
+
+        assert slice_(0, 110) == [(100, b"a"), (110, b"b"), (110, b"c")]
+        assert slice_(110, 120) == [(120, b"d")]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 # --------------------------------------------------------------- manifest
 
 

@@ -150,6 +150,22 @@ def test_vacuum_keeps_referenced_dvs_drops_orphans(spark, table):
     assert {r.id for r in t.read().collect()} == live
 
 
+def test_no_match_delete_with_change_data_leaves_no_orphan_files(table):
+    """delete_where(change_data=True) that matches nothing returns None
+    and must NOT have staged _change_data files (they'd be orphans only
+    vacuum reclaims) — DVs are computed first, change files only when
+    the delete actually commits."""
+    t = table
+    v0 = t.latest_version()
+    assert t.delete_where("id > 1000", change_data=True) is None
+    assert t.latest_version() == v0
+    cd = os.path.join(t.path, "_change_data")
+    assert not os.path.exists(cd) or not os.listdir(cd)
+    # and a matching delete still records its change files
+    assert t.delete_where("id = 0", change_data=True) is not None
+    assert os.listdir(cd)
+
+
 # ------------------------------------------------------- Delta export
 
 
@@ -232,6 +248,48 @@ def test_export_cdf_round_trips_read_delta_changes(spark, tmp_path):
     assert {(r.id, r.v) for r in read_delta_table(spark, t.path).collect()} == {
         (1, "a"), (2, "B"), (3, "c"),
     }
+
+
+def test_export_cdc_commits_declare_the_cdf_feature(spark, tmp_path):
+    """A cdc-carrying export must declare changeDataFeed (writerFeatures,
+    minWriterVersion 7) and delta.enableChangeDataFeed=true, or external
+    CDF readers (delta-spark's CDCReader) refuse the version; the
+    property stays on for later cdc-less commits so range reads that
+    span both still resolve."""
+    from verified_sources_spark.operators.delta_interop import (
+        export_manifest_as_delta,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "cdfdecl"))
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        ["id"], row_level=True, change_data=True,
+    )
+    export_manifest_as_delta(t)
+
+    def acts(v):
+        raw = open(os.path.join(t.path, "_delta_log", f"{v:020d}.json")).read()
+        return [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+
+    a0 = acts(0)
+    assert any("cdc" in a for a in a0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert proto["minWriterVersion"] == 7
+    assert "changeDataFeed" in proto["writerFeatures"]
+    # changeDataFeed is writer-only: no reader upgrade without DVs
+    assert proto["minReaderVersion"] == 1 and "readerFeatures" not in proto
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["configuration"] == {"delta.enableChangeDataFeed": "true"}
+
+    # a later append WITHOUT change_data keeps the property (sticky) and
+    # needs no new protocol action (feature already declared)
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    export_manifest_as_delta(t)
+    a1 = acts(1)
+    assert not any("cdc" in a for a in a1)
+    assert not any("protocol" in a for a in a1)
+    meta1 = next(a["metaData"] for a in a1 if "metaData" in a)
+    assert meta1["configuration"] == {"delta.enableChangeDataFeed": "true"}
 
 
 # ------------------------------------------------- manifest datasource

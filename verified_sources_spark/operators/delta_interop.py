@@ -870,6 +870,11 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
     commit also carries ``cdc`` actions — external CDF readers (and
     ``read_delta_changes``) then serve insert/delete/update_preimage/
     update_postimage rows instead of reconstructing from add/remove.
+    A cdc-carrying commit also declares the feature as the spec
+    requires: ``delta.enableChangeDataFeed=true`` in the metaData
+    configuration (sticky from then on — CDCReader checks it over the
+    whole requested range) and ``changeDataFeed`` in writerFeatures
+    (minWriterVersion 7), mirroring the deletionVectors upgrade path.
     """
     fs = table.fs
     root = table.path
@@ -934,24 +939,61 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
     next_v = (last_v + 1) if last_v is not None else 0
     has_dvs = any(a.get("deletionVector") for a in current.values())
     prev_protocol = snap.protocol if (existing or cp_v is not None) else None
-    if next_v == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"],
-                          "writerFeatures": ["deletionVectors"]}}
-            if has_dvs
-            else {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-    elif has_dvs and "deletionVectors" not in set(
-        (prev_protocol or {}).get("readerFeatures") or []
-    ):
-        # first DV on a previously-plain table: upgrade in THIS commit,
-        # as the spec requires before any DV'd add may appear
-        actions.append(
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"],
-                          "writerFeatures": ["deletionVectors"]}}
-        )
+
+    # change-data-feed eligibility must be known BEFORE protocol and
+    # metaData are written: a commit that carries cdc actions must also
+    # declare the feature (writerFeatures: changeDataFeed, minWriter 7)
+    # and set delta.enableChangeDataFeed=true, or spec-compliant readers
+    # (delta-spark's CDCReader) refuse to serve the feed.  The property
+    # is STICKY once declared — CDCReader checks it over the whole
+    # requested version range, so flipping it off on a later cdc-less
+    # commit would poison range reads that span both.
+    prev_mv = None
+    if last_v is not None and fs.exists(_log_path(root, last_v)):
+        for line in fs.read_text(_log_path(root, last_v)).splitlines():
+            if line.strip():
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("manifestVersion") is not None:
+                    prev_mv = int(ci["manifestVersion"])
+    covers_one = (next_v == 0 and int(exp_v) == 1) or (
+        prev_mv is not None and int(exp_v) == prev_mv + 1
+    )
+    emit_cdc = bool(covers_one and manifest.get("changes"))
+    prev_conf = (
+        (snap.meta or {}).get("configuration") or {}
+        if (existing or cp_v is not None)
+        else {}
+    )
+    cdf_on = emit_cdc or (
+        str(prev_conf.get("delta.enableChangeDataFeed", "false")).lower()
+        == "true"
+    )
+
+    # protocol: feature-vector form whenever any table feature is live
+    # (deletionVectors is reader+writer; changeDataFeed is writer-only,
+    # so it alone needs minWriterVersion 7 but not minReaderVersion 3)
+    prev_reader = set((prev_protocol or {}).get("readerFeatures") or [])
+    prev_writer = set((prev_protocol or {}).get("writerFeatures") or [])
+    want_reader, want_writer = set(prev_reader), set(prev_writer)
+    if has_dvs:
+        want_reader.add("deletionVectors")
+        want_writer.add("deletionVectors")
+    if cdf_on:
+        want_writer.add("changeDataFeed")
+    if next_v == 0 or (want_reader - prev_reader) or (want_writer - prev_writer):
+        if want_writer:
+            proto: dict = {
+                "minReaderVersion": 3 if want_reader else 1,
+                "minWriterVersion": 7,
+            }
+            if want_reader:
+                proto["readerFeatures"] = sorted(want_reader)
+            proto["writerFeatures"] = sorted(want_writer)
+            actions.append({"protocol": proto})
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
     # metaData rides in every exported commit: schema may have evolved
     actions.append(
         {
@@ -960,7 +1002,9 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_json,
                 "partitionColumns": list(manifest.get("partition_by") or []),
-                "configuration": {},
+                "configuration": (
+                    {"delta.enableChangeDataFeed": "true"} if cdf_on else {}
+                ),
                 "createdTime": now_ms,
             }
         }
@@ -995,20 +1039,10 @@ def export_manifest_as_delta(table, version: int | None = None) -> str:
 
     # change-data feed: attach cdc actions when this export covers
     # EXACTLY the one manifest version that recorded them (the previous
-    # export's commitInfo carries its manifest version); a multi-version
-    # export falls back to add/remove semantics, which the readers mask
-    # correctly — never a wrong feed, only a coarser one.
-    prev_mv = None
-    if last_v is not None and fs.exists(_log_path(root, last_v)):
-        for line in fs.read_text(_log_path(root, last_v)).splitlines():
-            if line.strip():
-                ci = json.loads(line).get("commitInfo")
-                if ci and ci.get("manifestVersion") is not None:
-                    prev_mv = int(ci["manifestVersion"])
-    covers_one = (next_v == 0 and int(exp_v) == 1) or (
-        prev_mv is not None and int(exp_v) == prev_mv + 1
-    )
-    if covers_one and manifest.get("changes"):
+    # export's commitInfo carries its manifest version, computed above);
+    # a multi-version export falls back to add/remove semantics, which
+    # the readers mask correctly — never a wrong feed, only a coarser one.
+    if emit_cdc:
         for ch in manifest["changes"]:
             size = 0
             try:

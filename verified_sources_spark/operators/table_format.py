@@ -675,6 +675,13 @@ class ManifestTable:
         snap = self._entries_df(m["files"], with_meta=True)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hits = snap.filter(cond)
+        # DVs first: a no-match delete must return None WITHOUT having
+        # materialized change files (they would be orphans only vacuum
+        # reclaims), and skipping the change pass entirely also spares
+        # the second Spark action on the no-op path
+        new_dvs = self._write_dvs(hits, m["files"])
+        if not new_dvs:
+            return None
         changes = None
         if change_data:
             data_cols = [c for c in snap.columns if c not in ("__fp", "__pos")]
@@ -683,9 +690,6 @@ class ManifestTable:
                     "_change_type", F.lit("delete")
                 )
             )
-        new_dvs = self._write_dvs(hits, m["files"])
-        if not new_dvs:
-            return None
         entries = self._apply_dv_updates(m["files"], new_dvs)
         return self._commit(
             entries, m.get("schema"), stream=stream, base_version=base,

@@ -120,7 +120,10 @@ def _col_to_copy_text(s, dt: T.DataType, session_tz: str):
         # so 3.0 prints as 3
         out = s.astype("Int64").astype("string")
     elif isinstance(dt, (T.DoubleType, T.FloatType)):
-        out = s.map(repr, na_action="ignore")  # full precision round-trip
+        # repr(float(v)), NOT repr(v): numpy>=2 reprs scalars as
+        # "np.float64(1.5)", which PostgreSQL rejects; the builtin-float
+        # repr round-trips full precision on both numpy majors
+        out = s.map(lambda v: repr(float(v)), na_action="ignore")
     elif isinstance(dt, T.StringType):
         out = _escape_text_series(s.astype("string"))
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):

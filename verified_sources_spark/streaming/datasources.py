@@ -437,13 +437,20 @@ class _PgCdcStreamReader(DataSourceStreamReader):
             for msg in c.start_replication(
                 part.slot, part.publication, start_lsn=part.start
             ):
+                # slice (start, end] — the ONLY break is on the first
+                # frame strictly past end, so multiple frames sharing
+                # the boundary LSN (or wal_start 0 against the initial
+                # lsn=0 offset) all land in the lower batch, and the
+                # next batch's `<= start` skip is its exact complement.
+                # Breaking at >= end would drop the second of two frames
+                # at the same wal_start.  Bounded walsenders (fakes,
+                # endpos streams) end the copy instead, which also
+                # terminates the iterator.
                 if msg.wal_start <= part.start:
                     continue  # the server re-sends the resume-point frame
                 if msg.wal_start > part.end:
                     break  # next batch's data
                 yield (msg.wal_start, msg.payload)
-                if msg.wal_start >= part.end:
-                    break  # slice complete — stop streaming promptly
 
     def commit(self, end: dict) -> None:
         pass
