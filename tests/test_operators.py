@@ -312,3 +312,92 @@ def test_sessionize_bucketed_matches_plain(spark):
     assert by_user[2] == [1, 1, 2, 2]   # two straddling sessions
     assert by_user[3] == [1, 2]         # 35-min boundary gap: no merge
     assert by_user[4] == [1]
+
+
+def test_sessionize_auto_probes_skew_and_picks_the_cheap_plan(spark):
+    """mode="auto": unskewed input keeps the 1-shuffle single-window
+    plan (no join anywhere — the bucketed boundary-merge join is the
+    2x tax r7 made every caller pay); a measured hot user flips to the
+    bucketed formulation, value-identical.  The hot gate needs BOTH the
+    absolute floor and the mean-ratio: uniformly-busy users never
+    bucket."""
+    import datetime as dt
+
+    from verified_sources_spark.operators.sessionize import (
+        sessionize,
+        sessionize_plain,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (u, u * 100 + i, base + dt.timedelta(minutes=40 * i))
+        for u in range(1, 5)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    def has_join(out):
+        return "Join" in out._jdf.queryExecution().optimizedPlan().toString()
+
+    # uniform: plain plan, no join
+    out = sessionize(df, "user_id", "ts", "event_id", hot_min_rows=2)
+    assert not has_join(out)
+
+    # one hot user (12 events vs 2 each): bucketed under lowered gates
+    hot_rows = [(9, 900 + i, base + dt.timedelta(minutes=i)) for i in range(12)]
+    hot_rows += [
+        (u, u * 10 + i, base + dt.timedelta(minutes=40 * i))
+        for u in (1, 2)
+        for i in range(2)
+    ]
+    hot_df = spark.createDataFrame(
+        hot_rows, "user_id long, event_id long, ts timestamp"
+    )
+    out_hot = sessionize(
+        hot_df, "user_id", "ts", "event_id", hot_min_rows=10, hot_skew_ratio=2.0
+    )
+    assert has_join(out_hot)
+    got = {
+        (r.user_id, r.event_id, r.session_id) for r in out_hot.collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in sessionize_plain(hot_df, "user_id", "ts", "event_id").collect()
+    }
+    assert got == want
+
+    # absolute floor wins even when the ratio trips (12 >= 2x mean but
+    # < 200k rows): stays plain at default gates
+    assert not has_join(sessionize(hot_df, "user_id", "ts", "event_id"))
+    # explicit pins skip the probe
+    assert has_join(
+        sessionize(df, "user_id", "ts", "event_id", mode="bucketed")
+    )
+    assert not has_join(
+        sessionize(hot_df, "user_id", "ts", "event_id", mode="plain")
+    )
+
+
+def test_sessionize_static_bound_from_parquet_footers(spark, tmp_path):
+    """The auto-mode short-circuit reads row counts from parquet footers
+    on the driver (zero Spark jobs) — exact for scan/filter plans, None
+    (probe required) for plans that can multiply rows or have no files."""
+    from verified_sources_spark.operators.sessionize import (
+        _static_row_upper_bound,
+    )
+
+    p = str(tmp_path / "ev")
+    spark.range(1000).selectExpr(
+        "id as user_id", "id as event_id"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _static_row_upper_bound(df) == 1000
+    # filters only reduce rows: footer sum stays a valid upper bound
+    assert _static_row_upper_bound(df.filter("user_id < 10")) == 1000
+    # a self-join can multiply rows — bound must refuse
+    assert _static_row_upper_bound(df.join(df, "user_id")) is None
+    # in-memory relations have no input files — bound must refuse
+    assert (
+        _static_row_upper_bound(spark.createDataFrame([(1,)], "a long"))
+        is None
+    )

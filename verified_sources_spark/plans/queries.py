@@ -373,16 +373,17 @@ def route_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session assignment: 30-min inactivity gap starts a new session
-    (matomo session-close heuristic).  Uses the SKEW-PROOF bucketed
-    formulation (operators/sessionize.py, r7): windows partition by
-    (user, day bucket) with a metadata-sized boundary-merge pass, so a
-    mega-user never serializes into one task — value-identical to the
-    single-window cumsum, measured 2.6x→~1x max/median task skew at
-    sf10 with a 30% hot user."""
-    from verified_sources_spark.operators.sessionize import sessionize_bucketed
+    (matomo session-close heuristic).  Uses the ADAPTIVE sessionizer
+    (operators/sessionize.py, r8): a cheap per-user-count probe picks
+    the single-window cumsum unless a measured hot user would straggle,
+    in which case the skew-proof (user, day-bucket) formulation runs —
+    value-identical either way (2.6x→~1x max/median task skew at sf10
+    with a 30% hot user, while unskewed callers keep the 1-shuffle
+    plan)."""
+    from verified_sources_spark.operators.sessionize import sessionize
 
     ev = load_table(spark, sf_dir, "events")
-    sess = sessionize_bucketed(ev, "user_id", "ts", "event_id")
+    sess = sessionize(ev, "user_id", "ts", "event_id")
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
