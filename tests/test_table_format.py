@@ -281,17 +281,26 @@ def test_compact_leaves_large_files_alone(spark, tmp_path, sink_fs):
 
 def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink_fs):
     """Two writers race the same commit version: exactly one CommitConflict,
-    the loser retries against the fresh log, and no update is lost — the
-    snapshot-isolation claim exercised with real interleaving, not a stale
-    mock."""
-    import threading
+    the loser retries against the fresh log, and no update is lost.
 
-    barrier = threading.Barrier(2)
+    DETERMINISTIC interleaving (r8): the second writer's whole append is
+    injected INSIDE the first writer's read-modify-write window — after
+    writer A staged its files and computed version 2, at the instant it
+    calls the exclusive create, writer B commits v2 first.  The conflict
+    is therefore forced by construction, not raced by threads against a
+    wall-clock barrier (the r6/r7 formulation flaked under core
+    contention: a timed-out barrier silently serialized the writers and
+    voided the exactly-one-conflict claim)."""
+    path_t = str(tmp_path / "t")
+    df_a = spark.createDataFrame([(1, "a")], "k long, v string")
+    df_b = spark.createDataFrame([(2, "b")], "k long, v string")
+    state = {"injected": 0}
 
-    class RacingFS:
-        """Delegates to the real backend, but holds both writers at the
-        v2 manifest create until each has computed version=2 — the exact
-        read-modify-write race the exclusive create must arbitrate."""
+    class InjectingFS:
+        """Delegates to the real backend, but the first time writer A
+        tries to create the v2 manifest, runs writer B's full append
+        (stage + commit v2) before letting A's create proceed — the
+        exact lost-update window snapshot isolation must arbitrate."""
 
         def __init__(self, inner):
             self.inner = inner
@@ -300,48 +309,28 @@ def test_two_concurrent_writers_one_conflict_then_converge(spark, tmp_path, sink
             return getattr(self.inner, name)
 
         def create_exclusive(self, path, text):
-            if path.endswith("v2.json"):
-                try:
-                    # generous: each append runs a Spark write before the
-                    # commit, and under a fully-loaded machine 30s was
-                    # occasionally exceeded — a broken barrier serializes
-                    # the writers and voids the exactly-one-conflict claim
-                    barrier.wait(timeout=120)
-                except threading.BrokenBarrierError:
-                    pass
+            if path.endswith("v2.json") and not state["injected"]:
+                state["injected"] += 1
+                ManifestTable(spark, path_t, fs=sink_fs).append(df_b)
             self.inner.create_exclusive(path, text)
 
-    racing = RacingFS(sink_fs)
-    base = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    base = ManifestTable(spark, path_t, fs=sink_fs)
     base.append(spark.createDataFrame([(0, "base")], "k long, v string"))  # v1
 
-    df_a = spark.createDataFrame([(1, "a")], "k long, v string")
-    df_b = spark.createDataFrame([(2, "b")], "k long, v string")
-    conflicts, errors = [], []
-
-    def writer(df):
+    t = ManifestTable(spark, path_t, fs=InjectingFS(sink_fs))
+    conflicts = 0
+    for _ in range(5):
         try:
-            t = ManifestTable(spark, str(tmp_path / "t"), fs=racing)
-            for _ in range(5):
-                try:
-                    t.append(df)
-                    return
-                except CommitConflict:
-                    conflicts.append(1)
-            errors.append("retries exhausted")
-        except Exception as e:  # a dying thread must FAIL the test loudly
-            errors.append(f"writer raised: {e!r}")
+            t.append(df_a)
+            break
+        except CommitConflict:
+            conflicts += 1
+    else:
+        raise AssertionError("retries exhausted")
 
-    th_a = threading.Thread(target=writer, args=(df_a,))
-    th_b = threading.Thread(target=writer, args=(df_b,))
-    th_a.start(); th_b.start()
-    # join margin must exceed the barrier timeout + both commits, or a
-    # loaded machine asserts against threads that have not finished
-    th_a.join(timeout=300); th_b.join(timeout=300)
-
-    assert not errors
-    assert len(conflicts) == 1  # exactly one loser, exactly one retry
-    final = ManifestTable(spark, str(tmp_path / "t"), fs=sink_fs)
+    assert state["injected"] == 1
+    assert conflicts == 1  # exactly one loser, exactly one retry
+    final = ManifestTable(spark, path_t, fs=sink_fs)
     assert final.versions() == [1, 2, 3]
     # no lost update: the retry rebuilt on the winner's manifest
     assert {(r["k"], r["v"]) for r in final.read().collect()} == {
