@@ -58,3 +58,8 @@ from verified_sources_spark.sources.kinesis_wire import (  # noqa: F401
     KinesisClient,
     fetch_stream as kinesis_fetch_stream,
 )
+from verified_sources_spark.sources.mongo_wire import (  # noqa: F401
+    MongoWireClient,
+    load_collection as mongo_load_collection,
+    load_collection_parallel as mongo_load_collection_parallel,
+)
