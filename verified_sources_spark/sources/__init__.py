@@ -63,3 +63,7 @@ from verified_sources_spark.sources.mongo_wire import (  # noqa: F401
     load_collection as mongo_load_collection,
     load_collection_parallel as mongo_load_collection_parallel,
 )
+from verified_sources_spark.sources.duckdb_writer import (  # noqa: F401
+    duckdb_batch_sink,
+    write_duckdb,
+)
