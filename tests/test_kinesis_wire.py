@@ -266,3 +266,64 @@ def test_sigv4_signed_calls_verified_by_endpoint(endpoint):
     unsigned = KinesisClient(url)
     with pytest.raises(KinesisError, match="InvalidSignatureException"):
         unsigned.list_shards("s")
+
+
+def test_capped_drain_resumes_exactly(endpoint):
+    """max_records_per_shard bounds each call to O(cap) and the returned
+    state resumes precisely where the drain stopped — iterating the
+    capped probe walks the whole stream with no gaps or duplicates."""
+    url = _url(endpoint)
+    rows1, state1 = fetch_stream(url, "events", max_records_per_shard=1)
+    assert [(r["shard_id"], r["data"]) for r in rows1] == [
+        ("shardId-000", b"p0-a"),
+        ("shardId-001", b"p1-a"),
+        ("shardId-002", b"p2-a"),
+    ]
+    rows2, state2 = fetch_stream(url, "events", state1, max_records_per_shard=1)
+    assert [(r["shard_id"], r["data"]) for r in rows2] == [
+        ("shardId-000", b"p0-b"),
+        ("shardId-002", b"p2-b"),
+    ]
+    # caught up: a third capped call consumes nothing and is stable
+    rows3, state3 = fetch_stream(url, "events", state2, max_records_per_shard=1)
+    assert rows3 == [] and state3 == state2
+    # the capped walk saw exactly what an uncapped drain sees
+    full, full_state = fetch_stream(url, "events")
+    assert sorted(
+        (r["shard_id"], r["data"]) for r in rows1 + rows2
+    ) == sorted((r["shard_id"], r["data"]) for r in full)
+    assert state2 == full_state
+
+
+def test_stream_reader_max_records_per_batch(endpoint):
+    """The kinesis_wire stream option ``maxRecordsPerBatch`` caps the
+    driver-side tip probe: each latestOffset advances by at most the cap
+    per shard, so a backlogged stream costs O(cap) per micro-batch."""
+    from verified_sources_spark.streaming.datasources import (
+        _KinesisWireStreamReader,
+    )
+
+    rdr = _KinesisWireStreamReader(
+        {"endpoint": _url(endpoint), "stream": "events",
+         "maxRecordsPerBatch": "1"}
+    )
+    off1 = rdr.latestOffset()
+    assert off1["seq"] == {
+        "shardId-000": "s0-1",
+        "shardId-001": "s1-1",
+        "shardId-002": "s2-1",
+    }
+    off2 = rdr.latestOffset()
+    assert off2["seq"] == {
+        "shardId-000": "s0-2",
+        "shardId-001": "s1-1",
+        "shardId-002": "s2-2",
+    }
+    # caught up — further probes are cheap no-ops at the tip
+    assert rdr.latestOffset()["seq"] == off2["seq"]
+    # and the planned slices between the capped offsets cover the gap
+    parts = rdr.partitions({"seq": off1["seq"]}, {"seq": off2["seq"]})
+    assert sorted((p.shard_id, p.start, p.end) for p in parts) == [
+        ("shardId-000", "s0-1", "s0-2"),
+        ("shardId-002", "s2-1", "s2-2"),
+    ]

@@ -118,6 +118,7 @@ def fetch_stream(
     initial_at_timestamp: float | None = None,
     limit_per_call: int = 1000,
     sign: Callable[[dict, bytes], None] | None = None,
+    max_records_per_shard: int | None = None,
 ) -> tuple[list[dict], dict[str, str]]:
     """The reference's bounded run (sources/kinesis/__init__.py:59-130):
     resolve one iterator per shard from stored sequences (resume past
@@ -125,7 +126,15 @@ def fetch_stream(
     so the handoff loses nothing), then drain each shard until caught up
     (``MillisBehindLatest == 0``) or the shard is closed
     (``NextShardIterator`` null).  Returns (record rows, new per-shard
-    sequence state to persist AFTER the batch lands)."""
+    sequence state to persist AFTER the batch lands).
+
+    ``max_records_per_shard`` bounds the drain: at most that many
+    records are consumed per shard per call, and the returned state
+    points at the last record actually consumed, so the next call
+    resumes exactly there.  This is what keeps the stream reader's
+    driver-side tip probe (and hence each micro-batch) bounded on a
+    high-volume stream — the caller pays O(cap) per batch, never
+    O(backlog)."""
     client = KinesisClient(endpoint_url, sign=sign)
     shards = client.list_shards(stream)
     iters = resolve_shard_iterators(shards, sequence_state, initial_at_timestamp)
@@ -134,9 +143,16 @@ def fetch_stream(
     for sh in shards:
         sid = sh["shard_id"]
         iterator = client.get_shard_iterator(stream, sid, iters[sid])
+        taken = 0
         while iterator:
-            out = client.get_records(iterator, limit=limit_per_call)
-            for rec in out.get("Records", []):
+            limit = limit_per_call
+            if max_records_per_shard is not None:
+                limit = min(limit, max_records_per_shard - taken)
+                if limit <= 0:
+                    break  # cap reached — resume here next call
+            out = client.get_records(iterator, limit=limit)
+            recs = out.get("Records", [])
+            for rec in recs:
                 rows.append(
                     {
                         "shard_id": sid,
@@ -147,6 +163,7 @@ def fetch_stream(
                     }
                 )
                 new_state[sid] = rec["SequenceNumber"]
+            taken += len(recs)
             iterator = out.get("NextShardIterator")
             if out.get("MillisBehindLatest", 0) == 0:
                 break  # caught up — later arrivals belong to the next run

@@ -248,9 +248,14 @@ class _KinesisWireStreamReader(DataSourceStreamReader):
     Kinesis exposes no tip-sequence probe, so ``latestOffset`` discovers
     each shard's current last sequence by draining record metadata on
     the driver — those bytes transit twice (probe + executor slice).
-    That is the price of DETERMINISTIC replay ranges; when probe
-    bandwidth dominates, land the stream into a manifest table first or
-    use enhanced fan-out outside this reader."""
+    That is the price of DETERMINISTIC replay ranges, and it is BOUNDED:
+    ``.option("maxRecordsPerBatch", n)`` caps the probe at n records per
+    shard per micro-batch (the offset then advances incrementally, like
+    Kafka's ``maxOffsetsPerTrigger``), so a backlogged 100 TB stream
+    costs O(cap) driver bandwidth per batch, never O(backlog).  For
+    sustained high volume, the landing-first recipe (producer →
+    manifest-table landing zone → batch reads) remains the preferred
+    pattern — see streaming/bounded.py."""
 
     def __init__(self, options):
         self.endpoint = options["endpoint"]
@@ -263,6 +268,10 @@ class _KinesisWireStreamReader(DataSourceStreamReader):
                 options.get("region", "us-east-1"),
                 options.get("session_token"),
             )
+        raw_cap = options.get("maxRecordsPerBatch") or options.get(
+            "max_records_per_batch"
+        )
+        self.max_records = int(raw_cap) if raw_cap else None
         # last probed tip per shard; after a restart the first probe
         # re-walks retained records from the horizon (metadata-sized
         # state, data-sized network) — partitions() still slices exactly
@@ -279,6 +288,7 @@ class _KinesisWireStreamReader(DataSourceStreamReader):
             self.stream,
             dict(self._probe or {}),
             sign=_kinesis_signer(self.endpoint, self.creds),
+            max_records_per_shard=self.max_records,
         )
         self._probe = state
         return {"seq": state}
