@@ -1393,3 +1393,73 @@ ORACLE_SQL["dv_merge_orders"] = """
            o_totalprice
     FROM orders
 """
+
+
+# Fixed-quantizer ANN variants: with lloyd_iters=0 the centroids are the
+# 16 lowest-id vectors, so assignment (argmin squared-L2, lowest-cluster
+# tie-break — matching similarity.argmin_cluster's numpy first-min) and
+# everything downstream is plain SQL.  These are the value-hash witnesses
+# for the iterative ivf_topk / semantic_dedup entries.
+_SQ_L2 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))"
+)
+_FIXED_ASSIGN_CTES = f"""
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    ranked_assign AS (
+      SELECT e.vec_id, e.embedding, c.cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY {_SQ_L2} ASC, c.cluster ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c)
+"""
+
+ORACLE_SQL["ivf_topk_fixed_embeddings"] = f"""
+    WITH {_FIXED_ASSIGN_CTES},
+    buckets AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, cluster
+      FROM ranked_assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cluster
+      FROM ranked_assign WHERE vec_id < 10 AND rn <= 4),
+    scored AS (
+      SELECT DISTINCT p.query_id, b.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(p.qv[i] AS DOUBLE) * CAST(b.nv[i] AS DOUBLE)))
+             / ({_NORM.format(v='p.qv')} * {_NORM.format(v='b.nv')}) AS cos
+      FROM buckets b JOIN probes p USING (cluster)
+      WHERE b.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+             round(cos, 4) AS cosine
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""
+
+ORACLE_SQL["semantic_dedup_fixed_embeddings"] = f"""
+    WITH {_FIXED_ASSIGN_CTES},
+    assigned AS (
+      SELECT vec_id, embedding, cluster FROM ranked_assign WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)))
+            / ({_NORM.format(v='a.embedding')}
+               * {_NORM.format(v='b.embedding')}) >= 0.92),
+    drops AS (SELECT DISTINCT id_b FROM pairs),
+    absorbed AS (
+      SELECT id_a, COUNT(*) AS n FROM pairs
+      WHERE id_a NOT IN (SELECT id_b FROM drops) GROUP BY id_a)
+    SELECT a.vec_id, a.cluster,
+           CAST(COALESCE(ab.n, 0) AS BIGINT) AS n_dropped_dups
+    FROM assigned a LEFT JOIN absorbed ab ON a.vec_id = ab.id_a
+    WHERE a.vec_id NOT IN (SELECT id_b FROM drops)
+"""

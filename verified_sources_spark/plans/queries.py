@@ -1234,6 +1234,20 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=3, n_centroids=16, n_probe=4)
 
 
+def ivf_topk_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the coarse quantizer PINNED to its deterministic
+    initialization (``lloyd_iters=0`` → centroids are the 16 lowest-id
+    vectors).  With training frozen, assignment + probe + rerank is pure
+    relational algebra, so this variant carries a full DuckDB value-hash
+    oracle — the SQL-checkable witness for the iterative
+    ``ivf_topk_embeddings`` whose trained centroids have no SQL form."""
+    from verified_sources_spark.llm.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, queries, k=3, n_centroids=16, n_probe=4, lloyd_iters=0)
+
+
 
 
 def filter_doc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,6 +1480,20 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, "vec_id", "embedding", n_clusters=None, threshold=0.92)
 
 
+def semantic_dedup_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the quantizer pinned to its deterministic init
+    (``lloyd_iters=0``): the whole pipeline — assignment, within-cluster
+    cosine pairs, greedy drop, absorption counts — is then
+    SQL-expressible, giving the iterative ``semantic_dedup_embeddings``
+    a value-hash-checked witness (same code path, training frozen)."""
+    from verified_sources_spark.llm.corpus import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_clusters=16, threshold=0.92, lloyd_iters=0
+    )
+
+
 # Registry order is a GRADING contract: the driver's correctness gate runs
 # exactly the first 50 entries in dict order (verified in round 1). The
 # first 50 are therefore all oracle-backed and chosen for operator-family
@@ -1577,4 +1605,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_spans_docs": decontaminate_spans_docs,
     "dv_delete_orders": dv_delete_orders,
     "dv_merge_orders": dv_merge_orders,
+    "ivf_topk_fixed_embeddings": ivf_topk_fixed_embeddings,
+    "semantic_dedup_fixed_embeddings": semantic_dedup_fixed_embeddings,
 }
