@@ -1012,3 +1012,121 @@ def test_change_feed_over_exported_manifest_log(spark, tmp_path, sink_fs):
         (1, "a", "delete", 1), (2, "b", "delete", 1),
         (3, "c", "insert", 1),
     }
+
+
+def test_cdf_column_mapping_name_mode(spark, tmp_path):
+    """CDF over a column-mapping 'name' table: change/data files carry
+    PHYSICAL names (partitionValues keys too), _change_type is stored
+    literally, and a mid-range logical RENAME folds to the ENDING
+    version's names — physical identity is the join key across time."""
+    from verified_sources_spark.operators.delta_interop import read_delta_changes
+
+    root = str(tmp_path / "cdfcm")
+
+    def pfile(dirname, name, rows, ddl):
+        df = spark.createDataFrame(rows, ddl)
+        stage = str(tmp_path / ("cmstage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.makedirs(os.path.join(root, dirname), exist_ok=True)
+        os.replace(os.path.join(stage, part), os.path.join(root, dirname, name))
+        return f"{dirname}/{name}"
+
+    phys_ddl = "`col-aaa` long, `col-bbb` string, `col-ccc` struct<`col-ddd`: string>"
+    f1 = pfile("d", "f1.parquet", [(1, "a", ("en",)), (2, "b", ("fr",))], phys_ddl)
+    meta0 = {"metaData": {"id": "cdfcm", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": json.dumps(_cm_schema()),
+                          "partitionColumns": ["day"],
+                          "configuration": {"delta.columnMapping.mode": "name",
+                                            "delta.enableChangeDataFeed": "true"}}}
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta0,
+        {"add": {"path": f1, "partitionValues": {"col-eee": "2024-06-01"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    # commit 1: update via cdc files — physical data names + literal
+    # _change_type; the rewrite's add/remove must not surface
+    f2 = pfile("d", "f2.parquet", [(1, "a", ("en",)), (2, "B", ("fr",))], phys_ddl)
+    c1 = pfile("_change_data", "c1.parquet",
+               [(2, "b", ("fr",), "update_preimage"),
+                (2, "B", ("fr",), "update_postimage")],
+               phys_ddl + ", _change_type string")
+    _write_commit(root, 1, [
+        {"remove": {"path": f1, "deletionTimestamp": 1, "dataChange": True,
+                    "partitionValues": {"col-eee": "2024-06-01"}}},
+        {"add": {"path": f2, "partitionValues": {"col-eee": "2024-06-01"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"cdc": {"path": c1, "partitionValues": {"col-eee": "2024-06-01"},
+                 "size": 1, "dataChange": False}},
+    ])
+    # commit 2: logical rename v -> val (physicalName col-bbb unchanged)
+    # + plain delete of f2
+    renamed = _cm_schema()
+    for fld in renamed["fields"]:
+        if fld["name"] == "v":
+            fld["name"] = "val"
+    meta2 = {"metaData": {"id": "cdfcm", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": json.dumps(renamed),
+                          "partitionColumns": ["day"],
+                          "configuration": {"delta.columnMapping.mode": "name",
+                                            "delta.enableChangeDataFeed": "true"}}}
+    _write_commit(root, 2, [
+        meta2,
+        {"remove": {"path": f2, "deletionTimestamp": 2, "dataChange": True,
+                    "partitionValues": {"col-eee": "2024-06-01"}}},
+    ])
+
+    ch = read_delta_changes(spark, root, 0)
+    assert ch.columns == ["k", "val", "tags", "day", "_change_type", "_commit_version"]
+    got = {(r.k, r.val, r.tags.lang, r.day, r._change_type, r._commit_version)
+           for r in ch.collect()}
+    assert got == {
+        (1, "a", "en", "2024-06-01", "insert", 0),
+        (2, "b", "fr", "2024-06-01", "insert", 0),
+        (2, "b", "fr", "2024-06-01", "update_preimage", 1),
+        (2, "B", "fr", "2024-06-01", "update_postimage", 1),
+        (1, "a", "en", "2024-06-01", "delete", 2),
+        (2, "B", "fr", "2024-06-01", "delete", 2),
+    }
+
+
+def test_cdf_column_mapping_id_mode(spark, tmp_path):
+    """CDF over a column-mapping 'id' table resolves change rows by
+    parquet FIELD ID: a file column squatting on a logical column's old
+    physical NAME (but a different id) must not leak into the feed."""
+    import pyarrow as pa
+
+    from verified_sources_spark.operators.delta_interop import read_delta_changes
+
+    root = str(tmp_path / "cdfcmid")
+    os.makedirs(os.path.join(root, "d"))
+    _arrow_file_with_ids(
+        os.path.join(root, "d", "f1.parquet"),
+        [("zz-1", pa.int64(), 1), ("col-bbb", pa.int64(), 99),
+         ("zz-3", [("zz-4", pa.string(), 4)], 3)],
+        {"zz-1": [5], "col-bbb": [777], "zz-3": [{"zz-4": "de"}]},
+    )
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cdfcmid", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(_cm_schema()),
+                      "partitionColumns": ["day"],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "d/f1.parquet",
+                 "partitionValues": {"col-eee": "2024-06-02"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_commit(root, 1, [
+        {"remove": {"path": "d/f1.parquet", "deletionTimestamp": 1,
+                    "dataChange": True,
+                    "partitionValues": {"col-eee": "2024-06-02"}}},
+    ])
+    ch = read_delta_changes(spark, root, 0)
+    got = {(r.k, r.v, r.tags.lang, r.day, r._change_type, r._commit_version)
+           for r in ch.collect()}
+    # id-99 col-bbb data must NOT appear as v (id 2 is absent -> NULL)
+    assert got == {
+        (5, None, "de", "2024-06-02", "insert", 0),
+        (5, None, "de", "2024-06-02", "delete", 1),
+    }

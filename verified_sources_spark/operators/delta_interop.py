@@ -1160,12 +1160,21 @@ def read_delta_changes(
     the difference, never silently dropped.
     Output = table schema + ``_change_type`` + ``_commit_version``.
 
+    Column mapping ('name' and 'id' modes): change/data files use each
+    field's stable PHYSICAL identity — ``columnMapping.physicalName``
+    resp. ``parquet.field.id`` — which never changes across renames, so
+    every commit in the range reads under the ENDING version's mapping
+    and folds to its logical names (a column renamed mid-range reports
+    its final name throughout; a column added mid-range reads NULL for
+    older commits, exactly like delta-spark's CDF).  ``_change_type``
+    itself is never mapped (the spec stores it literally in change
+    files).
+
     Refusals: a gap in the commit range (CDF over missing commits would
-    silently drop changes), column-mapped tables (physical-name CDF
-    files need the mapping applied per commit's OWN schema — not
-    implemented), and a dataChange remove on a PARTITIONED table whose
-    action lacks partitionValues (the delete rows' partition columns
-    would be unknowable)."""
+    silently drop changes), an unknown column-mapping mode, and a
+    dataChange remove on a PARTITIONED table whose action lacks
+    partitionValues (the delete rows' partition columns would be
+    unknowable)."""
     fs = fs or HadoopFS(spark)
     path = _abs_table_path(path.rstrip("/"))
     versions = _list_log_versions(fs, path)
@@ -1181,16 +1190,42 @@ def read_delta_changes(
             f"commits {missing} (cleaned up past a checkpoint?)"
         )
     snap, _ = _replay_snapshot(spark, fs, path, ending_version)
-    if column_mapping_mode(snap.meta) != "none":
+    mode = column_mapping_mode(snap.meta)
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
-            "CDF read over column-mapped tables not implemented"
+            f"unknown column mapping mode {mode!r}; refusing a CDF read"
         )
+    mapped = mode == "name"
+    id_mode = mode == "id"
     schema = T.StructType.fromJson(json.loads(snap.meta["schemaString"]))
     part_cols = list(snap.meta.get("partitionColumns") or [])
     types = {f.name: f.dataType for f in schema.fields}
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    # partitionValues keys use PHYSICAL names in both mapping modes
+    phys_of = {
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name)
+        if (mapped or id_mode)
+        else f.name
+        for f in schema.fields
+    }
+    scan_spark = spark
+    if id_mode:
+        scan_spark = _fieldid_read_session(spark)
+        data_schema = _to_fieldid_type(
+            T.StructType([f for f in schema.fields if f.name not in part_cols])
+        )
+    else:
+        data_schema = T.StructType(
+            [
+                T.StructField(
+                    phys_of[f.name],
+                    _to_physical_type(f.dataType) if mapped else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
+    # _change_type is stored literally (never column-mapped) per spec
     cdc_schema = T.StructType(
         list(data_schema.fields) + [T.StructField("_change_type", T.StringType())]
     )
@@ -1224,7 +1259,11 @@ def read_delta_changes(
                     entries.append((rm, "delete"))
         for e, ctype in entries:
             pv = e.get("partitionValues") or {}
-            key = (v, ctype, tuple(pv.get(c) for c in part_cols))
+            key = (
+                v,
+                ctype,
+                tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols),
+            )
             rel = unquote(e["path"])
             full = rel if "://" in rel else posixpath.join(path, rel)
             # adds mask the rows their DV deletes (post-image of the
@@ -1239,16 +1278,19 @@ def read_delta_changes(
     ]
     parts_out = []
     for (v, ctype, pkey), files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(cdc_schema if ctype is None else data_schema).parquet(
-            *[f for f, _ in files]
-        )
+        df = scan_spark.read.schema(
+            cdc_schema if ctype is None else data_schema
+        ).parquet(*[f for f, _ in files])
         cols = []
         for f in schema.fields:
             if f.name in part_cols:
                 raw = dict(zip(part_cols, pkey)).get(f.name)
                 cols.append(F.lit(raw).cast(types[f.name]).alias(f.name))
             else:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                # 'name' mode: the cast renames physical → logical at
+                # every nesting level; 'id' mode read under logical names
+                src = f.name if id_mode else phys_of[f.name]
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
         if ctype is None:
             cols.append(F.col("_change_type"))
         else:
