@@ -1463,3 +1463,15 @@ ORACLE_SQL["semantic_dedup_fixed_embeddings"] = f"""
     FROM assigned a LEFT JOIN absorbed ab ON a.vec_id = ab.id_a
     WHERE a.vec_id NOT IN (SELECT id_b FROM drops)
 """
+
+# LLM field extraction with the deterministic stub: the stub's heuristics
+# (first alnum token lowercased; text length as a string; md5 content
+# hash of the empty-coalesced text) are pure string functions.
+ORACLE_SQL["extract_fields_docs"] = """
+    SELECT doc_id,
+           md5(coalesce(text, '')) AS content_hash,
+           lower(nullif(regexp_extract(coalesce(text, ''),
+                                       '[A-Za-z0-9]+'), '')) AS first_word,
+           CAST(length(coalesce(text, '')) AS VARCHAR) AS length
+    FROM documents
+"""

@@ -1460,6 +1460,28 @@ def simhash_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_groups(d, "doc_id", "text", base_hash="md5_60")
 
 
+def extract_fields_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM field extraction (§2.1 #32, reference unstructured_data):
+    mapInPandas per-field Q&A over documents with the deterministic
+    answer stub — first-word and length fields plus the content-hash
+    merge key.  The stub's answers are pure string functions, so this
+    entry carries a full DuckDB value-hash oracle; the live-endpoint
+    transport (llm/endpoint.py) reproduces the same rows over HTTP in
+    tests/test_llm_endpoint.py."""
+    from verified_sources_spark.llm.extract import extract_fields
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_fields(
+        d,
+        "doc_id",
+        "text",
+        queries={
+            "first_word": "first word of the text",
+            "length": "length of the text",
+        },
+    )
+
+
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style quality gate: length + heuristic quality
     + repetition flags, one verdict row per doc."""
@@ -1607,4 +1629,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dv_merge_orders": dv_merge_orders,
     "ivf_topk_fixed_embeddings": ivf_topk_fixed_embeddings,
     "semantic_dedup_fixed_embeddings": semantic_dedup_fixed_embeddings,
+    "extract_fields_docs": extract_fields_docs,
 }
