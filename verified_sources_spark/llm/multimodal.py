@@ -218,6 +218,85 @@ def extract_features(
     return df.select(id_col, asset_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", asset_col: str = "asset"
+) -> DataFrame:
+    """REAL audio decode + per-object signal features — the audio
+    analogue of ``decoder="png"``: llm/wav_codec.py parses RIFF/PCM with
+    the stdlib, numpy computes RMS / peak / zero-crossing rate per
+    payload inside the Arrow batch.  Same contract as the image path:
+    narrow transform (payloads never shuffle), corrupt bytes yield a
+    ``decoded_ok=false`` row instead of a failed task."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.wav_codec import decode
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[asset_col]:
+                try:
+                    m = decode(bytes(p))
+                    s = m["samples"]  # (frames, channels) float64
+                    zc = 0.0
+                    if s.shape[0] > 1:
+                        zc = float(
+                            np.mean(np.diff(np.signbit(s), axis=0).sum(axis=0))
+                            / (s.shape[0] - 1)
+                        )
+                    feats.append(
+                        {
+                            "decoded_ok": True,
+                            "sample_rate": m["sample_rate"],
+                            "channels": m["channels"],
+                            "bits_per_sample": m["bits_per_sample"],
+                            "duration_ms": m["duration_ms"],
+                            "n_frames": m["n_frames"],
+                            "rms": float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
+                            "peak": float(np.max(np.abs(s))) if s.size else 0.0,
+                            "zero_crossing_rate": zc,
+                            "n_bytes": len(p),
+                        }
+                    )
+                except Exception:
+                    feats.append(
+                        {
+                            "decoded_ok": False,
+                            "sample_rate": None,
+                            "channels": None,
+                            "bits_per_sample": None,
+                            "duration_ms": None,
+                            "n_frames": None,
+                            "rms": None,
+                            "peak": None,
+                            "zero_crossing_rate": None,
+                            "n_bytes": len(p) if p is not None else 0,
+                        }
+                    )
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, asset_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, asset_col: str = "asset", every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode sample timestamps from metadata
     duration (decode stubbed).  Yields one row per (asset, sample_ms)."""
