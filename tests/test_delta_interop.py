@@ -205,13 +205,13 @@ def _arrow_file_with_ids(path, cols, rows):
     import pyarrow.parquet as pq
 
     def field(name, typ, fid):
+        meta = (
+            None if fid is None else {b"PARQUET:field_id": str(fid).encode()}
+        )  # fid None = a literal (never-mapped) column like _change_type
         if isinstance(typ, list):  # nested struct
             inner = [field(n, t, i) for n, t, i in typ]
-            return pa.field(
-                name, pa.struct(inner),
-                metadata={b"PARQUET:field_id": str(fid).encode()},
-            )
-        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(fid).encode()})
+            return pa.field(name, pa.struct(inner), metadata=meta)
+        return pa.field(name, typ, metadata=meta)
 
     schema = pa.schema([field(n, t, i) for n, t, i in cols])
     pq.write_table(pa.table(rows, schema=schema), path)
@@ -1122,11 +1122,33 @@ def test_cdf_column_mapping_id_mode(spark, tmp_path):
                     "dataChange": True,
                     "partitionValues": {"col-eee": "2024-06-02"}}},
     ])
+    # commit 2: a cdc-action commit — data columns resolve by field id,
+    # _change_type is literal and UN-id'd in the same file (the spec's
+    # shape for change files under column mapping)
+    os.makedirs(os.path.join(root, "_change_data"), exist_ok=True)
+    _arrow_file_with_ids(
+        os.path.join(root, "_change_data", "c2.parquet"),
+        [("zz-1", pa.int64(), 1), ("zz-2", pa.string(), 2),
+         ("zz-3", [("zz-4", pa.string(), 4)], 3),
+         ("_change_type", pa.string(), None)],
+        {"zz-1": [9], "zz-2": ["q"], "zz-3": [{"zz-4": "nl"}],
+         "_change_type": ["insert"]},
+    )
+    _write_commit(root, 2, [
+        {"add": {"path": "d/f1.parquet",
+                 "partitionValues": {"col-eee": "2024-06-02"},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"cdc": {"path": "_change_data/c2.parquet",
+                 "partitionValues": {"col-eee": "2024-06-03"},
+                 "size": 1, "dataChange": False}},
+    ])
     ch = read_delta_changes(spark, root, 0)
     got = {(r.k, r.v, r.tags.lang, r.day, r._change_type, r._commit_version)
            for r in ch.collect()}
-    # id-99 col-bbb data must NOT appear as v (id 2 is absent -> NULL)
+    # id-99 col-bbb data must NOT appear as v (id 2 is absent -> NULL);
+    # the cdc commit's re-add must not surface, only its change file
     assert got == {
         (5, None, "de", "2024-06-02", "insert", 0),
         (5, None, "de", "2024-06-02", "delete", 1),
+        (9, "q", "nl", "2024-06-03", "insert", 2),
     }
