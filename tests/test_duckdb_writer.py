@@ -243,3 +243,54 @@ def test_foreach_batch_ledger_idempotence(spark, db, tmp_path):
     )
     run()
     assert _rows(db, "SELECT k, v FROM t_stream") == {(1, "s1"), (2, "s2")}
+
+
+def test_empty_first_batch_preserves_real_types(spark, db):
+    """An empty micro-batch 0 must create the target with the
+    DataFrame's REAL types, not null-inferred INTEGER — the next
+    non-empty batch's strings would otherwise fail to convert."""
+    empty = spark.createDataFrame([], "k long, v string, ts timestamp")
+    write_duckdb(empty, db, "t_types", disposition="merge", merge_keys=["k"])
+    types = dict(
+        duckdb.connect(db, read_only=True)
+        .execute("SELECT column_name, data_type FROM information_schema.columns "
+                 "WHERE table_name='t_types'")
+        .fetchall()
+    )
+    assert types["v"] == "VARCHAR" and types["k"] == "BIGINT"
+    assert types["ts"].startswith("TIMESTAMP")
+    # and the follow-up batch with actual strings applies cleanly
+    df = spark.createDataFrame(
+        [(1, "hello", datetime.datetime(2024, 6, 1, 12, 0, 0))],
+        "k long, v string, ts timestamp",
+    )
+    write_duckdb(df, db, "t_types", disposition="merge", merge_keys=["k"])
+    assert _rows(db, "SELECT k, v FROM t_types") == {(1, "hello")}
+
+
+def test_stage_invisible_from_driver_is_refused_not_silently_empty(
+    spark, db, tmp_path, monkeypatch
+):
+    """If the staged parquet never lands on the driver's filesystem
+    (multi-node cluster, non-shared staging_dir), the sink must refuse —
+    silently applying an empty batch while the ledger commits would
+    permanently suppress the replay (data loss)."""
+    import verified_sources_spark.sources.duckdb_writer as w
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    real_listdir = w.os.listdir
+    stage = str(tmp_path / "stg")
+
+    def fake_listdir(path):
+        if path == stage:
+            return ["_SUCCESS"]  # what the driver sees with local executor disks
+        return real_listdir(path)
+
+    monkeypatch.setattr(w.os, "listdir", fake_listdir)
+    with pytest.raises(RuntimeError, match="shared"):
+        write_duckdb(df, db, "t_vis", disposition="append", staging_dir=stage)
+    # no ledger row was committed either — the batch remains replayable
+    con = duckdb.connect(db, read_only=True)
+    tables = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    con.close()
+    assert "t_vis" not in tables

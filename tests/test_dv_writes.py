@@ -339,3 +339,38 @@ def test_manifest_stream_refuses_dv_widening(spark, table, tmp_path):
         q2.awaitTermination(60)
         if q2.exception() is not None:
             raise q2.exception()
+
+
+def test_partitioned_change_data_refuses_before_writing_dvs(spark, tmp_path):
+    """change_data on a partitioned table is unsupported; the refusal
+    must fire BEFORE any DV file is materialized (raising after
+    _write_dvs would leave orphan DV sidecars only vacuum reclaims)."""
+    t = ManifestTable(spark, str(tmp_path / "pt"), partition_by=["par"])
+    t.append(
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd", i * 10) for i in range(8)],
+            "id long, par string, val long",
+        )
+    )
+    v1 = t.latest_version()
+
+    def _dv_files():
+        root = os.path.join(str(tmp_path / "pt"), "_deletes")
+        if not os.path.isdir(root):
+            return []
+        return [f for f in os.listdir(root)]
+
+    with pytest.raises(NotImplementedError):
+        t.delete_where("id IN (1, 3)", change_data=True)
+    assert _dv_files() == []  # no orphan DV from the refused delete
+    with pytest.raises(NotImplementedError):
+        t.merge(
+            spark.createDataFrame([(1, "odd", 99)], "id long, par string, val long"),
+            keys=["id"], row_level=True, change_data=True,
+        )
+    assert _dv_files() == []
+    assert t.latest_version() == v1  # nothing committed
+    # and without change_data the partitioned row-level delete still works
+    v2 = t.delete_where("id IN (1, 3)")
+    assert v2 == v1 + 1
+    assert {r.id for r in t.read().collect()} == {0, 2, 4, 5, 6, 7}

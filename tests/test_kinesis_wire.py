@@ -327,3 +327,20 @@ def test_stream_reader_max_records_per_batch(endpoint):
         ("shardId-000", "s0-1", "s0-2"),
         ("shardId-002", "s2-1", "s2-2"),
     ]
+
+
+def test_stream_reader_rejects_nonpositive_cap(endpoint):
+    """``maxRecordsPerBatch=0`` must be rejected at option parse time:
+    "0" is a truthy string, and accepting it would make every probe
+    break before reading anything — a stream that stalls forever with
+    no error."""
+    from verified_sources_spark.streaming.datasources import (
+        _KinesisWireStreamReader,
+    )
+
+    for bad in ("0", "-3"):
+        with pytest.raises(ValueError, match="maxRecordsPerBatch"):
+            _KinesisWireStreamReader(
+                {"endpoint": _url(endpoint), "stream": "events",
+                 "maxRecordsPerBatch": bad}
+            )

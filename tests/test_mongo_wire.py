@@ -394,3 +394,20 @@ def test_load_collection_parallel_respects_filter_and_limit(spark, mongod):
     assert len(got) == 5
     silver = {d["name"] for d in DOCS if d["meta"]["tier"] == "silver"}
     assert {r.name for r in got} <= silver
+
+
+def test_bson_datetime_millisecond_exactness():
+    """Datetime encoding must use exact integer math: float64
+    total_seconds() rounds and int() truncates toward zero, shifting
+    some values by 1 ms (e.g. .123 -> .122) and breaking equality
+    filters against server-stored values.  Pre-1970 floors, not
+    truncates."""
+    cases = [
+        dt.datetime(2023, 7, 14, 12, 0, 0, 123000, tzinfo=UTC),
+        dt.datetime(2038, 1, 19, 3, 14, 7, 999000, tzinfo=UTC),
+        dt.datetime(1963, 1, 1, 0, 0, 0, 1000, tzinfo=UTC),
+        dt.datetime(1901, 12, 13, 20, 45, 52, 1000, tzinfo=UTC),
+    ]
+    for d in cases:
+        out = decode_document(encode_document({"d": d}))["d"]
+        assert out == d, (d, out)

@@ -107,3 +107,18 @@ def test_audio_features_spark(spark):
     bad = got[4]
     assert bad["decoded_ok"] is False and bad["rms"] is None
     assert bad["n_bytes"] == len(b"not a wav")
+
+
+def test_odd_data_chunk_gets_riff_pad_byte():
+    """RIFF word alignment: 8-bit mono with an odd frame count emits a
+    pad byte after the data chunk (excluded from the chunk size,
+    included in the RIFF size) and still round-trips."""
+    import struct
+
+    samples = [0.0, 0.5, -0.5]  # 3 frames x 1 byte = odd data chunk
+    blob = encode(samples, 8000, bits=8)
+    riff_size = struct.unpack_from("<I", blob, 4)[0]
+    assert riff_size == len(blob) - 8  # pad byte counted in RIFF size
+    assert len(blob) % 2 == 0 and blob[-1:] == b"\x00"
+    meta = decode(blob)
+    assert meta["samples"].shape == (3, 1)

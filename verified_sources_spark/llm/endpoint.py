@@ -26,19 +26,56 @@ import urllib.error
 import urllib.request
 from collections.abc import Callable
 
+from verified_sources_spark.sources.rest import RestClient, Transport, TransportError
+
 PROMPT_TEMPLATE = (
     "Answer the question using only the context.\n"
     "Context:\n{text}\n\nQuestion: {query}\nAnswer:"
 )
 
 
-class LlmEndpointError(Exception):
+class LlmEndpointError(TransportError):
     """Non-retriable endpoint failure (4xx other than 429, retries
-    exhausted, or a malformed response body)."""
+    exhausted, or a malformed response body).  Subclasses
+    ``rest.TransportError`` so ``RestClient._request`` — the ONE
+    retry/backoff/Retry-After policy in the engine — drives the retry
+    loop; this module holds no second copy of that policy."""
 
-    def __init__(self, status: int, message: str = ""):
-        super().__init__(f"LLM endpoint error {status}: {message}")
-        self.status = status
+    def __init__(self, status: int, message: str = "", retry_after: float | None = None):
+        super().__init__(status, message, retry_after=retry_after)
+
+
+class _CompletionsTransport(Transport):
+    """POST-JSON transport over stdlib urllib (executor-safe, nothing to
+    install): ``request(url, params)`` POSTs *params* as the JSON body.
+    Non-2xx raises :class:`LlmEndpointError` carrying ``Retry-After``,
+    which ``RestClient``'s retry loop consumes unchanged."""
+
+    def __init__(self, api_key: str | None, timeout: float):
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def request(self, url: str, params: dict) -> tuple[dict, dict]:
+        headers = {"Content-Type": "application/json"}
+        if self.api_key is not None:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            url, data=json.dumps(params).encode(), headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode()), dict(resp.headers)
+        except urllib.error.HTTPError as e:
+            ra = e.headers.get("Retry-After")
+            retry_after = None
+            if ra is not None:
+                try:
+                    retry_after = float(ra)
+                except ValueError:
+                    retry_after = None
+            raise LlmEndpointError(
+                e.code, e.read().decode(errors="replace")[:500], retry_after=retry_after
+            ) from None
 
 
 class LlmEndpointClient:
@@ -67,51 +104,20 @@ class LlmEndpointClient:
         sleep: Callable[[float], None] = time.sleep,
     ):
         self.url = base_url.rstrip("/") + "/v1/completions"
-        self.api_key = api_key
         self.model = model
         self.max_tokens = max_tokens
-        self.timeout = timeout
-        self.max_retries = max_retries
-        self.backoff_base = backoff_base
-        self.sleep = sleep
-
-    def _post_once(self, payload: bytes) -> dict:
-        headers = {"Content-Type": "application/json"}
-        if self.api_key is not None:
-            headers["Authorization"] = f"Bearer {self.api_key}"
-        req = urllib.request.Request(
-            self.url, data=payload, headers=headers, method="POST"
+        self._rest = RestClient(
+            _CompletionsTransport(api_key, timeout),
+            max_retries=max_retries,
+            backoff_base=backoff_base,
+            sleep=sleep,
         )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read().decode())
-        except urllib.error.HTTPError as e:
-            ra = e.headers.get("Retry-After")
-            retry_after = None
-            if ra is not None:
-                try:
-                    retry_after = float(ra)
-                except ValueError:
-                    retry_after = None
-            err = LlmEndpointError(e.code, e.read().decode(errors="replace")[:500])
-            err.retry_after = retry_after
-            raise err from None
 
     def _post(self, body: dict) -> dict:
-        payload = json.dumps(body).encode()
-        attempt = 0
-        while True:
-            try:
-                return self._post_once(payload)
-            except LlmEndpointError as e:
-                retriable = e.status == 429 or e.status >= 500
-                if not retriable or attempt >= self.max_retries:
-                    raise
-                delay = getattr(e, "retry_after", None)
-                if delay is None:
-                    delay = self.backoff_base * (2**attempt)
-                self.sleep(delay)
-                attempt += 1
+        # RestClient._request owns retry/backoff/Retry-After (tested in
+        # test_http_transport.py); the transport raises LlmEndpointError,
+        # a TransportError, so callers see this module's exception type
+        return self._rest._request(self.url, body)[0]
 
     def complete_batch(self, prompts: list[str]) -> list[str | None]:
         """One POST for the whole batch; answers positionally aligned

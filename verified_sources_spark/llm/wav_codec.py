@@ -134,9 +134,13 @@ def encode(samples, sample_rate: int, bits: int = 16) -> bytes:
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
         block_align, bits,
     )
+    # RIFF chunks are word-aligned: an odd-sized data chunk carries a
+    # trailing pad byte EXCLUDED from the chunk size but included in the
+    # RIFF size (8-bit mono with an odd frame count hits this)
+    pad = b"\x00" if len(pcm) % 2 else b""
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + b"data" + struct.pack("<I", len(pcm)) + pcm + pad
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -672,6 +672,13 @@ class ManifestTable:
         m = self._manifest(base)
         if not m["files"]:
             return None
+        if change_data and self.partition_by:
+            # fail BEFORE any DV file is materialized: _write_change_files
+            # refuses partitioned tables, and raising after _write_dvs
+            # would leave orphan DV sidecars only vacuum reclaims
+            raise NotImplementedError(
+                "change_data=True is not supported on partitioned tables"
+            )
         snap = self._entries_df(m["files"], with_meta=True)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hits = snap.filter(cond)
@@ -716,6 +723,11 @@ class ManifestTable:
         files (insert / delete / update_preimage / update_postimage) that
         :meth:`read_changes` and the Delta export's ``cdc`` actions
         serve — the lakehouse CDF contract."""
+        if change_data and self.partition_by:
+            # fail BEFORE DV files are materialized (see delete_where)
+            raise NotImplementedError(
+                "change_data=True is not supported on partitioned tables"
+            )
         base = self.latest_version() or 0
         m = self._manifest(base)
         target = self._entries_df(m["files"], with_meta=True) if m["files"] else None

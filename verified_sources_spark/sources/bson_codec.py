@@ -194,7 +194,12 @@ def _encode_value(name: str, v) -> bytes:
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
-        ms = int((v - _EPOCH).total_seconds() * 1000)
+        # exact integer math (pymongo-style): float64 total_seconds()
+        # rounds at ~2^53 us and int() truncates toward zero, shifting
+        # values by 1 ms and breaking encode(decode(x)) == x
+        delta = v - _EPOCH
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        ms = us // 1000  # floor division: correct for pre-1970 too
         return b"\x09" + n + struct.pack("<q", ms)
     if isinstance(v, Timestamp):
         return b"\x11" + n + struct.pack("<Q", (v.time << 32) | v.inc)

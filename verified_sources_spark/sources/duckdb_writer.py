@@ -169,11 +169,29 @@ def write_duckdb(
         if parts:
             src = f"read_parquet({_lit(os.path.join(stage_root, '*.parquet'))})"
         else:
+            # No part files visible on the driver.  Legitimate only for a
+            # genuinely empty batch: on a multi-node cluster with a
+            # non-shared staging_dir the executors' parquet lands on THEIR
+            # disks and the driver would silently apply nothing while the
+            # ledger still commits — permanent data loss.  Refuse that.
+            if not df.isEmpty():
+                raise RuntimeError(
+                    "staged parquet not visible from the driver: staging_dir "
+                    f"{stage_root!r} must be on a filesystem shared by the "
+                    "driver and all executors (use a shared mount or "
+                    "distributed FS path)"
+                )
             # a 0-row df whose writer emitted no part files: an empty
-            # arrow relation with the right column names stands in
+            # arrow relation carrying the DataFrame's REAL types stands in
+            # (pa.table({name: []}) would infer null->INTEGER and poison
+            # the created/evolved target's column types)
             import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-            con.register("_vss_empty_rel", pa.table({f.name: [] for f in fields}))
+            con.register(
+                "_vss_empty_rel",
+                pa.Table.from_pylist([], schema=to_arrow_schema(df.schema)),
+            )
             src = "_vss_empty_rel"
         staged = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
 

@@ -272,6 +272,13 @@ class _KinesisWireStreamReader(DataSourceStreamReader):
             "max_records_per_batch"
         )
         self.max_records = int(raw_cap) if raw_cap else None
+        if self.max_records is not None and self.max_records <= 0:
+            # "0" is truthy as a string: without this guard fetch_stream's
+            # limit goes <=0, every probe breaks before reading, and the
+            # stream stalls forever with no error
+            raise ValueError(
+                f"maxRecordsPerBatch must be positive, got {self.max_records}"
+            )
         # last probed tip per shard; after a restart the first probe
         # re-walks retained records from the horizon (metadata-sized
         # state, data-sized network) — partitions() still slices exactly
