@@ -868,27 +868,50 @@ def _partition_avro_schema(part_fields: list[tuple[str, str]]) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def _manifest_entry_schema(part_schema: dict) -> dict:
+def _manifest_entry_schema(part_schema: dict, format_version: int = 1) -> dict:
+    """Manifest-entry Avro schema with the spec's field ids.  v2 adds
+    ``data_file.content`` (0 data / 1 position deletes / 2 equality
+    deletes), the optional per-entry ``sequence_number`` (null on ADDED
+    entries → inherits the manifest-list entry's, the spec's inheritance
+    rule), and drops v1's ``block_size_in_bytes``."""
     df_fields = [
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
         {"name": "partition", "type": part_schema, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
     ]
+    entry_fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+    ]
+    if format_version >= 2:
+        df_fields.insert(
+            0, {"name": "content", "type": "int", "field-id": 134}
+        )
+        entry_fields.append(
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3}
+        )
+        entry_fields.append(
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4}
+        )
+    else:
+        df_fields.append(
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105}
+        )
+    entry_fields.append(
+        {
+            "name": "data_file",
+            "type": {"type": "record", "name": "r2", "fields": df_fields},
+            "field-id": 2,
+        }
+    )
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
-            {
-                "name": "data_file",
-                "type": {"type": "record", "name": "r2", "fields": df_fields},
-                "field-id": 2,
-            },
-        ],
+        "fields": entry_fields,
     }
 
 
@@ -903,6 +926,29 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_data_files_count", "type": ["null", "int"], "default": None, "field-id": 504},
         {"name": "existing_data_files_count", "type": ["null", "int"], "default": None, "field-id": 505},
         {"name": "deleted_data_files_count", "type": ["null", "int"], "default": None, "field-id": 506},
+    ],
+}
+
+# v2 manifest-list entries additionally carry the manifest's content kind
+# (0 data / 1 deletes) and the sequence numbers delete application keys
+# off; field ids per the spec's manifest_file table
+_MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
 
@@ -938,7 +984,15 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     identity-partitioned tables resolve partition source columns missing
     from data files via the partition tuple, which matches how
     ManifestTable lays files out (hive dirs, columns dropped from files).
-    """
+
+    Snapshots carrying DELETION VECTORS (``delete_where`` /
+    ``merge(row_level=True)``) export as **format-version 2** with the
+    DV bitmaps converted to Iceberg POSITION DELETE files: one sorted
+    (file_path, pos) parquet referenced from a ``content=1`` delete
+    manifest at the snapshot's sequence number, so any v2 reader masks
+    exactly the rows the manifest's DVs mask.  DV-less tables keep the
+    maximally-compatible v1 export; once v2, always v2 (the spec forbids
+    downgrades)."""
     fs = table.fs
     root = table.path.rstrip("/")
     mv = version if version is not None else table.latest_version()
@@ -969,6 +1023,20 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     next_v = (existing[-1] + 1) if existing else 1
     snapshot_id = next_v
 
+    prev_snapshots: list[dict] = []
+    prev_fmt = 1
+    if existing:
+        prev = json.loads(fs.read_text(f"{md}/v{existing[-1]}.metadata.json"))
+        prev_snapshots = prev.get("snapshots", [])
+        prev_fmt = int(prev.get("format-version", 1))
+    dv_entries = [e for e in manifest["files"] if e.get("dv")]
+    # DV'd snapshots need row-level deletes → format-version 2 with
+    # position-delete files; once a table is v2 it stays v2 (the spec
+    # forbids downgrades), DV-less tables keep the maximally-compatible
+    # v1 export unchanged
+    fmt = 2 if (dv_entries or prev_fmt >= 2) else 1
+    seq = next_v  # one sequence number per exported snapshot (v2)
+
     part_avro = _partition_avro_schema(part_fields)
     entries = []
     for e in manifest["files"]:
@@ -977,20 +1045,27 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
             for c, t in part_fields
         }
         stats = e.get("stats") or {}
-        entries.append(
-            {
-                "status": 1,  # ADDED (snapshot is self-contained)
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": f"{root}/{e['path']}",
-                    "file_format": "PARQUET",
-                    "partition": part_rec,
-                    "record_count": int(stats.get("rows") or 0),
-                    "file_size_in_bytes": int(e.get("bytes") or 0),
-                    "block_size_in_bytes": 64 * 1024 * 1024,
-                },
-            }
-        )
+        df_rec = {
+            "file_path": f"{root}/{e['path']}",
+            "file_format": "PARQUET",
+            "partition": part_rec,
+            "record_count": int(stats.get("rows") or 0),
+            "file_size_in_bytes": int(e.get("bytes") or 0),
+        }
+        entry = {
+            "status": 1,  # ADDED (snapshot is self-contained)
+            "snapshot_id": snapshot_id,
+            "data_file": df_rec,
+        }
+        if fmt >= 2:
+            df_rec["content"] = 0
+            # null → inherits the manifest-list entry's sequence number
+            # (the spec's ADDED-entry inheritance rule)
+            entry["sequence_number"] = None
+            entry["file_sequence_number"] = None
+        else:
+            df_rec["block_size_in_bytes"] = 64 * 1024 * 1024
+        entries.append(entry)
     ice_schema_json = json.dumps(ice_schema, separators=(",", ":"))
     spec_fields = [
         {
@@ -1012,46 +1087,172 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
     # file-metadata — runtimes' ManifestReaders key off them, not the
     # table metadata JSON.
     manifest_bytes = write_container(
-        _manifest_entry_schema(part_avro),
+        _manifest_entry_schema(part_avro, fmt),
         entries,
         metadata={
             "schema": ice_schema_json,
             "schema-id": "0",
             "partition-spec": json.dumps(spec_fields, separators=(",", ":")),
             "partition-spec-id": "0",
-            "format-version": "1",
+            "format-version": str(fmt),
             "content": "data",
         },
     )
     fs.write_bytes(f"{root}/{manifest_rel}", manifest_bytes)
 
+    # ---- position deletes: each DV'd data file's masked row indexes
+    # become (file_path, pos) rows, sorted by (path, pos) per spec, in
+    # ONE delete parquet referenced from a content=1 manifest.  The
+    # delete manifest rides the UNPARTITIONED spec (path-scoped position
+    # deletes are global — the file_path column IS the scope), which for
+    # a partitioned table is an extra spec entry in partition-specs.
+    # Scale shape: Iceberg's position-delete format is inherently
+    # row-per-deleted-position (unlike Delta's bitmap-sized DV export),
+    # so this write is O(deleted rows) — driver-side pyarrow, bounded by
+    # the table's total DV cardinality.
+    delete_manifest: tuple[str, bytes, int] | None = None  # (rel, bytes, nrows)
+    delete_spec_id = 0 if not part_fields else 1
+    if dv_entries and fmt >= 2:
+        from verified_sources_spark.operators.deletion_vectors import (
+            dv_row_indexes,
+        )
+
+        paths: list[str] = []
+        poss: list[int] = []
+        for e in sorted(dv_entries, key=lambda e: e["path"]):
+            fp = f"{root}/{e['path']}"
+            for p in dv_row_indexes(root, e["dv"]):  # ascending per file
+                paths.append(fp)
+                poss.append(int(p))
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(paths, pa.string()),
+                    "pos": pa.array(poss, pa.int64()),
+                }
+            ),
+            buf,
+        )
+        delete_rel = f"metadata/delete-{next_v}-{export_uid}.parquet"
+        delete_bytes = buf.getvalue()
+        fs.write_bytes(f"{root}/{delete_rel}", delete_bytes)
+        del_entry = {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,  # position deletes
+                "file_path": f"{root}/{delete_rel}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(poss),
+                "file_size_in_bytes": len(delete_bytes),
+            },
+        }
+        del_rel = f"metadata/manifest-del-{next_v}-{export_uid}.avro"
+        del_bytes = write_container(
+            _manifest_entry_schema(_partition_avro_schema([]), fmt),
+            [del_entry],
+            metadata={
+                "schema": ice_schema_json,
+                "schema-id": "0",
+                "partition-spec": "[]",
+                "partition-spec-id": str(delete_spec_id),
+                "format-version": str(fmt),
+                "content": "deletes",
+            },
+        )
+        fs.write_bytes(f"{root}/{del_rel}", del_bytes)
+        delete_manifest = (del_rel, del_bytes, len(poss))
+
     mlist_rel = f"metadata/snap-{snapshot_id}-{export_uid}-manifest-list.avro"
-    mlist_bytes = write_container(
-        _MANIFEST_LIST_SCHEMA,
-        [
+    total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    if fmt >= 2:
+        mlist_entries = [
             {
                 "manifest_path": f"{root}/{manifest_rel}",
                 "manifest_length": len(manifest_bytes),
                 "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(entries),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
             }
-        ],
-        metadata={
-            "format-version": "1",
-            "snapshot-id": str(snapshot_id),
-        },
-    )
+        ]
+        if delete_manifest is not None:
+            del_rel, del_bytes, del_rows = delete_manifest
+            mlist_entries.append(
+                {
+                    "manifest_path": f"{root}/{del_rel}",
+                    "manifest_length": len(del_bytes),
+                    "partition_spec_id": delete_spec_id,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": del_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+        mlist_bytes = write_container(
+            _MANIFEST_LIST_SCHEMA_V2,
+            mlist_entries,
+            metadata={
+                "format-version": "2",
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": str(seq),
+            },
+        )
+    else:
+        mlist_bytes = write_container(
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"{root}/{manifest_rel}",
+                    "manifest_length": len(manifest_bytes),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": len(entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                }
+            ],
+            metadata={
+                "format-version": "1",
+                "snapshot-id": str(snapshot_id),
+            },
+        )
     fs.write_bytes(f"{root}/{mlist_rel}", mlist_bytes)
 
-    prev_snapshots = []
-    if existing:
-        prev = json.loads(fs.read_text(f"{md}/v{existing[-1]}.metadata.json"))
-        prev_snapshots = prev.get("snapshots", [])
+    snap_entry = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": 0,
+        "summary": {"operation": "overwrite" if dv_entries else "append"},
+        "manifest-list": f"{root}/{mlist_rel}",
+        "schema-id": 0,
+    }
+    partition_specs = [{"spec-id": 0, "fields": spec_fields}]
+    if delete_spec_id == 1:
+        partition_specs.append({"spec-id": 1, "fields": []})
     meta = {
-        "format-version": 1,
+        "format-version": fmt,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),
         "location": root,
         "last-updated-ms": 0,  # deterministic export, like the Delta path
@@ -1062,21 +1263,21 @@ def export_manifest_as_iceberg(table, version: int | None = None) -> str:
         "schemas": [ice_schema],
         "current-schema-id": 0,
         "partition-spec": spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "partition-specs": partition_specs,
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": snapshot_id,
-        "snapshots": prev_snapshots
-        + [
-            {
-                "snapshot-id": snapshot_id,
-                "timestamp-ms": 0,
-                "summary": {"operation": "append"},
-                "manifest-list": f"{root}/{mlist_rel}",
-                "schema-id": 0,
-            }
-        ],
+        "snapshots": prev_snapshots + [snap_entry],
     }
+    if fmt >= 2:
+        snap_entry["sequence-number"] = seq
+        # v1→v2 upgrade rule: pre-upgrade snapshots read as sequence 0
+        for s in prev_snapshots:
+            s.setdefault("sequence-number", 0)
+        meta["last-sequence-number"] = seq
+        meta["last-partition-id"] = 999 + len(spec_fields)
+        meta["sort-orders"] = [{"order-id": 0, "fields": []}]
+        meta["default-sort-order-id"] = 0
     out_path = f"{md}/v{next_v}.metadata.json"
     # the metadata JSON is the commit atom — route it through the table's
     # commit backend (same as the Delta export) so two concurrent
