@@ -700,3 +700,90 @@ def test_promote_exclusive_never_overwrites(tmp_path):
     with pytest.raises(FileExistsError):
         fs.promote_exclusive(s2, dst)
     assert fs.read_text(dst) == "one"  # loser's content stayed invisible
+
+
+# ---------------------------------------------------- metadata-only aggregates
+def test_stats_aggregate_answers_without_touching_data(spark, tmp_path):
+    """count(*)/min/max served from manifest metadata alone: exact
+    against a real scan, and provably scan-free — the answer survives
+    the data bytes being truncated out from under the table."""
+    import datetime
+
+    from verified_sources_spark.operators.table_format import StatsNotServable
+
+    t = ManifestTable(spark, str(tmp_path / "agg"), partition_by=["g"])
+    rows = [
+        (i, "g%d" % (i % 3), float(i) * 1.5, datetime.date(2024, 1, 1 + i % 20),
+         "s%d" % i)
+        for i in range(50)
+    ]
+    t.append(
+        spark.createDataFrame(
+            rows, "id long, g string, val double, d date, s string"
+        ).repartition(4)
+    )
+    got = t.stats_aggregate(
+        {"n": ("count", "*"), "lo": ("min", "id"), "hi": ("max", "id"),
+         "vmax": ("max", "val"), "dmin": ("min", "d")}
+    )
+    import pyspark.sql.functions as F
+
+    want = t.read().agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("lo"),
+        F.max("id").alias("hi"), F.max("val").alias("vmax"),
+        F.min("d").alias("dmin"),
+    ).first().asDict()
+    assert got == want
+
+    # partition-equality scoping is exact
+    assert t.stats_aggregate({"n": ("count", "*")}, where=[("g", "=", "g0")]) == {
+        "n": sum(1 for r in rows if r[1] == "g0")
+    }
+    assert t.stats_aggregate(
+        {"n": ("count", "*")}, where=[("g", "in", ["g1", "g2"])]
+    ) == {"n": sum(1 for r in rows if r[1] in ("g1", "g2"))}
+
+    # refusals are loud: string min/max (footer truncation), non-partition
+    # predicates, per-column counts
+    for bad_aggs, bad_where in [
+        ({"x": ("min", "s")}, None),
+        ({"n": ("count", "*")}, [("id", ">", 5)]),
+        ({"n": ("count", "id")}, None),
+    ]:
+        with pytest.raises(StatsNotServable):
+            t.stats_aggregate(bad_aggs, where=bad_where)
+
+    # provably metadata-only: truncate every data file — the stats answer
+    # is unchanged while a real scan would now fail
+    for dirpath, _dirs, files in os.walk(str(tmp_path / "agg" / "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                open(os.path.join(dirpath, f), "wb").close()
+    assert t.stats_aggregate({"n": ("count", "*"), "hi": ("max", "id")}) == {
+        "n": 50, "hi": 49,
+    }
+
+
+def test_aggregate_falls_back_and_dv_semantics(spark, tmp_path):
+    """aggregate() serves from metadata when exact and silently runs the
+    one pruned scan otherwise; deletion vectors keep count(*) exact but
+    refuse min/max (the DV may mask the extremal row)."""
+    from verified_sources_spark.operators.table_format import StatsNotServable
+
+    t = ManifestTable(spark, str(tmp_path / "aggdv"))
+    t.append(
+        spark.createDataFrame(
+            [(i, "s%d" % i) for i in range(30)], "id long, s string"
+        ).repartition(3)
+    )
+    t.delete_where("id < 5")
+    assert t.stats_aggregate({"n": ("count", "*")}) == {"n": 25}
+    with pytest.raises(StatsNotServable):
+        t.stats_aggregate({"lo": ("min", "id")})
+    # fallback path computes the exact post-DV extrema and string min
+    assert t.aggregate({"lo": ("min", "id"), "smin": ("min", "s")}) == {
+        "lo": 5, "smin": "s10",
+    }
+    # time travel: the pre-delete snapshot still serves from metadata
+    assert t.stats_aggregate({"n": ("count", "*"), "lo": ("min", "id")},
+                             version=1) == {"n": 30, "lo": 0}

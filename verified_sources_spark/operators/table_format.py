@@ -54,6 +54,14 @@ from verified_sources_spark.operators.fs import (
 from verified_sources_spark.operators.merge import merge_dataframes
 
 
+class StatsNotServable(Exception):
+    """A metadata-only aggregate cannot be answered EXACTLY from the
+    manifest (missing stats, deletion vectors masking potential extremal
+    rows, untrusted stat encodings, or a non-partition predicate).
+    Callers fall back to a real scan — :meth:`ManifestTable.aggregate`
+    does so automatically."""
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first — re-resolve and retry."""
 
@@ -491,6 +499,170 @@ class ManifestTable:
                      "<=": c <= F.lit(value)}[op]
                 )
         return df
+
+    # ------------------------------------------------- metadata-only aggregates
+    #
+    # At 100 TB, `SELECT count(*)` / `min(ts)` / `max(ts)` over a table
+    # answered by SCANNING is the single most wasteful query a pipeline
+    # runs (every orchestrator heart-beats them).  The manifest already
+    # carries exact per-file row counts, per-column min/max, DV
+    # cardinalities, and partition values — so these aggregates are
+    # servable in O(files) driver time with ZERO executor work, exactly
+    # the Delta/Iceberg metadata-query model.  Exactness rules are strict
+    # and refusals loud: a wrong fast answer is worse than a slow one.
+
+    # min/max are served only for types whose stat encoding round-trips
+    # exactly: strings can be FOOTER-TRUNCATED by parquet writers and
+    # decimals are float-encoded in the manifest (both would serve a
+    # bound, not the true extremum)
+    _EXACT_MINMAX_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DateType, T.TimestampType, T.BooleanType,
+    )
+
+    @staticmethod
+    def _decode_stat(enc, dtype):
+        if enc is None:
+            return None
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(enc)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(enc)
+        if isinstance(dtype, T.BooleanType):
+            return enc if isinstance(enc, bool) else str(enc).lower() == "true"
+        if isinstance(dtype, T.DateType):
+            return datetime.date.fromisoformat(str(enc))
+        if isinstance(dtype, T.TimestampType):
+            return datetime.datetime.fromisoformat(str(enc))
+        return enc
+
+    def stats_aggregate(
+        self,
+        aggs: dict,
+        where: Sequence[tuple] | None = None,
+        version: int | None = None,
+    ) -> dict:
+        """Answer aggregates from manifest metadata alone — no Spark job.
+
+        ``aggs`` maps output names to ``("count", "*")`` or
+        ``("min"|"max", column)``.  ``where`` (optional) is a list of
+        ``(col, "="|"in", value)`` tuples over PARTITION columns — the
+        only predicate class whose pruning is exact by construction.
+
+        Served exactly or not at all (:class:`StatsNotServable`):
+        count(*) = Σ file rows − Σ DV cardinalities (always exact when
+        every file recorded a row count); min/max require footer stats on
+        every surviving file, an exactly-round-tripping type, and NO
+        deletion vector anywhere (a DV may mask the extremal row)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        m = self._manifest(v)
+        entries = m["files"]
+        if where:
+            from verified_sources_spark.operators.merge import ParquetSink
+
+            for col, op, val in where:
+                if col not in self.partition_by or op not in ("=", "in"):
+                    raise StatsNotServable(
+                        "only equality predicates on partition columns are "
+                        f"metadata-servable, got {col!r} {op!r}"
+                    )
+                vals = list(val) if op == "in" else [val]
+                rendered = {ParquetSink._part_dir_value(x) for x in vals}
+                entries = [
+                    e
+                    for e in entries
+                    if (e.get("partition") or {}).get(col) in rendered
+                ]
+        fields = (
+            {f.name: f.dataType for f in T.StructType.fromJson(
+                json.loads(m["schema"])).fields}
+            if m.get("schema")
+            else {}
+        )
+        out: dict = {}
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                if col != "*":
+                    raise StatsNotServable(
+                        "count is metadata-servable only as count(*) — "
+                        "per-column null counts are not recorded"
+                    )
+                total = 0
+                for e in entries:
+                    rows = (e.get("stats") or {}).get("rows")
+                    if rows is None:
+                        raise StatsNotServable(
+                            f"file {e['path']} has no recorded row count"
+                        )
+                    total += int(rows)
+                    if e.get("dv"):
+                        total -= int(e["dv"]["cardinality"])
+                out[name] = total
+            elif fn in ("min", "max"):
+                dtype = fields.get(col)
+                if dtype is None or not isinstance(dtype, self._EXACT_MINMAX_TYPES):
+                    raise StatsNotServable(
+                        f"min/max on {col!r} ({dtype}) is not exactly "
+                        "metadata-servable (string stats may be footer-"
+                        "truncated, decimal stats are float-encoded)"
+                    )
+                best = None
+                for e in entries:
+                    if e.get("dv"):
+                        raise StatsNotServable(
+                            f"file {e['path']} carries a deletion vector — "
+                            "its extremal rows may be masked"
+                        )
+                    part = e.get("partition") or {}
+                    if col in part:
+                        enc = part[col]
+                        if enc == "__HIVE_DEFAULT_PARTITION__":
+                            continue  # all-null for this column: min/max skip nulls
+                        val = self._decode_stat(enc, dtype)
+                    else:
+                        enc = ((e.get("stats") or {}).get(fn) or {}).get(col)
+                        if enc is None:
+                            raise StatsNotServable(
+                                f"file {e['path']} has no {fn} stat for {col!r}"
+                            )
+                        val = self._decode_stat(enc, dtype)
+                    if best is None:
+                        best = val
+                    elif fn == "min":
+                        best = val if val < best else best
+                    else:
+                        best = val if val > best else best
+                out[name] = best
+            else:
+                raise ValueError(f"unknown aggregate {fn!r} (count|min|max)")
+        return out
+
+    def aggregate(
+        self,
+        aggs: dict,
+        where: Sequence[tuple] | None = None,
+        version: int | None = None,
+    ) -> dict:
+        """:meth:`stats_aggregate` when exactly servable, else ONE pruned
+        Spark scan computing the identical result — the caller always
+        gets the exact answer, metadata-fast when the manifest allows."""
+        try:
+            return self.stats_aggregate(aggs, where=where, version=version)
+        except StatsNotServable:
+            pass
+        df = self.scan(where, version=version) if where else self.read(version)
+        exprs = []
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(name))
+            elif fn in ("min", "max"):
+                exprs.append(getattr(F, fn)(col).alias(name))
+            else:
+                raise ValueError(f"unknown aggregate {fn!r} (count|min|max)")
+        row = df.agg(*exprs).first()
+        return {k: row[k] for k in aggs}
 
     # --------------------------------------------------------------- writes
     #
