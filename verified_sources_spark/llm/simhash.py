@@ -165,34 +165,61 @@ def simhash_dedup_groups(
     exactly where sorted adjacency chains the whole cluster together.
     """
     bits = _bits_of(base_hash)
+    sig = simhash64(df, id_col, text_col, base_hash).localCheckpoint(eager=False)
+    # id spine from the INPUT, not the signature table: docs with zero
+    # tokens produce no explode rows (hence no signature) but must still
+    # appear in the output as their own singleton group
+    return fingerprint_dedup_groups(
+        sig, id_col, "simhash", bits=bits, max_hamming=max_hamming,
+        n_bands=n_bands, neighbor_window=neighbor_window,
+        all_ids=df.select(id_col),
+    )
+
+
+def fingerprint_dedup_groups(
+    sig: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    neighbor_window: int = 8,
+    all_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(id, group, group_size) near-duplicate groups over a PRECOMPUTED
+    64-bit-or-less fingerprint column — the banded sorted-probe + hash-min
+    connected-components machinery of :func:`simhash_dedup_groups`,
+    reusable for any hamming-space fingerprint (simhash over tokens,
+    perceptual image hashes, …).  ``all_ids`` (optional) is the id spine:
+    ids present there but absent from ``sig`` (undecodable assets, empty
+    docs) come back as their own singleton groups."""
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
     assert bits % n_bands == 0
     band_bits = bits // n_bands
-    sig = simhash64(df, id_col, text_col, base_hash).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(fp_col).alias("__fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        _band(F.col("simhash"), i, band_bits).alias("band_val"),
+                        _band(F.col(fp_col), i, band_bits).alias("band_val"),
                     )
                     for i in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    ).select(id_col, "__fp", "band.band_idx", "band.band_val")
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band_idx", "band_val").orderBy("simhash", id_col)
+    w = Window.partitionBy("band_idx", "band_val").orderBy("__fp", id_col)
     lagged = banded.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col("__fp"),
         *[F.lag(F.col(id_col), k).over(w).alias(f"_nid{k}") for k in range(1, neighbor_window + 1)],
-        *[F.lag(F.col("simhash"), k).over(w).alias(f"_nsh{k}") for k in range(1, neighbor_window + 1)],
+        *[F.lag(F.col("__fp"), k).over(w).alias(f"_nsh{k}") for k in range(1, neighbor_window + 1)],
     )
     edge_parts = [
         lagged.select(
@@ -201,7 +228,7 @@ def simhash_dedup_groups(
         ).filter(
             F.col(f"_nid{k}").isNotNull()
             & (
-                F.bit_count(F.col("simhash").bitwiseXOR(F.col(f"_nsh{k}")))
+                F.bit_count(F.col("__fp").bitwiseXOR(F.col(f"_nsh{k}")))
                 <= max_hamming
             )
         )
@@ -215,10 +242,9 @@ def simhash_dedup_groups(
     from verified_sources_spark.llm.neardup import connected_components
 
     comp = connected_components(edges)
-    # id spine from the INPUT, not the signature table: docs with zero
-    # tokens produce no explode rows (hence no signature) but must still
-    # appear in the output as their own singleton group
-    ids = df.select(F.col(id_col).alias("node")).distinct()
+    ids = (all_ids if all_ids is not None else sig.select(id_col)).select(
+        F.col(id_col).alias("node")
+    ).distinct()
     labeled = ids.join(comp, "node", "left").select(
         F.col("node").alias(id_col),
         F.coalesce(F.col("component"), F.col("node")).alias("group"),

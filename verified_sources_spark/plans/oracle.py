@@ -1475,3 +1475,16 @@ ORACLE_SQL["extract_fields_docs"] = """
            CAST(length(coalesce(text, '')) AS VARCHAR) AS length
     FROM documents
 """
+
+# Multimodal image decode probe: the minting rule (dims from doc_id,
+# every 17th payload truncated) is pure integer arithmetic; a value-hash
+# match proves the stdlib PNG encode->decode loop ran per row.
+ORACLE_SQL["image_decode_probe_docs"] = """
+    SELECT doc_id,
+           (doc_id % 17) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 17 <> 0
+                THEN CAST(16 + (doc_id % 4) * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 17 <> 0
+                THEN CAST(12 + (doc_id % 3) * 8 AS INTEGER) END AS height
+    FROM documents
+"""

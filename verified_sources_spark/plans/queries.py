@@ -1460,6 +1460,46 @@ def simhash_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_groups(d, "doc_id", "text", base_hash="md5_60")
 
 
+def image_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal IMAGE path end-to-end over documents: mint one
+    deterministic PNG per doc (dims derived from doc_id; docs with
+    ``doc_id % 17 == 0`` get a truncated payload — at scale a media
+    corpus WILL contain broken objects), then run the REAL pure-stdlib
+    decode via llm/image_dedup.image_dhash.  Output is (doc_id,
+    decoded_ok, width, height): the oracle replays the dim/corruption
+    arithmetic in SQL, so a value-hash match proves the encode→decode
+    loop succeeded on exactly the uncorrupted set and echoed the true
+    header dimensions.  The perceptual dHash itself (not SQL-expressible)
+    is covered by tests/test_image_dedup.py."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.image_dedup import image_dhash
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.png_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 12 + (did % 3) * 8
+                gray = bytes([did % 251]) * (w * h * 3)
+                png = encode(w, h, gray, "RGB")
+                rows.append(
+                    {"doc_id": did,
+                     "asset": png[:10] if did % 17 == 0 else png}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return image_dhash(assets).select(
+        "doc_id", "decoded_ok", "width", "height"
+    )
+
+
 def extract_fields_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM field extraction (§2.1 #32, reference unstructured_data):
     mapInPandas per-field Q&A over documents with the deterministic
@@ -1630,4 +1670,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_fixed_embeddings": ivf_topk_fixed_embeddings,
     "semantic_dedup_fixed_embeddings": semantic_dedup_fixed_embeddings,
     "extract_fields_docs": extract_fields_docs,
+    "image_decode_probe_docs": image_decode_probe_docs,
 }
