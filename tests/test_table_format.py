@@ -787,3 +787,58 @@ def test_aggregate_falls_back_and_dv_semantics(spark, tmp_path):
     # time travel: the pre-delete snapshot still serves from metadata
     assert t.stats_aggregate({"n": ("count", "*"), "lo": ("min", "id")},
                              version=1) == {"n": 30, "lo": 0}
+
+
+def test_compact_zorder_multidimensional_skipping(spark, tmp_path):
+    """layout='zorder' trades a little single-column precision for
+    useful min/max tightness on EVERY clustered dimension: a linear
+    (x, y) sort skips surgically on x but touches every file for a
+    y-predicate; Z-order skips on both.  Row content is untouched."""
+    import random
+
+    t = ManifestTable(spark, str(tmp_path / "zo"))
+    random.seed(7)
+    rows = [(i, random.randrange(10000), random.randrange(10000))
+            for i in range(40000)]
+    t.append(spark.createDataFrame(rows, "id long, x long, y long").repartition(16))
+
+    def touched(filters):
+        return len(t.candidate_entries(filters, None))
+
+    t.compact(target_file_bytes=60_000, cluster_by=["x", "y"])
+    n_linear = len(t._manifest(t.latest_version())["files"])
+    assert touched([("x", "<", 500)]) <= 2          # surgical on the lead col
+    assert touched([("y", "<", 500)]) == n_linear   # blind on the second
+
+    t.compact(target_file_bytes=60_000, cluster_by=["x", "y"], layout="zorder")
+    n_z = len(t._manifest(t.latest_version())["files"])
+    zx, zy = touched([("x", "<", 500)]), touched([("y", "<", 500)])
+    assert zx < n_z and zy < n_z  # useful skipping on BOTH dimensions
+    # physical-only: the scan result is exact either way
+    got = {r.id for r in t.scan([("x", "<", 500)]).collect()}
+    assert got == {r[0] for r in rows if r[1] < 500}
+
+
+def test_compact_zorder_validation_and_types(spark, tmp_path):
+    import datetime
+
+    t = ManifestTable(spark, str(tmp_path / "zov"))
+    t.append(
+        spark.createDataFrame(
+            [(i, "s%d" % i, datetime.date(2024, 1, 1 + i % 28), i * 1.5)
+             for i in range(2000)],
+            "id long, s string, d date, v double",
+        ).repartition(8)
+    )
+    with pytest.raises(ValueError, match="zorder"):
+        t.compact(cluster_by=["id"], layout="zorder")  # needs 2+ cols
+    with pytest.raises(ValueError, match="layout"):
+        t.compact(layout="bogus")
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        t.compact(cluster_by=["s", "id"], layout="zorder")
+    # date + double columns z-order fine and rows survive exactly
+    v = t.compact(target_file_bytes=20_000, cluster_by=["d", "v"],
+                  layout="zorder")
+    assert v is not None
+    assert t.read().count() == 2000
+    assert {r.id for r in t.scan([("v", "<", 100.0)]).collect()} == set(range(67))
