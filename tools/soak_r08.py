@@ -1,0 +1,122 @@
+"""Round-8 scale soaks: the round's new surfaces at 10-50x test size.
+
+Run: python tools/soak_r08.py  (local[32], prints one line per probe)
+"""
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from verified_sources_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, fn):
+    t0 = time.time()
+    out = fn()
+    print(f"{label}: {time.time()-t0:.2f}s {out if out is not None else ''}",
+          flush=True)
+    return out
+
+
+def main():
+    spark = get_spark("soak_r08")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="soak_r08_")
+
+    # ---- image dedup: 30k synthetic PNGs, linearity vs 10k
+    from verified_sources_spark.llm.image_dedup import image_dedup_groups
+
+    def minted(n):
+        import pandas as pd
+
+        def mint(batches):
+            import numpy as np
+            from verified_sources_spark.llm.png_codec import encode
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    w, h = 32, 24
+                    # ~n/50 clusters: a seeded low-res random pattern per
+                    # cluster, light per-image edits.  Structured content
+                    # matters — dHash of a UNIFORM image is all-zero bits
+                    # whatever the base color, which collapses the whole
+                    # corpus into ONE hamming component (a chain CC then
+                    # grinds for minutes; that's a fixture bug, not an
+                    # operator bug — same pitfall as the test fixture).
+                    rng = np.random.default_rng(did // 50)
+                    coarse = rng.integers(0, 256, size=(6, 8))
+                    gray = np.kron(
+                        coarse, np.ones((h // 6 + 1, w // 8 + 1))
+                    )[:h, :w].astype(np.uint8)
+                    rgb = np.stack([gray, gray, gray], axis=2).copy()
+                    rgb[did % h, did % w] = [255, 0, 0]  # light edit
+                    rows.append({"doc_id": did,
+                                 "asset": encode(w, h, rgb.tobytes(), "RGB")})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return (spark.range(n).repartition(32)
+                .mapInPandas(mint, "doc_id long, asset binary"))
+
+    for n in (10_000, 30_000):
+        df = minted(n)
+        groups = timed(
+            f"image_dedup_groups n={n}",
+            lambda: image_dedup_groups(df).groupBy("group").count().count(),
+        )
+        print(f"  distinct groups: {groups} (expect ~{n//50})", flush=True)
+
+    # ---- iceberg v2 export: 400k rows / 32 files, 100k-row DV
+    from verified_sources_spark.operators.iceberg_interop import (
+        export_manifest_as_iceberg, read_iceberg_table,
+    )
+    from verified_sources_spark.operators.table_format import ManifestTable
+
+    t = ManifestTable(spark, os.path.join(d, "ice"))
+    t.append(spark.range(400_000).selectExpr(
+        "id", "id % 1000 as k", "cast(id * 1.5 as double) as v"
+    ).repartition(32))
+    timed("delete_where 25% (DV write)", lambda: t.delete_where("id % 4 = 0"))
+    mp = timed("export_manifest_as_iceberg (100k-pos delete file)",
+               lambda: export_manifest_as_iceberg(t))
+    import json
+    meta = json.load(open(mp))
+    assert meta["format-version"] == 2
+    n = timed("read_iceberg_table count",
+              lambda: read_iceberg_table(spark, t.path).count())
+    assert n == 300_000, n
+
+    # ---- stats_aggregate over many files: driver-only latency
+    t2 = ManifestTable(spark, os.path.join(d, "stats"))
+    t2.append(spark.range(500_000).selectExpr(
+        "id", "cast(id as double) v").repartition(600))
+    n_files = len(t2._manifest(t2.latest_version())["files"])
+    got = timed(f"stats_aggregate over {n_files} files",
+                lambda: t2.stats_aggregate(
+                    {"n": ("count", "*"), "lo": ("min", "id"),
+                     "hi": ("max", "v")}))
+    assert got == {"n": 500_000, "lo": 0, "hi": 499_999.0}, got
+
+    # ---- zorder at 2M rows x 2 dims
+    import random
+    t3 = ManifestTable(spark, os.path.join(d, "zo"))
+    t3.append(spark.range(2_000_000).selectExpr(
+        "id", "cast(hash(id, 1) % 100000 as long) as x",
+        "cast(hash(id, 2) % 100000 as long) as y").repartition(32))
+    timed("compact zorder 2M rows",
+          lambda: t3.compact(target_file_bytes=2_000_000,
+                             cluster_by=["x", "y"], layout="zorder"))
+    nf = len(t3._manifest(t3.latest_version())["files"])
+    tx = len(t3.candidate_entries([("x", ">", 0), ("x", "<", 5000)], None))
+    ty = len(t3.candidate_entries([("y", ">", 0), ("y", "<", 5000)], None))
+    print(f"  zorder skipping: {tx}/{nf} files for x-slice, {ty}/{nf} for y-slice",
+          flush=True)
+
+    spark.stop()
+    print("SOAK OK")
+
+
+if __name__ == "__main__":
+    main()
