@@ -1,0 +1,195 @@
+"""Perceptual audio near-duplicate detection over binary asset columns.
+
+Audio corpora carry the same near-identical redundancy as images — the
+same recording re-encoded, gain-normalized, resampled, or lightly
+noise-dithered — invisible to exact byte/sha dedup.  The classic cure
+is a spectral robust hash (Haitsma & Kalker's Philips fingerprint);
+this module implements a 64-bit single-clip variant: split the clip
+into ``time_slices`` equal segments, measure energy in ``freq_bands``
+log-spaced FIXED-Hz bands per segment (rfft power), and set bit
+``(band, t)`` when the band's energy RISES between adjacent segments.
+Comparisons are within one band of one clip, so the fingerprint is
+invariant to global gain and (for band-limited content) to the sample
+rate, and small additive noise flips only near-tie bits — near-dups
+land within a few bits of hamming distance.
+
+Grouping reuses the SAME banded sorted-probe machinery as text simhash
+and image dHash (llm/simhash.fingerprint_dedup_groups): candidates are
+linear in the corpus, never all-pairs, and every edge is
+hamming-verified.
+
+Scale shape mirrors llm/image_dedup.py: fingerprinting is a narrow
+``mapInPandas`` over the binary column — payload bytes never shuffle,
+each clip reduces to one 64-bit long on the executor that read it;
+grouping shuffles only (id, fingerprint) pairs.  Undecodable or
+too-short clips yield ``decoded_ok=false`` and come back as singleton
+groups — at 100 TB a media corpus WILL contain broken objects and one
+bad byte-string must not kill the stage.
+
+The reference has no audio operators — this is part of the engine's
+LLM-pipeline surface beyond reference parity (SURVEY.md multimodal
+row; decode itself is the pure-stdlib WAV codec, llm/wav_codec.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def _audio_fingerprint_of_samples(
+    samples,
+    rate: int,
+    time_slices: int = 9,
+    freq_bands: int = 8,
+    f_lo: float = 100.0,
+    f_hi: float = 4000.0,
+) -> int:
+    """64-bit fingerprint (defaults: 8 bands x 8 adjacent-slice
+    comparisons).  Band edges are log-spaced ABSOLUTE Hz so the same
+    content at different sample rates lands in the same bands; clips
+    whose Nyquist sits below ``f_hi`` get the upper bands clamped to
+    Nyquist (deterministic, but only comparable among like rates there).
+    Raises on clips shorter than ``time_slices`` frames."""
+    import numpy as np
+
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n = mono.shape[0]
+    if n < time_slices:
+        raise ValueError(f"clip too short to fingerprint ({n} frames)")
+    hi = min(f_hi, rate / 2.0)
+    edges = np.geomspace(f_lo, hi, freq_bands + 1)
+    cuts = (np.arange(time_slices + 1) * n) // time_slices
+    energy = np.empty((time_slices, freq_bands), dtype=np.float64)
+    for t in range(time_slices):
+        seg = mono[cuts[t] : cuts[t + 1]]
+        power = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(seg.shape[0], d=1.0 / rate)
+        # mean power density per band: bin-count independent, so the
+        # same band carries comparable magnitudes across segment lengths
+        for b in range(freq_bands):
+            mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            energy[t, b] = power[mask].mean() if mask.any() else 0.0
+    out = 0
+    for b in range(freq_bands):
+        for t in range(time_slices - 1):
+            out = (out << 1) | int(energy[t + 1, b] > energy[t, b])
+    return out
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    time_slices: int = 9,
+    freq_bands: int = 8,
+) -> DataFrame:
+    """(id, decoded_ok, afp, sample_rate, n_frames) — one 64-bit
+    spectral fingerprint per WAV asset, Arrow-batched, payloads never
+    shuffled.  A corrupt / non-WAV / too-short payload yields
+    ``decoded_ok=false, afp=null`` instead of failing the task."""
+    if freq_bands * (time_slices - 1) > 64:
+        raise ValueError("freq_bands * (time_slices - 1) exceeds 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.wav_codec import decode
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    m = decode(bytes(payload))
+                    fp = _audio_fingerprint_of_samples(
+                        m["samples"], m["sample_rate"], time_slices, freq_bands
+                    )
+                    if fp >= 1 << 63:  # store as signed 64-bit long
+                        fp -= 1 << 64
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": True,
+                            "afp": fp,
+                            "sample_rate": m["sample_rate"],
+                            "n_frames": m["n_frames"],
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": False,
+                            "afp": None,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, AUDIO_FP_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def audio_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    neighbor_window: int = 8,
+    time_slices: int = 9,
+    freq_bands: int = 8,
+) -> DataFrame:
+    """(id, group, group_size) — perceptual near-duplicate audio groups
+    under transitive closure of fingerprint hamming <= ``max_hamming``
+    edges.  Same guarantees as ``image_dedup_groups``: banded candidates
+    linear in the corpus (pigeonhole needs ``n_bands > max_hamming``),
+    every edge hamming-verified, and undecodable clips come back as
+    singleton groups (never silently dropped)."""
+    from verified_sources_spark.llm.simhash import fingerprint_dedup_groups
+
+    sig = (
+        audio_fingerprint(df, id_col, asset_col, time_slices, freq_bands)
+        .filter(F.col("decoded_ok"))
+        .select(id_col, "afp")
+        .localCheckpoint(eager=False)
+    )
+    return fingerprint_dedup_groups(
+        sig, id_col, "afp", bits=64, max_hamming=max_hamming,
+        n_bands=n_bands, neighbor_window=neighbor_window,
+        all_ids=df.select(id_col),
+    )
+
+
+def audio_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    **group_kwargs,
+) -> DataFrame:
+    """One representative per perceptual group (lowest id —
+    deterministic), undecodable clips kept as their own groups."""
+    groups = audio_dedup_groups(df, id_col, asset_col, **group_kwargs)
+    keep = groups.groupBy("group").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -1488,3 +1488,19 @@ ORACLE_SQL["image_decode_probe_docs"] = """
                 THEN CAST(12 + (doc_id % 3) * 8 AS INTEGER) END AS height
     FROM documents
 """
+
+# Multimodal audio decode probe: the minting rule (rate/duration from
+# doc_id, every 19th payload truncated) replayed in SQL — a value-hash
+# match proves the real WAV decode + fingerprint ran on exactly the
+# uncorrupted set and echoed the true header metadata.
+ORACLE_SQL["audio_decode_probe_docs"] = """
+    SELECT doc_id,
+           (doc_id % 19) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 19 <> 0
+                THEN CAST(8000 + (doc_id % 3) * 4000 AS INTEGER)
+           END AS sample_rate,
+           CASE WHEN doc_id % 19 <> 0
+                THEN CAST(500 + (doc_id % 7) * 100 AS BIGINT)
+           END AS n_frames
+    FROM documents
+"""

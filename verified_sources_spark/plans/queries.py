@@ -1500,6 +1500,49 @@ def image_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO path end-to-end over documents: mint one
+    deterministic WAV per doc (sample rate and duration derived from
+    doc_id; docs with ``doc_id % 19 == 0`` get a truncated payload — at
+    scale a media corpus WILL contain broken objects), then run the
+    REAL pure-stdlib decode + spectral fingerprint via
+    llm/audio_dedup.audio_fingerprint.  Output is (doc_id, decoded_ok,
+    sample_rate, n_frames): the oracle replays the rate/duration/
+    corruption arithmetic in SQL, so a value-hash match proves the
+    encode→decode→fingerprint loop succeeded on exactly the uncorrupted
+    set and echoed the true header metadata.  The fingerprint itself
+    (FFT, not SQL-expressible) is covered by tests/test_audio_dedup.py."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.audio_dedup import audio_fingerprint
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.wav_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 3) * 4000
+                n = 500 + (did % 7) * 100
+                x = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(n) / rate)
+                wav = encode(x, rate, bits=16)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": wav[:10] if did % 19 == 0 else wav}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return audio_fingerprint(assets).select(
+        "doc_id", "decoded_ok", "sample_rate", "n_frames"
+    )
+
+
 def extract_fields_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM field extraction (§2.1 #32, reference unstructured_data):
     mapInPandas per-field Q&A over documents with the deterministic
@@ -1671,4 +1714,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_fixed_embeddings": semantic_dedup_fixed_embeddings,
     "extract_fields_docs": extract_fields_docs,
     "image_decode_probe_docs": image_decode_probe_docs,
+    "audio_decode_probe_docs": audio_decode_probe_docs,
 }
