@@ -1,0 +1,104 @@
+"""Perceptual video near-dup (llm/video_dedup.py): header-only probe,
+time-pooled fingerprint invariances (frame rate, resolution, light
+edits), banded hamming grouping with corrupt-clip isolation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from verified_sources_spark.llm.avi_codec import encode
+from verified_sources_spark.llm.video_dedup import (
+    video_dedup_groups,
+    video_dedup_keep,
+    video_fingerprint,
+    video_probe,
+)
+
+
+def _clip(seed, fps=10.0, dur=1.0, w=32, h=24, noise=0.0):
+    """Content is a function of WALL TIME, not frame index: a seeded
+    coarse pattern whose bright band moves with t — so two encodes of
+    the same seed at different fps/resolution show the same thing at
+    the same instant (what time-based sampling + dHash must match)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=(6, 8))
+    # nearest-resample the SAME 6x8 logical image to (h, w): a true
+    # rescale (kron+crop would shift cell boundaries between sizes)
+    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+    n = int(round(fps * dur))
+    frames = []
+    for k in range(n):
+        t = k / fps
+        f = np.stack([gray, gray, gray], axis=2).astype(np.float64)
+        band = int(t * 4) % 4  # moves every 250 ms
+        f[band * (h // 4) : (band + 1) * (h // 4), :, :] = 255.0
+        if noise:
+            f = f + rng.normal(0, noise * 255, f.shape)
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    return encode(frames, fps=fps, width=w, height=h)
+
+
+def _hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_video_probe_spark(spark):
+    rows = [
+        (1, bytearray(_clip(1))),
+        (2, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r.doc_id: r for r in video_probe(df).collect()}
+    assert got[1].decoded_ok and (got[1].width, got[1].height) == (32, 24)
+    assert got[1].n_frames == 10 and got[1].codec == "BI_RGB"
+    assert got[1].duration_ms == 1000
+    assert not got[2].decoded_ok and got[2].codec is None
+
+
+def test_fingerprint_invariances(spark):
+    rows = [
+        (1, bytearray(_clip(5))),
+        (2, bytearray(_clip(5, fps=20.0))),          # frame-rate doubled
+        (3, bytearray(_clip(5, w=64, h=48))),        # upscaled 2x
+        (4, bytearray(_clip(5, noise=0.01))),        # light dither
+        (5, bytearray(_clip(77))),                   # unrelated content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r.doc_id: r for r in video_fingerprint(df, every_ms=250).collect()}
+    f1 = got[1].vfp
+    assert got[1].decoded_ok and got[1].n_sampled == 5  # ts 0..1000 incl.
+    assert len(got[1].frame_hashes) == 5
+    assert _hamming(f1, got[2].vfp) <= 4   # fps change: same instants sampled
+    assert _hamming(f1, got[3].vfp) <= 4   # resolution: area-pooled dHash
+    assert _hamming(f1, got[4].vfp) <= 6   # noise flips only near-tie bits
+    assert _hamming(f1, got[5].vfp) > 12   # different content is far
+
+
+def test_fingerprint_param_guards():
+    with pytest.raises(ValueError, match="64-bit"):
+        video_fingerprint(None, hash_size=9)
+    with pytest.raises(ValueError, match="positive"):
+        video_fingerprint(None, every_ms=0)
+
+
+def test_video_dedup_groups_and_keep(spark):
+    rows = [
+        (1, bytearray(_clip(3))),
+        (2, bytearray(_clip(3, fps=20.0))),
+        (3, bytearray(_clip(3, w=64, h=48))),
+        (4, bytearray(_clip(99))),
+        (5, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    groups = {r.doc_id: (r.group, r.group_size)
+              for r in video_dedup_groups(df, every_ms=250).collect()}
+    assert len(groups) == 5  # every id labeled, corrupt included
+    g1 = groups[1][0]
+    assert groups[2][0] == g1 and groups[3][0] == g1
+    assert groups[1][1] == 3
+    assert groups[4][0] != g1 and groups[4][1] == 1
+    assert groups[5][0] != g1 and groups[5][1] == 1  # singleton, not dropped
+
+    kept = {r.doc_id for r in video_dedup_keep(df, every_ms=250).collect()}
+    assert kept == {1, 4, 5}

@@ -1,0 +1,259 @@
+"""Perceptual video near-duplicate detection over binary asset columns.
+
+Completes the multimodal dedup triangle (llm/image_dedup.py for images,
+llm/audio_dedup.py for audio): video corpora carry the same
+near-identical redundancy — the same clip re-encoded, rescaled, or
+frame-rate-converted.  The approach composes the two primitives the
+engine already trusts:
+
+* **Time-based frame sampling** (llm/avi_codec.frame_indices_every_ms):
+  one frame per ``every_ms`` wall-clock window, so a 10 fps and a 20 fps
+  encode of the same content sample the SAME instants — frame-rate
+  conversion does not move the signature.  Sampling decodes only the
+  frames it keeps; on a long clip that is a fraction of a percent of
+  the payload.
+* **dHash per sampled frame** (llm/image_dedup._dhash_of_pixels):
+  area-mean pooled, so resolution changes don't move per-frame bits.
+* **Temporal majority pooling**: the video fingerprint sets bit ``b``
+  when more than half the sampled frames set bit ``b`` in their frame
+  dHash — one 64-bit long per clip, robust to a few edited/inserted
+  frames the way per-frame equality is not.
+
+Grouping reuses the SAME banded sorted-probe machinery as text simhash
+(llm/simhash.fingerprint_dedup_groups): candidates linear in the
+corpus, never all-pairs, every edge hamming-verified.
+
+Scale shape mirrors the image/audio modules: probing and
+fingerprinting are narrow ``mapInPandas`` passes over the binary
+column — payload bytes never shuffle, each clip reduces to one 64-bit
+long on the executor that read it; grouping shuffles only (id,
+fingerprint) pairs.  Undecodable clips and compressed fourccs the
+stdlib codec refuses (MJPG, H264, …) yield ``decoded_ok=false`` and
+come back as singleton groups — at 100 TB a media corpus WILL contain
+broken and foreign objects and one bad byte-string must not kill the
+stage.
+
+The reference has no video operators — this is part of the engine's
+LLM-pipeline surface beyond reference parity (SURVEY.md multimodal
+row; decode itself is the pure-stdlib AVI codec, llm/avi_codec.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+VIDEO_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("vfp", T.LongType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("frame_hashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def video_probe(
+    df: DataFrame, id_col: str = "doc_id", asset_col: str = "asset"
+) -> DataFrame:
+    """(id, decoded_ok, width, height, n_frames, fps, codec,
+    duration_ms) — header-only AVI probe per asset, Arrow-batched, no
+    frame materialization (manifest building over petabytes of video
+    must not decode pixels).  A corrupt / non-AVI payload yields
+    ``decoded_ok=false``; a compressed fourcc still PROBES fine (codec
+    column carries the name) — only pixel decode refuses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.avi_codec import probe
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    m = probe(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": True,
+                            "width": m["width"],
+                            "height": m["height"],
+                            "n_frames": m["n_frames"],
+                            "fps": m["fps"],
+                            "codec": m["codec"],
+                            "duration_ms": m["duration_ms"],
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": False,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "fps": None,
+                            "codec": None,
+                            "duration_ms": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_PROBE_SCHEMA.fields]
+            )
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, VIDEO_PROBE_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    every_ms: int = 500,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, decoded_ok, vfp, n_sampled, frame_hashes) — one 64-bit
+    temporally-pooled perceptual fingerprint per decodable clip.
+    Sampling is time-based so differing frame rates of the same content
+    sample the same instants; each sampled frame is dHashed (area-mean
+    pooled — resolution-robust) and ``vfp`` bit b is set when a strict
+    majority of sampled frames set bit b.  ``frame_hashes`` (the
+    per-frame dHash sequence, signed longs) is exposed for callers that
+    want sequence-level verification or shot-boundary work; it is
+    bounded by duration/every_ms, never by frame count."""
+    if hash_size * hash_size > 64:
+        raise ValueError("hash_size too large for a 64-bit fingerprint")
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    nbits = hash_size * hash_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.avi_codec import (
+            decode_frame,
+            frame_indices_every_ms,
+            probe,
+        )
+        from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    data = bytes(payload)
+                    meta = probe(data)
+                    picks = frame_indices_every_ms(meta, every_ms)
+                    if not picks:
+                        raise ValueError("no sampleable frames")
+                    hashes = []
+                    ones = [0] * nbits
+                    for idx, _ts in picks:
+                        rgb = decode_frame(data, meta, idx)
+                        hv = _dhash_of_pixels(
+                            rgb, meta["width"], meta["height"], 3, hash_size
+                        )
+                        for b in range(nbits):
+                            ones[b] += (hv >> (nbits - 1 - b)) & 1
+                        if hv >= 1 << 63:
+                            hv -= 1 << 64
+                        hashes.append(hv)
+                    n = len(hashes)
+                    vfp = 0
+                    for b in range(nbits):
+                        vfp = (vfp << 1) | int(ones[b] * 2 > n)
+                    if vfp >= 1 << 63:
+                        vfp -= 1 << 64
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": True,
+                            "vfp": vfp,
+                            "n_sampled": n,
+                            "frame_hashes": hashes,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": False,
+                            "vfp": None,
+                            "n_sampled": None,
+                            "frame_hashes": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields]
+            )
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, VIDEO_FP_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def video_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    neighbor_window: int = 8,
+    every_ms: int = 500,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, group, group_size) — perceptual near-duplicate video groups
+    under transitive closure of pooled-fingerprint hamming <=
+    ``max_hamming`` edges.  Same guarantees as ``image_dedup_groups``:
+    banded candidates linear in the corpus (pigeonhole needs
+    ``n_bands > max_hamming``), every edge hamming-verified, and
+    undecodable / compressed-codec clips come back as singleton groups
+    (never silently dropped)."""
+    from verified_sources_spark.llm.simhash import fingerprint_dedup_groups
+
+    sig = (
+        video_fingerprint(df, id_col, asset_col, every_ms, hash_size)
+        .filter(F.col("decoded_ok"))
+        .select(id_col, "vfp")
+        .localCheckpoint(eager=False)
+    )
+    return fingerprint_dedup_groups(
+        sig, id_col, "vfp", bits=64, max_hamming=max_hamming,
+        n_bands=n_bands, neighbor_window=neighbor_window,
+        all_ids=df.select(id_col),
+    )
+
+
+def video_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    **group_kwargs,
+) -> DataFrame:
+    """One representative per perceptual group (lowest id —
+    deterministic), undecodable clips kept as their own groups."""
+    groups = video_dedup_groups(df, id_col, asset_col, **group_kwargs)
+    keep = groups.groupBy("group").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -1504,3 +1504,21 @@ ORACLE_SQL["audio_decode_probe_docs"] = """
            END AS n_frames
     FROM documents
 """
+
+# Multimodal video probe: the minting rule (dims/frames from doc_id,
+# every 23rd payload truncated, fps pinned at 10) replayed in SQL — a
+# value-hash match proves the real AVI header probe ran on exactly the
+# uncorrupted set and echoed the true header metadata.
+ORACLE_SQL["video_decode_probe_docs"] = """
+    SELECT doc_id,
+           (doc_id % 23) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST(16 + (doc_id % 4) * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST(12 + (doc_id % 3) * 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST(3 + doc_id % 5 AS INTEGER) END AS n_frames,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST((3 + doc_id % 5) * 100 AS BIGINT) END AS duration_ms
+    FROM documents
+"""

@@ -1543,6 +1543,54 @@ def audio_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO path end-to-end over documents: mint one
+    deterministic BI_RGB AVI per doc (dims and frame count derived from
+    doc_id; docs with ``doc_id % 23 == 0`` get a truncated payload — at
+    scale a media corpus WILL contain broken objects), then run the
+    REAL pure-stdlib header probe via llm/video_dedup.video_probe.
+    Output is (doc_id, decoded_ok, width, height, n_frames,
+    duration_ms): the oracle replays the dim/frame/corruption
+    arithmetic in SQL, so a value-hash match proves the
+    encode→probe loop succeeded on exactly the uncorrupted set and
+    echoed the true header metadata.  Pixel decode + the pooled
+    fingerprint (not SQL-expressible) are covered by
+    tests/test_avi_codec.py and tests/test_video_dedup.py."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.video_dedup import video_probe
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.avi_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 12 + (did % 3) * 8
+                n = 3 + did % 5
+                rng = np.random.default_rng(did)
+                frames = rng.integers(
+                    0, 256, size=(n, h, w, 3)
+                ).astype(np.uint8)
+                avi = encode(list(frames), fps=10.0, width=w, height=h)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": avi[:10] if did % 23 == 0 else avi}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return video_probe(assets).select(
+        "doc_id", "decoded_ok", "width", "height", "n_frames", "duration_ms"
+    )
+
+
 def extract_fields_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM field extraction (§2.1 #32, reference unstructured_data):
     mapInPandas per-field Q&A over documents with the deterministic
@@ -1715,4 +1763,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_fields_docs": extract_fields_docs,
     "image_decode_probe_docs": image_decode_probe_docs,
     "audio_decode_probe_docs": audio_decode_probe_docs,
+    "video_decode_probe_docs": video_decode_probe_docs,
 }
