@@ -68,6 +68,84 @@ def main():
         )
         print(f"  distinct groups: {groups} (expect ~{n//50})", flush=True)
 
+    # ---- audio dedup: 20k synthetic WAVs (~0.5s @ 8kHz), cluster of 40
+    from verified_sources_spark.llm.audio_dedup import audio_dedup_groups
+
+    def minted_wavs(n):
+        import pandas as pd
+
+        def mint(batches):
+            import numpy as np
+            from verified_sources_spark.llm.wav_codec import encode
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    rng = np.random.default_rng(did // 40)
+                    t = np.arange(4000) / 8000.0
+                    freqs = rng.uniform(150, 3500, size=4)
+                    env = np.interp(t, np.linspace(0, 0.5, 8),
+                                    rng.uniform(0.2, 1.0, 8))
+                    x = env * sum(np.sin(2 * np.pi * f * t) for f in freqs)
+                    x = x / np.abs(x).max() * 0.8
+                    # 0.002: calibrated so within-cluster hamming stays
+                    # well under max_hamming=6 (at 0.005 the worst pairs
+                    # sit exactly at the threshold and clusters split)
+                    x = x + np.random.default_rng(did).normal(0, 0.002, x.shape)
+                    rows.append({"doc_id": did,
+                                 "asset": encode(np.clip(x, -1, 1), 8000)})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return (spark.range(n).repartition(32)
+                .mapInPandas(mint, "doc_id long, asset binary"))
+
+    for n in (7_000, 20_000):
+        df = minted_wavs(n)
+        groups = timed(
+            f"audio_dedup_groups n={n}",
+            lambda: audio_dedup_groups(df).groupBy("group").count().count(),
+        )
+        print(f"  distinct groups: {groups} (expect ~{n//40})", flush=True)
+
+    # ---- video dedup: 4k clips (10 frames 32x24), cluster of 20
+    from verified_sources_spark.llm.video_dedup import video_dedup_groups
+
+    def minted_avis(n):
+        import pandas as pd
+
+        def mint(batches):
+            import numpy as np
+            from verified_sources_spark.llm.avi_codec import encode
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    rng = np.random.default_rng(did // 20)
+                    coarse = rng.integers(0, 256, size=(6, 8))
+                    h, w = 24, 32
+                    gray = coarse[(np.arange(h) * 6) // h][
+                        :, (np.arange(w) * 8) // w]
+                    frames = []
+                    for k in range(10):
+                        f = np.stack([gray] * 3, axis=2).astype(np.int64)
+                        f[(k * 3) % h, :, :] = 255
+                        f[did % h, did % w] = 0  # light per-clip edit
+                        frames.append(f.astype(np.uint8))
+                    rows.append({"doc_id": did,
+                                 "asset": encode(frames, 10.0, w, h)})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return (spark.range(n).repartition(32)
+                .mapInPandas(mint, "doc_id long, asset binary"))
+
+    for n in (1_500, 4_000):
+        df = minted_avis(n)
+        groups = timed(
+            f"video_dedup_groups n={n}",
+            lambda: video_dedup_groups(df).groupBy("group").count().count(),
+        )
+        print(f"  distinct groups: {groups} (expect ~{n//20})", flush=True)
+
     # ---- iceberg v2 export: 400k rows / 32 files, 100k-row DV
     from verified_sources_spark.operators.iceberg_interop import (
         export_manifest_as_iceberg, read_iceberg_table,
