@@ -1,0 +1,195 @@
+"""Streaming media ingestion (streaming/media_ingest.py): mixed-modality
+perceptual dedup ledger under the two-commit replay protocol."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from verified_sources_spark.llm.avi_codec import encode as avi_encode
+from verified_sources_spark.llm.png_codec import encode as png_encode
+from verified_sources_spark.llm.wav_codec import encode as wav_encode
+from verified_sources_spark.operators.table_format import ManifestTable
+from verified_sources_spark.streaming.media_ingest import (
+    MediaIngest,
+    perceptual_fingerprint,
+)
+
+SCHEMA = "doc_id long, asset binary"
+
+
+def _png(seed, w=32, h=24, flip=None):
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=(6, 8))
+    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+    rgb = np.stack([gray, gray, gray], axis=2).astype(np.uint8)
+    if flip is not None:
+        rgb[flip % h, flip % w] = [255, 0, 0]
+    return png_encode(w, h, rgb.tobytes(), "RGB")
+
+
+def _wav(seed, gain=1.0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(4000) / 8000.0
+    freqs = rng.uniform(150, 3500, size=4)
+    env = np.interp(t, np.linspace(0, 0.5, 8), rng.uniform(0.2, 1.0, 8))
+    x = env * sum(np.sin(2 * np.pi * f * t) for f in freqs)
+    return wav_encode(np.clip(x / np.abs(x).max() * 0.8 * gain, -1, 1), 8000)
+
+
+def _avi(seed, fps=10.0):
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=(6, 8))
+    h, w = 24, 32
+    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+    frames = []
+    n = int(round(fps * 1.0))
+    for k in range(n):
+        t = k / fps
+        f = np.stack([gray] * 3, axis=2).astype(np.int64)
+        f[(int(t * 4) % 4) * (h // 4), :, :] = 255
+        frames.append(f.astype(np.uint8))
+    return avi_encode(frames, fps=fps, width=w, height=h)
+
+
+def _mk(spark, tmp_path, **kw):
+    media = ManifestTable(spark, str(tmp_path / "media"))
+    fps = ManifestTable(spark, str(tmp_path / "fps"))
+    return MediaIngest(media, fps, **kw)
+
+
+def test_perceptual_fingerprint_sniffs_all_modalities():
+    assert perceptual_fingerprint(_png(1))[0] == "image"
+    assert perceptual_fingerprint(_wav(1))[0] == "audio"
+    assert perceptual_fingerprint(_avi(1))[0] == "video"
+    with pytest.raises(ValueError, match="unrecognized"):
+        perceptual_fingerprint(b"not media at all")
+    # near-dup variants land within a few bits; distinct content is far
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(perceptual_fingerprint(_png(1))[1],
+               perceptual_fingerprint(_png(1, flip=5))[1]) <= 3
+    assert ham(perceptual_fingerprint(_wav(1))[1],
+               perceptual_fingerprint(_wav(1, gain=0.5))[1]) == 0
+    assert ham(perceptual_fingerprint(_avi(1))[1],
+               perceptual_fingerprint(_avi(1, fps=20.0))[1]) <= 3
+    assert ham(perceptual_fingerprint(_png(1))[1],
+               perceptual_fingerprint(_png(99))[1]) > 10
+
+
+def test_ingest_dedups_within_and_across_batches(spark, tmp_path):
+    ing = _mk(spark, tmp_path)
+    # batch 0: one asset per modality, plus an in-batch exact dup, an
+    # in-batch perceptual near-dup (flipped pixel), and a corrupt payload
+    b0 = spark.createDataFrame(
+        [
+            (1, bytearray(_png(1))),
+            (2, bytearray(_wav(2))),
+            (3, bytearray(_avi(3))),
+            (4, bytearray(_png(1))),          # exact dup of 1
+            (5, bytearray(_png(1, flip=7))),  # near dup of 1
+            (6, bytearray(b"corrupt bytes")), # undecodable: accepted
+        ],
+        SCHEMA,
+    )
+    ing.apply_batch(b0, 0)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1, 2, 3, 6}
+
+    # batch 1: exact dup of standing image, perceptual dups of the
+    # standing audio (gain change) and video (frame-rate change),
+    # an exact replay of the corrupt payload, and two fresh assets
+    b1 = spark.createDataFrame(
+        [
+            (10, bytearray(_png(1))),           # exact dup of standing 1
+            (11, bytearray(_wav(2, gain=0.5))), # near dup of standing 2
+            (12, bytearray(_avi(3, fps=20.0))), # near dup of standing 3
+            (13, bytearray(b"corrupt bytes")),  # exact dup of standing 6
+            (14, bytearray(_png(40))),          # fresh
+            (15, bytearray(b"other junk")),     # fresh corrupt
+        ],
+        SCHEMA,
+    )
+    ing.apply_batch(b1, 1)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1, 2, 3, 6, 14, 15}
+
+    # fingerprint table: sha for every accepted asset; pfp + 4 bands for
+    # each DECODABLE accepted asset, none for corrupt ones
+    fp = [(r["doc_id"], r["kind"]) for r in ing.fp_table.read().collect()]
+    kinds = {}
+    for d, k in fp:
+        kinds.setdefault(d, set()).add(k)
+    assert kinds[1] == {"sha", "pfp:image", "image:pb0", "image:pb1",
+                        "image:pb2", "image:pb3"}
+    assert kinds[2] == {"sha", "pfp:audio", "audio:pb0", "audio:pb1",
+                        "audio:pb2", "audio:pb3"}
+    assert "pfp:video" in kinds[3]
+    assert kinds[6] == {"sha"} and kinds[15] == {"sha"}
+
+
+def test_cross_modality_never_collides(spark, tmp_path):
+    """An image and an audio clip with the SAME fingerprint long must not
+    reject each other: modality scopes every join."""
+    ing = _mk(spark, tmp_path)
+    # craft batch where dedup relies only on modality scoping: all-zero
+    # pfps collide on every band value across modalities
+    png0 = png_encode(16, 12, bytes(16 * 12 * 3), "RGB")   # uniform -> dhash 0
+    wav0 = wav_encode(np.zeros(4000), 8000)                 # silent
+    b0 = spark.createDataFrame(
+        [(1, bytearray(png0)), (2, bytearray(wav0))], SCHEMA
+    )
+    ing.apply_batch(b0, 0)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1, 2}
+
+
+def test_replay_after_crash_between_commits_is_idempotent(spark, tmp_path):
+    ing = _mk(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(1, bytearray(_png(1))), (2, bytearray(_wav(2)))], SCHEMA
+    )
+    acc = ing.accepted(batch).localCheckpoint(eager=True)
+    tagged = acc.withColumn("_ingest_stream", F.lit(ing.stream_id)).withColumn(
+        "_ingest_batch", F.lit(0)
+    )
+    ing.docs_table.append(tagged, stream=(ing.stream_id, 0))
+    assert ing.fp_table.last_batch_id(ing.stream_id) is None
+
+    v_docs_before = ing.docs_table.latest_version()
+    ing.apply_batch(batch, 0)
+    assert ing.docs_table.latest_version() == v_docs_before
+    assert ing.fp_table.last_batch_id(ing.stream_id) == 0
+    assert ing.fp_table.read().filter(F.col("kind") == "sha").count() == 2
+
+    # full replay: both tables untouched
+    v_fp = ing.fp_table.latest_version()
+    ing.apply_batch(batch, 0)
+    assert ing.docs_table.latest_version() == v_docs_before
+    assert ing.fp_table.latest_version() == v_fp
+
+    # a near-dup-only batch appends versions but zero rows
+    batch2 = spark.createDataFrame([(3, bytearray(_png(1, flip=9)))], SCHEMA)
+    ing.apply_batch(batch2, 1)
+    assert ing.docs_table.read().count() == 2
+    assert ing.docs_table.last_batch_id(ing.stream_id) == 1
+
+
+def test_exact_only_mode(spark, tmp_path):
+    ing = _mk(spark, tmp_path, near_dedup=False)
+    b0 = spark.createDataFrame(
+        [(1, bytearray(_png(1))), (2, bytearray(_png(1, flip=7)))], SCHEMA
+    )
+    ing.apply_batch(b0, 0)
+    # near dup ACCEPTED in exact-only mode
+    assert {r["doc_id"] for r in ing.docs_table.read().collect()} == {1, 2}
+    assert {r["kind"] for r in ing.fp_table.read().collect()} == {"sha"}
+
+
+def test_param_guards(spark, tmp_path):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _mk(spark, tmp_path, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        _mk(spark, tmp_path, n_bands=5, max_hamming=3)

@@ -1522,3 +1522,12 @@ ORACLE_SQL["video_decode_probe_docs"] = """
                 THEN CAST((3 + doc_id % 5) * 100 AS BIGINT) END AS duration_ms
     FROM documents
 """
+
+# Media-ingest ledger: the planting rule replayed in SQL — residues 7
+# (perceptual near-dup) and 8 (exact byte dup) are rejected by the
+# ledger; everything else (uniques + corrupt exact-only singletons)
+# is accepted.  A value-hash match proves the hamming-verified band
+# path and the sha path each caught exactly their planted class.
+ORACLE_SQL["media_ingest_dedup_docs"] = """
+    SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (7, 8)
+"""

@@ -1591,6 +1591,70 @@ def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media-ingest ledger end-to-end (streaming/
+    media_ingest.py): mint one asset per doc by residue class —
+    ``doc_id % 10`` in 0..6 a unique PNG (seeded pattern), 7 a perceptual
+    NEAR-dup of doc_id-1 (one flipped pixel), 8 an exact byte dup of
+    doc_id-2, 9 a corrupt payload — then run TWO micro-batches through
+    the idempotent two-commit ingest (uniques+targets first, dups+corrupt
+    second, so every planted dup tests the STANDING-ledger path) and
+    return the accepted ids.  The oracle replays the planting rule in
+    SQL: a value-hash match proves the perceptual dedup found exactly
+    the planted near-dups (hamming-verified band collisions), the sha
+    path caught exactly the byte dups, and corrupt assets were accepted
+    as exact-only singletons — not dropped."""
+    import tempfile
+
+    import pandas as pd
+
+    from verified_sources_spark.operators.table_format import ManifestTable
+    from verified_sources_spark.streaming.media_ingest import MediaIngest
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.png_codec import encode
+
+        def pattern(seed, flip=None):
+            rng = np.random.default_rng(seed)
+            coarse = rng.integers(0, 256, size=(6, 8))
+            w, h = 32, 24
+            gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+            rgb = np.stack([gray, gray, gray], axis=2).astype(np.uint8)
+            if flip is not None:
+                rgb[flip % h, flip % w] = [255, 0, 0]
+            return encode(w, h, rgb.tobytes(), "RGB")
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = did % 10
+                if r == 7:
+                    asset = pattern(did - 1, flip=did)   # near-dup of did-1
+                elif r == 8:
+                    asset = pattern(did - 2)             # exact dup of did-2
+                elif r == 9:
+                    asset = b"corrupt:" + str(did).encode()
+                else:
+                    asset = pattern(did)
+                rows.append({"doc_id": did, "asset": asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    root = tempfile.mkdtemp(prefix="vss_mi_")
+    ing = MediaIngest(
+        ManifestTable(spark, root + "/media"),
+        ManifestTable(spark, root + "/fps"),
+    )
+    ing.apply_batch(assets.filter(F.col("doc_id") % 10 <= 6), 0)
+    ing.apply_batch(assets.filter(F.col("doc_id") % 10 >= 7), 1)
+    return ing.docs_table.read().select("doc_id")
+
+
 def extract_fields_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM field extraction (§2.1 #32, reference unstructured_data):
     mapInPandas per-field Q&A over documents with the deterministic
@@ -1764,4 +1828,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode_probe_docs": image_decode_probe_docs,
     "audio_decode_probe_docs": audio_decode_probe_docs,
     "video_decode_probe_docs": video_decode_probe_docs,
+    "media_ingest_dedup_docs": media_ingest_dedup_docs,
 }

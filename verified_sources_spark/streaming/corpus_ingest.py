@@ -39,7 +39,150 @@ from verified_sources_spark.llm.corpus import band_table
 from verified_sources_spark.operators.table_format import ManifestTable
 
 
-class CorpusIngest:
+class TwoTableIngest:
+    """Generic micro-batch two-table ingestion: the idempotent
+    (payload-table, fingerprint-table) commit protocol, independent of
+    WHAT is fingerprinted.  Subclasses supply ``accepted(batch_df)``
+    (the rows that survive dedup against batch + standing state —
+    deterministic in (batch content, fingerprint-table state)) and
+    ``_fingerprints(df)`` ((id, kind, fp) rows for an accepted set).
+    ``CorpusIngest`` instantiates it for text (md5 + LSH band hashes);
+    ``streaming/media_ingest.MediaIngest`` for binary media (sha256 +
+    banded perceptual hashes).  The crash/replay contract is the module
+    docstring's."""
+
+    def __init__(self, docs_table: ManifestTable, fp_table: ManifestTable,
+                 id_col: str, stream_id: str):
+        self.docs_table = docs_table
+        self.fp_table = fp_table
+        self.id_col = id_col
+        self.stream_id = stream_id
+
+    def accepted(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _fingerprints(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    # internal columns stamped on every appended doc row so a replay can
+    # recover EXACTLY which rows a (stream, batch) commit accepted
+    _STREAM_COL, _BATCH_COL = "_ingest_stream", "_ingest_batch"
+
+    def _input_token(self, batch_df: DataFrame) -> str:
+        """Order-independent digest of the INPUT batch (count + xor + sum of
+        row hashes, sum wrapping mod 2^64).  Committed alongside the batch id
+        so a same-id delivery can be classified: equal token ⇒ genuine replay,
+        different token ⇒ the checkpoint dir was recreated and ids restarted.
+
+        XOR alone is multiset-weak (rows {A,A,A,B} and {A,B,B,B} share count
+        and XOR); the wrapping sum changes with multiplicity, so the pair
+        (xor, sum) distinguishes those batches."""
+        h = F.xxhash64(*[F.col(c).cast("string") for c in batch_df.columns])
+        row = batch_df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            # sum over bigint wraps on overflow only with ANSI off; sum the
+            # two 32-bit halves separately instead so the digest is exact
+            # arithmetic regardless of spark.sql.ansi.enabled.
+            F.sum(F.shiftrightunsigned("h", 32)).alias("hi"),
+            F.sum(F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+        ).first()
+        s = (((row["hi"] or 0) << 32) + (row["lo"] or 0)) & 0xFFFFFFFFFFFFFFFF
+        return (
+            f"{row['n']}:{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{s:016x}"
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent two-commit apply — see module docstring for the
+        crash/replay contract."""
+        docs_last = self.docs_table.last_batch_id(self.stream_id)
+        fp_last = self.fp_table.last_batch_id(self.stream_id)
+        if docs_last is not None and fp_last is not None and batch_id <= min(docs_last, fp_last):
+            if batch_id < min(docs_last, fp_last):
+                # Structured Streaming only ever re-delivers the LAST
+                # in-flight batch under the same checkpoint; a batch id
+                # below the fully-committed high-water mark means the
+                # checkpoint dir was recreated (ids restart at 0) while
+                # stream_id and tables were reused — silently skipping
+                # would drop every new batch until ids catch up.
+                raise ValueError(
+                    f"batch_id {batch_id} regressed below committed "
+                    f"high-water mark {min(docs_last, fp_last)} for "
+                    f"stream_id={self.stream_id!r}: a new checkpointLocation "
+                    "requires a new stream_id (see run() docstring)"
+                )
+            # batch_id EQUALS the high-water mark: either the genuine
+            # last-batch replay (same data — skip) or a recreated
+            # checkpoint whose ids restarted exactly at the mark (new
+            # data — raising is the only safe move).  The committed input
+            # token disambiguates; without one (legacy commit) assume
+            # replay, as before.
+            committed_tok = self.docs_table.last_batch_token(self.stream_id)
+            fresh_tok = None if committed_tok is None else self._input_token(batch_df)
+            if committed_tok is not None and committed_tok.count(":") == 1:
+                # token committed before the sum field existed — compare on
+                # the fields it has (count:xor) rather than spuriously raising
+                fresh_tok = fresh_tok.rsplit(":", 1)[0]
+            if committed_tok is not None and fresh_tok != committed_tok:
+                raise ValueError(
+                    f"batch_id {batch_id} equals the committed high-water "
+                    f"mark for stream_id={self.stream_id!r} but carries "
+                    "DIFFERENT input rows: the checkpoint dir was recreated "
+                    "— a new checkpointLocation requires a new stream_id "
+                    "(see run() docstring)"
+                )
+            return  # fully committed already (idempotent last-batch replay)
+        token = self._input_token(batch_df)
+        if docs_last is None or batch_id > docs_last:
+            # Materialize ONCE: both commits below must describe the same
+            # accepted set; without the checkpoint each sink write would
+            # recompute the dedup joins.
+            acc = self.accepted(batch_df).localCheckpoint(eager=True)
+            tagged = acc.withColumn(self._STREAM_COL, F.lit(self.stream_id)).withColumn(
+                self._BATCH_COL, F.lit(int(batch_id))
+            )
+            self.docs_table.append(tagged, stream=(self.stream_id, batch_id, token))
+            fp_src = acc
+        else:
+            # docs committed, fingerprints missing (crash between the two
+            # commits): recover the accepted set from the DOCS TABLE's own
+            # rows for this (stream, batch) — recomputing accepted() here
+            # would be wrong if ANOTHER stream sharing these tables
+            # committed fingerprints since the docs commit (the batch
+            # would re-dedup against state it was not accepted under).
+            committed = self.docs_table.read()
+            if self._BATCH_COL in committed.columns:
+                fp_src = committed.filter(
+                    (F.col(self._STREAM_COL) == self.stream_id)
+                    & (F.col(self._BATCH_COL) == int(batch_id))
+                ).drop(self._STREAM_COL, self._BATCH_COL)
+            else:  # pre-tagging table (legacy): fall back to recompute
+                fp_src = self.accepted(batch_df)
+        if fp_last is None or batch_id > fp_last:
+            self.fp_table.append(
+                self._fingerprints(fp_src), stream=(self.stream_id, batch_id, token)
+            )
+
+    def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
+        """One bounded AvailableNow pass of the landing stream.
+
+        ``checkpoint_dir`` and ``stream_id`` are a PAIR: batch ids are
+        assigned by the checkpoint and committed under the stream_id, so a
+        fresh checkpoint dir restarts ids at 0 and MUST come with a fresh
+        stream_id when the tables are reused — ``apply_batch`` raises on
+        the id regression instead of silently skipping.
+        """
+        q = (
+            stream_df.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+class CorpusIngest(TwoTableIngest):
     """Micro-batch corpus ingestion into (documents, fingerprints) tables.
 
     ``docs_table`` holds accepted documents; ``fp_table`` holds their
@@ -72,13 +215,10 @@ class CorpusIngest:
         shingle_n: int = 3,
         min_jaccard: float | None = None,
     ):
-        self.docs_table = docs_table
-        self.fp_table = fp_table
-        self.id_col = id_col
+        super().__init__(docs_table, fp_table, id_col, stream_id)
         self.text_col = text_col
         self.quality_min = quality_min
         self.near_dedup = near_dedup
-        self.stream_id = stream_id
         self.k, self.bands, self.shingle_n = k, bands, shingle_n
         self.min_jaccard = min_jaccard
 
@@ -210,120 +350,3 @@ class CorpusIngest:
         )
         dup_ids = exact_dups.unionByName(near_dups).distinct()
         return in_batch.join(dup_ids, self.id_col, "left_anti")
-
-    # internal columns stamped on every appended doc row so a replay can
-    # recover EXACTLY which rows a (stream, batch) commit accepted
-    _STREAM_COL, _BATCH_COL = "_ingest_stream", "_ingest_batch"
-
-    def _input_token(self, batch_df: DataFrame) -> str:
-        """Order-independent digest of the INPUT batch (count + xor + sum of
-        row hashes, sum wrapping mod 2^64).  Committed alongside the batch id
-        so a same-id delivery can be classified: equal token ⇒ genuine replay,
-        different token ⇒ the checkpoint dir was recreated and ids restarted.
-
-        XOR alone is multiset-weak (rows {A,A,A,B} and {A,B,B,B} share count
-        and XOR); the wrapping sum changes with multiplicity, so the pair
-        (xor, sum) distinguishes those batches."""
-        h = F.xxhash64(*[F.col(c).cast("string") for c in batch_df.columns])
-        row = batch_df.select(h.alias("h")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(h)").alias("x"),
-            # sum over bigint wraps on overflow only with ANSI off; sum the
-            # two 32-bit halves separately instead so the digest is exact
-            # arithmetic regardless of spark.sql.ansi.enabled.
-            F.sum(F.shiftrightunsigned("h", 32)).alias("hi"),
-            F.sum(F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
-        ).first()
-        s = (((row["hi"] or 0) << 32) + (row["lo"] or 0)) & 0xFFFFFFFFFFFFFFFF
-        return (
-            f"{row['n']}:{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{s:016x}"
-        )
-
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Idempotent two-commit apply — see module docstring for the
-        crash/replay contract."""
-        docs_last = self.docs_table.last_batch_id(self.stream_id)
-        fp_last = self.fp_table.last_batch_id(self.stream_id)
-        if docs_last is not None and fp_last is not None and batch_id <= min(docs_last, fp_last):
-            if batch_id < min(docs_last, fp_last):
-                # Structured Streaming only ever re-delivers the LAST
-                # in-flight batch under the same checkpoint; a batch id
-                # below the fully-committed high-water mark means the
-                # checkpoint dir was recreated (ids restart at 0) while
-                # stream_id and tables were reused — silently skipping
-                # would drop every new batch until ids catch up.
-                raise ValueError(
-                    f"batch_id {batch_id} regressed below committed "
-                    f"high-water mark {min(docs_last, fp_last)} for "
-                    f"stream_id={self.stream_id!r}: a new checkpointLocation "
-                    "requires a new stream_id (see run() docstring)"
-                )
-            # batch_id EQUALS the high-water mark: either the genuine
-            # last-batch replay (same data — skip) or a recreated
-            # checkpoint whose ids restarted exactly at the mark (new
-            # data — raising is the only safe move).  The committed input
-            # token disambiguates; without one (legacy commit) assume
-            # replay, as before.
-            committed_tok = self.docs_table.last_batch_token(self.stream_id)
-            fresh_tok = None if committed_tok is None else self._input_token(batch_df)
-            if committed_tok is not None and committed_tok.count(":") == 1:
-                # token committed before the sum field existed — compare on
-                # the fields it has (count:xor) rather than spuriously raising
-                fresh_tok = fresh_tok.rsplit(":", 1)[0]
-            if committed_tok is not None and fresh_tok != committed_tok:
-                raise ValueError(
-                    f"batch_id {batch_id} equals the committed high-water "
-                    f"mark for stream_id={self.stream_id!r} but carries "
-                    "DIFFERENT input rows: the checkpoint dir was recreated "
-                    "— a new checkpointLocation requires a new stream_id "
-                    "(see run() docstring)"
-                )
-            return  # fully committed already (idempotent last-batch replay)
-        token = self._input_token(batch_df)
-        if docs_last is None or batch_id > docs_last:
-            # Materialize ONCE: both commits below must describe the same
-            # accepted set; without the checkpoint each sink write would
-            # recompute the dedup joins.
-            acc = self.accepted(batch_df).localCheckpoint(eager=True)
-            tagged = acc.withColumn(self._STREAM_COL, F.lit(self.stream_id)).withColumn(
-                self._BATCH_COL, F.lit(int(batch_id))
-            )
-            self.docs_table.append(tagged, stream=(self.stream_id, batch_id, token))
-            fp_src = acc
-        else:
-            # docs committed, fingerprints missing (crash between the two
-            # commits): recover the accepted set from the DOCS TABLE's own
-            # rows for this (stream, batch) — recomputing accepted() here
-            # would be wrong if ANOTHER stream sharing these tables
-            # committed fingerprints since the docs commit (the batch
-            # would re-dedup against state it was not accepted under).
-            committed = self.docs_table.read()
-            if self._BATCH_COL in committed.columns:
-                fp_src = committed.filter(
-                    (F.col(self._STREAM_COL) == self.stream_id)
-                    & (F.col(self._BATCH_COL) == int(batch_id))
-                ).drop(self._STREAM_COL, self._BATCH_COL)
-            else:  # pre-tagging table (legacy): fall back to recompute
-                fp_src = self.accepted(batch_df)
-        if fp_last is None or batch_id > fp_last:
-            self.fp_table.append(
-                self._fingerprints(fp_src), stream=(self.stream_id, batch_id, token)
-            )
-
-    def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
-        """One bounded AvailableNow pass of the landing stream.
-
-        ``checkpoint_dir`` and ``stream_id`` are a PAIR: batch ids are
-        assigned by the checkpoint and committed under the stream_id, so a
-        fresh checkpoint dir restarts ids at 0 and MUST come with a fresh
-        stream_id when the tables are reused — ``apply_batch`` raises on
-        the id regression instead of silently skipping.
-        """
-        q = (
-            stream_df.writeStream.foreachBatch(self.apply_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return q
