@@ -193,3 +193,35 @@ def test_param_guards(spark, tmp_path):
         _mk(spark, tmp_path, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError, match="divide"):
         _mk(spark, tmp_path, n_bands=5, max_hamming=3)
+
+
+def test_run_streams_parquet_landing_files(spark, tmp_path):
+    """E2E through Structured Streaming: two parquet landing files arrive
+    as separate micro-batches (maxFilesPerTrigger=1) across two bounded
+    runs; the second file's near-dup is rejected against the STANDING
+    ledger built by the first."""
+    import pandas as pd
+
+    from verified_sources_spark.streaming.bounded import bounded_file_stream
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    pd.DataFrame(
+        [{"doc_id": 1, "asset": _png(1)}, {"doc_id": 2, "asset": _wav(2)}]
+    ).to_parquet(land / "a.parquet")
+    ing = _mk(spark, tmp_path)
+    stream = bounded_file_stream(
+        spark, str(land), SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    ing.run(stream, str(tmp_path / "ckpt"))
+    assert {r["doc_id"] for r in ing.docs_table.read().collect()} == {1, 2}
+
+    pd.DataFrame(
+        [{"doc_id": 10, "asset": _png(1, flip=3)},  # near-dup of standing 1
+         {"doc_id": 11, "asset": _png(50)}]         # fresh
+    ).to_parquet(land / "b.parquet")
+    stream = bounded_file_stream(
+        spark, str(land), SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    ing.run(stream, str(tmp_path / "ckpt"))
+    assert {r["doc_id"] for r in ing.docs_table.read().collect()} == {1, 2, 11}
