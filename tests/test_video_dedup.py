@@ -102,3 +102,44 @@ def test_video_dedup_groups_and_keep(spark):
 
     kept = {r.doc_id for r in video_dedup_keep(df, every_ms=250).collect()}
     assert kept == {1, 4, 5}
+
+
+def test_video_shots_detects_hard_cuts(spark):
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode
+    from verified_sources_spark.llm.video_dedup import video_shots
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 256, size=(6, 8))
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    # doc 1: scenes A (4 frames) then B (6 frames); doc 2: one scene;
+    # doc 3: corrupt
+    a, b = scene(1), scene(2)
+    clip1 = encode([a] * 4 + [b] * 6, fps=10.0, width=32, height=24)
+    clip2 = encode([a] * 5, fps=10.0, width=32, height=24)
+    df = spark.createDataFrame(
+        [(1, bytearray(clip1)), (2, bytearray(clip2)), (3, bytearray(b"junk"))],
+        "doc_id long, asset binary",
+    )
+    # every_ms=100 at 10 fps samples every frame
+    rows = video_shots(df, every_ms=100).collect()
+    got = {(r.doc_id, r.shot_idx): r for r in rows}
+    assert got[(1, 0)].start_frame == 0 and got[(1, 0)].end_frame == 4
+    assert got[(1, 0)].keyframe == 1  # middle of frames 0..3
+    assert got[(1, 1)].start_frame == 4 and got[(1, 1)].end_frame == 10
+    assert got[(1, 1)].keyframe == 6  # middle of frames 4..9
+    assert got[(2, 0)].start_frame == 0 and got[(2, 0)].end_frame == 5
+    assert (3, None) in got and not got[(3, None)].decoded_ok
+
+
+def test_video_shots_param_guards():
+    from verified_sources_spark.llm.video_dedup import video_shots
+
+    with pytest.raises(ValueError, match="positive"):
+        video_shots(None, every_ms=0)
+    with pytest.raises(ValueError, match="width"):
+        video_shots(None, threshold=64)

@@ -1531,3 +1531,30 @@ ORACLE_SQL["video_decode_probe_docs"] = """
 ORACLE_SQL["media_ingest_dedup_docs"] = """
     SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (7, 8)
 """
+
+# Shot-boundary detection: the two-scene minting rule (n = 4 + id%4
+# frames, cut at k = 1 + id%(n-1), every 29th truncated) replayed in
+# SQL — shot 0 is [0, k) with keyframe (k-1)//2, shot 1 is [k, n) with
+# keyframe (k+n-1)//2.  A value-hash match proves the hamming cut
+# detector found exactly the planted boundary and nothing else.
+ORACLE_SQL["video_shots_docs"] = """
+    WITH params AS (
+        SELECT doc_id,
+               (doc_id % 29) = 0 AS corrupt,
+               CAST(4 + doc_id % 4 AS INTEGER) AS n,
+               CAST(1 + doc_id % (3 + doc_id % 4) AS INTEGER) AS k
+        FROM documents
+    )
+    SELECT doc_id, FALSE AS decoded_ok,
+           CAST(NULL AS INTEGER) AS shot_idx,
+           CAST(NULL AS INTEGER) AS start_frame,
+           CAST(NULL AS INTEGER) AS end_frame,
+           CAST(NULL AS INTEGER) AS keyframe
+    FROM params WHERE corrupt
+    UNION ALL
+    SELECT doc_id, TRUE, 0, 0, k, CAST((k - 1) // 2 AS INTEGER)
+    FROM params WHERE NOT corrupt
+    UNION ALL
+    SELECT doc_id, TRUE, 1, k, n, CAST((k + n - 1) // 2 AS INTEGER)
+    FROM params WHERE NOT corrupt
+"""

@@ -1591,6 +1591,58 @@ def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_shots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary segmentation end-to-end over documents: mint one
+    two-scene AVI per doc (scene patterns seeded by doc_id; frame count
+    ``n = 4 + doc_id % 4`` and cut position ``k = 1 + doc_id % (n-1)``
+    are doc_id arithmetic; docs with ``doc_id % 29 == 0`` get a
+    truncated payload), then run the REAL decode + per-frame dHash +
+    hamming cut detection via llm/video_dedup.video_shots at
+    every_ms=100 (10 fps → every frame sampled) and threshold=8
+    (planted scene pairs measure ≥12 bits apart over the first 60k
+    doc_ids; within-scene frames are static at 0 — margin both ways).
+    The oracle replays
+    the scene arithmetic in SQL — a value-hash match proves the
+    detector found exactly the planted cut (never a phantom one inside
+    a static scene) and the keyframe/end-frame math is exact."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.video_dedup import video_shots
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.avi_codec import encode
+
+        def scene(seed, w=32, h=24):
+            rng = np.random.default_rng(seed)
+            coarse = rng.integers(0, 256, size=(6, 8))
+            gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+            return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 4 + did % 4
+                k = 1 + did % (n - 1)
+                frames = [scene(2 * did)] * k + [scene(2 * did + 1)] * (n - k)
+                avi = encode(frames, fps=10.0, width=32, height=24)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": avi[:10] if did % 29 == 0 else avi}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return video_shots(assets, every_ms=100, threshold=8).select(
+        "doc_id", "decoded_ok", "shot_idx", "start_frame", "end_frame",
+        "keyframe",
+    )
+
+
 def media_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming media-ingest ledger end-to-end (streaming/
     media_ingest.py): mint one asset per doc by residue class —
@@ -1829,4 +1881,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_decode_probe_docs": audio_decode_probe_docs,
     "video_decode_probe_docs": video_decode_probe_docs,
     "media_ingest_dedup_docs": media_ingest_dedup_docs,
+    "video_shots_docs": video_shots_docs,
 }
