@@ -108,3 +108,44 @@ def test_audio_dedup_groups_and_keep(spark):
 
     kept = {r.doc_id for r in audio_dedup_keep(df).collect()}
     assert kept == {1, 4, 5}  # lowest id per group; corrupt clip kept
+
+
+def test_audio_segments_energy_gate(spark):
+    from verified_sources_spark.llm.audio_dedup import audio_segments
+
+    rate = 8000
+    w = rate * 25 // 1000  # 200 samples per 25 ms window
+    t = np.arange(w) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    sil = np.zeros(w)
+    # doc 1: [sil, tone*2, sil, tone*3, sil] -> segments at windows
+    # [1,3) and [4,7); doc 2: all silence; doc 3: corrupt
+    x1 = np.concatenate([sil, tone, tone, sil, tone, tone, tone, sil])
+    x2 = np.zeros(5 * w)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode(x1, rate))),
+            (2, bytearray(encode(x2, rate))),
+            (3, bytearray(b"junk")),
+        ],
+        "doc_id long, asset binary",
+    )
+    got = {}
+    for r in audio_segments(df).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    segs1 = sorted(
+        [(r.seg_idx, r.start_ms, r.end_ms) for r in got[1]]
+    )
+    assert segs1 == [(0, 25, 75), (1, 100, 175)]
+    assert len(got[2]) == 1 and got[2][0].decoded_ok
+    assert got[2][0].seg_idx is None  # silent, not broken
+    assert not got[3][0].decoded_ok
+
+
+def test_audio_segments_param_guards():
+    from verified_sources_spark.llm.audio_dedup import audio_segments
+
+    with pytest.raises(ValueError, match="positive"):
+        audio_segments(None, frame_ms=0)
+    with pytest.raises(ValueError, match="non-negative"):
+        audio_segments(None, threshold=-1.0)

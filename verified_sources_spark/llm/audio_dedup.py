@@ -151,6 +151,105 @@ def audio_fingerprint(
     return out
 
 
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+    ]
+)
+
+
+def audio_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    frame_ms: int = 25,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """(id, decoded_ok, seg_idx, start_ms, end_ms) — activity
+    segmentation per clip: frame the waveform into ``frame_ms`` windows,
+    mark a window active when its RMS exceeds ``threshold`` (linear
+    amplitude), and emit each maximal active run as a segment — the
+    energy-gate VAD shape every ASR-prep pipeline runs before feeding
+    clips to a transcription model (silence is cost, segments are
+    units of work).  A clip with no active window emits one
+    ``decoded_ok=true`` row with null segment fields (silent ≠ broken);
+    an undecodable clip emits ``decoded_ok=false``.  Same scale shape
+    as the fingerprint ops: per-clip local math inside one narrow
+    ``mapInPandas``, zero shuffle, only the segment table leaves the
+    executor."""
+    if frame_ms <= 0:
+        raise ValueError("frame_ms must be positive")
+    if threshold < 0:
+        raise ValueError("threshold must be non-negative")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from verified_sources_spark.llm.wav_codec import decode
+
+        cols = [f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    m = decode(bytes(payload))
+                    mono = np.asarray(m["samples"], dtype=np.float64)
+                    if mono.ndim == 2:
+                        mono = mono.mean(axis=1)
+                    rate = m["sample_rate"]
+                    w = max(1, (rate * frame_ms) // 1000)
+                    n_win = len(mono) // w
+                    if n_win == 0:
+                        raise ValueError("clip shorter than one frame")
+                    rms = np.sqrt(
+                        (mono[: n_win * w].reshape(n_win, w) ** 2).mean(axis=1)
+                    )
+                    active = rms > threshold
+                    segs = []
+                    start = None
+                    for i, a in enumerate(active):
+                        if a and start is None:
+                            start = i
+                        elif not a and start is not None:
+                            segs.append((start, i))
+                            start = None
+                    if start is not None:
+                        segs.append((start, n_win))
+                    if not segs:
+                        rows.append(
+                            {"doc_id": _id, "decoded_ok": True,
+                             "seg_idx": None, "start_ms": None,
+                             "end_ms": None}
+                        )
+                    for s_idx, (s, e) in enumerate(segs):
+                        rows.append(
+                            {
+                                "doc_id": _id,
+                                "decoded_ok": True,
+                                "seg_idx": s_idx,
+                                "start_ms": s * w * 1000 // rate,
+                                "end_ms": e * w * 1000 // rate,
+                            }
+                        )
+                except Exception:
+                    rows.append(
+                        {"doc_id": _id, "decoded_ok": False, "seg_idx": None,
+                         "start_ms": None, "end_ms": None}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, AUDIO_SEGMENTS_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
 def audio_dedup_groups(
     df: DataFrame,
     id_col: str = "doc_id",

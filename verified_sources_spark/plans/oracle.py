@@ -1558,3 +1558,29 @@ ORACLE_SQL["video_shots_docs"] = """
     SELECT doc_id, TRUE, 1, k, n, CAST((k + n - 1) // 2 AS INTEGER)
     FROM params WHERE NOT corrupt
 """
+
+# Energy-gate VAD: the two-burst layout ([sil x2][tone x p][sil x g]
+# [tone x q][sil x1] in 25 ms windows, every 31st truncated) replayed
+# in SQL — segment 0 spans windows [2, 2+p), segment 1
+# [2+p+g, 2+p+g+q), each boundary x25 ms exact.
+ORACLE_SQL["audio_segments_docs"] = """
+    WITH params AS (
+        SELECT doc_id,
+               (doc_id % 31) = 0 AS corrupt,
+               CAST(1 + doc_id % 3 AS BIGINT) AS p,
+               CAST(1 + doc_id % 2 AS BIGINT) AS g,
+               CAST(1 + doc_id % 4 AS BIGINT) AS q
+        FROM documents
+    )
+    SELECT doc_id, FALSE AS decoded_ok,
+           CAST(NULL AS INTEGER) AS seg_idx,
+           CAST(NULL AS BIGINT) AS start_ms,
+           CAST(NULL AS BIGINT) AS end_ms
+    FROM params WHERE corrupt
+    UNION ALL
+    SELECT doc_id, TRUE, 0, 2 * 25, (2 + p) * 25
+    FROM params WHERE NOT corrupt
+    UNION ALL
+    SELECT doc_id, TRUE, 1, (2 + p + g) * 25, (2 + p + g + q) * 25
+    FROM params WHERE NOT corrupt
+"""

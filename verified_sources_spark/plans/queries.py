@@ -1643,6 +1643,54 @@ def video_shots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation (energy-gate VAD) end-to-end over
+    documents: mint one WAV per doc with two planted tone bursts
+    separated by silence — burst/gap widths in 25 ms windows are doc_id
+    arithmetic (p = 1 + id%3, g = 1 + id%2, q = 1 + id%4, layout
+    [sil×2][tone×p][sil×g][tone×q][sil×1]); docs with
+    ``doc_id % 31 == 0`` get a truncated payload.  The REAL decode +
+    windowed-RMS gate runs via llm/audio_dedup.audio_segments; the
+    oracle replays the layout arithmetic in SQL, so a value-hash match
+    proves the gate found exactly the planted bursts with exact
+    millisecond boundaries."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.audio_dedup import audio_segments
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.wav_codec import encode
+
+        rate = 8000
+        w = rate * 25 // 1000
+        t = np.arange(w) / rate
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+        sil = np.zeros(w)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p, g, q = 1 + did % 3, 1 + did % 2, 1 + did % 4
+                x = np.concatenate(
+                    [sil, sil] + [tone] * p + [sil] * g + [tone] * q + [sil]
+                )
+                wav = encode(x, rate)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": wav[:10] if did % 31 == 0 else wav}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return audio_segments(assets).select(
+        "doc_id", "decoded_ok", "seg_idx", "start_ms", "end_ms"
+    )
+
+
 def media_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming media-ingest ledger end-to-end (streaming/
     media_ingest.py): mint one asset per doc by residue class —
@@ -1882,4 +1930,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_decode_probe_docs": video_decode_probe_docs,
     "media_ingest_dedup_docs": media_ingest_dedup_docs,
     "video_shots_docs": video_shots_docs,
+    "audio_segments_docs": audio_segments_docs,
 }
