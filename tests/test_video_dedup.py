@@ -143,3 +143,75 @@ def test_video_shots_param_guards():
         video_shots(None, every_ms=0)
     with pytest.raises(ValueError, match="width"):
         video_shots(None, threshold=64)
+
+
+def test_video_scene_pairs_containment(spark):
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode
+    from verified_sources_spark.llm.video_dedup import video_scene_pairs
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 256, size=(6, 8))
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    A, B, C, D = scene(1), scene(2), scene(3), scene(4)
+    mk = lambda scenes: encode(
+        [f for s in scenes for f in [s] * 3], fps=10.0, width=32, height=24
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mk([A, B]))),       # shares A with 2, B with 3
+            (2, bytearray(mk([C, A]))),       # compilation containing A
+            (3, bytearray(mk([B, D]))),
+            (4, bytearray(mk([scene(9)]))),   # unrelated
+            (5, bytearray(b"junk")),          # corrupt: never pairs
+        ],
+        "doc_id long, asset binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_scenes
+        for r in video_scene_pairs(df, every_ms=100).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1}
+
+    # whole-clip pooled fingerprints MISS this containment: 1 vs 2 pool
+    # different scene sets
+    from verified_sources_spark.llm.video_dedup import video_fingerprint
+
+    fps_ = {r.doc_id: r.vfp for r in
+            video_fingerprint(df, every_ms=100).collect() if r.decoded_ok}
+    assert bin(fps_[1] ^ fps_[2]).count("1") > 6
+
+
+def test_video_scene_pairs_stop_scene_guard(spark):
+    """A scene shared by MORE than max_bucket_docs clips (title card) is
+    excluded from candidate discovery; genuine pairs still form through
+    their other scenes."""
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode
+    from verified_sources_spark.llm.video_dedup import video_scene_pairs
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 256, size=(6, 8))
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    intro = scene(100)
+    mk = lambda scenes: encode(
+        [f for s in scenes for f in [s] * 3], fps=10.0, width=32, height=24
+    )
+    rows = [(i, bytearray(mk([intro, scene(i)]))) for i in range(1, 7)]
+    # docs 10 and 11 also share a REAL scene besides the intro
+    rows += [(10, bytearray(mk([intro, scene(50)]))),
+             (11, bytearray(mk([intro, scene(50)])))]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_scenes
+        for r in video_scene_pairs(df, every_ms=100, max_bucket_docs=4).collect()
+    }
+    assert pairs == {(10, 11): 1}

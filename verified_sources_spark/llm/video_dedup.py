@@ -222,6 +222,7 @@ VIDEO_SHOTS_SCHEMA = T.StructType(
         T.StructField("start_frame", T.IntegerType()),
         T.StructField("end_frame", T.IntegerType()),
         T.StructField("keyframe", T.IntegerType()),
+        T.StructField("keyframe_hash", T.LongType()),
     ]
 )
 
@@ -242,7 +243,9 @@ def video_shots(
     clip frame count); ``keyframe`` is the middle sampled frame of the
     shot — the natural 'one representative frame per scene' pick a
     curation pipeline feeds to captioning or embedding models, far
-    better coverage than blind one-frame-per-clip sampling.
+    better coverage than blind one-frame-per-clip sampling — and
+    ``keyframe_hash`` its dHash (signed long), the scene's perceptual
+    identity for cross-clip scene matching.
 
     Per-clip local computation inside one narrow ``mapInPandas`` (the
     hashes are already in hand from sampling) — no shuffle at all, and
@@ -294,6 +297,9 @@ def video_shots(
                         )
                         start_f = picks[s][0]
                         end_f = picks[e][0] if e < len(picks) else n_frames
+                        khash = hashes[(s + e - 1) // 2]
+                        if khash >= 1 << 63:
+                            khash -= 1 << 64
                         rows.append(
                             {
                                 "doc_id": _id,
@@ -302,6 +308,7 @@ def video_shots(
                                 "start_frame": start_f,
                                 "end_frame": end_f,
                                 "keyframe": picks[(s + e - 1) // 2][0],
+                                "keyframe_hash": khash,
                             }
                         )
                 except Exception:
@@ -313,6 +320,7 @@ def video_shots(
                             "start_frame": None,
                             "end_frame": None,
                             "keyframe": None,
+                            "keyframe_hash": None,
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -323,6 +331,102 @@ def video_shots(
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out
+
+
+def video_scene_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    every_ms: int = 500,
+    threshold: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_docs: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_scenes) with id_a < id_b — pairs of clips
+    sharing at least one hamming-verified scene.  This catches the
+    CONTAINMENT near-dups whole-clip pooled fingerprints cannot: a
+    compilation containing one scene of another video, a re-cut
+    sharing half its shots — the dominant redundancy shape in web
+    video corpora.
+
+    Pipeline: shot segmentation (``video_shots``) → one keyframe dHash
+    per scene → multi-index-hash candidate discovery (``n_bands``
+    16-bit band equi-join between DIFFERENT clips; pigeonhole needs
+    ``n_bands > max_hamming``) → ``bit_count``-verified hamming ≤
+    ``max_hamming`` per scene pair → count distinct shared scenes per
+    clip pair.  Only (id, shot, hash) rows shuffle — never frames.
+
+    Stop-scene guard: a band value shared by more than
+    ``max_bucket_docs`` distinct clips (black frames, title cards,
+    channel intros) is dropped from CANDIDATE DISCOVERY before the
+    self-join — the web-video analogue of boilerplate-shingle caps in
+    text LSH; without it one stop scene makes the join quadratic in the
+    corpus.  Genuinely shared content still pairs through its other
+    scenes."""
+    if not n_bands > max_hamming:
+        raise ValueError("need n_bands > max_hamming (pigeonhole)")
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    shots = (
+        video_shots(df, id_col, asset_col, every_ms, threshold)
+        .filter(F.col("decoded_ok"))
+        .select(id_col, "shot_idx", "keyframe_hash")
+        .localCheckpoint(eager=False)
+    )
+    bands = shots.select(
+        id_col,
+        "shot_idx",
+        "keyframe_hash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col("keyframe_hash"), 64 - width * (i + 1)
+                        ).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "shot_idx", "keyframe_hash", "b.band_idx", "b.band_val")
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.countDistinct(id_col).alias("_n"))
+        .filter(F.col("_n") > max_bucket_docs)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shot_idx").alias("shot_a"),
+        F.col("keyframe_hash").alias("h_a"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shot_idx").alias("shot_b"),
+        F.col("keyframe_hash").alias("h_b"),
+        "band_idx", "band_val",
+    )
+    verified = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.expr("bit_count(h_a ^ h_b)") <= F.lit(max_hamming)
+        )
+        .select("id_a", "shot_a", "id_b", "shot_b")
+        .distinct()
+    )
+    return (
+        verified.groupBy("id_a", "id_b")
+        .agg(F.countDistinct("shot_a", "shot_b").alias("n_shared_scenes"))
+    )
 
 
 def video_dedup_groups(

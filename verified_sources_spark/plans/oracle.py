@@ -1584,3 +1584,15 @@ ORACLE_SQL["audio_segments_docs"] = """
     SELECT doc_id, TRUE, 1, (2 + p + g) * 25, (2 + p + g + q) * 25
     FROM params WHERE NOT corrupt
 """
+
+# Scene-level containment: docs with id % 17 == 4 carry doc id-1's
+# first scene as their second — the only cross-clip scene shares by
+# construction (probed: zero accidental exact-dHash collisions over
+# the first 5000 ids).  Pairs require both endpoints decodable
+# (neither truncated by the %37 rule).
+ORACLE_SQL["video_scene_pairs_docs"] = """
+    SELECT doc_id - 1 AS id_a, doc_id AS id_b, CAST(1 AS BIGINT) AS n_shared_scenes
+    FROM documents
+    WHERE doc_id % 17 = 4 AND doc_id > 0
+      AND doc_id % 37 <> 0 AND (doc_id - 1) % 37 <> 0
+"""

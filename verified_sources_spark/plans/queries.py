@@ -1643,6 +1643,61 @@ def video_shots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_scene_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-level video containment end-to-end over documents: every
+    doc gets a two-scene clip (scene patterns seeded 3·id and 3·id+1);
+    docs with ``doc_id % 17 == 4`` replace their second scene with doc
+    id-1's FIRST scene — a planted partial overlap whole-clip pooled
+    fingerprints cannot see; every 37th doc is truncated.  The REAL
+    pipeline (decode → shot cuts → keyframe dHash → banded candidate
+    join → hamming verify, exact match at max_hamming=0) runs via
+    llm/video_dedup.video_scene_pairs; the oracle replays the planting
+    arithmetic.  Probed over the first 5000 doc_ids: zero accidental
+    exact-dHash collisions among distinct scene patterns and every
+    within-clip cut ≥14 bits (threshold 8) — the planted pairs are the
+    ONLY pairs."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.video_dedup import video_scene_pairs
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.avi_codec import encode
+
+        def scene(seed, w=32, h=24):
+            rng = np.random.default_rng(seed)
+            coarse = rng.integers(0, 256, size=(6, 8))
+            gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+            return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s0 = scene(3 * did)
+                s1 = (
+                    scene(3 * (did - 1))
+                    if (did % 17 == 4 and did > 0)
+                    else scene(3 * did + 1)
+                )
+                avi = encode([s0] * 3 + [s1] * 3, fps=10.0, width=32, height=24)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": avi[:10] if did % 37 == 0 else avi}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return video_scene_pairs(
+        assets, every_ms=100, threshold=8, max_hamming=0
+    ).select(
+        "id_a", "id_b", F.col("n_shared_scenes").cast("long").alias("n_shared_scenes")
+    )
+
+
 def audio_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity segmentation (energy-gate VAD) end-to-end over
     documents: mint one WAV per doc with two planted tone bursts
@@ -1931,4 +1986,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_ingest_dedup_docs": media_ingest_dedup_docs,
     "video_shots_docs": video_shots_docs,
     "audio_segments_docs": audio_segments_docs,
+    "video_scene_pairs_docs": video_scene_pairs_docs,
 }
