@@ -159,3 +159,33 @@ def test_gemm_assignment_plan_has_no_cross_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_multimodal_fingerprint_plans_never_shuffle_payloads(spark):
+    """The decode/fingerprint probes are a SINGLE narrow mapInPandas over
+    the minted assets: the only Exchange allowed is _docs_parallel's
+    round-robin of bare doc_ids BEFORE minting (the single-file-parquet
+    parallelism fix — it moves longs, not payloads); once an asset
+    exists it never crosses an Exchange."""
+    for q in ("image_decode_probe_docs", "audio_decode_probe_docs",
+              "video_decode_probe_docs", "video_shots_docs",
+              "audio_segments_docs"):
+        plan = _plan(spark, q)
+        exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        for ln in exchanges:
+            assert "RoundRobinPartitioning" in ln, (q, ln)
+            assert "asset" not in ln, (q, ln)
+        assert len(exchanges) <= 1, (q, exchanges)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_scene_pairs_shuffles_hashes_not_frames(spark):
+    """video_scene_pairs' joins run on (band, hash) rows: every Exchange
+    key set must be band/hash/id columns — the binary asset column never
+    appears below an Exchange."""
+    plan = _plan(spark, "video_scene_pairs_docs")
+    assert "CartesianProduct" not in plan
+    for exchange_line in [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]:
+        assert "asset" not in exchange_line, exchange_line
