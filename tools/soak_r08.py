@@ -146,6 +146,83 @@ def main():
         )
         print(f"  distinct groups: {groups} (expect ~{n//20})", flush=True)
 
+    # ---- media ingest: growing standing ledger, flat increment cost
+    from verified_sources_spark.operators.table_format import ManifestTable as _MT
+    from verified_sources_spark.streaming.media_ingest import MediaIngest
+
+    def minted_pngs(lo, hi, dup_every=10):
+        import pandas as pd
+
+        def mint(batches):
+            import numpy as np
+            from verified_sources_spark.llm.png_codec import encode
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    # every dup_every-th asset near-dups a BATCH-0 asset
+                    # (did % 2000 — itself always a unique pattern, so the
+                    # reference is guaranteed standing)
+                    seed = did % 2000 if (did % dup_every == 0 and did >= 2000) else did
+                    rng = np.random.default_rng(seed)
+                    coarse = rng.integers(0, 256, size=(6, 8))
+                    h, w = 24, 32
+                    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+                    rgb = np.stack([gray] * 3, axis=2).copy()
+                    rgb[did % h, did % w] = [255, 0, 0]  # light per-asset edit
+                    rows.append({"doc_id": did,
+                                 "asset": encode(w, h, rgb.astype(np.uint8).tobytes(), "RGB")})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return (spark.range(lo, hi).repartition(32)
+                .mapInPandas(mint, "doc_id long, asset binary"))
+
+    ing = MediaIngest(_MT(spark, os.path.join(d, "media")),
+                      _MT(spark, os.path.join(d, "media_fps")))
+    for b in range(4):
+        lo, hi = b * 2000, (b + 1) * 2000
+        timed(f"media_ingest batch {b} (+2k assets, standing={lo})",
+              lambda: ing.apply_batch(minted_pngs(lo, hi), b))
+    n_acc = ing.docs_table.read().count()
+    print(f"  accepted {n_acc}/8000 (dups rejected: {8000 - n_acc})", flush=True)
+
+    # ---- scene pairs at 5k two-scene clips, 2% planted containment
+    from verified_sources_spark.llm.video_dedup import video_scene_pairs
+
+    def minted_clips(n):
+        import pandas as pd
+
+        def mint(batches):
+            import numpy as np
+            from verified_sources_spark.llm.avi_codec import encode
+            def scene(seed, w=32, h=24):
+                rng = np.random.default_rng(seed)
+                coarse = rng.integers(0, 256, size=(6, 8))
+                gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+                return np.stack([gray] * 3, axis=2).astype(np.uint8)
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    s0 = scene(3 * did)
+                    s1 = (scene(3 * (did - 1)) if (did % 50 == 4 and did > 0)
+                          else scene(3 * did + 1))
+                    rows.append({"doc_id": did,
+                                 "asset": encode([s0] * 3 + [s1] * 3, 10.0, 32, 24)})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return (spark.range(n).repartition(32)
+                .mapInPandas(mint, "doc_id long, asset binary"))
+
+    for n in (2_000, 5_000):
+        pairs = timed(
+            f"video_scene_pairs n={n}",
+            lambda: video_scene_pairs(
+                minted_clips(n), every_ms=100, threshold=8, max_hamming=0
+            ).count(),
+        )
+        print(f"  pairs: {pairs} (expect ~{n//50})", flush=True)
+
     # ---- iceberg v2 export: 400k rows / 32 files, 100k-row DV
     from verified_sources_spark.operators.iceberg_interop import (
         export_manifest_as_iceberg, read_iceberg_table,
