@@ -102,3 +102,29 @@ def test_hash_size_guard():
 
     with pytest.raises(ValueError, match="hash_size"):
         image_dhash(None, hash_size=12)
+
+
+def test_cross_format_png_jpeg_dedup(spark):
+    """The same photo stored as PNG and as JPEG (the most common dup
+    class in a scraped corpus) lands in ONE perceptual group; a
+    different photo stays out."""
+    from verified_sources_spark.llm.jpeg_codec import encode as jpeg_encode
+
+    img = _gradient_img(64, 48, seed=21)
+    rows = [
+        (1, bytearray(_png(img))),
+        (2, bytearray(jpeg_encode(64, 48, img.tobytes(), quality=90))),
+        (3, bytearray(jpeg_encode(64, 48, img.tobytes(), quality=90,
+                                  subsampling="4:2:0"))),
+        (4, bytearray(_png(_gradient_img(64, 48, seed=99)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    hashes = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert all(hashes[i].decoded_ok for i in (1, 2, 3, 4))
+    assert _hamming(hashes[1].dhash, hashes[2].dhash) <= 4
+    assert _hamming(hashes[1].dhash, hashes[3].dhash) <= 4
+
+    groups = {r.doc_id: r.group
+              for r in image_dedup_groups(df).collect()}
+    assert groups[1] == groups[2] == groups[3]
+    assert groups[4] != groups[1]

@@ -6,8 +6,10 @@ byte/sha dedup (llm/exact_dedup.py on ``asset_meta.sha256``) cannot see.
 The standard cure is a perceptual hash + hamming grouping; this module
 implements **dHash** (difference hash: compare adjacent cells of a
 downsampled grayscale grid — robust to re-encoding and uniform rescales,
-cheap, and deterministic) over the engine's always-on pure-stdlib PNG
-codec (llm/png_codec.py), then groups within hamming distance using the
+cheap, and deterministic) over the engine's always-on pure-stdlib image
+codecs (llm/image_io.py: PNG via png_codec, baseline JPEG via
+jpeg_codec — so the same photo stored in both formats dedups
+cross-format), then groups within hamming distance using the
 SAME banded sorted-probe machinery as text simhash
 (llm/simhash.fingerprint_dedup_groups) — candidates are linear in the
 corpus, never all-pairs.
@@ -87,21 +89,21 @@ def image_dhash(
     hash_size: int = 8,
 ) -> DataFrame:
     """(id, decoded_ok, dhash, width, height) — one 64-bit perceptual
-    hash per PNG asset, Arrow-batched, payloads never shuffled.  A
-    non-PNG / corrupt payload yields ``decoded_ok=false, dhash=null``
+    hash per PNG/JPEG asset, Arrow-batched, payloads never shuffled.  A
+    non-image / corrupt payload yields ``decoded_ok=false, dhash=null``
     instead of failing the task."""
     # a (size+1, size) grid yields size*size adjacent comparisons = bits
     if hash_size * hash_size > 64:
         raise ValueError("hash_size too large for a 64-bit fingerprint")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from verified_sources_spark.llm.png_codec import decode
+        from verified_sources_spark.llm.image_io import decode_image
 
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 try:
-                    im = decode(bytes(payload))
+                    im = decode_image(bytes(payload))
                     ch = 3 if im["mode"] == "RGB" else 4
                     hv = _dhash_of_pixels(
                         im["pixels"], im["width"], im["height"], ch, hash_size

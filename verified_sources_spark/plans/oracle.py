@@ -1585,6 +1585,20 @@ ORACLE_SQL["audio_segments_docs"] = """
     FROM params WHERE NOT corrupt
 """
 
+# Baseline JPEG probe: the minting rule (dims from doc_id, every 13th
+# truncated) replayed in SQL — a value-hash match proves the real
+# Huffman+IDCT decode ran on exactly the uncorrupted set across all
+# three layouts (4:4:4 / 4:2:0 / grayscale) and echoed the true dims.
+ORACLE_SQL["jpeg_decode_probe_docs"] = """
+    SELECT doc_id,
+           (doc_id % 13) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 13 <> 0
+                THEN CAST(16 + (doc_id % 4) * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 13 <> 0
+                THEN CAST(12 + (doc_id % 3) * 8 AS INTEGER) END AS height
+    FROM documents
+"""
+
 # Scene-level containment: docs with id % 17 == 4 carry doc id-1's
 # first scene as their second — the only cross-clip scene shares by
 # construction (probed: zero accidental exact-dHash collisions over

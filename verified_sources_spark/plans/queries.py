@@ -1591,6 +1591,51 @@ def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG path end-to-end over documents: mint one JPEG per
+    doc with the pure-stdlib encoder (dims from doc_id; layout cycles
+    4:4:4 / 4:2:0 / grayscale by ``doc_id % 3`` so every entropy/
+    subsampling path runs; docs with ``doc_id % 13 == 0`` get a
+    truncated payload), then run the REAL Huffman+IDCT decode via the
+    image_io seam inside llm/image_dedup.image_dhash.  The oracle
+    replays the dim/corruption arithmetic in SQL — a value-hash match
+    proves the full entropy decode succeeded on exactly the uncorrupted
+    set and echoed the true frame dimensions."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.image_dedup import image_dhash
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.jpeg_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 12 + (did % 3) * 8
+                rng = np.random.default_rng(did)
+                coarse = rng.integers(0, 256, size=(6, 8))
+                gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+                rgb = np.stack([gray] * 3, axis=2).astype(np.uint8)
+                kw = [{}, {"subsampling": "4:2:0"}, {"grayscale": True}][did % 3]
+                jpg = encode(w, h, rgb.tobytes(), quality=90, **kw)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": jpg[:10] if did % 13 == 0 else jpg}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return image_dhash(assets).select(
+        "doc_id", "decoded_ok", "width", "height"
+    )
+
+
 def video_shots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary segmentation end-to-end over documents: mint one
     two-scene AVI per doc (scene patterns seeded by doc_id; frame count
@@ -1987,4 +2032,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_shots_docs": video_shots_docs,
     "audio_segments_docs": audio_segments_docs,
     "video_scene_pairs_docs": video_scene_pairs_docs,
+    "jpeg_decode_probe_docs": jpeg_decode_probe_docs,
 }

@@ -1,7 +1,7 @@
 """Streaming media ingestion: perceptual dedup as a standing ledger.
 
 The media analogue of :mod:`streaming.corpus_ingest`: binary assets
-(PNG images, WAV audio, AVI video — the engine's always-on stdlib
+(PNG/JPEG images, WAV audio, AVI video — the engine's always-on stdlib
 codecs) stream in per micro-batch, each batch dedups within itself and
 against the STANDING corpus, and survivors append to a ManifestTable
 under the same idempotent two-commit protocol (``TwoTableIngest``: docs
@@ -15,8 +15,8 @@ The fingerprint table holds per accepted asset:
 - ``kind='{modality}:pb{i}'`` — the i-th 16-bit band of that
   fingerprint (candidate discovery joins).
 
-Modality is sniffed per asset from magic bytes (PNG signature,
-RIFF/WAVE, RIFF/AVI) so one ingest handles a MIXED media corpus; the
+Modality is sniffed per asset from magic bytes (PNG signature, JPEG
+SOI, RIFF/WAVE, RIFF/AVI) so one ingest handles a MIXED media corpus; the
 modality participates in every join key, so an image can never
 hamming-match an audio clip.  Undecodable assets fall back to
 exact-only dedup — accepted once, rejected on byte-identical replays,
@@ -52,14 +52,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, int]:
     """(modality, signed 64-bit fingerprint) for one asset, by magic
-    bytes: PNG → dHash, WAV → spectral fingerprint, AVI → time-pooled
+    bytes: PNG/JPEG → dHash (cross-format: the same photo in both
+    formats collides), WAV → spectral fingerprint, AVI → time-pooled
     frame dHash.  Raises on anything else (callers treat that as
     "exact-dedup only")."""
-    if payload[:8] == _PNG_SIG:
+    if payload[:8] == _PNG_SIG or payload[:2] == b"\xff\xd8":
         from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
-        from verified_sources_spark.llm.png_codec import decode
+        from verified_sources_spark.llm.image_io import decode_image
 
-        im = decode(payload)
+        im = decode_image(payload)
         ch = 3 if im["mode"] == "RGB" else 4
         fp = _dhash_of_pixels(im["pixels"], im["width"], im["height"], ch, 8)
         modality = "image"
