@@ -161,3 +161,24 @@ def test_decoder_handles_16bit_quant_tables():
     )
     d = decode(patched)
     assert np.array_equal(_rgb(d, 8, 8), img)
+
+
+def test_extract_features_image_decoder_mixed_formats(spark):
+    """decoder='image' sniffs PNG vs JPEG per asset in one pass — the
+    manifest-building mode for a mixed-format corpus."""
+    from verified_sources_spark.llm.multimodal import extract_features
+    from verified_sources_spark.llm.png_codec import encode as png_encode
+
+    img = _gradient(16, 16)
+    rows = [
+        (1, bytearray(png_encode(16, 16, img.tobytes(), "RGB"))),
+        (2, bytearray(encode(16, 16, img.tobytes(), quality=90))),
+        (3, bytearray(encode(16, 16, img.tobytes(), grayscale=True))),
+        (4, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r.doc_id: r for r in extract_features(df, decoder="image").collect()}
+    assert got[1].format == "PNG" and got[1].width == 16
+    assert got[2].format == "JPEG" and got[2].mode == "RGB"
+    assert got[3].format == "JPEG" and got[3].mode == "L"
+    assert not got[4].decoded_ok

@@ -205,8 +205,59 @@ def extract_features(
 
         return df.select(id_col, asset_col).mapInPandas(run_png, PIL_FEATURE_SCHEMA)
 
+    if decoder == "image":
+        # format-sniffing header probe (PNG or baseline JPEG) — the
+        # manifest-building mode for mixed-format corpora, pure stdlib
+        def run_img(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from verified_sources_spark.llm.image_io import sniff_image_format
+            from verified_sources_spark.llm.jpeg_codec import probe as jprobe
+            from verified_sources_spark.llm.png_codec import probe as pprobe
+
+            for pdf in batches:
+                feats = []
+                for p in pdf[asset_col]:
+                    try:
+                        raw = bytes(p)
+                        fmt = sniff_image_format(raw)
+                        if fmt == "png":
+                            info = pprobe(raw)
+                            mode = info["mode"]
+                        elif fmt == "jpeg":
+                            info = jprobe(raw)
+                            mode = "L" if info["n_components"] == 1 else "RGB"
+                        else:
+                            raise ValueError("not an image")
+                        feats.append(
+                            {
+                                "decoded_ok": True,
+                                "width": info["width"],
+                                "height": info["height"],
+                                "mode": mode,
+                                "format": fmt.upper(),
+                                "n_bytes": len(p),
+                            }
+                        )
+                    except Exception:
+                        feats.append(
+                            {
+                                "decoded_ok": False,
+                                "width": None,
+                                "height": None,
+                                "mode": None,
+                                "format": None,
+                                "n_bytes": len(p) if p is not None else 0,
+                            }
+                        )
+                out = pd.DataFrame(feats)
+                out.insert(0, "doc_id", pdf[id_col].values)
+                yield out
+
+        return df.select(id_col, asset_col).mapInPandas(run_img, PIL_FEATURE_SCHEMA)
+
     if decoder != "fake":
-        raise ValueError(f"decoder must be 'fake', 'png' or 'pil', got {decoder!r}")
+        raise ValueError(
+            f"decoder must be 'fake', 'png', 'image' or 'pil', got {decoder!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
