@@ -215,3 +215,31 @@ def test_video_scene_pairs_stop_scene_guard(spark):
         for r in video_scene_pairs(df, every_ms=100, max_bucket_docs=4).collect()
     }
     assert pairs == {(10, 11): 1}
+
+
+def test_cross_codec_video_dedup(spark):
+    """The same clip stored as BI_RGB and as MJPG (the dominant real
+    AVI codec) lands in ONE perceptual group — cross-CODEC video dedup,
+    the video analogue of PNG/JPEG image dedup."""
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode as avi_enc
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 256, size=(6, 8))
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    frames = [scene(4)] * 3 + [scene(5)] * 3
+    rows = [
+        (1, bytearray(avi_enc(frames, 10.0, 32, 24))),
+        (2, bytearray(avi_enc(frames, 10.0, 32, 24, codec="MJPG",
+                              quality=95))),
+        (3, bytearray(avi_enc([scene(77)] * 6, 10.0, 32, 24))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    groups = {r.doc_id: r.group
+              for r in video_dedup_groups(df, every_ms=100).collect()}
+    assert groups[1] == groups[2]
+    assert groups[3] != groups[1]

@@ -119,15 +119,32 @@ def probe(data: bytes) -> dict:
 
 
 def decode_frame(data: bytes, meta: dict, index: int) -> bytes:
-    """Top-down RGB bytes (h*w*3) for frame ``index``.  Only BI_RGB
-    24-bit decodes; a compressed fourcc refuses with its name."""
+    """Top-down RGB bytes (h*w*3) for frame ``index``.  BI_RGB 24-bit
+    decodes natively; MJPG frames (each chunk a standalone JPEG, with
+    the OpenDML omit-DHT convention handled by llm/jpeg_codec) decode
+    through the baseline JPEG path; any other fourcc refuses with its
+    name."""
+    if not 0 <= index < len(meta["frame_offsets"]):
+        raise AviError(f"frame index {index} out of range")
+    if meta["codec"] == "MJPG":
+        from verified_sources_spark.llm.jpeg_codec import JpegError, decode
+
+        start, size = meta["frame_offsets"][index]
+        try:
+            im = decode(data[start : start + size])
+        except JpegError as e:
+            raise AviError(f"MJPG frame {index}: {e}") from e
+        if (im["width"], im["height"]) != (meta["width"], meta["height"]):
+            raise AviError(
+                f"MJPG frame {index} is {im['width']}x{im['height']}, "
+                f"header says {meta['width']}x{meta['height']}"
+            )
+        return im["pixels"]
     if meta["codec"] != "BI_RGB" or meta["bits"] != 24:
         raise AviError(
             f"cannot decode codec={meta['codec']!r} bits={meta['bits']} "
-            "(only uncompressed BI_RGB 24-bit)"
+            "(only uncompressed BI_RGB 24-bit or MJPG)"
         )
-    if not 0 <= index < len(meta["frame_offsets"]):
-        raise AviError(f"frame index {index} out of range")
     start, size = meta["frame_offsets"][index]
     w, h = meta["width"], meta["height"]
     stride = (w * 3 + 3) & ~3  # DIB rows pad to 4-byte boundaries
@@ -163,12 +180,19 @@ def frame_indices_every_ms(meta: dict, every_ms: int) -> list[tuple[int, int]]:
     return out
 
 
-def encode(frames, fps: float, width: int, height: int) -> bytes:
-    """Minimal spec-shaped BI_RGB AVI from top-down RGB frames
-    (each ``bytes`` of h*w*3, or numpy (h, w, 3) uint8).  Deterministic:
-    the fixture generator for tests and graded probes."""
+def encode(
+    frames, fps: float, width: int, height: int, codec: str = "BI_RGB",
+    quality: int = 90,
+) -> bytes:
+    """Minimal spec-shaped AVI from top-down RGB frames (each ``bytes``
+    of h*w*3, or numpy (h, w, 3) uint8).  ``codec='BI_RGB'`` writes
+    uncompressed DIB frames; ``codec='MJPG'`` writes one baseline JPEG
+    per frame chunk (llm/jpeg_codec at the given quality).
+    Deterministic: the fixture generator for tests and graded probes."""
     import numpy as np
 
+    if codec not in ("BI_RGB", "MJPG"):
+        raise AviError(f"encode supports BI_RGB or MJPG, not {codec!r}")
     stride = (width * 3 + 3) & ~3
     blobs = []
     for f in frames:
@@ -178,6 +202,11 @@ def encode(frames, fps: float, width: int, height: int) -> bytes:
         if arr.shape[0] != width * height * 3:
             raise AviError("frame size does not match width*height*3")
         rgb = arr.reshape(height, width, 3)
+        if codec == "MJPG":
+            from verified_sources_spark.llm.jpeg_codec import encode as jenc
+
+            blobs.append(jenc(width, height, rgb.tobytes(), quality=quality))
+            continue
         bgr = rgb[::-1, :, ::-1]  # bottom-up BGR
         padded = np.zeros((height, stride), dtype=np.uint8)
         padded[:, : width * 3] = bgr.reshape(height, width * 3)
@@ -196,17 +225,21 @@ def encode(frames, fps: float, width: int, height: int) -> bytes:
     avih = struct.pack(
         "<10I", usec, 0, 0, 0, len(blobs), 0, 1, 0, width, height
     ) + b"\x00" * 16
+    handler = b"DIB " if codec == "BI_RGB" else b"MJPG"
+    compression = 0 if codec == "BI_RGB" else struct.unpack("<I", b"MJPG")[0]
+    cid = b"00db" if codec == "BI_RGB" else b"00dc"
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHI", 0, 0, 0, 0)
+        b"vids" + handler + struct.pack("<IHHI", 0, 0, 0, 0)
         + struct.pack("<6I", scale, rate, 0, len(blobs), 0, 0xFFFFFFFF)
         + struct.pack("<I", 0) + struct.pack("<4h", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, 24, compression,
+        stride * height, 0, 0, 0, 0,
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in blobs))
+    movi = lst(b"movi", b"".join(chunk(cid, b) for b in blobs))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)

@@ -399,8 +399,19 @@ def decode(data: bytes) -> dict:
                 dc_table = htables.get((0, dc_t))
                 ac_table = htables.get((1, ac_t))
                 q = qtables.get(c["q"])
-                if dc_table is None or ac_table is None or q is None:
-                    raise JpegError("scan references undefined DQT/DHT table")
+                if dc_table is None or ac_table is None:
+                    # MJPG convention: streams omit DHT and rely on the
+                    # T.81 Annex K typical tables (OpenDML spec says so)
+                    dc_table = dc_table or _HuffTable(
+                        *(_H_DC_LUMA if dc_t == 0 else _H_DC_CHROMA)
+                    )
+                    ac_table = ac_table or _HuffTable(
+                        *(_H_AC_LUMA if ac_t == 0 else _H_AC_CHROMA)
+                    )
+                    htables[(0, dc_t)] = dc_table
+                    htables[(1, ac_t)] = ac_table
+                if q is None:
+                    raise JpegError("scan references undefined DQT table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coeffs = np.zeros(64, dtype=np.float64)
