@@ -122,3 +122,52 @@ def test_odd_data_chunk_gets_riff_pad_byte():
     assert len(blob) % 2 == 0 and blob[-1:] == b"\x00"
     meta = decode(blob)
     assert meta["samples"].shape == (3, 1)
+
+
+def test_g711_ulaw_alaw_roundtrip():
+    """G.711 companding (format 7 mu-law / 6 A-law, the telephony WAVs
+    call-recording corpora carry) roundtrips at the textbook ~37 dB SNR;
+    mu-law keeps an exact zero, A-law's smallest magnitude is 8/32768."""
+    rng = np.random.default_rng(5)
+    x = np.clip(rng.normal(0, 0.3, 2000), -1, 1)
+    for enc, code in (("ulaw", 7), ("alaw", 6)):
+        data = encode(x, 8000, encoding=enc)
+        m = probe(data)
+        assert m["format"] == code and m["bits_per_sample"] == 8
+        y = decode(data)["samples"].ravel()
+        snr = 10 * np.log10((x ** 2).mean() / ((y - x) ** 2).mean())
+        assert snr > 35, (enc, snr)
+        assert np.abs(y - x).max() < 0.02
+    assert np.all(decode(encode(np.zeros(8), 8000, encoding="ulaw"))["samples"] == 0)
+
+
+def test_g711_cross_coding_fingerprint_stable():
+    """The same recording as 16-bit PCM and as mu-law lands within the
+    dedup threshold — telephony re-encodes dedup against originals."""
+    from verified_sources_spark.llm.audio_dedup import (
+        _audio_fingerprint_of_samples,
+    )
+
+    t = np.arange(4000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t) * np.interp(
+        t, [0, 0.25, 0.5], [0.3, 1.0, 0.5]
+    )
+    f_pcm = _audio_fingerprint_of_samples(
+        decode(encode(tone, 8000))["samples"], 8000
+    )
+    f_ulaw = _audio_fingerprint_of_samples(
+        decode(encode(tone, 8000, encoding="ulaw"))["samples"], 8000
+    )
+    assert bin(f_pcm ^ f_ulaw).count("1") <= 6
+
+
+def test_g711_guards():
+    with pytest.raises(WavError, match="pcm/ulaw/alaw"):
+        encode(np.zeros(4), 8000, encoding="gsm")
+    # a 16-bit fmt chunk claiming A-law is malformed
+    data = bytearray(encode(np.zeros(4), 8000, encoding="alaw"))
+    i = bytes(data).index(b"fmt ")
+    import struct as _s
+    _s.pack_into("<H", data, i + 8 + 14, 16)  # bits_per_sample -> 16
+    with pytest.raises(WavError, match="8-bit"):
+        probe(bytes(data))

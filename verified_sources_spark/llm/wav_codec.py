@@ -10,11 +10,12 @@ byte-sum fake — the reference's unstructured/filesystem sources treat
 media as opaque payloads plus typed metadata (SURVEY.md §2.1 #31/#32);
 the decode itself is the part their container also outsources.
 
-Supports the overwhelmingly common on-disk shape: PCM (format 1) and
-IEEE float (format 3), 8/16/24/32-bit, any channel count/rate.
-Everything else raises ``WavError`` — per-object isolation in
-``audio_features`` maps a poisoned payload to an error row, never a
-failed task.
+Supports the overwhelmingly common on-disk shapes: PCM (format 1) and
+IEEE float (format 3), 8/16/24/32-bit, any channel count/rate, plus the
+G.711 telephony codings A-law (format 6) and μ-law (format 7) — call
+recordings and voicemail corpora are full of them.  Everything else
+raises ``WavError`` — per-object isolation in ``audio_features`` maps a
+poisoned payload to an error row, never a failed task.
 """
 
 from __future__ import annotations
@@ -67,12 +68,14 @@ def probe(data: bytes) -> dict:
             data_len = len(body)
     if fmt is None or data_len is None:
         raise WavError("missing fmt/data chunk")
-    if fmt["format"] not in (1, 3):
+    if fmt["format"] not in (1, 3, 6, 7):
         raise WavError(f"unsupported WAV format code {fmt['format']}")
     if fmt["format"] == 3 and fmt["bits_per_sample"] not in (32, 64):
         raise WavError("IEEE-float WAV must be 32- or 64-bit")
     if fmt["format"] == 1 and fmt["bits_per_sample"] not in (8, 16, 24, 32):
         raise WavError(f"unsupported PCM depth {fmt['bits_per_sample']}")
+    if fmt["format"] in (6, 7) and fmt["bits_per_sample"] != 8:
+        raise WavError("G.711 A-law/mu-law WAV must be 8-bit")
     if fmt["block_align"] == 0 or fmt["channels"] == 0 or fmt["sample_rate"] == 0:
         raise WavError("degenerate fmt chunk")
     n_frames = data_len // fmt["block_align"]
@@ -96,6 +99,21 @@ def decode(data: bytes) -> dict:
         arr = np.frombuffer(body, dtype="<f4" if bits == 32 else "<f8").astype(
             np.float64
         )
+    elif meta["format"] == 7:  # G.711 mu-law
+        u = (~np.frombuffer(body, dtype=np.uint8).astype(np.int32)) & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        arr = np.where(u & 0x80, -mag, mag).astype(np.float64) / 32768.0
+    elif meta["format"] == 6:  # G.711 A-law
+        a = np.frombuffer(body, dtype=np.uint8).astype(np.int32) ^ 0x55
+        seg = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = np.where(
+            seg == 0,
+            (mant << 4) + 8,
+            ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+        )
+        # A-law sign convention: bit 7 SET means positive
+        arr = np.where(a & 0x80, mag, -mag).astype(np.float64) / 32768.0
     elif bits == 8:
         arr = (np.frombuffer(body, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
@@ -111,27 +129,54 @@ def decode(data: bytes) -> dict:
     return meta
 
 
-def encode(samples, sample_rate: int, bits: int = 16) -> bytes:
+def encode(
+    samples, sample_rate: int, bits: int = 16, encoding: str = "pcm"
+) -> bytes:
     """float samples in [-1, 1] (array-like, 1-D mono or (frames,
-    channels)) → PCM WAV bytes.  Deterministic: fixture generator for
-    tests and the executor-side round-trip check."""
+    channels)) → WAV bytes.  ``encoding``: 'pcm' (8/16-bit), 'ulaw' or
+    'alaw' (G.711 companding, 8-bit).  Deterministic: fixture generator
+    for tests and the executor-side round-trip check."""
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]
-    if bits == 16:
+    if encoding == "ulaw":
+        lin = np.clip(np.round(arr * 32767.0), -32635, 32635).astype(np.int64)
+        sign = np.where(lin < 0, 0x80, 0)
+        x = np.abs(lin) + 0x84
+        # exponent = bit position of the leading 1 above bit 7
+        exp = np.maximum(
+            np.int64(np.floor(np.log2(np.maximum(x, 1)))) - 7, 0
+        )
+        mant = (x >> (exp + 3)) & 0x0F
+        pcm = ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+        fmt_code, bits = 7, 8
+    elif encoding == "alaw":
+        lin = np.clip(np.round(arr * 32767.0), -32767, 32767).astype(np.int64)
+        sign = np.where(lin >= 0, 0x80, 0)
+        x = np.abs(lin)
+        bl = np.int64(np.floor(np.log2(np.maximum(x, 1)))) + 1
+        seg = np.maximum(bl - 8, 0)
+        a = np.where(seg == 0, x >> 4, ((x >> (seg + 3)) & 0x0F) | (seg << 4))
+        pcm = ((a | sign) ^ 0x55).astype(np.uint8).tobytes()
+        fmt_code, bits = 6, 8
+    elif encoding != "pcm":
+        raise WavError(f"encode supports pcm/ulaw/alaw, not {encoding!r}")
+    elif bits == 16:
         pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2").tobytes()
+        fmt_code = 1
     elif bits == 8:
         pcm = (
             np.clip(np.round(arr * 127.0) + 128, 0, 255).astype(np.uint8).tobytes()
         )
+        fmt_code = 1
     else:
         raise WavError("encode supports 8- or 16-bit PCM")
     channels = arr.shape[1]
     block_align = channels * bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        "<HHIIHH", fmt_code, channels, sample_rate, sample_rate * block_align,
         block_align, bits,
     )
     # RIFF chunks are word-aligned: an odd-sized data chunk carries a
