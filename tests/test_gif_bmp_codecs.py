@@ -1,0 +1,170 @@
+"""GIF (LZW) and BMP decoders + the image_io dispatch: roundtrips,
+interlace, animation probe, palette handling, refusal contracts, and
+cross-format dedup through the shared dHash path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from verified_sources_spark.llm import bmp_codec, gif_codec
+from verified_sources_spark.llm.image_io import decode_image, sniff_image_format
+
+
+def _pattern(w=32, h=24, seed=3, n_colors=16):
+    """Paletted-friendly structured image (<=256 distinct colors)."""
+    rng = np.random.default_rng(seed)
+    levels = rng.integers(0, 256, size=n_colors).astype(np.uint8)
+    coarse = levels[rng.integers(0, n_colors, size=(6, 8))]
+    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+    return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+
+# ------------------------------------------------------------------- GIF
+
+def test_gif_roundtrip_exact():
+    img = _pattern()
+    data = gif_codec.encode(32, 24, img.tobytes())
+    m = gif_codec.probe(data)
+    assert (m["width"], m["height"], m["version"]) == (32, 24, "87a")
+    assert m["n_frames"] == 1 and not m["animated"]
+    d = gif_codec.decode(data)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(24, 32, 3)
+    assert np.array_equal(got, img)  # palette roundtrip is lossless
+
+
+def test_gif_two_colors_min_code_size():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2] = 255
+    d = gif_codec.decode(gif_codec.encode(8, 8, img.tobytes()))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got, img)
+
+
+def test_gif_interlaced_rows_reorder():
+    img = _pattern(16, 16, seed=9)
+    data = bytearray(gif_codec.encode(16, 16, img.tobytes()))
+    # craft an interlaced variant: set the interlace flag and reorder
+    # the INDEX rows into pass order, then re-encode by hand
+    plain = gif_codec.decode(bytes(data))
+    idx_rows = []
+    # recover indices by matching pixels to the palette (unique colors)
+    colors, inverse = np.unique(
+        np.frombuffer(img.tobytes(), dtype=np.uint8).reshape(-1, 3),
+        axis=0, return_inverse=True,
+    )
+    grid = inverse.reshape(16, 16)
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(start, 16, step)]
+    # rebuild a GIF whose pixel stream is in interlace pass order
+    reordered = np.concatenate([grid[y] for y in order])
+    img2 = colors[reordered].reshape(16, 16, 3).astype(np.uint8)
+    data2 = bytearray(gif_codec.encode(16, 16, img2.tobytes()))
+    di = bytes(data2).index(b"\x2c")
+    data2[di + 9] |= 0x40  # interlace flag
+    d = gif_codec.decode(bytes(data2))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+    assert np.array_equal(got, img)  # de-interlacing restores row order
+
+
+def test_gif_animated_probe_counts_frames():
+    img = _pattern(8, 8, seed=1, n_colors=4)
+    one = gif_codec.encode(8, 8, img.tobytes())
+    # splice a second image block before the trailer (last byte, 0x3B)
+    di = one.index(b"\x2c")
+    frame = one[di:-1]  # image descriptor through sub-block terminator
+    two = one[:-1] + frame + one[-1:]
+    m = gif_codec.probe(two)
+    assert m["n_frames"] == 2 and m["animated"]
+    d = gif_codec.decode(two)  # first frame only
+    assert d["n_frames"] == 2
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got, img)
+
+
+def test_gif_rejects_junk_and_truncation():
+    with pytest.raises(gif_codec.GifError, match="not a GIF"):
+        gif_codec.probe(b"GIF99a????")
+    img = _pattern(16, 16)
+    data = gif_codec.encode(16, 16, img.tobytes())
+    with pytest.raises(gif_codec.GifError):
+        gif_codec.decode(data[: len(data) // 2])
+    with pytest.raises(gif_codec.GifError, match="256"):
+        rng = np.random.default_rng(0)
+        noisy = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+        gif_codec.encode(24, 24, noisy.tobytes())
+
+
+# ------------------------------------------------------------------- BMP
+
+def test_bmp_roundtrip_24bit():
+    img = _pattern(19, 13, seed=5)  # odd width: stride padding exercised
+    data = bmp_codec.encode(19, 13, img.tobytes())
+    m = bmp_codec.probe(data)
+    assert (m["width"], m["height"], m["bits"]) == (19, 13, 24)
+    assert m["compression"] == "BI_RGB" and m["bottom_up"]
+    d = bmp_codec.decode(data)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(13, 19, 3)
+    assert np.array_equal(got, img)
+
+
+def test_bmp_8bit_paletted():
+    """Hand-build an 8-bit paletted BMP and decode it."""
+    w, h = 6, 4
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = np.arange(w * h, dtype=np.uint8).reshape(h, w) % 4
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    offset = 14 + 40 + 4 * len(pal)
+    body = rows.tobytes()
+    data = (
+        b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0,
+                      len(pal), 0)
+        + b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+        + body
+    )
+    d = bmp_codec.decode(data)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    expect = np.array(pal, dtype=np.uint8)[idx]
+    assert np.array_equal(got, expect)
+
+
+def test_bmp_refuses_rle_and_junk():
+    img = _pattern(8, 8)
+    data = bytearray(bmp_codec.encode(8, 8, img.tobytes()))
+    struct.pack_into("<I", data, 14 + 16, 1)  # compression -> BI_RLE8
+    assert bmp_codec.probe(bytes(data))["compression"] == "BI_RLE8"
+    with pytest.raises(bmp_codec.BmpError, match="BI_RLE8"):
+        bmp_codec.decode(bytes(data))
+    with pytest.raises(bmp_codec.BmpError, match="not a BMP"):
+        bmp_codec.probe(b"nope")
+
+
+# ------------------------------------------------- cross-format dispatch
+
+def test_image_io_dispatch_and_cross_format_dhash():
+    from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+    from verified_sources_spark.llm.jpeg_codec import encode as jpeg_encode
+    from verified_sources_spark.llm.png_codec import encode as png_encode
+
+    img = _pattern(32, 24, seed=11)
+    payloads = {
+        "png": png_encode(32, 24, img.tobytes(), "RGB"),
+        "jpeg": jpeg_encode(32, 24, img.tobytes(), quality=95),
+        "gif": gif_codec.encode(32, 24, img.tobytes()),
+        "bmp": bmp_codec.encode(32, 24, img.tobytes()),
+    }
+    hashes = {}
+    for fmt, payload in payloads.items():
+        assert sniff_image_format(payload) == fmt
+        d = decode_image(payload)
+        assert d["format"] == fmt and (d["width"], d["height"]) == (32, 24)
+        hashes[fmt] = _dhash_of_pixels(d["pixels"], 32, 24, 3, 8)
+    base = hashes["png"]
+    for fmt, hv in hashes.items():
+        assert bin(base ^ hv).count("1") <= 3, fmt  # all four formats dedup
+    assert sniff_image_format(b"junk") is None

@@ -18,28 +18,35 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'png' / 'jpeg' / None — magic bytes only, no decode."""
+    """'png' / 'jpeg' / 'gif' / 'bmp' / None — magic bytes only."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
     return None
 
 
 def decode_image(payload: bytes) -> dict:
-    """Decode a PNG or baseline JPEG payload to the common
-    ``{width, height, mode, pixels, format}`` dict; raises on anything
-    else (callers treat that as "not an image")."""
+    """Decode a PNG / baseline JPEG / GIF (first frame) / BMP payload to
+    the common ``{width, height, mode, pixels, format}`` dict; raises on
+    anything else (callers treat that as "not an image")."""
     fmt = sniff_image_format(payload)
     if fmt == "png":
         from verified_sources_spark.llm.png_codec import decode
-
-        out = decode(payload)
     elif fmt == "jpeg":
         from verified_sources_spark.llm.jpeg_codec import decode
-
-        out = decode(payload)
+    elif fmt == "gif":
+        from verified_sources_spark.llm.gif_codec import decode
+    elif fmt == "bmp":
+        from verified_sources_spark.llm.bmp_codec import decode
     else:
-        raise ValueError("unrecognized image payload (not PNG or JPEG)")
+        raise ValueError(
+            "unrecognized image payload (not PNG/JPEG/GIF/BMP)"
+        )
+    out = decode(payload)
     out["format"] = fmt
     return out

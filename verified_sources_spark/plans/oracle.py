@@ -1599,6 +1599,20 @@ ORACLE_SQL["jpeg_decode_probe_docs"] = """
     FROM documents
 """
 
+# Mixed-format image dispatch: the minting rule (format cycles by
+# id%4 across PNG/JPEG/GIF/BMP, dims from doc_id, every 11th
+# truncated) replayed in SQL — a hash match proves all four codecs
+# decoded their share through the sniffing seam.
+ORACLE_SQL["image_formats_probe_docs"] = """
+    SELECT doc_id,
+           (doc_id % 11) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 11 <> 0
+                THEN CAST(16 + (doc_id % 4) * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 11 <> 0
+                THEN CAST(12 + (doc_id % 3) * 8 AS INTEGER) END AS height
+    FROM documents
+"""
+
 # Scene-level containment: docs with id % 17 == 4 carry doc id-1's
 # first scene as their second — the only cross-clip scene shares by
 # construction (probed: zero accidental exact-dHash collisions over

@@ -1636,6 +1636,61 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format image dispatch end-to-end over documents: mint one
+    asset per doc cycling ALL FOUR stdlib image codecs by
+    ``doc_id % 4`` (PNG, baseline JPEG, GIF/LZW, BMP), dims from doc_id,
+    every 11th truncated; decode through the image_io sniffing seam via
+    llm/image_dedup.image_dhash.  The oracle replays the arithmetic —
+    a value-hash match proves each codec decoded its share and echoed
+    the true dims (the real mixed-corpus shape: a scraped image column
+    is never one format)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.image_dedup import image_dhash
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.bmp_codec import encode as bmp_enc
+        from verified_sources_spark.llm.gif_codec import encode as gif_enc
+        from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
+        from verified_sources_spark.llm.png_codec import encode as png_enc
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 12 + (did % 3) * 8
+                rng = np.random.default_rng(did)
+                levels = rng.integers(0, 256, size=16).astype(np.uint8)
+                coarse = levels[rng.integers(0, 16, size=(6, 8))]
+                gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+                rgb = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+                fmt = did % 4
+                if fmt == 0:
+                    asset = png_enc(w, h, rgb, "RGB")
+                elif fmt == 1:
+                    asset = jpg_enc(w, h, rgb, quality=90)
+                elif fmt == 2:
+                    asset = gif_enc(w, h, rgb)
+                else:
+                    asset = bmp_enc(w, h, rgb)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": asset[:8] if did % 11 == 0 else asset}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return image_dhash(assets).select(
+        "doc_id", "decoded_ok", "width", "height"
+    )
+
+
 def video_shots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary segmentation end-to-end over documents: mint one
     two-scene AVI per doc (scene patterns seeded by doc_id; frame count
@@ -2033,4 +2088,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_segments_docs": audio_segments_docs,
     "video_scene_pairs_docs": video_scene_pairs_docs,
     "jpeg_decode_probe_docs": jpeg_decode_probe_docs,
+    "image_formats_probe_docs": image_formats_probe_docs,
 }
