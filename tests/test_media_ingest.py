@@ -225,3 +225,36 @@ def test_run_streams_parquet_landing_files(spark, tmp_path):
     )
     ing.run(stream, str(tmp_path / "ckpt"))
     assert {r["doc_id"] for r in ing.docs_table.read().collect()} == {1, 2, 11}
+
+
+def test_cross_format_image_rejected_by_ledger(spark, tmp_path):
+    """A standing PNG rejects later GIF/BMP/JPEG copies of the same
+    photo — the ledger dedups across all four image formats."""
+    from verified_sources_spark.llm.bmp_codec import encode as bmp_enc
+    from verified_sources_spark.llm.gif_codec import encode as gif_enc
+    from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
+
+    rng = np.random.default_rng(8)
+    levels = rng.integers(0, 256, size=16).astype(np.uint8)
+    coarse = levels[rng.integers(0, 16, size=(6, 8))]
+    h, w = 24, 32
+    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+    rgb = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
+
+    ing = _mk(spark, tmp_path)
+    ing.apply_batch(
+        spark.createDataFrame([(1, bytearray(_png(1))),
+                               (2, bytearray(png_encode(w, h, rgb, "RGB")))],
+                              SCHEMA), 0)
+    b1 = spark.createDataFrame(
+        [
+            (10, bytearray(jpg_enc(w, h, rgb, quality=95))),
+            (11, bytearray(gif_enc(w, h, rgb))),
+            (12, bytearray(bmp_enc(w, h, rgb))),
+            (13, bytearray(_png(40))),  # fresh
+        ],
+        SCHEMA,
+    )
+    ing.apply_batch(b1, 1)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1, 2, 13}

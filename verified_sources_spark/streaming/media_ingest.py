@@ -52,11 +52,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, int]:
     """(modality, signed 64-bit fingerprint) for one asset, by magic
-    bytes: PNG/JPEG → dHash (cross-format: the same photo in both
-    formats collides), WAV → spectral fingerprint, AVI → time-pooled
-    frame dHash.  Raises on anything else (callers treat that as
-    "exact-dedup only")."""
-    if payload[:8] == _PNG_SIG or payload[:2] == b"\xff\xd8":
+    bytes: PNG/JPEG/GIF/BMP → dHash (cross-format: the same photo in
+    any of the four collides), WAV → spectral fingerprint, AVI →
+    time-pooled frame dHash.  Raises on anything else (callers treat
+    that as "exact-dedup only")."""
+    from verified_sources_spark.llm.image_io import sniff_image_format
+
+    if sniff_image_format(payload) is not None:
         from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
         from verified_sources_spark.llm.image_io import decode_image
 
