@@ -258,3 +258,37 @@ def test_cross_format_image_rejected_by_ledger(spark, tmp_path):
     ing.apply_batch(b1, 1)
     got = {r["doc_id"] for r in ing.docs_table.read().collect()}
     assert got == {1, 2, 13}
+
+
+def test_animated_gif_routes_to_video_modality(spark, tmp_path):
+    """A standing AVI rejects a later animated-GIF re-post of the same
+    clip (both land in the video modality); a STILL GIF of one frame
+    stays in the image modality and dedups against a PNG of the same
+    picture."""
+    from verified_sources_spark.llm.avi_codec import encode as avi_enc
+    from verified_sources_spark.llm.gif_codec import encode_animated
+    from verified_sources_spark.streaming.media_ingest import (
+        perceptual_fingerprint,
+    )
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 8, size=(6, 8)) * 32
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    frames = [scene(4)] * 5 + [scene(5)] * 5
+    avi = avi_enc(frames, 10.0, 32, 24)
+    gif = encode_animated(32, 24, frames, 100)
+    assert perceptual_fingerprint(avi)[0] == "video"
+    assert perceptual_fingerprint(gif)[0] == "video"
+
+    from verified_sources_spark.llm.gif_codec import encode as gif_still
+    still = gif_still(32, 24, scene(4).tobytes())
+    assert perceptual_fingerprint(still)[0] == "image"
+
+    ing = _mk(spark, tmp_path, every_ms=200)
+    ing.apply_batch(spark.createDataFrame([(1, bytearray(avi))], SCHEMA), 0)
+    ing.apply_batch(spark.createDataFrame([(2, bytearray(gif))], SCHEMA), 1)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1}  # GIF re-post rejected against the standing AVI

@@ -243,3 +243,58 @@ def test_cross_codec_video_dedup(spark):
               for r in video_dedup_groups(df, every_ms=100).collect()}
     assert groups[1] == groups[2]
     assert groups[3] != groups[1]
+
+
+def test_cross_container_avi_gif_dedup(spark):
+    """The same clip as an AVI and as an animated GIF (web corpora are
+    full of GIF re-posts of video content) lands in ONE group."""
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode as avi_enc
+    from verified_sources_spark.llm.gif_codec import encode_animated
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 8, size=(6, 8)) * 32
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    frames = [scene(4)] * 5 + [scene(5)] * 5
+    rows = [
+        (1, bytearray(avi_enc(frames, 10.0, 32, 24))),           # 100ms/frame
+        (2, bytearray(encode_animated(32, 24, frames, 100))),    # same timing
+        (3, bytearray(encode_animated(32, 24, [scene(77)] * 10, 100))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    groups = {r.doc_id: r.group
+              for r in video_dedup_groups(df, every_ms=200).collect()}
+    assert groups[1] == groups[2]
+    assert groups[3] != groups[1]
+
+    # probe surfaces the container-normalized header for both
+    probes = {r.doc_id: r for r in video_probe(df).collect()}
+    assert probes[1].codec == "BI_RGB" and probes[2].codec == "GIF"
+    assert probes[1].n_frames == probes[2].n_frames == 10
+    assert probes[2].duration_ms == 1000
+
+
+def test_gif_shot_detection(spark):
+    """Shot boundaries work on animated GIFs through the same seam."""
+    import numpy as np
+
+    from verified_sources_spark.llm.gif_codec import encode_animated
+    from verified_sources_spark.llm.video_dedup import video_shots
+
+    def scene(seed, w=16, h=12):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 8, size=(3, 4)) * 32
+        gray = coarse[(np.arange(h) * 3) // h][:, (np.arange(w) * 4) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    data = encode_animated(16, 12, [scene(1)] * 4 + [scene(2)] * 6, 100)
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "doc_id long, asset binary")
+    got = {r.shot_idx: r for r in
+           video_shots(df, every_ms=100, threshold=8).collect()}
+    assert got[0].start_frame == 0 and got[0].end_frame == 4
+    assert got[1].start_frame == 4 and got[1].end_frame == 10

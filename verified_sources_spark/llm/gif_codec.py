@@ -27,7 +27,10 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["GifError", "probe", "decode", "encode"]
+__all__ = [
+    "GifError", "probe", "decode", "decode_frames", "encode",
+    "encode_animated",
+]
 
 
 class GifError(ValueError):
@@ -89,20 +92,39 @@ def _walk(data: bytes):
 
 def probe(data: bytes) -> dict:
     """Header-walk metadata: width, height, version, n_frames,
-    animated — no LZW decompression."""
+    animated, per-frame ``delays_ms`` (graphic-control, default 100 ms),
+    ``timestamps_ms`` (cumulative start time per frame), duration_ms,
+    and the average fps — all WITHOUT LZW decompression (delays live in
+    extension blocks)."""
     w, h = struct.unpack_from("<HH", data, 6) if len(data) >= 10 else (0, 0)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF payload")
-    n = 0
-    for kind, _label, _pos in _walk(data):
-        if kind == "img":
-            n += 1
+    delays = []
+    pending = None
+    for kind, label, pos in _walk(data):
+        if kind == "ext" and label == 0xF9 and data[pos] >= 4:
+            pending = struct.unpack_from("<H", data, pos + 2)[0] * 10
+        elif kind == "img":
+            # 0-delay frames render "as fast as possible"; browsers clamp
+            # to ~100 ms, the convention samplers rely on
+            delays.append(pending if pending else 100)
+            pending = None
+    ts = []
+    t = 0
+    for d in delays:
+        ts.append(t)
+        t += d
+    n = len(delays)
     return {
         "width": w,
         "height": h,
         "version": data[3:6].decode("ascii"),
         "n_frames": n,
         "animated": n > 1,
+        "delays_ms": delays,
+        "timestamps_ms": ts,
+        "duration_ms": t,
+        "fps": (n * 1000.0 / t) if t else 0.0,
     }
 
 
@@ -169,11 +191,14 @@ def _lzw_decode(data: bytes, pos: int, min_code_size: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode(data: bytes) -> dict:
-    """First frame as top-down RGB: probe fields plus ``pixels``
-    (h*w*3 bytes) and ``mode`` ('RGB') — the same contract as
-    png_codec/jpeg_codec.decode.  Transparent pixels keep the
-    background color (index from the screen descriptor)."""
+def decode_frames(data: bytes):
+    """Yield (timestamp_ms, top-down RGB bytes) per frame, fully
+    composited per the GIF89a animation model: transparency leaves the
+    underlying canvas, disposal 2 restores the frame region to the
+    background color, disposal 3 restores the pre-frame canvas.
+    Decoding is inherently SEQUENTIAL (frames are deltas) — time-based
+    samplers decode up to the last frame they keep, unlike AVI's
+    per-frame seek."""
     import numpy as np
 
     meta = probe(data)
@@ -181,16 +206,24 @@ def decode(data: bytes) -> dict:
     flags = data[10]
     bg_index = data[11]
     gct, pos = _color_table(data, 13, flags)
+    bg_rgb = (
+        np.array(list(gct[bg_index]), dtype=np.uint8)
+        if gct and bg_index < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    screen = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
 
     transparent = None
+    disposal = 0
+    frame_idx = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x21:
             label = data[pos + 1]
             if label == 0xF9 and data[pos + 2] >= 4:  # graphic control
                 gflags = data[pos + 3]
-                if gflags & 1:
-                    transparent = data[pos + 6]
+                disposal = (gflags >> 2) & 7
+                transparent = data[pos + 6] if gflags & 1 else None
             pos = _skip_subblocks(data, pos + 2)
         elif b == 0x2C:
             left, top, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
@@ -199,8 +232,7 @@ def decode(data: bytes) -> dict:
             palette = lct or gct
             if not palette:
                 raise GifError("no color table for frame")
-            min_code = data[p2]
-            indices = _lzw_decode(data, p2 + 1, min_code)
+            indices = _lzw_decode(data, p2 + 1, data[p2])
             if len(indices) < iw * ih:
                 raise GifError(
                     f"LZW underrun: {len(indices)} < {iw * ih} pixels"
@@ -220,65 +252,72 @@ def decode(data: bytes) -> dict:
                 pal[k] = list(rgb3)
             if idx.max(initial=0) >= len(palette):
                 raise GifError("palette index out of range")
-            frame = pal[idx].reshape(ih, iw, 3)
-            if transparent is not None:
-                bg = pal[bg_index] if bg_index < len(palette) else np.zeros(3, np.uint8)
-                mask = idx.reshape(ih, iw) == transparent
-                frame = frame.copy()
-                frame[mask] = bg
-            # composite onto the logical screen at (left, top)
-            bg_rgb = (
-                pal[bg_index] if gct and bg_index < len(gct) else np.zeros(3, np.uint8)
-            )
-            screen = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
+            idx2d = idx.reshape(ih, iw)
+            frame = pal[idx2d]
             y1, x1 = min(top + ih, h), min(left + iw, w)
-            screen[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
-            meta = dict(meta)
-            meta["pixels"] = screen.tobytes()
-            meta["mode"] = "RGB"
-            return meta
+            snapshot = screen.copy() if disposal == 3 else None
+            region = screen[top:y1, left:x1]
+            patch = frame[: y1 - top, : x1 - left]
+            if transparent is not None:
+                mask = idx2d[: y1 - top, : x1 - left] == transparent
+                patch = np.where(mask[:, :, None], region, patch)
+            screen[top:y1, left:x1] = patch
+            yield meta["timestamps_ms"][frame_idx], screen.tobytes()
+            if disposal == 2:
+                screen[top:y1, left:x1] = bg_rgb
+            elif disposal == 3 and snapshot is not None:
+                screen = snapshot
+            transparent = None
+            disposal = 0
+            frame_idx += 1
+            pos = _skip_subblocks(data, p2 + 1)
         elif b == 0x3B:
-            break
+            return
         else:
             raise GifError(f"unknown block 0x{b:02X}")
+
+
+def decode(data: bytes) -> dict:
+    """First frame as top-down RGB: probe fields plus ``pixels``
+    (h*w*3 bytes) and ``mode`` ('RGB') — the same contract as
+    png_codec/jpeg_codec.decode.  Animated GIFs report ``n_frames`` so
+    callers can route them to the frame-level surface
+    (``decode_frames``)."""
+    meta = dict(probe(data))
+    for _ts, pixels in decode_frames(data):
+        meta["pixels"] = pixels
+        meta["mode"] = "RGB"
+        return meta
     raise GifError("no image frame found")
 
 
-def encode(width: int, height: int, pixels: bytes) -> bytes:
-    """Minimal GIF87a from top-down RGB bytes: palette built from the
-    distinct colors (≤256 required), LZW emitted with an immediate-clear
-    strategy (spec-valid, modestly compressed).  Deterministic fixture
-    generator."""
+def _palette_and_indices(frames_rgb):
+    """ONE palette over all frames (≤256 distinct colors) + per-frame
+    index arrays."""
     import numpy as np
 
-    if len(pixels) != width * height * 3:
-        raise GifError("pixel buffer does not match width*height*3")
-    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, 3)
-    colors, inverse = np.unique(rgb, axis=0, return_inverse=True)
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames_rgb])
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
     if len(colors) > 256:
         raise GifError("encode supports at most 256 distinct colors")
-    # palette size: power of two >= max(2, n)
     size_exp = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
-    n_pal = 1 << size_exp
+    outs = []
+    pos = 0
+    for f in frames_rgb:
+        n = f.shape[0] * f.shape[1]
+        outs.append(inverse[pos : pos + n])
+        pos += n
+    return colors, size_exp, outs
+
+
+def _lzw_body(indices, size_exp: int) -> bytes:
+    """Sub-block-framed LZW stream, immediate-clear strategy: emit
+    CLEAR before every literal so the code width never grows —
+    spec-valid output every decoder accepts, ~1.4x raw size."""
     min_code = max(2, size_exp)
     clear = 1 << min_code
     eoi = clear + 1
     width_bits = min_code + 1
-
-    out = bytearray()
-    out += b"GIF87a"
-    out += struct.pack("<HH", width, height)
-    out += bytes([0x80 | (size_exp - 1), 0, 0])  # GCT flag+size, bg 0, ratio
-    pal = bytearray()
-    for c in colors:
-        pal += bytes(c)
-    pal += b"\x00" * (3 * n_pal - len(pal))
-    out += pal
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    out += bytes([min_code])
-
-    # LZW, immediate-clear: emit CLEAR before every literal so the code
-    # width never grows — every decoder accepts it
     acc = 0
     nbits = 0
     body = bytearray()
@@ -293,14 +332,77 @@ def encode(width: int, height: int, pixels: bytes) -> bytes:
             nbits -= 8
 
     emit(clear)
-    for k in inverse.ravel():
+    for k in indices.ravel():
         emit(int(k))
         emit(clear)
     emit(eoi)
     if nbits:
         body.append(acc & 0xFF)
+    out = bytearray([min_code])
     for i in range(0, len(body), 255):
         chunk = body[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
+    return bytes(out)
+
+
+def _header(width, height, colors, size_exp, version=b"GIF87a") -> bytes:
+    n_pal = 1 << size_exp
+    out = bytearray()
+    out += version
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (size_exp - 1), 0, 0])  # GCT flag+size, bg 0, ratio
+    pal = bytearray()
+    for c in colors:
+        pal += bytes(c)
+    pal += b"\x00" * (3 * n_pal - len(pal))
+    out += pal
+    return bytes(out)
+
+
+def encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal GIF87a from top-down RGB bytes: palette built from the
+    distinct colors (≤256 required).  Deterministic fixture generator."""
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise GifError("pixel buffer does not match width*height*3")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    colors, size_exp, [idx] = _palette_and_indices([rgb])
+    out = bytearray(_header(width, height, colors, size_exp))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += _lzw_body(idx, size_exp)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_animated(
+    width: int, height: int, frames, delay_ms: int = 100
+) -> bytes:
+    """GIF89a animation from full-size top-down RGB frames (shared
+    ≤256-color palette across all frames; each frame carries a
+    graphic-control extension with ``delay_ms``).  Deterministic
+    fixture generator for the video surface."""
+    import numpy as np
+
+    arrs = []
+    for f in frames:
+        a = (
+            np.frombuffer(f, dtype=np.uint8)
+            if isinstance(f, (bytes, bytearray))
+            else np.asarray(f, dtype=np.uint8).ravel()
+        )
+        if a.shape[0] != width * height * 3:
+            raise GifError("frame size does not match width*height*3")
+        arrs.append(a.reshape(height, width, 3))
+    if not arrs:
+        raise GifError("need at least one frame")
+    colors, size_exp, idxs = _palette_and_indices(arrs)
+    out = bytearray(_header(width, height, colors, size_exp, b"GIF89a"))
+    delay_cs = max(1, delay_ms // 10)
+    for idx in idxs:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += _lzw_body(idx, size_exp)
+    out += b"\x3b"
     return bytes(out)

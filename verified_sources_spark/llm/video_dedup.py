@@ -6,7 +6,8 @@ near-identical redundancy — the same clip re-encoded, rescaled, or
 frame-rate-converted.  The approach composes the two primitives the
 engine already trusts:
 
-* **Time-based frame sampling** (llm/avi_codec.frame_indices_every_ms):
+* **Time-based frame sampling** (llm/video_io.sample_frames over
+  AVI — BI_RGB or MJPG — and animated GIF containers):
   one frame per ``every_ms`` wall-clock window, so a 10 fps and a 20 fps
   encode of the same content sample the SAME instants — frame-rate
   conversion does not move the signature.  Sampling decodes only the
@@ -35,7 +36,9 @@ stage.
 
 The reference has no video operators — this is part of the engine's
 LLM-pipeline surface beyond reference parity (SURVEY.md multimodal
-row; decode itself is the pure-stdlib AVI codec, llm/avi_codec.py).
+row; decode is the pure-stdlib container seam llm/video_io.py over
+avi_codec.py — BI_RGB and MJPG — and gif_codec.py for animated GIFs,
+so the SAME clip as an AVI and as a GIF dedups cross-container).
 """
 
 from __future__ import annotations
@@ -75,20 +78,21 @@ def video_probe(
     df: DataFrame, id_col: str = "doc_id", asset_col: str = "asset"
 ) -> DataFrame:
     """(id, decoded_ok, width, height, n_frames, fps, codec,
-    duration_ms) — header-only AVI probe per asset, Arrow-batched, no
-    frame materialization (manifest building over petabytes of video
-    must not decode pixels).  A corrupt / non-AVI payload yields
-    ``decoded_ok=false``; a compressed fourcc still PROBES fine (codec
-    column carries the name) — only pixel decode refuses."""
+    duration_ms) — header-only probe per asset (AVI or animated GIF,
+    via llm/video_io), Arrow-batched, no frame materialization
+    (manifest building over petabytes of video must not decode pixels).
+    A corrupt / non-video payload yields ``decoded_ok=false``; an
+    unknown compressed fourcc still PROBES fine (codec column carries
+    the name) — only pixel decode refuses."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from verified_sources_spark.llm.avi_codec import probe
+        from verified_sources_spark.llm.video_io import probe_video
 
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 try:
-                    m = probe(bytes(payload))
+                    m = probe_video(bytes(payload))
                     rows.append(
                         {
                             "doc_id": _id,
@@ -149,26 +153,21 @@ def video_fingerprint(
     nbits = hash_size * hash_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from verified_sources_spark.llm.avi_codec import (
-            decode_frame,
-            frame_indices_every_ms,
-            probe,
-        )
         from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+        from verified_sources_spark.llm.video_io import probe_video, sample_frames
 
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 try:
                     data = bytes(payload)
-                    meta = probe(data)
-                    picks = frame_indices_every_ms(meta, every_ms)
+                    meta = probe_video(data)
+                    picks = sample_frames(data, meta, every_ms)
                     if not picks:
                         raise ValueError("no sampleable frames")
                     hashes = []
                     ones = [0] * nbits
-                    for idx, _ts in picks:
-                        rgb = decode_frame(data, meta, idx)
+                    for _idx, _ts, rgb in picks:
                         hv = _dhash_of_pixels(
                             rgb, meta["width"], meta["height"], 3, hash_size
                         )
@@ -258,12 +257,8 @@ def video_shots(
         raise ValueError("threshold must be within the fingerprint width")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from verified_sources_spark.llm.avi_codec import (
-            decode_frame,
-            frame_indices_every_ms,
-            probe,
-        )
         from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+        from verified_sources_spark.llm.video_io import probe_video, sample_frames
 
         cols = [f.name for f in VIDEO_SHOTS_SCHEMA.fields]
         for pdf in batches:
@@ -271,13 +266,12 @@ def video_shots(
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 try:
                     data = bytes(payload)
-                    meta = probe(data)
-                    picks = frame_indices_every_ms(meta, every_ms)
+                    meta = probe_video(data)
+                    picks = sample_frames(data, meta, every_ms)
                     if not picks:
                         raise ValueError("no sampleable frames")
                     hashes = []
-                    for idx, _ts in picks:
-                        rgb = decode_frame(data, meta, idx)
+                    for _idx, _ts, rgb in picks:
                         hashes.append(
                             _dhash_of_pixels(
                                 rgb, meta["width"], meta["height"], 3, hash_size
@@ -288,7 +282,7 @@ def video_shots(
                     for i in range(1, len(hashes)):
                         if bin(hashes[i] ^ hashes[i - 1]).count("1") > threshold:
                             starts.append(i)
-                    n_frames = len(meta["frame_offsets"])
+                    n_frames = meta["n_frames"]
                     for s_idx, s in enumerate(starts):
                         e = (
                             starts[s_idx + 1]

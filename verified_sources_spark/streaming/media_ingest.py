@@ -52,13 +52,36 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, int]:
     """(modality, signed 64-bit fingerprint) for one asset, by magic
-    bytes: PNG/JPEG/GIF/BMP → dHash (cross-format: the same photo in
-    any of the four collides), WAV → spectral fingerprint, AVI →
-    time-pooled frame dHash.  Raises on anything else (callers treat
+    bytes: PNG/JPEG/BMP and STILL GIFs → dHash (cross-format: the same
+    photo in any format collides), WAV → spectral fingerprint, AVI and
+    ANIMATED GIFs → time-pooled frame dHash (cross-container: the same
+    clip in either collides).  Raises on anything else (callers treat
     that as "exact-dedup only")."""
     from verified_sources_spark.llm.image_io import sniff_image_format
+    from verified_sources_spark.llm.video_io import (
+        probe_video,
+        sample_frames,
+        sniff_video_format,
+    )
 
-    if sniff_image_format(payload) is not None:
+    vfmt = sniff_video_format(payload)
+    meta = probe_video(payload) if vfmt else None
+    if meta is not None and (vfmt == "avi" or meta["n_frames"] > 1):
+        from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+
+        picks = sample_frames(payload, meta, every_ms)
+        if not picks:
+            raise ValueError("no sampleable frames")
+        ones = [0] * 64
+        for _idx, _ts, rgb in picks:
+            hv = _dhash_of_pixels(rgb, meta["width"], meta["height"], 3, 8)
+            for b in range(64):
+                ones[b] += (hv >> (63 - b)) & 1
+        fp = 0
+        for b in range(64):
+            fp = (fp << 1) | int(ones[b] * 2 > len(picks))
+        modality = "video"
+    elif sniff_image_format(payload) is not None:
         from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
         from verified_sources_spark.llm.image_io import decode_image
 
@@ -75,28 +98,6 @@ def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, in
         m = decode(payload)
         fp = _audio_fingerprint_of_samples(m["samples"], m["sample_rate"])
         modality = "audio"
-    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from verified_sources_spark.llm.avi_codec import (
-            decode_frame,
-            frame_indices_every_ms,
-            probe,
-        )
-        from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
-
-        meta = probe(payload)
-        picks = frame_indices_every_ms(meta, every_ms)
-        if not picks:
-            raise ValueError("no sampleable frames")
-        ones = [0] * 64
-        for idx, _ts in picks:
-            rgb = decode_frame(payload, meta, idx)
-            hv = _dhash_of_pixels(rgb, meta["width"], meta["height"], 3, 8)
-            for b in range(64):
-                ones[b] += (hv >> (63 - b)) & 1
-        fp = 0
-        for b in range(64):
-            fp = (fp << 1) | int(ones[b] * 2 > len(picks))
-        modality = "video"
     else:
         raise ValueError("unrecognized media payload")
     if fp >= 1 << 63:
