@@ -208,19 +208,40 @@ def probe(data: bytes) -> dict:
 
 
 class _HuffTable:
-    __slots__ = ("lookup",)
+    """Canonical table compiled to a 16-bit-prefix FLAT LOOKUP: one
+    array index decodes any symbol in O(1) instead of a per-bit tree
+    walk — the entropy loop is the decoder's hot path."""
+
+    __slots__ = ("fast",)
 
     def __init__(self, bits, values):
-        # canonical code assignment; lookup maps (length, code) -> symbol
-        self.lookup = {}
+        # fast[p] = (symbol << 5) | code_length for every 16-bit prefix p
+        self.fast = [0] * 65536
         code = 0
         k = 0
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
-                self.lookup[(ln, code)] = values[k]
+                base = code << (16 - ln)
+                packed = (values[k] << 5) | ln
+                for p in range(base, base + (1 << (16 - ln))):
+                    self.fast[p] = packed
                 code += 1
                 k += 1
             code <<= 1
+
+
+_HTABLE_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _huff(bits, values) -> _HuffTable:
+    """Compile-once cache: the 65536-entry fast table costs more to
+    build than one image costs to decode, and real corpora reuse a
+    handful of tables (most JPEGs ship the Annex K set verbatim)."""
+    key = (tuple(bits), tuple(values))
+    t = _HTABLE_CACHE.get(key)
+    if t is None:
+        t = _HTABLE_CACHE[key] = _HuffTable(bits, values)
+    return t
 
 
 class _BitReader:
@@ -266,19 +287,22 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def decode_symbol(self, table: _HuffTable) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lookup.get((ln, code))
-            if sym is not None:
-                return sym
-        raise JpegError("invalid Huffman code")
+        if self.nbits < 16:
+            self._fill()
+        packed = table.fast[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        ln = packed & 0x1F
+        if ln == 0:
+            raise JpegError("invalid Huffman code")
+        self.nbits -= ln
+        return packed >> 5
 
     def align_to_marker(self):
         """Drop buffered bits and consume an expected RST marker."""
@@ -347,7 +371,7 @@ def decode(data: bytes) -> dict:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 values = list(seg[p + 17 : p + 17 + n])
-                htables[(cls, tid)] = _HuffTable(bits, values)
+                htables[(cls, tid)] = _huff(bits, values)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0
             _bits, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
@@ -380,9 +404,11 @@ def decode(data: bytes) -> dict:
 
     C = _dct_matrix()
     planes = []
+    pending: list[list] = []  # per comp: (y0, x0, dequantized 8x8) tuples
     for c in comps:
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
         planes.append(np.zeros((ph, pw), dtype=np.float64))
+        pending.append([])
 
     reader = _BitReader(data, scan["data_start"])
     preds = [0] * len(comps)
@@ -402,10 +428,10 @@ def decode(data: bytes) -> dict:
                 if dc_table is None or ac_table is None:
                     # MJPG convention: streams omit DHT and rely on the
                     # T.81 Annex K typical tables (OpenDML spec says so)
-                    dc_table = dc_table or _HuffTable(
+                    dc_table = dc_table or _huff(
                         *(_H_DC_LUMA if dc_t == 0 else _H_DC_CHROMA)
                     )
-                    ac_table = ac_table or _HuffTable(
+                    ac_table = ac_table or _huff(
                         *(_H_AC_LUMA if ac_t == 0 else _H_AC_CHROMA)
                     )
                     htables[(0, dc_t)] = dc_table
@@ -433,11 +459,21 @@ def decode(data: bytes) -> dict:
                                 raise JpegError("AC run past block end")
                             coeffs[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
                             k += 1
-                        block = C.T @ (coeffs.reshape(8, 8) * q) @ C + 128.0
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        pending[ci].append((y0, x0, coeffs.reshape(8, 8) * q))
             mcu_count += 1
+
+    # batched IDCT: one einsum per component instead of two tiny matmuls
+    # per block — the block loop above is entropy-bound, this is math-bound
+    for ci, blocks in enumerate(pending):
+        if not blocks:
+            continue
+        stacked = np.stack([b for _y, _x, b in blocks])
+        # batched BLAS matmul broadcasts (8,8) @ (n,8,8) @ (8,8)
+        pix = np.matmul(np.matmul(C.T, stacked), C) + 128.0
+        for (y0, x0, _b), blk in zip(blocks, pix):
+            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
 
     # upsample each component to full resolution (nearest) and crop
     full = []
