@@ -168,3 +168,54 @@ def test_image_io_dispatch_and_cross_format_dhash():
     for fmt, hv in hashes.items():
         assert bin(base ^ hv).count("1") <= 3, fmt  # all four formats dedup
     assert sniff_image_format(b"junk") is None
+
+
+def test_webp_header_probe_and_honest_refusal():
+    """WebP: sniffable, header-probeable (manifest dims for all three
+    bitstream layouts), pixel decode refuses by name."""
+    import struct as _s
+
+    from verified_sources_spark.llm.image_io import probe_webp
+
+    def riff(fourcc, body):
+        payload = fourcc + body
+        return b"RIFF" + _s.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    # VP8 lossy key frame: 3-byte tag + start code + 14-bit dims
+    vp8 = riff(b"VP8 ", _s.pack("<I", 20) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + _s.pack("<HH", 320, 240) + b"\x00" * 8)
+    m = probe_webp(vp8)
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["variant"].startswith("VP8 ")
+
+    # VP8L lossless: signature 0x2F + packed 14-bit (w-1, h-1)
+    bits = (99 | (49 << 14))  # 100 x 50
+    vp8l = riff(b"VP8L", _s.pack("<I", 5) + b"\x2f" + _s.pack("<I", bits))
+    m = probe_webp(vp8l)
+    assert (m["width"], m["height"]) == (100, 50)
+
+    # VP8X extended: 24-bit (w-1, h-1) canvas
+    vp8x = riff(b"VP8X", _s.pack("<I", 10) + b"\x00" * 4
+                + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    m = probe_webp(vp8x)
+    assert (m["width"], m["height"]) == (640, 480)
+
+    assert sniff_image_format(vp8) == "webp"
+    with pytest.raises(ValueError, match="WebP"):
+        decode_image(vp8)
+
+
+def test_extract_features_image_mode_probes_webp(spark):
+    import struct as _s
+
+    from verified_sources_spark.llm.multimodal import extract_features
+
+    body = _s.pack("<I", 20) + b"\x00\x00\x00" + b"\x9d\x01\x2a" + _s.pack(
+        "<HH", 64, 48
+    ) + b"\x00" * 8
+    payload = b"RIFF" + _s.pack("<I", 4 + 4 + len(body)) + b"WEBP" + b"VP8 " + body
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, asset binary")
+    got = extract_features(df, decoder="image").collect()[0]
+    assert got.decoded_ok and got.format == "WEBP"
+    assert (got.width, got.height) == (64, 48)

@@ -18,7 +18,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'png' / 'jpeg' / 'gif' / 'bmp' / None — magic bytes only."""
+    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / None — magic bytes
+    only.  WebP is sniffable and header-probeable (dims for manifests)
+    but not pixel-decodable here (VP8 entropy coding is out of the
+    stdlib codec set) — ``decode_image`` refuses it by name."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:2] == b"\xff\xd8":
@@ -27,7 +30,43 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
+
+
+def probe_webp(payload: bytes) -> dict:
+    """Header-only WebP dims for all three bitstream layouts: VP8
+    (lossy key frame), VP8L (lossless), VP8X (extended canvas).  No
+    pixel work — the manifest path for a format the engine refuses to
+    pixel-decode."""
+    import struct
+
+    if sniff_image_format(payload) != "webp":
+        raise ValueError("not a WebP payload")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":
+        # key frame: 3-byte frame tag, then 3-byte start code 9D 01 2A,
+        # then 14-bit width / 14-bit height (little-endian)
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 start code missing (not a key frame)")
+        w = struct.unpack_from("<H", payload, 26)[0] & 0x3FFF
+        h = struct.unpack_from("<H", payload, 28)[0] & 0x3FFF
+        variant = "VP8 (lossy)"
+    elif fourcc == b"VP8L":
+        if payload[20] != 0x2F:
+            raise ValueError("VP8L signature byte missing")
+        bits = struct.unpack_from("<I", payload, 21)[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        variant = "VP8L (lossless)"
+    elif fourcc == b"VP8X":
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        variant = "VP8X (extended)"
+    else:
+        raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    return {"width": w, "height": h, "format": "webp", "variant": variant}
 
 
 def decode_image(payload: bytes) -> dict:
@@ -43,9 +82,14 @@ def decode_image(payload: bytes) -> dict:
         from verified_sources_spark.llm.gif_codec import decode
     elif fmt == "bmp":
         from verified_sources_spark.llm.bmp_codec import decode
+    elif fmt == "webp":
+        raise ValueError(
+            "cannot pixel-decode WebP (VP8 entropy coding) — "
+            "probe_webp serves header metadata"
+        )
     else:
         raise ValueError(
-            "unrecognized image payload (not PNG/JPEG/GIF/BMP)"
+            "unrecognized image payload (not PNG/JPEG/GIF/BMP/WebP)"
         )
     out = decode(payload)
     out["format"] = fmt

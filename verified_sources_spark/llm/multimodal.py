@@ -225,6 +225,27 @@ def extract_features(
                         elif fmt == "jpeg":
                             info = jprobe(raw)
                             mode = "L" if info["n_components"] == 1 else "RGB"
+                        elif fmt == "gif":
+                            from verified_sources_spark.llm.gif_codec import (
+                                probe as gprobe,
+                            )
+
+                            info = gprobe(raw)
+                            mode = "P"
+                        elif fmt == "bmp":
+                            from verified_sources_spark.llm.bmp_codec import (
+                                probe as bprobe,
+                            )
+
+                            info = bprobe(raw)
+                            mode = "RGB"
+                        elif fmt == "webp":
+                            from verified_sources_spark.llm.image_io import (
+                                probe_webp,
+                            )
+
+                            info = probe_webp(raw)
+                            mode = None  # header-only: pixel decode refuses
                         else:
                             raise ValueError("not an image")
                         feats.append(
