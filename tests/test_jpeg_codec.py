@@ -63,7 +63,7 @@ def test_uniform_color_roundtrips_exactly():
     assert np.array_equal(_rgb(d, 16, 16), img)
 
 
-@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
 def test_gradient_roundtrip_within_lossy_tolerance(sub):
     img = _gradient()
     d = decode(encode(32, 24, img.tobytes(), quality=95, subsampling=sub))
@@ -94,7 +94,7 @@ def test_grayscale_single_component():
     assert np.abs(got[:, :, 0].astype(float) - luma).max() < 3
 
 
-@pytest.mark.parametrize("sub,ri", [("4:4:4", 2), ("4:2:0", 1), ("4:4:4", 3)])
+@pytest.mark.parametrize("sub,ri", [("4:4:4", 2), ("4:2:0", 1), ("4:2:2", 2), ("4:4:4", 3)])
 def test_restart_intervals_roundtrip(sub, ri):
     """DRI/RSTn: predictor reset + byte-align must reproduce the exact
     same pixels as the unsegmented stream."""

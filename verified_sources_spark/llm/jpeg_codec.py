@@ -580,7 +580,7 @@ def encode(
 
     if len(pixels) != width * height * 3:
         raise JpegError("pixel buffer does not match width*height*3")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise JpegError(f"unsupported subsampling {subsampling!r}")
     rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -596,8 +596,15 @@ def encode(
     qc_tbl[_ZIGZAG] = qc
     qy2d, qc2d = qy_tbl.reshape(8, 8), qc_tbl.reshape(8, 8)
 
-    sub = subsampling == "4:2:0" and not grayscale
-    hv_y = (2, 2) if sub else (1, 1)
+    if grayscale:
+        hv_y = (1, 1)
+    elif subsampling == "4:2:0":
+        hv_y = (2, 2)
+    elif subsampling == "4:2:2":
+        hv_y = (2, 1)
+    else:
+        hv_y = (1, 1)
+    sub = hv_y != (1, 1)
     hmax, vmax = hv_y
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
@@ -611,15 +618,18 @@ def encode(
         return out
 
     if sub:
-        # average 2x2 (after padding to even dims) for the chroma planes
-        ye = pad_to(y, mcux * 16, mcuy * 16)
-        cbe = pad_to(cb, mcux * 16, mcuy * 16)
-        cre = pad_to(cr, mcux * 16, mcuy * 16)
-        down = lambda p: p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
+        # average chroma over the sampling block (2x2 for 4:2:0,
+        # 1x2 horizontal-only for 4:2:2), after padding to MCU multiples
+        sh, sv = hv_y
+        pw, ph = mcux * 8 * sh, mcuy * 8 * sv
+        ye = pad_to(y, pw, ph)
+        cbe = pad_to(cb, pw, ph)
+        cre = pad_to(cr, pw, ph)
+        down = lambda p: p.reshape(
+            p.shape[0] // sv, sv, p.shape[1] // sh, sh
+        ).mean(axis=(1, 3))
         comps = [
-            (ye, qy2d, 0, 2, 2),
+            (ye, qy2d, 0, sh, sv),
             (down(cbe), qc2d, 1, 1, 1),
             (down(cre), qc2d, 1, 1, 1),
         ]
