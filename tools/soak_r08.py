@@ -53,8 +53,18 @@ def main():
                     )[:h, :w].astype(np.uint8)
                     rgb = np.stack([gray, gray, gray], axis=2).copy()
                     rgb[did % h, did % w] = [255, 0, 0]  # light edit
-                    rows.append({"doc_id": did,
-                                 "asset": encode(w, h, rgb.tobytes(), "RGB")})
+                    # alternate formats WITHIN each planted cluster: the
+                    # groups must form ACROSS the PNG/JPEG boundary
+                    if did % 2 == 0:
+                        asset = encode(w, h, rgb.tobytes(), "RGB")
+                    else:
+                        from verified_sources_spark.llm.jpeg_codec import (
+                            encode as jenc,
+                        )
+
+                        asset = jenc(w, h, rgb.tobytes(), quality=92,
+                                     subsampling="4:2:0")
+                    rows.append({"doc_id": did, "asset": asset})
                 yield pd.DataFrame(rows, columns=["doc_id", "asset"])
 
         return (spark.range(n).repartition(32)
