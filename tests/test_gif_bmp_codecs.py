@@ -133,15 +133,46 @@ def test_bmp_8bit_paletted():
     assert np.array_equal(got, expect)
 
 
-def test_bmp_refuses_rle_and_junk():
+def test_bmp_refuses_rle4_and_junk():
     img = _pattern(8, 8)
     data = bytearray(bmp_codec.encode(8, 8, img.tobytes()))
-    struct.pack_into("<I", data, 14 + 16, 1)  # compression -> BI_RLE8
-    assert bmp_codec.probe(bytes(data))["compression"] == "BI_RLE8"
-    with pytest.raises(bmp_codec.BmpError, match="BI_RLE8"):
+    struct.pack_into("<I", data, 14 + 16, 2)  # compression -> BI_RLE4
+    assert bmp_codec.probe(bytes(data))["compression"] == "BI_RLE4"
+    with pytest.raises(bmp_codec.BmpError, match="BI_RLE4"):
         bmp_codec.decode(bytes(data))
     with pytest.raises(bmp_codec.BmpError, match="not a BMP"):
         bmp_codec.probe(b"nope")
+
+
+def test_bmp_rle8_all_escape_modes():
+    """Hand-build an RLE8 stream exercising runs, absolute mode (with
+    the word-alignment pad), end-of-line, delta skips, end-of-bitmap."""
+    w, h = 8, 3
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # bottom row (y=0 in RLE space): run of 5x idx1, abs [2,3,2] (pad), EOL
+    # middle row: delta (+2,0) skip, run 3x idx3, EOL
+    # top row: run 8x idx2, EOB
+    rle = bytes(
+        [5, 1, 0, 3, 2, 3, 2, 0, 0, 0]      # row 0: 5-run, abs(3)+pad, EOL
+        + [0, 2, 2, 0, 3, 3, 0, 0]          # row 1: delta dx=2, 3-run, EOL
+        + [8, 2, 0, 1]                       # row 2: 8-run, EOB
+    )
+    offset = 14 + 40 + 4 * len(pal)
+    data = (
+        b"BM" + struct.pack("<IHHI", offset + len(rle), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0,
+                      len(pal), 0)
+        + b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+        + rle
+    )
+    assert bmp_codec.probe(data)["compression"] == "BI_RLE8"
+    d = bmp_codec.decode(data)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    P = np.array(pal, dtype=np.uint8)
+    # bottom-up: RLE row 0 is the BOTTOM row of the top-down output
+    assert np.array_equal(got[2], P[[1, 1, 1, 1, 1, 2, 3, 2]])
+    assert np.array_equal(got[1], P[[0, 0, 3, 3, 3, 0, 0, 0]])
+    assert np.array_equal(got[0], P[[2] * 8])
 
 
 # ------------------------------------------------- cross-format dispatch

@@ -47,11 +47,13 @@ def probe(data: bytes) -> dict:
 
 def decode(data: bytes) -> dict:
     """Top-down RGB: probe fields plus ``pixels`` (h*w*3) and ``mode``
-    ('RGB').  24/32-bit BI_RGB and 8-bit paletted decode; RLE and
-    bitfields refuse with the name."""
+    ('RGB').  24/32-bit BI_RGB, 8-bit paletted, and 8-bit RLE8 decode;
+    RLE4 and bitfields refuse with the name."""
     import numpy as np
 
     meta = probe(data)
+    if meta["compression"] == "BI_RLE8":
+        return _decode_rle8(data, meta)
     if meta["compression"] != "BI_RGB":
         raise BmpError(f"cannot decode {meta['compression']} BMP (BI_RGB only)")
     w, h, bits = meta["width"], meta["height"], meta["bits"]
@@ -86,6 +88,64 @@ def decode(data: bytes) -> dict:
     meta["pixels"] = np.ascontiguousarray(rgb).tobytes()
     meta["mode"] = "RGB"
     return meta
+
+
+def _decode_rle8(data: bytes, meta: dict) -> dict:
+    """Microsoft RLE8: [n>0, idx] runs; [0, 0]=end-of-line, [0, 1]=
+    end-of-bitmap, [0, 2]=delta(dx, dy) (skipped pixels keep index 0),
+    [0, n>=3]=n absolute literals padded to a word boundary."""
+    import numpy as np
+
+    if meta["bits"] != 8:
+        raise BmpError("RLE8 BMP must be 8-bit")
+    w, h = meta["width"], meta["height"]
+    pal_off = 14 + meta["header_size"]
+    n_pal = (meta["offset"] - pal_off) // 4
+    if n_pal <= 0:
+        raise BmpError("RLE8 BMP without a palette")
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+    ).reshape(n_pal, 4)[:, :3][:, ::-1]
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = meta["offset"]
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            end = min(x + n, w)
+            idx[y, x:end] = v
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if pos + 1 >= len(data):
+                raise BmpError("truncated RLE8 delta")
+            x = min(x + data[pos], w)
+            y = min(y + data[pos + 1], h - 1)
+            pos += 2
+        else:  # absolute mode: v literals, word-aligned
+            if pos + v > len(data):
+                raise BmpError("truncated RLE8 absolute run")
+            end = min(x + v, w)
+            idx[y, x:end] = np.frombuffer(
+                data, dtype=np.uint8, count=end - x, offset=pos
+            )
+            x = end
+            pos += v + (v & 1)
+    if idx.max(initial=0) >= n_pal:
+        raise BmpError("palette index out of range")
+    rgb = pal[idx]
+    if meta["bottom_up"]:
+        rgb = rgb[::-1]
+    out = dict(meta)
+    out["pixels"] = np.ascontiguousarray(rgb).tobytes()
+    out["mode"] = "RGB"
+    return out
 
 
 def encode(width: int, height: int, pixels: bytes) -> bytes:
