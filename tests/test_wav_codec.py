@@ -171,3 +171,47 @@ def test_g711_guards():
     _s.pack_into("<H", data, i + 8 + 14, 16)  # bits_per_sample -> 16
     with pytest.raises(WavError, match="8-bit"):
         probe(bytes(data))
+
+
+def test_ima_adpcm_roundtrip_mono_stereo():
+    """IMA ADPCM (format 17): block headers carry the predictor/step
+    state, nibble groups interleave per channel; the encoder tracks the
+    decoder's predictor exactly so blocks never drift."""
+    t = np.arange(3000) / 8000.0
+    x = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 997 * t)
+    for sig in (x, np.stack([x, np.roll(x, 100)], axis=1)):
+        data = encode(sig, 8000, encoding="ima")
+        m = probe(data)
+        assert m["format"] == 17 and m["bits_per_sample"] == 4
+        assert m["samples_per_block"] == 505
+        y = decode(data)["samples"][:3000]
+        ref = sig if sig.ndim == 2 else sig[:, None]
+        snr = 10 * np.log10((ref ** 2).mean() / ((y - ref) ** 2).mean())
+        assert snr > 20, snr  # 4-bit ADPCM's textbook band
+
+
+def test_ima_adpcm_cross_coding_fingerprint_stable():
+    from verified_sources_spark.llm.audio_dedup import (
+        _audio_fingerprint_of_samples,
+    )
+
+    t = np.arange(4000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t) * np.interp(
+        t, [0, 0.25, 0.5], [0.3, 1.0, 0.5]
+    )
+    f_pcm = _audio_fingerprint_of_samples(
+        decode(encode(tone, 8000))["samples"], 8000
+    )
+    f_ima = _audio_fingerprint_of_samples(
+        decode(encode(tone, 8000, encoding="ima"))["samples"][:4000], 8000
+    )
+    assert bin(f_pcm ^ f_ima).count("1") <= 6
+
+
+def test_ima_adpcm_malformed_headers():
+    data = bytearray(encode(np.zeros(600), 8000, encoding="ima"))
+    i = bytes(data).index(b"fmt ")
+    # inconsistent block_align vs samplesPerBlock must refuse
+    struct.pack_into("<H", data, i + 8 + 12, 100)
+    with pytest.raises(WavError, match="inconsistent"):
+        probe(bytes(data))

@@ -63,12 +63,13 @@ def probe(data: bytes) -> dict:
                 "sample_rate": rate,
                 "block_align": block_align,
                 "bits_per_sample": bits,
+                "_fmt_body": bytes(body),
             }
         elif cid == b"data" and data_len is None:
             data_len = len(body)
     if fmt is None or data_len is None:
         raise WavError("missing fmt/data chunk")
-    if fmt["format"] not in (1, 3, 6, 7):
+    if fmt["format"] not in (1, 3, 6, 7, 17):
         raise WavError(f"unsupported WAV format code {fmt['format']}")
     if fmt["format"] == 3 and fmt["bits_per_sample"] not in (32, 64):
         raise WavError("IEEE-float WAV must be 32- or 64-bit")
@@ -78,10 +79,95 @@ def probe(data: bytes) -> dict:
         raise WavError("G.711 A-law/mu-law WAV must be 8-bit")
     if fmt["block_align"] == 0 or fmt["channels"] == 0 or fmt["sample_rate"] == 0:
         raise WavError("degenerate fmt chunk")
-    n_frames = data_len // fmt["block_align"]
+    if fmt["format"] == 17:  # IMA ADPCM: frames live in fixed blocks
+        if fmt["bits_per_sample"] != 4:
+            raise WavError("IMA ADPCM WAV must be 4-bit")
+        if fmt["_fmt_body"] is None or len(fmt["_fmt_body"]) < 20:
+            raise WavError("IMA ADPCM fmt chunk missing samplesPerBlock")
+        (spb,) = struct.unpack_from("<H", fmt["_fmt_body"], 18)
+        ch = fmt["channels"]
+        expect = ((spb - 1) // 2 + 4) * ch
+        if fmt["block_align"] != expect:
+            raise WavError(
+                f"IMA ADPCM block_align {fmt['block_align']} inconsistent "
+                f"with samplesPerBlock {spb} ({expect} expected)"
+            )
+        fmt["samples_per_block"] = spb
+        n_frames = (data_len // fmt["block_align"]) * spb
+    else:
+        n_frames = data_len // fmt["block_align"]
+    fmt.pop("_fmt_body", None)
     fmt["n_frames"] = n_frames
     fmt["duration_ms"] = int(n_frames * 1000 // fmt["sample_rate"])
     return fmt
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 81, 89, 98, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One IMA ADPCM predictor update — shared by decode AND encode
+    (the encoder must track the decoder's state exactly or blocks
+    drift)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+    return pred, idx
+
+
+def _decode_ima(body: bytes, meta: dict):
+    import numpy as np
+
+    ch = meta["channels"]
+    ba = meta["block_align"]
+    spb = meta["samples_per_block"]
+    n_blocks = len(body) // ba
+    out = np.zeros((n_blocks * spb, ch), dtype=np.float64)
+    for blk in range(n_blocks):
+        base = blk * ba
+        for c in range(ch):
+            hoff = base + 4 * c
+            pred = struct.unpack_from("<h", body, hoff)[0]
+            idx = body[hoff + 2]
+            if idx > 88:
+                raise WavError("IMA ADPCM step index out of range")
+            pos = blk * spb
+            out[pos, c] = pred
+            k = 1
+            doff = base + 4 * ch
+            # nibble groups: 4 bytes per channel, interleaved
+            group = 0
+            while k < spb:
+                goff = doff + (group * ch + c) * 4
+                for byte_i in range(4):
+                    b = body[goff + byte_i]
+                    for nib in (b & 0x0F, b >> 4):
+                        if k >= spb:
+                            break
+                        pred, idx = _ima_step(pred, idx, nib)
+                        out[pos + k, c] = pred
+                        k += 1
+                group += 1
+    meta = dict(meta)
+    meta["samples"] = out / 32768.0
+    return meta
 
 
 def decode(data: bytes) -> dict:
@@ -92,6 +178,8 @@ def decode(data: bytes) -> dict:
 
     meta = probe(data)
     body = next(b for cid, b in _chunks(data) if cid == b"data")
+    if meta["format"] == 17:
+        return _decode_ima(body, meta)
     bits, ch = meta["bits_per_sample"], meta["channels"]
     usable = meta["n_frames"] * meta["block_align"]
     body = body[:usable]
@@ -161,8 +249,69 @@ def encode(
         a = np.where(seg == 0, x >> 4, ((x >> (seg + 3)) & 0x0F) | (seg << 4))
         pcm = ((a | sign) ^ 0x55).astype(np.uint8).tobytes()
         fmt_code, bits = 6, 8
+    elif encoding == "ima":
+        # IMA ADPCM (format 17): 505 samples/block (block data divisible
+        # into 4-byte nibble groups), encoder tracks the decoder's
+        # predictor state exactly
+        spb = 505
+        channels = arr.shape[1]
+        lin = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(np.int64)
+        n = lin.shape[0]
+        n_blocks = (n + spb - 1) // spb
+        pad = n_blocks * spb - n
+        if pad:
+            lin = np.vstack([lin, np.repeat(lin[-1:], pad, axis=0)])
+        ba = ((spb - 1) // 2 + 4) * channels
+        blocks = bytearray()
+        idx_state = [0] * channels
+        for blk in range(n_blocks):
+            seg = lin[blk * spb : (blk + 1) * spb]
+            headers = bytearray()
+            payload = [bytearray() for _ in range(channels)]
+            for c in range(channels):
+                pred = int(seg[0, c])
+                idx = idx_state[c]
+                headers += struct.pack("<hBB", pred, idx, 0)
+                nibbles = []
+                for k in range(1, spb):
+                    x = int(seg[k, c])
+                    step = _IMA_STEPS[idx]
+                    diff = x - pred
+                    nib = 8 if diff < 0 else 0
+                    diff = abs(diff)
+                    if diff >= step:
+                        nib |= 4
+                        diff -= step
+                    if diff >= step >> 1:
+                        nib |= 2
+                        diff -= step >> 1
+                    if diff >= step >> 2:
+                        nib |= 1
+                    pred, idx = _ima_step(pred, idx, nib)
+                    nibbles.append(nib)
+                for i in range(0, len(nibbles), 2):
+                    payload[c].append(
+                        nibbles[i] | (nibbles[i + 1] << 4 if i + 1 < len(nibbles) else 0)
+                    )
+                idx_state[c] = idx
+            blocks += headers
+            for g in range(len(payload[0]) // 4):
+                for c in range(channels):
+                    blocks += payload[c][4 * g : 4 * g + 4]
+        fmt = struct.pack(
+            "<HHIIHHHH", 17, channels, sample_rate,
+            sample_rate * ba // spb, ba, 4, 2, spb,
+        )
+        pcm = bytes(blocks)
+        pad_b = b"\x00" if len(pcm) % 2 else b""
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm + pad_b
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     elif encoding != "pcm":
-        raise WavError(f"encode supports pcm/ulaw/alaw, not {encoding!r}")
+        raise WavError(f"encode supports pcm/ulaw/alaw/ima, not {encoding!r}")
     elif bits == 16:
         pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2").tobytes()
         fmt_code = 1
