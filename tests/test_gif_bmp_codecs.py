@@ -250,3 +250,26 @@ def test_extract_features_image_mode_probes_webp(spark):
     got = extract_features(df, decoder="image").collect()[0]
     assert got.decoded_ok and got.format == "WEBP"
     assert (got.width, got.height) == (64, 48)
+
+
+def test_resize_images_mixed_formats(spark):
+    """resize_images decoder='image': any stdlib-decodable format in,
+    normalized PNG out at the target dims."""
+    from verified_sources_spark.llm.jpeg_codec import encode as jpeg_encode
+    from verified_sources_spark.llm.multimodal import resize_images
+    from verified_sources_spark.llm.png_codec import decode as png_decode
+
+    img = _pattern(32, 24, seed=7)
+    rows = [
+        (1, bytearray(jpeg_encode(32, 24, img.tobytes(), quality=95))),
+        (2, bytearray(gif_codec.encode(32, 24, img.tobytes()))),
+        (3, bytearray(bmp_codec.encode(32, 24, img.tobytes()))),
+        (4, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r.doc_id: r for r in
+           resize_images(df, width=16, height=12, decoder="image").collect()}
+    for i in (1, 2, 3):
+        out = png_decode(bytes(got[i].resized))
+        assert (out["width"], out["height"]) == (16, 12)
+    assert got[4].resized is None  # isolation, not task failure

@@ -443,10 +443,15 @@ def resize_images(
 
         return df.select(id_col, asset_col).mapInPandas(run_pil, RESIZE_SCHEMA)
 
-    if decoder == "png":
+    if decoder in ("png", "image"):
         # stdlib decode → nearest-neighbor resample → PNG re-encode;
-        # per-object error isolation identical to the pil path
+        # per-object error isolation identical to the pil path.
+        # decoder="image" dispatches ANY stdlib-decodable format
+        # (PNG/JPEG/GIF/BMP) through image_io and normalizes to PNG out
+        _any = decoder == "image"
+
         def run_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from verified_sources_spark.llm.image_io import decode_image
             from verified_sources_spark.llm.png_codec import (
                 decode,
                 encode,
@@ -455,7 +460,7 @@ def resize_images(
 
             def one(p):
                 try:
-                    im = decode(bytes(p))
+                    im = decode_image(bytes(p)) if _any else decode(bytes(p))
                     ch = 4 if im["mode"] == "RGBA" else 3
                     px = resize_nearest(
                         im["pixels"], im["width"], im["height"], width, height, ch
@@ -477,7 +482,9 @@ def resize_images(
         return df.select(id_col, asset_col).mapInPandas(run_png, RESIZE_SCHEMA)
 
     if decoder != "fake":
-        raise ValueError(f"decoder must be 'fake', 'png' or 'pil', got {decoder!r}")
+        raise ValueError(
+            f"decoder must be 'fake', 'png', 'image' or 'pil', got {decoder!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
