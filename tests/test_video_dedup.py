@@ -298,3 +298,47 @@ def test_gif_shot_detection(spark):
            video_shots(df, every_ms=100, threshold=8).collect()}
     assert got[0].start_frame == 0 and got[0].end_frame == 4
     assert got[1].start_frame == 4 and got[1].end_frame == 10
+
+
+def test_video_keyframes_export_to_image_surface(spark):
+    """Keyframes export as PNGs — the hand-off to the image operators:
+    a clip's scene keyframe dedups against a standalone image of that
+    scene through the ordinary image path."""
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode as avi_enc
+    from verified_sources_spark.llm.image_dedup import image_dhash
+    from verified_sources_spark.llm.png_codec import decode as png_decode
+    from verified_sources_spark.llm.png_codec import encode as png_enc
+    from verified_sources_spark.llm.video_dedup import video_keyframes
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 8, size=(6, 8)) * 32
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    a, b = scene(1), scene(2)
+    clip = avi_enc([a] * 4 + [b] * 6, 10.0, 32, 24)
+    df = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, bytearray(b"junk"))],
+        "doc_id long, asset binary",
+    )
+    kf = video_keyframes(df, every_ms=100, threshold=8)
+    rows = {r.shot_idx: r for r in kf.collect()}
+    assert set(rows) == {0, 1}  # junk produces no keyframes
+    assert rows[0].keyframe == 1 and rows[0].ts_ms == 100
+    assert rows[1].keyframe == 6
+    # the exported PNG is a REAL decodable image of the scene
+    im = png_decode(bytes(rows[1].image))
+    assert (im["width"], im["height"]) == (32, 24)
+    assert im["pixels"] == b.tobytes()
+
+    # hand-off: keyframe PNG groups with a standalone photo of scene B
+    imgs = spark.createDataFrame(
+        [(100, bytearray(bytes(rows[1].image))),
+         (200, bytearray(png_enc(32, 24, b.tobytes(), "RGB")))],
+        "doc_id long, asset binary",
+    )
+    hs = {r.doc_id: r.dhash for r in image_dhash(imgs).collect()}
+    assert hs[100] == hs[200]

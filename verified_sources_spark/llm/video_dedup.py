@@ -327,6 +327,87 @@ def video_shots(
     return out
 
 
+VIDEO_KEYFRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shot_idx", T.IntegerType()),
+        T.StructField("keyframe", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("image", T.BinaryType()),
+    ]
+)
+
+
+def video_keyframes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    every_ms: int = 500,
+    threshold: int = 16,
+) -> DataFrame:
+    """(id, shot_idx, keyframe, ts_ms, image) — one PNG per detected
+    shot: the hand-off from the video surface to the IMAGE surface
+    (caption / embed / dedup one representative frame per scene).  The
+    whole clip reduces to a handful of thumbnails on the executor that
+    read it; undecodable clips simply produce no rows here (the probe
+    and shots operators carry the decoded_ok accounting)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+        from verified_sources_spark.llm.png_codec import encode as png_enc
+        from verified_sources_spark.llm.video_io import probe_video, sample_frames
+
+        cols = [f.name for f in VIDEO_KEYFRAMES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    data = bytes(payload)
+                    meta = probe_video(data)
+                    picks = sample_frames(data, meta, every_ms)
+                    if not picks:
+                        continue
+                    hashes = [
+                        _dhash_of_pixels(rgb, meta["width"], meta["height"], 3, 8)
+                        for _i, _t, rgb in picks
+                    ]
+                    starts = [0]
+                    for i in range(1, len(hashes)):
+                        if bin(hashes[i] ^ hashes[i - 1]).count("1") > threshold:
+                            starts.append(i)
+                    for s_idx, s in enumerate(starts):
+                        e = (
+                            starts[s_idx + 1]
+                            if s_idx + 1 < len(starts)
+                            else len(picks)
+                        )
+                        k = (s + e - 1) // 2
+                        idx, ts, rgb = picks[k]
+                        rows.append(
+                            {
+                                "doc_id": _id,
+                                "shot_idx": s_idx,
+                                "keyframe": idx,
+                                "ts_ms": ts,
+                                "image": png_enc(
+                                    meta["width"], meta["height"], rgb, "RGB"
+                                ),
+                            }
+                        )
+                except Exception:
+                    pass
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, VIDEO_KEYFRAMES_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
 def video_scene_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
