@@ -342,3 +342,45 @@ def test_video_keyframes_export_to_image_surface(spark):
     )
     hs = {r.doc_id: r.dhash for r in image_dhash(imgs).collect()}
     assert hs[100] == hs[200]
+
+
+def test_video_image_matches_cross_modal(spark):
+    """Still images that appear as video scenes are found; unrelated
+    images are not — thumbnail-to-source lookup across modalities."""
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode as avi_enc
+    from verified_sources_spark.llm.jpeg_codec import encode as jpeg_enc
+    from verified_sources_spark.llm.png_codec import encode as png_enc
+    from verified_sources_spark.llm.video_dedup import video_image_matches
+
+    def scene(seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(0, 8, size=(6, 8)) * 32
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    a, b, c = scene(1), scene(2), scene(3)
+    videos = spark.createDataFrame(
+        [
+            (10, bytearray(avi_enc([a] * 4 + [b] * 6, 10.0, 32, 24))),
+            (20, bytearray(avi_enc([c] * 5, 10.0, 32, 24))),
+            (30, bytearray(b"junk")),
+        ],
+        "doc_id long, asset binary",
+    )
+    images = spark.createDataFrame(
+        [
+            (100, bytearray(png_enc(32, 24, b.tobytes(), "RGB"))),  # scene of 10
+            (101, bytearray(jpeg_enc(32, 24, c.tobytes(), quality=95))),  # of 20
+            (102, bytearray(png_enc(32, 24, scene(99).tobytes(), "RGB"))),
+            (103, bytearray(b"broken")),
+        ],
+        "doc_id long, asset binary",
+    )
+    got = {(r.video_id, r.image_id): (r.shot_idx, r.hamming)
+           for r in video_image_matches(videos, images, every_ms=100,
+                                        threshold=8).collect()}
+    assert set(got) == {(10, 100), (20, 101)}
+    assert got[(10, 100)][0] == 1  # scene B is shot 1 of video 10
+    assert got[(20, 101)][1] <= 3  # JPEG re-encode still matches

@@ -504,6 +504,90 @@ def video_scene_pairs(
     )
 
 
+def video_image_matches(
+    videos: DataFrame,
+    images: DataFrame,
+    video_id_col: str = "doc_id",
+    image_id_col: str = "doc_id",
+    asset_col: str = "asset",
+    every_ms: int = 500,
+    threshold: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_docs: int = 1024,
+) -> DataFrame:
+    """(video_id, image_id, shot_idx, hamming) — still images that
+    appear as scenes of videos: thumbnail-to-source lookup, meme-frame
+    provenance, frame-leak decontamination between an image corpus and
+    a video corpus.  CROSS-MODAL by construction: the video side
+    reduces to per-shot keyframe dHashes (``video_shots``), the image
+    side to plain dHashes (``image_dhash``), and the two meet in the
+    same multi-index-hash candidate join + bit_count verify every other
+    dedup op uses.  Only (id, hash) rows shuffle; the stop-scene guard
+    drops band values shared by more than ``max_bucket_docs`` videos
+    before the join."""
+    if not n_bands > max_hamming:
+        raise ValueError("need n_bands > max_hamming (pigeonhole)")
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    from verified_sources_spark.llm.image_dedup import image_dhash
+
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def bands_of(df, id_alias, hash_col):
+        b = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), 64 - width * (i + 1)
+                        ).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b")
+        return df.select(
+            F.col(df.columns[0]).alias(id_alias),
+            *df.columns[1:],
+            b,
+        ).select(id_alias, *df.columns[1:], "b.band_idx", "b.band_val")
+
+    shots = (
+        video_shots(videos, video_id_col, asset_col, every_ms, threshold)
+        .filter(F.col("decoded_ok"))
+        .select(
+            F.col(video_id_col).alias("video_id"),
+            "shot_idx",
+            F.col("keyframe_hash").alias("khash"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    imgs = (
+        image_dhash(images, image_id_col, asset_col)
+        .filter(F.col("decoded_ok"))
+        .select(F.col(image_id_col).alias("image_id"), F.col("dhash"))
+    )
+    v_bands = bands_of(shots, "video_id", "khash")
+    hot = (
+        v_bands.groupBy("band_idx", "band_val")
+        .agg(F.countDistinct("video_id").alias("_n"))
+        .filter(F.col("_n") > max_bucket_docs)
+        .select("band_idx", "band_val")
+    )
+    v_bands = v_bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    i_bands = bands_of(imgs, "image_id", "dhash")
+    return (
+        v_bands.join(i_bands, ["band_idx", "band_val"])
+        .withColumn("hamming", F.expr("bit_count(khash ^ dhash)"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("video_id", "image_id", "shot_idx", "hamming")
+        .distinct()
+    )
+
+
 def video_dedup_groups(
     df: DataFrame,
     id_col: str = "doc_id",
