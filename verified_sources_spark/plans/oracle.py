@@ -1613,6 +1613,17 @@ ORACLE_SQL["image_formats_probe_docs"] = """
     FROM documents
 """
 
+# Cross-modal matching: docs with id % 23 == 7 mint a video whose
+# SECOND scene (shot 1) is doc id-1's image pattern — the only
+# video-image hash matches by construction (probed: zero exact-dHash
+# collisions over the first 5000 ids).
+ORACLE_SQL["video_image_matches_docs"] = """
+    SELECT doc_id AS video_id, doc_id - 1 AS image_id,
+           CAST(1 AS INTEGER) AS shot_idx, CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    WHERE doc_id % 23 = 7 AND doc_id > 0
+"""
+
 # Scene-level containment: docs with id % 17 == 4 carry doc id-1's
 # first scene as their second — the only cross-clip scene shares by
 # construction (probed: zero accidental exact-dHash collisions over

@@ -1846,6 +1846,71 @@ def audio_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal video↔image matching end-to-end over documents:
+    every doc mints a PNG of its seeded pattern; docs with
+    ``doc_id % 23 == 7`` ALSO mint a two-scene AVI whose second scene is
+    doc id-1's pattern (first scene unique, seed offset 10^7 — probed:
+    zero exact-dHash collisions over the first 5000 ids, every planted
+    cut ≥20 bits).  The REAL pipeline (shot cuts → keyframe dHash vs
+    image dHash, banded join, exact verify) must recover exactly the
+    planted (video, image, shot 1) matches — the oracle replays the
+    arithmetic."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.video_dedup import video_image_matches
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def scene_of(did):
+        import numpy as np
+
+        rng = np.random.default_rng(did)
+        coarse = rng.integers(0, 256, size=(6, 8))
+        h, w = 24, 32
+        gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+        return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+    def mint_images(batches):
+        from verified_sources_spark.llm.png_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rgb = scene_of(did)
+                rows.append(
+                    {"doc_id": did, "asset": encode(32, 24, rgb.tobytes(), "RGB")}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_videos(batches):
+        from verified_sources_spark.llm.avi_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 23 != 7 or did == 0:
+                    continue
+                frames = [scene_of(10_000_000 + did)] * 3 + [scene_of(did - 1)] * 3
+                rows.append(
+                    {"doc_id": did,
+                     "asset": encode(frames, fps=10.0, width=32, height=24)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    images = d.mapInPandas(mint_images, "doc_id long, asset binary")
+    videos = d.mapInPandas(mint_videos, "doc_id long, asset binary")
+    return video_image_matches(
+        videos, images, every_ms=100, threshold=8, max_hamming=0
+    ).select(
+        "video_id", "image_id",
+        F.col("shot_idx").cast("int").alias("shot_idx"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def media_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming media-ingest ledger end-to-end (streaming/
     media_ingest.py): mint one asset per doc by residue class —
@@ -2089,4 +2154,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_scene_pairs_docs": video_scene_pairs_docs,
     "jpeg_decode_probe_docs": jpeg_decode_probe_docs,
     "image_formats_probe_docs": image_formats_probe_docs,
+    "video_image_matches_docs": video_image_matches_docs,
 }
