@@ -97,14 +97,35 @@ def _other_jvms_alive() -> int:
         return -1  # unknown
 
 
+def _wait_for_quiet_box(max_wait_sec: float) -> int:
+    """Block until no other java process is alive (poll every 5 s), up to
+    ``max_wait_sec``.  Concurrent JVMs skew timings uniformly +25-40% on
+    this box, so the artifact of record must be a quiet run — waiting a
+    few minutes for a straggler JVM beats recording polluted numbers.
+    Returns the live-JVM count at the moment we gave up / proceeded."""
+    deadline = time.time() + max_wait_sec
+    n = _other_jvms_alive()
+    while n > 0 and time.time() < deadline:
+        print(
+            f"# waiting for quiet box: {n} java process(es) alive "
+            f"({int(deadline - time.time())}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+        n = _other_jvms_alive()
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    jvms_before = _other_jvms_alive()
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "300"))
+    jvms_before = _wait_for_quiet_box(max_wait)
     if jvms_before:
         print(
-            f"# WARNING: {jvms_before} java process(es) already running — "
-            "timings will read high; re-run on an idle box for real numbers",
+            f"# WARNING: {jvms_before} java process(es) still running after "
+            f"{max_wait:.0f}s wait — timings will read high; re-run on an "
+            "idle box for real numbers",
             file=sys.stderr,
         )
     spark = get_spark("bench")
