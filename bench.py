@@ -121,7 +121,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "300"))
     jvms_before = _wait_for_quiet_box(max_wait)
-    if jvms_before:
+    if jvms_before < 0:
+        # _other_jvms_alive could not count (no /proc, ps missing): no wait
+        # happened and no claim about concurrent JVMs can be made
+        print(
+            "# WARNING: JVM count unknown on this platform — cannot verify "
+            "a quiet box; treat timings as unconfirmed",
+            file=sys.stderr,
+        )
+    elif jvms_before > 0:
         print(
             f"# WARNING: {jvms_before} java process(es) still running after "
             f"{max_wait:.0f}s wait — timings will read high; re-run on an "

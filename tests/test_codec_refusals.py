@@ -1,0 +1,174 @@
+"""Honest-refusal matrix: EVERY named decode refusal across the stdlib
+codec suite raises with the format/variant NAMED in the message (never
+a bare struct.error, never a silent garble).  One parametrized test per
+refusal keeps the contract pinned — this is precisely the net that
+catches a codec module landing unwired or a refusal message regressing
+to something un-triageable (round-9 verdict item #4).
+
+Decodable formats are asserted green elsewhere (their codec tests);
+this file is only the refusal surface."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def _jpeg_with_sof(marker: int) -> bytes:
+    """Baseline fixture re-marked to a non-baseline SOF variant."""
+    from verified_sources_spark.llm.jpeg_codec import encode
+
+    jpg = encode(16, 12, bytes(16 * 12 * 3), quality=90)
+    k = jpg.index(b"\xff\xc0")
+    return jpg[: k + 1] + bytes([marker]) + jpg[k + 2 :]
+
+
+def _bmp_with_compression(comp: int) -> bytes:
+    from verified_sources_spark.llm.bmp_codec import encode
+
+    bmp = encode(8, 6, bytes(8 * 6 * 3))
+    return bmp[:30] + struct.pack("<I", comp) + bmp[34:]
+
+
+def _avi_with_fourcc(fourcc: bytes) -> bytes:
+    from verified_sources_spark.llm.avi_codec import encode
+
+    avi = encode([np.zeros((12, 16, 3), np.uint8)] * 3, 10.0, 16, 12)
+    i = avi.index(b"strf")  # BITMAPINFOHEADER: biCompression at +16
+    return avi[: i + 8 + 16] + fourcc + avi[i + 8 + 20 :]
+
+
+def _wav_with_format_code(code: int) -> bytes:
+    from verified_sources_spark.llm.wav_codec import encode
+
+    wav = encode(np.zeros(100), 8000)
+    j = wav.index(b"fmt ")
+    return wav[: j + 8] + struct.pack("<H", code) + wav[j + 10 :]
+
+
+def _interlaced_png() -> bytes:
+    from verified_sources_spark.llm.png_codec import encode
+
+    png = encode(8, 6, bytes(8 * 6 * 3), "RGB")
+    i = png.index(b"IHDR")
+    # interlace byte is the last of the 13-byte IHDR body; CRC must match
+    body = bytearray(png[i : i + 4 + 13])
+    body[4 + 12] = 1  # Adam7
+    import zlib
+
+    crc = struct.pack(">I", zlib.crc32(bytes(body)))
+    return png[:i] + bytes(body) + crc + png[i + 21 :]
+
+
+def _vp8_webp() -> bytes:
+    # minimal RIFF/WEBP wrapper with a VP8 (lossy) chunk: sniffable,
+    # header-probeable, pixel-refused
+    vp8_body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 16, 12)
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_body)) + vp8_body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _decode_jpeg(payload):
+    from verified_sources_spark.llm.jpeg_codec import decode
+
+    decode(payload)
+
+
+def _decode_bmp(payload):
+    from verified_sources_spark.llm.bmp_codec import decode
+
+    decode(payload)
+
+
+def _decode_avi_frame(payload):
+    from verified_sources_spark.llm.avi_codec import decode_frame, probe
+
+    decode_frame(payload, probe(payload), 0)
+
+
+def _decode_wav(payload):
+    from verified_sources_spark.llm.wav_codec import decode
+
+    decode(payload)
+
+
+def _decode_png(payload):
+    from verified_sources_spark.llm.png_codec import decode
+
+    decode(payload)
+
+
+def _decode_image(payload):
+    from verified_sources_spark.llm.image_io import decode_image
+
+    decode_image(payload)
+
+
+def _sample_mp4(payload):
+    from verified_sources_spark.llm.video_io import probe_video, sample_frames
+
+    sample_frames(payload, probe_video(payload), every_ms=500)
+
+
+def _mp4(codec: bytes) -> bytes:
+    from verified_sources_spark.llm.mp4_codec import encode_stub
+
+    return encode_stub(codec=codec)
+
+
+MATRIX = [
+    # (case id, payload builder, decode fn, message fragment that NAMES it)
+    ("jpeg-progressive", lambda: _jpeg_with_sof(0xC2), _decode_jpeg,
+     "progressive (SOF2)"),
+    ("jpeg-arithmetic", lambda: _jpeg_with_sof(0xC9), _decode_jpeg,
+     "arithmetic sequential (SOF9)"),
+    ("jpeg-lossless", lambda: _jpeg_with_sof(0xC3), _decode_jpeg,
+     "lossless (SOF3)"),
+    ("bmp-rle4", lambda: _bmp_with_compression(2), _decode_bmp, "BI_RLE4"),
+    ("bmp-bitfields", lambda: _bmp_with_compression(3), _decode_bmp,
+     "BI_BITFIELDS"),
+    ("avi-h264-fourcc", lambda: _avi_with_fourcc(b"H264"), _decode_avi_frame,
+     "H264"),
+    ("avi-xvid-fourcc", lambda: _avi_with_fourcc(b"XVID"), _decode_avi_frame,
+     "XVID"),
+    ("wav-mp3-format-code", lambda: _wav_with_format_code(85), _decode_wav,
+     "format code 85"),
+    ("wav-not-riff", lambda: b"ID3\x03" + bytes(64), _decode_wav,
+     "not a RIFF/WAVE"),
+    ("png-adam7", _interlaced_png, _decode_png, "nterlace"),
+    ("webp-vp8-lossy", _vp8_webp, _decode_image, "WebP"),
+    ("mp4-avc1-pixels", lambda: _mp4(b"avc1"), _sample_mp4, "avc1"),
+    ("mp4-hev1-pixels", lambda: _mp4(b"hev1"), _sample_mp4, "hev1"),
+]
+
+
+@pytest.mark.parametrize(
+    "builder,fn,fragment", [m[1:] for m in MATRIX], ids=[m[0] for m in MATRIX]
+)
+def test_refusal_names_the_format(builder, fn, fragment):
+    payload = builder()
+    with pytest.raises(Exception) as exc_info:
+        fn(payload)
+    msg = str(exc_info.value)
+    assert fragment in msg, f"refusal message {msg!r} must name {fragment!r}"
+    # a refusal is a typed, catchable error — never a bare struct.error
+    assert not isinstance(exc_info.value, struct.error)
+
+
+def test_webp_probe_still_serves_headers():
+    """The refusal is pixel-only: the VP8 lossy header still probes."""
+    from verified_sources_spark.llm.image_io import probe_webp
+
+    m = probe_webp(_vp8_webp())
+    assert (m["width"], m["height"]) == (16, 12)
+    assert m["variant"] == "VP8 (lossy)"
+
+
+def test_mp4_probe_still_serves_manifest():
+    """The refusal is pixel-only: the avc1 container still probes."""
+    from verified_sources_spark.llm.video_io import probe_video
+
+    m = probe_video(_mp4(b"avc1"))
+    assert m["codec"] == "avc1" and m["n_frames"] == 30

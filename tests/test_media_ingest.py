@@ -292,3 +292,54 @@ def test_animated_gif_routes_to_video_modality(spark, tmp_path):
     ing.apply_batch(spark.createDataFrame([(2, bytearray(gif))], SCHEMA), 1)
     got = {r["doc_id"] for r in ing.docs_table.read().collect()}
     assert got == {1}  # GIF re-post rejected against the standing AVI
+
+
+def test_mp4_ingests_exact_only_with_probed_manifest(spark, tmp_path):
+    """Mixed AVI/GIF/MP4 batch: MP4s are accepted EXACT-DEDUP-ONLY
+    (pixel decode refuses with the codec named, so no perceptual rows)
+    while their container manifests still probe to real facts; an exact
+    MP4 re-post is rejected by the sha path; a re-encode (different
+    timescale → different bytes) is accepted — the honest limit of
+    exact-only dedup until a real decoder is registered."""
+    from verified_sources_spark.llm.mp4_codec import encode_stub
+    from verified_sources_spark.llm.video_io import probe_video
+
+    mp4 = encode_stub(width=64, height=48, n_frames=20, fps=10.0)
+    mp4_reenc = encode_stub(width=64, height=48, n_frames=20, fps=10.0,
+                            timescale=1200)
+    assert mp4 != mp4_reenc
+
+    ing = _mk(spark, tmp_path)
+    b0 = spark.createDataFrame(
+        [
+            (1, bytearray(_avi(3))),
+            (2, bytearray(mp4)),
+        ],
+        SCHEMA,
+    )
+    ing.apply_batch(b0, 0)
+    b1 = spark.createDataFrame(
+        [
+            (10, bytearray(mp4)),        # exact dup → rejected by sha
+            (11, bytearray(mp4_reenc)),  # re-encode → accepted (exact-only)
+        ],
+        SCHEMA,
+    )
+    ing.apply_batch(b1, 1)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1, 2, 11}
+
+    # MP4 fingerprint rows: sha ONLY (no pfp/band rows); the AVI has all
+    kinds = {}
+    for r in ing.fp_table.read().collect():
+        kinds.setdefault(r["doc_id"], set()).add(r["kind"])
+    assert kinds[2] == {"sha"} and kinds[11] == {"sha"}
+    assert "pfp:video" in kinds[1]
+
+    # the standing MP4 bytes still probe to a full manifest
+    for r in ing.docs_table.read().collect():
+        if r["doc_id"] == 2:
+            m = probe_video(bytes(r["asset"]))
+            assert m["container"] == "mp4" and m["codec"] == "avc1"
+            assert (m["width"], m["height"], m["n_frames"]) == (64, 48, 20)
+            assert m["duration_ms"] == 2000

@@ -7,17 +7,24 @@ readable with ``struct`` alone.  ``probe`` walks
 ftyp / moov / mvhd / trak / tkhd / mdia / mdhd / hdlr / minf / stbl /
 (stsd, stsz, stts) and returns the manifest facts a 100 TB curation
 pipeline needs BEFORE it ever decodes a pixel: dims, fps, duration,
-sample count, codec fourcc, per-track layout.  Pixel decode refuses
-loudly **with the codec named** (``avc1``/``hev1``/…) — the honest-
-refusal contract shared by the table-format readers and every other
-codec here: "not decodable in this environment" must never be confused
-with "broken payload".  An optional real decoder plugs in through
-llm/video_io's ``decoder=`` seam without touching this module.
+sample count, codec fourcc, per-track layout.  Every inner read is
+bounds-checked against its enclosing box, so a truncated or malformed
+payload raises ``Mp4Error`` (never a bare ``struct.error``, never a
+silent read into the adjacent box).  Pixel decode refuses loudly
+**with the codec named** (``avc1``/``hev1``/…) through llm/video_io's
+``decoder=`` seam — the honest-refusal contract shared by the
+table-format readers and every other codec here: "not decodable in
+this environment" must never be confused with "broken payload".
+
+``probe`` accepts any top-level box run — ftyp-first web MP4s, and
+legacy QuickTime layouts where a ``skip``/``wide``/``free`` box (or
+nothing at all) precedes ``moov`` — as long as a ``moov`` is present.
 
 ``encode_stub`` builds a structurally valid minimal MP4 (ftyp + moov
-with one video trak + mdat) for fixtures — the probe is tested against
-files this encoder did NOT produce byte-for-byte (box order and
-version variants are exercised in tests).
+with one video trak + mdat) for fixtures; tests/test_mp4_codec.py
+probes files this encoder did NOT produce byte-for-byte (reordered
+boxes, version-1 64-bit fields, largesize, audio tracks, size-0
+boxes) plus the truncation/garbage error paths.
 
 Reference analogue: mux video assets are served as playback manifests,
 not pixels (/root/reference/sources/mux/__init__.py:15-28) — the same
@@ -33,6 +40,15 @@ __all__ = ["Mp4Error", "probe", "encode_stub"]
 
 class Mp4Error(ValueError):
     pass
+
+
+def _need(data: bytes, pos: int, n: int, end: int, what: str) -> None:
+    """Bounds gate: the next ``n`` bytes at ``pos`` must lie inside the
+    enclosing box (``end``) AND the buffer — else the payload is
+    truncated/malformed and the honest answer is Mp4Error, not a bare
+    struct.error or a silent read of the neighbouring box's bytes."""
+    if pos + n > end or pos + n > len(data):
+        raise Mp4Error(f"truncated {what}: need {n} bytes at {pos}")
 
 
 def _boxes(data: bytes, pos: int, end: int):
@@ -73,27 +89,33 @@ def _child(data: bytes, start: int, end: int, fourcc: bytes):
     return None
 
 
-def _fullbox(data: bytes, pos: int) -> tuple[int, int]:
+def _fullbox(data: bytes, pos: int, end: int, what: str) -> tuple[int, int]:
     """(version, body_start_after_version_flags)."""
+    _need(data, pos, 4, end, f"{what} fullbox header")
     return data[pos], pos + 4
 
 
-def _parse_mvhd(data: bytes, b: int) -> tuple[int, int]:
+def _parse_mvhd(data: bytes, b: int, e: int, what: str = "mvhd") -> tuple[int, int]:
     """(timescale, duration) — version 0 (32-bit) or 1 (64-bit)."""
-    ver, p = _fullbox(data, b)
+    ver, p = _fullbox(data, b, e, what)
     if ver == 1:
+        _need(data, p + 16, 12, e, f"{what} v1 fields")
         ts, dur = struct.unpack_from(">IQ", data, p + 16)
     else:
+        _need(data, p + 8, 8, e, f"{what} v0 fields")
         ts, dur = struct.unpack_from(">II", data, p + 8)
     return ts, dur
 
 
-def _parse_mdhd(data: bytes, b: int) -> tuple[int, int]:
-    return _parse_mvhd(data, b)  # same creation/modification prefix layout
+def _parse_mdhd(data: bytes, b: int, e: int) -> tuple[int, int]:
+    return _parse_mvhd(data, b, e, "mdhd")  # same creation/modification prefix
 
 
 def _parse_tkhd(data: bytes, b: int, e: int) -> tuple[float, float]:
     """(width, height) as 16.16 fixed-point — last 8 bytes of tkhd."""
+    if e - 8 < b + 4:  # must lie past the version/flags, inside the box
+        raise Mp4Error("truncated tkhd: no width/height fields")
+    _need(data, e - 8, 8, e, "tkhd width/height")
     w_fixed, h_fixed = struct.unpack_from(">II", data, e - 8)
     return w_fixed / 65536.0, h_fixed / 65536.0
 
@@ -111,10 +133,11 @@ def _parse_trak(data: bytes, b: int, e: int) -> dict:
     mb, me = r
     r = _child(data, mb, me, b"mdhd")
     if r:
-        tk["timescale"], tk["duration"] = _parse_mdhd(data, r[0])
+        tk["timescale"], tk["duration"] = _parse_mdhd(data, r[0], r[1])
     r = _child(data, mb, me, b"hdlr")
     if r:
-        _ver, p = _fullbox(data, r[0])
+        _ver, p = _fullbox(data, r[0], r[1], "hdlr")
+        _need(data, p + 4, 4, r[1], "hdlr handler_type")
         tk["handler"] = data[p + 4 : p + 8].decode("ascii", errors="replace")
     r = _child(data, mb, me, b"minf")
     if not r:
@@ -125,51 +148,76 @@ def _parse_trak(data: bytes, b: int, e: int) -> dict:
     sb, se = r
     r = _child(data, sb, se, b"stsd")
     if r:
-        _ver, p = _fullbox(data, r[0])
+        _ver, p = _fullbox(data, r[0], r[1], "stsd")
+        _need(data, p, 4, r[1], "stsd entry_count")
         (n_entries,) = struct.unpack_from(">I", data, p)
         if n_entries >= 1:
             # first sample entry: 4-byte size + 4-byte format fourcc
+            _need(data, p + 8, 4, r[1], "stsd sample-entry fourcc")
             tk["codec"] = data[p + 8 : p + 12].decode("ascii", errors="replace")
             if tk["handler"] == "soun":
                 # AudioSampleEntry body (after 8-byte size+fourcc at p+4):
                 # 6 reserved + 2 dref + 2 version + 2 revision + 4 vendor
                 # = 16 bytes, then channelcount(2) ... samplerate(16.16)
                 ent = p + 12
+                _need(data, ent + 24, 4, r[1], "stsd AudioSampleEntry")
                 tk["channels"] = struct.unpack_from(">H", data, ent + 16)[0]
                 tk["sample_rate"] = struct.unpack_from(">I", data, ent + 24)[0] >> 16
     r = _child(data, sb, se, b"stsz")
     if r:
-        _ver, p = _fullbox(data, r[0])
+        _ver, p = _fullbox(data, r[0], r[1], "stsz")
+        _need(data, p, 8, r[1], "stsz header")
         _uniform, count = struct.unpack_from(">II", data, p)
         tk["n_samples"] = count
     r = _child(data, sb, se, b"stts")
     if r:
-        _ver, p = _fullbox(data, r[0])
+        _ver, p = _fullbox(data, r[0], r[1], "stts")
+        _need(data, p, 4, r[1], "stts entry_count")
         (n_entries,) = struct.unpack_from(">I", data, p)
+        _need(data, p + 4, 8 * n_entries, r[1], "stts entries")
         tk["stts"] = [
             struct.unpack_from(">II", data, p + 4 + 8 * i) for i in range(n_entries)
         ]
     return tk
 
 
+# top-level box types that legitimately start an ISO-BMFF / QuickTime
+# file — used to tell "legacy MOV without ftyp" apart from garbage
+_TOP_LEVEL = frozenset(
+    [b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide",
+     b"pdin", b"moof", b"sidx", b"meta", b"uuid", b"pnot"]
+)
+
+
 def probe(data: bytes) -> dict:
     """Header-only manifest for an ISO-BMFF payload: brand, dims, fps,
     n_frames, duration_ms, codec fourcc, plus the full per-track list.
-    No sample materialization — mdat is never touched."""
-    if len(data) < 12 or data[4:8] != b"ftyp":
-        raise Mp4Error("not an ISO-BMFF payload (no ftyp)")
-    brand = data[8:12].decode("ascii", errors="replace")
+    No sample materialization — mdat is never touched.
+
+    Accepts any top-level box run whose first box is a known ISO-BMFF
+    type: web MP4s lead with ftyp, but legacy QuickTime .mov files may
+    lead with skip/wide/mdat/moov and carry no ftyp at all — those
+    probe fine with ``brand=None``."""
+    if len(data) < 12 or data[4:8] not in _TOP_LEVEL:
+        raise Mp4Error("not an ISO-BMFF payload (no recognized top-level box)")
+    brand = None
     mvhd_ts = mvhd_dur = 0
     tracks: list[dict] = []
     saw_moov = False
-    for fcc, b, e in _boxes(data, 0, len(data)):
-        if fcc == b"moov":
-            saw_moov = True
-            for f2, b2, e2 in _boxes(data, b, e):
-                if f2 == b"mvhd":
-                    mvhd_ts, mvhd_dur = _parse_mvhd(data, b2)
-                elif f2 == b"trak":
-                    tracks.append(_parse_trak(data, b2, e2))
+    try:
+        for fcc, b, e in _boxes(data, 0, len(data)):
+            if fcc == b"ftyp" and brand is None:
+                _need(data, b, 4, e, "ftyp major_brand")
+                brand = data[b : b + 4].decode("ascii", errors="replace")
+            elif fcc == b"moov":
+                saw_moov = True
+                for f2, b2, e2 in _boxes(data, b, e):
+                    if f2 == b"mvhd":
+                        mvhd_ts, mvhd_dur = _parse_mvhd(data, b2, e2)
+                    elif f2 == b"trak":
+                        tracks.append(_parse_trak(data, b2, e2))
+    except struct.error as exc:  # residual short-buffer unpack anywhere
+        raise Mp4Error(f"truncated ISO-BMFF payload: {exc}") from exc
     if not saw_moov:
         raise Mp4Error("no moov box (streaming-fragmented or truncated MP4)")
     vid = next((t for t in tracks if t["handler"] == "vide"), None)
@@ -247,7 +295,9 @@ def encode_stub(
                  + struct.pack(">HH", width, height) + b"\x00" * 50)
     stsd = _fullb(b"stsd", 0, struct.pack(">I", 1) + entry)
     stts = _fullb(b"stts", 0, struct.pack(">III", 1, n_frames, sample_delta))
-    stsz = _fullb(b"stsz", 0, struct.pack(">III", 0, n_frames, 0)
+    # stsz fullbox body: sample_size(=0 → per-sample table) + sample_count,
+    # then exactly sample_count entry sizes (no extra fields — spec layout)
+    stsz = _fullb(b"stsz", 0, struct.pack(">II", 0, n_frames)
                   + b"".join(struct.pack(">I", 1) for _ in range(n_frames)))
     stsc = _fullb(b"stsc", 0, struct.pack(">I", 0))
     stco = _fullb(b"stco", 0, struct.pack(">I", 0))

@@ -3,37 +3,74 @@ containers.
 
 ``probe_video`` dispatches on magic bytes — RIFF/AVI → llm/avi_codec
 (BI_RGB or MJPG frames), GIF87a/89a → llm/gif_codec (animated GIFs ARE
-video: web corpora are full of them) — and returns a normalized header
-dict.  ``sample_frames`` implements time-based sampling over either
-container: AVI seeks straight to each kept frame (frame offsets are in
+video: web corpora are full of them), ftyp → llm/mp4_codec (the
+dominant web container; header-only box walk) — and returns a
+normalized header dict.  ``sample_frames`` implements time-based
+sampling: AVI seeks straight to each kept frame (frame offsets are in
 the header); GIF decodes sequentially up to the last kept frame
 (frames are deltas — inherent to the format) but still materializes
-ONLY the kept canvases.
+ONLY the kept canvases; MP4 pixel decode is out of pure-stdlib reach
+(H.264/H.265 entropy coding), so it refuses WITH THE CODEC NAMED
+unless a real decoder is plugged in through the ``decoder=`` seam —
+mirroring llm/multimodal's ``decoder="pil"`` (register a
+PyAV/ffmpeg-backed callable with ``register_mp4_decoder`` once, per
+process, and every sample_frames caller lights up).
 
 Everything video-shaped in the engine (fingerprint, shots, scene pairs,
 the media-ingest ledger) goes through this seam, so the SAME clip
 stored as an AVI and as an animated GIF lands within a few pooled-hash
-bits and dedups across containers.
+bits and dedups across containers — and MP4s degrade gracefully to
+exact-dedup-only with full probed manifests.
 """
 
 from __future__ import annotations
 
-__all__ = ["sniff_video_format", "probe_video", "sample_frames"]
+from collections.abc import Callable
+
+__all__ = [
+    "sniff_video_format",
+    "probe_video",
+    "sample_frames",
+    "register_mp4_decoder",
+    "VideoDecodeRefusal",
+]
+
+
+class VideoDecodeRefusal(NotImplementedError):
+    """Pixel decode is not available for this codec in this
+    environment — the payload is NOT broken (the probe succeeded);
+    the message names the codec so operators can route/triage."""
+
+
+# name -> callable(payload, meta, every_ms) -> list[(idx, ts_ms, rgb)]
+# Process-global so executors registering a PyAV/ffmpeg decoder in a
+# worker-init hook light up every sample_frames call in that worker.
+_MP4_DECODERS: dict[str, Callable] = {}
+
+
+def register_mp4_decoder(name: str, fn: Callable) -> None:
+    """Plug a real MP4 pixel decoder (e.g. PyAV-backed) into the seam.
+    ``fn(payload, meta, every_ms)`` must return the same
+    ``[(frame_idx, ts_ms, top-down RGB bytes)]`` shape the stdlib
+    containers produce."""
+    _MP4_DECODERS[name] = fn
 
 
 def sniff_video_format(payload: bytes) -> str | None:
-    """'avi' / 'gif' / None — magic bytes only, no decode."""
+    """'avi' / 'gif' / 'mp4' / None — magic bytes only, no decode."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
 def probe_video(payload: bytes) -> dict:
-    """Normalized header metadata for either container: container,
+    """Normalized header metadata for any container: container,
     width, height, n_frames, fps (GIF: average over variable delays),
-    duration_ms, codec ('BI_RGB'/'MJPG'/'GIF') plus the raw
+    duration_ms, codec ('BI_RGB'/'MJPG'/'GIF'/'avc1'/…) plus the raw
     container-specific probe under ``raw``.  Header-only."""
     fmt = sniff_video_format(payload)
     if fmt == "avi":
@@ -64,11 +101,25 @@ def probe_video(payload: bytes) -> dict:
             "codec": "GIF",
             "raw": m,
         }
-    raise ValueError("unrecognized video payload (not AVI or GIF)")
+    if fmt == "mp4":
+        from verified_sources_spark.llm.mp4_codec import probe
+
+        m = probe(payload)
+        return {
+            "container": "mp4",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "fps": m["fps"],
+            "duration_ms": m["duration_ms"],
+            "codec": m["codec"],
+            "raw": m,
+        }
+    raise ValueError("unrecognized video payload (not AVI, GIF or MP4)")
 
 
 def sample_frames(
-    payload: bytes, meta: dict, every_ms: int
+    payload: bytes, meta: dict, every_ms: int, decoder: str | None = None
 ) -> list[tuple[int, int, bytes]]:
     """(frame_idx, ts_ms, top-down RGB bytes) for one frame per
     ``every_ms`` wall-clock window — the frame VISIBLE at each tick, so
@@ -116,4 +167,20 @@ def sample_frames(
             if k >= max(want):
                 break
         return [(idx, ts, frames[idx]) for idx, ts in picks]
+    if meta["container"] == "mp4":
+        if decoder is not None:
+            if decoder not in _MP4_DECODERS:
+                raise ValueError(
+                    f"no MP4 decoder registered under {decoder!r} "
+                    f"(register_mp4_decoder first); known: "
+                    f"{sorted(_MP4_DECODERS)}"
+                )
+            return _MP4_DECODERS[decoder](payload, meta, every_ms)
+        raise VideoDecodeRefusal(
+            f"pixel decode of ISO-BMFF codec {meta['codec']!r} is not "
+            f"available in pure stdlib (entropy coding + motion "
+            f"compensation); the container probe succeeded — register a "
+            f"PyAV/ffmpeg-backed decoder via register_mp4_decoder and "
+            f"pass decoder= to light up sampling"
+        )
     raise ValueError(f"unknown container {meta['container']!r}")

@@ -1603,6 +1603,30 @@ ORACLE_SQL["jpeg_decode_probe_docs"] = """
 # id%4 across PNG/JPEG/GIF/BMP, dims from doc_id, every 11th
 # truncated) replayed in SQL — a hash match proves all four codecs
 # decoded their share through the sniffing seam.
+# Mixed-container video dispatch (AVI / animated GIF / MP4 by id % 3):
+# the minting arithmetic replayed in SQL.  All three containers land on
+# duration_ms = n_frames * 100 by construction (AVI fps=10, GIF
+# delay=100ms, MP4 timescale 600 / delta 60); codec names prove the
+# sniff dispatched each payload to the right parser.
+ORACLE_SQL["video_formats_probe_docs"] = """
+    SELECT doc_id,
+           (doc_id % 23) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST(16 + (doc_id % 4) * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST(12 + (doc_id % 3) * 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST(3 + doc_id % 5 AS INTEGER) END AS n_frames,
+           CASE WHEN doc_id % 23 <> 0
+                THEN CAST((3 + doc_id % 5) * 100 AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 23 <> 0 THEN
+                CASE doc_id % 3 WHEN 0 THEN 'BI_RGB'
+                                WHEN 1 THEN 'GIF'
+                                ELSE 'avc1' END
+           END AS codec
+    FROM documents
+"""
+
 ORACLE_SQL["image_formats_probe_docs"] = """
     SELECT doc_id,
            (doc_id % 11) <> 0 AS decoded_ok,

@@ -1691,6 +1691,67 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-container VIDEO dispatch end-to-end over documents: mint
+    one clip per doc cycling ALL THREE stdlib-probeable containers by
+    ``doc_id % 3`` (BI_RGB AVI, animated GIF89a, ISO-BMFF/MP4 via
+    llm/mp4_codec.encode_stub), dims/frames from doc_id arithmetic,
+    every 23rd truncated; probe through the llm/video_io sniffing seam
+    via llm/video_dedup.video_probe.  The oracle replays the
+    dims/frames/duration/codec arithmetic in SQL — a value-hash match
+    proves each container probed its share, including that MP4 rows
+    carry real manifest facts (width/height/fps/duration from the box
+    tree) with codec ``avc1`` even though pixel decode refuses — the
+    exact "manifest-first, bytes opaque" posture a scraped 100 TB web
+    video column needs (mux analogue:
+    /root/reference/sources/mux/__init__.py:15-28)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.video_dedup import video_probe
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.avi_codec import encode as avi_enc
+        from verified_sources_spark.llm.gif_codec import encode_animated
+        from verified_sources_spark.llm.mp4_codec import encode_stub
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 12 + (did % 3) * 8
+                n = 3 + did % 5
+                rng = np.random.default_rng(did)
+                # ≤16 distinct colors so the GIF palette encoder accepts
+                levels = rng.integers(0, 256, size=16).astype(np.uint8)
+                gray = levels[rng.integers(0, 16, size=(n, h, w))]
+                frames = np.stack([gray] * 3, axis=3)
+                fmt = did % 3
+                if fmt == 0:
+                    asset = avi_enc(list(frames), fps=10.0, width=w, height=h)
+                elif fmt == 1:
+                    asset = encode_animated(
+                        w, h, [f.tobytes() for f in frames], delay_ms=100
+                    )
+                else:
+                    asset = encode_stub(width=w, height=h, n_frames=n, fps=10.0)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": asset[:10] if did % 23 == 0 else asset}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return video_probe(assets).select(
+        "doc_id", "decoded_ok", "width", "height", "n_frames",
+        "duration_ms", "codec"
+    )
+
+
 def video_shots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary segmentation end-to-end over documents: mint one
     two-scene AVI per doc (scene patterns seeded by doc_id; frame count
@@ -2155,4 +2216,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_decode_probe_docs": jpeg_decode_probe_docs,
     "image_formats_probe_docs": image_formats_probe_docs,
     "video_image_matches_docs": video_image_matches_docs,
+    "video_formats_probe_docs": video_formats_probe_docs,
 }
