@@ -16,11 +16,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pytest
 
 from verified_sources_spark.llm.endpoint import (
+    EmbeddingsClient,
     LlmEndpointClient,
     LlmEndpointError,
+    embed_texts,
     extract_fields_via_endpoint,
 )
-from verified_sources_spark.llm.extract import deterministic_fake_llm
+from verified_sources_spark.llm.extract import (
+    deterministic_fake_embedding,
+    deterministic_fake_llm,
+)
 
 _PROMPT_RE = re.compile(
     r"Context:\n(?P<text>.*)\n\nQuestion: (?P<query>.*)\nAnswer:\Z", re.DOTALL
@@ -46,7 +51,7 @@ class _Handler(BaseHTTPRequestHandler):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         srv.calls.append({"path": self.path, "body": body,
                           "auth": self.headers.get("Authorization")})
-        if self.path != "/v1/completions":
+        if self.path not in ("/v1/completions", "/v1/embeddings"):
             self._json({"error": "not found"}, status=404)
             return
         if srv.api_key is not None and (
@@ -62,6 +67,20 @@ class _Handler(BaseHTTPRequestHandler):
         if srv.fail_next:
             srv.fail_next -= 1
             self._json({"error": "boom"}, status=500)
+            return
+        if self.path == "/v1/embeddings":
+            texts = body["input"]
+            if isinstance(texts, str):
+                texts = [texts]
+            data = [
+                {"index": i, "object": "embedding",
+                 "embedding": deterministic_fake_embedding(t, srv.embed_dim)}
+                for i, t in enumerate(texts)
+            ]
+            if srv.drop_last_embedding:
+                data = data[:-1]
+            # deliberately out of order: the client must align by index
+            self._json({"model": body.get("model"), "data": list(reversed(data))})
             return
         prompts = body["prompt"]
         if isinstance(prompts, str):
@@ -83,6 +102,8 @@ class _Server(ThreadingHTTPServer):
         self.throttle_next = 0
         self.retry_after = 0.5
         self.fail_next = 0
+        self.embed_dim = 16
+        self.drop_last_embedding = False
 
 
 @pytest.fixture()
@@ -206,3 +227,78 @@ def test_extract_via_endpoint_survives_throttling(spark, server):
         base_url=_url(server),
     ).collect()
     assert out[0]["total"] == "5.00"
+
+
+# ------------------------------------------------------------- embeddings
+def test_embed_batch_alignment_and_determinism(server):
+    client = EmbeddingsClient(_url(server))
+    texts = ["alpha beta gamma", "delta epsilon", ""]
+    vecs = client.embed_batch(texts)
+    # server returns data reversed: client must re-align by index
+    assert vecs == [deterministic_fake_embedding(t) for t in texts]
+    assert all(len(v) == 16 for v in vecs)
+    assert client.embed_batch([]) == []
+    assert client.embed("alpha beta gamma") == vecs[0]
+
+
+def test_embed_retries_429_and_5xx(server):
+    server.throttle_next = 1
+    server.fail_next = 1
+    client = EmbeddingsClient(_url(server), backoff_base=0.001)
+    vecs = client.embed_batch(["hello world"])
+    assert vecs == [deterministic_fake_embedding("hello world")]
+    # 1 throttle + 1 fail + 1 success = 3 wire calls
+    assert len([c for c in server.calls if c["path"] == "/v1/embeddings"]) == 3
+
+
+def test_embed_bearer_auth(server):
+    server.api_key = "sk-good"
+    client = EmbeddingsClient(_url(server), api_key="sk-good")
+    assert client.embed_batch(["x"]) == [deterministic_fake_embedding("x")]
+    bad = EmbeddingsClient(_url(server), api_key="sk-bad")
+    with pytest.raises(LlmEndpointError) as ei:
+        bad.embed_batch(["x"])
+    assert ei.value.status == 401
+
+
+def test_embed_protocol_violation_raises(server):
+    """A response covering fewer inputs than sent must raise loudly —
+    a silent None poisons every downstream cosine."""
+    server.drop_last_embedding = True
+    client = EmbeddingsClient(_url(server))
+    with pytest.raises(LlmEndpointError, match="covered 1/2"):
+        client.embed_batch(["one", "two"])
+
+
+def test_embed_texts_spark_end_to_end(spark, server):
+    """documents-shaped text → embed_texts → (id, array<float>) matching
+    the stub per-row; then the full raw-text → SemDeDup composition
+    (corpus.semantic_dedup_text) drops the planted near-identical doc
+    and keeps the distinct ones."""
+    from verified_sources_spark.llm.corpus import semantic_dedup_text
+
+    # ids 1-2 are DISTINCT texts (k-means inits on the lowest-id
+    # vectors, so they seed well-separated clusters); the planted
+    # near-dup pair is 3 ~ 4 (cosine 0.97 via the token-hash stub)
+    rows = [
+        (1, "completely unrelated legal boilerplate paragraph text"),
+        (2, "spark structured streaming watermark semantics explained"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # ~dup of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    emb = embed_texts(docs, "doc_id", "text", _url(server)).collect()
+    got = {r["doc_id"]: list(r["embedding"]) for r in emb}
+    for did, text in rows:
+        expect = deterministic_fake_embedding(text)
+        assert got[did] == pytest.approx(expect, abs=1e-6)
+
+    kept = semantic_dedup_text(
+        docs, "doc_id", "text", _url(server), n_clusters=2, threshold=0.9
+    ).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert 4 not in kept_ids          # near-dup absorbed
+    assert {1, 2, 3} <= kept_ids      # distinct docs survive
+    absorbed = {r["doc_id"]: r["n_dropped_dups"] for r in kept}
+    assert absorbed[3] == 1

@@ -652,3 +652,38 @@ def semantic_dedup(
         F.col("cluster"),
         F.coalesce(F.col("n_dropped_dups"), F.lit(0)).cast("long").alias("n_dropped_dups"),
     )
+
+
+def semantic_dedup_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_url: str,
+    api_key: str | None = None,
+    model: str = "embedder-v1",
+    n_clusters: int | None = None,
+    threshold: float = 0.92,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Raw text → SemDeDup, end-to-end: embed ``text_col`` through a live
+    /v1/embeddings endpoint (llm/endpoint.embed_texts — one batched HTTP
+    call per Arrow batch) and run :func:`semantic_dedup` on the result.
+    Closes the gap where semantic dedup required precomputed vectors:
+    a documents table with only text now flows text → vector → dedup in
+    one plan (reference analogue: the hosted-model call in
+    sources/unstructured_data/helpers.py:30-63).  The embedding stage is
+    per-row independent (no shuffle); everything after is the standard
+    bounded within-cluster quadratic."""
+    from verified_sources_spark.llm.endpoint import embed_texts
+
+    emb = embed_texts(
+        df, id_col, text_col, base_url, api_key=api_key, model=model
+    )
+    return semantic_dedup(
+        emb,
+        id_col,
+        "embedding",
+        n_clusters=n_clusters,
+        threshold=threshold,
+        lloyd_iters=lloyd_iters,
+    )

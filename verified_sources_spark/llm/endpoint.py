@@ -148,6 +148,121 @@ class LlmEndpointClient:
         return self.complete_batch([prompt])[0]
 
 
+class EmbeddingsClient:
+    """OpenAI-style ``POST /v1/embeddings`` batch client — the missing
+    half of the endpoint seam: completions answer per-field questions
+    (above), embeddings turn raw text into the ``array<float>`` vectors
+    the semantic-dedup/ANN surface consumes, closing raw-text → vector →
+    SemDeDup end-to-end (reference analogue: the hosted-model service
+    call in sources/unstructured_data/helpers.py:30-63 — same posture,
+    different verb).
+
+    One ``embed_batch(texts)`` call POSTs ``{"model": ..., "input":
+    [...]}`` and maps ``data[i].embedding`` back by the ``index`` field
+    (the protocol's contract: entries may arrive out of order).  Retry
+    policy is the ONE shared ``rest.RestClient`` loop: 429/5xx retry
+    with Retry-After/backoff, other 4xx raise immediately.  Cheap to
+    construct — executors build one per mapInPandas partition."""
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str | None = None,
+        model: str = "embedder-v1",
+        timeout: float = 30.0,
+        max_retries: int = 3,
+        backoff_base: float = 0.01,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.url = base_url.rstrip("/") + "/v1/embeddings"
+        self.model = model
+        self._rest = RestClient(
+            _CompletionsTransport(api_key, timeout),
+            max_retries=max_retries,
+            backoff_base=backoff_base,
+            sleep=sleep,
+        )
+
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        """One POST for the whole batch; vectors positionally aligned
+        with ``texts``.  A missing/short ``data`` list or ragged vector
+        widths are protocol violations and raise — a silent None here
+        would poison every downstream cosine."""
+        if not texts:
+            return []
+        body = self._rest._request(
+            self.url,
+            {"model": self.model, "input": texts, "encoding_format": "float"},
+        )[0]
+        try:
+            out: list[list[float] | None] = [None] * len(texts)
+            for entry in body["data"]:
+                out[int(entry["index"])] = [float(x) for x in entry["embedding"]]
+        except (KeyError, TypeError, ValueError, IndexError) as e:
+            raise LlmEndpointError(200, f"malformed embeddings body: {e}") from None
+        if any(v is None for v in out):
+            raise LlmEndpointError(
+                200, f"embeddings body covered {sum(v is not None for v in out)}"
+                     f"/{len(texts)} inputs"
+            )
+        widths = {len(v) for v in out}
+        if len(widths) > 1:
+            raise LlmEndpointError(200, f"ragged embedding widths {sorted(widths)}")
+        return out
+
+    def embed(self, text: str) -> list[float]:
+        return self.embed_batch([text])[0]
+
+
+def embed_texts(
+    df,
+    id_col: str,
+    text_col: str,
+    base_url: str,
+    api_key: str | None = None,
+    model: str = "embedder-v1",
+    max_retries: int = 3,
+    backoff_base: float = 0.01,
+):
+    """(id, embedding array<float>) via a live embeddings endpoint: each
+    Arrow batch issues ONE batched HTTP call (the Arrow batch boundary
+    is the model-call boundary, same as the completions path), so a
+    10k-doc partition is ~10 calls, not 10k.  Output plugs directly
+    into ``corpus.semantic_dedup`` / ``similarity.ivf_topk`` /
+    ``similarity.cosine_topk`` — raw text in, ANN surface out.
+
+    Endpoint config travels as plain strings; each task constructs its
+    own client.  Transient throttles retry inside the task; a protocol
+    violation fails the task loudly."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches):
+        client = EmbeddingsClient(
+            base_url,
+            api_key=api_key,
+            model=model,
+            max_retries=max_retries,
+            backoff_base=backoff_base,
+        )
+        for pdf in batches:
+            texts = [(t or "") for t in pdf[text_col]]
+            vecs = client.embed_batch(texts)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "embedding": vecs},
+                columns=[id_col, "embedding"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def extract_fields_via_endpoint(
     df,
     id_col: str,

@@ -39,6 +39,32 @@ def deterministic_fake_llm(text: str, query: str) -> str | None:
     return None
 
 
+def deterministic_fake_embedding(text: str, dim: int = 16) -> list[float]:
+    """STUB: content-similar embedding without a model — each lowercased
+    token md5-hashes to a bucket and a ±1 sign, token vectors sum, the
+    result L2-normalizes.  Deterministic across processes (md5, no RNG
+    state), and SIMILAR BY CONSTRUCTION: texts sharing most tokens land
+    at high cosine, disjoint texts near 0 — exactly the geometry the
+    semantic-dedup/ANN surface needs for end-to-end tests.  The live
+    path swaps this for a real /v1/embeddings endpoint
+    (llm/endpoint.EmbeddingsClient); both produce the same
+    (id, array<float>) shape."""
+    import hashlib
+    import math
+
+    acc = [0.0] * dim
+    for tok in re.findall(r"[a-z0-9]+", text.lower()):
+        h = hashlib.md5(tok.encode()).digest()
+        bucket = int.from_bytes(h[:4], "big") % dim
+        sign = 1.0 if h[4] & 1 else -1.0
+        acc[bucket] += sign
+    norm = math.sqrt(sum(x * x for x in acc))
+    if norm == 0.0:
+        acc[0] = 1.0  # empty text: a fixed unit vector, never NaN
+        return acc
+    return [x / norm for x in acc]
+
+
 def extract_fields(
     df: DataFrame,
     id_col: str,
