@@ -118,6 +118,18 @@ def _mp4(codec: bytes) -> bytes:
     return encode_stub(codec=codec)
 
 
+def _mp3() -> bytes:
+    from verified_sources_spark.llm.mp3_codec import encode_stub
+
+    return encode_stub()
+
+
+def _decode_mp3_samples(payload):
+    from verified_sources_spark.llm.mp3_codec import decode_samples
+
+    decode_samples(payload)
+
+
 MATRIX = [
     # (case id, payload builder, decode fn, message fragment that NAMES it)
     ("jpeg-progressive", lambda: _jpeg_with_sof(0xC2), _decode_jpeg,
@@ -141,6 +153,7 @@ MATRIX = [
     ("webp-vp8-lossy", _vp8_webp, _decode_image, "WebP"),
     ("mp4-avc1-pixels", lambda: _mp4(b"avc1"), _sample_mp4, "avc1"),
     ("mp4-hev1-pixels", lambda: _mp4(b"hev1"), _sample_mp4, "hev1"),
+    ("mp3-pcm-synthesis", _mp3, _decode_mp3_samples, "MPEG-1 Layer III"),
 ]
 
 

@@ -292,3 +292,71 @@ def audio_dedup_keep(
     groups = audio_dedup_groups(df, id_col, asset_col, **group_kwargs)
     keep = groups.groupBy("group").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+MP3_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+    ]
+)
+
+
+def mp3_probe(
+    df: DataFrame, id_col: str = "doc_id", asset_col: str = "asset"
+) -> DataFrame:
+    """(id, decoded_ok, sample_rate, channels, n_frames, duration_ms,
+    bitrate_kbps) — header-only MP3 frame-walk per asset
+    (llm/mp3_codec.probe: ID3v2 skip, Xing/Info, CBR walk), Arrow-
+    batched, payloads never shuffled, no sample synthesis (manifest
+    building over petabytes of audio must not decode PCM — and for MP3
+    pure-stdlib CANNOT: ``decode_samples`` refuses with the codec
+    named, so media ingestion treats MP3 exact-dedup-only).  A corrupt
+    / truncated / non-MPEG payload yields ``decoded_ok=false``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.mp3_codec import probe
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    m = probe(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": True,
+                            "sample_rate": m["sample_rate"],
+                            "channels": m["channels"],
+                            "n_frames": m["n_frames"],
+                            "duration_ms": m["duration_ms"],
+                            "bitrate_kbps": m["bitrate_kbps"],
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": False,
+                            "sample_rate": None,
+                            "channels": None,
+                            "n_frames": None,
+                            "duration_ms": None,
+                            "bitrate_kbps": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_PROBE_SCHEMA.fields]
+            )
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, MP3_PROBE_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -1603,6 +1603,33 @@ ORACLE_SQL["jpeg_decode_probe_docs"] = """
 # id%4 across PNG/JPEG/GIF/BMP, dims from doc_id, every 11th
 # truncated) replayed in SQL — a hash match proves all four codecs
 # decoded their share through the sniffing seam.
+# MP3 frame-header probe: the CBR minting arithmetic replayed in SQL.
+# MPEG-1 Layer III: 1152 samples/frame, so duration_ms = n * 1152000
+# integer-div rate; ID3v2 (every 4th) and Xing (every 6th) layouts must
+# not change the recovered facts — that's what the hash match proves.
+ORACLE_SQL["mp3_decode_probe_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 19) <> 0 AS ok,
+               CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                               ELSE 48000 END AS rate,
+               10 + doc_id % 7 AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           ok AS decoded_ok,
+           CASE WHEN ok THEN CAST(rate AS INTEGER) END AS sample_rate,
+           CASE WHEN ok THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+           CASE WHEN ok THEN CAST(n AS INTEGER) END AS n_frames,
+           CASE WHEN ok THEN CAST((n * 1152000) // rate AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN ok THEN CAST(
+                CASE doc_id % 5 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+                                WHEN 3 THEN 160 ELSE 320 END AS INTEGER)
+           END AS bitrate_kbps
+    FROM p
+"""
+
 # Mixed-container video dispatch (AVI / animated GIF / MP4 by id % 3):
 # the minting arithmetic replayed in SQL.  All three containers land on
 # duration_ms = n_frames * 100 by construction (AVI fps=10, GIF

@@ -1543,6 +1543,56 @@ def audio_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mp3_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio manifest path end-to-end over documents: mint
+    one CBR MP3 per doc (MPEG-1 rate/channels/bitrate/frame-count from
+    doc_id arithmetic; every 4th carries an ID3v2 prefix, every 6th a
+    Xing/Info first frame — both layouts real web MP3s carry; docs with
+    ``doc_id % 19 == 0`` get a truncated payload), then run the REAL
+    pure-stdlib frame-header walk via llm/audio_dedup.mp3_probe.  The
+    oracle replays the rate/channel/bitrate/duration arithmetic in SQL
+    — a value-hash match proves the ID3-skip, Xing parse and frame walk
+    each recovered the true header facts on exactly the uncorrupted
+    set.  PCM synthesis refuses with the codec named
+    (tests/test_codec_refusals.py), so media ingestion treats MP3s
+    exact-dedup-only with these manifests — the same posture as MP4
+    video."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.audio_dedup import mp3_probe
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.mp3_codec import encode_stub
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = [32000, 44100, 48000][did % 3]
+                n = 10 + did % 7
+                mp3 = encode_stub(
+                    n_frames=n,
+                    sample_rate=rate,
+                    bitrate_kbps=[64, 96, 128, 160, 320][did % 5],
+                    channels=1 + did % 2,
+                    xing=did % 6 == 0,
+                    id3v2_bytes=64 if did % 4 == 0 else 0,
+                )
+                rows.append(
+                    {"doc_id": did,
+                     "asset": mp3[:50] if did % 19 == 0 else mp3}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return mp3_probe(assets).select(
+        "doc_id", "decoded_ok", "sample_rate", "channels", "n_frames",
+        "duration_ms", "bitrate_kbps"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2217,4 +2267,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_formats_probe_docs": image_formats_probe_docs,
     "video_image_matches_docs": video_image_matches_docs,
     "video_formats_probe_docs": video_formats_probe_docs,
+    "mp3_decode_probe_docs": mp3_decode_probe_docs,
 }
