@@ -132,8 +132,10 @@ def _decode_mp3_samples(payload):
 
 MATRIX = [
     # (case id, payload builder, decode fn, message fragment that NAMES it)
-    ("jpeg-progressive", lambda: _jpeg_with_sof(0xC2), _decode_jpeg,
-     "progressive (SOF2)"),
+    # progressive (SOF2) DECODES now (llm/jpeg_progressive.py) — the
+    # remaining refusals are the variants stdlib genuinely can't serve
+    ("jpeg-extended-seq", lambda: _jpeg_with_sof(0xC1), _decode_jpeg,
+     "extended sequential (SOF1)"),
     ("jpeg-arithmetic", lambda: _jpeg_with_sof(0xC9), _decode_jpeg,
      "arithmetic sequential (SOF9)"),
     ("jpeg-lossless", lambda: _jpeg_with_sof(0xC3), _decode_jpeg,

@@ -338,8 +338,16 @@ def decode(data: bytes) -> dict:
     import numpy as np
 
     meta = probe(data)
+    if meta["variant"] == "progressive (SOF2)":
+        from verified_sources_spark.llm.jpeg_progressive import (
+            decode_progressive,
+        )
+
+        return decode_progressive(data)
     if meta["variant"] != "baseline":
-        raise JpegError(f"cannot decode {meta['variant']} JPEG (baseline only)")
+        raise JpegError(
+            f"cannot decode {meta['variant']} JPEG (baseline/progressive only)"
+        )
     if meta["bits"] != 8:
         raise JpegError(f"cannot decode {meta['bits']}-bit JPEG")
 

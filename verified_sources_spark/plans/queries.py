@@ -1642,15 +1642,18 @@ def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline JPEG path end-to-end over documents: mint one JPEG per
-    doc with the pure-stdlib encoder (dims from doc_id; layout cycles
-    4:4:4 / 4:2:0 / grayscale by ``doc_id % 3`` so every entropy/
-    subsampling path runs; docs with ``doc_id % 13 == 0`` get a
-    truncated payload), then run the REAL Huffman+IDCT decode via the
-    image_io seam inside llm/image_dedup.image_dhash.  The oracle
-    replays the dim/corruption arithmetic in SQL — a value-hash match
-    proves the full entropy decode succeeded on exactly the uncorrupted
-    set and echoed the true frame dimensions."""
+    """JPEG path end-to-end over documents: mint one JPEG per doc with
+    the pure-stdlib encoders (dims from doc_id; layout cycles 4:4:4 /
+    4:2:0 / grayscale / PROGRESSIVE-4:2:0 by ``doc_id % 4`` so every
+    entropy, subsampling AND multi-scan path runs; docs with
+    ``doc_id % 13 == 0`` get a truncated payload), then run the REAL
+    Huffman+IDCT decode via the image_io seam inside
+    llm/image_dedup.image_dhash — progressive frames route through
+    llm/jpeg_progressive automatically.  The oracle replays the
+    dim/corruption arithmetic in SQL — a value-hash match proves the
+    full entropy decode (including the successive-approximation scan
+    series) succeeded on exactly the uncorrupted set and echoed the
+    true frame dimensions."""
     import pandas as pd
 
     from verified_sources_spark.llm.image_dedup import image_dhash
@@ -1661,6 +1664,9 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from verified_sources_spark.llm.jpeg_codec import encode
+        from verified_sources_spark.llm.jpeg_progressive import (
+            encode_progressive,
+        )
 
         for pdf in batches:
             rows = []
@@ -1672,8 +1678,15 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 coarse = rng.integers(0, 256, size=(6, 8))
                 gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
                 rgb = np.stack([gray] * 3, axis=2).astype(np.uint8)
-                kw = [{}, {"subsampling": "4:2:0"}, {"grayscale": True}][did % 3]
-                jpg = encode(w, h, rgb.tobytes(), quality=90, **kw)
+                variant = did % 4
+                if variant == 3:
+                    jpg = encode_progressive(
+                        w, h, rgb.tobytes(), quality=90, subsampling="4:2:0"
+                    )
+                else:
+                    kw = [{}, {"subsampling": "4:2:0"},
+                          {"grayscale": True}][variant]
+                    jpg = encode(w, h, rgb.tobytes(), quality=90, **kw)
                 rows.append(
                     {"doc_id": did,
                      "asset": jpg[:10] if did % 13 == 0 else jpg}
