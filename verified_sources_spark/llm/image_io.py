@@ -70,9 +70,10 @@ def probe_webp(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Decode a PNG / baseline JPEG / GIF (first frame) / BMP payload to
-    the common ``{width, height, mode, pixels, format}`` dict; raises on
-    anything else (callers treat that as "not an image")."""
+    """Decode a PNG / JPEG (baseline or progressive) / GIF (first
+    frame) / BMP / WebP-VP8L payload to the common ``{width, height,
+    mode, pixels, format}`` dict; raises on anything else (callers
+    treat that as "not an image")."""
     fmt = sniff_image_format(payload)
     if fmt == "png":
         from verified_sources_spark.llm.png_codec import decode
@@ -83,10 +84,15 @@ def decode_image(payload: bytes) -> dict:
     elif fmt == "bmp":
         from verified_sources_spark.llm.bmp_codec import decode
     elif fmt == "webp":
-        raise ValueError(
-            "cannot pixel-decode WebP (VP8 entropy coding) — "
-            "probe_webp serves header metadata"
-        )
+        variant = probe_webp(payload)["variant"]
+        if variant == "VP8L (lossless)":
+            from verified_sources_spark.llm.vp8l_codec import decode
+        else:
+            raise ValueError(
+                f"cannot pixel-decode WebP {variant} (boolean arithmetic "
+                f"coder + DCT) — probe_webp serves header metadata; "
+                f"VP8L lossless decodes"
+            )
     else:
         raise ValueError(
             "unrecognized image payload (not PNG/JPEG/GIF/BMP/WebP)"

@@ -1701,13 +1701,13 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image dispatch end-to-end over documents: mint one
-    asset per doc cycling ALL FOUR stdlib image codecs by
-    ``doc_id % 4`` (PNG, baseline JPEG, GIF/LZW, BMP), dims from doc_id,
-    every 11th truncated; decode through the image_io sniffing seam via
-    llm/image_dedup.image_dhash.  The oracle replays the arithmetic —
-    a value-hash match proves each codec decoded its share and echoed
-    the true dims (the real mixed-corpus shape: a scraped image column
-    is never one format)."""
+    asset per doc cycling ALL FIVE stdlib image codecs by
+    ``doc_id % 5`` (PNG, baseline JPEG, GIF/LZW, BMP, WebP-VP8L
+    lossless), dims from doc_id, every 11th truncated; decode through
+    the image_io sniffing seam via llm/image_dedup.image_dhash.  The
+    oracle replays the arithmetic — a value-hash match proves each
+    codec decoded its share and echoed the true dims (the real
+    mixed-corpus shape: a scraped image column is never one format)."""
     import pandas as pd
 
     from verified_sources_spark.llm.image_dedup import image_dhash
@@ -1721,6 +1721,7 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from verified_sources_spark.llm.gif_codec import encode as gif_enc
         from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
         from verified_sources_spark.llm.png_codec import encode as png_enc
+        from verified_sources_spark.llm.vp8l_codec import encode as webp_enc
 
         for pdf in batches:
             rows = []
@@ -1733,15 +1734,18 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 coarse = levels[rng.integers(0, 16, size=(6, 8))]
                 gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
                 rgb = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
-                fmt = did % 4
+                fmt = did % 5
                 if fmt == 0:
                     asset = png_enc(w, h, rgb, "RGB")
                 elif fmt == 1:
                     asset = jpg_enc(w, h, rgb, quality=90)
                 elif fmt == 2:
                     asset = gif_enc(w, h, rgb)
-                else:
+                elif fmt == 3:
                     asset = bmp_enc(w, h, rgb)
+                else:
+                    asset = webp_enc(w, h, rgb, cache_bits=4,
+                                     predictor=2 if did % 2 else None)
                 rows.append(
                     {"doc_id": did,
                      "asset": asset[:8] if did % 11 == 0 else asset}
