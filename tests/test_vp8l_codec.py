@@ -208,3 +208,27 @@ def test_error_paths():
     with pytest.raises(Vp8lError, match="at most 256 colors"):
         encode(32, 32, _img(32, 32, seed=3).tobytes(), palette=True,
                subtract_green=False)
+
+
+def test_vp8x_wrapped_vp8l_decodes():
+    """An extended (VP8X) container whose frame is VP8L still
+    pixel-decodes through the image_io seam; one with a lossy frame
+    refuses naming the variant."""
+    from verified_sources_spark.llm.image_io import decode_image, probe_webp
+
+    px = _img(16, 12, seed=4).tobytes()
+    plain = encode(16, 12, px)
+    chunks = plain[12:]  # the VP8L chunk (+ possible pad)
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+            + (15).to_bytes(3, "little") + (11).to_bytes(3, "little"))
+    body = vp8x + chunks
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert probe_webp(data)["variant"] == "VP8X (extended)"
+    out = decode_image(data)
+    assert out["pixels"] == px and out["format"] == "webp"
+
+    lossy = (b"VP8 " + struct.pack("<I", 12) + b"\x00" * 12)
+    body = vp8x + lossy
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    with pytest.raises(ValueError, match="VP8X"):
+        decode_image(data)

@@ -85,7 +85,11 @@ def decode_image(payload: bytes) -> dict:
         from verified_sources_spark.llm.bmp_codec import decode
     elif fmt == "webp":
         variant = probe_webp(payload)["variant"]
-        if variant == "VP8L (lossless)":
+        # VP8X is just an envelope: an extended file whose frame chunk
+        # is VP8L still pixel-decodes (the chunk walk skips VP8X)
+        if variant == "VP8L (lossless)" or (
+            variant == "VP8X (extended)" and b"VP8L" in payload[:64]
+        ):
             from verified_sources_spark.llm.vp8l_codec import decode
         else:
             raise ValueError(
