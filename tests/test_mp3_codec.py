@@ -93,12 +93,28 @@ def test_mono_and_mpeg25():
 
 
 def test_layer2_probes():
-    # Layer II: layer bits 10; 1152 samples/frame, MPEG-1 table
+    # Layer II: layer bits 10; 1152 samples/frame; ITS OWN bitrate table
+    # (index 8 = 128 kbps — Layer III's index 8 means 112, so a decoder
+    # reusing the L3 table desyncs on the very next frame)
     b1 = 0xE0 | (3 << 3) | (2 << 1) | 1
     n = 144000 * 128 // 44100
-    frame = bytes([0xFF, b1, (9 << 4) | (0 << 2), 0x00]) + b"\x00" * (n - 4)
+    frame = bytes([0xFF, b1, (8 << 4) | (0 << 2), 0x00]) + b"\x00" * (n - 4)
     m = probe(frame * 2)
     assert m["layer"] == "II" and m["n_frames"] == 2
+    assert m["bitrate_kbps"] == 128
+    assert m["duration_ms"] == 2 * 1152 * 1000 // 44100
+
+
+def test_layer1_probes():
+    # Layer I: 384 samples/frame, 4-byte slots (frame length formula has
+    # the x4), its own table (index 4 = 160 kbps)
+    b1 = 0xE0 | (3 << 3) | (3 << 1) | 1
+    n = (12000 * 160 // 44100) * 4
+    frame = bytes([0xFF, b1, (4 << 4) | (0 << 2), 0x00]) + b"\x00" * (n - 4)
+    m = probe(frame * 3)
+    assert m["layer"] == "I" and m["n_frames"] == 3
+    assert m["bitrate_kbps"] == 160
+    assert m["duration_ms"] == 3 * 384 * 1000 // 44100
 
 
 # ------------------------------------------------------------ error paths

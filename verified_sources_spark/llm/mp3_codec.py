@@ -34,12 +34,18 @@ class Mp3Error(ValueError):
     pass
 
 
-# MPEG-1 Layer III bitrates (kbps) by the 4-bit index; 0 = "free", 15 bad
+# bitrate (kbps) tables by the 4-bit index; 0 = "free", 15 bad.
+# MPEG-1 has one table per layer; MPEG-2/2.5 share one for Layers II+III.
 _BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                    224, 256, 320]
-# MPEG-2 / 2.5 Layer III
+_BITRATES_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                   256, 320, 384]
+_BITRATES_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                   352, 384, 416, 448]
 _BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
                    128, 144, 160]
+_BITRATES_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                   192, 224, 256]
 _RATES = {
     3: [44100, 48000, 32000],   # MPEG-1
     2: [22050, 24000, 16000],   # MPEG-2
@@ -69,12 +75,12 @@ def _parse_header(data: bytes, pos: int) -> dict:
         kbps = (_BITRATES_V1_L3 if version == 3 else _BITRATES_V2_L3)[bitrate_idx]
         spf = 1152 if version == 3 else 576
         frame_len = (144000 if version == 3 else 72000) * kbps // rate + padding
-    elif layer == 2:  # Layer II (MPEG-1 table close enough for manifests)
-        kbps = _BITRATES_V1_L3[bitrate_idx]
+    elif layer == 2:  # Layer II (1152 samples at every MPEG version)
+        kbps = (_BITRATES_V1_L2 if version == 3 else _BITRATES_V2_L3)[bitrate_idx]
         spf = 1152
         frame_len = 144000 * kbps // rate + padding
-    else:  # Layer I
-        kbps = _BITRATES_V1_L3[bitrate_idx]
+    else:  # Layer I: 384 samples, 4-byte slots, padding adds one SLOT
+        kbps = (_BITRATES_V1_L1 if version == 3 else _BITRATES_V2_L1)[bitrate_idx]
         spf = 384
         frame_len = (12000 * kbps // rate + padding) * 4
     return {
