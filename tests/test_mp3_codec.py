@@ -107,10 +107,10 @@ def test_layer2_probes():
 
 def test_layer1_probes():
     # Layer I: 384 samples/frame, 4-byte slots (frame length formula has
-    # the x4), its own table (index 4 = 160 kbps)
+    # the x4), its own table (index 5 = 160 kbps)
     b1 = 0xE0 | (3 << 3) | (3 << 1) | 1
     n = (12000 * 160 // 44100) * 4
-    frame = bytes([0xFF, b1, (4 << 4) | (0 << 2), 0x00]) + b"\x00" * (n - 4)
+    frame = bytes([0xFF, b1, (5 << 4) | (0 << 2), 0x00]) + b"\x00" * (n - 4)
     m = probe(frame * 3)
     assert m["layer"] == "I" and m["n_frames"] == 3
     assert m["bitrate_kbps"] == 160
