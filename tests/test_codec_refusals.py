@@ -130,6 +130,18 @@ def _decode_mp3_samples(payload):
     decode_samples(payload)
 
 
+def _flac() -> bytes:
+    from verified_sources_spark.llm.flac_codec import encode_stub
+
+    return encode_stub()
+
+
+def _decode_flac_samples(payload):
+    from verified_sources_spark.llm.flac_codec import decode_samples
+
+    decode_samples(payload)
+
+
 MATRIX = [
     # (case id, payload builder, decode fn, message fragment that NAMES it)
     # progressive (SOF2) DECODES now (llm/jpeg_progressive.py) — the
@@ -156,6 +168,7 @@ MATRIX = [
     ("mp4-avc1-pixels", lambda: _mp4(b"avc1"), _sample_mp4, "avc1"),
     ("mp4-hev1-pixels", lambda: _mp4(b"hev1"), _sample_mp4, "hev1"),
     ("mp3-pcm-synthesis", _mp3, _decode_mp3_samples, "MPEG-1 Layer III"),
+    ("flac-subframes", _flac, _decode_flac_samples, "FLAC subframes"),
 ]
 
 

@@ -360,3 +360,73 @@ def mp3_probe(
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out
+
+
+AUDIO_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def audio_probe(
+    df: DataFrame, id_col: str = "doc_id", asset_col: str = "asset"
+) -> DataFrame:
+    """(id, decoded_ok, container, sample_rate, channels, n_samples,
+    duration_ms, codec) — normalized header probe per asset across ALL
+    stdlib audio containers (WAV family, FLAC, MP3) via the
+    llm/audio_io sniffing seam — the audio mirror of
+    llm/video_dedup.video_probe.  Arrow-batched, payloads never
+    shuffle, samples never materialize; a corrupt / unknown payload
+    yields ``decoded_ok=false``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.audio_io import probe_audio
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    m = probe_audio(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": True,
+                            "container": m["container"],
+                            "sample_rate": m["sample_rate"],
+                            "channels": m["channels"],
+                            "n_samples": m["n_samples"],
+                            "duration_ms": m["duration_ms"],
+                            "codec": m["codec"],
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "decoded_ok": False,
+                            "container": None,
+                            "sample_rate": None,
+                            "channels": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "codec": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_PROBE_SCHEMA.fields]
+            )
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, AUDIO_PROBE_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

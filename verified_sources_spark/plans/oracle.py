@@ -1630,6 +1630,55 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# Mixed-container audio dispatch (WAV / MP3 / FLAC by id % 3): the
+# minting arithmetic replayed in SQL.  Each container's duration math
+# differs (WAV: n/rate; MP3: frames*1152/rate; FLAC: total/rate) — the
+# hash match proves each payload sniffed to the RIGHT parser.
+ORACLE_SQL["audio_formats_probe_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 19) <> 0 AS ok,
+               doc_id % 3 AS fmt,
+               8000 * (1 + doc_id % 2) AS wav_rate,
+               500 + (doc_id % 7) * 100 AS wav_n,
+               CASE (doc_id // 3) % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                                      ELSE 48000 END AS mp3_rate,
+               10 + doc_id % 7 AS mp3_nf,
+               CASE (doc_id // 3) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                                      WHEN 2 THEN 44100 ELSE 48000
+               END AS flac_rate,
+               1000 + (doc_id % 9) * 500 AS flac_total
+        FROM documents
+    )
+    SELECT doc_id,
+           ok AS decoded_ok,
+           CASE WHEN ok THEN
+                CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'flac' END
+           END AS container,
+           CASE WHEN ok THEN CAST(
+                CASE fmt WHEN 0 THEN wav_rate WHEN 1 THEN mp3_rate
+                         ELSE flac_rate END AS INTEGER)
+           END AS sample_rate,
+           CASE WHEN ok THEN CAST(
+                CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 1 + doc_id % 2
+                         ELSE 1 + (doc_id // 2) % 2 END AS INTEGER)
+           END AS channels,
+           CASE WHEN ok THEN CAST(
+                CASE fmt WHEN 0 THEN wav_n WHEN 1 THEN mp3_nf * 1152
+                         ELSE flac_total END AS BIGINT)
+           END AS n_samples,
+           CASE WHEN ok THEN CAST(
+                CASE fmt WHEN 0 THEN (wav_n * 1000) // wav_rate
+                         WHEN 1 THEN (mp3_nf * 1152000) // mp3_rate
+                         ELSE (flac_total * 1000) // flac_rate END AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN ok THEN
+                CASE fmt WHEN 0 THEN 'PCM' WHEN 1 THEN 'MPEG-1-LIII'
+                         ELSE 'FLAC' END
+           END AS codec
+    FROM p
+"""
+
 # Mixed-container video dispatch (AVI / animated GIF / MP4 by id % 3):
 # the minting arithmetic replayed in SQL.  All three containers land on
 # duration_ms = n_frames * 100 by construction (AVI fps=10, GIF

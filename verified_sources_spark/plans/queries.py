@@ -1646,6 +1646,73 @@ def mp3_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-container AUDIO dispatch end-to-end over documents: mint
+    one asset per doc cycling ALL THREE stdlib-probeable containers by
+    ``doc_id % 3`` (PCM WAV — sample-decodable; MPEG-1 Layer III — CBR
+    frame walk; FLAC — STREAMINFO manifest), params from doc_id
+    arithmetic, every 19th truncated; probe through the llm/audio_io
+    sniffing seam via llm/audio_dedup.audio_probe.  The oracle replays
+    the rate/channels/samples/duration/codec arithmetic in SQL — a
+    value-hash match proves each container sniffed to the right parser
+    and recovered true header facts, including that the compressed
+    formats carry full manifests even though their sample decode
+    refuses by name (exact-dedup-only in media ingestion — the same
+    posture as MP4 video)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.audio_dedup import audio_probe
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.flac_codec import (
+            encode_stub as flac_enc,
+        )
+        from verified_sources_spark.llm.mp3_codec import encode_stub as mp3_enc
+        from verified_sources_spark.llm.wav_codec import encode as wav_enc
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fmt = did % 3
+                if fmt == 0:
+                    rate = 8000 * (1 + did % 2)
+                    n = 500 + (did % 7) * 100
+                    x = 0.4 * np.sin(
+                        2 * np.pi * 330.0 * np.arange(n) / rate
+                    )
+                    asset = wav_enc(x, rate, bits=16)
+                elif fmt == 1:
+                    asset = mp3_enc(
+                        n_frames=10 + did % 7,
+                        sample_rate=[32000, 44100, 48000][(did // 3) % 3],
+                        bitrate_kbps=128,
+                        channels=1 + did % 2,
+                    )
+                else:
+                    asset = flac_enc(
+                        sample_rate=[8000, 22050, 44100, 48000][(did // 3) % 4],
+                        channels=1 + (did // 2) % 2,
+                        bits=16,
+                        total_samples=1000 + (did % 9) * 500,
+                    )
+                rows.append(
+                    {"doc_id": did,
+                     "asset": asset[:12] if did % 19 == 0 else asset}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return audio_probe(assets).select(
+        "doc_id", "decoded_ok", "container", "sample_rate", "channels",
+        "n_samples", "duration_ms", "codec"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2338,4 +2405,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_image_matches_docs": video_image_matches_docs,
     "video_formats_probe_docs": video_formats_probe_docs,
     "mp3_decode_probe_docs": mp3_decode_probe_docs,
+    "audio_formats_probe_docs": audio_formats_probe_docs,
 }
