@@ -136,6 +136,12 @@ def _flac() -> bytes:
     return encode_stub()
 
 
+def _webm() -> bytes:
+    from verified_sources_spark.llm.webm_codec import encode_stub
+
+    return encode_stub()
+
+
 def _decode_flac_samples(payload):
     from verified_sources_spark.llm.flac_codec import decode_samples
 
@@ -169,6 +175,7 @@ MATRIX = [
     ("mp4-hev1-pixels", lambda: _mp4(b"hev1"), _sample_mp4, "hev1"),
     ("mp3-pcm-synthesis", _mp3, _decode_mp3_samples, "MPEG-1 Layer III"),
     ("flac-subframes", _flac, _decode_flac_samples, "FLAC subframes"),
+    ("webm-vp9-pixels", _webm, _sample_mp4, "V_VP9"),
 ]
 
 

@@ -258,7 +258,7 @@ def test_video_io_decoder_seam():
         out = sample_frames(data, meta, every_ms=250, decoder="fake")
         assert [(i, t) for i, t, _ in out] == [(0, 0), (1, 250)]
         assert all(len(rgb) == 8 * 6 * 3 for _, _, rgb in out)
-        with pytest.raises(ValueError, match="no MP4 decoder registered"):
+        with pytest.raises(ValueError, match="decoder registered"):
             sample_frames(data, meta, every_ms=250, decoder="pyav")
     finally:
         from verified_sources_spark.llm import video_io

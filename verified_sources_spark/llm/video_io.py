@@ -57,13 +57,15 @@ def register_mp4_decoder(name: str, fn: Callable) -> None:
 
 
 def sniff_video_format(payload: bytes) -> str | None:
-    """'avi' / 'gif' / 'mp4' / None — magic bytes only, no decode."""
+    """'avi' / 'gif' / 'mp4' / 'webm' / None — magic bytes only."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
     return None
 
 
@@ -115,7 +117,21 @@ def probe_video(payload: bytes) -> dict:
             "codec": m["codec"],
             "raw": m,
         }
-    raise ValueError("unrecognized video payload (not AVI, GIF or MP4)")
+    if fmt == "webm":
+        from verified_sources_spark.llm.webm_codec import probe
+
+        m = probe(payload)
+        return {
+            "container": "webm",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "fps": m["fps"],
+            "duration_ms": m["duration_ms"],
+            "codec": m["codec"],
+            "raw": m,
+        }
+    raise ValueError("unrecognized video payload (not AVI, GIF, MP4 or WebM)")
 
 
 def sample_frames(
@@ -167,18 +183,18 @@ def sample_frames(
             if k >= max(want):
                 break
         return [(idx, ts, frames[idx]) for idx, ts in picks]
-    if meta["container"] == "mp4":
+    if meta["container"] in ("mp4", "webm"):
         if decoder is not None:
             if decoder not in _MP4_DECODERS:
                 raise ValueError(
-                    f"no MP4 decoder registered under {decoder!r} "
-                    f"(register_mp4_decoder first); known: "
+                    f"no compressed-video decoder registered under "
+                    f"{decoder!r} (register_mp4_decoder first); known: "
                     f"{sorted(_MP4_DECODERS)}"
                 )
             return _MP4_DECODERS[decoder](payload, meta, every_ms)
         raise VideoDecodeRefusal(
-            f"pixel decode of ISO-BMFF codec {meta['codec']!r} is not "
-            f"available in pure stdlib (entropy coding + motion "
+            f"pixel decode of {meta['container']} codec {meta['codec']!r} "
+            f"is not available in pure stdlib (entropy coding + motion "
             f"compensation); the container probe succeeded — register a "
             f"PyAV/ffmpeg-backed decoder via register_mp4_decoder and "
             f"pass decoder= to light up sampling"

@@ -1679,11 +1679,12 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
     FROM p
 """
 
-# Mixed-container video dispatch (AVI / animated GIF / MP4 by id % 3):
-# the minting arithmetic replayed in SQL.  All three containers land on
-# duration_ms = n_frames * 100 by construction (AVI fps=10, GIF
-# delay=100ms, MP4 timescale 600 / delta 60); codec names prove the
-# sniff dispatched each payload to the right parser.
+# Mixed-container video dispatch (AVI / animated GIF / MP4 / WebM by
+# id % 4): the minting arithmetic replayed in SQL.  All four containers
+# land on duration_ms = n_frames * 100 by construction (AVI fps=10, GIF
+# delay=100ms, MP4 timescale 600 / delta 60, WebM DefaultDuration
+# 100ms); codec IDs prove the sniff dispatched each payload to the
+# right parser.
 ORACLE_SQL["video_formats_probe_docs"] = """
     SELECT doc_id,
            (doc_id % 23) <> 0 AS decoded_ok,
@@ -1696,9 +1697,10 @@ ORACLE_SQL["video_formats_probe_docs"] = """
            CASE WHEN doc_id % 23 <> 0
                 THEN CAST((3 + doc_id % 5) * 100 AS BIGINT) END AS duration_ms,
            CASE WHEN doc_id % 23 <> 0 THEN
-                CASE doc_id % 3 WHEN 0 THEN 'BI_RGB'
+                CASE doc_id % 4 WHEN 0 THEN 'BI_RGB'
                                 WHEN 1 THEN 'GIF'
-                                ELSE 'avc1' END
+                                WHEN 2 THEN 'avc1'
+                                ELSE 'V_VP9' END
            END AS codec
     FROM documents
 """

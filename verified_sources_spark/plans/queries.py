@@ -1880,17 +1880,18 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-container VIDEO dispatch end-to-end over documents: mint
-    one clip per doc cycling ALL THREE stdlib-probeable containers by
-    ``doc_id % 3`` (BI_RGB AVI, animated GIF89a, ISO-BMFF/MP4 via
-    llm/mp4_codec.encode_stub), dims/frames from doc_id arithmetic,
-    every 23rd truncated; probe through the llm/video_io sniffing seam
-    via llm/video_dedup.video_probe.  The oracle replays the
+    one clip per doc cycling ALL FOUR stdlib-probeable containers by
+    ``doc_id % 4`` (BI_RGB AVI, animated GIF89a, ISO-BMFF/MP4 via
+    llm/mp4_codec.encode_stub, EBML/WebM via llm/webm_codec), dims and
+    frame counts from doc_id arithmetic, every 23rd truncated; probe
+    through the llm/video_io sniffing seam via
+    llm/video_dedup.video_probe.  The oracle replays the
     dims/frames/duration/codec arithmetic in SQL — a value-hash match
-    proves each container probed its share, including that MP4 rows
-    carry real manifest facts (width/height/fps/duration from the box
-    tree) with codec ``avc1`` even though pixel decode refuses — the
-    exact "manifest-first, bytes opaque" posture a scraped 100 TB web
-    video column needs (mux analogue:
+    proves each container probed its share, including that MP4 and
+    WebM rows carry real manifest facts (box tree / EBML tree) with
+    their codec IDs (``avc1``, ``V_VP9``) even though pixel decode
+    refuses — the exact "manifest-first, bytes opaque" posture a
+    scraped 100 TB web video column needs (mux analogue:
     /root/reference/sources/mux/__init__.py:15-28)."""
     import pandas as pd
 
@@ -1904,6 +1905,9 @@ def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from verified_sources_spark.llm.avi_codec import encode as avi_enc
         from verified_sources_spark.llm.gif_codec import encode_animated
         from verified_sources_spark.llm.mp4_codec import encode_stub
+        from verified_sources_spark.llm.webm_codec import (
+            encode_stub as webm_enc,
+        )
 
         for pdf in batches:
             rows = []
@@ -1917,15 +1921,18 @@ def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 levels = rng.integers(0, 256, size=16).astype(np.uint8)
                 gray = levels[rng.integers(0, 16, size=(n, h, w))]
                 frames = np.stack([gray] * 3, axis=3)
-                fmt = did % 3
+                fmt = did % 4
                 if fmt == 0:
                     asset = avi_enc(list(frames), fps=10.0, width=w, height=h)
                 elif fmt == 1:
                     asset = encode_animated(
                         w, h, [f.tobytes() for f in frames], delay_ms=100
                     )
-                else:
+                elif fmt == 2:
                     asset = encode_stub(width=w, height=h, n_frames=n, fps=10.0)
+                else:
+                    asset = webm_enc(width=w, height=h, n_frames=n, fps=10.0,
+                                     audio=did % 2 == 1)
                 rows.append(
                     {"doc_id": did,
                      "asset": asset[:10] if did % 23 == 0 else asset}

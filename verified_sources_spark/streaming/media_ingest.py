@@ -66,10 +66,12 @@ def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, in
 
     vfmt = sniff_video_format(payload)
     meta = probe_video(payload) if vfmt else None
-    if meta is not None and (vfmt in ("avi", "mp4") or meta["n_frames"] > 1):
-        # mp4: the probe above succeeded (manifest facts are real) but
-        # sample_frames refuses pixel decode with the codec named —
-        # callers catch and ingest MP4s exact-dedup-only by design
+    if meta is not None and (
+        vfmt in ("avi", "mp4", "webm") or meta["n_frames"] > 1
+    ):
+        # mp4/webm: the probe above succeeded (manifest facts are real)
+        # but sample_frames refuses pixel decode with the codec named —
+        # callers catch and ingest them exact-dedup-only by design
         from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
 
         picks = sample_frames(payload, meta, every_ms)
