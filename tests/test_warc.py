@@ -1,0 +1,120 @@
+"""WARC reader + HTML extraction (llm/warc.py): record walks over
+plain and per-member-gzip archives, chunked/gzipped HTTP payloads,
+boilerplate-dropping text extraction, honest truncation errors, and
+the Spark warc_extract operator end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+import html as H
+
+import pytest
+
+from verified_sources_spark.llm.warc import (
+    WarcError,
+    encode_record,
+    encode_warc,
+    extract_text,
+    http_payload,
+    http_response_block,
+    iter_records,
+)
+
+TEXT = "Hello <world> & friends\nsecond line\twith tabs"
+HTML = (f"<html><head><title>t-1</title><script>var x='<p>';</script>"
+        f"<style>p{{}}</style></head><body><p>{H.escape(TEXT)}</p>"
+        f"<noscript>js off</noscript></body></html>")
+
+
+def _resp_record(body=HTML.encode(), **kw):
+    return encode_record(block=http_response_block(body, **kw),
+                         uri="http://x.test/a")
+
+
+def test_plain_and_gzip_member_archives():
+    recs = [encode_record(warc_type="warcinfo", block=b"software: t"),
+            _resp_record(),
+            encode_record(warc_type="request", block=b"GET / HTTP/1.1\r\n")]
+    for gz in (False, True):
+        out = list(iter_records(encode_warc(recs, gzip_members=gz)))
+        assert [h["WARC-Type"] for h, _ in out] == [
+            "warcinfo", "response", "request"]
+        assert out[1][0]["WARC-Target-URI"] == "http://x.test/a"
+        assert out[1][0]["WARC-Version"] == "WARC/1.0"
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(chunked=True),
+                                dict(gzip_body=True),
+                                dict(chunked=True, gzip_body=True)])
+def test_http_payload_wire_variants(kw):
+    (_h, block), = iter_records(_resp_record(**kw))
+    status, headers, body = http_payload(block)
+    assert status == 200 and headers["content-type"] == "text/html"
+    assert body == HTML.encode()
+
+
+def test_extract_text_drops_boilerplate():
+    title, text = extract_text(HTML, collapse=False)
+    assert title == "t-1"
+    assert text == TEXT  # script/style/noscript gone, entities unescaped
+    title, text = extract_text(HTML, collapse=True)
+    assert text == "Hello <world> & friends second line with tabs"
+
+
+def test_whole_archive_layouts_the_stub_never_emits():
+    """Hand-tweaked wire details: WARC/1.1 version, inter-record CRLF
+    padding, a 404 status, extra WARC headers."""
+    rec = _resp_record(status=404)
+    rec = rec.replace(b"WARC/1.0", b"WARC/1.1", 1)
+    data = b"\r\n\r\n" + rec + b"\r\n\r\n" + encode_record(
+        warc_type="metadata", block=b"k: v",
+        extra_headers={"WARC-Concurrent-To": "<urn:uuid:9>"})
+    out = list(iter_records(data))
+    assert out[0][0]["WARC-Version"] == "WARC/1.1"
+    assert http_payload(out[0][1])[0] == 404
+    assert out[1][0]["WARC-Concurrent-To"] == "<urn:uuid:9>"
+
+
+def test_error_paths():
+    rec = _resp_record()
+    with pytest.raises(WarcError, match="not a WARC record"):
+        list(iter_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with pytest.raises(WarcError, match="truncated WARC block"):
+        list(iter_records(rec[: len(rec) - 30]))
+    with pytest.raises(WarcError, match="truncated gzip member"):
+        list(iter_records(gzip.compress(rec)[:20]))
+    with pytest.raises(WarcError, match="missing Content-Length"):
+        list(iter_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
+    with pytest.raises(WarcError, match="truncated chunk"):
+        (_h, block), = iter_records(_resp_record(chunked=True))
+        http_payload(block[: len(block) - 10])
+    with pytest.raises(WarcError, match="truncated HTTP body"):
+        (_h, block), = iter_records(_resp_record())
+        http_payload(block[: len(block) - 5])
+
+
+def test_warc_extract_spark_operator(spark):
+    """End-to-end over Spark: mixed wire layouts land documents-shaped
+    rows; corrupt archives isolate as decoded_ok=false."""
+    from verified_sources_spark.llm.warc import warc_extract
+
+    def archive(i, text, gz):
+        body = (f"<html><head><title>doc-{i}</title></head>"
+                f"<body>{H.escape(text)}</body></html>").encode()
+        rec = encode_record(uri=f"http://x.test/{i}",
+                            block=http_response_block(body, chunked=i % 2 == 0))
+        return encode_warc([rec], gzip_members=gz)
+
+    rows = [
+        (1, bytearray(archive(1, "alpha beta", False))),
+        (2, bytearray(archive(2, "gamma & delta", True))),
+        (3, bytearray(b"corrupt bytes not warc")),
+        (4, bytearray(archive(4, "", True))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r["doc_id"]: r for r in warc_extract(df).collect()}
+    assert got[1]["text"] == "alpha beta" and got[1]["status"] == 200
+    assert got[2]["text"] == "gamma & delta"
+    assert got[2]["uri"] == "http://x.test/2"
+    assert got[3]["decoded_ok"] is False and got[3]["text"] is None
+    assert got[4]["decoded_ok"] is True and got[4]["text"] == ""

@@ -1630,6 +1630,22 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# WARC ingestion: the wire-layout arithmetic replayed in SQL, and the
+# extracted text compared against the SOURCE text — a hash match proves
+# the record walk + de-chunk + gunzip + entity-unescape recovered every
+# document byte-for-byte on exactly the uncorrupted set.
+ORACLE_SQL["warc_extract_docs"] = """
+    SELECT doc_id,
+           (doc_id % 17) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 17 <> 0
+                THEN 'http://example.com/' || doc_id END AS uri,
+           CASE WHEN doc_id % 17 <> 0 THEN CAST(200 AS INTEGER) END AS status,
+           CASE WHEN doc_id % 17 <> 0 THEN 'text/html' END AS content_type,
+           CASE WHEN doc_id % 17 <> 0 THEN 'doc-' || doc_id END AS title,
+           CASE WHEN doc_id % 17 <> 0 THEN COALESCE(text, '') END AS text
+    FROM documents
+"""
+
 # Mixed-container audio dispatch (WAV / MP3 / FLAC by id % 3): the
 # minting arithmetic replayed in SQL.  Each container's duration math
 # differs (WAV: n/rate; MP3: frames*1152/rate; FLAC: total/rate) — the

@@ -1713,6 +1713,68 @@ def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion end-to-end over documents: wrap
+    each doc's text in an HTML page inside a WARC response record
+    (layouts cycle the real wire variants — per-member gzip archives
+    by ``doc_id % 2``, chunked transfer-encoding every 5th, gzip
+    Content-Encoding every 7th; every 17th truncated), then run the
+    REAL pure-stdlib WARC parse → HTTP split → HTML text extraction
+    via llm/warc.warc_extract.  The oracle replays the layout
+    arithmetic AND the text itself in SQL — a value-hash match proves
+    the record walk, de-chunking, gunzipping and entity-unescaping
+    recovered every document byte-for-byte on exactly the uncorrupted
+    set (the ingestion front door for the dedup/quality surface;
+    reference analogue: sources/scraping landing)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.warc import warc_extract
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        import html as H
+
+        from verified_sources_spark.llm.warc import (
+            encode_record,
+            encode_warc,
+            http_response_block,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = text or ""
+                body = (
+                    f"<html><head><title>doc-{did}</title>"
+                    f"<script>var x=1;</script>"
+                    f"<style>p{{color:red}}</style></head>"
+                    f"<body><p>{H.escape(text)}</p></body></html>"
+                ).encode()
+                block = http_response_block(
+                    body,
+                    chunked=did % 5 == 0,
+                    gzip_body=did % 7 == 0,
+                )
+                rec = encode_record(
+                    uri=f"http://example.com/{did}", block=block
+                )
+                info = encode_record(warc_type="warcinfo", block=b"sw: t")
+                warc = encode_warc([info, rec], gzip_members=did % 2 == 1)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": warc[:40] if did % 17 == 0 else warc}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return warc_extract(assets).select(
+        "doc_id", "decoded_ok", "uri", "status", "content_type",
+        "title", "text"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2413,4 +2475,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_formats_probe_docs": video_formats_probe_docs,
     "mp3_decode_probe_docs": mp3_decode_probe_docs,
     "audio_formats_probe_docs": audio_formats_probe_docs,
+    "warc_extract_docs": warc_extract_docs,
 }
