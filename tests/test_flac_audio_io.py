@@ -112,7 +112,7 @@ def test_sniff_and_normalized_probe_all_containers():
     f = probe_audio(flac)
     assert f["container"] == "flac" and f["duration_ms"] == 1000
     with pytest.raises(ValueError, match="unrecognized audio"):
-        probe_audio(b"OggS" + b"\x00" * 40)
+        probe_audio(b"MThd" + b"\x00" * 40)  # MIDI: not a sniffed format
 
 
 def test_decode_split_wav_decodes_compressed_refuse():

@@ -18,13 +18,15 @@ __all__ = ["sniff_audio_format", "probe_audio", "decode_samples"]
 
 
 def sniff_audio_format(payload: bytes) -> str | None:
-    """'wav' / 'flac' / 'mp3' / None — magic bytes only, no decode.
-    MP3 matches an ID3v2 prefix or a leading MPEG frame sync (the
-    format has no stronger magic — inherent to the container)."""
+    """'wav' / 'flac' / 'ogg' / 'mp3' / None — magic bytes only, no
+    decode.  MP3 matches an ID3v2 prefix or a leading MPEG frame sync
+    (the format has no stronger magic — inherent to the container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
@@ -68,6 +70,19 @@ def probe_audio(payload: bytes) -> dict:
             "codec": "FLAC",
             "raw": m,
         }
+    if fmt == "ogg":
+        from verified_sources_spark.llm.ogg_codec import probe
+
+        m = probe(payload)
+        return {
+            "container": "ogg",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "n_samples": m["n_samples"],
+            "duration_ms": m["duration_ms"],
+            "codec": m["codec"].upper(),
+            "raw": m,
+        }
     if fmt == "mp3":
         from verified_sources_spark.llm.mp3_codec import probe
 
@@ -83,7 +98,9 @@ def probe_audio(payload: bytes) -> dict:
             "codec": f"{m['version']}-L{m['layer']}",
             "raw": m,
         }
-    raise ValueError("unrecognized audio payload (not WAV, FLAC or MP3)")
+    raise ValueError(
+        "unrecognized audio payload (not WAV, FLAC, Ogg or MP3)"
+    )
 
 
 def decode_samples(payload: bytes) -> dict:
@@ -101,10 +118,18 @@ def decode_samples(payload: bytes) -> dict:
         )
 
         flac_decode(payload)  # raises NotImplementedError naming FLAC
+    if fmt == "ogg":
+        from verified_sources_spark.llm.ogg_codec import (
+            decode_samples as ogg_decode,
+        )
+
+        ogg_decode(payload)  # raises NotImplementedError naming opus/vorbis
     if fmt == "mp3":
         from verified_sources_spark.llm.mp3_codec import (
             decode_samples as mp3_decode,
         )
 
         mp3_decode(payload)  # raises NotImplementedError naming the layer
-    raise ValueError("unrecognized audio payload (not WAV, FLAC or MP3)")
+    raise ValueError(
+        "unrecognized audio payload (not WAV, FLAC, Ogg or MP3)"
+    )

@@ -1654,7 +1654,8 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
     WITH p AS (
         SELECT doc_id,
                (doc_id % 19) <> 0 AS ok,
-               doc_id % 3 AS fmt,
+               doc_id % 4 AS fmt,
+               (doc_id // 4) % 2 = 0 AS is_opus,
                8000 * (1 + doc_id % 2) AS wav_rate,
                500 + (doc_id % 7) * 100 AS wav_n,
                CASE (doc_id // 3) % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
@@ -1663,34 +1664,55 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
                CASE (doc_id // 3) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
                                       WHEN 2 THEN 44100 ELSE 48000
                END AS flac_rate,
-               1000 + (doc_id % 9) * 500 AS flac_total
+               1000 + (doc_id % 9) * 500 AS flac_total,
+               CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                      ELSE 48000 END AS opus_rate,
+               (10 + doc_id % 7) * 960 AS opus_granule,
+               CASE (doc_id // 3) % 2 WHEN 0 THEN 22050
+                                      ELSE 44100 END AS vorbis_rate,
+               1000 + (doc_id % 9) * 500 AS vorbis_granule
         FROM documents
     )
     SELECT doc_id,
            ok AS decoded_ok,
            CASE WHEN ok THEN
-                CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'flac' END
+                CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+                         WHEN 2 THEN 'flac' ELSE 'ogg' END
            END AS container,
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN wav_rate WHEN 1 THEN mp3_rate
-                         ELSE flac_rate END AS INTEGER)
+                         WHEN 2 THEN flac_rate
+                         ELSE CASE WHEN is_opus THEN opus_rate
+                                   ELSE vorbis_rate END
+                END AS INTEGER)
            END AS sample_rate,
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 1 + doc_id % 2
-                         ELSE 1 + (doc_id // 2) % 2 END AS INTEGER)
+                         WHEN 2 THEN 1 + (doc_id // 2) % 2
+                         ELSE 1 + doc_id % 2 END AS INTEGER)
            END AS channels,
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN wav_n WHEN 1 THEN mp3_nf * 1152
-                         ELSE flac_total END AS BIGINT)
+                         WHEN 2 THEN flac_total
+                         ELSE CASE WHEN is_opus THEN opus_granule
+                                   ELSE vorbis_granule END
+                END AS BIGINT)
            END AS n_samples,
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN (wav_n * 1000) // wav_rate
                          WHEN 1 THEN (mp3_nf * 1152000) // mp3_rate
-                         ELSE (flac_total * 1000) // flac_rate END AS BIGINT)
+                         WHEN 2 THEN (flac_total * 1000) // flac_rate
+                         ELSE CASE WHEN is_opus
+                                   THEN (opus_granule * 1000) // 48000
+                                   ELSE (vorbis_granule * 1000) // vorbis_rate
+                              END
+                END AS BIGINT)
            END AS duration_ms,
            CASE WHEN ok THEN
                 CASE fmt WHEN 0 THEN 'PCM' WHEN 1 THEN 'MPEG-1-LIII'
-                         ELSE 'FLAC' END
+                         WHEN 2 THEN 'FLAC'
+                         ELSE CASE WHEN is_opus THEN 'OPUS'
+                                   ELSE 'VORBIS' END END
            END AS codec
     FROM p
 """

@@ -1648,17 +1648,19 @@ def mp3_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-container AUDIO dispatch end-to-end over documents: mint
-    one asset per doc cycling ALL THREE stdlib-probeable containers by
-    ``doc_id % 3`` (PCM WAV — sample-decodable; MPEG-1 Layer III — CBR
-    frame walk; FLAC — STREAMINFO manifest), params from doc_id
-    arithmetic, every 19th truncated; probe through the llm/audio_io
-    sniffing seam via llm/audio_dedup.audio_probe.  The oracle replays
-    the rate/channels/samples/duration/codec arithmetic in SQL — a
-    value-hash match proves each container sniffed to the right parser
-    and recovered true header facts, including that the compressed
-    formats carry full manifests even though their sample decode
-    refuses by name (exact-dedup-only in media ingestion — the same
-    posture as MP4 video)."""
+    one asset per doc cycling ALL FOUR stdlib-probeable containers by
+    ``doc_id % 4`` (PCM WAV — sample-decodable; MPEG-1 Layer III — CBR
+    frame walk; FLAC — STREAMINFO manifest; Ogg — Opus or Vorbis by
+    further doc_id arithmetic, duration from the final granule), params
+    from doc_id arithmetic, every 19th truncated; probe through the
+    llm/audio_io sniffing seam via llm/audio_dedup.audio_probe.  The
+    oracle replays the rate/channels/samples/duration/codec arithmetic
+    in SQL — a value-hash match proves each container sniffed to the
+    right parser and recovered true header facts (including Opus's
+    48 kHz-granule duration math vs Vorbis's native-rate math), even
+    though the compressed formats' sample decode refuses by name
+    (exact-dedup-only in media ingestion — the same posture as MP4
+    video)."""
     import pandas as pd
 
     from verified_sources_spark.llm.audio_dedup import audio_probe
@@ -1672,13 +1674,14 @@ def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_stub as flac_enc,
         )
         from verified_sources_spark.llm.mp3_codec import encode_stub as mp3_enc
+        from verified_sources_spark.llm.ogg_codec import encode_stub as ogg_enc
         from verified_sources_spark.llm.wav_codec import encode as wav_enc
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                fmt = did % 3
+                fmt = did % 4
                 if fmt == 0:
                     rate = 8000 * (1 + did % 2)
                     n = 500 + (did % 7) * 100
@@ -1693,12 +1696,26 @@ def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bitrate_kbps=128,
                         channels=1 + did % 2,
                     )
-                else:
+                elif fmt == 2:
                     asset = flac_enc(
                         sample_rate=[8000, 22050, 44100, 48000][(did // 3) % 4],
                         channels=1 + (did // 2) % 2,
                         bits=16,
                         total_samples=1000 + (did % 9) * 500,
+                    )
+                elif (did // 4) % 2 == 0:
+                    asset = ogg_enc(
+                        codec="opus",
+                        channels=1 + did % 2,
+                        sample_rate=[8000, 16000, 48000][(did // 3) % 3],
+                        granule=(10 + did % 7) * 960,
+                    )
+                else:
+                    asset = ogg_enc(
+                        codec="vorbis",
+                        channels=1 + did % 2,
+                        sample_rate=[22050, 44100][(did // 3) % 2],
+                        granule=1000 + (did % 9) * 500,
                     )
                 rows.append(
                     {"doc_id": did,
