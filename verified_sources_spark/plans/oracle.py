@@ -1630,6 +1630,35 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# Archive explosion (zip / tar / tar.gz by id % 3): the member
+# inventory replayed in SQL — two rows per healthy doc (the text file
+# byte-identical, the JSON sidecar reconstructed), one decoded_ok=false
+# row per truncated archive.
+ORACLE_SQL["archive_members_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 13) <> 0 AS ok,
+               CASE doc_id % 3 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+                               ELSE 'tgz' END AS fmt,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, fmt AS archive_format,
+           'doc_' || doc_id || '.txt' AS member_name,
+           CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+           t AS text
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, fmt,
+           'meta/' || doc_id || '.json',
+           CAST(8 + length(CAST(doc_id AS VARCHAR)) AS BIGINT),
+           '{"id": ' || doc_id || '}'
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # WARC ingestion: the wire-layout arithmetic replayed in SQL, and the
 # extracted text compared against the SOURCE text — a hash match proves
 # the record walk + de-chunk + gunzip + entity-unescape recovered every

@@ -1792,6 +1792,53 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-of-files ingestion end-to-end over documents: pack each
+    doc's text (plus a deterministic JSON sidecar) into an archive —
+    format cycles zip / tar / tar.gz by ``doc_id % 3``, every 13th
+    truncated — then explode through llm/archives.archive_members into
+    per-member rows.  The oracle replays the member inventory AND the
+    text itself in SQL (two rows per healthy doc) — a value-hash match
+    proves each archive format inflated to byte-identical members (the
+    explode step every corpus-as-archive delivery needs before the
+    text operators run)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.archives import archive_members
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.archives import encode_tar, encode_zip
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                members = {
+                    f"doc_{did}.txt": (text or "").encode(),
+                    f"meta/{did}.json": f'{{"id": {did}}}'.encode(),
+                }
+                fmt = did % 3
+                if fmt == 0:
+                    asset = encode_zip(members)
+                elif fmt == 1:
+                    asset = encode_tar(members)
+                else:
+                    asset = encode_tar(members, gz=True)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": asset[:25] if did % 13 == 0 else asset}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return archive_members(assets).select(
+        "doc_id", "decoded_ok", "archive_format", "member_name",
+        "n_bytes", "text"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2493,4 +2540,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_decode_probe_docs": mp3_decode_probe_docs,
     "audio_formats_probe_docs": audio_formats_probe_docs,
     "warc_extract_docs": warc_extract_docs,
+    "archive_members_docs": archive_members_docs,
 }
