@@ -1630,6 +1630,28 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# EXIF compliance inventory: the planting arithmetic replayed in SQL —
+# exif on even ids, GPS on every 4th with EXACT DMS-decodable doubles
+# (x.5 / x.25 degrees), both TIFF byte orders, scrub certified clean.
+ORACLE_SQL["exif_inventory_docs"] = """
+    SELECT doc_id,
+           (doc_id % 11) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 11 <> 0 THEN doc_id % 2 = 0 END AS has_exif,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 2 = 0
+                THEN 'Cam' || (doc_id % 5) END AS make,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 2 = 0
+                THEN 'M' || (doc_id % 7) END AS model,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 2 = 0
+                THEN CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+           CASE WHEN doc_id % 11 <> 0 THEN doc_id % 4 = 0 END AS has_gps,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 4 = 0
+                THEN CAST((doc_id % 90) + 0.5 AS DOUBLE) END AS latitude,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 4 = 0
+                THEN CAST(-((doc_id % 180) + 0.25) AS DOUBLE) END AS longitude,
+           CASE WHEN doc_id % 11 <> 0 THEN TRUE END AS clean_after_scrub
+    FROM documents
+"""
+
 # Archive explosion (zip / tar / tar.gz by id % 3): the member
 # inventory replayed in SQL — two rows per healthy doc (the text file
 # byte-identical, the JSON sidecar reconstructed), one decoded_ok=false

@@ -1839,6 +1839,68 @@ def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exif_inventory_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/compliance pass end-to-end over documents: mint one JPEG per
+    doc, inject a REAL APP1/Exif TIFF structure on every even doc_id
+    (byte order flips MM/II by ``doc_id % 3``, GPS coordinates planted
+    on every 4th — the geolocation case compliance cares about), every
+    11th truncated; then run llm/exif.exif_inventory — probe, scrub,
+    re-probe.  The oracle replays the planting arithmetic in SQL
+    (including the exact DMS-decoded lat/lon doubles) — a value-hash
+    match proves the TIFF walk decoded both byte orders exactly and
+    the scrub verifiably removed every metadata segment
+    (clean_after_scrub TRUE across the corpus)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.exif import exif_inventory
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.exif import (
+            build_exif_app1,
+            inject_app1,
+        )
+        from verified_sources_spark.llm.jpeg_codec import encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + (did % 4) * 8
+                h = 12 + (did % 3) * 8
+                rng = np.random.default_rng(did)
+                coarse = rng.integers(0, 256, size=(6, 8))
+                gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+                rgb = np.stack([gray] * 3, axis=2).astype(np.uint8)
+                jpg = encode(w, h, rgb.tobytes(), quality=90)
+                if did % 2 == 0:
+                    gps = None
+                    if did % 4 == 0:
+                        gps = ((did % 90) + 0.5, -((did % 180) + 0.25))
+                    app1 = build_exif_app1(
+                        make=f"Cam{did % 5}",
+                        model=f"M{did % 7}",
+                        orientation=1 + did % 8,
+                        gps=gps,
+                        byte_order="MM" if did % 3 == 0 else "II",
+                    )
+                    jpg = inject_app1(jpg, app1)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": jpg[:10] if did % 11 == 0 else jpg}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return exif_inventory(assets).select(
+        "doc_id", "decoded_ok", "has_exif", "make", "model", "orientation",
+        "has_gps", "latitude", "longitude", "clean_after_scrub"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2541,4 +2603,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_formats_probe_docs": audio_formats_probe_docs,
     "warc_extract_docs": warc_extract_docs,
     "archive_members_docs": archive_members_docs,
+    "exif_inventory_docs": exif_inventory_docs,
 }
