@@ -1,0 +1,119 @@
+"""PDF text extraction (llm/pdf_codec.py): object syntax, both xref
+generations (classic tables, 1.5 cross-reference streams + ObjStm with
+PNG predictors), Flate content, show-operator variants, escapes,
+incremental updates, refusals, and the Spark operator."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from verified_sources_spark.llm.pdf_codec import (
+    PdfError,
+    encode_pdf,
+    extract_pdf_text,
+    pdf_extract,
+)
+
+PAGES = [["hello world", "second (line) with \\ escapes and ()"],
+         ["page two text"]]
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(compress=True),
+    dict(xref_stream=True),
+    dict(xref_stream=True, compress=True),
+    dict(tj_arrays=True),
+])
+def test_layout_matrix_roundtrip(kw):
+    out = extract_pdf_text(encode_pdf(PAGES, **kw))
+    assert out["n_pages"] == 2
+    assert out["pages"][0] == "hello world\nsecond (line) with \\ escapes and ()"
+    assert out["pages"][1] == "page two text"
+    assert out["text"] == out["pages"][0] + "\f" + out["pages"][1]
+
+
+def test_string_escapes_and_operators():
+    """Hand-written content streams the fixture writer never emits:
+    octal escapes, \\n escapes, hex strings, the ' operator, Tm."""
+    content = (b"BT /F1 12 Tf 72 720 Td (A\\101\\n) Tj "
+               b"<4243> Tj (line2) ' 1 0 0 1 72 600 Tm (line3) Tj ET")
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    out = extract_pdf_text(body)
+    assert out["pages"][0] == "AA\nBC\nline2\nline3"
+
+
+def test_indirect_length_and_content_array():
+    """/Length as an indirect ref + /Contents as an ARRAY of streams."""
+    c1, c2 = b"BT (part one ) Tj ET", b"BT (part two) Tj ET"
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+            b"/Contents [4 0 R 6 0 R] >>\nendobj\n"
+            b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + c1
+            + b"\nendstream\nendobj\n"
+            b"5 0 obj\n" + str(len(c1)).encode() + b"\nendobj\n"
+            b"6 0 obj\n<< /Length " + str(len(c2)).encode()
+            + b" >>\nstream\n" + c2 + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    out = extract_pdf_text(body)
+    # separate BT..ET blocks are separate lines by design
+    assert out["pages"][0] == "part one \npart two"
+
+
+def test_incremental_update_later_definition_wins():
+    data = encode_pdf([["original text"]])
+    update = (b"\n3 0 obj\n<< /Type /Page /Parent 2 0 R "
+              b"/Contents 9 0 R >>\nendobj\n"
+              b"9 0 obj\n<< /Length 22 >>\nstream\n"
+              b"BT (replaced text) Tj ET\nendstream\nendobj\n")
+    # page object 4 is the original page in encode_pdf's numbering;
+    # appending a new definition of IT must win
+    page_redef = update.replace(b"3 0 obj", b"4 0 obj")
+    out = extract_pdf_text(data + page_redef)
+    assert out["pages"][0] == "replaced text"
+
+
+def test_refusals_and_errors():
+    with pytest.raises(PdfError, match="missing %PDF"):
+        extract_pdf_text(b"not a pdf")
+    with pytest.raises(PdfError, match="no pages"):
+        extract_pdf_text(encode_pdf(PAGES)[:200])
+    enc = encode_pdf(PAGES).replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /Encrypt << /V 2 >> >>")
+    with pytest.raises(PdfError, match="Encrypt"):
+        extract_pdf_text(enc)
+    # exotic filter refuses by name
+    c = zlib.compress(b"BT (x) Tj ET")
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(c)).encode()
+            + b" /Filter /LZWDecode >>\nstream\n" + c
+            + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    with pytest.raises(PdfError, match="LZWDecode"):
+        extract_pdf_text(body)
+
+
+def test_spark_operator(spark):
+    rows = [
+        (1, bytearray(encode_pdf([["alpha beta"]], compress=True))),
+        (2, bytearray(encode_pdf([["one"], ["two"]], xref_stream=True))),
+        (3, bytearray(b"%PDF-1.4 truncated garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r["doc_id"]: r for r in pdf_extract(df).collect()}
+    assert got[1]["text"] == "alpha beta" and got[1]["n_pages"] == 1
+    assert got[2]["text"] == "one\ftwo" and got[2]["n_pages"] == 2
+    assert got[3]["decoded_ok"] is False

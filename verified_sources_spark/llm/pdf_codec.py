@@ -1,0 +1,675 @@
+"""Pure-stdlib PDF text extraction.
+
+Document corpora are PDF-heavy, and the reference's unstructured_data
+source exists precisely to turn local PDFs into queryable fields
+(/root/reference/sources/unstructured_data/helpers.py) — this module
+is the stdlib reading half of that pipeline: PDF bytes → page text,
+which then feeds llm/extract (field Q&A), dedup, quality and
+decontamination like any other document.
+
+Scope (everything bounds-checked; anything outside refuses by name):
+
+- Object layer: the full object syntax (dicts, arrays, names with #xx
+  escapes, literal strings with \\-escapes + octal, hex strings, refs,
+  streams with indirect /Length) discovered by a linear ``N G obj``
+  scan — the reconstruction strategy real-world parsers use, so both
+  classic-xref and xref-stream files load, including files with
+  incremental updates (later definitions of an object win).
+- Object streams (/Type/ObjStm): Flate-packed object containers —
+  where modern writers put the catalog/page dicts — are expanded.
+- Filters: FlateDecode, including PNG predictors (/Predictor >= 10,
+  the xref-stream default).  Other filters (DCTDecode, LZWDecode,
+  CCITTFaxDecode, ...) refuse loudly WITH THE FILTER NAMED.
+- Text layer: page-tree walk (Pages/Kids/Contents incl. arrays),
+  BT..ET runs, Tj / TJ / ' / " show operators, Td/TD/T*/Tm line
+  breaks.  Simple-font byte strings decode as Latin-1 (≈PDFDoc
+  encoding); encrypted documents (/Encrypt) refuse by name.
+
+``encode_pdf`` writes real single- or multi-page PDFs (classic xref
+tables OR cross-reference streams + ObjStm, raw or Flate-compressed
+content) so the extractor is exercised by both generations of layout.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+__all__ = ["PdfError", "extract_pdf_text", "encode_pdf"]
+
+
+class PdfError(ValueError):
+    pass
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):
+        return f"Ref({self.num})"
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d = self.data
+        n = len(d)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                e = d.find(b"\n", self.pos)
+                self.pos = n if e < 0 else e + 1
+            else:
+                return
+
+    def peek_keyword(self) -> str | None:
+        save = self.pos
+        self._skip_ws()
+        m = re.match(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*", self.data[self.pos:])
+        if m:
+            return m.group(0).decode("latin-1")
+        self.pos = save
+        return None
+
+    def read_token(self):
+        """One syntactic token: returns a tagged tuple."""
+        self._skip_ws()
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            return ("eof", None)
+        c = d[p]
+        if d[p : p + 2] == b"<<":
+            self.pos = p + 2
+            return ("dict_open", None)
+        if d[p : p + 2] == b">>":
+            self.pos = p + 2
+            return ("dict_close", None)
+        if c == 0x5B:  # [
+            self.pos = p + 1
+            return ("array_open", None)
+        if c == 0x5D:
+            self.pos = p + 1
+            return ("array_close", None)
+        if c == 0x2F:  # name
+            q = p + 1
+            while q < len(d) and d[q] not in _WS and d[q] not in _DELIM:
+                q += 1
+            raw = d[p + 1 : q]
+            raw = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda m: bytes([int(m.group(1), 16)]), raw,
+            )
+            self.pos = q
+            return ("name", raw.decode("latin-1"))
+        if c == 0x28:  # literal string
+            return ("string", self._literal_string())
+        if c == 0x3C:  # hex string
+            e = d.find(b">", p)
+            if e < 0:
+                raise PdfError(f"unterminated hex string at {p}")
+            hx = re.sub(rb"\s", b"", d[p + 1 : e])
+            if len(hx) % 2:
+                hx += b"0"
+            self.pos = e + 1
+            try:
+                return ("string", bytes.fromhex(hx.decode("ascii")))
+            except ValueError:
+                raise PdfError(f"bad hex string at {p}") from None
+        m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", d[p:])
+        if m:
+            self.pos = p + m.end()
+            s = m.group(0)
+            return ("number", float(s) if b"." in s else int(s))
+        m = re.match(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*", d[p:])
+        if m:
+            self.pos = p + m.end()
+            return ("keyword", m.group(0).decode("latin-1"))
+        raise PdfError(f"unexpected byte 0x{c:02X} at offset {p}")
+
+    def _literal_string(self) -> bytes:
+        d = self.data
+        p = self.pos + 1
+        out = bytearray()
+        depth = 1
+        while p < len(d):
+            c = d[p]
+            if c == 0x5C:  # backslash
+                if p + 1 >= len(d):
+                    break
+                e = d[p + 1]
+                p += 2
+                mapping = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                           0x28: 40, 0x29: 41, 0x5C: 92}
+                if e in mapping:
+                    out.append(mapping[e])
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = chr(e)
+                    while (p < len(d) and len(oct_digits) < 3
+                           and 0x30 <= d[p] <= 0x37):
+                        oct_digits += chr(d[p])
+                        p += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    if e == 0x0D and p < len(d) and d[p] == 0x0A:
+                        p += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = p + 1
+                    return bytes(out)
+                out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        raise PdfError("unterminated literal string")
+
+    def read_object(self):
+        """One PDF value (resolving 'N G R' into _Ref)."""
+        kind, val = self.read_token()
+        if kind == "dict_open":
+            out = {}
+            while True:
+                k, v = self.read_token()
+                if k == "dict_close":
+                    return out
+                if k != "name":
+                    raise PdfError(f"dict key must be a name, got {k}")
+                out[v] = self.read_object()
+        if kind == "array_open":
+            out = []
+            while True:
+                save = self.pos
+                k, _v = self.read_token()
+                if k == "array_close":
+                    return out
+                self.pos = save
+                out.append(self.read_object())
+        if kind == "number":
+            # lookahead for "G R" reference form
+            save = self.pos
+            k2, v2 = self.read_token()
+            if k2 == "number":
+                k3, v3 = self.read_token()
+                if k3 == "keyword" and v3 == "R":
+                    return _Ref(int(val))
+            self.pos = save
+            return val
+        if kind == "name":
+            return ("name", val)
+        if kind == "string":
+            return val
+        if kind == "keyword":
+            if val == "true":
+                return True
+            if val == "false":
+                return False
+            if val == "null":
+                return None
+            raise PdfError(f"unexpected keyword {val!r} in object position")
+        raise PdfError(f"unexpected token {kind} in object position")
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters (the /Predictor>=10 convention used by
+    xref streams): one filter byte per row, Up/Sub/Paeth etc."""
+    rowlen = columns
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        if len(row) < rowlen:
+            raise PdfError("truncated predictor row")
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(1, rowlen):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(rowlen):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(rowlen):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise PdfError(f"unknown PNG predictor filter {ft}")
+        out += row
+        prev = row
+        pos += 1 + rowlen
+    return bytes(out)
+
+
+def _apply_filters(d: dict, raw: bytes) -> bytes:
+    filt = d.get("Filter")
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    parms = d.get("DecodeParms")
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    for f, pm in zip(filters, parms_list):
+        name = f[1] if isinstance(f, tuple) else f
+        if name == "FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise PdfError(f"bad Flate stream: {e}") from None
+            if isinstance(pm, dict) and pm.get("Predictor", 1) >= 10:
+                raw = _png_unpredict(raw, int(pm.get("Columns", 1)))
+        else:
+            raise PdfError(
+                f"cannot decode /{name} stream (FlateDecode only); "
+                f"refusing by name"
+            )
+    return raw
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _load_objects(data: bytes) -> dict[int, object]:
+    """All indirect objects by linear scan (later definitions win —
+    incremental-update semantics), streams resolved, ObjStm expanded."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("not a PDF payload (missing %PDF header)")
+    objects: dict[int, object] = {}
+    streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw_start)
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        lex = _Lexer(data, m.end())
+        try:
+            val = lex.read_object()
+        except PdfError:
+            continue  # a false 'obj' hit inside a stream body
+        kw = lex.peek_keyword()
+        if kw == "stream" and isinstance(val, dict):
+            p = data.find(b"stream", lex.pos) + 6
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            streams[num] = (val, p)
+        objects[num] = val
+    if not objects:
+        raise PdfError("no indirect objects found")
+
+    def resolve(v):
+        return objects.get(v.num) if isinstance(v, _Ref) else v
+
+    # attach stream payloads now that /Length refs can resolve
+    for num, (d, start) in streams.items():
+        length = resolve(d.get("Length"))
+        if not isinstance(length, (int, float)):
+            raise PdfError(f"stream {num} has unresolvable /Length")
+        raw = data[start : start + int(length)]
+        if len(raw) < int(length):
+            raise PdfError(f"truncated stream object {num}")
+        objects[num] = ("stream", d, raw)
+    # expand object streams
+    for num, v in list(objects.items()):
+        if (isinstance(v, tuple) and v[0] == "stream"
+                and v[1].get("Type") == ("name", "ObjStm")):
+            d = v[1]
+            payload = _apply_filters(d, v[2])
+            n = int(resolve(d.get("N", 0)))
+            first = int(resolve(d.get("First", 0)))
+            hlex = _Lexer(payload)
+            pairs = []
+            for _ in range(n):
+                k1, onum = hlex.read_token()
+                k2, ooff = hlex.read_token()
+                if k1 != "number" or k2 != "number":
+                    raise PdfError(f"malformed ObjStm header in {num}")
+                pairs.append((int(onum), int(ooff)))
+            for onum, ooff in pairs:
+                olex = _Lexer(payload, first + ooff)
+                objects[onum] = olex.read_object()
+    return objects
+
+
+def _extract_content_text(content: bytes) -> str:
+    """Walk one page's content stream: BT..ET text runs, show
+    operators, line-move operators → newlines."""
+    lex = _Lexer(content)
+    out: list[str] = []
+    stack: list = []
+    in_text = False
+    line_open = False
+
+    def show(s: bytes):
+        nonlocal line_open
+        out.append(s.decode("latin-1"))
+        line_open = True
+
+    def newline():
+        nonlocal line_open
+        if line_open:
+            out.append("\n")
+            line_open = False
+
+    while True:
+        try:
+            save = lex.pos
+            kind, val = lex.read_token()
+        except PdfError:
+            break
+        if kind == "eof":
+            break
+        if kind == "keyword":
+            op = val
+            if op == "BT":
+                in_text = True
+                stack.clear()
+            elif op == "ET":
+                in_text = False
+                newline()
+                stack.clear()
+            elif not in_text:
+                stack.clear()
+            elif op == "Tj":
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+                stack.clear()
+            elif op == "TJ":
+                if stack and isinstance(stack[-1], list):
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            show(item)
+                stack.clear()
+            elif op in ("'", '"'):
+                newline()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+                stack.clear()
+            elif op in ("Td", "TD", "T*", "Tm"):
+                # vertical movement ends the current line
+                if op == "T*":
+                    newline()
+                elif op in ("Td", "TD") and len(stack) >= 2:
+                    ty = stack[-1]
+                    if isinstance(ty, (int, float)) and ty != 0:
+                        newline()
+                elif op == "Tm" and len(stack) >= 6:
+                    newline()
+                stack.clear()
+            else:
+                stack.clear()
+        else:
+            lex.pos = save
+            try:
+                stack.append(lex.read_object())
+            except PdfError:
+                lex.pos = save
+                lex.read_token()
+    return "".join(out)
+
+
+def extract_pdf_text(data: bytes) -> dict:
+    """{n_pages, pages: [str], text} — text per page from the page
+    tree, pages joined by form feeds.  Encrypted PDFs refuse by name."""
+    objects = _load_objects(data)
+
+    def resolve(v):
+        seen = 0
+        while isinstance(v, _Ref):
+            v = objects.get(v.num)
+            seen += 1
+            if seen > 32:
+                raise PdfError("reference cycle")
+        return v
+
+    # /Encrypt lives in the trailer dict (classic files) or the xref
+    # stream dict (1.5 files, already an object) — check both
+    trailer_dicts = [v for v in objects.values() if isinstance(v, dict)]
+    trailer_dicts += [v[1] for v in objects.values()
+                      if isinstance(v, tuple) and v[0] == "stream"]
+    for m in re.finditer(rb"trailer\b", data):
+        try:
+            trailer_dicts.append(_Lexer(data, m.end()).read_object())
+        except PdfError:
+            pass
+    for v in trailer_dicts:
+        if isinstance(v, dict) and "Encrypt" in v:
+            raise PdfError("encrypted PDF (/Encrypt) — refusing by name")
+
+    # page tree: find the catalog, else any /Type /Page objects in order
+    pages: list[dict] = []
+    catalog = next(
+        (v for v in objects.values()
+         if isinstance(v, dict) and v.get("Type") == ("name", "Catalog")),
+        None,
+    )
+
+    def walk(node):
+        node = resolve(node)
+        if not isinstance(node, dict):
+            return
+        t = node.get("Type")
+        if t == ("name", "Page"):
+            pages.append(node)
+        elif t == ("name", "Pages"):
+            for kid in resolve(node.get("Kids", [])) or []:
+                walk(kid)
+
+    if catalog is not None:
+        walk(catalog.get("Pages"))
+    if not pages:
+        pages = [v for k, v in sorted(objects.items())
+                 if isinstance(v, dict) and v.get("Type") == ("name", "Page")]
+    if not pages:
+        raise PdfError("no pages found (no /Type /Page objects)")
+
+    texts = []
+    for pg in pages:
+        contents = resolve(pg.get("Contents"))
+        parts = contents if isinstance(contents, list) else [contents]
+        buf = bytearray()
+        for part in parts:
+            part = resolve(part)
+            if isinstance(part, tuple) and part[0] == "stream":
+                buf += _apply_filters(part[1], part[2])
+                buf += b"\n"
+        texts.append(_extract_content_text(bytes(buf)).rstrip("\n"))
+    return {"n_pages": len(pages), "pages": texts, "text": "\f".join(texts)}
+
+
+# --------------------------------------------------------------- fixtures
+def _esc(s: str) -> bytes:
+    return (s.replace("\\", "\\\\").replace("(", "\\(")
+            .replace(")", "\\)").encode("latin-1"))
+
+
+def encode_pdf(
+    pages: list[list[str]],
+    compress: bool = False,
+    xref_stream: bool = False,
+    tj_arrays: bool = False,
+) -> bytes:
+    """A real PDF: one content stream per page (each inner list entry a
+    text line), classic xref table or PDF-1.5 cross-reference stream
+    with the document dicts packed into an ObjStm; optional Flate
+    content; ``tj_arrays`` shows each line via TJ with split strings
+    instead of Tj."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    content_ids = [5 + 2 * i for i in range(n_pages)]
+
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = b" ".join(f"{pid} 0 R".encode() for pid in page_ids)
+    objs[2] = (b"<< /Type /Pages /Kids [" + kids
+               + f"] /Count {n_pages} >>".encode())
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/Encoding /WinAnsiEncoding >>")
+    stream_objs = {}
+    for i, lines in enumerate(pages):
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            if tj_arrays and len(line) > 1:
+                cut = len(line) // 2
+                ops.append(b"[(" + _esc(line[:cut]) + b") -250 ("
+                           + _esc(line[cut:]) + b")] TJ")
+            else:
+                ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            z = zlib.compress(content)
+            stream_objs[content_ids[i]] = (
+                f"<< /Length {len(z)} /Filter /FlateDecode >>".encode(), z)
+        else:
+            stream_objs[content_ids[i]] = (
+                f"<< /Length {len(content)} >>".encode(), content)
+        objs[page_ids[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_ids[i]} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    if not xref_stream:
+        for num in sorted(set(objs) | set(stream_objs)):
+            offsets[num] = len(out)
+            if num in stream_objs:
+                d, payload = stream_objs[num]
+                out += (f"{num} 0 obj\n".encode() + d + b"\nstream\n"
+                        + payload + b"\nendstream\nendobj\n")
+            else:
+                out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_pos = len(out)
+        maxnum = max(offsets)
+        out += f"xref\n0 {maxnum + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, maxnum + 1):
+            out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_pos}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # PDF-1.5 layout: dict objects packed into an ObjStm, xref stream
+    objstm_num = max(max(objs), max(stream_objs)) + 1
+    xref_num = objstm_num + 1
+    packed = sorted(objs.items())
+    header = []
+    body = bytearray()
+    for num, payload in packed:
+        header.append(f"{num} {len(body)}")
+        body += payload + b"\n"
+    head = (" ".join(header) + "\n").encode()
+    objstm_payload = zlib.compress(head + body)
+    # in-stream objects keep their numbers; type-2 xref entries point at
+    # (objstm_num, index)
+    for num in sorted(stream_objs):
+        offsets[num] = len(out)
+        d, payload = stream_objs[num]
+        out += (f"{num} 0 obj\n".encode() + d + b"\nstream\n"
+                + payload + b"\nendstream\nendobj\n")
+    offsets[objstm_num] = len(out)
+    out += (f"{objstm_num} 0 obj\n"
+            f"<< /Type /ObjStm /N {len(packed)} /First {len(head)} "
+            f"/Length {len(objstm_payload)} /Filter /FlateDecode >>\n"
+            .encode() + b"stream\n" + objstm_payload
+            + b"\nendstream\nendobj\n")
+    xref_pos = len(out)
+    offsets[xref_num] = xref_pos  # the xref stream indexes itself too
+    maxnum = xref_num
+    rows = bytearray()
+    w = (1, 4, 2)
+    for num in range(maxnum + 1):
+        if num == 0:
+            t, f2, f3 = 0, 0, 0xFFFF
+        elif num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        else:
+            idx = next(i for i, (n2, _o) in enumerate(packed) if n2 == num)
+            t, f2, f3 = 2, objstm_num, idx
+        rows += bytes([t]) + struct.pack(">I", f2) + struct.pack(">H", f3)
+    # PNG Up-predictor over the rows (the wild's default layout)
+    cols = sum(w)
+    pred = bytearray()
+    prev = bytes(cols)
+    for i in range(0, len(rows), cols):
+        row = rows[i : i + cols]
+        pred.append(2)
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(cols))
+        prev = row
+    xref_payload = zlib.compress(bytes(pred))
+    out += (f"{xref_num} 0 obj\n"
+            f"<< /Type /XRef /Size {maxnum + 1} /W [1 4 2] "
+            f"/Root 1 0 R /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns {cols} >> "
+            f"/Length {len(xref_payload)} >>\n".encode()
+            + b"stream\n" + xref_payload + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+PDF_EXTRACT_SCHEMA = "doc_id long, decoded_ok boolean, n_pages int, text string"
+
+
+def pdf_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched PDF → text over binary payloads: one
+    ``documents``-shaped row per file, ready for the text-operator
+    surface (and for llm/extract field Q&A — the reference's
+    unstructured_data pipeline shape).  Payloads never shuffle; a
+    corrupt or refused (encrypted / exotic-filter) file isolates as
+    ``decoded_ok=false``."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    out = extract_pdf_text(bytes(payload))
+                    rows.append({"doc_id": _id, "decoded_ok": True,
+                                 "n_pages": out["n_pages"],
+                                 "text": out["text"]})
+                except PdfError:
+                    rows.append({"doc_id": _id, "decoded_ok": False,
+                                 "n_pages": None, "text": None})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "decoded_ok", "n_pages", "text"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, PDF_EXTRACT_SCHEMA
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

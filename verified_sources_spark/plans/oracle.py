@@ -1630,6 +1630,18 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# PDF ingestion: one page per doc, the extracted text compared against
+# the SOURCE text — a hash match proves object scan, ObjStm expansion,
+# Flate(+predictor) decode and the content-stream walk recovered every
+# document byte-for-byte across all four writer layouts.
+ORACLE_SQL["pdf_extract_docs"] = """
+    SELECT doc_id,
+           (doc_id % 13) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 13 <> 0 THEN CAST(1 AS INTEGER) END AS n_pages,
+           CASE WHEN doc_id % 13 <> 0 THEN COALESCE(text, '') END AS text
+    FROM documents
+"""
+
 # EXIF compliance inventory: the planting arithmetic replayed in SQL —
 # exif on even ids, GPS on every 4th with EXACT DMS-decodable doubles
 # (x.5 / x.25 degrees), both TIFF byte orders, scrub certified clean.

@@ -1901,6 +1901,50 @@ def exif_inventory_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingestion end-to-end over documents: typeset each doc's text
+    into a REAL single-page PDF (layouts cycle the generations the wild
+    ships — Flate-compressed content on odd ids, PDF-1.5
+    cross-reference streams + ObjStm on every 3rd, TJ-array show
+    operators on every 5th, classic xref otherwise; every 13th
+    truncated), then run the pure-stdlib extractor via
+    llm/pdf_codec.pdf_extract.  The oracle replays the layout
+    arithmetic AND the text itself in SQL — a value-hash match proves
+    object scan, ObjStm expansion, Flate+predictor decode and the
+    content-stream text walk recovered every document byte-for-byte
+    (the document-corpus front door; reference analogue:
+    sources/unstructured_data — PDFs into queryable text)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.pdf_codec import pdf_extract
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                data = encode_pdf(
+                    [[text or ""]],
+                    compress=did % 2 == 1,
+                    xref_stream=did % 3 == 0,
+                    tj_arrays=did % 5 == 0,
+                )
+                rows.append(
+                    {"doc_id": did,
+                     "asset": data[:60] if did % 13 == 0 else data}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return pdf_extract(assets).select(
+        "doc_id", "decoded_ok", "n_pages", "text"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2604,4 +2648,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract_docs": warc_extract_docs,
     "archive_members_docs": archive_members_docs,
     "exif_inventory_docs": exif_inventory_docs,
+    "pdf_extract_docs": pdf_extract_docs,
 }
