@@ -142,6 +142,33 @@ def _webm() -> bytes:
     return encode_stub()
 
 
+def _pdf_encrypted() -> bytes:
+    from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+    return encode_pdf([["x"]]).replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /Encrypt << /V 2 >> >>")
+
+
+def _pdf_lzw() -> bytes:
+    import zlib
+
+    c = zlib.compress(b"BT (x) Tj ET")
+    return (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(c)).encode()
+            + b" /Filter /LZWDecode >>\nstream\n" + c
+            + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+
+
+def _extract_pdf(payload):
+    from verified_sources_spark.llm.pdf_codec import extract_pdf_text
+
+    extract_pdf_text(payload)
+
+
 def _decode_flac_samples(payload):
     from verified_sources_spark.llm.flac_codec import decode_samples
 
@@ -176,6 +203,8 @@ MATRIX = [
     ("mp3-pcm-synthesis", _mp3, _decode_mp3_samples, "MPEG-1 Layer III"),
     ("flac-subframes", _flac, _decode_flac_samples, "FLAC subframes"),
     ("webm-vp9-pixels", _webm, _sample_mp4, "V_VP9"),
+    ("pdf-encrypted", _pdf_encrypted, _extract_pdf, "Encrypt"),
+    ("pdf-lzw-filter", _pdf_lzw, _extract_pdf, "LZWDecode"),
 ]
 
 

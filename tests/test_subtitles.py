@@ -1,0 +1,91 @@
+"""Subtitle parsing (llm/subtitles.py): SRT and WebVTT dialects, markup
+stripping, NOTE/STYLE blocks, whitespace fidelity, error paths, and the
+Spark cue-explosion operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.llm.subtitles import (
+    SubtitleError,
+    encode_srt,
+    encode_vtt,
+    parse_subtitles,
+    sniff_subtitle_format,
+    subtitle_cues,
+)
+
+CUES = [(500, 2000, "first cue"), (2500, 4000, "second\ntwo lines")]
+
+
+def test_srt_roundtrip_and_sniff():
+    payload = encode_srt(CUES)
+    assert sniff_subtitle_format(payload) == "srt"
+    out = parse_subtitles(payload)
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in out] == CUES
+    assert [c["idx"] for c in out] == [1, 2]
+
+
+def test_vtt_roundtrip_with_notes_and_ids():
+    payload = encode_vtt(CUES, notes=True)
+    assert sniff_subtitle_format(payload) == "vtt"
+    out = parse_subtitles(payload)
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in out] == CUES
+    assert out[0]["cue_id"] == "cue-1"
+
+
+def test_vtt_wild_layouts():
+    """Hand-written VTT the fixture writer never emits: BOM, header
+    metadata, hour-less timings, inline markup, STYLE block,
+    position settings after the timing."""
+    payload = (
+        "﻿WEBVTT - with metadata\nKind: captions\n\n"
+        "STYLE\n::cue { color: red }\n\n"
+        "00:05.000 --> 00:07.250 align:start position:10%\n"
+        "<i>styled</i> and <c.yellow>classed</c> "
+        "<00:00:06.000>timed\n\n"
+        "NOTE a comment block\nspanning lines\n\n"
+        "01:00:00.000 --> 01:00:02.000\nsecond\n"
+    )
+    out = parse_subtitles(payload)
+    assert len(out) == 2
+    assert out[0]["start_ms"] == 5000 and out[0]["end_ms"] == 7250
+    assert out[0]["text"] == "styled and classed timed"
+    assert out[1]["start_ms"] == 3_600_000
+
+
+def test_srt_wild_layouts():
+    """Dot-decimal SRT (common sloppy variant), missing index lines,
+    CRLF endings, trailing spaces preserved."""
+    payload = ("1\r\n00:00:01.000 --> 00:00:02.000\r\nline one \r\n\r\n"
+               "00:00:03,000 --> 00:00:04,000\r\nno index line\r\n")
+    out = parse_subtitles(payload)
+    assert out[0]["text"] == "line one "  # whitespace-faithful
+    assert out[1]["idx"] == 2 and out[1]["start_ms"] == 3000
+
+
+def test_error_paths():
+    with pytest.raises(SubtitleError, match="unrecognized"):
+        parse_subtitles("just some text without timings")
+    with pytest.raises(SubtitleError, match="bad SRT timing"):
+        # sniffs as SRT from the valid first cue; the second is broken
+        parse_subtitles("1\n00:00:01,000 --> 00:00:02,000\nok\n\n"
+                        "2\n00:00:xx,000 --> 00:00:04,000\nboom\n")
+    with pytest.raises(SubtitleError, match="bad VTT timing"):
+        parse_subtitles("WEBVTT\n\ncue-1\nnot a timing\ntext\n")
+
+
+def test_spark_operator_explodes_cues(spark):
+    rows = [
+        (1, encode_srt(CUES)),
+        (2, encode_vtt([(0, 1000, "vtt cue")])),
+        (3, "garbage, not subtitles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    got = subtitle_cues(df, text_col="payload").collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2 and by_doc[1][0]["format"] == "srt"
+    assert by_doc[2][0]["text"] == "vtt cue"
+    assert by_doc[3][0]["decoded_ok"] is False

@@ -1630,6 +1630,34 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# Subtitle ingestion: cue slicing + timing arithmetic replayed in SQL,
+# one row per cue via a 3-way union (cue count = 1 + id % 3).
+ORACLE_SQL["subtitle_cues_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 23) <> 0 AS ok,
+               1 + doc_id % 3 AS n,
+               (doc_id % 7) * 100 AS base,
+               CASE WHEN doc_id % 2 = 1 THEN 'srt' ELSE 'vtt' END AS fmt,
+               COALESCE(text, '') AS t
+        FROM documents
+    ), cues AS (
+        SELECT doc_id, fmt, 1 AS k, base AS start_ms, t FROM p WHERE ok
+        UNION ALL
+        SELECT doc_id, fmt, 2, 2000 + base, t FROM p WHERE ok AND n >= 2
+        UNION ALL
+        SELECT doc_id, fmt, 3, 4000 + base, t FROM p WHERE ok AND n >= 3
+    )
+    SELECT doc_id, TRUE AS decoded_ok, fmt AS format,
+           CAST(k AS INTEGER) AS idx,
+           CAST(start_ms AS BIGINT) AS start_ms,
+           CAST(start_ms + 1500 AS BIGINT) AS end_ms,
+           SUBSTRING(t, 1 + 60 * (k - 1), 60) AS text
+    FROM cues
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # PDF ingestion: one page per doc, the extracted text compared against
 # the SOURCE text — a hash match proves object scan, ObjStm expansion,
 # Flate(+predictor) decode and the content-stream walk recovered every

@@ -1945,6 +1945,51 @@ def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle ingestion end-to-end over documents: typeset each doc's
+    text into 1-3 aligned cues (60-char slices) as SRT on odd ids and
+    WebVTT (with NOTE blocks and cue identifiers) on even ids —
+    deterministic timing arithmetic — every 23rd replaced by a
+    non-subtitle payload; parse via llm/subtitles.subtitle_cues.  The
+    oracle replays the cue slicing AND timing math in SQL (one row per
+    cue via a 3-way union) — a value-hash match proves both dialects'
+    timing parse and text recovery are exact (the aligned text channel
+    caption/ASR corpora train on)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.subtitles import subtitle_cues
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.subtitles import encode_srt, encode_vtt
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = text or ""
+                n = 1 + did % 3
+                cues = []
+                for k in range(n):
+                    start = k * 2000 + (did % 7) * 100
+                    cues.append((start, start + 1500,
+                                 text[60 * k : 60 * (k + 1)]))
+                if did % 23 == 0:
+                    payload = "no timings here, not a subtitle file"
+                elif did % 2 == 1:
+                    payload = encode_srt(cues)
+                else:
+                    payload = encode_vtt(cues, notes=True)
+                rows.append({"doc_id": did, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    assets = d.mapInPandas(mint, "doc_id long, payload string")
+    return subtitle_cues(assets, text_col="payload").select(
+        "doc_id", "decoded_ok", "format", "idx", "start_ms", "end_ms", "text"
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2649,4 +2694,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "archive_members_docs": archive_members_docs,
     "exif_inventory_docs": exif_inventory_docs,
     "pdf_extract_docs": pdf_extract_docs,
+    "subtitle_cues_docs": subtitle_cues_docs,
 }
