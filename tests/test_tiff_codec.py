@@ -1,0 +1,89 @@
+"""TIFF codec (llm/tiff_codec.py): strip decode (uncompressed +
+Deflate, both byte orders, multi-strip), gray→RGB, named refusals,
+multi-page probe, image_io dispatch + cross-format dHash membership."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from verified_sources_spark.llm.tiff_codec import (
+    TiffError,
+    decode,
+    encode,
+    probe,
+)
+
+
+def _img(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=(6, 8))
+    gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
+    return np.stack([gray] * 3, axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(byte_order="MM"),
+    dict(deflate=True),
+    dict(rows_per_strip=7),
+    dict(deflate=True, rows_per_strip=4, byte_order="MM"),
+])
+def test_roundtrip_matrix(kw):
+    px = _img(30, 20, seed=4).tobytes()
+    data = encode(30, 20, px, **kw)
+    m = probe(data)
+    assert (m["width"], m["height"], m["n_pages"]) == (30, 20, 1)
+    assert decode(data)["pixels"] == px
+
+
+def test_grayscale_replicates():
+    gray = np.random.default_rng(1).integers(0, 256, (10, 8)).astype(np.uint8)
+    out = decode(encode(8, 10, gray.tobytes(), mode="L"))
+    assert out["pixels"] == np.stack([gray] * 3, axis=2).tobytes()
+
+
+def test_named_refusals():
+    px = _img(8, 6).tobytes()
+    data = bytearray(encode(8, 6, px))
+    # patch the compression SHORT (tag 0x0103) to LZW (5)
+    i = data.index(struct.pack("<HHI", 0x0103, 3, 1))
+    data[i + 8 : i + 10] = struct.pack("<H", 5)
+    with pytest.raises(TiffError, match="LZW"):
+        decode(bytes(data))
+    data[i + 8 : i + 10] = struct.pack("<H", 7)
+    with pytest.raises(TiffError, match="JPEG"):
+        decode(bytes(data))
+
+
+def test_error_paths():
+    with pytest.raises(TiffError, match="not a TIFF"):
+        probe(b"XX" + b"\x00" * 30)
+    with pytest.raises(TiffError, match="truncated IFD"):
+        probe(encode(8, 6, _img(8, 6).tobytes())[:40])
+    with pytest.raises(TiffError, match="bad TIFF magic"):
+        probe(b"II\x2b\x00" + b"\x00" * 20)  # BigTIFF magic 43: not handled
+
+
+def test_image_io_dispatch_and_cross_format_dhash():
+    from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+    from verified_sources_spark.llm.image_io import (
+        decode_image,
+        sniff_image_format,
+    )
+    from verified_sources_spark.llm.png_codec import encode as png_encode
+
+    img = _img(64, 48, seed=21)
+    px = img.tobytes()
+    tif = encode(64, 48, px, deflate=True, rows_per_strip=9)
+    assert sniff_image_format(tif) == "tiff"
+    out = decode_image(tif)
+    assert out["format"] == "tiff" and out["pixels"] == px
+
+    def dh(payload):
+        d = decode_image(payload)
+        return _dhash_of_pixels(d["pixels"], d["width"], d["height"], 3, 8)
+
+    assert dh(tif) == dh(png_encode(64, 48, px, "RGB"))  # lossless twins

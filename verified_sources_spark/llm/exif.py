@@ -101,9 +101,11 @@ def _read_ifd(data: bytes, base: int, off: int, bo: str) -> tuple[dict, int]:
             raw = data[voff : voff + cnt]
             out[tag] = raw.split(b"\x00")[0].decode("ascii", errors="replace")
         elif typ == 3:
-            out[tag] = struct.unpack_from(bo + "H", data, voff)[0]
+            vals = struct.unpack_from(bo + "H" * cnt, data, voff)
+            out[tag] = vals[0] if cnt == 1 else list(vals)
         elif typ == 4 or typ == 9:
-            out[tag] = struct.unpack_from(bo + "I", data, voff)[0]
+            vals = struct.unpack_from(bo + "I" * cnt, data, voff)
+            out[tag] = vals[0] if cnt == 1 else list(vals)
         elif typ == 5 or typ == 10:  # rationals
             vals = []
             for k in range(cnt):

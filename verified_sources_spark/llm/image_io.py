@@ -32,6 +32,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -83,6 +85,8 @@ def decode_image(payload: bytes) -> dict:
         from verified_sources_spark.llm.gif_codec import decode
     elif fmt == "bmp":
         from verified_sources_spark.llm.bmp_codec import decode
+    elif fmt == "tiff":
+        from verified_sources_spark.llm.tiff_codec import decode
     elif fmt == "webp":
         variant = probe_webp(payload)["variant"]
         # VP8X is just an envelope: an extended file whose frame chunk

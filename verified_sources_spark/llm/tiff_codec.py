@@ -1,0 +1,263 @@
+"""Pure-stdlib TIFF codec: probe + uncompressed/Flate strip decode.
+
+TIFF is the archival/scan format (datasets of digitized documents ship
+as multi-page TIFFs) and shares its IFD structure with EXIF — this
+module reuses that walk.  ``probe`` reads every IFD (multi-page):
+dims, bits per sample, compression (named), photometric, strip layout.
+``decode`` materializes pixels for the honestly-decodable subset —
+uncompressed (1) and Deflate (8/32946) strips, 8-bit grayscale or
+RGB, top-down — returning the common ``{width, height, mode, pixels}``
+contract; LZW/CCITT/JPEG-in-TIFF and planar/tiled layouts refuse WITH
+THE NAME.  ``encode`` writes real single-page uncompressed or Deflate
+TIFFs (both byte orders) for fixtures and as the cross-format dedup
+member.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = ["TiffError", "probe", "decode", "encode"]
+
+
+class TiffError(ValueError):
+    pass
+
+
+_COMPRESSION_NAMES = {
+    1: "uncompressed", 2: "CCITT-RLE", 3: "CCITT-G3", 4: "CCITT-G4",
+    5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "Deflate", 32773: "PackBits",
+    32946: "Deflate",
+}
+
+_T_WIDTH = 0x0100
+_T_HEIGHT = 0x0101
+_T_BITS = 0x0102
+_T_COMPRESSION = 0x0103
+_T_PHOTOMETRIC = 0x0106
+_T_STRIP_OFFSETS = 0x0111
+_T_SPP = 0x0115
+_T_ROWS_PER_STRIP = 0x0116
+_T_STRIP_COUNTS = 0x0117
+_T_PLANAR = 0x011C
+_T_TILE_W = 0x0142
+
+
+def _byte_order(data: bytes) -> str:
+    if data[:2] == b"II":
+        return "<"
+    if data[:2] == b"MM":
+        return ">"
+    raise TiffError(f"not a TIFF payload (byte order {data[:2]!r})")
+
+
+def _ifds(data: bytes, bo: str):
+    from verified_sources_spark.llm.exif import ExifError, _read_ifd
+
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic != 42:
+        raise TiffError(f"bad TIFF magic {magic}")
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    seen = set()
+    while off:
+        if off in seen:
+            raise TiffError("IFD chain cycle")
+        seen.add(off)
+        try:
+            ifd, off = _read_ifd(data, 0, off, bo)
+        except ExifError as e:
+            raise TiffError(str(e)) from None
+        yield ifd
+
+
+def _as_list(v):
+    return v if isinstance(v, list) else [v]
+
+
+def _ints(data: bytes, ifd: dict, tag: int, bo: str) -> list[int]:
+    """A tag's values as a list of ints (SHORT/LONG arrays arrive as
+    raw bytes from the shared EXIF reader when count > 1)."""
+    v = ifd.get(tag)
+    if v is None:
+        return []
+    if isinstance(v, int):
+        return [v]
+    if isinstance(v, bytes):
+        if len(v) % 4 == 0:
+            return list(struct.unpack(bo + "I" * (len(v) // 4), v))
+        if len(v) % 2 == 0:
+            return list(struct.unpack(bo + "H" * (len(v) // 2), v))
+        raise TiffError(f"odd-width value array for tag 0x{tag:04X}")
+    if isinstance(v, list):
+        return [int(x[0] / x[1]) if isinstance(x, tuple) else int(x)
+                for x in v]
+    raise TiffError(f"unexpected value shape for tag 0x{tag:04X}")
+
+
+def probe(data: bytes) -> dict:
+    """Header-only metadata for every page: width, height,
+    bits_per_sample, samples_per_pixel, compression (named),
+    photometric; top-level dims/compression are page 0's."""
+    bo = _byte_order(data)
+    pages = []
+    for ifd in _ifds(data, bo):
+        comp = _ints(data, ifd, _T_COMPRESSION, bo)
+        bits = _ints(data, ifd, _T_BITS, bo)
+        pages.append({
+            "width": (_ints(data, ifd, _T_WIDTH, bo) or [0])[0],
+            "height": (_ints(data, ifd, _T_HEIGHT, bo) or [0])[0],
+            "bits_per_sample": bits or [1],
+            "samples_per_pixel": (_ints(data, ifd, _T_SPP, bo) or [1])[0],
+            "compression": _COMPRESSION_NAMES.get(
+                (comp or [1])[0], f"compression-{(comp or [1])[0]}"
+            ),
+            "photometric": (_ints(data, ifd, _T_PHOTOMETRIC, bo) or [0])[0],
+            "_ifd": ifd,
+        })
+    if not pages:
+        raise TiffError("no IFDs found")
+    p0 = pages[0]
+    return {
+        "width": p0["width"], "height": p0["height"],
+        "n_pages": len(pages),
+        "bits_per_sample": p0["bits_per_sample"],
+        "samples_per_pixel": p0["samples_per_pixel"],
+        "compression": p0["compression"],
+        "photometric": p0["photometric"],
+        "pages": [{k: v for k, v in pg.items() if k != "_ifd"}
+                  for pg in pages],
+        "_pages_raw": pages,
+        "_bo": bo,
+    }
+
+
+def decode(data: bytes) -> dict:
+    """First-page pixels for the decodable subset (uncompressed or
+    Deflate strips, 8-bit gray or RGB, chunky): the common
+    ``{width, height, mode, pixels}`` contract (gray replicates to
+    RGB).  Everything else refuses with the compression/layout named."""
+    m = probe(data)
+    bo = m["_bo"]
+    pg = m["_pages_raw"][0]
+    ifd = pg["_ifd"]
+    if pg["compression"] not in ("uncompressed", "Deflate"):
+        raise TiffError(
+            f"cannot decode {pg['compression']} TIFF "
+            f"(uncompressed/Deflate only)"
+        )
+    planar = (_ints(data, ifd, _T_PLANAR, bo) or [1])[0]
+    if planar != 1:
+        raise TiffError("cannot decode planar TIFF (chunky only)")
+    if _T_TILE_W in ifd:
+        raise TiffError("cannot decode tiled TIFF (strips only)")
+    spp = pg["samples_per_pixel"]
+    bits = pg["bits_per_sample"]
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise TiffError(
+            f"cannot decode {bits}-bit x{spp} TIFF (8-bit gray/RGB only)"
+        )
+    offsets = _ints(data, ifd, _T_STRIP_OFFSETS, bo)
+    counts = _ints(data, ifd, _T_STRIP_COUNTS, bo)
+    if not offsets or len(offsets) != len(counts):
+        raise TiffError("missing/mismatched strip tables")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            raise TiffError(f"truncated strip at {off}")
+        chunk = data[off : off + cnt]
+        if pg["compression"] == "Deflate":
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as e:
+                raise TiffError(f"bad Deflate strip: {e}") from None
+        raw += chunk
+    w, h = pg["width"], pg["height"]
+    need = w * h * spp
+    if len(raw) < need:
+        raise TiffError(f"strip data short: {len(raw)} < {need}")
+    raw = bytes(raw[:need])
+    if spp == 1:
+        raw = b"".join(bytes([v, v, v]) for v in raw)
+    return {"width": w, "height": h, "mode": "RGB", "pixels": raw}
+
+
+def encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    byte_order: str = "II",
+    deflate: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Real single-page TIFF: chunky 8-bit gray or RGB, one or more
+    strips, optional Deflate, either byte order."""
+    spp = 3 if mode == "RGB" else 1
+    if len(pixels) != width * height * spp:
+        raise TiffError("pixel buffer does not match dimensions")
+    bo = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = pixels[y0 * width * spp : min(y0 + rps, height) * width * spp]
+        strips.append(zlib.compress(rows) if deflate else rows)
+
+    n_entries = 9
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    heap = bytearray()
+    heap_off = ifd_off + ifd_size
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    def short4(v):
+        return struct.pack(bo + "H", v) + b"\x00\x00"
+
+    def long4(v):
+        return struct.pack(bo + "I", v)
+
+    def longs(vals):
+        if len(vals) == 1:
+            return long4(vals[0])
+        off = heap_off + len(heap)
+        for v in vals:
+            heap.extend(struct.pack(bo + "I", v))
+        return long4(off)
+
+    bits4 = short4(8)
+    if spp == 3:
+        off = heap_off + len(heap)
+        heap.extend(struct.pack(bo + "HHH", 8, 8, 8))
+        bits4 = long4(off)
+
+    # strip offsets resolve after the heap: reserve placeholder entries
+    strip_data_off_marker = object()
+    entries = [
+        entry(_T_WIDTH, 4, 1, long4(width)),
+        entry(_T_HEIGHT, 4, 1, long4(height)),
+        entry(_T_BITS, 3, spp, bits4),
+        entry(_T_COMPRESSION, 3, 1, short4(8 if deflate else 1)),
+        entry(_T_PHOTOMETRIC, 3, 1, short4(2 if spp == 3 else 1)),
+        None,  # strip offsets: patched below
+        entry(_T_SPP, 3, 1, short4(spp)),
+        entry(_T_ROWS_PER_STRIP, 4, 1, long4(rps)),
+        entry(_T_STRIP_COUNTS, 4, len(strips),
+              longs([len(s) for s in strips])),
+    ]
+    del strip_data_off_marker
+    # strip payloads live after the heap
+    data_off = heap_off + len(heap) + (4 * len(strips) if len(strips) > 1
+                                       else 0)
+    offs = []
+    acc = data_off
+    for s in strips:
+        offs.append(acc)
+        acc += len(s)
+    entries[5] = entry(_T_STRIP_OFFSETS, 4, len(strips), longs(offs))
+    ifd = (struct.pack(bo + "H", n_entries) + b"".join(entries)
+           + b"\x00\x00\x00\x00")
+    head = ((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+            + struct.pack(bo + "I", ifd_off))
+    return head + ifd + bytes(heap) + b"".join(strips)

@@ -2098,9 +2098,10 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image dispatch end-to-end over documents: mint one
-    asset per doc cycling ALL FIVE stdlib image codecs by
-    ``doc_id % 5`` (PNG, baseline JPEG, GIF/LZW, BMP, WebP-VP8L
-    lossless), dims from doc_id, every 11th truncated; decode through
+    asset per doc cycling ALL SIX stdlib image codecs by
+    ``doc_id % 6`` (PNG, baseline JPEG, GIF/LZW, BMP, WebP-VP8L
+    lossless, TIFF Deflate-strips), dims from doc_id, every 11th
+    truncated; decode through
     the image_io sniffing seam via llm/image_dedup.image_dhash.  The
     oracle replays the arithmetic — a value-hash match proves each
     codec decoded its share and echoed the true dims (the real
@@ -2118,6 +2119,7 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from verified_sources_spark.llm.gif_codec import encode as gif_enc
         from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
         from verified_sources_spark.llm.png_codec import encode as png_enc
+        from verified_sources_spark.llm.tiff_codec import encode as tiff_enc
         from verified_sources_spark.llm.vp8l_codec import encode as webp_enc
 
         for pdf in batches:
@@ -2131,7 +2133,7 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 coarse = levels[rng.integers(0, 16, size=(6, 8))]
                 gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
                 rgb = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
-                fmt = did % 5
+                fmt = did % 6
                 if fmt == 0:
                     asset = png_enc(w, h, rgb, "RGB")
                 elif fmt == 1:
@@ -2140,9 +2142,14 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     asset = gif_enc(w, h, rgb)
                 elif fmt == 3:
                     asset = bmp_enc(w, h, rgb)
-                else:
+                elif fmt == 4:
                     asset = webp_enc(w, h, rgb, cache_bits=4,
                                      predictor=2 if did % 2 else None)
+                else:
+                    asset = tiff_enc(w, h, rgb,
+                                     byte_order="MM" if did % 2 else "II",
+                                     deflate=did % 4 == 1,
+                                     rows_per_strip=5)
                 rows.append(
                     {"doc_id": did,
                      "asset": asset[:8] if did % 11 == 0 else asset}
