@@ -117,3 +117,21 @@ def test_spark_operator(spark):
     assert got[1]["text"] == "alpha beta" and got[1]["n_pages"] == 1
     assert got[2]["text"] == "one\ftwo" and got[2]["n_pages"] == 2
     assert got[3]["decoded_ok"] is False
+
+
+def test_obj_pattern_inside_stream_does_not_clobber():
+    """Bytes that look like 'N G obj' INSIDE a stream payload must not
+    overwrite the real object N (compressed payloads contain arbitrary
+    byte patterns at 100 TB scale)."""
+    # the page object in encode_pdf's numbering is 4; hide a fake
+    # redefinition of it inside the content stream's payload
+    poison = b"BT (real text) Tj ET % 4 0 obj << /Contents 99 0 R >> x"
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(poison)).encode()
+            + b" >>\nstream\n" + poison + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    out = extract_pdf_text(body)
+    assert out["pages"][0] == "real text"

@@ -305,13 +305,20 @@ def _load_objects(data: bytes) -> dict[int, object]:
         raise PdfError("not a PDF payload (missing %PDF header)")
     objects: dict[int, object] = {}
     streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw_start)
+    # spans of already-seen stream payloads: an "N G obj" byte pattern
+    # INSIDE compressed stream data is noise and must not clobber a
+    # real object (matches are position-ordered, and a stream's own
+    # header always precedes its payload, so spans are known in time)
+    spans: list[tuple[int, int]] = []
     for m in _OBJ_RE.finditer(data):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
         num = int(m.group(1))
         lex = _Lexer(data, m.end())
         try:
             val = lex.read_object()
         except PdfError:
-            continue  # a false 'obj' hit inside a stream body
+            continue  # a false 'obj' hit in unparseable surroundings
         kw = lex.peek_keyword()
         if kw == "stream" and isinstance(val, dict):
             p = data.find(b"stream", lex.pos) + 6
@@ -320,6 +327,9 @@ def _load_objects(data: bytes) -> dict[int, object]:
             elif data[p : p + 1] == b"\n":
                 p += 1
             streams[num] = (val, p)
+            length = val.get("Length")
+            if isinstance(length, (int, float)):
+                spans.append((p, p + int(length)))
         objects[num] = val
     if not objects:
         raise PdfError("no indirect objects found")

@@ -3,8 +3,9 @@ containers.
 
 ``probe_video`` dispatches on magic bytes — RIFF/AVI → llm/avi_codec
 (BI_RGB or MJPG frames), GIF87a/89a → llm/gif_codec (animated GIFs ARE
-video: web corpora are full of them), ftyp → llm/mp4_codec (the
-dominant web container; header-only box walk) — and returns a
+video: web corpora are full of them), ftyp → llm/mp4_codec and EBML →
+llm/webm_codec (the two containers that together carry essentially all
+scraped web video; header-only tree walks) — and returns a
 normalized header dict.  ``sample_frames`` implements time-based
 sampling: AVI seeks straight to each kept frame (frame offsets are in
 the header); GIF decodes sequentially up to the last kept frame
