@@ -1630,6 +1630,24 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# Cross-modal caption coverage: the video clock (WebM probe) and the
+# caption clock (VTT cues) must agree — cue counts, summed cue time and
+# the coverage ratio all replayed from the minting arithmetic.
+ORACLE_SQL["caption_coverage_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (20 + doc_id % 30) * 100 AS dur,
+               1 + doc_id % 3 AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(dur AS BIGINT) AS duration_ms,
+           CAST(k AS INTEGER) AS n_cues,
+           CAST(k * (dur // 4) AS BIGINT) AS caption_ms,
+           CAST(k * (dur // 4) AS DOUBLE) / dur AS coverage
+    FROM p
+"""
+
 # Subtitle ingestion: cue slicing + timing arithmetic replayed in SQL,
 # one row per cue via a 3-way union (cue count = 1 + id % 3).
 ORACLE_SQL["subtitle_cues_docs"] = """

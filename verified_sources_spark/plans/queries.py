@@ -1990,6 +1990,82 @@ def subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def caption_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL video↔subtitle alignment over documents: per doc,
+    mint a WebM clip (duration from doc_id arithmetic) AND a matching
+    VTT caption track whose cues cover a deterministic fraction of the
+    runtime; probe the video (llm/video_io), explode the cues
+    (llm/subtitles) and JOIN the two modalities to score caption
+    coverage — the curation signal that decides whether a clip is
+    usable for caption/ASR training.  Shapes: both probes are
+    mapInPandas with payloads never shuffled; the join is on doc_id
+    after each side reduces to metadata-sized rows.  The oracle
+    replays cue counts, summed cue time and the coverage ratio in SQL
+    — a value-hash match proves the two independent parsers agree on
+    the same clock."""
+    import pandas as pd
+    import pyspark.sql.functions as FN
+
+    from verified_sources_spark.llm.subtitles import subtitle_cues
+    from verified_sources_spark.llm.video_dedup import video_probe
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint_video(batches):
+        from verified_sources_spark.llm.webm_codec import encode_stub
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 20 + did % 30  # 2.0s - 4.9s at 10 fps
+                rows.append({"doc_id": did,
+                             "asset": encode_stub(width=64, height=48,
+                                                  n_frames=n, fps=10.0)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_vtt(batches):
+        from verified_sources_spark.llm.subtitles import encode_vtt
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 20 + did % 30
+                dur = n * 100
+                k = 1 + did % 3  # cues, each covering 25% of runtime
+                cues = []
+                for i in range(k):
+                    start = i * (dur // 4)
+                    cues.append((start, start + dur // 4, f"cue {i}"))
+                rows.append({"doc_id": did,
+                             "payload": encode_vtt(cues)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    videos = video_probe(d.mapInPandas(mint_video, "doc_id long, asset binary"))
+    cues = subtitle_cues(
+        d.mapInPandas(mint_vtt, "doc_id long, payload string"),
+        text_col="payload",
+    )
+    cue_agg = cues.filter("decoded_ok").groupBy("doc_id").agg(
+        FN.count(FN.lit(1)).cast("int").alias("n_cues"),
+        FN.sum(FN.col("end_ms") - FN.col("start_ms")).alias("caption_ms"),
+    )
+    return (
+        videos.filter("decoded_ok")
+        .select("doc_id", "duration_ms")
+        .join(cue_agg, "doc_id")
+        .select(
+            "doc_id",
+            FN.col("duration_ms"),
+            "n_cues",
+            "caption_ms",
+            (FN.col("caption_ms") / FN.col("duration_ms"))
+            .alias("coverage"),
+        )
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2702,4 +2778,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exif_inventory_docs": exif_inventory_docs,
     "pdf_extract_docs": pdf_extract_docs,
     "subtitle_cues_docs": subtitle_cues_docs,
+    "caption_coverage_docs": caption_coverage_docs,
 }
