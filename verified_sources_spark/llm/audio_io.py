@@ -6,7 +6,7 @@ containers — the audio mirror of llm/video_io.
 llm/flac_codec (STREAMINFO manifest; subframe decode refuses by name),
 ID3v2 prefix or MPEG frame sync → llm/mp3_codec (frame-walk manifest;
 PCM synthesis refuses by name) — and returns a normalized header dict.
-``decode_samples`` decodes where the stdlib can (WAV family) and
+``decode_samples`` decodes where the stdlib can (WAV + AIFF PCM) and
 refuses WITH THE CODEC NAMED where it can't, so media ingestion
 degrades to exact-dedup-only with full probed manifests for the
 compressed formats — the same honest posture as the video seam.
@@ -25,6 +25,8 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     if payload[:4] == b"OggS":
         return "ogg"
     if payload[:3] == b"ID3":
@@ -70,6 +72,21 @@ def probe_audio(payload: bytes) -> dict:
             "codec": "FLAC",
             "raw": m,
         }
+    if fmt == "aiff":
+        from verified_sources_spark.llm.aiff_codec import probe
+
+        m = probe(payload)
+        return {
+            "container": "aiff",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "n_samples": m["n_frames"],
+            "duration_ms": m["duration_ms"],
+            "codec": ("PCM_BE" if m["compression"] == "NONE"
+                      else "PCM_LE" if m["compression"] == "sowt"
+                      else f"AIFC_{m['compression']}"),
+            "raw": m,
+        }
     if fmt == "ogg":
         from verified_sources_spark.llm.ogg_codec import probe
 
@@ -99,7 +116,7 @@ def probe_audio(payload: bytes) -> dict:
             "raw": m,
         }
     raise ValueError(
-        "unrecognized audio payload (not WAV, FLAC, Ogg or MP3)"
+        "unrecognized audio payload (not WAV, AIFF, FLAC, Ogg or MP3)"
     )
 
 
@@ -112,6 +129,10 @@ def decode_samples(payload: bytes) -> dict:
         from verified_sources_spark.llm.wav_codec import decode
 
         return decode(payload)
+    if fmt == "aiff":
+        from verified_sources_spark.llm.aiff_codec import decode
+
+        return decode(payload)  # PCM decodes; AIFC types refuse by name
     if fmt == "flac":
         from verified_sources_spark.llm.flac_codec import (
             decode_samples as flac_decode,
@@ -131,5 +152,5 @@ def decode_samples(payload: bytes) -> dict:
 
         mp3_decode(payload)  # raises NotImplementedError naming the layer
     raise ValueError(
-        "unrecognized audio payload (not WAV, FLAC, Ogg or MP3)"
+        "unrecognized audio payload (not WAV, AIFF, FLAC, Ogg or MP3)"
     )

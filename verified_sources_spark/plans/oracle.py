@@ -1763,7 +1763,9 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
     WITH p AS (
         SELECT doc_id,
                (doc_id % 19) <> 0 AS ok,
-               doc_id % 4 AS fmt,
+               doc_id % 5 AS fmt,
+               8000 * (1 + doc_id % 3) AS aiff_rate,
+               400 + (doc_id % 7) * 100 AS aiff_n,
                (doc_id // 4) % 2 = 0 AS is_opus,
                8000 * (1 + doc_id % 2) AS wav_rate,
                500 + (doc_id % 7) * 100 AS wav_n,
@@ -1786,11 +1788,12 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
            ok AS decoded_ok,
            CASE WHEN ok THEN
                 CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
-                         WHEN 2 THEN 'flac' ELSE 'ogg' END
+                         WHEN 2 THEN 'flac' WHEN 4 THEN 'aiff'
+                         ELSE 'ogg' END
            END AS container,
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN wav_rate WHEN 1 THEN mp3_rate
-                         WHEN 2 THEN flac_rate
+                         WHEN 2 THEN flac_rate WHEN 4 THEN aiff_rate
                          ELSE CASE WHEN is_opus THEN opus_rate
                                    ELSE vorbis_rate END
                 END AS INTEGER)
@@ -1798,11 +1801,12 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 1 + doc_id % 2
                          WHEN 2 THEN 1 + (doc_id // 2) % 2
+                         WHEN 4 THEN 1
                          ELSE 1 + doc_id % 2 END AS INTEGER)
            END AS channels,
            CASE WHEN ok THEN CAST(
                 CASE fmt WHEN 0 THEN wav_n WHEN 1 THEN mp3_nf * 1152
-                         WHEN 2 THEN flac_total
+                         WHEN 2 THEN flac_total WHEN 4 THEN aiff_n
                          ELSE CASE WHEN is_opus THEN opus_granule
                                    ELSE vorbis_granule END
                 END AS BIGINT)
@@ -1811,6 +1815,7 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
                 CASE fmt WHEN 0 THEN (wav_n * 1000) // wav_rate
                          WHEN 1 THEN (mp3_nf * 1152000) // mp3_rate
                          WHEN 2 THEN (flac_total * 1000) // flac_rate
+                         WHEN 4 THEN (aiff_n * 1000) // aiff_rate
                          ELSE CASE WHEN is_opus
                                    THEN (opus_granule * 1000) // 48000
                                    ELSE (vorbis_granule * 1000) // vorbis_rate
@@ -1820,6 +1825,8 @@ ORACLE_SQL["audio_formats_probe_docs"] = """
            CASE WHEN ok THEN
                 CASE fmt WHEN 0 THEN 'PCM' WHEN 1 THEN 'MPEG-1-LIII'
                          WHEN 2 THEN 'FLAC'
+                         WHEN 4 THEN CASE WHEN doc_id % 2 = 1
+                                          THEN 'PCM_LE' ELSE 'PCM_BE' END
                          ELSE CASE WHEN is_opus THEN 'OPUS'
                                    ELSE 'VORBIS' END END
            END AS codec

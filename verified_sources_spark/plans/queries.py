@@ -1649,9 +1649,10 @@ def mp3_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-container AUDIO dispatch end-to-end over documents: mint
     one asset per doc cycling ALL FOUR stdlib-probeable containers by
-    ``doc_id % 4`` (PCM WAV — sample-decodable; MPEG-1 Layer III — CBR
-    frame walk; FLAC — STREAMINFO manifest; Ogg — Opus or Vorbis by
-    further doc_id arithmetic, duration from the final granule), params
+    ``doc_id % 5`` (PCM WAV and big-endian AIFF — sample-decodable;
+    MPEG-1 Layer III — CBR frame walk; FLAC — STREAMINFO manifest;
+    Ogg — Opus or Vorbis by further doc_id arithmetic, duration from
+    the final granule), params
     from doc_id arithmetic, every 19th truncated; probe through the
     llm/audio_io sniffing seam via llm/audio_dedup.audio_probe.  The
     oracle replays the rate/channels/samples/duration/codec arithmetic
@@ -1670,6 +1671,7 @@ def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mint(batches):
         import numpy as np
 
+        from verified_sources_spark.llm.aiff_codec import encode as aiff_enc
         from verified_sources_spark.llm.flac_codec import (
             encode_stub as flac_enc,
         )
@@ -1681,8 +1683,15 @@ def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                fmt = did % 4
-                if fmt == 0:
+                fmt = did % 5
+                if fmt == 4:
+                    rate = 8000 * (1 + did % 3)
+                    n = 400 + (did % 7) * 100
+                    x = 0.3 * np.sin(
+                        2 * np.pi * 220.0 * np.arange(n) / rate
+                    )
+                    asset = aiff_enc(x, rate, sowt=did % 2 == 1)
+                elif fmt == 0:
                     rate = 8000 * (1 + did % 2)
                     n = 500 + (did % 7) * 100
                     x = 0.4 * np.sin(
