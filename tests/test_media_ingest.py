@@ -343,3 +343,42 @@ def test_mp4_ingests_exact_only_with_probed_manifest(spark, tmp_path):
             assert m["container"] == "mp4" and m["codec"] == "avc1"
             assert (m["width"], m["height"], m["n_frames"]) == (64, 48, 20)
             assert m["duration_ms"] == 2000
+
+
+def test_cross_format_audio_wav_aiff_dedup(spark, tmp_path):
+    """The SAME recording stored as WAV and as AIFF (either endianness)
+    lands on one spectral fingerprint: a standing WAV rejects AIFF
+    re-posts cross-format — the audio mirror of PNG/JPEG image dedup."""
+    import numpy as np
+
+    from verified_sources_spark.llm.aiff_codec import encode as aiff_enc
+    from verified_sources_spark.streaming.media_ingest import (
+        perceptual_fingerprint,
+    )
+
+    rng = np.random.default_rng(5)
+    t = np.arange(4000) / 8000.0
+    freqs = rng.uniform(150, 3500, size=4)
+    env = np.interp(t, np.linspace(0, 0.5, 8), rng.uniform(0.2, 1.0, 8))
+    x = env * sum(np.sin(2 * np.pi * f * t) for f in freqs)
+    x = np.clip(x / np.abs(x).max() * 0.8, -1, 1)
+    wav = wav_encode(x, 8000)
+    aiff_be = aiff_enc(x, 8000)
+    aiff_le = aiff_enc(x, 8000, sowt=True)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    mw, fw = perceptual_fingerprint(wav)
+    for other in (aiff_be, aiff_le):
+        m2, f2 = perceptual_fingerprint(other)
+        assert (mw, m2) == ("audio", "audio")
+        assert ham(fw, f2) <= 3
+
+    ing = _mk(spark, tmp_path)
+    ing.apply_batch(spark.createDataFrame([(1, bytearray(wav))], SCHEMA), 0)
+    b1 = spark.createDataFrame(
+        [(2, bytearray(aiff_be)), (3, bytearray(aiff_le))], SCHEMA)
+    ing.apply_batch(b1, 1)
+    got = {r["doc_id"] for r in ing.docs_table.read().collect()}
+    assert got == {1}  # both AIFF re-posts rejected against the WAV

@@ -103,6 +103,18 @@ def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, in
         m = decode(payload)
         fp = _audio_fingerprint_of_samples(m["samples"], m["sample_rate"])
         modality = "audio"
+    elif payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF PCM decodes fully, so the SAME recording stored as WAV
+        # and as AIFF lands on the same spectral fingerprint and dedups
+        # cross-format (AIFC compression types raise -> exact-only)
+        from verified_sources_spark.llm.aiff_codec import decode as aiff_dec
+        from verified_sources_spark.llm.audio_dedup import (
+            _audio_fingerprint_of_samples,
+        )
+
+        m = aiff_dec(payload)
+        fp = _audio_fingerprint_of_samples(m["samples"], m["sample_rate"])
+        modality = "audio"
     else:
         raise ValueError("unrecognized media payload")
     if fp >= 1 << 63:
