@@ -1630,6 +1630,32 @@ ORACLE_SQL["mp3_decode_probe_docs"] = """
     FROM p
 """
 
+# Cross-format metadata compliance: the planting arithmetic replayed —
+# jpeg/png/mp3 by id % 3, tags only when id % 4 != 0, labels exact,
+# scrub certified clean on every decodable asset.
+ORACLE_SQL["metadata_scrub_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 11) <> 0 AS ok,
+               doc_id % 3 AS fmt,
+               doc_id % 4 <> 0 AS tagged
+        FROM documents
+    )
+    SELECT doc_id,
+           ok AS decoded_ok,
+           CASE WHEN ok THEN
+                CASE fmt WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                         ELSE 'mp3' END END AS container,
+           CASE WHEN ok THEN tagged END AS has_metadata,
+           CASE WHEN ok AND tagged THEN
+                CASE fmt WHEN 0 THEN 'Cam' || (doc_id % 5)
+                         WHEN 1 THEN 'user-' || (doc_id % 9)
+                         ELSE 'track-' || (doc_id % 7) END
+           END AS label,
+           CASE WHEN ok THEN TRUE END AS clean_after_scrub
+    FROM p
+"""
+
 # Cross-modal caption coverage: the video clock (WebM probe) and the
 # caption clock (VTT cues) must agree — cue counts, summed cue time and
 # the coverage ratio all replayed from the minting arithmetic.

@@ -2075,6 +2075,138 @@ def caption_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format METADATA COMPLIANCE pass over documents: mint one
+    asset per doc cycling the three tagged formats by ``doc_id % 3``
+    (JPEG + EXIF via llm/exif, PNG + tEXt/zTXt/iTXt via llm/png_text,
+    MP3 + ID3v2/v1 via llm/id3 — ID3 version and text encoding vary by
+    further arithmetic), every 4th minted CLEAN (no metadata — the
+    inventory must not hallucinate), every 11th truncated; per asset:
+    inventory → scrub → re-probe.  The oracle replays the planting
+    arithmetic in SQL — a value-hash match proves each format's tag
+    walk decoded the planted label exactly and the scrub verifiably
+    removed it (clean_after_scrub TRUE corpus-wide) — the provenance/
+    PII release gate for a mixed-modality corpus."""
+    import pandas as pd
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.exif import (
+            build_exif_app1,
+            inject_app1,
+        )
+        from verified_sources_spark.llm.id3 import build_id3v2
+        from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
+        from verified_sources_spark.llm.mp3_codec import (
+            encode_stub as mp3_enc,
+        )
+        from verified_sources_spark.llm.png_codec import encode as png_enc
+        from verified_sources_spark.llm.png_text import add_text
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fmt = did % 3
+                tagged = did % 4 != 0
+                if fmt == 0:
+                    w, h = 16, 12
+                    asset = jpg_enc(w, h, bytes([did % 251]) * (w * h * 3),
+                                    quality=90)
+                    if tagged:
+                        asset = inject_app1(
+                            asset, build_exif_app1(make=f"Cam{did % 5}")
+                        )
+                elif fmt == 1:
+                    w, h = 16, 12
+                    asset = png_enc(w, h, bytes([did % 251]) * (w * h * 3),
+                                    "RGB")
+                    if tagged:
+                        kind = ["tEXt", "zTXt", "iTXt"][did % 9 % 3]
+                        asset = add_text(
+                            asset, [("Author", f"user-{did % 9}", kind)]
+                        )
+                else:
+                    asset = mp3_enc(n_frames=6 + did % 5)
+                    if tagged:
+                        asset = build_id3v2(
+                            {"TIT2": f"track-{did % 7}"},
+                            major=3 if did % 2 else 4,
+                            encoding=[0, 1, 3][did % 9 % 3],
+                        ) + asset
+                rows.append(
+                    {"doc_id": did,
+                     "asset": asset[:6] if did % 11 == 0 else asset}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def inventory(batches):
+        from verified_sources_spark.llm.exif import probe_exif, strip_metadata
+        from verified_sources_spark.llm.id3 import probe_id3, strip_id3
+        from verified_sources_spark.llm.png_text import probe_text, strip_text
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf["doc_id"], pdf["asset"]):
+                payload = bytes(payload)
+                try:
+                    if payload[:2] == b"\xff\xd8":
+                        m = probe_exif(payload)
+                        has, label = m["has_exif"], m["make"]
+                        clean = not probe_exif(
+                            strip_metadata(payload))["has_exif"]
+                        container = "jpeg"
+                    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        m = probe_text(payload)
+                        has = m["has_text"]
+                        label = m["entries"][0][1] if m["entries"] else None
+                        clean = not probe_text(
+                            strip_text(payload))["has_text"]
+                        container = "png"
+                    elif payload[:3] == b"ID3" or (
+                        len(payload) > 1 and payload[0] == 0xFF
+                        and (payload[1] & 0xE0) == 0xE0
+                    ):
+                        from verified_sources_spark.llm.mp3_codec import (
+                            probe as mp3_probe,
+                        )
+
+                        mp3_probe(payload)  # truncated streams must say so
+                        m = probe_id3(payload)
+                        has = m["has_id3v2"] or m["has_id3v1"]
+                        label = m["title"]
+                        s = probe_id3(strip_id3(payload))
+                        clean = not (s["has_id3v2"] or s["has_id3v1"])
+                        container = "mp3"
+                    else:
+                        raise ValueError("unrecognized payload")
+                    rows.append(
+                        {"doc_id": _id, "decoded_ok": True,
+                         "container": container, "has_metadata": has,
+                         "label": label, "clean_after_scrub": clean}
+                    )
+                except Exception:
+                    rows.append(
+                        {"doc_id": _id, "decoded_ok": False,
+                         "container": None, "has_metadata": None,
+                         "label": None, "clean_after_scrub": None}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "decoded_ok", "container",
+                               "has_metadata", "label",
+                               "clean_after_scrub"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return assets.mapInPandas(
+        inventory,
+        "doc_id long, decoded_ok boolean, container string, "
+        "has_metadata boolean, label string, clean_after_scrub boolean",
+    )
+
+
 def video_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal VIDEO path end-to-end over documents: mint one
     deterministic BI_RGB AVI per doc (dims and frame count derived from
@@ -2788,4 +2920,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract_docs": pdf_extract_docs,
     "subtitle_cues_docs": subtitle_cues_docs,
     "caption_coverage_docs": caption_coverage_docs,
+    "metadata_scrub_docs": metadata_scrub_docs,
 }
