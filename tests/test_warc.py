@@ -93,6 +93,84 @@ def test_error_paths():
         http_payload(block[: len(block) - 5])
 
 
+def test_detect_charset_precedence():
+    from verified_sources_spark.llm.warc import detect_charset
+
+    # BOM beats header
+    assert detect_charset({"content-type": "text/html; charset=latin-1"},
+                          b"\xef\xbb\xbfhi") == ("utf-8-sig", "bom")
+    assert detect_charset(None, b"\xff\xfeh\x00")[0] == "utf-16"
+    # header charset, with quotes and mixed case
+    assert detect_charset(
+        {"content-type": 'text/html; charset="Windows-1251"'}, b"x"
+    ) == ("cp1251", "http-header")
+    # meta sniff when header has no charset
+    body = b'<html><head><meta charset="Shift_JIS"><title>t</title>'
+    assert detect_charset({"content-type": "text/html"}, body) == (
+        "shift_jis", "meta")
+    # http-equiv form
+    body = (b'<html><head><meta http-equiv="Content-Type" '
+            b'content="text/html; charset=ISO-8859-1">')
+    assert detect_charset({}, body) == ("iso8859-1", "meta")
+    # unknown label falls through to default
+    assert detect_charset(
+        {"content-type": "text/html; charset=utf8-general-nonsense"}, b"x"
+    ) == ("utf-8", "default")
+    assert detect_charset({}, b"plain") == ("utf-8", "default")
+
+
+@pytest.mark.parametrize("codec,label,text", [
+    ("iso-8859-1", "ISO-8859-1", "café déjà vu"),
+    ("cp1251", "windows-1251", "привет мир"),
+    ("shift_jis", "Shift_JIS", "こんにちは世界"),
+    ("gbk", "GBK", "你好世界"),
+])
+def test_decode_body_recovers_legacy_charsets(codec, label, text):
+    """The mojibake regression: decoding these bodies as hard-coded
+    UTF-8 would garble every non-ASCII char; honoring the declared
+    charset recovers the original text byte-for-byte."""
+    from verified_sources_spark.llm.warc import decode_body
+
+    raw = text.encode(codec)
+    assert raw.decode("utf-8", errors="replace") != text  # would mojibake
+    got, cs, clean = decode_body(
+        {"content-type": f"text/html; charset={label}"}, raw)
+    assert (got, clean) == (text, True)
+    # meta-only declaration path
+    page = (f'<meta charset="{label}">{text}').encode(codec)
+    got2, cs2, clean2 = decode_body({"content-type": "text/html"}, page)
+    assert text in got2 and clean2 and cs2 == cs
+
+
+def test_decode_body_flags_dirty_decodes():
+    from verified_sources_spark.llm.warc import decode_body
+
+    # bytes invalid for the declared charset: replace, flag dirty
+    got, cs, clean = decode_body(
+        {"content-type": "text/html; charset=utf-8"}, b"\x80\xffab")
+    assert clean is False and got.endswith("ab")  # decoded with replacement
+    # undeclared non-UTF-8 body → default utf-8, flagged dirty (not silent)
+    got, cs, clean = decode_body({}, "café".encode("iso-8859-1"))
+    assert cs == "utf-8" and clean is False
+
+
+def test_warc_extract_charset_columns(spark):
+    """End-to-end: a Shift_JIS page with header-declared charset comes
+    out clean and un-mojibaked through the Spark operator."""
+    from verified_sources_spark.llm.warc import warc_extract
+
+    text = "日本語のページ"
+    body = (f"<html><head><title>t</title></head>"
+            f"<body>{text}</body></html>").encode("shift_jis")
+    rec = encode_record(block=http_response_block(
+        body, content_type="text/html; charset=Shift_JIS"))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_warc([rec])))], "doc_id long, asset binary")
+    (row,) = warc_extract(df).collect()
+    assert row["text"] == text
+    assert row["charset"] == "shift_jis" and row["decode_clean"] is True
+
+
 def test_warc_extract_spark_operator(spark):
     """End-to-end over Spark: mixed wire layouts land documents-shaped
     rows; corrupt archives isolate as decoded_ok=false."""

@@ -30,8 +30,10 @@ ships.
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import io
+import re
 import zlib
 from html.parser import HTMLParser
 
@@ -40,6 +42,8 @@ __all__ = [
     "iter_records",
     "http_payload",
     "extract_text",
+    "detect_charset",
+    "decode_body",
     "encode_record",
     "encode_warc",
     "http_response_block",
@@ -171,6 +175,68 @@ def http_payload(block: bytes) -> tuple[int, dict, bytes]:
     return status, headers, body
 
 
+_CHARSET_IN_CT = re.compile(r"charset\s*=\s*[\"']?([\w.:-]+)", re.I)
+# Covers both <meta charset="x"> and
+# <meta http-equiv="Content-Type" content="text/html; charset=x">.
+_CHARSET_IN_META = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?([\w.:-]+)", re.I
+)
+
+
+def _lookup(label: str) -> str | None:
+    """Canonical codec name for a charset label, or None if Python has
+    no codec for it (real crawls carry typos like 'utf8_general_ci')."""
+    try:
+        return codecs.lookup(label.strip().strip('"\'')).name
+    except (LookupError, ValueError):
+        return None
+
+
+def detect_charset(
+    http_headers: dict | None, body: bytes
+) -> tuple[str, str]:
+    """(codec, source) for an HTTP response body, in the precedence
+    order real browsers use: BOM beats everything, then the
+    Content-Type ``charset=`` parameter, then an HTML ``<meta
+    charset>`` sniff over the first 1 KiB, then the UTF-8 default.
+    ``source`` ∈ {'bom', 'http-header', 'meta', 'default'} so callers
+    can audit why a page decoded the way it did."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"
+    ct = (http_headers or {}).get("content-type", "")
+    m = _CHARSET_IN_CT.search(ct)
+    if m:
+        codec = _lookup(m.group(1))
+        if codec:
+            return codec, "http-header"
+    m = _CHARSET_IN_META.search(body[:1024])
+    if m:
+        codec = _lookup(m.group(1).decode("ascii", errors="replace"))
+        if codec:
+            return codec, "meta"
+    return "utf-8", "default"
+
+
+def decode_body(
+    http_headers: dict | None, body: bytes
+) -> tuple[str, str, bool]:
+    """(text, charset, decode_clean): decode an HTTP body honoring the
+    charset the page itself declares (header / BOM / meta sniff) —
+    hard-coding UTF-8 here silently mojibakes the ISO-8859-x /
+    Shift_JIS / GBK / windows-125x share of a real crawl and poisons
+    every downstream dedup key and lang-id score.  ``decode_clean`` is
+    False when the bytes did not decode strictly under the detected
+    charset (decoded with errors='replace' instead), so corpus prep
+    can quarantine suspect pages instead of ingesting garble."""
+    charset, _src = detect_charset(http_headers, body)
+    try:
+        return body.decode(charset), charset, True
+    except (UnicodeDecodeError, ValueError):
+        return body.decode(charset, errors="replace"), charset, False
+
+
 class _TextExtractor(HTMLParser):
     _SKIP = {"script", "style", "noscript", "template"}
 
@@ -277,7 +343,8 @@ def http_response_block(
 
 
 WARC_EXTRACT_SCHEMA = "doc_id long, decoded_ok boolean, warc_type string, " \
-    "uri string, status int, content_type string, title string, text string"
+    "uri string, status int, content_type string, charset string, " \
+    "decode_clean boolean, title string, text string"
 
 
 def warc_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
@@ -296,22 +363,23 @@ def warc_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 row = {"doc_id": _id, "decoded_ok": False, "warc_type": None,
                        "uri": None, "status": None, "content_type": None,
+                       "charset": None, "decode_clean": None,
                        "title": None, "text": None}
                 try:
                     for hdrs, block in iter_records(bytes(payload)):
                         if hdrs.get("WARC-Type") != "response":
                             continue
                         status, hh, body = http_payload(block)
-                        title, text = extract_text(
-                            body.decode("utf-8", errors="replace"),
-                            collapse=False,
-                        )
+                        html, charset, clean = decode_body(hh, body)
+                        title, text = extract_text(html, collapse=False)
                         row.update(
                             decoded_ok=True,
                             warc_type="response",
                             uri=hdrs.get("WARC-Target-URI"),
                             status=status,
                             content_type=hh.get("content-type"),
+                            charset=charset,
+                            decode_clean=clean,
                             title=title,
                             text=text,
                         )
@@ -321,7 +389,8 @@ def warc_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
                 rows.append(row)
             yield pd.DataFrame(
                 rows, columns=["doc_id", "decoded_ok", "warc_type", "uri",
-                               "status", "content_type", "title", "text"])
+                               "status", "content_type", "charset",
+                               "decode_clean", "title", "text"])
 
     from pyspark.sql import functions as F
 

@@ -1770,15 +1770,37 @@ ORACLE_SQL["archive_members_docs"] = """
 # the record walk + de-chunk + gunzip + entity-unescape recovered every
 # document byte-for-byte on exactly the uncorrupted set.
 ORACLE_SQL["warc_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 17) <> 0 AS ok,
+               doc_id % 4 AS cs,
+               (doc_id // 4) % 2 = 0 AS in_header,
+               COALESCE(text, '') AS doc_text
+        FROM documents
+    )
     SELECT doc_id,
-           (doc_id % 17) <> 0 AS decoded_ok,
-           CASE WHEN doc_id % 17 <> 0
-                THEN 'http://example.com/' || doc_id END AS uri,
-           CASE WHEN doc_id % 17 <> 0 THEN CAST(200 AS INTEGER) END AS status,
-           CASE WHEN doc_id % 17 <> 0 THEN 'text/html' END AS content_type,
-           CASE WHEN doc_id % 17 <> 0 THEN 'doc-' || doc_id END AS title,
-           CASE WHEN doc_id % 17 <> 0 THEN COALESCE(text, '') END AS text
-    FROM documents
+           ok AS decoded_ok,
+           CASE WHEN ok THEN 'http://example.com/' || doc_id END AS uri,
+           CASE WHEN ok THEN CAST(200 AS INTEGER) END AS status,
+           CASE WHEN ok THEN
+                CASE WHEN cs = 0 OR NOT in_header THEN 'text/html'
+                     WHEN cs = 1 THEN 'text/html; charset=ISO-8859-1'
+                     WHEN cs = 2 THEN 'text/html; charset=windows-1251'
+                     ELSE 'text/html; charset=Shift_JIS' END
+           END AS content_type,
+           CASE WHEN ok THEN
+                CASE cs WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso8859-1'
+                        WHEN 2 THEN 'cp1251' ELSE 'shift_jis' END
+           END AS charset,
+           CASE WHEN ok THEN TRUE END AS decode_clean,
+           CASE WHEN ok THEN 'doc-' || doc_id END AS title,
+           CASE WHEN ok THEN
+                CASE cs WHEN 0 THEN doc_text
+                        WHEN 1 THEN 'café déjà vu doc ' || doc_id
+                        WHEN 2 THEN 'привет мир doc ' || doc_id
+                        ELSE 'こんにちは世界 doc ' || doc_id END
+           END AS text
+    FROM p
 """
 
 # Mixed-container audio dispatch (WAV / MP3 / FLAC by id % 3): the

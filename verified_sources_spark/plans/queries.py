@@ -1745,13 +1745,19 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (layouts cycle the real wire variants — per-member gzip archives
     by ``doc_id % 2``, chunked transfer-encoding every 5th, gzip
     Content-Encoding every 7th; every 17th truncated), then run the
-    REAL pure-stdlib WARC parse → HTTP split → HTML text extraction
-    via llm/warc.warc_extract.  The oracle replays the layout
+    REAL pure-stdlib WARC parse → HTTP split → charset detection →
+    HTML text extraction via llm/warc.warc_extract.  Charsets cycle by
+    ``doc_id % 4`` — UTF-8 plus the three biggest legacy families of a
+    real crawl (ISO-8859-1, windows-1251, Shift_JIS), each legacy page
+    declared EITHER in the Content-Type header or only via an HTML
+    ``<meta charset>`` tag (``doc_id // 4 % 2``), so both detection
+    paths are on the hash gate.  The oracle replays the layout
     arithmetic AND the text itself in SQL — a value-hash match proves
-    the record walk, de-chunking, gunzipping and entity-unescaping
-    recovered every document byte-for-byte on exactly the uncorrupted
-    set (the ingestion front door for the dedup/quality surface;
-    reference analogue: sources/scraping landing)."""
+    the record walk, de-chunking, gunzipping, charset decode and
+    entity-unescaping recovered every page byte-for-byte (mojibake
+    would change the hash) on exactly the uncorrupted set (the
+    ingestion front door for the dedup/quality surface; reference
+    analogue: sources/scraping landing)."""
     import pandas as pd
 
     from verified_sources_spark.llm.warc import warc_extract
@@ -1767,19 +1773,37 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             http_response_block,
         )
 
+        legacy = [
+            None,
+            ("iso-8859-1", "ISO-8859-1", "café déjà vu"),
+            ("windows-1251", "windows-1251", "привет мир"),
+            ("shift_jis", "Shift_JIS", "こんにちは世界"),
+        ]
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 text = text or ""
+                cs = legacy[did % 4]
+                meta = ""
+                ctype = "text/html"
+                codec = "utf-8"
+                if cs is not None:
+                    codec, label, marker = cs
+                    text = f"{marker} doc {did}"
+                    if (did // 4) % 2 == 0:
+                        ctype = f"text/html; charset={label}"
+                    else:
+                        meta = f'<meta charset="{label}">'
                 body = (
-                    f"<html><head><title>doc-{did}</title>"
+                    f"<html><head>{meta}<title>doc-{did}</title>"
                     f"<script>var x=1;</script>"
                     f"<style>p{{color:red}}</style></head>"
                     f"<body><p>{H.escape(text)}</p></body></html>"
-                ).encode()
+                ).encode(codec)
                 block = http_response_block(
                     body,
+                    content_type=ctype,
                     chunked=did % 5 == 0,
                     gzip_body=did % 7 == 0,
                 )
@@ -1797,7 +1821,7 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = d.mapInPandas(mint, "doc_id long, asset binary")
     return warc_extract(assets).select(
         "doc_id", "decoded_ok", "uri", "status", "content_type",
-        "title", "text"
+        "charset", "decode_clean", "title", "text"
     )
 
 
