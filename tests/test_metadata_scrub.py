@@ -75,6 +75,66 @@ def test_id3_version_encoding_matrix(major, encoding):
     assert not s["has_id3v2"] and not s["has_id3v1"]
 
 
+@pytest.mark.parametrize("major", [3, 4])
+def test_id3_extended_header_frames_not_dropped(major):
+    """Regression (round-10 ADVICE): v2.3's extended-header size field
+    excludes its own 4 bytes (v2.4's syncsafe size includes itself);
+    skipping both alike landed 4 bytes short on v2.3 and the frame walk
+    read the ext header's tail as padding, silently dropping EVERY
+    frame (TIT2 'hello' probed as frames=[], title=None)."""
+    data = build_id3v2({"TIT2": "hello"}, major=major,
+                       extended_header=True) + mp3_encode(n_frames=4)
+    m = probe_id3(data)
+    assert m["frames"] == ["TIT2"] and m["title"] == "hello"
+    assert mp3_probe(strip_id3(data))["n_frames"] == 4
+
+
+@pytest.mark.parametrize("encoding", [0, 1])
+def test_id3v22_three_char_frames(encoding):
+    mp3 = mp3_encode(n_frames=5)
+    title = "Tïtle ☃" if encoding else "Title"
+    data = build_id3v2({"TT2": title, "TP1": "Artist", "TAL": "Album",
+                        "TYE": "1999"},
+                       major=2, encoding=encoding) + mp3
+    m = probe_id3(data)
+    assert m["version"] == "2.2"
+    assert m["frames"] == ["TT2", "TP1", "TAL", "TYE"]
+    assert (m["title"], m["artist"], m["album"], m["year"]) == (
+        title, "Artist", "Album", "1999")
+    assert strip_id3(data) == mp3
+    with pytest.raises(Id3Error, match="only latin-1/UTF-16"):
+        build_id3v2({"TT2": "x"}, major=2, encoding=3)
+    with pytest.raises(Id3Error, match="compressed tag"):
+        bad = bytearray(data)
+        bad[5] |= 0x40
+        probe_id3(bytes(bad))
+
+
+@pytest.mark.parametrize("major", [2, 3, 4])
+def test_id3_cover_art_dedups_against_standalone_twin(major):
+    """An MP3's embedded cover art is an image asset: extraction must
+    recover the byte-identical JPEG, so it exact-dedups against its
+    standalone twin and decodes through the normal image path."""
+    from verified_sources_spark.llm.id3 import extract_pictures
+    from verified_sources_spark.llm.image_io import decode_image
+    from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
+
+    twin = jpg_enc(8, 6, bytes([42]) * (8 * 6 * 3), quality=90)
+    data = build_id3v2(
+        {("TT2" if major == 2 else "TIT2"): "t"}, major=major,
+        encoding=0, pictures=[("image/jpeg", 3, "cover", twin)],
+    ) + mp3_encode(n_frames=3)
+    m = probe_id3(data)
+    assert m["n_pictures"] == 1
+    (pic,) = extract_pictures(data)
+    assert pic["mime"] == "image/jpeg" and pic["pic_type"] == 3
+    assert pic["description"] == "cover"
+    assert pic["image"] == twin  # byte-identical: exact-dedup joinable
+    im = decode_image(pic["image"])
+    assert (im["width"], im["height"]) == (8, 6)
+    assert extract_pictures(strip_id3(data)) == []
+
+
 def test_id3_errors_and_untagged():
     m = probe_id3(mp3_encode())
     assert not m["has_id3v2"] and m["title"] is None

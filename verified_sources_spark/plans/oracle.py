@@ -1652,6 +1652,11 @@ ORACLE_SQL["metadata_scrub_docs"] = """
                          WHEN 1 THEN 'user-' || (doc_id % 9)
                          ELSE 'track-' || (doc_id % 7) END
            END AS label,
+           CASE WHEN ok AND fmt = 2 THEN CAST(
+                CASE WHEN tagged AND doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS INTEGER) END AS n_pictures,
+           CASE WHEN ok AND fmt = 2 AND tagged AND doc_id % 5 = 0
+                THEN TRUE END AS cover_ok,
            CASE WHEN ok THEN TRUE END AS clean_after_scrub
     FROM p
 """

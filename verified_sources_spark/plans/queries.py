@@ -2103,14 +2103,19 @@ def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format METADATA COMPLIANCE pass over documents: mint one
     asset per doc cycling the three tagged formats by ``doc_id % 3``
     (JPEG + EXIF via llm/exif, PNG + tEXt/zTXt/iTXt via llm/png_text,
-    MP3 + ID3v2/v1 via llm/id3 — ID3 version and text encoding vary by
-    further arithmetic), every 4th minted CLEAN (no metadata — the
-    inventory must not hallucinate), every 11th truncated; per asset:
-    inventory → scrub → re-probe.  The oracle replays the planting
-    arithmetic in SQL — a value-hash match proves each format's tag
-    walk decoded the planted label exactly and the scrub verifiably
-    removed it (clean_after_scrub TRUE corpus-wide) — the provenance/
-    PII release gate for a mixed-modality corpus."""
+    MP3 + ID3v2/v1 via llm/id3 — ID3 major version cycles 2.2/2.3/2.4
+    and text encoding varies by further arithmetic; every 5th tagged
+    MP3 embeds APIC/PIC cover art), every 4th minted CLEAN (no
+    metadata — the inventory must not hallucinate), every 11th
+    truncated; per asset: inventory → scrub → re-probe.  Embedded
+    covers are extracted and byte-compared against an independently
+    minted standalone JPEG twin (``cover_ok`` — the cross-modal
+    exact-dedup join between an MP3's art and the image corpus).  The
+    oracle replays the planting arithmetic in SQL — a value-hash match
+    proves each format's tag walk decoded the planted label exactly,
+    the APIC payload survived byte-for-byte, and the scrub verifiably
+    removed it all (clean_after_scrub TRUE corpus-wide) — the
+    provenance/PII release gate for a mixed-modality corpus."""
     import pandas as pd
 
     d = _docs_parallel(spark, sf_dir).select("doc_id")
@@ -2156,10 +2161,19 @@ def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     asset = mp3_enc(n_frames=6 + did % 5)
                     if tagged:
+                        major = [2, 3, 4][(did // 3) % 3]
+                        enc = ([0, 1][did % 2] if major == 2
+                               else [0, 1, 3][did % 9 % 3])
+                        pics = []
+                        if did % 5 == 0:
+                            cover = jpg_enc(
+                                8, 6, bytes([did % 251]) * (8 * 6 * 3),
+                                quality=90)
+                            pics = [("image/jpeg", 3, "cover", cover)]
                         asset = build_id3v2(
-                            {"TIT2": f"track-{did % 7}"},
-                            major=3 if did % 2 else 4,
-                            encoding=[0, 1, 3][did % 9 % 3],
+                            {("TT2" if major == 2 else "TIT2"):
+                             f"track-{did % 7}"},
+                            major=major, encoding=enc, pictures=pics,
                         ) + asset
                 rows.append(
                     {"doc_id": did,
@@ -2169,13 +2183,19 @@ def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def inventory(batches):
         from verified_sources_spark.llm.exif import probe_exif, strip_metadata
-        from verified_sources_spark.llm.id3 import probe_id3, strip_id3
+        from verified_sources_spark.llm.id3 import (
+            extract_pictures,
+            probe_id3,
+            strip_id3,
+        )
+        from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
         from verified_sources_spark.llm.png_text import probe_text, strip_text
 
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf["doc_id"], pdf["asset"]):
                 payload = bytes(payload)
+                n_pics = cover_ok = None
                 try:
                     if payload[:2] == b"\xff\xd8":
                         m = probe_exif(payload)
@@ -2202,6 +2222,16 @@ def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m = probe_id3(payload)
                         has = m["has_id3v2"] or m["has_id3v1"]
                         label = m["title"]
+                        # embedded cover art is an image asset: it must
+                        # byte-match an independently minted standalone
+                        # twin (the cross-modal exact-dedup join)
+                        pics = extract_pictures(payload)
+                        n_pics = len(pics)
+                        if pics:
+                            twin = jpg_enc(
+                                8, 6, bytes([int(_id) % 251]) * (8 * 6 * 3),
+                                quality=90)
+                            cover_ok = pics[0]["image"] == twin
                         s = probe_id3(strip_id3(payload))
                         clean = not (s["has_id3v2"] or s["has_id3v1"])
                         container = "mp3"
@@ -2210,24 +2240,27 @@ def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append(
                         {"doc_id": _id, "decoded_ok": True,
                          "container": container, "has_metadata": has,
-                         "label": label, "clean_after_scrub": clean}
+                         "label": label, "n_pictures": n_pics,
+                         "cover_ok": cover_ok, "clean_after_scrub": clean}
                     )
                 except Exception:
                     rows.append(
                         {"doc_id": _id, "decoded_ok": False,
                          "container": None, "has_metadata": None,
-                         "label": None, "clean_after_scrub": None}
+                         "label": None, "n_pictures": None,
+                         "cover_ok": None, "clean_after_scrub": None}
                     )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "decoded_ok", "container",
-                               "has_metadata", "label",
-                               "clean_after_scrub"])
+                               "has_metadata", "label", "n_pictures",
+                               "cover_ok", "clean_after_scrub"])
 
     assets = d.mapInPandas(mint, "doc_id long, asset binary")
     return assets.mapInPandas(
         inventory,
         "doc_id long, decoded_ok boolean, container string, "
-        "has_metadata boolean, label string, clean_after_scrub boolean",
+        "has_metadata boolean, label string, n_pictures int, "
+        "cover_ok boolean, clean_after_scrub boolean",
     )
 
 
