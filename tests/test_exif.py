@@ -75,6 +75,26 @@ def test_strip_drops_com_and_keeps_jfif():
     assert decode(clean)["pixels"] == decode(base)["pixels"]
 
 
+def test_strip_keeps_decode_bearing_app_segments():
+    """APP14 (Adobe color transform) and APP2/ICC are decode-bearing:
+    dropping them recolors Adobe-encoded JPEGs. They must survive the
+    scrub while EXIF/XMP/COM and non-ICC APP2 segments are removed."""
+    base = _jpg(seed=3)
+    adobe = (b"\xff\xee" + struct.pack(">H", 14)
+             + b"Adobe\x00\x64\x00\x00\x00\x00\x00")
+    icc = (b"\xff\xe2" + struct.pack(">H", 2 + 12 + 2 + 4)
+           + b"ICC_PROFILE\x00\x01\x01" + b"PROF")
+    fpx = b"\xff\xe2" + struct.pack(">H", 10) + b"FPXR\x00abc"
+    data = base[:2] + adobe + icc + fpx + base[2:]
+    tagged = inject_app1(data, build_exif_app1(gps=(1.0, 2.0)))
+    clean = strip_metadata(tagged)
+    assert b"Adobe\x00" in clean and b"ICC_PROFILE" in clean
+    assert b"FPXR" not in clean  # non-ICC APP2 is still metadata
+    assert not probe_exif(clean)["has_exif"]
+    assert decode(clean)["pixels"] == decode(base)["pixels"]
+    assert strip_metadata(clean) == clean
+
+
 def test_error_paths():
     with pytest.raises(ExifError, match="missing SOI"):
         probe_exif(b"\x00" * 32)

@@ -89,6 +89,32 @@ def test_custom_scan_script_spectral_selection_only():
     assert prog["pixels"] == base["pixels"]
 
 
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0", "4:2:2"])
+def test_per_component_dc_scans(sub):
+    """T.81 permits non-interleaved (Ns=1) DC scans covering each
+    component's OWN block grid — which differs from the padded MCU grid
+    for subsampled luma, so MCU-order iteration would mis-decode.
+    A script with per-component DC first + refinement scans must land
+    on exactly the baseline pixels (round-10 ADVICE regression)."""
+    script = [
+        ((0,), 0, 0, 0, 1),
+        ((1,), 0, 0, 0, 1),
+        ((2,), 0, 0, 0, 1),
+        ((0,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+        ((0,), 0, 0, 1, 0),
+        ((1,), 0, 0, 1, 0),
+        ((2,), 0, 0, 1, 0),
+    ]
+    img = _img(37, 23, "noise", seed=5)
+    px = img.tobytes()
+    base = decode(encode(37, 23, px, quality=80, subsampling=sub))
+    prog = decode(encode_progressive(37, 23, px, quality=80,
+                                     subsampling=sub, scan_script=script))
+    assert prog["pixels"] == base["pixels"]
+
+
 def test_dispatch_through_image_io_and_dhash_grouping():
     """decode_image routes SOF2 automatically, and a progressive
     re-encode of a photo joins its PNG/baseline-JPEG dHash group —

@@ -135,3 +135,21 @@ def test_obj_pattern_inside_stream_does_not_clobber():
             b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
     out = extract_pdf_text(body)
     assert out["pages"][0] == "real text"
+
+
+def test_obj_pattern_inside_indirect_length_stream_does_not_clobber():
+    """Round-10 ADVICE regression: when /Length is an INDIRECT ref the
+    payload span only resolves after other objects load — a fake
+    'N G obj' inside such a stream must still not clobber the real
+    object N (requires the fixed-point span pass)."""
+    poison = b"BT (real text) Tj ET % 3 0 obj << /Contents 99 0 R >> x"
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + poison
+            + b"\nendstream\nendobj\n"
+            b"5 0 obj\n" + str(len(poison)).encode() + b"\nendobj\n"
+            b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    out = extract_pdf_text(body)
+    assert out["pages"][0] == "real text"

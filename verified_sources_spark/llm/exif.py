@@ -178,10 +178,14 @@ def probe_exif(data: bytes) -> dict:
 
 
 def strip_metadata(data: bytes) -> bytes:
-    """Re-emit the JPEG with APP1 (EXIF/XMP), APP2+ and COM segments
+    """Re-emit the JPEG with APP1 (EXIF/XMP), APPn and COM segments
     removed; APP0/JFIF, quantization/Huffman tables, frame and scan
     data pass through byte-identical — the image decodes exactly as
-    before, it just no longer says where it was taken."""
+    before, it just no longer says where it was taken.  Two APPn
+    segments are DECODE-BEARING, not metadata, and are kept: APP14
+    (Adobe DCT marker — decoders infer the YCCK/CMYK/RGB color
+    transform from it, so dropping it recolors Adobe-encoded JPEGs)
+    and APP2 ICC profiles (color management; carries no provenance)."""
     out = bytearray(b"\xff\xd8")
     pos = 2
     n = len(data)
@@ -195,7 +199,12 @@ def strip_metadata(data: bytes) -> bytes:
         if ln < 2 or pos + 2 + ln > n:
             raise ExifError(f"truncated segment 0xFF{marker:02X}")
         seg = data[pos : pos + 2 + ln]
-        if not (0xE1 <= marker <= 0xEF or marker == 0xFE):
+        keep = not (0xE1 <= marker <= 0xEF or marker == 0xFE)
+        if marker == 0xEE or (
+            marker == 0xE2 and seg[4:16] == b"ICC_PROFILE\x00"
+        ):
+            keep = True
+        if keep:
             out += seg
         pos += 2 + ln
         if marker == 0xDA:  # entropy data + EOI: copy the rest verbatim

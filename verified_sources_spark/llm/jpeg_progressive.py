@@ -305,7 +305,8 @@ def _decode_scan(
                 preds[i] = 0
 
     preds = [0] * len(frame["comps"])
-    if ss == 0:  # DC scan (interleaved over scan comps, MCU order)
+    if ss == 0 and len(scomps) > 1:
+        # interleaved DC scan over the scan comps, padded MCU order
         dc_tbls = {}
         for ci, dc_t, _ac_t in scomps:
             if ah == 0:
@@ -330,6 +331,32 @@ def _decode_scan(
                             else:
                                 if reader.read_bit():
                                     blk[0] |= p1
+                unit += 1
+    elif ss == 0:
+        # T.81 permits a non-interleaved (Ns=1) DC scan: it covers the
+        # component's OWN block grid (nw*nh) row-major, which differs
+        # from the padded MCU grid for a subsampled component — MCU
+        # iteration here would mis-decode real per-component DC scans.
+        ci, dc_t, _ac_t = scomps[0]
+        tbl = None
+        if ah == 0:
+            tbl = htables.get((0, dc_t))
+            if tbl is None:
+                raise JpegError("scan references undefined DC table")
+        g = geom[ci]
+        unit = 0
+        for by in range(g["nh"]):
+            for bx in range(g["nw"]):
+                check_restart(unit)
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    t = reader.decode_symbol(tbl)
+                    diff = _extend(reader.read_bits(t), t)
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                else:
+                    if reader.read_bit():
+                        blk[0] |= p1
                 unit += 1
     else:  # AC scan: single component, its own block grid
         ci, _dc_t, ac_t = scomps[0]
@@ -569,27 +596,37 @@ def encode_progressive(
         scan_script = GRAY_SCRIPT if grayscale else DEFAULT_SCRIPT
 
     def run_scan(comp_ids, ss, se, ah, al, sink):
-        if ss == 0:  # DC scan, interleaved MCU order
+        if ss == 0:  # DC scan
             preds = [0] * len(coefs)
+
+            def emit_dc(ci, by, bx):
+                zz0 = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    v = zz0 >> al  # arithmetic shift (T.81 DC)
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t, mag = _magnitude(diff)
+                    sink.symbol(t)
+                    sink.bits(mag, t)
+                else:
+                    sink.bits((zz0 >> al) & 1, 1)
+
+            if len(comp_ids) == 1:
+                # non-interleaved DC scan: the component's own grid
+                (ci,) = comp_ids
+                g = geom[ci]
+                for by in range(g["nh"]):
+                    for bx in range(g["nw"]):
+                        emit_dc(ci, by, bx)
+                return
             for my in range(mcuy):
                 for mx in range(mcux):
                     for ci in comp_ids:
                         g = geom[ci]
                         for by in range(g["v"]):
                             for bx in range(g["h"]):
-                                zz0 = int(
-                                    coefs[ci][my * g["v"] + by,
-                                              mx * g["h"] + bx, 0]
-                                )
-                                if ah == 0:
-                                    v = zz0 >> al  # arithmetic shift (T.81 DC)
-                                    diff = v - preds[ci]
-                                    preds[ci] = v
-                                    t, mag = _magnitude(diff)
-                                    sink.symbol(t)
-                                    sink.bits(mag, t)
-                                else:
-                                    sink.bits((zz0 >> al) & 1, 1)
+                                emit_dc(ci, my * g["v"] + by,
+                                        mx * g["h"] + bx)
             return
         # AC scan: one component, non-interleaved
         (ci,) = comp_ids

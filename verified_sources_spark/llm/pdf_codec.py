@@ -303,36 +303,58 @@ def _load_objects(data: bytes) -> dict[int, object]:
     incremental-update semantics), streams resolved, ObjStm expanded."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF payload (missing %PDF header)")
-    objects: dict[int, object] = {}
-    streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw_start)
-    # spans of already-seen stream payloads: an "N G obj" byte pattern
-    # INSIDE compressed stream data is noise and must not clobber a
-    # real object (matches are position-ordered, and a stream's own
-    # header always precedes its payload, so spans are known in time)
-    spans: list[tuple[int, int]] = []
+    # spans of stream payloads: an "N G obj" byte pattern INSIDE
+    # compressed stream data is noise and must not clobber a real
+    # object.  Direct /Length spans are known in one pass (a stream's
+    # header precedes its payload); an INDIRECT /Length only resolves
+    # once other objects are loaded, so grow the span set to a fixed
+    # point, re-deriving the object map each round — otherwise a byte
+    # pattern inside an indirect-/Length stream clobbers real objects
+    # under later-definition-wins.
+    candidates: list[tuple[int, int, object, int | None]] = []
     for m in _OBJ_RE.finditer(data):
-        if any(a <= m.start() < b for a, b in spans):
-            continue
         num = int(m.group(1))
         lex = _Lexer(data, m.end())
         try:
             val = lex.read_object()
         except PdfError:
             continue  # a false 'obj' hit in unparseable surroundings
-        kw = lex.peek_keyword()
-        if kw == "stream" and isinstance(val, dict):
+        sstart = None
+        if lex.peek_keyword() == "stream" and isinstance(val, dict):
             p = data.find(b"stream", lex.pos) + 6
             if data[p : p + 2] == b"\r\n":
                 p += 2
             elif data[p : p + 1] == b"\n":
                 p += 1
-            streams[num] = (val, p)
-            length = val.get("Length")
+            sstart = p
+        candidates.append((m.start(), num, val, sstart))
+
+    spans: set[tuple[int, int]] = set()
+    objects: dict[int, object] = {}
+    streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw_start)
+    while True:
+        objects = {}
+        streams = {}
+        for pos, num, val, sstart in candidates:
+            if any(a <= pos < b for a, b in spans):
+                continue
+            objects[num] = val
+            if sstart is not None:
+                streams[num] = (val, sstart)
+        if not objects:
+            raise PdfError("no indirect objects found")
+        grew = False
+        for num, (d, start) in streams.items():
+            length = d.get("Length")
+            if isinstance(length, _Ref):
+                length = objects.get(length.num)
             if isinstance(length, (int, float)):
-                spans.append((p, p + int(length)))
-        objects[num] = val
-    if not objects:
-        raise PdfError("no indirect objects found")
+                span = (start, start + int(length))
+                if span not in spans:
+                    spans.add(span)
+                    grew = True
+        if not grew:
+            break
 
     def resolve(v):
         return objects.get(v.num) if isinstance(v, _Ref) else v
