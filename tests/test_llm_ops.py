@@ -168,6 +168,45 @@ def test_ivf_topk_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.6  # probing 3/8 lists
 
 
+def test_quantized_kmeans_partitioning_invariant(spark):
+    """The exact-integer trainer's whole point: centroids (and therefore
+    every downstream bucketing decision) must be bit-identical no matter
+    how the corpus is partitioned — float64-avg training is summation-
+    order dependent and could never carry a cross-engine value hash."""
+    from verified_sources_spark.catalog import load_table
+    from verified_sources_spark.llm.similarity import (
+        ivf_topk,
+        rank_clusters_scaled,
+        train_kmeans_quantized,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = train_kmeans_quantized(e.repartition(7), "vec_id", "embedding",
+                                n_centroids=8, lloyd_iters=2)
+    c2 = train_kmeans_quantized(e.repartition(3), "vec_id", "embedding",
+                                n_centroids=8, lloyd_iters=2)
+    assert c1 == c2  # exact integer centroids, no float drift
+    assert all(isinstance(x, int) for cv in c1 for x in cv)
+    a1 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in rank_clusters_scaled(e, "vec_id", "embedding", c1).collect()
+    )
+    a2 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in rank_clusters_scaled(
+            e.repartition(5), "vec_id", "embedding", c2).collect()
+    )
+    assert a1 == a2
+    # and the trained IVF keeps useful recall vs brute force
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(e, q, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(e, q, k=3, n_centroids=8, n_probe=3,
+                                quantizer="exact-int").collect()}
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
 def test_embedding_near_dup_lsh_matches_exact_on_true_dups(spark):
     """Scale path vs baseline: planted near-duplicate vectors (cosine
     ~0.999) must surface identically from the LSH-bucketed path and the

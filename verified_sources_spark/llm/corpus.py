@@ -552,9 +552,15 @@ def semantic_dedup(
     lloyd_iters: int = 2,
     pairs_impl: str = "gemm",
     target_cluster_size: int = 512,
+    quantizer: str = "float",
 ) -> DataFrame:
     """SemDeDup-style embedding dedup: k-means partition, cosine pairs only
     within a cluster, keep the lowest id of each near-identical pair group.
+
+    ``quantizer="exact-int"`` swaps the float Lloyd loop for
+    ``similarity.train_kmeans_quantized`` + exact int64 assignment:
+    bit-identical clustering across engines and partitionings, so the
+    TRAINED pipeline replays in DuckDB SQL and carries a value hash.
 
     The quantizer is the shared deterministic Lloyd loop
     (``similarity.train_kmeans`` — centroid-only collects).  The pairwise
@@ -617,6 +623,18 @@ def semantic_dedup(
             c, "_id", "_v", n_clusters, lloyd_iters
         )
         assigned = assign_two_level(c, "_id", "_v", coarse, fine)
+    elif quantizer == "exact-int":
+        from verified_sources_spark.llm.similarity import (
+            rank_clusters_scaled,
+            train_kmeans_quantized,
+        )
+
+        cents = train_kmeans_quantized(
+            c, "_id", "_v", n_clusters, lloyd_iters
+        )
+        assigned = rank_clusters_scaled(c, "_id", "_v", cents).select(
+            "_id", "_v", "cluster"
+        )
     else:
         centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
         assigned = argmin_cluster(c, "_id", "_v", centroids)

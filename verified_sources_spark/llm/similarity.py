@@ -255,6 +255,145 @@ def train_kmeans(
     return centroids
 
 
+# scale for the exact-integer quantizer: 1e-7 resolution is far beyond
+# float32 embedding precision, and |x| <= ~430 still keeps every
+# intermediate (64-dim squared distances, per-cluster coordinate sums)
+# inside int64 — one source of truth shared with the DuckDB oracle
+KMEANS_SCALE = 10_000_000
+
+
+def _scaled_int_matrix(col):
+    """float32 vectors → exact scaled int64 (floor(x*scale + 0.5): the
+    identical IEEE op sequence on both engines, so the quantization is
+    bit-reproducible in Spark, numpy and DuckDB)."""
+    import numpy as np
+
+    X = np.array(list(col), dtype=np.float64)
+    return np.floor(X * KMEANS_SCALE + 0.5).astype(np.int64)
+
+
+def _round_div(s: int, n: int) -> int:
+    """round(s/n) half away from zero with pure integer ops (truncating
+    division on magnitudes — DuckDB's ``//`` truncates toward zero, so
+    this form replays identically there)."""
+    q = (2 * abs(s) + n) // (2 * n)
+    return -q if s < 0 else q
+
+
+def rank_clusters_scaled(
+    df: DataFrame,
+    id_name: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    n_probe: int | None = None,
+    already_scaled: bool = False,
+) -> DataFrame:
+    """Exact-integer nearest-centroid ranking against integer-scaled
+    centroids: squared-L2 in int64 (no float rounding anywhere), ties
+    broken by lowest cluster id via a stable argsort.  ``n_probe=None``
+    keeps only rn=1 (plain assignment); otherwise rows explode to the
+    ``n_probe`` nearest clusters.  Returns (id, vec, cluster, __rn)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.int64)  # k x d
+    keep = 1 if n_probe is None else n_probe
+
+    id_f = df.schema[id_name]
+    vec_f = df.schema[vec_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_name, id_f.dataType, id_f.nullable),
+            T.StructField(vec_col, vec_f.dataType, vec_f.nullable),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("__rn", T.IntegerType()),
+        ]
+    )
+
+    def rank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if already_scaled:
+                X = np.array(list(pdf[vec_col]), dtype=np.int64)
+            else:
+                X = _scaled_int_matrix(pdf[vec_col])  # B x d int64
+            # d² = |x|² - 2x·c + |c|² — drop the per-row |x|² constant;
+            # int64 matmul is exact, so ranking and ties are exact
+            scores = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+            order = np.argsort(scores, axis=1, kind="stable")[:, :keep]
+            ids = np.repeat(np.arange(len(pdf)), keep)
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].iloc[ids].values,
+                    vec_col: pdf[vec_col].iloc[ids].values,
+                    "cluster": order.ravel().astype("int32"),
+                    "__rn": np.tile(
+                        np.arange(1, keep + 1, dtype="int32"), len(pdf)
+                    ),
+                }
+            )
+
+    return df.select(id_name, vec_col).mapInPandas(rank, schema)
+
+
+def train_kmeans_quantized(
+    vectors: DataFrame,
+    id_name: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+) -> list[list[int]]:
+    """Lloyd k-means with EXACT integer arithmetic, bit-identical across
+    engines and partitionings: vectors quantize to scaled int64
+    (``KMEANS_SCALE``), per-cluster coordinate sums are exact long
+    aggregations (order-independent, unlike float64 avg — the reason the
+    float trainer could never carry a cross-engine value hash), and each
+    new centroid coordinate is the half-away-from-zero rounded integer
+    average.  The same two unrolled iterations replay in DuckDB SQL
+    (plans/oracle.py), putting trained-quantizer ANN on the value-hash
+    gate.  Only per-cluster sums (k × d longs) ever reach the driver."""
+    sv = vectors.select(
+        F.col(id_name).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("_sx"),
+    )
+    init = sv.orderBy("_id").limit(n_centroids).select("_sx").collect()
+    cents = [list(r["_sx"]) for r in init]
+    for _ in range(lloyd_iters):
+        assigned = rank_clusters_scaled(
+            sv, "_id", "_sx", cents, already_scaled=True
+        )
+        # exact long sums per (cluster, dim); empty clusters keep their
+        # previous centroid (no row → no update)
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode("_sx").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "s"))
+                ).alias("ds"),
+                F.first("n").alias("n"),
+            )
+            .select("cluster", F.col("ds.s").alias("svec"), "n")
+            .collect()
+        )
+        for r in rows:
+            cents[r["cluster"]] = [
+                _round_div(int(s), int(r["n"])) for s in r["svec"]
+            ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -264,6 +403,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     lloyd_iters: int = 2,
+    quantizer: str = "float",
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer → inverted lists →
     probe the ``n_probe`` nearest lists per query → exact rerank.
@@ -275,22 +415,40 @@ def ivf_topk(
     reaches the driver; corpus vectors never collect.  At 100 TB the same
     plan holds: one narrow assignment pass per iteration plus a
     dim-keyed aggregate, then the probe join shuffles only (bucket, query)
-    pairs.  Initialization is deterministic (first n_centroids by id)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    centroids = train_kmeans(c, "neighbor_id", "__cv", n_centroids, lloyd_iters)
+    pairs.  Initialization is deterministic (first n_centroids by id).
 
-    # corpus side: plain assignment — the GEMM form, not the n×k ranking
-    # cross join (the query side below genuinely needs the rn<=p ranking,
-    # and queries are small)
-    buckets = argmin_cluster(c, "neighbor_id", "__cv", centroids).select(
-        "neighbor_id", "__cv", "cluster"
-    )
+    ``quantizer="exact-int"`` trains with ``train_kmeans_quantized``
+    (exact integer Lloyd, bit-identical across engines/partitionings)
+    and assigns/probes by exact int64 distances — the same plan shape,
+    but every training+bucketing decision replays in DuckDB SQL, so the
+    TRAINED pipeline carries a full value-hash oracle."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    q_probes = (
-        assign_clusters(q, "query_id", "__qv", centroids)
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cluster")
-    )
+    if quantizer == "exact-int":
+        cents = train_kmeans_quantized(
+            c, "neighbor_id", "__cv", n_centroids, lloyd_iters
+        )
+        buckets = rank_clusters_scaled(
+            c, "neighbor_id", "__cv", cents
+        ).select("neighbor_id", "__cv", "cluster")
+        q_probes = rank_clusters_scaled(
+            q, "query_id", "__qv", cents, n_probe=n_probe
+        ).select("query_id", "__qv", "cluster")
+    else:
+        centroids = train_kmeans(
+            c, "neighbor_id", "__cv", n_centroids, lloyd_iters
+        )
+        # corpus side: plain assignment — the GEMM form, not the n×k
+        # ranking cross join (the query side below genuinely needs the
+        # rn<=p ranking, and queries are small)
+        buckets = argmin_cluster(c, "neighbor_id", "__cv", centroids).select(
+            "neighbor_id", "__cv", "cluster"
+        )
+        q_probes = (
+            assign_clusters(q, "query_id", "__qv", centroids)
+            .filter(F.col("__rn") <= n_probe)
+            .select("query_id", "__qv", "cluster")
+        )
     prod = buckets.join(F.broadcast(q_probes), "cluster").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

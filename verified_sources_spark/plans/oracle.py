@@ -1464,6 +1464,117 @@ ORACLE_SQL["semantic_dedup_fixed_embeddings"] = f"""
     WHERE a.vec_id NOT IN (SELECT id_b FROM drops)
 """
 
+# Trained-quantizer ANN: similarity.train_kmeans_quantized runs Lloyd in
+# EXACT integer arithmetic (scaled-int64 vectors, exact coordinate sums,
+# half-away-from-zero rounded integer centroid averages), so the two
+# unrolled iterations replay here in BIGINT SQL bit-for-bit — float64-avg
+# training could never carry a hash (summation-order dependent).  The
+# rounded division uses truncating `//` on magnitudes, matching Python's
+# behavior for the same formula (DuckDB `//` truncates toward zero).
+_KM_SX = ("list_transform(embedding, x -> CAST(floor("
+          "CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))")
+
+
+def _km_dist(x: str, c: str) -> str:
+    return (f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])))")
+
+
+def _km_lloyd_iter(prev_c: str, a: str, s: str, new_c: str) -> str:
+    """One Lloyd iteration as CTEs: exact-int assignment against
+    ``prev_c``, exact per-(cluster, dim) sums, rounded-integer averages;
+    empty clusters keep their previous centroid."""
+    return f"""
+    {a} AS (
+      SELECT vec_id, sx, cluster FROM (
+        SELECT v.vec_id, v.sx, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY {_km_dist('v.sx', 'c.c')} ASC,
+                             c.cluster ASC) AS rn
+        FROM sv v CROSS JOIN {prev_c} c) WHERE rn = 1),
+    {s} AS (
+      SELECT cluster, i, SUM(sx[i]) AS sm, COUNT(*) AS n
+      FROM {a} CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY cluster, i),
+    {new_c}_new AS (
+      SELECT cluster,
+             list(CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n)
+                       ELSE -((-2*sm + n) // (2*n)) END ORDER BY i) AS c
+      FROM {s} GROUP BY cluster),
+    {new_c} AS (
+      SELECT p.cluster, COALESCE(u.c, p.c) AS c
+      FROM {prev_c} p LEFT JOIN {new_c}_new u USING (cluster))"""
+
+
+def _km_trained_ctes(k_expr: str) -> str:
+    """sv → c0 (init: k lowest-id vectors) → two unrolled Lloyd
+    iterations → af (final exact-int ranked assignment, rn=1 is the
+    cluster, rn<=p the probe set)."""
+    return f"""
+    sv AS (SELECT vec_id, embedding, {_KM_SX} AS sx FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cluster,
+             sx AS c
+      FROM (SELECT vec_id, sx FROM sv ORDER BY vec_id LIMIT {k_expr})),
+    {_km_lloyd_iter('c0', 'a0', 's0', 'c1')},
+    {_km_lloyd_iter('c1', 'a1', 's1', 'c2')},
+    af AS (
+      SELECT v.vec_id, v.embedding, c.cluster,
+             row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY {_km_dist('v.sx', 'c.c')} ASC,
+                           c.cluster ASC) AS rn
+      FROM sv v CROSS JOIN c2 c)"""
+
+
+ORACLE_SQL["ivf_topk_embeddings"] = f"""
+    WITH {_km_trained_ctes('16')},
+    buckets AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, cluster
+      FROM af WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cluster
+      FROM af WHERE vec_id < 10 AND rn <= 4),
+    scored AS (
+      SELECT DISTINCT p.query_id, b.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(p.qv[i] AS DOUBLE) * CAST(b.nv[i] AS DOUBLE)))
+             / ({_NORM.format(v='p.qv')} * {_NORM.format(v='b.nv')}) AS cos
+      FROM buckets b JOIN probes p USING (cluster)
+      WHERE b.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+             round(cos, 4) AS cosine
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""
+
+ORACLE_SQL["semantic_dedup_embeddings"] = f"""
+    WITH {_km_trained_ctes(
+        "GREATEST(16, (SELECT COUNT(*) FROM embeddings) // 512)")},
+    assigned AS (
+      SELECT vec_id, embedding, cluster FROM af WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)))
+            / ({_NORM.format(v='a.embedding')}
+               * {_NORM.format(v='b.embedding')}) >= 0.92),
+    drops AS (SELECT DISTINCT id_b FROM pairs),
+    absorbed AS (
+      SELECT id_a, COUNT(*) AS n FROM pairs
+      WHERE id_a NOT IN (SELECT id_b FROM drops) GROUP BY id_a)
+    SELECT a.vec_id, a.cluster,
+           CAST(COALESCE(ab.n, 0) AS BIGINT) AS n_dropped_dups
+    FROM assigned a LEFT JOIN absorbed ab ON a.vec_id = ab.id_a
+    WHERE a.vec_id NOT IN (SELECT id_b FROM drops)
+"""
+
 # LLM field extraction with the deterministic stub: the stub's heuristics
 # (first alnum token lowercased; text length as a string; md5 content
 # hash of the empty-coalesced text) are pure string functions.

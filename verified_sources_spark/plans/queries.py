@@ -1278,13 +1278,23 @@ def alternate_cursor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, nprobe=4/16) — rows-only check
-    (iterative algorithm; ~97% recall@3 vs brute force at sf0.01)."""
+    """IVF ANN with a TRAINED k-means coarse quantizer (2 Lloyd
+    iterations, nprobe=4/16).  Training runs in exact integer
+    arithmetic (similarity.train_kmeans_quantized: scaled-int64
+    vectors, exact coordinate sums, rounded-integer centroid
+    averages), so the full train→assign→probe→rerank pipeline is
+    bit-deterministic across engines AND partitionings — the DuckDB
+    oracle replays both unrolled Lloyd iterations in BIGINT SQL and
+    the value hash checks the trained pipeline end-to-end (this entry
+    was rows-only while training used float64 avg, whose result
+    depends on summation order)."""
     from verified_sources_spark.llm.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    return ivf_topk(e, queries, k=3, n_centroids=16, n_probe=4)
+    return ivf_topk(
+        e, queries, k=3, n_centroids=16, n_probe=4, quantizer="exact-int"
+    )
 
 
 def ivf_topk_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2820,14 +2830,21 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: k-means clusters, within-cluster cosine >= 0.92 dedup,
-    keep lowest id per group (rows-only: k-means isn't SQL-expressible)."""
+    """SemDeDup with a TRAINED quantizer: k-means clusters (2 Lloyd
+    iterations in exact integer arithmetic — bit-deterministic, see
+    ivf_topk_embeddings), within-cluster cosine >= 0.92 dedup, keep
+    lowest id per group.  The DuckDB oracle replays the unrolled
+    training in BIGINT SQL, so the trained pipeline is value-hash
+    checked (was rows-only under float64-avg training)."""
     from verified_sources_spark.llm.corpus import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
     # n_clusters=None: scale the cluster count with the corpus so the
     # within-cluster quadratic stays bounded at any sf (SemDeDup recipe)
-    return semantic_dedup(e, "vec_id", "embedding", n_clusters=None, threshold=0.92)
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_clusters=None, threshold=0.92,
+        quantizer="exact-int",
+    )
 
 
 def semantic_dedup_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
