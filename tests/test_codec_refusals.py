@@ -130,12 +130,6 @@ def _decode_mp3_samples(payload):
     decode_samples(payload)
 
 
-def _flac() -> bytes:
-    from verified_sources_spark.llm.flac_codec import encode_stub
-
-    return encode_stub()
-
-
 def _webm() -> bytes:
     from verified_sources_spark.llm.webm_codec import encode_stub
 
@@ -169,12 +163,6 @@ def _extract_pdf(payload):
     extract_pdf_text(payload)
 
 
-def _decode_flac_samples(payload):
-    from verified_sources_spark.llm.flac_codec import decode_samples
-
-    decode_samples(payload)
-
-
 MATRIX = [
     # (case id, payload builder, decode fn, message fragment that NAMES it)
     # progressive (SOF2) DECODES now (llm/jpeg_progressive.py) — the
@@ -200,8 +188,9 @@ MATRIX = [
     ("webp-vp8-lossy", _vp8_webp, _decode_image, "WebP"),
     ("mp4-avc1-pixels", lambda: _mp4(b"avc1"), _sample_mp4, "avc1"),
     ("mp4-hev1-pixels", lambda: _mp4(b"hev1"), _sample_mp4, "hev1"),
+    # flac-subframes was removed when the full FLAC frame decoder
+    # landed (llm/flac_codec.decode) — lossless audio now decodes
     ("mp3-pcm-synthesis", _mp3, _decode_mp3_samples, "MPEG-1 Layer III"),
-    ("flac-subframes", _flac, _decode_flac_samples, "FLAC subframes"),
     ("webm-vp9-pixels", _webm, _sample_mp4, "V_VP9"),
     ("pdf-encrypted", _pdf_encrypted, _extract_pdf, "Encrypt"),
     ("pdf-lzw-filter", _pdf_lzw, _extract_pdf, "LZWDecode"),

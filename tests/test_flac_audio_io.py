@@ -1,7 +1,10 @@
-"""FLAC STREAMINFO probe (llm/flac_codec.py) + the audio_io sniffing
-seam (llm/audio_io.py): block walks over layouts the stub does not
-emit, bounds-checked error paths, cross-container normalized probes,
-and the decode/refuse split (WAV decodes; FLAC/MP3 refuse by name)."""
+"""FLAC codec (llm/flac_codec.py) + the audio_io sniffing seam
+(llm/audio_io.py): STREAMINFO block walks over layouts the stub does
+not emit, FULL frame decode (all subframe types, stereo decorrelation
+modes, wasted bits, Rice escapes, CRC/MD5 verification) against the
+independent fixture encoder, bounds-checked error paths,
+cross-container normalized probes, and the decode/refuse split (the
+WAV family + FLAC decode; Ogg/MP3 refuse by name)."""
 
 from __future__ import annotations
 
@@ -17,9 +20,21 @@ from verified_sources_spark.llm.audio_io import (
 )
 from verified_sources_spark.llm.flac_codec import (
     FlacError,
+    decode,
+    encode,
     encode_stub,
     probe,
 )
+
+
+def _pcm(n=2500, seed=3, amp=9000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    l = (amp * np.sin(2 * np.pi * 440 * t / 44100)
+         + rng.normal(0, 250, n)).astype(np.int64)
+    r = (amp * 0.7 * np.sin(2 * np.pi * 660 * t / 44100)
+         + rng.normal(0, 250, n)).astype(np.int64)
+    return l, r
 
 
 def test_streaminfo_roundtrip_matrix():
@@ -115,23 +130,79 @@ def test_sniff_and_normalized_probe_all_containers():
         probe_audio(b"MThd" + b"\x00" * 40)  # MIDI: not a sniffed format
 
 
-def test_decode_split_wav_decodes_compressed_refuse():
+def test_decode_split_wav_and_flac_decode_compressed_refuse():
     from verified_sources_spark.llm.mp3_codec import encode_stub as mp3_enc
     from verified_sources_spark.llm.wav_codec import encode as wav_enc
 
     x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(400) / 8000)
     out = decode_samples(wav_enc(x, 8000))
     assert out["n_frames"] == 400  # WAV: real samples back
-    with pytest.raises(NotImplementedError, match="FLAC"):
-        decode_samples(encode_stub())
+    l, _r = _pcm(600)
+    fout = decode_samples(encode(l.tolist(), sample_rate=8000))
+    assert fout["samples"].shape == (600, 1)  # FLAC: real samples back
     with pytest.raises(NotImplementedError, match="Layer III"):
         decode_samples(mp3_enc())
 
 
-def test_media_ingest_flac_is_exact_only():
+@pytest.mark.parametrize("mode", ["independent", "left_side",
+                                  "right_side", "mid_side"])
+def test_flac_roundtrip_stereo_modes(mode):
+    """The independent encoder's output decodes to the EXACT input ints
+    in every stereo decorrelation mode — and the decoder's CRC-8/16 and
+    STREAMINFO-MD5 checks all passed along the way."""
+    l, r = _pcm()
+    data = encode([l.tolist(), r.tolist()], stereo_mode=mode,
+                  blocksize=512)
+    out = decode(data)
+    got = np.round(out["samples"] * 32768).astype(np.int64)
+    assert np.array_equal(got[:, 0], l) and np.array_equal(got[:, 1], r)
+    assert out["sample_rate"] == 44100 and out["channels"] == 2
+
+
+def test_flac_roundtrip_special_layouts():
+    l, _ = _pcm(900)
+    # constant (silence), wasted bits, Rice-escape raw partitions
+    assert np.all(decode(encode([0] * 500))["samples"] == 0)
+    w = (l & ~7).tolist()
+    got = decode(encode(w, wasted_bits=3))["samples"][:, 0]
+    assert np.array_equal(np.round(got * 32768).astype(np.int64), l & ~7)
+    got = decode(encode(l.tolist(), escape_raw=16))["samples"][:, 0]
+    assert np.array_equal(np.round(got * 32768).astype(np.int64), l)
+    # 24-bit depth
+    big = (l * 200).tolist()
+    got = decode(encode(big, bits=24))["samples"][:, 0]
+    assert np.array_equal(
+        np.round(got * (1 << 23)).astype(np.int64), np.array(big))
+
+
+def test_flac_decode_errors_are_loud():
+    l, r = _pcm(1200)
+    data = bytearray(encode([l.tolist(), r.tolist()]))
+    m = probe(bytes(data))
+    # flip one bit in the frame payload: CRC-16 (or MD5) must object
+    data[m["frames_offset"] + 40] ^= 0x10
+    with pytest.raises(FlacError):
+        decode(bytes(data))
+    with pytest.raises(FlacError):
+        decode(encode(l.tolist())[:-30])  # truncated frame section
+    # opaque stub frames are not a valid frame stream
+    with pytest.raises(FlacError):
+        decode(encode_stub())
+
+
+def test_media_ingest_flac_joins_wav_spectral_group():
+    """The same recording stored as WAV and FLAC lands on ONE spectral
+    fingerprint — lossless audio dedups cross-format in the media
+    ledger, like AIFF before it."""
+    from verified_sources_spark.llm.wav_codec import encode as wav_enc
     from verified_sources_spark.streaming.media_ingest import (
         perceptual_fingerprint,
     )
 
-    with pytest.raises(ValueError):
-        perceptual_fingerprint(encode_stub())
+    l, _ = _pcm(4000, amp=12000)
+    wav = wav_enc(l.astype(np.float64) / 32768.0, 44100)
+    flac = encode(l.tolist(), sample_rate=44100)
+    mw, fpw = perceptual_fingerprint(wav)
+    mf, fpf = perceptual_fingerprint(flac)
+    assert (mw, mf) == ("audio", "audio")
+    assert fpw == fpf

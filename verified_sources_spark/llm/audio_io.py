@@ -6,7 +6,8 @@ containers — the audio mirror of llm/video_io.
 llm/flac_codec (STREAMINFO manifest; subframe decode refuses by name),
 ID3v2 prefix or MPEG frame sync → llm/mp3_codec (frame-walk manifest;
 PCM synthesis refuses by name) — and returns a normalized header dict.
-``decode_samples`` decodes where the stdlib can (WAV + AIFF PCM) and
+``decode_samples`` decodes where a pure-Python decoder exists (WAV +
+AIFF PCM, and full FLAC frame decode with CRC/MD5 verification) and
 refuses WITH THE CODEC NAMED where it can't, so media ingestion
 degrades to exact-dedup-only with full probed manifests for the
 compressed formats — the same honest posture as the video seam.
@@ -121,9 +122,9 @@ def probe_audio(payload: bytes) -> dict:
 
 
 def decode_samples(payload: bytes) -> dict:
-    """Full sample decode where stdlib can (the WAV family); FLAC and
-    MP3 refuse with the codec named — callers treat that as
-    'manifest-only, exact-dedup-only'."""
+    """Full sample decode where a pure-Python decoder exists (the WAV
+    family + FLAC); Ogg and MP3 refuse with the codec named — callers
+    treat that as 'manifest-only, exact-dedup-only'."""
     fmt = sniff_audio_format(payload)
     if fmt == "wav":
         from verified_sources_spark.llm.wav_codec import decode
@@ -135,10 +136,12 @@ def decode_samples(payload: bytes) -> dict:
         return decode(payload)  # PCM decodes; AIFC types refuse by name
     if fmt == "flac":
         from verified_sources_spark.llm.flac_codec import (
-            decode_samples as flac_decode,
+            decode as flac_decode,
         )
 
-        flac_decode(payload)  # raises NotImplementedError naming FLAC
+        # full frame decode (CRC + STREAMINFO-MD5 verified): lossless
+        # audio joins the same spectral-fingerprint path as WAV/AIFF
+        return flac_decode(payload)
     if fmt == "ogg":
         from verified_sources_spark.llm.ogg_codec import (
             decode_samples as ogg_decode,

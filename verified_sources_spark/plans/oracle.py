@@ -1772,6 +1772,45 @@ ORACLE_SQL["metadata_scrub_docs"] = """
     FROM p
 """
 
+# FLAC lossless roundtrip: the PCM minting arithmetic replayed in SQL —
+# the hash match proves Rice residuals, fixed predictors and all four
+# stereo decorrelation modes reconstructed every sample exactly.
+ORACLE_SQL["flac_roundtrip_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               300 + (doc_id % 5) * 100 AS n,
+               doc_id % 2 = 1 AS stereo,
+               (doc_id % 13) <> 0 AS ok
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, stereo, ok,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM p
+    ),
+    v AS (
+        SELECT doc_id, stereo, ok, i,
+               ((doc_id * 31 + i * 7) % 2000) - 1000 AS l,
+               ((doc_id * 17 + i * 11) % 2000) - 1000 AS r
+        FROM s
+    ),
+    agg AS (
+        SELECT doc_id,
+               SUM(ABS(l) + CASE WHEN stereo THEN ABS(r) ELSE 0 END)
+                   AS sum_abs,
+               SUM(i * l + CASE WHEN stereo THEN i * r ELSE 0 END) AS dot
+        FROM v GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           p.ok AS decoded_ok,
+           CASE WHEN p.ok THEN CAST(p.n AS INTEGER) END AS n_samples,
+           CASE WHEN p.ok THEN CAST(CASE WHEN p.stereo THEN 2 ELSE 1 END
+                                    AS INTEGER) END AS channels,
+           CASE WHEN p.ok THEN CAST(agg.sum_abs AS BIGINT) END AS sum_abs,
+           CASE WHEN p.ok THEN CAST(agg.dot AS BIGINT) END AS dot
+    FROM p JOIN agg USING (doc_id)
+"""
+
 # Cross-modal caption coverage: the video clock (WebM probe) and the
 # caption clock (VTT cues) must agree — cue counts, summed cue time and
 # the coverage ratio all replayed from the minting arithmetic.

@@ -2109,6 +2109,70 @@ def caption_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flac_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-audio decode end-to-end over documents: mint
+    deterministic PCM from doc_id (mono/stereo by parity; stereo frames
+    cycle all four decorrelation modes — independent, left/side,
+    right/side, mid/side), encode with the INDEPENDENT FLAC encoder,
+    decode through the full frame decoder (CRC-8/16 + STREAMINFO-MD5
+    verified), and emit integer checksums of the recovered samples.
+    Every 13th payload truncated (decoded_ok=false).  The oracle
+    replays the PCM minting arithmetic in SQL — a value-hash match
+    proves Rice residuals, fixed predictors and stereo decorrelation
+    reconstructed every sample exactly (llm/flac_codec.decode;
+    reference analogue: filesystem/media ingestion surface)."""
+    import pandas as pd
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        import numpy as np
+
+        from verified_sources_spark.llm.flac_codec import decode, encode
+
+        modes = ["independent", "left_side", "right_side", "mid_side"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 300 + (did % 5) * 100
+                l = [((did * 31 + i * 7) % 2000) - 1000 for i in range(n)]
+                if did % 2 == 1:
+                    r = [((did * 17 + i * 11) % 2000) - 1000
+                         for i in range(n)]
+                    data = encode([l, r], stereo_mode=modes[(did // 2) % 4],
+                                  blocksize=256)
+                else:
+                    data = encode(l, blocksize=256)
+                if did % 13 == 0:
+                    data = data[: len(data) - 25]
+                row = {"doc_id": did, "decoded_ok": False,
+                       "n_samples": None, "channels": None,
+                       "sum_abs": None, "dot": None}
+                try:
+                    out = decode(data)
+                    ints = np.round(out["samples"] * 32768).astype(np.int64)
+                    row.update(
+                        decoded_ok=True,
+                        n_samples=int(ints.shape[0]),
+                        channels=int(ints.shape[1]),
+                        sum_abs=int(np.abs(ints).sum()),
+                        dot=int((np.arange(n)[:, None] * ints).sum()),
+                    )
+                except Exception:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "decoded_ok", "n_samples",
+                               "channels", "sum_abs", "dot"])
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, decoded_ok boolean, n_samples int, channels int, "
+        "sum_abs long, dot long",
+    )
+
+
 def metadata_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format METADATA COMPLIANCE pass over documents: mint one
     asset per doc cycling the three tagged formats by ``doc_id % 3``
@@ -2995,4 +3059,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subtitle_cues_docs": subtitle_cues_docs,
     "caption_coverage_docs": caption_coverage_docs,
     "metadata_scrub_docs": metadata_scrub_docs,
+    "flac_roundtrip_docs": flac_roundtrip_docs,
 }

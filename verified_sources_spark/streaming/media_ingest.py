@@ -115,6 +115,18 @@ def perceptual_fingerprint(payload: bytes, every_ms: int = 500) -> tuple[str, in
         m = aiff_dec(payload)
         fp = _audio_fingerprint_of_samples(m["samples"], m["sample_rate"])
         modality = "audio"
+    elif payload[:4] == b"fLaC":
+        # full FLAC frame decode (CRC + STREAMINFO-MD5 verified): the
+        # SAME recording stored as WAV, AIFF or FLAC lands on one
+        # spectral fingerprint and dedups cross-format
+        from verified_sources_spark.llm.audio_dedup import (
+            _audio_fingerprint_of_samples,
+        )
+        from verified_sources_spark.llm.flac_codec import decode as flac_dec
+
+        m = flac_dec(payload)
+        fp = _audio_fingerprint_of_samples(m["samples"], m["sample_rate"])
+        modality = "audio"
     else:
         raise ValueError("unrecognized media payload")
     if fp >= 1 << 63:
