@@ -1,6 +1,7 @@
-"""TIFF codec (llm/tiff_codec.py): strip decode (uncompressed +
-Deflate, both byte orders, multi-strip), gray→RGB, named refusals,
-multi-page probe, image_io dispatch + cross-format dHash membership."""
+"""TIFF codec (llm/tiff_codec.py): strip decode (uncompressed + LZW +
+Deflate, both byte orders, multi-strip, horizontal-differencing
+predictor), gray→RGB, named refusals, multi-page probe, image_io
+dispatch + cross-format dHash membership."""
 
 from __future__ import annotations
 
@@ -30,6 +31,11 @@ def _img(w, h, seed=0):
     dict(deflate=True),
     dict(rows_per_strip=7),
     dict(deflate=True, rows_per_strip=4, byte_order="MM"),
+    dict(lzw=True),
+    dict(lzw=True, byte_order="MM"),
+    dict(lzw=True, predictor=True),
+    dict(lzw=True, predictor=True, rows_per_strip=6),
+    dict(deflate=True, predictor=True),
 ])
 def test_roundtrip_matrix(kw):
     px = _img(30, 20, seed=4).tobytes()
@@ -45,13 +51,29 @@ def test_grayscale_replicates():
     assert out["pixels"] == np.stack([gray] * 3, axis=2).tobytes()
 
 
+def test_lzw_early_change_and_table_fill():
+    """A payload large enough to push code widths through 10/11/12
+    bits and force a mid-stream Clear at table-fill — the early-change
+    boundary (510/1022/2046 on the read side vs 511/1023/2047 on the
+    write side) is exactly where GIF-style LZW decoders break on real
+    scanner TIFFs."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(120, 200, 3)).astype(np.uint8).tobytes()
+    data = encode(200, 120, px, lzw=True)
+    assert decode(data)["pixels"] == px
+    flat = bytes([120]) * (200 * 120 * 3)
+    comp = encode(200, 120, flat, lzw=True)
+    assert decode(comp)["pixels"] == flat
+    assert len(comp) < len(flat) // 50  # LZW genuinely compresses
+
+
 def test_named_refusals():
     px = _img(8, 6).tobytes()
     data = bytearray(encode(8, 6, px))
-    # patch the compression SHORT (tag 0x0103) to LZW (5)
+    # patch the compression SHORT (tag 0x0103) to CCITT G4 (4)
     i = data.index(struct.pack("<HHI", 0x0103, 3, 1))
-    data[i + 8 : i + 10] = struct.pack("<H", 5)
-    with pytest.raises(TiffError, match="LZW"):
+    data[i + 8 : i + 10] = struct.pack("<H", 4)
+    with pytest.raises(TiffError, match="CCITT-G4"):
         decode(bytes(data))
     data[i + 8 : i + 10] = struct.pack("<H", 7)
     with pytest.raises(TiffError, match="JPEG"):

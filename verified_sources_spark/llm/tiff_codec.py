@@ -1,16 +1,20 @@
-"""Pure-stdlib TIFF codec: probe + uncompressed/Flate strip decode.
+"""Pure-stdlib TIFF codec: probe + uncompressed/Flate/LZW strip decode.
 
 TIFF is the archival/scan format (datasets of digitized documents ship
 as multi-page TIFFs) and shares its IFD structure with EXIF — this
 module reuses that walk.  ``probe`` reads every IFD (multi-page):
 dims, bits per sample, compression (named), photometric, strip layout.
 ``decode`` materializes pixels for the honestly-decodable subset —
-uncompressed (1) and Deflate (8/32946) strips, 8-bit grayscale or
-RGB, top-down — returning the common ``{width, height, mode, pixels}``
-contract; LZW/CCITT/JPEG-in-TIFF and planar/tiled layouts refuse WITH
-THE NAME.  ``encode`` writes real single-page uncompressed or Deflate
-TIFFs (both byte orders) for fixtures and as the cross-format dedup
-member.
+uncompressed (1), LZW (5: the TIFF variant — MSB-first bit packing
+with EARLY CHANGE, the wild's most common compressed TIFF) and Deflate
+(8/32946) strips, 8-bit grayscale or RGB, top-down, with the
+horizontal-differencing predictor (Predictor=2) that usually
+accompanies LZW — returning the common ``{width, height, mode,
+pixels}`` contract; CCITT/JPEG-in-TIFF and planar/tiled layouts refuse
+WITH THE NAME.  ``encode`` writes real single-page uncompressed, LZW
+(independent compressor: greedy string table, early-change widths,
+mid-stream Clear on table fill) or Deflate TIFFs (both byte orders,
+optional predictor) for fixtures and as the cross-format dedup member.
 """
 
 from __future__ import annotations
@@ -95,6 +99,132 @@ def _ints(data: bytes, ifd: dict, tag: int, bo: str) -> list[int]:
     raise TiffError(f"unexpected value shape for tag 0x{tag:04X}")
 
 
+_T_PREDICTOR = 0x013D
+
+_CLEAR, _EOI, _FIRST = 256, 257, 258
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9→12-bit codes with
+    EARLY CHANGE (the width bumps one code earlier than GIF's LSB
+    variant — at table size 510/1022/2046 — the detail that breaks
+    GIF-style decoders on real scanner output)."""
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return _EOI  # tolerated: many writers omit final EOI
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (bitbuf >> nbits) & ((1 << width) - 1)
+        bitbuf &= (1 << nbits) - 1
+        return v
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    while True:
+        code = read_code()
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise TiffError(f"LZW stream starts with invalid code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffError(f"invalid LZW code {code} (table {len(table)})")
+        out += entry
+        prev = entry
+        # early change, decoder side: the reader's table lags the
+        # writer's by one entry, so the bump lands at 510/1022/2046
+        # ((1<<width)-2) — the writer bumps at 511/1023/2047
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW compressor for fixtures: greedy longest-
+    match string table, early-change width bumps, Clear emitted
+    mid-stream when the table fills (code 4094) per the spec."""
+    out = bytearray()
+    acc = nacc = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+        acc &= (1 << nacc) - 1
+
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = _FIRST
+    put(_CLEAR, width)
+    s = b""
+    for b in data:
+        c = s + bytes([b])
+        if c in table:
+            s = c
+            continue
+        put(table[s], width)
+        table[c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            put(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _FIRST
+            width = 9
+        s = bytes([b])
+    if s:
+        put(table[s], width)
+    put(_EOI, width)
+    if nacc:
+        put(0, 8 - nacc)
+    return bytes(out)
+
+
+def _undiff_rows(raw: bytes, width: int, spp: int) -> bytes:
+    """Reverse horizontal differencing (Predictor=2): per row, each
+    sample is a delta from the same sample one pixel left."""
+    row_bytes = width * spp
+    out = bytearray(raw)
+    for r0 in range(0, len(out) - row_bytes + 1, row_bytes):
+        for i in range(r0 + spp, r0 + row_bytes):
+            out[i] = (out[i] + out[i - spp]) & 0xFF
+    return bytes(out)
+
+
+def _diff_rows(raw: bytes, width: int, spp: int) -> bytes:
+    row_bytes = width * spp
+    out = bytearray(raw)
+    for r0 in range(0, len(out) - row_bytes + 1, row_bytes):
+        for i in range(r0 + row_bytes - 1, r0 + spp - 1, -1):
+            out[i] = (out[i] - out[i - spp]) & 0xFF
+    return bytes(out)
+
+
 def probe(data: bytes) -> dict:
     """Header-only metadata for every page: width, height,
     bits_per_sample, samples_per_pixel, compression (named),
@@ -133,18 +263,19 @@ def probe(data: bytes) -> dict:
 
 
 def decode(data: bytes) -> dict:
-    """First-page pixels for the decodable subset (uncompressed or
-    Deflate strips, 8-bit gray or RGB, chunky): the common
-    ``{width, height, mode, pixels}`` contract (gray replicates to
-    RGB).  Everything else refuses with the compression/layout named."""
+    """First-page pixels for the decodable subset (uncompressed, LZW or
+    Deflate strips, 8-bit gray or RGB, chunky, Predictor 1/2): the
+    common ``{width, height, mode, pixels}`` contract (gray replicates
+    to RGB).  Everything else refuses with the compression/layout
+    named."""
     m = probe(data)
     bo = m["_bo"]
     pg = m["_pages_raw"][0]
     ifd = pg["_ifd"]
-    if pg["compression"] not in ("uncompressed", "Deflate"):
+    if pg["compression"] not in ("uncompressed", "Deflate", "LZW"):
         raise TiffError(
             f"cannot decode {pg['compression']} TIFF "
-            f"(uncompressed/Deflate only)"
+            f"(uncompressed/LZW/Deflate only)"
         )
     planar = (_ints(data, ifd, _T_PLANAR, bo) or [1])[0]
     if planar != 1:
@@ -157,10 +288,14 @@ def decode(data: bytes) -> dict:
         raise TiffError(
             f"cannot decode {bits}-bit x{spp} TIFF (8-bit gray/RGB only)"
         )
+    predictor = (_ints(data, ifd, _T_PREDICTOR, bo) or [1])[0]
+    if predictor not in (1, 2):
+        raise TiffError(f"cannot decode TIFF predictor {predictor}")
     offsets = _ints(data, ifd, _T_STRIP_OFFSETS, bo)
     counts = _ints(data, ifd, _T_STRIP_COUNTS, bo)
     if not offsets or len(offsets) != len(counts):
         raise TiffError("missing/mismatched strip tables")
+    w, h = pg["width"], pg["height"]
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(data):
@@ -171,8 +306,13 @@ def decode(data: bytes) -> dict:
                 chunk = zlib.decompress(chunk)
             except zlib.error as e:
                 raise TiffError(f"bad Deflate strip: {e}") from None
+        elif pg["compression"] == "LZW":
+            chunk = _lzw_decode(chunk)
+        if predictor == 2:
+            # the predictor resets at every strip's first column but
+            # accumulates along each row WITHIN a strip
+            chunk = _undiff_rows(chunk, w, spp)
         raw += chunk
-    w, h = pg["width"], pg["height"]
     need = w * h * spp
     if len(raw) < need:
         raise TiffError(f"strip data short: {len(raw)} < {need}")
@@ -189,10 +329,16 @@ def encode(
     mode: str = "RGB",
     byte_order: str = "II",
     deflate: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Real single-page TIFF: chunky 8-bit gray or RGB, one or more
-    strips, optional Deflate, either byte order."""
+    strips, optional Deflate or LZW compression (independent LZW
+    compressor — fixtures don't share table logic with the decoder),
+    optional horizontal-differencing predictor, either byte order."""
+    if deflate and lzw:
+        raise TiffError("choose one of deflate/lzw")
     spp = 3 if mode == "RGB" else 1
     if len(pixels) != width * height * spp:
         raise TiffError("pixel buffer does not match dimensions")
@@ -201,9 +347,15 @@ def encode(
     strips = []
     for y0 in range(0, height, rps):
         rows = pixels[y0 * width * spp : min(y0 + rps, height) * width * spp]
-        strips.append(zlib.compress(rows) if deflate else rows)
+        if predictor:
+            rows = _diff_rows(rows, width, spp)
+        if deflate:
+            rows = zlib.compress(rows)
+        elif lzw:
+            rows = _lzw_encode(rows)
+        strips.append(rows)
 
-    n_entries = 9
+    n_entries = 10 if predictor else 9
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
     heap = bytearray()
@@ -238,7 +390,8 @@ def encode(
         entry(_T_WIDTH, 4, 1, long4(width)),
         entry(_T_HEIGHT, 4, 1, long4(height)),
         entry(_T_BITS, 3, spp, bits4),
-        entry(_T_COMPRESSION, 3, 1, short4(8 if deflate else 1)),
+        entry(_T_COMPRESSION, 3, 1,
+              short4(8 if deflate else 5 if lzw else 1)),
         entry(_T_PHOTOMETRIC, 3, 1, short4(2 if spp == 3 else 1)),
         None,  # strip offsets: patched below
         entry(_T_SPP, 3, 1, short4(spp)),
@@ -246,6 +399,8 @@ def encode(
         entry(_T_STRIP_COUNTS, 4, len(strips),
               longs([len(s) for s in strips])),
     ]
+    if predictor:
+        entries.append(entry(_T_PREDICTOR, 3, 1, short4(2)))
     del strip_data_off_marker
     # strip payloads live after the heap
     data_off = heap_off + len(heap) + (4 * len(strips) if len(strips) > 1

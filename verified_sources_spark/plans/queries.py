@@ -2448,7 +2448,8 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image dispatch end-to-end over documents: mint one
     asset per doc cycling ALL SIX stdlib image codecs by
     ``doc_id % 6`` (PNG, baseline JPEG, GIF/LZW, BMP, WebP-VP8L
-    lossless, TIFF Deflate-strips), dims from doc_id, every 11th
+    lossless, TIFF with uncompressed/Deflate/TIFF-LZW strips ±
+    horizontal-differencing predictor), dims from doc_id, every 11th
     truncated; decode through
     the image_io sniffing seam via llm/image_dedup.image_dhash.  The
     oracle replays the arithmetic — a value-hash match proves each
@@ -2497,6 +2498,8 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     asset = tiff_enc(w, h, rgb,
                                      byte_order="MM" if did % 2 else "II",
                                      deflate=did % 4 == 1,
+                                     lzw=did % 4 == 3,
+                                     predictor=did % 8 >= 4,
                                      rows_per_strip=5)
                 rows.append(
                     {"doc_id": did,
