@@ -161,6 +161,45 @@ def test_legacy_mov_without_ftyp():
     assert m["n_frames"] == 4 and m["fps"] == pytest.approx(4.0)
 
 
+# ------------------------------------------------------------- fragmented
+def test_fragmented_media_segment_probes():
+    """styp + sidx + moof/mdat (a DASH/CMAF media segment, no moov):
+    sample counts from trun, duration from sidx subsegment math."""
+    from verified_sources_spark.llm.mp4_codec import encode_fragmented_stub
+
+    m = probe(encode_fragmented_stub(n_fragments=4, samples_per_fragment=12,
+                                     sample_duration=50, timescale=600))
+    assert m["fragmented"] is True and m["n_fragments"] == 4
+    assert m["brand"] == "msdh"
+    assert m["n_frames"] == 48
+    assert m["duration_ms"] == 4 * 12 * 50 * 1000 // 600
+
+
+def test_fragmented_per_sample_trun_durations():
+    from verified_sources_spark.llm.mp4_codec import encode_fragmented_stub
+
+    m = probe(encode_fragmented_stub(n_fragments=2, samples_per_fragment=7,
+                                     with_sidx=False,
+                                     per_sample_durations=True))
+    assert m["fragmented"] and m["n_frames"] == 14
+    # no sidx and no moov: the segment has no timescale, duration stays 0
+    assert m["duration_ms"] == 0
+
+
+def test_fragmented_init_moov_trex_defaults():
+    """ftyp + moov(empty stbl + mvex/trex) + moof runs: durations
+    resolve through the trex default, dims/codec come from moov."""
+    from verified_sources_spark.llm.mp4_codec import encode_fragmented_stub
+
+    m = probe(encode_fragmented_stub(n_fragments=3, samples_per_fragment=10,
+                                     sample_duration=100, timescale=1000,
+                                     init_moov=True, with_sidx=False))
+    assert m["fragmented"] and m["n_fragments"] == 3
+    assert m["n_frames"] == 30 and m["duration_ms"] == 3000
+    assert m["codec"] == "avc1" and (m["width"], m["height"]) == (64, 48)
+    assert m["fps"] == pytest.approx(10.0)
+
+
 # ------------------------------------------------------------ error paths
 def test_error_not_isobmff():
     with pytest.raises(Mp4Error, match="not an ISO-BMFF"):

@@ -2517,7 +2517,10 @@ def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-container VIDEO dispatch end-to-end over documents: mint
     one clip per doc cycling ALL FOUR stdlib-probeable containers by
     ``doc_id % 4`` (BI_RGB AVI, animated GIF89a, ISO-BMFF/MP4 via
-    llm/mp4_codec.encode_stub, EBML/WebM via llm/webm_codec), dims and
+    llm/mp4_codec — alternating PROGRESSIVE and FRAGMENTED/CMAF
+    layouts, the latter with mvex/trex defaults, moof/trun runs and
+    optional sidx, probing to the same manifest facts —, EBML/WebM via
+    llm/webm_codec), dims and
     frame counts from doc_id arithmetic, every 23rd truncated; probe
     through the llm/video_io sniffing seam via
     llm/video_dedup.video_probe.  The oracle replays the
@@ -2539,7 +2542,10 @@ def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from verified_sources_spark.llm.avi_codec import encode as avi_enc
         from verified_sources_spark.llm.gif_codec import encode_animated
-        from verified_sources_spark.llm.mp4_codec import encode_stub
+        from verified_sources_spark.llm.mp4_codec import (
+            encode_fragmented_stub,
+            encode_stub,
+        )
         from verified_sources_spark.llm.webm_codec import (
             encode_stub as webm_enc,
         )
@@ -2564,7 +2570,18 @@ def video_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w, h, [f.tobytes() for f in frames], delay_ms=100
                     )
                 elif fmt == 2:
-                    asset = encode_stub(width=w, height=h, n_frames=n, fps=10.0)
+                    if (did // 4) % 2:
+                        # fragmented (CMAF-shaped): init moov with
+                        # mvex/trex + a moof run — same manifest facts,
+                        # so the SAME oracle arithmetic must hold
+                        asset = encode_fragmented_stub(
+                            n_fragments=1, samples_per_fragment=n,
+                            sample_duration=100, timescale=1000,
+                            init_moov=True, with_sidx=did % 2 == 0,
+                            width=w, height=h)
+                    else:
+                        asset = encode_stub(width=w, height=h,
+                                            n_frames=n, fps=10.0)
                 else:
                     asset = webm_enc(width=w, height=h, n_frames=n, fps=10.0,
                                      audio=did % 2 == 1)
