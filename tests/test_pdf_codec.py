@@ -119,6 +119,51 @@ def test_spark_operator(spark):
     assert got[3]["decoded_ok"] is False
 
 
+@pytest.mark.parametrize("kw", [
+    dict(cid_font=True),
+    dict(cid_font=True, compress=True),
+    dict(cid_font=True, xref_stream=True, compress=True),
+])
+def test_cid_font_tounicode_roundtrip(kw):
+    """Composite Type0/Identity-H text shows as 2-byte CID hex strings
+    and is only recoverable through the /ToUnicode CMap — a latin-1
+    walk would emit raw CID garbage. Non-ASCII included."""
+    pages = [["héllo wörld 日本語", "second line"], ["page two"]]
+    out = extract_pdf_text(encode_pdf(pages, **kw))
+    assert out["pages"][0] == "héllo wörld 日本語\nsecond line"
+    assert out["pages"][1] == "page two"
+
+
+def test_cid_font_without_tounicode_refuses_by_name():
+    import re as _re
+
+    data = _re.sub(rb"/ToUnicode \d+ 0 R ", b"",
+                   encode_pdf([["abc"]], cid_font=True))
+    with pytest.raises(PdfError, match="Type0.*without /ToUnicode"):
+        extract_pdf_text(data)
+
+
+def test_cid_incrementing_bfrange_and_simple_font_cmap():
+    """The incrementing-destination bfrange form (hand CMap: codes
+    1..3 → 'A'..'C'), which the fixture writer never emits."""
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0001> <0003> <0041> endbfrange\n")
+    content = b"BT /F1 12 Tf <000100020003> Tj ET"
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n"
+            b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    assert extract_pdf_text(body)["pages"][0] == "ABC"
+
+
 def test_obj_pattern_inside_stream_does_not_clobber():
     """Bytes that look like 'N G obj' INSIDE a stream payload must not
     overwrite the real object N (compressed payloads contain arbitrary

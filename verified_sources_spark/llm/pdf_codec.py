@@ -295,6 +295,68 @@ def _apply_filters(d: dict, raw: bytes) -> bytes:
     return raw
 
 
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+
+
+def _parse_cmap(data: bytes) -> tuple[dict[int, str], int | None]:
+    """(code → text, code byte width) from a /ToUnicode CMap stream:
+    ``bfchar`` pairs, ``bfrange`` in both the incrementing-destination
+    and array-of-destinations forms, code width from the
+    ``codespacerange`` (None if the CMap declares none).  Destination
+    hex is UTF-16BE, possibly multi-unit (ligatures map one CID to
+    several chars; astral chars arrive as surrogate pairs)."""
+    def clean(tok: bytes) -> bytes:
+        return re.sub(rb"\s", b"", tok)
+
+    def dst_text(hx: bytes) -> str:
+        raw = bytes.fromhex(clean(hx).decode("ascii"))
+        return raw.decode("utf-16-be", errors="replace")
+
+    width = None
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        first = re.search(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
+        if first:
+            width = max(1, len(clean(first.group(1))) // 2)
+    out: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            out[int(clean(toks[i]), 16)] = dst_text(toks[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        seq = [t.group(0) for t in _HEX_TOK.finditer(m.group(1))]
+        i = 0
+        while i + 1 < len(seq):
+            if seq[i] in (b"[", b"]"):
+                i += 1
+                continue
+            lo = int(clean(seq[i][1:-1]), 16)
+            hi = int(clean(seq[i + 1][1:-1]), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise PdfError(f"malformed bfrange {lo:#x}..{hi:#x}")
+            if i + 2 < len(seq) and seq[i + 2] == b"[":
+                j = i + 3
+                dsts = []
+                while j < len(seq) and seq[j] != b"]":
+                    dsts.append(dst_text(seq[j][1:-1]))
+                    j += 1
+                for k in range(min(hi - lo + 1, len(dsts))):
+                    out[lo + k] = dsts[k]
+                i = j + 1
+            else:
+                base = clean(seq[i + 2][1:-1])
+                nbytes = max(1, len(base) // 2)
+                start = int(base, 16)
+                for k in range(hi - lo + 1):
+                    raw = (start + k).to_bytes(nbytes, "big")
+                    out[lo + k] = raw.decode(
+                        "utf-16-be" if nbytes % 2 == 0 else "latin-1",
+                        errors="replace",
+                    )
+                i += 3
+    return out, width
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -390,18 +452,22 @@ def _load_objects(data: bytes) -> dict[int, object]:
     return objects
 
 
-def _extract_content_text(content: bytes) -> str:
+def _extract_content_text(content: bytes, fonts: dict | None = None) -> str:
     """Walk one page's content stream: BT..ET text runs, show
-    operators, line-move operators → newlines."""
+    operators, line-move operators → newlines.  ``fonts`` maps resource
+    names (from ``Tf``) to string decoders — CID/Type0 fonts route
+    2-byte codes through their /ToUnicode CMap; simple fonts with a
+    CMap map per byte; everything else reads latin-1 as before."""
     lex = _Lexer(content)
     out: list[str] = []
     stack: list = []
     in_text = False
     line_open = False
+    decoder = None
 
     def show(s: bytes):
         nonlocal line_open
-        out.append(s.decode("latin-1"))
+        out.append(decoder(s) if decoder else s.decode("latin-1"))
         line_open = True
 
     def newline():
@@ -426,6 +492,13 @@ def _extract_content_text(content: bytes) -> str:
             elif op == "ET":
                 in_text = False
                 newline()
+                stack.clear()
+            elif op == "Tf":
+                # font selection is honored inside AND outside BT..ET
+                if (fonts and len(stack) >= 2
+                        and isinstance(stack[-2], tuple)
+                        and stack[-2][0] == "name"):
+                    decoder = fonts.get(stack[-2][1])
                 stack.clear()
             elif not in_text:
                 stack.clear()
@@ -522,8 +595,57 @@ def extract_pdf_text(data: bytes) -> dict:
     if not pages:
         raise PdfError("no pages found (no /Type /Page objects)")
 
+    def font_decoder(font):
+        """A bytes→str decoder for one font dict, or None for plain
+        latin-1.  Type0 (CID) fonts map code chunks through their
+        /ToUnicode CMap; a Type0 WITHOUT /ToUnicode gets a decoder
+        that refuses by name ON USE — its raw bytes are CIDs, and
+        emitting them as text would be silent garble."""
+        font = resolve(font)
+        if not isinstance(font, dict):
+            return None
+        sub = font.get("Subtype")
+        sub = sub[1] if isinstance(sub, tuple) else None
+        cmap = width = None
+        tou = resolve(font.get("ToUnicode"))
+        if isinstance(tou, tuple) and tou[0] == "stream":
+            cmap, width = _parse_cmap(_apply_filters(tou[1], tou[2]))
+        if sub == "Type0":
+            if cmap is None:
+                bf = font.get("BaseFont")
+                bf = bf[1] if isinstance(bf, tuple) else "?"
+
+                def refuse(_s, _bf=bf):
+                    raise PdfError(
+                        f"CID font {_bf} (Type0) without /ToUnicode — "
+                        f"cannot map CIDs to text; refusing by name"
+                    )
+
+                return refuse
+            w = width or 2  # Identity-H default: 2-byte codes
+
+            def dec(s, _cmap=cmap, _w=w):
+                return "".join(
+                    _cmap.get(int.from_bytes(s[i : i + _w], "big"),
+                              "�")
+                    for i in range(0, len(s) - _w + 1, _w)
+                )
+
+            return dec
+        if cmap is not None:  # simple font with an explicit CMap
+            return lambda s, _cmap=cmap: "".join(
+                _cmap.get(b, chr(b)) for b in s
+            )
+        return None
+
     texts = []
     for pg in pages:
+        fonts = {}
+        res = resolve(pg.get("Resources"))
+        if isinstance(res, dict):
+            fdict = resolve(res.get("Font"))
+            if isinstance(fdict, dict):
+                fonts = {name: font_decoder(f) for name, f in fdict.items()}
         contents = resolve(pg.get("Contents"))
         parts = contents if isinstance(contents, list) else [contents]
         buf = bytearray()
@@ -532,7 +654,8 @@ def extract_pdf_text(data: bytes) -> dict:
             if isinstance(part, tuple) and part[0] == "stream":
                 buf += _apply_filters(part[1], part[2])
                 buf += b"\n"
-        texts.append(_extract_content_text(bytes(buf)).rstrip("\n"))
+        texts.append(
+            _extract_content_text(bytes(buf), fonts).rstrip("\n"))
     return {"n_pages": len(pages), "pages": texts, "text": "\f".join(texts)}
 
 
@@ -547,12 +670,17 @@ def encode_pdf(
     compress: bool = False,
     xref_stream: bool = False,
     tj_arrays: bool = False,
+    cid_font: bool = False,
 ) -> bytes:
     """A real PDF: one content stream per page (each inner list entry a
     text line), classic xref table or PDF-1.5 cross-reference stream
     with the document dicts packed into an ObjStm; optional Flate
     content; ``tj_arrays`` shows each line via TJ with split strings
-    instead of Tj."""
+    instead of Tj.  ``cid_font`` switches the font to a composite
+    Type0/Identity-H whose text is shown as 2-byte CID hex strings and
+    recovered only through a generated /ToUnicode CMap (array-form
+    bfrange for the first codes + bfchar for the rest) — the modern
+    PDF layout where a latin-1 walk would emit raw CIDs."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     page_ids = [4 + 2 * i for i in range(n_pages)]
@@ -562,15 +690,51 @@ def encode_pdf(
     kids = b" ".join(f"{pid} 0 R".encode() for pid in page_ids)
     objs[2] = (b"<< /Type /Pages /Kids [" + kids
                + f"] /Count {n_pages} >>".encode())
-    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-               b"/Encoding /WinAnsiEncoding >>")
     stream_objs = {}
+    code_of: dict[str, int] = {}
+    if cid_font:
+        tounicode_id = 4 + 2 * n_pages
+        chars = sorted({ch for lines in pages for line in lines
+                        for ch in line})
+        code_of = {ch: i + 1 for i, ch in enumerate(chars)}
+
+        def hx(ch: str) -> bytes:
+            return b"<" + ch.encode("utf-16-be").hex().encode() + b">"
+
+        cmap = [b"/CIDInit /ProcSet findresource begin\n"
+                b"12 dict begin\nbegincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\n"
+                b"endcodespacerange\n"]
+        k = min(3, len(chars))
+        if k:
+            ents = b" ".join(hx(c) for c in chars[:k])
+            cmap.append(b"1 beginbfrange\n<%04x> <%04x> [%s]\n"
+                        b"endbfrange\n" % (1, k, ents))
+        rest = chars[k:]
+        if rest:
+            cmap.append(b"%d beginbfchar\n" % len(rest))
+            for i, c in enumerate(rest):
+                cmap.append(b"<%04x> %s\n" % (k + 1 + i, hx(c)))
+            cmap.append(b"endbfchar\n")
+        cmap.append(b"endcmap\nend\nend\n")
+        cmap_bytes = b"".join(cmap)
+        stream_objs[tounicode_id] = (
+            f"<< /Length {len(cmap_bytes)} >>".encode(), cmap_bytes)
+        objs[3] = (b"<< /Type /Font /Subtype /Type0 /BaseFont "
+                   b"/Probe-Identity /Encoding /Identity-H /ToUnicode "
+                   + f"{tounicode_id} 0 R >>".encode())
+    else:
+        objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                   b"/Encoding /WinAnsiEncoding >>")
     for i, lines in enumerate(pages):
         ops = [b"BT /F1 12 Tf 72 720 Td"]
         for j, line in enumerate(lines):
             if j > 0:
                 ops.append(b"0 -14 Td")
-            if tj_arrays and len(line) > 1:
+            if cid_font:
+                codes = b"".join(b"%04x" % code_of[ch] for ch in line)
+                ops.append(b"<" + codes + b"> Tj")
+            elif tj_arrays and len(line) > 1:
                 cut = len(line) // 2
                 ops.append(b"[(" + _esc(line[:cut]) + b") -250 ("
                            + _esc(line[cut:]) + b")] TJ")

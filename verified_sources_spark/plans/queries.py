@@ -1949,11 +1949,13 @@ def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a REAL single-page PDF (layouts cycle the generations the wild
     ships — Flate-compressed content on odd ids, PDF-1.5
     cross-reference streams + ObjStm on every 3rd, TJ-array show
-    operators on every 5th, classic xref otherwise; every 13th
-    truncated), then run the pure-stdlib extractor via
-    llm/pdf_codec.pdf_extract.  The oracle replays the layout
-    arithmetic AND the text itself in SQL — a value-hash match proves
-    object scan, ObjStm expansion, Flate+predictor decode and the
+    operators on every 5th, composite Type0/Identity-H CID fonts whose
+    text only recovers through the /ToUnicode CMap on every 7th,
+    classic xref otherwise; every 13th truncated), then run the
+    pure-stdlib extractor via llm/pdf_codec.pdf_extract.  The oracle
+    replays the layout arithmetic AND the text itself in SQL — a
+    value-hash match proves object scan, ObjStm expansion,
+    Flate+predictor decode, CMap-mapped CID show strings and the
     content-stream text walk recovered every document byte-for-byte
     (the document-corpus front door; reference analogue:
     sources/unstructured_data — PDFs into queryable text)."""
@@ -1975,6 +1977,7 @@ def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     compress=did % 2 == 1,
                     xref_stream=did % 3 == 0,
                     tj_arrays=did % 5 == 0,
+                    cid_font=did % 7 == 0,
                 )
                 rows.append(
                     {"doc_id": did,
