@@ -185,7 +185,9 @@ MATRIX = [
     ("wav-not-riff", lambda: b"ID3\x03" + bytes(64), _decode_wav,
      "not a RIFF/WAVE"),
     ("png-adam7", _interlaced_png, _decode_png, "nterlace"),
-    ("webp-vp8-lossy", _vp8_webp, _decode_image, "WebP"),
+    # webp-vp8-lossy moved to its own test: it decodes through the
+    # system-libwebp seam when present and refuses by name only when
+    # the library is absent (test_webp_lossy_refuses_without_libwebp)
     ("mp4-avc1-pixels", lambda: _mp4(b"avc1"), _sample_mp4, "avc1"),
     ("mp4-hev1-pixels", lambda: _mp4(b"hev1"), _sample_mp4, "hev1"),
     # flac-subframes was removed when the full FLAC frame decoder
@@ -208,6 +210,17 @@ def test_refusal_names_the_format(builder, fn, fragment):
     assert fragment in msg, f"refusal message {msg!r} must name {fragment!r}"
     # a refusal is a typed, catchable error — never a bare struct.error
     assert not isinstance(exc_info.value, struct.error)
+
+
+def test_webp_lossy_refuses_without_libwebp(monkeypatch):
+    """With the system library gated off, lossy VP8 keeps the exact
+    pre-seam named-refusal posture (a stub VP8 chunk also refuses even
+    WITH the library — libwebp rejects the truncated bitstream)."""
+    from verified_sources_spark.llm import webp_system
+
+    monkeypatch.setattr(webp_system, "available", lambda: False)
+    with pytest.raises(Exception, match="WebP"):
+        _decode_image(_vp8_webp())
 
 
 def test_webp_probe_still_serves_headers():

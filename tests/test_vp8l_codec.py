@@ -230,5 +230,14 @@ def test_vp8x_wrapped_vp8l_decodes():
     lossy = (b"VP8 " + struct.pack("<I", 12) + b"\x00" * 12)
     body = vp8x + lossy
     data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
-    with pytest.raises(ValueError, match="VP8X"):
-        decode_image(data)
+    from verified_sources_spark.llm import webp_system
+
+    if webp_system.available():
+        # the system seam takes the lossy path; this stub frame is
+        # garbage, so it raises (a VALID lossy frame decodes — see
+        # tests/test_webp_system.py)
+        with pytest.raises(ValueError, match="could not decode"):
+            decode_image(data)
+    else:
+        with pytest.raises(ValueError, match="VP8X"):
+            decode_image(data)

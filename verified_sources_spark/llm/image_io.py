@@ -18,10 +18,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / None — magic bytes
-    only.  WebP is sniffable and header-probeable (dims for manifests)
-    but not pixel-decodable here (VP8 entropy coding is out of the
-    stdlib codec set) — ``decode_image`` refuses it by name."""
+    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / 'tiff' / None — magic
+    bytes only.  WebP pixel-decodes for VP8L (pure stdlib) and, when
+    the system libwebp is present, for lossy VP8 too (llm/webp_system
+    seam); otherwise lossy refuses by name with header metadata via
+    ``probe_webp``."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:2] == b"\xff\xd8":
@@ -96,10 +97,22 @@ def decode_image(payload: bytes) -> dict:
         ):
             from verified_sources_spark.llm.vp8l_codec import decode
         else:
+            # lossy VP8 (the majority of real-world WebP): decode via
+            # the system libwebp when present — a hand-rolled RFC 6386
+            # decoder can't be verified offline (trained probability
+            # tables), so the seam is the honest real-corpus path;
+            # without the library this refuses by name exactly as
+            # before
+            from verified_sources_spark.llm import webp_system
+
+            if webp_system.available():
+                out = webp_system.decode_rgb(payload)
+                out["format"] = fmt
+                return out
             raise ValueError(
                 f"cannot pixel-decode WebP {variant} (boolean arithmetic "
-                f"coder + DCT) — probe_webp serves header metadata; "
-                f"VP8L lossless decodes"
+                f"coder + DCT) without system libwebp — probe_webp "
+                f"serves header metadata; VP8L lossless decodes"
             )
     else:
         raise ValueError(

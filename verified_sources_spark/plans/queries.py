@@ -2449,9 +2449,10 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image dispatch end-to-end over documents: mint one
-    asset per doc cycling ALL SIX stdlib image codecs by
-    ``doc_id % 6`` (PNG, baseline JPEG, GIF/LZW, BMP, WebP-VP8L
-    lossless, TIFF with uncompressed/Deflate/TIFF-LZW strips ±
+    asset per doc cycling ALL SEVEN image codecs by ``doc_id % 6``
+    (PNG, baseline JPEG, GIF/LZW, BMP, WebP — VP8L lossless via pure
+    stdlib with LOSSY VP8 through the system-libwebp seam on every
+    4th webp row —, TIFF with uncompressed/Deflate/TIFF-LZW strips ±
     horizontal-differencing predictor), dims from doc_id, every 11th
     truncated; decode through
     the image_io sniffing seam via llm/image_dedup.image_dhash.  The
@@ -2473,7 +2474,11 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from verified_sources_spark.llm.png_codec import encode as png_enc
         from verified_sources_spark.llm.tiff_codec import encode as tiff_enc
         from verified_sources_spark.llm.vp8l_codec import encode as webp_enc
+        from verified_sources_spark.llm.webp_system import (
+            available as _webp_avail,
+        )
 
+        _webp_lossy = _webp_avail()
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -2495,8 +2500,17 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif fmt == 3:
                     asset = bmp_enc(w, h, rgb)
                 elif fmt == 4:
-                    asset = webp_enc(w, h, rgb, cache_bits=4,
-                                     predictor=2 if did % 2 else None)
+                    if did % 4 == 2 and _webp_lossy:
+                        # lossy VP8 via the system-libwebp seam: dims
+                        # land on the same oracle arithmetic
+                        from verified_sources_spark.llm.webp_system import (
+                            encode_rgb,
+                        )
+
+                        asset = encode_rgb(w, h, rgb, quality=90)
+                    else:
+                        asset = webp_enc(w, h, rgb, cache_bits=4,
+                                         predictor=2 if did % 2 else None)
                 else:
                     asset = tiff_enc(w, h, rgb,
                                      byte_order="MM" if did % 2 else "II",
