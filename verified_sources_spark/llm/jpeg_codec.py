@@ -208,26 +208,50 @@ def probe(data: bytes) -> dict:
 
 
 class _HuffTable:
-    """Canonical table compiled to a 16-bit-prefix FLAT LOOKUP: one
-    array index decodes any symbol in O(1) instead of a per-bit tree
-    walk — the entropy loop is the decoder's hot path."""
+    """Canonical table compiled two-level, libjpeg-style: an 8-bit
+    first-level LUT decodes codes of <=8 bits (the overwhelming
+    majority of emitted symbols) in O(1); longer codes fall back to a
+    canonical maxcode/delta compare walk.  A full 16-bit LUT would be
+    O(1) for every code but costs 65536 writes to build — optimized
+    JPEGs (mozjpeg et al.) carry per-image tables, so build cost is
+    per-image, and at 256 writes it's ~250x cheaper with no measurable
+    loss in the entropy loop."""
 
-    __slots__ = ("fast",)
+    __slots__ = ("fast8", "maxcode", "delta", "values")
 
     def __init__(self, bits, values):
-        # fast[p] = (symbol << 5) | code_length for every 16-bit prefix p
-        self.fast = [0] * 65536
+        # fast8[p] = (symbol << 5) | code_length for every 8-bit prefix
+        # p whose code is <=8 bits; 0 marks "longer than 8 / invalid".
+        fast8 = [0] * 256
+        # canonical walk state for 9..16-bit codes: a code c of length
+        # ln is valid iff c <= maxcode[ln]; its symbol is
+        # values[delta[ln] + c].
+        maxcode = [-1] * 17
+        delta = [0] * 17
         code = 0
         k = 0
         for ln in range(1, 17):
-            for _ in range(bits[ln - 1]):
-                base = code << (16 - ln)
-                packed = (values[k] << 5) | ln
-                for p in range(base, base + (1 << (16 - ln))):
-                    self.fast[p] = packed
-                code += 1
-                k += 1
+            n = bits[ln - 1]
+            if n:
+                delta[ln] = k - code
+                if ln <= 8:
+                    shift = 8 - ln
+                    for _ in range(n):
+                        packed = (values[k] << 5) | ln
+                        base = code << shift
+                        for p in range(base, base + (1 << shift)):
+                            fast8[p] = packed
+                        code += 1
+                        k += 1
+                else:
+                    code += n
+                    k += n
+                maxcode[ln] = code - 1
             code <<= 1
+        self.fast8 = fast8
+        self.maxcode = maxcode
+        self.delta = delta
+        self.values = list(values)
 
 
 _HTABLE_CACHE: dict[tuple, _HuffTable] = {}
@@ -297,12 +321,24 @@ class _BitReader:
     def decode_symbol(self, table: _HuffTable) -> int:
         if self.nbits < 16:
             self._fill()
-        packed = table.fast[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        code = (self.acc >> (self.nbits - 8)) & 0xFF
+        packed = table.fast8[code]
         ln = packed & 0x1F
-        if ln == 0:
-            raise JpegError("invalid Huffman code")
+        if ln:
+            self.nbits -= ln
+            return packed >> 5
+        # 9..16-bit code: extend bit by bit down the canonical ladder
+        maxcode = table.maxcode
+        ln = 9
+        while True:
+            if ln > 16:
+                raise JpegError("invalid Huffman code")
+            code = (code << 1) | ((self.acc >> (self.nbits - ln)) & 1)
+            if code <= maxcode[ln]:
+                break
+            ln += 1
         self.nbits -= ln
-        return packed >> 5
+        return table.values[table.delta[ln] + code]
 
     def align_to_marker(self):
         """Drop buffered bits and consume an expected RST marker."""

@@ -364,13 +364,19 @@ def _decode_scan(
         if ac_tbl is None:
             raise JpegError("scan references undefined AC table")
         g = geom[ci]
+        # hot path (profiled): per-coefficient numpy scalar indexing is
+        # ~10x a list access and dominated decode time — pull the block
+        # grid into plain Python lists for the entropy walk, write back
+        # once at scan end
+        grid = coefs[ci][: g["nh"], : g["nw"]].tolist()
         fn = block_ac_first if ah == 0 else block_ac_refine
         unit = 0
-        for by in range(g["nh"]):
-            for bx in range(g["nw"]):
+        for row in grid:
+            for block in row:
                 check_restart(unit)
-                fn(coefs[ci][by, bx], ac_tbl)
+                fn(block, ac_tbl)
                 unit += 1
+        coefs[ci][: g["nh"], : g["nw"]] = grid
 
     # resume the marker walk after this scan's entropy data
     if reader.marker is None:
