@@ -48,20 +48,6 @@ def _wav_with_format_code(code: int) -> bytes:
     return wav[: j + 8] + struct.pack("<H", code) + wav[j + 10 :]
 
 
-def _interlaced_png() -> bytes:
-    from verified_sources_spark.llm.png_codec import encode
-
-    png = encode(8, 6, bytes(8 * 6 * 3), "RGB")
-    i = png.index(b"IHDR")
-    # interlace byte is the last of the 13-byte IHDR body; CRC must match
-    body = bytearray(png[i : i + 4 + 13])
-    body[4 + 12] = 1  # Adam7
-    import zlib
-
-    crc = struct.pack(">I", zlib.crc32(bytes(body)))
-    return png[:i] + bytes(body) + crc + png[i + 21 :]
-
-
 def _vp8_webp() -> bytes:
     # minimal RIFF/WEBP wrapper with a VP8 (lossy) chunk: sniffable,
     # header-probeable, pixel-refused
@@ -184,7 +170,8 @@ MATRIX = [
      "format code 85"),
     ("wav-not-riff", lambda: b"ID3\x03" + bytes(64), _decode_wav,
      "not a RIFF/WAVE"),
-    ("png-adam7", _interlaced_png, _decode_png, "nterlace"),
+    # png-adam7 was removed when Adam7 interlace decode landed
+    # (llm/png_codec.decode) — interlaced PNGs now pixel-decode
     # webp-vp8-lossy moved to its own test: it decodes through the
     # system-libwebp seam when present and refuses by name only when
     # the library is absent (test_webp_lossy_refuses_without_libwebp)

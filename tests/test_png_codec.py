@@ -116,14 +116,14 @@ def test_refusals():
     good[-5] ^= 0xFF  # inside IEND CRC
     with pytest.raises(PngError, match="CRC"):
         decode(bytes(good))
-    # 16-bit depth refused
+    # illegal depth/color combo refused (2-bit truecolor, ISO table 11.1)
     deep = _png(1, 1, 2, b"\x00" + bytes(6))
     deep = bytearray(deep)
-    deep[24] = 16  # IHDR bit depth byte
+    deep[24] = 2  # IHDR bit depth byte
     # fix IHDR CRC
     body = bytes(deep[16:29])
     deep[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
-    with pytest.raises(PngError, match="bit depth"):
+    with pytest.raises(PngError, match="illegal for color type"):
         decode(bytes(deep))
 
 
@@ -133,3 +133,58 @@ def test_resize_nearest():
     out = resize_nearest(px, 2, 1, 4, 2)
     row = bytes((255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255))
     assert out == row + row
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("bit_depth", [8, 16])
+@pytest.mark.parametrize("mode,ch", [("RGB", 3), ("RGBA", 4)])
+def test_adam7_and_16bit_round_trip(interlace, bit_depth, mode, ch):
+    """Two-sided: the encoder's Adam7/16-bit layouts decode pixel-exact,
+    across dims exercising every empty/partial-pass shape."""
+    import random
+
+    rng = random.Random(13)
+    for w, h in ((1, 1), (7, 3), (8, 8), (13, 11), (9, 1), (1, 9), (5, 17)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        data = encode(w, h, px, mode, interlace=interlace, bit_depth=bit_depth)
+        p = probe(data)
+        assert p["interlaced"] is interlace and p["bit_depth"] == bit_depth
+        im = decode(data)
+        assert (im["width"], im["height"], im["mode"]) == (w, h, mode)
+        assert im["pixels"] == px
+
+
+def test_sub_byte_depths():
+    # 1-bit gray 8x2 checkerboard rows
+    d = _png(8, 2, 0, b"\x00\xaa\x00\x55")
+    d = bytearray(d)
+    d[24] = 1
+    d[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(d[16:29])) & 0xFFFFFFFF
+    )
+    im = decode(bytes(d))
+    exp0 = b"".join(bytes((v, v, v)) for v in (255, 0) * 4)
+    exp1 = b"".join(bytes((v, v, v)) for v in (0, 255) * 4)
+    assert im["pixels"] == exp0 + exp1
+
+    # 2-bit gray 5x1: raw values 0..3,0 scale exactly to 0,85,170,255,0
+    d = _png(5, 1, 0, bytes((0, 0b00011011, 0b00000000)))
+    d = bytearray(d)
+    d[24] = 2
+    d[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(d[16:29])) & 0xFFFFFFFF
+    )
+    im = decode(bytes(d))
+    assert im["pixels"] == b"".join(
+        bytes((v, v, v)) for v in (0, 85, 170, 255, 0)
+    )
+
+    # 4-bit palette 3x1: packed indices 0,1,2 resolve through PLTE
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    d = _png(3, 1, 3, b"\x00\x01\x20", extra=_chunk(b"PLTE", plte))
+    d = bytearray(d)
+    d[24] = 4
+    d[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(d[16:29])) & 0xFFFFFFFF
+    )
+    assert decode(bytes(d))["pixels"] == plte

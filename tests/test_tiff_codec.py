@@ -36,6 +36,9 @@ def _img(w, h, seed=0):
     dict(lzw=True, predictor=True),
     dict(lzw=True, predictor=True, rows_per_strip=6),
     dict(deflate=True, predictor=True),
+    dict(packbits=True),
+    dict(packbits=True, byte_order="MM"),
+    dict(packbits=True, predictor=True, rows_per_strip=6),
 ])
 def test_roundtrip_matrix(kw):
     px = _img(30, 20, seed=4).tobytes()
@@ -109,3 +112,24 @@ def test_image_io_dispatch_and_cross_format_dhash():
         return _dhash_of_pixels(d["pixels"], d["width"], d["height"], 3, 8)
 
     assert dh(tif) == dh(png_encode(64, 48, px, "RGB"))  # lossless twins
+
+
+def test_packbits_golden_and_truncation():
+    """Hand-computed PackBits streams (TIFF 6.0 §9 worked example
+    style) decode exactly; truncated runs refuse."""
+    from verified_sources_spark.llm.tiff_codec import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    # literal run of 3, repeat run of 4, no-op, literal run of 1
+    stream = bytes([0x02, 0xAA, 0xBB, 0xCC, 257 - 4, 0x11, 0x80, 0x00, 0x5A])
+    assert _packbits_decode(stream) == b"\xaa\xbb\xcc" + b"\x11" * 4 + b"\x5a"
+    with pytest.raises(TiffError, match="truncated PackBits literal"):
+        _packbits_decode(bytes([0x05, 0x01]))
+    with pytest.raises(TiffError, match="truncated PackBits repeat"):
+        _packbits_decode(bytes([0xFE]))
+    # encoder caps runs at 128 and survives the 129-repeat boundary
+    for payload in (b"\x07" * 300, b"\x07" * 129, bytes(range(256)) * 2,
+                    b"", b"\x01", b"ab" + b"c" * 3 + b"de"):
+        assert _packbits_decode(_packbits_encode(payload)) == payload

@@ -18,8 +18,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / 'tiff' / None — magic
-    bytes only.  WebP pixel-decodes for VP8L (pure stdlib) and, when
+    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / 'tiff' / 'ico' / None
+    — magic bytes only (ICO's weak magic additionally validates the
+    directory).  WebP pixel-decodes for VP8L (pure stdlib) and, when
     the system libwebp is present, for lossy VP8 too (llm/webp_system
     seam); otherwise lossy refuses by name with header metadata via
     ``probe_webp``."""
@@ -35,6 +36,18 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "webp"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and len(
+        payload
+    ) >= 6:
+        # ICO/CUR magic is weak (all zeros + type) — require a sane
+        # entry count and a first entry that stays inside the payload
+        # before claiming it
+        count = int.from_bytes(payload[4:6], "little")
+        if 1 <= count <= 1024 and len(payload) >= 6 + 16 * count:
+            size = int.from_bytes(payload[14:18], "little")
+            off = int.from_bytes(payload[18:22], "little")
+            if off >= 6 + 16 * count and off + size <= len(payload):
+                return "ico"
     return None
 
 
@@ -74,9 +87,9 @@ def probe_webp(payload: bytes) -> dict:
 
 def decode_image(payload: bytes) -> dict:
     """Decode a PNG / JPEG (baseline or progressive) / GIF (first
-    frame) / BMP / WebP-VP8L payload to the common ``{width, height,
-    mode, pixels, format}`` dict; raises on anything else (callers
-    treat that as "not an image")."""
+    frame) / BMP / TIFF / ICO (largest entry) / WebP-VP8L payload to
+    the common ``{width, height, mode, pixels, format}`` dict; raises
+    on anything else (callers treat that as "not an image")."""
     fmt = sniff_image_format(payload)
     if fmt == "png":
         from verified_sources_spark.llm.png_codec import decode
@@ -88,6 +101,8 @@ def decode_image(payload: bytes) -> dict:
         from verified_sources_spark.llm.bmp_codec import decode
     elif fmt == "tiff":
         from verified_sources_spark.llm.tiff_codec import decode
+    elif fmt == "ico":
+        from verified_sources_spark.llm.ico_codec import decode
     elif fmt == "webp":
         variant = probe_webp(payload)["variant"]
         # VP8X is just an envelope: an extended file whose frame chunk

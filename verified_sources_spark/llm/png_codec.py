@@ -6,10 +6,15 @@ code was only exercised where Pillow happened to be installed.  PNG is
 an open spec (RFC 2083 / ISO 15948) fully decodable with stdlib zlib:
 chunks with CRC-32, one IDAT zlib stream, five scanline filters.
 
-Supported: 8-bit gray (0), truecolor RGB (2), palette (3), gray+alpha
-(4), RGBA (6), non-interlaced.  16-bit depth and Adam7 interlace raise
-``PngError`` — loud refusal, never a garbled image.  The encoder writes
-filter-0 RGB/RGBA, which every PNG reader accepts.
+Supported: gray (0), truecolor RGB (2), palette (3), gray+alpha (4),
+RGBA (6) at every legal bit depth (1/2/4/8/16 per the ISO 15948 depth
+matrix), both sequential and Adam7-interlaced.  16-bit samples reduce
+to their high byte (exact for the v*257 expansion every 8-bit-sourced
+encoder uses).  Anything malformed raises ``PngError`` — loud refusal,
+never a garbled image.  The encoder writes filter-0 RGB/RGBA,
+optionally Adam7-interlaced and/or 16-bit, which every PNG reader
+accepts and which gives the decoder an independent two-sided fixture
+path.
 """
 
 from __future__ import annotations
@@ -66,10 +71,11 @@ def probe(data: bytes) -> dict:
     raise PngError("empty PNG")
 
 
-def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
-    stride = w * bpp
+def _unfilter(raw: bytes, stride: int, h: int, bpp: int, pos: int = 0) -> bytearray:
+    """Reverse the five scanline filters over ``h`` rows of ``stride``
+    filtered bytes starting at ``raw[pos]`` (one sub-image of an Adam7
+    stream, or the whole image when sequential)."""
     out = bytearray(h * stride)
-    pos = 0
     for y in range(h):
         if pos >= len(raw):
             raise PngError("truncated scanlines")
@@ -108,6 +114,48 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
     return out
 
 
+# (x0, y0, dx, dy) of the seven Adam7 passes, ISO 15948 §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+# legal bit depths per color type, ISO 15948 table 11.1
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _unpack_row(line: bytes, w: int, depth: int, ch: int, gray_scale: bool) -> bytes:
+    """One unfiltered scanline → w*ch 8-bit samples.  16-bit keeps the
+    high byte; sub-byte depths unpack MSB-first, scaled to full range
+    for gray (exact: 255/(2^d-1) is integral) and kept raw for palette
+    indices."""
+    if depth == 8:
+        return line[: w * ch]
+    if depth == 16:
+        return line[: w * ch * 2 : 2]
+    # depth 1/2/4 — spec restricts these to single-channel (gray/palette)
+    mask = (1 << depth) - 1
+    scale = (255 // mask) if gray_scale else 1
+    out = bytearray(w)
+    for x in range(w):
+        bitpos = x * depth
+        out[x] = (
+            (line[bitpos >> 3] >> (8 - depth - (bitpos & 7))) & mask
+        ) * scale
+    return bytes(out)
+
+
 def decode(data: bytes) -> dict:
     """Full decode → {"width","height","mode","pixels"} with pixels as
     packed RGB or RGBA bytes (gray/palette expanded)."""
@@ -127,17 +175,52 @@ def decode(data: bytes) -> dict:
     if ihdr is None:
         raise PngError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise PngError(f"bit depth {depth} not supported (8 only)")
-    if interlace:
-        raise PngError("Adam7 interlace not supported")
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
     if color not in _CHANNELS:
         raise PngError(f"unknown color type {color}")
-    bpp = _CHANNELS[color]
+    if depth not in _DEPTHS[color]:
+        raise PngError(f"bit depth {depth} illegal for color type {color}")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
+    if w == 0 or h == 0:
+        raise PngError("zero-dimension image")
+    nch = _CHANNELS[color]
+    gray_scale = color == 0
+    # filter "bpp": bytes per complete pixel, min 1 (ISO 15948 §9.2)
+    fbpp = max(1, (depth * nch) // 8)
     raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, w, h, bpp)
+
+    if interlace:
+        px = bytearray(w * h * nch)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no scanlines at all
+            stride = (pw * nch * depth + 7) // 8
+            sub = _unfilter(raw, stride, ph, fbpp, pos)
+            pos += ph * (1 + stride)
+            for j in range(ph):
+                row = _unpack_row(
+                    sub[j * stride : (j + 1) * stride], pw, depth, nch, gray_scale
+                )
+                base = (y0 + j * dy) * w * nch
+                for i in range(pw):
+                    t = base + (x0 + i * dx) * nch
+                    px[t : t + nch] = row[i * nch : (i + 1) * nch]
+    else:
+        stride = (w * nch * depth + 7) // 8
+        flat = _unfilter(raw, stride, h, fbpp)
+        if depth == 8:
+            px = flat
+        else:
+            px = bytearray(w * h * nch)
+            for y in range(h):
+                px[y * w * nch : (y + 1) * w * nch] = _unpack_row(
+                    flat[y * stride : (y + 1) * stride], w, depth, nch, gray_scale
+                )
 
     if color == 2:
         return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
@@ -167,21 +250,54 @@ def decode(data: bytes) -> dict:
     return {"width": w, "height": h, "mode": mode, "pixels": bytes(out)}
 
 
-def encode(width: int, height: int, pixels: bytes, mode: str = "RGB") -> bytes:
-    """Filter-0 PNG encode of packed RGB or RGBA bytes."""
+def encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    interlace: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
+    """Filter-0 PNG encode of packed RGB or RGBA bytes.  ``interlace``
+    writes the seven Adam7 passes; ``bit_depth=16`` widens each 8-bit
+    sample to v*257 (the spec's exact expansion) — both exist so the
+    decoder has an independently-written fixture source for every
+    layout it claims to read."""
     ch = {"RGB": 3, "RGBA": 4}.get(mode)
     if ch is None:
         raise PngError(f"encode supports RGB/RGBA, got {mode!r}")
+    if bit_depth not in (8, 16):
+        raise PngError(f"encode supports bit depth 8/16, got {bit_depth}")
     if len(pixels) != width * height * ch:
         raise PngError(
             f"pixel buffer is {len(pixels)} bytes, need {width * height * ch}"
         )
     color = 2 if mode == "RGB" else 6
+
+    def widen(row: bytes) -> bytes:
+        if bit_depth == 8:
+            return row
+        out = bytearray(len(row) * 2)
+        out[0::2] = row
+        out[1::2] = row  # v*257 = (v << 8) | v
+        return bytes(out)
+
     raw = bytearray()
     stride = width * ch
-    for y in range(height):
-        raw.append(0)
-        raw += pixels[y * stride : (y + 1) * stride]
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, height, dy):
+                row = bytearray()
+                for x in range(x0, width, dx):
+                    s = y * stride + x * ch
+                    row += pixels[s : s + ch]
+                if row:
+                    raw.append(0)
+                    raw += widen(bytes(row))
+    else:
+        for y in range(height):
+            raw.append(0)
+            raw += widen(pixels[y * stride : (y + 1) * stride])
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -193,7 +309,12 @@ def encode(width: int, height: int, pixels: bytes, mode: str = "RGB") -> bytes:
 
     return (
         _SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+        + chunk(
+            b"IHDR",
+            struct.pack(
+                ">IIBBBBB", width, height, bit_depth, color, 0, 0, int(interlace)
+            ),
+        )
         + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
         + chunk(b"IEND", b"")
     )

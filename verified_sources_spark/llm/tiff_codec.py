@@ -1,4 +1,5 @@
-"""Pure-stdlib TIFF codec: probe + uncompressed/Flate/LZW strip decode.
+"""Pure-stdlib TIFF codec: probe + uncompressed/Flate/LZW/PackBits
+strip decode.
 
 TIFF is the archival/scan format (datasets of digitized documents ship
 as multi-page TIFFs) and shares its IFD structure with EXIF — this
@@ -6,15 +7,17 @@ module reuses that walk.  ``probe`` reads every IFD (multi-page):
 dims, bits per sample, compression (named), photometric, strip layout.
 ``decode`` materializes pixels for the honestly-decodable subset —
 uncompressed (1), LZW (5: the TIFF variant — MSB-first bit packing
-with EARLY CHANGE, the wild's most common compressed TIFF) and Deflate
-(8/32946) strips, 8-bit grayscale or RGB, top-down, with the
+with EARLY CHANGE, the wild's most common compressed TIFF), Deflate
+(8/32946) and PackBits (32773: the fax/scanner RLE) strips, 8-bit
+grayscale or RGB, top-down, with the
 horizontal-differencing predictor (Predictor=2) that usually
 accompanies LZW — returning the common ``{width, height, mode,
 pixels}`` contract; CCITT/JPEG-in-TIFF and planar/tiled layouts refuse
 WITH THE NAME.  ``encode`` writes real single-page uncompressed, LZW
 (independent compressor: greedy string table, early-change widths,
-mid-stream Clear on table fill) or Deflate TIFFs (both byte orders,
-optional predictor) for fixtures and as the cross-format dedup member.
+mid-stream Clear on table fill), Deflate or PackBits TIFFs (both byte
+orders, optional predictor) for fixtures and as the cross-format dedup
+member.
 """
 
 from __future__ import annotations
@@ -205,6 +208,58 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9, the Apple RLE): control byte n —
+    0..127 copies n+1 literal bytes, 129..255 repeats the next byte
+    257-n times, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    end = len(data)
+    while i < end:
+        n = data[i]
+        i += 1
+        if n < 128:
+            j = i + n + 1
+            if j > end:
+                raise TiffError("truncated PackBits literal run")
+            out += data[i:j]
+            i = j
+        elif n == 128:
+            continue
+        else:
+            if i >= end:
+                raise TiffError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Independent PackBits compressor for fixtures: greedy — emit a
+    repeat run for >=2 identical bytes, otherwise a literal run broken
+    at the next >=3-byte repeat, both capped at 128."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        j = i + 1
+        while j < end and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        k = i + 1
+        while k < end and k - i < 128:
+            if k + 2 < end and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
 def _undiff_rows(raw: bytes, width: int, spp: int) -> bytes:
     """Reverse horizontal differencing (Predictor=2): per row, each
     sample is a delta from the same sample one pixel left."""
@@ -272,10 +327,10 @@ def decode(data: bytes) -> dict:
     bo = m["_bo"]
     pg = m["_pages_raw"][0]
     ifd = pg["_ifd"]
-    if pg["compression"] not in ("uncompressed", "Deflate", "LZW"):
+    if pg["compression"] not in ("uncompressed", "Deflate", "LZW", "PackBits"):
         raise TiffError(
             f"cannot decode {pg['compression']} TIFF "
-            f"(uncompressed/LZW/Deflate only)"
+            f"(uncompressed/LZW/Deflate/PackBits only)"
         )
     planar = (_ints(data, ifd, _T_PLANAR, bo) or [1])[0]
     if planar != 1:
@@ -308,6 +363,8 @@ def decode(data: bytes) -> dict:
                 raise TiffError(f"bad Deflate strip: {e}") from None
         elif pg["compression"] == "LZW":
             chunk = _lzw_decode(chunk)
+        elif pg["compression"] == "PackBits":
+            chunk = _packbits_decode(chunk)
         if predictor == 2:
             # the predictor resets at every strip's first column but
             # accumulates along each row WITHIN a strip
@@ -330,15 +387,17 @@ def encode(
     byte_order: str = "II",
     deflate: bool = False,
     lzw: bool = False,
+    packbits: bool = False,
     predictor: bool = False,
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Real single-page TIFF: chunky 8-bit gray or RGB, one or more
-    strips, optional Deflate or LZW compression (independent LZW
-    compressor — fixtures don't share table logic with the decoder),
-    optional horizontal-differencing predictor, either byte order."""
-    if deflate and lzw:
-        raise TiffError("choose one of deflate/lzw")
+    strips, optional Deflate, LZW or PackBits compression (independent
+    compressors — fixtures don't share run/table logic with the
+    decoder), optional horizontal-differencing predictor, either byte
+    order."""
+    if deflate + lzw + packbits > 1:
+        raise TiffError("choose one of deflate/lzw/packbits")
     spp = 3 if mode == "RGB" else 1
     if len(pixels) != width * height * spp:
         raise TiffError("pixel buffer does not match dimensions")
@@ -353,6 +412,8 @@ def encode(
             rows = zlib.compress(rows)
         elif lzw:
             rows = _lzw_encode(rows)
+        elif packbits:
+            rows = _packbits_encode(rows)
         strips.append(rows)
 
     n_entries = 10 if predictor else 9
@@ -391,7 +452,8 @@ def encode(
         entry(_T_HEIGHT, 4, 1, long4(height)),
         entry(_T_BITS, 3, spp, bits4),
         entry(_T_COMPRESSION, 3, 1,
-              short4(8 if deflate else 5 if lzw else 1)),
+              short4(8 if deflate else 5 if lzw
+                     else 32773 if packbits else 1)),
         entry(_T_PHOTOMETRIC, 3, 1, short4(2 if spp == 3 else 1)),
         None,  # strip offsets: patched below
         entry(_T_SPP, 3, 1, short4(spp)),

@@ -2449,11 +2449,13 @@ def jpeg_decode_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image dispatch end-to-end over documents: mint one
-    asset per doc cycling ALL SEVEN image codecs by ``doc_id % 6``
-    (PNG, baseline JPEG, GIF/LZW, BMP, WebP — VP8L lossless via pure
+    asset per doc cycling ALL EIGHT image codecs by ``doc_id % 7``
+    (PNG cycling sequential/Adam7-interlaced × 8/16-bit layouts,
+    baseline JPEG, GIF/LZW, BMP, ICO favicons alternating 32-bit-DIB
+    and embedded-PNG payloads, WebP — VP8L lossless via pure
     stdlib with LOSSY VP8 through the system-libwebp seam on every
-    4th webp row —, TIFF with uncompressed/Deflate/TIFF-LZW strips ±
-    horizontal-differencing predictor), dims from doc_id, every 11th
+    4th webp row —, TIFF with uncompressed/Deflate/TIFF-LZW/PackBits
+    strips ± horizontal-differencing predictor), dims from doc_id, every 11th
     truncated; decode through
     the image_io sniffing seam via llm/image_dedup.image_dhash.  The
     oracle replays the arithmetic — a value-hash match proves each
@@ -2470,6 +2472,7 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from verified_sources_spark.llm.bmp_codec import encode as bmp_enc
         from verified_sources_spark.llm.gif_codec import encode as gif_enc
+        from verified_sources_spark.llm.ico_codec import encode as ico_enc
         from verified_sources_spark.llm.jpeg_codec import encode as jpg_enc
         from verified_sources_spark.llm.png_codec import encode as png_enc
         from verified_sources_spark.llm.tiff_codec import encode as tiff_enc
@@ -2490,9 +2493,18 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 coarse = levels[rng.integers(0, 16, size=(6, 8))]
                 gray = coarse[(np.arange(h) * 6) // h][:, (np.arange(w) * 8) // w]
                 rgb = np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes()
-                fmt = did % 6
-                if fmt == 0:
-                    asset = png_enc(w, h, rgb, "RGB")
+                fmt = did % 7
+                if fmt == 6:
+                    # favicon container: DIB (BGRA+AND-mask) payloads on
+                    # even rows, embedded-PNG payloads on odd
+                    asset = ico_enc(w, h, rgb, "RGB", png=bool(did % 2))
+                elif fmt == 0:
+                    # cycle the four PNG layouts: sequential/Adam7 ×
+                    # 8/16-bit — all lossless, so dims and pixels (and
+                    # therefore the oracle arithmetic) are identical
+                    asset = png_enc(w, h, rgb, "RGB",
+                                    interlace=did % 4 >= 2,
+                                    bit_depth=16 if did % 8 >= 4 else 8)
                 elif fmt == 1:
                     asset = jpg_enc(w, h, rgb, quality=90)
                 elif fmt == 2:
@@ -2516,6 +2528,7 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      byte_order="MM" if did % 2 else "II",
                                      deflate=did % 4 == 1,
                                      lzw=did % 4 == 3,
+                                     packbits=did % 4 == 2,
                                      predictor=did % 8 >= 4,
                                      rows_per_strip=5)
                 rows.append(
