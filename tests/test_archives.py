@@ -22,6 +22,8 @@ MEMBERS = {"a.txt": b"alpha", "sub/b.txt": "béta".encode(),
     ("zip", lambda m: encode_zip(m)),
     ("tar", lambda m: encode_tar(m)),
     ("tgz", lambda m: encode_tar(m, gz=True)),
+    ("txz", lambda m: encode_tar(m, compression="xz")),
+    ("tbz2", lambda m: encode_tar(m, compression="bz2")),
 ])
 def test_member_roundtrip(fmt, enc):
     data = enc(MEMBERS)
@@ -88,3 +90,12 @@ def test_spark_operator_explodes_and_isolates(spark):
     assert r3["decoded_ok"] is False
     (r4,) = by_doc[4]
     assert r4["decoded_ok"] is True and r4["member_name"] is None
+
+
+def test_xz_bz2_corrupt_and_sniff_guards():
+    with pytest.raises(ArchiveError, match="txz"):
+        list(iter_members(encode_tar(MEMBERS, compression="xz")[:20]))
+    with pytest.raises(ArchiveError, match="tbz2"):
+        list(iter_members(encode_tar(MEMBERS, compression="bz2")[:20]))
+    # 'BZh' needs the 1-9 level digit to sniff as bzip2
+    assert sniff_archive_format(b"BZhX" + bytes(64)) is None

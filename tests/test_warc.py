@@ -45,12 +45,27 @@ def test_plain_and_gzip_member_archives():
 
 @pytest.mark.parametrize("kw", [dict(), dict(chunked=True),
                                 dict(gzip_body=True),
-                                dict(chunked=True, gzip_body=True)])
+                                dict(chunked=True, gzip_body=True),
+                                dict(encoding="x-gzip"),
+                                dict(encoding="deflate"),
+                                dict(encoding="deflate-raw"),
+                                dict(chunked=True, encoding="deflate")])
 def test_http_payload_wire_variants(kw):
     (_h, block), = iter_records(_resp_record(**kw))
     status, headers, body = http_payload(block)
     assert status == 200 and headers["content-type"] == "text/html"
     assert body == HTML.encode()
+
+
+def test_http_payload_refuses_unknown_encoding():
+    from verified_sources_spark.llm.warc import WarcError
+
+    block = http_response_block(HTML.encode())
+    block = block.replace(
+        b"Content-Length", b"Content-Encoding: br\r\nContent-Length"
+    )
+    with pytest.raises(WarcError, match="Content-Encoding 'br'"):
+        http_payload(block)
 
 
 def test_extract_text_drops_boilerplate():

@@ -1,4 +1,4 @@
-"""Archive ingestion: zip / tar / tar.gz member extraction.
+"""Archive ingestion: zip / tar / tar.{gz,xz,bz2} member extraction.
 
 Curated text corpora ship as archives-of-files (a zip of .txt/.json
 documents, a tar.gz dump per domain); the ingestion front door must
@@ -8,8 +8,8 @@ This module wraps the stdlib's battle-tested ``zipfile``/``tarfile``
 ship with Python) behind the same sniff/iterate/refuse contract as the
 media seams:
 
-- ``sniff_archive_format``: 'zip' / 'tar' / 'tgz' by magic bytes (tar
-  sniffed by the ustar magic at offset 257).
+- ``sniff_archive_format``: 'zip' / 'tar' / 'tgz' / 'txz' / 'tbz2' by
+  magic bytes (tar sniffed by the ustar magic at offset 257).
 - ``iter_members``: yield (name, payload bytes) per REGULAR member,
   skipping directories/links; a truncated or corrupt archive raises
   ``ArchiveError`` with the format named.  Zip-bomb guard: a member
@@ -48,11 +48,17 @@ class ArchiveError(ValueError):
 
 
 def sniff_archive_format(payload: bytes) -> str | None:
-    """'zip' / 'tgz' / 'tar' / None — magic bytes only."""
+    """'zip' / 'tgz' / 'txz' / 'tbz2' / 'tar' / None — magic bytes
+    only (compressed sniffs name the stream; whether a tar lives
+    inside is decided on open)."""
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"
     if payload[:2] == b"\x1f\x8b":
-        return "tgz"  # gzip; whether it's tar inside is decided on open
+        return "tgz"
+    if payload[:6] == b"\xfd7zXZ\x00":
+        return "txz"
+    if payload[:3] == b"BZh" and len(payload) > 3 and 0x31 <= payload[3] <= 0x39:
+        return "tbz2"
     if len(payload) > 262 and payload[257:262] == b"ustar":
         return "tar"
     return None
@@ -80,8 +86,8 @@ def iter_members(
         except (zipfile.BadZipFile, EOFError, OSError) as e:
             raise ArchiveError(f"corrupt zip archive: {e}") from None
         return
-    if fmt in ("tar", "tgz"):
-        mode = "r:gz" if fmt == "tgz" else "r:"
+    if fmt in ("tar", "tgz", "txz", "tbz2"):
+        mode = {"tgz": "r:gz", "txz": "r:xz", "tbz2": "r:bz2"}.get(fmt, "r:")
         try:
             with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
                 for info in tf:
@@ -103,7 +109,9 @@ def iter_members(
         except (tarfile.TarError, EOFError, OSError) as e:
             raise ArchiveError(f"corrupt {fmt} archive: {e}") from None
         return
-    raise ArchiveError("unrecognized archive payload (not zip/tar/tar.gz)")
+    raise ArchiveError(
+        "unrecognized archive payload (not zip/tar/tar.{gz,xz,bz2})"
+    )
 
 
 ARCHIVE_MEMBERS_SCHEMA = (
@@ -167,9 +175,16 @@ def encode_zip(members: dict[str, bytes]) -> bytes:
     return buf.getvalue()
 
 
-def encode_tar(members: dict[str, bytes], gz: bool = False) -> bytes:
+def encode_tar(
+    members: dict[str, bytes], gz: bool = False, compression: str | None = None
+) -> bytes:
+    """Fixture tar; ``compression`` in (None, 'gz', 'xz', 'bz2') —
+    ``gz=True`` is the legacy spelling of compression='gz'."""
+    comp = compression or ("gz" if gz else None)
+    if comp not in (None, "gz", "xz", "bz2"):
+        raise ArchiveError(f"unsupported tar compression {comp!r}")
     buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w:gz" if gz else "w") as tf:
+    with tarfile.open(fileobj=buf, mode=f"w:{comp}" if comp else "w") as tf:
         for name, data in members.items():
             info = tarfile.TarInfo(name)
             info.size = len(data)

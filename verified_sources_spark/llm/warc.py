@@ -167,11 +167,37 @@ def http_payload(block: bytes) -> tuple[int, dict, bytes]:
                 f"truncated HTTP body: {len(body)} bytes < {want}"
             )
         body = body[:want]
-    if headers.get("content-encoding", "").lower() == "gzip":
-        try:
-            body = gzip.decompress(body)
-        except OSError as e:
-            raise WarcError(f"bad gzip HTTP body: {e}") from None
+    encodings = [
+        e.strip()
+        for e in headers.get("content-encoding", "").lower().split(",")
+        if e.strip()
+    ]
+    # applied right-to-left: Content-Encoding lists codings in the
+    # order the server applied them
+    for enc in reversed(encodings):
+        if enc in ("gzip", "x-gzip"):
+            try:
+                body = gzip.decompress(body)
+            except OSError as e:
+                raise WarcError(f"bad gzip HTTP body: {e}") from None
+        elif enc == "deflate":
+            # the wild sends both RFC 1950 zlib-wrapped and (against
+            # spec, historically IIS) raw RFC 1951 streams
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompressobj(-zlib.MAX_WBITS).decompress(
+                        body
+                    )
+                except zlib.error as e:
+                    raise WarcError(f"bad deflate HTTP body: {e}") from None
+        elif enc == "identity":
+            continue
+        else:
+            # br / zstd / compress: no stdlib codec — refuse by name
+            # rather than hand compressed bytes to text extraction
+            raise WarcError(f"cannot decode Content-Encoding {enc!r}")
     return status, headers, body
 
 
@@ -320,9 +346,26 @@ def http_response_block(
     content_type: str = "text/html",
     chunked: bool = False,
     gzip_body: bool = False,
+    encoding: str | None = None,
 ) -> bytes:
+    """Fixture builder.  ``encoding`` picks the Content-Encoding wire
+    form: 'gzip' / 'x-gzip' / 'deflate' (RFC 1950 zlib-wrapped) /
+    'deflate-raw' (the historical bare-RFC-1951 server bug, declared
+    as plain ``deflate``); ``gzip_body`` is the legacy spelling of
+    encoding='gzip'."""
     if gzip_body:
+        encoding = "gzip"
+    declared = encoding
+    if encoding in ("gzip", "x-gzip"):
         body = gzip.compress(body)
+    elif encoding == "deflate":
+        body = zlib.compress(body)
+    elif encoding == "deflate-raw":
+        c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        body = c.compress(body) + c.flush()
+        declared = "deflate"
+    elif encoding is not None:
+        raise ValueError(f"fixture encoding {encoding!r} not supported")
     if chunked:
         chunks = []
         pos = 0
@@ -337,8 +380,8 @@ def http_response_block(
         payload = body
         head = (f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
                 f"Content-Length: {len(body)}\r\n").encode()
-    if gzip_body:
-        head += b"Content-Encoding: gzip\r\n"
+    if declared:
+        head += f"Content-Encoding: {declared}\r\n".encode()
     return head + b"\r\n" + payload
 
 

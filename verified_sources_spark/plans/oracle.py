@@ -1899,8 +1899,9 @@ ORACLE_SQL["archive_members_docs"] = """
     WITH p AS (
         SELECT doc_id,
                (doc_id % 13) <> 0 AS ok,
-               CASE doc_id % 3 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
-                               ELSE 'tgz' END AS fmt,
+               CASE doc_id % 5 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+                               WHEN 2 THEN 'tgz' WHEN 3 THEN 'txz'
+                               ELSE 'tbz2' END AS fmt,
                COALESCE(text, '') AS t
         FROM documents
     )

@@ -1838,7 +1838,7 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-files ingestion end-to-end over documents: pack each
     doc's text (plus a deterministic JSON sidecar) into an archive —
-    format cycles zip / tar / tar.gz by ``doc_id % 3``, every 13th
+    format cycles zip / tar / tar.{gz,xz,bz2} by ``doc_id % 5``, every 13th
     truncated — then explode through llm/archives.archive_members into
     per-member rows.  The oracle replays the member inventory AND the
     text itself in SQL (two rows per healthy doc) — a value-hash match
@@ -1862,13 +1862,17 @@ def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"doc_{did}.txt": (text or "").encode(),
                     f"meta/{did}.json": f'{{"id": {did}}}'.encode(),
                 }
-                fmt = did % 3
+                fmt = did % 5
                 if fmt == 0:
                     asset = encode_zip(members)
                 elif fmt == 1:
                     asset = encode_tar(members)
-                else:
+                elif fmt == 2:
                     asset = encode_tar(members, gz=True)
+                elif fmt == 3:
+                    asset = encode_tar(members, compression="xz")
+                else:
+                    asset = encode_tar(members, compression="bz2")
                 rows.append(
                     {"doc_id": did,
                      "asset": asset[:25] if did % 13 == 0 else asset}
