@@ -1,0 +1,102 @@
+"""Email ingestion (llm/email_ingest.py): EML/MIME decode, mbox
+splitting with From-stuffing, charset + transfer-encoding handling,
+and the Spark operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.llm.email_ingest import (
+    EmailError,
+    email_extract,
+    encode_eml,
+    encode_mbox,
+    iter_mbox,
+    parse_eml,
+)
+
+BODY = ("Hello café — line one.\n"
+        "From here it looks fine.\n"
+        ">From stuffed-looking line.\n")
+
+
+def test_singlepart_qp_roundtrip():
+    out = parse_eml(encode_eml("Re: naïve subject", BODY))
+    assert out["subject"] == "Re: naïve subject"
+    assert out["from_addr"] == "sender@example.com"
+    assert out["n_parts"] == 1
+    assert out["body_source"] == "plain"
+    assert out["text"] == BODY
+
+
+def test_multipart_prefers_plain():
+    out = parse_eml(encode_eml(
+        "s", BODY, html_body="<p>Hello <b>café</b></p>"))
+    assert out["n_parts"] == 2
+    assert out["body_source"] == "plain"
+    assert out["text"] == BODY
+
+
+def test_base64_and_latin1():
+    assert parse_eml(encode_eml("b", BODY, base64_body=True))["text"] == BODY
+    b2 = "Hola café ñandú\n"
+    out = parse_eml(encode_eml("l", b2, charset="latin-1"))
+    assert out["text"] == b2
+
+
+def test_html_only_falls_back_through_warc_extractor():
+    eml = (b"From: a@b.c\r\nSubject: h\r\nMIME-Version: 1.0\r\n"
+           b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+           b"<html><body><p>only html</p><script>drop()</script>"
+           b"</body></html>")
+    out = parse_eml(eml)
+    assert out["body_source"] == "html"
+    assert out["text"] == "only html"
+
+
+def test_mbox_roundtrip_with_stuffing():
+    msgs_in = [encode_eml(f"msg {i}", BODY) for i in range(3)]
+    data = encode_mbox(msgs_in)
+    msgs = list(iter_mbox(data))
+    assert len(msgs) == 3
+    for i, m in enumerate(msgs):
+        out = parse_eml(m)
+        assert out["subject"] == f"msg {i}"
+        assert out["text"] == BODY
+
+
+def test_mbox_body_from_lines_not_split():
+    # a body whose lines start with 'From ' must not split the mbox
+    body = "From the start.\nFrom the middle.\n"
+    data = encode_mbox([encode_eml("one", body)])
+    msgs = list(iter_mbox(data))
+    assert len(msgs) == 1
+    assert parse_eml(msgs[0])["text"] == body
+
+
+@pytest.mark.parametrize("bad", [b"", b"just some text\nno headers\n"])
+def test_refusals(bad):
+    with pytest.raises(EmailError):
+        parse_eml(bad)
+
+
+def test_iter_mbox_refuses_non_mbox():
+    with pytest.raises(EmailError):
+        list(iter_mbox(b"not an mbox"))
+
+
+def test_email_extract_operator(spark):
+    rows = [
+        (0, encode_eml("solo", BODY)),
+        (1, encode_mbox([encode_eml("m0", BODY), encode_eml("m1", BODY)])),
+        (2, b"\x00\x01 garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = email_extract(df).orderBy("doc_id", "msg_idx").collect()
+    assert [(r.doc_id, r.decoded_ok, r.msg_idx, r.subject, r.text)
+            for r in got] == [
+        (0, True, 0, "solo", BODY),
+        (1, True, 0, "m0", BODY),
+        (1, True, 1, "m1", BODY),
+        (2, False, None, None, None),
+    ]

@@ -1,0 +1,196 @@
+"""Office-document extraction (llm/office.py): DOCX/XLSX/PPTX/ODT/ODS/
+RTF round trips, format quirks, refusal isolation, and the Spark
+operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.llm.office import (
+    OfficeError,
+    encode_docx,
+    encode_ods,
+    encode_odt,
+    encode_pptx,
+    encode_rtf,
+    encode_xlsx,
+    extract_office,
+    office_extract,
+)
+
+PARAS = [
+    "Plain paragraph.",
+    "With\ttab and\nsoft break.",
+    "  two leading, trailing  ",
+    "escapes: a<b & c>d \"q\"",
+    "unicode: café — naïve 中文 🚀",
+    "",
+]
+
+
+@pytest.mark.parametrize("enc,fmt", [
+    (encode_docx, "docx"), (encode_odt, "odt"), (encode_rtf, "rtf"),
+])
+def test_paragraph_roundtrip(enc, fmt):
+    out = extract_office(enc(PARAS))
+    assert out["format"] == fmt
+    assert out["units"] == PARAS
+
+
+@pytest.mark.parametrize("enc,fmt", [(encode_xlsx, "xlsx"),
+                                     (encode_ods, "ods")])
+def test_sheet_roundtrip(enc, fmt):
+    rows = [["name", "qty", "ok"], ["widget", 3, True],
+            ["gadget", 2.5, False], ["dup", "widget", 1]]
+    out = extract_office(enc(rows))
+    assert out["format"] == fmt
+    assert out["units"] == [
+        "name\tqty\tok\nwidget\t3\tTRUE\ngadget\t2.5\tFALSE\ndup\twidget\t1"]
+
+
+def test_pptx_slide_order_and_paragraphs():
+    slides = ["Title", "Bullet one\nBullet two", "Closing"]
+    out = extract_office(encode_pptx(slides))
+    assert out["format"] == "pptx"
+    assert out["units"] == slides
+
+
+def test_xlsx_inline_str_and_formula_cache_and_sparse_cols():
+    # hand-built sheet exercising cell types the encoder doesn't emit:
+    # inlineStr, str (cached formula), out-of-order/sparse column refs
+    import io
+    import zipfile
+
+    base = encode_xlsx([["x"]])
+    with zipfile.ZipFile(io.BytesIO(base)) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    parts["xl/worksheets/sheet1.xml"] = (
+        f'<worksheet xmlns="{S}"><sheetData>'
+        '<row r="1">'
+        '<c r="C1" t="inlineStr"><is><t>inline</t></is></c>'
+        '<c r="A1" t="str"><v>cached</v></c>'
+        '<c r="B1"><v>7.25</v></c>'
+        "</row></sheetData></worksheet>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for n, d in parts.items():
+            z.writestr(n, d)
+    out = extract_office(buf.getvalue())
+    # A1 cached formula string, B1 float, C1 inline — in column order
+    assert out["units"] == ["cached\t7.25\tinline"]
+
+
+def test_odt_nested_spans_and_spacing():
+    # hand-built content.xml: nested spans, text:s run-length spaces
+    import io
+    import zipfile
+
+    base = encode_odt(["x"])
+    with zipfile.ZipFile(io.BytesIO(base)) as z:
+        parts = [(n, z.read(n)) for n in z.namelist()]
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    content = (
+        f'<office:document-content xmlns:office="{O}" xmlns:text="{T}">'
+        "<office:body><office:text>"
+        '<text:p>a<text:span>b<text:span>c</text:span>d</text:span>'
+        'e<text:s text:c="3"/>f<text:tab/>g</text:p>'
+        "<text:h>heading</text:h>"
+        "</office:text></office:body></office:document-content>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for n, d in parts:
+            z.writestr(n, content if n == "content.xml" else d)
+    out = extract_office(buf.getvalue())
+    assert out["units"] == ["abcde   f\tg", "heading"]
+
+
+class TestRtf:
+    def test_destinations_skipped(self):
+        rtf = (rb"{\rtf1\ansi\deff0"
+               rb"{\fonttbl{\f0 Arial;}}"
+               rb"{\colortbl;\red0\green0\blue0;}"
+               rb"{\*\generator FixtureWriter 1.0;}"
+               rb"{\stylesheet{\s0 Normal;}}"
+               rb"body text\par}")
+        out = extract_office(rtf)
+        assert out["units"] == ["body text"]
+
+    def test_unicode_negative_and_uc_skip(self):
+        # \uc1: one fallback char after \uN must be swallowed
+        rtf = "{\\rtf1\\ansi\\uc1 A\\u-10179?\\u-8704?B\\par}".encode()
+        out = extract_office(rtf)
+        # -10179+65536=55357, -8704+65536=56832 (surrogate pair halves)
+        assert out["units"] == ["A😀B"]
+
+    def test_uc2_skips_two(self):
+        rtf = rb"{\rtf1\ansi\uc2 X\u233 ??Y\par}"
+        out = extract_office(rtf)
+        assert out["units"] == ["XéY"]
+
+    def test_hex_escape_codepage(self):
+        rtf = rb"{\rtf1\ansi\ansicpg1252 caf\'e9\par}"
+        assert extract_office(rtf)["units"] == ["café"]
+
+    def test_bin_skip(self):
+        rtf = rb"{\rtf1\ansi before\bin5 " + bytes(5) + rb" after\par}"
+        out = extract_office(rtf)
+        assert out["units"] == ["before after"]
+
+    def test_escaped_braces_and_nbsp(self):
+        rtf = rb"{\rtf1\ansi \{x\} \\ \~end\par}"
+        assert extract_office(rtf)["units"] == ["{x} \\  end"]
+
+    def test_trailing_text_without_par_kept(self):
+        rtf = rb"{\rtf1\ansi first\par tail}"
+        assert extract_office(rtf)["units"] == ["first", "tail"]
+
+
+@pytest.mark.parametrize("bad", [
+    b"", b"garbage bytes", b"PK\x03\x04 not a zip",
+    encode_docx(["x"])[:40],
+])
+def test_refusals(bad):
+    with pytest.raises(OfficeError):
+        extract_office(bad)
+
+
+def test_refuses_plain_zip_and_odf_presentation():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("readme.txt", "hello")
+    with pytest.raises(OfficeError, match="not a known office package"):
+        extract_office(buf.getvalue())
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("mimetype")
+        z.writestr(zi, b"application/vnd.oasis.opendocument.presentation",
+                   compress_type=zipfile.ZIP_STORED)
+    with pytest.raises(OfficeError, match="unsupported ODF mimetype"):
+        extract_office(buf.getvalue())
+
+
+def test_office_extract_operator(spark):
+    rows = [
+        (0, encode_docx(["p0", "p1"])),
+        (1, encode_xlsx([["a", 1]])),
+        (2, b"not an office file"),
+        (3, encode_rtf(["only"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    out = office_extract(df).orderBy("doc_id", "unit_idx").collect()
+    assert [(r.doc_id, r.decoded_ok, r.format, r.unit_idx, r.n_units, r.text)
+            for r in out] == [
+        (0, True, "docx", 0, 2, "p0"),
+        (0, True, "docx", 1, 2, "p1"),
+        (1, True, "xlsx", 0, 1, "a\t1"),
+        (2, False, None, None, None, None),
+        (3, True, "rtf", 0, 1, "only"),
+    ]

@@ -1,0 +1,250 @@
+"""Email-corpus ingestion: RFC 5322 / MIME (EML) and mbox mailboxes,
+pure stdlib (``email`` parser + ``quopri``/``base64`` transfer
+decodes).
+
+Why this exists: mail archives (Enron-style dumps, mailing-list
+mboxes, support-desk exports) are a standing text-corpus source, and
+the reference already ingests live mailboxes through its inbox/IMAP
+source (``/root/reference/sources/inbox`` — UID ranges, filters, body
++ attachment extraction).  This module is the at-rest half of the same
+surface: bytes → per-message text rows, Spark-first (Arrow-batched
+``mapInPandas``; payloads never shuffle; corrupt messages isolate as
+``decoded_ok=false`` rows, never task failures).
+
+Decode posture mirrors the WARC front door: honor the declared
+charset per MIME part (with a safe fallback), record what was used,
+prefer ``text/plain`` and fall back to ``text/html`` through the same
+``extract_text`` the WARC path uses — so email-borne HTML and
+crawl-borne HTML land in ONE canonical text shape for dedup and
+quality scoring downstream.
+
+mbox specifics (public format, qmail/Thunderbird ``mboxrd`` flavor):
+messages are separated by ``From `` lines; body lines that would
+collide are ``>``-stuffed by writers, so the reader unstuffs exactly
+one ``>`` from ``^>+From `` lines.
+"""
+
+from __future__ import annotations
+
+import email
+import email.message
+import email.policy
+import re
+
+__all__ = [
+    "EmailError",
+    "encode_eml", "encode_mbox", "iter_mbox",
+    "parse_eml", "email_extract",
+    "EMAIL_EXTRACT_SCHEMA",
+]
+
+
+class EmailError(ValueError):
+    """Named refusal: not an email payload we can decode honestly."""
+
+
+# ---------------------------------------------------------------------------
+# encoders (independent writers: literal byte templates, not email.generator)
+
+def _qp(text: str, charset: str = "utf-8") -> bytes:
+    import quopri
+    return quopri.encodestring(text.encode(charset))
+
+
+def encode_eml(
+    subject: str,
+    body_text: str,
+    from_addr: str = "sender@example.com",
+    to_addr: str = "rcpt@example.com",
+    html_body: str | None = None,
+    date: str = "Mon, 01 Jan 2024 00:00:00 +0000",
+    boundary: str = "b0UNDary42",
+    charset: str = "utf-8",
+    base64_body: bool = False,
+) -> bytes:
+    """Hand-rolled RFC 5322 + MIME writer (deliberately NOT
+    email.generator, so reader and writer share no code): single-part
+    quoted-printable by default, multipart/alternative when an HTML
+    body is given, base64 transfer encoding on request."""
+    import base64
+
+    head = [
+        f"From: {from_addr}",
+        f"To: {to_addr}",
+        f"Subject: {subject}",
+        f"Date: {date}",
+        "MIME-Version: 1.0",
+    ]
+    if html_body is None:
+        if base64_body:
+            head.append(f'Content-Type: text/plain; charset="{charset}"')
+            head.append("Content-Transfer-Encoding: base64")
+            payload = base64.encodebytes(body_text.encode(charset))
+        else:
+            head.append(f'Content-Type: text/plain; charset="{charset}"')
+            head.append("Content-Transfer-Encoding: quoted-printable")
+            payload = _qp(body_text, charset)
+        return ("\r\n".join(head) + "\r\n\r\n").encode() + payload
+    head.append(
+        f'Content-Type: multipart/alternative; boundary="{boundary}"')
+    parts = [
+        ("text/plain", _qp(body_text, charset), "quoted-printable"),
+        ("text/html",
+         base64.encodebytes(html_body.encode(charset)), "base64"),
+    ]
+    out = [("\r\n".join(head) + "\r\n\r\n").encode()]
+    for ctype, payload, cte in parts:
+        out.append(
+            (f"--{boundary}\r\n"
+             f'Content-Type: {ctype}; charset="{charset}"\r\n'
+             f"Content-Transfer-Encoding: {cte}\r\n\r\n").encode())
+        out.append(payload)
+        out.append(b"\r\n")
+    out.append(f"--{boundary}--\r\n".encode())
+    return b"".join(out)
+
+
+def encode_mbox(messages: list[bytes]) -> bytes:
+    """mboxrd writer: ``From `` separator before each message,
+    ``>``-stuffing applied to colliding body lines."""
+    out = []
+    for msg in messages:
+        out.append(b"From MAILER-DAEMON Mon Jan  1 00:00:00 2024\n")
+        body = msg.replace(b"\r\n", b"\n")
+        stuffed = re.sub(rb"(?m)^(>*From )", rb">\1", body)
+        out.append(stuffed)
+        if not stuffed.endswith(b"\n"):
+            out.append(b"\n")
+        out.append(b"\n")
+    return b"".join(out)
+
+
+def iter_mbox(data: bytes):
+    """Yield raw message bytes from an mbox, unstuffing ``>From `` and
+    stripping exactly the writer's one separator blank line (mbox
+    messages end with a newline by convention — a source message
+    without one gains it, the format's standing ambiguity)."""
+    if not data.startswith(b"From "):
+        raise EmailError("not an mbox (missing 'From ' separator)")
+    # split at line starts; keep it streaming-friendly per chunk
+    chunks = re.split(rb"(?m)^From .*\n", data)
+    for chunk in chunks:
+        if not chunk.strip():
+            continue
+        if chunk.endswith(b"\n\n"):
+            chunk = chunk[:-1]
+        yield re.sub(rb"(?m)^>(>*From )", rb"\1", chunk)
+
+
+# ---------------------------------------------------------------------------
+# parser (stdlib email package — the reader side)
+
+def _part_text(part) -> str | None:
+    payload = part.get_payload(decode=True)
+    if payload is None:
+        return None
+    charset = part.get_content_charset() or "utf-8"
+    try:
+        return payload.decode(charset, errors="strict")
+    except (UnicodeDecodeError, LookupError):
+        return payload.decode("utf-8", errors="replace")
+
+
+def parse_eml(data: bytes) -> dict:
+    """One RFC 5322 message → ``{subject, from_addr, to_addr, date,
+    n_parts, body_source, text}``.  ``text`` prefers the decoded
+    ``text/plain`` part; falls back to ``text/html`` through the WARC
+    path's ``extract_text`` so both ingestion front doors canonicalize
+    HTML identically.  Raises :class:`EmailError` when the payload has
+    no parseable header block."""
+    if b":" not in data.split(b"\n", 3)[0] and not data.startswith(b"From"):
+        raise EmailError("no RFC 5322 header block")
+    msg = email.message_from_bytes(data, policy=email.policy.default)
+    if msg.get("Subject") is None and msg.get("From") is None:
+        raise EmailError("no Subject/From headers — not an email")
+    n_parts = 0
+    plain = None
+    html = None
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        n_parts += 1
+        ctype = part.get_content_type()
+        if ctype == "text/plain" and plain is None:
+            plain = _part_text(part)
+        elif ctype == "text/html" and html is None:
+            html = _part_text(part)
+    if plain is not None:
+        body_source, text = "plain", plain
+    elif html is not None:
+        from verified_sources_spark.llm.warc import extract_text
+        _, text = extract_text(html, collapse=True)
+        body_source = "html"
+    else:
+        body_source, text = None, None
+    return {
+        "subject": str(msg.get("Subject", "")) or None,
+        "from_addr": str(msg.get("From", "")) or None,
+        "to_addr": str(msg.get("To", "")) or None,
+        "date": str(msg.get("Date", "")) or None,
+        "n_parts": n_parts,
+        "body_source": body_source,
+        "text": text,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+
+EMAIL_EXTRACT_SCHEMA = (
+    "doc_id long, decoded_ok boolean, msg_idx int, subject string, "
+    "from_addr string, n_parts int, body_source string, text string"
+)
+
+
+def email_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched email → text over binary payloads: sniffs mbox
+    (``From `` separator) vs single EML, emits one row per message.
+    Payloads never shuffle; a corrupt payload isolates as one
+    ``decoded_ok=false`` row (reference analogue:
+    sources/inbox/__init__.py — the live-IMAP half of the same
+    surface)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                raw = bytes(payload)
+                try:
+                    msgs = (list(iter_mbox(raw))
+                            if raw.startswith(b"From ") else [raw])
+                    if not msgs:
+                        raise EmailError("empty mbox")
+                    for i, m in enumerate(msgs):
+                        out = parse_eml(m)
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True, "msg_idx": i,
+                            "subject": out["subject"],
+                            "from_addr": out["from_addr"],
+                            "n_parts": out["n_parts"],
+                            "body_source": out["body_source"],
+                            "text": out["text"],
+                        })
+                except EmailError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False, "msg_idx": None,
+                        "subject": None, "from_addr": None, "n_parts": None,
+                        "body_source": None, "text": None,
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "msg_idx", "subject", "from_addr",
+                "n_parts", "body_source", "text"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, EMAIL_EXTRACT_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

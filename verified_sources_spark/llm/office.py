@@ -1,0 +1,775 @@
+"""Office-document text extraction: DOCX / XLSX / PPTX (OOXML),
+ODT / ODS (OpenDocument), and RTF — pure stdlib (zipfile +
+xml.etree + a hand-rolled RTF tokenizer).
+
+Why this exists: a web-scale training corpus is full of office
+documents — they are the second-largest text carrier after HTML/PDF —
+and the reference ingests them through its unstructured-data pipeline
+(``/root/reference/sources/unstructured_data`` routes local files into
+text for downstream structuring; ``filesystem`` lands the raw bytes).
+This module is the decode half of that front door, Spark-first: the
+``office_extract`` operator is an Arrow-batched ``mapInPandas`` over a
+binary payload column, payloads never shuffle, and a corrupt or
+unsupported file isolates as ``decoded_ok=false`` (never a task
+failure — the honest-refusal contract the rest of the codec suite
+follows).
+
+Readers and writers are INDEPENDENT code paths on purpose: encoders
+emit literal XML/RTF templates, extractors parse with
+``xml.etree``/a state-machine tokenizer — a shared-constant bug can't
+hide, the same two-sided method the JPEG/VP8L/FLAC codecs use.
+
+Format notes (all from the public specs — ECMA-376 for OOXML, OASIS
+ODF 1.2, Microsoft RTF 1.9.1):
+
+- DOCX: ``word/document.xml``; a paragraph is ``w:p``, runs ``w:r``
+  carry ``w:t`` text, ``w:tab`` and ``w:br`` render as ``\\t`` / ``\\n``.
+- XLSX: ``xl/workbook.xml`` names sheets in order; each sheet's cells
+  carry a type code — ``s`` shared-string index, ``str`` cached
+  formula string, ``inlineStr``, ``b`` boolean, default numeric.
+  Column order comes from the A1-style ``r`` attribute.
+- PPTX: ``ppt/presentation.xml``'s ``p:sldIdLst`` orders slides via
+  relationship ids; slide text lives in ``a:t`` runs inside ``a:p``
+  paragraphs.
+- ODT/ODS: ``content.xml``; ``text:p``/``text:h`` paragraphs with
+  ``text:s`` (run-length spaces), ``text:tab``, ``text:line-break``.
+- RTF: control-word stream; ``\\uN`` unicode escapes with ``\\ucN``
+  fallback skip, ``\\'hh`` codepage bytes, destination groups
+  (``{\\*\\...}``, fonttbl, stylesheet, pict...) skipped, ``\\binN``
+  raw-byte skip, ``\\par`` ends a paragraph.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+import zipfile
+import xml.etree.ElementTree as ET
+
+__all__ = [
+    "OfficeError",
+    "encode_docx", "encode_xlsx", "encode_pptx",
+    "encode_odt", "encode_ods", "encode_rtf",
+    "extract_office", "office_extract",
+    "OFFICE_EXTRACT_SCHEMA",
+]
+
+
+class OfficeError(ValueError):
+    """Named refusal: not an office document we can decode honestly."""
+
+
+# ---------------------------------------------------------------------------
+# namespaces (public, fixed by the specs)
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_R = "http://schemas.openxmlformats.org/package/2006/relationships"
+_CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+
+_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+             .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+# ---------------------------------------------------------------------------
+# encoders (independent writers: literal templates, no ET)
+
+def _zip_parts(parts: list[tuple[str, bytes]],
+               stored_first: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for i, (name, data) in enumerate(parts):
+            if stored_first and i == 0:
+                # ODF requires the mimetype member first and STORED
+                zi = zipfile.ZipInfo(name)
+                z.writestr(zi, data, compress_type=zipfile.ZIP_STORED)
+            else:
+                z.writestr(name, data)
+    return buf.getvalue()
+
+
+def encode_docx(paragraphs: list[str]) -> bytes:
+    """Minimal valid WordprocessingML package: one ``w:p`` per entry;
+    embedded ``\\t`` / ``\\n`` inside an entry become ``w:tab`` /
+    ``w:br`` runs (what Word itself emits)."""
+    body = []
+    for p in paragraphs:
+        runs = []
+        # split into text / tab / break tokens
+        for tok in re.split(r"([\t\n])", p):
+            if tok == "\t":
+                runs.append("<w:r><w:tab/></w:r>")
+            elif tok == "\n":
+                runs.append("<w:r><w:br/></w:r>")
+            elif tok:
+                runs.append(
+                    f'<w:r><w:t xml:space="preserve">{_esc(tok)}</w:t></w:r>')
+        body.append("<w:p>" + "".join(runs) + "</w:p>")
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>' + "".join(body) +
+        "</w:body></w:document>"
+    ).encode()
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{_CT}">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+        "</Types>"
+    ).encode()
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_R}">'
+        f'<Relationship Id="rId1" Type="{_R}/officeDocument" Target="word/document.xml"/>'
+        "</Relationships>"
+    ).encode()
+    return _zip_parts([
+        ("[Content_Types].xml", ct),
+        ("_rels/.rels", rels),
+        ("word/document.xml", doc),
+    ])
+
+
+def _col_letters(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, r = divmod(idx - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def _num_repr(v) -> str:
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int) or (isinstance(v, float) and v == int(v)):
+        return str(int(v))
+    return repr(float(v))
+
+
+def encode_xlsx(rows: list[list], sheet_name: str = "Sheet1") -> bytes:
+    """Minimal SpreadsheetML package with a sharedStrings table (the
+    layout Excel itself writes): strings by reference, numbers inline,
+    booleans as ``t="b"``."""
+    shared: list[str] = []
+    sindex: dict[str, int] = {}
+    srows = []
+    for ri, row in enumerate(rows):
+        cells = []
+        for ci, v in enumerate(row):
+            ref = f"{_col_letters(ci)}{ri + 1}"
+            if isinstance(v, bool):
+                cells.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+            elif isinstance(v, (int, float)):
+                cells.append(f'<c r="{ref}"><v>{_num_repr(v)}</v></c>')
+            else:
+                s = str(v)
+                if s not in sindex:
+                    sindex[s] = len(shared)
+                    shared.append(s)
+                cells.append(f'<c r="{ref}" t="s"><v>{sindex[s]}</v></c>')
+        srows.append(f'<row r="{ri + 1}">' + "".join(cells) + "</row>")
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_S}"><sheetData>' + "".join(srows) +
+        "</sheetData></worksheet>"
+    ).encode()
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_S}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{_esc(s)}</t></si>' for s in shared)
+        + "</sst>"
+    ).encode()
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_S}" xmlns:r="{_R}"><sheets>'
+        f'<sheet name="{_esc(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    ).encode()
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_R}">'
+        f'<Relationship Id="rId1" Type="{_R}/worksheet" Target="worksheets/sheet1.xml"/>'
+        f'<Relationship Id="rId2" Type="{_R}/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    ).encode()
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{_CT}">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    ).encode()
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_R}">'
+        f'<Relationship Id="rId1" Type="{_R}/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ).encode()
+    return _zip_parts([
+        ("[Content_Types].xml", ct),
+        ("_rels/.rels", rels),
+        ("xl/workbook.xml", wb),
+        ("xl/_rels/workbook.xml.rels", wb_rels),
+        ("xl/worksheets/sheet1.xml", sheet),
+        ("xl/sharedStrings.xml", sst),
+    ])
+
+
+def encode_pptx(slides: list[str]) -> bytes:
+    """Minimal PresentationML package: one text box per slide; embedded
+    ``\\n`` becomes separate ``a:p`` paragraphs."""
+    parts: list[tuple[str, bytes]] = []
+    sld_ids = []
+    sld_rels = []
+    overrides = []
+    for i, text in enumerate(slides, start=1):
+        paras = "".join(
+            "<a:p><a:r><a:t>" + _esc(line) + "</a:t></a:r></a:p>"
+            for line in text.split("\n")
+        )
+        slide = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:sld xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld><p:spTree>'
+            "<p:sp><p:txBody>" + paras + "</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        ).encode()
+        parts.append((f"ppt/slides/slide{i}.xml", slide))
+        sld_ids.append(f'<p:sldId id="{255 + i}" r:id="rId{i}"/>')
+        sld_rels.append(
+            f'<Relationship Id="rId{i}" Type="{_R}/slide" Target="slides/slide{i}.xml"/>')
+        overrides.append(
+            f'<Override PartName="/ppt/slides/slide{i}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>')
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{_P}" xmlns:r="{_R}"><p:sldIdLst>'
+        + "".join(sld_ids) + "</p:sldIdLst></p:presentation>"
+    ).encode()
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_R}">' + "".join(sld_rels) +
+        "</Relationships>"
+    ).encode()
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{_CT}">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+        + "".join(overrides) + "</Types>"
+    ).encode()
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_R}">'
+        f'<Relationship Id="rId1" Type="{_R}/officeDocument" Target="ppt/presentation.xml"/>'
+        "</Relationships>"
+    ).encode()
+    return _zip_parts([
+        ("[Content_Types].xml", ct),
+        ("_rels/.rels", rels),
+        ("ppt/presentation.xml", pres),
+        ("ppt/_rels/presentation.xml.rels", pres_rels),
+    ] + parts)
+
+
+def _odf_paragraph(p: str) -> str:
+    # runs of >=2 spaces become text:s (ODF collapses literal spaces)
+    out = []
+    for tok in re.split(r"(\t|\n|  +)", p):
+        if tok == "\t":
+            out.append("<text:tab/>")
+        elif tok == "\n":
+            out.append("<text:line-break/>")
+        elif tok and tok.strip() == "" and len(tok) >= 2:
+            out.append(f'<text:s text:c="{len(tok)}"/>')
+        elif tok:
+            out.append(_esc(tok))
+    return "".join(out)
+
+
+def encode_odt(paragraphs: list[str]) -> bytes:
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_OFFICE}" xmlns:text="{_TEXT}">'
+        "<office:body><office:text>"
+        + "".join(f"<text:p>{_odf_paragraph(p)}</text:p>" for p in paragraphs)
+        + "</office:text></office:body></office:document-content>"
+    ).encode()
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.text"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    ).encode()
+    return _zip_parts([
+        ("mimetype", b"application/vnd.oasis.opendocument.text"),
+        ("META-INF/manifest.xml", manifest),
+        ("content.xml", content),
+    ], stored_first=True)
+
+
+def encode_ods(rows: list[list]) -> bytes:
+    trows = []
+    for row in rows:
+        cells = []
+        for v in row:
+            if isinstance(v, bool):
+                cells.append(
+                    '<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{"true" if v else "false"}"/>')
+            elif isinstance(v, (int, float)):
+                cells.append(
+                    '<table:table-cell office:value-type="float" '
+                    f'office:value="{_num_repr(v)}"/>')
+            else:
+                cells.append(
+                    '<table:table-cell office:value-type="string">'
+                    f"<text:p>{_odf_paragraph(str(v))}</text:p>"
+                    "</table:table-cell>")
+        trows.append("<table:table-row>" + "".join(cells) + "</table:table-row>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_OFFICE}" '
+        f'xmlns:text="{_TEXT}" xmlns:table="{_TABLE}">'
+        '<office:body><office:spreadsheet>'
+        '<table:table table:name="Sheet1">' + "".join(trows) +
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    ).encode()
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.spreadsheet"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    ).encode()
+    return _zip_parts([
+        ("mimetype", b"application/vnd.oasis.opendocument.spreadsheet"),
+        ("META-INF/manifest.xml", manifest),
+        ("content.xml", content),
+    ], stored_first=True)
+
+
+def encode_rtf(paragraphs: list[str]) -> bytes:
+    """RTF 1.x writer: cp1252-representable chars as ``\\'hh`` escapes
+    when non-ASCII, everything else as ``\\uN`` with a ``?`` fallback;
+    includes a font table (a destination the reader must skip)."""
+    out = [r"{\rtf1\ansi\ansicpg1252\deff0\uc1",
+           r"{\fonttbl{\f0\froman Times New Roman;}}"]
+    for p in paragraphs:
+        frag = []
+        for ch in p:
+            if ch in "\\{}":
+                frag.append("\\" + ch)
+            elif ch == "\t":
+                frag.append(r"\tab ")
+            elif ch == "\n":
+                frag.append(r"\line ")
+            elif ord(ch) < 128:
+                frag.append(ch)
+            else:
+                try:
+                    b = ch.encode("cp1252")
+                    frag.append(f"\\'{b[0]:02x}")
+                except UnicodeEncodeError:
+                    # astral chars go out as UTF-16 surrogate halves,
+                    # each a signed-16-bit \uN (RTF 1.9.1 convention)
+                    units = ch.encode("utf-16-be")
+                    for k in range(0, len(units), 2):
+                        n = int.from_bytes(units[k:k + 2], "big")
+                        if n > 32767:
+                            n -= 65536
+                        frag.append(f"\\u{n}?")
+        out.append("".join(frag) + r"\par" + "\n")
+    out.append("}")
+    return "".join(out).encode("ascii", "strict")
+
+
+# ---------------------------------------------------------------------------
+# extractors (independent readers: xml.etree / tokenizer)
+
+def _docx_units(z: zipfile.ZipFile) -> list[str]:
+    root = ET.fromstring(z.read("word/document.xml"))
+    units = []
+    for p in root.iter(f"{{{_W}}}p"):
+        frag = []
+        for node in p.iter():
+            tag = node.tag
+            if tag == f"{{{_W}}}t":
+                frag.append(node.text or "")
+            elif tag == f"{{{_W}}}tab":
+                frag.append("\t")
+            elif tag == f"{{{_W}}}br":
+                frag.append("\n")
+        units.append("".join(frag))
+    return units
+
+
+def _parse_col(ref: str) -> int:
+    col = 0
+    for ch in ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return col - 1
+
+
+def _rels_map(z: zipfile.ZipFile, part: str) -> dict[str, str]:
+    d, _, base = part.rpartition("/")
+    rel_part = (d + "/" if d else "") + "_rels/" + base + ".rels"
+    out = {}
+    root = ET.fromstring(z.read(rel_part))
+    for rel in root.iter(f"{{{_PKG_R}}}Relationship"):
+        tgt = rel.get("Target")
+        if not tgt.startswith("/"):
+            tgt = (d + "/" if d else "") + tgt
+        out[rel.get("Id")] = tgt.lstrip("/")
+    return out
+
+
+def _xlsx_units(z: zipfile.ZipFile) -> list[str]:
+    shared: list[str] = []
+    try:
+        sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        for si in sroot.iter(f"{{{_S}}}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{{{_S}}}t")))
+    except KeyError:
+        pass
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    rels = _rels_map(z, "xl/workbook.xml")
+    units = []
+    for sheet in wb.iter(f"{{{_S}}}sheet"):
+        rid = sheet.get(f"{{{_R}}}id")
+        target = rels[rid]
+        sr = ET.fromstring(z.read(target))
+        lines = []
+        for row in sr.iter(f"{{{_S}}}row"):
+            cells = []
+            for c in row.iter(f"{{{_S}}}c"):
+                t = c.get("t", "n")
+                if t == "inlineStr":
+                    is_el = c.find(f"{{{_S}}}is")
+                    val = "".join(
+                        x.text or "" for x in is_el.iter(f"{{{_S}}}t")
+                    ) if is_el is not None else ""
+                else:
+                    v = c.find(f"{{{_S}}}v")
+                    raw = v.text if v is not None and v.text else ""
+                    if t == "s":
+                        val = shared[int(raw)]
+                    elif t == "b":
+                        val = "TRUE" if raw.strip() == "1" else "FALSE"
+                    elif t == "str":
+                        val = raw
+                    else:  # numeric
+                        val = _num_repr(float(raw)) if raw else ""
+                cells.append((_parse_col(c.get("r", "A1")), val))
+            cells.sort()
+            lines.append("\t".join(v for _, v in cells))
+        units.append("\n".join(lines))
+    return units
+
+
+def _pptx_units(z: zipfile.ZipFile) -> list[str]:
+    pres = ET.fromstring(z.read("ppt/presentation.xml"))
+    rels = _rels_map(z, "ppt/presentation.xml")
+    units = []
+    for sid in pres.iter(f"{{{_P}}}sldId"):
+        target = rels[sid.get(f"{{{_R}}}id")]
+        sroot = ET.fromstring(z.read(target))
+        paras = []
+        for p in sroot.iter(f"{{{_A}}}p"):
+            paras.append("".join(
+                t.text or "" for t in p.iter(f"{{{_A}}}t")))
+        units.append("\n".join(paras))
+    return units
+
+
+def _odf_text(el) -> str:
+    frag = [el.text or ""]
+    for child in el:
+        tag = child.tag
+        if tag == f"{{{_TEXT}}}tab":
+            frag.append("\t")
+        elif tag == f"{{{_TEXT}}}line-break":
+            frag.append("\n")
+        elif tag == f"{{{_TEXT}}}s":
+            frag.append(" " * int(child.get(f"{{{_TEXT}}}c", "1")))
+        else:
+            frag.append(_odf_text(child))
+        frag.append(child.tail or "")
+    return "".join(frag)
+
+
+def _odt_units(z: zipfile.ZipFile) -> list[str]:
+    root = ET.fromstring(z.read("content.xml"))
+    body = root.find(f"{{{_OFFICE}}}body")
+    units = []
+    text_el = body.find(f"{{{_OFFICE}}}text") if body is not None else None
+    if text_el is not None:
+        for el in text_el:
+            if el.tag in (f"{{{_TEXT}}}p", f"{{{_TEXT}}}h"):
+                units.append(_odf_text(el))
+        return units
+    # spreadsheet: one unit per table, TSV-rendered like xlsx
+    ss = body.find(f"{{{_OFFICE}}}spreadsheet") if body is not None else None
+    if ss is None:
+        raise OfficeError("ODF document with no text or spreadsheet body")
+    for table in ss.iter(f"{{{_TABLE}}}table"):
+        lines = []
+        for row in table.iter(f"{{{_TABLE}}}table-row"):
+            cells = []
+            for c in row.iter(f"{{{_TABLE}}}table-cell"):
+                vt = c.get(f"{{{_OFFICE}}}value-type", "string")
+                if vt == "boolean":
+                    b = c.get(f"{{{_OFFICE}}}boolean-value", "false")
+                    cells.append("TRUE" if b == "true" else "FALSE")
+                elif vt == "float":
+                    cells.append(
+                        _num_repr(float(c.get(f"{{{_OFFICE}}}value", "0"))))
+                else:
+                    cells.append("\n".join(
+                        _odf_text(p) for p in c.iter(f"{{{_TEXT}}}p")))
+            lines.append("\t".join(cells))
+        units.append("\n".join(lines))
+    return units
+
+
+# RTF destinations whose content is formatting/metadata, not body text
+_RTF_SKIP = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "headerl", "headerr", "headerf",
+    "footerl", "footerr", "footerf", "ftnsep", "ftnsepc",
+    "generator", "themedata", "colorschememapping", "datastore",
+    "latentstyles", "listtable", "listoverridetable", "revtbl",
+}
+
+_RTF_CW = re.compile(rb"\\([a-zA-Z]{1,32})(-?\d{1,10})? ?|\\([^a-zA-Z])")
+
+
+def _rtf_units(data: bytes) -> list[str]:
+    if not data.startswith(b"{\\rtf"):
+        raise OfficeError("not an RTF document")
+    pos = 0
+    n = len(data)
+    # group state: (uc_skip, skipping)
+    uc, skipping = 1, False
+    stack: list[tuple[int, bool]] = []
+    codepage = "cp1252"
+    pending_skip = 0          # chars to swallow after \uN
+    pending_high: int | None = None   # held high surrogate from \uN
+    units: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        units.append("".join(cur))
+        cur.clear()
+
+    while pos < n:
+        ch = data[pos]
+        if ch == 0x7B:  # {
+            stack.append((uc, skipping))
+            pos += 1
+            # {\*\dest ...} → unknown destination, skip whole group
+            if data[pos:pos + 2] == b"\\*":
+                skipping = True
+            continue
+        if ch == 0x7D:  # }
+            if stack:
+                uc, skipping = stack.pop()
+            pos += 1
+            continue
+        if ch == 0x5C:  # backslash
+            m = _RTF_CW.match(data, pos)
+            if not m:
+                pos += 1
+                continue
+            pos = m.end()
+            if m.group(3) is not None:
+                sym = m.group(3)
+                if pending_skip:
+                    pending_skip -= 1
+                    continue
+                if skipping:
+                    continue
+                if sym == b"'":
+                    hexpair = data[pos:pos + 2]
+                    pos += 2
+                    if pending_skip:
+                        pending_skip -= 1
+                    else:
+                        try:
+                            cur.append(
+                                bytes([int(hexpair, 16)]).decode(codepage))
+                        except ValueError:
+                            pass
+                elif sym in (b"\\", b"{", b"}"):
+                    cur.append(sym.decode())
+                elif sym == b"~":
+                    cur.append("\u00a0")
+                elif sym == b"\n" or sym == b"\r":
+                    flush()
+                continue
+            word = m.group(1).decode()
+            param = int(m.group(2)) if m.group(2) else None
+            if word == "bin":
+                pos += max(0, param or 0)
+                continue
+            if word == "uc":
+                uc = param if param is not None else 1
+                continue
+            if word == "ansicpg" and param:
+                try:
+                    b"\x41".decode(f"cp{param}")
+                    codepage = f"cp{param}"
+                except LookupError:
+                    pass
+                continue
+            if word in _RTF_SKIP:
+                skipping = True
+                continue
+            if skipping:
+                continue
+            if word == "u" and param is not None:
+                cp = param + 65536 if param < 0 else param
+                if 0xD800 <= cp <= 0xDBFF:
+                    pending_high = cp        # high surrogate: hold
+                elif 0xDC00 <= cp <= 0xDFFF and pending_high is not None:
+                    cur.append(chr(0x10000 + ((pending_high - 0xD800) << 10)
+                                   + (cp - 0xDC00)))
+                    pending_high = None
+                else:
+                    pending_high = None
+                    cur.append(chr(cp))
+                pending_skip = uc
+                continue
+            if word == "par":
+                flush()
+            elif word == "line":
+                cur.append("\n")
+            elif word == "tab":
+                cur.append("\t")
+            elif word == "emdash":
+                cur.append("\u2014")
+            elif word == "endash":
+                cur.append("\u2013")
+            continue
+        # plain character
+        pos += 1
+        if ch in (0x0D, 0x0A):
+            continue
+        if pending_skip:
+            pending_skip -= 1
+            continue
+        if not skipping:
+            cur.append(chr(ch))
+    if "".join(cur).strip():
+        flush()
+    return units
+
+
+def extract_office(data: bytes) -> dict:
+    """Sniff + decode one office document.  Returns ``{"format",
+    "units"}`` where units are paragraphs (docx/odt/rtf), sheets
+    rendered as TSV (xlsx/ods), or slides (pptx).  Raises
+    :class:`OfficeError` on anything else — honest refusal, never a
+    silent partial parse."""
+    if data[:5] == b"{\\rtf":
+        return {"format": "rtf", "units": _rtf_units(data)}
+    if data[:4] != b"PK\x03\x04":
+        raise OfficeError("not an office document (no zip/RTF signature)")
+    try:
+        z = zipfile.ZipFile(io.BytesIO(data))
+        names = set(z.namelist())
+        if "mimetype" in names:
+            mt = z.read("mimetype").decode("ascii", "replace")
+            if mt == "application/vnd.oasis.opendocument.text":
+                return {"format": "odt", "units": _odt_units(z)}
+            if mt == "application/vnd.oasis.opendocument.spreadsheet":
+                return {"format": "ods", "units": _odt_units(z)}
+            raise OfficeError(f"unsupported ODF mimetype: {mt}")
+        if "word/document.xml" in names:
+            return {"format": "docx", "units": _docx_units(z)}
+        if "xl/workbook.xml" in names:
+            return {"format": "xlsx", "units": _xlsx_units(z)}
+        if "ppt/presentation.xml" in names:
+            return {"format": "pptx", "units": _pptx_units(z)}
+        raise OfficeError("zip container is not a known office package")
+    except OfficeError:
+        raise
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, ValueError,
+            IndexError, struct.error) as exc:
+        raise OfficeError(f"corrupt office document: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+
+OFFICE_EXTRACT_SCHEMA = (
+    "doc_id long, decoded_ok boolean, format string, "
+    "unit_idx int, n_units int, text string"
+)
+
+
+def office_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched office-document → text over binary payloads: one
+    row per unit (paragraph / sheet / slide), ``documents``-shaped for
+    the downstream text-operator surface.  Payloads never shuffle —
+    decode happens inside the scan's executor; a corrupt or unsupported
+    file isolates as a single ``decoded_ok=false`` row (reference
+    analogue: sources/unstructured_data routes office files into text
+    rows; sources/filesystem lands the raw bytes)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    out = extract_office(bytes(payload))
+                    units = out["units"]
+                    for i, u in enumerate(units):
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "format": out["format"], "unit_idx": i,
+                            "n_units": len(units), "text": u,
+                        })
+                    if not units:
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "format": out["format"], "unit_idx": None,
+                            "n_units": 0, "text": None,
+                        })
+                except OfficeError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False, "format": None,
+                        "unit_idx": None, "n_units": None, "text": None,
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "format", "unit_idx", "n_units",
+                "text"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, OFFICE_EXTRACT_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -2095,3 +2095,88 @@ ORACLE_SQL["video_scene_pairs_docs"] = """
     WHERE doc_id % 17 = 4 AND doc_id > 0
       AND doc_id % 37 <> 0 AND (doc_id - 1) % 37 <> 0
 """
+
+# Office-document extraction: six container formats' slicing
+# arithmetic replayed in SQL — paragraph/slide formats emit one row
+# per 80-char unit, sheet formats render all units as one
+# newline-joined TSV sheet, every 17th truncated file isolates.
+ORACLE_SQL["office_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 17) <> 0 AS ok,
+               CASE doc_id % 6 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                               WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
+                               WHEN 4 THEN 'ods' ELSE 'rtf' END AS fmt,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, fmt AS format,
+           CAST(k AS INTEGER) AS unit_idx, n AS n_units,
+           substr(t, 80 * k + 1, 80) AS text
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
+    WHERE ok AND k < n AND fmt NOT IN ('xlsx', 'ods')
+    UNION ALL
+    SELECT doc_id, TRUE, fmt, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+           CASE n WHEN 1 THEN substr(t, 1, 80)
+                  WHEN 2 THEN substr(t, 1, 80) || chr(10)
+                              || substr(t, 81, 80)
+                  ELSE substr(t, 1, 80) || chr(10) || substr(t, 81, 80)
+                       || chr(10) || substr(t, 161, 80) END
+    FROM p WHERE ok AND fmt IN ('xlsx', 'ods')
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL FROM p WHERE NOT ok
+"""
+
+# Email extraction: headers, MIME part counts and transfer-decoded
+# bodies replayed in SQL — even ids one EML (2 parts on every 4th),
+# odd ids an mboxrd of two sliced messages, every 19th corrupt.
+ORACLE_SQL["email_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 19) <> 0 AS ok,
+               'user' || (doc_id % 7) || '@example.com' AS frm,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(0 AS INTEGER) AS msg_idx,
+           'Doc ' || doc_id AS subject, frm AS from_addr,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER)
+               AS n_parts,
+           'plain' AS body_source, t || chr(10) AS text
+    FROM p WHERE ok AND doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(j AS INTEGER),
+           'Doc ' || doc_id || ' msg ' || j, frm, CAST(1 AS INTEGER),
+           'plain', substr(t, 100 * j + 1, 100) || chr(10)
+    FROM p, (SELECT UNNEST([0, 1]) AS j) js
+    WHERE ok AND doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
+# EPUB extraction: spine arithmetic + the whitespace-collapsed
+# chapter text (title-space-body, ends trimmed — single-space corpus)
+# replayed in SQL, every 23rd truncated.
+ORACLE_SQL["ebook_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 23) <> 0 AS ok,
+               CAST(1 + doc_id % 3 AS INTEGER) AS c,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, 'Book ' || doc_id AS book_title,
+           CAST(0 AS INTEGER) AS chapter_idx, c AS n_chapters,
+           'Chapter 1' AS chapter_title,
+           trim('Chapter 1 ' || trim(substr(t, 1, 160))) AS text
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, 'Book ' || doc_id, CAST(k AS INTEGER), c,
+           'Chapter ' || (k + 1),
+           'Chapter ' || (k + 1) || ' Contents of chapter ' || (k + 1)
+               || ' in document ' || doc_id || '.'
+    FROM p, (SELECT UNNEST([1, 2]) AS k) ks
+    WHERE ok AND k < c
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
