@@ -129,7 +129,9 @@ def _pdf_encrypted() -> bytes:
         b"/Root 1 0 R >>", b"/Root 1 0 R /Encrypt << /V 2 >> >>")
 
 
-def _pdf_lzw() -> bytes:
+def _pdf_ccitt() -> bytes:
+    # LZW DECODES now (pdf_codec._apply_filters -> tiff_codec LZW);
+    # CCITTFaxDecode remains a named refusal
     import zlib
 
     c = zlib.compress(b"BT (x) Tj ET")
@@ -138,7 +140,7 @@ def _pdf_lzw() -> bytes:
             b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
             b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
             b"4 0 obj\n<< /Length " + str(len(c)).encode()
-            + b" /Filter /LZWDecode >>\nstream\n" + c
+            + b" /Filter /CCITTFaxDecode >>\nstream\n" + c
             + b"\nendstream\nendobj\n"
             b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
 
@@ -147,6 +149,20 @@ def _extract_pdf(payload):
     from verified_sources_spark.llm.pdf_codec import extract_pdf_text
 
     extract_pdf_text(payload)
+
+
+def _pdf_jbig2_image() -> bytes:
+    from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+    return encode_pdf([["x"]], image={"width": 4, "height": 4,
+                                      "data": b"\x00" * 8,
+                                      "pdf_filter": "JBIG2Decode"})
+
+
+def _extract_pdf_images(payload):
+    from verified_sources_spark.llm.pdf_codec import extract_pdf_images
+
+    extract_pdf_images(payload)
 
 
 MATRIX = [
@@ -182,7 +198,8 @@ MATRIX = [
     ("mp3-pcm-synthesis", _mp3, _decode_mp3_samples, "MPEG-1 Layer III"),
     ("webm-vp9-pixels", _webm, _sample_mp4, "V_VP9"),
     ("pdf-encrypted", _pdf_encrypted, _extract_pdf, "Encrypt"),
-    ("pdf-lzw-filter", _pdf_lzw, _extract_pdf, "LZWDecode"),
+    ("pdf-ccitt-filter", _pdf_ccitt, _extract_pdf, "CCITTFaxDecode"),
+    ("pdf-jbig2-image", _pdf_jbig2_image, _extract_pdf_images, "JBIG2Decode"),
 ]
 
 

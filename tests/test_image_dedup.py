@@ -128,3 +128,26 @@ def test_cross_format_png_jpeg_dedup(spark):
               for r in image_dedup_groups(df).collect()}
     assert groups[1] == groups[2] == groups[3]
     assert groups[4] != groups[1]
+
+
+def test_dhash_exact_in_mixed_refusal_batches(spark):
+    """A batch mixing refusal rows (None) with 64-bit hashes must NOT
+    demote the hash column to float64 (53-bit mantissa) — the same
+    asset must hash identically whether or not its batch also carried
+    a corrupt file.  Regression for the pandas list-of-dicts dtype
+    trap (llm/_frames.exact_frame)."""
+    from verified_sources_spark.llm.image_dedup import image_dhash
+    from verified_sources_spark.llm.png_codec import encode as penc
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(16, 24, 3)).astype("uint8").tobytes()
+    png = penc(24, 16, rgb)
+    pure = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, asset binary")
+    mixed = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"junk"))],
+        "doc_id long, asset binary").coalesce(1)
+    h_pure = image_dhash(pure).filter("doc_id = 1").first().dhash
+    h_mixed = image_dhash(mixed).filter("doc_id = 1").first().dhash
+    assert h_pure == h_mixed

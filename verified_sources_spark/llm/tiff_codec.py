@@ -151,6 +151,16 @@ def _lzw_decode(data: bytes) -> bytes:
         elif code == len(table):
             entry = prev + prev[:1]
             table.append(entry)
+        elif code >> 1 == _EOI:
+            # A stream whose LAST data code lands exactly on the
+            # early-change boundary (table 510/1022/2046) bumps the
+            # reader's width, but the writer — whose final flush added
+            # no table entry — emits EOI one bit NARROWER.  libtiff
+            # never notices (it stops when the output buffer fills);
+            # a length-blind reader (PDF streams) must recognize the
+            # narrow EOI: the over-width read is (EOI << 1) | padbit.
+            # Verified against system libtiff 6 output byte-for-byte.
+            break
         else:
             raise TiffError(f"invalid LZW code {code} (table {len(table)})")
         out += entry

@@ -201,9 +201,10 @@ def video_fingerprint(
                             "frame_hashes": None,
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields]
-            )
+            from verified_sources_spark.llm._frames import exact_frame
+            # vfp is a 64-bit hash: keep nullable-Int64, never float64
+            yield exact_frame(rows, [f.name for f in VIDEO_FP_SCHEMA.fields],
+                              int64_cols=("vfp",))
 
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, VIDEO_FP_SCHEMA
@@ -317,7 +318,9 @@ def video_shots(
                             "keyframe_hash": None,
                         }
                     )
-            yield pd.DataFrame(rows, columns=cols)
+            from verified_sources_spark.llm._frames import exact_frame
+            # 64-bit hash column: keep nullable-Int64, never float64
+            yield exact_frame(rows, cols, int64_cols=("keyframe_hash",))
 
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, VIDEO_SHOTS_SCHEMA

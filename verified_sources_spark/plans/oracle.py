@@ -2180,3 +2180,35 @@ ORACLE_SQL["ebook_extract_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# PDF filter matrix: the same text-recovery contract as
+# pdf_extract_docs with the filter-chain name replayed from the
+# cycling arithmetic.
+ORACLE_SQL["pdf_filters_docs"] = """
+    SELECT doc_id,
+           (doc_id % 13) <> 0 AS decoded_ok,
+           CASE WHEN doc_id % 13 <> 0 THEN
+               CASE doc_id % 8 WHEN 0 THEN 'raw' WHEN 1 THEN 'flate'
+                               WHEN 2 THEN 'lzw' WHEN 3 THEN 'ahx'
+                               WHEN 4 THEN 'a85' WHEN 5 THEN 'rl'
+                               WHEN 6 THEN 'flate+ahx'
+                               ELSE 'lzw+a85' END
+           END AS filters,
+           CASE WHEN doc_id % 13 <> 0 THEN CAST(1 AS INTEGER) END AS n_pages,
+           CASE WHEN doc_id % 13 <> 0 THEN COALESCE(text, '') END AS text
+    FROM documents
+"""
+
+# Cross-modal PDF-figure dedup: every non-truncated doc's embedded
+# image hash-matches its standalone twin by construction (same JPEG
+# bytes on the DCT path, lossless PNG/Flate round trip on the raw
+# path) — hamming 0, codec/dims replayed from the arithmetic.
+ORACLE_SQL["pdf_image_matches_docs"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'dct' ELSE 'raw' END AS codec,
+           CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+           CAST(16 + (doc_id % 2) * 8 AS INTEGER) AS height,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    WHERE doc_id % 11 <> 0
+"""

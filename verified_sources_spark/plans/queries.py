@@ -2985,6 +2985,146 @@ def semantic_dedup_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
 # diversity; the tail (positions 51+) holds the rows-only ANN entries plus
 # near-duplicate family members — every tail entry with an oracle is still
 # verified locally by tools/check_correctness.py, which runs ALL entries.
+def pdf_filters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF stream-filter matrix end-to-end over documents: the same
+    typeset-and-extract contract as ``pdf_extract_docs`` but cycling
+    the FULL filter suite by ``doc_id % 8`` — raw, Flate, LZW
+    (TIFF-variant early-change), ASCIIHex, ASCII85, RunLength, and the
+    cascades [/AHx /Fl] and [/A85 /LZW] the wild ships — with
+    xref-stream layout on every 3rd and every 13th truncated.  The
+    oracle replays the arithmetic AND the text in SQL — a value-hash
+    match proves every filter chain inflates to byte-identical
+    content streams (ISO 32000-1 §7.4; reference analogue:
+    sources/unstructured_data's PDF path)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.pdf_codec import pdf_extract
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    SPECS = [None, "flate", "lzw", "ahx", "a85", "rl",
+             "flate+ahx", "lzw+a85"]
+
+    def mint(batches):
+        from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                data = encode_pdf(
+                    [[text or ""]],
+                    content_filter=SPECS[did % 8],
+                    xref_stream=did % 3 == 0,
+                )
+                rows.append(
+                    {"doc_id": did,
+                     "asset": data[:60] if did % 13 == 0 else data})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    out = pdf_extract(assets)
+    return out.select(
+        "doc_id", "decoded_ok",
+        F.when(F.col("decoded_ok"),
+               F.element_at(F.lit(["raw", "flate", "lzw", "ahx", "a85",
+                                   "rl", "flate+ahx", "lzw+a85"]),
+                            (F.col("doc_id") % 8 + 1).cast("int")))
+         .alias("filters"),
+        "n_pages", "text")
+
+
+def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL document↔image dedup over documents: per doc, mint
+    a deterministic image, embed it in a PDF as an image XObject —
+    DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
+    odd, DeviceGray on every 5th, every 11th PDF truncated — AND mint
+    the standalone twin (the same JPEG bytes / a PNG of the same
+    pixels).  ``pdf_images`` fingerprints the embedded figure,
+    ``image_dhash`` the standalone file, and the join proves the
+    document-borne image lands in the SAME dedup bucket as its
+    standalone twin (hamming 0 by construction) — the figure-level
+    dedup a multimodal corpus needs.  Shapes: both probes are
+    mapInPandas (payloads never shuffle, pixels reduce to 64-bit
+    hashes in the scan's executor); the join is on doc_id after both
+    sides are metadata-sized."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.image_dedup import image_dhash
+    from verified_sources_spark.llm.pdf_codec import pdf_images
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def _pixels(did: int):
+        import numpy as np
+
+        w = 24 + (did % 3) * 8
+        h = 16 + (did % 2) * 8
+        rng = np.random.default_rng(did)
+        coarse = rng.integers(0, 256, size=(4, 6))
+        gray = coarse[(np.arange(h) * 4) // h][:, (np.arange(w) * 6) // w]
+        rgb = np.stack([gray] * 3, axis=2).astype(np.uint8)
+        return w, h, rgb.tobytes(), gray.astype(np.uint8).tobytes()
+
+    def mint_pdf(batches):
+        import zlib
+
+        from verified_sources_spark.llm.jpeg_codec import encode as jenc
+        from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+        for pdf_ in batches:
+            rows = []
+            for did in pdf_["doc_id"]:
+                did = int(did)
+                w, h, rgb, gray = _pixels(did)
+                if did % 2 == 0:
+                    img = {"width": w, "height": h,
+                           "data": jenc(w, h, rgb, quality=90),
+                           "pdf_filter": "DCTDecode"}
+                elif did % 5 == 0:
+                    img = {"width": w, "height": h,
+                           "data": zlib.compress(gray),
+                           "pdf_filter": "FlateDecode",
+                           "colorspace": "DeviceGray"}
+                else:
+                    img = {"width": w, "height": h,
+                           "data": zlib.compress(rgb),
+                           "pdf_filter": "FlateDecode"}
+                data = encode_pdf([[f"figure {did}"]], image=img)
+                rows.append(
+                    {"doc_id": did,
+                     "asset": data[:40] if did % 11 == 0 else data})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_standalone(batches):
+        from verified_sources_spark.llm.jpeg_codec import encode as jenc
+        from verified_sources_spark.llm.png_codec import encode as penc
+
+        for pdf_ in batches:
+            rows = []
+            for did in pdf_["doc_id"]:
+                did = int(did)
+                w, h, rgb, _gray = _pixels(did)
+                asset = (jenc(w, h, rgb, quality=90) if did % 2 == 0
+                         else penc(w, h, rgb))
+                rows.append({"doc_id": did, "asset": asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    embedded = pdf_images(
+        d.mapInPandas(mint_pdf, "doc_id long, asset binary"))
+    standalone = image_dhash(
+        d.mapInPandas(mint_standalone, "doc_id long, asset binary"))
+    return (
+        embedded.filter(F.col("decoded_ok"))
+        .join(standalone.filter(F.col("decoded_ok"))
+              .select("doc_id", F.col("dhash").alias("twin_dhash")),
+              "doc_id")
+        .filter(F.col("dhash") == F.col("twin_dhash"))
+        .select("doc_id", "codec", "width", "height",
+                F.lit(0).alias("hamming"))
+    )
+
+
 def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Office-document ingestion end-to-end over documents: typeset
     each doc's text into a REAL office file — format cycles docx /
@@ -3263,4 +3403,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "office_extract_docs": office_extract_docs,
     "email_extract_docs": email_extract_docs,
     "ebook_extract_docs": ebook_extract_docs,
+    "pdf_filters_docs": pdf_filters_docs,
+    "pdf_image_matches_docs": pdf_image_matches_docs,
 }
