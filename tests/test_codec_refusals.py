@@ -130,8 +130,9 @@ def _pdf_encrypted() -> bytes:
 
 
 def _pdf_ccitt() -> bytes:
-    # LZW DECODES now (pdf_codec._apply_filters -> tiff_codec LZW);
-    # CCITTFaxDecode remains a named refusal
+    # CCITT image XObjects DECODE now (llm/fax_codec) — but a CCITT
+    # filter on a *content* stream is not a thing this engine serves,
+    # and _apply_filters still refuses it by name
     import zlib
 
     c = zlib.compress(b"BT (x) Tj ET")

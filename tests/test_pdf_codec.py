@@ -92,7 +92,9 @@ def test_refusals_and_errors():
         b"/Root 1 0 R >>", b"/Root 1 0 R /Encrypt << /V 2 >> >>")
     with pytest.raises(PdfError, match="Encrypt"):
         extract_pdf_text(enc)
-    # exotic filter refuses by name (LZW DECODES now — CCITT doesn't)
+    # exotic filter on a CONTENT stream refuses by name (CCITT image
+    # XObjects decode via llm/fax_codec; a fax-coded content stream
+    # is not a thing this engine serves)
     c = zlib.compress(b"BT (x) Tj ET")
     body = (b"%PDF-1.4\n"
             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"

@@ -73,10 +73,12 @@ def test_lzw_early_change_and_table_fill():
 def test_named_refusals():
     px = _img(8, 6).tobytes()
     data = bytearray(encode(8, 6, px))
-    # patch the compression SHORT (tag 0x0103) to CCITT G4 (4)
+    # patch the compression SHORT (tag 0x0103) to CCITT G4 (4): CCITT
+    # decodes now, but only for genuine 1-bit single-sample layouts —
+    # an 8-bit RGB body mislabeled G4 refuses with the layout named
     i = data.index(struct.pack("<HHI", 0x0103, 3, 1))
     data[i + 8 : i + 10] = struct.pack("<H", 4)
-    with pytest.raises(TiffError, match="CCITT-G4"):
+    with pytest.raises(TiffError, match="1-bit single-sample"):
         decode(bytes(data))
     data[i + 8 : i + 10] = struct.pack("<H", 7)
     with pytest.raises(TiffError, match="JPEG"):

@@ -967,10 +967,14 @@ def encode_pdf(
     if image is not None:
         img_id = 5 + 2 * n_pages
         cs = image.get("colorspace", "DeviceRGB")
+        bpc = image.get("bpc", 8)
+        parms = image.get("decode_parms", "")
+        parms = f"/DecodeParms {parms} " if parms else ""
         stream_objs[img_id] = (
             (f"<< /Type /XObject /Subtype /Image /Width {image['width']} "
              f"/Height {image['height']} /ColorSpace /{cs} "
-             f"/BitsPerComponent 8 /Filter /{image['pdf_filter']} "
+             f"/BitsPerComponent {bpc} /Filter /{image['pdf_filter']} "
+             f"{parms}"
              f"/Length {len(image['data'])} >>").encode(),
             image["data"])
 
@@ -1091,6 +1095,10 @@ def pdf_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
     return out
 
 
+# fax white/black runs → 8-bit gray (black ink = 0)
+_CCITT_GRAY = bytes(0 if b else 255 for b in range(256))
+
+
 def extract_pdf_images(data: bytes) -> list[dict]:
     """Embedded image XObjects → decoded pixels, in object order: the
     cross-modal bridge that lets document-borne images join the
@@ -1099,8 +1107,10 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     through the engine's own JPEG decoder; Flate/LZW/AHx/A85/RL-coded
     raw samples decode through the standard filter chain.  DeviceGray
     expands to RGB so every image lands in the common
-    ``{width, height, mode, pixels}`` contract; unsupported colorspaces
-    and filters (CCITTFax, JBIG2, JPX) refuse by name."""
+    ``{width, height, mode, pixels}`` contract; CCITTFaxDecode scans
+    (K=0 1D and K<0 G4, the scanned-document layer) decode through
+    llm/fax_codec.  Unsupported colorspaces
+    and filters (JBIG2, JPX, CCITT K>0) refuse by name."""
     objects = _load_objects(data)
 
     def resolve(v):
@@ -1136,7 +1146,44 @@ def extract_pdf_images(data: bytes) -> list[dict]:
             images.append({"width": w, "height": h, "mode": im["mode"],
                            "pixels": im["pixels"], "codec": "dct"})
             continue
-        if fname in ("JPXDecode", "CCITTFaxDecode", "JBIG2Decode"):
+        if fname == "CCITTFaxDecode":
+            from verified_sources_spark.llm import fax_codec as _fax
+
+            pm = d.get("DecodeParms")
+            pm = pm if isinstance(pm, dict) else {}
+            k = int(resolve(pm.get("K", 0)))
+            cols = int(resolve(pm.get("Columns", 1728)))
+            if cols != w:
+                raise PdfError(
+                    f"image {num}: CCITT /Columns {cols} != /Width {w}")
+            nrows = int(resolve(pm.get("Rows", 0))) or h
+            aligned = bool(resolve(pm.get("EncodedByteAlign", False)))
+            try:
+                if k < 0:
+                    rows = _fax.decode_g4(v[2], cols, nrows,
+                                          byte_align=aligned)
+                elif k == 0:
+                    # byte-aligned 1D == TIFF MH-RLE; otherwise rows run
+                    # back-to-back with optional EOL framing
+                    rows = (_fax.decode_rle(v[2], cols, nrows) if aligned
+                            else _fax.decode_g3(v[2], cols, nrows,
+                                                require_eol=False))
+                else:
+                    raise PdfError(
+                        f"image {num}: CCITT K>0 (mixed 2D Group 3) "
+                        f"— refusing by name")
+            except _fax.FaxError as e:
+                raise PdfError(
+                    f"image {num}: bad CCITT stream: {e}") from None
+            gray = b"".join(rows).translate(_CCITT_GRAY)
+            rgb = bytearray(len(gray) * 3)
+            rgb[0::3] = gray
+            rgb[1::3] = gray
+            rgb[2::3] = gray
+            images.append({"width": w, "height": h, "mode": "RGB",
+                           "pixels": bytes(rgb), "codec": "ccitt"})
+            continue
+        if fname in ("JPXDecode", "JBIG2Decode"):
             raise PdfError(f"cannot decode /{fname} image — refusing by name")
         if bpc != 8:
             raise PdfError(f"image {num}: {bpc}-bit samples — refusing")

@@ -11,13 +11,15 @@ with EARLY CHANGE, the wild's most common compressed TIFF), Deflate
 (8/32946) and PackBits (32773: the fax/scanner RLE) strips, 8-bit
 grayscale or RGB, top-down, with the
 horizontal-differencing predictor (Predictor=2) that usually
-accompanies LZW — returning the common ``{width, height, mode,
-pixels}`` contract; CCITT/JPEG-in-TIFF and planar/tiled layouts refuse
-WITH THE NAME.  ``encode`` writes real single-page uncompressed, LZW
-(independent compressor: greedy string table, early-change widths,
+accompanies LZW — plus bilevel CCITT fax strips (2: MH-RLE, 3: G3 1D,
+4: G4/T.6 2D, the scanned-document layer) via llm/fax_codec —
+returning the common ``{width, height, mode,
+pixels}`` contract; JPEG-in-TIFF, mixed-2D G3 and planar/tiled layouts
+refuse WITH THE NAME.  ``encode`` writes real single-page uncompressed,
+LZW (independent compressor: greedy string table, early-change widths,
 mid-stream Clear on table fill), Deflate or PackBits TIFFs (both byte
 orders, optional predictor) for fixtures and as the cross-format dedup
-member.
+member; ``encode_bilevel`` writes CCITT RLE/G3/G4 fax TIFFs.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["TiffError", "probe", "decode", "encode"]
+__all__ = ["TiffError", "probe", "decode", "encode", "encode_bilevel"]
 
 
 class TiffError(ValueError):
@@ -48,6 +50,8 @@ _T_SPP = 0x0115
 _T_ROWS_PER_STRIP = 0x0116
 _T_STRIP_COUNTS = 0x0117
 _T_PLANAR = 0x011C
+_T_T4_OPTIONS = 0x0124
+_T_T6_OPTIONS = 0x0125
 _T_TILE_W = 0x0142
 
 
@@ -327,16 +331,79 @@ def probe(data: bytes) -> dict:
     }
 
 
+def _decode_ccitt_page(data: bytes, pg: dict, ifd: dict, bo: str) -> dict:
+    """Bilevel CCITT strips (COMPRESSION 2/3/4 = MH-RLE / G3-1D / G4)
+    through llm/fax_codec — the scanned-document TIFF layer.  Mixed
+    1D/2D Group 3 (T4Options bit 0) and uncompressed mode refuse by
+    name; each strip restarts the coder per the TIFF spec."""
+    from verified_sources_spark.llm import fax_codec as _fax
+
+    if pg["samples_per_pixel"] != 1 or pg["bits_per_sample"] != [1]:
+        raise TiffError(
+            f"CCITT TIFF must be 1-bit single-sample, got "
+            f"{pg['bits_per_sample']} x{pg['samples_per_pixel']}")
+    if _T_TILE_W in ifd:
+        raise TiffError("cannot decode tiled TIFF (strips only)")
+    w, h = pg["width"], pg["height"]
+    comp = pg["compression"]
+    if comp == "CCITT-G3":
+        t4 = (_ints(data, ifd, _T_T4_OPTIONS, bo) or [0])[0]
+        if t4 & 1:
+            raise TiffError(
+                "mixed 1D/2D Group 3 (T4Options bit 0) — refusing by name")
+        if t4 & 2:
+            raise TiffError("Group 3 uncompressed mode — refusing by name")
+    rps = (_ints(data, ifd, _T_ROWS_PER_STRIP, bo) or [h])[0]
+    offsets = _ints(data, ifd, _T_STRIP_OFFSETS, bo)
+    counts = _ints(data, ifd, _T_STRIP_COUNTS, bo)
+    if not offsets or len(offsets) != len(counts):
+        raise TiffError("missing/mismatched strip tables")
+    rows: list[bytes] = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise TiffError(f"truncated strip at {off}")
+        n = min(rps, h - si * rps)
+        if n <= 0:
+            break
+        chunk = data[off : off + cnt]
+        try:
+            if comp == "CCITT-RLE":
+                rows += _fax.decode_rle(chunk, w, n)
+            elif comp == "CCITT-G3":
+                rows += _fax.decode_g3(chunk, w, n, require_eol=False)
+            else:
+                rows += _fax.decode_g4(chunk, w, n)
+        except _fax.FaxError as e:
+            raise TiffError(f"bad {comp} strip: {e}") from None
+    if len(rows) < h:
+        raise TiffError(f"CCITT strips short: {len(rows)} < {h} rows")
+    # fax runs are white/black; photometric 0 (MinIsWhite, the fax
+    # standard sense) maps black->0, 1 (MinIsBlack) inverts
+    if pg["photometric"] == 1:
+        tbl = bytes(255 if b else 0 for b in range(256))
+    else:
+        tbl = bytes(0 if b else 255 for b in range(256))
+    gray = b"".join(rows[:h]).translate(tbl)
+    px = bytearray(len(gray) * 3)
+    px[0::3] = gray
+    px[1::3] = gray
+    px[2::3] = gray
+    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
+
+
 def decode(data: bytes) -> dict:
     """First-page pixels for the decodable subset (uncompressed, LZW or
-    Deflate strips, 8-bit gray or RGB, chunky, Predictor 1/2): the
-    common ``{width, height, mode, pixels}`` contract (gray replicates
+    Deflate strips, 8-bit gray or RGB, chunky, Predictor 1/2; bilevel
+    CCITT RLE/G3/G4 fax strips via llm/fax_codec): the common
+    ``{width, height, mode, pixels}`` contract (gray replicates
     to RGB).  Everything else refuses with the compression/layout
     named."""
     m = probe(data)
     bo = m["_bo"]
     pg = m["_pages_raw"][0]
     ifd = pg["_ifd"]
+    if pg["compression"] in ("CCITT-RLE", "CCITT-G3", "CCITT-G4"):
+        return _decode_ccitt_page(data, pg, ifd, bo)
     if pg["compression"] not in ("uncompressed", "Deflate", "LZW", "PackBits"):
         raise TiffError(
             f"cannot decode {pg['compression']} TIFF "
@@ -483,6 +550,87 @@ def encode(
         offs.append(acc)
         acc += len(s)
     entries[5] = entry(_T_STRIP_OFFSETS, 4, len(strips), longs(offs))
+    ifd = (struct.pack(bo + "H", n_entries) + b"".join(entries)
+           + b"\x00\x00\x00\x00")
+    head = ((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+            + struct.pack(bo + "I", ifd_off))
+    return head + ifd + bytes(heap) + b"".join(strips)
+
+
+def encode_bilevel(
+    width: int,
+    height: int,
+    bits: bytes,
+    compression: str = "g4",
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Real single-page bilevel TIFF: 1 bit/sample, PHOTOMETRIC
+    MinIsWhite (the fax standard sense), CCITT ``rle``/``g3``/``g4``
+    strips via llm/fax_codec.  ``bits`` is one byte per pixel, 1=black.
+    The fax coder is cross-checked against system libtiff in both
+    directions (tests/test_fax_codec.py), so fixtures minted here are
+    anchored to an independent implementation."""
+    from verified_sources_spark.llm import fax_codec as _fax
+
+    if len(bits) != width * height:
+        raise TiffError("bit buffer does not match dimensions")
+    if any(b > 1 for b in bits):
+        raise TiffError("bilevel buffer must be 0/1 bytes")
+    try:
+        comp_id = {"rle": 2, "g3": 3, "g4": 4}[compression]
+        enc = {"rle": _fax.encode_rle, "g3": _fax.encode_g3,
+               "g4": _fax.encode_g4}[compression]
+    except KeyError:
+        raise TiffError(f"unknown CCITT flavor {compression!r}") from None
+    bo = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or height
+    rows = [bits[y * width : (y + 1) * width] for y in range(height)]
+    strips = [enc(rows[y0 : y0 + rps]) for y0 in range(0, height, rps)]
+
+    n_entries = 9 + (1 if compression == "g3" else 0)
+    ifd_off = 8
+    heap = bytearray()
+    heap_off = ifd_off + 2 + 12 * n_entries + 4
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    def short4(v):
+        return struct.pack(bo + "H", v) + b"\x00\x00"
+
+    def long4(v):
+        return struct.pack(bo + "I", v)
+
+    def longs(vals):
+        if len(vals) == 1:
+            return long4(vals[0])
+        off = heap_off + len(heap)
+        for v in vals:
+            heap.extend(struct.pack(bo + "I", v))
+        return long4(off)
+
+    counts4 = longs([len(s) for s in strips])
+    data_off = heap_off + len(heap) + (4 * len(strips)
+                                       if len(strips) > 1 else 0)
+    offs = []
+    acc = data_off
+    for s in strips:
+        offs.append(acc)
+        acc += len(s)
+    entries = [
+        entry(_T_WIDTH, 4, 1, long4(width)),
+        entry(_T_HEIGHT, 4, 1, long4(height)),
+        entry(_T_BITS, 3, 1, short4(1)),
+        entry(_T_COMPRESSION, 3, 1, short4(comp_id)),
+        entry(_T_PHOTOMETRIC, 3, 1, short4(0)),
+        entry(_T_STRIP_OFFSETS, 4, len(strips), longs(offs)),
+        entry(_T_SPP, 3, 1, short4(1)),
+        entry(_T_ROWS_PER_STRIP, 4, 1, long4(rps)),
+        entry(_T_STRIP_COUNTS, 4, len(strips), counts4),
+    ]
+    if compression == "g3":
+        entries.append(entry(_T_T4_OPTIONS, 4, 1, long4(0)))
     ifd = (struct.pack(bo + "H", n_entries) + b"".join(entries)
            + b"\x00\x00\x00\x00")
     head = ((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)

@@ -2205,7 +2205,9 @@ ORACLE_SQL["pdf_filters_docs"] = """
 # path) — hamming 0, codec/dims replayed from the arithmetic.
 ORACLE_SQL["pdf_image_matches_docs"] = """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'dct' ELSE 'raw' END AS codec,
+           CASE WHEN doc_id % 2 = 0 THEN 'dct'
+                WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0 THEN 'ccitt'
+                ELSE 'raw' END AS codec,
            CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
            CAST(16 + (doc_id % 2) * 8 AS INTEGER) AS height,
            CAST(0 AS INTEGER) AS hamming

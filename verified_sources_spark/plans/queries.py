@@ -2459,7 +2459,9 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and embedded-PNG payloads, WebP — VP8L lossless via pure
     stdlib with LOSSY VP8 through the system-libwebp seam on every
     4th webp row —, TIFF with uncompressed/Deflate/TIFF-LZW/PackBits
-    strips ± horizontal-differencing predictor), dims from doc_id, every 11th
+    strips ± horizontal-differencing predictor, every 5th TIFF a
+    bilevel CCITT fax scan cycling RLE/G3-1D/G4 via llm/fax_codec —
+    the scanned-document layer), dims from doc_id, every 11th
     truncated; decode through
     the image_io sniffing seam via llm/image_dedup.image_dhash.  The
     oracle replays the arithmetic — a value-hash match proves each
@@ -2527,6 +2529,18 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else:
                         asset = webp_enc(w, h, rgb, cache_bits=4,
                                          predictor=2 if did % 2 else None)
+                elif did % 5 == 0:
+                    # bilevel CCITT fax scan: threshold the same gray
+                    # field; dims land on the same oracle arithmetic
+                    from verified_sources_spark.llm.tiff_codec import (
+                        encode_bilevel,
+                    )
+
+                    asset = encode_bilevel(
+                        w, h, (gray < 128).astype(np.uint8).tobytes(),
+                        compression=("rle", "g3", "g4")[did % 3],
+                        byte_order="MM" if did % 2 else "II",
+                        rows_per_strip=5)
                 else:
                     asset = tiff_enc(w, h, rgb,
                                      byte_order="MM" if did % 2 else "II",
@@ -3038,7 +3052,9 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL document↔image dedup over documents: per doc, mint
     a deterministic image, embed it in a PDF as an image XObject —
     DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
-    odd, DeviceGray on every 5th, every 11th PDF truncated — AND mint
+    odd, DeviceGray on every 5th, a bilevel CCITT-G4 fax scan
+    (llm/fax_codec — the scanned-document case) on every remaining
+    3rd, every 11th PDF truncated — AND mint
     the standalone twin (the same JPEG bytes / a PNG of the same
     pixels).  ``pdf_images`` fingerprints the embedded figure,
     ``image_dhash`` the standalone file, and the join proves the
@@ -3086,6 +3102,19 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "data": zlib.compress(gray),
                            "pdf_filter": "FlateDecode",
                            "colorspace": "DeviceGray"}
+                elif did % 3 == 0:
+                    # scanned figure: threshold to bilevel, G4-code it
+                    from verified_sources_spark.llm import fax_codec
+
+                    bits = bytes(1 if g < 128 else 0 for g in gray)
+                    img = {"width": w, "height": h,
+                           "data": fax_codec.encode_g4(
+                               [bits[y * w:(y + 1) * w]
+                                for y in range(h)]),
+                           "pdf_filter": "CCITTFaxDecode",
+                           "colorspace": "DeviceGray", "bpc": 1,
+                           "decode_parms":
+                               f"<< /K -1 /Columns {w} /Rows {h} >>"}
                 else:
                     img = {"width": w, "height": h,
                            "data": zlib.compress(rgb),
@@ -3104,9 +3133,17 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf_["doc_id"]:
                 did = int(did)
-                w, h, rgb, _gray = _pixels(did)
-                asset = (jenc(w, h, rgb, quality=90) if did % 2 == 0
-                         else penc(w, h, rgb))
+                w, h, rgb, gray = _pixels(did)
+                if did % 2 == 0:
+                    asset = jenc(w, h, rgb, quality=90)
+                elif did % 5 != 0 and did % 3 == 0:
+                    # the CCITT scan's twin: PNG of the same
+                    # thresholded bilevel pixels
+                    bl = bytes(0 if g < 128 else 255 for g in gray)
+                    asset = penc(w, h,
+                                 b"".join(bytes([v, v, v]) for v in bl))
+                else:
+                    asset = penc(w, h, rgb)
                 rows.append({"doc_id": did, "asset": asset})
             yield pd.DataFrame(rows, columns=["doc_id", "asset"])
 
