@@ -267,6 +267,26 @@ _WHITE_DEC = {v: k for k, v in {**WHITE_TERM, **WHITE_MAKEUP}.items()}
 _BLACK_DEC = {v: k for k, v in {**BLACK_TERM, **BLACK_MAKEUP}.items()}
 _MAX_CODE_LEN = max(len(c) for c in (*_WHITE_DEC, *_BLACK_DEC))
 
+
+def _make_lut(dec: dict, width: int) -> list:
+    """Single-level peek LUT (prefix-free alphabet, max code 13 bits):
+    entry[i] = (value, code_length) for every ``width``-bit window
+    whose prefix is a code — one dict probe per code instead of one
+    per BIT, the same lesson the two-level JPEG Huffman tables taught
+    (llm/jpeg_codec: a per-bit Python loop collapses under
+    multi-process executors)."""
+    lut: list = [None] * (1 << width)
+    for code, val in dec.items():
+        span = width - len(code)
+        base = int(code, 2) << span
+        for i in range(base, base + (1 << span)):
+            lut[i] = (val, len(code))
+    return lut
+
+
+_WHITE_LUT = _make_lut(_WHITE_DEC, _MAX_CODE_LEN)
+_BLACK_LUT = _make_lut(_BLACK_DEC, _MAX_CODE_LEN)
+
 _EOL = "000000000001"
 
 # T.6 / T.4-2D mode codes (verified against libtiff by round-trip)
@@ -282,6 +302,7 @@ _MODES = {
     "0001": ("P", None),
 }
 _MAX_MODE_LEN = 7
+_MODE_LUT = _make_lut(_MODES, _MAX_MODE_LEN)
 
 
 class _Bits:
@@ -316,22 +337,33 @@ class _Bits:
         return "".join(out)
 
 
-def _read_code(bits: _Bits, table: dict, what: str) -> int:
-    acc = ""
-    for _ in range(_MAX_CODE_LEN):
-        acc += str(bits.read_bit())
-        if acc in table:
-            return table[acc]
-    raise FaxError(f"invalid {what} code {acc!r}")
-
-
 def _read_run(bits: _Bits, color: int) -> int:
     """One full run length: zero or more makeup codes + a terminating
-    code (T.4 §2: runs over 2560 chain 2560-makeups)."""
-    table = _BLACK_DEC if color else _WHITE_DEC
+    code (T.4 §2: runs over 2560 chain 2560-makeups).  Decodes via the
+    13-bit peek LUT — one probe per code, not per bit."""
+    lut = _BLACK_LUT if color else _WHITE_LUT
+    data = bits.data
+    nbits = 8 * len(data)
     total = 0
     for _ in range(64):  # bound: longest legal chain is tiny
-        v = _read_code(bits, table, "black run" if color else "white run")
+        p = bits.pos
+        avail = nbits - p
+        if avail <= 0:
+            raise FaxError("fax stream exhausted mid-code")
+        byte = p >> 3
+        window = data[byte : byte + 3]
+        if len(window) < 3:
+            window = window + b"\x00" * (3 - len(window))
+        key = (int.from_bytes(window, "big") >> (11 - (p & 7))) & 0x1FFF
+        ent = lut[key]
+        if ent is None:
+            raise FaxError(
+                f"invalid {'black' if color else 'white'} run code "
+                f"{key:013b}")
+        v, ln = ent
+        if ln > avail:
+            raise FaxError("fax stream exhausted mid-code")
+        bits.pos = p + ln
         total += v
         if v < 64:
             return total
@@ -348,8 +380,7 @@ def _decode_1d_row(bits: _Bits, columns: int) -> bytes:
             raise FaxError(
                 f"1D run overflows row: {pos}+{run} > {columns}")
         if color:
-            for i in range(pos, pos + run):
-                row[i] = 1
+            row[pos : pos + run] = b"\x01" * run
         pos += run
         color ^= 1
     return bytes(row)
@@ -413,9 +444,23 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
     return out
 
 
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy is baked into the env
+    _np = None
+
+
 def _changes(row: bytes) -> list[int]:
     """Positions where the color changes (pixel differs from the one
-    before; row[-1] is imaginary white)."""
+    before; row[-1] is imaginary white).  Vectorized when numpy is
+    present — this runs once per coded row and a per-pixel Python loop
+    dominates wide-page G4 decode otherwise."""
+    if _np is not None:
+        a = _np.frombuffer(row, dtype=_np.uint8)
+        if not len(a):
+            return []
+        idx = (_np.flatnonzero(a[1:] != a[:-1]) + 1).tolist()
+        return ([0] + idx) if a[0] else idx
     out = []
     prev = 0
     for i, v in enumerate(row):
@@ -426,61 +471,72 @@ def _changes(row: bytes) -> list[int]:
 
 
 def _b1_b2(ref_changes: list[int], columns: int, a0: int,
-           color: int) -> tuple[int, int]:
+           color: int, start: int = 0) -> tuple[int, int, int]:
     """b1: first changing element of the reference line right of a0
     with color opposite the current color (change positions alternate
     white->black, black->white starting with the first = to-black);
-    b2: the next change after b1."""
+    b2: the next change after b1.  ``start`` is a monotone resume
+    index — a0 never decreases within a row, so each row's reference
+    line is scanned once total instead of once per mode code."""
     # change at index i in ref_changes flips TO black when i is even
     n = len(ref_changes)
-    i = 0
-    # binary search would be nicer; rows are short, linear is fine
+    i = start
     while i < n and ref_changes[i] <= a0:
         i += 1
+    base = i
     # color of change i is to-black iff i even; we need to-(not color)
     want_even = (color == 0)  # current white -> b1 flips to black
     if (i % 2 == 0) != want_even:
         i += 1
     b1 = ref_changes[i] if i < n else columns
     b2 = ref_changes[i + 1] if i + 1 < n else columns
-    return b1, b2
+    return b1, b2, base
 
 
 def _decode_2d_row(bits: _Bits, ref: bytes, columns: int) -> bytes:
     row = bytearray(columns)
     ref_changes = _changes(ref)
+    data = bits.data
+    nbits = 8 * len(data)
     a0 = -1
     color = 0
+    ri = 0
     while a0 < columns:
-        b1, b2 = _b1_b2(ref_changes, columns, a0, color)
-        acc = ""
-        mode = None
-        for _ in range(_MAX_MODE_LEN):
-            acc += str(bits.read_bit())
-            if acc in _MODES:
-                mode = _MODES[acc]
-                break
-        if mode is None:
-            if acc == "0000000":
+        b1, b2, ri = _b1_b2(ref_changes, columns, a0, color, ri)
+        p = bits.pos
+        avail = nbits - p
+        if avail <= 0:
+            raise FaxError("fax stream exhausted mid-code")
+        byte = p >> 3
+        window = data[byte : byte + 2]
+        if len(window) < 2:
+            window = window + b"\x00"
+        key = (int.from_bytes(window, "big") >> (9 - (p & 7))) & 0x7F
+        ent = _MODE_LUT[key]
+        if ent is None:
+            if avail < _MAX_MODE_LEN:
+                raise FaxError("fax stream exhausted mid-code")
+            if key == 0:
                 raise FaxError(
                     "T.6 extension/uncompressed mode — refusing by name")
-            raise FaxError(f"invalid 2D mode code {acc!r}")
-        kind, d = mode
+            raise FaxError(f"invalid 2D mode code {key:07b}")
+        (kind, d), ln = ent
+        if ln > avail:
+            raise FaxError("fax stream exhausted mid-code")
+        bits.pos = p + ln
         s = max(a0, 0)
         if kind == "P":
             if b2 > columns:
                 raise FaxError("pass mode overruns row")
             if color:
-                for i in range(s, b2):
-                    row[i] = 1
+                row[s:b2] = b"\x01" * (b2 - s)
             a0 = b2
         elif kind == "V":
             a1 = b1 + d
             if a1 < s or a1 > columns:
                 raise FaxError(f"vertical mode lands outside row: {a1}")
             if color:
-                for i in range(s, a1):
-                    row[i] = 1
+                row[s:a1] = b"\x01" * (a1 - s)
             a0 = a1
             color ^= 1
         else:  # H: two MH runs, color unchanged after both
@@ -491,11 +547,9 @@ def _decode_2d_row(bits: _Bits, ref: bytes, columns: int) -> bytes:
             if a2 > columns:
                 raise FaxError(f"horizontal runs overflow row: {a2}")
             if color:
-                for i in range(s, a1):
-                    row[i] = 1
+                row[s:a1] = b"\x01" * (a1 - s)
             else:
-                for i in range(a1, a2):
-                    row[i] = 1
+                row[a1:a2] = b"\x01" * (a2 - a1)
             a0 = a2
     return bytes(row)
 
@@ -612,11 +666,12 @@ def encode_g4(rows: list[bytes]) -> bytes:
         a0 = -1
         color = 0
         ci = 0
+        ri = 0
         while a0 < columns:
             while ci < len(cur_changes) - 2 and cur_changes[ci] <= a0:
                 ci += 1
             a1 = cur_changes[ci] if cur_changes[ci] > a0 else columns
-            b1, b2 = _b1_b2(ref_changes, columns, a0, color)
+            b1, b2, ri = _b1_b2(ref_changes, columns, a0, color, ri)
             if b2 < a1:
                 w.put("0001")          # pass
                 a0 = b2
