@@ -40,6 +40,10 @@ def test_round_trips_all_flavors():
         g4 = fx.encode_g4(rows)
         assert fx.decode_g4(g4, w, h) == rows
         assert fx.decode_g4(g4, w, None) == rows  # EOFB-terminated
+        for k in (1, 2, 4):
+            g32 = fx.encode_g3_2d(rows, k=k)
+            assert fx.decode_g3_2d(g32, w, h) == rows
+            assert fx.decode_g3_2d(g32, w, None) == rows  # RTC
 
 
 def test_extreme_rows():
@@ -179,6 +183,63 @@ def test_cross_check_libtiff_both_directions(comp, tmp_path):
         assert _libtiff_read(lib, tmp_path, enc(rows), w, h, comp) == rows
 
 
+def test_cross_check_libtiff_g3_2d(tmp_path):
+    """FAX3 + GROUP3OPT_2DENCODING (T4Options bit 0), both directions."""
+    lib = _libtiff()
+    if lib is None:
+        pytest.skip("system libtiff not present")
+    rng = random.Random(77)
+    for _ in range(6):
+        w = rng.choice([8, 64, 100, 321, 1728])
+        h = rng.randint(1, 8)
+        rows = _rand_rows(rng, w, h, rng.choice([0.05, 0.4, 0.9]))
+        # libtiff encode (with 2D option) -> our decode
+        path = str(tmp_path / "w2d.tif").encode()
+        tif = lib.TIFFOpen(path, b"w")
+        t = ctypes.c_void_p(tif)
+        for tag, val in [(256, w), (257, h), (258, 1), (259, 3),
+                         (262, 0), (277, 1), (278, h), (284, 1), (292, 1)]:
+            assert lib.TIFFSetField(t, ctypes.c_uint32(tag), val) == 1
+        raw = fx.pack_row_bits(rows, black_is_1=True)
+        buf = ctypes.create_string_buffer(raw, len(raw))
+        assert lib.TIFFWriteEncodedStrip(t, 0, buf, len(raw)) > 0
+        lib.TIFFClose(t)
+        data = open(path, "rb").read()
+        off = struct.unpack("<I", data[4:8])[0]
+        nent = struct.unpack("<H", data[off:off + 2])[0]
+        fields = {}
+        for i in range(nent):
+            e = data[off + 2 + 12 * i: off + 14 + 12 * i]
+            tag, _typ, _cnt = struct.unpack("<HHI", e[:8])
+            fields[tag] = struct.unpack("<I", e[8:12])[0]
+        strip = data[fields[273]:fields[273] + fields[279]]
+        assert fx.decode_g3_2d(strip, w, h) == rows
+        # our encode -> libtiff decode (minimal container + tag 292)
+        for k in (2, 4):
+            ours = fx.encode_g3_2d(rows, k=k)
+            stride = (w + 7) // 8
+            ents = [(256, 3, w), (257, 3, h), (258, 3, 1), (259, 3, 3),
+                    (262, 3, 0), (273, 4, 8), (277, 3, 1), (278, 3, h),
+                    (279, 4, len(ours)), (284, 3, 1), (292, 4, 1)]
+            ifd_off = 8 + len(ours) + (len(ours) % 2)
+            out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)
+                            + ours + b"\x00" * (len(ours) % 2))
+            out += struct.pack("<H", len(ents))
+            for tag, typ, val in ents:
+                out += struct.pack("<HHII", tag, typ, 1, val)
+            out += struct.pack("<I", 0)
+            rpath = str(tmp_path / "r2d.tif").encode()
+            open(rpath, "wb").write(out)
+            tif = lib.TIFFOpen(rpath, b"r")
+            t = ctypes.c_void_p(tif)
+            buf = ctypes.create_string_buffer(stride * h)
+            n = lib.TIFFReadEncodedStrip(t, 0, buf, stride * h)
+            lib.TIFFClose(t)
+            assert n == stride * h
+            assert fx.unpack_row_bits(buf.raw[:stride * h], w, h,
+                                      black_is_1=True) == rows
+
+
 # ---------------------------------------------------------------------------
 # TIFF integration (llm/tiff_codec COMPRESSION 2/3/4)
 
@@ -205,17 +266,28 @@ def test_tiff_bilevel_round_trip():
             assert d["pixels"] == want
 
 
+def test_tiff_g3_2d_round_trip():
+    """COMPRESSION_CCITTFAX3 with T4Options bit 0 (mixed 1D/2D) —
+    encode_bilevel('g3-2d') sets the option and decode honors it."""
+    from verified_sources_spark.llm.tiff_codec import decode, encode_bilevel
+
+    rng = random.Random(23)
+    w, h = 52, 11
+    bits = bytes(1 if rng.random() < 0.35 else 0 for _ in range(w * h))
+    t = encode_bilevel(w, h, bits, "g3-2d", rows_per_strip=4)
+    assert struct.pack("<HHI", 0x0124, 4, 1) in t  # T4Options present
+    want = b"".join(b"\x00\x00\x00" if b else b"\xff\xff\xff" for b in bits)
+    assert decode(t)["pixels"] == want
+
+
 def test_tiff_ccitt_refusals():
     from verified_sources_spark.llm.tiff_codec import (
         TiffError, decode, encode_bilevel,
     )
 
     t = bytearray(encode_bilevel(16, 4, bytes(64), "g3"))
-    # T4Options tag (0x0124) value bit 0 = mixed 1D/2D Group 3
+    # T4Options tag (0x0124) value bit 1 = uncompressed mode
     i = t.index(struct.pack("<HHI", 0x0124, 4, 1))
-    t[i + 8] = 1
-    with pytest.raises(TiffError, match="mixed 1D/2D Group 3"):
-        decode(bytes(t))
     t[i + 8] = 2
     with pytest.raises(TiffError, match="uncompressed mode"):
         decode(bytes(t))
@@ -276,6 +348,8 @@ def test_pdf_ccitt_images_decode():
         (fx.encode_g3(rows), f"<< /K 0 /Columns {w} /Rows {h} >>"),
         (fx.encode_rle(rows),
          f"<< /K 0 /Columns {w} /Rows {h} /EncodedByteAlign true >>"),
+        # K>0: mixed 1D/2D rows (a 1D anchor every K rows)
+        (fx.encode_g3_2d(rows, k=4), f"<< /K 4 /Columns {w} /Rows {h} >>"),
         # /Rows omitted: falls back to /Height
         (fx.encode_g4(rows), f"<< /K -1 /Columns {w} >>"),
     ]
@@ -292,9 +366,6 @@ def test_pdf_ccitt_refusals():
         PdfError, extract_pdf_images,
     )
 
-    with pytest.raises(PdfError, match="K>0"):
-        extract_pdf_images(_pdf_scan(48, 4, b"\x00" * 8,
-                                     "<< /K 4 /Columns 48 >>"))
     with pytest.raises(PdfError, match="Columns 1728 != /Width 48"):
         extract_pdf_images(_pdf_scan(48, 4, b"\x00" * 8, "<< /K -1 >>"))
     with pytest.raises(PdfError, match="bad CCITT stream"):

@@ -12,10 +12,12 @@ Supported (everything else refuses by name):
 - Modified Huffman 1D rows: TIFF COMPRESSION_CCITTRLE (2,
   byte-aligned rows, no EOL) and COMPRESSION_CCITTFAX3 (3, 1D with
   EOL markers + RTC); PDF CCITTFaxDecode with K = 0.
+- Group 3 2D (T.4 K>0): EOL + tag-bit framed mixed 1D/2D rows —
+  TIFF COMPRESSION_CCITTFAX3 with T4Options bit 0, PDF CCITTFaxDecode
+  with K > 0.
 - Group 4 (T.6) 2D: TIFF COMPRESSION_CCITTFAX4 (4) and PDF
   CCITTFaxDecode with K < 0 — pass / horizontal / vertical modes,
-  EOFB termination.  T.6 uncompressed mode and K > 0 (mixed 2D)
-  refuse by name.
+  EOFB termination.  T.4/T.6 uncompressed mode refuses by name.
 
 The run-length code tables below are the ITU standard's published
 constants, recovered EMPIRICALLY from system libtiff 6 by
@@ -31,8 +33,8 @@ from __future__ import annotations
 
 __all__ = [
     "FaxError",
-    "decode_rle", "decode_g3", "decode_g4",
-    "encode_rle", "encode_g3", "encode_g4",
+    "decode_rle", "decode_g3", "decode_g3_2d", "decode_g4",
+    "encode_rle", "encode_g3", "encode_g3_2d", "encode_g4",
     "pack_row_bits", "unpack_row_bits",
 ]
 
@@ -654,45 +656,109 @@ def encode_g3(rows: list[bytes], rtc: bool = True) -> bytes:
     return w.bytes()
 
 
+_VCODES = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
+           3: "0000011", -3: "0000010"}
+
+
+def _encode_2d_row(w: _BitWriter, row: bytes, ref: bytes, columns: int):
+    """One row in T.4/T.6 2D modes (pass/vertical/horizontal) against
+    the reference line — shared by G4 and G3-2D (K>0)."""
+    cur_changes = _changes(row) + [columns, columns]
+    ref_changes = _changes(ref)
+    a0 = -1
+    color = 0
+    ci = 0
+    ri = 0
+    while a0 < columns:
+        while ci < len(cur_changes) - 2 and cur_changes[ci] <= a0:
+            ci += 1
+        a1 = cur_changes[ci] if cur_changes[ci] > a0 else columns
+        b1, b2, ri = _b1_b2(ref_changes, columns, a0, color, ri)
+        if b2 < a1:
+            w.put("0001")          # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            w.put(_VCODES[a1 - b1])  # vertical
+            a0 = a1
+            color ^= 1
+        else:                       # horizontal
+            s = max(a0, 0)
+            a2 = (cur_changes[ci + 1]
+                  if cur_changes[ci] > a0 else columns)
+            if cur_changes[ci] <= a0:
+                a2 = columns
+            w.put("001")
+            _put_run(w, a1 - s, color)
+            _put_run(w, a2 - a1, color ^ 1)
+            a0 = a2
+
+
 def encode_g4(rows: list[bytes]) -> bytes:
     w = _BitWriter()
     columns = len(rows[0]) if rows else 0
     ref = bytes(columns)
-    vcodes = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
-              3: "0000011", -3: "0000010"}
     for row in rows:
-        cur_changes = _changes(row) + [columns, columns]
-        ref_changes = _changes(ref)
-        a0 = -1
-        color = 0
-        ci = 0
-        ri = 0
-        while a0 < columns:
-            while ci < len(cur_changes) - 2 and cur_changes[ci] <= a0:
-                ci += 1
-            a1 = cur_changes[ci] if cur_changes[ci] > a0 else columns
-            b1, b2, ri = _b1_b2(ref_changes, columns, a0, color, ri)
-            if b2 < a1:
-                w.put("0001")          # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                w.put(vcodes[a1 - b1])  # vertical
-                a0 = a1
-                color ^= 1
-            else:                       # horizontal
-                s = max(a0, 0)
-                a2 = (cur_changes[ci + 1]
-                      if cur_changes[ci] > a0 else columns)
-                if cur_changes[ci] <= a0:
-                    a2 = columns
-                w.put("001")
-                _put_run(w, a1 - s, color)
-                _put_run(w, a2 - a1, color ^ 1)
-                a0 = a2
+        _encode_2d_row(w, row, ref, columns)
         ref = row
     w.put(_EOL)
     w.put(_EOL)
     return w.bytes()
+
+
+def encode_g3_2d(rows: list[bytes], k: int = 4, rtc: bool = True) -> bytes:
+    """T.4 Group 3 two-dimensional (K>0): every row framed by EOL + a
+    tag bit (1 = this row is 1D MH, 0 = 2D against the previous row);
+    a 1D anchor row at least every ``k`` rows, as real fax senders
+    emit (K=2 at standard resolution, K=4 at fine)."""
+    w = _BitWriter()
+    columns = len(rows[0]) if rows else 0
+    ref = bytes(columns)
+    for i, row in enumerate(rows):
+        w.put(_EOL)
+        if i % k == 0:
+            w.put("1")
+            _encode_1d_row(w, row)
+        else:
+            w.put("0")
+            _encode_2d_row(w, row, ref, columns)
+        ref = row
+    if rtc:
+        for _ in range(6):
+            w.put(_EOL)
+            w.put("1")
+    return w.bytes()
+
+
+def decode_g3_2d(data: bytes, columns: int,
+                 rows: int | None = None) -> list[bytes]:
+    """T.4 Group 3 two-dimensional (K>0): TIFF COMPRESSION_CCITTFAX3
+    with T4Options bit 0, PDF CCITTFaxDecode with K > 0.  Each row is
+    EOL + tag bit (1 = 1D, 0 = 2D vs the previous row); stops at
+    ``rows``, RTC, or end of data."""
+    bits = _Bits(data)
+    out: list[bytes] = []
+    ref = bytes(columns)
+    if not _skip_eol(bits):
+        raise FaxError("G3 2D stream does not start with EOL")
+    while rows is None or len(out) < rows:
+        if bits.eof():
+            break
+        tag = bits.read_bit()
+        if tag and bits.peek_str(12) == _EOL:
+            break  # EOL+1 immediately followed by EOL: RTC
+        try:
+            ref = (_decode_1d_row(bits, columns) if tag
+                   else _decode_2d_row(bits, ref, columns))
+        except FaxError:
+            if rows is None and out:
+                break  # trailing fill after the last row
+            raise
+        out.append(ref)
+        if not _skip_eol(bits):
+            break
+    if rows is not None and len(out) < rows:
+        raise FaxError(f"G3 2D stream ended after {len(out)}/{rows} rows")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1108,9 +1108,9 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     raw samples decode through the standard filter chain.  DeviceGray
     expands to RGB so every image lands in the common
     ``{width, height, mode, pixels}`` contract; CCITTFaxDecode scans
-    (K=0 1D and K<0 G4, the scanned-document layer) decode through
-    llm/fax_codec.  Unsupported colorspaces
-    and filters (JBIG2, JPX, CCITT K>0) refuse by name."""
+    (K=0 1D, K>0 mixed 1D/2D and K<0 G4 — the scanned-document layer)
+    decode through llm/fax_codec.  Unsupported colorspaces
+    and filters (JBIG2, JPX) refuse by name."""
     objects = _load_objects(data)
 
     def resolve(v):
@@ -1169,9 +1169,8 @@ def extract_pdf_images(data: bytes) -> list[dict]:
                             else _fax.decode_g3(v[2], cols, nrows,
                                                 require_eol=False))
                 else:
-                    raise PdfError(
-                        f"image {num}: CCITT K>0 (mixed 2D Group 3) "
-                        f"— refusing by name")
+                    # K>0: mixed 1D/2D rows, EOL + tag-bit framed
+                    rows = _fax.decode_g3_2d(v[2], cols, nrows)
             except _fax.FaxError as e:
                 raise PdfError(
                     f"image {num}: bad CCITT stream: {e}") from None

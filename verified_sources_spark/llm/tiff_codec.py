@@ -11,15 +11,16 @@ with EARLY CHANGE, the wild's most common compressed TIFF), Deflate
 (8/32946) and PackBits (32773: the fax/scanner RLE) strips, 8-bit
 grayscale or RGB, top-down, with the
 horizontal-differencing predictor (Predictor=2) that usually
-accompanies LZW — plus bilevel CCITT fax strips (2: MH-RLE, 3: G3 1D,
-4: G4/T.6 2D, the scanned-document layer) via llm/fax_codec —
+accompanies LZW — plus bilevel CCITT fax strips (2: MH-RLE, 3: G3 1D
+and mixed 1D/2D per T4Options, 4: G4/T.6 2D, the scanned-document
+layer) via llm/fax_codec —
 returning the common ``{width, height, mode,
-pixels}`` contract; JPEG-in-TIFF, mixed-2D G3 and planar/tiled layouts
+pixels}`` contract; JPEG-in-TIFF and planar/tiled layouts
 refuse WITH THE NAME.  ``encode`` writes real single-page uncompressed,
 LZW (independent compressor: greedy string table, early-change widths,
 mid-stream Clear on table fill), Deflate or PackBits TIFFs (both byte
 orders, optional predictor) for fixtures and as the cross-format dedup
-member; ``encode_bilevel`` writes CCITT RLE/G3/G4 fax TIFFs.
+member; ``encode_bilevel`` writes CCITT RLE/G3/G3-2D/G4 fax TIFFs.
 """
 
 from __future__ import annotations
@@ -332,10 +333,10 @@ def probe(data: bytes) -> dict:
 
 
 def _decode_ccitt_page(data: bytes, pg: dict, ifd: dict, bo: str) -> dict:
-    """Bilevel CCITT strips (COMPRESSION 2/3/4 = MH-RLE / G3-1D / G4)
-    through llm/fax_codec — the scanned-document TIFF layer.  Mixed
-    1D/2D Group 3 (T4Options bit 0) and uncompressed mode refuse by
-    name; each strip restarts the coder per the TIFF spec."""
+    """Bilevel CCITT strips (COMPRESSION 2/3/4 = MH-RLE / G3 1D-or-2D
+    per T4Options bit 0 / G4) through llm/fax_codec — the
+    scanned-document TIFF layer.  Uncompressed mode refuses by name;
+    each strip restarts the coder per the TIFF spec."""
     from verified_sources_spark.llm import fax_codec as _fax
 
     if pg["samples_per_pixel"] != 1 or pg["bits_per_sample"] != [1]:
@@ -346,11 +347,10 @@ def _decode_ccitt_page(data: bytes, pg: dict, ifd: dict, bo: str) -> dict:
         raise TiffError("cannot decode tiled TIFF (strips only)")
     w, h = pg["width"], pg["height"]
     comp = pg["compression"]
+    g3_2d = False
     if comp == "CCITT-G3":
         t4 = (_ints(data, ifd, _T_T4_OPTIONS, bo) or [0])[0]
-        if t4 & 1:
-            raise TiffError(
-                "mixed 1D/2D Group 3 (T4Options bit 0) — refusing by name")
+        g3_2d = bool(t4 & 1)
         if t4 & 2:
             raise TiffError("Group 3 uncompressed mode — refusing by name")
     rps = (_ints(data, ifd, _T_ROWS_PER_STRIP, bo) or [h])[0]
@@ -370,7 +370,9 @@ def _decode_ccitt_page(data: bytes, pg: dict, ifd: dict, bo: str) -> dict:
             if comp == "CCITT-RLE":
                 rows += _fax.decode_rle(chunk, w, n)
             elif comp == "CCITT-G3":
-                rows += _fax.decode_g3(chunk, w, n, require_eol=False)
+                rows += (_fax.decode_g3_2d(chunk, w, n) if g3_2d
+                         else _fax.decode_g3(chunk, w, n,
+                                             require_eol=False))
             else:
                 rows += _fax.decode_g4(chunk, w, n)
         except _fax.FaxError as e:
@@ -566,8 +568,8 @@ def encode_bilevel(
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Real single-page bilevel TIFF: 1 bit/sample, PHOTOMETRIC
-    MinIsWhite (the fax standard sense), CCITT ``rle``/``g3``/``g4``
-    strips via llm/fax_codec.  ``bits`` is one byte per pixel, 1=black.
+    MinIsWhite (the fax standard sense), CCITT
+    ``rle``/``g3``/``g3-2d``/``g4`` strips via llm/fax_codec.  ``bits`` is one byte per pixel, 1=black.
     The fax coder is cross-checked against system libtiff in both
     directions (tests/test_fax_codec.py), so fixtures minted here are
     anchored to an independent implementation."""
@@ -578,8 +580,9 @@ def encode_bilevel(
     if any(b > 1 for b in bits):
         raise TiffError("bilevel buffer must be 0/1 bytes")
     try:
-        comp_id = {"rle": 2, "g3": 3, "g4": 4}[compression]
+        comp_id = {"rle": 2, "g3": 3, "g3-2d": 3, "g4": 4}[compression]
         enc = {"rle": _fax.encode_rle, "g3": _fax.encode_g3,
+               "g3-2d": _fax.encode_g3_2d,
                "g4": _fax.encode_g4}[compression]
     except KeyError:
         raise TiffError(f"unknown CCITT flavor {compression!r}") from None
@@ -588,7 +591,7 @@ def encode_bilevel(
     rows = [bits[y * width : (y + 1) * width] for y in range(height)]
     strips = [enc(rows[y0 : y0 + rps]) for y0 in range(0, height, rps)]
 
-    n_entries = 9 + (1 if compression == "g3" else 0)
+    n_entries = 9 + (1 if compression.startswith("g3") else 0)
     ifd_off = 8
     heap = bytearray()
     heap_off = ifd_off + 2 + 12 * n_entries + 4
@@ -629,8 +632,9 @@ def encode_bilevel(
         entry(_T_ROWS_PER_STRIP, 4, 1, long4(rps)),
         entry(_T_STRIP_COUNTS, 4, len(strips), counts4),
     ]
-    if compression == "g3":
-        entries.append(entry(_T_T4_OPTIONS, 4, 1, long4(0)))
+    if compression.startswith("g3"):
+        entries.append(entry(_T_T4_OPTIONS, 4, 1,
+                             long4(1 if compression == "g3-2d" else 0)))
     ifd = (struct.pack(bo + "H", n_entries) + b"".join(entries)
            + b"\x00\x00\x00\x00")
     head = ((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)

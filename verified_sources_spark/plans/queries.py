@@ -2460,8 +2460,9 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib with LOSSY VP8 through the system-libwebp seam on every
     4th webp row —, TIFF with uncompressed/Deflate/TIFF-LZW/PackBits
     strips ± horizontal-differencing predictor, every 5th TIFF a
-    bilevel CCITT fax scan cycling RLE/G3-1D/G4 via llm/fax_codec —
-    the scanned-document layer), dims from doc_id, every 11th
+    bilevel CCITT fax scan cycling RLE / G3-1D / G3-2D (T4Options
+    mixed rows) / G4 via llm/fax_codec — the scanned-document layer),
+    dims from doc_id, every 11th
     truncated; decode through
     the image_io sniffing seam via llm/image_dedup.image_dhash.  The
     oracle replays the arithmetic — a value-hash match proves each
@@ -2538,7 +2539,8 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                     asset = encode_bilevel(
                         w, h, (gray < 128).astype(np.uint8).tobytes(),
-                        compression=("rle", "g3", "g4")[did % 3],
+                        compression=("rle", "g3", "g3-2d",
+                                     "g4")[did % 4],
                         byte_order="MM" if did % 2 else "II",
                         rows_per_strip=5)
                 else:
