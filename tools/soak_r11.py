@@ -156,6 +156,50 @@ def main():
                 .groupBy().sum("ok").collect()[0][0])
     print(f"  flac scaling 3k->10k: {f10 / f3:.2f}x (ideal 3.33x)",
           flush=True)
+
+    def fax_assets(n, flavor):
+        import pandas as pd
+
+        def mint(batches):
+            import numpy as np
+
+            from verified_sources_spark.llm.tiff_codec import encode_bilevel
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    # text-like page tile: sparse black glyph runs on
+                    # white, the real statistics of scanned documents
+                    w, h = 864, 96
+                    rng = np.random.default_rng(did)
+                    bits = np.zeros((h, w), dtype=np.uint8)
+                    for y in range(4, h, 9):
+                        starts = rng.integers(20, w - 40, size=18)
+                        for x in starts:
+                            bits[y:y + 6, x:x + rng.integers(4, 22)] = 1
+                    rows.append({"doc_id": did,
+                                 "asset": encode_bilevel(
+                                     w, h, bits.tobytes(), flavor,
+                                     rows_per_strip=32)})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return (spark.range(n).repartition(32)
+                .mapInPandas(mint, "doc_id long, asset binary"))
+
+    print("3. CCITT fax decode (864x96 text-like page tiles, via "
+          "image_dhash)", flush=True)
+    x3 = timed("g4 fax dhash 3k",
+               lambda: image_dhash(fax_assets(3_000, "g4"))
+               .filter("decoded_ok").count())
+    x10 = timed("g4 fax dhash 10k",
+                lambda: image_dhash(fax_assets(10_000, "g4"))
+                .filter("decoded_ok").count())
+    print(f"  g4 scaling 3k->10k: {x10 / x3:.2f}x (ideal 3.33x)",
+          flush=True)
+    timed("g3-2d fax dhash 10k",
+          lambda: image_dhash(fax_assets(10_000, "g3-2d"))
+          .filter("decoded_ok").count())
     spark.stop()
 
 
