@@ -168,10 +168,9 @@ def _extract_pdf_images(payload):
 
 MATRIX = [
     # (case id, payload builder, decode fn, message fragment that NAMES it)
-    # progressive (SOF2) DECODES now (llm/jpeg_progressive.py) — the
-    # remaining refusals are the variants stdlib genuinely can't serve
-    ("jpeg-extended-seq", lambda: _jpeg_with_sof(0xC1), _decode_jpeg,
-     "extended sequential (SOF1)"),
+    # progressive (SOF2) and 8-bit extended sequential (SOF1) DECODE
+    # now — the remaining refusals are the variants stdlib genuinely
+    # can't serve
     ("jpeg-arithmetic", lambda: _jpeg_with_sof(0xC9), _decode_jpeg,
      "arithmetic sequential (SOF9)"),
     ("jpeg-lossless", lambda: _jpeg_with_sof(0xC3), _decode_jpeg,

@@ -119,6 +119,24 @@ def test_probe_refuses_nothing_decode_refuses_progressive():
         decode(bytes(data))
 
 
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """8-bit extended sequential (SOF1) is bit-identical to SOF0
+    decode — its only deltas are 12-bit precision and Huffman table
+    ids 2-3, both handled generically; 12-bit still refuses."""
+    img = _gradient(32, 24)
+    data = encode(32, 24, img.tobytes(), quality=90)
+    base = decode(data)
+    i = data.index(b"\xff\xc0")
+    sof1 = data[:i] + b"\xff\xc1" + data[i + 2:]
+    assert probe(sof1)["variant"] == "extended sequential (SOF1)"
+    got = decode(sof1)
+    assert got["pixels"] == base["pixels"]
+    twelve = bytearray(sof1)
+    twelve[i + 4] = 12  # precision byte inside the SOF payload
+    with pytest.raises(JpegError, match="12-bit"):
+        decode(bytes(twelve))
+
+
 def test_rejects_non_jpeg_and_truncation():
     with pytest.raises(JpegError, match="SOI"):
         probe(b"not a jpeg")

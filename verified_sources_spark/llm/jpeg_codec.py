@@ -6,8 +6,11 @@ implements **baseline sequential DCT** (ITU-T T.81): DQT/DHT/SOF0/SOS
 marker parsing, Huffman entropy decode (DC predictors + run-length AC),
 dequantize → dezigzag → 8×8 IDCT, chroma upsampling for 4:4:4 / 4:2:2 /
 4:2:0, BT.601 full-range YCbCr→RGB, and restart-interval handling.
-Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit variants
-REFUSE loudly with the variant named — the same honest-refusal contract
+8-bit extended sequential (SOF1) decodes through the same path — its
+only deltas over SOF0 are 12-bit precision and Huffman table ids 2-3,
+both handled generically.  Progressive (SOF2) routes to
+llm/jpeg_progressive; arithmetic-coded, hierarchical, and 12-bit
+variants REFUSE loudly with the variant named — the same honest-refusal contract
 as the table-format readers.
 
 The encoder emits baseline 4:4:4 JPEG with the T.81 Annex K example
@@ -380,7 +383,7 @@ def decode(data: bytes) -> dict:
         )
 
         return decode_progressive(data)
-    if meta["variant"] != "baseline":
+    if meta["variant"] not in ("baseline", "extended sequential (SOF1)"):
         raise JpegError(
             f"cannot decode {meta['variant']} JPEG (baseline/progressive only)"
         )
@@ -417,7 +420,7 @@ def decode(data: bytes) -> dict:
                 values = list(seg[p + 17 : p + 17 + n])
                 htables[(cls, tid)] = _huff(bits, values)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (8-bit: same decode)
             _bits, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for c in range(ncomp):
