@@ -99,3 +99,111 @@ def test_xz_bz2_corrupt_and_sniff_guards():
         list(iter_members(encode_tar(MEMBERS, compression="bz2")[:20]))
     # 'BZh' needs the 1-9 level digit to sniff as bzip2
     assert sniff_archive_format(b"BZhX" + bytes(64)) is None
+
+# ------------------------------------------------------- zstd + shards
+
+def _zstd_present():
+    from verified_sources_spark.llm.zstd_system import available
+
+    return available()
+
+
+def test_tar_zst_roundtrip():
+    if not _zstd_present():
+        pytest.skip("system libzstd not present")
+    data = encode_tar(MEMBERS, compression="zst")
+    assert sniff_archive_format(data) == "tzst"
+    assert dict(iter_members(data)) == MEMBERS
+    with pytest.raises(ArchiveError, match="tar.zst"):
+        list(iter_members(data[:12]))
+    # a zstd stream that is not a tar refuses with the reason named
+    from verified_sources_spark.llm.zstd_system import compress
+
+    with pytest.raises(ArchiveError, match="does not contain a tar"):
+        list(iter_members(compress(b"flat text, no tar inside")))
+
+
+def test_zstd_seam_contract():
+    if not _zstd_present():
+        pytest.skip("system libzstd not present")
+    from verified_sources_spark.llm.zstd_system import (
+        ZstdError, compress, compress_streamed, decompress, zstd_version,
+    )
+
+    assert zstd_version()
+    data = b"shard line\n" * 50_000
+    known = compress(data, level=5)
+    streamed = compress_streamed(data, level=5)
+    assert decompress(known) == data
+    assert decompress(streamed) == data  # unknown-content-size path
+    # multi-frame sequences (parallel writers concatenate frames)
+    assert decompress(known + streamed) == data + data
+    # bomb gates on both paths
+    with pytest.raises(ZstdError, match="bomb"):
+        decompress(compress(bytes(2_000_000)), max_out=10_000)
+    with pytest.raises(ZstdError, match="bomb"):
+        decompress(compress_streamed(bytes(2_000_000)), max_out=10_000)
+    # truncation refuses instead of silently returning a prefix
+    with pytest.raises(ZstdError, match="truncated"):
+        decompress(streamed[: len(streamed) // 2])
+    with pytest.raises(ZstdError, match="refusing by name"):
+        decompress(b"PK\x03\x04 not zstd")
+
+
+def test_shard_codecs_roundtrip_and_gates():
+    from verified_sources_spark.llm.archives import (
+        decompress_shard, encode_shard, sniff_shard_codec,
+    )
+
+    text = b"".join(b'{"id": %d}\n' % i for i in range(500))
+    codecs = ["gzip", "xz", "bz2"]
+    if _zstd_present():
+        codecs.append("zstd")
+    for codec in codecs:
+        sh = encode_shard(text, codec)
+        assert sniff_shard_codec(sh) == codec
+        assert decompress_shard(sh) == text
+        with pytest.raises(ArchiveError):
+            decompress_shard(sh[: len(sh) // 2])
+        with pytest.raises(ArchiveError, match="bomb"):
+            decompress_shard(encode_shard(bytes(3_000_000), codec),
+                             max_out=10_000)
+    # concatenated members (pigz/pbzip2 shape) inflate as one stream
+    assert decompress_shard(encode_shard(b"one\n", "gzip")
+                            + encode_shard(b"two\n", "gzip")) == b"one\ntwo\n"
+    assert decompress_shard(encode_shard(b"A\n", "bz2")
+                            + encode_shard(b"B\n", "bz2")) == b"A\nB\n"
+    # trailing zero padding after the last member is ignored
+    assert decompress_shard(encode_shard(b"pad\n", "gzip")
+                            + b"\x00" * 8) == b"pad\n"
+    with pytest.raises(ArchiveError, match="unrecognized"):
+        decompress_shard(b"plain text")
+
+
+def test_shard_lines_spark_operator(spark):
+    from verified_sources_spark.llm.archives import encode_shard, shard_lines
+
+    zstd_ok = _zstd_present()
+    rows = [
+        (1, bytearray(encode_shard(b"l1\nl2\n\nl3\n", "gzip"))),
+        (2, bytearray(encode_shard(b"only\n", "xz"))),
+        (3, bytearray(b"not compressed")),
+        (4, bytearray(encode_shard(b"", "bz2"))),  # valid but empty
+    ]
+    if zstd_ok:
+        rows.append((5, bytearray(encode_shard(b"za\nzb\n", "zstd",
+                                               streamed=True))))
+    df = spark.createDataFrame(rows, "shard_id long, asset binary")
+    got: dict = {}
+    for r in shard_lines(df).collect():
+        got.setdefault(r["shard_id"], []).append(r)
+    assert [(r["line_idx"], r["text"]) for r in got[1]] == [
+        (0, "l1"), (1, "l2"), (2, "l3")]  # empty line skipped
+    assert all(r["codec"] == "gzip" for r in got[1])
+    assert got[2][0]["text"] == "only" and got[2][0]["codec"] == "xz"
+    assert got[3][0]["decoded_ok"] is False and got[3][0]["codec"] is None
+    (r4,) = got[4]
+    assert r4["decoded_ok"] is True and r4["line_idx"] is None
+    if zstd_ok:
+        assert [r["text"] for r in got[5]] == ["za", "zb"]
+        assert all(r["codec"] == "zstd" for r in got[5])

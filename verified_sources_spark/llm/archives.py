@@ -1,15 +1,21 @@
-"""Archive ingestion: zip / tar / tar.{gz,xz,bz2} member extraction.
+"""Archive ingestion: zip / tar / tar.{gz,xz,bz2,zst} member
+extraction + compressed single-file text shards (.jsonl.{gz,xz,bz2,zst}).
 
 Curated text corpora ship as archives-of-files (a zip of .txt/.json
-documents, a tar.gz dump per domain); the ingestion front door must
-explode them into per-member rows before any text operator can run.
+documents, a tar.gz dump per domain) or as compressed line-shards
+(.jsonl.zst — The Pile / RedPajama / most HuggingFace dumps); the
+ingestion front door must explode them into per-member or per-line
+rows before any text operator can run.
 This module wraps the stdlib's battle-tested ``zipfile``/``tarfile``
 (no reason to hand-roll these — unlike the media codecs, the parsers
-ship with Python) behind the same sniff/iterate/refuse contract as the
-media seams:
+ship with Python) plus the capability-gated libzstd seam
+(llm/zstd_system) behind the same sniff/iterate/refuse contract as
+the media seams:
 
-- ``sniff_archive_format``: 'zip' / 'tar' / 'tgz' / 'txz' / 'tbz2' by
-  magic bytes (tar sniffed by the ustar magic at offset 257).
+- ``sniff_archive_format``: 'zip' / 'tar' / 'tgz' / 'txz' / 'tbz2' /
+  'tzst' by magic bytes (tar sniffed by the ustar magic at offset 257;
+  a gzip/xz/bz2/zstd stream is assumed tar here — ``shard_lines`` is
+  the entry point that treats those magics as flat text).
 - ``iter_members``: yield (name, payload bytes) per REGULAR member,
   skipping directories/links; a truncated or corrupt archive raises
   ``ArchiveError`` with the format named.  Zip-bomb guard: a member
@@ -18,26 +24,38 @@ media seams:
 - ``archive_members``: the Spark operator — Arrow-batched explosion of
   binary archive payloads into (id, member_name, n_bytes, text) rows;
   corrupt archives isolate as ``decoded_ok=false`` rows.
+- ``decompress_shard`` / ``shard_lines``: single-stream compressed
+  text shards (gzip/xz/bz2/zstd sniffed by magic) → one row per
+  non-empty line, the jsonl-corpus front door.  Every codec path is
+  expansion-capped (the same bomb gate).
 
 Reference analogue: the filesystem source's read_location + fsspec
 globbing (/root/reference/sources/filesystem/__init__.py) — this is
 the same exploding step when the "filesystem" arrives as one archive
-blob per row.
+blob per row; fsspec's transparent compression= handling is the
+shard-codec analogue.
 """
 
 from __future__ import annotations
 
+import bz2
 import io
+import lzma
 import tarfile
 import zipfile
+import zlib
 
 __all__ = [
     "ArchiveError",
     "sniff_archive_format",
+    "sniff_shard_codec",
     "iter_members",
     "archive_members",
+    "decompress_shard",
+    "shard_lines",
     "encode_zip",
     "encode_tar",
+    "encode_shard",
 ]
 
 _DEFAULT_MAX_MEMBER = 1 << 30  # 1 GiB per member: the zip-bomb gate
@@ -59,6 +77,8 @@ def sniff_archive_format(payload: bytes) -> str | None:
         return "txz"
     if payload[:3] == b"BZh" and len(payload) > 3 and 0x31 <= payload[3] <= 0x39:
         return "tbz2"
+    if payload[:4] == b"\x28\xb5\x2f\xfd":
+        return "tzst"
     if len(payload) > 262 and payload[257:262] == b"ustar":
         return "tar"
     return None
@@ -86,6 +106,26 @@ def iter_members(
         except (zipfile.BadZipFile, EOFError, OSError) as e:
             raise ArchiveError(f"corrupt zip archive: {e}") from None
         return
+    if fmt == "tzst":
+        # zstd has no stdlib codec: the system-libzstd seam serves it,
+        # bomb-gated at the same member cap; absent library = named
+        # refusal, same posture as lossy WebP
+        from verified_sources_spark.llm.zstd_system import (
+            ZstdError, available, decompress,
+        )
+
+        if not available():
+            raise ArchiveError(
+                "zstd-compressed tar — system libzstd not present; "
+                "refusing by name")
+        try:
+            payload = decompress(payload, max_out=max_member_bytes)
+        except ZstdError as e:
+            raise ArchiveError(f"corrupt tar.zst archive: {e}") from None
+        fmt = "tar"
+        if payload[257:262] != b"ustar":
+            raise ArchiveError(
+                "zstd stream does not contain a tar archive")
     if fmt in ("tar", "tgz", "txz", "tbz2"):
         mode = {"tgz": "r:gz", "txz": "r:xz", "tbz2": "r:bz2"}.get(fmt, "r:")
         try:
@@ -110,7 +150,7 @@ def iter_members(
             raise ArchiveError(f"corrupt {fmt} archive: {e}") from None
         return
     raise ArchiveError(
-        "unrecognized archive payload (not zip/tar/tar.{gz,xz,bz2})"
+        "unrecognized archive payload (not zip/tar/tar.{gz,xz,bz2,zst})"
     )
 
 
@@ -178,15 +218,173 @@ def encode_zip(members: dict[str, bytes]) -> bytes:
 def encode_tar(
     members: dict[str, bytes], gz: bool = False, compression: str | None = None
 ) -> bytes:
-    """Fixture tar; ``compression`` in (None, 'gz', 'xz', 'bz2') —
-    ``gz=True`` is the legacy spelling of compression='gz'."""
+    """Fixture tar; ``compression`` in (None, 'gz', 'xz', 'bz2',
+    'zst') — ``gz=True`` is the legacy spelling of compression='gz'.
+    'zst' wraps the plain tar through the system-libzstd seam."""
     comp = compression or ("gz" if gz else None)
-    if comp not in (None, "gz", "xz", "bz2"):
+    if comp not in (None, "gz", "xz", "bz2", "zst"):
         raise ArchiveError(f"unsupported tar compression {comp!r}")
+    zst = comp == "zst"
+    if zst:
+        comp = None
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode=f"w:{comp}" if comp else "w") as tf:
         for name, data in members.items():
             info = tarfile.TarInfo(name)
             info.size = len(data)
             tf.addfile(info, io.BytesIO(data))
+    if zst:
+        from verified_sources_spark.llm.zstd_system import compress
+
+        return compress(buf.getvalue())
     return buf.getvalue()
+
+
+# ------------------------------------------- compressed text shards
+
+_SHARD_DECODERS = ("gzip", "xz", "bz2", "zstd")
+
+
+def sniff_shard_codec(payload: bytes) -> str | None:
+    """'gzip' / 'xz' / 'bz2' / 'zstd' / None by magic bytes."""
+    if payload[:2] == b"\x1f\x8b":
+        return "gzip"
+    if payload[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    if (payload[:3] == b"BZh" and len(payload) > 3
+            and 0x31 <= payload[3] <= 0x39):
+        return "bz2"
+    if payload[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
+    return None
+
+
+def decompress_shard(payload: bytes,
+                     max_out: int = _DEFAULT_MAX_MEMBER) -> bytes:
+    """A single-stream compressed text shard → bytes, expansion-capped
+    at ``max_out`` for every codec (the decompression-bomb gate).
+    Unrecognized or corrupt payloads raise with the codec named."""
+    codec = sniff_shard_codec(payload)
+    if codec == "zstd":
+        from verified_sources_spark.llm.zstd_system import (
+            ZstdError, available, decompress,
+        )
+
+        if not available():
+            raise ArchiveError(
+                "zstd shard — system libzstd not present; "
+                "refusing by name")
+        try:
+            return decompress(payload, max_out=max_out)
+        except ZstdError as e:
+            raise ArchiveError(f"corrupt zstd shard: {e}") from None
+    if codec is None:
+        raise ArchiveError(
+            "unrecognized shard payload (not gzip/xz/bz2/zstd)")
+    out = bytearray()
+    data = payload
+    try:
+        # outer loop: concatenated members/streams (pigz -p, pbzip2,
+        # xz --block-list all emit them); resume only when the residue
+        # re-sniffs as the same codec, ignore trailing padding
+        while data:
+            if codec == "gzip":
+                dec = zlib.decompressobj(wbits=31)
+            elif codec == "xz":
+                dec = lzma.LZMADecompressor()
+            else:
+                dec = bz2.BZ2Decompressor()
+            feed = data
+            while not dec.eof:
+                chunk = dec.decompress(feed, 1 << 20)
+                out += chunk
+                if len(out) > max_out:
+                    raise ArchiveError(
+                        f"{codec} shard expands past cap {max_out} "
+                        f"— decompression-bomb gate")
+                if codec == "gzip":
+                    nxt = dec.unconsumed_tail
+                    if not dec.eof and not nxt and not chunk:
+                        raise ArchiveError(f"truncated {codec} shard")
+                    feed = nxt
+                else:
+                    if dec.needs_input and not dec.eof and not chunk:
+                        raise ArchiveError(f"truncated {codec} shard")
+                    feed = b""
+            data = dec.unused_data
+            if sniff_shard_codec(data) != codec:
+                break
+    except (zlib.error, lzma.LZMAError, OSError, EOFError) as e:
+        raise ArchiveError(f"corrupt {codec} shard: {e}") from None
+    return bytes(out)
+
+
+SHARD_LINES_SCHEMA = ("shard_id long, decoded_ok boolean, codec string, "
+                      "line_idx int, text string")
+
+
+def shard_lines(df, id_col: str = "shard_id", asset_col: str = "asset"):
+    """Arrow-batched compressed-shard explosion: one row per non-empty
+    line of the decompressed utf-8 text — the ``.jsonl.zst`` corpus
+    front door (The Pile / RedPajama shape).  Corrupt or refused
+    shards isolate as one ``decoded_ok=false`` row; payloads never
+    shuffle — lines leave the scan's executor, bytes do not."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                payload = bytes(payload)
+                codec = sniff_shard_codec(payload)
+                try:
+                    text = decompress_shard(payload).decode(
+                        "utf-8", errors="replace")
+                    idx = 0
+                    for line in text.split("\n"):
+                        if not line:
+                            continue
+                        rows.append({"shard_id": _id, "decoded_ok": True,
+                                     "codec": codec, "line_idx": idx,
+                                     "text": line})
+                        idx += 1
+                    if idx == 0:  # valid but empty shard
+                        rows.append({"shard_id": _id, "decoded_ok": True,
+                                     "codec": codec, "line_idx": None,
+                                     "text": None})
+                except ArchiveError:
+                    rows.append({"shard_id": _id, "decoded_ok": False,
+                                 "codec": codec, "line_idx": None,
+                                 "text": None})
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "decoded_ok", "codec",
+                               "line_idx", "text"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, SHARD_LINES_SCHEMA)
+    if id_col != "shard_id":
+        out = out.withColumnRenamed("shard_id", id_col)
+    return out
+
+
+def encode_shard(text: bytes, codec: str = "zstd",
+                 streamed: bool = False) -> bytes:
+    """Fixture shard: compress ``text`` with one of the four shard
+    codecs; ``streamed=True`` (zstd only) writes a frame without a
+    content-size header, the streaming-writer shape."""
+    if codec == "gzip":
+        co = zlib.compressobj(wbits=31)
+        return co.compress(text) + co.flush()
+    if codec == "xz":
+        return lzma.compress(text)
+    if codec == "bz2":
+        return bz2.compress(text)
+    if codec == "zstd":
+        from verified_sources_spark.llm.zstd_system import (
+            compress, compress_streamed,
+        )
+
+        return compress_streamed(text) if streamed else compress(text)
+    raise ArchiveError(f"unknown shard codec {codec!r}")

@@ -1899,9 +1899,10 @@ ORACLE_SQL["archive_members_docs"] = """
     WITH p AS (
         SELECT doc_id,
                (doc_id % 13) <> 0 AS ok,
-               CASE doc_id % 5 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+               CASE doc_id % 6 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
                                WHEN 2 THEN 'tgz' WHEN 3 THEN 'txz'
-                               ELSE 'tbz2' END AS fmt,
+                               WHEN 4 THEN 'tbz2'
+                               ELSE 'tzst' END AS fmt,
                COALESCE(text, '') AS t
         FROM documents
     )
@@ -1919,6 +1920,38 @@ ORACLE_SQL["archive_members_docs"] = """
     UNION ALL
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
+"""
+
+# Compressed line-shards: shard membership, line order and line text
+# replayed in SQL — a hash match proves gzip/xz/bz2/zstd (incl. the
+# streamed no-content-size zstd flavor) inflated byte-identically and
+# the bomb-gated stream walks preserved line boundaries.
+ORACLE_SQL["shard_lines_docs"] = """
+    WITH s AS (
+        SELECT doc_id % 25 AS shard_id, doc_id,
+               CAST(doc_id AS VARCHAR) || chr(9) ||
+               replace(replace(COALESCE(text, ''), chr(13), ' '),
+                       chr(10), ' ') AS line
+        FROM documents
+    ),
+    r AS (
+        SELECT shard_id, line,
+               ROW_NUMBER() OVER (PARTITION BY shard_id
+                                  ORDER BY doc_id) - 1 AS line_idx
+        FROM s
+    )
+    SELECT shard_id, TRUE AS decoded_ok,
+           CASE shard_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+                             WHEN 2 THEN 'bz2' ELSE 'zstd' END AS codec,
+           CAST(line_idx AS INTEGER) AS line_idx,
+           line AS text
+    FROM r WHERE shard_id % 7 <> 0
+    UNION ALL
+    SELECT DISTINCT shard_id, FALSE,
+           CASE shard_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+                             WHEN 2 THEN 'bz2' ELSE 'zstd' END,
+           NULL, NULL
+    FROM s WHERE shard_id % 7 = 0
 """
 
 # WARC ingestion: the wire-layout arithmetic replayed in SQL, and the

@@ -1838,7 +1838,9 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-files ingestion end-to-end over documents: pack each
     doc's text (plus a deterministic JSON sidecar) into an archive —
-    format cycles zip / tar / tar.{gz,xz,bz2} by ``doc_id % 5``, every 13th
+    format cycles zip / tar / tar.{gz,xz,bz2,zst} by ``doc_id % 6``
+    (tar.zst decodes through the system-libzstd seam,
+    llm/zstd_system), every 13th
     truncated — then explode through llm/archives.archive_members into
     per-member rows.  The oracle replays the member inventory AND the
     text itself in SQL (two rows per healthy doc) — a value-hash match
@@ -1862,7 +1864,7 @@ def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"doc_{did}.txt": (text or "").encode(),
                     f"meta/{did}.json": f'{{"id": {did}}}'.encode(),
                 }
-                fmt = did % 5
+                fmt = did % 6
                 if fmt == 0:
                     asset = encode_zip(members)
                 elif fmt == 1:
@@ -1871,8 +1873,10 @@ def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     asset = encode_tar(members, gz=True)
                 elif fmt == 3:
                     asset = encode_tar(members, compression="xz")
-                else:
+                elif fmt == 4:
                     asset = encode_tar(members, compression="bz2")
+                else:
+                    asset = encode_tar(members, compression="zst")
                 rows.append(
                     {"doc_id": did,
                      "asset": asset[:25] if did % 13 == 0 else asset}
@@ -3310,6 +3314,56 @@ def ebook_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chapter_title", "text")
 
 
+def shard_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed line-shard ingestion end-to-end over documents — the
+    ``.jsonl.zst`` corpus front door (The Pile / RedPajama shape):
+    group docs into ~25 shards (``doc_id % 25``), pack each shard's
+    docs doc_id-ordered as tab-separated lines, compress with a codec
+    cycling gzip / xz / bz2 / zstd / zstd-STREAMED (no content-size
+    header, the real shard-writer shape; both zstd flavors decode
+    through the system-libzstd seam, llm/zstd_system) by
+    ``shard_id % 5``, every 7th shard truncated — then explode through
+    llm/archives.shard_lines into per-line rows.  The oracle replays
+    shard membership, line order and the line text itself in SQL — a
+    value-hash match proves all four codecs inflated byte-identically
+    and the bomb-gated stream walks preserved line boundaries.  Shape:
+    mint and explode are both mapInPandas; compressed payloads never
+    shuffle."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.archives import shard_lines
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+    grouped = d.groupBy((F.col("doc_id") % 25).alias("shard_id")).agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias(
+            "docs"))
+
+    def mint(batches):
+        from verified_sources_spark.llm.archives import encode_shard
+
+        for pdf in batches:
+            rows = []
+            for sid, docs in zip(pdf["shard_id"], pdf["docs"]):
+                sid = int(sid)
+                lines = []
+                for rec in docs:
+                    txt = (rec["text"] or "").replace("\r", " ").replace(
+                        "\n", " ")
+                    lines.append(f"{int(rec['doc_id'])}\t{txt}")
+                payload = ("\n".join(lines) + "\n").encode()
+                codec = ("gzip", "xz", "bz2", "zstd", "zstd")[sid % 5]
+                asset = encode_shard(payload, codec,
+                                     streamed=sid % 5 == 4)
+                rows.append({"shard_id": sid,
+                             "asset": asset[:10] if sid % 7 == 0
+                             else asset})
+            yield pd.DataFrame(rows, columns=["shard_id", "asset"])
+
+    assets = grouped.mapInPandas(mint, "shard_id long, asset binary")
+    return shard_lines(assets).select(
+        "shard_id", "decoded_ok", "codec", "line_idx", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3444,4 +3498,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ebook_extract_docs": ebook_extract_docs,
     "pdf_filters_docs": pdf_filters_docs,
     "pdf_image_matches_docs": pdf_image_matches_docs,
+    "shard_lines_docs": shard_lines_docs,
 }
