@@ -211,3 +211,37 @@ def test_warc_extract_spark_operator(spark):
     assert got[2]["uri"] == "http://x.test/2"
     assert got[3]["decoded_ok"] is False and got[3]["text"] is None
     assert got[4]["decoded_ok"] is True and got[4]["text"] == ""
+
+
+def test_zstd_warc_and_content_encoding():
+    """.warc.zst outer frames and RFC 8878 zstd Content-Encoding both
+    decode through the libzstd seam; absent-library degrades to the
+    named refusal (covered by the seam's own gate tests)."""
+    from verified_sources_spark.llm.zstd_system import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("system libzstd not present")
+    from verified_sources_spark.llm.warc import (
+        encode_record, encode_warc, http_payload, http_response_block,
+        iter_records,
+    )
+
+    body = b"<html><body><p>zstd page</p></body></html>"
+    block = http_response_block(body, encoding="zstd")
+    rec = encode_record(uri="http://e.com/1", block=block)
+    info = encode_record(warc_type="warcinfo", block=b"sw: t")
+    warc = encode_warc([info, rec], zstd_frames=True)
+    recs = list(iter_records(warc))
+    assert [h["WARC-Type"] for h, _ in recs] == ["warcinfo", "response"]
+    status, hh, got = http_payload(recs[1][1])
+    assert status == 200 and hh["content-encoding"] == "zstd"
+    assert got == body
+    # truncated zstd WARC refuses with the stream named
+    import pytest
+
+    from verified_sources_spark.llm.warc import WarcError
+
+    with pytest.raises(WarcError, match="zstd"):
+        list(iter_records(warc[: len(warc) // 2]))

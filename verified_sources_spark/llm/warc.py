@@ -74,9 +74,23 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def iter_records(data: bytes):
     """Yield (headers: dict[str,str], block: bytes) per WARC record.
-    Accepts plain or gzip (multi-member) buffers."""
+    Accepts plain, gzip (multi-member) or zstd (.warc.zst, frame per
+    record — via the system-libzstd seam; dictionary-compressed
+    archives refuse by name) buffers."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
+    elif data[:4] == b"\x28\xb5\x2f\xfd":
+        from verified_sources_spark.llm.zstd_system import (
+            ZstdError, available, decompress,
+        )
+
+        if not available():
+            raise WarcError(
+                "zstd WARC — system libzstd not present; refusing by name")
+        try:
+            data = decompress(data, max_out=1 << 32)
+        except ZstdError as e:
+            raise WarcError(f"bad zstd WARC: {e}") from None
     pos = 0
     n = len(data)
     while pos < n:
@@ -192,10 +206,24 @@ def http_payload(block: bytes) -> tuple[int, dict, bytes]:
                     )
                 except zlib.error as e:
                     raise WarcError(f"bad deflate HTTP body: {e}") from None
+        elif enc == "zstd":
+            # RFC 8878 content-coding, served by the libzstd seam
+            from verified_sources_spark.llm.zstd_system import (
+                ZstdError, available, decompress,
+            )
+
+            if not available():
+                raise WarcError(
+                    "zstd HTTP body — system libzstd not present; "
+                    "refusing by name")
+            try:
+                body = decompress(body)
+            except ZstdError as e:
+                raise WarcError(f"bad zstd HTTP body: {e}") from None
         elif enc == "identity":
             continue
         else:
-            # br / zstd / compress: no stdlib codec — refuse by name
+            # br / compress: no stdlib codec — refuse by name
             # rather than hand compressed bytes to text extraction
             raise WarcError(f"cannot decode Content-Encoding {enc!r}")
     return status, headers, body
@@ -332,12 +360,19 @@ def encode_record(
     return head + block + b"\r\n\r\n"
 
 
-def encode_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
+def encode_warc(records: list[bytes], gzip_members: bool = False,
+                zstd_frames: bool = False) -> bytes:
     """Concatenate records; ``gzip_members=True`` compresses each record
-    as its own gzip member (the Common Crawl layout)."""
-    if not gzip_members:
-        return b"".join(records)
-    return b"".join(gzip.compress(r) for r in records)
+    as its own gzip member (the Common Crawl layout);
+    ``zstd_frames=True`` writes one zstd frame per record (the
+    .warc.zst layout, minus the dictionary variant)."""
+    if gzip_members:
+        return b"".join(gzip.compress(r) for r in records)
+    if zstd_frames:
+        from verified_sources_spark.llm.zstd_system import compress
+
+        return b"".join(compress(r) for r in records)
+    return b"".join(records)
 
 
 def http_response_block(
@@ -351,7 +386,8 @@ def http_response_block(
     """Fixture builder.  ``encoding`` picks the Content-Encoding wire
     form: 'gzip' / 'x-gzip' / 'deflate' (RFC 1950 zlib-wrapped) /
     'deflate-raw' (the historical bare-RFC-1951 server bug, declared
-    as plain ``deflate``); ``gzip_body`` is the legacy spelling of
+    as plain ``deflate``) / 'zstd' (RFC 8878, via the libzstd seam);
+    ``gzip_body`` is the legacy spelling of
     encoding='gzip'."""
     if gzip_body:
         encoding = "gzip"
@@ -364,6 +400,10 @@ def http_response_block(
         c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
         body = c.compress(body) + c.flush()
         declared = "deflate"
+    elif encoding == "zstd":
+        from verified_sources_spark.llm.zstd_system import compress
+
+        body = compress(body)
     elif encoding is not None:
         raise ValueError(f"fixture encoding {encoding!r} not supported")
     if chunked:

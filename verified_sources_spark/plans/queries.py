@@ -1752,9 +1752,11 @@ def audio_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion end-to-end over documents: wrap
     each doc's text in an HTML page inside a WARC response record
-    (layouts cycle the real wire variants — per-member gzip archives
-    by ``doc_id % 2``, chunked transfer-encoding every 5th, gzip
-    Content-Encoding every 7th; every 17th truncated), then run the
+    (layouts cycle the real wire variants — outer compression cycles
+    plain / per-member gzip / per-record zstd frames (.warc.zst, via
+    the libzstd seam) by ``doc_id % 3``, chunked transfer-encoding
+    every 5th, gzip Content-Encoding every 7th and RFC 8878 zstd
+    every remaining 13th; every 17th truncated), then run the
     REAL pure-stdlib WARC parse → HTTP split → charset detection →
     HTML text extraction via llm/warc.warc_extract.  Charsets cycle by
     ``doc_id % 4`` — UTF-8 plus the three biggest legacy families of a
@@ -1811,17 +1813,24 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"<style>p{{color:red}}</style></head>"
                     f"<body><p>{H.escape(text)}</p></body></html>"
                 ).encode(codec)
+                enc = None
+                if did % 7 == 0:
+                    enc = "gzip"
+                elif did % 13 == 0:
+                    enc = "zstd"
                 block = http_response_block(
                     body,
                     content_type=ctype,
                     chunked=did % 5 == 0,
-                    gzip_body=did % 7 == 0,
+                    encoding=enc,
                 )
                 rec = encode_record(
                     uri=f"http://example.com/{did}", block=block
                 )
                 info = encode_record(warc_type="warcinfo", block=b"sw: t")
-                warc = encode_warc([info, rec], gzip_members=did % 2 == 1)
+                warc = encode_warc([info, rec],
+                                   gzip_members=did % 3 == 1,
+                                   zstd_frames=did % 3 == 2)
                 rows.append(
                     {"doc_id": did,
                      "asset": warc[:40] if did % 17 == 0 else warc}
