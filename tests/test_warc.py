@@ -245,3 +245,40 @@ def test_zstd_warc_and_content_encoding():
 
     with pytest.raises(WarcError, match="zstd"):
         list(iter_records(warc[: len(warc) // 2]))
+
+
+def test_brotli_content_encoding():
+    """RFC 7932 'br' bodies decode through the libbrotli seam."""
+    from verified_sources_spark.llm.brotli_system import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("system libbrotli not present")
+    import pytest
+
+    from verified_sources_spark.llm.brotli_system import (
+        BrotliError, compress, decompress,
+    )
+    from verified_sources_spark.llm.warc import (
+        WarcError, http_payload, http_response_block,
+    )
+
+    body = "<html><body><p>br page é</p></body></html>".encode()
+    block = http_response_block(body, encoding="br")
+    status, hh, got = http_payload(block)
+    assert status == 200 and hh["content-encoding"] == "br"
+    assert got == body
+    # seam contract: truncation + bomb + corrupt all refuse by name
+    c = compress(b"x" * 100000)
+    with pytest.raises(BrotliError, match="truncated"):
+        decompress(c[: len(c) // 2])
+    with pytest.raises(BrotliError, match="bomb"):
+        decompress(compress(bytes(3_000_000)), max_out=10_000)
+    with pytest.raises(BrotliError, match="corrupt"):
+        decompress(b"\xff\xff not brotli data at all......")
+    # a corrupt declared-br body surfaces as a WarcError
+    bad = block.replace(body[:0] + c[:0], b"")  # no-op, keep block
+    hdr_end = block.find(b"\r\n\r\n") + 4
+    with pytest.raises(WarcError, match="brotli"):
+        http_payload(block[:hdr_end] + b"\x00\x11garbage")

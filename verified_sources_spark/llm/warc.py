@@ -220,10 +220,25 @@ def http_payload(block: bytes) -> tuple[int, dict, bytes]:
                 body = decompress(body)
             except ZstdError as e:
                 raise WarcError(f"bad zstd HTTP body: {e}") from None
+        elif enc == "br":
+            # RFC 7932 content-coding (every major CDN), served by the
+            # libbrotlidec seam
+            from verified_sources_spark.llm.brotli_system import (
+                BrotliError, decompress as br_decompress, _load_dec,
+            )
+
+            if _load_dec() is None:
+                raise WarcError(
+                    "brotli HTTP body — system libbrotlidec not "
+                    "present; refusing by name")
+            try:
+                body = br_decompress(body)
+            except BrotliError as e:
+                raise WarcError(f"bad brotli HTTP body: {e}") from None
         elif enc == "identity":
             continue
         else:
-            # br / compress: no stdlib codec — refuse by name
+            # compress/sdch: no stdlib codec — refuse by name
             # rather than hand compressed bytes to text extraction
             raise WarcError(f"cannot decode Content-Encoding {enc!r}")
     return status, headers, body
@@ -386,7 +401,8 @@ def http_response_block(
     """Fixture builder.  ``encoding`` picks the Content-Encoding wire
     form: 'gzip' / 'x-gzip' / 'deflate' (RFC 1950 zlib-wrapped) /
     'deflate-raw' (the historical bare-RFC-1951 server bug, declared
-    as plain ``deflate``) / 'zstd' (RFC 8878, via the libzstd seam);
+    as plain ``deflate``) / 'zstd' (RFC 8878, libzstd seam) / 'br'
+    (RFC 7932, libbrotli seam);
     ``gzip_body`` is the legacy spelling of
     encoding='gzip'."""
     if gzip_body:
@@ -402,6 +418,10 @@ def http_response_block(
         declared = "deflate"
     elif encoding == "zstd":
         from verified_sources_spark.llm.zstd_system import compress
+
+        body = compress(body)
+    elif encoding == "br":
+        from verified_sources_spark.llm.brotli_system import compress
 
         body = compress(body)
     elif encoding is not None:

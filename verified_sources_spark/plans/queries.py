@@ -1755,8 +1755,10 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (layouts cycle the real wire variants — outer compression cycles
     plain / per-member gzip / per-record zstd frames (.warc.zst, via
     the libzstd seam) by ``doc_id % 3``, chunked transfer-encoding
-    every 5th, gzip Content-Encoding every 7th and RFC 8878 zstd
-    every remaining 13th; every 17th truncated), then run the
+    every 5th, gzip Content-Encoding every 7th, RFC 8878 zstd every
+    remaining 13th and RFC 7932 brotli — the web's most common
+    non-gzip coding, via the libbrotli seam — every remaining 11th;
+    every 17th truncated), then run the
     REAL pure-stdlib WARC parse → HTTP split → charset detection →
     HTML text extraction via llm/warc.warc_extract.  Charsets cycle by
     ``doc_id % 4`` — UTF-8 plus the three biggest legacy families of a
@@ -1818,6 +1820,8 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     enc = "gzip"
                 elif did % 13 == 0:
                     enc = "zstd"
+                elif did % 11 == 0:
+                    enc = "br"
                 block = http_response_block(
                     body,
                     content_type=ctype,
