@@ -58,13 +58,15 @@ def test_http_payload_wire_variants(kw):
 
 
 def test_http_payload_refuses_unknown_encoding():
+    # 'br' decodes through the libbrotli seam now; 'compress' (LZW,
+    # never implemented by any stdlib) remains the named refusal
     from verified_sources_spark.llm.warc import WarcError
 
     block = http_response_block(HTML.encode())
     block = block.replace(
-        b"Content-Length", b"Content-Encoding: br\r\nContent-Length"
+        b"Content-Length", b"Content-Encoding: compress\r\nContent-Length"
     )
-    with pytest.raises(WarcError, match="Content-Encoding 'br'"):
+    with pytest.raises(WarcError, match="Content-Encoding 'compress'"):
         http_payload(block)
 
 
@@ -278,7 +280,7 @@ def test_brotli_content_encoding():
     with pytest.raises(BrotliError, match="corrupt"):
         decompress(b"\xff\xff not brotli data at all......")
     # a corrupt declared-br body surfaces as a WarcError
-    bad = block.replace(body[:0] + c[:0], b"")  # no-op, keep block
-    hdr_end = block.find(b"\r\n\r\n") + 4
+    raw = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+           b"\x00\x11garbage")
     with pytest.raises(WarcError, match="brotli"):
-        http_payload(block[:hdr_end] + b"\x00\x11garbage")
+        http_payload(raw)
