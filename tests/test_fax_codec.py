@@ -372,3 +372,60 @@ def test_pdf_ccitt_refusals():
         # T.6 extension escape 0000000 — refuses through the wrapper
         extract_pdf_images(_pdf_scan(48, 4, bytes([0b00000001, 0b11100000]),
                                      "<< /K -1 /Columns 48 >>"))
+
+
+def test_multipage_bilevel_roundtrip():
+    """Chained-IFD multi-page fax TIFFs: every page decodes by index,
+    out-of-range pages refuse."""
+    from verified_sources_spark.llm.tiff_codec import (
+        TiffError, decode, encode_multipage_bilevel, probe,
+    )
+
+    rng = random.Random(41)
+    pages = []
+    for p in range(3):
+        w, h = 24 + 8 * p, 10 + 4 * p
+        pages.append((w, h, bytes(1 if rng.random() < 0.3 else 0
+                                  for _ in range(w * h))))
+    for comp in ("rle", "g3", "g3-2d", "g4"):
+        t = encode_multipage_bilevel(pages, comp, rows_per_strip=4)
+        assert probe(t)["n_pages"] == 3
+        for i, (w, h, bits) in enumerate(pages):
+            d = decode(t, page=i)
+            want = b"".join(b"\x00\x00\x00" if b else b"\xff\xff\xff"
+                            for b in bits)
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == want
+    with pytest.raises(TiffError, match="out of range"):
+        decode(encode_multipage_bilevel(pages[:1]), page=3)
+
+
+def test_tiff_pages_spark_operator(spark):
+    """Per-page explosion: same page content in two documents dedups
+    by page dHash; corrupt files isolate."""
+    from verified_sources_spark.llm.image_dedup import tiff_pages
+    from verified_sources_spark.llm.tiff_codec import (
+        encode_multipage_bilevel,
+    )
+
+    rng = random.Random(6)
+    w, h = 32, 16
+    shared = bytes(1 if rng.random() < 0.4 else 0 for _ in range(w * h))
+    other = bytes(1 if rng.random() < 0.4 else 0 for _ in range(w * h))
+    rows = [
+        (1, bytearray(encode_multipage_bilevel(
+            [(w, h, shared), (w, h, other)], "g4"))),
+        (2, bytearray(encode_multipage_bilevel([(w, h, shared)], "rle"))),
+        (3, bytearray(b"not a tiff")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got: dict = {}
+    for r in tiff_pages(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert [r["page_idx"] for r in got[1]] == [0, 1]
+    assert all(r["n_pages"] == 2 for r in got[1])
+    # page-level dedup: doc 1 page 0 == doc 2 page 0 by dHash
+    assert got[1][0]["dhash"] == got[2][0]["dhash"]
+    assert got[1][1]["dhash"] != got[2][0]["dhash"]
+    (r3,) = got[3]
+    assert r3["decoded_ok"] is False and r3["n_pages"] is None

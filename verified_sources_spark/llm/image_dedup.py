@@ -142,6 +142,70 @@ def image_dhash(
     return out
 
 
+TIFF_PAGES_SCHEMA = ("doc_id long, decoded_ok boolean, n_pages int, "
+                     "page_idx int, width int, height int, dhash long")
+
+
+def tiff_pages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "asset",
+    hash_size: int = 8,
+) -> DataFrame:
+    """One row PER PAGE of a multi-page TIFF — the scanned-document
+    container shape (a fax/scan archive ships N pages per file, and
+    page-level dedup is what finds the same page re-scanned into two
+    documents).  Same contract as ``image_dhash``: Arrow-batched,
+    payloads never shuffle, per-page 64-bit dHash, corrupt files
+    isolate as one ``decoded_ok=false`` row (a single bad PAGE also
+    isolates as its own false row while its siblings decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from verified_sources_spark.llm.tiff_codec import decode, probe
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                payload = bytes(payload)
+                try:
+                    n = probe(payload)["n_pages"]
+                except Exception:
+                    rows.append({"doc_id": _id, "decoded_ok": False,
+                                 "n_pages": None, "page_idx": None,
+                                 "width": None, "height": None,
+                                 "dhash": None})
+                    continue
+                for p in range(n):
+                    try:
+                        im = decode(payload, page=p)
+                        hv = _dhash_of_pixels(
+                            im["pixels"], im["width"], im["height"], 3,
+                            hash_size)
+                        if hv >= 1 << 63:
+                            hv -= 1 << 64
+                        rows.append({"doc_id": _id, "decoded_ok": True,
+                                     "n_pages": n, "page_idx": p,
+                                     "width": im["width"],
+                                     "height": im["height"], "dhash": hv})
+                    except Exception:
+                        rows.append({"doc_id": _id, "decoded_ok": False,
+                                     "n_pages": n, "page_idx": p,
+                                     "width": None, "height": None,
+                                     "dhash": None})
+            from verified_sources_spark.llm._frames import exact_frame
+
+            yield exact_frame(
+                rows, ["doc_id", "decoded_ok", "n_pages", "page_idx",
+                       "width", "height", "dhash"],
+                int64_cols=("dhash",))
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, TIFF_PAGES_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
 def image_dedup_groups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -20,7 +20,10 @@ refuse WITH THE NAME.  ``encode`` writes real single-page uncompressed,
 LZW (independent compressor: greedy string table, early-change widths,
 mid-stream Clear on table fill), Deflate or PackBits TIFFs (both byte
 orders, optional predictor) for fixtures and as the cross-format dedup
-member; ``encode_bilevel`` writes CCITT RLE/G3/G3-2D/G4 fax TIFFs.
+member; ``encode_bilevel`` / ``encode_multipage_bilevel`` write
+single- and multi-page CCITT RLE/G3/G3-2D/G4 fax TIFFs (one chained
+IFD per page — the scanned-document container shape); ``decode``
+takes a ``page`` index bounded by ``probe()['n_pages']``.
 """
 
 from __future__ import annotations
@@ -28,7 +31,8 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["TiffError", "probe", "decode", "encode", "encode_bilevel"]
+__all__ = ["TiffError", "probe", "decode", "encode", "encode_bilevel",
+           "encode_multipage_bilevel"]
 
 
 class TiffError(ValueError):
@@ -393,16 +397,22 @@ def _decode_ccitt_page(data: bytes, pg: dict, ifd: dict, bo: str) -> dict:
     return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
 
 
-def decode(data: bytes) -> dict:
-    """First-page pixels for the decodable subset (uncompressed, LZW or
+def decode(data: bytes, page: int = 0) -> dict:
+    """Pixels for IFD ``page`` (default the first — multi-page scanned
+    documents decode page-by-page; ``probe(data)['n_pages']`` bounds
+    the loop) for the decodable subset (uncompressed, LZW or
     Deflate strips, 8-bit gray or RGB, chunky, Predictor 1/2; bilevel
-    CCITT RLE/G3/G4 fax strips via llm/fax_codec): the common
+    CCITT RLE/G3-1D/2D/G4 fax strips via llm/fax_codec): the common
     ``{width, height, mode, pixels}`` contract (gray replicates
     to RGB).  Everything else refuses with the compression/layout
     named."""
     m = probe(data)
     bo = m["_bo"]
-    pg = m["_pages_raw"][0]
+    pages = m["_pages_raw"]
+    if not 0 <= page < len(pages):
+        raise TiffError(
+            f"page {page} out of range (TIFF has {len(pages)} pages)")
+    pg = pages[page]
     ifd = pg["_ifd"]
     if pg["compression"] in ("CCITT-RLE", "CCITT-G3", "CCITT-G4"):
         return _decode_ccitt_page(data, pg, ifd, bo)
@@ -640,3 +650,91 @@ def encode_bilevel(
     head = ((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
             + struct.pack(bo + "I", ifd_off))
     return head + ifd + bytes(heap) + b"".join(strips)
+
+
+def encode_multipage_bilevel(
+    pages: list[tuple[int, int, bytes]],
+    compression: str = "g4",
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Real MULTI-page bilevel fax TIFF — the canonical scanned-
+    document container (one IFD per page, chained).  ``pages`` is a
+    list of (width, height, bits) with bits one 0/1 byte per pixel
+    (1=black); each page gets its own CCITT-coded strips via
+    llm/fax_codec, same flavors as ``encode_bilevel``."""
+    if not pages:
+        raise TiffError("multipage TIFF needs at least one page")
+    from verified_sources_spark.llm import fax_codec as _fax
+
+    try:
+        comp_id = {"rle": 2, "g3": 3, "g3-2d": 3, "g4": 4}[compression]
+        enc = {"rle": _fax.encode_rle, "g3": _fax.encode_g3,
+               "g3-2d": _fax.encode_g3_2d,
+               "g4": _fax.encode_g4}[compression]
+    except KeyError:
+        raise TiffError(f"unknown CCITT flavor {compression!r}") from None
+    bo = "<" if byte_order == "II" else ">"
+    n_entries = 9 + (1 if compression.startswith("g3") else 0)
+    out = bytearray((b"II" if bo == "<" else b"MM")
+                    + struct.pack(bo + "H", 42) + b"\x00\x00\x00\x00")
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    next_ptr_pos = 4  # where the previous chain pointer lives
+    for width, height, bits in pages:
+        if len(bits) != width * height:
+            raise TiffError("bit buffer does not match page dimensions")
+        rps = rows_per_strip or height
+        rows = [bits[y * width : (y + 1) * width] for y in range(height)]
+        strips = [enc(rows[y0 : y0 + rps])
+                  for y0 in range(0, height, rps)]
+        ifd_off = len(out)
+        struct.pack_into(bo + "I", out, next_ptr_pos, ifd_off)
+        heap = bytearray()
+        heap_off = ifd_off + 2 + 12 * n_entries + 4
+
+        def longs(vals):
+            if len(vals) == 1:
+                return struct.pack(bo + "I", vals[0])
+            off = heap_off + len(heap)
+            for v in vals:
+                heap.extend(struct.pack(bo + "I", v))
+            return struct.pack(bo + "I", off)
+
+        def short4(v):
+            return struct.pack(bo + "H", v) + b"\x00\x00"
+
+        def long4(v):
+            return struct.pack(bo + "I", v)
+
+        counts4 = longs([len(s) for s in strips])
+        data_off = heap_off + len(heap) + (4 * len(strips)
+                                           if len(strips) > 1 else 0)
+        offs = []
+        acc = data_off
+        for s in strips:
+            offs.append(acc)
+            acc += len(s)
+        entries = [
+            entry(_T_WIDTH, 4, 1, long4(width)),
+            entry(_T_HEIGHT, 4, 1, long4(height)),
+            entry(_T_BITS, 3, 1, short4(1)),
+            entry(_T_COMPRESSION, 3, 1, short4(comp_id)),
+            entry(_T_PHOTOMETRIC, 3, 1, short4(0)),
+            entry(_T_STRIP_OFFSETS, 4, len(strips), longs(offs)),
+            entry(_T_SPP, 3, 1, short4(1)),
+            entry(_T_ROWS_PER_STRIP, 4, 1, long4(rps)),
+            entry(_T_STRIP_COUNTS, 4, len(strips), counts4),
+        ]
+        if compression.startswith("g3"):
+            entries.append(entry(
+                _T_T4_OPTIONS, 4, 1,
+                long4(1 if compression == "g3-2d" else 0)))
+        next_ptr_pos = len(out) + 2 + 12 * n_entries
+        out += (struct.pack(bo + "H", n_entries) + b"".join(entries)
+                + b"\x00\x00\x00\x00")
+        out += heap
+        out += b"".join(strips)
+    return bytes(out)

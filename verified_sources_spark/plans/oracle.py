@@ -1954,6 +1954,30 @@ ORACLE_SQL["shard_lines_docs"] = """
     FROM s WHERE shard_id % 7 = 0
 """
 
+# Multi-page fax TIFF: page count and per-page dims arithmetic
+# replayed in SQL — a hash match proves every chained IFD walked and
+# every page's CCITT strips (all four flavors) decoded.
+ORACLE_SQL["tiff_pages_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(2 + doc_id % 3 AS INTEGER) AS n,
+               (doc_id % 11) <> 0 AS ok
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, n, UNNEST(range(0, CAST(n AS BIGINT))) AS pg
+        FROM p WHERE ok
+    )
+    SELECT doc_id, TRUE AS decoded_ok, n AS n_pages,
+           CAST(pg AS INTEGER) AS page_idx,
+           CAST(16 + ((doc_id + pg) % 4) * 8 AS INTEGER) AS width,
+           CAST(12 + ((doc_id + pg) % 3) * 8 AS INTEGER) AS height
+    FROM e
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # WARC ingestion: the wire-layout arithmetic replayed in SQL, and the
 # extracted text compared against the SOURCE text — a hash match proves
 # the record walk + de-chunk + gunzip + entity-unescape recovered every
