@@ -693,8 +693,29 @@ def extract_office(data: bytes) -> dict:
     silent partial parse."""
     if data[:5] == b"{\\rtf":
         return {"format": "rtf", "units": _rtf_units(data)}
+    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # OLE2/CFB container: legacy binary Office
+        from verified_sources_spark.llm.cfb import CfbError, list_streams
+        from verified_sources_spark.llm.worddoc import DocError, doc_units
+        from verified_sources_spark.llm.xlsdoc import XlsError, xls_units
+
+        try:
+            streams = list_streams(data)
+        except CfbError as e:
+            raise OfficeError(f"corrupt OLE2 container: {e}") from None
+        try:
+            if "WordDocument" in streams:
+                return {"format": "doc", "units": doc_units(data)}
+            if "Workbook" in streams or "Book" in streams:
+                return {"format": "xls", "units": xls_units(data)}
+        except (DocError, XlsError) as e:
+            raise OfficeError(str(e)) from None
+        if "PowerPoint Document" in streams:
+            raise OfficeError("binary PowerPoint (.ppt) — refusing by name")
+        raise OfficeError("OLE2 container is not a known office document")
     if data[:4] != b"PK\x03\x04":
-        raise OfficeError("not an office document (no zip/RTF signature)")
+        raise OfficeError(
+            "not an office document (no zip/RTF/OLE2 signature)")
     try:
         z = zipfile.ZipFile(io.BytesIO(data))
         names = set(z.namelist())

@@ -2153,16 +2153,18 @@ ORACLE_SQL["video_scene_pairs_docs"] = """
       AND doc_id % 37 <> 0 AND (doc_id - 1) % 37 <> 0
 """
 
-# Office-document extraction: six container formats' slicing
-# arithmetic replayed in SQL — paragraph/slide formats emit one row
-# per 80-char unit, sheet formats render all units as one
+# Office-document extraction: EIGHT container formats' slicing
+# arithmetic replayed in SQL — paragraph/slide formats (incl. legacy
+# binary .doc via CFB + piece table) emit one row per 80-char unit,
+# sheet formats (incl. BIFF8 .xls) render all units as one
 # newline-joined TSV sheet, every 17th truncated file isolates.
 ORACLE_SQL["office_extract_docs"] = """
     WITH p AS (
         SELECT doc_id, (doc_id % 17) <> 0 AS ok,
-               CASE doc_id % 6 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+               CASE doc_id % 8 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
                                WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
-                               WHEN 4 THEN 'ods' ELSE 'rtf' END AS fmt,
+                               WHEN 4 THEN 'ods' WHEN 5 THEN 'rtf'
+                               WHEN 6 THEN 'doc' ELSE 'xls' END AS fmt,
                CAST(1 + doc_id % 3 AS INTEGER) AS n,
                COALESCE(text, '') AS t
         FROM documents
@@ -2171,7 +2173,7 @@ ORACLE_SQL["office_extract_docs"] = """
            CAST(k AS INTEGER) AS unit_idx, n AS n_units,
            substr(t, 80 * k + 1, 80) AS text
     FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
-    WHERE ok AND k < n AND fmt NOT IN ('xlsx', 'ods')
+    WHERE ok AND k < n AND fmt NOT IN ('xlsx', 'ods', 'xls')
     UNION ALL
     SELECT doc_id, TRUE, fmt, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
            CASE n WHEN 1 THEN substr(t, 1, 80)
@@ -2179,7 +2181,7 @@ ORACLE_SQL["office_extract_docs"] = """
                               || substr(t, 81, 80)
                   ELSE substr(t, 1, 80) || chr(10) || substr(t, 81, 80)
                        || chr(10) || substr(t, 161, 80) END
-    FROM p WHERE ok AND fmt IN ('xlsx', 'ods')
+    FROM p WHERE ok AND fmt IN ('xlsx', 'ods', 'xls')
     UNION ALL
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL FROM p WHERE NOT ok
 """

@@ -3184,13 +3184,17 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Office-document ingestion end-to-end over documents: typeset
     each doc's text into a REAL office file — format cycles docx /
-    xlsx / pptx / odt / ods / rtf by ``doc_id % 6``, content is
+    xlsx / pptx / odt / ods / rtf / legacy binary .doc (CFB + FIB +
+    piece table, both table-stream names, via llm/worddoc) / legacy
+    binary .xls (BIFF8 SST incl. CONTINUE-split strings, via
+    llm/xlsdoc) by ``doc_id % 8``, content is
     ``1 + doc_id % 3`` units of 80-char slices (paragraphs / sheet
     rows / slides), every 17th truncated — then extract through
     llm/office.office_extract into per-unit rows.  The oracle replays
     the slicing arithmetic AND the text itself in SQL — a value-hash
-    match proves six independent container walks (two OOXML XML
-    dialects, two ODF dialects, a zip-package sniff and an RTF
+    match proves eight independent container walks (two OOXML XML
+    dialects, two ODF dialects, two OLE2 binary formats, a
+    zip-package sniff and an RTF
     tokenizer) recovered every unit byte-for-byte (the office-document
     front door of a training corpus; reference analogue:
     sources/unstructured_data routes local office files into text)."""
@@ -3206,8 +3210,11 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_rtf, encode_xlsx,
         )
 
+        from verified_sources_spark.llm.worddoc import encode_doc
+        from verified_sources_spark.llm.xlsdoc import encode_xls
+
         encoders = [encode_docx, None, encode_pptx, encode_odt, None,
-                    encode_rtf]
+                    encode_rtf, encode_doc, None]
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
@@ -3215,11 +3222,20 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = text or ""
                 units = [t[80 * k : 80 * (k + 1)]
                          for k in range(1 + did % 3)]
-                fmt = did % 6
+                fmt = did % 8
                 if fmt == 1:
                     asset = encode_xlsx([[u] for u in units])
                 elif fmt == 4:
                     asset = encode_ods([[u] for u in units])
+                elif fmt == 7:
+                    # legacy binary Excel, CONTINUE-split SST on
+                    # alternating files
+                    asset = encode_xls({"Sheet1": [[u] for u in units]},
+                                       split_sst=bool(did % 16 == 7))
+                elif fmt == 6:
+                    # legacy binary Word, both table-stream names
+                    asset = encode_doc(units,
+                                       which_table=(did // 8) % 2)
                 else:
                     asset = encoders[fmt](units)
                 rows.append(
