@@ -196,16 +196,45 @@ def test_xls_refusals():
         xls_units(encode_cfb({"WordDocument": b"x" * 2000}))
 
 
+# ---------------------------------------------------------------- .ppt
+
+SLIDES = ["Title slide", "bullets été latin-1", "unicode スライド", ""]
+
+
+def test_ppt_round_trip():
+    from verified_sources_spark.llm.pptdoc import encode_ppt, ppt_units
+
+    assert ppt_units(encode_ppt(SLIDES)) == SLIDES
+    assert ppt_units(encode_ppt([])) == []
+
+
+def test_ppt_refusals():
+    from verified_sources_spark.llm.pptdoc import (
+        PptError, encode_ppt, ppt_units,
+    )
+
+    body = struct.pack("<HHI", 0, 0x2F14, 4) + b"\x00" * 4
+    doc = struct.pack("<HHI", 0x000F, 0x03E8, len(body)) + body
+    with pytest.raises(PptError, match="encrypted"):
+        ppt_units(encode_cfb({"PowerPoint Document": doc}))
+    good = list_streams(encode_ppt(SLIDES))["PowerPoint Document"]
+    with pytest.raises(PptError, match="truncated"):
+        ppt_units(encode_cfb({"PowerPoint Document": good[:-5]}))
+    with pytest.raises(PptError, match="no 'PowerPoint Document'"):
+        ppt_units(encode_cfb({"WordDocument": b"x" * 2000}))
+
+
 # ------------------------------------------------------- dispatch
 
 def test_extract_office_dispatches_binary_formats():
     from verified_sources_spark.llm.office import OfficeError, extract_office
+    from verified_sources_spark.llm.pptdoc import encode_ppt
 
     out = extract_office(encode_doc(PARAS))
     assert out["format"] == "doc" and out["units"] == PARAS
     out = extract_office(encode_xls({"S": [["a", 1]]}))
     assert out["format"] == "xls" and out["units"] == ["a\t1"]
-    with pytest.raises(OfficeError, match="PowerPoint"):
-        extract_office(encode_cfb({"PowerPoint Document": b"x" * 5000}))
+    out = extract_office(encode_ppt(SLIDES))
+    assert out["format"] == "ppt" and out["units"] == SLIDES
     with pytest.raises(OfficeError, match="not a known office"):
         extract_office(encode_cfb({"Mystery": b"x" * 5000}))

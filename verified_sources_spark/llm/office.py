@@ -703,15 +703,17 @@ def extract_office(data: bytes) -> dict:
             streams = list_streams(data)
         except CfbError as e:
             raise OfficeError(f"corrupt OLE2 container: {e}") from None
+        from verified_sources_spark.llm.pptdoc import PptError, ppt_units
+
         try:
             if "WordDocument" in streams:
                 return {"format": "doc", "units": doc_units(data)}
             if "Workbook" in streams or "Book" in streams:
                 return {"format": "xls", "units": xls_units(data)}
-        except (DocError, XlsError) as e:
+            if "PowerPoint Document" in streams:
+                return {"format": "ppt", "units": ppt_units(data)}
+        except (DocError, XlsError, PptError) as e:
             raise OfficeError(str(e)) from None
-        if "PowerPoint Document" in streams:
-            raise OfficeError("binary PowerPoint (.ppt) — refusing by name")
         raise OfficeError("OLE2 container is not a known office document")
     if data[:4] != b"PK\x03\x04":
         raise OfficeError(

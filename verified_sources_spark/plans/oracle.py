@@ -2153,7 +2153,7 @@ ORACLE_SQL["video_scene_pairs_docs"] = """
       AND doc_id % 37 <> 0 AND (doc_id - 1) % 37 <> 0
 """
 
-# Office-document extraction: EIGHT container formats' slicing
+# Office-document extraction: NINE container formats' slicing
 # arithmetic replayed in SQL — paragraph/slide formats (incl. legacy
 # binary .doc via CFB + piece table) emit one row per 80-char unit,
 # sheet formats (incl. BIFF8 .xls) render all units as one
@@ -2161,10 +2161,11 @@ ORACLE_SQL["video_scene_pairs_docs"] = """
 ORACLE_SQL["office_extract_docs"] = """
     WITH p AS (
         SELECT doc_id, (doc_id % 17) <> 0 AS ok,
-               CASE doc_id % 8 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+               CASE doc_id % 9 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
                                WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
                                WHEN 4 THEN 'ods' WHEN 5 THEN 'rtf'
-                               WHEN 6 THEN 'doc' ELSE 'xls' END AS fmt,
+                               WHEN 6 THEN 'doc' WHEN 7 THEN 'xls'
+                               ELSE 'ppt' END AS fmt,
                CAST(1 + doc_id % 3 AS INTEGER) AS n,
                COALESCE(text, '') AS t
         FROM documents

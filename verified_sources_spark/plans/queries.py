@@ -3187,13 +3187,14 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xlsx / pptx / odt / ods / rtf / legacy binary .doc (CFB + FIB +
     piece table, both table-stream names, via llm/worddoc) / legacy
     binary .xls (BIFF8 SST incl. CONTINUE-split strings, via
-    llm/xlsdoc) by ``doc_id % 8``, content is
+    llm/xlsdoc) / legacy binary .ppt (record-atom tree, via
+    llm/pptdoc) by ``doc_id % 9``, content is
     ``1 + doc_id % 3`` units of 80-char slices (paragraphs / sheet
     rows / slides), every 17th truncated — then extract through
     llm/office.office_extract into per-unit rows.  The oracle replays
     the slicing arithmetic AND the text itself in SQL — a value-hash
-    match proves eight independent container walks (two OOXML XML
-    dialects, two ODF dialects, two OLE2 binary formats, a
+    match proves nine independent container walks (two OOXML XML
+    dialects, two ODF dialects, three OLE2 binary formats, a
     zip-package sniff and an RTF
     tokenizer) recovered every unit byte-for-byte (the office-document
     front door of a training corpus; reference analogue:
@@ -3213,8 +3214,10 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from verified_sources_spark.llm.worddoc import encode_doc
         from verified_sources_spark.llm.xlsdoc import encode_xls
 
+        from verified_sources_spark.llm.pptdoc import encode_ppt
+
         encoders = [encode_docx, None, encode_pptx, encode_odt, None,
-                    encode_rtf, encode_doc, None]
+                    encode_rtf, encode_doc, None, encode_ppt]
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
@@ -3222,7 +3225,7 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = text or ""
                 units = [t[80 * k : 80 * (k + 1)]
                          for k in range(1 + did % 3)]
-                fmt = did % 8
+                fmt = did % 9
                 if fmt == 1:
                     asset = encode_xlsx([[u] for u in units])
                 elif fmt == 4:
