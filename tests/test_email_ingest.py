@@ -100,3 +100,38 @@ def test_email_extract_operator(spark):
         (1, True, 1, "m1", BODY),
         (2, False, None, None, None),
     ]
+
+
+def test_outlook_msg_round_trip_and_dispatch(spark):
+    """Outlook .msg (CFB MAPI property streams) parses to the same row
+    shape as EML and dispatches through email_extract by OLE2 magic."""
+    from verified_sources_spark.llm.email_ingest import email_extract
+    from verified_sources_spark.llm.msgdoc import (
+        MsgError, encode_msg, parse_msg,
+    )
+
+    for uni in (True, False):
+        m = encode_msg("Quarterly report", "alice@example.com",
+                       "Body été text\nsecond line",
+                       to_addr="bob@example.com", unicode_props=uni,
+                       attachments=2)
+        out = parse_msg(m)
+        assert out["subject"] == "Quarterly report"
+        assert out["from_addr"] == "alice@example.com"
+        assert out["text"] == "Body été text\nsecond line"
+        assert out["body_source"] == "plain" and out["n_parts"] == 3
+    # HTML-only body routes through the shared extract_text
+    out = parse_msg(encode_msg("s", "f", "", html=b"<p>html only</p>"))
+    assert out["body_source"] == "html" and out["text"] == "html only"
+    # refusals
+    from verified_sources_spark.llm.cfb import encode_cfb
+
+    with pytest.raises(MsgError, match="no MAPI property"):
+        parse_msg(encode_cfb({"WordDocument": b"x" * 2000}))
+    # Spark dispatch: .msg rows land beside EML rows
+    rows = [(1, bytearray(encode_msg("S1", "a@e.com", "body one"))),
+            (2, bytearray(encode_cfb({"Mystery": b"x" * 2000})))]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {r["doc_id"]: r for r in email_extract(df).collect()}
+    assert got[1]["subject"] == "S1" and got[1]["text"] == "body one"
+    assert got[2]["decoded_ok"] is False

@@ -204,7 +204,8 @@ EMAIL_EXTRACT_SCHEMA = (
 
 def email_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
     """Arrow-batched email → text over binary payloads: sniffs mbox
-    (``From `` separator) vs single EML, emits one row per message.
+    (``From `` separator) vs Outlook .msg (OLE2 magic, via
+    llm/msgdoc) vs single EML, emits one row per message.
     Payloads never shuffle; a corrupt payload isolates as one
     ``decoded_ok=false`` row (reference analogue:
     sources/inbox/__init__.py — the live-IMAP half of the same
@@ -212,17 +213,25 @@ def email_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
     import pandas as pd
 
     def run(batches):
+        from verified_sources_spark.llm.msgdoc import MsgError, parse_msg
+
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 raw = bytes(payload)
                 try:
-                    msgs = (list(iter_mbox(raw))
-                            if raw.startswith(b"From ") else [raw])
-                    if not msgs:
-                        raise EmailError("empty mbox")
-                    for i, m in enumerate(msgs):
-                        out = parse_eml(m)
+                    if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                        try:
+                            outs = [parse_msg(raw)]
+                        except MsgError as e:
+                            raise EmailError(str(e)) from None
+                    else:
+                        msgs = (list(iter_mbox(raw))
+                                if raw.startswith(b"From ") else [raw])
+                        if not msgs:
+                            raise EmailError("empty mbox")
+                        outs = [parse_eml(m) for m in msgs]
+                    for i, out in enumerate(outs):
                         rows.append({
                             "doc_id": _id, "decoded_ok": True, "msg_idx": i,
                             "subject": out["subject"],

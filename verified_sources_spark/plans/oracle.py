@@ -2188,8 +2188,8 @@ ORACLE_SQL["office_extract_docs"] = """
 """
 
 # Email extraction: headers, MIME part counts and transfer-decoded
-# bodies replayed in SQL — even ids one EML (2 parts on every 4th),
-# odd ids an mboxrd of two sliced messages, every 19th corrupt.
+# bodies replayed in SQL — ids cycle EML / Outlook-.msg (CFB MAPI
+# streams) / mboxrd-of-two-sliced-messages, every 19th corrupt.
 ORACLE_SQL["email_extract_docs"] = """
     WITH p AS (
         SELECT doc_id, (doc_id % 19) <> 0 AS ok,
@@ -2199,10 +2199,13 @@ ORACLE_SQL["email_extract_docs"] = """
     )
     SELECT doc_id, TRUE AS decoded_ok, CAST(0 AS INTEGER) AS msg_idx,
            'Doc ' || doc_id AS subject, frm AS from_addr,
-           CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER)
-               AS n_parts,
+           CAST(2 AS INTEGER) AS n_parts,
            'plain' AS body_source, t || chr(10) AS text
-    FROM p WHERE ok AND doc_id % 2 = 0
+    FROM p WHERE ok AND doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(0 AS INTEGER), 'Doc ' || doc_id, frm,
+           CAST(1 + doc_id % 3 AS INTEGER), 'plain', t
+    FROM p WHERE ok AND doc_id % 4 = 2
     UNION ALL
     SELECT doc_id, TRUE, CAST(j AS INTEGER),
            'Doc ' || doc_id || ' msg ' || j, frm, CAST(1 AS INTEGER),

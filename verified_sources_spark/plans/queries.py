@@ -3252,12 +3252,14 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def email_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Email-corpus ingestion end-to-end over documents: even ids
-    become one EML (quoted-printable plain body; a base64 HTML
-    alternative part on every 4th), odd ids an mboxrd mailbox of two
-    messages whose bodies are 100-char slices — every 19th a corrupt
-    payload; decode through llm/email_ingest.email_extract into
-    per-message rows.  The oracle replays headers, part counts and the
+    """Email-corpus ingestion end-to-end over documents: ids cycle one
+    EML (quoted-printable plain body; a base64 HTML alternative part
+    on every 4th) on ``doc_id % 4 == 0``, an Outlook .msg (MAPI
+    property streams in a CFB container via llm/msgdoc, ``doc_id % 3``
+    attachment storages) on ``% 4 == 2``, and an mboxrd mailbox of two
+    messages whose bodies are 100-char slices on odd ids — every 19th
+    a corrupt payload; decode through llm/email_ingest.email_extract
+    into per-message rows.  The oracle replays headers, part counts and the
     transfer-decoded bodies in SQL — a value-hash match proves MIME
     walk, QP/base64 decode and mbox From-stuffing recovery are exact
     (the mail-archive front door; reference analogue: sources/inbox —
@@ -3281,6 +3283,16 @@ def email_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frm = f"user{did % 7}@example.com"
                 if did % 19 == 0:
                     asset = b"\x00\x01 not mail"
+                elif did % 4 == 2:
+                    # Outlook .msg: MAPI property streams in a CFB
+                    # container (llm/msgdoc), with attachments
+                    from verified_sources_spark.llm.msgdoc import (
+                        encode_msg,
+                    )
+
+                    asset = encode_msg(f"Doc {did}", frm, t,
+                                       to_addr="rcpt@example.com",
+                                       attachments=did % 3)
                 elif did % 2 == 0:
                     asset = encode_eml(
                         f"Doc {did}", t + "\n", from_addr=frm,
