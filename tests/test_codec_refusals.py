@@ -175,9 +175,13 @@ MATRIX = [
      "arithmetic sequential (SOF9)"),
     ("jpeg-lossless", lambda: _jpeg_with_sof(0xC3), _decode_jpeg,
      "lossless (SOF3)"),
-    ("bmp-rle4", lambda: _bmp_with_compression(2), _decode_bmp, "BI_RLE4"),
-    ("bmp-bitfields", lambda: _bmp_with_compression(3), _decode_bmp,
-     "BI_BITFIELDS"),
+    # RLE4 / BITFIELDS decode now (llm/bmp_codec) — but a 24-bit body
+    # MISLABELED with those compressions is malformed and still
+    # refuses with the compression named
+    ("bmp-rle4-on-24bit", lambda: _bmp_with_compression(2), _decode_bmp,
+     "BI_RLE4"),
+    ("bmp-bitfields-on-24bit", lambda: _bmp_with_compression(3),
+     _decode_bmp, "BI_BITFIELDS"),
     ("avi-h264-fourcc", lambda: _avi_with_fourcc(b"H264"), _decode_avi_frame,
      "H264"),
     ("avi-xvid-fourcc", lambda: _avi_with_fourcc(b"XVID"), _decode_avi_frame,

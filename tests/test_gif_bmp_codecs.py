@@ -273,3 +273,79 @@ def test_resize_images_mixed_formats(spark):
         out = png_decode(bytes(got[i].resized))
         assert (out["width"], out["height"]) == (16, 12)
     assert got[4].resized is None  # isolation, not task failure
+
+
+def test_bmp_rle4_round_trip():
+    import numpy as np
+
+    from verified_sources_spark.llm.bmp_codec import (
+        decode, encode_rle4, probe,
+    )
+
+    rng = np.random.default_rng(3)
+    w, h = 23, 9
+    idx = rng.integers(0, 16, size=w * h).astype(np.uint8).tobytes()
+    pal = [(i * 17, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+    d = encode_rle4(w, h, idx, pal)
+    m = probe(d)
+    assert m["compression"] == "BI_RLE4" and m["bits"] == 4
+    want = b"".join(bytes(pal[i]) for i in idx)
+    assert decode(d)["pixels"] == want
+
+
+def test_bmp_bitfields_masks():
+    """565, 555 and 888 masks: exact integer quantize/dequantize; the
+    888 layout is lossless."""
+    import numpy as np
+
+    from verified_sources_spark.llm.bmp_codec import (
+        decode, encode_bitfields, probe,
+    )
+
+    rng = np.random.default_rng(4)
+    w, h = 19, 7
+    rgb = rng.integers(0, 256, size=w * h * 3).astype(np.uint8).tobytes()
+    for bits, masks in [(16, (0xF800, 0x07E0, 0x001F)),
+                        (16, (0x7C00, 0x03E0, 0x001F)),
+                        (32, (0xFF0000, 0x00FF00, 0x0000FF))]:
+        d = encode_bitfields(w, h, rgb, bits=bits, masks=masks)
+        assert probe(d)["compression"] == "BI_BITFIELDS"
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.uint32)
+        exp = np.zeros_like(a)
+        for ch, mask in enumerate(masks):
+            shift = (mask & -mask).bit_length() - 1
+            maxv = mask >> shift
+            q = (a[:, :, ch] * maxv + 127) // 255
+            exp[:, :, ch] = (q * 255 + maxv // 2) // maxv
+        assert decode(d)["pixels"] == exp.astype(np.uint8).tobytes()
+    lossless = encode_bitfields(w, h, rgb, bits=32,
+                                masks=(0xFF0000, 0xFF00, 0xFF))
+    assert decode(lossless)["pixels"] == rgb
+
+
+def test_bmp_rle4_absolute_and_delta_hand_assembled():
+    """Absolute runs and delta skips — control codes the fixture
+    encoder never emits."""
+    import struct
+
+    from verified_sources_spark.llm.bmp_codec import decode
+
+    pal = b"".join(bytes([v, v, v, 0]) for v in (0, 128, 255, 64))
+    # 6x2 image: row1 (bottom): absolute 5 nibbles [1,2,3,0,1] then
+    # 1-run of 2; row0: delta (2,0) then 4-run of 3
+    body = (b"\x00\x05" + bytes([0x12, 0x30, 0x10]) + b"\x00"  # abs pad
+            + b"\x01\x22" + b"\x00\x00"
+            + b"\x00\x02" + bytes([2, 0]) + b"\x04\x33" + b"\x00\x01")
+    offset = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 4, 2,
+                      len(body), 0, 0, 4, 0)
+    out = decode(hdr + dib + pal + body)
+    px = out["pixels"]
+    rows = [[tuple(px[(r * 6 + c) * 3:(r * 6 + c) * 3 + 3])
+             for c in range(6)] for r in range(2)]
+    g = lambda v: (v, v, v)  # noqa: E731
+    # top-down: row 0 is the SECOND coded row (delta skipped 2 -> idx 0)
+    assert rows[0] == [g(0), g(0), g(64), g(64), g(64), g(64)]
+    # bottom row: abs [1,2,3,0,1] then a 1-run of index 2
+    assert rows[1] == [g(128), g(255), g(64), g(0), g(128), g(255)]

@@ -6,8 +6,11 @@ uploads).  The format is the same DIB layout the AVI codec already
 reads (bottom-up BGR rows, 4-byte stride) wrapped in a
 BITMAPFILEHEADER; this module shares that math and emits the common
 decode contract (``{width, height, mode, pixels}``, top-down RGB).
-Compressed BMPs (RLE4/RLE8/bitfields beyond the identity masks) refuse
-with the compression name.  ``encode`` emits 24-bit BI_RGB for
+All four compressions decode: BI_RGB, RLE8/RLE4 runs, and
+BI_BITFIELDS with arbitrary 16/32-bit channel masks (565/555/888, the
+screenshot formats); malformed bit-depth/compression combos refuse
+with the compression name.  ``encode`` emits 24-bit BI_RGB,
+``encode_rle4`` / ``encode_bitfields`` the compressed flavors, for
 deterministic fixtures.
 """
 
@@ -15,7 +18,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["BmpError", "probe", "decode", "encode"]
+__all__ = ["BmpError", "probe", "decode", "encode", "encode_rle4",
+           "encode_bitfields"]
 
 
 class BmpError(ValueError):
@@ -47,13 +51,18 @@ def probe(data: bytes) -> dict:
 
 def decode(data: bytes) -> dict:
     """Top-down RGB: probe fields plus ``pixels`` (h*w*3) and ``mode``
-    ('RGB').  24/32-bit BI_RGB, 8-bit paletted, and 8-bit RLE8 decode;
-    RLE4 and bitfields refuse with the name."""
+    ('RGB').  24/32-bit BI_RGB, 8-bit paletted, RLE8/RLE4 runs, and
+    16/32-bit BI_BITFIELDS (arbitrary channel masks) decode; anything
+    else refuses with the name."""
     import numpy as np
 
     meta = probe(data)
     if meta["compression"] == "BI_RLE8":
         return _decode_rle8(data, meta)
+    if meta["compression"] == "BI_RLE4":
+        return _decode_rle4(data, meta)
+    if meta["compression"] == "BI_BITFIELDS":
+        return _decode_bitfields(data, meta)
     if meta["compression"] != "BI_RGB":
         raise BmpError(f"cannot decode {meta['compression']} BMP (BI_RGB only)")
     w, h, bits = meta["width"], meta["height"], meta["bits"]
@@ -148,6 +157,108 @@ def _decode_rle8(data: bytes, meta: dict) -> dict:
     return out
 
 
+def _decode_rle4(data: bytes, meta: dict) -> dict:
+    """Microsoft RLE4: same control codes as RLE8 but pixels are
+    nibbles — an encoded run [n, v] alternates v's high and low
+    nibble; absolute runs pack two pixels per byte, word-aligned."""
+    import numpy as np
+
+    if meta["bits"] != 4:
+        raise BmpError("BI_RLE4 BMP must be 4-bit")
+    w, h = meta["width"], meta["height"]
+    pal_off = 14 + meta["header_size"]
+    n_pal = (meta["offset"] - pal_off) // 4
+    if n_pal <= 0:
+        raise BmpError("BI_RLE4 BMP without a palette")
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+    ).reshape(n_pal, 4)[:, :3][:, ::-1]
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = meta["offset"]
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run: alternate high/low nibble
+            end = min(x + n, w)
+            hi, lo = v >> 4, v & 0xF
+            for k in range(end - x):
+                idx[y, x + k] = hi if k % 2 == 0 else lo
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if pos + 1 >= len(data):
+                raise BmpError("truncated RLE4 delta")
+            x = min(x + data[pos], w)
+            y = min(y + data[pos + 1], h - 1)
+            pos += 2
+        else:  # absolute: v nibbles, byte count word-aligned
+            nbytes = (v + 1) // 2
+            if pos + nbytes > len(data):
+                raise BmpError("truncated RLE4 absolute run")
+            end = min(x + v, w)
+            for k in range(end - x):
+                b = data[pos + k // 2]
+                idx[y, x + k] = (b >> 4) if k % 2 == 0 else (b & 0xF)
+            x = end
+            pos += nbytes + (nbytes & 1)
+    if idx.max(initial=0) >= n_pal:
+        raise BmpError("palette index out of range")
+    rgb = pal[idx]
+    if meta["bottom_up"]:
+        rgb = rgb[::-1]
+    out = dict(meta)
+    out["pixels"] = np.ascontiguousarray(rgb).tobytes()
+    out["mode"] = "RGB"
+    return out
+
+
+def _decode_bitfields(data: bytes, meta: dict) -> dict:
+    """BI_BITFIELDS: 16/32-bit samples with per-channel masks (the
+    three dwords following the 40-byte info header, or in place in
+    V4+ headers — byte position 54 either way).  Each channel scales
+    to 8 bits by exact integer rounding."""
+    import numpy as np
+
+    bits = meta["bits"]
+    if bits not in (16, 32):
+        raise BmpError("BI_BITFIELDS BMP must be 16/32-bit")
+    if len(data) < 66:
+        raise BmpError("truncated BI_BITFIELDS masks")
+    masks = struct.unpack_from("<III", data, 54)
+    w, h = meta["width"], meta["height"]
+    stride = (w * bits // 8 + 3) & ~3
+    need = meta["offset"] + stride * h
+    if len(data) < need:
+        raise BmpError(f"truncated pixel data: {len(data)} < {need}")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=meta["offset"]
+    ).reshape(h, stride)
+    dt = np.uint16 if bits == 16 else np.uint32
+    px = rows[:, : w * bits // 8].reshape(h, -1).view(dt)[:, :w].astype(
+        np.uint32)
+    chans = []
+    for mask in masks:
+        if mask == 0:
+            raise BmpError("BI_BITFIELDS with a zero channel mask")
+        shift = (mask & -mask).bit_length() - 1
+        maxv = mask >> shift
+        v = (px & mask) >> shift
+        chans.append(((v * 255 + maxv // 2) // maxv).astype(np.uint8))
+    rgb = np.stack(chans, axis=2)
+    if meta["bottom_up"]:
+        rgb = rgb[::-1]
+    out = dict(meta)
+    out["pixels"] = np.ascontiguousarray(rgb).tobytes()
+    out["mode"] = "RGB"
+    return out
+
+
 def encode(width: int, height: int, pixels: bytes) -> bytes:
     """24-bit BI_RGB BMP from top-down RGB bytes — fixture generator."""
     import numpy as np
@@ -166,3 +277,68 @@ def encode(width: int, height: int, pixels: bytes) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + dib + body
+
+
+def encode_rle4(width: int, height: int, idx: bytes,
+                palette: list[tuple[int, int, int]]) -> bytes:
+    """4-bit RLE4 BMP fixture from top-down palette indices (one 0-15
+    byte per pixel) — encoded runs + EOL/EOB control codes, bottom-up
+    per the format."""
+    if len(idx) != width * height:
+        raise BmpError("index buffer does not match dimensions")
+    if not 0 < len(palette) <= 16 or max(idx) >= len(palette):
+        raise BmpError("palette must cover all indices (<= 16 entries)")
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = idx[y * width : (y + 1) * width]
+        x = 0
+        while x < width:
+            run = 1
+            while (x + run < width and row[x + run] == row[x]
+                   and run < 254):
+                run += 1
+            c = row[x]
+            body += bytes([run, (c << 4) | c])
+            x += run
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"      # end of bitmap
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    offset = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 4, 2,
+                      len(body), 2835, 2835, len(palette), 0)
+    return header + dib + pal + bytes(body)
+
+
+def encode_bitfields(width: int, height: int, pixels: bytes,
+                     bits: int = 16,
+                     masks: tuple[int, int, int] = (0xF800, 0x07E0,
+                                                    0x001F)) -> bytes:
+    """BI_BITFIELDS fixture from top-down RGB bytes: packs each
+    channel into its mask (565 by default; any disjoint masks fitting
+    ``bits``), bottom-up, 4-byte row stride."""
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise BmpError("pixel buffer does not match width*height*3")
+    if bits not in (16, 32):
+        raise BmpError("BI_BITFIELDS fixture supports 16/32-bit only")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, 3).astype(np.uint32)
+    packed = np.zeros((height, width), dtype=np.uint32)
+    for ch, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        maxv = mask >> shift
+        packed |= ((rgb[:, :, ch] * maxv + 127) // 255) << shift
+    packed = packed[::-1]  # bottom-up
+    dt = np.uint16 if bits == 16 else np.uint32
+    stride = (width * bits // 8 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    raw = packed.astype(dt).view(np.uint8).reshape(height, -1)
+    rows[:, : raw.shape[1]] = raw
+    body = rows.tobytes()
+    offset = 14 + 40 + 12
+    header = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits, 3,
+                      len(body), 2835, 2835, 0, 0)
+    return header + dib + struct.pack("<III", *masks) + body

@@ -2472,7 +2472,8 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image dispatch end-to-end over documents: mint one
     asset per doc cycling ALL EIGHT image codecs by ``doc_id % 7``
     (PNG cycling sequential/Adam7-interlaced × 8/16-bit layouts,
-    baseline JPEG, GIF/LZW, BMP, ICO favicons alternating 32-bit-DIB
+    baseline JPEG, GIF/LZW, BMP cycling BI_RGB / RLE4-paletted /
+    BITFIELDS-565-and-888, ICO favicons alternating 32-bit-DIB
     and embedded-PNG payloads, WebP — VP8L lossless via pure
     stdlib with LOSSY VP8 through the system-libwebp seam on every
     4th webp row —, TIFF with uncompressed/Deflate/TIFF-LZW/PackBits
@@ -2534,7 +2535,32 @@ def image_formats_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif fmt == 2:
                     asset = gif_enc(w, h, rgb)
                 elif fmt == 3:
-                    asset = bmp_enc(w, h, rgb)
+                    if did % 3 == 1:
+                        # RLE4: the 16-level gray field quantizes to a
+                        # 16-entry palette exactly
+                        from verified_sources_spark.llm.bmp_codec import (
+                            encode_rle4,
+                        )
+
+                        uniq = sorted(set(gray.ravel().tolist()))
+                        lut = {v: i for i, v in enumerate(uniq)}
+                        idxb = bytes(lut[v]
+                                     for v in gray.ravel().tolist())
+                        asset = encode_rle4(
+                            w, h, idxb, [(v, v, v) for v in uniq])
+                    elif did % 3 == 2:
+                        from verified_sources_spark.llm.bmp_codec import (
+                            encode_bitfields,
+                        )
+
+                        asset = encode_bitfields(
+                            w, h, rgb,
+                            bits=16 if did % 2 else 32,
+                            masks=((0xF800, 0x07E0, 0x001F)
+                                   if did % 2 else
+                                   (0xFF0000, 0x00FF00, 0x0000FF)))
+                    else:
+                        asset = bmp_enc(w, h, rgb)
                 elif fmt == 4:
                     if did % 4 == 2 and _webp_lossy:
                         # lossy VP8 via the system-libwebp seam: dims
