@@ -325,3 +325,53 @@ def test_pdf_images_operator(spark):
         and got[0].dhash is not None
     assert got[1].decoded_ok and got[1].image_idx is None
     assert not got[2].decoded_ok
+
+
+def test_encrypted_pdfs_with_empty_user_password_decrypt():
+    """The common owner-password-only case: all four standard-handler
+    generations decrypt to the same text as the plain file; a wrong /U
+    (= a real user password) refuses by name."""
+    import re as _re
+
+    from verified_sources_spark.llm.pdf_codec import (
+        encode_pdf as enc, extract_pdf_images,
+    )
+
+    pages = [["Hello encrypted world", "second line été"],
+             ["page two content"]]
+    plain = extract_pdf_text(enc(pages, compress=True))
+    for mode in ("rc4-40", "rc4-128", "aesv2", "aes256"):
+        data = enc(pages, compress=True, encrypt=mode)
+        assert b"Hello encrypted world" not in data  # really encrypted
+        out = extract_pdf_text(data)
+        assert out["pages"] == plain["pages"], mode
+    # images inside an encrypted PDF decrypt too (stream payloads)
+    data = enc([["fig"]], encrypt="aesv2",
+               image={"width": 4, "height": 2,
+                      "data": zlib.compress(bytes(range(24))),
+                      "pdf_filter": "FlateDecode"})
+    ims = extract_pdf_images(data)
+    assert len(ims) == 1 and ims[0]["pixels"] == bytes(range(24))
+    # a non-empty user password is unknowable: refuse by name
+    data = enc(pages, encrypt="rc4-128")
+    m = _re.search(rb"/U <([0-9a-f]+)>", data)
+    bad = data[:m.start(1)] + b"00" * (len(m.group(1)) // 2) + data[m.end(1):]
+    with pytest.raises(PdfError, match="password-protected"):
+        extract_pdf_text(bad)
+
+
+def test_pdf_crypt_fips_and_rc4_vectors():
+    """The AES seam is pinned to FIPS-197 Appendix C vectors; RC4 to
+    the classic Key/Plaintext vector — a wrong constant cannot hide."""
+    from verified_sources_spark.llm.pdf_crypt import (
+        _aes_cbc, aes_available, rc4,
+    )
+
+    assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    if not aes_available():
+        pytest.skip("cryptography package not present")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert _aes_cbc(bytes(range(16)), bytes(16), pt, True).hex() == \
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_cbc(bytes(range(32)), bytes(16), pt, True).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"

@@ -501,9 +501,10 @@ def _load_objects(data: bytes) -> dict[int, object]:
     # point, re-deriving the object map each round — otherwise a byte
     # pattern inside an indirect-/Length stream clobbers real objects
     # under later-definition-wins.
-    candidates: list[tuple[int, int, object, int | None]] = []
+    candidates: list[tuple[int, int, int, object, int | None]] = []
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
+        gen = int(m.group(2))
         lex = _Lexer(data, m.end())
         try:
             val = lex.read_object()
@@ -517,18 +518,21 @@ def _load_objects(data: bytes) -> dict[int, object]:
             elif data[p : p + 1] == b"\n":
                 p += 1
             sstart = p
-        candidates.append((m.start(), num, val, sstart))
+        candidates.append((m.start(), num, gen, val, sstart))
 
     spans: set[tuple[int, int]] = set()
     objects: dict[int, object] = {}
+    gens: dict[int, int] = {}
     streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw_start)
     while True:
         objects = {}
+        gens = {}
         streams = {}
-        for pos, num, val, sstart in candidates:
+        for pos, num, gen, val, sstart in candidates:
             if any(a <= pos < b for a, b in spans):
                 continue
             objects[num] = val
+            gens[num] = gen
             if sstart is not None:
                 streams[num] = (val, sstart)
         if not objects:
@@ -558,6 +562,79 @@ def _load_objects(data: bytes) -> dict[int, object]:
         if len(raw) < int(length):
             raise PdfError(f"truncated stream object {num}")
         objects[num] = ("stream", d, raw)
+
+    # encryption: if any trailer (classic or xref-stream dict) carries
+    # /Encrypt, derive the file key for the EMPTY user password (the
+    # common owner-password-only case) and decrypt strings + stream
+    # payloads in place BEFORE ObjStm expansion; non-empty passwords
+    # and unsupported handlers refuse by name via PdfCryptError
+    enc_ref = None
+    id0 = b""
+    trailer_dicts: list[dict] = []
+    for m in re.finditer(rb"trailer\b", data):
+        try:
+            t = _Lexer(data, m.end()).read_object()
+            if isinstance(t, dict):
+                trailer_dicts.append(t)
+        except PdfError:
+            pass
+    trailer_dicts += [
+        v[1] for v in objects.values()
+        if isinstance(v, tuple) and v[0] == "stream"
+        and v[1].get("Type") == ("name", "XRef")
+    ]
+    for t in trailer_dicts:
+        if "Encrypt" in t:
+            enc_ref = t["Encrypt"]
+            tid = resolve(t.get("ID"))
+            if isinstance(tid, list) and tid and isinstance(tid[0], bytes):
+                id0 = tid[0]
+    if enc_ref is not None:
+        from verified_sources_spark.llm.pdf_crypt import (
+            PdfCryptError, decrypt_bytes, derive_key,
+        )
+
+        enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+        enc = resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError("encrypted PDF with unresolvable /Encrypt "
+                           "— refusing by name")
+        try:
+            file_key, method = derive_key(enc, id0, resolve)
+        except PdfCryptError as e:
+            raise PdfError(str(e)) from None
+
+        def dec_val(v, num, gen):
+            if isinstance(v, bytes):
+                try:
+                    return decrypt_bytes(file_key, method, num, gen, v)
+                except PdfCryptError as e:
+                    raise PdfError(
+                        f"object {num}: {e}") from None
+            if isinstance(v, dict):
+                return {k: dec_val(x, num, gen) for k, x in v.items()}
+            if isinstance(v, list):
+                return [dec_val(x, num, gen) for x in v]
+            return v
+
+        for num, v in list(objects.items()):
+            if num == enc_num:
+                continue  # /O /U etc. are stored in the clear
+            gen = gens.get(num, 0)
+            if isinstance(v, tuple) and v[0] == "stream":
+                d = dec_val(v[1], num, gen)
+                # cross-reference streams are never encrypted
+                if d.get("Type") == ("name", "XRef"):
+                    objects[num] = ("stream", d, v[2])
+                    continue
+                try:
+                    raw = decrypt_bytes(file_key, method, num, gen, v[2])
+                except PdfCryptError as e:
+                    raise PdfError(f"stream {num}: {e}") from None
+                objects[num] = ("stream", d, raw)
+            else:
+                objects[num] = dec_val(v, num, gen)
+
     # expand object streams
     for num, v in list(objects.items()):
         if (isinstance(v, tuple) and v[0] == "stream"
@@ -670,7 +747,10 @@ def _extract_content_text(content: bytes, fonts: dict | None = None) -> str:
 
 def extract_pdf_text(data: bytes) -> dict:
     """{n_pages, pages: [str], text} — text per page from the page
-    tree, pages joined by form feeds.  Encrypted PDFs refuse by name."""
+    tree, pages joined by form feeds.  Encrypted files with an EMPTY
+    user password (the common owner-password-only case) decrypt
+    through llm/pdf_crypt inside the object loader; password-protected
+    or unsupported-handler files refuse by name."""
     objects = _load_objects(data)
 
     def resolve(v):
@@ -681,20 +761,6 @@ def extract_pdf_text(data: bytes) -> dict:
             if seen > 32:
                 raise PdfError("reference cycle")
         return v
-
-    # /Encrypt lives in the trailer dict (classic files) or the xref
-    # stream dict (1.5 files, already an object) — check both
-    trailer_dicts = [v for v in objects.values() if isinstance(v, dict)]
-    trailer_dicts += [v[1] for v in objects.values()
-                      if isinstance(v, tuple) and v[0] == "stream"]
-    for m in re.finditer(rb"trailer\b", data):
-        try:
-            trailer_dicts.append(_Lexer(data, m.end()).read_object())
-        except PdfError:
-            pass
-    for v in trailer_dicts:
-        if isinstance(v, dict) and "Encrypt" in v:
-            raise PdfError("encrypted PDF (/Encrypt) — refusing by name")
 
     # page tree: find the catalog, else any /Type /Page objects in order
     pages: list[dict] = []
@@ -864,6 +930,7 @@ def encode_pdf(
     cid_font: bool = False,
     content_filter: str | None = None,
     image: dict | None = None,
+    encrypt: str | None = None,
 ) -> bytes:
     """A real PDF: one content stream per page (each inner list entry a
     text line), classic xref table or PDF-1.5 cross-reference stream
@@ -883,9 +950,17 @@ def encode_pdf(
     "data", "pdf_filter": "DCTDecode"|"FlateDecode", "colorspace":
     "DeviceRGB"|"DeviceGray"}`` with ``data`` already filter-encoded
     (a raw JPEG for DCTDecode, zlib-compressed samples for
-    FlateDecode)."""
+    FlateDecode).
+
+    ``encrypt`` writes a REAL empty-user/owner-password encrypted file
+    through llm/pdf_crypt (classic-xref layout only): 'rc4-40' (R2),
+    'rc4-128' (R3), 'aesv2' (R4) or 'aes256' (R6) — every stream
+    payload encrypted with its per-object key, /Encrypt + /ID in the
+    trailer."""
     if content_filter is None and compress:
         content_filter = "flate"
+    if encrypt and xref_stream:
+        raise PdfError("fixture encryption supports classic xref only")
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     page_ids = [4 + 2 * i for i in range(n_pages)]
@@ -978,6 +1053,35 @@ def encode_pdf(
              f"/Length {len(image['data'])} >>").encode(),
             image["data"])
 
+    encrypt_trailer = b""
+    if encrypt:
+        import hashlib as _hl
+
+        from verified_sources_spark.llm.pdf_crypt import (
+            build_encryption, encrypt_bytes,
+        )
+
+        id0 = _hl.md5(b"fixture-id" + str(n_pages).encode()
+                      + encrypt.encode()).digest()
+        ent, fkey, method = build_encryption(encrypt, id0)
+        enc_num = max(set(objs) | set(stream_objs)) + 1
+        for num in list(stream_objs):
+            d, payload = stream_objs[num]
+            ct = encrypt_bytes(fkey, method, num, 0, payload)
+            d = re.sub(rb"/Length \d+", b"/Length %d" % len(ct), d,
+                       count=1)
+            stream_objs[num] = (d, ct)
+        parts = ["/Filter /Standard"]
+        for k, v in ent.items():
+            if k in ("O", "U", "OE", "UE", "Perms"):
+                parts.append(f"/{k} <{v}>")
+            else:
+                parts.append(f"/{k} {v}")
+        objs[enc_num] = ("<< " + " ".join(parts) + " >>").encode()
+        encrypt_trailer = (
+            f" /Encrypt {enc_num} 0 R "
+            f"/ID [<{id0.hex()}> <{id0.hex()}>]").encode()
+
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
 
@@ -996,8 +1100,9 @@ def encode_pdf(
         out += b"0000000000 65535 f \n"
         for num in range(1, maxnum + 1):
             out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
-                f"startxref\n{xref_pos}\n%%EOF\n").encode()
+        out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R".encode()
+                + encrypt_trailer + b" >>\n"
+                + f"startxref\n{xref_pos}\n%%EOF\n".encode())
         return bytes(out)
 
     # PDF-1.5 layout: dict objects packed into an ObjStm, xref stream

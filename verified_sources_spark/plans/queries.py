@@ -1972,11 +1972,15 @@ def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-reference streams + ObjStm on every 3rd, TJ-array show
     operators on every 5th, composite Type0/Identity-H CID fonts whose
     text only recovers through the /ToUnicode CMap on every 7th,
-    classic xref otherwise; every 13th truncated), then run the
+    ENCRYPTED empty-user-password files cycling RC4-40 / RC4-128 /
+    AES-128 (/AESV2) / AES-256 (R6) via llm/pdf_crypt on every
+    remaining 4th, classic xref otherwise; every 13th truncated), then
+    run the
     pure-stdlib extractor via llm/pdf_codec.pdf_extract.  The oracle
     replays the layout arithmetic AND the text itself in SQL — a
     value-hash match proves object scan, ObjStm expansion,
-    Flate+predictor decode, CMap-mapped CID show strings and the
+    Flate+predictor decode, CMap-mapped CID show strings, standard-
+    security-handler decryption and the
     content-stream text walk recovered every document byte-for-byte
     (the document-corpus front door; reference analogue:
     sources/unstructured_data — PDFs into queryable text)."""
@@ -1993,12 +1997,16 @@ def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, text in zip(pdf_["doc_id"], pdf_["text"]):
                 did = int(did)
+                xref = did % 3 == 0
                 data = encode_pdf(
                     [[text or ""]],
                     compress=did % 2 == 1,
-                    xref_stream=did % 3 == 0,
+                    xref_stream=xref,
                     tj_arrays=did % 5 == 0,
                     cid_font=did % 7 == 0,
+                    encrypt=(None if xref or did % 4 != 2 else
+                             ("rc4-40", "rc4-128", "aesv2",
+                              "aes256")[(did // 4) % 4]),
                 )
                 rows.append(
                     {"doc_id": did,
