@@ -1,4 +1,4 @@
-"""Archive ingestion: zip / tar / tar.{gz,xz,bz2,zst} member
+"""Archive ingestion: zip / 7z / tar / tar.{gz,xz,bz2,zst} member
 extraction + compressed single-file text shards (.jsonl.{gz,xz,bz2,zst}).
 
 Curated text corpora ship as archives-of-files (a zip of .txt/.json
@@ -12,8 +12,8 @@ ship with Python) plus the capability-gated libzstd seam
 (llm/zstd_system) behind the same sniff/iterate/refuse contract as
 the media seams:
 
-- ``sniff_archive_format``: 'zip' / 'tar' / 'tgz' / 'txz' / 'tbz2' /
-  'tzst' by magic bytes (tar sniffed by the ustar magic at offset 257;
+- ``sniff_archive_format``: 'zip' / '7z' / 'tar' / 'tgz' / 'txz' /
+  'tbz2' / 'tzst' by magic bytes (tar sniffed by the ustar magic at offset 257;
   a gzip/xz/bz2/zstd stream is assumed tar here — ``shard_lines`` is
   the entry point that treats those magics as flat text).
 - ``iter_members``: yield (name, payload bytes) per REGULAR member,
@@ -79,6 +79,8 @@ def sniff_archive_format(payload: bytes) -> str | None:
         return "tbz2"
     if payload[:4] == b"\x28\xb5\x2f\xfd":
         return "tzst"
+    if payload[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
     if len(payload) > 262 and payload[257:262] == b"ustar":
         return "tar"
     return None
@@ -91,6 +93,17 @@ def iter_members(
     archive, in archive order.  Directories and links are skipped;
     oversized members and corrupt archives raise ``ArchiveError``."""
     fmt = sniff_archive_format(payload)
+    if fmt == "7z":
+        from verified_sources_spark.llm.sevenzip import (
+            SevenZipError, iter_7z_members,
+        )
+
+        try:
+            yield from iter_7z_members(
+                payload, max_member_bytes=max_member_bytes)
+        except SevenZipError as e:
+            raise ArchiveError(f"corrupt 7z archive: {e}") from None
+        return
     if fmt == "zip":
         try:
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
@@ -150,7 +163,7 @@ def iter_members(
             raise ArchiveError(f"corrupt {fmt} archive: {e}") from None
         return
     raise ArchiveError(
-        "unrecognized archive payload (not zip/tar/tar.{gz,xz,bz2,zst})"
+        "unrecognized archive payload (not zip/7z/tar/tar.{gz,xz,bz2,zst})"
     )
 
 

@@ -1899,10 +1899,10 @@ ORACLE_SQL["archive_members_docs"] = """
     WITH p AS (
         SELECT doc_id,
                (doc_id % 13) <> 0 AS ok,
-               CASE doc_id % 6 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+               CASE doc_id % 7 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
                                WHEN 2 THEN 'tgz' WHEN 3 THEN 'txz'
-                               WHEN 4 THEN 'tbz2'
-                               ELSE 'tzst' END AS fmt,
+                               WHEN 4 THEN 'tbz2' WHEN 5 THEN 'tzst'
+                               ELSE '7z' END AS fmt,
                COALESCE(text, '') AS t
         FROM documents
     )

@@ -1851,9 +1851,11 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-files ingestion end-to-end over documents: pack each
     doc's text (plus a deterministic JSON sidecar) into an archive —
-    format cycles zip / tar / tar.{gz,xz,bz2,zst} by ``doc_id % 6``
-    (tar.zst decodes through the system-libzstd seam,
-    llm/zstd_system), every 13th
+    format cycles zip / tar / tar.{gz,xz,bz2,zst} / 7z by
+    ``doc_id % 7`` (tar.zst decodes through the system-libzstd seam,
+    llm/zstd_system; 7z cycles Copy/LZMA1/LZMA2 single-coder folders
+    with plain AND LZMA-compressed metadata headers through
+    llm/sevenzip + stdlib raw-LZMA), every 13th
     truncated — then explode through llm/archives.archive_members into
     per-member rows.  The oracle replays the member inventory AND the
     text itself in SQL (two rows per healthy doc) — a value-hash match
@@ -1877,7 +1879,7 @@ def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"doc_{did}.txt": (text or "").encode(),
                     f"meta/{did}.json": f'{{"id": {did}}}'.encode(),
                 }
-                fmt = did % 6
+                fmt = did % 7
                 if fmt == 0:
                     asset = encode_zip(members)
                 elif fmt == 1:
@@ -1888,8 +1890,17 @@ def archive_members_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     asset = encode_tar(members, compression="xz")
                 elif fmt == 4:
                     asset = encode_tar(members, compression="bz2")
-                else:
+                elif fmt == 5:
                     asset = encode_tar(members, compression="zst")
+                else:
+                    from verified_sources_spark.llm.sevenzip import (
+                        encode_7z,
+                    )
+
+                    asset = encode_7z(
+                        members,
+                        codec=("lzma2", "lzma1", "copy")[did % 3],
+                        encoded_header=did % 2 == 0)
                 rows.append(
                     {"doc_id": did,
                      "asset": asset[:25] if did % 13 == 0 else asset}
