@@ -207,3 +207,32 @@ def test_shard_lines_spark_operator(spark):
     if zstd_ok:
         assert [r["text"] for r in got[5]] == ["za", "zb"]
         assert all(r["codec"] == "zstd" for r in got[5])
+
+
+def test_lz4_shards():
+    from verified_sources_spark.llm.lz4_system import available
+
+    if not available():
+        pytest.skip("system liblz4 not present")
+    from verified_sources_spark.llm.archives import (
+        decompress_shard, encode_shard, sniff_shard_codec,
+    )
+    from verified_sources_spark.llm.lz4_system import (
+        Lz4Error, compress, decompress,
+    )
+
+    text = b"".join(b'{"id": %d}\n' % i for i in range(500))
+    sh = encode_shard(text, "lz4")
+    assert sniff_shard_codec(sh) == "lz4"
+    assert decompress_shard(sh) == text
+    with pytest.raises(ArchiveError, match="lz4"):
+        decompress_shard(sh[: len(sh) // 2])
+    with pytest.raises(ArchiveError, match="bomb"):
+        decompress_shard(encode_shard(bytes(3_000_000), "lz4"),
+                         max_out=10_000)
+    # seam contract: multi-frame + truncation + magic
+    assert decompress(compress(b"a\n") + compress(b"b\n")) == b"a\nb\n"
+    with pytest.raises(Lz4Error, match="truncated"):
+        decompress(compress(b"x" * 100_000)[:50])
+    with pytest.raises(Lz4Error, match="refusing by name"):
+        decompress(b"\x00\x11garbage.....")

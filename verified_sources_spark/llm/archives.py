@@ -25,7 +25,7 @@ the media seams:
   binary archive payloads into (id, member_name, n_bytes, text) rows;
   corrupt archives isolate as ``decoded_ok=false`` rows.
 - ``decompress_shard`` / ``shard_lines``: single-stream compressed
-  text shards (gzip/xz/bz2/zstd sniffed by magic) → one row per
+  text shards (gzip/xz/bz2/zstd/lz4 sniffed by magic) → one row per
   non-empty line, the jsonl-corpus front door.  Every codec path is
   expansion-capped (the same bomb gate).
 
@@ -259,7 +259,7 @@ _SHARD_DECODERS = ("gzip", "xz", "bz2", "zstd")
 
 
 def sniff_shard_codec(payload: bytes) -> str | None:
-    """'gzip' / 'xz' / 'bz2' / 'zstd' / None by magic bytes."""
+    """'gzip' / 'xz' / 'bz2' / 'zstd' / 'lz4' / None by magic bytes."""
     if payload[:2] == b"\x1f\x8b":
         return "gzip"
     if payload[:6] == b"\xfd7zXZ\x00":
@@ -269,6 +269,8 @@ def sniff_shard_codec(payload: bytes) -> str | None:
         return "bz2"
     if payload[:4] == b"\x28\xb5\x2f\xfd":
         return "zstd"
+    if payload[:4] == b"\x04\x22\x4d\x18":
+        return "lz4"
     return None
 
 
@@ -291,9 +293,21 @@ def decompress_shard(payload: bytes,
             return decompress(payload, max_out=max_out)
         except ZstdError as e:
             raise ArchiveError(f"corrupt zstd shard: {e}") from None
+    if codec == "lz4":
+        from verified_sources_spark.llm.lz4_system import (
+            Lz4Error, available as lz4_avail, decompress as lz4_dec,
+        )
+
+        if not lz4_avail():
+            raise ArchiveError(
+                "lz4 shard — system liblz4 not present; refusing by name")
+        try:
+            return lz4_dec(payload, max_out=max_out)
+        except Lz4Error as e:
+            raise ArchiveError(f"corrupt lz4 shard: {e}") from None
     if codec is None:
         raise ArchiveError(
-            "unrecognized shard payload (not gzip/xz/bz2/zstd)")
+            "unrecognized shard payload (not gzip/xz/bz2/zstd/lz4)")
     out = bytearray()
     data = payload
     try:
@@ -400,4 +414,8 @@ def encode_shard(text: bytes, codec: str = "zstd",
         )
 
         return compress_streamed(text) if streamed else compress(text)
+    if codec == "lz4":
+        from verified_sources_spark.llm.lz4_system import compress
+
+        return compress(text)
     raise ArchiveError(f"unknown shard codec {codec!r}")

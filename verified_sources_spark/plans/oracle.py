@@ -1924,7 +1924,7 @@ ORACLE_SQL["archive_members_docs"] = """
 
 # Compressed line-shards: shard membership, line order and line text
 # replayed in SQL — a hash match proves gzip/xz/bz2/zstd (incl. the
-# streamed no-content-size zstd flavor) inflated byte-identically and
+# streamed no-content-size zstd flavor)/lz4 inflated byte-identically and
 # the bomb-gated stream walks preserved line boundaries.
 ORACLE_SQL["shard_lines_docs"] = """
     WITH s AS (
@@ -1941,15 +1941,17 @@ ORACLE_SQL["shard_lines_docs"] = """
         FROM s
     )
     SELECT shard_id, TRUE AS decoded_ok,
-           CASE shard_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
-                             WHEN 2 THEN 'bz2' ELSE 'zstd' END AS codec,
+           CASE shard_id % 6 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+                             WHEN 2 THEN 'bz2' WHEN 5 THEN 'lz4'
+                             ELSE 'zstd' END AS codec,
            CAST(line_idx AS INTEGER) AS line_idx,
            line AS text
     FROM r WHERE shard_id % 7 <> 0
     UNION ALL
     SELECT DISTINCT shard_id, FALSE,
-           CASE shard_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
-                             WHEN 2 THEN 'bz2' ELSE 'zstd' END,
+           CASE shard_id % 6 WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+                             WHEN 2 THEN 'bz2' WHEN 5 THEN 'lz4'
+                             ELSE 'zstd' END,
            NULL, NULL
     FROM s WHERE shard_id % 7 = 0
 """

@@ -3410,8 +3410,9 @@ def shard_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs doc_id-ordered as tab-separated lines, compress with a codec
     cycling gzip / xz / bz2 / zstd / zstd-STREAMED (no content-size
     header, the real shard-writer shape; both zstd flavors decode
-    through the system-libzstd seam, llm/zstd_system) by
-    ``shard_id % 5``, every 7th shard truncated — then explode through
+    through the system-libzstd seam, llm/zstd_system) / lz4 (frame
+    format via the system-liblz4 seam, llm/lz4_system) by
+    ``shard_id % 6``, every 7th shard truncated — then explode through
     llm/archives.shard_lines into per-line rows.  The oracle replays
     shard membership, line order and the line text itself in SQL — a
     value-hash match proves all four codecs inflated byte-identically
@@ -3440,9 +3441,10 @@ def shard_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "\n", " ")
                     lines.append(f"{int(rec['doc_id'])}\t{txt}")
                 payload = ("\n".join(lines) + "\n").encode()
-                codec = ("gzip", "xz", "bz2", "zstd", "zstd")[sid % 5]
+                codec = ("gzip", "xz", "bz2", "zstd", "zstd",
+                         "lz4")[sid % 6]
                 asset = encode_shard(payload, codec,
-                                     streamed=sid % 5 == 4)
+                                     streamed=sid % 6 == 4)
                 rows.append({"shard_id": sid,
                              "asset": asset[:10] if sid % 7 == 0
                              else asset})
