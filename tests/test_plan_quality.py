@@ -204,3 +204,21 @@ def test_q1_partials_are_primitive_long_sums(spark):
     # decimal appears only as the final-stage 38,0 accumulator, never
     # as a per-row cast of the money columns
     assert "cast(l_extendedprice" not in plan.replace(" ", "")
+
+
+def test_r11_front_doors_never_shuffle_payloads(spark):
+    """The round-11 ingestion entries (fax pages, archives incl. 7z,
+    shards, binary office, encrypted PDFs, .msg emails) follow the
+    same shape law: assets decode inside the scan's executor — a
+    minted payload column never appears under an Exchange.
+    (shard_lines_docs's grouping Exchange moves doc_id+TEXT to build
+    the shard — that is the MINT side and is checked to carry no
+    asset column either.)"""
+    for q in ("tiff_pages_docs", "archive_members_docs",
+              "shard_lines_docs", "office_extract_docs",
+              "pdf_extract_docs", "email_extract_docs"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert "asset" not in ln, (q, ln)
