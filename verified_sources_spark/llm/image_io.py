@@ -18,7 +18,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / 'tiff' / 'ico' / None
+    """'png' / 'jpeg' / 'gif' / 'bmp' / 'webp' / 'tiff' / 'ico' /
+    'heif' (HEIC/AVIF, probe-only) / None
     — magic bytes only (ICO's weak magic additionally validates the
     directory).  WebP pixel-decodes for VP8L (pure stdlib) and, when
     the system libwebp is present, for lossy VP8 too (llm/webp_system
@@ -36,6 +37,11 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "webp"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[4:8] == b"ftyp":
+        from verified_sources_spark.llm.heif_codec import HEIF_BRANDS
+
+        if payload[8:12] in HEIF_BRANDS:
+            return "heif"
     if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and len(
         payload
     ) >= 6:
@@ -129,6 +135,16 @@ def decode_image(payload: bytes) -> dict:
                 f"coder + DCT) without system libwebp — probe_webp "
                 f"serves header metadata; VP8L lossless decodes"
             )
+    elif fmt == "heif":
+        # HEVC/AV1 pixel payloads: manifest-first posture — the probe
+        # (llm/heif_codec.probe) serves dims/codec/brand facts
+        from verified_sources_spark.llm.heif_codec import probe as hp
+
+        m = hp(payload)
+        raise ValueError(
+            f"cannot pixel-decode HEIF/{m['brand']} ({m['codec']}) — "
+            f"llm/heif_codec.probe serves the manifest"
+        )
     else:
         raise ValueError(
             "unrecognized image payload (not PNG/JPEG/GIF/BMP/WebP)"

@@ -1956,6 +1956,30 @@ ORACLE_SQL["shard_lines_docs"] = """
     FROM s WHERE shard_id % 7 = 0
 """
 
+# HEIC/AVIF manifest probe: brand/codec/dims arithmetic replayed in
+# SQL — a hash match proves the meta-box walk follows ipma property
+# associations (the thumbnail trap) on exactly the untruncated set.
+ORACLE_SQL["heif_probe_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 9) <> 0 AS ok,
+               CASE doc_id % 3 WHEN 0 THEN 'heic' WHEN 1 THEN 'avif'
+                               ELSE 'mif1' END AS brand,
+               CASE doc_id % 3 WHEN 1 THEN 'av01' ELSE 'hvc1' END
+                   AS codec,
+               CAST(320 + (doc_id % 5) * 64 AS INTEGER) AS w,
+               CAST(240 + (doc_id % 3) * 64 AS INTEGER) AS h,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                    AS INTEGER) AS n_items
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, brand, codec,
+           w AS width, h AS height, n_items
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.

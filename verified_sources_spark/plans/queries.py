@@ -3507,6 +3507,71 @@ def tiff_pages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "decoded_ok", "n_pages", "page_idx", "width", "height")
 
 
+def heif_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIC/AVIF manifest probe end-to-end over documents — the
+    iPhone-photo / next-gen-web-image share of a scraped corpus: mint
+    one structurally real HEIF per doc (brand cycles heic/avif/mif1 by
+    ``doc_id % 3`` with the matching hvc1/av01 codec, dims from doc_id
+    arithmetic, a half-size THUMBNAIL item listed first in ipco on
+    every even id — so the hash gate proves the probe follows ipma
+    property ASSOCIATIONS rather than grabbing the first ispe —,
+    every 9th truncated), probe through llm/heif_codec.  Pixel decode
+    refuses by name (HEVC/AV1); the manifest-first posture web video
+    already has (mux analogue:
+    /root/reference/sources/mux/__init__.py:15-28)."""
+    import pandas as pd
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.heif_codec import encode_stub
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 320 + (did % 5) * 64
+                h = 240 + (did % 3) * 64
+                brand, codec = (
+                    (b"heic", b"hvc1"), (b"avif", b"av01"),
+                    (b"mif1", b"hvc1"))[did % 3]
+                asset = encode_stub(w, h, codec=codec, brand=brand,
+                                    thumb=did % 2 == 0)
+                rows.append({"doc_id": did,
+                             "asset": asset[:20] if did % 9 == 0
+                             else asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def run(batches):
+        from verified_sources_spark.llm.heif_codec import HeifError, probe
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["asset"]):
+                try:
+                    m = probe(bytes(payload))
+                    rows.append({"doc_id": did, "decoded_ok": True,
+                                 "brand": m["brand"], "codec": m["codec"],
+                                 "width": m["width"],
+                                 "height": m["height"],
+                                 "n_items": m["n_items"]})
+                except HeifError:
+                    rows.append({"doc_id": did, "decoded_ok": False,
+                                 "brand": None, "codec": None,
+                                 "width": None, "height": None,
+                                 "n_items": None})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "decoded_ok", "brand", "codec",
+                               "width", "height", "n_items"])
+
+    import pandas as pd  # noqa: F811
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return assets.mapInPandas(
+        run, "doc_id long, decoded_ok boolean, brand string, "
+             "codec string, width int, height int, n_items int")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3643,4 +3708,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_image_matches_docs": pdf_image_matches_docs,
     "shard_lines_docs": shard_lines_docs,
     "tiff_pages_docs": tiff_pages_docs,
+    "heif_probe_docs": heif_probe_docs,
 }
