@@ -1980,6 +1980,31 @@ ORACLE_SQL["heif_probe_docs"] = """
     FROM p WHERE NOT ok
 """
 
+# SVG extraction: dims (attribute AND viewBox resolution paths) and
+# the exact XML-escaped label text replayed in SQL.
+ORACLE_SQL["svg_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 13) <> 0 AS ok,
+               CAST(160 + (doc_id % 4) * 40 AS INTEGER) AS w,
+               CAST(90 + (doc_id % 3) * 30 AS INTEGER) AS h,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, w AS width, h AS height,
+           CAST(0 AS INTEGER) AS run_idx,
+           'Figure ' || doc_id AS text
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, w, h, CAST(k + 1 AS INTEGER),
+           'label<' || doc_id || '> & run ' || k || ' = '
+               || ((doc_id * 7 + k) % 1000)
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.

@@ -3572,6 +3572,74 @@ def heif_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              "codec string, width int, height int, n_items int")
 
 
+def svg_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG ingestion end-to-end over documents: mint one real SVG per
+    doc (dims from doc_id arithmetic, declared via width/height
+    attributes on even ids and viewBox-ONLY on odd — both resolution
+    paths on the gate —, a <title> plus ``1 + doc_id % 3`` <text>
+    runs whose labels embed raw ``<``/``&``/``>`` characters so XML
+    escaping round-trips, every second run split into nested tspans;
+    every 13th truncated), probe + extract through llm/svg_codec.
+    One row per text run (run 0 = the title); the oracle replays dims
+    and the exact label text in SQL — a value-hash match proves the
+    sniff, dimension resolution, escape handling and tspan folding
+    are exact (SVG is the web's vector format: a scraped image column
+    always contains them, and their text belongs in the corpus)."""
+    import pandas as pd
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def label(did: int, k: int) -> str:
+        return f"label<{did}> & run {k} = {(did * 7 + k) % 1000}"
+
+    def mint(batches):
+        from verified_sources_spark.llm.svg_codec import encode_svg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 160 + (did % 4) * 40
+                h = 90 + (did % 3) * 30
+                texts = [label(did, k) for k in range(1 + did % 3)]
+                asset = encode_svg(w, h, texts,
+                                   title=f"Figure {did}",
+                                   viewbox_only=did % 2 == 1)
+                rows.append({"doc_id": did,
+                             "asset": asset[:30] if did % 13 == 0
+                             else asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def run(batches):
+        from verified_sources_spark.llm.svg_codec import (
+            SvgError, extract_text, probe,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["asset"]):
+                payload = bytes(payload)
+                try:
+                    m = probe(payload)
+                    for i, t in enumerate(extract_text(payload)):
+                        rows.append({"doc_id": did, "decoded_ok": True,
+                                     "width": m["width"],
+                                     "height": m["height"],
+                                     "run_idx": i, "text": t})
+                except SvgError:
+                    rows.append({"doc_id": did, "decoded_ok": False,
+                                 "width": None, "height": None,
+                                 "run_idx": None, "text": None})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "decoded_ok", "width",
+                               "height", "run_idx", "text"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return assets.mapInPandas(
+        run, "doc_id long, decoded_ok boolean, width int, height int, "
+             "run_idx int, text string")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3709,4 +3777,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_lines_docs": shard_lines_docs,
     "tiff_pages_docs": tiff_pages_docs,
     "heif_probe_docs": heif_probe_docs,
+    "svg_extract_docs": svg_extract_docs,
 }
