@@ -2005,6 +2005,35 @@ ORACLE_SQL["svg_extract_docs"] = """
     FROM p WHERE NOT ok
 """
 
+# Feed extraction: both dialect walks, the content-over-description
+# preference and the canonical HTML-to-text pass replayed in SQL.
+ORACLE_SQL["feed_entries_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 11) <> 0 AS ok,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+                   AS kind,
+               doc_id % 4 IN (0, 1) AS has_full,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, kind,
+           CAST(k AS INTEGER) AS entry_idx,
+           'Doc ' || doc_id || ' post ' || k AS title,
+           'http://example.com/' || doc_id || '/' || k AS link,
+           '2026-01-0' || (1 + k) AS "date",
+           'summary ' || doc_id || ' item ' || k || ' & tail'
+               AS summary,
+           CASE WHEN has_full
+                THEN 'body ' || doc_id || ' item ' || k || ' rest'
+                ELSE 'summary ' || doc_id || ' item ' || k || ' & tail'
+           END AS text
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.
