@@ -2034,6 +2034,32 @@ ORACLE_SQL["feed_entries_docs"] = """
     FROM p WHERE NOT ok
 """
 
+# Notebook extraction: both nbformat walks' cell types, multi-line
+# sources, output counts and the never-inline-blobs image flag.
+ORACLE_SQL["notebook_cells_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 10) <> 0 AS ok,
+               CAST(2 + doc_id % 3 AS INTEGER) AS n,
+               doc_id % 4 = 0 AS img
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           CAST(k AS INTEGER) AS cell_idx,
+           CASE WHEN k % 2 = 0 THEN 'markdown' ELSE 'code' END
+               AS cell_type,
+           'cell ' || k || ' of doc ' || doc_id || chr(10)
+               || 'line two ' || k AS source,
+           CAST(CASE WHEN k % 2 = 1
+                     THEN (k % 3) + CASE WHEN img THEN 1 ELSE 0 END
+                END AS INTEGER) AS n_outputs,
+           CASE WHEN k % 2 = 1 THEN img END AS has_image_output
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.
