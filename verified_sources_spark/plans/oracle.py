@@ -2060,6 +2060,46 @@ ORACLE_SQL["notebook_cells_docs"] = """
     FROM p WHERE NOT ok
 """
 
+# Markdown extraction: stripped prose, heading/link/fence counts and
+# the separated code replayed byte-for-byte in SQL.
+ORACLE_SQL["markdown_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 12 = 0 AS trunc,
+               doc_id % 2 = 1 AS setext,
+               doc_id % 3 = 0 AS extra,
+               'Doc ' || doc_id || ' heading' || chr(10) || chr(10)
+                   || 'Intro bold ' || doc_id || ' with link '
+                   || doc_id || '.' AS head
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           CASE WHEN trunc THEN head
+                ELSE head || chr(10) || chr(10) || 'item one '
+                     || doc_id
+                     || CASE WHEN setext
+                             THEN chr(10) || chr(10) || 'Second '
+                                  || doc_id
+                             ELSE '' END
+           END AS text,
+           CAST(CASE WHEN NOT trunc AND setext THEN 2 ELSE 1 END
+                AS INTEGER) AS n_headings,
+           CAST(1 AS INTEGER) AS n_links,
+           CAST(CASE WHEN NOT trunc AND extra THEN 2 ELSE 1 END
+                AS INTEGER) AS n_code_blocks,
+           CASE WHEN NOT trunc AND extra THEN 'python,'
+                ELSE 'python' END AS code_langs,
+           CASE WHEN trunc THEN 'code line ' || doc_id
+                ELSE 'code line ' || doc_id || chr(10) || 'x = '
+                     || doc_id
+                     || CASE WHEN extra
+                             THEN chr(10) || chr(10) || 'plain '
+                                  || doc_id
+                             ELSE '' END
+           END AS code
+    FROM p
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.

@@ -3742,6 +3742,59 @@ def notebook_cells_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outputs", "has_image_output")
 
 
+def markdown_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown ingestion end-to-end over documents — the code-corpus
+    prep step: mint one real README-shaped .md per doc (ATX heading,
+    emphasis/link/image inline syntax, a fenced python block, a list
+    item; odd ids add a SETEXT heading, every 3rd adds a second
+    language-less fence, every 12th truncated to an unterminated
+    fence whose code must still be kept), extract through
+    llm/markdown.markdown_docs_extract.  The oracle replays the
+    stripped prose, heading/link/fence counts and the separated code
+    byte-for-byte in SQL — a value-hash match proves syntax strips,
+    links keep their text, and CODE STAYS OUT OF PROSE (the
+    fence-in-prose failure mode that poisons both mixtures)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.markdown import markdown_docs_extract
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                parts = [
+                    f"# Doc {did} heading", "",
+                    f"Intro **bold {did}** with "
+                    f"[link {did}](http://e.com/{did}).", "",
+                    "```python",
+                    f"code line {did}",
+                    f"x = {did}",
+                    "```", "",
+                    f"- item one {did}",
+                ]
+                if did % 2 == 1:
+                    parts += ["", f"Second {did}", "---"]
+                if did % 3 == 0:
+                    parts += ["", "```", f"plain {did}", "```"]
+                md = "\n".join(parts).encode()
+                if did % 12 == 0:
+                    # truncate INSIDE the first fence: the prose above
+                    # survives and the partial code must still be kept
+                    cut = md.index(b"```python") + 9 + 1 + len(
+                        f"code line {did}")
+                    md = md[:cut]
+                rows.append({"doc_id": did, "asset": md})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return markdown_docs_extract(assets).select(
+        "doc_id", "decoded_ok", "text", "n_headings", "n_links",
+        "n_code_blocks", "code_langs", "code")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -3882,4 +3935,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "svg_extract_docs": svg_extract_docs,
     "feed_entries_docs": feed_entries_docs,
     "notebook_cells_docs": notebook_cells_docs,
+    "markdown_extract_docs": markdown_extract_docs,
 }
