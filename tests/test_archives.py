@@ -236,3 +236,33 @@ def test_lz4_shards():
         decompress(compress(b"x" * 100_000)[:50])
     with pytest.raises(Lz4Error, match="refusing by name"):
         decompress(b"\x00\x11garbage.....")
+
+
+def test_nested_archive_explosion():
+    """iter_members_recursive: archives-inside-archives explode in
+    place with outer!inner paths, depth- and member-count-capped;
+    a corrupt inner archive degrades to its raw bytes."""
+    from verified_sources_spark.llm.archives import iter_members_recursive
+    from verified_sources_spark.llm.sevenzip import encode_7z
+
+    inner = encode_tar({"deep/a.txt": b"alpha", "b.txt": b"beta"},
+                       gz=True)
+    mid = encode_zip({"inner.tgz": inner, "plain.txt": b"top"})
+    outer = encode_7z({"mid.zip": mid, "readme.md": b"# hi"},
+                      codec="lzma2")
+    got = dict(iter_members_recursive(outer))
+    assert got == {"mid.zip!inner.tgz!deep/a.txt": b"alpha",
+                   "mid.zip!inner.tgz!b.txt": b"beta",
+                   "mid.zip!plain.txt": b"top",
+                   "readme.md": b"# hi"}
+    # depth cap: the innermost archive stays raw bytes
+    got = dict(iter_members_recursive(outer, max_depth=1))
+    assert got["mid.zip!inner.tgz"] == inner
+    # corrupt inner falls through as the raw member
+    broken = encode_zip({"bad.tgz": inner[:20], "ok.txt": b"x"})
+    got = dict(iter_members_recursive(broken))
+    assert got["bad.tgz"] == inner[:20] and got["ok.txt"] == b"x"
+    # member-count explosion gate
+    bomb = encode_zip({f"f{i}": b"x" for i in range(50)})
+    with pytest.raises(ArchiveError, match="explosion gate"):
+        dict(iter_members_recursive(bomb, max_total_members=10))

@@ -50,6 +50,7 @@ __all__ = [
     "sniff_archive_format",
     "sniff_shard_codec",
     "iter_members",
+    "iter_members_recursive",
     "archive_members",
     "decompress_shard",
     "shard_lines",
@@ -165,6 +166,41 @@ def iter_members(
     raise ArchiveError(
         "unrecognized archive payload (not zip/7z/tar/tar.{gz,xz,bz2,zst})"
     )
+
+
+def iter_members_recursive(
+    payload: bytes,
+    max_member_bytes: int = _DEFAULT_MAX_MEMBER,
+    max_depth: int = 2,
+    max_total_members: int = 100_000,
+):
+    """Like :func:`iter_members`, but members that themselves sniff as
+    archives EXPLODE IN PLACE (depth-capped — a zip-of-zips bomb is
+    the recursive flavor of the expansion attack; member-count-capped
+    for the many-tiny-files flavor), with paths joined as
+    ``outer!inner``.  A nested archive that fails to open is yielded
+    as the raw member instead — honest degradation, the outer layer
+    stays usable."""
+    count = 0
+
+    def walk(blob: bytes, prefix: str, depth: int):
+        nonlocal count
+        for name, data in iter_members(blob, max_member_bytes):
+            path = f"{prefix}{name}"
+            count += 1
+            if count > max_total_members:
+                raise ArchiveError(
+                    f"nested archive exceeds {max_total_members} "
+                    f"members — explosion gate")
+            if depth < max_depth and sniff_archive_format(data):
+                try:
+                    yield from walk(data, path + "!", depth + 1)
+                    continue
+                except ArchiveError:
+                    pass  # corrupt inner archive: fall through as bytes
+            yield path, data
+
+    yield from walk(payload, "", 0)
 
 
 ARCHIVE_MEMBERS_SCHEMA = (
