@@ -69,6 +69,9 @@ def list_streams(data: bytes) -> dict[str, bytes]:
     a component."""
     if data[:8] != _MAGIC:
         raise CfbError(f"not a CFB container (magic {data[:8]!r})")
+    if len(data) < 512:
+        raise CfbError(
+            f"truncated CFB header ({len(data)} bytes < 512)")
     (minor, major, order, sshift, mshift) = struct.unpack_from(
         "<HHHHH", data, 24)
     if order != 0xFFFE:

@@ -43,6 +43,13 @@ def _children(data: bytes, start: int, end: int) -> dict:
 
 def probe(data: bytes) -> dict:
     """{brand, codec, width, height, n_items} for the PRIMARY item."""
+    try:
+        return _probe(data)
+    except (struct.error, IndexError) as e:
+        raise HeifError(f"malformed HEIF box body: {e}") from None
+
+
+def _probe(data: bytes) -> dict:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise HeifError("not an ISO-BMFF payload (no ftyp)")
     brand = data[8:12]

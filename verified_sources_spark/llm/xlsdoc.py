@@ -138,6 +138,16 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
 def xls_units(data: bytes) -> list[str]:
     """One unit per sheet: rows as lines, cells tab-joined in column
     order — the same rendering as the xlsx path in llm/office."""
+    try:
+        return _xls_units(data)
+    except (struct.error, IndexError) as e:
+        # a malformed record body shorter than its type implies must
+        # surface as the format error, never a raw struct failure
+        # that would escape the Spark operators' isolation
+        raise XlsError(f"malformed BIFF record body: {e}") from None
+
+
+def _xls_units(data: bytes) -> list[str]:
     from verified_sources_spark.llm.cfb import CfbError, list_streams
 
     try:
