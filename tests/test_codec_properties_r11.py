@@ -214,3 +214,63 @@ def test_office_binary_junk_refuses_cleanly(junk):
         assert isinstance(units, list)
     except PptError:
         pass
+
+
+@_fast
+@given(junk=st.binary(min_size=0, max_size=1024))
+def test_pdf_junk_refuses_cleanly(junk):
+    """pdf_extract isolates on PdfError ONLY — any other exception
+    from the object loader would fail a Spark task."""
+    from verified_sources_spark.llm.pdf_codec import (
+        PdfError, extract_pdf_text,
+    )
+
+    try:
+        out = extract_pdf_text(b"%PDF-1.4\n" + junk)
+        assert isinstance(out, dict)
+    except PdfError:
+        pass
+
+
+@_fast
+@given(junk=st.binary(min_size=0, max_size=1024))
+def test_warc_junk_refuses_cleanly(junk):
+    from verified_sources_spark.llm.warc import WarcError, iter_records
+
+    try:
+        for _h, _b in iter_records(b"WARC/1.0\r\n" + junk):
+            pass
+    except WarcError:
+        pass
+
+
+@_fast
+@given(junk=st.binary(min_size=0, max_size=1024))
+def test_email_junk_refuses_cleanly(junk):
+    from verified_sources_spark.llm.email_ingest import (
+        EmailError, parse_eml,
+    )
+
+    try:
+        out = parse_eml(b"Subject: x\r\n" + junk)
+        assert isinstance(out, dict)
+    except EmailError:
+        pass
+
+
+@_fast
+@given(junk=st.binary(min_size=0, max_size=1024))
+def test_feed_and_svg_junk_refuse_cleanly(junk):
+    from verified_sources_spark.llm.feeds import FeedError, feed_entries
+    from verified_sources_spark.llm.svg_codec import SvgError, probe
+
+    try:
+        out = feed_entries(b'<rss version="2.0">' + junk)
+        assert isinstance(out, list)
+    except FeedError:
+        pass
+    try:
+        out = probe(b"<svg " + junk)
+        assert isinstance(out, dict)
+    except SvgError:
+        pass
