@@ -194,3 +194,14 @@ def test_office_extract_operator(spark):
         (2, False, None, None, None, None),
         (3, True, "rtf", 0, 1, "only"),
     ]
+
+
+def test_odp_round_trip():
+    """ODF presentations: one unit per draw:page, text runs joined —
+    completing the ODF trio (text/spreadsheet/presentation)."""
+    from verified_sources_spark.llm.office import encode_odp
+
+    slides = ["Title slide text", "bullet été content", "closing ライド"]
+    out = extract_office(encode_odp(slides))
+    assert out["format"] == "odp"
+    assert out["units"] == slides

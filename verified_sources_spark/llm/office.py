@@ -1,5 +1,6 @@
 """Office-document text extraction: DOCX / XLSX / PPTX (OOXML),
-ODT / ODS (OpenDocument), and RTF — pure stdlib (zipfile +
+ODT / ODS / ODP (OpenDocument), RTF, and — via llm/cfb — the legacy
+binary .doc / .xls / .ppt, pure stdlib (zipfile +
 xml.etree + a hand-rolled RTF tokenizer).
 
 Why this exists: a web-scale training corpus is full of office
@@ -50,7 +51,7 @@ import xml.etree.ElementTree as ET
 __all__ = [
     "OfficeError",
     "encode_docx", "encode_xlsx", "encode_pptx",
-    "encode_odt", "encode_ods", "encode_rtf",
+    "encode_odt", "encode_ods", "encode_odp", "encode_rtf",
     "extract_office", "office_extract",
     "OFFICE_EXTRACT_SCHEMA",
 ]
@@ -74,6 +75,7 @@ _CT = "http://schemas.openxmlformats.org/package/2006/content-types"
 _TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
 _OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
 _TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+_DRAW = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
 
 
 def _esc(s: str) -> str:
@@ -366,6 +368,34 @@ def encode_ods(rows: list[list]) -> bytes:
     ], stored_first=True)
 
 
+def encode_odp(slides: list[str]) -> bytes:
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_OFFICE}" '
+        f'xmlns:text="{_TEXT}" xmlns:draw="{_DRAW}">'
+        "<office:body><office:presentation>"
+        + "".join(
+            f'<draw:page draw:name="page{i + 1}"><draw:frame>'
+            f"<draw:text-box><text:p>{_odf_paragraph(t)}</text:p>"
+            f"</draw:text-box></draw:frame></draw:page>"
+            for i, t in enumerate(slides))
+        + "</office:presentation></office:body>"
+          "</office:document-content>"
+    ).encode()
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.presentation"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    ).encode()
+    return _zip_parts([
+        ("mimetype", b"application/vnd.oasis.opendocument.presentation"),
+        ("META-INF/manifest.xml", manifest),
+        ("content.xml", content),
+    ], stored_first=True)
+
+
 def encode_rtf(paragraphs: list[str]) -> bytes:
     """RTF 1.x writer: cp1252-representable chars as ``\\'hh`` escapes
     when non-ASCII, everything else as ``\\uN`` with a ``?`` fallback;
@@ -528,10 +558,19 @@ def _odt_units(z: zipfile.ZipFile) -> list[str]:
             if el.tag in (f"{{{_TEXT}}}p", f"{{{_TEXT}}}h"):
                 units.append(_odf_text(el))
         return units
+    # presentation: one unit per draw:page, text runs joined like pptx
+    pres = (body.find(f"{{{_OFFICE}}}presentation")
+            if body is not None else None)
+    if pres is not None:
+        for page in pres.iter(f"{{{_DRAW}}}page"):
+            runs = [_odf_text(el) for el in page.iter(f"{{{_TEXT}}}p")]
+            units.append("\n".join(r for r in runs if r))
+        return units
     # spreadsheet: one unit per table, TSV-rendered like xlsx
     ss = body.find(f"{{{_OFFICE}}}spreadsheet") if body is not None else None
     if ss is None:
-        raise OfficeError("ODF document with no text or spreadsheet body")
+        raise OfficeError(
+            "ODF document with no text/presentation/spreadsheet body")
     for table in ss.iter(f"{{{_TABLE}}}table"):
         lines = []
         for row in table.iter(f"{{{_TABLE}}}table-row"):
@@ -727,6 +766,8 @@ def extract_office(data: bytes) -> dict:
                 return {"format": "odt", "units": _odt_units(z)}
             if mt == "application/vnd.oasis.opendocument.spreadsheet":
                 return {"format": "ods", "units": _odt_units(z)}
+            if mt == "application/vnd.oasis.opendocument.presentation":
+                return {"format": "odp", "units": _odt_units(z)}
             raise OfficeError(f"unsupported ODF mimetype: {mt}")
         if "word/document.xml" in names:
             return {"format": "docx", "units": _docx_units(z)}

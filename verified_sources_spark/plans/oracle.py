@@ -2299,7 +2299,7 @@ ORACLE_SQL["video_scene_pairs_docs"] = """
       AND doc_id % 37 <> 0 AND (doc_id - 1) % 37 <> 0
 """
 
-# Office-document extraction: NINE container formats' slicing
+# Office-document extraction: TEN container formats' slicing
 # arithmetic replayed in SQL — paragraph/slide formats (incl. legacy
 # binary .doc via CFB + piece table) emit one row per 80-char unit,
 # sheet formats (incl. BIFF8 .xls) render all units as one
@@ -2307,11 +2307,12 @@ ORACLE_SQL["video_scene_pairs_docs"] = """
 ORACLE_SQL["office_extract_docs"] = """
     WITH p AS (
         SELECT doc_id, (doc_id % 17) <> 0 AS ok,
-               CASE doc_id % 9 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
-                               WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
-                               WHEN 4 THEN 'ods' WHEN 5 THEN 'rtf'
-                               WHEN 6 THEN 'doc' WHEN 7 THEN 'xls'
-                               ELSE 'ppt' END AS fmt,
+               CASE doc_id % 10 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                                WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
+                                WHEN 4 THEN 'ods' WHEN 5 THEN 'rtf'
+                                WHEN 6 THEN 'doc' WHEN 7 THEN 'xls'
+                                WHEN 8 THEN 'ppt'
+                                ELSE 'odp' END AS fmt,
                CAST(1 + doc_id % 3 AS INTEGER) AS n,
                COALESCE(text, '') AS t
         FROM documents

@@ -3233,13 +3233,13 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece table, both table-stream names, via llm/worddoc) / legacy
     binary .xls (BIFF8 SST incl. CONTINUE-split strings, via
     llm/xlsdoc) / legacy binary .ppt (record-atom tree, via
-    llm/pptdoc) by ``doc_id % 9``, content is
+    llm/pptdoc) / odp by ``doc_id % 10``, content is
     ``1 + doc_id % 3`` units of 80-char slices (paragraphs / sheet
     rows / slides), every 17th truncated — then extract through
     llm/office.office_extract into per-unit rows.  The oracle replays
     the slicing arithmetic AND the text itself in SQL — a value-hash
-    match proves nine independent container walks (two OOXML XML
-    dialects, two ODF dialects, three OLE2 binary formats, a
+    match proves TEN independent container walks (two OOXML XML
+    dialects, three ODF dialects, three OLE2 binary formats, a
     zip-package sniff and an RTF
     tokenizer) recovered every unit byte-for-byte (the office-document
     front door of a training corpus; reference analogue:
@@ -3259,10 +3259,12 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from verified_sources_spark.llm.worddoc import encode_doc
         from verified_sources_spark.llm.xlsdoc import encode_xls
 
+        from verified_sources_spark.llm.office import encode_odp
         from verified_sources_spark.llm.pptdoc import encode_ppt
 
         encoders = [encode_docx, None, encode_pptx, encode_odt, None,
-                    encode_rtf, encode_doc, None, encode_ppt]
+                    encode_rtf, encode_doc, None, encode_ppt,
+                    encode_odp]
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
@@ -3270,7 +3272,7 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = text or ""
                 units = [t[80 * k : 80 * (k + 1)]
                          for k in range(1 + did % 3)]
-                fmt = did % 9
+                fmt = did % 10
                 if fmt == 1:
                     asset = encode_xlsx([[u] for u in units])
                 elif fmt == 4:
