@@ -168,10 +168,12 @@ def test_refuses_plain_zip_and_odf_presentation():
     with pytest.raises(OfficeError, match="not a known office package"):
         extract_office(buf.getvalue())
 
+    # odp DECODES now — an ODF mimetype outside the supported trio
+    # (e.g. graphics) remains the named refusal
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
         zi = zipfile.ZipInfo("mimetype")
-        z.writestr(zi, b"application/vnd.oasis.opendocument.presentation",
+        z.writestr(zi, b"application/vnd.oasis.opendocument.graphics",
                    compress_type=zipfile.ZIP_STORED)
     with pytest.raises(OfficeError, match="unsupported ODF mimetype"):
         extract_office(buf.getvalue())
