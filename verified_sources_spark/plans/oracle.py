@@ -2100,6 +2100,22 @@ ORACLE_SQL["markdown_extract_docs"] = """
     FROM p
 """
 
+# Crawl-to-corpus composition: WARC wire -> text extraction -> token
+# count -> exact dedup, replayed as one SQL chain.
+ORACLE_SQL["crawl_dedup_pipeline_docs"] = """
+    WITH s AS (
+        SELECT doc_id, doc_id // 3 AS g
+        FROM documents
+        WHERE doc_id % 13 <> 0
+    )
+    SELECT MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(6 + (g % 3) AS INTEGER) AS n_tokens,
+           'shared page content of group ' || g
+               || repeat(' filler', CAST(g % 3 AS INTEGER)) AS text
+    FROM s GROUP BY g
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.
