@@ -216,7 +216,10 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
     asset column either.)"""
     for q in ("tiff_pages_docs", "archive_members_docs",
               "shard_lines_docs", "office_extract_docs",
-              "pdf_extract_docs", "email_extract_docs"):
+              "pdf_extract_docs", "email_extract_docs",
+              "feed_entries_docs", "notebook_cells_docs",
+              "markdown_extract_docs", "heif_probe_docs",
+              "svg_extract_docs", "crawl_dedup_pipeline_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():
