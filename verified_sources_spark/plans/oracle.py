@@ -2116,6 +2116,32 @@ ORACLE_SQL["crawl_dedup_pipeline_docs"] = """
     FROM s GROUP BY g
 """
 
+# Nested-archive explosion: three container layers' paths, sizes and
+# recovered text replayed in SQL, incl. the corrupt-inner degradation.
+ORACLE_SQL["nested_archive_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mid.zip!' ELSE '' END
+                   AS pre,
+               (doc_id % 13) = 0 AS corrupt,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           pre || 'inner.tgz!doc_' || doc_id || '.txt' AS member_path,
+           CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+           t AS text
+    FROM p WHERE NOT corrupt
+    UNION ALL
+    SELECT doc_id, pre || 'inner.tgz', CAST(20 AS BIGINT), NULL
+    FROM p WHERE corrupt
+    UNION ALL
+    SELECT doc_id, pre || 'side.txt',
+           CAST(8 + length(CAST(doc_id AS VARCHAR)) AS BIGINT),
+           'sidecar ' || doc_id
+    FROM p
+"""
+
 # Multi-page fax TIFF: page count and per-page dims arithmetic
 # replayed in SQL — a hash match proves every chained IFD walked and
 # every page's CCITT strips (all four flavors) decoded.

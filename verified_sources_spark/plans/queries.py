@@ -3861,6 +3861,54 @@ def crawl_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text"))
 
 
+def nested_archive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-archive explosion end-to-end over documents: per doc,
+    wrap the doc's text inside a tar.gz, wrap THAT inside a zip with
+    a plain sidecar, and wrap that inside a 7z (LZMA2) on every even
+    id — then explode through llm/archives.iter_members_recursive
+    with outer!inner path joins.  Every 13th doc's INNER tar.gz is
+    corrupted: it must degrade to its raw member bytes while its
+    siblings keep exploding (the honest-degradation contract).  The
+    oracle replays the nesting paths, byte counts and the recovered
+    text in SQL — a value-hash match proves three container layers
+    and the depth-capped walk compose exactly."""
+    import pandas as pd
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        from verified_sources_spark.llm.archives import (
+            encode_tar, encode_zip, iter_members_recursive,
+        )
+        from verified_sources_spark.llm.sevenzip import encode_7z
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = (text or "").encode()
+                inner = encode_tar({f"doc_{did}.txt": t}, gz=True)
+                if did % 13 == 0:
+                    inner = inner[:20]  # corrupt: degrades to bytes
+                mid = encode_zip({"inner.tgz": inner,
+                                  "side.txt": b"sidecar %d" % did})
+                asset = (encode_7z({"mid.zip": mid}, codec="lzma2")
+                         if did % 2 == 0 else mid)
+                for name, data in iter_members_recursive(asset):
+                    rows.append({
+                        "doc_id": did, "member_path": name,
+                        "n_bytes": len(data),
+                        "text": data.decode("utf-8", errors="replace")
+                        if name.endswith(".txt") else None})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "member_path", "n_bytes",
+                               "text"])
+
+    return d.mapInPandas(
+        run, "doc_id long, member_path string, n_bytes long, "
+             "text string")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4003,4 +4051,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "notebook_cells_docs": notebook_cells_docs,
     "markdown_extract_docs": markdown_extract_docs,
     "crawl_dedup_pipeline_docs": crawl_dedup_pipeline_docs,
+    "nested_archive_docs": nested_archive_docs,
 }
