@@ -266,3 +266,36 @@ def test_nested_archive_explosion():
     bomb = encode_zip({f"f{i}": b"x" for i in range(50)})
     with pytest.raises(ArchiveError, match="explosion gate"):
         dict(iter_members_recursive(bomb, max_total_members=10))
+
+
+def test_nested_archive_all_or_nothing_fallback():
+    """A nested archive that dies MID-iteration (early members fine,
+    a later one oversized) must fall back all-or-nothing: only the
+    raw blob appears, never early inner members + the blob (the
+    double-yield would poison dedup).  And the explosion gate firing
+    INSIDE a nested archive refuses the whole payload — it is a
+    distinct exception the corrupt-inner fallback never swallows."""
+    from verified_sources_spark.llm.archives import (
+        ArchiveExplosionError, iter_members_recursive,
+    )
+
+    cap = 1000
+    inner = encode_zip({"f0.txt": b"a", "f1.txt": b"b",
+                        "f2.txt": b"c", "huge.bin": b"x" * (cap + 1)})
+    outer = encode_zip({"inner.zip": inner, "ok.txt": b"fine"})
+    got = dict(iter_members_recursive(outer, max_member_bytes=cap))
+    assert got == {"inner.zip": inner, "ok.txt": b"fine"}
+    assert not any(k.startswith("inner.zip!") for k in got)
+
+    # gate inside a nested archive: refuse, don't degrade to bytes
+    bomb_inner = encode_zip({f"f{i}": b"x" for i in range(30)})
+    bomb = encode_zip({"bomb.zip": bomb_inner})
+    with pytest.raises(ArchiveExplosionError, match="explosion gate"):
+        dict(iter_members_recursive(bomb, max_total_members=10))
+
+    # the discarded inner members must not consume gate budget: 3
+    # surviving rows fit a 5-member cap even though the corrupt inner
+    # counted 3 before dying
+    got = dict(iter_members_recursive(outer, max_member_bytes=cap,
+                                      max_total_members=5))
+    assert len(got) == 2

@@ -40,6 +40,31 @@ def test_cfb_round_trips():
         assert list_streams(encode_cfb(streams)) == streams
 
 
+def test_cfb_long_sibling_chains():
+    """Sibling chains are degenerate right-linked lists in encode_cfb's
+    own output (and in real legacy files with many streams); the walk
+    must be iterative — 80+ siblings at one level round-trip, and a
+    sibling CYCLE raises instead of hanging."""
+    many = {f"s{i:03d}": b"payload %d" % i for i in range(80)}
+    data = encode_cfb(many)
+    assert list_streams(data) == many
+    # 80 streams inside one storage: long chain under a nested prefix
+    nested = {f"Store/s{i:03d}": b"n%d" % i for i in range(80)}
+    assert list_streams(encode_cfb(nested)) == nested
+    # sibling cycle: point the first stream entry's right-sibling at
+    # itself — must raise CfbError, not loop forever
+    bad = bytearray(data)
+    (first_dir,) = struct.unpack_from("<I", bad, 48)
+    dir_off = 512 * (first_dir + 1)
+    for k in range(4):  # find a stream entry in the first dir sector
+        e = dir_off + 128 * k
+        if bad[e + 66] == 2:
+            struct.pack_into("<I", bad, e + 72, k)  # right -> self
+            break
+    with pytest.raises(CfbError, match="bad directory reference"):
+        list_streams(bytes(bad))
+
+
 def test_cfb_spec_layout_pins():
     data = encode_cfb({"S": b"payload"})
     assert data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"

@@ -135,6 +135,15 @@ class TestRtf:
         rtf = rb"{\rtf1\ansi\ansicpg1252 caf\'e9\par}"
         assert extract_office(rtf)["units"] == ["café"]
 
+    def test_uc_skip_swallows_whole_hex_escape(self):
+        # Word writes \uN\'hh fallbacks: with \ucN >= 1 the WHOLE \'hh
+        # sequence is one skipped char — its hex digits must not leak
+        rtf = rb"{\rtf1\ansi\uc1 X\u233\'e9Y\par}"
+        assert extract_office(rtf)["units"] == ["XéY"]
+        # \uc2: two hex-escape fallbacks, both fully swallowed
+        rtf = rb"{\rtf1\ansi\uc2 X\u233\'e9\'3fY\par}"
+        assert extract_office(rtf)["units"] == ["XéY"]
+
     def test_bin_skip(self):
         rtf = rb"{\rtf1\ansi before\bin5 " + bytes(5) + rb" after\par}"
         out = extract_office(rtf)

@@ -242,6 +242,54 @@ def test_runlength_edge_cases():
         _rl_decode(b"\x05ab")
 
 
+def test_png_predictor_stride_and_bpp():
+    """PNG /Predictor row stride is ceil(columns*colors*bpc/8) — a
+    1-bit image whose Columns is not a multiple of 8 still pads rows
+    to byte boundaries — and the Sub/Paeth 'left' offset is the PNG
+    bytes-per-pixel, not always 1 byte (8-bit RGB looks back 3)."""
+    import random
+
+    from verified_sources_spark.llm.pdf_codec import _apply_predictor
+
+    def png_filter(rows, bpp, ftypes):
+        # independent forward implementation straight from the PNG spec
+        out, prev = bytearray(), bytes(len(rows[0]))
+        for row, ft in zip(rows, ftypes):
+            out.append(ft)
+            for i, x in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                if ft == 0:
+                    pr = 0
+                elif ft == 1:
+                    pr = a
+                elif ft == 2:
+                    pr = b
+                elif ft == 3:
+                    pr = (a + b) >> 1
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                out.append((x - pr) & 0xFF)
+            prev = row
+        return bytes(out)
+
+    rng = random.Random(12)
+    # 1-bit, Columns=10 -> stride ceil(10/8)=2 (floor gives 1: garbage)
+    rows = [bytes(rng.randrange(256) for _ in range(2)) for _ in range(6)]
+    pm = {"Predictor": 15, "Colors": 1, "BitsPerComponent": 1,
+          "Columns": 10}
+    enc = png_filter(rows, 1, [0, 1, 2, 3, 4, 2])
+    assert _apply_predictor(pm, enc) == b"".join(rows)
+    # 8-bit RGB, Columns=5 -> stride 15, bpp=3 (left is 3 bytes back)
+    rows = [bytes(rng.randrange(256) for _ in range(15)) for _ in range(4)]
+    pm = {"Predictor": 15, "Colors": 3, "BitsPerComponent": 8,
+          "Columns": 5}
+    enc = png_filter(rows, 3, [1, 4, 3, 1])
+    assert _apply_predictor(pm, enc) == b"".join(rows)
+
+
 def _gray_fixture(w=24, h=16, seed=7):
     import numpy as np
 

@@ -76,6 +76,36 @@ def test_named_refusals_hand_assembled():
         dict(iter_7z_members(rewrap(multi_hdr)))
 
 
+def test_empty_file_vs_directory_entries():
+    """kEmptyFile (0x0F) semantics: an empty-stream entry is a FILE
+    only when its empty-file bit is set; clear (or the property
+    absent) means directory — skipped, like zip/tar dirs, so archive
+    member counts don't inflate."""
+    import zlib
+
+    d = encode_7z({"f.txt": b"data", "empty.txt": b"", "dir": b""},
+                  codec="copy")
+    nh_off, nh_size = struct.unpack_from("<QQ", d, 12)
+    body, header = d[32 : 32 + nh_off], d[32 + nh_off:]
+
+    def rewrap(hdr: bytes) -> bytes:
+        nh = struct.pack("<QQI", len(body), len(hdr), zlib.crc32(hdr))
+        return (b"7z\xbc\xaf\x27\x1c\x00\x04"
+                + struct.pack("<I", zlib.crc32(nh)) + nh + body + hdr)
+
+    # encoder marks both empty streams as empty files
+    assert dict(iter_7z_members(d)) == {
+        "f.txt": b"data", "empty.txt": b"", "dir": b""}
+    i = header.index(b"\x0f\x01\xc0")  # kEmptyFile, size 1, bits 11
+    # clear the second empty entry's bit: 'dir' becomes a directory
+    patched = header[:i] + b"\x0f\x01\x80" + header[i + 3:]
+    assert dict(iter_7z_members(rewrap(patched))) == {
+        "f.txt": b"data", "empty.txt": b""}
+    # property absent entirely: all empty streams are directories
+    stripped = header[:i] + header[i + 3:]
+    assert dict(iter_7z_members(rewrap(stripped))) == {"f.txt": b"data"}
+
+
 def test_number_encoding_round_trip():
     from verified_sources_spark.llm.sevenzip import _Rd, _wnum
 

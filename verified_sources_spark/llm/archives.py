@@ -47,6 +47,7 @@ import zlib
 
 __all__ = [
     "ArchiveError",
+    "ArchiveExplosionError",
     "sniff_archive_format",
     "sniff_shard_codec",
     "iter_members",
@@ -64,6 +65,13 @@ _DEFAULT_MAX_MEMBER = 1 << 30  # 1 GiB per member: the zip-bomb gate
 
 class ArchiveError(ValueError):
     pass
+
+
+class ArchiveExplosionError(ArchiveError):
+    """The member-count explosion gate tripped.  Distinct from a merely
+    corrupt archive: callers that degrade corrupt inner archives to raw
+    bytes must NOT swallow this — a zip-of-zips bomb has to refuse the
+    whole payload, never partially explode."""
 
 
 def sniff_archive_format(payload: bytes) -> str | None:
@@ -180,24 +188,37 @@ def iter_members_recursive(
     for the many-tiny-files flavor), with paths joined as
     ``outer!inner``.  A nested archive that fails to open is yielded
     as the raw member instead — honest degradation, the outer layer
-    stays usable."""
+    stays usable.  Each nested archive is buffered before anything is
+    yielded so the corrupt-inner fallback is all-or-nothing: a member
+    list that dies mid-iteration must not leave already-yielded inner
+    rows AND the raw blob in the output (duplicated bytes poison the
+    dedup surface).  Buffer memory is bounded by the existing caps
+    (max_member_bytes per member, max_total_members overall).  The
+    explosion gate raises :class:`ArchiveExplosionError` and is
+    re-raised past the fallback — a bomb refuses, never degrades."""
     count = 0
 
     def walk(blob: bytes, prefix: str, depth: int):
         nonlocal count
         for name, data in iter_members(blob, max_member_bytes):
             path = f"{prefix}{name}"
+            if depth < max_depth and sniff_archive_format(data):
+                saved = count
+                try:
+                    inner = list(walk(data, path + "!", depth + 1))
+                except ArchiveExplosionError:
+                    raise
+                except ArchiveError:
+                    count = saved  # discard partially-counted inner rows
+                    inner = None
+                if inner is not None:
+                    yield from inner
+                    continue
             count += 1
             if count > max_total_members:
-                raise ArchiveError(
+                raise ArchiveExplosionError(
                     f"nested archive exceeds {max_total_members} "
                     f"members — explosion gate")
-            if depth < max_depth and sniff_archive_format(data):
-                try:
-                    yield from walk(data, path + "!", depth + 1)
-                    continue
-                except ArchiveError:
-                    pass  # corrupt inner archive: fall through as bytes
             yield path, data
 
     yield from walk(payload, "", 0)

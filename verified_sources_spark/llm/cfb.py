@@ -171,23 +171,37 @@ def list_streams(data: bytes) -> dict[str, bytes]:
     streams: dict[str, bytes] = {}
 
     def visit(idx: int, prefix: str, depth: int):
-        if idx == _NOSTREAM:
-            return
-        if depth > 64 or idx >= len(entries) or entries[idx] is None:
-            raise CfbError(f"bad directory reference {idx}")
-        e = entries[idx]
-        visit(e["left"], prefix, depth + 1)
-        visit(e["right"], prefix, depth + 1)
-        path = prefix + e["name"]
-        if e["type"] == 2:  # stream
-            if e["size"] < cutoff:
-                streams[path] = read_mini(e["start"], e["size"], path)
+        # Sibling chains walk ITERATIVELY (a degenerate right-linked
+        # list — which encode_cfb itself legally writes, and real
+        # legacy .doc/.xls with many streams ship — must not hit any
+        # recursion/depth limit); a visited set bounded by the entry
+        # count guards cycles.  The depth cap applies to STORAGE
+        # nesting only.
+        if depth > 64:
+            raise CfbError("storage nesting exceeds depth cap 64")
+        seen: set[int] = set()
+        stack = [idx]
+        while stack:
+            i = stack.pop()
+            if i == _NOSTREAM:
+                continue
+            if i in seen or i >= len(entries) or entries[i] is None:
+                raise CfbError(f"bad directory reference {i}")
+            seen.add(i)
+            e = entries[i]
+            stack.append(e["left"])
+            stack.append(e["right"])
+            path = prefix + e["name"]
+            if e["type"] == 2:  # stream
+                if e["size"] < cutoff:
+                    streams[path] = read_mini(e["start"], e["size"], path)
+                else:
+                    streams[path] = read_chain(e["start"], e["size"], path)
+            elif e["type"] == 1:  # storage
+                visit(e["child"], path + "/", depth + 1)
             else:
-                streams[path] = read_chain(e["start"], e["size"], path)
-        elif e["type"] == 1:  # storage
-            visit(e["child"], path + "/", depth + 1)
-        else:
-            raise CfbError(f"unexpected directory object type {e['type']}")
+                raise CfbError(
+                    f"unexpected directory object type {e['type']}")
 
     visit(root["child"], "", 0)
     return streams

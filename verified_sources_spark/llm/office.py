@@ -643,23 +643,27 @@ def _rtf_units(data: bytes) -> list[str]:
             pos = m.end()
             if m.group(3) is not None:
                 sym = m.group(3)
-                if pending_skip:
-                    pending_skip -= 1
-                    continue
-                if skipping:
-                    continue
                 if sym == b"'":
+                    # consume the two hex digits FIRST: the whole \'hh
+                    # sequence is one character, so a pending \uN skip
+                    # swallows all of it (digits must never leak as text)
                     hexpair = data[pos:pos + 2]
                     pos += 2
                     if pending_skip:
                         pending_skip -= 1
-                    else:
+                    elif not skipping:
                         try:
                             cur.append(
                                 bytes([int(hexpair, 16)]).decode(codepage))
                         except ValueError:
                             pass
-                elif sym in (b"\\", b"{", b"}"):
+                    continue
+                if pending_skip:
+                    pending_skip -= 1
+                    continue
+                if skipping:
+                    continue
+                if sym in (b"\\", b"{", b"}"):
                     cur.append(sym.decode())
                 elif sym == b"~":
                     cur.append("\u00a0")

@@ -240,9 +240,12 @@ class _Lexer:
         raise PdfError(f"unexpected token {kind} in object position")
 
 
-def _png_unpredict(data: bytes, columns: int) -> bytes:
+def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
     """Reverse PNG row filters (the /Predictor>=10 convention used by
-    xref streams): one filter byte per row, Up/Sub/Paeth etc."""
+    xref streams): one filter byte per row, Up/Sub/Paeth etc.  ``bpp``
+    is the PNG bytes-per-pixel — the 'left' offset for Sub/Average/
+    Paeth — floor(colors*bpc/8) clamped to 1 (sub-byte samples filter
+    at byte granularity per the PNG spec)."""
     rowlen = columns
     out = bytearray()
     prev = bytearray(rowlen)
@@ -255,19 +258,19 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
         if ft == 0:
             pass
         elif ft == 1:
-            for i in range(1, rowlen):
-                row[i] = (row[i] + row[i - 1]) & 0xFF
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ft == 2:
             for i in range(rowlen):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ft == 3:
             for i in range(rowlen):
-                left = row[i - 1] if i else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:
             for i in range(rowlen):
-                a = row[i - 1] if i else 0
-                b, c = prev[i], (prev[i - 1] if i else 0)
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
                 pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                 pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 row[i] = (row[i] + pr) & 0xFF
@@ -368,8 +371,11 @@ def _apply_predictor(pm, raw: bytes) -> bytes:
     if pred == 1:
         return raw
     if pred >= 10:
-        # PNG predictors; _png_unpredict expects the byte-width row
-        return _png_unpredict(raw, columns * colors * bpc // 8)
+        # PNG predictors; row stride is CEIL of the bit width (a 1-bit
+        # image with Columns not a multiple of 8 still pads each row to
+        # a byte boundary — the PNG/PDF row-stride definition)
+        return _png_unpredict(raw, (columns * colors * bpc + 7) // 8,
+                              max(1, colors * bpc // 8))
     if pred == 2 and bpc == 8:
         # TIFF horizontal differencing
         row_w = columns * colors

@@ -316,6 +316,7 @@ def iter_7z_members(data: bytes, max_member_bytes: int = 1 << 30):
     streams: list[bytes] = []
     names: list[str] = []
     empty_stream: list[bool] = []
+    empty_file: list[bool] | None = None
     while True:
         t = r.byte()
         if t == _K_END:
@@ -355,6 +356,12 @@ def iter_7z_members(data: bytes, max_member_bytes: int = 1 << 30):
                 elif pt == _K_EMPTY_STREAM:
                     empty_stream = r.bits(n_files)
                     r.p = end
+                elif pt == _K_EMPTY_FILE:
+                    # one bit per EMPTY-STREAM entry (7-Zip writes
+                    # kEmptyStream first): set = empty file, clear =
+                    # directory.  Absent property = all directories.
+                    empty_file = r.bits(sum(empty_stream))
+                    r.p = end
                 else:
                     r.p = end  # times/attributes/etc: size-skippable
         else:
@@ -363,9 +370,18 @@ def iter_7z_members(data: bytes, max_member_bytes: int = 1 << 30):
     if not names:
         raise SevenZipError("7z archive without a FilesInfo name table")
     si = 0
+    ei = 0
     for i, name in enumerate(names):
         if i < len(empty_stream) and empty_stream[i]:
-            yield name, b""
+            # empty-stream entry: a FILE only if its kEmptyFile bit is
+            # set; otherwise a directory — skipped, matching
+            # iter_members' contract for zip/tar (yield regular
+            # members only, never inflate member counts with dirs)
+            is_file = (empty_file is not None and ei < len(empty_file)
+                       and empty_file[ei])
+            ei += 1
+            if is_file:
+                yield name, b""
             continue
         if si >= len(streams):
             raise SevenZipError(
@@ -453,6 +469,14 @@ def encode_7z(members: dict[str, bytes], codec: str = "lzma2",
         if len(names) % 8:
             bits.append(acc << (8 - len(names) % 8))
         header += bytes([_K_EMPTY_STREAM]) + _wnum(len(bits)) + bits
+        # kEmptyFile: every empty stream here is an empty FILE (the
+        # fixture encoder has no directories) — without this property
+        # the spec reads them as directories and readers drop them
+        n_empty = len(names) - len(nonempty)
+        ebits = bytearray(b"\xff" * (n_empty // 8))
+        if n_empty % 8:
+            ebits.append((0xFF << (8 - n_empty % 8)) & 0xFF)
+        header += bytes([_K_EMPTY_FILE]) + _wnum(len(ebits)) + ebits
     raw_names = b"\x00" + b"".join(
         n.encode("utf-16-le") + b"\x00\x00" for n in names)
     header += bytes([_K_NAMES]) + _wnum(len(raw_names)) + raw_names

@@ -102,7 +102,9 @@ def sessionize_stateful(
     streaming implementations agree on the same gap rule (cross-checked
     in tests/test_stateful.py)."""
 
-    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
         out: list[tuple] = []
         if state.hasTimedOut:
             if state.exists:
