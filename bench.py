@@ -82,6 +82,39 @@ def _force_eval(df) -> int:
     return row["n"]
 
 
+def _host_canary() -> float:
+    """Fixed pure-CPU workload timed BEFORE the Spark session starts:
+    50 rounds of a branch-free xxhash-style integer mix over a pinned-seed
+    1M-element int64 array (single numpy thread, no allocation in the
+    loop).  The host has drifted 1.5-1.8x between rounds on unchanged
+    code (r10: 5.3s total -> r11: 8.1s, judged host noise by hand);
+    ``canary_sec`` makes that adjudication mechanical: query times scale
+    with host speed, so comparing canary-normalized totals across rounds
+    separates host drift from real regression.  Best-of-8 so first-touch
+    page faults and scheduler hiccups don't pollute the figure (profiled:
+    best-of-8 repeats within ~5% on this box; best-of-3 drifted 20%)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 1 << 62, size=1_000_000, dtype=np.int64)
+    m1 = np.int64(-7046029254386353131)  # 0x9E3779B185EBCA87 (signed)
+    m2 = np.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F (signed)
+    best = float("inf")
+    sink = 0
+    for _ in range(8):
+        x = a.copy()
+        t0 = time.perf_counter()
+        for _ in range(50):
+            np.multiply(x, m1, out=x)
+            x ^= x >> np.int64(29)
+            np.multiply(x, m2, out=x)
+            x ^= x >> np.int64(32)
+        sink ^= int(x[0])
+        best = min(best, time.perf_counter() - t0)
+    assert sink is not None  # keep the loop un-elidable
+    return round(best, 4)
+
+
 def _other_jvms_alive() -> int:
     """Count java processes already running — concurrent JVMs skew results
     uniformly +25-40% on this box (measured), so the JSON records whether
@@ -136,16 +169,24 @@ def main() -> None:
             "idle box for real numbers",
             file=sys.stderr,
         )
+    canary = _host_canary()
+    print(f"# host canary: {canary}s (pure-CPU, pre-Spark)", file=sys.stderr)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     baseline: dict[str, float] = {}
+    base_canary = 0.0
     if os.path.exists(_BASELINE_PATH):
         try:
             with open(_BASELINE_PATH) as f:
-                baseline = json.load(f).get("queries", {})
+                base_doc = json.load(f)
+            baseline = base_doc.get("queries", {})
+            base_canary = float(base_doc.get("canary_sec", 0.0))
         except Exception:
             baseline = {}
+    # host-speed factor: >1 means this box is SLOWER than when the
+    # baseline canary was stamped; normalized time = raw / factor
+    host_factor = (canary / base_canary) if base_canary > 0 else 0.0
 
     # warmup: run each headline query once at the smallest sf
     for name in HEADLINE:
@@ -192,19 +233,30 @@ def main() -> None:
                 f"({100.0 * (total - base_total) / base_total:+.0f}%)",
                 file=sys.stderr,
             )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stats": stats,
-                "other_jvms_at_start": jvms_before,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+            if host_factor > 0:
+                norm = round(total / host_factor, 3)
+                print(
+                    f"# TOTAL normalized {norm}s (host factor "
+                    f"{host_factor:.2f}x vs baseline canary "
+                    f"{base_canary}s) "
+                    f"({100.0 * (norm - base_total) / base_total:+.0f}% "
+                    f"vs baseline, host drift removed)",
+                    file=sys.stderr,
+                )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "stats": stats,
+        "canary_sec": canary,
+        "other_jvms_at_start": jvms_before,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if host_factor > 0:
+        out["host_factor_vs_baseline"] = round(host_factor, 3)
+        out["value_canary_normalized"] = round(total / host_factor, 3)
+    print(json.dumps(out))
     spark.stop()
 
 
