@@ -1,0 +1,211 @@
+"""JBIG2 embedded streams (llm/jbig2): MMR-coded generic regions.
+
+No JBIG2 implementation exists in this environment to cross-check
+against, so the segment layer is pinned two ways (the llm/cfb and
+llm/sevenzip posture): (a) the encoder's byte layout is asserted
+against ITU-T T.88 section values, and (b) the decoder is exercised on
+hand-assembled structures the encoder does not emit (long-form
+referred-segment counts, 4-byte page associations, striped pages).
+The region PAYLOAD coding is the repo's libtiff-verified T.6 codec, so
+pixel correctness inherits the fax suite's two-sided verification.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from verified_sources_spark.llm.jbig2 import (
+    Jbig2Error,
+    decode_jbig2_embedded,
+    encode_jbig2_mmr,
+)
+
+
+def _bitmap(w: int, h: int, seed: int = 3) -> list[bytes]:
+    """Scan-like bilevel rows (runs, not salt-and-pepper noise)."""
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(h):
+        row = bytearray()
+        color = rng.randrange(2)
+        while len(row) < w:
+            run = min(rng.randrange(1, 17), w - len(row))
+            row += bytes([color]) * run
+            color ^= 1
+        rows.append(bytes(row))
+    return rows
+
+
+def test_round_trip_single_region():
+    for w, h in [(64, 40), (37, 11), (8, 1)]:
+        rows = _bitmap(w, h, seed=w)
+        out = decode_jbig2_embedded(encode_jbig2_mmr(rows))
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["rows"] == rows
+
+
+def test_page_default_pixel_and_lossy_type():
+    rows = _bitmap(20, 10)
+    # type 38 (immediate, not lossless) decodes identically
+    out = decode_jbig2_embedded(encode_jbig2_mmr(rows, lossless=False))
+    assert out["rows"] == rows
+    # default pixel 1: uncovered page area is black
+    reg = _bitmap(4, 4, seed=9)
+    d = encode_jbig2_mmr(regions=[(2, 3, reg, 4)], page_size=(10, 10),
+                         page_default=1)
+    out = decode_jbig2_embedded(d)
+    assert out["rows"][0] == b"\x01" * 10
+    assert out["rows"][3][2:6] == reg[0]
+
+
+@pytest.mark.parametrize("op", [0, 1, 2, 3, 4])
+def test_combination_operators(op):
+    """Two overlapping regions composite with OR/AND/XOR/XNOR/REPLACE —
+    checked against an independent per-pixel computation."""
+    a = _bitmap(12, 12, seed=1)
+    b = _bitmap(8, 8, seed=2)
+    d = encode_jbig2_mmr(regions=[(0, 0, a, 0), (2, 2, b, op)],
+                         page_size=(12, 12))
+    out = decode_jbig2_embedded(d)
+    for y in range(12):
+        for x in range(12):
+            pa = a[y][x]
+            if 2 <= x < 10 and 2 <= y < 10:
+                pb = b[y - 2][x - 2]
+                exp = [pa | pb, pa & pb, pa ^ pb, 1 - (pa ^ pb), pb][op]
+            else:
+                exp = pa
+            assert out["rows"][y][x] == exp, (x, y, op)
+
+
+def test_spec_layout_pins():
+    """Encoder bytes against T.88 §7.2 (segment header) and §7.4
+    (page info / generic region) layouts."""
+    rows = [b"\x01\x00\x01\x00"] * 2
+    d = encode_jbig2_mmr(rows)
+    # segment 0: number=0, type 48 (page info), 0 referred, page 1
+    assert d[:4] == b"\x00\x00\x00\x00"
+    assert d[4] == 48
+    assert d[5] == 0x00 and d[6] == 1
+    (plen,) = struct.unpack_from(">I", d, 7)
+    assert plen == 19  # §7.4.8: 4+4+4+4+1+2
+    pw, ph = struct.unpack_from(">II", d, 11)
+    assert (pw, ph) == (4, 2)
+    # segment 1: immediate lossless generic region (39)
+    p = 11 + plen
+    (num,) = struct.unpack_from(">I", d, p)
+    assert num == 1 and d[p + 4] == 39
+    w, h, x, y = struct.unpack_from(">IIII", d, p + 11)
+    assert (w, h, x, y) == (4, 2, 0, 0)
+    assert d[p + 11 + 16] == 0       # external comb op OR
+    assert d[p + 11 + 17] == 0x01    # generic flags: MMR=1
+    # final segment: end of page (49), zero-length data
+    assert d[-7] == 49 and d[-4:] == b"\x00\x00\x00\x00"
+
+
+def test_hand_assembled_header_variants():
+    """Decoder on layouts the encoder never writes: long-form
+    referred-segment count and 4-byte page association (§7.2.4-7.2.6)."""
+    rows = _bitmap(16, 6)
+    base = encode_jbig2_mmr(rows, end_of_page=False)
+    plen = struct.unpack_from(">I", base, 7)[0]
+    seg1 = base[11 + plen:]
+    body = seg1[11:]
+
+    # rebuild segment 1 with a long-form count of 0 referred segments
+    # (0b111 escape + 29-bit count 0 + 1 retain byte) and page assoc 4B
+    hdr = (struct.pack(">I", 1) + bytes([39 | 0x40])
+           + struct.pack(">I", 0xE0000000) + b"\x00"
+           + struct.pack(">I", 1) + struct.pack(">I", len(body)))
+    out = decode_jbig2_embedded(base[: 11 + plen] + hdr + body)
+    assert out["rows"] == rows
+
+
+def test_striped_page_unknown_height():
+    """Page info may declare height 0xFFFFFFFF (striped pages); the
+    page sizes itself from region extents like real readers."""
+    rows = _bitmap(10, 7)
+    d = bytearray(encode_jbig2_mmr(rows, end_of_page=False))
+    struct.pack_into(">I", d, 11 + 4, 0xFFFFFFFF)
+    out = decode_jbig2_embedded(bytes(d))
+    assert out["height"] == 7 and out["rows"] == rows
+
+
+def test_refusals_by_name():
+    rows = _bitmap(8, 4)
+    good = encode_jbig2_mmr(rows, end_of_page=False)
+    plen = struct.unpack_from(">I", good, 7)[0]
+    seg1_at = 11 + plen
+
+    # MMR=0 (arithmetic generic region)
+    bad = bytearray(good)
+    bad[seg1_at + 11 + 17] = 0x00
+    with pytest.raises(Jbig2Error, match="MMR=0"):
+        decode_jbig2_embedded(bytes(bad))
+    # symbol dictionary segment type
+    bad = bytearray(good)
+    bad[seg1_at + 4] = 0
+    with pytest.raises(Jbig2Error, match="symbol dictionary"):
+        decode_jbig2_embedded(bytes(bad))
+    # unknown data length sentinel
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, seg1_at + 7, 0xFFFFFFFF)
+    with pytest.raises(Jbig2Error, match="unknown data length"):
+        decode_jbig2_embedded(bytes(bad))
+    # region before page info
+    with pytest.raises(Jbig2Error, match="before any page"):
+        decode_jbig2_embedded(good[seg1_at:])
+    # region outside the page
+    with pytest.raises(Jbig2Error, match="exceeds page"):
+        decode_jbig2_embedded(
+            encode_jbig2_mmr(regions=[(6, 0, rows, 0)], page_size=(8, 4)))
+    # bomb gate
+    with pytest.raises(Jbig2Error, match="pixel gate"):
+        big = bytearray(good)
+        struct.pack_into(">II", big, 11, 1 << 16, 1 << 16)
+        decode_jbig2_embedded(bytes(big))
+    # a region inside the globals stream
+    with pytest.raises(Jbig2Error, match="globals"):
+        decode_jbig2_embedded(good, globals_data=good[seg1_at:])
+    # globals with a symbol dictionary
+    gbad = bytearray(good[seg1_at:])
+    gbad[4] = 0
+    with pytest.raises(Jbig2Error, match="symbol dictionary"):
+        decode_jbig2_embedded(good, globals_data=bytes(gbad))
+
+
+def test_pdf_embedded_jbig2_image():
+    """A /JBIG2Decode image XObject decodes to the same pixels as its
+    CCITTFaxDecode twin — the cross-codec consistency check — and
+    lands in pdf_images' dhash surface."""
+    from verified_sources_spark.llm.fax_codec import encode_g4
+    from verified_sources_spark.llm.pdf_codec import (
+        encode_pdf, extract_pdf_images,
+    )
+
+    rows = _bitmap(48, 32, seed=5)
+    jb = encode_pdf([["scan page"]], image={
+        "width": 48, "height": 32, "bpc": 1,
+        "colorspace": "DeviceGray", "pdf_filter": "JBIG2Decode",
+        "data": encode_jbig2_mmr(rows)})
+    cc = encode_pdf([["scan page"]], image={
+        "width": 48, "height": 32, "bpc": 1,
+        "colorspace": "DeviceGray", "pdf_filter": "CCITTFaxDecode",
+        "decode_parms": "<< /K -1 /Columns 48 /Rows 32 /BlackIs1 true >>",
+        "data": encode_g4(rows)})
+    (im_j,) = extract_pdf_images(jb)
+    (im_c,) = extract_pdf_images(cc)
+    assert im_j["codec"] == "jbig2" and im_c["codec"] == "ccitt"
+    assert im_j["pixels"] == im_c["pixels"]
+    assert (im_j["width"], im_j["height"]) == (48, 32)
+    # dimension disagreement with /Width /Height refuses
+    from verified_sources_spark.llm.pdf_codec import PdfError
+    bad = encode_pdf([["x"]], image={
+        "width": 47, "height": 32, "bpc": 1,
+        "colorspace": "DeviceGray", "pdf_filter": "JBIG2Decode",
+        "data": encode_jbig2_mmr(rows)})
+    with pytest.raises(PdfError, match="disagrees"):
+        extract_pdf_images(bad)

@@ -21,8 +21,10 @@ Scope (everything bounds-checked; anything outside refuses by name):
   PNG predictors (/Predictor >= 10, the xref-stream default) and TIFF
   horizontal differencing (/Predictor 2); ASCIIHexDecode,
   ASCII85Decode, RunLengthDecode, and cascades ([/AHx /Fl] etc.).
-  Filters stdlib can't serve (CCITTFaxDecode, JBIG2Decode, JPXDecode)
-  refuse loudly WITH THE FILTER NAMED.
+  CCITTFaxDecode images decode via llm/fax_codec and JBIG2Decode
+  images with MMR-coded regions via llm/jbig2 (see below); filters
+  with no verifier here (JPXDecode, arithmetic-coded JBIG2) refuse
+  loudly WITH THE FILTER NAMED.
 - Image XObjects (``extract_pdf_images``/``pdf_images``): DCTDecode
   payloads route through the engine's JPEG decoder, filter-coded raw
   DeviceRGB/DeviceGray samples decode directly — document-borne
@@ -1220,8 +1222,11 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     expands to RGB so every image lands in the common
     ``{width, height, mode, pixels}`` contract; CCITTFaxDecode scans
     (K=0 1D, K>0 mixed 1D/2D and K<0 G4 — the scanned-document layer)
-    decode through llm/fax_codec.  Unsupported colorspaces
-    and filters (JBIG2, JPX) refuse by name."""
+    decode through llm/fax_codec; JBIG2Decode pages with MMR-coded
+    generic regions (the T.6 share of JBIG2, T.88 §6.2.5.7) decode
+    through llm/jbig2 and land as 1=black bilevel like CCITT.
+    Unsupported colorspaces and filters (JPX, arithmetic-coded JBIG2)
+    refuse by name."""
     objects = _load_objects(data)
 
     def resolve(v):
@@ -1293,7 +1298,31 @@ def extract_pdf_images(data: bytes) -> list[dict]:
             images.append({"width": w, "height": h, "mode": "RGB",
                            "pixels": bytes(rgb), "codec": "ccitt"})
             continue
-        if fname in ("JPXDecode", "JBIG2Decode"):
+        if fname == "JBIG2Decode":
+            from verified_sources_spark.llm import jbig2 as _jbig2
+
+            pm = d.get("DecodeParms")
+            pm = pm if isinstance(pm, dict) else {}
+            g = resolve(pm.get("JBIG2Globals"))
+            gdata = g[2] if isinstance(g, tuple) and g[0] == "stream" else b""
+            try:
+                pg = _jbig2.decode_jbig2_embedded(v[2], gdata)
+            except _jbig2.Jbig2Error as e:
+                raise PdfError(f"image {num}: {e}") from None
+            if (pg["width"], pg["height"]) != (w, h):
+                raise PdfError(
+                    f"image {num}: JBIG2 page {pg['width']}x"
+                    f"{pg['height']} disagrees with /Width /Height "
+                    f"{w}x{h}")
+            gray = b"".join(pg["rows"]).translate(_CCITT_GRAY)
+            rgb = bytearray(len(gray) * 3)
+            rgb[0::3] = gray
+            rgb[1::3] = gray
+            rgb[2::3] = gray
+            images.append({"width": w, "height": h, "mode": "RGB",
+                           "pixels": bytes(rgb), "codec": "jbig2"})
+            continue
+        if fname == "JPXDecode":
             raise PdfError(f"cannot decode /{fname} image — refusing by name")
         if bpc != 8:
             raise PdfError(f"image {num}: {bpc}-bit samples — refusing")

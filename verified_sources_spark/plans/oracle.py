@@ -2458,6 +2458,7 @@ ORACLE_SQL["pdf_filters_docs"] = """
 ORACLE_SQL["pdf_image_matches_docs"] = """
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'dct'
+                WHEN doc_id % 5 <> 0 AND doc_id % 9 = 3 THEN 'jbig2'
                 WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0 THEN 'ccitt'
                 ELSE 'raw' END AS codec,
            CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,

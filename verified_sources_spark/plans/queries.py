@@ -3116,9 +3116,10 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL document↔image dedup over documents: per doc, mint
     a deterministic image, embed it in a PDF as an image XObject —
     DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
-    odd, DeviceGray on every 5th, a bilevel CCITT-G4 fax scan
-    (llm/fax_codec — the scanned-document case) on every remaining
-    3rd, every 11th PDF truncated — AND mint
+    odd, DeviceGray on every 5th, a bilevel scan on every remaining
+    3rd — JBIG2 with an MMR-coded generic region (llm/jbig2, the
+    post-2005 scanned-PDF codec) when ``doc_id % 9 == 3``, CCITT-G4
+    (llm/fax_codec) otherwise — every 11th PDF truncated — AND mint
     the standalone twin (the same JPEG bytes / a PNG of the same
     pixels).  ``pdf_images`` fingerprints the embedded figure,
     ``image_dhash`` the standalone file, and the join proves the
@@ -3167,18 +3168,29 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "pdf_filter": "FlateDecode",
                            "colorspace": "DeviceGray"}
                 elif did % 3 == 0:
-                    # scanned figure: threshold to bilevel, G4-code it
+                    # scanned figure: threshold to bilevel; every did
+                    # % 9 == 3 ships as JBIG2 with an MMR-coded generic
+                    # region (the post-2005 scanned-PDF codec, T.6
+                    # payload via llm/jbig2), the rest as CCITT-G4
                     from verified_sources_spark.llm import fax_codec
+                    from verified_sources_spark.llm.jbig2 import (
+                        encode_jbig2_mmr,
+                    )
 
                     bits = bytes(1 if g < 128 else 0 for g in gray)
-                    img = {"width": w, "height": h,
-                           "data": fax_codec.encode_g4(
-                               [bits[y * w:(y + 1) * w]
-                                for y in range(h)]),
-                           "pdf_filter": "CCITTFaxDecode",
-                           "colorspace": "DeviceGray", "bpc": 1,
-                           "decode_parms":
-                               f"<< /K -1 /Columns {w} /Rows {h} >>"}
+                    rows_ = [bits[y * w:(y + 1) * w] for y in range(h)]
+                    if did % 9 == 3:
+                        img = {"width": w, "height": h,
+                               "data": encode_jbig2_mmr(rows_),
+                               "pdf_filter": "JBIG2Decode",
+                               "colorspace": "DeviceGray", "bpc": 1}
+                    else:
+                        img = {"width": w, "height": h,
+                               "data": fax_codec.encode_g4(rows_),
+                               "pdf_filter": "CCITTFaxDecode",
+                               "colorspace": "DeviceGray", "bpc": 1,
+                               "decode_parms":
+                                   f"<< /K -1 /Columns {w} /Rows {h} >>"}
                 else:
                     img = {"width": w, "height": h,
                            "data": zlib.compress(rgb),
