@@ -219,7 +219,9 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "pdf_extract_docs", "email_extract_docs",
               "feed_entries_docs", "notebook_cells_docs",
               "markdown_extract_docs", "heif_probe_docs",
-              "svg_extract_docs", "crawl_dedup_pipeline_docs"):
+              "svg_extract_docs", "crawl_dedup_pipeline_docs",
+              "nested_archive_docs", "pdf_image_matches_docs",
+              "scan_dedup_pipeline_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

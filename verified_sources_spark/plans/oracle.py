@@ -2467,3 +2467,32 @@ ORACLE_SQL["pdf_image_matches_docs"] = """
     FROM documents
     WHERE doc_id % 11 <> 0
 """
+
+# Scanned-document composition chain: decrypt -> decode (JBIG2-MMR /
+# CCITT-G4 / TIFF fax pages) -> page dHash -> cross-format dedup.  The
+# shared page of group doc_id//3 collects one PDF copy per
+# non-truncated member (% 13) and one TIFF page-0 copy per
+# non-truncated member (% 11); each doc's unique TIFF page 1 is a
+# singleton.  A hash match proves the whole chain composes: the dedup
+# groups land exactly where the minting arithmetic says they must.
+ORACLE_SQL["scan_dedup_pipeline_docs"] = """
+    WITH members AS (
+        SELECT doc_id, doc_id // 3 AS gid, 1 AS is_pdf
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 AS gid, 0 AS is_pdf
+        FROM documents WHERE doc_id % 11 <> 0
+    ),
+    shared AS (
+        SELECT MIN(doc_id) AS canonical_id,
+               CAST(SUM(is_pdf) AS BIGINT) AS n_pdf,
+               CAST(SUM(1 - is_pdf) AS BIGINT) AS n_tiff,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM members GROUP BY gid
+    )
+    SELECT canonical_id, n_pdf, n_tiff, n_docs FROM shared
+    UNION ALL
+    SELECT doc_id AS canonical_id, CAST(0 AS BIGINT) AS n_pdf,
+           CAST(1 AS BIGINT) AS n_tiff, CAST(1 AS BIGINT) AS n_docs
+    FROM documents WHERE doc_id % 11 <> 0
+"""

@@ -3921,6 +3921,118 @@ def nested_archive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              "text string")
 
 
+def scan_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END composition entry for the SCANNED-document genre —
+    the scan-to-dedup chain in one hash gate, mirroring
+    crawl_dedup_pipeline_docs: per doc, one bilevel page whose pixels
+    are SHARED within groups of three (``doc_id // 3``) is minted
+    twice — (a) inside a PDF as an image XObject, JBIG2 MMR-coded
+    generic region (llm/jbig2) on even ids and CCITT-G4 (llm/fax_codec)
+    on odd, the PDF ENCRYPTED (empty user password, cycling RC4-40 /
+    RC4-128 / AESV2 / AES-256 via llm/pdf_crypt) on every ``% 3 == 1``,
+    every 13th truncated — and (b) as page 0 of a multi-page fax TIFF
+    whose page 1 is unique per doc, every 11th truncated.  The real
+    pipeline then runs: decrypt → decode pages → per-page dHash
+    (``pdf_images`` / ``tiff_pages``) → CROSS-FORMAT page-level dedup
+    (groupBy dhash), so a PDF-borne scan dedups against its TIFF twin.
+    One shuffle total (the dhash groupBy; both probes reduce payloads
+    to 64-bit hashes inside the scan's executors).  The oracle replays
+    group membership, per-format copy counts and canonical ids in SQL
+    — a value-hash match proves decryption, two image codecs, the TIFF
+    page walk and the dedup operator COMPOSE exactly."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.image_dedup import tiff_pages
+    from verified_sources_spark.llm.pdf_codec import pdf_images
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def _page_bits(seed: int, w: int, h: int) -> list[bytes]:
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        bits = (rng.integers(0, 256, size=(h, w)) < 128).astype(np.uint8)
+        return [bits[y].tobytes() for y in range(h)]
+
+    def _shared_dims(gid: int) -> tuple[int, int]:
+        return 24 + (gid % 3) * 8, 16 + (gid % 2) * 8
+
+    def mint_pdf(batches):
+        from verified_sources_spark.llm import fax_codec
+        from verified_sources_spark.llm.jbig2 import encode_jbig2_mmr
+        from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+        for pdf_ in batches:
+            rows = []
+            for did in pdf_["doc_id"]:
+                did = int(did)
+                gid = did // 3
+                w, h = _shared_dims(gid)
+                rows_ = _page_bits(gid, w, h)
+                if did % 2 == 0:
+                    img = {"width": w, "height": h, "bpc": 1,
+                           "colorspace": "DeviceGray",
+                           "pdf_filter": "JBIG2Decode",
+                           "data": encode_jbig2_mmr(rows_)}
+                else:
+                    img = {"width": w, "height": h, "bpc": 1,
+                           "colorspace": "DeviceGray",
+                           "pdf_filter": "CCITTFaxDecode",
+                           "decode_parms":
+                               f"<< /K -1 /Columns {w} /Rows {h} >>",
+                           "data": fax_codec.encode_g4(rows_)}
+                data = encode_pdf(
+                    [[f"scanned page, group {gid}"]], image=img,
+                    encrypt=(("rc4-40", "rc4-128", "aesv2", "aes256")
+                             [(did // 3) % 4] if did % 3 == 1 else None))
+                rows.append({"doc_id": did,
+                             "asset": data[:40] if did % 13 == 0
+                             else data})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_tiff(batches):
+        from verified_sources_spark.llm.tiff_codec import (
+            encode_multipage_bilevel,
+        )
+
+        for pdf_ in batches:
+            rows = []
+            for did in pdf_["doc_id"]:
+                did = int(did)
+                gid = did // 3
+                w, h = _shared_dims(gid)
+                w2, h2 = 16 + (did % 4) * 8, 12 + (did % 3) * 8
+                pages = [
+                    (w, h, b"".join(_page_bits(gid, w, h))),
+                    (w2, h2, b"".join(_page_bits(did * 31 + 7, w2, h2))),
+                ]
+                asset = encode_multipage_bilevel(
+                    pages, compression="g4",
+                    byte_order="MM" if did % 2 else "II",
+                    rows_per_strip=7)
+                rows.append({"doc_id": did,
+                             "asset": asset[:8] if did % 11 == 0
+                             else asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    pdf_side = (
+        pdf_images(d.mapInPandas(mint_pdf, "doc_id long, asset binary"))
+        .filter(F.col("decoded_ok") & F.col("dhash").isNotNull())
+        .select("doc_id", "dhash", F.lit(1).alias("is_pdf")))
+    tiff_side = (
+        tiff_pages(d.mapInPandas(mint_tiff, "doc_id long, asset binary"))
+        .filter(F.col("decoded_ok") & F.col("dhash").isNotNull())
+        .select("doc_id", "dhash", F.lit(0).alias("is_pdf")))
+    return (
+        pdf_side.unionByName(tiff_side)
+        .groupBy("dhash")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.sum("is_pdf").cast("long").alias("n_pdf"),
+             F.sum(1 - F.col("is_pdf")).cast("long").alias("n_tiff"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .select("canonical_id", "n_pdf", "n_tiff", "n_docs"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4064,4 +4176,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markdown_extract_docs": markdown_extract_docs,
     "crawl_dedup_pipeline_docs": crawl_dedup_pipeline_docs,
     "nested_archive_docs": nested_archive_docs,
+    "scan_dedup_pipeline_docs": scan_dedup_pipeline_docs,
 }
