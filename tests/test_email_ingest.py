@@ -135,3 +135,34 @@ def test_outlook_msg_round_trip_and_dispatch(spark):
     got = {r["doc_id"]: r for r in email_extract(df).collect()}
     assert got[1]["subject"] == "S1" and got[1]["text"] == "body one"
     assert got[2]["decoded_ok"] is False
+
+
+def test_cjk_charsets_and_rfc2047_subject():
+    """The CJK mail families: ISO-2022-JP (7-bit JIS, the classic
+    Japanese mail coding), EUC-JP and GB18030 bodies decode through
+    the per-part charset label, and an RFC 2047 B-encoded Subject
+    decodes through the default policy — hard-coded UTF-8 anywhere
+    garbles all of these."""
+    import base64
+
+    from verified_sources_spark.llm.email_ingest import encode_eml, parse_eml
+
+    for cs, text in [("iso-2022-jp", "日本語メール本文"),
+                     ("euc-jp", "日本語テキスト"),
+                     ("gb18030", "你好，世界 𝄞")]:
+        out = parse_eml(encode_eml("Subj", text + "\n", charset=cs))
+        assert out["text"] == text + "\n", cs
+        # base64 transfer coding too
+        out = parse_eml(encode_eml("Subj", text + "\n", charset=cs,
+                                   base64_body=True))
+        assert out["text"] == text + "\n", (cs, "b64")
+
+    subj = "会議の議事録"
+    enc = base64.b64encode(subj.encode("iso-2022-jp")).decode()
+    raw = (f"From: a@example.com\r\nTo: b@example.com\r\n"
+           f"Subject: =?ISO-2022-JP?B?{enc}?=\r\n"
+           f"MIME-Version: 1.0\r\n"
+           f"Content-Type: text/plain; charset=\"us-ascii\"\r\n"
+           f"\r\nhello\r\n").encode()
+    out = parse_eml(raw)
+    assert out["subject"] == subj and out["text"] == "hello\r\n"

@@ -141,6 +141,10 @@ def test_detect_charset_precedence():
     ("cp1251", "windows-1251", "привет мир"),
     ("shift_jis", "Shift_JIS", "こんにちは世界"),
     ("gbk", "GBK", "你好世界"),
+    ("euc_jp", "EUC-JP", "日本語テキスト"),
+    ("gb18030", "GB18030", "你好，世界 𝄞"),
+    ("big5", "Big5", "繁體中文測試"),
+    ("iso2022_jp", "ISO-2022-JP", "日本語メール"),
 ])
 def test_decode_body_recovers_legacy_charsets(codec, label, text):
     """The mojibake regression: decoding these bodies as hard-coded

@@ -2174,7 +2174,7 @@ ORACLE_SQL["warc_extract_docs"] = """
     WITH p AS (
         SELECT doc_id,
                (doc_id % 17) <> 0 AS ok,
-               doc_id % 4 AS cs,
+               doc_id % 8 AS cs,
                (doc_id // 4) % 2 = 0 AS in_header,
                COALESCE(text, '') AS doc_text
         FROM documents
@@ -2184,22 +2184,30 @@ ORACLE_SQL["warc_extract_docs"] = """
            CASE WHEN ok THEN 'http://example.com/' || doc_id END AS uri,
            CASE WHEN ok THEN CAST(200 AS INTEGER) END AS status,
            CASE WHEN ok THEN
-                CASE WHEN cs = 0 OR NOT in_header THEN 'text/html'
+                CASE WHEN cs IN (0, 4) OR NOT in_header THEN 'text/html'
                      WHEN cs = 1 THEN 'text/html; charset=ISO-8859-1'
                      WHEN cs = 2 THEN 'text/html; charset=windows-1251'
-                     ELSE 'text/html; charset=Shift_JIS' END
+                     WHEN cs = 3 THEN 'text/html; charset=Shift_JIS'
+                     WHEN cs = 5 THEN 'text/html; charset=EUC-JP'
+                     WHEN cs = 6 THEN 'text/html; charset=GB18030'
+                     ELSE 'text/html; charset=Big5' END
            END AS content_type,
            CASE WHEN ok THEN
-                CASE cs WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso8859-1'
-                        WHEN 2 THEN 'cp1251' ELSE 'shift_jis' END
+                CASE cs WHEN 1 THEN 'iso8859-1'
+                        WHEN 2 THEN 'cp1251' WHEN 3 THEN 'shift_jis'
+                        WHEN 5 THEN 'euc_jp' WHEN 6 THEN 'gb18030'
+                        WHEN 7 THEN 'big5' ELSE 'utf-8' END
            END AS charset,
            CASE WHEN ok THEN TRUE END AS decode_clean,
            CASE WHEN ok THEN 'doc-' || doc_id END AS title,
            CASE WHEN ok THEN
-                CASE cs WHEN 0 THEN doc_text
-                        WHEN 1 THEN 'café déjà vu doc ' || doc_id
+                CASE cs WHEN 1 THEN 'café déjà vu doc ' || doc_id
                         WHEN 2 THEN 'привет мир doc ' || doc_id
-                        ELSE 'こんにちは世界 doc ' || doc_id END
+                        WHEN 3 THEN 'こんにちは世界 doc ' || doc_id
+                        WHEN 5 THEN '日本語テキスト doc ' || doc_id
+                        WHEN 6 THEN '你好，世界 doc ' || doc_id
+                        WHEN 7 THEN '繁體中文測試 doc ' || doc_id
+                        ELSE doc_text END
            END AS text
     FROM p
 """
@@ -2389,7 +2397,12 @@ ORACLE_SQL["email_extract_docs"] = """
     SELECT doc_id, TRUE AS decoded_ok, CAST(0 AS INTEGER) AS msg_idx,
            'Doc ' || doc_id AS subject, frm AS from_addr,
            CAST(2 AS INTEGER) AS n_parts,
-           'plain' AS body_source, t || chr(10) AS text
+           'plain' AS body_source,
+           CASE (doc_id // 4) % 4
+                WHEN 1 THEN '日本語メール doc ' || doc_id || chr(10)
+                WHEN 2 THEN '日本語テキスト doc ' || doc_id || chr(10)
+                WHEN 3 THEN '你好，世界 doc ' || doc_id || chr(10)
+                ELSE t || chr(10) END AS text
     FROM p WHERE ok AND doc_id % 4 = 0
     UNION ALL
     SELECT doc_id, TRUE, CAST(0 AS INTEGER), 'Doc ' || doc_id, frm,

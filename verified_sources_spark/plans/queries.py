@@ -1761,8 +1761,9 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 17th truncated), then run the
     REAL pure-stdlib WARC parse → HTTP split → charset detection →
     HTML text extraction via llm/warc.warc_extract.  Charsets cycle by
-    ``doc_id % 4`` — UTF-8 plus the three biggest legacy families of a
-    real crawl (ISO-8859-1, windows-1251, Shift_JIS), each legacy page
+    ``doc_id % 8`` — UTF-8 plus the biggest legacy families of a real
+    crawl (ISO-8859-1, windows-1251, Shift_JIS, EUC-JP, GB18030,
+    Big5), each legacy page
     declared EITHER in the Content-Type header or only via an HTML
     ``<meta charset>`` tag (``doc_id // 4 % 2``), so both detection
     paths are on the hash gate.  The oracle replays the layout
@@ -1792,13 +1793,17 @@ def warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("iso-8859-1", "ISO-8859-1", "café déjà vu"),
             ("windows-1251", "windows-1251", "привет мир"),
             ("shift_jis", "Shift_JIS", "こんにちは世界"),
+            None,
+            ("euc-jp", "EUC-JP", "日本語テキスト"),
+            ("gb18030", "GB18030", "你好，世界"),
+            ("big5", "Big5", "繁體中文測試"),
         ]
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 text = text or ""
-                cs = legacy[did % 4]
+                cs = legacy[did % 8]
                 meta = ""
                 ctype = "text/html"
                 codec = "utf-8"
@@ -3353,8 +3358,21 @@ def email_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        to_addr="rcpt@example.com",
                                        attachments=did % 3)
                 elif did % 2 == 0:
+                    # body charsets cycle the CJK email families:
+                    # ISO-2022-JP (the classic 7-bit JIS mail coding),
+                    # EUC-JP and GB18030 — the decoder must honor the
+                    # per-part charset= label or the hash gate breaks
+                    cs, marker = (
+                        ("utf-8", None),
+                        ("iso-2022-jp", "日本語メール"),
+                        ("euc-jp", "日本語テキスト"),
+                        ("gb18030", "你好，世界"),
+                    )[(did // 4) % 4]
+                    body = (t if marker is None
+                            else f"{marker} doc {did}")
                     asset = encode_eml(
-                        f"Doc {did}", t + "\n", from_addr=frm,
+                        f"Doc {did}", body + "\n", from_addr=frm,
+                        charset=cs,
                         html_body=(f"<p>Doc {did}</p>"
                                    if did % 4 == 0 else None))
                 else:
