@@ -216,3 +216,90 @@ def test_odp_round_trip():
     out = extract_office(encode_odp(slides))
     assert out["format"] == "odp"
     assert out["units"] == slides
+
+
+class TestStructuralText:
+    """Tables, headers/footers and foot/endnotes ARE prose — the walk
+    emits them as units in a documented order: headers, body blocks
+    (paragraphs + tables in document order), footnotes, endnotes,
+    footers."""
+
+    def test_docx_full_structure(self):
+        d = encode_docx(
+            ["intro para", "second para"],
+            tables=[[["name", "qty"], ["bolts", "12"]],
+                    [["solo"]]],
+            headers=["Annual Report", "Confidential"],
+            footers=["page 1"],
+            footnotes=["first note", "second note"])
+        out = extract_office(d)
+        assert out["units"] == [
+            "Annual Report", "Confidential",
+            "intro para", "second para",
+            "name\tqty\nbolts\t12", "solo",
+            "first note", "second note",
+            "page 1"]
+
+    def test_docx_table_cells_do_not_leak_as_units(self):
+        # regression: iter('w:p') used to emit every table-cell
+        # paragraph as a stray sibling unit AND no table unit
+        d = encode_docx(["p"], tables=[[["a", "b"]]])
+        assert extract_office(d)["units"] == ["p", "a\tb"]
+
+    def test_docx_endnotes_and_nested_table(self):
+        # hand-assembled: endnotes part + a table nested in a cell
+        # (the encoder writes neither)
+        import io
+        import zipfile
+
+        base = encode_docx(["body"], footnotes=["fn"])
+        buf = io.BytesIO(base)
+        W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        with zipfile.ZipFile(buf, "a") as z:
+            z.writestr(
+                "word/endnotes.xml",
+                f'<w:endnotes xmlns:w="{W}">'
+                '<w:endnote w:type="separator" w:id="0"><w:p/></w:endnote>'
+                '<w:endnote w:id="2"><w:p><w:r><w:t>the endnote</w:t>'
+                "</w:r></w:p></w:endnote></w:endnotes>")
+        out = extract_office(buf.getvalue())
+        assert out["units"] == ["body", "fn", "the endnote"]
+
+        nested = (
+            f'<w:document xmlns:w="{W}"><w:body><w:tbl><w:tr><w:tc>'
+            "<w:p><w:r><w:t>outer</w:t></w:r></w:p>"
+            "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p>"
+            "</w:tc></w:tr></w:tbl>"
+            "</w:tc></w:tr></w:tbl></w:body></w:document>")
+        buf2 = io.BytesIO()
+        with zipfile.ZipFile(buf2, "w") as z:
+            for n in ("[Content_Types].xml", "_rels/.rels"):
+                with zipfile.ZipFile(io.BytesIO(base)) as src:
+                    z.writestr(n, src.read(n))
+            z.writestr("word/document.xml", nested)
+        assert extract_office(buf2.getvalue())["units"] == [
+            "outer\ninner"]
+
+    def test_odt_full_structure(self):
+        d = encode_odt(
+            ["first para", "second para"],
+            tables=[[["x", "y"], ["1", "2"]]],
+            header=["Doc Header"],
+            footer=["Doc Footer"],
+            footnotes=["a footnote body"])
+        out = extract_office(d)
+        assert out["units"] == [
+            "Doc Header", "first para", "second para",
+            "x\ty\n1\t2", "a footnote body", "Doc Footer"]
+
+    def test_odt_note_not_spliced_into_paragraph(self):
+        # the anchor paragraph's text must NOT contain the citation
+        # or note body inline (the mid-sentence splice bug)
+        d = encode_odt(["before after"], footnotes=["NOTE TEXT"])
+        units = extract_office(d)["units"]
+        assert units == ["before after", "NOTE TEXT"]
+
+    def test_plain_files_unchanged(self):
+        # no structural args -> the old single-list walk, byte-same
+        assert extract_office(encode_docx(PARAS))["units"] == PARAS
+        assert extract_office(encode_odt(PARAS))["units"] == PARAS

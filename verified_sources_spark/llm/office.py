@@ -100,35 +100,119 @@ def _zip_parts(parts: list[tuple[str, bytes]],
     return buf.getvalue()
 
 
-def encode_docx(paragraphs: list[str]) -> bytes:
+def _wml_para(p: str) -> str:
+    runs = []
+    # split into text / tab / break tokens
+    for tok in re.split(r"([\t\n])", p):
+        if tok == "\t":
+            runs.append("<w:r><w:tab/></w:r>")
+        elif tok == "\n":
+            runs.append("<w:r><w:br/></w:r>")
+        elif tok:
+            runs.append(
+                f'<w:r><w:t xml:space="preserve">{_esc(tok)}</w:t></w:r>')
+    return "<w:p>" + "".join(runs) + "</w:p>"
+
+
+def encode_docx(
+    paragraphs: list[str],
+    tables: list[list[list[str]]] | None = None,
+    headers: list[str] | None = None,
+    footers: list[str] | None = None,
+    footnotes: list[str] | None = None,
+) -> bytes:
     """Minimal valid WordprocessingML package: one ``w:p`` per entry;
     embedded ``\\t`` / ``\\n`` inside an entry become ``w:tab`` /
-    ``w:br`` runs (what Word itself emits)."""
-    body = []
-    for p in paragraphs:
-        runs = []
-        # split into text / tab / break tokens
-        for tok in re.split(r"([\t\n])", p):
-            if tok == "\t":
-                runs.append("<w:r><w:tab/></w:r>")
-            elif tok == "\n":
-                runs.append("<w:r><w:br/></w:r>")
-            elif tok:
-                runs.append(
-                    f'<w:r><w:t xml:space="preserve">{_esc(tok)}</w:t></w:r>')
-        body.append("<w:p>" + "".join(runs) + "</w:p>")
+    ``w:br`` runs (what Word itself emits).  ``tables`` (rows ×
+    cells) append as ``w:tbl`` blocks after the paragraphs;
+    ``headers``/``footers`` write real header1.xml/footer1.xml parts
+    referenced from sectPr; ``footnotes`` write word/footnotes.xml
+    with the separator pseudo-notes Word always emits, anchored by
+    ``w:footnoteReference`` runs in the first paragraph."""
+    body = [_wml_para(p) for p in paragraphs]
+    if footnotes and body:
+        anchors = "".join(
+            f'<w:r><w:footnoteReference w:id="{i + 2}"/></w:r>'
+            for i in range(len(footnotes)))
+        body[0] = body[0][: -len("</w:p>")] + anchors + "</w:p>"
+    for tbl in tables or []:
+        rows = []
+        for row in tbl:
+            cells = "".join(
+                f"<w:tc><w:tcPr/>{_wml_para(c)}</w:tc>" for c in row)
+            rows.append(f"<w:tr>{cells}</w:tr>")
+        body.append("<w:tbl><w:tblPr/><w:tblGrid/>"
+                    + "".join(rows) + "</w:tbl>")
+    sect = ""
+    if headers or footers:
+        refs = []
+        if headers:
+            refs.append('<w:headerReference w:type="default" r:id="rId2"/>')
+        if footers:
+            refs.append('<w:footerReference w:type="default" r:id="rId3"/>')
+        sect = "<w:sectPr>" + "".join(refs) + "</w:sectPr>"
     doc = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<w:document xmlns:w="{_W}"><w:body>' + "".join(body) +
-        "</w:body></w:document>"
+        f'<w:document xmlns:w="{_W}" xmlns:r="{_R}"><w:body>'
+        + "".join(body) + sect + "</w:body></w:document>"
     ).encode()
+    overrides = [
+        ("/word/document.xml",
+         "application/vnd.openxmlformats-officedocument"
+         ".wordprocessingml.document.main+xml")]
+    parts = [("word/document.xml", doc)]
+    doc_rels = []
+    if headers:
+        hdr = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               f'<w:hdr xmlns:w="{_W}">'
+               + "".join(_wml_para(p) for p in headers)
+               + "</w:hdr>").encode()
+        parts.append(("word/header1.xml", hdr))
+        overrides.append(("/word/header1.xml",
+                          "application/vnd.openxmlformats-officedocument"
+                          ".wordprocessingml.header+xml"))
+        doc_rels.append(
+            f'<Relationship Id="rId2" Type="{_R}/header" '
+            'Target="header1.xml"/>')
+    if footers:
+        ftr = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               f'<w:ftr xmlns:w="{_W}">'
+               + "".join(_wml_para(p) for p in footers)
+               + "</w:ftr>").encode()
+        parts.append(("word/footer1.xml", ftr))
+        overrides.append(("/word/footer1.xml",
+                          "application/vnd.openxmlformats-officedocument"
+                          ".wordprocessingml.footer+xml"))
+        doc_rels.append(
+            f'<Relationship Id="rId3" Type="{_R}/footer" '
+            'Target="footer1.xml"/>')
+    if footnotes:
+        notes = ['<w:footnote w:type="separator" w:id="0">'
+                 "<w:p><w:r><w:separator/></w:r></w:p></w:footnote>",
+                 '<w:footnote w:type="continuationSeparator" w:id="1">'
+                 "<w:p><w:r><w:continuationSeparator/></w:r></w:p>"
+                 "</w:footnote>"]
+        for i, fn in enumerate(footnotes):
+            notes.append(f'<w:footnote w:id="{i + 2}">'
+                         + _wml_para(fn) + "</w:footnote>")
+        fns = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               f'<w:footnotes xmlns:w="{_W}">'
+               + "".join(notes) + "</w:footnotes>").encode()
+        parts.append(("word/footnotes.xml", fns))
+        overrides.append(("/word/footnotes.xml",
+                          "application/vnd.openxmlformats-officedocument"
+                          ".wordprocessingml.footnotes+xml"))
+        doc_rels.append(
+            f'<Relationship Id="rId4" Type="{_R}/footnotes" '
+            'Target="footnotes.xml"/>')
     ct = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<Types xmlns="{_CT}">'
         '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
         '<Default Extension="xml" ContentType="application/xml"/>'
-        '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
-        "</Types>"
+        + "".join(f'<Override PartName="{n}" ContentType="{c}"/>'
+                  for n, c in overrides)
+        + "</Types>"
     ).encode()
     rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -136,11 +220,13 @@ def encode_docx(paragraphs: list[str]) -> bytes:
         f'<Relationship Id="rId1" Type="{_R}/officeDocument" Target="word/document.xml"/>'
         "</Relationships>"
     ).encode()
-    return _zip_parts([
-        ("[Content_Types].xml", ct),
-        ("_rels/.rels", rels),
-        ("word/document.xml", doc),
-    ])
+    out = [("[Content_Types].xml", ct), ("_rels/.rels", rels)] + parts
+    if doc_rels:
+        out.append(("word/_rels/document.xml.rels",
+                    ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                     f'<Relationships xmlns="{_PKG_R}">'
+                     + "".join(doc_rels) + "</Relationships>").encode()))
+    return _zip_parts(out)
 
 
 def _col_letters(idx: int) -> str:
@@ -304,26 +390,85 @@ def _odf_paragraph(p: str) -> str:
     return "".join(out)
 
 
-def encode_odt(paragraphs: list[str]) -> bytes:
+def encode_odt(
+    paragraphs: list[str],
+    tables: list[list[list[str]]] | None = None,
+    header: list[str] | None = None,
+    footer: list[str] | None = None,
+    footnotes: list[str] | None = None,
+) -> bytes:
+    """Minimal valid ODF text package.  ``tables`` (rows × cells)
+    append as table:table blocks after the paragraphs; ``header``/
+    ``footer`` write a styles.xml master page; ``footnotes`` anchor as
+    text:note elements at the end of the first paragraph (citation +
+    note-body, the layout OpenOffice writes)."""
+    paras = [f"<text:p>{_odf_paragraph(p)}</text:p>" for p in paragraphs]
+    if footnotes:
+        if not paras:
+            paras = ["<text:p></text:p>"]
+        notes = "".join(
+            f'<text:note text:note-class="footnote" text:id="ftn{i}">'
+            f"<text:note-citation>{i + 1}</text:note-citation>"
+            f"<text:note-body><text:p>{_odf_paragraph(fn)}</text:p>"
+            "</text:note-body></text:note>"
+            for i, fn in enumerate(footnotes))
+        paras[0] = paras[0][: -len("</text:p>")] + notes + "</text:p>"
+    body = list(paras)
+    for tbl in tables or []:
+        rows = []
+        for row in tbl:
+            cells = "".join(
+                "<table:table-cell office:value-type=\"string\">"
+                f"<text:p>{_odf_paragraph(c)}</text:p></table:table-cell>"
+                for c in row)
+            rows.append(f"<table:table-row>{cells}</table:table-row>")
+        body.append('<table:table table:name="T1">'
+                    + "".join(rows) + "</table:table>")
     content = (
         '<?xml version="1.0" encoding="UTF-8"?>'
-        f'<office:document-content xmlns:office="{_OFFICE}" xmlns:text="{_TEXT}">'
+        f'<office:document-content xmlns:office="{_OFFICE}" '
+        f'xmlns:text="{_TEXT}" xmlns:table="{_TABLE}">'
         "<office:body><office:text>"
-        + "".join(f"<text:p>{_odf_paragraph(p)}</text:p>" for p in paragraphs)
+        + "".join(body)
         + "</office:text></office:body></office:document-content>"
     ).encode()
+    entries = [
+        ('/', "application/vnd.oasis.opendocument.text"),
+        ("content.xml", "text/xml"),
+    ]
+    parts = [
+        ("mimetype", b"application/vnd.oasis.opendocument.text"),
+    ]
+    styles_xml = None
+    if header or footer:
+        hxml = "".join(f"<text:p>{_odf_paragraph(p)}</text:p>"
+                       for p in header or [])
+        fxml = "".join(f"<text:p>{_odf_paragraph(p)}</text:p>"
+                       for p in footer or [])
+        styles_xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            f'<office:document-styles xmlns:office="{_OFFICE}" '
+            f'xmlns:style="{_STYLE}" xmlns:text="{_TEXT}">'
+            "<office:master-styles>"
+            '<style:master-page style:name="Standard">'
+            + (f"<style:header>{hxml}</style:header>" if header else "")
+            + (f"<style:footer>{fxml}</style:footer>" if footer else "")
+            + "</style:master-page></office:master-styles>"
+            "</office:document-styles>").encode()
+        entries.append(("styles.xml", "text/xml"))
     manifest = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
-        '<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.text"/>'
-        '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
-        "</manifest:manifest>"
+        + "".join(
+            f'<manifest:file-entry manifest:full-path="{p}" '
+            f'manifest:media-type="{m}"/>' for p, m in entries)
+        + "</manifest:manifest>"
     ).encode()
-    return _zip_parts([
-        ("mimetype", b"application/vnd.oasis.opendocument.text"),
-        ("META-INF/manifest.xml", manifest),
-        ("content.xml", content),
-    ], stored_first=True)
+    parts.append(("META-INF/manifest.xml", manifest))
+    parts.append(("content.xml", content))
+    if styles_xml is not None:
+        parts.append(("styles.xml", styles_xml))
+    return _zip_parts(parts, stored_first=True)
 
 
 def encode_ods(rows: list[list]) -> bytes:
@@ -434,20 +579,81 @@ def encode_rtf(paragraphs: list[str]) -> bytes:
 # ---------------------------------------------------------------------------
 # extractors (independent readers: xml.etree / tokenizer)
 
-def _docx_units(z: zipfile.ZipFile) -> list[str]:
-    root = ET.fromstring(z.read("word/document.xml"))
+def _docx_para_text(p) -> str:
+    frag = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == f"{{{_W}}}t":
+            frag.append(node.text or "")
+        elif tag == f"{{{_W}}}tab":
+            frag.append("\t")
+        elif tag == f"{{{_W}}}br":
+            frag.append("\n")
+    return "".join(frag)
+
+
+def _docx_table_text(tbl) -> str:
+    """One w:tbl → one unit: rows newline-joined, cells tab-joined,
+    multi-paragraph cells (and nested tables) newline-joined inside
+    the cell — row-major prose, the layout a reader would speak."""
+    lines = []
+    for tr in tbl.findall(f"{{{_W}}}tr"):
+        cells = []
+        for tc in tr.findall(f"{{{_W}}}tc"):
+            parts = []
+            for el in tc:
+                if el.tag == f"{{{_W}}}p":
+                    parts.append(_docx_para_text(el))
+                elif el.tag == f"{{{_W}}}tbl":
+                    parts.append(_docx_table_text(el))
+            cells.append("\n".join(parts))
+        lines.append("\t".join(cells))
+    return "\n".join(lines)
+
+
+def _docx_block_units(root) -> list[str]:
+    """Top-level block units of a WML part in document order: w:p →
+    one paragraph unit, w:tbl → one table unit (cell paragraphs no
+    longer leak out as stray sibling units)."""
+    body = root.find(f"{{{_W}}}body")
     units = []
-    for p in root.iter(f"{{{_W}}}p"):
-        frag = []
-        for node in p.iter():
-            tag = node.tag
-            if tag == f"{{{_W}}}t":
-                frag.append(node.text or "")
-            elif tag == f"{{{_W}}}tab":
-                frag.append("\t")
-            elif tag == f"{{{_W}}}br":
-                frag.append("\n")
-        units.append("".join(frag))
+    for el in (body if body is not None else root):
+        if el.tag == f"{{{_W}}}p":
+            units.append(_docx_para_text(el))
+        elif el.tag == f"{{{_W}}}tbl":
+            units.append(_docx_table_text(el))
+    return units
+
+
+def _docx_units(z: zipfile.ZipFile) -> list[str]:
+    """All prose units of a docx, not just the body: header parts
+    first (sorted by part name), then document.xml's blocks in
+    document order, then footnotes and endnotes (one unit per note,
+    separator/continuation pseudo-notes skipped — ECMA-376
+    §17.11.5.3), then footer parts.  Headers, footers, footnotes and
+    tables ARE training prose; dropping them silently loses the
+    densest text in real reports."""
+    names = set(z.namelist())
+    units = []
+    for name in sorted(n for n in names
+                       if re.fullmatch(r"word/header\d*\.xml", n)):
+        units += _docx_block_units(ET.fromstring(z.read(name)))
+    units += _docx_block_units(
+        ET.fromstring(z.read("word/document.xml")))
+    for part, tag in (("word/footnotes.xml", "footnote"),
+                      ("word/endnotes.xml", "endnote")):
+        if part not in names:
+            continue
+        for note in ET.fromstring(z.read(part)):
+            if note.tag != f"{{{_W}}}{tag}":
+                continue
+            if note.get(f"{{{_W}}}type") in (
+                    "separator", "continuationSeparator"):
+                continue
+            units.append("\n".join(_docx_block_units(note)))
+    for name in sorted(n for n in names
+                       if re.fullmatch(r"word/footer\d*\.xml", n)):
+        units += _docx_block_units(ET.fromstring(z.read(name)))
     return units
 
 
@@ -542,10 +748,39 @@ def _odf_text(el) -> str:
             frag.append("\n")
         elif tag == f"{{{_TEXT}}}s":
             frag.append(" " * int(child.get(f"{{{_TEXT}}}c", "1")))
+        elif tag == f"{{{_TEXT}}}note":
+            # footnote/endnote bodies are their OWN units (collected by
+            # _odt_units) — inlining citation+body here would splice
+            # the note mid-sentence into the anchor paragraph
+            pass
         else:
             frag.append(_odf_text(child))
         frag.append(child.tail or "")
     return "".join(frag)
+
+
+def _odf_table_text(table) -> str:
+    """One table:table → one unit: rows newline-joined, cells
+    tab-joined, typed cell values rendered like the ods path."""
+    lines = []
+    for row in table.iter(f"{{{_TABLE}}}table-row"):
+        cells = []
+        for c in row.iter(f"{{{_TABLE}}}table-cell"):
+            vt = c.get(f"{{{_OFFICE}}}value-type", "string")
+            if vt == "boolean":
+                b = c.get(f"{{{_OFFICE}}}boolean-value", "false")
+                cells.append("TRUE" if b == "true" else "FALSE")
+            elif vt == "float":
+                cells.append(
+                    _num_repr(float(c.get(f"{{{_OFFICE}}}value", "0"))))
+            else:
+                cells.append("\n".join(
+                    _odf_text(p) for p in c.iter(f"{{{_TEXT}}}p")))
+        lines.append("\t".join(cells))
+    return "\n".join(lines)
+
+
+_STYLE = "urn:oasis:names:tc:opendocument:xmlns:style:1.0"
 
 
 def _odt_units(z: zipfile.ZipFile) -> list[str]:
@@ -554,10 +789,35 @@ def _odt_units(z: zipfile.ZipFile) -> list[str]:
     units = []
     text_el = body.find(f"{{{_OFFICE}}}text") if body is not None else None
     if text_el is not None:
+        # headers/footers live in styles.xml master pages — prose a
+        # body-only walk silently drops
+        heads: list[str] = []
+        feet: list[str] = []
+        try:
+            styles = ET.fromstring(z.read("styles.xml"))
+        except KeyError:
+            styles = None
+        if styles is not None:
+            for mp in styles.iter(f"{{{_STYLE}}}master-page"):
+                for el in mp.iter(f"{{{_STYLE}}}header"):
+                    heads += [_odf_text(p)
+                              for p in el.iter(f"{{{_TEXT}}}p")]
+                for el in mp.iter(f"{{{_STYLE}}}footer"):
+                    feet += [_odf_text(p)
+                             for p in el.iter(f"{{{_TEXT}}}p")]
+        notes: list[str] = []
         for el in text_el:
             if el.tag in (f"{{{_TEXT}}}p", f"{{{_TEXT}}}h"):
                 units.append(_odf_text(el))
-        return units
+                for note in el.iter(f"{{{_TEXT}}}note"):
+                    nb = note.find(f"{{{_TEXT}}}note-body")
+                    if nb is not None:
+                        notes.append("\n".join(
+                            _odf_text(p)
+                            for p in nb.iter(f"{{{_TEXT}}}p")))
+            elif el.tag == f"{{{_TABLE}}}table":
+                units.append(_odf_table_text(el))
+        return heads + units + notes + feet
     # presentation: one unit per draw:page, text runs joined like pptx
     pres = (body.find(f"{{{_OFFICE}}}presentation")
             if body is not None else None)
@@ -572,22 +832,7 @@ def _odt_units(z: zipfile.ZipFile) -> list[str]:
         raise OfficeError(
             "ODF document with no text/presentation/spreadsheet body")
     for table in ss.iter(f"{{{_TABLE}}}table"):
-        lines = []
-        for row in table.iter(f"{{{_TABLE}}}table-row"):
-            cells = []
-            for c in row.iter(f"{{{_TABLE}}}table-cell"):
-                vt = c.get(f"{{{_OFFICE}}}value-type", "string")
-                if vt == "boolean":
-                    b = c.get(f"{{{_OFFICE}}}boolean-value", "false")
-                    cells.append("TRUE" if b == "true" else "FALSE")
-                elif vt == "float":
-                    cells.append(
-                        _num_repr(float(c.get(f"{{{_OFFICE}}}value", "0"))))
-                else:
-                    cells.append("\n".join(
-                        _odf_text(p) for p in c.iter(f"{{{_TEXT}}}p")))
-            lines.append("\t".join(cells))
-        units.append("\n".join(lines))
+        units.append(_odf_table_text(table))
     return units
 
 

@@ -2364,6 +2364,9 @@ ORACLE_SQL["office_extract_docs"] = """
                                 WHEN 8 THEN 'ppt'
                                 ELSE 'odp' END AS fmt,
                CAST(1 + doc_id % 3 AS INTEGER) AS n,
+               ((doc_id % 10 = 0 AND (doc_id // 10) % 2 = 0)
+                OR (doc_id % 10 = 3 AND (doc_id // 10) % 2 = 1))
+                   AS structural,
                COALESCE(text, '') AS t
         FROM documents
     )
@@ -2372,6 +2375,22 @@ ORACLE_SQL["office_extract_docs"] = """
            substr(t, 80 * k + 1, 80) AS text
     FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
     WHERE ok AND k < n AND fmt NOT IN ('xlsx', 'ods', 'xls')
+          AND NOT structural
+    UNION ALL
+    -- structural docx/odt: unit 0 the header, 1..n the paragraphs,
+    -- then the table (row-major, cell-tab-joined), the footnote, the
+    -- footer — the exact walk order the extractor documents
+    SELECT doc_id, TRUE, fmt, CAST(k AS INTEGER),
+           CAST(n + 4 AS INTEGER),
+           CASE WHEN k = 0 THEN 'Header doc ' || doc_id
+                WHEN k <= n THEN substr(t, 80 * (k - 1) + 1, 80)
+                WHEN k = n + 1 THEN
+                     'k' || doc_id || chr(9) || 'v1' || chr(10)
+                     || 'total' || chr(9) || (doc_id % 100)
+                WHEN k = n + 2 THEN 'note for doc ' || doc_id
+                ELSE 'page 1' END
+    FROM p, (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS k) ks
+    WHERE ok AND structural AND k < n + 4
     UNION ALL
     SELECT doc_id, TRUE, fmt, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
            CASE n WHEN 1 THEN substr(t, 1, 80)

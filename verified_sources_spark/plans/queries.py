@@ -3303,6 +3303,27 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # legacy binary Word, both table-stream names
                     asset = encode_doc(units,
                                        which_table=(did // 8) % 2)
+                elif fmt == 0 and (did // 10) % 2 == 0:
+                    # structural docx: header/footer parts, a w:tbl
+                    # (row-major, cell-tab-joined unit) and a footnote
+                    # part — prose a body-paragraph-only walk drops
+                    asset = encode_docx(
+                        units,
+                        tables=[[[f"k{did}", "v1"],
+                                 ["total", str(did % 100)]]],
+                        headers=[f"Header doc {did}"],
+                        footers=["page 1"],
+                        footnotes=[f"note for doc {did}"])
+                elif fmt == 3 and (did // 10) % 2 == 1:
+                    # structural odt: styles.xml master-page header/
+                    # footer, a table:table and a text:note
+                    asset = encode_odt(
+                        units,
+                        tables=[[[f"k{did}", "v1"],
+                                 ["total", str(did % 100)]]],
+                        header=[f"Header doc {did}"],
+                        footer=["page 1"],
+                        footnotes=[f"note for doc {did}"])
                 else:
                     asset = encoders[fmt](units)
                 rows.append(
