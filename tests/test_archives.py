@@ -299,3 +299,39 @@ def test_nested_archive_all_or_nothing_fallback():
     got = dict(iter_members_recursive(outer, max_member_bytes=cap,
                                       max_total_members=5))
     assert len(got) == 2
+
+
+def test_zip64_archives():
+    """Zip64 (>65535 entries / zip64 extra fields) reads through the
+    same front door — at 100 TB the >4 GiB-member and huge-entry-count
+    shapes WILL appear, and stdlib zipfile serves both (EOCD64 record,
+    zip64 extras); pinned here so a regression to a hand parser can't
+    silently drop them."""
+    import io
+    import zipfile as zf_mod
+
+    from verified_sources_spark.llm.archives import iter_members_recursive
+
+    buf = io.BytesIO()
+    with zf_mod.ZipFile(buf, "w", zf_mod.ZIP_STORED) as z:
+        for i in range(65600):  # > 0xFFFF forces the Zip64 EOCD
+            z.writestr(f"d/f{i:05d}", b"x")
+    data = buf.getvalue()
+    # the classic EOCD entry count saturates at 0xFFFF: Zip64 is live
+    assert data[-22:-18] == b"PK\x05\x06" and data[-12:-10] == b"\xff\xff"
+    assert sniff_archive_format(data) == "zip"
+    n = sum(1 for _ in iter_members(data))
+    assert n == 65600
+    # the recursive walk's explosion gate admits a legit Zip64 count
+    n = sum(1 for _ in iter_members_recursive(data))
+    assert n == 65600
+
+    # zip64 extra field in the local header (force_zip64 = the layout
+    # a >4 GiB member carries, without materializing 4 GiB)
+    buf = io.BytesIO()
+    with zf_mod.ZipFile(buf, "w") as z:
+        with z.open("big.bin", "w", force_zip64=True) as f:
+            f.write(b"zip64-extra payload")
+        z.writestr("small.txt", b"s")
+    assert dict(iter_members(buf.getvalue())) == {
+        "big.bin": b"zip64-extra payload", "small.txt": b"s"}

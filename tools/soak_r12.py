@@ -1,0 +1,172 @@
+"""Round-12 adversarial skew soaks for the composition front doors.
+
+Three deliberately skewed shapes a 100 TB corpus will contain:
+
+1. crawl_dedup with a 100k-duplicate page: 100k WARC records whose
+   extracted text is IDENTICAL (one mega-group) plus a long tail of
+   uniques — the hot-key shape for the exact-dedup groupBy.
+2. nested_archive with one 10k-member zip exploding inside a single
+   task — the straggler shape for per-row explosion (bounded by the
+   member-count gate at default 100k).
+3. scan_dedup with one page duplicated across 10k PDFs + 10k TIFFs —
+   the hot dhash bucket for the cross-format dedup groupBy.
+
+Usage: python tools/soak_r12.py            (prints secs per shape)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from verified_sources_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, fn):
+    t0 = time.time()
+    out = fn()
+    print(f"  {label}: {time.time() - t0:.1f}s ({out})", flush=True)
+
+
+def main():
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("soak-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- 1. crawl_dedup: 100k duplicates of ONE page + 20k uniques
+    def mint_warc(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.warc import (
+            encode_record, encode_warc, http_response_block,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                text = ("the hot duplicated page" if did < 100_000
+                        else f"unique page {did}")
+                body = (f"<html><body><p>{text}</p></body></html>"
+                        ).encode()
+                rec = encode_record(uri=f"http://e/{did}",
+                                    block=http_response_block(body))
+                rows.append({"doc_id": did,
+                             "asset": encode_warc([rec])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def crawl_hot_key():
+        from verified_sources_spark.llm.exact_dedup import (
+            exact_dedup_groups,
+        )
+        from verified_sources_spark.llm.warc import warc_extract
+
+        assets = (spark.range(120_000).repartition(32)
+                  .mapInPandas(mint_warc, "doc_id long, asset binary"))
+        pages = (warc_extract(assets).filter(F.col("decoded_ok"))
+                 .select("doc_id", "text"))
+        groups = exact_dedup_groups(pages, "doc_id", "text")
+        top = groups.orderBy(F.desc("n_copies")).first()
+        n = groups.count()
+        assert top["n_copies"] == 100_000, top
+        return f"{n} groups, hot group n_copies={top['n_copies']}"
+
+    # ---- 2. nested_archive: one 10k-member zip in ONE row
+    def explode_10k_archive():
+        from verified_sources_spark.llm.archives import (
+            encode_zip, iter_members_recursive,
+        )
+
+        big = encode_zip({f"f{i:05d}.txt": b"x%d" % i
+                          for i in range(10_000)})
+        inner = encode_zip({"pad.txt": b"p"})
+        outer = encode_zip({"big.zip": big, "inner.zip": inner})
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did, asset in zip(pdf["doc_id"], pdf["asset"]):
+                    n = sum(1 for _ in iter_members_recursive(
+                        bytes(asset)))
+                    rows.append({"doc_id": int(did), "n_members": n})
+                yield pd.DataFrame(rows,
+                                   columns=["doc_id", "n_members"])
+
+        df = spark.createDataFrame(
+            [(i, bytearray(outer)) for i in range(64)],
+            "doc_id long, asset binary").repartition(32)
+        got = df.mapInPandas(run, "doc_id long, n_members long")
+        total = got.agg(F.sum("n_members")).first()[0]
+        assert total == 64 * 10_001, total  # 10k big + 1 nested pad
+        return f"64 rows x 10001 members = {total}"
+
+    # ---- 3. scan_dedup: one page in 10k PDFs + 10k TIFF twins
+    def scan_hot_bucket():
+        import numpy as np
+
+        from verified_sources_spark.llm.image_dedup import tiff_pages
+        from verified_sources_spark.llm.pdf_codec import pdf_images
+
+        rng = np.random.default_rng(1)
+        w, h = 32, 24
+        bits = (rng.integers(0, 256, size=(h, w)) < 128).astype(np.uint8)
+        rows_ = [bits[y].tobytes() for y in range(h)]
+
+        def mint(batches):
+            import pandas as pd
+
+            from verified_sources_spark.llm.jbig2 import encode_jbig2_mmr
+            from verified_sources_spark.llm.pdf_codec import encode_pdf
+            from verified_sources_spark.llm.tiff_codec import (
+                encode_multipage_bilevel,
+            )
+
+            pdfb = encode_pdf([["p"]], image={
+                "width": w, "height": h, "bpc": 1,
+                "colorspace": "DeviceGray",
+                "pdf_filter": "JBIG2Decode",
+                "data": encode_jbig2_mmr(rows_)})
+            tifb = encode_multipage_bilevel(
+                [(w, h, bits.tobytes())], compression="g4")
+            for pdf in batches:
+                out = []
+                for did in pdf["id"]:
+                    did = int(did)
+                    out.append({"doc_id": did,
+                                "asset": pdfb if did % 2 else tifb,
+                                "is_pdf": did % 2})
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "asset", "is_pdf"])
+
+        assets = (spark.range(20_000).repartition(32)
+                  .mapInPandas(
+                      mint,
+                      "doc_id long, asset binary, is_pdf int"))
+        pdf_side = (pdf_images(assets.filter("is_pdf = 1"))
+                    .filter(F.col("dhash").isNotNull())
+                    .select("doc_id", "dhash"))
+        tif_side = (tiff_pages(assets.filter("is_pdf = 0"))
+                    .filter(F.col("dhash").isNotNull())
+                    .select("doc_id", "dhash"))
+        grp = (pdf_side.unionByName(tif_side).groupBy("dhash")
+               .agg(F.count("*").alias("n")))
+        top = grp.orderBy(F.desc("n")).first()
+        assert top["n"] == 20_000, top
+        return f"hot dhash bucket n={top['n']}"
+
+    print("round-12 skew soaks (local[32]):", flush=True)
+    timed("crawl_dedup 100k-duplicate page (120k docs)", crawl_hot_key)
+    timed("nested_archive 10k-member zip x 64 rows", explode_10k_archive)
+    timed("scan_dedup 20k-copy hot dhash bucket", scan_hot_bucket)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
