@@ -221,7 +221,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "markdown_extract_docs", "heif_probe_docs",
               "svg_extract_docs", "crawl_dedup_pipeline_docs",
               "nested_archive_docs", "pdf_image_matches_docs",
-              "scan_dedup_pipeline_docs"):
+              "scan_dedup_pipeline_docs",
+              "email_attachment_pipeline_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

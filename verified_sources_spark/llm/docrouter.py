@@ -1,0 +1,157 @@
+"""Magic-byte document routing: one front door for "a blob that is
+some kind of document".
+
+The reference routes unstructured files to per-format processors by
+extension/type (sources/unstructured_data/helpers.py:30-63 — the
+filetype → processor dispatch); at corpus scale the same routing has
+to run on BYTES, because filenames lie and half the blobs arrive from
+inside containers (email attachments, archive members, crawl bodies)
+with no trustworthy name at all.
+
+``sniff_document`` names the format from magic bytes (never from the
+filename); ``extract_document`` routes to the matching extractor the
+engine already owns — PDF (llm/pdf_codec), OOXML/ODF/RTF/legacy-CFB
+office (llm/office), EPUB (llm/ebook), HTML (the WARC path's
+extract_text, so attachment HTML and crawl HTML canonicalize
+identically), markdown and plain text — and returns one
+``{"format", "text"}`` dict.  Formats with their own richer surfaces
+(archives, images, audio, video) are NOT flattened to text here; they
+refuse with the format named so the caller can route them to the
+right operator instead of silently ingesting ``str(bytes)`` garble.
+"""
+
+from __future__ import annotations
+
+__all__ = ["DocRouteError", "sniff_document", "extract_document"]
+
+
+class DocRouteError(ValueError):
+    """Named refusal: not a text-document payload this router serves."""
+
+
+_MEDIA_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"), (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"), (b"BM", "bmp"), (b"ID3", "mp3"),
+    (b"fLaC", "flac"), (b"OggS", "ogg"), (b"\x1a\x45\xdf\xa3", "webm"),
+]
+
+
+def sniff_document(payload: bytes) -> str:
+    """Format name from magic bytes: 'pdf' / 'docx' (any OOXML/ODF zip
+    package) / 'cfb' (legacy office / .msg) / 'rtf' / 'epub' / 'html'
+    / 'markdown' / 'text', or the media/archive name that explains the
+    refusal."""
+    if payload[:5] == b"%PDF-":
+        return "pdf"
+    if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return "cfb"
+    if payload[:5] == b"{\\rtf":
+        return "rtf"
+    if payload[:4] == b"PK\x03\x04":
+        # one zip sniff, three families: EPUB and ODF declare a
+        # mimetype member, OOXML a [Content_Types].xml
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as z:
+                names = set(z.namelist())
+                if "mimetype" in names:
+                    mt = z.read("mimetype")
+                    if mt == b"application/epub+zip":
+                        return "epub"
+                    if mt.startswith(b"application/vnd.oasis"):
+                        return "docx"  # ODF: extract_office dispatches
+                if "[Content_Types].xml" in names:
+                    return "docx"
+        except Exception:
+            pass
+        return "zip"
+    for magic, name in _MEDIA_MAGIC:
+        if payload[: len(magic)] == magic:
+            return name
+    from verified_sources_spark.llm.archives import sniff_archive_format
+
+    fmt = sniff_archive_format(payload)
+    if fmt:
+        return fmt
+    head = payload[:2048].lstrip()[:256].lower()
+    if head.startswith((b"<!doctype html", b"<html")) or b"<body" in head:
+        return "html"
+    # decodable text: markdown if it walks like markdown, else plain
+    try:
+        text = payload[:65536].decode("utf-8")
+    except UnicodeDecodeError:
+        raise DocRouteError(
+            "unrecognized binary payload — refusing by name") from None
+    if _looks_like_markdown(text):
+        return "markdown"
+    return "text"
+
+
+import re as _re
+
+_MD_MARKS = (
+    _re.compile(r"(?m)^#{1,6} \S"),          # ATX heading
+    _re.compile(r"(?m)^```"),                # fenced code
+    _re.compile(r"\[[^\]]+\]\([^)]+\)"),     # inline link
+    _re.compile(r"(?m)^[-*] \S"),            # list item
+)
+
+
+def _looks_like_markdown(text: str) -> bool:
+    return sum(1 for rx in _MD_MARKS if rx.search(text)) >= 2
+
+
+def extract_document(payload: bytes) -> dict:
+    """``{"format", "text"}`` for a document blob, routed by magic
+    bytes to the engine's own extractors.  Non-document formats
+    (media, archives) raise :class:`DocRouteError` with the format
+    named — the caller owns richer surfaces for those."""
+    fmt = sniff_document(payload)
+    if fmt == "pdf":
+        from verified_sources_spark.llm.pdf_codec import (
+            PdfError, extract_pdf_text,
+        )
+
+        try:
+            return {"format": "pdf",
+                    "text": extract_pdf_text(payload)["text"]}
+        except PdfError as e:
+            raise DocRouteError(f"pdf: {e}") from None
+    if fmt in ("docx", "cfb", "rtf"):
+        from verified_sources_spark.llm.office import (
+            OfficeError, extract_office,
+        )
+
+        try:
+            out = extract_office(payload)
+        except OfficeError as e:
+            raise DocRouteError(f"office: {e}") from None
+        return {"format": out["format"],
+                "text": "\n".join(out["units"])}
+    if fmt == "epub":
+        from verified_sources_spark.llm.ebook import EbookError, extract_epub
+
+        try:
+            out = extract_epub(payload)
+        except EbookError as e:
+            raise DocRouteError(f"epub: {e}") from None
+        return {"format": "epub",
+                "text": "\n".join(c["text"] for c in out["chapters"])}
+    if fmt == "html":
+        from verified_sources_spark.llm.warc import extract_text
+
+        _, text = extract_text(
+            payload.decode("utf-8", errors="replace"), collapse=True)
+        return {"format": "html", "text": text}
+    if fmt == "markdown":
+        from verified_sources_spark.llm.markdown import markdown_extract
+
+        return {"format": "markdown",
+                "text": markdown_extract(payload)["text"]}
+    if fmt == "text":
+        return {"format": "text", "text": payload.decode("utf-8")}
+    raise DocRouteError(
+        f"{fmt} payload is not a text document — route it to the "
+        f"{fmt} surface instead")

@@ -61,11 +61,15 @@ def encode_eml(
     boundary: str = "b0UNDary42",
     charset: str = "utf-8",
     base64_body: bool = False,
+    attachments: list[tuple[str, str, bytes]] | None = None,
 ) -> bytes:
     """Hand-rolled RFC 5322 + MIME writer (deliberately NOT
     email.generator, so reader and writer share no code): single-part
     quoted-printable by default, multipart/alternative when an HTML
-    body is given, base64 transfer encoding on request."""
+    body is given, base64 transfer encoding on request.
+    ``attachments`` — (filename, content_type, payload) triples —
+    wrap everything in multipart/mixed with base64 attachment parts
+    and Content-Disposition, the layout every mail client writes."""
     import base64
 
     head = [
@@ -75,6 +79,36 @@ def encode_eml(
         f"Date: {date}",
         "MIME-Version: 1.0",
     ]
+    if attachments:
+        ob = boundary + "mix"
+        head.append(
+            f'Content-Type: multipart/mixed; boundary="{ob}"')
+        inner = encode_eml(
+            subject, body_text, from_addr=from_addr, to_addr=to_addr,
+            html_body=html_body, date=date, boundary=boundary,
+            charset=charset, base64_body=base64_body)
+        # the inner writer's top-level part: strip the RFC 5322
+        # headers, keep its Content-Type/CTE block + body
+        ihead, _, ibody = inner.partition(b"\r\n\r\n")
+        ct_lines = [ln for ln in ihead.split(b"\r\n")
+                    if ln.lower().startswith((b"content-type",
+                                              b"content-transfer"))]
+        out = [("\r\n".join(head) + "\r\n\r\n").encode(),
+               f"--{ob}\r\n".encode(),
+               b"\r\n".join(ct_lines) + b"\r\n\r\n", ibody]
+        if not ibody.endswith(b"\r\n"):
+            out.append(b"\r\n")
+        for fn, ctype, payload in attachments:
+            out.append(
+                (f"--{ob}\r\n"
+                 f'Content-Type: {ctype}; name="{fn}"\r\n'
+                 "Content-Transfer-Encoding: base64\r\n"
+                 "Content-Disposition: attachment; "
+                 f'filename="{fn}"\r\n\r\n').encode())
+            out.append(base64.encodebytes(payload))
+            out.append(b"\r\n")
+        out.append(f"--{ob}--\r\n".encode())
+        return b"".join(out)
     if html_body is None:
         if base64_body:
             head.append(f'Content-Type: text/plain; charset="{charset}"')
@@ -254,6 +288,138 @@ def email_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
 
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, EMAIL_EXTRACT_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# attachment explosion: the mail -> document chain
+
+def iter_attachments(data: bytes):
+    """Yield ``(filename, content_type, payload)`` per attachment part
+    of one EML: parts with Content-Disposition attachment, or a
+    filename on a non-inline part — the transfer coding (base64/QP)
+    already reversed.  The reference's inbox source extracts
+    attachments the same way (sources/inbox — body + attachment
+    extraction); at rest, every attachment is a candidate DOCUMENT for
+    the corpus, not mail metadata."""
+    msg = email.message_from_bytes(data, policy=email.policy.default)
+    if msg.get("Subject") is None and msg.get("From") is None:
+        raise EmailError("no Subject/From headers — not an email")
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        fn = part.get_filename()
+        disp = part.get_content_disposition()
+        if disp == "attachment" or (fn and disp != "inline"):
+            payload = part.get_payload(decode=True) or b""
+            yield fn or "", part.get_content_type(), payload
+
+
+def iter_msg_attachments(streams: dict):
+    """(filename, payload) per ``__attach_version1.0_#N`` storage of a
+    parsed .msg CFB: data from PidTagAttachDataBinary (37010102),
+    name from PidTagAttachLongFilename (3707) falling back to
+    PidTagAttachFilename (3704), either string width."""
+    prefixes = sorted({k.split("/", 1)[0] for k in streams
+                       if k.startswith("__attach_version1.0_")})
+    for pre in prefixes:
+        data = streams.get(f"{pre}/__substg1.0_37010102", b"")
+        name = None
+        for tag in ("3707", "3704"):
+            v = streams.get(f"{pre}/__substg1.0_{tag}001F")
+            if v is not None:
+                name = v.decode("utf-16-le", errors="replace")
+                break
+            v = streams.get(f"{pre}/__substg1.0_{tag}001E")
+            if v is not None:
+                name = v.decode("cp1252", errors="replace")
+                break
+        yield name or "", data
+
+
+EMAIL_ATTACHMENT_TEXTS_SCHEMA = (
+    "doc_id long, decoded_ok boolean, msg_idx int, att_idx int, "
+    "filename string, att_format string, n_bytes long, text string"
+)
+
+
+def email_attachment_texts(df, id_col: str = "doc_id",
+                           asset_col: str = "asset"):
+    """FUSED mail→document chain: explode each mail payload's
+    attachments (EML/mbox via MIME, .msg via MAPI attach storages) and
+    route every attachment through llm/docrouter.extract_document —
+    PDF/office/EPUB/HTML/markdown/plain attachments land as TEXT rows
+    beside the crawl and archive front doors.  One mapInPandas: the
+    attachment bytes never leave the scan's executor (no intermediate
+    payload column, no shuffle).  A mail with no attachments emits one
+    ``att_idx=null`` row; a corrupt mail OR a refused attachment
+    (media, encrypted, garble) isolates as ``decoded_ok=false`` with
+    the byte count kept — honest inventory, nothing silently dropped."""
+    import pandas as pd
+
+    def run(batches):
+        from verified_sources_spark.llm.cfb import CfbError, list_streams
+        from verified_sources_spark.llm.docrouter import (
+            DocRouteError, extract_document,
+        )
+
+        def emit(rows, _id, i, j, fn, payload):
+            try:
+                out = extract_document(payload)
+                rows.append({
+                    "doc_id": _id, "decoded_ok": True, "msg_idx": i,
+                    "att_idx": j, "filename": fn,
+                    "att_format": out["format"],
+                    "n_bytes": len(payload), "text": out["text"]})
+            except DocRouteError:
+                rows.append({
+                    "doc_id": _id, "decoded_ok": False, "msg_idx": i,
+                    "att_idx": j, "filename": fn, "att_format": None,
+                    "n_bytes": len(payload), "text": None})
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                raw = bytes(payload)
+                n_before = len(rows)
+                try:
+                    if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                        try:
+                            streams = list_streams(raw)
+                        except CfbError as e:
+                            raise EmailError(str(e)) from None
+                        for j, (fn, data) in enumerate(
+                                iter_msg_attachments(streams)):
+                            emit(rows, _id, 0, j, fn, data)
+                    else:
+                        msgs = (list(iter_mbox(raw))
+                                if raw.startswith(b"From ") else [raw])
+                        for i, m in enumerate(msgs):
+                            for j, (fn, _ct, data) in enumerate(
+                                    iter_attachments(m)):
+                                emit(rows, _id, i, j, fn, data)
+                    if len(rows) == n_before:  # mail, no attachments
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "msg_idx": 0, "att_idx": None,
+                            "filename": None, "att_format": None,
+                            "n_bytes": None, "text": None})
+                except EmailError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "msg_idx": None, "att_idx": None,
+                        "filename": None, "att_format": None,
+                        "n_bytes": None, "text": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "msg_idx", "att_idx",
+                "filename", "att_format", "n_bytes", "text"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, EMAIL_ATTACHMENT_TEXTS_SCHEMA)
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out

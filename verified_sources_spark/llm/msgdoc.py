@@ -87,10 +87,12 @@ def parse_msg(data: bytes) -> dict:
 def encode_msg(subject: str, from_addr: str, body: str,
                to_addr: str = "", unicode_props: bool = True,
                html: bytes | None = None,
-               attachments: int = 0) -> bytes:
+               attachments: int | list[tuple[str, bytes]] = 0) -> bytes:
     """Real .msg fixture: one ``__substg1.0_`` stream per property in
     the chosen string width, optional PidTagHtml bytes and attachment
-    storages."""
+    storages.  ``attachments`` is either a count (opaque payloads, the
+    legacy fixture shape) or (filename, payload) pairs — named via
+    PidTagAttachLongFilename, data via PidTagAttachDataBinary."""
     from verified_sources_spark.llm.cfb import encode_cfb
 
     def enc(s: str) -> tuple[str, bytes]:
@@ -109,7 +111,16 @@ def encode_msg(subject: str, from_addr: str, body: str,
     else:
         streams["__substg1.0_10130102"] = html
     streams["__properties_version1.0"] = b"\x00" * 32
-    for i in range(attachments):
-        streams[f"__attach_version1.0_#{i:08X}/__substg1.0_37010102"] = (
-            b"attachment payload %d" % i)
+    if isinstance(attachments, int):
+        attachments = [(f"att{i}.bin", b"attachment payload %d" % i)
+                       for i in range(attachments)]
+        named = False
+    else:
+        named = True
+    for i, (name, payload) in enumerate(attachments):
+        pre = f"__attach_version1.0_#{i:08X}"
+        streams[f"{pre}/__substg1.0_37010102"] = payload
+        if named:
+            typ, raw = enc(name)
+            streams[f"{pre}/__substg1.0_3707{typ}"] = raw
     return encode_cfb(streams)

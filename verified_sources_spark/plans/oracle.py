@@ -2528,3 +2528,41 @@ ORACLE_SQL["scan_dedup_pipeline_docs"] = """
            CAST(1 AS BIGINT) AS n_tiff, CAST(1 AS BIGINT) AS n_docs
     FROM documents WHERE doc_id % 11 <> 0
 """
+
+# Mail->document composition chain: MIME/MAPI attachment explosion ->
+# magic-byte routing -> four extractors, refusals isolated per
+# attachment.  Filenames, formats and the recovered 80-char text
+# replayed from the minting arithmetic.
+ORACLE_SQL["email_attachment_pipeline_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 19) <> 0 AS ok,
+               doc_id % 4 AS fmt,
+               (doc_id % 7) = 3 AS noatt,
+               (doc_id % 6) = 0 AS haspng,
+               substr(COALESCE(text, ''), 1, 80) AS t80
+        FROM documents
+    )
+    SELECT doc_id, FALSE AS decoded_ok, CAST(NULL AS INTEGER) AS att_idx,
+           NULL AS filename, NULL AS att_format, NULL AS text
+    FROM p WHERE NOT ok
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(NULL AS INTEGER), NULL, NULL, NULL
+    FROM p WHERE ok AND noatt
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(0 AS INTEGER),
+           'doc' || doc_id || CASE fmt WHEN 0 THEN '.pdf'
+                                       WHEN 1 THEN '.docx'
+                                       WHEN 2 THEN '.rtf'
+                                       ELSE '.html' END,
+           CASE fmt WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                    WHEN 2 THEN 'rtf' ELSE 'html' END,
+           -- the HTML extractor whitespace-trims (collapse=True);
+           -- the other three preserve the slice byte-for-byte
+           CASE WHEN fmt = 3 THEN trim(t80) ELSE t80 END
+    FROM p WHERE ok AND NOT noatt
+    UNION ALL
+    SELECT doc_id, FALSE, CAST(1 AS INTEGER),
+           'img' || doc_id || '.png', NULL, NULL
+    FROM p WHERE ok AND NOT noatt AND haspng
+"""
