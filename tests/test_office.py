@@ -303,3 +303,13 @@ class TestStructuralText:
         # no structural args -> the old single-list walk, byte-same
         assert extract_office(encode_docx(PARAS))["units"] == PARAS
         assert extract_office(encode_odt(PARAS))["units"] == PARAS
+
+    def test_pptx_speaker_notes(self):
+        d = encode_pptx(["Slide A", "Slide B"],
+                        notes={0: "speak slowly", 1: "wrap up"})
+        assert extract_office(d)["units"] == [
+            "Slide A", "speak slowly", "Slide B", "wrap up"]
+        # notes on a subset of slides; empty notes emit nothing
+        d = encode_pptx(["S1", "S2", "S3"], notes={1: "middle note"})
+        assert extract_office(d)["units"] == [
+            "S1", "S2", "middle note", "S3"]

@@ -319,9 +319,14 @@ def encode_xlsx(rows: list[list], sheet_name: str = "Sheet1") -> bytes:
     ])
 
 
-def encode_pptx(slides: list[str]) -> bytes:
+def encode_pptx(slides: list[str],
+                notes: dict[int, str] | None = None) -> bytes:
     """Minimal PresentationML package: one text box per slide; embedded
-    ``\\n`` becomes separate ``a:p`` paragraphs."""
+    ``\\n`` becomes separate ``a:p`` paragraphs.  ``notes`` maps
+    0-based slide index → speaker-notes text, written as real
+    notesSlide parts linked from the slide's rels (the layout
+    PowerPoint saves)."""
+    notes = notes or {}
     parts: list[tuple[str, bytes]] = []
     sld_ids = []
     sld_rels = []
@@ -343,6 +348,26 @@ def encode_pptx(slides: list[str]) -> bytes:
             f'<Relationship Id="rId{i}" Type="{_R}/slide" Target="slides/slide{i}.xml"/>')
         overrides.append(
             f'<Override PartName="/ppt/slides/slide{i}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>')
+        if (i - 1) in notes:
+            nparas = "".join(
+                "<a:p><a:r><a:t>" + _esc(line) + "</a:t></a:r></a:p>"
+                for line in notes[i - 1].split("\n"))
+            nxml = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<p:notes xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld>'
+                "<p:spTree><p:sp><p:txBody>" + nparas
+                + "</p:txBody></p:sp></p:spTree></p:cSld></p:notes>"
+            ).encode()
+            parts.append((f"ppt/notesSlides/notesSlide{i}.xml", nxml))
+            parts.append((
+                f"ppt/slides/_rels/slide{i}.xml.rels",
+                ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                 f'<Relationships xmlns="{_PKG_R}">'
+                 f'<Relationship Id="rId1" Type="{_R}/notesSlide" '
+                 f'Target="../notesSlides/notesSlide{i}.xml"/>'
+                 "</Relationships>").encode()))
+            overrides.append(
+                f'<Override PartName="/ppt/notesSlides/notesSlide{i}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.notesSlide+xml"/>')
     pres = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<p:presentation xmlns:p="{_P}" xmlns:r="{_R}"><p:sldIdLst>'
@@ -668,6 +693,8 @@ def _parse_col(ref: str) -> int:
 
 
 def _rels_map(z: zipfile.ZipFile, part: str) -> dict[str, str]:
+    import posixpath
+
     d, _, base = part.rpartition("/")
     rel_part = (d + "/" if d else "") + "_rels/" + base + ".rels"
     out = {}
@@ -676,7 +703,8 @@ def _rels_map(z: zipfile.ZipFile, part: str) -> dict[str, str]:
         tgt = rel.get("Target")
         if not tgt.startswith("/"):
             tgt = (d + "/" if d else "") + tgt
-        out[rel.get("Id")] = tgt.lstrip("/")
+        # '../' segments are how OOXML writes sibling-dir targets
+        out[rel.get("Id")] = posixpath.normpath(tgt.lstrip("/"))
     return out
 
 
@@ -726,15 +754,28 @@ def _xlsx_units(z: zipfile.ZipFile) -> list[str]:
 def _pptx_units(z: zipfile.ZipFile) -> list[str]:
     pres = ET.fromstring(z.read("ppt/presentation.xml"))
     rels = _rels_map(z, "ppt/presentation.xml")
+    names = set(z.namelist())
     units = []
+
+    def runs(part: str) -> str:
+        root = ET.fromstring(z.read(part))
+        return "\n".join(
+            "".join(t.text or "" for t in p.iter(f"{{{_A}}}t"))
+            for p in root.iter(f"{{{_A}}}p"))
+
     for sid in pres.iter(f"{{{_P}}}sldId"):
         target = rels[sid.get(f"{{{_R}}}id")]
-        sroot = ET.fromstring(z.read(target))
-        paras = []
-        for p in sroot.iter(f"{{{_A}}}p"):
-            paras.append("".join(
-                t.text or "" for t in p.iter(f"{{{_A}}}t")))
-        units.append("\n".join(paras))
+        units.append(runs(target))
+        # speaker notes are prose a slide-only walk silently drops:
+        # one notesSlide unit directly after its slide, via the
+        # slide's own rels (never by filename guessing)
+        d, _, base = target.rpartition("/")
+        if f"{d}/_rels/{base}.rels" in names:
+            for tgt in _rels_map(z, target).values():
+                if "notesSlides/" in tgt and tgt in names:
+                    note = runs(tgt)
+                    if note:
+                        units.append(note)
     return units
 
 

@@ -2367,6 +2367,7 @@ ORACLE_SQL["office_extract_docs"] = """
                ((doc_id % 10 = 0 AND (doc_id // 10) % 2 = 0)
                 OR (doc_id % 10 = 3 AND (doc_id // 10) % 2 = 1))
                    AS structural,
+               (doc_id % 10 = 2 AND (doc_id // 10) % 2 = 0) AS noted,
                COALESCE(text, '') AS t
         FROM documents
     )
@@ -2375,7 +2376,17 @@ ORACLE_SQL["office_extract_docs"] = """
            substr(t, 80 * k + 1, 80) AS text
     FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
     WHERE ok AND k < n AND fmt NOT IN ('xlsx', 'ods', 'xls')
-          AND NOT structural
+          AND NOT structural AND NOT noted
+    UNION ALL
+    -- pptx with speaker notes: slide 0, its notesSlide, then the
+    -- remaining slides — n_units grows by one
+    SELECT doc_id, TRUE, fmt, CAST(k AS INTEGER),
+           CAST(n + 1 AS INTEGER),
+           CASE WHEN k = 0 THEN substr(t, 1, 80)
+                WHEN k = 1 THEN 'note for doc ' || doc_id
+                ELSE substr(t, 80 * (k - 1) + 1, 80) END
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+    WHERE ok AND noted AND k < n + 1
     UNION ALL
     -- structural docx/odt: unit 0 the header, 1..n the paragraphs,
     -- then the table (row-major, cell-tab-joined), the footnote, the

@@ -3314,6 +3314,11 @@ def office_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         headers=[f"Header doc {did}"],
                         footers=["page 1"],
                         footnotes=[f"note for doc {did}"])
+                elif fmt == 2 and (did // 10) % 2 == 0:
+                    # pptx with SPEAKER NOTES on slide 0 — a real
+                    # notesSlide part linked via the slide's rels
+                    asset = encode_pptx(
+                        units, notes={0: f"note for doc {did}"})
                 elif fmt == 3 and (did // 10) % 2 == 1:
                     # structural odt: styles.xml master-page header/
                     # footer, a table:table and a text:note
