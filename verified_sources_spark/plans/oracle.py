@@ -2577,3 +2577,26 @@ ORACLE_SQL["email_attachment_pipeline_docs"] = """
            'img' || doc_id || '.png', NULL, NULL
     FROM p WHERE ok AND NOT noatt AND haspng
 """
+
+# MHTML saved-web-page ingestion: root-part discovery + QP reversal +
+# the shared HTML extractor; location/title/resource inventory and
+# the text replayed from the minting arithmetic.
+ORACLE_SQL["mhtml_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 21) <> 0 AS ok, doc_id % 3 AS nres,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           'http://example.com/' || doc_id AS location,
+           'doc-' || doc_id AS title,
+           CAST(nres AS INTEGER) AS n_resources,
+           CASE nres WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'image/png;text/css' END
+               AS resource_types,
+           t AS text
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
