@@ -152,11 +152,22 @@ def _extract_pdf(payload):
     extract_pdf_text(payload)
 
 
-def _pdf_jbig2_image() -> bytes:
+def _pdf_jbig2_arithmetic() -> bytes:
+    # MMR-coded JBIG2 regions DECODE now (llm/jbig2); the remaining
+    # refusal is an ARITHMETIC-coded generic region (MMR=0) — flip the
+    # MMR bit on a valid fixture
+    import struct
+
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_mmr
     from verified_sources_spark.llm.pdf_codec import encode_pdf
 
+    data = bytearray(encode_jbig2_mmr([b"\x01\x00\x00\x01"] * 4))
+    plen = struct.unpack_from(">I", data, 7)[0]
+    data[11 + plen + 11 + 17] = 0x00  # generic flags: MMR -> 0
     return encode_pdf([["x"]], image={"width": 4, "height": 4,
-                                      "data": b"\x00" * 8,
+                                      "bpc": 1,
+                                      "colorspace": "DeviceGray",
+                                      "data": bytes(data),
                                       "pdf_filter": "JBIG2Decode"})
 
 
@@ -203,7 +214,8 @@ MATRIX = [
     ("webm-vp9-pixels", _webm, _sample_mp4, "V_VP9"),
     ("pdf-encrypted", _pdf_encrypted, _extract_pdf, "Encrypt"),
     ("pdf-ccitt-filter", _pdf_ccitt, _extract_pdf, "CCITTFaxDecode"),
-    ("pdf-jbig2-image", _pdf_jbig2_image, _extract_pdf_images, "JBIG2Decode"),
+    ("pdf-jbig2-arithmetic", _pdf_jbig2_arithmetic,
+     _extract_pdf_images, "MMR=0"),
 ]
 
 
