@@ -37,6 +37,9 @@ def test_routes_every_document_family():
          "html", "page"),
         (b"# Title\n\na [link](http://x)\n", "markdown", "Title\n\na link"),
         (b"plain text\n", "text", "plain text\n"),
+        (b"\\documentclass{article}\\begin{document}"
+         b"\\section{S}tex body\\end{document}", "latex",
+         "S\ntex body"),
     ]
     for payload, fmt, text in cases:
         out = extract_document(payload)

@@ -84,6 +84,8 @@ def sniff_document(payload: bytes) -> str:
     except UnicodeDecodeError:
         raise DocRouteError(
             "unrecognized binary payload — refusing by name") from None
+    if "\\documentclass" in text or "\\begin{document}" in text:
+        return "latex"
     if _looks_like_markdown(text):
         return "markdown"
     return "text"
@@ -145,6 +147,15 @@ def extract_document(payload: bytes) -> dict:
         _, text = extract_text(
             payload.decode("utf-8", errors="replace"), collapse=True)
         return {"format": "html", "text": text}
+    if fmt == "latex":
+        from verified_sources_spark.llm.latex import LatexError, latex_text
+
+        try:
+            return {"format": "latex",
+                    "text": latex_text(
+                        payload.decode("utf-8", "replace"))["text"]}
+        except LatexError as e:
+            raise DocRouteError(f"latex: {e}") from None
     if fmt == "markdown":
         from verified_sources_spark.llm.markdown import markdown_extract
 

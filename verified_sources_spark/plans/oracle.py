@@ -2600,3 +2600,44 @@ ORACLE_SQL["mhtml_extract_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# LaTeX markup stripping: title/headings and the full stripped text
+# replayed from the minting arithmetic — the caption survives its
+# dropped figure, the equation and comments vanish, slices
+# whitespace-trim exactly like the walker's paragraph canonicalizer.
+ORACLE_SQL["latex_extract_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 23) <> 0 AS ok,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n,
+               COALESCE(text, '') AS t
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, ok, n,
+               CASE WHEN trim(substr(t, 1, 80)) = ''
+                    THEN 'filler ' || doc_id || ' 0'
+                    ELSE trim(substr(t, 1, 80)) END AS s0,
+               CASE WHEN trim(substr(t, 81, 80)) = ''
+                    THEN 'filler ' || doc_id || ' 1'
+                    ELSE trim(substr(t, 81, 80)) END AS s1,
+               CASE WHEN trim(substr(t, 161, 80)) = ''
+                    THEN 'filler ' || doc_id || ' 2'
+                    ELSE trim(substr(t, 161, 80)) END AS s2
+        FROM p
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           'Paper ' || doc_id AS title,
+           n AS n_headings,
+           CASE n WHEN 1 THEN 'Section 1'
+                  WHEN 2 THEN 'Section 1;Section 2'
+                  ELSE 'Section 1;Section 2;Section 3' END AS headings,
+           'Paper ' || doc_id || chr(10) || 'Section 1' || chr(10)
+           || s0 || chr(10) || 'A caption worth keeping'
+           || CASE WHEN n >= 2 THEN chr(10) || 'Section 2' || chr(10)
+                                    || s1 ELSE '' END
+           || CASE WHEN n >= 3 THEN chr(10) || 'Section 3' || chr(10)
+                                    || s2 ELSE '' END AS text
+    FROM s WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL FROM p WHERE NOT ok
+"""

@@ -4215,6 +4215,53 @@ def mhtml_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resource_types", "text")
 
 
+def latex_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX (.tex, the arXiv-dump corpus shape) ingestion end-to-end
+    over documents: typeset each doc into a paper-shaped source —
+    title + maketitle, ``1 + doc_id % 3`` sections of 80-char prose
+    slices, an equation environment (dropped: formulas are not
+    prose), a figure whose scaffolding drops but whose CAPTION
+    survives, comments, ``\\cite``/``\\emph``/escape/``~`` markup —
+    every 23rd a plain-prose non-LaTeX payload; strip through
+    llm/latex.latex_extract_op.  The oracle replays title, headings
+    and the whole markup-stripped text in SQL — a value-hash match
+    proves comment/math/float removal, caption rescue, command
+    semantics and whitespace canonicalization are exact (reference
+    analogue: unstructured file routing, a .tex drop)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.latex import latex_extract_op
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.latex import encode_latex
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 23 == 0:
+                    rows.append({
+                        "doc_id": did,
+                        "asset": b"Just plain prose, no TeX here."})
+                    continue
+                t = text or ""
+                secs = []
+                for k in range(1 + did % 3):
+                    s = t[80 * k : 80 * (k + 1)].strip()
+                    secs.append((f"Section {k + 1}",
+                                 s or f"filler {did} {k}"))
+                rows.append({"doc_id": did,
+                             "asset": encode_latex(f"Paper {did}", secs)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return latex_extract_op(assets).select(
+        "doc_id", "decoded_ok", "title", "n_headings", "headings",
+        "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4361,4 +4408,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_dedup_pipeline_docs": scan_dedup_pipeline_docs,
     "email_attachment_pipeline_docs": email_attachment_pipeline_docs,
     "mhtml_extract_docs": mhtml_extract_docs,
+    "latex_extract_docs": latex_extract_docs,
 }
