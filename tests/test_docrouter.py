@@ -37,6 +37,7 @@ def test_routes_every_document_family():
          "html", "page"),
         (b"# Title\n\na [link](http://x)\n", "markdown", "Title\n\na link"),
         (b"plain text\n", "text", "plain text\n"),
+        (b"id,v\n1,x\n2,y\n", "delimited", "id\tv\n1\tx\n2\ty"),
         (b"\\documentclass{article}\\begin{document}"
          b"\\section{S}tex body\\end{document}", "latex",
          "S\ntex body"),

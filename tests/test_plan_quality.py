@@ -222,7 +222,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "svg_extract_docs", "crawl_dedup_pipeline_docs",
               "nested_archive_docs", "pdf_image_matches_docs",
               "scan_dedup_pipeline_docs",
-              "email_attachment_pipeline_docs", "mhtml_extract_docs"):
+              "email_attachment_pipeline_docs", "mhtml_extract_docs",
+              "latex_extract_docs", "delimited_rows_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

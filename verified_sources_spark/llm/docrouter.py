@@ -88,6 +88,10 @@ def sniff_document(payload: bytes) -> str:
         return "latex"
     if _looks_like_markdown(text):
         return "markdown"
+    from verified_sources_spark.llm.tabular import sniff_delimited
+
+    if sniff_delimited(text):
+        return "delimited"
     return "text"
 
 
@@ -161,6 +165,18 @@ def extract_document(payload: bytes) -> dict:
 
         return {"format": "markdown",
                 "text": markdown_extract(payload)["text"]}
+    if fmt == "delimited":
+        from verified_sources_spark.llm.tabular import (
+            TabularError, parse_delimited,
+        )
+
+        try:
+            out = parse_delimited(payload)
+        except TabularError as e:
+            raise DocRouteError(f"delimited: {e}") from None
+        lines = ([out["header"]] if out["header"] else []) + out["rows"]
+        return {"format": "delimited",
+                "text": "\n".join("\t".join(r) for r in lines)}
     if fmt == "text":
         return {"format": "text", "text": payload.decode("utf-8")}
     raise DocRouteError(

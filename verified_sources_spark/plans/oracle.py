@@ -2641,3 +2641,31 @@ ORACLE_SQL["latex_extract_docs"] = """
     UNION ALL
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL FROM p WHERE NOT ok
 """
+
+# Blob-borne CSV/TSV explosion: dialect sniff + RFC 4180 quote/
+# newline recovery; delimiter, header and every cell replayed from
+# the minting arithmetic (the comma-delimited files embed the quoting
+# trifecta in the note cell).
+ORACLE_SQL["delimited_rows_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 29) <> 0 AS ok,
+               CAST(2 + doc_id % 3 AS INTEGER) AS n,
+               CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                               WHEN 2 THEN chr(9) ELSE '|' END AS delim,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, delim AS delimiter,
+           CAST(k AS INTEGER) AS row_idx, n AS n_rows,
+           CAST(3 AS INTEGER) AS n_cols,
+           'id' || chr(9) || 'name' || chr(9) || 'note' AS header,
+           (doc_id * 10 + k) || chr(9) || 'item ' || k || chr(9)
+           || substr(t, 40 * k + 1, 40)
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ',"x"' || chr(10) || 'end' ELSE '' END AS line
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

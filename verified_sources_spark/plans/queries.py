@@ -4262,6 +4262,59 @@ def latex_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text")
 
 
+def delimited_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-borne CSV/TSV ingestion end-to-end over documents: per
+    doc, write an RFC 4180 table (header + ``2 + doc_id % 3`` rows,
+    delimiter cycling comma/semicolon/tab/pipe by ``doc_id % 4``, CRLF
+    on odd ids) whose note cell carries a 40-char slice of the doc's
+    text — and on every comma-delimited file the cell ALSO embeds a
+    comma, a doubled quote and a bare newline, the quoting trifecta —
+    every 29th a binary non-table; explode through
+    llm/tabular.delimited_rows into one row per record, cells
+    tab-joined.  The oracle replays delimiter, header, row counts and
+    every recovered cell in SQL — a value-hash match proves dialect
+    sniffing and RFC 4180 quote/newline recovery are exact (the
+    attached-spreadsheet share of a document drop; reference analogue:
+    sources/filesystem CSV reading)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.tabular import delimited_rows
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.tabular import encode_delimited
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 29 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"\x00\xffnot a table\x01"})
+                    continue
+                t = text or ""
+                delim = [",", ";", "\t", "|"][did % 4]
+                recs = []
+                for k in range(2 + did % 3):
+                    c2 = t[40 * k : 40 * (k + 1)]
+                    if did % 4 == 0:
+                        c2 += ',"x"\nend'
+                    recs.append([str(did * 10 + k), f"item {k}", c2])
+                rows.append({
+                    "doc_id": did,
+                    "asset": encode_delimited(
+                        recs, delimiter=delim,
+                        header=["id", "name", "note"],
+                        crlf=did % 2 == 1)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return delimited_rows(assets).select(
+        "doc_id", "decoded_ok", "delimiter", "row_idx", "n_rows",
+        "n_cols", "header", "line")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4409,4 +4462,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "email_attachment_pipeline_docs": email_attachment_pipeline_docs,
     "mhtml_extract_docs": mhtml_extract_docs,
     "latex_extract_docs": latex_extract_docs,
+    "delimited_rows_docs": delimited_rows_docs,
 }
