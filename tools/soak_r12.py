@@ -170,3 +170,99 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def throughput():
+    """10k-asset throughput for the round-12 front doors (attachment
+    chain, MHTML, LaTeX, delimited) on local[32]."""
+    import pandas as pd  # noqa: F401
+
+    from verified_sources_spark.session import get_spark
+
+    spark = get_spark("soak-r12-tp")
+    spark.sparkContext.setLogLevel("ERROR")
+    N = 10_000
+
+    def over(mint, op):
+        df = (spark.range(N).repartition(32)
+              .mapInPandas(mint, "doc_id long, asset binary"))
+        return op(df).count()
+
+    def mint_mail(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.email_ingest import encode_eml
+        from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                p = encode_pdf([[f"attached doc {did} body text"]])
+                rows.append({"doc_id": did, "asset": encode_eml(
+                    f"S{did}", "b\n",
+                    attachments=[(f"d{did}.pdf", "application/pdf", p)])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_mht(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.mhtml import encode_mhtml
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                rows.append({"doc_id": did, "asset": encode_mhtml(
+                    f"<html><head><title>t{did}</title></head><body>"
+                    + f"<p>page {did} prose </p>" * 40 + "</body></html>",
+                    resources=[("http://e/a.png", "image/png",
+                                bytes(256))])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_tex(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.latex import encode_latex
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                rows.append({"doc_id": did, "asset": encode_latex(
+                    f"Paper {did}",
+                    [(f"Sec {k}", f"prose of section {k} in {did} "
+                      * 30) for k in range(3)])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_csv(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.tabular import encode_delimited
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                rows.append({"doc_id": did, "asset": encode_delimited(
+                    [[str(did * 10 + k), f"item {k}",
+                      f'note, "q"\n{k}'] for k in range(20)],
+                    header=["id", "name", "note"])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    from verified_sources_spark.llm.email_ingest import (
+        email_attachment_texts,
+    )
+    from verified_sources_spark.llm.latex import latex_extract_op
+    from verified_sources_spark.llm.mhtml import mhtml_extract
+    from verified_sources_spark.llm.tabular import delimited_rows
+
+    print("round-12 front-door throughput (10k assets, local[32]):",
+          flush=True)
+    timed("email attachment chain (PDF per mail)",
+          lambda: over(mint_mail, email_attachment_texts))
+    timed("mhtml extract", lambda: over(mint_mht, mhtml_extract))
+    timed("latex strip", lambda: over(mint_tex, latex_extract_op))
+    timed("delimited explode (20 rows/file)",
+          lambda: over(mint_csv, delimited_rows))
+    spark.stop()
