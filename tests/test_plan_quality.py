@@ -223,7 +223,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "nested_archive_docs", "pdf_image_matches_docs",
               "scan_dedup_pipeline_docs",
               "email_attachment_pipeline_docs", "mhtml_extract_docs",
-              "latex_extract_docs", "delimited_rows_docs"):
+              "latex_extract_docs", "delimited_rows_docs",
+              "fix_text_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

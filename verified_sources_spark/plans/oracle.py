@@ -2669,3 +2669,22 @@ ORACLE_SQL["delimited_rows_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# Encoding-damage repair: every damage flavor (NFD + space/control
+# zoo, 1x/2x latin-1 mojibake, cp1252 mojibake) inverts back to the
+# clean construction; audit flags replayed per mode.
+ORACLE_SQL["fix_text_docs"] = """
+    WITH p AS (
+        SELECT doc_id, doc_id % 4 AS mode,
+               'café №' || doc_id || ' — ' || COALESCE(text, '')
+                   AS base
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE mode WHEN 0 THEN 0 WHEN 2 THEN 2 ELSE 1 END
+                AS INTEGER) AS mojibake_rounds,
+           mode = 0 AS canonicalized,
+           CASE WHEN mode = 0 THEN base || ' trailer!'
+                ELSE base END AS text
+    FROM p
+"""

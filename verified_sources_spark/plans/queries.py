@@ -4315,6 +4315,60 @@ def delimited_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cols", "header", "line")
 
 
+def fix_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage repair end-to-end over documents (the
+    ftfy-shaped hygiene pass): per doc, prefix the text with non-ASCII
+    markers and DAMAGE it by ``doc_id % 4`` — NFD decomposition plus
+    the Unicode space/control zoo (0), UTF-8-read-as-Latin-1 mojibake
+    once (1) or TWICE (2), UTF-8-read-as-cp1252 with the C1 fallback
+    (3, the famous 'â€™' signature) — then repair through
+    llm/text_fix.fix_text.  The oracle replays the ORIGINAL clean text
+    and the per-row audit flags in SQL — a value-hash match proves the
+    repair is an exact inverse of every damage flavor and a fixed
+    point on already-clean rows (unrepaired mojibake hashes every
+    damaged copy differently and poisons dedup)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.text_fix import fix_text
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        import unicodedata
+
+        def misdecode_cp1252(raw: bytes) -> str:
+            out = []
+            for b in raw:
+                try:
+                    out.append(bytes([b]).decode("cp1252"))
+                except UnicodeDecodeError:
+                    out.append(chr(b))
+            return "".join(out)
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                base = f"café №{did} — {text or ''}"
+                mode = did % 4
+                if mode == 0:
+                    damaged = (unicodedata.normalize("NFD", base)
+                               + "\u00a0trailer\u200b\x07!")
+                elif mode == 1:
+                    damaged = base.encode("utf-8").decode("latin-1")
+                elif mode == 2:
+                    damaged = (base.encode("utf-8").decode("latin-1")
+                               .encode("utf-8").decode("latin-1"))
+                else:
+                    damaged = misdecode_cp1252(base.encode("utf-8"))
+                rows.append({"doc_id": did, "text": damaged})
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    damaged = d.mapInPandas(mint, "doc_id long, text string")
+    return fix_text(damaged).select(
+        "doc_id", "mojibake_rounds", "canonicalized", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4463,4 +4517,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mhtml_extract_docs": mhtml_extract_docs,
     "latex_extract_docs": latex_extract_docs,
     "delimited_rows_docs": delimited_rows_docs,
+    "fix_text_docs": fix_text_docs,
 }
