@@ -138,3 +138,39 @@ def test_msg_attachment_filename_widths():
     got = list(iter_msg_attachments(list_streams(m)))
     assert [p for _n, p in got] == [b"attachment payload 0",
                                     b"attachment payload 1"]
+
+
+def test_archive_document_chain_operator(spark):
+    from verified_sources_spark.llm.archives import encode_tar, encode_zip
+    from verified_sources_spark.llm.docrouter import (
+        archive_document_texts,
+    )
+    from verified_sources_spark.llm.office import encode_docx
+    from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+    # package zips (docx) are documents, NOT exploded; a PLAIN nested
+    # zip IS exploded with outer!inner paths; media refuses per member
+    inner = encode_zip({"note.txt": b"nested note"})
+    members = {
+        "a.pdf": encode_pdf([["pdf body"]]),
+        "b.docx": encode_docx(["docx body"]),
+        "sub.zip": inner,
+        "img.png": b"\x89PNG\r\n\x1a\n" + bytes(4),
+    }
+    rows = [(1, bytearray(encode_zip(members))),
+            (2, bytearray(encode_tar({"t.txt": b"tar text"}, gz=True))),
+            (3, bytearray(b"not an archive"))]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got: dict = {}
+    for r in archive_document_texts(df).collect():
+        got.setdefault(r["doc_id"], {})[r["member_name"]] = r
+    d1 = got[1]
+    assert d1["a.pdf"]["text"] == "pdf body"
+    assert d1["b.docx"]["doc_format"] == "docx"
+    assert d1["b.docx"]["text"] == "docx body"
+    assert d1["sub.zip!note.txt"]["text"] == "nested note"
+    assert "sub.zip" not in d1  # exploded, not routed
+    assert d1["img.png"]["decoded_ok"] is False
+    assert got[2]["t.txt"]["text"] == "tar text"
+    (r3,) = got[3].values()
+    assert r3["decoded_ok"] is False and r3["member_name"] is None

@@ -182,3 +182,92 @@ def extract_document(payload: bytes) -> dict:
     raise DocRouteError(
         f"{fmt} payload is not a text document — route it to the "
         f"{fmt} surface instead")
+
+
+ARCHIVE_DOCUMENT_TEXTS_SCHEMA = (
+    "doc_id long, decoded_ok boolean, member_name string, "
+    "doc_format string, n_bytes long, text string"
+)
+
+
+def archive_document_texts(df, id_col: str = "doc_id",
+                           asset_col: str = "asset"):
+    """FUSED archive→document chain: explode each archive payload
+    (zip/7z/tar.* via llm/archives, PLAIN nested archives recursed
+    with ``outer!inner`` paths, depth-capped) and route every member
+    through :func:`extract_document` — the document-drop shape (a zip
+    of PDFs/office files/notes lands as text rows).  Package zips
+    (docx/odf/epub) are DOCUMENTS, never exploded — the router's
+    sniff makes that call, which is why this walk lives here and not
+    in llm/archives.  One mapInPandas: member bytes never leave the
+    scan's executor.  A corrupt archive isolates as one
+    ``decoded_ok=false`` row; a member the router refuses (media,
+    binary, corrupt inner archive) isolates as its own false row with
+    the byte count kept."""
+    import pandas as pd
+
+    _ARCHIVE_FMTS = {"zip", "7z", "tar", "tgz", "txz", "tbz2", "tzst"}
+
+    def run(batches):
+        from verified_sources_spark.llm.archives import (
+            ArchiveError, iter_members,
+        )
+
+        def is_plain_archive(data: bytes) -> bool:
+            # the router's sniff distinguishes PACKAGE zips (docx/
+            # odf/epub — documents, never exploded) from plain
+            # containers; iter_members_recursive can't, which is why
+            # the recursion lives here
+            try:
+                return sniff_document(data) in _ARCHIVE_FMTS
+            except DocRouteError:
+                return False
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                raw = bytes(payload)
+                try:
+                    stack = [(n, d, 1)
+                             for n, d in iter_members(raw)][::-1]
+                except ArchiveError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "member_name": None, "doc_format": None,
+                        "n_bytes": None, "text": None})
+                    continue
+                while stack:
+                    name, data, depth = stack.pop()
+                    if depth < 3 and is_plain_archive(data):
+                        try:
+                            inner = list(iter_members(data))
+                        except ArchiveError:
+                            inner = None  # corrupt inner: refusal row
+                        if inner is not None:
+                            stack += [(f"{name}!{n}", d, depth + 1)
+                                      for n, d in inner][::-1]
+                            continue
+                    try:
+                        out = extract_document(data)
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "member_name": name,
+                            "doc_format": out["format"],
+                            "n_bytes": len(data),
+                            "text": out["text"]})
+                    except DocRouteError:
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": False,
+                            "member_name": name, "doc_format": None,
+                            "n_bytes": len(data), "text": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "member_name", "doc_format",
+                "n_bytes", "text"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, ARCHIVE_DOCUMENT_TEXTS_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

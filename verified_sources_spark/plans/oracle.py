@@ -2688,3 +2688,31 @@ ORACLE_SQL["fix_text_docs"] = """
                 ELSE base END AS text
     FROM p
 """
+
+# Archive->document composition: member explosion + routing + typed
+# extraction; the typed copy's text equals the raw copy's text
+# byte-for-byte, media refuses per member, truncation isolates whole.
+ORACLE_SQL["document_drop_pipeline_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 13) <> 0 AS ok,
+               doc_id % 3 AS fmt, (doc_id % 6) = 0 AS haspng,
+               substr(COALESCE(text, ''), 1, 80) AS t80
+        FROM documents
+    )
+    SELECT doc_id, FALSE AS decoded_ok, NULL AS member_name,
+           NULL AS doc_format, NULL AS text
+    FROM p WHERE NOT ok
+    UNION ALL
+    SELECT doc_id, TRUE,
+           CASE fmt WHEN 0 THEN 'doc.pdf' WHEN 1 THEN 'doc.docx'
+                    ELSE 'doc.rtf' END,
+           CASE fmt WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                    ELSE 'rtf' END,
+           t80
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, 'copy.txt', 'text', t80 FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, 'img.png', NULL, NULL
+    FROM p WHERE ok AND haspng
+"""

@@ -4369,6 +4369,67 @@ def fix_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mojibake_rounds", "canonicalized", "text")
 
 
+def document_drop_pipeline_docs(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARCHIVE→DOCUMENT composition chain over documents (the
+    "document drop" a shared drive dumps on a pipeline): per doc, pack
+    an archive (zip on even ids, tar.gz on odd) holding the SAME
+    80-char text twice — once as a typed document (PDF / docx / RTF by
+    ``doc_id % 3``) and once as ``copy.txt`` — plus a PNG member
+    (refused media) on every 6th; every 13th archive truncated.  One
+    fused operator (llm/docrouter.archive_document_texts): member
+    explosion → magic-byte routing → extractors, bytes never leaving
+    the scan's executor.  The oracle replays member names, routed
+    formats and the text of BOTH copies in SQL — a hash match proves
+    the typed extraction equals the raw text byte-for-byte (the
+    cross-format equality exact dedup depends on) and refusals isolate
+    per member."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.docrouter import (
+        archive_document_texts,
+    )
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.archives import (
+            encode_tar, encode_zip,
+        )
+        from verified_sources_spark.llm.office import (
+            encode_docx, encode_rtf,
+        )
+        from verified_sources_spark.llm.pdf_codec import encode_pdf
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t80 = (text or "")[:80]
+                fmt = did % 3
+                if fmt == 0:
+                    name, payload = "doc.pdf", encode_pdf([[t80]])
+                elif fmt == 1:
+                    name, payload = "doc.docx", encode_docx([t80])
+                else:
+                    name, payload = "doc.rtf", encode_rtf([t80])
+                members = {name: payload,
+                           "copy.txt": t80.encode()}
+                if did % 6 == 0:
+                    members["img.png"] = (b"\x89PNG\r\n\x1a\n"
+                                          + bytes(8))
+                asset = (encode_zip(members) if did % 2 == 0
+                         else encode_tar(members, gz=True))
+                rows.append({"doc_id": did,
+                             "asset": asset[:24] if did % 13 == 0
+                             else asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return archive_document_texts(assets).select(
+        "doc_id", "decoded_ok", "member_name", "doc_format", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4518,4 +4579,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latex_extract_docs": latex_extract_docs,
     "delimited_rows_docs": delimited_rows_docs,
     "fix_text_docs": fix_text_docs,
+    "document_drop_pipeline_docs": document_drop_pipeline_docs,
 }
