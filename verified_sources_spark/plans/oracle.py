@@ -2716,3 +2716,29 @@ ORACLE_SQL["document_drop_pipeline_docs"] = """
     SELECT doc_id, FALSE, 'img.png', NULL, NULL
     FROM p WHERE ok AND haspng
 """
+
+# MediaWiki dump + wikitext strip: titles, redirect flags, heading
+# counts and the stripped prose replayed from the minting arithmetic
+# (nested templates, refs, comments and piped links all vanish or
+# resolve exactly).
+ORACLE_SQL["wiki_pages_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 27) <> 0 AS ok,
+               substr(COALESCE(text, ''), 1, 80) AS t80
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(1 AS BIGINT) AS page_id,
+           'Page ' || doc_id AS title, CAST(0 AS INTEGER) AS ns,
+           FALSE AS redirect, CAST(1 AS INTEGER) AS n_headings,
+           'Page ' || doc_id || ' begins.' || chr(10) || 'Body'
+           || chr(10) || rtrim('X' || t80) || ' and ext end.' AS text
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(2 AS BIGINT), 'R' || doc_id,
+           CAST(0 AS INTEGER), TRUE, CAST(0 AS INTEGER),
+           'REDIRECT Page ' || doc_id
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

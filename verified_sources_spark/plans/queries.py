@@ -4430,6 +4430,60 @@ def document_drop_pipeline_docs(
         "doc_id", "decoded_ok", "member_name", "doc_format", "text")
 
 
+def wiki_pages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki-dump ingestion end-to-end over documents (the
+    Wikipedia share of every open pretraining set): per doc, write a
+    dump XML of TWO pages — a main page whose wikitext wraps the doc's
+    text in the real markup zoo (infobox template, bold title, a
+    heading, a piped [[link]], an external link, a ref, a comment)
+    and a #REDIRECT page — every 27th a non-dump payload; decode
+    through llm/wikitext.wiki_pages (dump walk + nesting-aware
+    wikitext strip).  The oracle replays titles, redirect flags,
+    heading counts and the stripped prose in SQL — a hash match proves
+    template/table/ref removal and link resolution recover the prose
+    exactly (naive regex stripping eats nested templates and fails
+    this gate)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.wikitext import wiki_pages
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.wikitext import encode_dump
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 27 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"<html>not a dump</html>"})
+                    continue
+                t80 = (text or "")[:80]
+                wt = (
+                    "{{Infobox thing\n| id = {{formatnum:%d}}\n}}\n"
+                    "'''Page %d''' begins.<ref>cite %d</ref>\n\n"
+                    "== Body ==\n"
+                    "<!-- hidden -->[[Target|X%s]] and "
+                    "[http://e/%d ext] end.\n" % (did, did, did,
+                                                  t80, did))
+                dump = encode_dump([
+                    {"title": f"Page {did}", "page_id": 1,
+                     "wikitext": wt},
+                    {"title": f"R{did}", "page_id": 2,
+                     "redirect": f"Page {did}",
+                     "wikitext": f"#REDIRECT [[Page {did}]]"},
+                ])
+                rows.append({"doc_id": did, "asset": dump})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return wiki_pages(assets).select(
+        "doc_id", "decoded_ok", "page_id", "title", "ns", "redirect",
+        "n_headings", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4580,4 +4634,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delimited_rows_docs": delimited_rows_docs,
     "fix_text_docs": fix_text_docs,
     "document_drop_pipeline_docs": document_drop_pipeline_docs,
+    "wiki_pages_docs": wiki_pages_docs,
 }
