@@ -2742,3 +2742,54 @@ ORACLE_SQL["wiki_pages_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# JATS article explosion: unit kinds/order/text replayed — citation
+# apparatus and formulas drop, emphasis text survives, captions are
+# prose, the 60-char slices trim exactly like the walker's
+# whitespace collapse.
+ORACLE_SQL["jats_units_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 25) <> 0 AS ok,
+               CAST(1 + doc_id % 2 AS INTEGER) AS nsec,
+               COALESCE(text, '') AS t
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, ok, nsec,
+               CASE WHEN trim(substr(t, 1, 60)) = ''
+                    THEN 'abs ' || doc_id
+                    ELSE trim(substr(t, 1, 60)) END AS abs0,
+               CASE WHEN trim(substr(t, 61, 60)) = ''
+                    THEN 'filler ' || doc_id || ' 0'
+                    ELSE trim(substr(t, 61, 60)) END AS s0,
+               CASE WHEN trim(substr(t, 121, 60)) = ''
+                    THEN 'filler ' || doc_id || ' 1'
+                    ELSE trim(substr(t, 121, 60)) END AS s1
+        FROM p
+    ),
+    u AS (
+        SELECT doc_id, 0 AS unit_idx, 'title' AS kind,
+               'Article ' || doc_id AS text, nsec FROM s WHERE ok
+        UNION ALL
+        SELECT doc_id, 1, 'abstract', abs0, nsec FROM s WHERE ok
+        UNION ALL
+        SELECT doc_id, 2, 'sec-title', 'Section 1', nsec
+        FROM s WHERE ok
+        UNION ALL
+        SELECT doc_id, 3, 'p', s0 || ' as shown.', nsec FROM s WHERE ok
+        UNION ALL
+        SELECT doc_id, 4, 'caption', 'A figure caption.', nsec
+        FROM s WHERE ok
+        UNION ALL
+        SELECT doc_id, 5, 'sec-title', 'Section 2', nsec
+        FROM s WHERE ok AND nsec = 2
+        UNION ALL
+        SELECT doc_id, 6, 'p', s1, nsec FROM s WHERE ok AND nsec = 2
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           CAST(unit_idx AS INTEGER) AS unit_idx, kind,
+           CAST(5 + (nsec - 1) * 2 AS INTEGER) AS n_units, text
+    FROM u
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL FROM p WHERE NOT ok
+"""

@@ -4484,6 +4484,53 @@ def wiki_pages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_headings", "text")
 
 
+def jats_units_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JATS scientific-article ingestion end-to-end over documents
+    (the PubMed-Central corpus shape): per doc, write a JATS XML with
+    journal front matter, an abstract, ``1 + doc_id % 2`` body
+    sections — section one's paragraph carrying inline <xref> citation
+    apparatus and an <inline-formula> (both must DROP) plus an
+    <italic> run (its text must SURVIVE) and a figure whose caption is
+    prose — every 25th a non-JATS payload; explode through
+    llm/jats.jats_units into per-unit rows.  The oracle replays unit
+    kinds, order and text in SQL — a hash match proves the inline
+    keep/drop semantics and the section walk are exact (splicing
+    citation labels into sentences would break the hash)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.jats import jats_units
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.jats import encode_jats
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 25 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"<notjats/>"})
+                    continue
+                t = text or ""
+                abstract = t[:60].strip() or f"abs {did}"
+                secs = []
+                for k in range(1 + did % 2):
+                    s = t[60 * (k + 1) : 60 * (k + 2)].strip()
+                    secs.append((f"Section {k + 1}",
+                                 s or f"filler {did} {k}"))
+                rows.append({
+                    "doc_id": did,
+                    "asset": encode_jats(f"Article {did}", abstract,
+                                         secs)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return jats_units(assets).select(
+        "doc_id", "decoded_ok", "unit_idx", "kind", "n_units", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4635,4 +4682,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fix_text_docs": fix_text_docs,
     "document_drop_pipeline_docs": document_drop_pipeline_docs,
     "wiki_pages_docs": wiki_pages_docs,
+    "jats_units_docs": jats_units_docs,
 }
