@@ -225,7 +225,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "email_attachment_pipeline_docs", "mhtml_extract_docs",
               "latex_extract_docs", "delimited_rows_docs",
               "fix_text_docs", "document_drop_pipeline_docs",
-              "wiki_pages_docs", "jats_units_docs"):
+              "wiki_pages_docs", "jats_units_docs",
+              "se_posts_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

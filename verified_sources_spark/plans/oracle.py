@@ -2793,3 +2793,32 @@ ORACLE_SQL["jats_units_docs"] = """
     UNION ALL
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL FROM p WHERE NOT ok
 """
+
+# Stack Exchange dump: attribute un-escape + HTML extraction; ids,
+# Q/A wiring, scores, tag parsing and every body's prose replayed.
+ORACLE_SQL["se_posts_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 31) <> 0 AS ok,
+               CAST(1 + doc_id % 2 AS INTEGER) AS na,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(1 AS BIGINT) AS post_id,
+           CAST(1 AS INTEGER) AS post_type,
+           CAST(NULL AS BIGINT) AS parent_id,
+           'Q ' || doc_id || '?' AS title,
+           CAST(doc_id % 11 AS INTEGER) AS score,
+           'tag' || (doc_id % 5) || ';engine' AS tags,
+           trim(substr(t, 1, 70)) AS text
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(k + 2 AS BIGINT), CAST(2 AS INTEGER),
+           CAST(1 AS BIGINT), NULL,
+           CAST((doc_id + k) % 7 AS INTEGER), NULL,
+           trim(substr(t, 70 * (k + 1) + 1, 70))
+    FROM p, (SELECT UNNEST([0, 1]) AS k) ks
+    WHERE ok AND k < na
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

@@ -4531,6 +4531,62 @@ def jats_units_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "decoded_ok", "unit_idx", "kind", "n_units", "text")
 
 
+def se_posts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack Exchange dump ingestion end-to-end over documents (the
+    Q&A corpus shape instruction sets train on): per doc, write a
+    Posts.xml holding one question (title, score and ``<tag><tag>``
+    list from doc_id arithmetic) and ``1 + doc_id % 2`` answers wired
+    to it by ParentId, bodies as attribute-escaped HTML carrying
+    70-char slices of the doc's text — every 31st a non-dump payload;
+    explode through llm/sedump.se_posts (attribute un-escape + the
+    shared HTML extractor).  The oracle replays ids, types, parents,
+    scores, the parsed tag list and every body's prose in SQL — a
+    hash match proves the double-decode (XML attribute → HTML → text)
+    is exact and the question↔answer pairing survives."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.sedump import se_posts
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        import html as H
+
+        from verified_sources_spark.llm.sedump import encode_posts
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 31 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"<rows>wrong root</rows>"})
+                    continue
+                t = text or ""
+                posts = [{
+                    "post_id": 1, "post_type": 1,
+                    "title": f"Q {did}?", "score": did % 11,
+                    "tags": [f"tag{did % 5}", "engine"],
+                    "body_html":
+                        f"<p>{H.escape(t[:70])}</p>"}]
+                for k in range(1 + did % 2):
+                    posts.append({
+                        "post_id": k + 2, "post_type": 2,
+                        "parent_id": 1, "score": (did + k) % 7,
+                        "body_html":
+                            "<p>" + H.escape(
+                                t[70 * (k + 1) : 70 * (k + 2)])
+                            + "</p>"})
+                rows.append({"doc_id": did,
+                             "asset": encode_posts(posts)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return se_posts(assets).select(
+        "doc_id", "decoded_ok", "post_id", "post_type", "parent_id",
+        "title", "score", "tags", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4683,4 +4739,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "document_drop_pipeline_docs": document_drop_pipeline_docs,
     "wiki_pages_docs": wiki_pages_docs,
     "jats_units_docs": jats_units_docs,
+    "se_posts_docs": se_posts_docs,
 }
