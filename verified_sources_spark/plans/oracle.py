@@ -2822,3 +2822,46 @@ ORACLE_SQL["se_posts_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# Chat-dialect normalization: roles, turn order, alternation flags
+# and every turn's text replayed across OpenAI/ShareGPT/pair records.
+ORACLE_SQL["chat_turns_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 33) <> 0 AS ok, doc_id % 3 AS mode,
+               (doc_id % 7) = 2 AS violation,
+               substr(COALESCE(text, ''), 1, 60) AS u1,
+               substr(COALESCE(text, ''), 61, 60) AS a1,
+               substr(COALESCE(text, ''), 121, 60) AS u2
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(i AS INTEGER) AS turn_idx,
+           CAST(3 AS INTEGER) AS n_turns,
+           CASE i WHEN 0 THEN 'system' WHEN 1 THEN 'user'
+                  ELSE 'assistant' END AS role,
+           TRUE AS alternation_ok,
+           CASE i WHEN 0 THEN 'be helpful' WHEN 1 THEN u1
+                  ELSE a1 END AS text
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS i) js
+    WHERE ok AND mode = 0
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(i AS INTEGER), CAST(3 AS INTEGER),
+           CASE i WHEN 1 THEN 'assistant' ELSE 'user' END, TRUE,
+           CASE i WHEN 0 THEN u1 WHEN 1 THEN a1 ELSE u2 END
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS i) js
+    WHERE ok AND mode = 1 AND NOT violation
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(i AS INTEGER), CAST(2 AS INTEGER),
+           CASE i WHEN 0 THEN 'assistant' ELSE 'user' END, FALSE,
+           CASE i WHEN 0 THEN a1 ELSE u1 END
+    FROM p, (SELECT UNNEST([0, 1]) AS i) js
+    WHERE ok AND mode = 1 AND violation
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(i AS INTEGER), CAST(2 AS INTEGER),
+           CASE i WHEN 0 THEN 'user' ELSE 'assistant' END, TRUE,
+           CASE i WHEN 0 THEN u1 ELSE a1 END
+    FROM p, (SELECT UNNEST([0, 1]) AS i) js
+    WHERE ok AND mode = 2
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

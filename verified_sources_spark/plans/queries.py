@@ -4587,6 +4587,65 @@ def se_posts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title", "score", "tags", "text")
 
 
+def chat_turns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript ingestion end-to-end over documents (the
+    instruction-tuning corpus shape): per doc, mint one JSON record
+    cycling the three dialects by ``doc_id % 3`` — OpenAI messages
+    with a system turn and a MULTIMODAL content array (text parts
+    kept, image parts dropped), ShareGPT human/gpt (gpt-FIRST on every
+    ``% 7 == 2``, the alternation violation the quality gate must
+    flag, not drop), and bare prompt/completion — every 33rd malformed
+    JSON; explode through llm/chatlog.chat_turns.  The oracle replays
+    roles, turn order, alternation flags and every turn's text in SQL
+    — a hash match proves dialect normalization and the pairing gate
+    are exact."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.chatlog import chat_turns
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        import json
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 33 == 0:
+                    rows.append({"doc_id": did, "line": "{not json"})
+                    continue
+                t = text or ""
+                u1, a1, u2 = t[:60], t[60:120], t[120:180]
+                mode = did % 3
+                if mode == 0:
+                    rec = {"messages": [
+                        {"role": "system", "content": "be helpful"},
+                        {"role": "user", "content": [
+                            {"type": "text", "text": u1},
+                            {"type": "image_url",
+                             "image_url": {"url": "http://e/i.png"}}]},
+                        {"role": "assistant", "content": a1}]}
+                elif mode == 1:
+                    conv = [{"from": "human", "value": u1},
+                            {"from": "gpt", "value": a1}]
+                    if did % 7 == 2:
+                        conv = conv[::-1]  # gpt-first: violation
+                    else:
+                        conv.append({"from": "human", "value": u2})
+                    rec = {"conversations": conv}
+                else:
+                    rec = {"prompt": u1, "completion": a1}
+                rows.append({"doc_id": did,
+                             "line": json.dumps(rec)})
+            yield pd.DataFrame(rows, columns=["doc_id", "line"])
+
+    lines = d.mapInPandas(mint, "doc_id long, line string")
+    return chat_turns(lines).select(
+        "doc_id", "decoded_ok", "turn_idx", "n_turns", "role",
+        "alternation_ok", "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4740,4 +4799,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wiki_pages_docs": wiki_pages_docs,
     "jats_units_docs": jats_units_docs,
     "se_posts_docs": se_posts_docs,
+    "chat_turns_docs": chat_turns_docs,
 }
