@@ -2865,3 +2865,31 @@ ORACLE_SQL["chat_turns_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# Source-code signals: fixed-width templates make every numeric signal
+# a per-mode constant; language detection, ratios and the license/
+# generated detectors replay as literals.
+ORACLE_SQL["code_signals_docs"] = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'python'
+                           WHEN 1 THEN 'javascript'
+                           WHEN 2 THEN 'c' END AS language,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 9 WHEN 1 THEN 4
+                                WHEN 2 THEN 6 ELSE 3 END
+                AS INTEGER) AS n_lines,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 32 WHEN 1 THEN 46
+                                WHEN 2 THEN 34 ELSE 34 END
+                AS INTEGER) AS max_line_len,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 18.44 WHEN 1 THEN 30.25
+                                WHEN 2 THEN 17.83 ELSE 26.0 END
+                AS DOUBLE) AS mean_line_len,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0.3333 WHEN 1 THEN 0.25
+                                WHEN 2 THEN 0.3333 ELSE 0.0 END
+                AS DOUBLE) AS comment_ratio,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0.6971 WHEN 1 THEN 0.64
+                                WHEN 2 THEN 0.6018 ELSE 0.8272 END
+                AS DOUBLE) AS alnum_fraction,
+           (doc_id % 4) IN (0, 2) AS has_license,
+           (doc_id % 4) = 1 AS is_generated
+    FROM documents
+"""

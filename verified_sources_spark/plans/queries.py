@@ -4646,6 +4646,66 @@ def chat_turns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alternation_ok", "text")
 
 
+def code_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code curation signals end-to-end over documents (the
+    BigCode/StarCoder filter inputs): per doc, mint a code file from a
+    FIXED-WIDTH template cycling python (shebang + MIT license header)
+    / javascript (DO-NOT-EDIT generated marker) / C (SPDX id) / plain
+    prose by ``doc_id % 4``, then compute the signal vector through
+    llm/codefile.code_signals.  Templates stamp ``doc_id`` zero-padded
+    so every numeric signal is a per-mode CONSTANT the oracle replays
+    as literals — a hash match proves language detection (shebang >
+    content markers), line-shape stats, comment/alnum ratios and the
+    license/generated detectors are all exact."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.codefile import code_signals
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mode = did % 4
+                if mode == 0:
+                    t = (f"#!/usr/bin/env python3\n"
+                         f"# Licensed under the MIT License\n"
+                         f"# helper number {did:06d}\n"
+                         f"import os\n"
+                         f"def f_{did:06d}():\n"
+                         f"    return {did:06d}\n"
+                         f'x = os.getenv("A{did:06d}")\n'
+                         f'y = x or "{did:06d}"\n'
+                         f"print(y)\n")
+                elif mode == 1:
+                    t = (f"// Code generated by fixture-gen. "
+                         f"DO NOT EDIT.\n"
+                         f"const a{did:06d} = 1;\n"
+                         f"function f() {{ return {did:06d}; }}\n"
+                         f"let b = (a) => a + {did:06d};\n")
+                elif mode == 2:
+                    t = (f"#include <stdio.h>\n"
+                         f"/* SPDX-License-Identifier: MIT */\n"
+                         f"int main(void) {{\n"
+                         f'    printf("%d", {did:06d});\n'
+                         f"    return 0;\n"
+                         f"}}\n")
+                else:
+                    t = (f"plain notes {did:06d}\n"
+                         f"just prose lines, nothing codelike\n"
+                         f"the quick brown fox {did:06d}\n")
+                rows.append({"doc_id": did, "text": t})
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    files = d.mapInPandas(mint, "doc_id long, text string")
+    return code_signals(files).select(
+        "doc_id", "language", "n_lines", "max_line_len",
+        "mean_line_len", "comment_ratio", "alnum_fraction",
+        "has_license", "is_generated")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4800,4 +4860,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jats_units_docs": jats_units_docs,
     "se_posts_docs": se_posts_docs,
     "chat_turns_docs": chat_turns_docs,
+    "code_signals_docs": code_signals_docs,
 }
