@@ -174,3 +174,22 @@ def test_archive_document_chain_operator(spark):
     assert got[2]["t.txt"]["text"] == "tar text"
     (r3,) = got[3].values()
     assert r3["decoded_ok"] is False and r3["member_name"] is None
+
+
+def test_routes_round12_formats():
+    from verified_sources_spark.llm.jats import encode_jats
+    from verified_sources_spark.llm.mhtml import encode_mhtml
+    from verified_sources_spark.llm.sedump import encode_posts
+    from verified_sources_spark.llm.wikitext import encode_dump
+
+    out = extract_document(encode_mhtml(
+        "<html><body><p>saved page</p></body></html>"))
+    assert (out["format"], out["text"]) == ("mhtml", "saved page")
+    out = extract_document(encode_jats("T", "A", [("S", "p")]))
+    assert out["format"] == "jats" and out["text"].startswith("T\nA\nS")
+    # multi-document containers refuse toward their own surfaces
+    with pytest.raises(DocRouteError, match="wiki_pages"):
+        extract_document(encode_dump([{"title": "X", "wikitext": "b"}]))
+    with pytest.raises(DocRouteError, match="se_posts"):
+        extract_document(encode_posts(
+            [{"post_id": 1, "body_html": "<p>q</p>"}]))

@@ -76,8 +76,24 @@ def sniff_document(payload: bytes) -> str:
     if fmt:
         return fmt
     head = payload[:2048].lstrip()[:256].lower()
+    if (payload[:16].startswith(b"From ")
+            and b"multipart/related" in payload[:4096].lower()) \
+            or (head.startswith((b"content-type:", b"from:", b"snapshot-"))
+                and b"multipart/related" in payload[:4096].lower()):
+        return "mhtml"
     if head.startswith((b"<!doctype html", b"<html")) or b"<body" in head:
         return "html"
+    if head.startswith(b"<?xml") or head.startswith(b"<"):
+        # XML families: JATS articles are documents; dump CONTAINERS
+        # (mediawiki, SE posts) refuse by name toward their own
+        # multi-document surfaces
+        body = payload[:4096].lower()
+        if b"<article" in body:
+            return "jats"
+        if b"<mediawiki" in body:
+            return "wikidump"
+        if b"<posts>" in body or b"<posts " in body:
+            return "sedump"
     # decodable text: markdown if it walks like markdown, else plain
     try:
         text = payload[:65536].decode("utf-8")
@@ -151,6 +167,28 @@ def extract_document(payload: bytes) -> dict:
         _, text = extract_text(
             payload.decode("utf-8", errors="replace"), collapse=True)
         return {"format": "html", "text": text}
+    if fmt == "mhtml":
+        from verified_sources_spark.llm.mhtml import MhtmlError, parse_mhtml
+
+        try:
+            return {"format": "mhtml",
+                    "text": parse_mhtml(payload)["text"]}
+        except MhtmlError as e:
+            raise DocRouteError(f"mhtml: {e}") from None
+    if fmt == "jats":
+        from verified_sources_spark.llm.jats import JatsError, jats_extract
+
+        try:
+            out = jats_extract(payload)
+        except JatsError as e:
+            raise DocRouteError(f"jats: {e}") from None
+        return {"format": "jats",
+                "text": "\n".join(t for _k, t in out["units"])}
+    if fmt in ("wikidump", "sedump"):
+        raise DocRouteError(
+            f"{fmt} is a multi-document container — route it to the "
+            f"{'wiki_pages' if fmt == 'wikidump' else 'se_posts'} "
+            "surface instead")
     if fmt == "latex":
         from verified_sources_spark.llm.latex import LatexError, latex_text
 
