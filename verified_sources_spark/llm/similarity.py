@@ -716,7 +716,10 @@ def train_kmeans_two_level(
 
     out_schema = "cell int, centroids array<array<double>>"
 
-    def fit_cell(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # NOTE: deliberately un-annotated — partial string annotations make
+    # pyspark's group_ops hint inference warn on every run; with no
+    # annotations it falls back to the grouped-map eval type silently
+    def fit_cell(key, pdf):
         X = np.array(list(pdf[vec_col]), dtype=np.float64)
         ids = pdf[id_name].to_numpy()
         # fine centroids PROPORTIONAL to cell population — a uniform
