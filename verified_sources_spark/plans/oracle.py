@@ -2893,3 +2893,18 @@ ORACLE_SQL["code_signals_docs"] = """
            (doc_id % 4) = 1 AS is_generated
     FROM documents
 """
+
+# Cross-source dedup capstone: the same text through WARC / mail
+# attachment / zip member groups into one dedup row; copy counts and
+# surviving source sets replay from the corruption arithmetic.
+ORACLE_SQL["cross_source_dedup_docs"] = """
+    SELECT doc_id,
+           CAST(3 - CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END
+                  - CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_copies,
+           CASE WHEN doc_id % 13 = 0 AND doc_id % 11 = 0 THEN 'mail'
+                WHEN doc_id % 13 = 0 THEN 'archive;mail'
+                WHEN doc_id % 11 = 0 THEN 'mail;web'
+                ELSE 'archive;mail;web' END AS sources
+    FROM documents
+"""

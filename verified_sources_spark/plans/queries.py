@@ -4706,6 +4706,88 @@ def code_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_license", "is_generated")
 
 
+def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE dedup composition — the round-12 capstone: the
+    SAME document text arrives three ways per doc — as a crawled WARC
+    page (llm/warc), as a .txt attachment on an EML
+    (llm/email_ingest.email_attachment_texts → llm/docrouter), and as
+    a zip member (llm/docrouter.archive_document_texts) — every 13th
+    WARC truncated, every 11th archive truncated; the three front
+    doors' outputs union into one (source, text) surface and exact
+    dedup groups them.  One groupBy: a user's document lands in ONE
+    dedup group no matter which ingestion path carried it, with
+    missing carriers exactly the corrupted ones.  The oracle replays
+    per-doc copy counts and the surviving source sets in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.docrouter import (
+        archive_document_texts,
+    )
+    from verified_sources_spark.llm.email_ingest import (
+        email_attachment_texts,
+    )
+    from verified_sources_spark.llm.warc import warc_extract
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        import html as H
+
+        from verified_sources_spark.llm.archives import encode_zip
+        from verified_sources_spark.llm.email_ingest import encode_eml
+        from verified_sources_spark.llm.warc import (
+            encode_record, encode_warc, http_response_block,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = f"doc {did}: " + (text or "").strip()[:80]
+                body = (f"<html><body><p>{H.escape(t)}</p></body>"
+                        f"</html>").encode()
+                warc = encode_warc([encode_record(
+                    uri=f"http://example.com/{did}",
+                    block=http_response_block(body))])
+                eml = encode_eml(
+                    f"Doc {did}", "see attachment\n",
+                    attachments=[(f"d{did}.txt", "text/plain",
+                                  t.encode())])
+                zipped = encode_zip({f"d{did}.txt": t.encode()})
+                rows.append({
+                    "doc_id": did,
+                    "warc": warc[:30] if did % 13 == 0 else warc,
+                    "mail": eml,
+                    "archive": (zipped[:20] if did % 11 == 0
+                                else zipped)})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "warc", "mail", "archive"])
+
+    assets = d.mapInPandas(
+        mint, "doc_id long, warc binary, mail binary, archive binary")
+    web = (warc_extract(assets.select("doc_id",
+                                      F.col("warc").alias("asset")))
+           .filter(F.col("decoded_ok"))
+           .select("doc_id", F.lit("web").alias("source"), "text"))
+    mail = (email_attachment_texts(
+                assets.select("doc_id", F.col("mail").alias("asset")))
+            .filter(F.col("decoded_ok") & F.col("text").isNotNull())
+            .select("doc_id", F.lit("mail").alias("source"), "text"))
+    arch = (archive_document_texts(
+                assets.select("doc_id",
+                              F.col("archive").alias("asset")))
+            .filter(F.col("decoded_ok"))
+            .select("doc_id", F.lit("archive").alias("source"),
+                    "text"))
+    return (web.unionByName(mail).unionByName(arch)
+            .groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").cast("long").alias("n_copies"),
+                 F.array_join(F.array_sort(F.collect_set("source")),
+                              ";").alias("sources"))
+            .select("doc_id", "n_copies", "sources"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4861,4 +4943,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "se_posts_docs": se_posts_docs,
     "chat_turns_docs": chat_turns_docs,
     "code_signals_docs": code_signals_docs,
+    "cross_source_dedup_docs": cross_source_dedup_docs,
 }
