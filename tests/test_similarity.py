@@ -1,0 +1,67 @@
+"""Product-quantization ANN (llm/similarity.pq_topk)."""
+
+from __future__ import annotations
+
+import pytest
+
+class TestProductQuantization:
+    def _embeddings(self, spark, n=200, d=64, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [(i, [float(x) for x in rng.normal(size=d)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_pq_recall_vs_brute_force(self, spark):
+        from verified_sources_spark.llm.similarity import (
+            cosine_topk, pq_topk,
+        )
+        import pyspark.sql.functions as F
+
+        e = self._embeddings(spark)
+        q = e.filter(F.col("vec_id") < 8)
+        exact = cosine_topk(e, q, k=10)
+        approx = pq_topk(e, q, m=4, n_codes=16, k=10)
+        ex = {(r["query_id"], r["neighbor_id"])
+              for r in exact.collect()}
+        ap = {(r["query_id"], r["neighbor_id"])
+              for r in approx.collect()}
+        # PQ with 16 codes over random gaussians is coarse; demand a
+        # sane overlap, not parity (that's what rerank stages are for)
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.2, recall
+
+    def test_pq_deterministic_across_partitionings(self, spark):
+        from verified_sources_spark.llm.similarity import pq_topk
+        import pyspark.sql.functions as F
+
+        e = self._embeddings(spark, n=150)
+        q = e.filter(F.col("vec_id") < 5)
+        a = pq_topk(e.repartition(1), q, k=5).collect()
+        b = pq_topk(e.repartition(13), q, k=5).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(((r["query_id"], r["rank"], r["neighbor_id"],
+                        r["adist"]) for r in a)) == \
+               sorted(((r["query_id"], r["rank"], r["neighbor_id"],
+                        r["adist"]) for r in b))
+
+    def test_pq_trained_codebooks_run_and_help(self, spark):
+        from verified_sources_spark.llm.similarity import pq_topk
+        import pyspark.sql.functions as F
+
+        e = self._embeddings(spark, n=150)
+        q = e.filter(F.col("vec_id") < 5)
+        out = pq_topk(e, q, k=3, train_iters=2)
+        rows = out.collect()
+        assert len(rows) == 15
+        assert all(r["adist"] >= 0 for r in rows)
+
+    def test_pq_dim_gate(self, spark):
+        from verified_sources_spark.llm.similarity import pq_topk
+
+        e = spark.createDataFrame(
+            [(0, [0.1] * 10)], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_topk(e, e, m=4)

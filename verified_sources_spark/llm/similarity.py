@@ -801,3 +801,122 @@ def assign_two_level(
             )
 
     return df.select(id_name, vec_col).mapInPandas(assign, schema)
+
+
+# --------------------------------------------------------------- PQ ANN
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 3,
+    train_iters: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (the Jégou/FAISS recipe) in EXACT
+    integer arithmetic: vectors quantize to scaled int64
+    (``KMEANS_SCALE``), split into ``m`` subspaces; each subspace gets
+    an ``n_codes``-entry codebook (``train_iters=0`` pins codebooks to
+    the lowest-id vectors' sub-slices — the SQL-witness form, like
+    ivf_topk_fixed; ``train_iters>0`` runs the exact-integer Lloyd
+    trainer per subspace); every corpus vector compresses to ``m``
+    one-byte codes; queries score by Asymmetric Distance Computation
+    over a per-query distance TABLE (m × n_codes exact-int L2² cells),
+    so the scan touches codes, never raw vectors.
+
+    100 TB shape: codes are m bytes/vector (64-dim float32 → 4 bytes:
+    a 64× compression of the scan side); the codebooks and the query
+    distance tables are the only collected state (codebook-sized and
+    query-sized); candidate pruning happens per PARTITION inside the
+    scoring mapInPandas (≤ n_queries × k rows leave each partition),
+    so the final rank shuffle moves candidates, not the corpus.
+    All distances are exact BIGINTs — ties break on the lowest
+    neighbor id, bit-identical in DuckDB SQL."""
+    import numpy as np
+
+    dim_row = corpus.select(F.size(vec_col)).first()
+    dim = int(dim_row[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # ---- codebooks (collected: n_codes rows, codebook-sized)
+    base = corpus.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    X0 = _scaled_int_matrix([r[0] for r in base])
+    books = [X0[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+    if train_iters > 0:
+        for s in range(m):
+            sliced = corpus.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("_v"))
+            cents = train_kmeans_quantized(
+                sliced, id_col, "_v", n_centroids=n_codes,
+                lloyd_iters=train_iters)
+            books[s] = np.array(cents, dtype=np.int64)
+
+    # ---- query distance tables (queries collected: query-sized)
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    Q = _scaled_int_matrix([r[1] for r in qrows])
+    # dtab[qi, s, c] = exact L2^2 between query sub-vector and code c
+    dtab = np.empty((len(qids), m, n_codes), dtype=np.int64)
+    for s in range(m):
+        qs = Q[:, s * sub : (s + 1) * sub]
+        d = qs[:, None, :] - books[s][None, :, :]
+        dtab[:, s, :] = (d * d).sum(axis=2)
+
+    spark = corpus.sparkSession
+    b_books = spark.sparkContext.broadcast([b.copy() for b in books])
+    b_dtab = spark.sparkContext.broadcast(dtab)
+    b_qids = spark.sparkContext.broadcast(qids)
+
+    out_schema = ("query_id long, neighbor_id long, adist long")
+
+    def score(batches):
+        import pandas as pd
+
+        bb = b_books.value
+        dt = b_dtab.value
+        qi = np.array(b_qids.value, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = _scaled_int_matrix(pdf[vec_col])
+            # encode: per subspace argmin (numpy argmin = first min,
+            # the lowest-code tie-break the oracle replays)
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                xs = X[:, s * sub : (s + 1) * sub]
+                d = xs[:, None, :] - bb[s][None, :, :]
+                codes[:, s] = (d * d).sum(axis=2).argmin(axis=1)
+            # ADC: adist[q, v] = sum_s dtab[q, s, codes[v, s]]
+            ad = np.zeros((len(qi), len(ids)), dtype=np.int64)
+            for s in range(m):
+                ad += dt[:, s, :][:, codes[:, s]]
+            rows = []
+            for q in range(len(qi)):
+                mask = ids != qi[q]
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                # per-partition prune: k smallest (adist, id) leave
+                order = np.lexsort((ids[cand], ad[q][cand]))[:k]
+                for j in cand[order]:
+                    rows.append({"query_id": int(qi[q]),
+                                 "neighbor_id": int(ids[j]),
+                                 "adist": int(ad[q][j])})
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "adist"])
+
+    from pyspark.sql import Window
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("adist").asc(), F.col("neighbor_id").asc()))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "adist"))

@@ -2908,3 +2908,50 @@ ORACLE_SQL["cross_source_dedup_docs"] = """
                 ELSE 'archive;mail;web' END AS sources
     FROM documents
 """
+
+# Product-quantization ANN: pinned per-subspace codebooks, exact-int
+# encode (argmin, lowest-code tie-break) and ADC distances replayed in
+# BIGINT SQL bit-for-bit.
+ORACLE_SQL["pq_topk_embeddings"] = f"""
+    WITH sv AS (
+      SELECT vec_id, {_KM_SX} AS v FROM embeddings),
+    subs AS (SELECT UNNEST([0, 1, 2, 3]) AS s),
+    books AS (
+      SELECT subs.s,
+             CAST(row_number() OVER (PARTITION BY subs.s
+                  ORDER BY b.vec_id) - 1 AS INT) AS code,
+             list_transform(generate_series(1, 16),
+                            i -> b.v[16 * subs.s + i]) AS bv
+      FROM (SELECT vec_id, v FROM sv ORDER BY vec_id LIMIT 16) b
+      CROSS JOIN subs),
+    enc AS (
+      SELECT e.vec_id, b.s, b.code,
+             row_number() OVER (PARTITION BY e.vec_id, b.s
+                  ORDER BY list_sum(list_transform(
+                      generate_series(1, 16),
+                      i -> (e.v[16 * b.s + i] - b.bv[i])
+                           * (e.v[16 * b.s + i] - b.bv[i]))) ASC,
+                  b.code ASC) AS rn
+      FROM sv e CROSS JOIN books b),
+    codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+    dtab AS (
+      SELECT q.vec_id AS query_id, b.s, b.code,
+             list_sum(list_transform(generate_series(1, 16),
+                  i -> (q.v[16 * b.s + i] - b.bv[i])
+                       * (q.v[16 * b.s + i] - b.bv[i]))) AS dcell
+      FROM sv q CROSS JOIN books b WHERE q.vec_id < 10),
+    scored AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id,
+             SUM(d.dcell) AS adist
+      FROM codes c JOIN dtab d ON c.s = d.s AND c.code = d.code
+      WHERE c.vec_id <> d.query_id
+      GROUP BY d.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank,
+             CAST(adist AS BIGINT) AS adist
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, adist FROM ranked
+    WHERE rank <= 3
+"""

@@ -4788,6 +4788,25 @@ def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_copies", "sources"))
 
 
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table (the
+    FAISS-recipe compression path: 64-dim float32 → 4 one-byte codes,
+    a 64x scan-side compression): codebooks PINNED to the lowest-id
+    vectors' sub-slices (the SQL-witness form, like
+    ivf_topk_fixed_embeddings — the trained form reuses the
+    exact-integer Lloyd trainer and is unit-tested), corpus encoded by
+    per-subspace exact-int argmin, queries scored by Asymmetric
+    Distance Computation over per-query distance tables.  All
+    arithmetic is scaled int64 — the oracle replays encode + ADC +
+    ranking in BIGINT SQL and the value hash checks approximate
+    distances bit-for-bit."""
+    from verified_sources_spark.llm.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq_topk(e, queries, m=4, n_codes=16, k=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4944,4 +4963,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chat_turns_docs": chat_turns_docs,
     "code_signals_docs": code_signals_docs,
     "cross_source_dedup_docs": cross_source_dedup_docs,
+    "pq_topk_embeddings": pq_topk_embeddings,
 }
