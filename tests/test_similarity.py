@@ -65,3 +65,58 @@ class TestProductQuantization:
             [(0, [0.1] * 10)], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="not divisible"):
             pq_topk(e, e, m=4)
+
+
+class TestIvfPq:
+    def test_deterministic_and_within_probed_cells(self, spark):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from verified_sources_spark.llm.similarity import ivfpq_topk
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=64)])
+                for i in range(180)]
+        e = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        q = e.filter(F.col("vec_id") < 6)
+        a = ivfpq_topk(e.repartition(1), q, k=4).collect()
+        b = ivfpq_topk(e.repartition(9), q, k=4).collect()
+        norm = lambda rs: sorted((r["query_id"], r["rank"],
+                                  r["neighbor_id"], r["adist"])
+                                 for r in rs)
+        assert norm(a) == norm(b)
+        assert len(a) == 24 and all(r["adist"] >= 0 for r in a)
+
+    def test_recall_vs_exact_l2(self, spark):
+        # ADC approximates L2, so the yardstick is exact L2 top-k
+        # (numpy ground truth), on clustered data — the shape IVF
+        # exists for
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from verified_sources_spark.llm.similarity import ivfpq_topk
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(scale=6.0, size=(8, 64))
+        X = np.stack([centers[i % 8] + rng.normal(size=64)
+                      for i in range(240)])
+        rows = [(i, [float(x) for x in X[i]]) for i in range(240)]
+        e = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        q = e.filter(F.col("vec_id") < 8)
+        exact = set()
+        for qi in range(8):
+            d = ((X - X[qi]) ** 2).sum(axis=1)
+            d[qi] = np.inf
+            for j in np.argsort(d)[:5]:
+                exact.add((qi, int(j)))
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivfpq_topk(e, q, n_probe=4, k=5).collect()}
+        recall = len(exact & approx) / len(exact)
+        # the PINNED 16-entry codebooks are a correctness witness, not
+        # a tuned index: within-blob ordering is at quantization-error
+        # resolution.  Random top-5 over 239 candidates would land
+        # ~2%; demand an order of magnitude above chance (trained
+        # codebooks + more codes are the production path)
+        assert recall >= 0.15, recall

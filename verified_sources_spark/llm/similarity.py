@@ -920,3 +920,127 @@ def pq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("int").alias("rank"), "adist"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-PQ — the canonical at-scale ANN index (FAISS IVFPQ): a
+    coarse quantizer partitions the corpus into cells, every vector
+    stores only its cell id + the PQ codes of its RESIDUAL
+    (vector − cell centroid), and a query probes its ``n_probe``
+    nearest cells scoring candidates by per-cell ADC tables (the
+    query residualizes against each probed centroid, so one query
+    carries ``n_probe`` distance tables).
+
+    Exact-integer end to end: scaled-int64 vectors, pinned coarse
+    centroids and residual codebooks (the lowest-id vectors — the SQL
+    witness form; see pq_topk/ivf_topk for the trained variants),
+    integer residuals, BIGINT ADC — the DuckDB oracle replays the
+    whole index bit-for-bit.  100 TB shape: the scan side is
+    (cell_id, m bytes) per vector; only centroids, codebooks and the
+    query tables are collected/broadcast; candidates prune per
+    partition before the final rank shuffle."""
+    import numpy as np
+
+    dim = int(corpus.select(F.size(vec_col)).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    base = corpus.orderBy(id_col).limit(max(n_cells, n_codes)) \
+        .select(id_col, vec_col).collect()
+    Xb = _scaled_int_matrix([r[1] for r in base])
+    cents = Xb[:n_cells]                       # coarse centroids
+
+    def _assign(X):
+        d = X[:, None, :] - cents[None, :, :]
+        return (d * d).sum(axis=2).argmin(axis=1)
+
+    # residual codebooks: residuals of the lowest-id vectors w.r.t.
+    # their own cells (pinned, like every SQL-witness quantizer here)
+    cb_base = Xb[:n_codes]
+    rb = cb_base - cents[_assign(cb_base)]
+    books = [rb[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = _scaled_int_matrix([r[1] for r in qrows])
+    # probe lists + per-(query, probed-cell) ADC tables
+    dq = Q[:, None, :] - cents[None, :, :]
+    cell_d = (dq * dq).sum(axis=2)             # (nq, n_cells)
+    probe = np.argsort(cell_d, kind="stable", axis=1)[:, :n_probe]
+    # dtabs[qi][p][s][c]
+    dtabs = np.empty((len(qids), n_probe, m, n_codes), dtype=np.int64)
+    for qi in range(len(qids)):
+        for p in range(n_probe):
+            qr = Q[qi] - cents[probe[qi, p]]
+            for s in range(m):
+                d = qr[s * sub : (s + 1) * sub][None, :] - books[s]
+                dtabs[qi, p, s] = (d * d).sum(axis=1)
+
+    spark = corpus.sparkSession
+    b_cents = spark.sparkContext.broadcast(cents.copy())
+    b_books = spark.sparkContext.broadcast([b.copy() for b in books])
+    b_probe = spark.sparkContext.broadcast(probe.copy())
+    b_dtabs = spark.sparkContext.broadcast(dtabs.copy())
+    b_qids = spark.sparkContext.broadcast(qids.copy())
+
+    out_schema = "query_id long, neighbor_id long, adist long"
+
+    def score(batches):
+        import pandas as pd
+
+        C = b_cents.value
+        bb = b_books.value
+        pr = b_probe.value
+        dt = b_dtabs.value
+        qi_all = b_qids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = _scaled_int_matrix(pdf[vec_col])
+            d = X[:, None, :] - C[None, :, :]
+            cell = (d * d).sum(axis=2).argmin(axis=1)
+            R = X - C[cell]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                rs = R[:, s * sub : (s + 1) * sub]
+                dd = rs[:, None, :] - bb[s][None, :, :]
+                codes[:, s] = (dd * dd).sum(axis=2).argmin(axis=1)
+            rows = []
+            for qi in range(len(qi_all)):
+                for p in range(pr.shape[1]):
+                    c = pr[qi, p]
+                    sel = np.where((cell == c)
+                                   & (ids != qi_all[qi]))[0]
+                    if not len(sel):
+                        continue
+                    ad = np.zeros(len(sel), dtype=np.int64)
+                    for s in range(m):
+                        ad += dt[qi, p, s][codes[sel, s]]
+                    order = np.lexsort((ids[sel], ad))[:k]
+                    for j in order:
+                        rows.append({
+                            "query_id": int(qi_all[qi]),
+                            "neighbor_id": int(ids[sel[j]]),
+                            "adist": int(ad[j])})
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "adist"])
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("adist").asc(), F.col("neighbor_id").asc()))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "adist"))

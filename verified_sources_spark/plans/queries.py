@@ -4807,6 +4807,22 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, queries, m=4, n_codes=16, k=3)
 
 
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over the embeddings table — the canonical FAISS
+    at-scale index: pinned coarse quantizer (16 cells, nprobe=4) plus
+    product quantization of the RESIDUALS (4 subspaces × 16 codes), so
+    the scan side is one cell id + 4 bytes per vector; queries carry
+    one ADC table per probed cell.  Exact integer arithmetic end to
+    end — the oracle replays coarse assignment, residual encode,
+    per-cell ADC and ranking in BIGINT SQL bit-for-bit."""
+    from verified_sources_spark.llm.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(e, queries, n_cells=16, n_probe=4, m=4,
+                      n_codes=16, k=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4964,4 +4980,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_signals_docs": code_signals_docs,
     "cross_source_dedup_docs": cross_source_dedup_docs,
     "pq_topk_embeddings": pq_topk_embeddings,
+    "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
 }
