@@ -1,0 +1,247 @@
+"""Deterministic mutation fuzzing of every ingestion front door.
+
+At 100 TB the corpus WILL contain truncated, bit-flipped and
+spliced files; the engine's contract is REFUSE-OR-ROW — each decoder
+either succeeds or raises its own named error type.  Any other
+exception (struct.error, IndexError, UnicodeDecodeError, infinite
+loop) escapes the operators' isolation nets and fails whole tasks.
+
+This net takes each fixture encoder's output and applies a
+deterministic mutation battery (truncations at spread offsets, single
+byte flips, zero-fill windows, splices of another format's bytes) —
+~60 mutants per format — asserting every decode either returns or
+raises an allowed error.  Seeds are pinned; failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _mutants(payload: bytes, seed: int = 7, n_each: int = 15):
+    rng = random.Random(seed)
+    n = len(payload)
+    out = []
+    # truncations spread over the file (always including tiny heads)
+    cuts = sorted({1, 2, 8, n // 4, n // 2, 3 * n // 4, n - 1}
+                  | {rng.randrange(1, max(2, n)) for _ in range(n_each)})
+    out += [payload[:c] for c in cuts if 0 < c < n]
+    # single byte flips
+    for _ in range(n_each):
+        i = rng.randrange(n)
+        b = bytearray(payload)
+        b[i] ^= 1 << rng.randrange(8)
+        out.append(bytes(b))
+    # zero-fill windows
+    for _ in range(n_each // 2):
+        i = rng.randrange(n)
+        w = min(n - i, rng.randrange(1, 64))
+        b = bytearray(payload)
+        b[i : i + w] = bytes(w)
+        out.append(bytes(b))
+    # cross-format splice: foreign magic at the front
+    for magic in (b"\x89PNG\r\n\x1a\n", b"PK\x03\x04", b"%PDF-1.4\n"):
+        out.append(magic + payload[len(magic):])
+    return out
+
+
+def _battery(encode, decode, allowed, seed=7):
+    payload = encode()
+    assert len(payload) > 16
+    decode(payload)  # the unmutated fixture must decode
+    for i, mut in enumerate(_mutants(payload, seed=seed)):
+        try:
+            decode(mut)
+        except allowed:
+            pass
+        except Exception as e:  # noqa: BLE001 — the assertion itself
+            raise AssertionError(
+                f"mutant {i} escaped the refusal net: "
+                f"{type(e).__name__}: {e}") from e
+
+
+def test_fuzz_warc():
+    from verified_sources_spark.llm.warc import (
+        WarcError, encode_record, encode_warc, http_response_block,
+        iter_records,
+    )
+
+    def enc():
+        recs = [encode_record(uri=f"http://e/{i}",
+                              block=http_response_block(
+                                  b"<html><body><p>x</p></body></html>",
+                                  chunked=i % 2 == 0))
+                for i in range(3)]
+        return encode_warc(recs, gzip_members=True)
+
+    _battery(enc, lambda d: list(iter_records(d)), (WarcError,))
+
+
+def test_fuzz_pdf():
+    from verified_sources_spark.llm.pdf_codec import (
+        PdfError, encode_pdf, extract_pdf_text,
+    )
+
+    _battery(lambda: encode_pdf([["text line", "another"]],
+                                compress=True, encrypt="rc4-128"),
+             extract_pdf_text, (PdfError,))
+
+
+def test_fuzz_jbig2_pdf_image():
+    from verified_sources_spark.llm.jbig2 import (
+        Jbig2Error, decode_jbig2_embedded, encode_jbig2_mmr,
+    )
+    from verified_sources_spark.llm.fax_codec import FaxError
+
+    rows = [bytes([i % 2] * 24) for i in range(16)]
+    _battery(lambda: encode_jbig2_mmr(rows),
+             decode_jbig2_embedded, (Jbig2Error, FaxError))
+
+
+def test_fuzz_office():
+    from verified_sources_spark.llm.office import (
+        OfficeError, encode_docx, extract_office,
+    )
+
+    _battery(lambda: encode_docx(["para one", "para two"],
+                                 tables=[[["a", "b"]]],
+                                 footnotes=["note"]),
+             extract_office, (OfficeError,))
+
+
+def test_fuzz_legacy_doc():
+    from verified_sources_spark.llm.office import (
+        OfficeError, extract_office,
+    )
+    from verified_sources_spark.llm.worddoc import DocError, encode_doc
+    from verified_sources_spark.llm.cfb import CfbError
+
+    _battery(lambda: encode_doc(["legacy paragraph", "second"]),
+             extract_office, (OfficeError, DocError, CfbError))
+
+
+def test_fuzz_msg():
+    from verified_sources_spark.llm.cfb import CfbError
+    from verified_sources_spark.llm.msgdoc import MsgError, encode_msg, parse_msg
+
+    _battery(lambda: encode_msg("Subj", "a@e.com", "body text",
+                                attachments=[("f.txt", b"data")]),
+             parse_msg, (MsgError, CfbError))
+
+
+def test_fuzz_sevenzip():
+    from verified_sources_spark.llm.sevenzip import (
+        SevenZipError, encode_7z, iter_7z_members,
+    )
+
+    _battery(lambda: encode_7z({"a.txt": b"alpha" * 20,
+                                "b.txt": b"beta"}, codec="lzma2"),
+             lambda d: list(iter_7z_members(d)), (SevenZipError,))
+
+
+def test_fuzz_mhtml():
+    from verified_sources_spark.llm.mhtml import (
+        MhtmlError, encode_mhtml, parse_mhtml,
+    )
+
+    _battery(lambda: encode_mhtml(
+        "<html><body><p>page body</p></body></html>",
+        resources=[("http://e/a.png", "image/png", bytes(16))]),
+        parse_mhtml, (MhtmlError,))
+
+
+def test_fuzz_latex():
+    from verified_sources_spark.llm.latex import (
+        LatexError, encode_latex, latex_extract,
+    )
+
+    _battery(lambda: encode_latex(
+        "Title", [("S1", "prose one"), ("S2", "prose two")]),
+        latex_extract, (LatexError,))
+
+
+def test_fuzz_wikidump():
+    from verified_sources_spark.llm.wikitext import (
+        WikiError, encode_dump, iter_dump_pages, strip_wikitext,
+    )
+
+    def dec(d):
+        for p in iter_dump_pages(d):
+            strip_wikitext(p["wikitext"])
+
+    _battery(lambda: encode_dump(
+        [{"title": "A", "wikitext": "{{t|x}} '''b''' [[c|d]]"},
+         {"title": "B", "wikitext": "== h ==\nprose"}]),
+        dec, (WikiError,))
+
+
+def test_fuzz_jats_se_chat():
+    import json
+
+    from verified_sources_spark.llm.chatlog import (
+        ChatError, parse_conversation,
+    )
+    from verified_sources_spark.llm.jats import (
+        JatsError, encode_jats, jats_extract,
+    )
+    from verified_sources_spark.llm.sedump import (
+        SeDumpError, encode_posts, iter_posts,
+    )
+
+    _battery(lambda: encode_jats("T", "abstract",
+                                 [("S", "prose body")]),
+             jats_extract, (JatsError,))
+    _battery(lambda: encode_posts(
+        [{"post_id": 1, "post_type": 1, "title": "Q",
+          "body_html": "<p>q</p>", "tags": ["a"]},
+         {"post_id": 2, "post_type": 2, "parent_id": 1,
+          "body_html": "<p>a</p>"}]),
+        lambda d: list(iter_posts(d)), (SeDumpError,))
+
+    rec = json.dumps({"messages": [
+        {"role": "user", "content": "question text"},
+        {"role": "assistant", "content": "answer text"}]}).encode()
+    _battery(lambda: rec,
+             lambda d: parse_conversation(
+                 d.decode("utf-8", "replace")),
+             (ChatError,))
+
+
+def test_fuzz_tabular_and_epub():
+    from verified_sources_spark.llm.ebook import (
+        EbookError, encode_epub, extract_epub,
+    )
+    from verified_sources_spark.llm.tabular import (
+        TabularError, encode_delimited, parse_delimited,
+    )
+
+    _battery(lambda: encode_delimited(
+        [["1", 'a "q", x\ny'], ["2", "plain"]], header=["id", "v"]),
+        parse_delimited, (TabularError,))
+    _battery(lambda: encode_epub([("C1", "chapter body text")]),
+             extract_epub, (EbookError,))
+
+
+def test_fuzz_tiff_fax():
+    from verified_sources_spark.llm.tiff_codec import (
+        TiffError, decode, encode_multipage_bilevel, probe,
+    )
+    from verified_sources_spark.llm.fax_codec import FaxError
+
+    def enc():
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        bits = (rng.integers(0, 256, size=(16, 24)) < 128
+                ).astype(np.uint8)
+        return encode_multipage_bilevel(
+            [(24, 16, bits.tobytes())] * 2, compression="g4")
+
+    def dec(d):
+        n = probe(d)["n_pages"]
+        for p in range(n):
+            decode(d, page=p)
+
+    _battery(enc, dec, (TiffError, FaxError))

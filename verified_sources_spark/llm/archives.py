@@ -125,7 +125,8 @@ def iter_members(
                             f"{info.file_size} bytes > cap {max_member_bytes}"
                         )
                     yield info.filename, zf.read(info)
-        except (zipfile.BadZipFile, EOFError, OSError) as e:
+        except (zipfile.BadZipFile, zlib.error, EOFError,
+                OSError) as e:
             raise ArchiveError(f"corrupt zip archive: {e}") from None
         return
     if fmt == "tzst":

@@ -29,6 +29,7 @@ from __future__ import annotations
 import io
 import posixpath
 import zipfile
+import zlib
 import xml.etree.ElementTree as ET
 
 __all__ = [
@@ -153,7 +154,8 @@ def extract_epub(data: bytes) -> dict:
         }
     except EbookError:
         raise
-    except (zipfile.BadZipFile, KeyError, ET.ParseError, ValueError) as exc:
+    except (zipfile.BadZipFile, zlib.error, EOFError, OSError,
+            KeyError, ET.ParseError, ValueError) as exc:
         raise EbookError(f"corrupt EPUB: {exc}") from exc
 
 

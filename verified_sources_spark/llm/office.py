@@ -46,6 +46,7 @@ import io
 import re
 import struct
 import zipfile
+import zlib
 import xml.etree.ElementTree as ET
 
 __all__ = [
@@ -1069,7 +1070,11 @@ def extract_office(data: bytes) -> dict:
     except OfficeError:
         raise
     except (zipfile.BadZipFile, KeyError, ET.ParseError, ValueError,
-            IndexError, struct.error) as exc:
+            IndexError, struct.error, zlib.error, EOFError,
+            OSError) as exc:
+        # zlib.error/EOFError/OSError: zipfile raises these lazily
+        # while DECOMPRESSING a member with a corrupted deflate stream
+        # (BadZipFile only covers the directory structures)
         raise OfficeError(f"corrupt office document: {exc}") from exc
 
 

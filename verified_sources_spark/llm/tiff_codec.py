@@ -71,6 +71,8 @@ def _byte_order(data: bytes) -> str:
 def _ifds(data: bytes, bo: str):
     from verified_sources_spark.llm.exif import ExifError, _read_ifd
 
+    if len(data) < 8:
+        raise TiffError(f"truncated TIFF header ({len(data)} bytes)")
     (magic,) = struct.unpack_from(bo + "H", data, 2)
     if magic != 42:
         raise TiffError(f"bad TIFF magic {magic}")
