@@ -313,3 +313,14 @@ class TestStructuralText:
         d = encode_pptx(["S1", "S2", "S3"], notes={1: "middle note"})
         assert extract_office(d)["units"] == [
             "S1", "S2", "middle note", "S3"]
+
+    def test_odp_speaker_notes_not_spliced(self):
+        from verified_sources_spark.llm.office import encode_odp
+
+        d = encode_odp(["Slide A", "Slide B"],
+                       notes={0: "speak slowly", 1: "wrap up"})
+        assert extract_office(d)["units"] == [
+            "Slide A", "speak slowly", "Slide B", "wrap up"]
+        # subset notes; no-notes slides unchanged
+        d = encode_odp(["S1", "S2"], notes={1: "only here"})
+        assert extract_office(d)["units"] == ["S1", "S2", "only here"]

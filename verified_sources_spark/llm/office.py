@@ -539,17 +539,31 @@ def encode_ods(rows: list[list]) -> bytes:
     ], stored_first=True)
 
 
-def encode_odp(slides: list[str]) -> bytes:
+def encode_odp(slides: list[str],
+               notes: dict[int, str] | None = None) -> bytes:
+    """Minimal ODF presentation; ``notes`` maps 0-based slide index →
+    speaker-notes text, written as presentation:notes inside the
+    draw:page (the layout Impress saves)."""
+    notes = notes or {}
+    _PRES = "urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
+    pages = []
+    for i, t in enumerate(slides):
+        n = ""
+        if i in notes:
+            n = ("<presentation:notes><draw:frame><draw:text-box>"
+                 f"<text:p>{_odf_paragraph(notes[i])}</text:p>"
+                 "</draw:text-box></draw:frame></presentation:notes>")
+        pages.append(
+            f'<draw:page draw:name="page{i + 1}"><draw:frame>'
+            f"<draw:text-box><text:p>{_odf_paragraph(t)}</text:p>"
+            f"</draw:text-box></draw:frame>{n}</draw:page>")
     content = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<office:document-content xmlns:office="{_OFFICE}" '
-        f'xmlns:text="{_TEXT}" xmlns:draw="{_DRAW}">'
+        f'xmlns:text="{_TEXT}" xmlns:draw="{_DRAW}" '
+        f'xmlns:presentation="{_PRES}">'
         "<office:body><office:presentation>"
-        + "".join(
-            f'<draw:page draw:name="page{i + 1}"><draw:frame>'
-            f"<draw:text-box><text:p>{_odf_paragraph(t)}</text:p>"
-            f"</draw:text-box></draw:frame></draw:page>"
-            for i, t in enumerate(slides))
+        + "".join(pages)
         + "</office:presentation></office:body>"
           "</office:document-content>"
     ).encode()
@@ -864,9 +878,23 @@ def _odt_units(z: zipfile.ZipFile) -> list[str]:
     pres = (body.find(f"{{{_OFFICE}}}presentation")
             if body is not None else None)
     if pres is not None:
+        _PRES = "urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
         for page in pres.iter(f"{{{_DRAW}}}page"):
-            runs = [_odf_text(el) for el in page.iter(f"{{{_TEXT}}}p")]
+            # presentation:notes nests INSIDE draw:page — a blind
+            # page.iter would splice speaker notes mid-slide; notes
+            # emit as their own unit after the slide (the pptx
+            # notesSlide convention)
+            notes_el = page.find(f"{{{_PRES}}}notes")
+            note_list = (list(notes_el.iter(f"{{{_TEXT}}}p"))
+                         if notes_el is not None else [])
+            note_ids = {id(p) for p in note_list}
+            runs = [_odf_text(el) for el in page.iter(f"{{{_TEXT}}}p")
+                    if id(el) not in note_ids]
             units.append("\n".join(r for r in runs if r))
+            note = "\n".join(r for r in (_odf_text(p)
+                                         for p in note_list) if r)
+            if note:
+                units.append(note)
         return units
     # spreadsheet: one unit per table, TSV-rendered like xlsx
     ss = body.find(f"{{{_OFFICE}}}spreadsheet") if body is not None else None
