@@ -245,3 +245,88 @@ def test_fuzz_tiff_fax():
             decode(d, page=p)
 
     _battery(enc, dec, (TiffError, FaxError))
+
+
+def test_fuzz_png_bmp_gif():
+    from verified_sources_spark.llm.bmp_codec import BmpError
+    from verified_sources_spark.llm.gif_codec import GifError
+    from verified_sources_spark.llm.image_io import decode_image
+    from verified_sources_spark.llm.png_codec import PngError
+
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+
+    from verified_sources_spark.llm.png_codec import encode as penc
+
+    _battery(lambda: penc(16, 12, px.tobytes()), decode_image,
+             (PngError, ValueError))
+
+    from verified_sources_spark.llm.bmp_codec import encode as benc
+
+    _battery(lambda: benc(16, 12, px.tobytes()), decode_image,
+             (BmpError, ValueError))
+
+    from verified_sources_spark.llm.gif_codec import encode as genc
+
+    _battery(lambda: genc(16, 12, px.tobytes()), decode_image,
+             (GifError, ValueError))
+
+
+def test_fuzz_jpeg():
+    from verified_sources_spark.llm.jpeg_codec import (
+        JpegError, decode, encode,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    _battery(lambda: encode(16, 16, px.tobytes(), quality=85),
+             decode, (JpegError, ValueError))
+
+
+def test_fuzz_wav_flac():
+    from verified_sources_spark.llm.flac_codec import FlacError
+    from verified_sources_spark.llm.wav_codec import WavError
+
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    pcm = (rng.normal(size=400) * 0.2).clip(-1, 1)
+
+    from verified_sources_spark.llm.wav_codec import (
+        decode as wdec, encode as wenc,
+    )
+
+    _battery(lambda: wenc(pcm, 8000), wdec, (WavError, ValueError))
+
+    from verified_sources_spark.llm.flac_codec import (
+        decode as fdec, encode as fenc,
+    )
+
+    ints = [int(x) for x in (pcm * 32767).astype(np.int64)]
+    _battery(lambda: fenc(ints, 8000), fdec, (FlacError, ValueError))
+
+
+def test_fuzz_mp4_webm_avi_probes():
+    from verified_sources_spark.llm.video_io import probe_video
+
+    allowed = (ValueError, NotImplementedError)
+
+    from verified_sources_spark.llm.mp4_codec import encode_stub as m4
+
+    _battery(lambda: m4(codec=b"avc1"), probe_video, allowed)
+
+    from verified_sources_spark.llm.webm_codec import encode_stub as wm
+
+    _battery(lambda: wm(), probe_video, allowed)
+
+    import numpy as np
+
+    from verified_sources_spark.llm.avi_codec import encode as avienc
+
+    _battery(lambda: avienc(
+        [np.zeros((12, 16, 3), np.uint8)] * 2, 10.0, 16, 12),
+        probe_video, allowed)

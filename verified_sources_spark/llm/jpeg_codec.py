@@ -231,11 +231,18 @@ class _HuffTable:
         # values[delta[ln] + c].
         maxcode = [-1] * 17
         delta = [0] * 17
+        if sum(bits) > len(values):
+            raise JpegError("Huffman table BITS/values mismatch")
         code = 0
         k = 0
         for ln in range(1, 17):
             n = bits[ln - 1]
             if n:
+                # a canonical table can hold at most 2^ln codes of
+                # length ln; a corrupted BITS array over-subscribes and
+                # would walk fast8/values out of range
+                if code + n > (1 << ln):
+                    raise JpegError("over-subscribed Huffman table")
                 delta[ln] = k - code
                 if ln <= 8:
                     shift = 8 - ln

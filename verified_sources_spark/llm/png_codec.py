@@ -37,7 +37,7 @@ def _chunks(data: bytes):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise PngError("truncated chunk")
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
