@@ -330,3 +330,63 @@ def test_fuzz_mp4_webm_avi_probes():
     _battery(lambda: avienc(
         [np.zeros((12, 16, 3), np.uint8)] * 2, 10.0, 16, 12),
         probe_video, allowed)
+
+
+def test_fuzz_ico_aiff_ogg_mp3():
+    import numpy as np
+
+    from verified_sources_spark.llm.aiff_codec import (
+        AiffError, decode as adec, encode as aenc,
+    )
+    from verified_sources_spark.llm.ico_codec import (
+        IcoError, decode as idec, encode as ienc,
+    )
+    from verified_sources_spark.llm.mp3_codec import (
+        Mp3Error, encode_stub as m3enc, probe as m3probe,
+    )
+    from verified_sources_spark.llm.ogg_codec import (
+        OggError, encode_stub as oenc, probe as oprobe,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    _battery(lambda: ienc(16, 16, px.tobytes()), idec,
+             (IcoError, ValueError))
+    pcm = (rng.normal(size=300) * 0.2).clip(-1, 1)
+    _battery(lambda: aenc(pcm, 8000), adec, (AiffError, ValueError))
+    _battery(lambda: oenc(), oprobe, (OggError, ValueError))
+    _battery(lambda: m3enc(), m3probe, (Mp3Error, ValueError))
+
+
+def test_fuzz_structured_text_doors():
+    from verified_sources_spark.llm.feeds import (
+        FeedError, encode_rss, feed_entries,
+    )
+    from verified_sources_spark.llm.heif_codec import (
+        HeifError, encode_stub as henc, probe as hprobe,
+    )
+    from verified_sources_spark.llm.notebooks import (
+        NotebookError, encode_notebook, notebook_cells,
+    )
+    from verified_sources_spark.llm.subtitles import (
+        SubtitleError, encode_srt, parse_subtitles,
+    )
+    from verified_sources_spark.llm.svg_codec import (
+        SvgError, encode_svg, extract_text as svg_text,
+    )
+
+    _battery(lambda: encode_rss(
+        [{"title": f"p{k}", "link": f"http://e/{k}",
+          "description": f"<p>sum {k}</p>"} for k in range(3)]),
+        feed_entries, (FeedError, ValueError))
+    _battery(lambda: encode_notebook(
+        [("markdown", "# head"), ("code", "x = 1\nprint(x)")]),
+        notebook_cells, (NotebookError, ValueError))
+    _battery(lambda: encode_svg(100, 60, ["hello svg", "line two"]),
+             svg_text, (SvgError, ValueError))
+    _battery(lambda: henc(320, 240), hprobe,
+             (HeifError, ValueError))
+    _battery(lambda: encode_srt(
+        [(0, 1500, "cue one"), (2000, 3000, "cue two")]).encode(),
+        lambda d: parse_subtitles(d.decode("utf-8", "replace")),
+        (SubtitleError, ValueError))

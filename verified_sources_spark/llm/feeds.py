@@ -102,7 +102,7 @@ def feed_entries(payload: bytes, max_bytes: int = 32 << 20) -> list[dict]:
             "— refusing by name")
     try:
         root = ET.fromstring(payload)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
         raise FeedError(f"malformed feed XML: {e}") from None
 
     out: list[dict] = []

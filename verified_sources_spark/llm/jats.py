@@ -74,7 +74,7 @@ def jats_extract(data: bytes, max_bytes: int = 64 << 20) -> dict:
         raise JatsError(f"article over size gate ({len(data)} bytes)")
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
         raise JatsError(f"not XML: {e}") from None
     if _local(root) != "article":
         raise JatsError(

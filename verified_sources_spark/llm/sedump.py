@@ -44,7 +44,7 @@ def iter_posts(data: bytes, max_bytes: int = 256 << 20):
         raise SeDumpError(f"dump over size gate ({len(data)} bytes)")
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
         raise SeDumpError(f"not XML: {e}") from None
     if root.tag.rsplit("}", 1)[-1] != "posts":
         raise SeDumpError(

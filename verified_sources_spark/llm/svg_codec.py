@@ -84,7 +84,7 @@ def _parse(payload: bytes, max_bytes: int = 32 << 20) -> ET.Element:
             "— refusing by name")
     try:
         root = ET.fromstring(payload)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
         raise SvgError(f"malformed SVG XML: {e}") from None
     tag = root.tag.rsplit("}", 1)[-1]
     if tag != "svg":

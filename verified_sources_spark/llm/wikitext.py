@@ -142,7 +142,7 @@ def iter_dump_pages(data: bytes, max_bytes: int = 256 << 20):
         raise WikiError(f"dump over size gate ({len(data)} bytes)")
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
         raise WikiError(f"not XML: {e}") from None
 
     def local(el):
