@@ -390,3 +390,46 @@ def test_fuzz_structured_text_doors():
         [(0, 1500, "cue one"), (2000, 3000, "cue two")]).encode(),
         lambda d: parse_subtitles(d.decode("utf-8", "replace")),
         (SubtitleError, ValueError))
+
+
+def test_fuzz_eml_and_shards():
+    from verified_sources_spark.llm.archives import (
+        ArchiveError, decompress_shard, encode_shard,
+    )
+    from verified_sources_spark.llm.email_ingest import (
+        EmailError, encode_eml, iter_attachments, parse_eml,
+    )
+
+    def enc():
+        return encode_eml("Subj", "body\n", html_body="<p>h</p>",
+                          attachments=[("a.txt", "text/plain",
+                                        b"attachment data")])
+
+    def dec(d):
+        parse_eml(d)
+        list(iter_attachments(d))
+
+    # stdlib email is lenient by design: most mutants still parse —
+    # the battery asserts nothing ESCAPES, not that mutants refuse
+    _battery(enc, dec, (EmailError,))
+
+    _battery(lambda: encode_shard(
+        b"".join(b'{"id": %d}\n' % i for i in range(50)), "gzip"),
+        decompress_shard, (ArchiveError,))
+    _battery(lambda: encode_shard(b"line\n" * 40, "xz"),
+             decompress_shard, (ArchiveError,))
+
+
+def test_fuzz_pdf_images_path():
+    from verified_sources_spark.llm.fax_codec import FaxError
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_mmr
+    from verified_sources_spark.llm.pdf_codec import (
+        PdfError, encode_pdf, extract_pdf_images,
+    )
+
+    rows = [bytes([i % 2] * 24) for i in range(16)]
+    _battery(lambda: encode_pdf([["x"]], image={
+        "width": 24, "height": 16, "bpc": 1,
+        "colorspace": "DeviceGray", "pdf_filter": "JBIG2Decode",
+        "data": encode_jbig2_mmr(rows)}),
+        extract_pdf_images, (PdfError, FaxError))
