@@ -120,3 +120,35 @@ class TestIvfPq:
         # ~2%; demand an order of magnitude above chance (trained
         # codebooks + more codes are the production path)
         assert recall >= 0.15, recall
+
+
+def test_rerank_improves_on_adc(spark):
+    """The exact-cosine rerank of IVF-PQ candidates must match the
+    brute-force ranking RESTRICTED to those candidates — and on
+    clustered data the composed stack's recall beats raw ADC top-k."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from verified_sources_spark.llm.similarity import (
+        cosine_topk, ivfpq_rerank_topk, ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(scale=6.0, size=(8, 64))
+    X = np.stack([centers[i % 8] + rng.normal(size=64)
+                  for i in range(240)])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(240)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(e, q, k=3).collect()}
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ivfpq_topk(e, q, k=3).collect()}
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ivfpq_rerank_topk(e, q, candidates=20,
+                                     k=3).collect()}
+    r_adc = len(exact & adc) / len(exact)
+    r_rr = len(exact & rr) / len(exact)
+    assert r_rr >= r_adc, (r_rr, r_adc)
+    assert r_rr >= 0.5, r_rr  # rerank recovers most of the truth

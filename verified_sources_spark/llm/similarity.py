@@ -1044,3 +1044,51 @@ def ivfpq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("int").alias("rank"), "adist"))
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    candidates: int = 20,
+    k: int = 3,
+) -> DataFrame:
+    """The full production ANN serving stack: IVF-PQ generates
+    ``candidates`` approximate neighbors per query (codes-only scan),
+    then the EXACT cosine reranks just those candidates against their
+    raw vectors — the two-stage shape every FAISS deployment runs,
+    where the expensive float math touches ``candidates × queries``
+    vectors instead of the corpus.
+
+    The candidate join is an equi-join on the corpus id (broadcast of
+    the candidate list — query-sized × candidates); output is
+    (query_id, neighbor_id, rank, cosine) with the same rounding and
+    tie-break contract as cosine_topk, so swapping brute force for
+    this stack is a drop-in."""
+    cands = ivfpq_topk(corpus, queries, id_col, vec_col,
+                       n_cells=n_cells, n_probe=n_probe, m=m,
+                       n_codes=n_codes, k=candidates)
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__cv"),
+                         _norm(F.col(vec_col)).alias("__cn"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__qv"),
+                          _norm(F.col(vec_col)).alias("__qn"))
+    scored = (cands.select("query_id", "neighbor_id")
+              .join(cvec, "neighbor_id")
+              .join(F.broadcast(qvec), "query_id")
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("__qv"), F.col("__cv"))
+                       / (F.col("__qn") * F.col("__cn"))).alias("__cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round("__cos", 4).alias("cosine")))

@@ -3037,3 +3037,104 @@ ORACLE_SQL["ivfpq_topk_embeddings"] = f"""
     SELECT query_id, neighbor_id, rank, adist FROM ranked
     WHERE rank <= 3
 """
+
+
+# Two-stage ANN serving: the IVF-PQ candidate stage (rank <= 20)
+# feeds an exact-cosine rerank — both stages replayed, the composed
+# stack on one hash.
+ORACLE_SQL["ivfpq_rerank_embeddings"] = f"""
+    WITH sv AS (
+      SELECT vec_id, {_KM_SX} AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cell, v AS cv
+      FROM (SELECT vec_id, v FROM sv ORDER BY vec_id LIMIT 16)),
+    asg AS (
+      SELECT vec_id, v, cell, cv FROM (
+        SELECT e.vec_id, e.v, c.cell, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_sum(list_transform(
+                        generate_series(1, 64),
+                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+                        ASC, c.cell ASC) AS rn
+        FROM sv e CROSS JOIN cents c) WHERE rn = 1),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(generate_series(1, 64),
+                            i -> v[i] - cv[i]) AS r
+      FROM asg),
+    subs AS (SELECT UNNEST([0, 1, 2, 3]) AS s),
+    books AS (
+      SELECT subs.s,
+             CAST(row_number() OVER (PARTITION BY subs.s
+                  ORDER BY b.vec_id) - 1 AS INT) AS code,
+             list_transform(generate_series(1, 16),
+                            i -> b.r[16 * subs.s + i]) AS bv
+      FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16) b
+      CROSS JOIN subs),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT e.vec_id, b.s, b.code,
+               row_number() OVER (PARTITION BY e.vec_id, b.s
+                    ORDER BY list_sum(list_transform(
+                        generate_series(1, 16),
+                        i -> (e.r[16 * b.s + i] - b.bv[i])
+                             * (e.r[16 * b.s + i] - b.bv[i]))) ASC,
+                    b.code ASC) AS rn
+        FROM res e CROSS JOIN books b) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell, qv FROM (
+        SELECT q.vec_id AS query_id, c.cell, q.v AS qv,
+               row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_sum(list_transform(
+                        generate_series(1, 64),
+                        i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))
+                        ASC, c.cell ASC) AS rn
+        FROM sv q CROSS JOIN cents c WHERE q.vec_id < 10)
+      WHERE rn <= 4),
+    dtab AS (
+      SELECT p.query_id, p.cell, b.s, b.code,
+             list_sum(list_transform(generate_series(1, 16),
+                  i -> (p.qv[16 * b.s + i] - c.cv[16 * b.s + i]
+                        - b.bv[i])
+                       * (p.qv[16 * b.s + i] - c.cv[16 * b.s + i]
+                          - b.bv[i]))) AS dcell
+      FROM probes p
+      JOIN cents c ON c.cell = p.cell
+      CROSS JOIN books b),
+    scored AS (
+      SELECT d.query_id, a.vec_id AS neighbor_id,
+             SUM(d.dcell) AS adist
+      FROM res a
+      JOIN enc e ON e.vec_id = a.vec_id
+      JOIN dtab d ON d.cell = a.cell AND d.s = e.s
+                 AND d.code = e.code
+      WHERE a.vec_id <> d.query_id
+      GROUP BY d.query_id, a.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank,
+             CAST(adist AS BIGINT) AS adist
+      FROM scored),
+    cand AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20),
+    rr AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(q.embedding[i] AS DOUBLE)
+                       * CAST(n.embedding[i] AS DOUBLE)))
+             / ({_NORM.format(v='q.embedding')}
+                * {_NORM.format(v='n.embedding')}) AS cos
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    rranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+             round(cos, 4) AS cosine
+      FROM rr)
+    SELECT query_id, neighbor_id, rank, cosine FROM rranked
+    WHERE rank <= 3
+"""

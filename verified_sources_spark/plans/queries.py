@@ -4823,6 +4823,21 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_codes=16, k=3)
 
 
+def ivfpq_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage ANN serving stack (what a FAISS deployment
+    actually runs): IVF-PQ proposes 20 approximate candidates per
+    query from the codes-only scan, exact cosine reranks just those
+    against raw vectors — float math touches 20×queries vectors, not
+    the corpus.  Both stages replay in SQL (the BIGINT index from
+    ivfpq_topk_embeddings feeding the cosine idiom of the exact
+    entries), so the hash gate checks the COMPOSED stack end to end."""
+    from verified_sources_spark.llm.similarity import ivfpq_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivfpq_rerank_topk(e, queries, candidates=20, k=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4981,4 +4996,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_dedup_docs": cross_source_dedup_docs,
     "pq_topk_embeddings": pq_topk_embeddings,
     "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+    "ivfpq_rerank_embeddings": ivfpq_rerank_embeddings,
 }
