@@ -1,0 +1,111 @@
+"""Columnar data-file blobs (llm/datablob): parquet + avro readers,
+gates, refusals, Spark operator, and the router seam."""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from verified_sources_spark.llm.datablob import (
+    DataBlobError,
+    avro_rows_blob,
+    data_blob_rows,
+    parquet_rows_blob,
+)
+
+
+def _pq_bytes(table: pa.Table) -> bytes:
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    return buf.getvalue()
+
+
+def test_parquet_blob_round_trip():
+    t = pa.table({"id": [1, 2], "name": ["alpha", None],
+                  "ok": [True, False], "score": [1.5, 2.0]})
+    out = parquet_rows_blob(_pq_bytes(t))
+    assert out["columns"] == ["id", "name", "ok", "score"]
+    assert out["rows"] == [["1", "alpha", "TRUE", "1.5"],
+                           ["2", "", "FALSE", "2"]]
+
+
+def test_avro_blob_round_trip():
+    from verified_sources_spark.operators.avro_codec import (
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "string"}]}
+    data = write_container(schema, [{"id": 7, "v": "x"}])
+    out = avro_rows_blob(data)
+    assert out["columns"] == ["id", "v"]
+    assert out["rows"] == [["7", "x"]]
+
+
+def test_refusals_and_gates():
+    with pytest.raises(DataBlobError, match="PAR1"):
+        parquet_rows_blob(b"not parquet at all")
+    with pytest.raises(DataBlobError, match="corrupt parquet"):
+        parquet_rows_blob(b"PAR1" + bytes(64) + b"PAR1")
+    with pytest.raises(DataBlobError, match="size gate"):
+        parquet_rows_blob(b"PAR1" + bytes(32) + b"PAR1",
+                          max_bytes=16)
+    with pytest.raises(DataBlobError, match="corrupt avro"):
+        avro_rows_blob(b"Obj\x01garbage")
+    # non-record avro container is not a table
+    from verified_sources_spark.operators.avro_codec import (
+        write_container,
+    )
+
+    d = write_container("long", [1, 2, 3])
+    with pytest.raises(DataBlobError, match="not record-typed"):
+        avro_rows_blob(d)
+
+
+def test_spark_operator(spark):
+    from verified_sources_spark.operators.avro_codec import (
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}]}
+    rows = [
+        (1, bytearray(_pq_bytes(pa.table({"a": [10, 11]})))),
+        (2, bytearray(write_container(schema, [{"a": 20}]))),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got: dict = {}
+    for r in data_blob_rows(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert [(r["fmt"], r["line"]) for r in
+            sorted(got[1], key=lambda r: r["row_idx"])] == [
+        ("parquet", "10"), ("parquet", "11")]
+    assert got[2][0]["fmt"] == "avro" and got[2][0]["line"] == "20"
+    assert got[3][0]["decoded_ok"] is False
+
+
+def test_fuzz_battery():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_fuzz_frontdoors import _battery
+
+    t = pa.table({"id": list(range(20)),
+                  "v": [f"val {i}" for i in range(20)]})
+    _battery(lambda: _pq_bytes(t), parquet_rows_blob,
+             (DataBlobError,))
+    from verified_sources_spark.operators.avro_codec import (
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "string"}]}
+    _battery(lambda: write_container(
+        schema, [{"id": i, "v": f"val {i}"} for i in range(20)]),
+        avro_rows_blob, (DataBlobError,))

@@ -193,3 +193,24 @@ def test_routes_round12_formats():
     with pytest.raises(DocRouteError, match="se_posts"):
         extract_document(encode_posts(
             [{"post_id": 1, "body_html": "<p>q</p>"}]))
+
+
+def test_routes_columnar_blobs():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from verified_sources_spark.operators.avro_codec import (
+        write_container,
+    )
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), buf)
+    out = extract_document(buf.getvalue())
+    assert (out["format"], out["text"]) == (
+        "parquet", "a\tb\n1\tx\n2\ty")
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}]}
+    out = extract_document(write_container(schema, [{"a": 5}]))
+    assert (out["format"], out["text"]) == ("avro", "a\n5")

@@ -227,7 +227,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "fix_text_docs", "document_drop_pipeline_docs",
               "wiki_pages_docs", "jats_units_docs",
               "se_posts_docs", "chat_turns_docs",
-              "code_signals_docs", "cross_source_dedup_docs"):
+              "code_signals_docs", "cross_source_dedup_docs",
+              "data_blob_rows_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

@@ -1,0 +1,167 @@
+"""Columnar data-file BLOBS: Parquet and Avro files arriving as bytes.
+
+``spark.read.parquet`` owns path-addressed tables; this front door
+exists for the data files that arrive as BYTES from inside something
+else — a .parquet shard in a zip drop, an Avro container attached to
+a mail, an export bundled into a tar.  The engine's other front doors
+hand payloads around; without this one, the single most
+machine-readable content in a document drop is the one that gets
+refused as "binary".
+
+- Parquet blobs read through pyarrow (already a Spark dependency —
+  the one battle-tested parquet reader in the environment; the same
+  no-hand-rolling call the stdlib zip/tar wrappers make), size- and
+  cell-gated.
+- Avro container blobs read through the repo's OWN pure-Python codec
+  (operators/avro_codec — cross-validated against the Apache Java
+  implementation for the Iceberg interop), so the Avro path has no
+  new dependency at all.
+
+Both emit the delimited-text contract (one row per record, cells
+tab-joined in column order, header carried) so blob-borne tables land
+in the SAME text shape as CSV/xlsx/ods — dedup and quality scoring
+see one surface.  The document router dispatches by magic (``PAR1``
+/ ``Obj\\x01``).
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "DataBlobError", "parquet_rows_blob", "avro_rows_blob",
+    "data_blob_rows", "DATA_BLOB_ROWS_SCHEMA",
+]
+
+
+class DataBlobError(ValueError):
+    """Named refusal: not a columnar data blob we can decode
+    honestly."""
+
+
+def _render_cell(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v)
+
+
+def parquet_rows_blob(data: bytes, max_bytes: int = 256 << 20,
+                      max_cells: int = 50_000_000) -> dict:
+    """One parquet blob → ``{columns, rows}`` (rows as rendered-string
+    lists, column order preserved)."""
+    if len(data) > max_bytes:
+        raise DataBlobError(
+            f"parquet blob over size gate ({len(data)} bytes)")
+    if data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise DataBlobError("not a parquet file (PAR1 magic missing)")
+    import io
+
+    import pyarrow.parquet as pq
+
+    try:
+        table = pq.read_table(io.BytesIO(data))
+    except Exception as e:  # pyarrow raises its own zoo of errors
+        raise DataBlobError(f"corrupt parquet blob: {e}") from None
+    if table.num_rows * max(1, table.num_columns) > max_cells:
+        raise DataBlobError(
+            f"parquet blob over cell gate "
+            f"({table.num_rows}x{table.num_columns})")
+    cols = list(table.column_names)
+    pylists = [table.column(c).to_pylist() for c in cols]
+    rows = [[_render_cell(col[i]) for col in pylists]
+            for i in range(table.num_rows)]
+    return {"columns": cols, "rows": rows}
+
+
+def avro_rows_blob(data: bytes, max_bytes: int = 256 << 20) -> dict:
+    """One Avro container blob → ``{columns, rows}``; record schemas
+    only (an Avro container of bare primitives is not a table)."""
+    if len(data) > max_bytes:
+        raise DataBlobError(
+            f"avro blob over size gate ({len(data)} bytes)")
+    from verified_sources_spark.operators.avro_codec import (
+        AvroError, read_container,
+    )
+
+    import struct
+    import zlib
+
+    try:
+        schema, records = read_container(data)
+    except (AvroError, ValueError, KeyError, TypeError, IndexError,
+            EOFError, OverflowError, zlib.error, struct.error) as e:
+        # the container's embedded schema is JSON and the record walk
+        # is length-prefixed — corruption surfaces as JSONDecodeError
+        # (a ValueError), Key/Type/Index errors or struct overflows,
+        # not just AvroError
+        raise DataBlobError(f"corrupt avro blob: {e}") from None
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise DataBlobError(
+            "avro container is not record-typed — not a table")
+    cols = [f["name"] for f in schema.get("fields", [])]
+    rows = [[_render_cell(r.get(c)) for c in cols] for r in records]
+    return {"columns": cols, "rows": rows}
+
+
+DATA_BLOB_ROWS_SCHEMA = (
+    "doc_id long, decoded_ok boolean, fmt string, row_idx int, "
+    "n_rows int, n_cols int, header string, line string"
+)
+
+
+def data_blob_rows(df, id_col: str = "doc_id",
+                   asset_col: str = "asset"):
+    """Arrow-batched columnar-blob explosion: sniffs parquet (PAR1) vs
+    Avro (``Obj\\x01``), one output row per record, cells tab-joined —
+    the same contract as llm/tabular.delimited_rows, so every
+    blob-borne table lands in one text shape.  Corrupt/unknown blobs
+    isolate as ``decoded_ok=false`` rows."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                raw = bytes(payload)
+                try:
+                    if raw[:4] == b"PAR1":
+                        fmt, out = "parquet", parquet_rows_blob(raw)
+                    elif raw[:4] == b"Obj\x01":
+                        fmt, out = "avro", avro_rows_blob(raw)
+                    else:
+                        raise DataBlobError(
+                            "neither parquet nor avro magic")
+                    hdr = "\t".join(out["columns"])
+                    n = len(out["rows"])
+                    for i, r in enumerate(out["rows"]):
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "fmt": fmt, "row_idx": i, "n_rows": n,
+                            "n_cols": len(out["columns"]),
+                            "header": hdr, "line": "\t".join(r)})
+                    if not out["rows"]:
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "fmt": fmt, "row_idx": None, "n_rows": 0,
+                            "n_cols": len(out["columns"]),
+                            "header": hdr, "line": None})
+                except DataBlobError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "fmt": None, "row_idx": None, "n_rows": None,
+                        "n_cols": None, "header": None, "line": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "fmt", "row_idx", "n_rows",
+                "n_cols", "header", "line"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, DATA_BLOB_ROWS_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -43,6 +43,10 @@ def sniff_document(payload: bytes) -> str:
     refusal."""
     if payload[:5] == b"%PDF-":
         return "pdf"
+    if payload[:4] == b"PAR1":
+        return "parquet"
+    if payload[:4] == b"Obj\x01":
+        return "avro"
     if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         return "cfb"
     if payload[:5] == b"{\\rtf":
@@ -214,6 +218,19 @@ def extract_document(payload: bytes) -> dict:
             raise DocRouteError(f"delimited: {e}") from None
         lines = ([out["header"]] if out["header"] else []) + out["rows"]
         return {"format": "delimited",
+                "text": "\n".join("\t".join(r) for r in lines)}
+    if fmt in ("parquet", "avro"):
+        from verified_sources_spark.llm.datablob import (
+            DataBlobError, avro_rows_blob, parquet_rows_blob,
+        )
+
+        try:
+            out = (parquet_rows_blob(payload) if fmt == "parquet"
+                   else avro_rows_blob(payload))
+        except DataBlobError as e:
+            raise DocRouteError(f"{fmt}: {e}") from None
+        lines = [out["columns"]] + out["rows"]
+        return {"format": fmt,
                 "text": "\n".join("\t".join(r) for r in lines)}
     if fmt == "text":
         return {"format": "text", "text": payload.decode("utf-8")}

@@ -3138,3 +3138,28 @@ ORACLE_SQL["ivfpq_rerank_embeddings"] = f"""
     SELECT query_id, neighbor_id, rank, cosine FROM rranked
     WHERE rank <= 3
 """
+
+# Columnar blob explosion: parquet (pyarrow) and avro (own codec)
+# tables render to the same tab-joined contract; format, header and
+# every cell replayed.
+ORACLE_SQL["data_blob_rows_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 37) <> 0 AS ok,
+               CAST(2 + doc_id % 3 AS INTEGER) AS n,
+               CASE WHEN doc_id % 2 = 0 THEN 'parquet'
+                    ELSE 'avro' END AS fmt,
+               COALESCE(text, '') AS t
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, fmt,
+           CAST(k AS INTEGER) AS row_idx, n AS n_rows,
+           CAST(3 AS INTEGER) AS n_cols,
+           'id' || chr(9) || 'name' || chr(9) || 'note' AS header,
+           (doc_id * 10 + k) || chr(9) || 'item ' || k || chr(9)
+           || substr(t, 30 * k + 1, 30) AS line
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

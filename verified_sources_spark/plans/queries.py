@@ -4838,6 +4838,67 @@ def ivfpq_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_rerank_topk(e, queries, candidates=20, k=3)
 
 
+def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar data-file BLOB ingestion end-to-end over documents:
+    per doc, write a real table of ``2 + doc_id % 3`` records (id /
+    name / note, the note a 30-char slice of the doc's text) as a
+    PARQUET blob on even ids (pyarrow writer) and an AVRO container on
+    odd (the repo's own pure-Python codec), every 37th a non-columnar
+    payload; explode through llm/datablob.data_blob_rows into the same
+    tab-joined per-record contract the CSV front door emits.  The
+    oracle replays format, header and every rendered cell in SQL — a
+    hash match proves the two binary table readers land byte-identical
+    text (the machine-readable share of a document drop)."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.datablob import data_blob_rows
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from verified_sources_spark.operators.avro_codec import (
+            write_container,
+        )
+
+        schema = {"type": "record", "name": "Rec", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "note", "type": "string"}]}
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 37 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"\x00\x01 not columnar"})
+                    continue
+                t = text or ""
+                recs = [{"id": did * 10 + k, "name": f"item {k}",
+                         "note": t[30 * k : 30 * (k + 1)]}
+                        for k in range(2 + did % 3)]
+                if did % 2 == 0:
+                    buf = io.BytesIO()
+                    pq.write_table(pa.table({
+                        "id": [r["id"] for r in recs],
+                        "name": [r["name"] for r in recs],
+                        "note": [r["note"] for r in recs]}), buf)
+                    asset = buf.getvalue()
+                else:
+                    asset = write_container(schema, recs)
+                rows.append({"doc_id": did, "asset": asset})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return data_blob_rows(assets).select(
+        "doc_id", "decoded_ok", "fmt", "row_idx", "n_rows", "n_cols",
+        "header", "line")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -4997,4 +5058,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk_embeddings": pq_topk_embeddings,
     "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
     "ivfpq_rerank_embeddings": ivfpq_rerank_embeddings,
+    "data_blob_rows_docs": data_blob_rows_docs,
 }
