@@ -433,3 +433,19 @@ def test_fuzz_pdf_images_path():
         "colorspace": "DeviceGray", "pdf_filter": "JBIG2Decode",
         "data": encode_jbig2_mmr(rows)}),
         extract_pdf_images, (PdfError, FaxError))
+
+
+def test_fuzz_ass_ttml():
+    from verified_sources_spark.llm.subtitles import (
+        SubtitleError, encode_ass, encode_ttml, parse_subtitles,
+    )
+
+    def dec(d):
+        parse_subtitles(d.decode("utf-8", "replace"))
+
+    _battery(lambda: encode_ass(
+        [(1500, 3000, "cue one"), (4000, 5500, "cue two")]).encode(),
+        dec, (SubtitleError,))
+    _battery(lambda: encode_ttml(
+        [(1500, 3000, "cue one"), (4000, 5500, "cue two")]).encode(),
+        dec, (SubtitleError,))

@@ -89,3 +89,63 @@ def test_spark_operator_explodes_cues(spark):
     assert len(by_doc[1]) == 2 and by_doc[1][0]["format"] == "srt"
     assert by_doc[2][0]["text"] == "vtt cue"
     assert by_doc[3][0]["decoded_ok"] is False
+
+
+class TestAssTtml:
+    def test_ass_round_trip_and_semantics(self):
+        from verified_sources_spark.llm.subtitles import (
+            encode_ass, parse_subtitles, sniff_subtitle_format,
+        )
+
+        a = encode_ass([(1500, 3000, "Hello\nworld"),
+                        (4000, 5000, "With, commas, kept")])
+        assert sniff_subtitle_format(a) == "ass"
+        cues = parse_subtitles(a)
+        assert [(c["start_ms"], c["end_ms"], c["text"])
+                for c in cues] == [
+            (1500, 3000, "Hello\nworld"),
+            (4000, 5000, "With, commas, kept")]
+        # field order comes from Format:, not position convention
+        custom = ("[Script Info]\n[Events]\n"
+                  "Format: Start, End, Text\n"
+                  "Dialogue: 0:00:01.00,0:00:02.00,custom order\n")
+        (c,) = parse_subtitles(custom)
+        assert (c["start_ms"], c["text"]) == (1000, "custom order")
+        # overrides strip; \h is a space
+        s = ("[Script Info]\n[Events]\n"
+             "Format: Start, End, Text\n"
+             "Dialogue: 0:00:01.00,0:00:02.00,"
+             "{\\pos(1,2)}a{\\i1}b{\\i0}\\hc\n")
+        (c,) = parse_subtitles(s)
+        assert c["text"] == "ab c"
+
+    def test_ttml_round_trip_and_times(self):
+        from verified_sources_spark.llm.subtitles import (
+            _ttml_ms, encode_ttml, parse_subtitles,
+            sniff_subtitle_format,
+        )
+
+        t = encode_ttml([(1500, 3000, "Hello\nworld")])
+        assert sniff_subtitle_format(t) == "ttml"
+        (c,) = parse_subtitles(t)
+        assert (c["start_ms"], c["end_ms"], c["text"]) == (
+            1500, 3000, "Hello\nworld")
+        assert _ttml_ms("1.5s") == 1500
+        assert _ttml_ms("1500ms") == 1500
+        assert _ttml_ms("00:00:01.5") == 1500
+
+    def test_refusals(self):
+        import pytest as _pytest
+
+        from verified_sources_spark.llm.subtitles import (
+            SubtitleError, parse_subtitles,
+        )
+
+        with _pytest.raises(SubtitleError, match="no Dialogue"):
+            parse_subtitles("[Script Info]\nTitle: x\n")
+        with _pytest.raises(SubtitleError, match="usable Format"):
+            parse_subtitles("[Script Info]\n[Events]\n"
+                            "Dialogue: 0:00:01.00,0:00:02.00,x\n")
+        with _pytest.raises(SubtitleError, match="no timed"):
+            parse_subtitles('<tt xmlns="http://www.w3.org/ns/ttml">'
+                            "<body/></tt>")

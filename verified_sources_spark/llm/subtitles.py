@@ -24,7 +24,8 @@ from __future__ import annotations
 import re
 
 __all__ = ["SubtitleError", "sniff_subtitle_format", "parse_subtitles",
-           "subtitle_cues", "encode_srt", "encode_vtt"]
+           "subtitle_cues", "encode_srt", "encode_vtt", "encode_ass",
+           "encode_ttml"]
 
 
 class SubtitleError(ValueError):
@@ -43,10 +44,17 @@ _VTT_MARKUP = re.compile(r"<[^>]*>")
 
 
 def sniff_subtitle_format(text: str) -> str | None:
-    """'vtt' / 'srt' / None — by header / first timing line."""
+    """'vtt' / 'srt' / 'ass' / 'ttml' / None — by header or first
+    timing line."""
     head = text.lstrip("﻿\r\n ")
     if head.startswith("WEBVTT"):
         return "vtt"
+    if head.lower().startswith("[script info]"):
+        return "ass"
+    low = head[:256].lower()
+    if low.startswith("<tt") or (low.startswith("<?xml")
+                                 and "<tt" in low):
+        return "ttml"
     for line in head.splitlines()[:5]:
         if _SRT_TIME.search(line):
             return "srt"
@@ -63,8 +71,13 @@ def parse_subtitles(text: str) -> list[dict]:
     optional identifiers are carried through as ``cue_id``)."""
     fmt = sniff_subtitle_format(text)
     if fmt is None:
-        raise SubtitleError("unrecognized subtitle payload (not SRT/WebVTT)")
+        raise SubtitleError(
+            "unrecognized subtitle payload (not SRT/WebVTT/ASS/TTML)")
     text = text.lstrip("﻿")
+    if fmt == "ass":
+        return _parse_ass(text)
+    if fmt == "ttml":
+        return _parse_ttml(text)
     cues: list[dict] = []
     if fmt == "srt":
         # strip newlines ONLY: a trailing space on the last cue's last
@@ -135,6 +148,113 @@ def parse_subtitles(text: str) -> list[dict]:
     return cues
 
 
+_ASS_TIME = re.compile(r"(\d+):(\d{2}):(\d{2})\.(\d{2})")
+_ASS_OVERRIDE = re.compile(r"\{[^}]*\}")
+
+
+def _ass_ms(tok: str) -> int:
+    m = _ASS_TIME.fullmatch(tok.strip())
+    if not m:
+        raise SubtitleError(f"bad ASS timestamp {tok!r}")
+    h, mi, s, cs = (int(g) for g in m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1000 + cs * 10
+
+
+def _parse_ass(text: str) -> list[dict]:
+    """Advanced SubStation Alpha (.ass/.ssa, the fansub standard):
+    [Events] section, field order declared by its Format: line,
+    Dialogue: lines with centisecond H:MM:SS.cc times; {\\...} style
+    overrides strip, \\N / \\n break lines, \\h is a hard space."""
+    in_events = False
+    fields: list[str] | None = None
+    cues: list[dict] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("["):
+            in_events = line.lower() == "[events]"
+            continue
+        if not in_events or not line or line.startswith(";"):
+            continue
+        key, _, rest = line.partition(":")
+        key = key.strip().lower()
+        if key == "format":
+            fields = [f.strip().lower() for f in rest.split(",")]
+        elif key == "dialogue":
+            if fields is None or "text" not in fields or \
+                    "start" not in fields or "end" not in fields:
+                raise SubtitleError(
+                    "ASS Dialogue before a usable Format: line")
+            # Text is the LAST field and may contain commas
+            parts = rest.split(",", len(fields) - 1)
+            if len(parts) < len(fields):
+                raise SubtitleError(f"short ASS Dialogue line {line!r}")
+            rec = dict(zip(fields, parts))
+            t = _ASS_OVERRIDE.sub("", rec["text"])
+            t = (t.replace("\\N", "\n").replace("\\n", "\n")
+                 .replace("\\h", " ")).strip()
+            cues.append({
+                "idx": len(cues) + 1, "cue_id": None,
+                "start_ms": _ass_ms(rec["start"]),
+                "end_ms": _ass_ms(rec["end"]),
+                "text": t})
+    if not cues:
+        raise SubtitleError("ASS file with no Dialogue events")
+    return cues
+
+
+def _ttml_ms(tok: str) -> int:
+    tok = tok.strip()
+    if tok.endswith("ms"):
+        return int(round(float(tok[:-2])))
+    if tok.endswith("s") and ":" not in tok:
+        return int(round(float(tok[:-1]) * 1000))
+    m = re.fullmatch(r"(\d+):(\d{2}):(\d{2})(?:\.(\d{1,3}))?", tok)
+    if not m:
+        raise SubtitleError(f"bad TTML time {tok!r}")
+    h, mi, s = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    frac = (m.group(4) or "").ljust(3, "0")
+    return ((h * 60 + mi) * 60 + s) * 1000 + int(frac or 0)
+
+
+def _parse_ttml(text: str) -> list[dict]:
+    """TTML (broadcast/streaming captions): <p begin end> inside
+    <body>, clock or offset ('1.5s'/'1500ms') times, <br/> as line
+    breaks, inline spans flattened."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except (ET.ParseError, LookupError, ValueError) as e:
+        raise SubtitleError(f"bad TTML XML: {e}") from None
+    if root.tag.rsplit("}", 1)[-1] != "tt":
+        raise SubtitleError("XML root is not <tt> — not TTML")
+
+    def flat(el) -> str:
+        parts = [el.text or ""]
+        for ch in el:
+            if ch.tag.rsplit("}", 1)[-1] == "br":
+                parts.append("\n")
+            else:
+                parts.append(flat(ch))
+            parts.append(ch.tail or "")
+        return "".join(parts)
+
+    cues: list[dict] = []
+    for p in root.iter():
+        if p.tag.rsplit("}", 1)[-1] != "p":
+            continue
+        begin, end = p.get("begin"), p.get("end")
+        if begin is None or end is None:
+            continue
+        cues.append({
+            "idx": len(cues) + 1, "cue_id": p.get("id"),
+            "start_ms": _ttml_ms(begin), "end_ms": _ttml_ms(end),
+            "text": flat(p).strip()})
+    if not cues:
+        raise SubtitleError("TTML with no timed <p> cues")
+    return cues
+
+
 SUBTITLE_SCHEMA = ("doc_id long, decoded_ok boolean, format string, "
                    "idx int, start_ms long, end_ms long, text string")
 
@@ -202,3 +322,47 @@ def encode_vtt(cues: list[tuple[int, int, str]], notes: bool = False) -> str:
         out.append(f"cue-{i}\n{_fmt_ts(start, '.')} --> {_fmt_ts(end, '.')}\n"
                    f"{text}\n")
     return "\n".join(out)
+
+
+def encode_ass(cues: list[tuple[int, int, str]]) -> str:
+    """Realistic .ass writer: Script Info + V4+ Styles + Events with
+    the standard 10-field Format, style overrides and \\N breaks."""
+    def ts(ms: int) -> str:
+        h, rem = divmod(ms, 3600_000)
+        m, rem = divmod(rem, 60_000)
+        s, milli = divmod(rem, 1000)
+        return f"{h}:{m:02d}:{s:02d}.{milli // 10:02d}"
+
+    out = ["[Script Info]", "Title: fixture", "ScriptType: v4.00+",
+           "", "[V4+ Styles]",
+           "Format: Name, Fontname, Fontsize",
+           "Style: Default,Arial,20", "", "[Events]",
+           "Format: Layer, Start, End, Style, Name, MarginL, "
+           "MarginR, MarginV, Effect, Text"]
+    for start, end, text in cues:
+        t = text.replace("\n", "\\N")
+        out.append(f"Dialogue: 0,{ts(start)},{ts(end)},Default,,0,0,0,,"
+                   f"{{\\i1}}{t}{{\\i0}}")
+    return "\n".join(out) + "\n"
+
+
+def encode_ttml(cues: list[tuple[int, int, str]]) -> str:
+    """Realistic TTML writer: namespaced <tt>, clock-format times,
+    <br/> for embedded newlines."""
+    from xml.sax.saxutils import escape
+
+    def ts(ms: int) -> str:
+        h, rem = divmod(ms, 3600_000)
+        m, rem = divmod(rem, 60_000)
+        s, milli = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}.{milli:03d}"
+
+    body = []
+    for i, (start, end, text) in enumerate(cues):
+        t = "<br/>".join(escape(ln) for ln in text.split("\n"))
+        body.append(f'<p xml:id="c{i + 1}" begin="{ts(start)}" '
+                    f'end="{ts(end)}">{t}</p>')
+    return ('<?xml version="1.0" encoding="UTF-8"?>'
+            '<tt xmlns="http://www.w3.org/ns/ttml" '
+            'xmlns:xml="http://www.w3.org/XML/1998/namespace">'
+            "<body><div>" + "".join(body) + "</div></body></tt>")

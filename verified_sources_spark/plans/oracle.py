@@ -1836,7 +1836,8 @@ ORACLE_SQL["subtitle_cues_docs"] = """
         SELECT doc_id, (doc_id % 23) <> 0 AS ok,
                1 + doc_id % 3 AS n,
                (doc_id % 7) * 100 AS base,
-               CASE WHEN doc_id % 2 = 1 THEN 'srt' ELSE 'vtt' END AS fmt,
+               CASE doc_id % 4 WHEN 0 THEN 'vtt' WHEN 1 THEN 'srt'
+                               WHEN 2 THEN 'ass' ELSE 'ttml' END AS fmt,
                COALESCE(text, '') AS t
         FROM documents
     ), cues AS (
@@ -1850,7 +1851,11 @@ ORACLE_SQL["subtitle_cues_docs"] = """
            CAST(k AS INTEGER) AS idx,
            CAST(start_ms AS BIGINT) AS start_ms,
            CAST(start_ms + 1500 AS BIGINT) AS end_ms,
-           SUBSTRING(t, 1 + 60 * (k - 1), 60) AS text
+           -- ASS strips style overrides then trims; TTML flattens
+           -- then trims; SRT/VTT keep the slice raw
+           CASE WHEN fmt IN ('ass', 'ttml')
+                THEN trim(SUBSTRING(t, 1 + 60 * (k - 1), 60))
+                ELSE SUBSTRING(t, 1 + 60 * (k - 1), 60) END AS text
     FROM cues
     UNION ALL
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL

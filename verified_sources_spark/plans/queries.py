@@ -2037,14 +2037,16 @@ def pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subtitle ingestion end-to-end over documents: typeset each doc's
-    text into 1-3 aligned cues (60-char slices) as SRT on odd ids and
-    WebVTT (with NOTE blocks and cue identifiers) on even ids —
-    deterministic timing arithmetic — every 23rd replaced by a
-    non-subtitle payload; parse via llm/subtitles.subtitle_cues.  The
-    oracle replays the cue slicing AND timing math in SQL (one row per
-    cue via a 3-way union) — a value-hash match proves both dialects'
-    timing parse and text recovery are exact (the aligned text channel
+    """Subtitle ingestion end-to-end over documents: typeset each
+    doc's text into 1-3 aligned cues (60-char slices) across the FOUR
+    caption dialects by ``doc_id % 4`` — WebVTT (NOTE blocks + cue
+    ids), SRT, ASS (fansub standard: Format-declared field order,
+    centisecond times, {\\...} style overrides that must strip) and
+    TTML (namespaced XML, clock times, <br/> breaks) — deterministic
+    timing arithmetic, every 23rd a non-subtitle payload; parse via
+    llm/subtitles.subtitle_cues.  The oracle replays slicing, timing
+    math and per-dialect trim semantics in SQL — a value-hash match
+    proves all four parsers agree (the aligned text channel
     caption/ASR corpora train on)."""
     import pandas as pd
 
@@ -2053,7 +2055,9 @@ def subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
 
     def mint(batches):
-        from verified_sources_spark.llm.subtitles import encode_srt, encode_vtt
+        from verified_sources_spark.llm.subtitles import (
+            encode_ass, encode_srt, encode_ttml, encode_vtt,
+        )
 
         for pdf in batches:
             rows = []
@@ -2068,10 +2072,11 @@ def subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  text[60 * k : 60 * (k + 1)]))
                 if did % 23 == 0:
                     payload = "no timings here, not a subtitle file"
-                elif did % 2 == 1:
-                    payload = encode_srt(cues)
                 else:
-                    payload = encode_vtt(cues, notes=True)
+                    enc = (encode_vtt, encode_srt, encode_ass,
+                           encode_ttml)[did % 4]
+                    payload = (enc(cues, notes=True)
+                               if did % 4 == 0 else enc(cues))
                 rows.append({"doc_id": did, "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
