@@ -214,3 +214,71 @@ def test_routes_columnar_blobs():
         {"name": "a", "type": "long"}]}
     out = extract_document(write_container(schema, [{"a": 5}]))
     assert (out["format"], out["text"]) == ("avro", "a\n5")
+
+
+def test_review_findings_regressions(spark):
+    """Pinned reproductions of the round-12 review findings."""
+    import io
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from verified_sources_spark.llm.archives import encode_zip
+    from verified_sources_spark.llm.chatlog import (
+        ChatError, parse_conversation,
+    )
+    from verified_sources_spark.llm.datablob import parquet_rows_blob
+    from verified_sources_spark.llm.docrouter import (
+        archive_document_texts,
+    )
+    from verified_sources_spark.llm.sedump import SeDumpError, iter_posts
+    from verified_sources_spark.llm.wikitext import (
+        WikiError, iter_dump_pages,
+    )
+
+    # 1: valid-64KB-head + later binary byte refuses as DocRouteError
+    payload = b"clean text " * 8000 + b"\xff tail"
+    with pytest.raises(DocRouteError, match="invalid UTF-8"):
+        extract_document(payload)
+    # ...and inside the operator it isolates as a row, not a crash
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_zip({"t.txt": payload})))],
+        "doc_id long, asset binary")
+    (r,) = archive_document_texts(df).collect()
+    assert r["decoded_ok"] is False and r["member_name"] == "t.txt"
+
+    # 2: NaN/inf cells render, never raise
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"x": [float("nan"), float("inf"), 1.0]}),
+                   buf)
+    out = parquet_rows_blob(buf.getvalue())
+    assert out["rows"] == [["nan"], ["inf"], ["1"]]
+
+    # 3: wide zip-of-zips bomb refuses WHOLE under the explosion
+    # gate (all-or-nothing: one false row, zero member rows)
+    bomb = encode_zip({f"z{i}.zip": encode_zip(
+        {f"f{k}": b"x" for k in range(40)}) for i in range(5)})
+    df = spark.createDataFrame([(1, bytearray(bomb))],
+                               "doc_id long, asset binary")
+    rows = archive_document_texts(df).collect()
+    assert sum(1 for r in rows if r["decoded_ok"]) == 200  # default gate
+    (r,) = archive_document_texts(df, max_total_members=50).collect()
+    assert r["decoded_ok"] is False and r["member_name"] is None
+
+    # 4: non-dict message entries refuse by name
+    with pytest.raises(ChatError, match="not object"):
+        parse_conversation(json.dumps({"messages": ["hi"]}))
+
+    # 5/6: non-numeric attributes refuse through the named errors
+    with pytest.raises(SeDumpError, match="non-numeric"):
+        list(iter_posts(b'<posts><row Id="abc" Body="x"/></posts>'))
+    with pytest.raises(WikiError, match="non-numeric"):
+        list(iter_dump_pages(
+            b"<mediawiki><page><title>T</title><ns>xx</ns>"
+            b"<revision><text>b</text></revision></page></mediawiki>"))
+
+    # 7: multibyte char straddling the 64KB sniff window is TEXT
+    long_text = ("a" * 65535 + "é" + " tail text").encode("utf-8")
+    out = extract_document(long_text)
+    assert out["format"] == "text"

@@ -75,6 +75,9 @@ def parse_conversation(record: str | dict) -> list[dict]:
             raise ChatError("'messages' is not a list")
         out = []
         for m in msgs:
+            if not isinstance(m, dict):
+                raise ChatError(
+                    f"message entry is {type(m).__name__}, not object")
             role = str(m.get("role", "")).lower()
             if role not in ("system", "user", "assistant", "tool"):
                 raise ChatError(f"unknown role {role!r}")
@@ -89,6 +92,10 @@ def parse_conversation(record: str | dict) -> list[dict]:
             raise ChatError("'conversations' is not a list")
         out = []
         for m in msgs:
+            if not isinstance(m, dict):
+                raise ChatError(
+                    f"conversation entry is {type(m).__name__}, "
+                    "not object")
             src = str(m.get("from", "")).lower()
             role = _SHAREGPT_ROLES.get(src)
             if role is None:

@@ -42,8 +42,13 @@ def _render_cell(v) -> str:
         return ""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, float) and v == int(v):
-        return str(int(v))
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):  # NaN/inf: int(v) would raise
+            return str(v)
+        if v == int(v):
+            return str(int(v))
     if isinstance(v, bytes):
         return v.decode("utf-8", errors="replace")
     return str(v)

@@ -99,11 +99,23 @@ def sniff_document(payload: bytes) -> str:
         if b"<posts>" in body or b"<posts " in body:
             return "sedump"
     # decodable text: markdown if it walks like markdown, else plain
+    window = payload[:65536]
     try:
-        text = payload[:65536].decode("utf-8")
-    except UnicodeDecodeError:
-        raise DocRouteError(
-            "unrecognized binary payload — refusing by name") from None
+        text = window.decode("utf-8")
+    except UnicodeDecodeError as e:
+        # a multibyte char straddling the 64KB window is NOT binary:
+        # retry on the clean prefix; a decode error anywhere else is
+        if len(payload) > len(window) and e.start >= len(window) - 3:
+            try:
+                text = window[: e.start].decode("utf-8")
+            except UnicodeDecodeError:
+                raise DocRouteError(
+                    "unrecognized binary payload — refusing by name"
+                ) from None
+        else:
+            raise DocRouteError(
+                "unrecognized binary payload — refusing by name"
+            ) from None
     if "\\documentclass" in text or "\\begin{document}" in text:
         return "latex"
     if _looks_like_markdown(text):
@@ -129,12 +141,16 @@ def _looks_like_markdown(text: str) -> bool:
     return sum(1 for rx in _MD_MARKS if rx.search(text)) >= 2
 
 
-def extract_document(payload: bytes) -> dict:
+def extract_document(payload: bytes, fmt: str | None = None) -> dict:
     """``{"format", "text"}`` for a document blob, routed by magic
     bytes to the engine's own extractors.  Non-document formats
     (media, archives) raise :class:`DocRouteError` with the format
-    named — the caller owns richer surfaces for those."""
-    fmt = sniff_document(payload)
+    named — the caller owns richer surfaces for those.  Pass ``fmt``
+    when the caller already sniffed (the archive walk does) — package
+    sniffing opens zip directories, and re-sniffing per member
+    doubles that cost in the hot loop."""
+    if fmt is None:
+        fmt = sniff_document(payload)
     if fmt == "pdf":
         from verified_sources_spark.llm.pdf_codec import (
             PdfError, extract_pdf_text,
@@ -233,7 +249,15 @@ def extract_document(payload: bytes) -> dict:
         return {"format": fmt,
                 "text": "\n".join("\t".join(r) for r in lines)}
     if fmt == "text":
-        return {"format": "text", "text": payload.decode("utf-8")}
+        # the sniff validated a 64KB window; the tail can still carry
+        # binary spillover — refuse THROUGH the named error so the
+        # operators' isolation nets turn it into a row, never a crash
+        try:
+            return {"format": "text", "text": payload.decode("utf-8")}
+        except UnicodeDecodeError as e:
+            raise DocRouteError(
+                f"text payload with invalid UTF-8 at byte {e.start} — "
+                "refusing by name") from None
     raise DocRouteError(
         f"{fmt} payload is not a text document — route it to the "
         f"{fmt} surface instead")
@@ -246,7 +270,8 @@ ARCHIVE_DOCUMENT_TEXTS_SCHEMA = (
 
 
 def archive_document_texts(df, id_col: str = "doc_id",
-                           asset_col: str = "asset"):
+                           asset_col: str = "asset",
+                           max_total_members: int = 100_000):
     """FUSED archive→document chain: explode each archive payload
     (zip/7z/tar.* via llm/archives, PLAIN nested archives recursed
     with ``outer!inner`` paths, depth-capped) and route every member
@@ -265,56 +290,71 @@ def archive_document_texts(df, id_col: str = "doc_id",
 
     def run(batches):
         from verified_sources_spark.llm.archives import (
-            ArchiveError, iter_members,
+            ArchiveError, ArchiveExplosionError, iter_members,
         )
-
-        def is_plain_archive(data: bytes) -> bool:
-            # the router's sniff distinguishes PACKAGE zips (docx/
-            # odf/epub — documents, never exploded) from plain
-            # containers; iter_members_recursive can't, which is why
-            # the recursion lives here
-            try:
-                return sniff_document(data) in _ARCHIVE_FMTS
-            except DocRouteError:
-                return False
 
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 raw = bytes(payload)
+                doc_rows: list[dict] = []
+                emitted = 0
                 try:
                     stack = [(n, d, 1)
                              for n, d in iter_members(raw)][::-1]
+                    while stack:
+                        name, data, depth = stack.pop()
+                        # sniff ONCE per member: the result both
+                        # decides plain-archive recursion (package
+                        # zips — docx/odf/epub — are DOCUMENTS, never
+                        # exploded) and feeds extract_document, so
+                        # zip directories open once, not three times
+                        try:
+                            fmt = sniff_document(data)
+                        except DocRouteError:
+                            fmt = None
+                        if depth < 3 and fmt in _ARCHIVE_FMTS:
+                            try:
+                                inner = list(iter_members(data))
+                            except ArchiveError:
+                                inner = None  # corrupt inner: row
+                            if inner is not None:
+                                stack += [(f"{name}!{n}", d, depth + 1)
+                                          for n, d in inner][::-1]
+                                continue
+                        emitted += 1
+                        if emitted > max_total_members:
+                            # the same explosion gate the archives
+                            # module enforces: a wide zip-of-zips bomb
+                            # refuses WHOLE, never partially explodes
+                            raise ArchiveExplosionError(
+                                f"nested archive exceeds "
+                                f"{max_total_members} members")
+                        try:
+                            out = (extract_document(data, fmt=fmt)
+                                   if fmt is not None else None)
+                            if out is None:
+                                raise DocRouteError(
+                                    "unrecognized binary payload")
+                            doc_rows.append({
+                                "doc_id": _id, "decoded_ok": True,
+                                "member_name": name,
+                                "doc_format": out["format"],
+                                "n_bytes": len(data),
+                                "text": out["text"]})
+                        except DocRouteError:
+                            doc_rows.append({
+                                "doc_id": _id, "decoded_ok": False,
+                                "member_name": name,
+                                "doc_format": None,
+                                "n_bytes": len(data), "text": None})
+                    rows += doc_rows
                 except ArchiveError:
+                    # corrupt outer OR explosion gate: all-or-nothing
                     rows.append({
                         "doc_id": _id, "decoded_ok": False,
                         "member_name": None, "doc_format": None,
                         "n_bytes": None, "text": None})
-                    continue
-                while stack:
-                    name, data, depth = stack.pop()
-                    if depth < 3 and is_plain_archive(data):
-                        try:
-                            inner = list(iter_members(data))
-                        except ArchiveError:
-                            inner = None  # corrupt inner: refusal row
-                        if inner is not None:
-                            stack += [(f"{name}!{n}", d, depth + 1)
-                                      for n, d in inner][::-1]
-                            continue
-                    try:
-                        out = extract_document(data)
-                        rows.append({
-                            "doc_id": _id, "decoded_ok": True,
-                            "member_name": name,
-                            "doc_format": out["format"],
-                            "n_bytes": len(data),
-                            "text": out["text"]})
-                    except DocRouteError:
-                        rows.append({
-                            "doc_id": _id, "decoded_ok": False,
-                            "member_name": name, "doc_format": None,
-                            "n_bytes": len(data), "text": None})
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "decoded_ok", "member_name", "doc_format",
                 "n_bytes", "text"])

@@ -62,16 +62,23 @@ def iter_posts(data: bytes, max_bytes: int = 256 << 20):
         _, text = extract_text(body, collapse=True)
         tags_raw = a.get("Tags", "")
         tags = [t for t in tags_raw.replace(">", "<").split("<") if t]
-        yield {
-            "post_id": int(a["Id"]) if "Id" in a else None,
-            "post_type": int(a.get("PostTypeId", 0)),
-            "parent_id": (int(a["ParentId"])
-                          if "ParentId" in a else None),
-            "title": a.get("Title"),
-            "score": int(a.get("Score", 0)),
-            "tags": ";".join(tags) or None,
-            "text": text,
-        }
+        try:
+            yield {
+                "post_id": int(a["Id"]) if "Id" in a else None,
+                "post_type": int(a.get("PostTypeId", 0)),
+                "parent_id": (int(a["ParentId"])
+                              if "ParentId" in a else None),
+                "title": a.get("Title"),
+                "score": int(a.get("Score", 0)),
+                "tags": ";".join(tags) or None,
+                "text": text,
+            }
+        except ValueError as e:
+            # a non-numeric Id/Score must refuse through the NAMED
+            # error so the operator isolates the dump instead of
+            # crashing the task mid-generator
+            raise SeDumpError(
+                f"non-numeric row attribute: {e}") from None
     if not found:
         raise SeDumpError("posts dump with no <row> elements")
 
@@ -114,9 +121,11 @@ def se_posts(df, id_col: str = "doc_id", asset_col: str = "asset"):
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 try:
-                    for p in iter_posts(bytes(payload)):
-                        rows.append({"doc_id": _id, "decoded_ok": True,
-                                     **p})
+                    # buffer per dump: a mid-generator refusal must be
+                    # all-or-nothing, never partial rows + a false row
+                    doc_rows = [{"doc_id": _id, "decoded_ok": True, **p}
+                                for p in iter_posts(bytes(payload))]
+                    rows += doc_rows
                 except SeDumpError:
                     rows.append({
                         "doc_id": _id, "decoded_ok": False,

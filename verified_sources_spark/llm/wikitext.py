@@ -164,9 +164,17 @@ def iter_dump_pages(data: bytes, max_bytes: int = 256 << 20):
             if tag == "title":
                 title = el.text or ""
             elif tag == "ns":
-                ns = int(el.text or 0)
+                try:
+                    ns = int(el.text or 0)
+                except ValueError:
+                    raise WikiError(
+                        f"non-numeric <ns> {el.text!r}") from None
             elif tag == "id" and pid is None:
-                pid = int(el.text or 0)
+                try:
+                    pid = int(el.text or 0)
+                except ValueError:
+                    raise WikiError(
+                        f"non-numeric <id> {el.text!r}") from None
             elif tag == "redirect":
                 redirect = True
             elif tag == "revision":
@@ -221,15 +229,19 @@ def wiki_pages(df, id_col: str = "doc_id", asset_col: str = "asset"):
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 try:
+                    # buffer per dump: mid-generator refusals are
+                    # all-or-nothing, never partial rows + a false row
+                    doc_rows = []
                     for p in iter_dump_pages(bytes(payload)):
                         out = strip_wikitext(p["wikitext"])
-                        rows.append({
+                        doc_rows.append({
                             "doc_id": _id, "decoded_ok": True,
                             "page_id": p["page_id"],
                             "title": p["title"], "ns": p["ns"],
                             "redirect": p["redirect"],
                             "n_headings": len(out["headings"]),
                             "text": out["text"]})
+                    rows += doc_rows
                 except WikiError:
                     rows.append({
                         "doc_id": _id, "decoded_ok": False,
