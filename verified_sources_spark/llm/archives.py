@@ -126,7 +126,7 @@ def iter_members(
                         )
                     yield info.filename, zf.read(info)
         except (zipfile.BadZipFile, zlib.error, EOFError,
-                OSError) as e:
+                NotImplementedError, OSError) as e:
             raise ArchiveError(f"corrupt zip archive: {e}") from None
         return
     if fmt == "tzst":

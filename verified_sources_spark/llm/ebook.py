@@ -155,7 +155,8 @@ def extract_epub(data: bytes) -> dict:
     except EbookError:
         raise
     except (zipfile.BadZipFile, zlib.error, EOFError, OSError,
-            KeyError, ET.ParseError, ValueError) as exc:
+            KeyError, ET.ParseError, ValueError,
+            NotImplementedError) as exc:
         raise EbookError(f"corrupt EPUB: {exc}") from exc
 
 

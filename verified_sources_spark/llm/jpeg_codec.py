@@ -323,6 +323,11 @@ class _BitReader:
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 25:
+            # _fill tops out at 25-32 buffered bits, so a larger run
+            # can never be satisfied — a corrupted Huffman VALUES byte
+            # decoding as a 255 DC category would spin here forever
+            raise JpegError(f"bit run of {n} exceeds T.81 categories")
         while self.nbits < n:
             self._fill()
         self.nbits -= n
@@ -450,6 +455,18 @@ def decode(data: bytes) -> dict:
         raise JpegError("missing SOF0/SOS")
 
     comps = frame["comps"]
+    for c in comps:
+        # T.81 B.2.2: sampling factors are 1..4; a corrupted SOF byte
+        # with h/v = 0 would divide by zero in the upsampler, and the
+        # SOS component map must cover every frame component or the
+        # table lookup KeyErrors past the refusal net
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise JpegError(
+                f"component {c['id']}: sampling {c['h']}x{c['v']} "
+                "outside T.81 range")
+        if c["id"] not in scan["tables"]:
+            raise JpegError(
+                f"SOS lists no entropy tables for component {c['id']}")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     w, h = frame["w"], frame["h"]

@@ -1099,7 +1099,7 @@ def extract_office(data: bytes) -> dict:
         raise
     except (zipfile.BadZipFile, KeyError, ET.ParseError, ValueError,
             IndexError, struct.error, zlib.error, EOFError,
-            LookupError, OSError) as exc:
+            LookupError, NotImplementedError, OSError) as exc:
         # zlib.error/EOFError/OSError: zipfile raises these lazily
         # while DECOMPRESSING a member with a corrupted deflate stream
         # (BadZipFile only covers the directory structures)
