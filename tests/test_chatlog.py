@@ -65,3 +65,33 @@ def test_spark_operator_alternation_flag(spark):
     assert not any(r["alternation_ok"] for r in got[2])
     (r3,) = got[3]
     assert r3["decoded_ok"] is False
+
+
+def test_mid_dialog_system_turn_flags_alternation(spark):
+    """Only a LEADING system turn is exempt from the pairing gate: a
+    system message injected mid-conversation must flag
+    alternation_ok=false; tool turns drop and do not count."""
+    lead = json.dumps({"messages": [
+        {"role": "system", "content": "s"},
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "a"}]})
+    mid = json.dumps({"messages": [
+        {"role": "system", "content": "s"},
+        {"role": "user", "content": "q"},
+        {"role": "system", "content": "injected"},
+        {"role": "assistant", "content": "a"}]})
+    tool = json.dumps({"messages": [
+        {"role": "user", "content": "q"},
+        {"role": "tool", "content": "result"},
+        {"role": "assistant", "content": "a"}]})
+    df = spark.createDataFrame(
+        [(1, lead), (2, mid), (3, tool)], "doc_id long, line string")
+    got: dict = {}
+    for r in chat_turns(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert all(r["alternation_ok"] for r in got[1])
+    assert not any(r["alternation_ok"] for r in got[2])
+    assert len(got[2]) == 4 and got[2][0]["n_turns"] == 4
+    # tool turn dropped at parse: 2 turns, still alternation-clean
+    assert len(got[3]) == 2 and got[3][0]["n_turns"] == 2
+    assert all(r["alternation_ok"] for r in got[3])

@@ -282,3 +282,32 @@ def test_review_findings_regressions(spark):
     long_text = ("a" * 65535 + "é" + " tail text").encode("utf-8")
     out = extract_document(long_text)
     assert out["format"] == "text"
+
+
+def test_eml_refuses_by_name_as_email():
+    """A bare .eml (valid UTF-8) must NOT route as 'text' — its raw
+    RFC 5322 headers + base64 attachment blocks would poison the
+    dedup/quality surface; it refuses by name toward
+    email_attachment_texts."""
+    import pytest
+
+    from verified_sources_spark.llm.docrouter import (
+        DocRouteError, extract_document, sniff_document,
+    )
+    from verified_sources_spark.llm.email_ingest import (
+        encode_eml, encode_mbox,
+    )
+
+    eml = encode_eml("quarterly report", "see attached",
+                     attachments=[("r.pdf", "application/pdf",
+                                   b"%PDF-1.4 fake")])
+    assert sniff_document(eml) == "email"
+    with pytest.raises(DocRouteError, match="email"):
+        extract_document(eml)
+    # mbox carrier sniffs the same way
+    assert sniff_document(encode_mbox([eml])) == "email"
+    # but header-LOOKING prose without canonical mail headers stays text
+    memo = b"Priority: high\nStatus: draft\n\nplain memo body\n"
+    assert sniff_document(memo) == "text"
+    colons = b"name: value pairs\nbut then ordinary prose follows\n"
+    assert sniff_document(colons) == "text"

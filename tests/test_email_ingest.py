@@ -166,3 +166,23 @@ def test_cjk_charsets_and_rfc2047_subject():
            f"\r\nhello\r\n").encode()
     out = parse_eml(raw)
     assert out["subject"] == subj and out["text"] == "hello\r\n"
+
+
+def test_multi_message_mbox_failure_is_all_or_nothing(spark):
+    """An EmailError on message k of a multi-message mbox must not
+    leave messages <k's attachment rows behind next to the false row
+    (they would double-count text into the dedup surface)."""
+    from verified_sources_spark.llm.email_ingest import (
+        email_attachment_texts,
+    )
+
+    good = encode_eml("has attachment", "see attached",
+                      attachments=[("note.txt", "text/plain",
+                                    b"attachment prose here")])
+    headerless = b"this blob has no Subject/From headers at all\n"
+    mbox = encode_mbox([good, headerless])
+    df = spark.createDataFrame([(1, bytearray(mbox))],
+                               "doc_id long, asset binary")
+    rows = email_attachment_texts(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["decoded_ok"] is False

@@ -149,3 +149,21 @@ class TestAssTtml:
         with _pytest.raises(SubtitleError, match="no timed"):
             parse_subtitles('<tt xmlns="http://www.w3.org/ns/ttml">'
                             "<body/></tt>")
+
+
+def test_ttml_cue_id_carries_through_namespaced_xml_id():
+    """TTML cue ids live on xml:id (namespaced); parse must carry
+    them through as cue_id per the parse_subtitles contract — a bare
+    un-namespaced id is honored as a lenient extra."""
+    from verified_sources_spark.llm.subtitles import (
+        encode_ttml, parse_subtitles,
+    )
+
+    t = encode_ttml([(0, 1000, "one"), (2000, 3000, "two")])
+    cues = parse_subtitles(t)
+    assert [c["cue_id"] for c in cues] == ["c1", "c2"]
+    bare = ('<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml">'
+            '<body><div><p id="x7" begin="0.0s" end="1.0s">hi</p>'
+            "</div></body></tt>")
+    (c,) = parse_subtitles(bare)
+    assert c["cue_id"] == "x7"

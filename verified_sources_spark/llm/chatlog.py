@@ -59,7 +59,9 @@ def _content_text(content) -> str:
 
 def parse_conversation(record: str | dict) -> list[dict]:
     """One JSON record → ordered turns ``[{role, text}]`` with roles
-    normalized to system/user/assistant."""
+    normalized to system/user/assistant.  ``tool`` turns are DROPPED
+    here (tool outputs are not training prose), so they never reach
+    the output and never count toward ``n_turns``."""
     if isinstance(record, str):
         try:
             obj = json.loads(record)
@@ -123,10 +125,14 @@ CHAT_TURNS_SCHEMA = (
 
 def chat_turns(df, id_col: str = "doc_id", line_col: str = "line"):
     """Arrow-batched conversation explosion: one row per turn with
-    the normalized role and a per-conversation alternation flag
-    (system? then strictly user/assistant alternating, starting with
-    user — the standard pairing gate).  Malformed records isolate as
-    ``decoded_ok=false`` rows."""
+    the normalized role and a per-conversation alternation flag —
+    only a LEADING system turn is exempt; the rest must be strictly
+    user/assistant alternating starting with user, so a system
+    message injected mid-conversation (a known poisoning/formatting
+    wart in instruction dumps) flags ``alternation_ok=false``.  Tool
+    turns are dropped at parse time and do NOT count toward
+    ``n_turns`` (tool outputs are not training prose).  Malformed
+    records isolate as ``decoded_ok=false`` rows."""
     import pandas as pd
 
     def run(batches):
@@ -137,7 +143,11 @@ def chat_turns(df, id_col: str = "doc_id", line_col: str = "line"):
                     turns = parse_conversation(str(line))
                     if not turns:
                         raise ChatError("empty conversation")
-                    body = [t for t in turns if t["role"] != "system"]
+                    # only a LEADING system turn is exempt from the
+                    # pairing gate; a mid-dialog system turn lands in
+                    # `body` and fails the user/assistant check below
+                    body = (turns[1:] if turns[0]["role"] == "system"
+                            else turns)
                     ok_alt = bool(body) and all(
                         t["role"] == ("user" if i % 2 == 0
                                       else "assistant")

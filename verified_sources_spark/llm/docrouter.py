@@ -85,6 +85,11 @@ def sniff_document(payload: bytes) -> str:
             or (head.startswith((b"content-type:", b"from:", b"snapshot-"))
                 and b"multipart/related" in payload[:4096].lower()):
         return "mhtml"
+    if _looks_like_email(payload):
+        # an .eml is a CONTAINER (headers + parts + base64 blocks):
+        # ingesting it verbatim as text poisons the dedup/quality
+        # surface — refuse by name toward email_attachment_texts
+        return "email"
     if head.startswith((b"<!doctype html", b"<html")) or b"<body" in head:
         return "html"
     if head.startswith(b"<?xml") or head.startswith(b"<"):
@@ -128,6 +133,45 @@ def sniff_document(payload: bytes) -> str:
 
 
 import re as _re
+
+_RFC5322_HEADER = _re.compile(rb"^[!-9;-~]+:[ \t]")
+_EMAIL_CANONICAL = (
+    b"from", b"to", b"cc", b"subject", b"date", b"received",
+    b"return-path", b"message-id", b"mime-version", b"sender",
+    b"delivered-to", b"reply-to",
+)
+
+
+def _looks_like_email(payload: bytes) -> bool:
+    """RFC 5322 sniff: the first line must be a header line (or the
+    mbox ``From `` separator) and at least two CANONICAL mail headers
+    must appear in the header block before the first blank line —
+    strict enough that delimited/plain text with a stray colon never
+    routes here."""
+    lines = payload[:4096].split(b"\n")
+    first = lines[0].rstrip(b"\r")
+    if first.startswith(b"From "):
+        lines = lines[1:]
+        if not lines:
+            return False
+        first = lines[0].rstrip(b"\r")
+    if not _RFC5322_HEADER.match(first):
+        return False
+    seen = set()
+    for ln in lines:
+        ln = ln.rstrip(b"\r")
+        if not ln:
+            break
+        if ln[:1] in (b" ", b"\t"):  # folded continuation
+            continue
+        m = _RFC5322_HEADER.match(ln)
+        if not m:
+            return False  # non-header line inside the block
+        name = ln.split(b":", 1)[0].strip().lower()
+        if name in _EMAIL_CANONICAL:
+            seen.add(name)
+    return len(seen) >= 2
+
 
 _MD_MARKS = (
     _re.compile(r"(?m)^#{1,6} \S"),          # ATX heading
@@ -258,6 +302,10 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
             raise DocRouteError(
                 f"text payload with invalid UTF-8 at byte {e.start} — "
                 "refusing by name") from None
+    if fmt == "email":
+        raise DocRouteError(
+            "email is a multi-part container — route it to "
+            "email_attachment_texts / email_texts instead")
     raise DocRouteError(
         f"{fmt} payload is not a text document — route it to the "
         f"{fmt} surface instead")

@@ -407,6 +407,12 @@ def email_attachment_texts(df, id_col: str = "doc_id",
                             "filename": None, "att_format": None,
                             "n_bytes": None, "text": None})
                 except EmailError:
+                    # all-or-nothing per payload: an EmailError on
+                    # message k of a multi-message mbox must not leave
+                    # messages <k's decoded rows behind next to the
+                    # false row (they would double-count text into the
+                    # dedup surface)
+                    del rows[n_before:]
                     rows.append({
                         "doc_id": _id, "decoded_ok": False,
                         "msg_idx": None, "att_idx": None,

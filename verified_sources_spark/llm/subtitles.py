@@ -246,8 +246,14 @@ def _parse_ttml(text: str) -> list[dict]:
         begin, end = p.get("begin"), p.get("end")
         if begin is None or end is None:
             continue
+        # TTML cue ids live on the namespaced xml:id attribute (our
+        # own encode_ttml writes xml:id); bare id is a lenient extra
+        cue_id = p.get("id")
+        if cue_id is None:
+            cue_id = p.get(
+                "{http://www.w3.org/XML/1998/namespace}id")
         cues.append({
-            "idx": len(cues) + 1, "cue_id": p.get("id"),
+            "idx": len(cues) + 1, "cue_id": cue_id,
             "start_ms": _ttml_ms(begin), "end_ms": _ttml_ms(end),
             "text": flat(p).strip()})
     if not cues:

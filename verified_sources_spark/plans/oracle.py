@@ -2847,7 +2847,17 @@ ORACLE_SQL["chat_turns_docs"] = """
            CASE i WHEN 0 THEN 'be helpful' WHEN 1 THEN u1
                   ELSE a1 END AS text
     FROM p, (SELECT UNNEST([0, 1, 2]) AS i) js
-    WHERE ok AND mode = 0
+    WHERE ok AND mode = 0 AND (doc_id % 5) <> 1
+    UNION ALL
+    -- mid-dialog system injection: 4 turns, pairing gate flags FALSE
+    SELECT doc_id, TRUE, CAST(i AS INTEGER), CAST(4 AS INTEGER),
+           CASE i WHEN 0 THEN 'system' WHEN 1 THEN 'user'
+                  WHEN 2 THEN 'system' ELSE 'assistant' END,
+           FALSE,
+           CASE i WHEN 0 THEN 'be helpful' WHEN 1 THEN u1
+                  WHEN 2 THEN 'be extra helpful' ELSE a1 END
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS i) js
+    WHERE ok AND mode = 0 AND (doc_id % 5) = 1
     UNION ALL
     SELECT doc_id, TRUE, CAST(i AS INTEGER), CAST(3 AS INTEGER),
            CASE i WHEN 1 THEN 'assistant' ELSE 'user' END, TRUE,

@@ -4600,7 +4600,12 @@ def chat_turns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, image parts dropped), ShareGPT human/gpt (gpt-FIRST on every
     ``% 7 == 2``, the alternation violation the quality gate must
     flag, not drop), and bare prompt/completion — every 33rd malformed
-    JSON; explode through llm/chatlog.chat_turns.  The oracle replays
+    JSON.  The messages dialect adds two sub-variants: ``% 5 == 1``
+    injects a MID-dialog system turn (must flag
+    ``alternation_ok=false`` — only a leading system turn is exempt)
+    and ``% 5 == 3`` appends a tool turn (dropped at parse, must not
+    count toward ``n_turns``); explode through
+    llm/chatlog.chat_turns.  The oracle replays
     roles, turn order, alternation flags and every turn's text in SQL
     — a hash match proves dialect normalization and the pairing gate
     are exact."""
@@ -4624,13 +4629,25 @@ def chat_turns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 u1, a1, u2 = t[:60], t[60:120], t[120:180]
                 mode = did % 3
                 if mode == 0:
-                    rec = {"messages": [
+                    msgs = [
                         {"role": "system", "content": "be helpful"},
                         {"role": "user", "content": [
                             {"type": "text", "text": u1},
                             {"type": "image_url",
                              "image_url": {"url": "http://e/i.png"}}]},
-                        {"role": "assistant", "content": a1}]}
+                        {"role": "assistant", "content": a1}]
+                    if did % 5 == 1:
+                        # mid-dialog system injection: the pairing
+                        # gate must FLAG it (only a leading system
+                        # turn is exempt), not drop it
+                        msgs.insert(2, {"role": "system",
+                                        "content": "be extra helpful"})
+                    elif did % 5 == 3:
+                        # tool turn: dropped at parse, must NOT count
+                        # toward n_turns — output matches the base
+                        msgs.append({"role": "tool",
+                                     "content": "tool result"})
+                    rec = {"messages": msgs}
                 elif mode == 1:
                     conv = [{"from": "human", "value": u1},
                             {"from": "gpt", "value": a1}]
