@@ -45,7 +45,7 @@ def test_prose_does_not_sniff_as_table():
         "A sentence, with commas, here.\nShorter line, now.\n") is None
     with pytest.raises(TabularError, match="no consistent delimiter"):
         parse_delimited(b"prose line one\nprose line two\n")
-    with pytest.raises(TabularError, match="not UTF-8"):
+    with pytest.raises(TabularError, match="not decodable text"):
         parse_delimited(b"\x00\xff\xfe binary")
 
 

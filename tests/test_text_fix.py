@@ -68,3 +68,109 @@ def test_spark_operator(spark):
     assert got[2]["text"] == "clean text"
     assert got[2]["mojibake_rounds"] == 0
     assert got[3]["text"] is None
+
+
+class TestBareCharsetDetection:
+    """detect_bare_charset / decode_bare_text: the no-transport-
+    metadata sibling of warc.decode_body — BOM, strict-probe +
+    plausibility scoring over the canonical legacy set, binary
+    refusal."""
+
+    def test_boms_beat_everything(self):
+        from verified_sources_spark.llm.text_fix import (
+            decode_bare_text, detect_bare_charset,
+        )
+
+        assert detect_bare_charset(b"\xef\xbb\xbfhi") == (
+            "utf-8-sig", "bom")
+        assert detect_bare_charset(
+            "hi".encode("utf-16"))[0] == "utf-16"
+        assert detect_bare_charset(
+            "hi".encode("utf-32"))[0] == "utf-32"
+        assert decode_bare_text("héllo".encode("utf-16"))[0] == "héllo"
+
+    def test_utf8_is_authoritative(self):
+        from verified_sources_spark.llm.text_fix import (
+            detect_bare_charset,
+        )
+
+        assert detect_bare_charset("plain ascii\n".encode()) == (
+            "utf-8", "utf-8")
+        assert detect_bare_charset("中文 und ümlaut".encode()) == (
+            "utf-8", "utf-8")
+
+    def test_legacy_set_round_trips(self):
+        from verified_sources_spark.llm.text_fix import decode_bare_text
+
+        cases = {
+            "cp1252": "café, naïve résumé — 90’s “quotes” déjà vu. "
+                      "Plain ASCII body follows here.",
+            "gb18030": "中文处理是一个常见的需求，编码检测必须正确。",
+            "shift_jis": "日本語のテキストです。これはテストです。",
+            "euc_jp": "日本語のテキストです。これはテストです。",
+            "big5": "繁體中文測試，這是一段範例文字。",
+        }
+        for codec, text in cases.items():
+            got_text, got_codec, clean = decode_bare_text(
+                text.encode(codec))
+            assert got_codec == codec, (codec, got_codec)
+            assert got_text == text and clean
+
+    def test_binary_refuses(self):
+        from verified_sources_spark.llm.text_fix import (
+            decode_bare_text, detect_bare_charset,
+        )
+
+        assert detect_bare_charset(b"") is None
+        assert detect_bare_charset(b"\x00\x01\x02 nul means binary") \
+            is None
+        assert decode_bare_text(bytes(range(1, 255)) * 4) is None
+
+    def test_dirty_tail_flags_not_clean(self):
+        from verified_sources_spark.llm.text_fix import decode_bare_text
+
+        data = b"clean ascii head " * 5000 + b"\xff\x00\xfe"
+        # NUL sits past the probe window, so detection succeeds on the
+        # head and the strict full decode fails -> clean=False
+        text, codec, clean = decode_bare_text(data)
+        assert codec == "utf-8" and clean is False
+        assert text.endswith("�\x00�")
+
+    def test_window_straddle_multibyte(self):
+        from verified_sources_spark.llm.text_fix import decode_bare_text
+
+        data = ("x" * 65535 + "中文字 tail").encode("utf-8")
+        text, codec, clean = decode_bare_text(data)
+        assert codec == "utf-8" and clean and text.endswith("中文字 tail")
+
+
+def test_docrouter_and_tabular_decode_legacy_charsets():
+    """The document router's text/delimited fallback serves
+    cp1252/GB18030 legacy files instead of dropping them as binary."""
+    from verified_sources_spark.llm.docrouter import (
+        extract_document, sniff_document,
+    )
+    from verified_sources_spark.llm.tabular import parse_delimited
+
+    memo = ("Übergabeprotokoll für das Archiv.\n"
+            "Der Text enthält Umlaute: äöüß — sonst reines ASCII.\n")
+    out = extract_document(memo.encode("cp1252"))
+    assert out["format"] == "text" and out["charset"] == "cp1252"
+    assert out["text"] == memo
+
+    zh = "归档说明：这是一个中文文本文件，用于测试编码检测。\n"
+    out = extract_document(zh.encode("gb18030"))
+    assert out["format"] == "text" and out["charset"] == "gb18030"
+    assert out["text"] == zh
+
+    csv_1252 = ("name,city\nRené,Zürich\nFrançois,Genève\n"
+                ).encode("cp1252")
+    assert sniff_document(csv_1252) == "delimited"
+    out = parse_delimited(csv_1252)
+    assert out["charset"] == "cp1252"
+    assert out["rows"] == [["René", "Zürich"], ["François", "Genève"]]
+
+    csv_gb = ("城市,人口\n北京,2189\n上海,2487\n").encode("gb18030")
+    out = parse_delimited(csv_gb)
+    assert out["charset"] == "gb18030"
+    assert out["rows"] == [["北京", "2189"], ["上海", "2487"]]

@@ -103,24 +103,29 @@ def sniff_document(payload: bytes) -> str:
             return "wikidump"
         if b"<posts>" in body or b"<posts " in body:
             return "sedump"
-    # decodable text: markdown if it walks like markdown, else plain
-    window = payload[:65536]
+    # decodable text: markdown if it walks like markdown, else plain.
+    # NOT UTF-8-only: a cp1252/GB18030/Shift_JIS .txt inside a zip or
+    # mail attachment — extremely common in legacy archives — is text,
+    # not "unrecognized binary"; the bare-charset probe (BOM + strict
+    # decode + plausibility scoring, llm/text_fix) makes that call.
+    # The probe decodes incrementally, so a multibyte char straddling
+    # the 64KB window never misreads as binary.
+    from verified_sources_spark.llm.text_fix import detect_bare_charset
+
+    hit = detect_bare_charset(payload)
+    if hit is None:
+        raise DocRouteError(
+            "unrecognized binary payload — refusing by name")
+    codec, _src = hit
+    import codecs as _codecs
+
+    dec = _codecs.getincrementaldecoder(codec)("strict")
     try:
-        text = window.decode("utf-8")
-    except UnicodeDecodeError as e:
-        # a multibyte char straddling the 64KB window is NOT binary:
-        # retry on the clean prefix; a decode error anywhere else is
-        if len(payload) > len(window) and e.start >= len(window) - 3:
-            try:
-                text = window[: e.start].decode("utf-8")
-            except UnicodeDecodeError:
-                raise DocRouteError(
-                    "unrecognized binary payload — refusing by name"
-                ) from None
-        else:
-            raise DocRouteError(
-                "unrecognized binary payload — refusing by name"
-            ) from None
+        text = dec.decode(payload[:65536], final=len(payload) <= 65536)
+    except (UnicodeDecodeError, ValueError):
+        raise DocRouteError(
+            "unrecognized binary payload — refusing by name"
+        ) from None
     if "\\documentclass" in text or "\\begin{document}" in text:
         return "latex"
     if _looks_like_markdown(text):
@@ -293,15 +298,24 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
         return {"format": fmt,
                 "text": "\n".join("\t".join(r) for r in lines)}
     if fmt == "text":
-        # the sniff validated a 64KB window; the tail can still carry
+        # the sniff probed a 64KB window; the tail can still carry
         # binary spillover — refuse THROUGH the named error so the
-        # operators' isolation nets turn it into a row, never a crash
-        try:
-            return {"format": "text", "text": payload.decode("utf-8")}
-        except UnicodeDecodeError as e:
+        # operators' isolation nets turn it into a row, never a crash.
+        # decode_bare_text carries the detected charset (cp1252 /
+        # GB18030 / EUC-JP / Big5 / Shift_JIS legacy files decode as
+        # text, not "binary") and its decode_clean flag gates here.
+        from verified_sources_spark.llm.text_fix import decode_bare_text
+
+        out = decode_bare_text(payload)
+        if out is None:
             raise DocRouteError(
-                f"text payload with invalid UTF-8 at byte {e.start} — "
-                "refusing by name") from None
+                "unrecognized binary payload — refusing by name")
+        text, charset, clean = out
+        if not clean:
+            raise DocRouteError(
+                f"text payload with invalid {charset.upper()} bytes "
+                "in the tail — refusing by name")
+        return {"format": "text", "text": text, "charset": charset}
     if fmt == "email":
         raise DocRouteError(
             "email is a multi-part container — route it to "

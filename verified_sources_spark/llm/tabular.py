@@ -77,11 +77,18 @@ def parse_delimited(data: bytes, max_bytes: int = 64 << 20) -> dict:
     if len(data) > max_bytes:
         raise TabularError(f"delimited payload over size gate "
                            f"({len(data)} bytes)")
-    try:
-        text = data.decode("utf-8-sig")  # Excel exports lead with BOM
-    except UnicodeDecodeError:
+    # NOT UTF-8-only: legacy exports (Excel cp1252, GB18030 ERP dumps,
+    # Shift_JIS ledgers) are the single most common non-UTF-8 shape in
+    # document drops; the bare-charset probe (llm/text_fix) decodes
+    # them — BOMs included, utf-8-sig beats everything — and binary
+    # still refuses by name
+    from verified_sources_spark.llm.text_fix import decode_bare_text
+
+    decoded = decode_bare_text(data)
+    if decoded is None or not decoded[2]:
         raise TabularError(
-            "not UTF-8 text — refusing by name") from None
+            "not decodable text — refusing by name") from None
+    text, charset = decoded[0], decoded[1]
     d = sniff_delimited(text)
     if d is None:
         raise TabularError(
@@ -102,7 +109,7 @@ def parse_delimited(data: bytes, max_bytes: int = 64 << 20) -> dict:
     if rows and all(c.strip() and not _numeric(c) for c in rows[0]):
         header, rows = rows[0], rows[1:]
     return {"delimiter": d, "n_rows": len(rows), "n_cols": ncols,
-            "header": header, "rows": rows}
+            "header": header, "rows": rows, "charset": charset}
 
 
 def encode_delimited(rows: list[list[str]], delimiter: str = ",",

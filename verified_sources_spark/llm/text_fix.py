@@ -41,6 +41,7 @@ import unicodedata
 
 __all__ = [
     "fix_mojibake", "canonicalize_text", "fix_text", "FIX_TEXT_SCHEMA",
+    "detect_bare_charset", "decode_bare_text",
 ]
 
 # cp1252's five unmapped bytes fall back to Latin-1 (C1 controls):
@@ -73,6 +74,162 @@ def _encode_cp1252ish(s: str) -> bytes | None:
         else:
             return None
     return bytes(out)
+
+
+# Bare-text charset detection: a .txt/.csv inside a zip or a mail has
+# NO transport metadata (no HTTP header, no <meta>, usually no BOM) —
+# the cp1252/GB18030/Shift_JIS share of legacy archives is real and a
+# UTF-8-only door silently drops it as "binary".  Strict-decode
+# probing alone cannot decide (gb18030 strictly accepts nearly every
+# CJK byte stream; cp1252 accepts nearly everything 8-bit), so each
+# successful strict decode is SCORED for plausibility and the best
+# score wins, probe order breaking ties.  The mojibake signatures the
+# scorer punishes are the same ones fix_mojibake reverses: C1
+# controls, dense runs of accented Latin (ÖÐÎÄ…), halfwidth katakana,
+# private-use/rare-extension ideographs.
+_PROBE_ORDER = ("utf-8", "shift_jis", "euc_jp", "big5", "gb18030",
+                "cp1252")
+
+# Frequency prior for the classic GB-vs-EUC-vs-Big5 ambiguity: GBK and
+# EUC-JP/Big5 byte areas overlap enough that short genuine text in one
+# often strictly decodes under the others — as valid but effectively
+# RANDOM ideographs.  A compact set of high-frequency characters
+# (simplified Chinese + common Japanese kanji incl. their traditional
+# forms + traditional Chinese) gives genuine decodes a bonus random
+# garble rarely collects — the same distribution idea chardet's CJK
+# probers use, shrunk to a few hundred chars.
+_COMMON_CJK = frozenset(
+    "的一是不了在人有我他这个们中来上大为和国地到以说时要就出会可也"
+    "你对生能而子那得于着下自之年过发后作里用道行所然家种事成方多经"
+    "么去法学如都同现当没动面起看定天分还进好小部其些主样理心她本前"
+    "开但因只从想实日军者意无力它与长把机十民第公此已工使情明性知全"
+    "三又关点正业外将两高间由问很最重并物手应战向头文体政美相见被利"
+    "什二等产或新己制身果加西斯月话合回特代内信表化老给世位次度门任"
+    "常先海通教儿原东声提立及比员解水名真论处走义各入几口认条平系气"
+    "题活尔更别打女变四神总何电数安少报才结反受目太量再感建务做接必"
+    "场件计管期市直德资命山金指克许统区保至队形社便空决治展马科司五"
+    "基眼书非则听白却界达光放强即像难且权思王象完设式色路记南品住告"
+    "类求据程北边死张该交规万取拉格望觉术领共确传师观清今切院让识候"
+    "带导争运笑飞风步改收根干造言联持组每济车亲极林服快办议往元英士"
+    "证近失转夫令准布始怎呢存未远叫台单影具罗字爱击流备兵连调深商算"
+    "质团集百需价花党华城石级整府离况亚请技际约示复病息究线"
+    "語学気読買売駅円話時間電車新聞雑誌仕事会社帰国際関係実変対戦権"
+    "験漢字覚難簡単銀荷物預質問題答案内観光旅館温泉写真撮影体調薬飲"
+    "食堂料理野菜魚肉飯茶開閉広深遅速遠近強弱軽重高低長短私僕彼女君"
+    "発表経済政治選挙議員歳月曜何処今日明昨夜朝昼晩週末毎度良悪新古"
+    "早遅多少"
+    "的是不我你他們這個中來上大為和國地到以說時要就會可也對生能而子"
+    "那得於著下自之年過發後作裡用道行所然家種事成方多經麼去法學如都"
+    "同現當沒動面起看定天分還進好小部其些主樣理心她本前開但因只從想"
+    "實體讓關點業務員長發電話語言讀書寫字聽說城市人口北京上海臺灣測"
+    "試範例文字段繁簡")
+
+
+def _plausibility(text: str) -> float:
+    """Per-char plausibility in [-2, 1]: genuine prose in any of the
+    probed charsets scores near 1; a wrong-codec decode scores low
+    through its mojibake signature classes."""
+    if not text:
+        return 0.0
+    good, prev_latin = 0.0, False
+    n = len(text)
+    for i, ch in enumerate(text):
+        o = ord(ch)
+        latin = False
+        if o in (9, 10, 13) or 0x20 <= o < 0x7F:
+            good += 1
+        elif 0x80 <= o <= 0x9F:
+            good -= 2  # C1 controls: never genuine text
+        elif 0xA0 <= o <= 0x24F or 0x370 <= o <= 0x5FF:
+            # accented Latin / Greek / Cyrillic / Hebrew: full credit
+            # only OUTSIDE dense non-ASCII runs — genuine Western text
+            # is mostly ASCII with isolated accents, while CJK bytes
+            # mis-decoded as cp1252 are wall-to-wall accents
+            latin = True
+            nxt = ord(text[i + 1]) if i + 1 < n else 0x20
+            dense = prev_latin or (0xA0 <= nxt <= 0x24F) \
+                or (0x370 <= nxt <= 0x5FF)
+            good += 0.2 if dense else 1
+        elif 0x4E00 <= o <= 0x9FFF:
+            # ideographs: high-frequency chars collect the prior bonus
+            good += 1.5 if ch in _COMMON_CJK else 1
+        elif 0x3000 <= o <= 0x30FF or 0xAC00 <= o <= 0xD7A3 \
+                or 0xFF01 <= o <= 0xFF60:
+            good += 1  # CJK punct/kana, hangul, fullwidth forms
+        elif 0xFF61 <= o <= 0xFF9F:
+            good -= 1  # halfwidth katakana: Shift_JIS-as-other garble
+        elif 0xE000 <= o <= 0xF8FF or 0x3400 <= o <= 0x4DBF:
+            good -= 1  # PUA / CJK Ext-A: wrong-CJK-codec signature
+        elif o < 9 or o == 0x7F or 0x0E <= o <= 0x1F:
+            good -= 2  # control garbage
+        else:
+            good += 0.5  # other assigned scripts: neutral
+        prev_latin = latin
+    return good / n
+
+
+def detect_bare_charset(
+    data: bytes, window: int = 65536, min_score: float = 0.65,
+) -> tuple[str, str] | None:
+    """(codec, source) for a bare text payload, or ``None`` when no
+    probe clears the plausibility gate (i.e. the payload is binary,
+    not text in an unprobed charset).  ``source`` ∈ {'bom', 'utf-8',
+    'probe'}.  BOMs beat everything; strict UTF-8 is authoritative
+    (random binary virtually never validates); the legacy set
+    (Shift_JIS, EUC-JP, Big5, GB18030, cp1252) is strict-decoded and
+    scored, best score winning with probe order breaking ties —
+    GB18030 probes after the other CJK codecs because it strictly
+    accepts nearly any CJK byte stream, and cp1252 last because it
+    accepts nearly anything 8-bit.  NUL bytes short-circuit to None
+    (the classic text/binary discriminator; UTF-16 without a BOM is
+    not probed).  A multibyte char straddling the probe window is
+    handled by incremental decoding with ``final=False``."""
+    import codecs as _codecs
+
+    if not data:
+        return None
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return "utf-32", "bom"
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"
+    head = data[:window]
+    if b"\x00" in head:
+        return None
+    best: tuple[float, int] | None = None
+    best_codec = None
+    for rank, codec in enumerate(_PROBE_ORDER):
+        dec = _codecs.getincrementaldecoder(codec)("strict")
+        try:
+            text = dec.decode(head, final=len(data) <= window)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        if codec == "utf-8":
+            return "utf-8", "utf-8"
+        score = _plausibility(text)
+        if score >= min_score and (best is None or score > best[0]):
+            best, best_codec = (score, rank), codec
+    if best_codec is None:
+        return None
+    return best_codec, "probe"
+
+
+def decode_bare_text(data: bytes) -> tuple[str, str, bool] | None:
+    """(text, charset, decode_clean) for a bare text payload, or
+    ``None`` for binary — the no-transport-metadata sibling of
+    warc.decode_body.  ``decode_clean`` is False when the full payload
+    did not decode strictly under the charset the probe window
+    detected (tail decoded with errors='replace' instead), so corpus
+    prep can quarantine suspect files instead of ingesting garble."""
+    hit = detect_bare_charset(data)
+    if hit is None:
+        return None
+    codec, _src = hit
+    try:
+        return data.decode(codec), codec, True
+    except (UnicodeDecodeError, ValueError):
+        return data.decode(codec, errors="replace"), codec, False
 
 
 def fix_mojibake(s: str, max_rounds: int = 2) -> tuple[str, int]:

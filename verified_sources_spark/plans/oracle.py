@@ -2581,6 +2581,27 @@ ORACLE_SQL["email_attachment_pipeline_docs"] = """
     SELECT doc_id, FALSE, CAST(1 AS INTEGER),
            'img' || doc_id || '.png', NULL, NULL
     FROM p WHERE ok AND NOT noatt AND haspng
+    UNION ALL
+    -- legacy-charset attachment (did%9=4 never coincides with the
+    -- png's did%6=0, so its att_idx is always 1)
+    SELECT doc_id, TRUE, CAST(1 AS INTEGER),
+           'note' || doc_id
+               || CASE WHEN doc_id % 4 IN (0, 1) THEN '.txt'
+                       ELSE '.csv' END,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'text'
+                ELSE 'delimited' END,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Résumé ' || doc_id
+                         || ': naïve café — mémo archivé.'
+             WHEN 1 THEN '归档说明：这是一个中文文本文件，编号 '
+                         || doc_id || '。'
+             WHEN 2 THEN 'name' || chr(9) || 'city' || chr(10)
+                         || 'René ' || doc_id || chr(9) || 'Zürich'
+                         || chr(10) || 'François' || chr(9) || 'Genève'
+             ELSE '城市' || chr(9) || '人口' || chr(10) || '北京'
+                  || chr(9) || doc_id || chr(10) || '上海' || chr(9)
+                  || (doc_id + 7) END
+    FROM p WHERE ok AND NOT noatt AND (doc_id % 9) = 4
 """
 
 # MHTML saved-web-page ingestion: root-part discovery + QP reversal +
@@ -2717,6 +2738,27 @@ ORACLE_SQL["document_drop_pipeline_docs"] = """
     FROM p WHERE ok
     UNION ALL
     SELECT doc_id, TRUE, 'copy.txt', 'text', t80 FROM p WHERE ok
+    UNION ALL
+    -- legacy-charset member: cp1252/GB18030 .txt and .csv decode
+    -- through the bare-charset probe (delimited text reassembles as
+    -- header + tab-joined rows)
+    SELECT doc_id, TRUE,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'legacy.txt'
+                ELSE 'legacy.csv' END,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'text'
+                ELSE 'delimited' END,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Résumé ' || doc_id
+                         || ': naïve café — mémo archivé.'
+             WHEN 1 THEN '归档说明：这是一个中文文本文件，编号 '
+                         || doc_id || '。'
+             WHEN 2 THEN 'name' || chr(9) || 'city' || chr(10)
+                         || 'René ' || doc_id || chr(9) || 'Zürich'
+                         || chr(10) || 'François' || chr(9) || 'Genève'
+             ELSE '城市' || chr(9) || '人口' || chr(10) || '北京'
+                  || chr(9) || doc_id || chr(10) || '上海' || chr(9)
+                  || (doc_id + 7) END
+    FROM p WHERE ok
     UNION ALL
     SELECT doc_id, FALSE, 'img.png', NULL, NULL
     FROM p WHERE ok AND haspng

@@ -4089,8 +4089,10 @@ def email_attachment_pipeline_docs(
     RFC 5322 multipart/mixed EML otherwise) CARRYING the doc's text as
     an attached document — format cycles PDF / docx / RTF / HTML by
     ``doc_id % 4``, filename stamped — plus a PNG attachment (refused
-    media) on every 6th; every ``% 7 == 3`` mail has no attachments,
-    every 19th is a corrupt payload.  The pipeline is one fused
+    media) on every 6th and a LEGACY-charset attachment (cp1252/
+    GB18030 memo or CSV by ``doc_id % 4``) on every ``% 9 == 4``;
+    every ``% 7 == 3`` mail has no attachments, every 19th is a
+    corrupt payload.  The pipeline is one fused
     operator (llm/email_ingest.email_attachment_texts): MIME/MAPI
     attachment explosion → magic-byte routing (llm/docrouter, the
     engine's analogue of the reference's unstructured file routing,
@@ -4153,6 +4155,28 @@ def email_attachment_pipeline_docs(
                     if did % 6 == 0:
                         atts.append((f"img{did}.png", "image/png",
                                      b"\x89PNG\r\n\x1a\n" + bytes(8)))
+                    if did % 9 == 4:
+                        # legacy-charset attachment (never co-occurs
+                        # with the png: did%9==4 and did%6==0 have no
+                        # common solution, so att_idx is always 1)
+                        lv = did % 4
+                        if lv == 0:
+                            lp = (f"Résumé {did}: naïve café — mémo "
+                                  "archivé.".encode("cp1252"))
+                            lf = f"note{did}.txt"
+                        elif lv == 1:
+                            lp = (f"归档说明：这是一个中文文本文件，"
+                                  f"编号 {did}。".encode("gb18030"))
+                            lf = f"note{did}.txt"
+                        elif lv == 2:
+                            lp = (f"name,city\nRené {did},Zürich\n"
+                                  "François,Genève".encode("cp1252"))
+                            lf = f"note{did}.csv"
+                        else:
+                            lp = (f"城市,人口\n北京,{did}\n上海,"
+                                  f"{did + 7}".encode("gb18030"))
+                            lf = f"note{did}.csv"
+                        atts.append((lf, "text/plain", lp))
                 if did % 5 == 0:
                     asset = encode_msg(
                         f"Doc {did}", f"user{did % 7}@example.com",
@@ -4380,8 +4404,12 @@ def document_drop_pipeline_docs(
     "document drop" a shared drive dumps on a pipeline): per doc, pack
     an archive (zip on even ids, tar.gz on odd) holding the SAME
     80-char text twice — once as a typed document (PDF / docx / RTF by
-    ``doc_id % 3``) and once as ``copy.txt`` — plus a PNG member
-    (refused media) on every 6th; every 13th archive truncated.  One
+    ``doc_id % 3``) and once as ``copy.txt`` — plus a LEGACY-charset
+    member cycling cp1252 memo / GB18030 memo / cp1252 CSV / GB18030
+    CSV by ``doc_id % 4`` (decoded by the router's bare-charset
+    probe, llm/text_fix.detect_bare_charset — a UTF-8-only door drops
+    these as "binary") and a PNG member (refused media) on every 6th;
+    every 13th archive truncated.  One
     fused operator (llm/docrouter.archive_document_texts): member
     explosion → magic-byte routing → extractors, bytes never leaving
     the scan's executor.  The oracle replays member names, routed
@@ -4420,6 +4448,27 @@ def document_drop_pipeline_docs(
                     name, payload = "doc.rtf", encode_rtf([t80])
                 members = {name: payload,
                            "copy.txt": t80.encode()}
+                # legacy-charset member: cp1252 / GB18030 text and
+                # CSV files (the non-UTF-8 share of real drops) must
+                # decode through the router's bare-charset probe, not
+                # drop as "binary"
+                lv = did % 4
+                if lv == 0:
+                    members["legacy.txt"] = (
+                        f"Résumé {did}: naïve café — mémo archivé."
+                        .encode("cp1252"))
+                elif lv == 1:
+                    members["legacy.txt"] = (
+                        f"归档说明：这是一个中文文本文件，编号 {did}。"
+                        .encode("gb18030"))
+                elif lv == 2:
+                    members["legacy.csv"] = (
+                        f"name,city\nRené {did},Zürich\nFrançois,"
+                        "Genève".encode("cp1252"))
+                else:
+                    members["legacy.csv"] = (
+                        f"城市,人口\n北京,{did}\n上海,{did + 7}"
+                        .encode("gb18030"))
                 if did % 6 == 0:
                     members["img.png"] = (b"\x89PNG\r\n\x1a\n"
                                           + bytes(8))
@@ -4733,8 +4782,12 @@ def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME document text arrives three ways per doc — as a crawled WARC
     page (llm/warc), as a .txt attachment on an EML
     (llm/email_ingest.email_attachment_texts → llm/docrouter), and as
-    a zip member (llm/docrouter.archive_document_texts) — every 13th
-    WARC truncated, every 11th archive truncated; the three front
+    a zip member (llm/docrouter.archive_document_texts) — with the
+    mail/archive legs carrying the text in cp1252 (``% 3 == 1``) or
+    GB18030 (``% 3 == 2``) while the web leg stays UTF-8, so the
+    three copies only hash into ONE group if the bare-charset probe
+    decodes the legacy bytes exactly; every 13th WARC truncated,
+    every 11th archive truncated; the three front
     doors' outputs union into one (source, text) surface and exact
     dedup groups them.  One groupBy: a user's document lands in ONE
     dedup group no matter which ingestion path carried it, with
@@ -4765,7 +4818,22 @@ def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                t = f"doc {did}: " + (text or "").strip()[:80]
+                # every 3rd ± 1 doc carries the SAME text in a LEGACY
+                # charset on the mail/archive legs (web stays UTF-8):
+                # dedup still lands in ONE group only if the bare-
+                # charset probe decodes cp1252/GB18030 exactly
+                lv = did % 3
+                if lv == 1:
+                    t = (f"doc {did} — résumé café naïve: "
+                         + (text or "").strip()[:60])
+                    leg = t.encode("cp1252")
+                elif lv == 2:
+                    t = (f"doc {did} 中文说明文档归档测试: "
+                         + (text or "").strip()[:60])
+                    leg = t.encode("gb18030")
+                else:
+                    t = f"doc {did}: " + (text or "").strip()[:80]
+                    leg = t.encode()
                 body = (f"<html><body><p>{H.escape(t)}</p></body>"
                         f"</html>").encode()
                 warc = encode_warc([encode_record(
@@ -4773,9 +4841,8 @@ def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     block=http_response_block(body))])
                 eml = encode_eml(
                     f"Doc {did}", "see attachment\n",
-                    attachments=[(f"d{did}.txt", "text/plain",
-                                  t.encode())])
-                zipped = encode_zip({f"d{did}.txt": t.encode()})
+                    attachments=[(f"d{did}.txt", "text/plain", leg)])
+                zipped = encode_zip({f"d{did}.txt": leg})
                 rows.append({
                     "doc_id": did,
                     "warc": warc[:30] if did % 13 == 0 else warc,
