@@ -449,3 +449,38 @@ def test_fuzz_ass_ttml():
     _battery(lambda: encode_ttml(
         [(1500, 3000, "cue one"), (4000, 5500, "cue two")]).encode(),
         dec, (SubtitleError,))
+
+
+def test_fuzz_datablob():
+    """The columnar-blob door (parquet via pyarrow, avro via the
+    repo's codec incl. the snappy block codec) under the mutation
+    net — the one decoder family r12 left out of the battery."""
+    from verified_sources_spark.llm.datablob import (
+        DataBlobError, avro_rows_blob, parquet_rows_blob,
+    )
+
+    def enc_parquet():
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buf = io.BytesIO()
+        pq.write_table(pa.table({
+            "id": list(range(40)),
+            "note": [f"row {i} text" for i in range(40)]}), buf)
+        return buf.getvalue()
+
+    _battery(enc_parquet, parquet_rows_blob, (DataBlobError,))
+
+    from verified_sources_spark.operators.avro_codec import (
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "note", "type": "string"}]}
+    recs = [{"id": i, "note": f"row {i} " * 6} for i in range(40)]
+    for codec in ("null", "deflate", "snappy"):
+        _battery(lambda c=codec: write_container(schema, recs, codec=c),
+                 avro_rows_blob, (DataBlobError,), seed=11)

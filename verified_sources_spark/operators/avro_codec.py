@@ -12,7 +12,10 @@ container files):
   fixed/enum
 - container format: ``Obj\\x01`` magic, file-metadata map carrying the
   writer schema JSON and codec, 16-byte sync marker, blocked data
-- codecs: ``null`` and ``deflate`` (raw zlib, RFC 1951)
+- codecs: ``null``, ``deflate`` (raw zlib, RFC 1951) and ``snappy``
+  (the repo's own block codec, operators/snappy_codec, cross-verified
+  against pyarrow's snappy; per-block big-endian CRC32 of the
+  uncompressed content checked per the Avro spec)
 
 The reader decodes with the EMBEDDED writer schema (no schema
 resolution — the use case is parsing self-describing metadata files, and
@@ -21,7 +24,7 @@ are returned as their base primitive; Iceberg's readers do the same for
 manifests (timestamps ride as long micros).
 
 Deliberately not a general Avro library: no schema resolution against a
-reader schema, no snappy (container ships no native codec), no RPC.
+reader schema, no RPC.
 """
 
 from __future__ import annotations
@@ -186,7 +189,7 @@ def read_container_full(data: bytes) -> tuple[Any, list[Any], dict[str, bytes]]:
         raise AvroError("container carries no avro.schema metadata")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported avro codec: {codec}")
     sync = r.read(16)
     names: dict[str, dict] = {}
@@ -198,9 +201,31 @@ def read_container_full(data: bytes) -> tuple[Any, list[Any], dict[str, bytes]]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "snappy":
+            # Avro snappy blocks append a 4-byte big-endian CRC32 of
+            # the UNCOMPRESSED content (Avro spec, "snappy codec")
+            if size < 4:
+                raise AvroError("snappy block shorter than its CRC")
+            from verified_sources_spark.operators.snappy_codec import (
+                SnappyError, snappy_decompress,
+            )
+
+            try:
+                block, crc = snappy_decompress(block[:-4]), block[-4:]
+            except SnappyError as e:
+                raise AvroError(f"bad snappy block: {e}") from None
+            if zlib.crc32(block) != int.from_bytes(crc, "big"):
+                raise AvroError("snappy block CRC32 mismatch")
         br = _Reader(block)
         for _ in range(count):
             records.append(br.decode(schema, names))
+        if br.remaining:
+            # a count that undershoots the block is corruption, not
+            # padding — silently ignoring the tail would return a
+            # truncated table as if it were whole
+            raise AvroError(
+                f"block carries {br.remaining} bytes beyond its "
+                f"declared {count} records")
         if r.read(16) != sync:
             raise AvroError("sync marker mismatch (corrupt container)")
     return schema, records, meta
@@ -326,7 +351,7 @@ def write_container(
     require spec keys — e.g. ``schema`` / ``partition-spec`` on manifest
     files — in the container's key-value metadata, not just the records).
     Keys must not start with ``avro.`` (reserved by the Avro spec)."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported avro codec: {codec}")
     if len(sync) != 16:
         raise AvroError("sync marker must be 16 bytes")
@@ -338,6 +363,13 @@ def write_container(
     payload = body.getvalue()
     if codec == "deflate":
         payload = zlib.compress(payload, 9)[2:-4]  # raw deflate: strip zlib wrap
+    elif codec == "snappy":
+        from verified_sources_spark.operators.snappy_codec import (
+            snappy_compress,
+        )
+
+        payload = (snappy_compress(payload)
+                   + zlib.crc32(payload).to_bytes(4, "big"))
 
     out = _Writer()
     out.write(MAGIC)

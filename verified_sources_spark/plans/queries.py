@@ -4932,8 +4932,10 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, write a real table of ``2 + doc_id % 3`` records (id /
     name / note, the note a 30-char slice of the doc's text) as a
     PARQUET blob on even ids (pyarrow writer) and an AVRO container on
-    odd (the repo's own pure-Python codec), every 37th a non-columnar
-    payload; explode through llm/datablob.data_blob_rows into the same
+    odd (the repo's own pure-Python codec, container codec cycling
+    null / deflate / snappy by ``doc_id % 3`` — snappy is the repo's
+    own block codec, operators/snappy_codec), every 37th a
+    non-columnar payload; explode through llm/datablob.data_blob_rows into the same
     tab-joined per-record contract the CSV front door emits.  The
     oracle replays format, header and every rendered cell in SQL — a
     hash match proves the two binary table readers land byte-identical
@@ -4978,7 +4980,11 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "note": [r["note"] for r in recs]}), buf)
                     asset = buf.getvalue()
                 else:
-                    asset = write_container(schema, recs)
+                    # cycle the full container codec set — null /
+                    # deflate / snappy (the repo's own block codec,
+                    # CRC32-checked) — on one hash gate
+                    codec = ("null", "deflate", "snappy")[did % 3]
+                    asset = write_container(schema, recs, codec=codec)
                 rows.append({"doc_id": did, "asset": asset})
             yield pd.DataFrame(rows, columns=["doc_id", "asset"])
 
