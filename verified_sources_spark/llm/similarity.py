@@ -1092,3 +1092,42 @@ def ivfpq_rerank_topk(
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("int").alias("rank"),
                     F.round("__cos", 4).alias("cosine")))
+
+
+def ann_recall(ann: DataFrame, exact: DataFrame, k: int = 3) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k —
+    the metric that says whether an index FINDS things, not just
+    whether its arithmetic replays.  Both inputs carry the
+    (query_id, neighbor_id, rank) contract every top-k operator here
+    emits; rows with rank > k are ignored so a ``candidates``-sized
+    ANN result can be scored at any k ≤ its depth.
+
+    Returns (query_id, n_hits, n_exact, recall).  Both frames are
+    query-sized (queries × k rows), so the join is broadcast-trivial
+    at any corpus scale — recall measurement never touches the
+    corpus."""
+    a = (ann.filter(F.col("rank") <= k)
+         .select("query_id", "neighbor_id"))
+    e = (exact.filter(F.col("rank") <= k)
+         .select("query_id", "neighbor_id"))
+    base = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (e.join(a, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    return (base.join(hits, "query_id", "left")
+            .na.fill(0, ["n_hits"])
+            .select("query_id",
+                    F.col("n_hits").cast("int").alias("n_hits"),
+                    F.col("n_exact").cast("int").alias("n_exact"),
+                    F.round(F.col("n_hits") / F.col("n_exact"), 4)
+                     .alias("recall")))
+
+
+def ann_recall_summary(ann: DataFrame, exact: DataFrame,
+                       k: int = 3) -> DataFrame:
+    """One-row macro-average of :func:`ann_recall`:
+    (n_queries, mean_recall) — the number a SCALE.md table or an
+    index-tuning sweep records per (index, n_probe) setting."""
+    per_q = ann_recall(ann, exact, k=k)
+    return per_q.agg(
+        F.count("*").cast("int").alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("mean_recall"))
