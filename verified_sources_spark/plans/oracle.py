@@ -3220,3 +3220,92 @@ ORACLE_SQL["data_blob_rows_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# Round-13 curation capstone: six genre templates -> mojibake
+# inversion (wiki fixes back to the clean construction) -> token gate
+# -> md5(normalized) dedup (exact collapses byte-equal pairs, the
+# normalized key also collapses the case/whitespace variants) ->
+# per-domain rank cap -> md5-bucket mixture sample, all in SQL.
+ORACLE_SQL["curation_pipeline_docs"] = rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 12 AS g, doc_id % 6 AS genre,
+             (doc_id % 12) >= 6 AS isdup, (doc_id % 7) = 0 AS junk
+      FROM documents),
+    t0 AS (
+      SELECT doc_id, g, genre,
+             CASE genre WHEN 0 THEN 'wiki' WHEN 1 THEN 'se'
+                        WHEN 2 THEN 'chat' WHEN 3 THEN 'code'
+                        WHEN 4 THEN 'latex' ELSE 'jats' END AS domain,
+             junk, isdup
+      FROM d),
+    t1 AS (
+      SELECT doc_id, g, genre, domain,
+             CASE WHEN junk THEN 'junk ' || doc_id
+                  WHEN isdup AND genre >= 3 THEN
+                    replace(domain || ' corpus entry ' || g
+                      || ' — résumé of shared prose, the quick brown '
+                      || 'fox jumps ' || g || ' times.',
+                      'shared prose', 'Shared  Prose')
+                  ELSE domain || ' corpus entry ' || g
+                    || ' — résumé of shared prose, the quick brown '
+                    || 'fox jumps ' || g || ' times.'
+             END AS beff
+      FROM t0),
+    x AS (
+      SELECT doc_id, domain,
+             CASE genre
+               WHEN 2 THEN beff || chr(10) || 'acknowledged.'
+               WHEN 3 THEN '# ' || beff || chr(10) || 'VALUE = ' || g
+                           || chr(10) || 'print(VALUE)' || chr(10)
+               WHEN 5 THEN 'Article ' || g || chr(10) || beff
+               ELSE beff
+             END AS text
+      FROM t1),
+    q AS (
+      SELECT * FROM x
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 8),
+    n AS (
+      SELECT doc_id, domain, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM q),
+    dd AS (
+      SELECT MIN(doc_id) AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM n GROUP BY norm),
+    canon AS (
+      SELECT dd.doc_id, n.domain, n.text, dd.n_copies
+      FROM dd JOIN n ON n.doc_id = dd.doc_id),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, domain, text, n_copies,
+               CAST(row_number() OVER (PARTITION BY domain
+                    ORDER BY doc_id) AS INTEGER) AS domain_rank
+        FROM canon)
+      WHERE domain_rank <= 30),
+    tok AS (
+      SELECT doc_id, domain, n_copies, domain_rank,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_tokens
+      FROM capped),
+    totals AS (
+      SELECT domain, SUM(n_tokens) AS dom_tokens
+      FROM tok GROUP BY domain),
+    rates AS (
+      SELECT domain,
+             CAST(round(least(1.0,
+               3000.0 * (CASE domain WHEN 'wiki' THEN 0.3
+                                     WHEN 'se' THEN 0.2
+                                     WHEN 'chat' THEN 0.1
+                                     WHEN 'code' THEN 0.2
+                                     WHEN 'latex' THEN 0.1
+                                     WHEN 'jats' THEN 0.1
+                                     ELSE 0.0 END)
+               / dom_tokens) * 1000000) AS BIGINT) AS thr
+      FROM totals)
+    SELECT tok.doc_id, tok.domain, tok.n_copies, tok.domain_rank,
+           tok.n_tokens
+    FROM tok JOIN rates USING (domain)
+    WHERE CAST(('0x' || substr(md5('mix|' || CAST(tok.doc_id AS VARCHAR)),
+               1, 15))::UBIGINT % 1000000 AS BIGINT) < rates.thr
+"""

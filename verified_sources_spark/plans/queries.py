@@ -4994,6 +4994,185 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header", "line")
 
 
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE round-13 capstone: the full LLM training-data curation
+    pipeline end-to-end across ALL the structured-text genres — mint a
+    mixed corpus (six genres by ``doc_id % 6``: MediaWiki dump / Stack
+    Exchange dump / chat JSONL / source code / LaTeX / JATS), ingest
+    each through its own front door, then ``fix_text`` (the wiki
+    genre is minted latin-1-MOJIBAKED and must repair), a
+    ``token_count >= 8`` quality gate (every 7th doc is minted as
+    2-token junk and must drop), exact dedup then normalized NEAR
+    dedup (docs pair up: ``doc_id % 12 >= 6`` duplicates
+    ``doc_id - 6`` — byte-equal for genres 0-2, a case+whitespace
+    variant for genres 3-5 that only the normalized stage may
+    collapse), ``domain_cap`` (30 per genre, salted two-stage), and
+    ``mixture_sample`` to a 3000-token budget with per-genre weights.
+
+    The oracle replays EVERY stage in SQL — genre templates, the
+    mojibake inversion, the token gate, md5-of-normalized-text
+    grouping, the per-domain rank, and the md5-bucket hash sample —
+    so one hash match proves six front doors and five curation
+    stages compose exactly.  100 TB shape: each branch is one narrow
+    scan→mapInPandas chain (payloads never shuffle — plan-gated), the
+    dedup is one hash-agg on md5(norm), domain_cap is the salted
+    two-stage top-N, and the mixture is a broadcast-rate hash
+    filter."""
+    import pandas as pd
+
+    from verified_sources_spark.functions.text import (
+        normalized_text, token_count,
+    )
+    from verified_sources_spark.llm.chatlog import chat_turns
+    from verified_sources_spark.llm.corpus import (
+        domain_cap, mixture_sample,
+    )
+    from verified_sources_spark.llm.exact_dedup import exact_dedup_groups
+    from verified_sources_spark.llm.sedump import se_posts
+    from verified_sources_spark.llm.text_fix import fix_text
+    from verified_sources_spark.llm.wikitext import wiki_pages
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+    _DOMAINS = ("wiki", "se", "chat", "code", "latex", "jats")
+
+    def _body(domain: str, did: int) -> str:
+        g = did // 12
+        if did % 7 == 0:
+            return f"junk {did}"
+        b = (f"{domain} corpus entry {g} — résumé of shared prose, "
+             f"the quick brown fox jumps {g} times.")
+        if did % 12 >= 6 and did % 6 >= 3:
+            b = b.replace("shared prose", "Shared  Prose")
+        return b
+
+    def mint(genre: int):
+        def run(batches):
+            import html as H
+            import json
+
+            from verified_sources_spark.llm.jats import encode_jats
+            from verified_sources_spark.llm.sedump import encode_posts
+            from verified_sources_spark.llm.wikitext import encode_dump
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    g, dom = did // 12, _DOMAINS[genre]
+                    beff = _body(dom, did)
+                    if genre == 0:
+                        dmg = beff.encode("utf-8").decode("latin-1")
+                        asset = encode_dump([{
+                            "title": f"Page {g}", "page_id": 1,
+                            "wikitext": dmg}])
+                    elif genre == 1:
+                        asset = encode_posts([{
+                            "post_id": 1, "post_type": 1,
+                            "title": f"Q {g}?", "score": 0,
+                            "body_html": f"<p>{H.escape(beff)}</p>"}])
+                    elif genre == 2:
+                        asset = json.dumps(
+                            {"prompt": beff,
+                             "completion": "acknowledged."}).encode()
+                    elif genre == 3:
+                        asset = (f"# {beff}\nVALUE = {g}\n"
+                                 "print(VALUE)\n").encode()
+                    elif genre == 4:
+                        asset = ("\\documentclass{article}\n"
+                                 "\\begin{document}\n" + beff
+                                 + "\n\\end{document}\n").encode()
+                    else:
+                        asset = encode_jats(f"Article {g}", beff, [],
+                                            with_apparatus=False)
+                    rows.append({"doc_id": did, "asset": asset})
+                yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+        return run
+
+    def _route(batches):
+        # latex / jats / code all dispatch through the document
+        # router's magic-byte junction, exactly like a real drop
+        from verified_sources_spark.llm.docrouter import (
+            DocRouteError, extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["asset"]):
+                try:
+                    out = extract_document(bytes(payload))
+                    rows.append({"doc_id": int(did),
+                                 "text": out["text"]})
+                except DocRouteError:
+                    pass
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def genre_assets(genre: int):
+        return (d.filter(F.col("doc_id") % 6 == genre)
+                .mapInPandas(mint(genre), "doc_id long, asset binary"))
+
+    wiki = (wiki_pages(genre_assets(0))
+            .filter(F.col("decoded_ok") & ~F.col("redirect"))
+            .select("doc_id", F.lit("wiki").alias("domain"), "text"))
+    se = (se_posts(genre_assets(1))
+          .filter(F.col("decoded_ok"))
+          .select("doc_id", F.lit("se").alias("domain"), "text"))
+    chat = (chat_turns(genre_assets(2).select(
+                "doc_id", F.col("asset").cast("string").alias("line")))
+            .filter(F.col("decoded_ok"))
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("turn_idx", "text"))),
+                    lambda s: s.text), "\n").alias("text"))
+            .select("doc_id", F.lit("chat").alias("domain"), "text"))
+    routed = {}
+    for genre, dom in ((3, "code"), (4, "latex"), (5, "jats")):
+        routed[dom] = (genre_assets(genre)
+                       .mapInPandas(_route, "doc_id long, text string")
+                       .select("doc_id", F.lit(dom).alias("domain"),
+                               "text"))
+    texts = (wiki.unionByName(se).unionByName(chat)
+             .unionByName(routed["code"]).unionByName(routed["latex"])
+             .unionByName(routed["jats"]))
+
+    fixed = (fix_text(texts, "doc_id", "text")
+             .select("doc_id", "text")
+             .join(texts.select("doc_id", "domain"), "doc_id"))
+    good = fixed.filter(token_count(F.col("text")) >= 8)
+    # exact dedup, then normalized near-dup over the exact canonicals;
+    # total copies = kept raw docs per normalized group
+    exact = exact_dedup_groups(good, "doc_id", "text")
+    exact_canon = (good.join(
+        exact.select(F.col("canonical_id").alias("doc_id"),
+                     F.col("n_copies").alias("_exact_copies")),
+        "doc_id"))
+    normed = exact_canon.withColumn("_norm", normalized_text("text"))
+    near = (normed.groupBy("_norm")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.sum("_exact_copies").alias("n_copies")))
+    canon = (near.join(good, "doc_id")
+             .select("doc_id", "domain", "text",
+                     F.col("n_copies").cast("long").alias("n_copies")))
+    capped = domain_cap(canon, "domain", 30, [F.col("doc_id").asc()],
+                        salt_cols=["doc_id"])
+    sampled = mixture_sample(
+        capped, "doc_id", "text", "domain",
+        weights={"wiki": 0.3, "se": 0.2, "chat": 0.1, "code": 0.2,
+                 "latex": 0.1, "jats": 0.1},
+        token_budget=3000)
+    return (sampled.join(
+                capped.select("doc_id", "n_copies",
+                              F.col("domain_rank").cast("int")
+                               .alias("domain_rank")),
+                "doc_id")
+            .select("doc_id", "domain",
+                    F.col("n_copies").cast("long").alias("n_copies"),
+                    "domain_rank",
+                    F.col("n_tokens").cast("long").alias("n_tokens")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5154,4 +5333,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
     "ivfpq_rerank_embeddings": ivfpq_rerank_embeddings,
     "data_blob_rows_docs": data_blob_rows_docs,
+    "curation_pipeline_docs": curation_pipeline_docs,
 }
