@@ -152,18 +152,19 @@ def _extract_pdf(payload):
     extract_pdf_text(payload)
 
 
-def _pdf_jbig2_arithmetic() -> bytes:
-    # MMR-coded JBIG2 regions DECODE now (llm/jbig2); the remaining
-    # refusal is an ARITHMETIC-coded generic region (MMR=0) — flip the
-    # MMR bit on a valid fixture
+def _pdf_jbig2_template1() -> bytes:
+    # both MMR and arithmetic TEMPLATE-0 JBIG2 regions DECODE now
+    # (llm/jbig2 + llm/mq_coder); the remaining generic-region
+    # refusal is a non-zero GBTEMPLATE — flip the template bits on a
+    # valid arithmetic fixture
     import struct
 
-    from verified_sources_spark.llm.jbig2 import encode_jbig2_mmr
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_arith
     from verified_sources_spark.llm.pdf_codec import encode_pdf
 
-    data = bytearray(encode_jbig2_mmr([b"\x01\x00\x00\x01"] * 4))
+    data = bytearray(encode_jbig2_arith([b"\x01\x00\x00\x01"] * 4))
     plen = struct.unpack_from(">I", data, 7)[0]
-    data[11 + plen + 11 + 17] = 0x00  # generic flags: MMR -> 0
+    data[11 + plen + 11 + 17] = 0x02  # generic flags: template 1
     return encode_pdf([["x"]], image={"width": 4, "height": 4,
                                       "bpc": 1,
                                       "colorspace": "DeviceGray",
@@ -214,8 +215,8 @@ MATRIX = [
     ("webm-vp9-pixels", _webm, _sample_mp4, "V_VP9"),
     ("pdf-encrypted", _pdf_encrypted, _extract_pdf, "Encrypt"),
     ("pdf-ccitt-filter", _pdf_ccitt, _extract_pdf, "CCITTFaxDecode"),
-    ("pdf-jbig2-arithmetic", _pdf_jbig2_arithmetic,
-     _extract_pdf_images, "MMR=0"),
+    ("pdf-jbig2-template1", _pdf_jbig2_template1,
+     _extract_pdf_images, "template 1"),
 ]
 
 

@@ -99,6 +99,14 @@ def test_fuzz_jbig2_pdf_image():
     _battery(lambda: encode_jbig2_mmr(rows),
              decode_jbig2_embedded, (Jbig2Error, FaxError))
 
+    # arithmetic (MQ) generic regions: the MQ coder itself never
+    # fails on garbage bits (it decodes SOME bitmap), so the net
+    # asserts the container walk refuses-or-rows, never crashes
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_arith
+
+    _battery(lambda: encode_jbig2_arith(rows, tpgdon=True),
+             decode_jbig2_embedded, (Jbig2Error,), seed=5)
+
 
 def test_fuzz_office():
     from verified_sources_spark.llm.office import (

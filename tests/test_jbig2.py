@@ -1,4 +1,5 @@
-"""JBIG2 embedded streams (llm/jbig2): MMR-coded generic regions.
+"""JBIG2 embedded streams (llm/jbig2): MMR and MQ-arithmetic generic
+regions.
 
 No JBIG2 implementation exists in this environment to cross-check
 against, so the segment layer is pinned two ways (the llm/cfb and
@@ -6,8 +7,11 @@ llm/sevenzip posture): (a) the encoder's byte layout is asserted
 against ITU-T T.88 section values, and (b) the decoder is exercised on
 hand-assembled structures the encoder does not emit (long-form
 referred-segment counts, 4-byte page associations, striped pages).
-The region PAYLOAD coding is the repo's libtiff-verified T.6 codec, so
-pixel correctness inherits the fax suite's two-sided verification.
+MMR region payloads ride the repo's libtiff-verified T.6 codec, so
+their pixel correctness inherits the fax suite's two-sided
+verification; MQ-arithmetic regions (template 0, llm/mq_coder) are
+gated by bitmap-level encoder↔decoder independence here plus the MQ
+coder's own battery in test_mq_coder.py.
 """
 
 from __future__ import annotations
@@ -140,10 +144,20 @@ def test_refusals_by_name():
     plen = struct.unpack_from(">I", good, 7)[0]
     seg1_at = 11 + plen
 
-    # MMR=0 (arithmetic generic region)
-    bad = bytearray(good)
-    bad[seg1_at + 11 + 17] = 0x00
-    with pytest.raises(Jbig2Error, match="MMR=0"):
+    # arithmetic template 1-3 and EXTTEMPLATE refuse by name (the
+    # MMR=0 template-0 share DECODES now via llm/mq_coder)
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_arith
+
+    arith = encode_jbig2_arith(rows, end_of_page=False)
+    aplen = struct.unpack_from(">I", arith, 7)[0]
+    aseg1 = 11 + aplen
+    bad = bytearray(arith)
+    bad[aseg1 + 11 + 17] = 0x02  # MMR=0, GBTEMPLATE=1
+    with pytest.raises(Jbig2Error, match="template 1"):
+        decode_jbig2_embedded(bytes(bad))
+    bad = bytearray(arith)
+    bad[aseg1 + 11 + 17] = 0x10  # EXTTEMPLATE
+    with pytest.raises(Jbig2Error, match="EXTTEMPLATE"):
         decode_jbig2_embedded(bytes(bad))
     # symbol dictionary segment type
     bad = bytearray(good)
@@ -209,3 +223,95 @@ def test_pdf_embedded_jbig2_image():
         "data": encode_jbig2_mmr(rows)})
     with pytest.raises(PdfError, match="disagrees"):
         extract_pdf_images(bad)
+
+
+class TestArithmeticGenericRegion:
+    """MQ-arithmetic generic regions (template 0): encoder and
+    decoder walk the context model independently and meet only at the
+    published template definition + coder tables — bitmap equality
+    across shapes is the two-sided gate available in this
+    environment."""
+
+    def _glyphs(self, w, h, seed):
+        import random
+
+        r = random.Random(seed)
+        return [bytes(1 if (r.random() < 0.3 or
+                            (y % 5 == 0 and x % 3 == 0)) else 0
+                      for x in range(w)) for y in range(h)]
+
+    def test_round_trip_nominal(self):
+        from verified_sources_spark.llm.jbig2 import (
+            decode_jbig2_embedded, encode_jbig2_arith,
+        )
+
+        rows = self._glyphs(61, 40, 1)
+        out = decode_jbig2_embedded(encode_jbig2_arith(rows))
+        assert out["rows"] == rows
+
+    def test_tpgdon_repeated_rows_compress_and_round_trip(self):
+        from verified_sources_spark.llm.jbig2 import (
+            decode_jbig2_embedded, encode_jbig2_arith,
+        )
+
+        rows = self._glyphs(48, 8, 2)
+        rep = [rows[0]] * 12 + rows + [rows[3]] * 12
+        with_tp = encode_jbig2_arith(rep, tpgdon=True)
+        without = encode_jbig2_arith(rep, tpgdon=False)
+        assert decode_jbig2_embedded(with_tp)["rows"] == rep
+        assert decode_jbig2_embedded(without)["rows"] == rep
+        assert len(with_tp) < len(without)  # typical rows are ~free
+
+    def test_non_nominal_at_pixels(self):
+        from verified_sources_spark.llm.jbig2 import (
+            decode_jbig2_embedded, encode_jbig2_arith,
+        )
+
+        rows = self._glyphs(33, 21, 3)
+        blob = encode_jbig2_arith(
+            rows, at=((1, -1), (-2, -1), (2, -2), (-1, -2)))
+        assert decode_jbig2_embedded(blob)["rows"] == rows
+
+    def test_multi_region_composite_ops(self):
+        import numpy as np
+
+        from verified_sources_spark.llm.jbig2 import (
+            decode_jbig2_embedded, encode_jbig2_arith,
+        )
+
+        r1 = self._glyphs(20, 15, 4)
+        r2 = self._glyphs(16, 12, 5)
+        blob = encode_jbig2_arith(
+            regions=[(2, 2, r1, 0), (10, 8, r2, 2)],
+            page_size=(40, 30), page_default=1)
+        out = decode_jbig2_embedded(blob)
+        page = np.ones((30, 40), np.uint8)
+        a = np.frombuffer(b"".join(r1), np.uint8).reshape(15, 20)
+        page[2:17, 2:22] |= a
+        b = np.frombuffer(b"".join(r2), np.uint8).reshape(12, 16)
+        page[8:20, 10:26] ^= b
+        assert b"".join(out["rows"]) == page.tobytes()
+
+    def test_degenerate_fills(self):
+        from verified_sources_spark.llm.jbig2 import (
+            decode_jbig2_embedded, encode_jbig2_arith,
+        )
+
+        for fill in (0, 1):
+            rows = [bytes([fill] * 33)] * 25
+            out = decode_jbig2_embedded(encode_jbig2_arith(rows))
+            assert out["rows"] == rows
+
+    def test_bad_at_pixels_refuse(self):
+        import pytest as _pytest
+
+        from verified_sources_spark.llm.jbig2 import (
+            Jbig2Error, encode_jbig2_arith,
+        )
+
+        with _pytest.raises(Jbig2Error, match="causal"):
+            encode_jbig2_arith([b"\x01" * 8] * 4,
+                               at=((0, 0), (-3, -1), (2, -2), (-2, -2)))
+        with _pytest.raises(Jbig2Error, match="causal"):
+            encode_jbig2_arith([b"\x01" * 8] * 4,
+                               at=((1, 1), (-3, -1), (2, -2), (-2, -2)))

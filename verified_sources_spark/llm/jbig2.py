@@ -1,15 +1,24 @@
-"""JBIG2 (ITU-T T.88) embedded streams — the MMR-coded share.
+"""JBIG2 (ITU-T T.88) embedded streams — MMR and MQ-arithmetic
+generic regions.
 
 Post-2005 scanned PDFs predominantly carry /JBIG2Decode images.  The
-standard has two coding backends: **MMR=1 generic regions are T.4/T.6
-coded** (T.88 §6.2.5.7 delegates region data to the MMR coder), which
-this repo's libtiff-verified fax codec (llm/fax_codec) already decodes
-two-sided — so that share is servable under the suite's verification
-posture.  **MMR=0 regions use the MQ arithmetic coder**, for which no
-reference implementation exists in this environment; those refuse BY
-NAME (the silent-garble risk the two-sided method exists to prevent),
-as do symbol-dictionary/text/halftone/refinement segments, which are
-arithmetic-or-Huffman coded structures with no verifier here.
+standard has two coding backends, both served here: **MMR=1 generic
+regions are T.4/T.6 coded** (T.88 §6.2.5.7 delegates region data to
+the MMR coder), decoded by this repo's libtiff-verified fax codec
+(llm/fax_codec); **MMR=0 regions use the MQ arithmetic coder**
+(llm/mq_coder, implemented from the published T.88/T.800 flowcharts)
+with the template-0 context model — the default every mainstream
+encoder emits — including TPGDON typical-prediction rows and
+non-nominal AT pixels.  Verification posture for the arithmetic
+layer: no external JBIG2 implementation exists in this environment,
+so the gate is encoder↔decoder independence at the bitmap level (the
+fixture encoder drives its own context walk into the MQ encoder; the
+decoder reconstructs through its own walk — they meet only at the
+published template definition and coder tables) plus the MQ coder's
+own randomized round-trip/invariant battery.  Generic-region
+templates 1-3, EXTTEMPLATE, and symbol-dictionary/text/halftone/
+refinement segments still refuse BY NAME (the silent-garble risk the
+two-sided method exists to prevent).
 
 Implements the PDF "embedded organization" (T.88 Annex; no file
 header): a stream of segments, each a segment header (§7.2) plus data.
@@ -58,7 +67,122 @@ __all__ = [
     "Jbig2Error",
     "decode_jbig2_embedded",
     "encode_jbig2_mmr",
+    "encode_jbig2_arith",
 ]
+
+# --------------------------------------------------- arithmetic layer
+# Generic region, GBTEMPLATE=0 (T.88 §6.2.5.7): 16-pixel context —
+# 12 fixed positions plus four adaptive (AT) pixels, nominal
+# A1=(+3,-1) A2=(-3,-1) A3=(+2,-2) A4=(-2,-2).  The context value
+# takes the template pixels in raster order (sorted by (y, x)), MSB
+# first.  TPGDON rows decode one SLTP bit in the pseudo-context
+# 0x9B25 and, while LTP holds, copy the row above.
+_T0_FIXED = ((-1, -2), (0, -2), (1, -2),
+             (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+             (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+_T0_NOMINAL_AT = ((3, -1), (-3, -1), (2, -2), (-2, -2))
+_TPGDON_CTX0 = 0x9B25
+_PAD = 8  # row padding so template reads never bounds-check
+
+
+def _template0(at: tuple[tuple[int, int], ...]):
+    if len(at) != 4:
+        raise Jbig2Error("template 0 needs exactly 4 AT pixels")
+    for ax, ay in at:
+        if ay > 0 or (ay == 0 and ax >= 0) or abs(ax) > _PAD \
+                or ay < -2:
+            raise Jbig2Error(
+                f"AT pixel ({ax},{ay}) outside the causal template "
+                "window")
+    return sorted(_T0_FIXED + tuple(at), key=lambda p: (p[1], p[0]))
+
+
+def _decode_generic_region_arith(
+    data: bytes, w: int, h: int,
+    at: tuple[tuple[int, int], ...], tpgdon: bool,
+) -> list[bytes]:
+    """MMR=0 generic region, template 0 → rows of 0/1 bytes."""
+    from verified_sources_spark.llm.mq_coder import MQDecoder
+
+    tmpl = _template0(at)
+    dec = MQDecoder(data, 1 << 16)
+    zero = [0] * (w + 2 * _PAD)
+    rows: list[list[int]] = []
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            ltp ^= dec.decode(_TPGDON_CTX0)
+            if ltp:
+                rows.append(list(rows[y - 1]) if y else list(zero))
+                continue
+        r2 = rows[y - 2] if y >= 2 else zero
+        r1 = rows[y - 1] if y >= 1 else zero
+        row = list(zero)
+        if at == _T0_NOMINAL_AT:
+            # nominal ATs make all three template rows CONTIGUOUS
+            # (y-2: x-2..x+2, y-1: x-3..x+3, y: x-4..x-1), so the
+            # context slides incrementally: 3 reads per pixel, not 16
+            decode = dec.decode
+            g2 = (r2[_PAD - 2] << 4 | r2[_PAD - 1] << 3
+                  | r2[_PAD] << 2 | r2[_PAD + 1] << 1 | r2[_PAD + 2])
+            g1 = (r1[_PAD - 3] << 6 | r1[_PAD - 2] << 5
+                  | r1[_PAD - 1] << 4 | r1[_PAD] << 3
+                  | r1[_PAD + 1] << 2 | r1[_PAD + 2] << 1
+                  | r1[_PAD + 3])
+            g0 = 0
+            for x in range(w):
+                p = decode((g2 << 11) | (g1 << 4) | g0)
+                row[x + _PAD] = p
+                g2 = ((g2 << 1) | r2[x + 3 + _PAD]) & 0x1F
+                g1 = ((g1 << 1) | r1[x + 4 + _PAD]) & 0x7F
+                g0 = ((g0 << 1) | p) & 0x0F
+        else:
+            rs = (r2, r1, row)
+            for x in range(w):
+                ctx = 0
+                for dx, dy in tmpl:
+                    ctx = (ctx << 1) | rs[dy + 2][x + dx + _PAD]
+                row[x + _PAD] = dec.decode(ctx)
+        rows.append(row)
+    return [bytes(r[_PAD : _PAD + w]) for r in rows]
+
+
+def _encode_generic_region_arith(
+    rows: list[bytes], at: tuple[tuple[int, int], ...], tpgdon: bool,
+) -> bytes:
+    """Fixture encoder: the same context model driving the MQ encoder
+    (independent of the decoder's walk; the two meet only at the
+    published template/coder definitions)."""
+    from verified_sources_spark.llm.mq_coder import MQEncoder
+
+    tmpl = _template0(at)
+    w = len(rows[0])
+    enc = MQEncoder(1 << 16)
+    zero = [0] * (w + 2 * _PAD)
+    padded: list[list[int]] = []
+    ltp = 0
+    for y, raw in enumerate(rows):
+        row = list(zero)
+        row[_PAD : _PAD + w] = [p & 1 for p in raw]
+        if tpgdon:
+            # decoder applies ltp ^= SLTP, so SLTP = typical XOR ltp
+            prev = padded[y - 1] if y else zero
+            typical = 1 if row == prev else 0
+            enc.encode(_TPGDON_CTX0, typical ^ ltp)
+            ltp = typical
+            if ltp:
+                padded.append(row)
+                continue
+        r2 = padded[y - 2] if y >= 2 else zero
+        r1 = padded[y - 1] if y >= 1 else zero
+        rs = (r2, r1, row)
+        for x in range(w):
+            ctx = 0
+            for dx, dy in tmpl:
+                ctx = (ctx << 1) | rs[dy + 2][x + dx + _PAD]
+            enc.encode(ctx, row[x + _PAD])
+        padded.append(row)
+    return enc.flush()
 
 # T.88 §7.3 segment type numbers
 _PAGE_INFO = 48
@@ -231,10 +355,13 @@ def decode_jbig2_embedded(
             if len(d) < 18:
                 raise Jbig2Error("truncated JBIG2 generic region")
             gflags = d[17]
-            if not gflags & 0x01:
+            mmr = gflags & 0x01
+            template = (gflags >> 1) & 0x03
+            tpgdon = bool(gflags & 0x08)
+            if gflags & 0x10:
                 raise Jbig2Error(
-                    "arithmetic-coded JBIG2 generic region (MMR=0) — "
-                    "refusing by name (no MQ-coder verifier here)")
+                    "JBIG2 EXTTEMPLATE generic region — refusing by "
+                    "name (12-AT extension, no verifier here)")
             if w * h > max_pixels:
                 raise Jbig2Error(
                     f"JBIG2 region {w}x{h} exceeds {max_pixels}-pixel "
@@ -243,11 +370,29 @@ def decode_jbig2_embedded(
                 raise Jbig2Error(
                     f"JBIG2 region {w}x{h}@({x},{y}) exceeds page "
                     f"{page_w}x{page_h}")
-            try:
-                rows = decode_g4(d[18:], w, h)
-            except FaxError as e:
-                raise Jbig2Error(
-                    f"bad MMR region data: {e}") from None
+            if mmr:
+                try:
+                    rows = decode_g4(d[18:], w, h)
+                except FaxError as e:
+                    raise Jbig2Error(
+                        f"bad MMR region data: {e}") from None
+            else:
+                # MQ-arithmetic generic region (template 0 — the
+                # default every mainstream encoder emits; templates
+                # 1-3 keep refusing by name)
+                if template != 0:
+                    raise Jbig2Error(
+                        f"JBIG2 generic region template {template} — "
+                        "refusing by name (only template 0 served)")
+                if len(d) < 26:
+                    raise Jbig2Error(
+                        "truncated JBIG2 arithmetic region (AT bytes)")
+                at = tuple(
+                    (struct.unpack_from("b", d, 18 + 2 * i)[0],
+                     struct.unpack_from("b", d, 19 + 2 * i)[0])
+                    for i in range(4))
+                rows = _decode_generic_region_arith(
+                    d[26:], w, h, at, tpgdon)
             reg = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
             sub = page[y : y + h, x : x + w]
             if op == 0:
@@ -326,6 +471,56 @@ def encode_jbig2_mmr(
         body = (struct.pack(">IIII", w, h, x, y)
                 + bytes([op & 0x07])
                 + b"\x01"                   # generic flags: MMR=1
+                + payload)
+        out += _segment_header(seg_num, rtype, 1, len(body)) + body
+        seg_num += 1
+    if end_of_page:
+        out += _segment_header(seg_num, _END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def encode_jbig2_arith(
+    rows: list[bytes] | None = None,
+    *,
+    regions: list[tuple[int, int, list[bytes], int]] | None = None,
+    page_size: tuple[int, int] | None = None,
+    page_default: int = 0,
+    at: tuple[tuple[int, int], ...] = _T0_NOMINAL_AT,
+    tpgdon: bool = False,
+    lossless: bool = True,
+    end_of_page: bool = True,
+) -> bytes:
+    """PDF-embeddable JBIG2 with MQ-ARITHMETIC generic regions
+    (template 0, optional TPGDON, configurable AT pixels) — the
+    post-2005 scanned-PDF default.  Same shapes as
+    :func:`encode_jbig2_mmr`; region payloads come from the repo's
+    own MQ encoder (llm/mq_coder), so encoder and decoder cross-check
+    the context model and coder at the bitmap level."""
+    if regions is None:
+        if not rows:
+            raise Jbig2Error("fixture needs rows or regions")
+        regions = [(0, 0, rows, 0)]
+        page_size = (len(rows[0]), len(rows))
+    if page_size is None:
+        raise Jbig2Error("explicit regions need page_size")
+    pw, ph = page_size
+
+    out = bytearray()
+    page_info = (struct.pack(">IIII", pw, ph, 0, 0)
+                 + bytes([(page_default & 1) << 2])
+                 + struct.pack(">H", 0))
+    out += _segment_header(0, _PAGE_INFO, 1, len(page_info)) + page_info
+    seg_num = 1
+    rtype = 39 if lossless else 38
+    gflags = 0x08 if tpgdon else 0x00  # MMR=0, template 0
+    at_bytes = b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+    for x, y, rrows, op in regions:
+        w, h = len(rrows[0]), len(rrows)
+        payload = _encode_generic_region_arith(rrows, at, tpgdon)
+        body = (struct.pack(">IIII", w, h, x, y)
+                + bytes([op & 0x07])
+                + bytes([gflags])
+                + at_bytes
                 + payload)
         out += _segment_header(seg_num, rtype, 1, len(body)) + body
         seg_num += 1

@@ -3127,9 +3127,11 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic image, embed it in a PDF as an image XObject —
     DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
     odd, DeviceGray on every 5th, a bilevel scan on every remaining
-    3rd — JBIG2 with an MMR-coded generic region (llm/jbig2, the
-    post-2005 scanned-PDF codec) when ``doc_id % 9 == 3``, CCITT-G4
-    (llm/fax_codec) otherwise — every 11th PDF truncated — AND mint
+    3rd — JBIG2 (llm/jbig2, the post-2005 scanned-PDF codec) when
+    ``doc_id % 9 == 3``, alternating MMR (T.6) and MQ-ARITHMETIC
+    template-0 regions with TPGDON (llm/mq_coder) by ``doc_id // 9``,
+    CCITT-G4 (llm/fax_codec) otherwise — every 11th PDF truncated —
+    AND mint
     the standalone twin (the same JPEG bytes / a PNG of the same
     pixels).  ``pdf_images`` fingerprints the embedded figure,
     ``image_dhash`` the standalone file, and the join proves the
@@ -3190,8 +3192,19 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bits = bytes(1 if g < 128 else 0 for g in gray)
                     rows_ = [bits[y * w:(y + 1) * w] for y in range(h)]
                     if did % 9 == 3:
+                        # alternate the two JBIG2 backends: MMR (T.6)
+                        # and MQ-ARITHMETIC template 0 with TPGDON
+                        # (llm/mq_coder) — identical pixels, so the
+                        # dhash oracle is codec-blind
+                        from verified_sources_spark.llm.jbig2 import (
+                            encode_jbig2_arith,
+                        )
+
+                        blob = (encode_jbig2_arith(rows_, tpgdon=True)
+                                if (did // 9) % 2 == 0
+                                else encode_jbig2_mmr(rows_))
                         img = {"width": w, "height": h,
-                               "data": encode_jbig2_mmr(rows_),
+                               "data": blob,
                                "pdf_filter": "JBIG2Decode",
                                "colorspace": "DeviceGray", "bpc": 1}
                     else:
