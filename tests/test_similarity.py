@@ -205,3 +205,46 @@ class TestAnnRecall:
         # only reorder/IMPROVE what the codes-only scan proposed
         assert rr["mean_recall"] >= rp["mean_recall"]
         assert 0.0 <= rp["mean_recall"] <= 1.0
+
+
+class TestTrainedIvfPq:
+    def _embeddings(self, spark, n=300, d=64, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [(i, [float(x) for x in rng.normal(size=d)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_trained_deterministic_across_partitionings(self, spark):
+        from pyspark.sql import functions as F
+
+        from verified_sources_spark.llm.similarity import ivfpq_topk
+
+        e = self._embeddings(spark, n=200)
+        q = e.filter(F.col("vec_id") < 5)
+        a = ivfpq_topk(e.repartition(1), q, train_iters=2, k=3).collect()
+        b = ivfpq_topk(e.repartition(13), q, train_iters=2, k=3).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_trained_recall_not_worse_than_pinned(self, spark):
+        from pyspark.sql import functions as F
+
+        from verified_sources_spark.llm.similarity import (
+            ann_recall_summary, cosine_topk, ivfpq_rerank_topk,
+        )
+
+        e = self._embeddings(spark)
+        q = e.filter(F.col("vec_id") < 12)
+        exact = cosine_topk(e, q, k=3)
+        kw = dict(n_cells=16, n_probe=8, m=8, n_codes=16,
+                  candidates=60, k=3)
+        (pinned,) = ann_recall_summary(
+            ivfpq_rerank_topk(e, q, **kw), exact, k=3).collect()
+        (trained,) = ann_recall_summary(
+            ivfpq_rerank_topk(e, q, train_iters=2, **kw),
+            exact, k=3).collect()
+        assert trained["mean_recall"] >= pinned["mean_recall"], (
+            trained["mean_recall"], pinned["mean_recall"])

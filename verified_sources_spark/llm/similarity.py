@@ -344,6 +344,7 @@ def train_kmeans_quantized(
     vec_col: str,
     n_centroids: int = 16,
     lloyd_iters: int = 2,
+    already_scaled: bool = False,
 ) -> list[list[int]]:
     """Lloyd k-means with EXACT integer arithmetic, bit-identical across
     engines and partitionings: vectors quantize to scaled int64
@@ -354,15 +355,24 @@ def train_kmeans_quantized(
     average.  The same two unrolled iterations replay in DuckDB SQL
     (plans/oracle.py), putting trained-quantizer ANN on the value-hash
     gate.  Only per-cluster sums (k × d longs) ever reach the driver."""
-    sv = vectors.select(
-        F.col(id_name).alias("_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("_sx"),
-    )
+    if already_scaled:
+        # input is already exact scaled int64 (e.g. IVF-PQ residuals)
+        sv = vectors.select(
+            F.col(id_name).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("long")).alias("_sx"),
+        )
+    else:
+        sv = vectors.select(
+            F.col(id_name).alias("_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(KMEANS_SCALE))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("_sx"),
+        )
     init = sv.orderBy("_id").limit(n_centroids).select("_sx").collect()
     cents = [list(r["_sx"]) for r in init]
     for _ in range(lloyd_iters):
@@ -932,6 +942,7 @@ def ivfpq_topk(
     m: int = 4,
     n_codes: int = 16,
     k: int = 3,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ — the canonical at-scale ANN index (FAISS IVFPQ): a
     coarse quantizer partitions the corpus into cells, every vector
@@ -943,9 +954,14 @@ def ivfpq_topk(
 
     Exact-integer end to end: scaled-int64 vectors, pinned coarse
     centroids and residual codebooks (the lowest-id vectors — the SQL
-    witness form; see pq_topk/ivf_topk for the trained variants),
-    integer residuals, BIGINT ADC — the DuckDB oracle replays the
-    whole index bit-for-bit.  100 TB shape: the scan side is
+    witness form the graded oracle replays bit-for-bit).
+    ``train_iters > 0`` instead trains BOTH quantizers with the
+    exact-integer Lloyd trainer — coarse cells over the raw vectors,
+    then per-subspace residual codebooks over the distributed
+    residual frame (assignment via rank_clusters_scaled, residual =
+    zip_with subtraction, all DataFrame ops; only centroid-sized
+    state collects) — the FAISS-recipe trained index, still
+    bit-deterministic across partitionings.  100 TB shape: the scan side is
     (cell_id, m bytes) per vector; only centroids, codebooks and the
     query tables are collected/broadcast; candidates prune per
     partition before the final rank shuffle."""
@@ -960,6 +976,12 @@ def ivfpq_topk(
         .select(id_col, vec_col).collect()
     Xb = _scaled_int_matrix([r[1] for r in base])
     cents = Xb[:n_cells]                       # coarse centroids
+    if train_iters > 0:
+        cents = np.array(
+            train_kmeans_quantized(corpus, id_col, vec_col,
+                                   n_centroids=n_cells,
+                                   lloyd_iters=train_iters),
+            dtype=np.int64)
 
     def _assign(X):
         d = X[:, None, :] - cents[None, :, :]
@@ -970,6 +992,37 @@ def ivfpq_topk(
     cb_base = Xb[:n_codes]
     rb = cb_base - cents[_assign(cb_base)]
     books = [rb[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+    if train_iters > 0:
+        # distributed residual frame: exact-int assignment + zip_with
+        # subtraction, then the exact-int Lloyd trainer per subspace
+        spark_ = corpus.sparkSession
+        sv = corpus.select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(KMEANS_SCALE))
+                    + F.lit(0.5)).cast("long")).alias("_sx"))
+        assigned = rank_clusters_scaled(
+            sv, "_id", "_sx", cents.tolist(), already_scaled=True)
+        cent_df = spark_.createDataFrame(
+            [(int(c), [int(v) for v in cents[c]])
+             for c in range(n_cells)], "cluster int, _cv array<long>")
+        resid = (assigned.join(F.broadcast(cent_df), "cluster")
+                 .select("_id", F.zip_with(
+                     "_sx", "_cv", lambda x, c: x - c).alias("_r")))
+        resid.cache()
+        for s in range(m):
+            sliced = resid.select(
+                "_id",
+                F.slice(F.col("_r"), s * sub + 1, sub).alias("_v"))
+            books[s] = np.array(
+                train_kmeans_quantized(sliced, "_id", "_v",
+                                       n_centroids=n_codes,
+                                       lloyd_iters=train_iters,
+                                       already_scaled=True),
+                dtype=np.int64)
+        resid.unpersist()
 
     qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
@@ -1057,6 +1110,7 @@ def ivfpq_rerank_topk(
     n_codes: int = 16,
     candidates: int = 20,
     k: int = 3,
+    train_iters: int = 0,
 ) -> DataFrame:
     """The full production ANN serving stack: IVF-PQ generates
     ``candidates`` approximate neighbors per query (codes-only scan),
@@ -1072,7 +1126,8 @@ def ivfpq_rerank_topk(
     this stack is a drop-in."""
     cands = ivfpq_topk(corpus, queries, id_col, vec_col,
                        n_cells=n_cells, n_probe=n_probe, m=m,
-                       n_codes=n_codes, k=candidates)
+                       n_codes=n_codes, k=candidates,
+                       train_iters=train_iters)
     cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("__cv"),
                          _norm(F.col(vec_col)).alias("__cn"))
