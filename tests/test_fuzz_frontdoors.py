@@ -492,3 +492,24 @@ def test_fuzz_datablob():
     for codec in ("null", "deflate", "snappy"):
         _battery(lambda c=codec: write_container(schema, recs, codec=c),
                  avro_rows_blob, (DataBlobError,), seed=11)
+
+
+def test_fuzz_tfrecord():
+    """TFRecord shards under the mutation net: the double masked-CRC
+    framing means every flip/truncation/zero-fill refuses by name."""
+    from verified_sources_spark.llm.tfrecord import (
+        TfRecordError, encode_example, encode_tfrecord, iter_tfrecord,
+        parse_example,
+    )
+
+    def enc():
+        return encode_tfrecord(
+            [encode_example({"text": [f"doc {i} body".encode()],
+                             "id": [i], "w": [0.5 * i]})
+             for i in range(30)])
+
+    def dec(d):
+        for rec in iter_tfrecord(d):
+            parse_example(rec)
+
+    _battery(enc, dec, (TfRecordError,), seed=23)

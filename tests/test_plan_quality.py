@@ -228,7 +228,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "wiki_pages_docs", "jats_units_docs",
               "se_posts_docs", "chat_turns_docs",
               "code_signals_docs", "cross_source_dedup_docs",
-              "data_blob_rows_docs", "curation_pipeline_docs"):
+              "data_blob_rows_docs", "curation_pipeline_docs",
+              "tfrecord_export_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

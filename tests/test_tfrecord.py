@@ -1,0 +1,87 @@
+"""TFRecord + tf.train.Example (llm/tfrecord): the CRC32C is verified
+against PUBLISHED external vectors (RFC 3720 B.4 + the classic check
+value), the framing against exhaustive bit-flip refusal, the Example
+codec by round-trip across the three list types."""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.llm.tfrecord import (
+    TfRecordError,
+    crc32c,
+    encode_example,
+    encode_tfrecord,
+    iter_tfrecord,
+    parse_example,
+    tfrecord_rows,
+    tfrecord_shards,
+)
+
+
+def test_crc32c_published_vectors():
+    """RFC 3720 B.4 (iSCSI) test patterns + the classic check value —
+    a genuine external verifier for the from-scratch CRC."""
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+    assert crc32c(bytes(range(31, -1, -1))) == 0x113FDB5C
+    assert crc32c(b"") == 0
+
+
+def test_example_round_trip_all_types():
+    ex = encode_example({"text": [b"hello world", "zwei"],
+                         "id": [42, -7, 0],
+                         "score": [1.5, -0.25]})
+    got = parse_example(ex)
+    assert got["text"] == [b"hello world", b"zwei"]
+    assert got["id"] == [42, -7, 0]
+    assert got["score"] == [1.5, -0.25]
+    with pytest.raises(TfRecordError, match="homogeneous"):
+        encode_example({"bad": [1, "x"]})
+    with pytest.raises(TfRecordError, match="no features"):
+        parse_example(b"")
+
+
+def test_shard_round_trip_and_every_bitflip_refuses():
+    shard = encode_tfrecord(
+        [encode_example({"text": [f"doc {i}".encode()], "id": [i]})
+         for i in range(5)])
+    recs = [parse_example(r) for r in iter_tfrecord(shard)]
+    assert [r["id"][0] for r in recs] == list(range(5))
+    for i in range(len(shard)):
+        b = bytearray(shard)
+        b[i] ^= 0x01
+        with pytest.raises(TfRecordError):
+            list(iter_tfrecord(bytes(b)))
+    # truncations refuse too
+    for cut in (1, 11, 13, len(shard) - 1):
+        with pytest.raises(TfRecordError):
+            list(iter_tfrecord(shard[:cut]))
+
+
+def test_spark_rows_and_shards_round_trip(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(40)],
+        "doc_id long, text string")
+    shards = tfrecord_shards(docs, n_shards=8).cache()
+    srows = shards.collect()
+    assert sum(r["n_records"] for r in srows) == 40
+    assert 1 < len(srows) <= 8
+    # explode back through the read door: every doc round-trips
+    back = tfrecord_rows(
+        shards.selectExpr("shard_id as doc_id", "asset")).collect()
+    assert all(r["decoded_ok"] for r in back)
+    assert len(back) == 40
+    texts = set()
+    for r in back:
+        assert r["header"] == "id\ttext"
+        _id, text = r["line"].split("\t")
+        texts.add(text)
+    assert texts == {f"document body {i}" for i in range(40)}
+    # a corrupted shard isolates as a false row
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 30))], "doc_id long, asset binary")
+    (r,) = tfrecord_rows(bad).collect()
+    assert r["decoded_ok"] is False

@@ -1,0 +1,356 @@
+"""TFRecord shards + tf.train.Example records, from scratch — the
+export format the training side of an LLM data pipeline actually
+consumes.
+
+Wire formats (both fully public):
+
+- **TFRecord framing** (TensorFlow docs): per record
+  ``uint64 length (LE) · uint32 masked_crc32c(length bytes) ·
+  data · uint32 masked_crc32c(data)`` with
+  ``mask(c) = ((c >> 15) | (c << 17)) + 0xA282EAD8 (mod 2^32)``.
+- **CRC32C** (Castagnoli, reflected poly 0x82F63B78) — verified
+  against the published RFC 3720 B.4 test vectors and the classic
+  ``crc32c("123456789") = 0xE3069283`` check vector, a genuine
+  external verifier (tests/test_tfrecord.py).
+- **tf.train.Example** protobuf: ``Example{Features{map<string,
+  Feature>}}`` with ``Feature`` a oneof of BytesList(1) /
+  FloatList(2, packed) / Int64List(3, packed).  The protobuf wire
+  format (varints, length-delimited fields) is implemented for this
+  fixed schema only — not a protobuf library.
+
+Spark surface: ``tfrecord_rows`` explodes shard BLOBS into per-record
+rows on the same tab-joined text contract as the CSV/parquet/avro
+doors (corrupt shards and CRC mismatches isolate as
+``decoded_ok=false``), and ``encode_tfrecord`` + ``encode_example``
+mint shards for fixtures and exports.  Reference analogue: the
+reference's filesystem/unstructured routing feeds model-training
+exports; this door makes the most common training container a
+first-class citizen of the dedup/quality surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "TfRecordError", "crc32c", "encode_example", "parse_example",
+    "encode_tfrecord", "iter_tfrecord", "tfrecord_rows",
+    "tfrecord_shards", "TFRECORD_ROWS_SCHEMA",
+]
+
+
+class TfRecordError(ValueError):
+    """Named refusal: not a valid TFRecord shard / Example record."""
+
+
+def _make_table():
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        tbl.append(c)
+    return tuple(tbl)
+
+
+_CRC_TABLE = _make_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC32C (Castagnoli), reflected, init/final XOR 0xFFFFFFFF."""
+    c = crc ^ 0xFFFFFFFF
+    for b in data:
+        c = (c >> 8) ^ _CRC_TABLE[(c ^ b) & 0xFF]
+    return c ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    c = crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ------------------------------------------------------------ framing
+
+def encode_tfrecord(records: list[bytes]) -> bytes:
+    """Frame records into one TFRecord shard (length + masked CRCs)."""
+    out = bytearray()
+    for rec in records:
+        ln = struct.pack("<Q", len(rec))
+        out += ln
+        out += struct.pack("<I", _masked_crc(ln))
+        out += rec
+        out += struct.pack("<I", _masked_crc(rec))
+    return bytes(out)
+
+
+def iter_tfrecord(data: bytes, max_record: int = 256 << 20):
+    """Yield record payloads, verifying BOTH masked CRCs per record —
+    a flipped bit anywhere refuses by name instead of feeding garble
+    into training."""
+    pos, n = 0, len(data)
+    while pos < n:
+        if pos + 12 > n:
+            raise TfRecordError("truncated TFRecord length header")
+        ln_bytes = data[pos:pos + 8]
+        (ln,) = struct.unpack("<Q", ln_bytes)
+        (lcrc,) = struct.unpack("<I", data[pos + 8:pos + 12])
+        if _masked_crc(ln_bytes) != lcrc:
+            raise TfRecordError("TFRecord length CRC mismatch")
+        if ln > max_record:
+            raise TfRecordError(
+                f"TFRecord record of {ln} bytes over gate {max_record}")
+        pos += 12
+        if pos + ln + 4 > n:
+            raise TfRecordError("truncated TFRecord record body")
+        rec = data[pos:pos + ln]
+        (dcrc,) = struct.unpack("<I", data[pos + ln:pos + ln + 4])
+        if _masked_crc(rec) != dcrc:
+            raise TfRecordError("TFRecord data CRC mismatch")
+        pos += ln + 4
+        yield rec
+
+
+# ----------------------------------------------- tf.train.Example
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        if pos >= len(data):
+            raise TfRecordError("truncated protobuf varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise TfRecordError("protobuf varint over 64 bits")
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _zigzag_int64(v: int) -> int:
+    return v & 0xFFFFFFFFFFFFFFFF  # plain varint, two's complement
+
+
+def encode_example(features: dict) -> bytes:
+    """``{name: list[bytes] | list[int] | list[float]}`` →
+    tf.train.Example bytes.  Lists must be homogeneous; ints ride
+    Int64List (plain varints, two's complement), floats FloatList
+    (packed float32), bytes/str BytesList."""
+    entries = bytearray()
+    for name in sorted(features):
+        vals = features[name]
+        if not isinstance(vals, (list, tuple)):
+            vals = [vals]
+        if all(isinstance(v, (bytes, str)) for v in vals):
+            bl = bytearray()
+            for v in vals:
+                bv = v.encode("utf-8") if isinstance(v, str) else v
+                bl += _ld(1, bv)
+            feat = _ld(1, bytes(bl))
+        elif all(isinstance(v, (bool, int)) for v in vals):
+            # Int64List { repeated int64 value = 1 [packed] }:
+            # plain varints, two's complement for negatives
+            packed = b"".join(_varint(_zigzag_int64(int(v)))
+                              for v in vals)
+            feat = _ld(3, _varint((1 << 3) | 2) + _varint(len(packed))
+                     + packed)
+        elif all(isinstance(v, float) for v in vals):
+            packed = b"".join(struct.pack("<f", v) for v in vals)
+            feat = _ld(2, _varint((1 << 3) | 2) + _varint(len(packed))
+                     + packed)
+        else:
+            raise TfRecordError(
+                f"feature {name!r} is not a homogeneous "
+                "bytes/int/float list")
+        entry = _ld(1, name.encode("utf-8")) + _ld(2, feat)
+        entries += _ld(1, entry)
+    return _ld(1, bytes(entries))  # Example.features
+
+
+def parse_example(data: bytes) -> dict:
+    """tf.train.Example bytes → ``{name: list}`` (bytes values stay
+    bytes; int64 two's complement; float32)."""
+    def parse_fields(buf):
+        pos = 0
+        while pos < len(buf):
+            tag, pos = _read_varint(buf, pos)
+            field, wt = tag >> 3, tag & 7
+            if wt == 2:
+                ln, pos = _read_varint(buf, pos)
+                if pos + ln > len(buf):
+                    raise TfRecordError("truncated protobuf field")
+                yield field, buf[pos:pos + ln]
+                pos += ln
+            elif wt == 0:
+                v, pos = _read_varint(buf, pos)
+                yield field, v
+            elif wt == 5:
+                if pos + 4 > len(buf):
+                    raise TfRecordError("truncated fixed32 field")
+                yield field, buf[pos:pos + 4]
+                pos += 4
+            elif wt == 1:
+                if pos + 8 > len(buf):
+                    raise TfRecordError("truncated fixed64 field")
+                yield field, buf[pos:pos + 8]
+                pos += 8
+            else:
+                raise TfRecordError(f"protobuf wire type {wt} — "
+                                    "refusing by name")
+
+    out: dict = {}
+    feats = None
+    for field, val in parse_fields(data):
+        if field == 1 and isinstance(val, bytes):
+            feats = val
+    if feats is None:
+        raise TfRecordError("Example carries no features field")
+    for field, entry in parse_fields(feats):
+        if field != 1 or not isinstance(entry, bytes):
+            continue
+        name, feat = None, None
+        for f, v in parse_fields(entry):
+            if f == 1 and isinstance(v, bytes):
+                name = v.decode("utf-8", "replace")
+            elif f == 2 and isinstance(v, bytes):
+                feat = v
+        if name is None or feat is None:
+            raise TfRecordError("feature map entry missing key/value")
+        vals: list = []
+        for f, v in parse_fields(feat):
+            if f == 1 and isinstance(v, bytes):          # BytesList
+                for ff, vv in parse_fields(v):
+                    if ff == 1 and isinstance(vv, bytes):
+                        vals.append(vv)
+            elif f == 2 and isinstance(v, bytes):        # FloatList
+                for ff, vv in parse_fields(v):
+                    if ff == 1 and isinstance(vv, bytes):
+                        if len(vv) % 4:
+                            raise TfRecordError(
+                                "FloatList payload not float32-sized")
+                        vals.extend(
+                            struct.unpack(f"<{len(vv) // 4}f", vv))
+            elif f == 3 and isinstance(v, bytes):        # Int64List
+                for ff, vv in parse_fields(v):
+                    if ff == 1 and isinstance(vv, bytes):
+                        p = 0
+                        while p < len(vv):
+                            iv, p = _read_varint(vv, p)
+                            if iv >= 1 << 63:
+                                iv -= 1 << 64
+                            vals.append(iv)
+        out[name] = vals
+    return out
+
+
+# ------------------------------------------------------- Spark door
+
+TFRECORD_ROWS_SCHEMA = (
+    "doc_id long, decoded_ok boolean, rec_idx int, n_records int, "
+    "header string, line string"
+)
+
+
+def tfrecord_rows(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched TFRecord-shard explosion: one row per Example
+    with features rendered into the tab-joined text contract the
+    CSV/parquet/avro doors share (feature names sorted into the
+    header; bytes decode as UTF-8-replace, numbers render exactly).
+    Corrupt framing / CRC mismatch / non-Example payloads isolate as
+    ``decoded_ok=false`` rows."""
+    import pandas as pd
+
+    def _cell(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", errors="replace")
+        if isinstance(v, float):
+            return repr(round(v, 6))
+        return str(v)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                _id = int(_id)
+                try:
+                    recs = [parse_example(r)
+                            for r in iter_tfrecord(bytes(payload))]
+                    if not recs:
+                        raise TfRecordError("empty TFRecord shard")
+                    names = sorted({k for r in recs for k in r})
+                    for i, r in enumerate(recs):
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "rec_idx": i, "n_records": len(recs),
+                            "header": "\t".join(names),
+                            "line": "\t".join(
+                                ";".join(_cell(v) for v in r.get(k, []))
+                                for k in names)})
+                except (TfRecordError, struct.error):
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "rec_idx": None, "n_records": None,
+                        "header": None, "line": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "rec_idx", "n_records",
+                "header", "line"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, TFRECORD_ROWS_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def tfrecord_shards(df, id_col: str = "doc_id",
+                    text_col: str = "text", n_shards: int = 64):
+    """EXPORT side: pack a (id, text) frame into TFRecord shard blobs
+    — the last step of a curation pipeline, where the sampled corpus
+    leaves Spark for a training loader.  Sharding is the
+    content-addressed md5 bucket (text_prep.hash_sample_bucket, so
+    the layout is reproducible across engines and replayable in
+    SQL), records sort by id within a shard, each
+    Example carries ``id`` (Int64List) + ``text`` (BytesList).  One
+    groupBy on the shard key: shard payloads are assembled inside
+    executors and never exceed a shard's own size in driver memory
+    (the output IS the shard table, written wherever the caller
+    points it)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values(id_col)
+        recs = [encode_example({"id": [int(i)],
+                                "text": [(t or "").encode()]})
+                for i, t in zip(pdf[id_col], pdf[text_col])]
+        return pd.DataFrame([{
+            "shard_id": int(key[0]),
+            "n_records": len(recs),
+            "asset": encode_tfrecord(recs)}])
+
+    from verified_sources_spark.llm.text_prep import hash_sample_bucket
+
+    keyed = df.select(
+        F.col(id_col), F.col(text_col),
+        (hash_sample_bucket(id_col, salt="shard")
+         % F.lit(n_shards)).alias("_shard"))
+    return keyed.groupBy("_shard").applyInPandas(
+        pack, "shard_id long, n_records int, asset binary")

@@ -3309,3 +3309,25 @@ ORACLE_SQL["curation_pipeline_docs"] = rf"""
     WHERE CAST(('0x' || substr(md5('mix|' || CAST(tok.doc_id AS VARCHAR)),
                1, 15))::UBIGINT % 1000000 AS BIGINT) < rates.thr
 """
+
+# TFRecord export->readback: md5 shard assignment, per-shard record
+# order and every rendered Example line replayed in SQL.
+ORACLE_SQL["tfrecord_export_docs"] = """
+    WITH t AS (
+      SELECT doc_id, substr(COALESCE(text, ''), 1, 60) AS txt,
+             CAST(('0x' || substr(md5('shard|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                  % 1000000 % 16 AS BIGINT) AS shard
+      FROM documents),
+    r AS (
+      SELECT shard, doc_id, txt,
+             CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY doc_id) - 1 AS INTEGER) AS rec_idx,
+             CAST(count(*) OVER (PARTITION BY shard) AS INTEGER)
+                 AS n_records
+      FROM t)
+    SELECT shard AS shard_id, TRUE AS decoded_ok, rec_idx, n_records,
+           'id' || chr(9) || 'text' AS header,
+           doc_id || chr(9) || txt AS line
+    FROM r
+"""

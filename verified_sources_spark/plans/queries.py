@@ -5186,6 +5186,36 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
+def tfrecord_export_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord EXPORT→READBACK round trip over documents — the final
+    step of the training-data pipeline (where the curated corpus
+    leaves Spark for a training loader) plus the read door that
+    audits it: pack every doc's 60-char slice into 16 TFRecord shards
+    (llm/tfrecord.tfrecord_shards — content-addressed md5 sharding,
+    per-shard id order, tf.train.Example records, masked-CRC32C
+    framing) and explode the shards straight back through
+    llm/tfrecord.tfrecord_rows.  The oracle replays the md5 shard
+    assignment, per-shard record order and every rendered line in SQL
+    — a hash match proves the protobuf Example codec, the CRC-checked
+    framing and the shard layout are exact both directions.  (The
+    CRC32C itself is pinned to the published RFC 3720 vectors in
+    tests/test_tfrecord.py.)"""
+    from verified_sources_spark.llm.tfrecord import (
+        tfrecord_rows, tfrecord_shards,
+    )
+
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)
+         .alias("text"))
+    shards = tfrecord_shards(d, n_shards=16)
+    rows = tfrecord_rows(
+        shards.select(F.col("shard_id").alias("doc_id"), "asset"))
+    return rows.select(
+        F.col("doc_id").alias("shard_id"), "decoded_ok", "rec_idx",
+        "n_records", "header", "line")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5347,4 +5377,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_rerank_embeddings": ivfpq_rerank_embeddings,
     "data_blob_rows_docs": data_blob_rows_docs,
     "curation_pipeline_docs": curation_pipeline_docs,
+    "tfrecord_export_docs": tfrecord_export_docs,
 }
