@@ -109,3 +109,38 @@ def test_fuzz_battery():
     _battery(lambda: write_container(
         schema, [{"id": i, "v": f"val {i}"} for i in range(20)]),
         avro_rows_blob, (DataBlobError,))
+
+
+def test_orc_blob_round_trip_and_refusals():
+    """ORC blobs ride pyarrow.orc behind the same contract; prose
+    that merely STARTS with 'ORC' must not route as a data blob."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    import pytest
+
+    from verified_sources_spark.llm.datablob import (
+        DataBlobError, orc_rows_blob,
+    )
+    from verified_sources_spark.llm.docrouter import (
+        extract_document, sniff_document,
+    )
+
+    buf = io.BytesIO()
+    orc.write_table(pa.table({
+        "id": [1, 2], "note": ["alpha", None]}), buf)
+    blob = buf.getvalue()
+    out = orc_rows_blob(blob)
+    assert out["columns"] == ["id", "note"]
+    assert out["rows"] == [["1", "alpha"], ["2", ""]]
+    routed = extract_document(blob)
+    assert routed["format"] == "orc"
+    assert routed["text"] == "id\tnote\n1\talpha\n2\t"
+    # prose starting with ORC stays text
+    memo = b"ORCHESTRA rehearsal notes\nplain prose follows here\n"
+    assert sniff_document(memo) == "text"
+    with pytest.raises(DataBlobError, match="magic"):
+        orc_rows_blob(memo)
+    with pytest.raises(DataBlobError, match="corrupt orc"):
+        orc_rows_blob(blob[:3] + b"\x00" * 40 + blob[-8:])

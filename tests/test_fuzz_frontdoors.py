@@ -481,6 +481,22 @@ def test_fuzz_datablob():
 
     _battery(enc_parquet, parquet_rows_blob, (DataBlobError,))
 
+    def enc_orc():
+        import io
+
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        buf = io.BytesIO()
+        orc.write_table(pa.table({
+            "id": list(range(40)),
+            "note": [f"row {i} text" for i in range(40)]}), buf)
+        return buf.getvalue()
+
+    from verified_sources_spark.llm.datablob import orc_rows_blob
+
+    _battery(enc_orc, orc_rows_blob, (DataBlobError,), seed=17)
+
     from verified_sources_spark.operators.avro_codec import (
         write_container,
     )

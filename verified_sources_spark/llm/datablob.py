@@ -8,7 +8,8 @@ hand payloads around; without this one, the single most
 machine-readable content in a document drop is the one that gets
 refused as "binary".
 
-- Parquet blobs read through pyarrow (already a Spark dependency —
+- Parquet and ORC blobs read through pyarrow (already a Spark
+  dependency —
   the one battle-tested parquet reader in the environment; the same
   no-hand-rolling call the stdlib zip/tar wrappers make), size- and
   cell-gated.
@@ -28,7 +29,7 @@ from __future__ import annotations
 
 __all__ = [
     "DataBlobError", "parquet_rows_blob", "avro_rows_blob",
-    "data_blob_rows", "DATA_BLOB_ROWS_SCHEMA",
+    "orc_rows_blob", "data_blob_rows", "DATA_BLOB_ROWS_SCHEMA",
 ]
 
 
@@ -112,6 +113,38 @@ def avro_rows_blob(data: bytes, max_bytes: int = 256 << 20) -> dict:
     return {"columns": cols, "rows": rows}
 
 
+def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,
+                  max_cells: int = 50_000_000) -> dict:
+    """One ORC blob → ``{columns, rows}`` (rows as rendered-string
+    lists, column order preserved) — read through pyarrow.orc, the
+    same battle-tested-reader posture as the parquet path.  ORC files
+    open with the ``ORC`` magic and close with a postscript whose
+    last byte precedes a trailing ``ORC`` marker; both ends are
+    checked before handing bytes to the reader."""
+    if len(data) > max_bytes:
+        raise DataBlobError(
+            f"orc blob over size gate ({len(data)} bytes)")
+    if data[:3] != b"ORC" or b"ORC" not in data[-8:]:
+        raise DataBlobError("not an ORC file (magic missing)")
+    import io
+
+    import pyarrow.orc as orc
+
+    try:
+        table = orc.ORCFile(io.BytesIO(data)).read()
+    except Exception as e:  # pyarrow raises its own zoo of errors
+        raise DataBlobError(f"corrupt orc blob: {e}") from None
+    if table.num_rows * max(1, table.num_columns) > max_cells:
+        raise DataBlobError(
+            f"orc blob over cell gate "
+            f"({table.num_rows}x{table.num_columns})")
+    cols = list(table.column_names)
+    pylists = [table.column(c).to_pylist() for c in cols]
+    rows = [[_render_cell(col[i]) for col in pylists]
+            for i in range(table.num_rows)]
+    return {"columns": cols, "rows": rows}
+
+
 DATA_BLOB_ROWS_SCHEMA = (
     "doc_id long, decoded_ok boolean, fmt string, row_idx int, "
     "n_rows int, n_cols int, header string, line string"
@@ -121,10 +154,11 @@ DATA_BLOB_ROWS_SCHEMA = (
 def data_blob_rows(df, id_col: str = "doc_id",
                    asset_col: str = "asset"):
     """Arrow-batched columnar-blob explosion: sniffs parquet (PAR1) vs
-    Avro (``Obj\\x01``), one output row per record, cells tab-joined —
-    the same contract as llm/tabular.delimited_rows, so every
-    blob-borne table lands in one text shape.  Corrupt/unknown blobs
-    isolate as ``decoded_ok=false`` rows."""
+    Avro (``Obj\\x01``) vs ORC (``ORC``), one output row per record,
+    cells tab-joined — the same contract as
+    llm/tabular.delimited_rows, so every blob-borne table lands in
+    one text shape.  Corrupt/unknown blobs isolate as
+    ``decoded_ok=false`` rows."""
     import pandas as pd
 
     def run(batches):
@@ -137,9 +171,11 @@ def data_blob_rows(df, id_col: str = "doc_id",
                         fmt, out = "parquet", parquet_rows_blob(raw)
                     elif raw[:4] == b"Obj\x01":
                         fmt, out = "avro", avro_rows_blob(raw)
+                    elif raw[:3] == b"ORC":
+                        fmt, out = "orc", orc_rows_blob(raw)
                     else:
                         raise DataBlobError(
-                            "neither parquet nor avro magic")
+                            "no parquet/avro/orc magic")
                     hdr = "\t".join(out["columns"])
                     n = len(out["rows"])
                     for i, r in enumerate(out["rows"]):

@@ -47,6 +47,10 @@ def sniff_document(payload: bytes) -> str:
         return "parquet"
     if payload[:4] == b"Obj\x01":
         return "avro"
+    if payload[:3] == b"ORC" and b"ORC" in payload[-8:]:
+        # both ends checked: prose that merely STARTS with "ORC"
+        # must not route here
+        return "orc"
     if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         return "cfb"
     if payload[:5] == b"{\\rtf":
@@ -284,14 +288,16 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
         lines = ([out["header"]] if out["header"] else []) + out["rows"]
         return {"format": "delimited",
                 "text": "\n".join("\t".join(r) for r in lines)}
-    if fmt in ("parquet", "avro"):
+    if fmt in ("parquet", "avro", "orc"):
         from verified_sources_spark.llm.datablob import (
-            DataBlobError, avro_rows_blob, parquet_rows_blob,
+            DataBlobError, avro_rows_blob, orc_rows_blob,
+            parquet_rows_blob,
         )
 
+        readers = {"parquet": parquet_rows_blob,
+                   "avro": avro_rows_blob, "orc": orc_rows_blob}
         try:
-            out = (parquet_rows_blob(payload) if fmt == "parquet"
-                   else avro_rows_blob(payload))
+            out = readers[fmt](payload)
         except DataBlobError as e:
             raise DocRouteError(f"{fmt}: {e}") from None
         lines = [out["columns"]] + out["rows"]

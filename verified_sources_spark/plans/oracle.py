@@ -3203,8 +3203,9 @@ ORACLE_SQL["data_blob_rows_docs"] = """
     WITH p AS (
         SELECT doc_id, (doc_id % 37) <> 0 AS ok,
                CAST(2 + doc_id % 3 AS INTEGER) AS n,
-               CASE WHEN doc_id % 2 = 0 THEN 'parquet'
-                    ELSE 'avro' END AS fmt,
+               CASE WHEN doc_id % 2 = 1 THEN 'avro'
+                    WHEN doc_id % 6 = 4 THEN 'orc'
+                    ELSE 'parquet' END AS fmt,
                COALESCE(text, '') AS t
         FROM documents
     )

@@ -4944,7 +4944,8 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar data-file BLOB ingestion end-to-end over documents:
     per doc, write a real table of ``2 + doc_id % 3`` records (id /
     name / note, the note a 30-char slice of the doc's text) as a
-    PARQUET blob on even ids (pyarrow writer) and an AVRO container on
+    PARQUET blob on even ids (pyarrow writer; every ``% 6 == 4`` an
+    ORC blob instead, pyarrow.orc) and an AVRO container on
     odd (the repo's own pure-Python codec, container codec cycling
     null / deflate / snappy by ``doc_id % 3`` — snappy is the repo's
     own block codec, operators/snappy_codec), every 37th a
@@ -4987,10 +4988,16 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for k in range(2 + did % 3)]
                 if did % 2 == 0:
                     buf = io.BytesIO()
-                    pq.write_table(pa.table({
+                    table = pa.table({
                         "id": [r["id"] for r in recs],
                         "name": [r["name"] for r in recs],
-                        "note": [r["note"] for r in recs]}), buf)
+                        "note": [r["note"] for r in recs]})
+                    if did % 6 == 4:
+                        import pyarrow.orc as orc
+
+                        orc.write_table(table, buf)
+                    else:
+                        pq.write_table(table, buf)
                     asset = buf.getvalue()
                 else:
                     # cycle the full container codec set — null /
