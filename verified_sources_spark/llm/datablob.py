@@ -113,27 +113,12 @@ def avro_rows_blob(data: bytes, max_bytes: int = 256 << 20) -> dict:
     return {"columns": cols, "rows": rows}
 
 
-def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,
-                  max_cells: int = 50_000_000) -> dict:
-    """One ORC blob → ``{columns, rows}`` (rows as rendered-string
-    lists, column order preserved) — read through pyarrow.orc, the
-    same battle-tested-reader posture as the parquet path.  ORC files
-    open with the ``ORC`` magic and close with a postscript whose
-    last byte precedes a trailing ``ORC`` marker; both ends are
-    checked before handing bytes to the reader."""
-    if len(data) > max_bytes:
-        raise DataBlobError(
-            f"orc blob over size gate ({len(data)} bytes)")
-    if data[:3] != b"ORC" or b"ORC" not in data[-8:]:
-        raise DataBlobError("not an ORC file (magic missing)")
+def _orc_decode(data: bytes, max_cells: int) -> dict:
     import io
 
     import pyarrow.orc as orc
 
-    try:
-        table = orc.ORCFile(io.BytesIO(data)).read()
-    except Exception as e:  # pyarrow raises its own zoo of errors
-        raise DataBlobError(f"corrupt orc blob: {e}") from None
+    table = orc.ORCFile(io.BytesIO(data)).read()
     if table.num_rows * max(1, table.num_columns) > max_cells:
         raise DataBlobError(
             f"orc blob over cell gate "
@@ -143,6 +128,69 @@ def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,
     rows = [[_render_cell(col[i]) for col in pylists]
             for i in range(table.num_rows)]
     return {"columns": cols, "rows": rows}
+
+
+def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,
+                  max_cells: int = 50_000_000,
+                  timeout_s: int = 60) -> dict:
+    """One ORC blob → ``{columns, rows}`` (rows as rendered-string
+    lists, column order preserved) — read through pyarrow.orc INSIDE
+    A SACRIFICIAL FORKED CHILD.  Unlike the parquet reader (which
+    survives the repo's mutation battery raising Python errors),
+    pyarrow's ORC reader ABORTS the whole process on some corrupt
+    inputs (SIGABRT, found by tests/test_fuzz_frontdoors.py) — on a
+    real cluster that kills the executor and fails the task, the
+    exact failure mode the refuse-or-row contract forbids.  The fork
+    costs ~1 ms per blob; a crash or hang in the child surfaces as
+    :class:`DataBlobError` like every other corrupt payload.  ORC
+    files open with the ``ORC`` magic and close with a postscript
+    before a trailing ``ORC`` marker; both ends are checked first so
+    prose starting with 'ORC' never pays the fork."""
+    if len(data) > max_bytes:
+        raise DataBlobError(
+            f"orc blob over size gate ({len(data)} bytes)")
+    if data[:3] != b"ORC" or b"ORC" not in data[-8:]:
+        raise DataBlobError("not an ORC file (magic missing)")
+    import os
+    import pickle
+    import signal
+
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # sacrificial child
+        status = 1
+        try:
+            os.close(r)
+            # keep executor logs clean: the child's own crash dump
+            # (faulthandler banner, abort message) is noise — the
+            # parent reports the signal in the DataBlobError
+            devnull = os.open(os.devnull, os.O_WRONLY)
+            os.dup2(devnull, 2)
+            signal.alarm(timeout_s)  # a hang is a crash with extra steps
+            try:
+                payload = pickle.dumps(("ok", _orc_decode(data, max_cells)))
+            except Exception as e:  # noqa: BLE001 — shipped to parent
+                payload = pickle.dumps(
+                    ("err", f"{type(e).__name__}: {e}"))
+            with os.fdopen(w, "wb") as f:
+                f.write(payload)
+            status = 0
+        finally:
+            os._exit(status)
+    os.close(w)
+    with os.fdopen(r, "rb") as f:
+        raw = f.read()
+    _, wait_status = os.waitpid(pid, 0)
+    if not raw:
+        sig = os.WTERMSIG(wait_status) if os.WIFSIGNALED(wait_status) \
+            else None
+        raise DataBlobError(
+            "corrupt orc blob: pyarrow ORC reader crashed"
+            + (f" (signal {sig})" if sig else ""))
+    kind, val = pickle.loads(raw)
+    if kind == "err":
+        raise DataBlobError(f"corrupt orc blob: {val}")
+    return val
 
 
 DATA_BLOB_ROWS_SCHEMA = (
