@@ -174,3 +174,23 @@ def test_docrouter_and_tabular_decode_legacy_charsets():
     out = parse_delimited(csv_gb)
     assert out["charset"] == "gb18030"
     assert out["rows"] == [["北京", "2189"], ["上海", "2487"]]
+
+
+def test_undeclared_warc_body_falls_back_to_probe():
+    """An HTTP body that declares NOTHING (no header charset, no BOM,
+    no meta) probes through detect_bare_charset before the lossy
+    replace-decode."""
+    from verified_sources_spark.llm.warc import decode_body
+
+    page = ("<html><body><p>归档说明：这是一个中文测试页面。"
+            "</p></body></html>")
+    text, charset, clean = decode_body({}, page.encode("gb18030"))
+    assert charset == "gb18030" and clean and text == page
+    # a DECLARED charset still wins over the probe
+    text, charset, clean = decode_body(
+        {"content-type": "text/html; charset=gb18030"},
+        page.encode("gb18030"))
+    assert charset == "gb18030" and clean
+    # true binary still flags unclean instead of crashing
+    text, charset, clean = decode_body({}, b"\xff\xfe\x00garbage\xff")
+    assert clean is False

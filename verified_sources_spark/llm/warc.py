@@ -298,12 +298,31 @@ def decode_body(
     every downstream dedup key and lang-id score.  ``decode_clean`` is
     False when the bytes did not decode strictly under the detected
     charset (decoded with errors='replace' instead), so corpus prep
-    can quarantine suspect pages instead of ingesting garble."""
-    charset, _src = detect_charset(http_headers, body)
+    can quarantine suspect pages instead of ingesting garble.
+
+    Pages that declare NOTHING (no header, no BOM, no meta — the
+    long tail of legacy servers) fall back to the bare-charset probe
+    (llm/text_fix.detect_bare_charset) before the replace-decode: an
+    undeclared cp1252/GB18030/Shift_JIS page decodes exactly instead
+    of shipping U+FFFD-riddled text with a false clean flag."""
+    charset, src = detect_charset(http_headers, body)
     try:
         return body.decode(charset), charset, True
     except (UnicodeDecodeError, ValueError):
-        return body.decode(charset, errors="replace"), charset, False
+        pass
+    if src == "default":
+        from verified_sources_spark.llm.text_fix import (
+            detect_bare_charset,
+        )
+
+        hit = detect_bare_charset(body)
+        if hit is not None:
+            probed = hit[0]
+            try:
+                return body.decode(probed), probed, True
+            except (UnicodeDecodeError, ValueError):
+                pass
+    return body.decode(charset, errors="replace"), charset, False
 
 
 class _TextExtractor(HTMLParser):
