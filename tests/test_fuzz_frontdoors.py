@@ -529,3 +529,22 @@ def test_fuzz_tfrecord():
             parse_example(rec)
 
     _battery(enc, dec, (TfRecordError,), seed=23)
+
+
+def test_fuzz_ics_vcf():
+    from verified_sources_spark.llm.ics_vcf import (
+        IcsVcfError, encode_ics, encode_vcf, parse_ics, parse_vcf,
+    )
+
+    def enc_ics():
+        return encode_ics([
+            {"uid": f"e{k}@x", "summary": f"event {k}, with; marks",
+             "description": "line one\nline two",
+             "dtstart": "20240301T100000Z",
+             "dtend": "20240301T110000Z"} for k in range(4)])
+
+    _battery(enc_ics, parse_ics, (IcsVcfError,), seed=29)
+    _battery(lambda: encode_vcf([
+        {"fn": f"P {k}", "org": "O; U", "title": "t" * 90,
+         "emails": [f"p{k}@e.com"], "tels": ["+1"]}
+        for k in range(4)]), parse_vcf, (IcsVcfError,), seed=31)

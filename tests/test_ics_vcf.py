@@ -1,0 +1,119 @@
+"""iCalendar / vCard (llm/ics_vcf): RFC 5545/6350 content-line
+grammar — folding, escaping, component nesting, the two unambiguous
+date forms — round-tripped against the independent fixture writers,
+plus router dispatch and legacy-charset payloads."""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.llm.ics_vcf import (
+    IcsVcfError,
+    encode_ics,
+    encode_vcf,
+    parse_ics,
+    parse_vcf,
+    unfold_lines,
+)
+
+
+def test_unfolding_and_escaping_round_trip():
+    evs = [{"uid": "e1@x",
+            "summary": "Team sync, weekly; important",
+            "description": ("Line one\nLine two with a long tail "
+                            + "x" * 150),
+            "location": "Room 5", "organizer": "mailto:a@e.com",
+            "status": "CONFIRMED",
+            "dtstart": "20240301T100000Z",
+            "dtend": "20240301T110000Z"}]
+    blob = encode_ics(evs)
+    # the writer really folded (some line over 75 octets continues)
+    assert b"\r\n " in blob
+    (ev,) = parse_ics(blob)["events"]
+    for k, v in evs[0].items():
+        assert ev[k] == v, k
+    assert ev["start_ms"] == 1709287200000
+    assert ev["end_ms"] == 1709290800000
+
+
+def test_date_forms():
+    evs = [{"uid": "d@x", "summary": "all day",
+            "dtstart": "20240302", "dtend": "20240303"}]
+    (ev,) = parse_ics(encode_ics(evs))["events"]
+    assert ev["start_ms"] == 1709337600000
+    # TZID-localized: raw kept, epoch honestly null (no tz database)
+    tz = (b"BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nUID:u\r\n"
+          b"DTSTART;TZID=America/New_York:20240301T100000\r\n"
+          b"END:VEVENT\r\nEND:VCALENDAR\r\n")
+    (ev,) = parse_ics(tz)["events"]
+    assert ev["dtstart"] == "20240301T100000"
+    assert ev["start_ms"] is None
+
+
+def test_vtimezone_skipped_and_quoted_params():
+    blob = (b"BEGIN:VCALENDAR\r\n"
+            b"BEGIN:VTIMEZONE\r\nTZID:X\r\nBEGIN:STANDARD\r\n"
+            b"DTSTART:19700101T000000\r\nEND:STANDARD\r\n"
+            b"END:VTIMEZONE\r\n"
+            b"BEGIN:VEVENT\r\nUID:q@x\r\n"
+            b'ORGANIZER;CN="Doe; John":mailto:j@e.com\r\n'
+            b"SUMMARY:ok\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n")
+    out = parse_ics(blob)
+    assert out["n_components"] == 3  # vtimezone + standard + vevent
+    assert out["events"][0]["organizer"] == "mailto:j@e.com"
+
+
+def test_vcf_compound_org_and_multi_values():
+    cards = [{"fn": "Ada Lovelace", "org": "Analytical; Engines",
+              "title": "Countess",
+              "emails": ["ada@example.com", "al@e.com"],
+              "tels": ["+44 1 234"]},
+             {"fn": "Grace Hopper", "emails": [], "tels": []}]
+    got = parse_vcf(encode_vcf(cards))["cards"]
+    assert got[0]["org"] == "Analytical; Engines"
+    assert got[0]["emails"] == ["ada@example.com", "al@e.com"]
+    assert got[1]["fn"] == "Grace Hopper" and got[1]["org"] is None
+    # plain compound ORG: first component only
+    raw = (b"BEGIN:VCARD\r\nFN:X\r\nORG:Acme;R&D;West\r\n"
+           b"END:VCARD\r\n")
+    assert parse_vcf(raw)["cards"][0]["org"] == "Acme"
+
+
+def test_legacy_charset_payloads():
+    blob = encode_ics([{"uid": "u", "summary": "Réunion café",
+                        "dtstart": "20240301T100000Z"}])
+    legacy = blob.decode().encode("cp1252")
+    assert parse_ics(legacy)["events"][0]["summary"] == "Réunion café"
+
+
+def test_refusals_by_name():
+    for bad in (b"", b"not a calendar",
+                b"BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\n",  # unclosed
+                b"BEGIN:VCALENDAR\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n"):
+        with pytest.raises(IcsVcfError):
+            parse_ics(bad)
+    with pytest.raises(IcsVcfError):
+        parse_vcf(b"BEGIN:VCARD\r\nFN:x\r\n")  # unterminated
+    with pytest.raises(IcsVcfError, match="outside"):
+        parse_vcf(b"BEGIN:VCARD\r\nEND:VCARD\r\nFN:stray\r\n"
+                  b"BEGIN:VCARD\r\nEND:VCARD\r\n")
+
+
+def test_router_dispatch():
+    from verified_sources_spark.llm.docrouter import (
+        extract_document, sniff_document,
+    )
+
+    ics = encode_ics([{"uid": "u", "summary": "Standup",
+                       "location": "Room 1",
+                       "dtstart": "20240301T100000Z"}])
+    assert sniff_document(ics) == "ics"
+    assert extract_document(ics)["text"] == "Standup — Room 1"
+    vcf = encode_vcf([{"fn": "Ada", "org": "Engines",
+                       "emails": [], "tels": []}])
+    assert sniff_document(vcf) == "vcard"
+    assert extract_document(vcf)["text"] == "Ada — Engines"
+
+
+def test_unfold_lines_variants():
+    assert unfold_lines("A:1\r\n B2\nC:3\n\tD4\n") == ["A:1B2", "C:3D4"]

@@ -89,6 +89,10 @@ def sniff_document(payload: bytes) -> str:
             or (head.startswith((b"content-type:", b"from:", b"snapshot-"))
                 and b"multipart/related" in payload[:4096].lower()):
         return "mhtml"
+    if payload[:15].upper() == b"BEGIN:VCALENDAR":
+        return "ics"
+    if payload[:11].upper() == b"BEGIN:VCARD":
+        return "vcard"
     if _looks_like_email(payload):
         # an .eml is a CONTAINER (headers + parts + base64 blocks):
         # ingesting it verbatim as text poisons the dedup/quality
@@ -303,6 +307,27 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
         lines = [out["columns"]] + out["rows"]
         return {"format": fmt,
                 "text": "\n".join("\t".join(r) for r in lines)}
+    if fmt in ("ics", "vcard"):
+        from verified_sources_spark.llm.ics_vcf import (
+            IcsVcfError, parse_ics, parse_vcf,
+        )
+
+        try:
+            if fmt == "ics":
+                evs = parse_ics(payload)["events"]
+                text = "\n".join(
+                    " — ".join(p for p in (ev["summary"],
+                                           ev["description"],
+                                           ev["location"]) if p)
+                    for ev in evs)
+            else:
+                text = "\n".join(
+                    " — ".join(p for p in (c["fn"], c["org"],
+                                           c["title"]) if p)
+                    for c in parse_vcf(payload)["cards"])
+        except IcsVcfError as e:
+            raise DocRouteError(f"{fmt}: {e}") from None
+        return {"format": fmt, "text": text}
     if fmt == "text":
         # the sniff probed a 64KB window; the tail can still carry
         # binary spillover — refuse THROUGH the named error so the

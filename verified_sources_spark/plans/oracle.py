@@ -3332,3 +3332,62 @@ ORACLE_SQL["tfrecord_export_docs"] = """
            doc_id || chr(9) || txt AS line
     FROM r
 """
+
+# iCalendar explosion: unfolding/escaping round-trips to the minted
+# construction; Z-form epochs replay via strptime.
+ORACLE_SQL["ics_events_docs"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 35) <> 0 AS ok,
+             CAST(1 + doc_id % 3 AS INTEGER) AS n,
+             doc_id % 27 + 1 AS day, doc_id % 7 AS room,
+             COALESCE(text, '') AS t
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(k AS INTEGER) AS event_idx,
+           n AS n_events,
+           'ev' || doc_id || '-' || k || '@example.com' AS uid,
+           substr(t, 40 * k + 1, 40) || ', loc; ' || k AS summary,
+           'L1 ' || doc_id || chr(10) || 'L2 ' || k AS description,
+           'Room ' || room AS location, 'CONFIRMED' AS status,
+           '202403' || lpad(CAST(day AS VARCHAR), 2, '0')
+               || 'T' || lpad(CAST(k AS VARCHAR), 2, '0')
+               || '0000Z' AS dtstart,
+           '202403' || lpad(CAST(day AS VARCHAR), 2, '0')
+               || 'T' || lpad(CAST(k + 1 AS VARCHAR), 2, '0')
+               || '0000Z' AS dtend,
+           CAST(epoch_ms(make_timestamp(2024, 3, day, k, 0, 0))
+                AS BIGINT) AS start_ms,
+           CAST(epoch_ms(make_timestamp(2024, 3, day, k + 1, 0, 0))
+                AS BIGINT) AS end_ms
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
+# vCard explosion: compound ORG with an escaped semicolon, folded
+# titles, multi-valued EMAIL/TEL — every field replayed.
+ORACLE_SQL["vcf_cards_docs"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 33) <> 0 AS ok,
+             CAST(1 + doc_id % 2 AS INTEGER) AS n,
+             COALESCE(text, '') AS t
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(k AS INTEGER) AS card_idx,
+           n AS n_cards,
+           'Person ' || doc_id || '-' || k AS fn,
+           'Org; Unit ' || (doc_id % 9) AS org,
+           substr(t, 25 * k + 1, 25) AS title,
+           'p' || doc_id || '.' || k || '@example.com;alt' || k
+               || '@example.com' AS emails,
+           '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS tels
+    FROM p, (SELECT UNNEST([0, 1]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

@@ -5223,6 +5223,102 @@ def tfrecord_export_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_records", "header", "line")
 
 
+def ics_events_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar ingestion end-to-end over documents (the
+    meeting-invite share of every mail archive): per doc, mint a
+    VCALENDAR of ``1 + doc_id % 3`` VEVENTs — summaries carry 40-char
+    text slices plus an escape-worthy ``, loc; k`` suffix,
+    descriptions embed a literal newline (the ``\\n`` escape), every
+    35th doc a non-calendar payload — and explode through
+    llm/ics_vcf.ics_events (RFC 5545 unfolding, escaping, component
+    walk, UTC epoch for the Z forms).  The oracle replays properties
+    and epochs in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.ics_vcf import ics_events
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.ics_vcf import encode_ics
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 35 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"not a calendar at all"})
+                    continue
+                t = text or ""
+                evs = []
+                for k in range(1 + did % 3):
+                    evs.append({
+                        "uid": f"ev{did}-{k}@example.com",
+                        "summary": t[40 * k : 40 * (k + 1)]
+                        + f", loc; {k}",
+                        "description": f"L1 {did}\nL2 {k}",
+                        "location": f"Room {did % 7}",
+                        "status": "CONFIRMED",
+                        "dtstart": f"202403{did % 27 + 1:02d}"
+                                   f"T{k:02d}0000Z",
+                        "dtend": f"202403{did % 27 + 1:02d}"
+                                 f"T{k + 1:02d}0000Z"})
+                rows.append({"doc_id": did, "asset": encode_ics(evs)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return ics_events(assets).select(
+        "doc_id", "decoded_ok", "event_idx", "n_events", "uid",
+        "summary", "description", "location", "status", "dtstart",
+        "dtend", "start_ms", "end_ms")
+
+
+def vcf_cards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vCard ingestion end-to-end over documents (the contact-card
+    share of mail archives): per doc, mint ``1 + doc_id % 2`` cards —
+    compound ORG values with an ESCAPED semicolon (the field
+    separator ambiguity the parser must resolve), folded long titles
+    from text slices, multiple EMAIL/TEL properties — every 33rd doc
+    a non-vCard payload; explode through llm/ics_vcf.vcf_cards.  The
+    oracle replays every field in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.ics_vcf import vcf_cards
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.ics_vcf import encode_vcf
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 33 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"\x00 not a vcard"})
+                    continue
+                t = text or ""
+                cards = []
+                for k in range(1 + did % 2):
+                    cards.append({
+                        "fn": f"Person {did}-{k}",
+                        "org": f"Org; Unit {did % 9}",
+                        "title": t[25 * k : 25 * (k + 1)],
+                        "emails": [f"p{did}.{k}@example.com",
+                                   f"alt{k}@example.com"],
+                        "tels": [f"+1-555-{did % 10000:04d}"]})
+                rows.append({"doc_id": did,
+                             "asset": encode_vcf(cards)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return vcf_cards(assets).select(
+        "doc_id", "decoded_ok", "card_idx", "n_cards", "fn", "org",
+        "title", "emails", "tels")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5385,4 +5481,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_blob_rows_docs": data_blob_rows_docs,
     "curation_pipeline_docs": curation_pipeline_docs,
     "tfrecord_export_docs": tfrecord_export_docs,
+    "ics_events_docs": ics_events_docs,
+    "vcf_cards_docs": vcf_cards_docs,
 }
