@@ -311,3 +311,33 @@ def test_eml_refuses_by_name_as_email():
     assert sniff_document(memo) == "text"
     colons = b"name: value pairs\nbut then ordinary prose follows\n"
     assert sniff_document(colons) == "text"
+
+
+def test_email_sniff_survives_window_cut_and_bom_ics_routes():
+    """(1) A mail whose header block exceeds the 4 KB sniff window
+    (Received/DKIM chains) must still sniff as email — the truncated
+    tail fragment is dropped, not treated as a non-header line.
+    (2) A BOM-prefixed .ics (the Windows/Outlook export shape) routes
+    as ics exactly like its BOM-less copy."""
+    from verified_sources_spark.llm.docrouter import (
+        extract_document, sniff_document,
+    )
+    from verified_sources_spark.llm.ics_vcf import encode_ics
+
+    received = b"".join(
+        b"Received: from relay%d.example.com (relay%d) by mx; "
+        b"Sat, 16 Aug 2026 00:00:%02d +0000\r\n" % (i, i, i % 60)
+        for i in range(60))  # ~5 KB of plausible header chain
+    mail = (b"From: a@example.com\r\nTo: b@example.com\r\n"
+            + received + b"Subject: big headers\r\n\r\nbody\r\n")
+    assert len(mail) > 4096
+    assert sniff_document(mail) == "email"
+
+    ics = encode_ics([{"uid": "u", "summary": "Standup",
+                       "dtstart": "20240301T100000Z"}])
+    for blob in (b"\xef\xbb\xbf" + ics,
+                 ics.decode().encode("utf-16")):
+        assert sniff_document(blob) == "ics", blob[:8]
+        assert extract_document(blob)["text"] == "Standup"
+    vcf = b"\xef\xbb\xbfBEGIN:VCARD\r\nFN:Ada\r\nEND:VCARD\r\n"
+    assert sniff_document(vcf) == "vcard"

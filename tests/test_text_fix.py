@@ -194,3 +194,20 @@ def test_undeclared_warc_body_falls_back_to_probe():
     # true binary still flags unclean instead of crashing
     text, charset, clean = decode_body({}, b"\xff\xfe\x00garbage\xff")
     assert clean is False
+
+
+def test_undeclared_dirty_tail_keeps_probed_charset():
+    """A probed page with one corrupt tail byte replace-decodes under
+    the PROBED charset (near-perfect text, honest charset report),
+    never under the utf-8 default (wall-to-wall U+FFFD)."""
+    from verified_sources_spark.llm.warc import decode_body
+
+    # clean gb18030 for the whole 64 KB probe window, corruption in
+    # the tail BEYOND it — the realistic big-page shape
+    page = "归档说明：这是一个中文测试页面，内容较长一些。" * 2000
+    body = page.encode("gb18030") + b"\xff\xff"
+    assert len(body) > 65536
+    text, charset, clean = decode_body({}, body)
+    assert charset == "gb18030" and clean is False
+    assert text.startswith("归档说明")
+    assert text.count("�") <= 4  # near-perfect, not wall-to-wall

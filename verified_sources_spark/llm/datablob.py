@@ -187,7 +187,12 @@ def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,
         raise DataBlobError(
             "corrupt orc blob: pyarrow ORC reader crashed"
             + (f" (signal {sig})" if sig else ""))
-    kind, val = pickle.loads(raw)
+    try:
+        kind, val = pickle.loads(raw)
+    except Exception:  # child killed mid-write: truncated pickle
+        raise DataBlobError(
+            "corrupt orc blob: ORC reader child died mid-result"
+        ) from None
     if kind == "err":
         raise DataBlobError(f"corrupt orc blob: {val}")
     return val

@@ -89,9 +89,21 @@ def sniff_document(payload: bytes) -> str:
             or (head.startswith((b"content-type:", b"from:", b"snapshot-"))
                 and b"multipart/related" in payload[:4096].lower()):
         return "mhtml"
-    if payload[:15].upper() == b"BEGIN:VCALENDAR":
+    # ICS/vCard magic: Windows/Outlook exports routinely lead with a
+    # BOM (UTF-8 or UTF-16) — strip/decode it before the BEGIN: check
+    # so BOM'd and BOM-less copies of the same invite route (and
+    # dedup) identically; the parsers decode either form
+    probe = payload
+    if probe[:3] == b"\xef\xbb\xbf":
+        probe = probe[3:]
+    elif probe[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        try:
+            probe = probe[:64].decode("utf-16").upper().encode()
+        except UnicodeDecodeError:
+            probe = b""
+    if probe[:15].upper() == b"BEGIN:VCALENDAR":
         return "ics"
-    if payload[:11].upper() == b"BEGIN:VCARD":
+    if probe[:11].upper() == b"BEGIN:VCARD":
         return "vcard"
     if _looks_like_email(payload):
         # an .eml is a CONTAINER (headers + parts + base64 blocks):
@@ -160,8 +172,16 @@ def _looks_like_email(payload: bytes) -> bool:
     mbox ``From `` separator) and at least two CANONICAL mail headers
     must appear in the header block before the first blank line —
     strict enough that delimited/plain text with a stray colon never
-    routes here."""
-    lines = payload[:4096].split(b"\n")
+    routes here.  The 4096-byte window can cut the final line mid-way
+    (real mails carry >4 KB of Received/DKIM chains), so a truncated
+    TAIL fragment is dropped rather than treated as a non-header
+    line."""
+    window = payload[:4096]
+    lines = window.split(b"\n")
+    if len(payload) > len(window):
+        lines = lines[:-1]  # the cut may have split the last line
+    if not lines:
+        return False  # one giant newline-less line is not a header
     first = lines[0].rstrip(b"\r")
     if first.startswith(b"From "):
         lines = lines[1:]

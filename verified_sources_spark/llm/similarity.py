@@ -972,27 +972,29 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    base = corpus.orderBy(id_col).limit(max(n_cells, n_codes)) \
-        .select(id_col, vec_col).collect()
-    Xb = _scaled_int_matrix([r[1] for r in base])
-    cents = Xb[:n_cells]                       # coarse centroids
-    if train_iters > 0:
+    if train_iters == 0:
+        # pinned SQL-witness form: coarse centroids and residual
+        # codebooks from the lowest-id vectors
+        base = corpus.orderBy(id_col).limit(max(n_cells, n_codes)) \
+            .select(id_col, vec_col).collect()
+        Xb = _scaled_int_matrix([r[1] for r in base])
+        cents = Xb[:n_cells]                   # coarse centroids
+
+        def _assign(X):
+            d = X[:, None, :] - cents[None, :, :]
+            return (d * d).sum(axis=2).argmin(axis=1)
+
+        cb_base = Xb[:n_codes]
+        rb = cb_base - cents[_assign(cb_base)]
+        books = [rb[:, s * sub : (s + 1) * sub].copy()
+                 for s in range(m)]
+    else:
         cents = np.array(
             train_kmeans_quantized(corpus, id_col, vec_col,
                                    n_centroids=n_cells,
                                    lloyd_iters=train_iters),
             dtype=np.int64)
-
-    def _assign(X):
-        d = X[:, None, :] - cents[None, :, :]
-        return (d * d).sum(axis=2).argmin(axis=1)
-
-    # residual codebooks: residuals of the lowest-id vectors w.r.t.
-    # their own cells (pinned, like every SQL-witness quantizer here)
-    cb_base = Xb[:n_codes]
-    rb = cb_base - cents[_assign(cb_base)]
-    books = [rb[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
-    if train_iters > 0:
+        books = [None] * m
         # distributed residual frame: exact-int assignment + zip_with
         # subtraction, then the exact-int Lloyd trainer per subspace
         spark_ = corpus.sparkSession

@@ -142,8 +142,11 @@ def _ld(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
 
 
-def _zigzag_int64(v: int) -> int:
-    return v & 0xFFFFFFFFFFFFFFFF  # plain varint, two's complement
+def _int64_wire(v: int) -> int:
+    """Proto3 int64 wire form: PLAIN varint of the two's complement —
+    NOT zigzag (that is sint64's encoding; 'fixing' this to zigzag
+    would corrupt every negative id in exported shards)."""
+    return v & 0xFFFFFFFFFFFFFFFF
 
 
 def encode_example(features: dict) -> bytes:
@@ -165,7 +168,7 @@ def encode_example(features: dict) -> bytes:
         elif all(isinstance(v, (bool, int)) for v in vals):
             # Int64List { repeated int64 value = 1 [packed] }:
             # plain varints, two's complement for negatives
-            packed = b"".join(_varint(_zigzag_int64(int(v)))
+            packed = b"".join(_varint(_int64_wire(int(v)))
                               for v in vals)
             feat = _ld(3, _varint((1 << 3) | 2) + _varint(len(packed))
                      + packed)

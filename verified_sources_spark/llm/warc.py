@@ -321,7 +321,12 @@ def decode_body(
             try:
                 return body.decode(probed), probed, True
             except (UnicodeDecodeError, ValueError):
-                pass
+                # dirty tail under the PROBED charset: replace-decode
+                # with it (falling back to the utf-8 default here
+                # would turn a one-bad-byte gb18030 page into
+                # wall-to-wall U+FFFD and misreport the charset)
+                return (body.decode(probed, errors="replace"),
+                        probed, False)
     return body.decode(charset, errors="replace"), charset, False
 
 

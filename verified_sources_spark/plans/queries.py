@@ -5047,7 +5047,6 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verified_sources_spark.llm.corpus import (
         domain_cap, mixture_sample,
     )
-    from verified_sources_spark.llm.exact_dedup import exact_dedup_groups
     from verified_sources_spark.llm.sedump import se_posts
     from verified_sources_spark.llm.text_fix import fix_text
     from verified_sources_spark.llm.wikitext import wiki_pages
@@ -5157,26 +5156,41 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(routed["code"]).unionByName(routed["latex"])
              .unionByName(routed["jats"]))
 
+    # domain is a pure function of doc_id (% 6) — recomputing it as an
+    # expression after fix_text avoids a join that would re-execute
+    # the entire six-door mint+parse lineage a second time
+    domain_expr = F.element_at(
+        F.array(*[F.lit(d) for d in _DOMAINS]),
+        (F.col("doc_id") % 6 + 1).cast("int"))
     fixed = (fix_text(texts, "doc_id", "text")
              .select("doc_id", "text")
-             .join(texts.select("doc_id", "domain"), "doc_id"))
+             .withColumn("domain", domain_expr))
     good = fixed.filter(token_count(F.col("text")) >= 8)
-    # exact dedup, then normalized near-dup over the exact canonicals;
-    # total copies = kept raw docs per normalized group
-    exact = exact_dedup_groups(good, "doc_id", "text")
-    exact_canon = (good.join(
-        exact.select(F.col("canonical_id").alias("doc_id"),
-                     F.col("n_copies").alias("_exact_copies")),
-        "doc_id"))
-    normed = exact_canon.withColumn("_norm", normalized_text("text"))
-    near = (normed.groupBy("_norm")
-            .agg(F.min("doc_id").alias("doc_id"),
-                 F.sum("_exact_copies").alias("n_copies")))
-    canon = (near.join(good, "doc_id")
-             .select("doc_id", "domain", "text",
+    # exact dedup, then normalized near-dup over the exact canonicals.
+    # Both stages carry the canonical's payload through min_by
+    # aggregations instead of joining back to `good` (each such join
+    # would re-run the heavy decode lineage once more)
+    exact = (good.groupBy("text")
+             .agg(F.expr("min_by(struct(doc_id, domain), doc_id)")
+                   .alias("c"),
+                  F.count(F.lit(1)).alias("_copies"))
+             .select(F.col("c.doc_id").alias("doc_id"),
+                     F.col("c.domain").alias("domain"),
+                     "text", "_copies"))
+    canon = (exact.withColumn("_norm", normalized_text("text"))
+             .groupBy("_norm")
+             .agg(F.expr("min_by(struct(doc_id, domain, text), doc_id)")
+                   .alias("c"),
+                  F.sum("_copies").alias("n_copies"))
+             .select(F.col("c.doc_id").alias("doc_id"),
+                     F.col("c.domain").alias("domain"),
+                     F.col("c.text").alias("text"),
                      F.col("n_copies").cast("long").alias("n_copies")))
+    # capped feeds three readers (mixture's totals, its row branch,
+    # and the final attach join): materialize the metadata-sized cut
+    # once — the lsh materialization precedent (minhash.py docstring)
     capped = domain_cap(canon, "domain", 30, [F.col("doc_id").asc()],
-                        salt_cols=["doc_id"])
+                        salt_cols=["doc_id"]).persist()
     sampled = mixture_sample(
         capped, "doc_id", "text", "domain",
         weights={"wiki": 0.3, "se": 0.2, "chat": 0.1, "code": 0.2,
