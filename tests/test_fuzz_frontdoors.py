@@ -548,3 +548,19 @@ def test_fuzz_ics_vcf():
         {"fn": f"P {k}", "org": "O; U", "title": "t" * 90,
          "emails": [f"p{k}@e.com"], "tels": ["+1"]}
         for k in range(4)]), parse_vcf, (IcsVcfError,), seed=31)
+
+
+def test_fuzz_webdataset():
+    from verified_sources_spark.llm.webdataset import (
+        WdsError, encode_wds, iter_wds_samples,
+    )
+    from verified_sources_spark.llm.archives import ArchiveError
+
+    def enc():
+        return encode_wds([
+            (f"{k:06d}", {"txt": f"sample {k} body".encode(),
+                          "json": b'{"id": %d}' % k})
+            for k in range(12)])
+
+    _battery(enc, lambda d: list(iter_wds_samples(d)),
+             (WdsError, ArchiveError), seed=37)

@@ -3391,3 +3391,27 @@ ORACLE_SQL["vcf_cards_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# WebDataset export->readback: md5 shard assignment, adjacency order,
+# keys, extension sets and both member payloads replayed.
+ORACLE_SQL["wds_export_docs"] = """
+    WITH t AS (
+      SELECT doc_id, substr(COALESCE(text, ''), 1, 60) AS txt,
+             CAST(('0x' || substr(md5('shard|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                  % 1000000 % 16 AS BIGINT) AS shard
+      FROM documents),
+    r AS (
+      SELECT shard, doc_id, txt,
+             CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY doc_id) - 1 AS INTEGER) AS sample_idx,
+             CAST(count(*) OVER (PARTITION BY shard) AS INTEGER)
+                 AS n_samples
+      FROM t)
+    SELECT shard AS shard_id, TRUE AS decoded_ok, sample_idx,
+           n_samples,
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+           'json;txt' AS exts, txt AS text,
+           '{"id": ' || doc_id || '}' AS json
+    FROM r
+"""

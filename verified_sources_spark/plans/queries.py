@@ -5333,6 +5333,32 @@ def vcf_cards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title", "emails", "tels")
 
 
+def wds_export_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset EXPORT→READBACK round trip over documents — the
+    tar-of-samples twin of tfrecord_export_docs, sharing its
+    md5-bucketed layout contract: pack every doc's 60-char slice into
+    16 tar shards (llm/webdataset.wds_shards — adjacent
+    ``{id:012d}.txt`` + ``.json`` members per sample) and explode
+    them back through wds_samples (adjacency grouping, bare-charset
+    text decode, extension inventory).  The oracle replays the shard
+    assignment, per-shard order, keys, extension sets and both member
+    payloads in SQL."""
+    from verified_sources_spark.llm.webdataset import (
+        wds_samples, wds_shards,
+    )
+
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)
+         .alias("text"))
+    shards = wds_shards(d, n_shards=16)
+    rows = wds_samples(
+        shards.select(F.col("shard_id").alias("doc_id"), "asset"))
+    return rows.select(
+        F.col("doc_id").alias("shard_id"), "decoded_ok", "sample_idx",
+        "n_samples", "key", "exts", "text", "json")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5497,4 +5523,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfrecord_export_docs": tfrecord_export_docs,
     "ics_events_docs": ics_events_docs,
     "vcf_cards_docs": vcf_cards_docs,
+    "wds_export_docs": wds_export_docs,
 }
