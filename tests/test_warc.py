@@ -170,9 +170,14 @@ def test_decode_body_flags_dirty_decodes():
     got, cs, clean = decode_body(
         {"content-type": "text/html; charset=utf-8"}, b"\x80\xffab")
     assert clean is False and got.endswith("ab")  # decoded with replacement
-    # undeclared non-UTF-8 body → default utf-8, flagged dirty (not silent)
+    # undeclared non-UTF-8 body: the round-13 bare-charset probe
+    # recovers it exactly (cp1252 ⊇ latin-1 for these bytes) instead
+    # of the old utf-8-replace garble
     got, cs, clean = decode_body({}, "café".encode("iso-8859-1"))
-    assert cs == "utf-8" and clean is False
+    assert got == "café" and cs == "cp1252" and clean is True
+    # truly undecodable bytes still flag dirty, never crash
+    got, cs, clean = decode_body({}, bytes(range(256)) * 2)
+    assert clean is False
 
 
 def test_warc_extract_charset_columns(spark):
