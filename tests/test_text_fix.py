@@ -211,3 +211,22 @@ def test_undeclared_dirty_tail_keeps_probed_charset():
     assert charset == "gb18030" and clean is False
     assert text.startswith("归档说明")
     assert text.count("�") <= 4  # near-perfect, not wall-to-wall
+
+
+def test_korean_russian_greek_legacy_round_trips():
+    """Round-13b probe extensions: EUC-KR (common-hangul prior beats
+    the euc_jp/gb18030 strict-accept tie), cp1251 Cyrillic and cp1253
+    Greek (whole-script classes, cp1253 probing first because Russian
+    text carries 0xFF/'я' which cp1253 leaves undefined)."""
+    from verified_sources_spark.llm.text_fix import decode_bare_text
+
+    cases = {
+        "euc_kr": "서울시의 인구는 구백만 명이 넘습니다. 우리는 "
+                  "한국어로 말합니다.",
+        "cp1251": "Русский текст для проверки кодировки страницы.",
+        "cp1253": "Ελληνικό κείμενο για έλεγχο κωδικοποίησης.",
+    }
+    for codec, text in cases.items():
+        got_text, got_codec, clean = decode_bare_text(
+            text.encode(codec))
+        assert got_codec == codec and got_text == text and clean

@@ -88,7 +88,17 @@ def _encode_cp1252ish(s: str) -> bytes | None:
 # controls, dense runs of accented Latin (ÖÐÎÄ…), halfwidth katakana,
 # private-use/rare-extension ideographs.
 _PROBE_ORDER = ("utf-8", "shift_jis", "euc_jp", "big5", "gb18030",
-                "cp1252")
+                "euc_kr", "cp1252", "cp1253", "cp1251")
+# Probe-order notes beyond the CJK story below: euc_kr sits after the
+# other CJK codecs (its hangul output is discriminated by the
+# common-syllable prior, not by order); cp1253 (Greek) probes BEFORE
+# cp1251 because Russian text virtually always carries 0xFF ('я') or
+# 0xD2 ('Т'), both UNDEFINED in cp1253 — so Russian strict-fails the
+# Greek probe while Greek would strictly (mis)decode under cp1251;
+# koi8-r is deliberately absent (it maps into the same Cyrillic block
+# as cp1251 — separating the two needs a language model, and cp1251
+# is the dominant legacy share; a koi8-r page decodes as flagged-dirty
+# rather than silently-wrong).
 
 # Frequency prior for the classic GB-vs-EUC-vs-Big5 ambiguity: GBK and
 # EUC-JP/Big5 byte areas overlap enough that short genuine text in one
@@ -124,6 +134,17 @@ _COMMON_CJK = frozenset(
     "實體讓關點業務員長發電話語言讀書寫字聽說城市人口北京上海臺灣測"
     "試範例文字段繁簡")
 
+# Common-hangul prior: the same trick for Korean — CJK bytes
+# mis-decoded as euc_kr land on effectively RANDOM syllables (11 172
+# possible), while genuine Korean concentrates on a small frequent
+# set (particles, copulas, common nouns); ~0.7% random hit rate vs
+# ~50%+ genuine.
+_COMMON_HANGUL = frozenset(
+    "이다는을에가하고지의서로부사스트인시대그내우주어무엇도한국말글"
+    "년월일자요니까습만네저것수있없되었면같보기름잘못안와과들때문비"
+    "제공용정보검색결과페지쓰린아버학생선교회경제문화역국정부대통령"
+    "름성남여동서울산강물불빛길집방밥먹살알모두더많적크작높낮새옛")
+
 
 def _plausibility(text: str) -> float:
     """Per-char plausibility in [-2, 1]: genuine prose in any of the
@@ -133,6 +154,14 @@ def _plausibility(text: str) -> float:
         return 0.0
     good, prev_latin = 0.0, False
     n = len(text)
+    # Greek/Cyrillic are WHOLE-script languages: genuine pages are
+    # majority-script, while a Western page mis-decoded as cp1253/
+    # cp1251 turns only its accent clusters into Greek/Cyrillic
+    # ('fόr', 'δφόί' from 'äöüß').  The global fraction separates the
+    # two where per-char neighborhoods cannot (an umlaut CLUSTER
+    # looks exactly like a short Greek word).
+    n_script = sum(1 for ch in text if 0x370 <= ord(ch) <= 0x4FF)
+    script_genuine = n_script >= 0.25 * n
     for i, ch in enumerate(text):
         o = ord(ch)
         latin = False
@@ -140,22 +169,26 @@ def _plausibility(text: str) -> float:
             good += 1
         elif 0x80 <= o <= 0x9F:
             good -= 2  # C1 controls: never genuine text
-        elif 0xA0 <= o <= 0x24F or 0x370 <= o <= 0x5FF:
-            # accented Latin / Greek / Cyrillic / Hebrew: full credit
-            # only OUTSIDE dense non-ASCII runs — genuine Western text
-            # is mostly ASCII with isolated accents, while CJK bytes
-            # mis-decoded as cp1252 are wall-to-wall accents
+        elif 0x370 <= o <= 0x4FF:
+            good += 1 if script_genuine else 0.2
+        elif 0xA0 <= o <= 0x36F or 0x500 <= o <= 0x5FF:
+            # accented Latin / Hebrew: full credit only OUTSIDE dense
+            # non-ASCII runs — genuine Western text is mostly ASCII
+            # with isolated accents, while CJK bytes mis-decoded as
+            # cp1252 are wall-to-wall accents
             latin = True
             nxt = ord(text[i + 1]) if i + 1 < n else 0x20
-            dense = prev_latin or (0xA0 <= nxt <= 0x24F) \
-                or (0x370 <= nxt <= 0x5FF)
+            dense = prev_latin or (0xA0 <= nxt <= 0x36F)
             good += 0.2 if dense else 1
         elif 0x4E00 <= o <= 0x9FFF:
             # ideographs: high-frequency chars collect the prior bonus
             good += 1.5 if ch in _COMMON_CJK else 1
-        elif 0x3000 <= o <= 0x30FF or 0xAC00 <= o <= 0xD7A3 \
-                or 0xFF01 <= o <= 0xFF60:
-            good += 1  # CJK punct/kana, hangul, fullwidth forms
+        elif 0xAC00 <= o <= 0xD7A3:
+            # hangul: the common-syllable prior separates genuine
+            # Korean from CJK-bytes-as-euc_kr garble
+            good += 1.5 if ch in _COMMON_HANGUL else 1
+        elif 0x3000 <= o <= 0x30FF or 0xFF01 <= o <= 0xFF60:
+            good += 1  # CJK punct/kana, fullwidth forms
         elif 0xFF61 <= o <= 0xFF9F:
             good -= 1  # halfwidth katakana: Shift_JIS-as-other garble
         elif 0xE000 <= o <= 0xF8FF or 0x3400 <= o <= 0x4DBF:
@@ -176,7 +209,8 @@ def detect_bare_charset(
     not text in an unprobed charset).  ``source`` ∈ {'bom', 'utf-8',
     'probe'}.  BOMs beat everything; strict UTF-8 is authoritative
     (random binary virtually never validates); the legacy set
-    (Shift_JIS, EUC-JP, Big5, GB18030, cp1252) is strict-decoded and
+    (Shift_JIS, EUC-JP, Big5, GB18030, EUC-KR, cp1252, cp1253
+    Greek, cp1251 Cyrillic) is strict-decoded and
     scored, best score winning with probe order breaking ties —
     GB18030 probes after the other CJK codecs because it strictly
     accepts nearly any CJK byte stream, and cp1252 last because it
