@@ -1,0 +1,94 @@
+"""Crawl governance (llm/crawlgov): RFC 9309 robots model incl. the
+precedence rule, sitemaps with gzip wrapping, refusals, Spark ops."""
+
+from __future__ import annotations
+
+import pytest
+
+from verified_sources_spark.llm.crawlgov import (
+    CrawlGovError,
+    encode_robots,
+    encode_sitemap,
+    is_allowed,
+    parse_robots,
+    parse_sitemap,
+    robots_rules,
+    sitemap_urls,
+)
+
+
+def _robots():
+    return parse_robots(encode_robots([
+        {"agents": ["*"],
+         "rules": [("disallow", "/private/"),
+                   ("allow", "/private/ok.html")],
+         "crawl_delay": 1.5},
+        {"agents": ["googlebot", "bingbot"],
+         "rules": [("disallow", "/tmp/*.pdf$"), ("disallow", "")]},
+    ], sitemaps=["https://e.com/sitemap.xml"]))
+
+
+def test_group_model_and_precedence():
+    r = _robots()
+    assert len(r["groups"]) == 2
+    assert r["groups"][0]["crawl_delay"] == 1.5
+    assert r["sitemaps"] == ["https://e.com/sitemap.xml"]
+    # default group: longest pattern wins, allow beats disallow on tie
+    assert is_allowed(r, "mybot/1.0", "/public/x")
+    assert not is_allowed(r, "mybot/1.0", "/private/doc")
+    assert is_allowed(r, "mybot/1.0", "/private/ok.html")
+    # named group selection by agent substring; * and $ semantics
+    assert not is_allowed(r, "Googlebot/2.1", "/tmp/a.pdf")
+    assert is_allowed(r, "Googlebot/2.1", "/tmp/a.pdfx")  # $ anchor
+    assert is_allowed(r, "Googlebot/2.1", "/private/doc")  # own group
+    # empty Disallow value matches nothing (allow-all idiom)
+    assert is_allowed(r, "BingBot", "/anything")
+
+
+def test_robots_junk_tolerance_and_refusals():
+    messy = (b"# comment line\nUser-agent: *\n"
+             b"random junk without colon\n"
+             b"Unknown-directive: whatever\n"
+             b"Disallow: /x # trailing comment\n")
+    r = parse_robots(messy)
+    assert r["groups"][0]["rules"] == [("disallow", "/x")]
+    for bad in (b"", b"prose only\nno directives here\n",
+                bytes(range(256))):
+        with pytest.raises(CrawlGovError):
+            parse_robots(bad)
+
+
+def test_sitemap_kinds_gzip_and_refusals():
+    sm = encode_sitemap(
+        [{"loc": "https://e.com/a?x=1&y=2", "lastmod": "2024-03-01",
+          "priority": "0.8"},
+         {"loc": "https://e.com/b"}])
+    out = parse_sitemap(sm)
+    assert out["kind"] == "urlset"
+    assert out["entries"][0]["loc"] == "https://e.com/a?x=1&y=2"
+    assert out["entries"][1]["lastmod"] is None
+    gz = encode_sitemap([{"loc": "https://e.com/s1.xml"}],
+                        kind="sitemapindex", gz=True)
+    out = parse_sitemap(gz)
+    assert out["kind"] == "sitemapindex"
+    for bad in (b"<html></html>", b"\x1f\x8bnot gzip",
+                b"<urlset><url></url></urlset>", b"not xml"):
+        with pytest.raises(CrawlGovError):
+            parse_sitemap(bad)
+
+
+def test_spark_operators(spark):
+    r1 = encode_robots([{"agents": ["*"],
+                         "rules": [("disallow", "/a")]}])
+    df = spark.createDataFrame(
+        [(1, bytearray(r1)), (2, bytearray(b"\x00 junk"))],
+        "doc_id long, asset binary")
+    rows = {r["doc_id"]: r for r in robots_rules(df).collect()}
+    assert rows[1]["directive"] == "disallow" and rows[1]["pattern"] == "/a"
+    assert rows[2]["decoded_ok"] is False
+
+    sm = encode_sitemap([{"loc": "https://e.com/1"}], gz=True)
+    df = spark.createDataFrame([(1, bytearray(sm))],
+                               "doc_id long, asset binary")
+    (r,) = sitemap_urls(df).collect()
+    assert r["decoded_ok"] and r["loc"] == "https://e.com/1"

@@ -564,3 +564,22 @@ def test_fuzz_webdataset():
 
     _battery(enc, lambda d: list(iter_wds_samples(d)),
              (WdsError, ArchiveError), seed=37)
+
+
+def test_fuzz_crawlgov():
+    from verified_sources_spark.llm.crawlgov import (
+        CrawlGovError, encode_robots, encode_sitemap, parse_robots,
+        parse_sitemap,
+    )
+
+    _battery(lambda: encode_robots([
+        {"agents": ["*"], "rules": [("disallow", "/private/"),
+                                    ("allow", "/private/ok")],
+         "crawl_delay": 2.0},
+        {"agents": ["bot1"], "rules": [("disallow", "/tmp/*.pdf$")]},
+    ], sitemaps=["https://e.com/sm.xml"]),
+        parse_robots, (CrawlGovError,), seed=41)
+    _battery(lambda: encode_sitemap(
+        [{"loc": f"https://e.com/{k}", "lastmod": "2024-03-01"}
+         for k in range(8)], gz=True),
+        parse_sitemap, (CrawlGovError,), seed=43)

@@ -230,7 +230,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "code_signals_docs", "cross_source_dedup_docs",
               "data_blob_rows_docs", "curation_pipeline_docs",
               "tfrecord_export_docs", "ics_events_docs",
-              "vcf_cards_docs", "wds_export_docs"):
+              "vcf_cards_docs", "wds_export_docs",
+              "robots_rules_docs", "sitemap_urls_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

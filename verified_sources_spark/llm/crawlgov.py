@@ -1,0 +1,330 @@
+"""Crawl governance: robots.txt (RFC 9309) and XML sitemaps
+(sitemaps.org protocol) — the URL-frontier side of a crawl pipeline.
+
+A 100 TB crawl corpus starts from frontier decisions: which paths a
+host allows, how fast to fetch, and which URLs the site itself
+advertises.  The reference ingests crawled/scraped content
+(sources/scraping); these two parsers make the governance artifacts
+first-class rows so frontier construction, allow-rate audits and
+sitemap-vs-crawl coverage joins are DataFrame ops.
+
+- ``parse_robots``: group-based model per RFC 9309 — consecutive
+  ``User-agent`` lines open ONE group sharing its rules; matching is
+  longest-match with ``*`` wildcards and ``$`` end anchors;
+  ``is_allowed`` implements the precedence rule (longest pattern
+  wins, Allow beats Disallow on equal length).  ``Crawl-delay`` and
+  ``Sitemap`` lines are carried (the de-facto extensions every
+  crawler honors).
+- ``parse_sitemap``: urlset AND sitemapindex documents (namespaced or
+  not), loc/lastmod/changefreq/priority per entry, entity-unescaped
+  locs; gzip-wrapped payloads (``sitemap.xml.gz``) decode first.
+
+Spark ops ``robots_rules`` / ``sitemap_urls`` explode payloads with
+the usual decoded_ok isolation.  Both writers are independent of the
+parsers so round trips cross-check the grammar.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "CrawlGovError", "parse_robots", "is_allowed", "parse_sitemap",
+    "encode_robots", "encode_sitemap", "robots_rules", "sitemap_urls",
+    "ROBOTS_RULES_SCHEMA", "SITEMAP_URLS_SCHEMA",
+]
+
+
+class CrawlGovError(ValueError):
+    """Named refusal: not a robots.txt / sitemap payload we serve."""
+
+
+# ------------------------------------------------------------- robots
+
+def parse_robots(data: bytes) -> dict:
+    """robots.txt → ``{"groups": [{agents, rules, crawl_delay}],
+    "sitemaps": [...]}`` — rules as (directive, pattern) in file
+    order.  Unknown directives are skipped (RFC 9309 §2.2.4); bare
+    junk lines too (real robots files are full of them); a payload
+    with no recognizable directive at all refuses."""
+    from verified_sources_spark.llm.text_fix import decode_bare_text
+
+    dec = decode_bare_text(data)
+    if dec is None:
+        raise CrawlGovError("robots payload is not decodable text")
+    text = dec[0]
+    groups: list[dict] = []
+    sitemaps: list[str] = []
+    cur: dict | None = None
+    last_was_agent = False
+    recognized = 0
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            recognized += 1
+            if not last_was_agent:
+                cur = {"agents": [], "rules": [], "crawl_delay": None}
+                groups.append(cur)
+            cur["agents"].append(value.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if field == "sitemap":
+            recognized += 1
+            sitemaps.append(value)
+            continue
+        if cur is None:
+            continue  # rules before any user-agent line: ignored
+        if field in ("allow", "disallow"):
+            recognized += 1
+            cur["rules"].append((field, value))
+        elif field == "crawl-delay":
+            recognized += 1
+            try:
+                cur["crawl_delay"] = float(value)
+            except ValueError:
+                pass
+    if recognized == 0:
+        raise CrawlGovError(
+            "no robots.txt directives found — not a robots file")
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _pattern_rx(pattern: str) -> re.Pattern:
+    out, anchor = [], False
+    body = pattern
+    if body.endswith("$"):
+        body, anchor = body[:-1], True
+    for part in body.split("*"):
+        out.append(re.escape(part))
+    return re.compile("^" + ".*".join(out) + ("$" if anchor else ""))
+
+
+def _group_for(robots: dict, agent: str) -> dict | None:
+    agent = agent.lower()
+    best, best_len = None, -1
+    for g in robots["groups"]:
+        for a in g["agents"]:
+            if a == "*":
+                if best_len < 0:
+                    best, best_len = g, 0
+            elif a in agent and len(a) > best_len:
+                best, best_len = g, len(a)
+    return best
+
+
+def is_allowed(robots: dict, agent: str, path: str) -> bool:
+    """RFC 9309 precedence: the group is the longest agent-substring
+    match (``*`` as fallback); within it the longest matching pattern
+    wins, Allow beating Disallow on ties; no match → allowed.  An
+    empty Disallow value disallows nothing (the classic allow-all)."""
+    g = _group_for(robots, agent)
+    if g is None:
+        return True
+    best_len, verdict = -1, True
+    for directive, pattern in g["rules"]:
+        if not pattern:
+            continue  # "Disallow:" (empty) matches nothing
+        if _pattern_rx(pattern).match(path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len
+                                   and directive == "allow"):
+                best_len, verdict = plen, directive == "allow"
+    return verdict
+
+
+def encode_robots(groups: list[dict],
+                  sitemaps: list[str] | None = None) -> bytes:
+    lines = []
+    for g in groups:
+        for a in g.get("agents", ["*"]):
+            lines.append(f"User-agent: {a}")
+        if g.get("crawl_delay") is not None:
+            lines.append(f"Crawl-delay: {g['crawl_delay']:g}")
+        for directive, pattern in g.get("rules", []):
+            lines.append(f"{directive.capitalize()}: {pattern}")
+        lines.append("")
+    for s in sitemaps or ():
+        lines.append(f"Sitemap: {s}")
+    return ("\n".join(lines) + "\n").encode()
+
+
+# ------------------------------------------------------------ sitemap
+
+_LOC_FIELDS = ("loc", "lastmod", "changefreq", "priority")
+
+
+def parse_sitemap(data: bytes, max_bytes: int = 64 << 20) -> dict:
+    """sitemap XML → ``{"kind": "urlset"|"sitemapindex",
+    "entries": [{loc, lastmod, changefreq, priority}]}``; gzip
+    payloads (the ``sitemap.xml.gz`` convention) decompress first."""
+    import gzip
+    import xml.etree.ElementTree as ET
+
+    if data[:2] == b"\x1f\x8b":
+        import zlib
+
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError, zlib.error) as e:
+            # truncation raises EOFError, bit flips zlib.error
+            raise CrawlGovError(f"bad gzip sitemap: {e}") from None
+    if len(data) > max_bytes:
+        raise CrawlGovError(
+            f"sitemap over size gate ({len(data)} bytes)")
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as e:
+        raise CrawlGovError(f"not XML: {e}") from None
+    tag = root.tag.rsplit("}", 1)[-1]
+    if tag not in ("urlset", "sitemapindex"):
+        raise CrawlGovError(
+            f"XML root <{tag}> is not a sitemap document")
+    child = "url" if tag == "urlset" else "sitemap"
+    entries = []
+    for el in root:
+        if el.tag.rsplit("}", 1)[-1] != child:
+            continue
+        entry = {k: None for k in _LOC_FIELDS}
+        for sub in el:
+            name = sub.tag.rsplit("}", 1)[-1]
+            if name in entry:
+                entry[name] = (sub.text or "").strip()
+        if not entry["loc"]:
+            raise CrawlGovError(f"<{child}> entry without <loc>")
+        entries.append(entry)
+    return {"kind": tag, "entries": entries}
+
+
+def encode_sitemap(entries: list[dict], kind: str = "urlset",
+                   gz: bool = False) -> bytes:
+    from xml.sax.saxutils import escape
+
+    child = "url" if kind == "urlset" else "sitemap"
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+             f'<{kind} xmlns="http://www.sitemaps.org/schemas/'
+             'sitemap/0.9">']
+    for e in entries:
+        parts.append(f"<{child}>")
+        for k in _LOC_FIELDS:
+            if e.get(k) is not None:
+                parts.append(f"<{k}>{escape(str(e[k]))}</{k}>")
+        parts.append(f"</{child}>")
+    parts.append(f"</{kind}>")
+    out = "\n".join(parts).encode()
+    if gz:
+        import gzip
+
+        out = gzip.compress(out, 9)
+    return out
+
+
+# ---------------------------------------------------------- Spark ops
+
+ROBOTS_RULES_SCHEMA = (
+    "doc_id long, decoded_ok boolean, group_idx int, agents string, "
+    "rule_idx int, directive string, pattern string, "
+    "crawl_delay double, n_sitemaps int"
+)
+
+
+def robots_rules(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched robots explosion: one row per rule (groups with
+    no rules emit one null-rule row so allow-all groups are visible);
+    malformed payloads isolate as ``decoded_ok=false``."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                _id = int(_id)
+                try:
+                    out = parse_robots(bytes(payload))
+                    ns = len(out["sitemaps"])
+                    for gi, g in enumerate(out["groups"]):
+                        agents = ";".join(g["agents"])
+                        if not g["rules"]:
+                            rows.append({
+                                "doc_id": _id, "decoded_ok": True,
+                                "group_idx": gi, "agents": agents,
+                                "rule_idx": None, "directive": None,
+                                "pattern": None,
+                                "crawl_delay": g["crawl_delay"],
+                                "n_sitemaps": ns})
+                        for ri, (d, p) in enumerate(g["rules"]):
+                            rows.append({
+                                "doc_id": _id, "decoded_ok": True,
+                                "group_idx": gi, "agents": agents,
+                                "rule_idx": ri, "directive": d,
+                                "pattern": p,
+                                "crawl_delay": g["crawl_delay"],
+                                "n_sitemaps": ns})
+                except CrawlGovError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "group_idx": None, "agents": None,
+                        "rule_idx": None, "directive": None,
+                        "pattern": None, "crawl_delay": None,
+                        "n_sitemaps": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "group_idx", "agents",
+                "rule_idx", "directive", "pattern", "crawl_delay",
+                "n_sitemaps"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, ROBOTS_RULES_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+SITEMAP_URLS_SCHEMA = (
+    "doc_id long, decoded_ok boolean, kind string, url_idx int, "
+    "n_urls int, loc string, lastmod string, changefreq string, "
+    "priority string"
+)
+
+
+def sitemap_urls(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched sitemap explosion: one row per <url>/<sitemap>
+    entry; gzip payloads decode; malformed isolate."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                _id = int(_id)
+                try:
+                    out = parse_sitemap(bytes(payload))
+                    es = out["entries"]
+                    for i, e in enumerate(es):
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "kind": out["kind"], "url_idx": i,
+                            "n_urls": len(es), **e})
+                except CrawlGovError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "kind": None, "url_idx": None, "n_urls": None,
+                        "loc": None, "lastmod": None,
+                        "changefreq": None, "priority": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "kind", "url_idx", "n_urls",
+                "loc", "lastmod", "changefreq", "priority"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, SITEMAP_URLS_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

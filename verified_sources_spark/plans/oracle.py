@@ -3415,3 +3415,56 @@ ORACLE_SQL["wds_export_docs"] = """
            '{"id": ' || doc_id || '}' AS json
     FROM r
 """
+
+# robots.txt explosion: RFC 9309 group model — groups, rule order,
+# patterns, crawl delays and the sitemap count replayed.
+ORACLE_SQL["robots_rules_docs"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 31) <> 0 AS ok,
+             (doc_id % 3) <> 0 AS hasbot,
+             doc_id % 5 AS priv, doc_id % 7 AS bot,
+             CAST(doc_id % 4 AS DOUBLE) + 0.5 AS delay
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(0 AS INTEGER) AS group_idx,
+           '*' AS agents, CAST(k AS INTEGER) AS rule_idx,
+           CASE k WHEN 0 THEN 'disallow' ELSE 'allow' END AS directive,
+           CASE k WHEN 0 THEN '/private' || priv || '/'
+                  ELSE '/private' || priv || '/ok.html' END AS pattern,
+           delay AS crawl_delay, CAST(1 AS INTEGER) AS n_sitemaps
+    FROM p, (SELECT UNNEST([0, 1]) AS k) ks
+    WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(1 AS INTEGER), 'bot' || bot,
+           CAST(0 AS INTEGER), 'disallow',
+           '/tmp' || doc_id || '/*.pdf$', NULL, CAST(1 AS INTEGER)
+    FROM p WHERE ok AND hasbot
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
+# Sitemap explosion: urlset/sitemapindex kinds, gzip wrapping, entry
+# order and every field replayed.
+ORACLE_SQL["sitemap_urls_docs"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 29) <> 0 AS ok,
+             CAST(1 + doc_id % 3 AS INTEGER) AS n,
+             CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex'
+                  ELSE 'urlset' END AS kind,
+             doc_id % 27 + 1 AS day
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, kind,
+           CAST(k AS INTEGER) AS url_idx, n AS n_urls,
+           'https://example.com/' || doc_id || '/' || k AS loc,
+           '2024-03-' || lpad(CAST(day AS VARCHAR), 2, '0') AS lastmod,
+           CASE k % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                      ELSE 'monthly' END AS changefreq,
+           '0.' || (k + 1) AS priority
+    FROM p, (SELECT UNNEST([0, 1, 2]) AS k) ks
+    WHERE ok AND k < n
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

@@ -5359,6 +5359,101 @@ def wds_export_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples", "key", "exts", "text", "json")
 
 
+def robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt ingestion end-to-end over documents (the crawl-
+    governance artifact a frontier builds from): per doc, mint a
+    robots file — a ``*`` group with a disallow/allow pair and a
+    crawl-delay, plus a named-bot group with a wildcard+anchor rule
+    on every ``% 3 != 0`` — every 31st doc a binary payload; explode
+    through llm/crawlgov.robots_rules (RFC 9309 group model).  The
+    oracle replays groups, rule order, patterns and delays in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.crawlgov import robots_rules
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.crawlgov import encode_robots
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 31 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"\x00\x01 not robots"})
+                    continue
+                groups = [{
+                    "agents": ["*"],
+                    "rules": [("disallow", f"/private{did % 5}/"),
+                              ("allow",
+                               f"/private{did % 5}/ok.html")],
+                    "crawl_delay": float(did % 4) + 0.5}]
+                if did % 3 != 0:
+                    groups.append({
+                        "agents": [f"bot{did % 7}"],
+                        "rules": [("disallow",
+                                   f"/tmp{did}/*.pdf$")]})
+                rows.append({
+                    "doc_id": did,
+                    "asset": encode_robots(
+                        groups,
+                        sitemaps=[f"https://e.com/{did}/sm.xml"])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return robots_rules(assets).select(
+        "doc_id", "decoded_ok", "group_idx", "agents", "rule_idx",
+        "directive", "pattern", "crawl_delay", "n_sitemaps")
+
+
+def sitemap_urls_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion end-to-end over documents: per doc, mint a
+    urlset of ``1 + doc_id % 3`` entries (loc/lastmod/changefreq/
+    priority) — every 4th doc a sitemapindex instead, every 3rd
+    payload gzip-wrapped (the ``sitemap.xml.gz`` convention), every
+    29th a non-sitemap payload; explode through
+    llm/crawlgov.sitemap_urls.  The oracle replays kinds, entry order
+    and every field in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.crawlgov import sitemap_urls
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.crawlgov import encode_sitemap
+
+        freqs = ("daily", "weekly", "monthly")
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 29 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"<html>not a sitemap"
+                                          b"</html>"})
+                    continue
+                kind = ("sitemapindex" if did % 4 == 0 else "urlset")
+                entries = [{
+                    "loc": f"https://example.com/{did}/{k}",
+                    "lastmod": f"2024-03-{did % 27 + 1:02d}",
+                    "changefreq": freqs[k % 3],
+                    "priority": f"0.{k + 1}"}
+                    for k in range(1 + did % 3)]
+                rows.append({
+                    "doc_id": did,
+                    "asset": encode_sitemap(entries, kind=kind,
+                                            gz=did % 3 == 0)})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return sitemap_urls(assets).select(
+        "doc_id", "decoded_ok", "kind", "url_idx", "n_urls", "loc",
+        "lastmod", "changefreq", "priority")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5524,4 +5619,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ics_events_docs": ics_events_docs,
     "vcf_cards_docs": vcf_cards_docs,
     "wds_export_docs": wds_export_docs,
+    "robots_rules_docs": robots_rules_docs,
+    "sitemap_urls_docs": sitemap_urls_docs,
 }
