@@ -92,3 +92,39 @@ def test_spark_operators(spark):
                                "doc_id long, asset binary")
     (r,) = sitemap_urls(df).collect()
     assert r["decoded_ok"] and r["loc"] == "https://e.com/1"
+
+
+def test_frontier_audit_composition(spark):
+    """The fused robots+sitemap audit: named-agent group replaces *,
+    precedence verdicts per path, either payload failing isolates the
+    whole host."""
+    from verified_sources_spark.llm.crawlgov import frontier_audit
+
+    robots = encode_robots([
+        {"agents": ["*"],
+         "rules": [("disallow", "/b/"), ("allow", "/b/open/")],
+         "crawl_delay": 2.0},
+        {"agents": ["enginebot"],
+         "rules": [("disallow", "/paper/*.pdf$")]}])
+    sm = encode_sitemap([{"loc": f"https://h.com{p}"} for p in (
+        "/open/x", "/b/x", "/b/open/x", "/paper/d.pdf")])
+    df = spark.createDataFrame(
+        [(1, bytearray(robots), bytearray(sm)),
+         (2, bytearray(b"\x00"), bytearray(sm))],
+        "doc_id long, robots binary, sitemap binary")
+    out = {}
+    for r in frontier_audit(df, agent="enginebot/1.0").collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    verdicts = [r["allowed"] for r in sorted(out[1],
+                                             key=lambda r: r["url_idx"])]
+    # enginebot's own group replaces *: /b/ paths allowed, pdf blocked
+    assert verdicts == [True, True, True, False]
+    assert all(r["crawl_delay"] is None for r in out[1])
+    (bad,) = out[2]
+    assert bad["decoded_ok"] is False
+    # the * agent sees the * group
+    verdicts = [r["allowed"] for r in sorted(
+        frontier_audit(df.filter("doc_id = 1"),
+                       agent="otherbot").collect(),
+        key=lambda r: r["url_idx"])]
+    assert verdicts == [True, False, True, True]

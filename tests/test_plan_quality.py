@@ -231,7 +231,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "data_blob_rows_docs", "curation_pipeline_docs",
               "tfrecord_export_docs", "ics_events_docs",
               "vcf_cards_docs", "wds_export_docs",
-              "robots_rules_docs", "sitemap_urls_docs"):
+              "robots_rules_docs", "sitemap_urls_docs",
+              "frontier_audit_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

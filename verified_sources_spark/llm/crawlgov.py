@@ -31,6 +31,7 @@ import re
 __all__ = [
     "CrawlGovError", "parse_robots", "is_allowed", "parse_sitemap",
     "encode_robots", "encode_sitemap", "robots_rules", "sitemap_urls",
+    "frontier_audit", "FRONTIER_AUDIT_SCHEMA",
     "ROBOTS_RULES_SCHEMA", "SITEMAP_URLS_SCHEMA",
 ]
 
@@ -281,6 +282,67 @@ def robots_rules(df, id_col: str = "doc_id", asset_col: str = "asset"):
 
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, ROBOTS_RULES_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+FRONTIER_AUDIT_SCHEMA = (
+    "doc_id long, decoded_ok boolean, url_idx int, loc string, "
+    "path string, allowed boolean, crawl_delay double"
+)
+
+
+def frontier_audit(df, agent: str, id_col: str = "doc_id",
+                   robots_col: str = "robots",
+                   sitemap_col: str = "sitemap"):
+    """FUSED governance composition — the frontier-construction step a
+    crawler runs per host: parse the host's robots.txt AND its
+    sitemap in one pass, then audit every advertised URL against the
+    agent's effective rule group (:func:`is_allowed` — longest
+    pattern wins, Allow beats ties).  One mapInPandas: both payloads
+    stay in the scan's executor, output is metadata-sized
+    (url, allowed, crawl_delay) rows.  Either payload failing
+    isolates the whole host as ``decoded_ok=false`` (a frontier must
+    not crawl a host whose governance it could not read)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, rb, sm in zip(pdf[id_col], pdf[robots_col],
+                                   pdf[sitemap_col]):
+                _id = int(_id)
+                try:
+                    robots = parse_robots(bytes(rb))
+                    entries = parse_sitemap(bytes(sm))["entries"]
+                    g = _group_for(robots, agent)
+                    delay = g["crawl_delay"] if g else None
+                    for i, e in enumerate(entries):
+                        loc = e["loc"]
+                        path = "/" + loc.split("://", 1)[-1] \
+                            .split("/", 1)[-1] if "://" in loc \
+                            and "/" in loc.split("://", 1)[-1] else "/"
+                        rows.append({
+                            "doc_id": _id, "decoded_ok": True,
+                            "url_idx": i, "loc": loc, "path": path,
+                            "allowed": is_allowed(robots, agent,
+                                                  path),
+                            "crawl_delay": delay})
+                except CrawlGovError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "url_idx": None, "loc": None, "path": None,
+                        "allowed": None, "crawl_delay": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "url_idx", "loc", "path",
+                "allowed", "crawl_delay"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(robots_col),
+                    F.col(sitemap_col)).mapInPandas(
+        run, FRONTIER_AUDIT_SCHEMA)
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out

@@ -3468,3 +3468,38 @@ ORACLE_SQL["sitemap_urls_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# Frontier audit: RFC 9309 group selection (a named agent group
+# REPLACES *), precedence verdicts per path flavor, and delays.
+ORACLE_SQL["frontier_audit_docs"] = """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 23) <> 0 AND (doc_id % 19) <> 0 AS ok,
+             (doc_id % 2) = 1 AS hasbot,
+             doc_id % 5 AS b,
+             CAST(doc_id % 3 + 1.0 AS DOUBLE) AS delay
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(k AS INTEGER) AS url_idx,
+           'https://h' || doc_id || '.com' ||
+             CASE k WHEN 0 THEN '/open/page' || doc_id
+                    WHEN 1 THEN '/block' || b || '/x'
+                    WHEN 2 THEN '/block' || b || '/open/x'
+                    ELSE '/paper/doc' || doc_id || '.pdf' END AS loc,
+           CASE k WHEN 0 THEN '/open/page' || doc_id
+                  WHEN 1 THEN '/block' || b || '/x'
+                  WHEN 2 THEN '/block' || b || '/open/x'
+                  ELSE '/paper/doc' || doc_id || '.pdf' END AS path,
+           CASE k
+             WHEN 0 THEN TRUE
+             WHEN 1 THEN hasbot   -- * group blocks it; bot group has no rule for it
+             WHEN 2 THEN TRUE     -- longest allow wins in *; no rule in bot group
+             ELSE NOT hasbot      -- bot group's wildcard+anchor pdf rule
+           END AS allowed,
+           CASE WHEN hasbot THEN NULL ELSE delay END AS crawl_delay
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+    WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""

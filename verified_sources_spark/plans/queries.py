@@ -5454,6 +5454,64 @@ def sitemap_urls_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastmod", "changefreq", "priority")
 
 
+def frontier_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOVERNANCE composition — the frontier-construction step a
+    crawler runs per host: per doc, mint the host's robots.txt (a
+    ``*`` group with a disallow/allow pair and a crawl delay; odd
+    docs add an ``enginebot`` group with a ``/paper/*.pdf$`` rule —
+    which per RFC 9309 REPLACES the ``*`` group for that agent) and a
+    four-URL sitemap whose paths deterministically exercise
+    no-match / disallow / longest-allow-wins / wildcard-anchor; fuse
+    both through llm/crawlgov.frontier_audit for agent
+    ``enginebot/1.0``.  Every 23rd robots and every 19th sitemap is
+    corrupt (either failing isolates the host).  The oracle replays
+    group selection, precedence verdicts and delays in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.crawlgov import frontier_audit
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.crawlgov import (
+            encode_robots, encode_sitemap,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                groups = [{
+                    "agents": ["*"],
+                    "rules": [("disallow", f"/block{did % 5}/"),
+                              ("allow", f"/block{did % 5}/open/")],
+                    "crawl_delay": float(did % 3) + 1.0}]
+                if did % 2 == 1:
+                    groups.append({
+                        "agents": ["enginebot"],
+                        "rules": [("disallow", "/paper/*.pdf$")]})
+                robots = (b"\x00 not robots" if did % 23 == 0
+                          else encode_robots(groups))
+                paths = [f"/open/page{did}",
+                         f"/block{did % 5}/x",
+                         f"/block{did % 5}/open/x",
+                         f"/paper/doc{did}.pdf"]
+                sitemap = (b"<html>not a sitemap</html>"
+                           if did % 19 == 0 else encode_sitemap(
+                               [{"loc": f"https://h{did}.com{p}"}
+                                for p in paths]))
+                rows.append({"doc_id": did, "robots": robots,
+                             "sitemap": sitemap})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "robots", "sitemap"])
+
+    assets = d.mapInPandas(
+        mint, "doc_id long, robots binary, sitemap binary")
+    return frontier_audit(assets, agent="enginebot/1.0").select(
+        "doc_id", "decoded_ok", "url_idx", "loc", "path", "allowed",
+        "crawl_delay")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5621,4 +5679,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wds_export_docs": wds_export_docs,
     "robots_rules_docs": robots_rules_docs,
     "sitemap_urls_docs": sitemap_urls_docs,
+    "frontier_audit_docs": frontier_audit_docs,
 }
