@@ -3503,3 +3503,14 @@ ORACLE_SQL["frontier_audit_docs"] = """
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok
 """
+
+# URL canonicalization: four raw variants per doc collapse to one
+# canonical key; endpoint + counts replayed.
+ORACLE_SQL["canonical_url_docs"] = """
+    SELECT doc_id,
+           'http://host' || doc_id || '.example.com/path/' || doc_id
+               AS canonical,
+           CAST(4 AS BIGINT) AS n_variants,
+           CAST(4 AS BIGINT) AS n_distinct_raw
+    FROM documents
+"""
