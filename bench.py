@@ -115,6 +115,40 @@ def _host_canary() -> float:
     return round(best, 4)
 
 
+def _jvm_canary(spark) -> float:
+    """Fixed synthetic-DataFrame workload timed in the SAME JVM the
+    suite runs in, after session start and before the suite: 20M-row
+    range → xxhash64 → modulo-1000 groupBy sum (one real shuffle, so
+    scheduler + GC + codegen state are all in the measurement).
+
+    Why a second canary: r13 showed three runs of IDENTICAL code
+    spanning 5.81-7.35 s raw (±13%) while the pure-Python host canary
+    moved only ±5% — the scalar canary cannot see JVM-side noise
+    (GC pressure, JIT state, scheduler contention).  Normalizing
+    round-over-round comparisons by ``jvm_canary_sec`` makes raw
+    deltas inside the JVM-noise band non-attributable BY CONSTRUCTION
+    instead of by hand-waving.  Best-of-5 after 2 warmups (same
+    rationale as the host canary's best-of-8)."""
+    def run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.xxhash64("id") % 1000).alias("k"),
+                F.xxhash64("id", F.lit(1)).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.try_sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.try_sum("s"), F.try_sum("n"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    for _ in range(2):
+        run()
+    return round(min(run() for _ in range(5)), 4)
+
+
 def _other_jvms_alive() -> int:
     """Count java processes already running — concurrent JVMs skew results
     uniformly +25-40% on this box (measured), so the JSON records whether
@@ -173,6 +207,9 @@ def main() -> None:
     print(f"# host canary: {canary}s (pure-CPU, pre-Spark)", file=sys.stderr)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    jvm_canary = _jvm_canary(spark)
+    print(f"# jvm canary: {jvm_canary}s (same-JVM shuffle+agg, pre-suite)",
+          file=sys.stderr)
 
     baseline: dict[str, float] = {}
     base_canary = 0.0
@@ -205,12 +242,14 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs, n = [], 0
         for _ in range(reps):
             t0 = time.time()
             n = _force_eval(QUERIES[name](spark, sf_dir))
             runs.append(time.time() - t0)
+        all_runs[name] = list(runs)  # rep order, for pass totals
         runs.sort()
         best = round(runs[0], 3)
         median = round(runs[len(runs) // 2], 3)
@@ -225,6 +264,14 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # median-of-passes total: rep i of every query forms "pass i";
+    # the median pass total is robust to one noisy rep in a way the
+    # sum-of-bests is not, and is the figure round-over-round notes
+    # should compare (normalized by the JVM canary)
+    pass_totals = sorted(
+        round(sum(all_runs[name][i] for name in HEADLINE), 3)
+        for i in range(reps))
+    total_median_pass = pass_totals[len(pass_totals) // 2]
     if baseline:
         base_total = sum(v for k, v in baseline.items() if k in timings)
         if base_total > 0:
@@ -243,6 +290,12 @@ def main() -> None:
                     f"vs baseline, host drift removed)",
                     file=sys.stderr,
                 )
+    print(
+        f"# TOTAL median-of-{reps} passes {total_median_pass}s "
+        f"(pass totals {pass_totals}); jvm canary {jvm_canary}s — "
+        "compare rounds on median-pass/jvm-canary, not raw best sums",
+        file=sys.stderr,
+    )
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -250,6 +303,9 @@ def main() -> None:
         "queries": timings,
         "stats": stats,
         "canary_sec": canary,
+        "jvm_canary_sec": jvm_canary,
+        "total_median_pass_sec": total_median_pass,
+        "pass_totals_sec": pass_totals,
         "other_jvms_at_start": jvms_before,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -45,6 +45,25 @@ def test_group_model_and_precedence():
     assert is_allowed(r, "BingBot", "/anything")
 
 
+def test_precedence_ranks_by_octets_not_characters():
+    """RFC 9309 §2.2.2: most-specific = longest match in OCTETS.
+    Divergence case: on path /ббz, allow '/*z' is 3 chars = 3 octets
+    while disallow '/бб' is 3 chars but 5 OCTETS — character ranking
+    ties (allow would win the tie), octet ranking picks the disallow.
+    The compliant verdict is disallow."""
+    r = parse_robots(encode_robots([
+        {"agents": ["*"],
+         "rules": [("allow", "/*z"), ("disallow", "/бб")]},
+    ]))
+    assert not is_allowed(r, "bot", "/ббz")
+    # equal-octet tie still goes to allow
+    r2 = parse_robots(encode_robots([
+        {"agents": ["*"],
+         "rules": [("allow", "/*x"), ("disallow", "/б")]},
+    ]))
+    assert is_allowed(r2, "bot", "/бx")
+
+
 def test_robots_junk_tolerance_and_refusals():
     messy = (b"# comment line\nUser-agent: *\n"
              b"random junk without colon\n"

@@ -44,6 +44,26 @@ def test_example_round_trip_all_types():
         parse_example(b"")
 
 
+def test_unpacked_int64_list_parses():
+    """A proto2-style writer without [packed] emits each Int64List
+    value as its own wire-type-0 field; those ints must parse (they
+    were silently dropped once), including negatives via the
+    two's-complement fold."""
+    from verified_sources_spark.llm.tfrecord import (
+        _int64_wire,
+        _ld,
+        _varint,
+    )
+
+    unpacked = b"".join(
+        _varint((1 << 3) | 0) + _varint(_int64_wire(v))
+        for v in (5, -3, 0))
+    feat = _ld(3, unpacked)                      # Feature.int64_list
+    entry = _ld(1, b"id") + _ld(2, feat)         # map entry
+    ex = _ld(1, _ld(1, entry))                   # Example.features
+    assert parse_example(ex)["id"] == [5, -3, 0]
+
+
 def test_shard_round_trip_and_every_bitflip_refuses():
     shard = encode_tfrecord(
         [encode_example({"text": [f"doc {i}".encode()], "id": [i]})

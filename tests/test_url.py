@@ -18,7 +18,38 @@ CASES = [
     ("http://e.com/a?x=//keep//", "http://e.com/a?x=//keep//"),  # query bytes kept
     ("mailto:a@b.com", "mailto:a@b.com"),              # no authority: pass-through
     ("/relative/path#f", "/relative/path"),
+    # userinfo is case-sensitive: only scheme+host fold (§6.2.2.1)
+    ("HTTP://User:Pw@Host.COM:80/a", "http://User:Pw@host.com/a"),
+    ("http://User:Pw@h.com/a", "http://User:Pw@h.com/a"),
+    ("http://a@b@H.com/x", "http://a@b@h.com/x"),      # last @ splits host
+    # fragment strip is dotall: embedded newline doesn't save the tail
+    ("http://e.com/a#fr\nag", "http://e.com/a"),
+    ("http://e.com/a?q=1#x\ny#z", "http://e.com/a?q=1"),
 ]
+
+
+def test_userinfo_not_folded_together(spark):
+    """Distinct-credential URLs must stay distinct canonical keys."""
+    from verified_sources_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame(
+        [("http://User:X@h.com/",), ("http://user:x@h.com/",)],
+        "url string")
+    keys = {r["c"] for r in
+            df.select(canonical_url("url").alias("c")).collect()}
+    assert len(keys) == 2
+
+
+def test_collapse_slashes_flag(spark):
+    """collapse_slashes=False keeps /a//b (the strictly
+    semantics-preserving subset)."""
+    from verified_sources_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame([("HTTP://E.com//a//b",)], "url string")
+    [r] = df.select(
+        canonical_url("url", collapse_slashes=False).alias("c")
+    ).collect()
+    assert r["c"] == "http://e.com//a//b"
 
 
 def test_canonical_url_cases(spark):

@@ -132,7 +132,11 @@ def is_allowed(robots: dict, agent: str, path: str) -> bool:
         if not pattern:
             continue  # "Disallow:" (empty) matches nothing
         if _pattern_rx(pattern).match(path):
-            plen = len(pattern)
+            # RFC 9309 §2.2.2: most-specific = longest in OCTETS, not
+            # characters — multi-byte UTF-8 patterns must rank by
+            # their encoded length or we disagree with compliant
+            # crawlers on the winner.
+            plen = len(pattern.encode("utf-8"))
             if plen > best_len or (plen == best_len
                                    and directive == "allow"):
                 best_len, verdict = plen, directive == "allow"

@@ -155,6 +155,17 @@ def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,
     import pickle
     import signal
 
+    # POSIX-only fork (Spark Python workers are POSIX; there is no
+    # Windows path here).  Import pyarrow.orc in the PARENT first:
+    # fork() copies a locked import/thread-pool lock state, and a
+    # child that then imports pyarrow (which spins Arrow thread
+    # pools) can deadlock until the alarm kills it — misreporting
+    # every ORC blob as a 60 s timeout.  With the module already
+    # loaded, the child's _orc_decode call is import-free (sys.modules
+    # hit) and touches no inherited locks before doing real work.
+    import io  # noqa: F401 — pre-load for the child
+    import pyarrow.orc  # noqa: F401 — pre-load for the child
+
     r, w = os.pipe()
     pid = os.fork()
     if pid == 0:  # sacrificial child

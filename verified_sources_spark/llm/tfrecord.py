@@ -250,13 +250,21 @@ def parse_example(data: bytes) -> dict:
                             struct.unpack(f"<{len(vv) // 4}f", vv))
             elif f == 3 and isinstance(v, bytes):        # Int64List
                 for ff, vv in parse_fields(v):
-                    if ff == 1 and isinstance(vv, bytes):
+                    if ff == 1 and isinstance(vv, bytes):  # [packed]
                         p = 0
                         while p < len(vv):
                             iv, p = _read_varint(vv, p)
                             if iv >= 1 << 63:
                                 iv -= 1 << 64
                             vals.append(iv)
+                    elif ff == 1 and isinstance(vv, int):
+                        # proto2-style writer without [packed]: each
+                        # value arrives as its own wire-type-0 field —
+                        # dropping them silently would lose int
+                        # features (unpacked floats already parse via
+                        # the fixed32 branch)
+                        vals.append(vv - (1 << 64) if vv >= 1 << 63
+                                    else vv)
         out[name] = vals
     return out
 

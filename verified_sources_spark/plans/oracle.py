@@ -3504,13 +3504,27 @@ ORACLE_SQL["frontier_audit_docs"] = """
     FROM p WHERE NOT ok
 """
 
-# URL canonicalization: four raw variants per doc collapse to one
-# canonical key; endpoint + counts replayed.
+# URL canonicalization: eight raw variants per doc collapse to three
+# canonical keys (plain×5 incl. a newline-bearing fragment;
+# credentialed×2 with userinfo case preserved; lowercase-userinfo×1
+# kept distinct); endpoints + counts replayed.
 ORACLE_SQL["canonical_url_docs"] = """
     SELECT doc_id,
            'http://host' || doc_id || '.example.com/path/' || doc_id
                AS canonical,
-           CAST(4 AS BIGINT) AS n_variants,
-           CAST(4 AS BIGINT) AS n_distinct_raw
+           CAST(5 AS BIGINT) AS n_variants,
+           CAST(5 AS BIGINT) AS n_distinct_raw
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'http://User' || doc_id || ':Pw@host' || doc_id
+               || '.example.com/u',
+           CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'http://user' || doc_id || ':pw@host' || doc_id
+               || '.example.com/u',
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     FROM documents
 """

@@ -5514,27 +5514,43 @@ def frontier_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def canonical_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization as the frontier/crawl dedup key: per doc,
-    mint FOUR raw variants of one URL (mixed-case scheme+host with an
-    explicit :80, a fragment, duplicate path slashes with a trailing
-    lone '?') — all as JVM Column expressions, no UDF anywhere — run
+    mint EIGHT raw variants of three URLs — all as JVM Column
+    expressions, no UDF anywhere — run
     ``functions/url.canonical_url`` over the exploded variants and
-    group by the canonical form.  Four frontier entries collapse to
-    ONE key only if every normalization (case, default port,
-    fragment, slashes, empty query) lands exactly; the oracle replays
-    the canonical endpoint and the variant count in SQL."""
+    group by the canonical form.  Three key groups per doc:
+
+    - FIVE variants of the plain URL (mixed-case scheme+host with an
+      explicit :80, a fragment, duplicate path slashes with a
+      trailing lone '?', and a fragment containing an embedded
+      NEWLINE — pinning the dotall fragment strip) collapse to one;
+    - TWO credentialed variants differing only in host case + :80
+      collapse to one key that PRESERVES userinfo case (RFC 3986
+      §6.2.2.1 case-folds scheme and host only);
+    - ONE lowercase-userinfo variant stays its own key — proving the
+      userinfo bytes of group two were not case-folded into it.
+
+    The oracle replays every canonical endpoint and the variant
+    counts in SQL."""
     from verified_sources_spark.functions.url import canonical_url
 
     d = _docs_parallel(spark, sf_dir).select("doc_id")
     did = F.col("doc_id").cast("string")
     base = F.concat(F.lit("http://host"), did,
                     F.lit(".example.com/path/"), did)
+    cred = F.concat(F.lit("://User"), did, F.lit(":Pw@host"), did,
+                    F.lit(".example.com/u"))
     variants = F.array(
         base,
         F.concat(F.lit("HTTP://HOST"), did,
                  F.lit(".EXAMPLE.COM:80/path/"), did),
         F.concat(base, F.lit("#frag"), did),
         F.concat(F.lit("http://host"), did,
-                 F.lit(".example.com//path//"), did, F.lit("?")))
+                 F.lit(".example.com//path//"), did, F.lit("?")),
+        F.concat(base, F.lit("#fr\nag"), did),
+        F.concat(F.lit("http"), cred),
+        F.concat(F.lit("HTTP://User"), did, F.lit(":Pw@HOST"), did,
+                 F.lit(".EXAMPLE.COM:80/u")),
+        F.lower(F.concat(F.lit("http"), cred)))
     urls = d.select("doc_id", F.explode(variants).alias("url"))
     return (urls.groupBy(canonical_url("url").alias("canonical"))
             .agg(F.min("doc_id").alias("doc_id"),
