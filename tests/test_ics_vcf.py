@@ -50,7 +50,9 @@ def test_date_forms():
     assert ev["start_ms"] is None
 
 
-def test_vtimezone_skipped_and_quoted_params():
+def test_incomplete_vtimezone_tolerated_and_quoted_params():
+    # the STANDARD block below lacks TZOFFSETFROM/TO — the TZID is
+    # marked unresolvable but the calendar still parses
     blob = (b"BEGIN:VCALENDAR\r\n"
             b"BEGIN:VTIMEZONE\r\nTZID:X\r\nBEGIN:STANDARD\r\n"
             b"DTSTART:19700101T000000\r\nEND:STANDARD\r\n"
@@ -117,3 +119,78 @@ def test_router_dispatch():
 
 def test_unfold_lines_variants():
     assert unfold_lines("A:1\r\n B2\nC:3\n\tD4\n") == ["A:1B2", "C:3D4"]
+
+
+_BERLINISH = {"tzid": "City", "observances": [
+    {"kind": "DAYLIGHT", "dtstart": "19700329T020000",
+     "from": "+0100", "to": "+0200",
+     "rrule": "FREQ=YEARLY;BYMONTH=3;BYDAY=-1SU"},
+    {"kind": "STANDARD", "dtstart": "19701025T030000",
+     "from": "+0200", "to": "+0100",
+     "rrule": "FREQ=YEARLY;BYMONTH=10;BYDAY=-1SU"},
+]}
+
+
+def _utc_ms(y, mo, d, h, m):
+    import datetime as dt
+
+    return int(dt.datetime(
+        y, mo, d, h, m, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def test_tzid_resolution_both_dst_sides():
+    """TZID epochs through the embedded VTIMEZONE: standard side,
+    daylight side, an event spanning the spring transition, and the
+    exact last-Sunday RRULE arithmetic."""
+    evs = [{"uid": "a", "dtstart": "20240331T013000",
+            "dtstart_tzid": "City",
+            "dtend": "20240331T033000", "dtend_tzid": "City"},
+           {"uid": "b", "dtstart": "20240715T120000",
+            "dtstart_tzid": "City"},
+           {"uid": "c", "dtstart": "20240115T120000",
+            "dtstart_tzid": "City"}]
+    out = parse_ics(encode_ics(evs, timezones=[_BERLINISH]))["events"]
+    assert out[0]["start_ms"] == _utc_ms(2024, 3, 31, 0, 30)  # +01
+    assert out[0]["end_ms"] == _utc_ms(2024, 3, 31, 1, 30)    # +02
+    assert out[1]["start_ms"] == _utc_ms(2024, 7, 15, 10, 0)  # summer
+    assert out[2]["start_ms"] == _utc_ms(2024, 1, 15, 11, 0)  # winter
+
+
+def test_tzid_gap_fold_and_refusals():
+    """Spring-forward local times that never existed pin null;
+    fall-back ambiguity deterministically takes the pre-transition
+    (daylight) offset — zoneinfo's fold=0; a TZID with no embedded
+    VTIMEZONE pins null; an RRULE beyond the yearly BYMONTH+BYDAY
+    form poisons only its own TZID."""
+    evs = [{"uid": "gap", "dtstart": "20240331T023000",
+            "dtstart_tzid": "City"},
+           {"uid": "fold", "dtstart": "20241027T023000",
+            "dtstart_tzid": "City"},
+           {"uid": "lost", "dtstart": "20240601T120000",
+            "dtstart_tzid": "Atlantis"}]
+    out = parse_ics(encode_ics(evs, timezones=[_BERLINISH]))["events"]
+    assert out[0]["start_ms"] is None                         # gap
+    assert out[1]["start_ms"] == _utc_ms(2024, 10, 27, 0, 30)  # fold=0
+    assert out[1]["dtstart"] == "20241027T023000"             # raw kept
+    assert out[2]["start_ms"] is None                         # no vtz
+    weird = {"tzid": "W", "observances": [
+        {"kind": "STANDARD", "dtstart": "19700101T000000",
+         "from": "+0100", "to": "+0100",
+         "rrule": "FREQ=MONTHLY;BYMONTHDAY=1"}]}
+    out2 = parse_ics(encode_ics(
+        [{"uid": "w", "dtstart": "20240601T120000",
+          "dtstart_tzid": "W"}], timezones=[weird]))["events"]
+    assert out2[0]["start_ms"] is None
+
+
+def test_tzid_fixed_offset_zone():
+    """One STANDARD block dated 1970 with no RRULE = a fixed-offset
+    zone; it must cover present-day times (the one-shot onset is a
+    single historical transition, not a 1970-only rule)."""
+    tz = {"tzid": "F", "observances": [
+        {"kind": "STANDARD", "dtstart": "19700101T000000",
+         "from": "+0530", "to": "+0530"}]}
+    out = parse_ics(encode_ics(
+        [{"uid": "f", "dtstart": "20240601T120000",
+          "dtstart_tzid": "F"}], timezones=[tz]))["events"]
+    assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 6, 30)

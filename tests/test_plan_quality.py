@@ -230,6 +230,7 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "code_signals_docs", "cross_source_dedup_docs",
               "data_blob_rows_docs", "curation_pipeline_docs",
               "tfrecord_export_docs", "ics_events_docs",
+              "ics_tzid_events_docs",
               "vcf_cards_docs", "wds_export_docs",
               "robots_rules_docs", "sitemap_urls_docs",
               "frontier_audit_docs"):

@@ -5,18 +5,26 @@ Both formats are the same content-line grammar: CRLF-separated
 ``NAME;PARAM=V:VALUE`` lines, FOLDED at ~75 octets (continuation =
 leading space/tab), values escaped (``\\n`` ``\\,`` ``\\;``),
 components delimited by BEGIN:/END: with nesting (VCALENDAR holds
-VEVENTs; VTIMEZONE blocks are skipped whole).  The parsers implement
-that grammar from the RFC text; the fixture encoders fold and escape
-independently, so reader and writer cross-check the grammar
-(tests/test_ics_vcf.py round-trips folding, escaping, nesting and
-both date forms).
+VEVENTs and VTIMEZONEs).  The parsers implement that grammar from
+the RFC text; the fixture encoders fold and escape independently, so
+reader and writer cross-check the grammar (tests/test_ics_vcf.py
+round-trips folding, escaping, nesting and the date forms).
 
 Surfaces: ``parse_ics`` → per-VEVENT dicts (uid, summary,
-description, location, organizer, dtstart/dtend raw + UTC epoch ms
-for the ``...Z`` and VALUE=DATE forms — TZID-localized times keep
-their raw string and a null epoch rather than guessing a tz
-database); ``parse_vcf`` → per-card dicts (fn, org, title, emails,
-tels).  Spark ops ``ics_events`` / ``vcf_cards`` explode payloads
+description, location, organizer, dtstart/dtend raw + UTC epoch ms).
+Epochs come from three unambiguous sources, in priority order:
+``...Z`` (UTC), ``VALUE=DATE`` (midnight UTC by convention), and
+``TZID=...`` values whose timezone is defined by an EMBEDDED
+VTIMEZONE in the same calendar — STANDARD/DAYLIGHT observances with
+TZOFFSETFROM/TZOFFSETTO, either one-shot (fixed offset) or recurring
+via the yearly BYMONTH+BYDAY RRULE form real exports use.  A TZID
+with no embedded VTIMEZONE — or one using RRULE shapes beyond that
+form — keeps its raw string and a NULL epoch: resolving it would
+mean inventing a tz database, which is silent garble.  Fall-back
+ambiguity (a local time covered by two observances) deterministically
+takes the pre-transition offset (zoneinfo's fold=0 convention);
+spring-forward local times that never existed resolve to null.
+``parse_vcf`` → per-card dicts (fn, org, title, emails, tels).  Spark ops ``ics_events`` / ``vcf_cards`` explode payloads
 Arrow-batched with the usual decoded_ok isolation, and the document
 router routes ``BEGIN:VCALENDAR`` / ``BEGIN:VCARD`` payloads here so
 invite/contact attachments land as structured rows, not prose garble.
@@ -134,6 +142,167 @@ def _dt_ms(value: str, params: dict) -> int | None:
     return None
 
 
+# ------------------------------------------------- VTIMEZONE algebra
+
+_WEEKDAYS = {"MO": 0, "TU": 1, "WE": 2, "TH": 3, "FR": 4,
+             "SA": 5, "SU": 6}
+
+
+def _parse_utc_offset(s: str) -> int:
+    """``±HHMM[SS]`` → signed seconds (RFC 5545 §3.3.14)."""
+    s = s.strip()
+    if not s or s[0] not in "+-":
+        raise IcsVcfError(f"utc-offset without sign: {s!r}")
+    digits = s[1:]
+    if len(digits) not in (4, 6) or not digits.isdigit():
+        raise IcsVcfError(f"malformed utc-offset {s!r}")
+    sec = (int(digits[:2]) * 3600 + int(digits[2:4]) * 60
+           + (int(digits[4:6]) if len(digits) == 6 else 0))
+    return -sec if s[0] == "-" else sec
+
+
+def _local_dt(v: str):
+    """``YYYYMMDDTHHMMSS`` (no zone designator) → naive datetime."""
+    import datetime as dt
+
+    v = v.strip()
+    if len(v) == 15 and v[8] == "T" and (v[:8] + v[9:]).isdigit():
+        return dt.datetime(int(v[:4]), int(v[4:6]), int(v[6:8]),
+                           int(v[9:11]), int(v[11:13]), int(v[13:15]))
+    if len(v) == 8 and v.isdigit():
+        return dt.datetime(int(v[:4]), int(v[4:6]), int(v[6:8]))
+    raise IcsVcfError(f"not a local date-time: {v!r}")
+
+
+def _parse_tz_rrule(s: str) -> dict:
+    """The yearly BYMONTH+BYDAY rule (the only form real tz exports
+    use: 'last Sunday of March' and friends).  Anything else raises —
+    the caller marks the TZID unresolvable rather than approximating
+    a recurrence it can't honor."""
+    import re
+
+    parts: dict[str, str] = {}
+    for p in s.strip().split(";"):
+        if "=" in p:
+            k, v = p.split("=", 1)
+            parts[k.upper()] = v
+    if parts.get("FREQ", "").upper() != "YEARLY":
+        raise IcsVcfError("tz RRULE is not FREQ=YEARLY")
+    extra = set(parts) - {"FREQ", "BYMONTH", "BYDAY", "UNTIL",
+                          "WKST", "INTERVAL"}
+    if extra:
+        raise IcsVcfError(f"tz RRULE parts beyond the yearly "
+                          f"BYMONTH+BYDAY form: {sorted(extra)}")
+    if parts.get("INTERVAL", "1") != "1":
+        raise IcsVcfError("tz RRULE with INTERVAL != 1")
+    try:
+        month = int(parts["BYMONTH"])
+    except (KeyError, ValueError):
+        raise IcsVcfError("tz RRULE without a single BYMONTH") from None
+    if not 1 <= month <= 12:
+        raise IcsVcfError(f"tz RRULE BYMONTH out of range: {month}")
+    m = re.fullmatch(r"(-?[1-5])(MO|TU|WE|TH|FR|SA|SU)",
+                     parts.get("BYDAY", "").upper())
+    if m is None:
+        # a bare weekday ('every Sunday') is not a tz transition rule
+        raise IcsVcfError(
+            f"tz RRULE BYDAY is not ±nWD: {parts.get('BYDAY')!r}")
+    until = None
+    if "UNTIL" in parts:
+        # UNTIL on tz rules is nominally UTC; transitions are hours
+        # apart so comparing it naively against local onsets is exact
+        # for every real rule set
+        until = _local_dt(parts["UNTIL"].rstrip("Zz"))
+    return {"month": month, "weekday": _WEEKDAYS[m.group(2)],
+            "n": int(m.group(1)), "until": until}
+
+
+def _nth_weekday_day(year: int, month: int, weekday: int,
+                     n: int) -> int | None:
+    """Day-of-month of the nth <weekday> (n<0 = from the end), or
+    None when the month has no such occurrence."""
+    import calendar
+    import datetime as dt
+
+    ndays = calendar.monthrange(year, month)[1]
+    if n > 0:
+        first = dt.date(year, month, 1).weekday()
+        day = 1 + (weekday - first) % 7 + 7 * (n - 1)
+        return day if day <= ndays else None
+    last = dt.date(year, month, ndays).weekday()
+    day = ndays - (last - weekday) % 7 + 7 * (n + 1)
+    return day if day >= 1 else None
+
+
+def _observance_onsets(ob: dict, years) -> list:
+    """Local onset datetimes (in the observance's TZOFFSETFROM clock)
+    for the given years.  A one-shot observance (no RRULE) is a
+    single historical transition — its onset always counts, which is
+    exactly how fixed-offset zones (one STANDARD block dated 1970)
+    cover the present."""
+    import datetime as dt
+
+    d0 = ob["dtstart"]
+    rr = ob["rrule"]
+    if rr is None:
+        return [d0]
+    out = []
+    for y in years:
+        if y < d0.year:
+            continue
+        day = _nth_weekday_day(y, rr["month"], rr["weekday"], rr["n"])
+        if day is None:
+            continue
+        onset = dt.datetime(y, rr["month"], day,
+                            d0.hour, d0.minute, d0.second)
+        if onset < d0:
+            continue
+        if rr["until"] is not None and onset > rr["until"]:
+            continue
+        out.append(onset)
+    return out
+
+
+def _resolve_tzid(tzdefs: dict, tzid: str, local) -> int | None:
+    """UTC epoch ms of a TZID-localized naive datetime, or None when
+    the calendar's embedded VTIMEZONEs can't resolve it exactly.
+
+    Segments are built from each observance's onsets around the
+    target year (onset_utc = onset_local - TZOFFSETFROM); the target
+    local time is matched against each segment's local coverage
+    window in onset order, so fall-back ambiguity resolves to the
+    EARLIER segment (pre-transition offset, zoneinfo fold=0) and a
+    spring-forward gap matches nothing → null."""
+    import datetime as dt
+
+    tz = tzdefs.get(tzid)
+    if tz is None or tz["bad"] or not tz["obs"]:
+        return None
+    years = (local.year - 1, local.year, local.year + 1)
+    segs: list[tuple] = []
+    first = None  # (earliest onset utc, its TZOFFSETFROM)
+    for ob in tz["obs"]:
+        for onset_local in _observance_onsets(ob, years):
+            onset_utc = onset_local - dt.timedelta(seconds=ob["from"])
+            segs.append((onset_utc, ob["to"]))
+            if first is None or onset_utc < first[0]:
+                first = (onset_utc, ob["from"])
+    if not segs:
+        return None
+    segs.sort(key=lambda t: t[0])
+    # prehistory: the offset in force before the first transition is
+    # that transition's TZOFFSETFROM
+    bounded = [(dt.datetime(1, 1, 2), first[1])] + segs
+    far = dt.datetime.max - dt.timedelta(days=2)
+    for i, (start_utc, off) in enumerate(bounded):
+        end_utc = bounded[i + 1][0] if i + 1 < len(bounded) else far
+        delta = dt.timedelta(seconds=off)
+        if start_utc + delta <= local < end_utc + delta:
+            utc = (local - delta).replace(tzinfo=dt.timezone.utc)
+            return int(utc.timestamp() * 1000)
+    return None  # local time inside a spring-forward gap
+
+
 _EVENT_PROPS = ("UID", "SUMMARY", "DESCRIPTION", "LOCATION",
                 "ORGANIZER", "STATUS")
 
@@ -141,13 +310,22 @@ _EVENT_PROPS = ("UID", "SUMMARY", "DESCRIPTION", "LOCATION",
 def parse_ics(data: bytes) -> dict:
     """One iCalendar payload → ``{"events": [...], "n_components"}``;
     VEVENTs carry the prose properties unescaped plus dtstart/dtend
-    raw strings and UTC epochs where unambiguous."""
+    raw strings and UTC epochs where unambiguous (Z, VALUE=DATE, or
+    a TZID an embedded VTIMEZONE resolves).  TZID epochs are resolved
+    AFTER the walk because RFC 5545 lets the VTIMEZONE appear after
+    the VEVENTs that reference it.  A malformed VTIMEZONE poisons
+    only its own TZID (null epochs, raw strings kept) — it does not
+    fail the calendar."""
     lines = unfold_lines(_decode(data))
     if not lines or lines[0].strip().upper() != "BEGIN:VCALENDAR":
         raise IcsVcfError("payload does not open with BEGIN:VCALENDAR")
     events: list[dict] = []
     stack: list[str] = []
     cur: dict | None = None
+    tzdefs: dict[str, dict] = {}
+    tz_cur: dict | None = None
+    obs_cur: dict | None = None
+    deferred: list[tuple] = []  # (event, field, local_dt, tzid)
     n_components = 0
     for line in lines:
         name, params, value = _parse_content_line(line)
@@ -164,6 +342,11 @@ def parse_ics(data: bytes) -> dict:
                        "organizer": None, "status": None,
                        "dtstart": None, "dtend": None,
                        "start_ms": None, "end_ms": None}
+            elif comp == "VTIMEZONE":
+                tz_cur = {"tzid": None, "obs": [], "bad": False}
+            elif comp in ("STANDARD", "DAYLIGHT") and tz_cur is not None:
+                obs_cur = {"kind": comp, "dtstart": None,
+                           "from": None, "to": None, "rrule": None}
             continue
         if name == "END":
             comp = value.strip().upper()
@@ -174,18 +357,64 @@ def parse_ics(data: bytes) -> dict:
             if comp == "VEVENT":
                 events.append(cur)
                 cur = None
+            elif comp in ("STANDARD", "DAYLIGHT") and tz_cur is not None:
+                if obs_cur is None or None in (
+                        obs_cur["dtstart"], obs_cur["from"],
+                        obs_cur["to"]):
+                    tz_cur["bad"] = True  # incomplete observance
+                else:
+                    tz_cur["obs"].append(obs_cur)
+                obs_cur = None
+            elif comp == "VTIMEZONE":
+                if tz_cur is not None and tz_cur["tzid"]:
+                    tzdefs[tz_cur["tzid"]] = tz_cur
+                tz_cur = None
+            continue
+        if obs_cur is not None and stack and stack[-1] in (
+                "STANDARD", "DAYLIGHT"):
+            try:
+                if name == "DTSTART":
+                    obs_cur["dtstart"] = _local_dt(value)
+                elif name == "TZOFFSETFROM":
+                    obs_cur["from"] = _parse_utc_offset(value)
+                elif name == "TZOFFSETTO":
+                    obs_cur["to"] = _parse_utc_offset(value)
+                elif name == "RRULE":
+                    obs_cur["rrule"] = _parse_tz_rrule(value)
+                elif name in ("RDATE", "EXDATE"):
+                    # enumerated extra transitions can't be honored
+                    # by the rule model — refusing beats dropping
+                    # them silently
+                    raise IcsVcfError(f"tz observance with {name}")
+            except IcsVcfError:
+                tz_cur["bad"] = True
+            continue
+        if tz_cur is not None and stack and stack[-1] == "VTIMEZONE":
+            if name == "TZID":
+                tz_cur["tzid"] = value.strip()
             continue
         if cur is not None and len(stack) and stack[-1] == "VEVENT":
             if name in _EVENT_PROPS:
                 cur[name.lower()] = _unescape(value)
-            elif name == "DTSTART":
-                cur["dtstart"] = value.strip()
-                cur["start_ms"] = _dt_ms(value, params)
-            elif name == "DTEND":
-                cur["dtend"] = value.strip()
-                cur["end_ms"] = _dt_ms(value, params)
+            elif name in ("DTSTART", "DTEND"):
+                raw = value.strip()
+                field = "start_ms" if name == "DTSTART" else "end_ms"
+                cur["dtstart" if name == "DTSTART" else "dtend"] = raw
+                tzid = params.get("TZID")
+                if tzid and not raw.endswith("Z") and \
+                        params.get("VALUE") != "DATE":
+                    try:
+                        local = _local_dt(raw)
+                    except IcsVcfError:
+                        local = None
+                    if local is not None:
+                        deferred.append((cur, field, local, tzid))
+                else:
+                    cur[field] = _dt_ms(value, params)
     if stack:
         raise IcsVcfError(f"unclosed component {stack[-1]}")
+    for ev, field, local, tzid in deferred:
+        ev[field] = _resolve_tzid(tzdefs, tzid, local)
     return {"events": events, "n_components": n_components}
 
 
@@ -260,11 +489,27 @@ def _fold(line: str, limit: int = 75) -> str:
     return "\r\n".join(out)
 
 
-def encode_ics(events: list[dict]) -> bytes:
+def encode_ics(events: list[dict],
+               timezones: list[dict] | None = None) -> bytes:
     """Fixture writer: RFC 5545 layout with folding + escaping,
-    independent of the parser."""
+    independent of the parser.  ``timezones`` entries are
+    ``{"tzid", "observances": [{"kind", "dtstart", "from", "to",
+    "rrule"?}]}`` (offsets/rules as raw RFC strings); events may set
+    ``dtstart_tzid`` / ``dtend_tzid`` to emit ``;TZID=`` params."""
     lines = ["BEGIN:VCALENDAR", "VERSION:2.0",
              "PRODID:-//verified-sources//EN"]
+    for tz in timezones or []:
+        lines.append("BEGIN:VTIMEZONE")
+        lines.append(f"TZID:{tz['tzid']}")
+        for ob in tz["observances"]:
+            lines.append(f"BEGIN:{ob['kind']}")
+            lines.append(f"DTSTART:{ob['dtstart']}")
+            lines.append(f"TZOFFSETFROM:{ob['from']}")
+            lines.append(f"TZOFFSETTO:{ob['to']}")
+            if ob.get("rrule"):
+                lines.append(f"RRULE:{ob['rrule']}")
+            lines.append(f"END:{ob['kind']}")
+        lines.append("END:VTIMEZONE")
     for ev in events:
         lines.append("BEGIN:VEVENT")
         for key in ("uid", "summary", "description", "location",
@@ -273,9 +518,13 @@ def encode_ics(events: list[dict]) -> bytes:
                 lines.append(_fold(
                     f"{key.upper()}:{_escape(ev[key])}"))
         if ev.get("dtstart"):
-            lines.append(f"DTSTART:{ev['dtstart']}")
+            p = (f";TZID={ev['dtstart_tzid']}"
+                 if ev.get("dtstart_tzid") else "")
+            lines.append(f"DTSTART{p}:{ev['dtstart']}")
         if ev.get("dtend"):
-            lines.append(f"DTEND:{ev['dtend']}")
+            p = (f";TZID={ev['dtend_tzid']}"
+                 if ev.get("dtend_tzid") else "")
+            lines.append(f"DTEND{p}:{ev['dtend']}")
         lines.append("END:VEVENT")
     lines.append("END:VCALENDAR")
     return ("\r\n".join(lines) + "\r\n").encode()

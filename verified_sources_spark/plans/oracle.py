@@ -3508,6 +3508,52 @@ ORACLE_SQL["frontier_audit_docs"] = """
 # canonical keys (plain×5 incl. a newline-bearing fragment;
 # credentialed×2 with userinfo case preserved; lowercase-userinfo×1
 # kept distinct); endpoints + counts replayed.
+# TZID epochs through embedded VTIMEZONEs: the spring event spans the
+# transition (standard start, daylight end), the autumn event sits
+# after fall-back, the Atlantis TZID pins null — every epoch replayed
+# as offset arithmetic.
+ORACLE_SQL["ics_tzid_events_docs"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 41) <> 0 AS ok,
+             CAST(doc_id % 5 AS INTEGER) AS c,
+             CAST(doc_id % 30 AS INTEGER) AS mm
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decoded_ok, CAST(0 AS INTEGER) AS event_idx,
+           CAST(3 AS INTEGER) AS n_events,
+           'tz' || doc_id || '-0@example.com' AS uid,
+           'spring' AS summary,
+           '20240331T01' || lpad(CAST(mm AS VARCHAR), 2, '0') || '00'
+               AS dtstart,
+           '20240331T03' || lpad(CAST(mm AS VARCHAR), 2, '0') || '00'
+               AS dtend,
+           CAST(epoch_ms(make_timestamp(2024, 3, 31, 1, mm, 0))
+                - (1 + c) * 3600000 AS BIGINT) AS start_ms,
+           CAST(epoch_ms(make_timestamp(2024, 3, 31, 3, mm, 0))
+                - (2 + c) * 3600000 AS BIGINT) AS end_ms
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(1 AS INTEGER), CAST(3 AS INTEGER),
+           'tz' || doc_id || '-1@example.com', 'autumn',
+           '20241027T04' || lpad(CAST(mm AS VARCHAR), 2, '0') || '00',
+           '20241027T05' || lpad(CAST(mm AS VARCHAR), 2, '0') || '00',
+           CAST(epoch_ms(make_timestamp(2024, 10, 27, 4, mm, 0))
+                - (1 + c) * 3600000 AS BIGINT),
+           CAST(epoch_ms(make_timestamp(2024, 10, 27, 5, mm, 0))
+                - (1 + c) * 3600000 AS BIGINT)
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+           'tz' || doc_id || '-2@example.com', 'lost',
+           '20240601T12' || lpad(CAST(mm AS VARCHAR), 2, '0') || '00',
+           NULL, NULL, NULL
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 ORACLE_SQL["canonical_url_docs"] = """
     SELECT doc_id,
            'http://host' || doc_id || '.example.com/path/' || doc_id

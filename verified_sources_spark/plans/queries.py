@@ -5561,6 +5561,82 @@ def canonical_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_distinct_raw"))
 
 
+def ics_tzid_events_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TZID-localized iCalendar times resolved through EMBEDDED
+    VTIMEZONEs (llm/ics_vcf._resolve_tzid): per doc, mint a calendar
+    whose VTIMEZONE ``City{doc_id%5}`` carries real STANDARD/DAYLIGHT
+    observances (last-Sunday-of-March/October yearly RRULEs, offsets
+    ``+0{1+c}00``/``+0{2+c}00``) and three TZID events —
+
+    - event 0 SPANS the 2024 spring-forward transition: it starts on
+      the standard side (local 01:mm on Mar 31 → UTC-(1+c)h) and ends
+      on the daylight side (local 03:mm → UTC-(2+c)h);
+    - event 1 sits after the autumn fall-back (local 04:mm on Oct 27,
+      standard again);
+    - event 2 references ``TZID=Atlantis`` with NO embedded
+      VTIMEZONE — its epochs pin NULL (the documented refusal: no
+      invented tz database), raw strings kept.
+
+    Every 41st doc is a non-calendar payload isolating as
+    ``decoded_ok=false``.  The oracle replays every epoch as offset
+    arithmetic in SQL — if the observance selection or the RRULE
+    last-Sunday arithmetic is off by anything, the hashes split."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.ics_vcf import ics_events
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.ics_vcf import encode_ics
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 41 == 0:
+                    rows.append({"doc_id": did,
+                                 "asset": b"no calendar here"})
+                    continue
+                c, mm = did % 5, did % 30
+                tz = {"tzid": f"City{c}", "observances": [
+                    {"kind": "DAYLIGHT",
+                     "dtstart": "19700329T020000",
+                     "from": f"+0{1 + c}00", "to": f"+0{2 + c}00",
+                     "rrule": "FREQ=YEARLY;BYMONTH=3;BYDAY=-1SU"},
+                    {"kind": "STANDARD",
+                     "dtstart": "19701025T030000",
+                     "from": f"+0{2 + c}00", "to": f"+0{1 + c}00",
+                     "rrule": "FREQ=YEARLY;BYMONTH=10;BYDAY=-1SU"},
+                ]}
+                evs = [
+                    {"uid": f"tz{did}-0@example.com",
+                     "summary": "spring",
+                     "dtstart": f"20240331T01{mm:02d}00",
+                     "dtstart_tzid": f"City{c}",
+                     "dtend": f"20240331T03{mm:02d}00",
+                     "dtend_tzid": f"City{c}"},
+                    {"uid": f"tz{did}-1@example.com",
+                     "summary": "autumn",
+                     "dtstart": f"20241027T04{mm:02d}00",
+                     "dtstart_tzid": f"City{c}",
+                     "dtend": f"20241027T05{mm:02d}00",
+                     "dtend_tzid": f"City{c}"},
+                    {"uid": f"tz{did}-2@example.com",
+                     "summary": "lost",
+                     "dtstart": f"20240601T12{mm:02d}00",
+                     "dtstart_tzid": "Atlantis"},
+                ]
+                rows.append({"doc_id": did,
+                             "asset": encode_ics(evs, timezones=[tz])})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    return ics_events(assets).select(
+        "doc_id", "decoded_ok", "event_idx", "n_events", "uid",
+        "summary", "dtstart", "dtend", "start_ms", "end_ms")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5730,4 +5806,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urls_docs": sitemap_urls_docs,
     "frontier_audit_docs": frontier_audit_docs,
     "canonical_url_docs": canonical_url_docs,
+    "ics_tzid_events_docs": ics_tzid_events_docs,
 }
