@@ -64,6 +64,67 @@ def test_precedence_ranks_by_octets_not_characters():
     assert is_allowed(r2, "bot", "/бx")
 
 
+def _host(base="http://h.example.com"):
+    rb = encode_robots([{"agents": ["*"],
+                         "rules": [("disallow", "/block/")],
+                         "crawl_delay": 1.0}])
+    s1 = encode_sitemap([{"loc": f"{base}/a"},
+                         {"loc": f"{base}/block/b"}])
+    s2 = encode_sitemap([{"loc": f"{base}/c"}], gz=True)
+    s1loc, s2loc = f"{base}/s1.xml", f"{base}/s2.xml.gz"
+    idx = encode_sitemap([{"loc": s1loc}, {"loc": s2loc}],
+                         kind="sitemapindex")
+    return rb, idx, {s1loc: s1, s2loc: s2}, base
+
+
+def test_expand_host_walk_and_verdicts():
+    from verified_sources_spark.llm.crawlgov import expand_host
+
+    rb, idx, fetched, base = _host()
+    rows = expand_host(rb, idx, fetched, "bot")
+    assert [(r["loc"], r["depth"], r["allowed"]) for r in rows] == [
+        (f"{base}/a", 1, True), (f"{base}/block/b", 1, False),
+        (f"{base}/c", 1, True)]
+    assert all(r["crawl_delay"] == 1.0 for r in rows)
+    # flat urlset root: depth 0, no children needed
+    flat = encode_sitemap([{"loc": f"{base}/x"}])
+    assert expand_host(rb, flat, {}, "bot")[0]["depth"] == 0
+
+
+def test_expand_host_refusals():
+    """Every governance defect isolates the host by name: truncated
+    gzip child, unfetched child, cycle, depth overflow."""
+    from verified_sources_spark.llm.crawlgov import expand_host
+
+    rb, idx, fetched, base = _host()
+    s2loc = f"{base}/s2.xml.gz"
+    bad = dict(fetched)
+    bad[s2loc] = fetched[s2loc][:10]
+    with pytest.raises(CrawlGovError, match="gzip"):
+        expand_host(rb, idx, bad, "bot")
+    missing = {k: v for k, v in fetched.items() if k != s2loc}
+    with pytest.raises(CrawlGovError, match="unfetched"):
+        expand_host(rb, idx, missing, "bot")
+    # cycle: an index referencing itself through a child
+    ia = f"{base}/ia.xml"
+    root = encode_sitemap([{"loc": ia}, {"loc": ia}],
+                          kind="sitemapindex")
+    with pytest.raises(CrawlGovError, match="cycle"):
+        expand_host(rb, root,
+                    {ia: encode_sitemap([{"loc": f"{base}/x"}])},
+                    "bot")
+    # depth overflow: index -> index -> index
+    ib = f"{base}/ib.xml"
+    root2 = encode_sitemap([{"loc": ia}], kind="sitemapindex")
+    with pytest.raises(CrawlGovError, match="depth"):
+        expand_host(rb, root2, {
+            ia: encode_sitemap([{"loc": ib}], kind="sitemapindex"),
+            ib: encode_sitemap([{"loc": f"{base}/x.xml"}],
+                               kind="sitemapindex"),
+            f"{base}/x.xml": encode_sitemap([{"loc": f"{base}/x"}]),
+        }, "bot")
+
+
 def test_robots_junk_tolerance_and_refusals():
     messy = (b"# comment line\nUser-agent: *\n"
              b"random junk without colon\n"

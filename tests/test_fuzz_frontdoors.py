@@ -544,6 +544,24 @@ def test_fuzz_ics_vcf():
              "dtend": "20240301T110000Z"} for k in range(4)])
 
     _battery(enc_ics, parse_ics, (IcsVcfError,), seed=29)
+
+    def enc_tz():
+        return encode_ics(
+            [{"uid": "t@x", "summary": "tz",
+              "dtstart": "20240331T013000", "dtstart_tzid": "City",
+              "dtend": "20240331T033000", "dtend_tzid": "City"}],
+            timezones=[{"tzid": "City", "observances": [
+                {"kind": "DAYLIGHT", "dtstart": "19700329T020000",
+                 "from": "+0100", "to": "+0200",
+                 "rrule": "FREQ=YEARLY;BYMONTH=3;BYDAY=-1SU"},
+                {"kind": "STANDARD", "dtstart": "19701025T030000",
+                 "from": "+0200", "to": "+0100",
+                 "rrule": "FREQ=YEARLY;BYMONTH=10;BYDAY=-1SU"}]}])
+
+    # the VTIMEZONE walk (offsets, RRULE, onset arithmetic) under the
+    # net: a mutated tz block must poison only its TZID, never escape
+    # a raw ValueError from datetime()
+    _battery(enc_tz, parse_ics, (IcsVcfError,), seed=53)
     _battery(lambda: encode_vcf([
         {"fn": f"P {k}", "org": "O; U", "title": "t" * 90,
          "emails": [f"p{k}@e.com"], "tels": ["+1"]}
@@ -583,3 +601,27 @@ def test_fuzz_crawlgov():
         [{"loc": f"https://e.com/{k}", "lastmod": "2024-03-01"}
          for k in range(8)], gz=True),
         parse_sitemap, (CrawlGovError,), seed=43)
+
+    # frontier expansion: mutate the ROOT INDEX while the children
+    # stay intact — every escape path must stay a CrawlGovError
+    # (corrupt XML, entries pointing at unfetched children, …)
+    from verified_sources_spark.llm.crawlgov import expand_host
+
+    base = "http://h.example.com"
+    s1loc, s2loc = f"{base}/s1.xml", f"{base}/s2.xml.gz"
+    fetched = {
+        s1loc: encode_sitemap([{"loc": f"{base}/a"},
+                               {"loc": f"{base}/block/b"}]),
+        s2loc: encode_sitemap([{"loc": f"{base}/c"}], gz=True),
+    }
+    rb = encode_robots([{"agents": ["*"],
+                         "rules": [("disallow", "/block/")]}])
+    _battery(lambda: encode_sitemap(
+        [{"loc": s1loc}, {"loc": s2loc}], kind="sitemapindex"),
+        lambda d: expand_host(rb, d, fetched, "bot"),
+        (CrawlGovError,), seed=47)
+    # and mutate the GZIP CHILD under an intact index
+    idx = encode_sitemap([{"loc": s2loc}], kind="sitemapindex")
+    _battery(lambda: fetched[s2loc],
+             lambda d: expand_host(rb, idx, {s2loc: d}, "bot"),
+             (CrawlGovError,), seed=59)

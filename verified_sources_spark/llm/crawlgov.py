@@ -31,7 +31,9 @@ import re
 __all__ = [
     "CrawlGovError", "parse_robots", "is_allowed", "parse_sitemap",
     "encode_robots", "encode_sitemap", "robots_rules", "sitemap_urls",
-    "frontier_audit", "FRONTIER_AUDIT_SCHEMA",
+    "frontier_audit", "frontier_expand", "expand_host",
+    "FRONTIER_AUDIT_SCHEMA",
+    "FRONTIER_BUILD_SCHEMA",
     "ROBOTS_RULES_SCHEMA", "SITEMAP_URLS_SCHEMA",
 ]
 
@@ -324,9 +326,7 @@ def frontier_audit(df, agent: str, id_col: str = "doc_id",
                     delay = g["crawl_delay"] if g else None
                     for i, e in enumerate(entries):
                         loc = e["loc"]
-                        path = "/" + loc.split("://", 1)[-1] \
-                            .split("/", 1)[-1] if "://" in loc \
-                            and "/" in loc.split("://", 1)[-1] else "/"
+                        path = _url_path(loc)
                         rows.append({
                             "doc_id": _id, "decoded_ok": True,
                             "url_idx": i, "loc": loc, "path": path,
@@ -347,6 +347,121 @@ def frontier_audit(df, agent: str, id_col: str = "doc_id",
     out = df.select(F.col(id_col), F.col(robots_col),
                     F.col(sitemap_col)).mapInPandas(
         run, FRONTIER_AUDIT_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def _url_path(loc: str) -> str:
+    """Path component of an absolute URL, '/' when absent."""
+    if "://" in loc and "/" in loc.split("://", 1)[-1]:
+        return "/" + loc.split("://", 1)[-1].split("/", 1)[-1]
+    return "/"
+
+
+FRONTIER_BUILD_SCHEMA = (
+    "doc_id long, decoded_ok boolean, depth int, sitemap_loc string, "
+    "url_idx int, loc string, path string, allowed boolean, "
+    "crawl_delay double"
+)
+
+
+def expand_host(robots_bytes: bytes, root_bytes: bytes,
+                fetched: dict, agent: str,
+                max_depth: int = 2) -> list[dict]:
+    """Pure per-host frontier walk (the executor-side core of
+    :func:`frontier_expand`): breadth-first through the sitemap-index
+    tree, one dict per advertised URL with depth, source sitemap and
+    robots verdict.  Raises :class:`CrawlGovError` on any governance
+    defect — corrupt child, unfetched child, cycle, depth overflow —
+    so the caller isolates the whole host."""
+    robots = parse_robots(robots_bytes)
+    g = _group_for(robots, agent)
+    delay = g["crawl_delay"] if g else None
+    queue = [("<root>", root_bytes, 0)]
+    seen: set[str] = set()
+    out_rows: list[dict] = []
+    while queue:
+        sm_loc, blob, depth = queue.pop(0)
+        parsed = parse_sitemap(blob)
+        if parsed["kind"] == "urlset":
+            for i, e in enumerate(parsed["entries"]):
+                path = _url_path(e["loc"])
+                out_rows.append({
+                    "depth": depth, "sitemap_loc": sm_loc,
+                    "url_idx": i, "loc": e["loc"], "path": path,
+                    "allowed": is_allowed(robots, agent, path),
+                    "crawl_delay": delay})
+            continue
+        if depth + 1 > max_depth:
+            raise CrawlGovError(
+                f"sitemap index nested past depth gate ({max_depth})")
+        for e in parsed["entries"]:
+            child_loc = e["loc"]
+            if child_loc in seen:
+                raise CrawlGovError(f"sitemap cycle at {child_loc}")
+            seen.add(child_loc)
+            child = fetched.get(child_loc)
+            if child is None:
+                raise CrawlGovError(
+                    f"index references unfetched child {child_loc}")
+            queue.append((child_loc, child, depth + 1))
+    return out_rows
+
+
+def frontier_expand(df, agent: str, max_depth: int = 2,
+                    id_col: str = "doc_id",
+                    robots_col: str = "robots",
+                    root_col: str = "root",
+                    locs_col: str = "child_locs",
+                    blobs_col: str = "child_blobs"):
+    """Sitemap-INDEX expansion into a per-URL frontier — the step
+    :func:`frontier_audit` stops short of: most large hosts advertise
+    a ``sitemapindex`` whose children (often ``.xml.gz``) hold the
+    actual URLs, sometimes through a second index level.  Per host
+    row (robots + root sitemap + the fetched child payloads as
+    parallel ``child_locs``/``child_blobs`` arrays), walk the index
+    tree breadth-first to ``max_depth``, emitting one row per
+    advertised URL with its depth, source sitemap and robots verdict.
+
+    Refusals isolate the WHOLE host (a frontier must not crawl a host
+    whose governance it could not fully read): a corrupt child (e.g.
+    truncated gzip), an index entry whose child was never fetched, a
+    child referenced twice (cycle), or an index nested past
+    ``max_depth``.  Output is metadata-sized; payload columns never
+    leave the scan's executor."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, rb, root, locs, blobs in zip(
+                    pdf[id_col], pdf[robots_col], pdf[root_col],
+                    pdf[locs_col], pdf[blobs_col]):
+                _id = int(_id)
+                try:
+                    fetched = {str(k): bytes(v)
+                               for k, v in zip(locs, blobs)}
+                    for r in expand_host(bytes(rb), bytes(root),
+                                         fetched, agent, max_depth):
+                        rows.append({"doc_id": _id,
+                                     "decoded_ok": True, **r})
+                except CrawlGovError:
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": False,
+                        "depth": None, "sitemap_loc": None,
+                        "url_idx": None, "loc": None, "path": None,
+                        "allowed": None, "crawl_delay": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "depth", "sitemap_loc",
+                "url_idx", "loc", "path", "allowed", "crawl_delay"])
+
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.col(id_col), F.col(robots_col), F.col(root_col),
+        F.col(locs_col), F.col(blobs_col)).mapInPandas(
+        run, FRONTIER_BUILD_SCHEMA)
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out

@@ -162,15 +162,21 @@ def _parse_utc_offset(s: str) -> int:
 
 
 def _local_dt(v: str):
-    """``YYYYMMDDTHHMMSS`` (no zone designator) → naive datetime."""
+    """``YYYYMMDDTHHMMSS`` (no zone designator) → naive datetime.
+    Out-of-range fields (month 13, day 32…) refuse by name — the
+    datetime ValueError must not escape raw through the fuzz net."""
     import datetime as dt
 
     v = v.strip()
-    if len(v) == 15 and v[8] == "T" and (v[:8] + v[9:]).isdigit():
-        return dt.datetime(int(v[:4]), int(v[4:6]), int(v[6:8]),
-                           int(v[9:11]), int(v[11:13]), int(v[13:15]))
-    if len(v) == 8 and v.isdigit():
-        return dt.datetime(int(v[:4]), int(v[4:6]), int(v[6:8]))
+    try:
+        if len(v) == 15 and v[8] == "T" and (v[:8] + v[9:]).isdigit():
+            return dt.datetime(int(v[:4]), int(v[4:6]), int(v[6:8]),
+                               int(v[9:11]), int(v[11:13]),
+                               int(v[13:15]))
+        if len(v) == 8 and v.isdigit():
+            return dt.datetime(int(v[:4]), int(v[4:6]), int(v[6:8]))
+    except ValueError as e:
+        raise IcsVcfError(f"bad local date-time {v!r}: {e}") from None
     raise IcsVcfError(f"not a local date-time: {v!r}")
 
 
@@ -278,7 +284,10 @@ def _resolve_tzid(tzdefs: dict, tzid: str, local) -> int | None:
     tz = tzdefs.get(tzid)
     if tz is None or tz["bad"] or not tz["obs"]:
         return None
-    years = (local.year - 1, local.year, local.year + 1)
+    # clamp so fuzzed year-0001/9999 locals can't push datetime()
+    # out of range inside the onset walk
+    years = tuple(y for y in (local.year - 1, local.year,
+                              local.year + 1) if 1 <= y <= 9999)
     segs: list[tuple] = []
     first = None  # (earliest onset utc, its TZOFFSETFROM)
     for ob in tz["obs"]:
@@ -298,8 +307,11 @@ def _resolve_tzid(tzdefs: dict, tzid: str, local) -> int | None:
         end_utc = bounded[i + 1][0] if i + 1 < len(bounded) else far
         delta = dt.timedelta(seconds=off)
         if start_utc + delta <= local < end_utc + delta:
-            utc = (local - delta).replace(tzinfo=dt.timezone.utc)
-            return int(utc.timestamp() * 1000)
+            try:
+                utc = (local - delta).replace(tzinfo=dt.timezone.utc)
+                return int(utc.timestamp() * 1000)
+            except (ValueError, OverflowError, OSError):
+                return None  # year-0001/9999 edge under the offset
     return None  # local time inside a spring-forward gap
 
 

@@ -3554,6 +3554,48 @@ ORACLE_SQL["ics_tzid_events_docs"] = """
     FROM p WHERE NOT ok
 """
 
+# Frontier build end-to-end: sitemapindex expansion (3 shapes), raw
+# variants collapsing through canonical_url, robots verdicts with the
+# allow-beats-disallow precedence on ok.html, three whole-host
+# refusals (truncated gzip child / unfetched child / depth overflow).
+ORACLE_SQL["frontier_build_docs"] = """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 23 = 0 OR (doc_id % 23 <> 0 AND doc_id % 31 = 0)
+               OR (doc_id % 23 <> 0 AND doc_id % 31 <> 0
+                   AND doc_id % 29 = 7) AS broken,
+             CAST(doc_id % 4 AS DOUBLE) / 2.0 AS delay,
+             doc_id % 7 AS shape
+      FROM documents
+    ), q AS (
+      SELECT doc_id, NOT broken AS ok, delay, shape,
+             CASE WHEN shape = 3 THEN 0 WHEN shape = 5 THEN 2
+                  ELSE 1 END AS d
+      FROM p
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           'http://h' || doc_id || '.example.com/p/' || doc_id
+               AS canonical,
+           CAST(CASE WHEN shape = 3 THEN 2 ELSE 3 END AS BIGINT)
+               AS n_raw,
+           TRUE AS all_allowed, TRUE AS any_allowed,
+           CAST(d AS INTEGER) AS max_depth, delay AS crawl_delay
+    FROM q WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE,
+           'http://h' || doc_id || '.example.com/block/z' || doc_id,
+           CAST(1 AS BIGINT), FALSE, FALSE, CAST(d AS INTEGER), delay
+    FROM q WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE,
+           'http://h' || doc_id || '.example.com/block/ok.html',
+           CAST(1 AS BIGINT), TRUE, TRUE, CAST(d AS INTEGER), delay
+    FROM q WHERE ok AND shape <> 3
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM q WHERE NOT ok
+"""
+
 ORACLE_SQL["canonical_url_docs"] = """
     SELECT doc_id,
            'http://host' || doc_id || '.example.com/path/' || doc_id

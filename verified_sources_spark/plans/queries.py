@@ -5637,6 +5637,121 @@ def ics_tzid_events_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "summary", "dtstart", "dtend", "start_ms", "end_ms")
 
 
+def frontier_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier construction END-TO-END — the operator the
+    per-host doors (robots_rules, sitemap_urls, frontier_audit) stop
+    short of: per doc, mint a host whose robots.txt disallows
+    ``/block/`` but allows ``/block/ok.html`` (precedence pinned) and
+    whose sitemap tree varies by shape —
+
+    - default: root sitemapINDEX → 2 children (one plain urlset, one
+      GZIP urlset) → URLs at depth 1;
+    - ``doc_id%7==3``: flat urlset root (depth 0, no gz child);
+    - ``doc_id%7==5``: index → index → urlsets (depth 2, the bound);
+
+    then expand through llm/crawlgov.frontier_expand (bounded depth
+    2) and collapse the raw URL variants (mixed case + :80 + fragment
+    in one child, duplicate slashes + lone '?' in the gz child)
+    across the tree with functions/url.canonical_url into ONE
+    frontier table carrying variant counts, robots verdicts, depth
+    and crawl-delay.  Three host corruptions isolate whole hosts as
+    ``decoded_ok=false``: a TRUNCATED-GZIP child (%23), an index
+    entry whose child was never fetched (%31), and an index nested
+    past the depth gate (%29==7).  The oracle replays expansion
+    counts, canonical collapse, verdicts, depths and delays."""
+    import pandas as pd
+
+    from verified_sources_spark.functions.url import canonical_url
+    from verified_sources_spark.llm.crawlgov import frontier_expand
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def mint(batches):
+        from verified_sources_spark.llm.crawlgov import (
+            encode_robots,
+            encode_sitemap,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = f"http://h{did}.example.com"
+                robots = encode_robots([{
+                    "agents": ["*"],
+                    "rules": [("disallow", "/block/"),
+                              ("allow", "/block/ok.html")],
+                    "crawl_delay": (did % 4) / 2.0}])
+                s1 = encode_sitemap([
+                    {"loc": f"HTTP://H{did}.EXAMPLE.COM:80"
+                            f"/p/{did}#x"},
+                    {"loc": f"{base}/p/{did}"},
+                    {"loc": f"{base}/block/z{did}"}])
+                s2 = encode_sitemap([
+                    {"loc": f"{base}//p//{did}?"},
+                    {"loc": f"{base}/block/ok.html"}], gz=True)
+                s1loc, s2loc = f"{base}/s1.xml", f"{base}/s2.xml.gz"
+                idx = encode_sitemap(
+                    [{"loc": s1loc}, {"loc": s2loc}],
+                    kind="sitemapindex")
+                if did % 23 == 0:       # truncated-gzip child
+                    root, locs, blobs = idx, [s1loc, s2loc], \
+                        [s1, s2[:20]]
+                elif did % 31 == 0:     # unfetched child
+                    root, locs, blobs = idx, [s1loc], [s1]
+                elif did % 29 == 7:     # nested past the depth gate
+                    ia, ib = f"{base}/ia.xml", f"{base}/ib.xml"
+                    root = encode_sitemap([{"loc": ia}],
+                                          kind="sitemapindex")
+                    locs = [ia, ib, s1loc]
+                    blobs = [encode_sitemap([{"loc": ib}],
+                                            kind="sitemapindex"),
+                             encode_sitemap([{"loc": s1loc}],
+                                            kind="sitemapindex"),
+                             s1]
+                elif did % 7 == 3:      # flat urlset root
+                    root, locs, blobs = s1, [], []
+                elif did % 7 == 5:      # double index (depth 2)
+                    i2loc = f"{base}/idx2.xml"
+                    root = encode_sitemap([{"loc": i2loc}],
+                                          kind="sitemapindex")
+                    locs, blobs = [i2loc, s1loc, s2loc], \
+                        [idx, s1, s2]
+                else:                   # single index (depth 1)
+                    root, locs, blobs = idx, [s1loc, s2loc], [s1, s2]
+                rows.append({"doc_id": did, "robots": robots,
+                             "root": root, "child_locs": locs,
+                             "child_blobs": blobs})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "robots", "root", "child_locs",
+                "child_blobs"])
+
+    assets = d.mapInPandas(
+        mint, "doc_id long, robots binary, root binary, "
+              "child_locs array<string>, child_blobs array<binary>")
+    rows = frontier_expand(assets, agent="enginebot/1.0")
+    okr = rows.where(F.col("decoded_ok"))
+    frontier = (okr.groupBy(canonical_url("loc").alias("canonical"))
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.count(F.lit(1)).cast("long").alias("n_raw"),
+                     F.bool_and("allowed").alias("all_allowed"),
+                     F.bool_or("allowed").alias("any_allowed"),
+                     F.max("depth").alias("max_depth"),
+                     F.min("crawl_delay").alias("crawl_delay"))
+                .select("doc_id", F.lit(True).alias("decoded_ok"),
+                        "canonical", "n_raw", "all_allowed",
+                        "any_allowed", "max_depth", "crawl_delay"))
+    bad = rows.where(~F.col("decoded_ok")).select(
+        "doc_id", F.lit(False).alias("decoded_ok"),
+        F.lit(None).cast("string").alias("canonical"),
+        F.lit(None).cast("long").alias("n_raw"),
+        F.lit(None).cast("boolean").alias("all_allowed"),
+        F.lit(None).cast("boolean").alias("any_allowed"),
+        F.lit(None).cast("int").alias("max_depth"),
+        F.lit(None).cast("double").alias("crawl_delay"))
+    return frontier.unionByName(bad)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5807,4 +5922,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_audit_docs": frontier_audit_docs,
     "canonical_url_docs": canonical_url_docs,
     "ics_tzid_events_docs": ics_tzid_events_docs,
+    "frontier_build_docs": frontier_build_docs,
 }
