@@ -233,7 +233,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "ics_tzid_events_docs",
               "vcf_cards_docs", "wds_export_docs",
               "robots_rules_docs", "sitemap_urls_docs",
-              "frontier_audit_docs", "frontier_build_docs"):
+              "frontier_audit_docs", "frontier_build_docs",
+              "wds_multimodal_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

@@ -63,3 +63,35 @@ def test_spark_export_readback(spark):
                                 "doc_id long, asset binary")
     (r,) = wds_samples(bad).collect()
     assert r["decoded_ok"] is False
+
+
+def test_multimodal_shards_round_trip(spark):
+    """wds_multimodal_shards packs png + seg.png (multi-suffix) +
+    txt + json adjacently; iter_wds_samples groups them back into one
+    sample and the media bytes survive byte-exact."""
+    from verified_sources_spark.llm.png_codec import encode
+    from verified_sources_spark.llm.webdataset import (
+        wds_multimodal_shards,
+    )
+
+    imgs = {i: encode(8, 8, bytes([i * 7 % 256]) * 192, "RGB")
+            for i in range(12)}
+    segs = {i: encode(8, 8, bytes([255 - i]) * 192, "RGB")
+            for i in range(12)}
+    docs = spark.createDataFrame(
+        [(i, bytearray(imgs[i]), bytearray(segs[i]), f"cap {i}")
+         for i in range(12)],
+        "doc_id long, png binary, seg binary, caption string")
+    shards = wds_multimodal_shards(docs, n_shards=3).collect()
+    assert sum(r["n_samples"] for r in shards) == 12
+    seen = {}
+    for r in shards:
+        for key, exts in iter_wds_samples(bytes(r["asset"])):
+            assert sorted(exts) == ["json", "png", "seg.png", "txt"]
+            seen[int(key)] = exts
+    assert sorted(seen) == list(range(12))
+    for i, exts in seen.items():
+        assert exts["png"] == imgs[i]          # byte-exact
+        assert exts["seg.png"] == segs[i]      # multi-suffix stayed
+        assert exts["txt"].decode() == f"cap {i}"
+        assert b'"id": %d' % i in exts["json"]

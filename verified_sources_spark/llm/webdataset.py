@@ -27,7 +27,8 @@ from __future__ import annotations
 
 __all__ = [
     "WdsError", "iter_wds_samples", "encode_wds",
-    "wds_samples", "wds_shards", "WDS_SAMPLES_SCHEMA",
+    "wds_samples", "wds_shards", "wds_multimodal_shards",
+    "WDS_SAMPLES_SCHEMA",
 ]
 
 
@@ -192,6 +193,50 @@ def wds_shards(df, id_col: str = "doc_id", text_col: str = "text",
 
     keyed = df.select(
         F.col(id_col), F.col(text_col),
+        (hash_sample_bucket(id_col, salt="shard")
+         % F.lit(n_shards)).alias("_shard"))
+    return keyed.groupBy("_shard").applyInPandas(
+        pack, "shard_id long, n_samples int, asset binary")
+
+
+def wds_multimodal_shards(df, id_col: str = "doc_id",
+                          image_col: str = "png",
+                          seg_col: str = "seg",
+                          caption_col: str = "caption",
+                          n_shards: int = 16):
+    """Multimodal WDS export: real shards pack image+mask+caption+
+    metadata per sample key — ``{id:012d}.png`` + ``.seg.png`` (the
+    multi-suffix extension the key contract must keep with its
+    sample) + ``.txt`` + ``.json``.  Same md5-bucket layout contract
+    as :func:`wds_shards` / tfrecord_shards, samples id-ordered,
+    members adjacent.  The one necessary shuffle moves the sample
+    bytes to their shard bucket — inherent to any export (the bytes
+    must land in their output file); nothing is shuffled twice."""
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from verified_sources_spark.llm.text_prep import hash_sample_bucket
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values(id_col)
+        samples = []
+        for i, img, seg, cap in zip(pdf[id_col], pdf[image_col],
+                                    pdf[seg_col], pdf[caption_col]):
+            samples.append((f"{int(i):012d}", {
+                "png": bytes(img), "seg.png": bytes(seg),
+                "txt": (cap or "").encode(),
+                "json": _json.dumps({"id": int(i)}).encode()}))
+        return pd.DataFrame([{
+            "shard_id": int(key[0]),
+            "n_samples": len(samples),
+            "asset": encode_wds(samples)}])
+
+    keyed = df.select(
+        F.col(id_col), F.col(image_col), F.col(seg_col),
+        F.col(caption_col),
         (hash_sample_bucket(id_col, salt="shard")
          % F.lit(n_shards)).alias("_shard"))
     return keyed.groupBy("_shard").applyInPandas(

@@ -3596,6 +3596,46 @@ ORACLE_SQL["frontier_build_docs"] = """
     FROM q WHERE NOT ok
 """
 
+# Multimodal WebDataset round trip: md5 shard layout, adjacency
+# grouping, byte-exact png/seg survival, %17 image-dup groups across
+# shards (dHash-grouped in Spark, arithmetic-replayed here — valid
+# because the 17 pattern dHashes are pinned pairwise-distinct).
+ORACLE_SQL["wds_multimodal_docs"] = """
+    WITH p AS (
+      SELECT doc_id, doc_id % 17 AS g, doc_id % 19 = 0 AS trunc,
+             CAST(('0x' || substr(md5('shard|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                  % 1000000 % 16 AS BIGINT) AS shard
+      FROM documents
+    ), r AS (
+      SELECT doc_id, g, trunc, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY doc_id) - 1 AS INTEGER) AS sample_idx,
+             CAST(count(*) OVER (PARTITION BY shard) AS INTEGER)
+                 AS n_samples,
+             count(CASE WHEN NOT trunc THEN 1 END)
+                 OVER (PARTITION BY g) AS grp,
+             min(CASE WHEN NOT trunc THEN doc_id END)
+                 OVER (PARTITION BY g) AS canon
+      FROM p
+    )
+    SELECT doc_id, shard AS shard_id, sample_idx, n_samples,
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+           'json;png;seg.png;txt' AS exts,
+           'caption g' || g || ' doc ' || doc_id AS caption,
+           '{"id": ' || doc_id || '}' AS meta_json,
+           NOT trunc AS png_exact, TRUE AS seg_exact,
+           CASE WHEN NOT trunc
+                THEN CAST(24 + (g % 4) * 8 AS INTEGER) END AS width,
+           CASE WHEN NOT trunc
+                THEN CAST(16 + (g % 3) * 8 AS INTEGER) END AS height,
+           CASE WHEN NOT trunc THEN CAST(grp AS BIGINT) END
+               AS dup_group_size,
+           CASE WHEN NOT trunc THEN doc_id = canon END
+               AS is_canonical
+    FROM r
+"""
+
 ORACLE_SQL["canonical_url_docs"] = """
     SELECT doc_id,
            'http://host' || doc_id || '.example.com/path/' || doc_id

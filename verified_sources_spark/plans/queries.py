@@ -5752,6 +5752,148 @@ def frontier_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.unionByName(bad)
 
 
+def wds_multimodal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset MULTIMODAL round trip + cross-shard image dedup:
+    per doc, mint an image PNG whose pixels derive from ``doc_id%17``
+    (so ~17 byte-identical duplicate groups span the corpus), a
+    ``.seg.png`` mask (the multi-suffix extension that bites the
+    key-before-FIRST-dot contract), a caption and metadata JSON;
+    export through llm/webdataset.wds_multimodal_shards (16
+    md5-bucketed shards, members adjacent), read the shards back with
+    the adjacency-grouping iterator, and per sample:
+
+    - prove the image bytes survived BYTE-EXACT (re-mint from the key
+      and compare — ``png_exact``/``seg_exact``);
+    - pixel-decode through the from-scratch PNG codec and dHash;
+    - dedup across shards by dHash (window, not a self-join — the
+      shard lineage executes ONCE): ``dup_group_size`` +
+      ``is_canonical`` (min doc_id of the group).
+
+    Every 19th doc ships a TRUNCATED png member: its sample still
+    reads (adjacency intact) but pins ``png_exact=false``, null dims
+    and a null dedup group.  The 17 pattern dHashes are pairwise
+    distinct (pinned in tests), so the oracle replays group sizes as
+    ``%17`` arithmetic and the md5 shard layout in SQL."""
+    import pandas as pd
+
+    from verified_sources_spark.llm.webdataset import (
+        wds_multimodal_shards,
+    )
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def _img_bytes(g: int) -> tuple[int, int, bytes]:
+        w, h = 24 + (g % 4) * 8, 16 + (g % 3) * 8
+        px = bytes(((x * 37 + y * 11) * (g + 1) + g * 53) % 256
+                   for y in range(h) for x in range(w)
+                   for _ in range(3))
+        return w, h, px
+
+    def _seg_bytes(g: int) -> tuple[int, int, bytes]:
+        w, h = 24 + (g % 4) * 8, 16 + (g % 3) * 8
+        px = bytes((255 if x < w // 2 else 0)
+                   for y in range(h) for x in range(w)
+                   for _ in range(3))
+        return w, h, px
+
+    def mint(batches):
+        from verified_sources_spark.llm.png_codec import encode
+
+        pngs = {}
+        for g in range(17):
+            wi, hi, px = _img_bytes(g)
+            ws, hs, ps = _seg_bytes(g)
+            pngs[g] = (encode(wi, hi, px, "RGB"),
+                       encode(ws, hs, ps, "RGB"))
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 17
+                png, seg = pngs[g]
+                if did % 19 == 0:
+                    png = png[:10]
+                rows.append({
+                    "doc_id": did, "png": png, "seg": seg,
+                    "caption": f"caption g{g} doc {did}"})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "png", "seg", "caption"])
+
+    framed = d.mapInPandas(
+        mint, "doc_id long, png binary, seg binary, caption string")
+    shards = wds_multimodal_shards(framed, n_shards=16)
+
+    def readback(batches):
+        from verified_sources_spark.llm.image_dedup import (
+            _dhash_of_pixels,
+        )
+        from verified_sources_spark.llm.image_io import decode_image
+        from verified_sources_spark.llm.png_codec import encode
+        from verified_sources_spark.llm.webdataset import (
+            iter_wds_samples,
+        )
+
+        expected = {}
+        for g in range(17):
+            wi, hi, px = _img_bytes(g)
+            ws, hs, ps = _seg_bytes(g)
+            expected[g] = (encode(wi, hi, px, "RGB"),
+                           encode(ws, hs, ps, "RGB"))
+        for pdf in batches:
+            rows = []
+            for shard_id, blob in zip(pdf["shard_id"], pdf["asset"]):
+                samples = list(iter_wds_samples(bytes(blob)))
+                for i, (key, exts) in enumerate(samples):
+                    did = int(key)
+                    g = did % 17
+                    png = exts.get("png", b"")
+                    width = height = dhash = None
+                    try:
+                        dec = decode_image(png)
+                        width, height = dec["width"], dec["height"]
+                        ch = 4 if dec["mode"] == "RGBA" else 3
+                        dhash = format(_dhash_of_pixels(
+                            dec["pixels"], width, height, ch, 8),
+                            "016x")
+                    except Exception:  # noqa: BLE001 — truncated png
+                        pass
+                    rows.append({
+                        "doc_id": did, "shard_id": int(shard_id),
+                        "sample_idx": i, "n_samples": len(samples),
+                        "key": key, "exts": ";".join(sorted(exts)),
+                        "caption": exts.get("txt", b"").decode(
+                            "utf-8", "replace"),
+                        "meta_json": exts.get("json", b"").decode(
+                            "utf-8", "replace"),
+                        "png_exact": png == expected[g][0],
+                        "seg_exact":
+                            exts.get("seg.png") == expected[g][1],
+                        "width": width, "height": height,
+                        "dhash": dhash})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "shard_id", "sample_idx", "n_samples",
+                "key", "exts", "caption", "meta_json", "png_exact",
+                "seg_exact", "width", "height", "dhash"])
+
+    rows = shards.mapInPandas(
+        readback,
+        "doc_id long, shard_id long, sample_idx int, n_samples int, "
+        "key string, exts string, caption string, meta_json string, "
+        "png_exact boolean, seg_exact boolean, width int, "
+        "height int, dhash string")
+    w = Window.partitionBy("dhash")
+    return rows.select(
+        "doc_id", "shard_id", "sample_idx", "n_samples", "key",
+        "exts", "caption", "meta_json", "png_exact", "seg_exact",
+        "width", "height",
+        F.when(F.col("dhash").isNotNull(),
+               F.count(F.lit(1)).over(w).cast("long"))
+         .alias("dup_group_size"),
+        F.when(F.col("dhash").isNotNull(),
+               F.col("doc_id") == F.min("doc_id").over(w))
+         .alias("is_canonical"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -5923,4 +6065,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_url_docs": canonical_url_docs,
     "ics_tzid_events_docs": ics_tzid_events_docs,
     "frontier_build_docs": frontier_build_docs,
+    "wds_multimodal_docs": wds_multimodal_docs,
 }
