@@ -236,6 +236,52 @@ def duplicate_spans(
     )
 
 
+def duplicate_span_positions(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """(id, pos) of every token covered by a cross-document duplicated
+    ``window``-token span — the position-level primitive underneath
+    :func:`remove_duplicate_spans`, exposed so the windowed
+    approximation can be MEASURED against a brute-force
+    exact-substring oracle (tools/span_recall_sweep.py; results in
+    SCALE.md).  Structural relationship to exact-substring dedup at
+    threshold L tokens, both provable and pinned by test:
+
+    - ``window <= L``: recall is exactly 1.0 (every position inside a
+      shared run of >= L tokens is covered by one of the run's shared
+      sub-windows) — the windowed method NEVER misses material the
+      exact method would cut; precision < 1 is the measured cost
+      (runs of window..L-1 tokens it additionally flags).
+    - ``window >= L``: precision is exactly 1.0; recall < 1 is the
+      measured cost (runs of L..window-1 tokens it misses).
+
+    Same scale shape as duplicate_spans: spans md5'd immediately,
+    shuffles carry (hash, doc, pos) only."""
+    sp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(shingles(text_col, window), lambda s: F.md5(s))
+        ).alias("spos", "_h"),
+    )
+    dup = sp.join(
+        sp.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("_h"),
+        "_h",
+    )
+    return (
+        dup.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .select(F.col("_id").alias(id_col), "pos")
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame, id_col: str, text_col: str, window: int = 8
 ) -> DataFrame:
