@@ -107,6 +107,26 @@ def test_fuzz_jbig2_pdf_image():
     _battery(lambda: encode_jbig2_arith(rows, tpgdon=True),
              decode_jbig2_embedded, (Jbig2Error,), seed=5)
 
+    # symbol dictionary + text region: IADH/IADW/IAEX/IAID walks,
+    # height classes, strip placement — mutants must refuse as
+    # Jbig2Error or decode SOME page, never escape/hang
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    syms = [[bytes([(x + y + k) % 2 for x in range(3 + k % 3)])
+             for y in range(3 + k // 2)] for k in range(4)]
+    insts = [(0, 0, 0), (5, 0, 1), (10, 0, 2), (1, 7, 3), (8, 7, 0)]
+    _battery(lambda: encode_jbig2_symbol_text(syms, insts, (16, 14)),
+             decode_jbig2_embedded, (Jbig2Error,), seed=61)
+    # and the globals split: mutate the GLOBALS stream under an
+    # intact page stream
+    g0, p0 = encode_jbig2_symbol_text(syms, insts, (16, 14),
+                                      in_globals=True)
+    _battery(lambda: g0,
+             lambda d: decode_jbig2_embedded(p0, globals_data=d),
+             (Jbig2Error,), seed=67)
+
 
 def test_fuzz_office():
     from verified_sources_spark.llm.office import (

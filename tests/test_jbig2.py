@@ -159,10 +159,15 @@ def test_refusals_by_name():
     bad[aseg1 + 11 + 17] = 0x10  # EXTTEMPLATE
     with pytest.raises(Jbig2Error, match="EXTTEMPLATE"):
         decode_jbig2_embedded(bytes(bad))
-    # symbol dictionary segment type
+    # halftone region segment type (symbol dictionary + text regions
+    # DECODE as of round 14 — halftone/refinement keep refusing)
     bad = bytearray(good)
-    bad[seg1_at + 4] = 0
-    with pytest.raises(Jbig2Error, match="symbol dictionary"):
+    bad[seg1_at + 4] = 22
+    with pytest.raises(Jbig2Error, match="halftone"):
+        decode_jbig2_embedded(bytes(bad))
+    bad = bytearray(good)
+    bad[seg1_at + 4] = 42
+    with pytest.raises(Jbig2Error, match="refinement"):
         decode_jbig2_embedded(bytes(bad))
     # unknown data length sentinel
     bad = bytearray(good)
@@ -184,10 +189,16 @@ def test_refusals_by_name():
     # a region inside the globals stream
     with pytest.raises(Jbig2Error, match="globals"):
         decode_jbig2_embedded(good, globals_data=good[seg1_at:])
-    # globals with a symbol dictionary
+    # globals with a halftone dictionary (symbol dictionaries in the
+    # globals stream decode as of round 14; halftone keeps refusing)
+    gbad = bytearray(good[seg1_at:])
+    gbad[4] = 16
+    with pytest.raises(Jbig2Error, match="pattern dictionary"):
+        decode_jbig2_embedded(good, globals_data=bytes(gbad))
+    # garbled symbol dictionary bytes in globals refuse, not garble
     gbad = bytearray(good[seg1_at:])
     gbad[4] = 0
-    with pytest.raises(Jbig2Error, match="symbol dictionary"):
+    with pytest.raises(Jbig2Error):
         decode_jbig2_embedded(good, globals_data=bytes(gbad))
 
 
@@ -315,3 +326,179 @@ class TestArithmeticGenericRegion:
         with _pytest.raises(Jbig2Error, match="causal"):
             encode_jbig2_arith([b"\x01" * 8] * 4,
                                at=((1, 1), (-3, -1), (2, -2), (-2, -2)))
+
+
+# ------------------------------------ symbol dictionary + text region
+
+def _glyphs(seed: int = 11, n: int = 6):
+    """Glyph bitmaps sorted by nondecreasing height (the encoder's
+    height-class contract), varied sizes."""
+    rng = random.Random(seed)
+    out = []
+    for k in range(n):
+        h = 3 + k // 2            # two glyphs per height class
+        w = 3 + rng.randrange(4)
+        out.append([bytes(rng.randrange(2) for _ in range(w))
+                    for _ in range(h)])
+    return out
+
+
+def _compose(syms, insts, pw, ph):
+    page = [[0] * pw for _ in range(ph)]
+    for x, y, sid in insts:
+        for ry, row in enumerate(syms[sid]):
+            for rx, p in enumerate(row):
+                page[y + ry][x + rx] |= p
+    return [bytes(r) for r in page]
+
+
+def test_symbol_text_round_trip():
+    """Symbol dictionary + text region: height classes, width deltas,
+    IAID tree, multi-strip placement — decode must reproduce the
+    composed page exactly (encoder and decoder walk the published
+    model independently)."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    syms = _glyphs()
+    insts = [(1, 0, 0), (7, 0, 3), (14, 0, 5),
+             (0, 8, 2), (6, 8, 1), (13, 8, 4),
+             (3, 16, 5), (11, 16, 0)]
+    pw, ph = 24, 24
+    blob = encode_jbig2_symbol_text(syms, insts, (pw, ph))
+    out = decode_jbig2_embedded(blob)
+    assert out["rows"] == _compose(syms, insts, pw, ph)
+
+
+def test_symbol_text_globals_arrangement():
+    """The PDF /JBIG2Globals split: dictionary in the globals stream,
+    text region in the page stream, resolved by referred number."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    syms = _glyphs(seed=5, n=3)
+    insts = [(0, 0, 0), (5, 0, 2), (2, 6, 1)]
+    g, p = encode_jbig2_symbol_text(syms, insts, (16, 12),
+                                    in_globals=True)
+    out = decode_jbig2_embedded(p, globals_data=g)
+    assert out["rows"] == _compose(syms, insts, 16, 12)
+    # without the globals the text region has no symbols in scope
+    with pytest.raises(Jbig2Error, match="no symbols in scope"):
+        decode_jbig2_embedded(p)
+
+
+def test_symbol_text_single_symbol_and_overlap():
+    """code_len floor (1 symbol -> 1-bit IAID tree) and overlapping
+    instances (negative IADS) both decode."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    sym = [bytes([1, 1, 1]), bytes([1, 0, 1]), bytes([1, 1, 1])]
+    insts = [(0, 0, 0), (2, 0, 0), (1, 1, 0)]  # overlapping ORs
+    blob = encode_jbig2_symbol_text([sym], insts, (8, 6))
+    out = decode_jbig2_embedded(blob)
+    assert out["rows"] == _compose([sym], insts, 8, 6)
+
+
+def test_symbol_text_refusals_by_name():
+    """Huffman / refinement / transposed / retained-context bits and
+    structural garble all refuse by name, never garble."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    syms = _glyphs(seed=9, n=2)
+    insts = [(0, 0, 0), (6, 0, 1)]
+    good = encode_jbig2_symbol_text(syms, insts, (16, 8),
+                                    end_of_page=False)
+    # layout: page info seg (11+19), then symbol dict seg at:
+    sd_at = 11 + 19
+    sd_len = struct.unpack_from(">I", good, sd_at + 7)[0]
+    tr_at = sd_at + 11 + sd_len           # text region header start
+    # text region header has 1 referred segment -> data at +12
+    for bitpos, pattern in ((0x01, "Huffman"), (0x02, "refinement"),
+                            (0x100, "retained|imported")):
+        bad = bytearray(good)
+        flags = struct.unpack_from(">H", bad, sd_at + 11)[0] | bitpos
+        struct.pack_into(">H", bad, sd_at + 11, flags)
+        with pytest.raises(Jbig2Error, match=pattern):
+            decode_jbig2_embedded(bytes(bad))
+    for bitpos, pattern in ((0x01, "Huffman"), (0x02, "refinement"),
+                            (0x40, "transposed")):
+        bad = bytearray(good)
+        flags = struct.unpack_from(">H", bad, tr_at + 12 + 17)[0] | bitpos
+        struct.pack_into(">H", bad, tr_at + 12 + 17, flags)
+        with pytest.raises(Jbig2Error, match=pattern):
+            decode_jbig2_embedded(bytes(bad))
+    # declared instance count overrun: fewer declared than coded
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, tr_at + 12 + 19, 1)
+    with pytest.raises(Jbig2Error, match="more instances"):
+        decode_jbig2_embedded(bytes(bad))
+
+
+def test_symbol_text_mutation_battery():
+    """Every byte flip in the symbol/text stream either decodes to
+    SOME page (arithmetic self-healing is acceptable) or refuses as
+    Jbig2Error — never a raw exception escape."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    syms = _glyphs(seed=21, n=4)
+    insts = [(0, 0, 0), (5, 0, 2), (10, 0, 3), (2, 7, 1)]
+    good = encode_jbig2_symbol_text(syms, insts, (18, 14))
+    rng = random.Random(77)
+    for _ in range(300):
+        i = rng.randrange(len(good))
+        bad = bytearray(good)
+        bad[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_jbig2_embedded(bytes(bad))
+        except Jbig2Error:
+            pass
+
+
+def test_integer_procedure_round_trip():
+    """The Annex-A integer codec across every range bucket and OOB,
+    through a real MQ coder pair."""
+    from verified_sources_spark.llm.jbig2 import (
+        _ctx_total,
+        _decode_int,
+        _encode_int,
+    )
+    from verified_sources_spark.llm.mq_coder import MQDecoder, MQEncoder
+
+    vals = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+            100000, -1, -5, -20, -84, -340, -4436, -99999, None, 7,
+            None, -2]
+    enc = MQEncoder(_ctx_total())
+    for v in vals:
+        _encode_int(enc, "IADH", v)
+        _encode_int(enc, "IADS", v if v is None or v >= 0 else -v)
+    data = enc.flush()
+    dec = MQDecoder(data, _ctx_total())
+    for v in vals:
+        assert _decode_int(dec, "IADH") == v
+        assert _decode_int(dec, "IADS") == (
+            v if v is None or v >= 0 else -v)
+
+
+def test_iaid_round_trip():
+    from verified_sources_spark.llm.jbig2 import (
+        _ctx_total,
+        _decode_iaid,
+        _encode_iaid,
+    )
+    from verified_sources_spark.llm.mq_coder import MQDecoder, MQEncoder
+
+    for code_len in (1, 3, 6):
+        ids = [i % (1 << code_len) for i in range(40)]
+        enc = MQEncoder(_ctx_total(code_len))
+        for i in ids:
+            _encode_iaid(enc, code_len, i)
+        dec = MQDecoder(enc.flush(), _ctx_total(code_len))
+        assert [_decode_iaid(dec, code_len) for _ in ids] == ids

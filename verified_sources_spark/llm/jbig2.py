@@ -1,24 +1,32 @@
 """JBIG2 (ITU-T T.88) embedded streams — MMR and MQ-arithmetic
-generic regions.
+generic regions, symbol dictionaries and text regions.
 
-Post-2005 scanned PDFs predominantly carry /JBIG2Decode images.  The
-standard has two coding backends, both served here: **MMR=1 generic
-regions are T.4/T.6 coded** (T.88 §6.2.5.7 delegates region data to
-the MMR coder), decoded by this repo's libtiff-verified fax codec
+Post-2005 scanned PDFs predominantly carry /JBIG2Decode images, and
+overwhelmingly SYMBOL/TEXT-coded ones (glyphs coded once, placed many
+times).  Coding backends served here: **MMR=1 generic regions are
+T.4/T.6 coded** (T.88 §6.2.5.7 delegates region data to the MMR
+coder), decoded by this repo's libtiff-verified fax codec
 (llm/fax_codec); **MMR=0 regions use the MQ arithmetic coder**
 (llm/mq_coder, implemented from the published T.88/T.800 flowcharts)
 with the template-0 context model — the default every mainstream
 encoder emits — including TPGDON typical-prediction rows and
-non-nominal AT pixels.  Verification posture for the arithmetic
-layer: no external JBIG2 implementation exists in this environment,
-so the gate is encoder↔decoder independence at the bitmap level (the
-fixture encoder drives its own context walk into the MQ encoder; the
-decoder reconstructs through its own walk — they meet only at the
-published template definition and coder tables) plus the MQ coder's
-own randomized round-trip/invariant battery.  Generic-region
-templates 1-3, EXTTEMPLATE, and symbol-dictionary/text/halftone/
-refinement segments still refuse BY NAME (the silent-garble risk the
-two-sided method exists to prevent).
+non-nominal AT pixels; **symbol dictionaries + text regions** (§6.5 /
+§6.4, arithmetic non-refinement path) through the Annex-A integer
+procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT over 512-context
+trees) and the IAID symbol-ID tree, with height-class delta coding,
+export-run flags, the strip placement walk, all four REFCORNERs and
+the per-instance SBCOMBOP composition.  Verification posture for the
+arithmetic layers: no external JBIG2 implementation exists in this
+environment, so the gate is encoder↔decoder independence at the
+bitmap level (the fixture encoders drive their own walks of the
+published model into the MQ encoder; the decoder reconstructs through
+its own walk — they meet only at the published template/procedure
+definitions and coder tables) plus the MQ coder's own randomized
+round-trip/invariant battery.  Generic-region templates 1-3,
+EXTTEMPLATE, Huffman-coded dictionaries/text, refinement/aggregate
+symbol coding, transposed text regions, and halftone/refinement
+segments refuse BY NAME (the silent-garble risk the two-sided method
+exists to prevent).
 
 Implements the PDF "embedded organization" (T.88 Annex; no file
 header): a stream of segments, each a segment header (§7.2) plus data.
@@ -33,11 +41,16 @@ Supported segment types:
   combination operator (OR/AND/XOR/XNOR/REPLACE, §6.8.2);
   intermediate regions (36) also composite here (no refinement
   support — a later refinement segment would refuse by type anyway)
+- 0 symbol dictionary (§7.4.3) — arithmetic, SDHUFF=0 SDREFAGG=0
+  template 0; referred dictionaries contribute input symbols
+- 4/6/7 text regions (§7.4.4) — arithmetic, non-transposed; symbols
+  resolve through the referred-to segment numbers
 - 49/50/51 end-of-page / end-of-stripe / end-of-file — frame no-ops
 - 62 extension — skipped (spec: decoders may ignore)
 
-A /JBIG2Globals stream parses with the same reader first; its
-segments (page association 0) obey the same type gate.
+A /JBIG2Globals stream parses with the same reader first; its symbol
+dictionaries (page association 0) feed page-stream text regions — the
+PDF arrangement where the font dictionary is shared across pages.
 
 Fixture encoder ``encode_jbig2_mmr`` writes the same embedded
 organization with byte layouts pinned to the spec section numbers
@@ -68,6 +81,7 @@ __all__ = [
     "decode_jbig2_embedded",
     "encode_jbig2_mmr",
     "encode_jbig2_arith",
+    "encode_jbig2_symbol_text",
 ]
 
 # --------------------------------------------------- arithmetic layer
@@ -97,15 +111,15 @@ def _template0(at: tuple[tuple[int, int], ...]):
     return sorted(_T0_FIXED + tuple(at), key=lambda p: (p[1], p[0]))
 
 
-def _decode_generic_region_arith(
-    data: bytes, w: int, h: int,
+def _decode_generic_bitmap(
+    dec, w: int, h: int,
     at: tuple[tuple[int, int], ...], tpgdon: bool,
 ) -> list[bytes]:
-    """MMR=0 generic region, template 0 → rows of 0/1 bytes."""
-    from verified_sources_spark.llm.mq_coder import MQDecoder
-
+    """Template-0 generic bitmap decode over an EXISTING MQ decoder —
+    the shared core under standalone generic regions AND the symbol
+    dictionary's per-symbol bitmaps (which share one decoder + one GB
+    context array across the whole segment, T.88 §6.5.8.2.1)."""
     tmpl = _template0(at)
-    dec = MQDecoder(data, 1 << 16)
     zero = [0] * (w + 2 * _PAD)
     rows: list[list[int]] = []
     ltp = 0
@@ -147,17 +161,26 @@ def _decode_generic_region_arith(
     return [bytes(r[_PAD : _PAD + w]) for r in rows]
 
 
-def _encode_generic_region_arith(
-    rows: list[bytes], at: tuple[tuple[int, int], ...], tpgdon: bool,
-) -> bytes:
-    """Fixture encoder: the same context model driving the MQ encoder
+def _decode_generic_region_arith(
+    data: bytes, w: int, h: int,
+    at: tuple[tuple[int, int], ...], tpgdon: bool,
+) -> list[bytes]:
+    """MMR=0 generic region, template 0 → rows of 0/1 bytes."""
+    from verified_sources_spark.llm.mq_coder import MQDecoder
+
+    return _decode_generic_bitmap(
+        MQDecoder(data, 1 << 16), w, h, at, tpgdon)
+
+
+def _encode_generic_bitmap(
+    enc, rows: list[bytes], at: tuple[tuple[int, int], ...],
+    tpgdon: bool,
+) -> None:
+    """Template-0 generic bitmap encode into an EXISTING MQ encoder
     (independent of the decoder's walk; the two meet only at the
     published template/coder definitions)."""
-    from verified_sources_spark.llm.mq_coder import MQEncoder
-
     tmpl = _template0(at)
     w = len(rows[0])
-    enc = MQEncoder(1 << 16)
     zero = [0] * (w + 2 * _PAD)
     padded: list[list[int]] = []
     ltp = 0
@@ -182,7 +205,361 @@ def _encode_generic_region_arith(
                 ctx = (ctx << 1) | rs[dy + 2][x + dx + _PAD]
             enc.encode(ctx, row[x + _PAD])
         padded.append(row)
+
+
+def _encode_generic_region_arith(
+    rows: list[bytes], at: tuple[tuple[int, int], ...], tpgdon: bool,
+) -> bytes:
+    from verified_sources_spark.llm.mq_coder import MQEncoder
+
+    enc = MQEncoder(1 << 16)
+    _encode_generic_bitmap(enc, rows, at, tpgdon)
     return enc.flush()
+
+
+# ----------------------------------------- arithmetic integer layer
+# T.88 Annex A: each integer procedure (IADH, IADW, ...) owns a
+# 512-entry adaptive context tree driven through the SAME MQ coder as
+# the bitmap contexts; IAID is a SYMCODELEN-deep binary tree.  The
+# procedures below share one coder instance via disjoint context
+# bases: GB template contexts at [0, 2^16), the nine integer trees
+# after, the IAID tree last (sized per text region).
+_INT_PROCS = ("IADH", "IADW", "IAEX", "IAAI", "IADT", "IAFS",
+              "IADS", "IAIT", "IARI")
+_INT_BASE = {p: (1 << 16) + i * 512 for i, p in enumerate(_INT_PROCS)}
+_IAID_BASE = (1 << 16) + len(_INT_PROCS) * 512
+
+
+def _ctx_total(code_len: int = 0) -> int:
+    return _IAID_BASE + (1 << (code_len + 1))
+
+
+def _decode_int(dec, proc: str) -> int | None:
+    """T.88 A.2 integer decoding: sign bit, unary-ish range prefix,
+    MSB-first value bits, every bit refining the PREV context walk.
+    Returns None for OOB (sign=1, value=0)."""
+    base = _INT_BASE[proc]
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(base + prev)
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    def bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    s = bit()
+    if not bit():
+        v = bits(2)
+    elif not bit():
+        v = bits(4) + 4
+    elif not bit():
+        v = bits(6) + 20
+    elif not bit():
+        v = bits(8) + 84
+    elif not bit():
+        v = bits(12) + 340
+    else:
+        v = bits(32) + 4436
+    if s:
+        return -v if v else None  # sign with zero magnitude = OOB
+    return v
+
+
+def _encode_int(enc, proc: str, value: int | None) -> None:
+    """Mirror of :func:`_decode_int` (fixture side); ``None`` encodes
+    the OOB word."""
+    base = _INT_BASE[proc]
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(base + prev, b)
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+
+    def bits(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bit((v >> i) & 1)
+
+    if value is None:
+        bit(1)
+        bit(0)
+        bits(0, 2)
+        return
+    v = abs(value)
+    bit(1 if value < 0 else 0)
+    if v < 4:
+        bit(0)
+        bits(v, 2)
+    elif v < 20:
+        bit(1), bit(0)
+        bits(v - 4, 4)
+    elif v < 84:
+        bit(1), bit(1), bit(0)
+        bits(v - 20, 6)
+    elif v < 340:
+        bit(1), bit(1), bit(1), bit(0)
+        bits(v - 84, 8)
+    elif v < 4436:
+        bit(1), bit(1), bit(1), bit(1), bit(0)
+        bits(v - 340, 12)
+    else:
+        bit(1), bit(1), bit(1), bit(1), bit(1)
+        bits(v - 4436, 32)
+
+
+def _decode_iaid(dec, code_len: int) -> int:
+    """T.88 A.3: walk the SYMCODELEN-deep context tree; the PREV
+    accumulator IS the coded value plus the 2^len sentinel."""
+    prev = 1
+    for _ in range(code_len):
+        prev = (prev << 1) | dec.decode(_IAID_BASE + prev)
+    return prev - (1 << code_len)
+
+
+def _encode_iaid(enc, code_len: int, value: int) -> None:
+    prev = 1
+    v = value + (1 << code_len)
+    for i in range(code_len - 1, -1, -1):
+        b = (v >> i) & 1
+        enc.encode(_IAID_BASE + prev, b)
+        prev = (prev << 1) | b
+
+# ------------------------------------- symbol dictionary / text region
+
+_MAX_SYM_DIM = 10_000        # one glyph larger than a page is garble
+_MAX_SYM_PIXELS = 1 << 22
+_MAX_SYMS = 1 << 16
+
+
+def _be16(d: bytes, pos: int) -> int:
+    if pos + 2 > len(d):
+        raise Jbig2Error("truncated JBIG2 segment data")
+    return struct.unpack_from(">H", d, pos)[0]
+
+
+def _decode_symbol_dictionary(d: bytes,
+                              input_syms: list) -> list:
+    """Symbol dictionary segment data (T.88 §6.5 / §7.4.3), the
+    arithmetic non-refinement path (SDHUFF=0, SDREFAGG=0, template 0
+    — what mainstream encoders emit).  Height classes via IADH,
+    per-symbol width deltas via IADW (OOB ends a class), bitmaps
+    through ONE shared MQ decoder + GB context array, export runs via
+    IAEX over input+new symbols.  Returns the exported bitmaps."""
+    flags = _be16(d, 0)
+    if flags & 0x01:
+        raise Jbig2Error("JBIG2 Huffman-coded symbol dictionary — "
+                         "refusing by name (no verifier here)")
+    if flags & 0x02:
+        raise Jbig2Error("JBIG2 refinement/aggregate symbol coding — "
+                         "refusing by name")
+    if flags & 0x100 or flags & 0x200:
+        raise Jbig2Error("JBIG2 retained/imported coding contexts — "
+                         "refusing by name")
+    template = (flags >> 10) & 0x03
+    if template != 0:
+        raise Jbig2Error(
+            f"JBIG2 symbol dictionary template {template} — "
+            "refusing by name (only template 0 served)")
+    if len(d) < 18:
+        raise Jbig2Error("truncated JBIG2 symbol dictionary")
+    at = tuple(
+        (struct.unpack_from("b", d, 2 + 2 * i)[0],
+         struct.unpack_from("b", d, 3 + 2 * i)[0])
+        for i in range(4))
+    numex = _u32(d, 10)
+    numnew = _u32(d, 14)
+    if numnew > _MAX_SYMS or numex > _MAX_SYMS:
+        raise Jbig2Error(
+            f"JBIG2 symbol dictionary declares {numnew} new / "
+            f"{numex} exported symbols — over gate")
+    if numex > len(input_syms) + numnew:
+        raise Jbig2Error(
+            "JBIG2 symbol dictionary exports more symbols than exist")
+    from verified_sources_spark.llm.mq_coder import MQDecoder
+
+    dec = MQDecoder(d[18:], _ctx_total())
+    syms: list = []
+    hcheight = 0
+    total_px = 0
+    classes = 0
+    while len(syms) < numnew:
+        classes += 1
+        if classes > 2 * numnew + 8:
+            raise Jbig2Error(
+                "JBIG2 symbol dictionary height-class walk does not "
+                "converge — corrupt stream")
+        dh = _decode_int(dec, "IADH")
+        if dh is None:
+            raise Jbig2Error("OOB height delta in symbol dictionary")
+        hcheight += dh
+        if not 0 < hcheight <= _MAX_SYM_DIM:
+            raise Jbig2Error(
+                f"JBIG2 symbol height {hcheight} out of range")
+        symwidth = 0
+        while True:
+            dw = _decode_int(dec, "IADW")
+            if dw is None:
+                break  # end of this height class
+            symwidth += dw
+            if not 0 < symwidth <= _MAX_SYM_DIM:
+                raise Jbig2Error(
+                    f"JBIG2 symbol width {symwidth} out of range")
+            if len(syms) >= numnew:
+                raise Jbig2Error(
+                    "JBIG2 symbol dictionary decodes more symbols "
+                    "than declared")
+            if symwidth * hcheight > _MAX_SYM_PIXELS:
+                raise Jbig2Error("JBIG2 symbol over pixel gate")
+            total_px += symwidth * hcheight
+            if total_px > _MAX_PIXELS:
+                raise Jbig2Error(
+                    "JBIG2 symbol dictionary over total pixel gate")
+            syms.append(_decode_generic_bitmap(
+                dec, symwidth, hcheight, at, False))
+    # export flags: alternating no-export/export run lengths (§6.5.10)
+    allsyms = list(input_syms) + syms
+    ex_flags: list[int] = []
+    ex = 0
+    runs = 0
+    while len(ex_flags) < len(allsyms):
+        runs += 1
+        if runs > 2 * len(allsyms) + 4:
+            raise Jbig2Error(
+                "JBIG2 export-flag walk does not converge")
+        run = _decode_int(dec, "IAEX")
+        if run is None or run < 0:
+            raise Jbig2Error("bad export run length in dictionary")
+        if len(ex_flags) + run > len(allsyms):
+            raise Jbig2Error("JBIG2 export run overruns symbol count")
+        ex_flags.extend([ex] * run)
+        ex ^= 1
+    exported = [s for s, f in zip(allsyms, ex_flags) if f]
+    if len(exported) != numex:
+        raise Jbig2Error(
+            f"JBIG2 dictionary exported {len(exported)} symbols, "
+            f"declared {numex}")
+    return exported
+
+
+def _decode_text_region(d: bytes, syms: list):
+    """Text region segment data (T.88 §6.4 / §7.4.4), arithmetic
+    non-refinement non-transposed path: strip walk via IADT/IAFS/
+    IADS/IAIT, symbol IDs via the IAID tree, placement by REFCORNER,
+    per-instance composition with SBCOMBOP.  Returns (region info,
+    rows)."""
+    w, h, x, y, op = _region_info(d)
+    flags = _be16(d, 17)
+    if flags & 0x01:
+        raise Jbig2Error("JBIG2 Huffman-coded text region — refusing "
+                         "by name (no verifier here)")
+    if flags & 0x02:
+        raise Jbig2Error("JBIG2 text region with refinement — "
+                         "refusing by name")
+    if flags & 0x40:
+        raise Jbig2Error("JBIG2 transposed text region — refusing by "
+                         "name (row/column-swapped placement unserved)")
+    log_strips = (flags >> 2) & 0x03
+    refcorner = (flags >> 4) & 0x03
+    combop = (flags >> 7) & 0x03
+    defpixel = (flags >> 9) & 0x01
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    if len(d) < 23:
+        raise Jbig2Error("truncated JBIG2 text region")
+    numinst = _u32(d, 19)
+    if not syms:
+        raise Jbig2Error(
+            "JBIG2 text region with no symbols in scope — referred "
+            "dictionaries exported nothing")
+    if numinst > _MAX_PIXELS:
+        raise Jbig2Error("JBIG2 text region instance count over gate")
+    if w * h > _MAX_PIXELS:
+        raise Jbig2Error(f"JBIG2 text region {w}x{h} over pixel gate")
+    code_len = max(1, (len(syms) - 1).bit_length())
+    from verified_sources_spark.llm.mq_coder import MQDecoder
+
+    dec = MQDecoder(d[23:], _ctx_total(code_len))
+    strips = 1 << log_strips
+    bitmap = [bytearray([defpixel] * w) for _ in range(h)]
+    stript = -_req_int(dec, "IADT", "initial strip T")
+    firsts = 0
+    inst = 0
+    strip_rounds = 0
+    while inst < numinst:
+        strip_rounds += 1
+        if strip_rounds > numinst + 8:
+            raise Jbig2Error(
+                "JBIG2 text region strip walk does not converge")
+        stript += _req_int(dec, "IADT", "strip T delta")
+        first = True
+        curs = 0
+        while True:
+            if first:
+                firsts += _req_int(dec, "IAFS", "first S")
+                curs = firsts
+                first = False
+            else:
+                ids = _decode_int(dec, "IADS")
+                if ids is None:
+                    break  # OOB: end of strip
+                curs += ids + dsoffset
+            if inst >= numinst:
+                raise Jbig2Error(
+                    "JBIG2 text region decodes more instances than "
+                    "declared")
+            curt = _req_int(dec, "IAIT", "T offset") if strips > 1 \
+                else 0
+            ti = stript * strips + curt
+            sid = _decode_iaid(dec, code_len)
+            if sid >= len(syms):
+                raise Jbig2Error(
+                    f"JBIG2 symbol id {sid} out of range "
+                    f"({len(syms)} symbols)")
+            sym = syms[sid]
+            sh, sw = len(sym), len(sym[0])
+            # non-transposed placement: S is the left edge for every
+            # REFCORNER (the right-corner pre-advance nets out, T.88
+            # §6.4.5 steps vi/viii); TOP corners put T at the top row
+            ty = ti if refcorner & 1 else ti - sh + 1
+            if curs < 0 or ty < 0 or curs + sw > w or ty + sh > h:
+                raise Jbig2Error(
+                    f"JBIG2 symbol instance {sw}x{sh}@({curs},{ty}) "
+                    f"outside text region {w}x{h}")
+            for ry in range(sh):
+                dst = bitmap[ty + ry]
+                src = sym[ry]
+                if combop == 0:
+                    for rx in range(sw):
+                        dst[curs + rx] |= src[rx]
+                elif combop == 1:
+                    for rx in range(sw):
+                        dst[curs + rx] &= src[rx]
+                elif combop == 2:
+                    for rx in range(sw):
+                        dst[curs + rx] ^= src[rx]
+                else:  # XNOR on 0/1 pixels
+                    for rx in range(sw):
+                        dst[curs + rx] ^= src[rx] ^ 1
+            curs += sw - 1
+            inst += 1
+    return w, h, x, y, op, [bytes(r) for r in bitmap]
+
+
+def _req_int(dec, proc: str, what: str) -> int:
+    v = _decode_int(dec, proc)
+    if v is None:
+        raise Jbig2Error(f"unexpected OOB decoding {what}")
+    return v
+
 
 # T.88 §7.3 segment type numbers
 _PAGE_INFO = 48
@@ -191,10 +568,10 @@ _END_OF_STRIPE = 50
 _END_OF_FILE = 51
 _EXTENSION = 62
 _GENERIC_REGIONS = (36, 38, 39)
+_SYMBOL_DICT = 0
+_TEXT_REGIONS = (4, 6, 7)
 
 _TYPE_NAMES = {
-    0: "symbol dictionary", 4: "intermediate text region",
-    6: "immediate text region", 7: "immediate lossless text region",
     16: "pattern dictionary", 20: "intermediate halftone region",
     22: "immediate halftone region",
     23: "immediate lossless halftone region",
@@ -219,9 +596,9 @@ def _u32(data: bytes, pos: int) -> int:
 
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
     """One segment header (T.88 §7.2) → (segment dict, data offset).
-    The dict carries number/type/page/data_length; referred-to segment
-    numbers are parsed (for sizing) but unused — the MMR path has no
-    cross-segment references."""
+    The dict carries number/type/page/data_length plus the
+    referred-to segment numbers — text regions resolve their symbol
+    dictionaries through them."""
     if pos + 11 > len(data):
         raise Jbig2Error("truncated JBIG2 segment header")
     num = _u32(data, pos)
@@ -236,8 +613,21 @@ def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
         p += 4 + (count + 8) // 8
     else:
         p += 1
+    if count > 1 << 20:
+        raise Jbig2Error("JBIG2 segment refers to an absurd number "
+                         "of segments — corrupt header")
     # referred-to segment numbers size by THIS segment's number (§7.2.5)
     ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+    if p + count * ref_size > len(data):
+        raise Jbig2Error("truncated JBIG2 segment header (referred)")
+    referred = []
+    for i in range(count):
+        if ref_size == 1:
+            referred.append(data[p + i])
+        elif ref_size == 2:
+            referred.append(struct.unpack_from(">H", data, p + 2 * i)[0])
+        else:
+            referred.append(_u32(data, p + 4 * i))
     p += count * ref_size
     if page_assoc_4:
         page = _u32(data, p)
@@ -257,7 +647,7 @@ def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
             f"JBIG2 segment {num} data overruns stream "
             f"({length} bytes declared)")
     return ({"number": num, "type": seg_type, "page": page,
-             "data_length": length}, p)
+             "referred": referred, "data_length": length}, p)
 
 
 def _iter_segments(data: bytes):
@@ -280,7 +670,8 @@ def _region_info(d: bytes) -> tuple[int, int, int, int, int]:
 
 def _check_supported(seg: dict) -> None:
     t = seg["type"]
-    if t in _GENERIC_REGIONS or t in (
+    if t == _SYMBOL_DICT or t in _TEXT_REGIONS \
+            or t in _GENERIC_REGIONS or t in (
             _PAGE_INFO, _END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE,
             _EXTENSION):
         return
@@ -288,6 +679,28 @@ def _check_supported(seg: dict) -> None:
     raise Jbig2Error(
         f"JBIG2 {name} segment — refusing by name "
         "(arithmetic/Huffman-coded structure, no verifier here)")
+
+
+def _composite(page, page_w: int, page_h: int, rows: list[bytes],
+               w: int, h: int, x: int, y: int, op: int) -> None:
+    """External combination (T.88 §6.8.2) of a region onto the page."""
+    import numpy as np
+
+    reg = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
+    sub = page[y : y + h, x : x + w]
+    if op == 0:
+        sub |= reg
+    elif op == 1:
+        sub &= reg
+    elif op == 2:
+        sub ^= reg
+    elif op == 3:
+        sub ^= reg ^ 1  # XNOR on 0/1 pixels
+    elif op == 4:
+        sub[:] = reg
+    else:
+        raise Jbig2Error(
+            f"JBIG2 combination operator {op} — reserved value")
 
 
 def decode_jbig2_embedded(
@@ -303,14 +716,30 @@ def decode_jbig2_embedded(
     combination operator; anything arithmetic-coded refuses by name."""
     import numpy as np
 
+    sym_dicts: dict[int, list] = {}  # segment number -> exported syms
+
+    def _input_symbols(seg: dict) -> list:
+        """Concatenate the exported symbols of every referred symbol
+        dictionary, in referral order (T.88 §7.4.3.1.2 /
+        §7.4.4.1.1)."""
+        out: list = []
+        for r in seg["referred"]:
+            if r in sym_dicts:
+                out.extend(sym_dicts[r])
+        return out
+
     for seg in _iter_segments(globals_data):
-        # globals hold dictionaries/tables for the arithmetic/text
-        # layers — the same type gate applies (frame no-ops pass)
+        # globals hold symbol dictionaries for the text layer — the
+        # same type gate applies (frame no-ops pass)
         _check_supported(seg)
-        if seg["type"] in _GENERIC_REGIONS:
+        if seg["type"] in _GENERIC_REGIONS \
+                or seg["type"] in _TEXT_REGIONS:
             raise Jbig2Error(
-                "JBIG2 generic region in the globals stream — "
+                "JBIG2 region in the globals stream — "
                 "regions are page-associated (T.88 §8.2)")
+        if seg["type"] == _SYMBOL_DICT:
+            sym_dicts[seg["number"]] = _decode_symbol_dictionary(
+                seg["data"], _input_symbols(seg))
 
     segments = list(_iter_segments(data))
     page = None          # np.uint8 (H, W)
@@ -322,7 +751,8 @@ def decode_jbig2_embedded(
     # and real readers size the page from its regions
     max_extent = 0
     for seg in segments:
-        if seg["type"] in _GENERIC_REGIONS:
+        if seg["type"] in _GENERIC_REGIONS \
+                or seg["type"] in _TEXT_REGIONS:
             _w, h, _x, y, _op = _region_info(seg["data"])
             max_extent = max(max_extent, y + h)
 
@@ -393,21 +823,22 @@ def decode_jbig2_embedded(
                     for i in range(4))
                 rows = _decode_generic_region_arith(
                     d[26:], w, h, at, tpgdon)
-            reg = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
-            sub = page[y : y + h, x : x + w]
-            if op == 0:
-                sub |= reg
-            elif op == 1:
-                sub &= reg
-            elif op == 2:
-                sub ^= reg
-            elif op == 3:
-                sub ^= reg ^ 1  # XNOR on 0/1 pixels
-            elif op == 4:
-                sub[:] = reg
-            else:
+            _composite(page, page_w, page_h, rows, w, h, x, y, op)
+        elif t == _SYMBOL_DICT:
+            sym_dicts[seg["number"]] = _decode_symbol_dictionary(
+                seg["data"], _input_symbols(seg))
+        elif t in _TEXT_REGIONS:
+            if page is None:
                 raise Jbig2Error(
-                    f"JBIG2 combination operator {op} — reserved value")
+                    "JBIG2 region before any page info segment")
+            syms = _input_symbols(seg)
+            w, h, x, y, op, rows = _decode_text_region(
+                seg["data"], syms)
+            if x + w > page_w or y + h > page_h:
+                raise Jbig2Error(
+                    f"JBIG2 text region {w}x{h}@({x},{y}) exceeds "
+                    f"page {page_w}x{page_h}")
+            _composite(page, page_w, page_h, rows, w, h, x, y, op)
         # 49/50/51/62: frame no-ops / skipped
 
     if page is None:
@@ -424,11 +855,16 @@ def decode_jbig2_embedded(
 # ------------------------------------------------------------- fixtures
 
 def _segment_header(num: int, seg_type: int, page: int,
-                    data_length: int) -> bytes:
+                    data_length: int,
+                    referred: tuple[int, ...] = ()) -> bytes:
     """Embedded-organization segment header, short forms throughout
-    (≤4 referred segments — here always 0; 1-byte page association)."""
+    (≤4 referred segments, 1-byte referred numbers since fixture
+    segment numbers stay ≤ 256; 1-byte page association)."""
+    if len(referred) > 4:
+        raise Jbig2Error("fixture header caps at 4 referred segments")
     return (struct.pack(">I", num) + bytes([seg_type & 0x3F])
-            + b"\x00"                       # 0 referred-to segments
+            + bytes([len(referred) << 5])   # retain bits 0
+            + bytes(r & 0xFF for r in referred)
             + bytes([page & 0xFF])
             + struct.pack(">I", data_length))
 
@@ -526,4 +962,123 @@ def encode_jbig2_arith(
         seg_num += 1
     if end_of_page:
         out += _segment_header(seg_num, _END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def encode_jbig2_symbol_text(
+    symbols: list[list[bytes]],
+    instances: list[tuple[int, int, int]],
+    page_size: tuple[int, int],
+    *,
+    page_default: int = 0,
+    region_op: int = 0,
+    in_globals: bool = False,
+    end_of_page: bool = True,
+) -> bytes | tuple[bytes, bytes]:
+    """PDF-embeddable JBIG2 with a SYMBOL DICTIONARY + TEXT REGION —
+    the coding real scanned PDFs overwhelmingly use (glyphs coded once,
+    placed many times).  ``symbols``: glyph bitmaps (rows of 0/1
+    bytes) in NONDECREASING height order (height classes are delta
+    coded); ``instances``: (x, y, symbol_index) with (x, y) the
+    TOPLEFT corner on the page.  The encoder drives its own walk of
+    the published model — height-class IADH/IADW deltas, shared
+    generic-bitmap contexts, IAEX export runs, strip IADT/IAFS/IADS
+    walk, the IAID tree — into the MQ encoder; the decoder
+    reconstructs through its own independent walk (the same
+    two-sided posture as the generic-region layer).  With
+    ``in_globals`` the dictionary segment is returned as a separate
+    globals stream (the PDF /JBIG2Globals arrangement):
+    ``(globals_bytes, page_bytes)``."""
+    from verified_sources_spark.llm.mq_coder import MQEncoder
+
+    if not symbols:
+        raise Jbig2Error("fixture needs at least one symbol")
+    heights = [len(s) for s in symbols]
+    if heights != sorted(heights):
+        raise Jbig2Error(
+            "fixture symbols must be sorted by nondecreasing height "
+            "(height classes are delta coded)")
+    pw, ph = page_size
+    n = len(symbols)
+    code_len = max(1, (n - 1).bit_length())
+
+    # ---- symbol dictionary data (§6.5 inverse)
+    enc = MQEncoder(_ctx_total())
+    hcheight = 0
+    i = 0
+    while i < n:
+        h = heights[i]
+        _encode_int(enc, "IADH", h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < n and heights[i] == h:
+            w = len(symbols[i][0])
+            _encode_int(enc, "IADW", w - symwidth)
+            symwidth = w
+            _encode_generic_bitmap(enc, symbols[i], _T0_NOMINAL_AT,
+                                   False)
+            i += 1
+        _encode_int(enc, "IADW", None)        # class terminator
+    _encode_int(enc, "IAEX", 0)               # first run: not exported
+    _encode_int(enc, "IAEX", n)               # export everything
+    at_bytes = b"".join(struct.pack("bb", ax, ay)
+                        for ax, ay in _T0_NOMINAL_AT)
+    sd_body = (struct.pack(">H", 0)           # SDHUFF=0 REFAGG=0 T0
+               + at_bytes
+               + struct.pack(">II", n, n)     # numex, numnew
+               + enc.flush())
+
+    # ---- text region data (§6.4 inverse): strips of equal y,
+    # nondecreasing; x nondecreasing within a strip
+    insts = sorted(instances, key=lambda t: (t[1], t[0]))
+    enc2 = MQEncoder(_ctx_total(code_len))
+    _encode_int(enc2, "IADT", 0)              # STRIPT starts at 0
+    prev_t = 0
+    prev_firsts = 0
+    k = 0
+    while k < len(insts):
+        t = insts[k][1]
+        _encode_int(enc2, "IADT", t - prev_t)
+        prev_t = t
+        first = True
+        curs = 0
+        while k < len(insts) and insts[k][1] == t:
+            x, _y, sid = insts[k]
+            if not 0 <= sid < n:
+                raise Jbig2Error(f"instance symbol id {sid} invalid")
+            if first:
+                _encode_int(enc2, "IAFS", x - prev_firsts)
+                prev_firsts = x
+                first = False
+            else:
+                _encode_int(enc2, "IADS", x - curs)
+            _encode_iaid(enc2, code_len, sid)
+            curs = x + len(symbols[sid][0]) - 1
+            k += 1
+        _encode_int(enc2, "IADS", None)       # end of strip
+    # flags: SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 REFCORNER=TOPLEFT(1)
+    # TRANSPOSED=0 SBCOMBOP=OR SBDEFPIXEL=0 SBDSOFFSET=0 RTEMPLATE=0
+    tr_flags = 1 << 4
+    tr_body = (struct.pack(">IIII", pw, ph, 0, 0)
+               + bytes([region_op & 0x07])
+               + struct.pack(">H", tr_flags)
+               + struct.pack(">I", len(insts))
+               + enc2.flush())
+
+    page_info = (struct.pack(">IIII", pw, ph, 0, 0)
+                 + bytes([(page_default & 1) << 2])
+                 + struct.pack(">H", 0))
+    sd_page = 0 if in_globals else 1
+    sd_seg = _segment_header(1, _SYMBOL_DICT, sd_page,
+                             len(sd_body)) + sd_body
+    out = bytearray()
+    out += _segment_header(0, _PAGE_INFO, 1, len(page_info)) + page_info
+    if not in_globals:
+        out += sd_seg
+    out += _segment_header(2, 7, 1, len(tr_body),
+                           referred=(1,)) + tr_body
+    if end_of_page:
+        out += _segment_header(3, _END_OF_PAGE, 1, 0)
+    if in_globals:
+        return bytes(sd_seg), bytes(out)
     return bytes(out)

@@ -3128,8 +3128,11 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
     odd, DeviceGray on every 5th, a bilevel scan on every remaining
     3rd — JBIG2 (llm/jbig2, the post-2005 scanned-PDF codec) when
-    ``doc_id % 9 == 3``, alternating MMR (T.6) and MQ-ARITHMETIC
-    template-0 regions with TPGDON (llm/mq_coder) by ``doc_id // 9``,
+    ``doc_id % 9 == 3``, rotating THREE backends by ``doc_id // 9``:
+    MQ-ARITHMETIC template-0 regions with TPGDON (llm/mq_coder), MMR
+    (T.6), and SYMBOL/TEXT coding (§6.5/§6.4: the page cut into six
+    glyphs, symbol dictionary + text-region placement — the coding
+    real scanned PDFs overwhelmingly use),
     CCITT-G4 (llm/fax_codec) otherwise — every 11th PDF truncated —
     AND mint
     the standalone twin (the same JPEG bytes / a PNG of the same
@@ -3192,17 +3195,40 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bits = bytes(1 if g < 128 else 0 for g in gray)
                     rows_ = [bits[y * w:(y + 1) * w] for y in range(h)]
                     if did % 9 == 3:
-                        # alternate the two JBIG2 backends: MMR (T.6)
-                        # and MQ-ARITHMETIC template 0 with TPGDON
-                        # (llm/mq_coder) — identical pixels, so the
-                        # dhash oracle is codec-blind
+                        # rotate the THREE JBIG2 backends: MMR (T.6),
+                        # MQ-ARITHMETIC template 0 with TPGDON
+                        # (llm/mq_coder), and SYMBOL/TEXT coding (the
+                        # real-world majority: the page cut into six
+                        # glyphs re-placed by a text region) —
+                        # identical pixels, so the dhash oracle is
+                        # codec-blind
                         from verified_sources_spark.llm.jbig2 import (
                             encode_jbig2_arith,
+                            encode_jbig2_symbol_text,
                         )
 
-                        blob = (encode_jbig2_arith(rows_, tpgdon=True)
-                                if (did // 9) % 2 == 0
-                                else encode_jbig2_mmr(rows_))
+                        mode = (did // 9) % 3
+                        if mode == 2:
+                            h1 = h // 2
+                            w1 = w // 3
+                            cuts = [(0, 0, w1, h1), (w1, 0, w1, h1),
+                                    (2 * w1, 0, w - 2 * w1, h1),
+                                    (0, h1, w1, h - h1),
+                                    (w1, h1, w1, h - h1),
+                                    (2 * w1, h1, w - 2 * w1, h - h1)]
+                            gsyms = [
+                                [rows_[gy + ry][gx:gx + gw]
+                                 for ry in range(gh)]
+                                for gx, gy, gw, gh in cuts]
+                            insts = [(gx, gy, k) for k, (gx, gy, _,
+                                     _) in enumerate(cuts)]
+                            blob = encode_jbig2_symbol_text(
+                                gsyms, insts, (w, h))
+                        elif mode == 0:
+                            blob = encode_jbig2_arith(
+                                rows_, tpgdon=True)
+                        else:
+                            blob = encode_jbig2_mmr(rows_)
                         img = {"width": w, "height": h,
                                "data": blob,
                                "pdf_filter": "JBIG2Decode",
