@@ -127,6 +127,17 @@ def test_fuzz_jbig2_pdf_image():
              lambda d: decode_jbig2_embedded(p0, globals_data=d),
              (Jbig2Error,), seed=67)
 
+    # pattern dictionary + halftone region: collective-bitmap slice,
+    # Gray-coded bitplanes, grid placement
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_halftone
+
+    pats = [[bytes(1 if (x + y * 3) % 3 < lvl else 0
+                   for x in range(3)) for y in range(3)]
+            for lvl in range(4)]
+    _battery(lambda: encode_jbig2_halftone(
+        [[0, 1, 2], [3, 2, 0]], pats),
+        decode_jbig2_embedded, (Jbig2Error,), seed=71)
+
 
 def test_fuzz_office():
     from verified_sources_spark.llm.office import (

@@ -189,11 +189,12 @@ def test_refusals_by_name():
     # a region inside the globals stream
     with pytest.raises(Jbig2Error, match="globals"):
         decode_jbig2_embedded(good, globals_data=good[seg1_at:])
-    # globals with a halftone dictionary (symbol dictionaries in the
-    # globals stream decode as of round 14; halftone keeps refusing)
+    # globals with a profiles segment (symbol/pattern dictionaries in
+    # the globals stream decode as of round 14; profiles/tables keep
+    # refusing by name)
     gbad = bytearray(good[seg1_at:])
-    gbad[4] = 16
-    with pytest.raises(Jbig2Error, match="pattern dictionary"):
+    gbad[4] = 52
+    with pytest.raises(Jbig2Error, match="profiles"):
         decode_jbig2_embedded(good, globals_data=bytes(gbad))
     # garbled symbol dictionary bytes in globals refuse, not garble
     gbad = bytearray(good[seg1_at:])
@@ -502,3 +503,103 @@ def test_iaid_round_trip():
             _encode_iaid(enc, code_len, i)
         dec = MQDecoder(enc.flush(), _ctx_total(code_len))
         assert [_decode_iaid(dec, code_len) for _ in ids] == ids
+
+
+# ------------------------------------ pattern dictionary + halftone
+
+def _density_patterns(size: int = 4, levels: int = 4):
+    return [[bytes(1 if (x + y * size) % size < lvl else 0
+                   for x in range(size)) for y in range(size)]
+            for lvl in range(levels)]
+
+
+def test_halftone_round_trip():
+    """Pattern dictionary + halftone region: collective-bitmap slice,
+    Gray-coded bitplanes, rectilinear grid placement — decode must
+    reproduce the per-cell pattern composition exactly."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_halftone,
+    )
+
+    pats = _density_patterns()
+    vals = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 3, 0, 2]]
+    out = decode_jbig2_embedded(encode_jbig2_halftone(vals, pats))
+    assert (out["width"], out["height"]) == (16, 12)
+    for m in range(3):
+        for n in range(4):
+            p = pats[vals[m][n]]
+            for ry in range(4):
+                got = out["rows"][m * 4 + ry][n * 4: n * 4 + 4]
+                assert got == p[ry], (m, n, ry)
+
+
+def test_halftone_non_power_of_two_levels():
+    """GRAYMAX+1 not a power of two: 5 levels code in 3 bitplanes;
+    decoded values above GRAYMAX refuse rather than index garbage."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_halftone,
+    )
+
+    pats = _density_patterns(size=3, levels=5)
+    vals = [[4, 0, 2], [1, 3, 4]]
+    out = decode_jbig2_embedded(encode_jbig2_halftone(vals, pats))
+    assert (out["width"], out["height"]) == (9, 6)
+    for m in range(2):
+        for n in range(3):
+            p = pats[vals[m][n]]
+            for ry in range(3):
+                assert out["rows"][m * 3 + ry][n * 3: n * 3 + 3] \
+                    == p[ry]
+
+
+def test_halftone_refusals_by_name():
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_halftone,
+    )
+
+    pats = _density_patterns()
+    good = encode_jbig2_halftone([[0, 3], [2, 1]], pats,
+                                 end_of_page=False)
+    pd_at = 11 + 19
+    pd_len = struct.unpack_from(">I", good, pd_at + 7)[0]
+    ht_at = pd_at + 11 + pd_len
+    # MMR-coded pattern dictionary
+    bad = bytearray(good)
+    bad[pd_at + 11] |= 0x01
+    with pytest.raises(Jbig2Error, match="MMR-coded pattern"):
+        decode_jbig2_embedded(bytes(bad))
+    # template != 0
+    bad = bytearray(good)
+    bad[pd_at + 11] |= 0x02
+    with pytest.raises(Jbig2Error, match="template 1"):
+        decode_jbig2_embedded(bytes(bad))
+    # halftone flags: MMR / skip (header = 12 bytes incl 1 referred)
+    for bit, pattern in ((0x01, "MMR-coded halftone"),
+                         (0x08, "HENABLESKIP")):
+        bad = bytearray(good)
+        bad[ht_at + 12 + 17] |= bit
+        with pytest.raises(Jbig2Error, match=pattern):
+            decode_jbig2_embedded(bytes(bad))
+    # halftone region with no referred pattern dictionary
+    bad = bytearray(good)
+    bad[ht_at + 6] = 99  # referred segment number -> unknown
+    with pytest.raises(Jbig2Error, match="no patterns in scope"):
+        decode_jbig2_embedded(bytes(bad))
+
+
+def test_halftone_mutation_battery():
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_halftone,
+    )
+
+    pats = _density_patterns(size=3, levels=4)
+    good = encode_jbig2_halftone([[0, 1, 2], [3, 2, 0]], pats)
+    rng = random.Random(99)
+    for _ in range(300):
+        i = rng.randrange(len(good))
+        bad = bytearray(good)
+        bad[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_jbig2_embedded(bytes(bad))
+        except Jbig2Error:
+            pass

@@ -15,7 +15,11 @@ non-nominal AT pixels; **symbol dictionaries + text regions** (§6.5 /
 procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT over 512-context
 trees) and the IAID symbol-ID tree, with height-class delta coding,
 export-run flags, the strip placement walk, all four REFCORNERs and
-the per-instance SBCOMBOP composition.  Verification posture for the
+the per-instance SBCOMBOP composition; **pattern dictionaries +
+halftone regions** (§6.7 / §6.6 — the screened-photo layer: one
+collective bitmap sliced into patterns, the HGW×HGH gray-scale image
+as Gray-coded generic bitplanes per Annex C.5, skewed-grid placement
+with HCOMBOP and off-region clipping).  Verification posture for the
 arithmetic layers: no external JBIG2 implementation exists in this
 environment, so the gate is encoder↔decoder independence at the
 bitmap level (the fixture encoders drive their own walks of the
@@ -23,10 +27,10 @@ published model into the MQ encoder; the decoder reconstructs through
 its own walk — they meet only at the published template/procedure
 definitions and coder tables) plus the MQ coder's own randomized
 round-trip/invariant battery.  Generic-region templates 1-3,
-EXTTEMPLATE, Huffman-coded dictionaries/text, refinement/aggregate
-symbol coding, transposed text regions, and halftone/refinement
-segments refuse BY NAME (the silent-garble risk the two-sided method
-exists to prevent).
+EXTTEMPLATE, Huffman-coded dictionaries/text/halftone, MMR-coded
+pattern/halftone data, refinement/aggregate symbol coding, transposed
+text regions, HENABLESKIP, and refinement segments refuse BY NAME
+(the silent-garble risk the two-sided method exists to prevent).
 
 Implements the PDF "embedded organization" (T.88 Annex; no file
 header): a stream of segments, each a segment header (§7.2) plus data.
@@ -45,6 +49,9 @@ Supported segment types:
   template 0; referred dictionaries contribute input symbols
 - 4/6/7 text regions (§7.4.4) — arithmetic, non-transposed; symbols
   resolve through the referred-to segment numbers
+- 16 pattern dictionary (§7.4.4) and 20/22/23 halftone regions
+  (§7.4.5) — arithmetic, template 0, patterns resolve through the
+  referred-to segment numbers
 - 49/50/51 end-of-page / end-of-stripe / end-of-file — frame no-ops
 - 62 extension — skipped (spec: decoders may ignore)
 
@@ -82,6 +89,7 @@ __all__ = [
     "encode_jbig2_mmr",
     "encode_jbig2_arith",
     "encode_jbig2_symbol_text",
+    "encode_jbig2_halftone",
 ]
 
 # --------------------------------------------------- arithmetic layer
@@ -561,6 +569,129 @@ def _req_int(dec, proc: str, what: str) -> int:
     return v
 
 
+# ------------------------------------ pattern dictionary / halftone
+
+def _decode_pattern_dictionary(d: bytes) -> list:
+    """Pattern dictionary segment data (T.88 §6.7 / §7.4.4): ONE
+    collective generic bitmap of width (GRAYMAX+1)×HDPW sliced into
+    the GRAYMAX+1 patterns; arithmetic template 0 with the spec's
+    A1=(-HDPW, 0) adaptive pixel."""
+    if len(d) < 7:
+        raise Jbig2Error("truncated JBIG2 pattern dictionary")
+    flags = d[0]
+    if flags & 0x01:
+        raise Jbig2Error("JBIG2 MMR-coded pattern dictionary — "
+                         "refusing by name (arithmetic only here)")
+    template = (flags >> 1) & 0x03
+    if template != 0:
+        raise Jbig2Error(
+            f"JBIG2 pattern dictionary template {template} — "
+            "refusing by name (only template 0 served)")
+    hdpw, hdph = d[1], d[2]
+    graymax = _u32(d, 3)
+    if not 0 < hdpw <= _PAD or not 0 < hdph <= 255:
+        raise Jbig2Error(
+            f"JBIG2 pattern size {hdpw}x{hdph} out of range "
+            f"(patterns wider than {_PAD} px would outrun the "
+            "template pad — refusing by name)")
+    if graymax >= 1 << 16:
+        raise Jbig2Error(f"JBIG2 GRAYMAX {graymax} over gate")
+    n = graymax + 1
+    cw = n * hdpw
+    if cw * hdph > _MAX_PIXELS:
+        raise Jbig2Error("JBIG2 pattern dictionary over pixel gate")
+    from verified_sources_spark.llm.mq_coder import MQDecoder
+
+    at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+    rows = _decode_generic_bitmap(
+        MQDecoder(d[7:], 1 << 16), cw, hdph, at, False)
+    return [[r[i * hdpw:(i + 1) * hdpw] for r in rows]
+            for i in range(n)]
+
+
+def _decode_halftone_region(d: bytes, patterns: list):
+    """Halftone region segment data (T.88 §6.6 / §7.4.5): a HGW×HGH
+    gray-scale image decoded as Gray-coded generic bitplanes (Annex
+    C.5, MSB first, one shared decoder), each cell placing its
+    pattern on the skewed grid x=(HGX+mg·HRY+ng·HRX)>>8,
+    y=(HGY+mg·HRX-ng·HRY)>>8 with HCOMBOP; off-region pixels clip
+    (§6.6.5.1)."""
+    w, h, x, y, op = _region_info(d)
+    if len(d) < 38:
+        raise Jbig2Error("truncated JBIG2 halftone region")
+    flags = d[17]
+    if flags & 0x01:
+        raise Jbig2Error("JBIG2 MMR-coded halftone region — refusing "
+                         "by name (arithmetic only here)")
+    template = (flags >> 1) & 0x03
+    if template != 0:
+        raise Jbig2Error(
+            f"JBIG2 halftone template {template} — refusing by name")
+    if flags & 0x08:
+        raise Jbig2Error("JBIG2 halftone HENABLESKIP — refusing by "
+                         "name (skip bitmaps unserved)")
+    combop = (flags >> 4) & 0x07
+    defpixel = (flags >> 7) & 0x01
+    hgw, hgh = struct.unpack_from(">II", d, 18)
+    hgx, hgy = struct.unpack_from(">ii", d, 26)
+    hrx, hry = struct.unpack_from(">HH", d, 34)
+    if not patterns:
+        raise Jbig2Error(
+            "JBIG2 halftone region with no patterns in scope — "
+            "referred pattern dictionaries exported nothing")
+    if hgw * hgh > _MAX_PIXELS or w * h > _MAX_PIXELS:
+        raise Jbig2Error("JBIG2 halftone region over pixel gate")
+    if combop > 4:
+        raise Jbig2Error(
+            f"JBIG2 halftone combination operator {combop} — "
+            "reserved value")
+    graymax = len(patterns) - 1
+    bits_per = max(1, graymax.bit_length())
+    from verified_sources_spark.llm.mq_coder import MQDecoder
+
+    dec = MQDecoder(d[38:], 1 << 16)
+    planes = [_decode_generic_bitmap(dec, hgw, hgh,
+                                     _T0_NOMINAL_AT, False)
+              for _ in range(bits_per)]          # MSB first
+    bitmap = [bytearray([defpixel] * w) for _ in range(h)]
+    for mg in range(hgh):
+        # Gray decode row-wise: bit_j = plane_j XOR bit_{j+1}
+        for ng in range(hgw):
+            bit = planes[0][mg][ng]
+            val = bit
+            for j in range(1, bits_per):
+                bit ^= planes[j][mg][ng]
+                val = (val << 1) | bit
+            if val > graymax:
+                raise Jbig2Error(
+                    f"JBIG2 halftone gray value {val} exceeds "
+                    f"GRAYMAX {graymax}")
+            px = (hgx + mg * hry + ng * hrx) >> 8
+            py = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[val]
+            for ry, prow in enumerate(pat):
+                yy = py + ry
+                if not 0 <= yy < h:
+                    continue
+                dst = bitmap[yy]
+                for rx in range(len(prow)):
+                    xx = px + rx
+                    if not 0 <= xx < w:
+                        continue
+                    p = prow[rx]
+                    if combop == 0:
+                        dst[xx] |= p
+                    elif combop == 1:
+                        dst[xx] &= p
+                    elif combop == 2:
+                        dst[xx] ^= p
+                    elif combop == 3:
+                        dst[xx] ^= p ^ 1
+                    else:
+                        dst[xx] = p
+    return w, h, x, y, op, [bytes(r) for r in bitmap]
+
+
 # T.88 §7.3 segment type numbers
 _PAGE_INFO = 48
 _END_OF_PAGE = 49
@@ -570,11 +701,10 @@ _EXTENSION = 62
 _GENERIC_REGIONS = (36, 38, 39)
 _SYMBOL_DICT = 0
 _TEXT_REGIONS = (4, 6, 7)
+_PATTERN_DICT = 16
+_HALFTONE_REGIONS = (20, 22, 23)
 
 _TYPE_NAMES = {
-    16: "pattern dictionary", 20: "intermediate halftone region",
-    22: "immediate halftone region",
-    23: "immediate lossless halftone region",
     40: "intermediate refinement region",
     42: "immediate refinement region",
     43: "immediate lossless refinement region",
@@ -670,7 +800,8 @@ def _region_info(d: bytes) -> tuple[int, int, int, int, int]:
 
 def _check_supported(seg: dict) -> None:
     t = seg["type"]
-    if t == _SYMBOL_DICT or t in _TEXT_REGIONS \
+    if t in (_SYMBOL_DICT, _PATTERN_DICT) or t in _TEXT_REGIONS \
+            or t in _HALFTONE_REGIONS \
             or t in _GENERIC_REGIONS or t in (
             _PAGE_INFO, _END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE,
             _EXTENSION):
@@ -717,6 +848,7 @@ def decode_jbig2_embedded(
     import numpy as np
 
     sym_dicts: dict[int, list] = {}  # segment number -> exported syms
+    pat_dicts: dict[int, list] = {}  # segment number -> patterns
 
     def _input_symbols(seg: dict) -> list:
         """Concatenate the exported symbols of every referred symbol
@@ -728,18 +860,29 @@ def decode_jbig2_embedded(
                 out.extend(sym_dicts[r])
         return out
 
+    def _input_patterns(seg: dict) -> list:
+        out: list = []
+        for r in seg["referred"]:
+            if r in pat_dicts:
+                out.extend(pat_dicts[r])
+        return out
+
     for seg in _iter_segments(globals_data):
-        # globals hold symbol dictionaries for the text layer — the
-        # same type gate applies (frame no-ops pass)
+        # globals hold symbol/pattern dictionaries for the text and
+        # halftone layers — the same type gate applies
         _check_supported(seg)
         if seg["type"] in _GENERIC_REGIONS \
-                or seg["type"] in _TEXT_REGIONS:
+                or seg["type"] in _TEXT_REGIONS \
+                or seg["type"] in _HALFTONE_REGIONS:
             raise Jbig2Error(
                 "JBIG2 region in the globals stream — "
                 "regions are page-associated (T.88 §8.2)")
         if seg["type"] == _SYMBOL_DICT:
             sym_dicts[seg["number"]] = _decode_symbol_dictionary(
                 seg["data"], _input_symbols(seg))
+        elif seg["type"] == _PATTERN_DICT:
+            pat_dicts[seg["number"]] = _decode_pattern_dictionary(
+                seg["data"])
 
     segments = list(_iter_segments(data))
     page = None          # np.uint8 (H, W)
@@ -752,7 +895,8 @@ def decode_jbig2_embedded(
     max_extent = 0
     for seg in segments:
         if seg["type"] in _GENERIC_REGIONS \
-                or seg["type"] in _TEXT_REGIONS:
+                or seg["type"] in _TEXT_REGIONS \
+                or seg["type"] in _HALFTONE_REGIONS:
             _w, h, _x, y, _op = _region_info(seg["data"])
             max_extent = max(max_extent, y + h)
 
@@ -827,6 +971,20 @@ def decode_jbig2_embedded(
         elif t == _SYMBOL_DICT:
             sym_dicts[seg["number"]] = _decode_symbol_dictionary(
                 seg["data"], _input_symbols(seg))
+        elif t == _PATTERN_DICT:
+            pat_dicts[seg["number"]] = _decode_pattern_dictionary(
+                seg["data"])
+        elif t in _HALFTONE_REGIONS:
+            if page is None:
+                raise Jbig2Error(
+                    "JBIG2 region before any page info segment")
+            w, h, x, y, op, rows = _decode_halftone_region(
+                seg["data"], _input_patterns(seg))
+            if x + w > page_w or y + h > page_h:
+                raise Jbig2Error(
+                    f"JBIG2 halftone region {w}x{h}@({x},{y}) "
+                    f"exceeds page {page_w}x{page_h}")
+            _composite(page, page_w, page_h, rows, w, h, x, y, op)
         elif t in _TEXT_REGIONS:
             if page is None:
                 raise Jbig2Error(
@@ -1081,4 +1239,94 @@ def encode_jbig2_symbol_text(
         out += _segment_header(3, _END_OF_PAGE, 1, 0)
     if in_globals:
         return bytes(sd_seg), bytes(out)
+    return bytes(out)
+
+
+def encode_jbig2_halftone(
+    values: list[list[int]],
+    patterns: list[list[bytes]],
+    *,
+    page_size: tuple[int, int] | None = None,
+    page_default: int = 0,
+    region_op: int = 0,
+    combop: int = 0,
+    end_of_page: bool = True,
+) -> bytes:
+    """PDF-embeddable JBIG2 with a PATTERN DICTIONARY + HALFTONE
+    REGION — the screened-photo layer of scanned documents.
+    ``patterns``: the GRAYMAX+1 cell bitmaps, all the same SQUARE
+    size (the rectilinear HRX=size<<8, HRY=0 grid couples row/column
+    steps, so square cells tile exactly); ``values``: the HGH×HGW
+    grid of pattern indices.  The encoder packs the collective
+    bitmap (A1=(-HDPW,0)), Gray-codes the value bitplanes (Annex C.5
+    inverse) and drives them through its own generic-bitmap walk —
+    the decoder reconstructs independently."""
+    from verified_sources_spark.llm.mq_coder import MQEncoder
+
+    if not patterns:
+        raise Jbig2Error("fixture needs at least one pattern")
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    if hdpw != hdph:
+        raise Jbig2Error(
+            "fixture patterns must be square (the rectilinear grid "
+            "couples row and column steps)")
+    if any(len(p) != hdph or len(p[0]) != hdpw for p in patterns):
+        raise Jbig2Error("fixture patterns must share one size")
+    graymax = len(patterns) - 1
+    hgh = len(values)
+    hgw = len(values[0])
+    if any(len(r) != hgw for r in values):
+        raise Jbig2Error("fixture value grid must be rectangular")
+    if any(not 0 <= v <= graymax for r in values for v in r):
+        raise Jbig2Error("fixture value outside GRAYMAX")
+    if page_size is None:
+        page_size = (hgw * hdpw, hgh * hdph)
+    pw, ph = page_size
+
+    # pattern dictionary: collective bitmap, patterns side by side
+    collective = [b"".join(p[yy] for p in patterns)
+                  for yy in range(hdph)]
+    enc = MQEncoder(1 << 16)
+    _encode_generic_bitmap(enc, collective,
+                           ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2)),
+                           False)
+    pd_body = (bytes([0, hdpw, hdph]) + struct.pack(">I", graymax)
+               + enc.flush())
+
+    # halftone region: Gray-coded bitplanes, MSB first (C.5 inverse:
+    # plane_msb = bit_msb, plane_j = bit_j XOR bit_{j+1})
+    bits_per = max(1, graymax.bit_length())
+    enc2 = MQEncoder(1 << 16)
+    prev_bits = None
+    for j in range(bits_per - 1, -1, -1):
+        bits = [[(values[m][n] >> j) & 1 for n in range(hgw)]
+                for m in range(hgh)]
+        if prev_bits is None:
+            plane = bits
+        else:
+            plane = [[bits[m][n] ^ prev_bits[m][n]
+                      for n in range(hgw)] for m in range(hgh)]
+        _encode_generic_bitmap(
+            enc2, [bytes(r) for r in plane], _T0_NOMINAL_AT, False)
+        prev_bits = bits
+    ht_flags = (combop & 0x07) << 4
+    ht_body = (struct.pack(">IIII", hgw * hdpw, hgh * hdph, 0, 0)
+               + bytes([region_op & 0x07])
+               + bytes([ht_flags])
+               + struct.pack(">II", hgw, hgh)
+               + struct.pack(">ii", 0, 0)
+               + struct.pack(">HH", hdpw << 8, 0)
+               + enc2.flush())
+
+    page_info = (struct.pack(">IIII", pw, ph, 0, 0)
+                 + bytes([(page_default & 1) << 2])
+                 + struct.pack(">H", 0))
+    out = bytearray()
+    out += _segment_header(0, _PAGE_INFO, 1, len(page_info)) + page_info
+    out += _segment_header(1, _PATTERN_DICT, 1, len(pd_body)) + pd_body
+    out += _segment_header(2, 23, 1, len(ht_body),
+                           referred=(1,)) + ht_body
+    if end_of_page:
+        out += _segment_header(3, _END_OF_PAGE, 1, 0)
     return bytes(out)

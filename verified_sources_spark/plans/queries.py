@@ -3128,11 +3128,12 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
     odd, DeviceGray on every 5th, a bilevel scan on every remaining
     3rd — JBIG2 (llm/jbig2, the post-2005 scanned-PDF codec) when
-    ``doc_id % 9 == 3``, rotating THREE backends by ``doc_id // 9``:
+    ``doc_id % 9 == 3``, rotating FOUR backends by ``doc_id // 9``:
     MQ-ARITHMETIC template-0 regions with TPGDON (llm/mq_coder), MMR
-    (T.6), and SYMBOL/TEXT coding (§6.5/§6.4: the page cut into six
+    (T.6), SYMBOL/TEXT coding (§6.5/§6.4: the page cut into six
     glyphs, symbol dictionary + text-region placement — the coding
-    real scanned PDFs overwhelmingly use),
+    real scanned PDFs overwhelmingly use), and HALFTONE coding
+    (§6.7/§6.6: pattern dictionary + Gray-coded bitplane grid),
     CCITT-G4 (llm/fax_codec) otherwise — every 11th PDF truncated —
     AND mint
     the standalone twin (the same JPEG bytes / a PNG of the same
@@ -3204,11 +3205,21 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # codec-blind
                         from verified_sources_spark.llm.jbig2 import (
                             encode_jbig2_arith,
+                            encode_jbig2_halftone,
                             encode_jbig2_symbol_text,
                         )
 
-                        mode = (did // 9) % 3
-                        if mode == 2:
+                        mode = (did // 9) % 4
+                        if mode == 3:
+                            # halftone with 1x1 two-pattern cells: the
+                            # full §6.6/§6.7 chain (pattern dict,
+                            # Gray-coded bitplane, grid placement)
+                            # reproducing the exact thresholded pixels
+                            blob = encode_jbig2_halftone(
+                                [[rows_[yy][xx] for xx in range(w)]
+                                 for yy in range(h)],
+                                [[bytes([0])], [bytes([1])]])
+                        elif mode == 2:
                             h1 = h // 2
                             w1 = w // 3
                             cuts = [(0, 0, w1, h1), (w1, 0, w1, h1),
