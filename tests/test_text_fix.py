@@ -225,8 +225,24 @@ def test_korean_russian_greek_legacy_round_trips():
                   "한국어로 말합니다.",
         "cp1251": "Русский текст для проверки кодировки страницы.",
         "cp1253": "Ελληνικό κείμενο για έλεγχο κωδικοποίησης.",
+        # round 14: koi8-r separates from cp1251 via the Cyrillic
+        # letter-frequency prior (each reads the other's bytes as a
+        # frequency-breaking letter permutation)
+        "koi8_r": "Русская страница в кодировке КОИ-8, проверка "
+                  "частотного разделения.",
     }
     for codec, text in cases.items():
         got_text, got_codec, clean = decode_bare_text(
             text.encode(codec))
         assert got_codec == codec and got_text == text and clean
+    # the same Russian sentence must resolve BOTH ways
+    ru = "привет, как дела сегодня? всё хорошо."
+    for codec in ("cp1251", "koi8_r"):
+        got_text, got_codec, clean = decode_bare_text(ru.encode(codec))
+        assert got_codec == codec and got_text == ru and clean
+    # ALL-CAPS pages stay genuine (the prior lookup is case-folded)
+    caps = "ВНИМАНИЕ ОПАСНОСТЬ НЕ ВХОДИТЬ РЕМОНТ СТАНЦИИ"
+    for codec in ("cp1251", "koi8_r"):
+        got_text, got_codec, clean = decode_bare_text(
+            caps.encode(codec))
+        assert got_codec == codec and got_text == caps and clean

@@ -88,17 +88,22 @@ def _encode_cp1252ish(s: str) -> bytes | None:
 # controls, dense runs of accented Latin (ÖÐÎÄ…), halfwidth katakana,
 # private-use/rare-extension ideographs.
 _PROBE_ORDER = ("utf-8", "shift_jis", "euc_jp", "big5", "gb18030",
-                "euc_kr", "cp1252", "cp1253", "cp1251")
+                "euc_kr", "cp1252", "cp1253", "cp1251", "koi8_r")
 # Probe-order notes beyond the CJK story below: euc_kr sits after the
 # other CJK codecs (its hangul output is discriminated by the
 # common-syllable prior, not by order); cp1253 (Greek) probes BEFORE
 # cp1251 because Russian text virtually always carries 0xFF ('я') or
 # 0xD2 ('Т'), both UNDEFINED in cp1253 — so Russian strict-fails the
 # Greek probe while Greek would strictly (mis)decode under cp1251;
-# koi8-r is deliberately absent (it maps into the same Cyrillic block
-# as cp1251 — separating the two needs a language model, and cp1251
-# is the dominant legacy share; a koi8-r page decodes as flagged-dirty
-# rather than silently-wrong).
+# koi8_r (round 14) probes LAST: it defines all 256 byte values so it
+# strictly accepts anything — it can only win on SCORE, which the
+# Cyrillic letter-frequency prior below decides (koi8-r and cp1251
+# both map 8-bit bytes into Cyrillic, but each reads the other's
+# bytes as a frequency-breaking letter permutation: measured hit
+# rates on the common-letter set are 0.54 genuine vs 0.19-0.38
+# wrong-codec in both directions, so the 1.5x bonus separates them
+# deterministically — the tiny language model the r13 notes said
+# this needed).
 
 # Frequency prior for the classic GB-vs-EUC-vs-Big5 ambiguity: GBK and
 # EUC-JP/Big5 byte areas overlap enough that short genuine text in one
@@ -145,6 +150,16 @@ _COMMON_HANGUL = frozenset(
     "제공용정보검색결과페지쓰린아버학생선교회경제문화역국정부대통령"
     "름성남여동서울산강물불빛길집방밥먹살알모두더많적크작높낮새옛")
 
+# Letter-frequency priors for the whole-script single-byte pages: the
+# top Russian letters (~58% of genuine text) and top Greek letters
+# (~70%).  cp1251↔koi8-r read each other's bytes as a letter
+# PERMUTATION, so the common-set hit rate collapses under the wrong
+# codec (0.54 genuine vs 0.19-0.38 permuted, measured) — same idea as
+# the CJK/hangul priors above, eight letters instead of hundreds of
+# ideographs.  Lookup is case-folded (ALL-CAPS pages stay genuine).
+_COMMON_CYRILLIC = frozenset("оеаинтср")
+_COMMON_GREEK = frozenset("ατοιενσςηυ")
+
 
 def _plausibility(text: str) -> float:
     """Per-char plausibility in [-2, 1]: genuine prose in any of the
@@ -170,7 +185,16 @@ def _plausibility(text: str) -> float:
         elif 0x80 <= o <= 0x9F:
             good -= 2  # C1 controls: never genuine text
         elif 0x370 <= o <= 0x4FF:
-            good += 1 if script_genuine else 0.2
+            if script_genuine:
+                lo = ch.lower()
+                good += 1.5 if (lo in _COMMON_CYRILLIC
+                                or lo in _COMMON_GREEK) else 1
+            else:
+                good += 0.2
+        elif 0x2500 <= o <= 0x25FF:
+            # box drawing / pseudo-graphics: koi8-r's 0x80-0xBF —
+            # binary noise decodes there, genuine prose does not
+            good -= 0.5
         elif 0xA0 <= o <= 0x36F or 0x500 <= o <= 0x5FF:
             # accented Latin / Hebrew: full credit only OUTSIDE dense
             # non-ASCII runs — genuine Western text is mostly ASCII
@@ -216,8 +240,10 @@ def detect_bare_charset(
     accepts nearly any CJK byte stream, and cp1252 last because it
     accepts nearly anything 8-bit.  NUL bytes short-circuit to None
     (the classic text/binary discriminator; UTF-16 without a BOM is
-    not probed).  A multibyte char straddling the probe window is
-    handled by incremental decoding with ``final=False``."""
+    not probed).  koi8_r probes last and wins only on the Cyrillic
+    letter-frequency prior (it strictly accepts every byte).  A
+    multibyte char straddling the probe window is handled by
+    incremental decoding with ``final=False``."""
     import codecs as _codecs
 
     if not data:

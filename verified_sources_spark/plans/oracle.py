@@ -2760,6 +2760,13 @@ ORACLE_SQL["document_drop_pipeline_docs"] = """
                   || (doc_id + 7) END
     FROM p WHERE ok
     UNION ALL
+    -- koi8-r vs cp1251: the same Russian sentence in alternating
+    -- Cyrillic codecs; the frequency prior must pick right both ways
+    SELECT doc_id, TRUE, 'cyr.txt', 'text',
+           'Архивная записка ' || doc_id
+           || ': проверка кодировки текста.'
+    FROM p WHERE ok AND doc_id % 10 = 5
+    UNION ALL
     SELECT doc_id, FALSE, 'img.png', NULL, NULL
     FROM p WHERE ok AND haspng
 """

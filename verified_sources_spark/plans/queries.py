@@ -4458,8 +4458,11 @@ def document_drop_pipeline_docs(
     member cycling cp1252 memo / GB18030 memo / cp1252 CSV / GB18030
     CSV by ``doc_id % 4`` (decoded by the router's bare-charset
     probe, llm/text_fix.detect_bare_charset — a UTF-8-only door drops
-    these as "binary") and a PNG member (refused media) on every 6th;
-    every 13th archive truncated.  One
+    these as "binary"), a CYRILLIC member on every ``%10==5`` doc
+    carrying the same Russian sentence alternately koi8-r- and
+    cp1251-encoded (the probe's letter-frequency prior must pick the
+    right codec both ways), and a PNG member (refused media) on every
+    6th; every 13th archive truncated.  One
     fused operator (llm/docrouter.archive_document_texts): member
     explosion → magic-byte routing → extractors, bytes never leaving
     the scan's executor.  The oracle replays member names, routed
@@ -4519,6 +4522,17 @@ def document_drop_pipeline_docs(
                     members["legacy.csv"] = (
                         f"城市,人口\n北京,{did}\n上海,{did + 7}"
                         .encode("gb18030"))
+                if did % 10 == 5:
+                    # the SAME Russian sentence koi8-r- or
+                    # cp1251-encoded by (did//10)%2: the probe's
+                    # Cyrillic letter-frequency prior must pick the
+                    # right codec BOTH ways (they read each other's
+                    # bytes as a letter permutation) or the decoded
+                    # text — hence the hash — garbles
+                    ru = (f"Архивная записка {did}: проверка "
+                          "кодировки текста.")
+                    members["cyr.txt"] = ru.encode(
+                        "koi8_r" if (did // 10) % 2 else "cp1251")
                 if did % 6 == 0:
                     members["img.png"] = (b"\x89PNG\r\n\x1a\n"
                                           + bytes(8))
