@@ -194,3 +194,25 @@ def test_tzid_fixed_offset_zone():
         [{"uid": "f", "dtstart": "20240601T120000",
           "dtstart_tzid": "F"}], timezones=[tz]))["events"]
     assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 6, 30)
+
+
+def test_tzid_extreme_dates_resolve_to_null_not_crash():
+    """Year-0001 observance dates and near-day offsets overflow
+    datetime arithmetic inside the resolver — they must surface as
+    unresolvable (null epochs), never as a task-killing
+    OverflowError (found by self-review repro)."""
+    tz = {"tzid": "X", "observances": [
+        {"kind": "STANDARD", "dtstart": "00010101T000000",
+         "from": "+0100", "to": "+0100"}]}
+    out = parse_ics(encode_ics(
+        [{"uid": "a", "dtstart": "20240601T120000",
+          "dtstart_tzid": "X"}], timezones=[tz]))["events"]
+    assert out[0]["start_ms"] is None
+    # a >=24h offset refuses at parse time and poisons only its TZID
+    tz2 = {"tzid": "Y", "observances": [
+        {"kind": "STANDARD", "dtstart": "19700101T000000",
+         "from": "-990000", "to": "+0100"}]}
+    out2 = parse_ics(encode_ics(
+        [{"uid": "b", "dtstart": "20240601T120000",
+          "dtstart_tzid": "Y"}], timezones=[tz2]))["events"]
+    assert out2[0]["start_ms"] is None

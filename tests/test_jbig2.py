@@ -603,3 +603,37 @@ def test_halftone_mutation_battery():
             decode_jbig2_embedded(bytes(bad))
         except Jbig2Error:
             pass
+
+
+def test_text_region_composition_work_gate():
+    """A small stream can DECLARE astronomic composition work (many
+    instances of one big symbol); the painted-pixel gate must refuse
+    instead of running for days (self-review)."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+    )
+
+    sym = [bytes([1] * 64)] * 64              # 4096 px per instance
+    n = (1 << 26) // 4096 + 2                 # just over the gate
+    insts = [(0, 0, 0)] * n
+    blob = encode_jbig2_symbol_text([sym], insts, (128, 128))
+    with pytest.raises(Jbig2Error, match="composition work"):
+        decode_jbig2_embedded(blob)
+
+
+def test_halftone_composition_work_gate():
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_halftone,
+    )
+
+    pats = [[bytes([lvl % 2] * 8)] * 8 for lvl in range(2)]
+    good = encode_jbig2_halftone([[0, 1], [1, 0]], pats,
+                                 end_of_page=False)
+    pd_at = 11 + 19
+    pd_len = struct.unpack_from(">I", good, pd_at + 7)[0]
+    ht_at = pd_at + 11 + pd_len
+    bad = bytearray(good)
+    # declare a giant grid: cells x pattern area over the gate
+    struct.pack_into(">II", bad, ht_at + 12 + 18, 1 << 13, 1 << 13)
+    with pytest.raises(Jbig2Error, match="composition work|pixel gate"):
+        decode_jbig2_embedded(bytes(bad))

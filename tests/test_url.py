@@ -75,3 +75,17 @@ def test_canonical_url_stays_jvm_side(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_userinfo_newline_stays_case_sensitive(spark):
+    """The authority class admits newlines; the userinfo split must be
+    dotall or the whole userinfo silently case-folds (self-review)."""
+    from verified_sources_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame(
+        [("http://UserA\nB@H.com/x",), ("http://usera\nb@H.com/x",)],
+        "url string")
+    keys = [r["c"] for r in
+            df.select(canonical_url("url").alias("c")).collect()]
+    assert keys[0] == "http://UserA\nB@h.com/x"
+    assert len(set(keys)) == 2

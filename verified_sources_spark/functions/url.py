@@ -58,8 +58,10 @@ def canonical_url(col: str | Column, *,
     body = F.regexp_replace(auth, _SCHEME_RX, "")
     # Greedy ".*@" captures through the LAST '@' — userinfo may
     # itself contain '@' percent-free in the wild; the host never
-    # does.  Case is preserved (userinfo is case-sensitive).
-    userinfo = F.regexp_extract(body, "^(.*@)", 1)
+    # does.  Case is preserved (userinfo is case-sensitive).  (?s):
+    # the authority class [^/?#] admits newlines, and a non-dotall
+    # '.*' would fail past one, silently case-folding the userinfo.
+    userinfo = F.regexp_extract(body, "(?s)^(.*@)", 1)
     hostport = F.lower(body.substr(F.length(userinfo) + 1,
                                    F.lit(1 << 30)))
     hostport = F.when(

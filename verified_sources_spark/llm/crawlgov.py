@@ -440,6 +440,16 @@ def frontier_expand(df, agent: str, max_depth: int = 2,
                     pdf[locs_col], pdf[blobs_col]):
                 _id = int(_id)
                 try:
+                    if rb is None or root is None or locs is None \
+                            or blobs is None:
+                        raise CrawlGovError(
+                            "host row with null governance columns")
+                    if len(locs) != len(blobs):
+                        raise CrawlGovError(
+                            "child_locs/child_blobs length mismatch "
+                            f"({len(locs)} vs {len(blobs)})")
+                    if any(v is None for v in blobs):
+                        raise CrawlGovError("null child sitemap blob")
                     fetched = {str(k): bytes(v)
                                for k, v in zip(locs, blobs)}
                     for r in expand_host(bytes(rb), bytes(root),

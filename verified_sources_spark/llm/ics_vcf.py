@@ -158,6 +158,10 @@ def _parse_utc_offset(s: str) -> int:
         raise IcsVcfError(f"malformed utc-offset {s!r}")
     sec = (int(digits[:2]) * 3600 + int(digits[2:4]) * 60
            + (int(digits[4:6]) if len(digits) == 6 else 0))
+    if sec >= 86400:
+        # RFC 5545 offsets are < 24h; a fuzzed ±99xxxx offset would
+        # also overflow the bounded-sentinel arithmetic downstream
+        raise IcsVcfError(f"utc-offset {s!r} is a day or more")
     return -sec if s[0] == "-" else sec
 
 
@@ -288,30 +292,36 @@ def _resolve_tzid(tzdefs: dict, tzid: str, local) -> int | None:
     # out of range inside the onset walk
     years = tuple(y for y in (local.year - 1, local.year,
                               local.year + 1) if 1 <= y <= 9999)
-    segs: list[tuple] = []
-    first = None  # (earliest onset utc, its TZOFFSETFROM)
-    for ob in tz["obs"]:
-        for onset_local in _observance_onsets(ob, years):
-            onset_utc = onset_local - dt.timedelta(seconds=ob["from"])
-            segs.append((onset_utc, ob["to"]))
-            if first is None or onset_utc < first[0]:
-                first = (onset_utc, ob["from"])
-    if not segs:
-        return None
-    segs.sort(key=lambda t: t[0])
-    # prehistory: the offset in force before the first transition is
-    # that transition's TZOFFSETFROM
-    bounded = [(dt.datetime(1, 1, 2), first[1])] + segs
-    far = dt.datetime.max - dt.timedelta(days=2)
-    for i, (start_utc, off) in enumerate(bounded):
-        end_utc = bounded[i + 1][0] if i + 1 < len(bounded) else far
-        delta = dt.timedelta(seconds=off)
-        if start_utc + delta <= local < end_utc + delta:
-            try:
+    # the whole walk is guarded: year-0001/9999 observance dates
+    # under a near-day offset overflow datetime arithmetic (onset
+    # minus TZOFFSETFROM, sentinel plus offset) — any such edge is
+    # an unresolvable timezone, not a task-killing exception
+    try:
+        segs: list[tuple] = []
+        first = None  # (earliest onset utc, its TZOFFSETFROM)
+        for ob in tz["obs"]:
+            for onset_local in _observance_onsets(ob, years):
+                onset_utc = onset_local - dt.timedelta(
+                    seconds=ob["from"])
+                segs.append((onset_utc, ob["to"]))
+                if first is None or onset_utc < first[0]:
+                    first = (onset_utc, ob["from"])
+        if not segs:
+            return None
+        segs.sort(key=lambda t: t[0])
+        # prehistory: the offset in force before the first transition
+        # is that transition's TZOFFSETFROM
+        bounded = [(dt.datetime(1, 1, 2), first[1])] + segs
+        far = dt.datetime.max - dt.timedelta(days=2)
+        for i, (start_utc, off) in enumerate(bounded):
+            end_utc = bounded[i + 1][0] if i + 1 < len(bounded) \
+                else far
+            delta = dt.timedelta(seconds=off)
+            if start_utc + delta <= local < end_utc + delta:
                 utc = (local - delta).replace(tzinfo=dt.timezone.utc)
                 return int(utc.timestamp() * 1000)
-            except (ValueError, OverflowError, OSError):
-                return None  # year-0001/9999 edge under the offset
+    except (ValueError, OverflowError, OSError):
+        return None
     return None  # local time inside a spring-forward gap
 
 

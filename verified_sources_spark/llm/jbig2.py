@@ -498,6 +498,7 @@ def _decode_text_region(d: bytes, syms: list):
     dec = MQDecoder(d[23:], _ctx_total(code_len))
     strips = 1 << log_strips
     bitmap = [bytearray([defpixel] * w) for _ in range(h)]
+    painted = 0  # composited-pixel work gate (bomb protection)
     stript = -_req_int(dec, "IADT", "initial strip T")
     firsts = 0
     inst = 0
@@ -534,6 +535,15 @@ def _decode_text_region(d: bytes, syms: list):
                     f"({len(syms)} symbols)")
             sym = syms[sid]
             sh, sw = len(sym), len(sym[0])
+            painted += sw * sh
+            if painted > _MAX_PIXELS:
+                # MQ coding emits highly-probable instances at well
+                # under a bit each, so a few-KB stream can DECLARE
+                # astronomic composition work — bound the painted
+                # pixels like the allocation gates bound memory
+                raise Jbig2Error(
+                    "JBIG2 text region composition work exceeds "
+                    f"{_MAX_PIXELS}-pixel gate")
             # non-transposed placement: S is the left edge for every
             # REFCORNER (the right-corner pre-advance nets out, T.88
             # §6.4.5 steps vi/viii); TOP corners put T at the top row
@@ -647,6 +657,13 @@ def _decode_halftone_region(d: bytes, patterns: list):
             "reserved value")
     graymax = len(patterns) - 1
     bits_per = max(1, graymax.bit_length())
+    # composition work = grid cells × pattern area; bound it like the
+    # allocation gates (a tiny stream can declare a huge grid)
+    if hgw * hgh * len(patterns[0]) * len(patterns[0][0]) \
+            > _MAX_PIXELS:
+        raise Jbig2Error(
+            "JBIG2 halftone composition work exceeds "
+            f"{_MAX_PIXELS}-pixel gate")
     from verified_sources_spark.llm.mq_coder import MQDecoder
 
     dec = MQDecoder(d[38:], 1 << 16)
@@ -814,9 +831,14 @@ def _check_supported(seg: dict) -> None:
 
 def _composite(page, page_w: int, page_h: int, rows: list[bytes],
                w: int, h: int, x: int, y: int, op: int) -> None:
-    """External combination (T.88 §6.8.2) of a region onto the page."""
+    """External combination (T.88 §6.8.2) of a region onto the page;
+    owns the region-fits-the-page check for every region family."""
     import numpy as np
 
+    if x + w > page_w or y + h > page_h:
+        raise Jbig2Error(
+            f"JBIG2 region {w}x{h}@({x},{y}) exceeds page "
+            f"{page_w}x{page_h}")
     reg = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
     sub = page[y : y + h, x : x + w]
     if op == 0:
@@ -940,10 +962,6 @@ def decode_jbig2_embedded(
                 raise Jbig2Error(
                     f"JBIG2 region {w}x{h} exceeds {max_pixels}-pixel "
                     "gate")
-            if x + w > page_w or y + h > page_h:
-                raise Jbig2Error(
-                    f"JBIG2 region {w}x{h}@({x},{y}) exceeds page "
-                    f"{page_w}x{page_h}")
             if mmr:
                 try:
                     rows = decode_g4(d[18:], w, h)
@@ -980,10 +998,6 @@ def decode_jbig2_embedded(
                     "JBIG2 region before any page info segment")
             w, h, x, y, op, rows = _decode_halftone_region(
                 seg["data"], _input_patterns(seg))
-            if x + w > page_w or y + h > page_h:
-                raise Jbig2Error(
-                    f"JBIG2 halftone region {w}x{h}@({x},{y}) "
-                    f"exceeds page {page_w}x{page_h}")
             _composite(page, page_w, page_h, rows, w, h, x, y, op)
         elif t in _TEXT_REGIONS:
             if page is None:
@@ -992,10 +1006,6 @@ def decode_jbig2_embedded(
             syms = _input_symbols(seg)
             w, h, x, y, op, rows = _decode_text_region(
                 seg["data"], syms)
-            if x + w > page_w or y + h > page_h:
-                raise Jbig2Error(
-                    f"JBIG2 text region {w}x{h}@({x},{y}) exceeds "
-                    f"page {page_w}x{page_h}")
             _composite(page, page_w, page_h, rows, w, h, x, y, op)
         # 49/50/51/62: frame no-ops / skipped
 

@@ -225,6 +225,11 @@ def wds_multimodal_shards(df, id_col: str = "doc_id",
         samples = []
         for i, img, seg, cap in zip(pdf[id_col], pdf[image_col],
                                     pdf[seg_col], pdf[caption_col]):
+            if img is None or seg is None:
+                # refuse by name: a silent drop loses a sample, a
+                # bytes(None) TypeError kills the whole export stage
+                raise WdsError(
+                    f"sample {int(i)} carries a null media column")
             samples.append((f"{int(i):012d}", {
                 "png": bytes(img), "seg.png": bytes(seg),
                 "txt": (cap or "").encode(),

@@ -3196,11 +3196,12 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bits = bytes(1 if g < 128 else 0 for g in gray)
                     rows_ = [bits[y * w:(y + 1) * w] for y in range(h)]
                     if did % 9 == 3:
-                        # rotate the THREE JBIG2 backends: MMR (T.6),
+                        # rotate the FOUR JBIG2 backends: MMR (T.6),
                         # MQ-ARITHMETIC template 0 with TPGDON
-                        # (llm/mq_coder), and SYMBOL/TEXT coding (the
+                        # (llm/mq_coder), SYMBOL/TEXT coding (the
                         # real-world majority: the page cut into six
-                        # glyphs re-placed by a text region) —
+                        # glyphs re-placed by a text region), and
+                        # HALFTONE (pattern dict + Gray-coded grid) —
                         # identical pixels, so the dhash oracle is
                         # codec-blind
                         from verified_sources_spark.llm.jbig2 import (
