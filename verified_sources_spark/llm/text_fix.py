@@ -177,6 +177,11 @@ def _plausibility(text: str) -> float:
     # looks exactly like a short Greek word).
     n_script = sum(1 for ch in text if 0x370 <= ord(ch) <= 0x4FF)
     script_genuine = n_script >= 0.25 * n
+    # the letter-frequency BONUS needs a truly majority-script page:
+    # at the 25% floor a single 'ι' in 'café'-as-cp1253 would collect
+    # it and outscore the genuine cp1252 decode (found by the warc
+    # regression test) — real Russian/Greek pages are >50% script
+    script_bonus = n_script >= 0.5 * n
     for i, ch in enumerate(text):
         o = ord(ch)
         latin = False
@@ -185,10 +190,12 @@ def _plausibility(text: str) -> float:
         elif 0x80 <= o <= 0x9F:
             good -= 2  # C1 controls: never genuine text
         elif 0x370 <= o <= 0x4FF:
-            if script_genuine:
+            if script_bonus:
                 lo = ch.lower()
                 good += 1.5 if (lo in _COMMON_CYRILLIC
                                 or lo in _COMMON_GREEK) else 1
+            elif script_genuine:
+                good += 1
             else:
                 good += 0.2
         elif 0x2500 <= o <= 0x25FF:
