@@ -186,7 +186,9 @@ def parse_sitemap(data: bytes, max_bytes: int = 64 << 20) -> dict:
             f"sitemap over size gate ({len(data)} bytes)")
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
+        # LookupError: a mutated <?xml encoding="UTB-8"?> declaration
+        # raises it instead of ParseError (deep-fuzz seed-5 find)
         raise CrawlGovError(f"not XML: {e}") from None
     tag = root.tag.rsplit("}", 1)[-1]
     if tag not in ("urlset", "sitemapindex"):

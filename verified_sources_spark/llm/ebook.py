@@ -155,8 +155,10 @@ def extract_epub(data: bytes) -> dict:
     except EbookError:
         raise
     except (zipfile.BadZipFile, zlib.error, EOFError, OSError,
-            KeyError, ET.ParseError, ValueError,
+            KeyError, ET.ParseError, ValueError, LookupError,
             NotImplementedError) as exc:
+        # LookupError: unknown <?xml encoding=?> declarations raise it
+        # instead of ParseError (same class as the crawlgov fuzz find)
         raise EbookError(f"corrupt EPUB: {exc}") from exc
 
 

@@ -829,16 +829,25 @@ def _check_supported(seg: dict) -> None:
         "(arithmetic/Huffman-coded structure, no verifier here)")
 
 
-def _composite(page, page_w: int, page_h: int, rows: list[bytes],
-               w: int, h: int, x: int, y: int, op: int) -> None:
-    """External combination (T.88 §6.8.2) of a region onto the page;
-    owns the region-fits-the-page check for every region family."""
-    import numpy as np
-
+def _check_region_fits(w: int, h: int, x: int, y: int,
+                       page_w: int, page_h: int) -> None:
+    """Region-fits-the-page gate, run BEFORE the region decodes: a
+    bit-flipped height can declare a 50M-pixel region that passes the
+    allocation gate — refusing pre-decode keeps a corrupt stream from
+    buying minutes of pure-Python MQ work (deep-fuzz HANG find; the
+    post-decode check in _composite is the defensive backstop)."""
     if x + w > page_w or y + h > page_h:
         raise Jbig2Error(
             f"JBIG2 region {w}x{h}@({x},{y}) exceeds page "
             f"{page_w}x{page_h}")
+
+
+def _composite(page, page_w: int, page_h: int, rows: list[bytes],
+               w: int, h: int, x: int, y: int, op: int) -> None:
+    """External combination (T.88 §6.8.2) of a region onto the page."""
+    import numpy as np
+
+    _check_region_fits(w, h, x, y, page_w, page_h)
     reg = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
     sub = page[y : y + h, x : x + w]
     if op == 0:
@@ -962,6 +971,7 @@ def decode_jbig2_embedded(
                 raise Jbig2Error(
                     f"JBIG2 region {w}x{h} exceeds {max_pixels}-pixel "
                     "gate")
+            _check_region_fits(w, h, x, y, page_w, page_h)
             if mmr:
                 try:
                     rows = decode_g4(d[18:], w, h)
@@ -996,6 +1006,8 @@ def decode_jbig2_embedded(
             if page is None:
                 raise Jbig2Error(
                     "JBIG2 region before any page info segment")
+            w, h, x, y, _op = _region_info(seg["data"])
+            _check_region_fits(w, h, x, y, page_w, page_h)
             w, h, x, y, op, rows = _decode_halftone_region(
                 seg["data"], _input_patterns(seg))
             _composite(page, page_w, page_h, rows, w, h, x, y, op)
@@ -1003,6 +1015,8 @@ def decode_jbig2_embedded(
             if page is None:
                 raise Jbig2Error(
                     "JBIG2 region before any page info segment")
+            w, h, x, y, _op = _region_info(seg["data"])
+            _check_region_fits(w, h, x, y, page_w, page_h)
             syms = _input_symbols(seg)
             w, h, x, y, op, rows = _decode_text_region(
                 seg["data"], syms)
