@@ -78,6 +78,9 @@ def main() -> None:
     run(f"frontier_build @ {n} hosts", "frontier_build_docs", uni, n)
     run(f"wds_multimodal @ {n}", "wds_multimodal_docs", uni, n)
     run(f"ics_tzid @ {n}", "ics_tzid_events_docs", uni, n)
+    # 6. the four-backend JBIG2 rotation (arith/MMR/symbol-text/
+    # halftone) inside the full PDF cross-modal chain
+    run(f"pdf_image_matches @ {n}", "pdf_image_matches_docs", uni, n)
 
     spark.stop()
 
