@@ -216,3 +216,31 @@ def test_tzid_extreme_dates_resolve_to_null_not_crash():
         [{"uid": "b", "dtstart": "20240601T120000",
           "dtstart_tzid": "Y"}], timezones=[tz2]))["events"]
     assert out2[0]["start_ms"] is None
+
+
+def test_tzid_rdate_exdate_transitions():
+    """RDATE adds enumerated one-off transitions (historical offset
+    changes real exports carry); EXDATE disclaims an onset.  Both in
+    the observance's local clock; PERIOD-valued RDATE refuses."""
+    blob = (
+        "BEGIN:VCALENDAR\r\nBEGIN:VTIMEZONE\r\nTZID:H\r\n"
+        "BEGIN:STANDARD\r\nDTSTART:19700101T000000\r\n"
+        "TZOFFSETFROM:+0200\r\nTZOFFSETTO:+0200\r\nEND:STANDARD\r\n"
+        "BEGIN:STANDARD\r\nDTSTART:20200101T000000\r\n"
+        "TZOFFSETFROM:+0200\r\nTZOFFSETTO:+0300\r\n"
+        "RDATE:20220101T000000\r\nEXDATE:20200101T000000\r\n"
+        "END:STANDARD\r\nEND:VTIMEZONE\r\n"
+        "BEGIN:VEVENT\r\nUID:a\r\n"
+        "DTSTART;TZID=H:20210601T120000\r\nEND:VEVENT\r\n"
+        "BEGIN:VEVENT\r\nUID:b\r\n"
+        "DTSTART;TZID=H:20240601T120000\r\nEND:VEVENT\r\n"
+        "END:VCALENDAR\r\n").encode()
+    out = parse_ics(blob)["events"]
+    # EXDATE removed the 2020 onset: mid-2021 is still +0200; the
+    # RDATE 2022 one-off flips to +0300 for 2024
+    assert out[0]["start_ms"] == _utc_ms(2021, 6, 1, 10, 0)
+    assert out[1]["start_ms"] == _utc_ms(2024, 6, 1, 9, 0)
+    # PERIOD-valued RDATE poisons the TZID (null), parse survives
+    bad = blob.replace(b"RDATE:", b"RDATE;VALUE=PERIOD:")
+    out2 = parse_ics(bad)["events"]
+    assert out2[0]["start_ms"] is None

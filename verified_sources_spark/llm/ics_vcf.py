@@ -255,22 +255,28 @@ def _observance_onsets(ob: dict, years) -> list:
     d0 = ob["dtstart"]
     rr = ob["rrule"]
     if rr is None:
-        return [d0]
-    out = []
-    for y in years:
-        if y < d0.year:
-            continue
-        day = _nth_weekday_day(y, rr["month"], rr["weekday"], rr["n"])
-        if day is None:
-            continue
-        onset = dt.datetime(y, rr["month"], day,
-                            d0.hour, d0.minute, d0.second)
-        if onset < d0:
-            continue
-        if rr["until"] is not None and onset > rr["until"]:
-            continue
-        out.append(onset)
-    return out
+        out = [d0]
+    else:
+        out = []
+        for y in years:
+            if y < d0.year:
+                continue
+            day = _nth_weekday_day(y, rr["month"], rr["weekday"],
+                                   rr["n"])
+            if day is None:
+                continue
+            onset = dt.datetime(y, rr["month"], day,
+                                d0.hour, d0.minute, d0.second)
+            if onset < d0:
+                continue
+            if rr["until"] is not None and onset > rr["until"]:
+                continue
+            out.append(onset)
+    # RDATE: enumerated extra one-off transitions; EXDATE: onsets the
+    # export disclaims (both in the observance's local clock)
+    out.extend(ob.get("rdates", ()))
+    ex = set(ob.get("exdates", ()))
+    return [o for o in out if o not in ex] if ex else out
 
 
 def _resolve_tzid(tzdefs: dict, tzid: str, local) -> int | None:
@@ -403,11 +409,19 @@ def parse_ics(data: bytes) -> dict:
                     obs_cur["to"] = _parse_utc_offset(value)
                 elif name == "RRULE":
                     obs_cur["rrule"] = _parse_tz_rrule(value)
-                elif name in ("RDATE", "EXDATE"):
-                    # enumerated extra transitions can't be honored
-                    # by the rule model — refusing beats dropping
-                    # them silently
-                    raise IcsVcfError(f"tz observance with {name}")
+                elif name == "RDATE":
+                    # enumerated EXTRA transitions (historical
+                    # one-offs real exports carry alongside the
+                    # rule); PERIOD values refuse via _local_dt
+                    if params.get("VALUE", "DATE-TIME") not in (
+                            "DATE-TIME", "DATE"):
+                        raise IcsVcfError(
+                            f"tz RDATE VALUE={params['VALUE']}")
+                    obs_cur.setdefault("rdates", []).extend(
+                        _local_dt(v) for v in value.split(","))
+                elif name == "EXDATE":
+                    obs_cur.setdefault("exdates", []).extend(
+                        _local_dt(v) for v in value.split(","))
             except IcsVcfError:
                 tz_cur["bad"] = True
             continue
