@@ -128,7 +128,16 @@ def _jvm_canary(spark) -> float:
     round-over-round comparisons by ``jvm_canary_sec`` makes raw
     deltas inside the JVM-noise band non-attributable BY CONSTRUCTION
     instead of by hand-waving.  Best-of-5 after 2 warmups (same
-    rationale as the host canary's best-of-8)."""
+    rationale as the host canary's best-of-8).
+
+    Called at three points — before, mid-suite, after — because a
+    single pre-suite sample measures one instant while the suite
+    spans minutes: r14's calibration runs saw the lone pre-suite
+    sample swing ±22% between runs and the in-suite spread reach
+    1.48/1.24/0.90 s within ONE run.  The JSON carries the MEDIAN of
+    the three plus the raw samples.  Treat it as a BOUNDING signal,
+    not a normalizer (calibration: suite/canary ratio varied 4.7-7.7
+    across same-code runs) — see ROUND14_NOTES for the protocol."""
     def run() -> float:
         t0 = time.perf_counter()
         (
@@ -207,8 +216,8 @@ def main() -> None:
     print(f"# host canary: {canary}s (pure-CPU, pre-Spark)", file=sys.stderr)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    jvm_canary = _jvm_canary(spark)
-    print(f"# jvm canary: {jvm_canary}s (same-JVM shuffle+agg, pre-suite)",
+    jvm_samples = [_jvm_canary(spark)]
+    print(f"# jvm canary (pre-suite): {jvm_samples[0]}s",
           file=sys.stderr)
 
     baseline: dict[str, float] = {}
@@ -243,7 +252,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == len(HEADLINE) // 2:
+            jvm_samples.append(_jvm_canary(spark))
+            print(f"# jvm canary (mid-suite): {jvm_samples[-1]}s",
+                  file=sys.stderr)
         runs, n = [], 0
         for _ in range(reps):
             t0 = time.time()
@@ -263,6 +276,10 @@ def main() -> None:
             f"# {name}: {best}s median {median}s ({n} rows){delta}", file=sys.stderr
         )
 
+    jvm_samples.append(_jvm_canary(spark))
+    print(f"# jvm canary (post-suite): {jvm_samples[-1]}s",
+          file=sys.stderr)
+    jvm_canary = sorted(jvm_samples)[len(jvm_samples) // 2]
     total = round(sum(timings.values()), 3)
     # median-of-passes total: rep i of every query forms "pass i";
     # the median pass total is robust to one noisy rep in a way the
@@ -304,6 +321,7 @@ def main() -> None:
         "stats": stats,
         "canary_sec": canary,
         "jvm_canary_sec": jvm_canary,
+        "jvm_canary_samples_sec": jvm_samples,
         "total_median_pass_sec": total_median_pass,
         "pass_totals_sec": pass_totals,
         "other_jvms_at_start": jvms_before,
