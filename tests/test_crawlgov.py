@@ -208,3 +208,19 @@ def test_frontier_audit_composition(spark):
                        agent="otherbot").collect(),
         key=lambda r: r["url_idx"])]
     assert verdicts == [True, False, True, True]
+
+
+def test_crawl_corpus_never_ingests_disallowed(spark):
+    """The capstone's core safety property, asserted directly: the
+    disallowed page's text exists in the WARC but must never reach
+    the corpus output — governance GATES ingestion, it doesn't just
+    annotate it."""
+    from verified_sources_spark.plans.queries import QUERIES
+
+    rows = QUERIES["crawl_corpus_docs"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    texts = [r["text"] for r in rows if r["text"] is not None]
+    assert texts and not any("SECRET" in t for t in texts)
+    blocked = [r for r in rows if r["allowed"] is False]
+    assert blocked and all(r["text"] is None for r in blocked)

@@ -3643,6 +3643,43 @@ ORACLE_SQL["wds_multimodal_docs"] = """
     FROM r
 """
 
+# Governance-gated crawl ingestion: frontier-allowed 200 pages only,
+# cross-host dedup groups on the shared pages, the disallowed page's
+# text provably absent, truncated-WARC hosts isolated whole.
+ORACLE_SQL["crawl_corpus_docs"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 19) <> 0 AS ok,
+             CAST(doc_id % 5 AS INTEGER) AS g
+      FROM documents
+    ), shared AS (
+      SELECT g, COUNT(*) AS n, MIN(doc_id) AS canon
+      FROM p WHERE ok GROUP BY g
+    )
+    SELECT doc_id, TRUE AS decoded_ok,
+           '/p/' || doc_id AS path, TRUE AS allowed,
+           TRUE AS fetched,
+           'unique page ' || doc_id || ' body prose.' AS text,
+           CAST(1 AS BIGINT) AS dup_group_size,
+           TRUE AS is_canonical
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, '/shared/' || g, TRUE, TRUE,
+           'shared corpus page g' || g || ' common text.',
+           CAST(s.n AS BIGINT), doc_id = s.canon
+    FROM p JOIN shared s USING (g) WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, '/block/secret' || doc_id, FALSE,
+           NULL, NULL, NULL, NULL
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, TRUE, '/gone/' || doc_id, TRUE, FALSE,
+           NULL, NULL, NULL
+    FROM p WHERE ok
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE NOT ok
+"""
+
 ORACLE_SQL["canonical_url_docs"] = """
     SELECT doc_id,
            'http://host' || doc_id || '.example.com/path/' || doc_id

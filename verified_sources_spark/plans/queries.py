@@ -5946,6 +5946,143 @@ def wds_multimodal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("is_canonical"))
 
 
+def crawl_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-14 capstone: GOVERNANCE-GATED crawl ingestion
+    end-to-end — the step that turns the frontier layer into a
+    corpus.  Per doc, mint a host with robots.txt (``/block/``
+    disallowed), a urlset sitemap advertising four paths, and a WARC
+    of fetched responses (gzip-member layout on odd hosts) that
+    INCLUDES the disallowed page — then, fused in ONE mapInPandas
+    per host: expand the frontier (llm/crawlgov.expand_host), parse
+    the WARC (llm/warc: record walk, HTTP split, charset decode,
+    HTML text extraction), and ingest ONLY frontier-allowed 200
+    pages:
+
+    - ``/p/{doc_id}``: allowed, unique prose → its own dedup group;
+    - ``/shared/{doc_id%5}``: allowed, byte-identical ACROSS hosts →
+      five cross-host dedup groups (window over text, lineage once);
+    - ``/block/secret{doc_id}``: present in the WARC but disallowed —
+      its text must NEVER reach the output (the proof governance
+      actually gates ingestion, not just annotates it);
+    - ``/gone/{doc_id}``: allowed but 404 → fetched=false, no text.
+
+    Every 19th host ships a truncated WARC and isolates whole
+    (``decoded_ok=false``) — a frontier must not ingest a host whose
+    fetch record it could not read.  The oracle replays paths,
+    verdicts, fetch status, page text and the cross-host dedup
+    arithmetic in SQL."""
+    import pandas as pd
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def walk(batches):
+        from verified_sources_spark.llm.crawlgov import (
+            CrawlGovError,
+            _url_path,
+            encode_robots,
+            encode_sitemap,
+            expand_host,
+        )
+        from verified_sources_spark.llm.warc import (
+            WarcError,
+            decode_body,
+            encode_record,
+            encode_warc,
+            extract_text,
+            http_payload,
+            http_response_block,
+            iter_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 5
+                base = f"http://h{did}.example.com"
+                robots = encode_robots([{
+                    "agents": ["*"],
+                    "rules": [("disallow", "/block/")]}])
+                paths = [f"/p/{did}", f"/shared/{g}",
+                         f"/block/secret{did}", f"/gone/{did}"]
+                root = encode_sitemap(
+                    [{"loc": base + p} for p in paths])
+                texts = {
+                    paths[0]: f"unique page {did} body prose.",
+                    paths[1]: f"shared corpus page g{g} common text.",
+                    paths[2]: f"SECRET {did} must never ingest.",
+                }
+                recs = []
+                for p in paths:
+                    if p in texts:
+                        body = (
+                            "<html><head><title>t</title></head>"
+                            f"<body><p>{texts[p]}</p></body></html>"
+                        ).encode()
+                        block = http_response_block(body)
+                    else:
+                        block = http_response_block(
+                            b"<html><body>gone</body></html>",
+                            status=404)
+                    recs.append(encode_record(uri=base + p,
+                                              block=block))
+                warc = encode_warc(recs,
+                                   gzip_members=(did % 2 == 1))
+                if did % 19 == 0:
+                    warc = warc[:30]
+                try:
+                    frontier = expand_host(robots, root, {},
+                                           "enginebot/1.0")
+                    pages: dict = {}
+                    for hdrs, blk in iter_records(warc):
+                        if hdrs.get("WARC-Type") != "response":
+                            continue
+                        status, hh, body = http_payload(blk)
+                        path = _url_path(
+                            hdrs.get("WARC-Target-URI", ""))
+                        if status == 200:
+                            html, _cs, _clean = decode_body(hh, body)
+                            _title, txt = extract_text(html)
+                            pages[path] = txt
+                        else:
+                            pages[path] = None
+                    for u in frontier:
+                        p = u["path"]
+                        if not u["allowed"]:
+                            rows.append({
+                                "doc_id": did, "decoded_ok": True,
+                                "path": p, "allowed": False,
+                                "fetched": None, "text": None})
+                            continue
+                        txt = pages.get(p)
+                        rows.append({
+                            "doc_id": did, "decoded_ok": True,
+                            "path": p, "allowed": True,
+                            "fetched": txt is not None,
+                            "text": txt})
+                except (CrawlGovError, WarcError):
+                    rows.append({
+                        "doc_id": did, "decoded_ok": False,
+                        "path": None, "allowed": None,
+                        "fetched": None, "text": None})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "decoded_ok", "path", "allowed",
+                "fetched", "text"])
+
+    rows = d.mapInPandas(
+        walk, "doc_id long, decoded_ok boolean, path string, "
+              "allowed boolean, fetched boolean, text string")
+    w = Window.partitionBy("text")
+    return rows.select(
+        "doc_id", "decoded_ok", "path", "allowed", "fetched", "text",
+        F.when(F.col("text").isNotNull(),
+               F.count(F.lit(1)).over(w).cast("long"))
+         .alias("dup_group_size"),
+        F.when(F.col("text").isNotNull(),
+               F.col("doc_id") == F.min("doc_id").over(w))
+         .alias("is_canonical"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6118,4 +6255,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ics_tzid_events_docs": ics_tzid_events_docs,
     "frontier_build_docs": frontier_build_docs,
     "wds_multimodal_docs": wds_multimodal_docs,
+    "crawl_corpus_docs": crawl_corpus_docs,
 }
