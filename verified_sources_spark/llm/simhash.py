@@ -143,6 +143,7 @@ def simhash_dedup_groups(
     n_bands: int = 4,
     neighbor_window: int = 8,
     base_hash: str = "xxhash64",
+    n_tables: int = 1,
 ) -> DataFrame:
     """(id, group, group_size) — near-duplicate groups under transitive
     closure of hamming <= max_hamming edges, with LINEAR candidate volume.
@@ -172,8 +173,22 @@ def simhash_dedup_groups(
     return fingerprint_dedup_groups(
         sig, id_col, "simhash", bits=bits, max_hamming=max_hamming,
         n_bands=n_bands, neighbor_window=neighbor_window,
-        all_ids=df.select(id_col),
+        all_ids=df.select(id_col), n_tables=n_tables,
     )
+
+
+def _rotated(c, r: int, bits: int):
+    """Bit-rotate a ``bits``-wide fingerprint left by ``r`` —
+    hamming-preserving, so rotated tables probe the same distance
+    metric through different band boundaries."""
+    if r == 0:
+        return c
+    if bits == 64:
+        return F.shiftleft(c, r).bitwiseOR(
+            F.shiftrightunsigned(c, 64 - r))
+    mask = (1 << bits) - 1
+    return F.shiftleft(c, r).bitwiseAND(F.lit(mask)).bitwiseOR(
+        F.shiftrightunsigned(c, bits - r))
 
 
 def fingerprint_dedup_groups(
@@ -185,6 +200,7 @@ def fingerprint_dedup_groups(
     n_bands: int = 4,
     neighbor_window: int = 8,
     all_ids: DataFrame | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """(id, group, group_size) near-duplicate groups over a PRECOMPUTED
     64-bit-or-less fingerprint column — the banded sorted-probe + hash-min
@@ -192,48 +208,69 @@ def fingerprint_dedup_groups(
     reusable for any hamming-space fingerprint (simhash over tokens,
     perceptual image hashes, …).  ``all_ids`` (optional) is the id spine:
     ids present there but absent from ``sig`` (undecodable assets, empty
-    docs) come back as their own singleton groups."""
+    docs) come back as their own singleton groups.
+
+    ``n_tables`` (round 14, opt-in; default 1 = the original scheme)
+    adds Manku-style PERMUTED probe tables: table t sorts and bands a
+    bit-ROTATED copy of the fingerprint (rotation is
+    hamming-preserving), so pairs that sit > neighbor_window apart in
+    every table-0 bucket order get fresh adjacency chances under
+    different bit orderings.  Measured on sf0.1
+    (tools/simhash_recall_sweep.py): under-merge 16.5% at the
+    default, 5.0% at n_tables=2, 1.7% at n_tables=4 (0.6% with
+    window 16 as well) — cost is n_tables× the (linear) candidate
+    volume, output still linear.  Edges only ever ADD, so n_tables
+    can't over-merge."""
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
     assert bits % n_bands == 0
     band_bits = bits // n_bands
-    banded = sig.select(
-        F.col(id_col),
-        F.col(fp_col).alias("__fp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        _band(F.col(fp_col), i, band_bits).alias("band_val"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "__fp", "band.band_idx", "band.band_val")
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band_idx", "band_val").orderBy("__fp", id_col)
-    lagged = banded.select(
-        F.col(id_col),
-        F.col("__fp"),
-        *[F.lag(F.col(id_col), k).over(w).alias(f"_nid{k}") for k in range(1, neighbor_window + 1)],
-        *[F.lag(F.col("__fp"), k).over(w).alias(f"_nsh{k}") for k in range(1, neighbor_window + 1)],
-    )
-    edge_parts = [
-        lagged.select(
-            F.least(F.col(id_col), F.col(f"_nid{k}")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col(f"_nid{k}")).alias("id_b"),
-        ).filter(
-            F.col(f"_nid{k}").isNotNull()
-            & (
-                F.bit_count(F.col("__fp").bitwiseXOR(F.col(f"_nsh{k}")))
-                <= max_hamming
-            )
+    edge_parts = []
+    for t in range(n_tables):
+        rot = (t * bits) // n_tables
+        key = _rotated(F.col(fp_col), rot, bits)
+        banded = sig.select(
+            F.col(id_col),
+            F.col(fp_col).alias("__fp"),
+            key.alias("__sort"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            # distinct bucket space per table
+                            F.lit(t * n_bands + i).alias("band_idx"),
+                            _band(key, i, band_bits).alias("band_val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, "__fp", "__sort", "band.band_idx",
+                 "band.band_val")
+
+        w = Window.partitionBy("band_idx", "band_val").orderBy(
+            "__sort", id_col)
+        lagged = banded.select(
+            F.col(id_col),
+            F.col("__fp"),
+            *[F.lag(F.col(id_col), k).over(w).alias(f"_nid{k}") for k in range(1, neighbor_window + 1)],
+            *[F.lag(F.col("__fp"), k).over(w).alias(f"_nsh{k}") for k in range(1, neighbor_window + 1)],
         )
-        for k in range(1, neighbor_window + 1)
-    ]
+        edge_parts += [
+            lagged.select(
+                F.least(F.col(id_col), F.col(f"_nid{k}")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col(f"_nid{k}")).alias("id_b"),
+            ).filter(
+                F.col(f"_nid{k}").isNotNull()
+                & (
+                    F.bit_count(F.col("__fp").bitwiseXOR(F.col(f"_nsh{k}")))
+                    <= max_hamming
+                )
+            )
+            for k in range(1, neighbor_window + 1)
+        ]
     edges = edge_parts[0]
     for p in edge_parts[1:]:
         edges = edges.unionByName(p)
