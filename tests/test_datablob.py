@@ -144,3 +144,69 @@ def test_orc_blob_round_trip_and_refusals():
         orc_rows_blob(memo)
     with pytest.raises(DataBlobError, match="corrupt orc"):
         orc_rows_blob(blob[:3] + b"\x00" * 40 + blob[-8:])
+
+
+def test_sqlite_blob_tables_and_refusals():
+    """SQLite blobs read through stdlib deserialize: user tables in
+    name order, quoted identifiers survive, views/internal tables
+    excluded, NULL/blob cells render per the contract; corruption and
+    empty databases refuse by name."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    from verified_sources_spark.llm.datablob import (
+        DataBlobError, sqlite_tables_blob,
+    )
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE people (id INTEGER, name TEXT, s REAL)")
+    con.executemany("INSERT INTO people VALUES (?,?,?)",
+                    [(1, "Ada", 9.5), (2, None, None)])
+    con.execute('CREATE TABLE "odd ""name" (v BLOB)')
+    con.execute('INSERT INTO "odd ""name" VALUES (?)', (b"b\xff",))
+    con.execute("CREATE VIEW v AS SELECT * FROM people")
+    blob = con.serialize()
+    con.close()
+    out = sqlite_tables_blob(blob)
+    assert [t["table"] for t in out] == ['odd "name', "people"]
+    assert out[1]["columns"] == ["id", "name", "s"]
+    assert out[1]["rows"] == [["1", "Ada", "9.5"], ["2", "", ""]]
+    # refusals: magic, corruption past the magic, empty db
+    with _pytest.raises(DataBlobError, match="magic"):
+        sqlite_tables_blob(b"not a database at all")
+    with _pytest.raises(DataBlobError, match="corrupt"):
+        sqlite_tables_blob(b"SQLite format 3\x00" + bytes(64))
+    empty = sqlite3.connect(":memory:")
+    empty.execute("CREATE VIEW only_view AS SELECT 1 AS x")
+    with _pytest.raises(DataBlobError, match="no user tables"):
+        sqlite_tables_blob(empty.serialize())
+    empty.close()
+
+
+def test_sqlite_in_spark_door_and_router(spark):
+    """data_blob_rows fans a two-table db into per-table row groups
+    (fmt='sqlite:<name>'); the document router extracts it as
+    delimited text blocks."""
+    import sqlite3
+
+    from verified_sources_spark.llm.datablob import data_blob_rows
+    from verified_sources_spark.llm.docrouter import (
+        extract_document, sniff_document,
+    )
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE a (x INTEGER)")
+    con.execute("INSERT INTO a VALUES (7)")
+    con.execute("CREATE TABLE b (y TEXT)")
+    con.execute("INSERT INTO b VALUES ('hi')")
+    blob = con.serialize()
+    con.close()
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, asset binary")
+    got = {(r["fmt"], r["header"], r["line"])
+           for r in data_blob_rows(df).collect()}
+    assert got == {("sqlite:a", "x", "7"), ("sqlite:b", "y", "hi")}
+    assert sniff_document(blob) == "sqlite"
+    text = extract_document(blob)["text"]
+    assert "a\nx\n7" in text and "b\ny\nhi" in text

@@ -524,6 +524,22 @@ def test_fuzz_datablob():
             "note": [f"row {i} text" for i in range(40)]}), buf)
         return buf.getvalue()
 
+    # SQLite blobs: upstream sqlite is famously fuzz-hardened; this
+    # net asserts OUR wrapper converts every sqlite3.Error to the
+    # named refusal, never lets one escape
+    import sqlite3 as _sq
+
+    from verified_sources_spark.llm.datablob import sqlite_tables_blob
+
+    _con = _sq.connect(":memory:")
+    _con.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+    _con.executemany("INSERT INTO t VALUES (?,?)",
+                     [(i, f"row {i} text") for i in range(30)])
+    _sql_blob = _con.serialize()
+    _con.close()
+    _battery(lambda: _sql_blob, sqlite_tables_blob,
+             (DataBlobError,), seed=73)
+
     from verified_sources_spark.llm.datablob import orc_rows_blob
 
     _battery(enc_orc, orc_rows_blob, (DataBlobError,), seed=17)

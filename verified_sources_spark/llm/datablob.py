@@ -17,19 +17,24 @@ refused as "binary".
   (operators/avro_codec — cross-validated against the Apache Java
   implementation for the Iceberg interop), so the Avro path has no
   new dependency at all.
+- SQLite database blobs (round 14) read through the stdlib sqlite3
+  C library via ``deserialize`` — .db/.sqlite application exports are
+  the other machine-readable share of real drops; each user table
+  emits its own row group.
 
-Both emit the delimited-text contract (one row per record, cells
+All emit the delimited-text contract (one row per record, cells
 tab-joined in column order, header carried) so blob-borne tables land
 in the SAME text shape as CSV/xlsx/ods — dedup and quality scoring
 see one surface.  The document router dispatches by magic (``PAR1``
-/ ``Obj\\x01``).
+/ ``Obj\\x01`` / ``ORC`` / ``SQLite format 3``).
 """
 
 from __future__ import annotations
 
 __all__ = [
     "DataBlobError", "parquet_rows_blob", "avro_rows_blob",
-    "orc_rows_blob", "data_blob_rows", "DATA_BLOB_ROWS_SCHEMA",
+    "orc_rows_blob", "sqlite_tables_blob", "data_blob_rows",
+    "DATA_BLOB_ROWS_SCHEMA",
 ]
 
 
@@ -215,45 +220,111 @@ DATA_BLOB_ROWS_SCHEMA = (
 )
 
 
+def sqlite_tables_blob(data: bytes, max_bytes: int = 256 << 20,
+                       max_cells: int = 50_000_000) -> list[dict]:
+    """One SQLite database blob → ``[{table, columns, rows}]`` per
+    user table, in name order — the application-data share of real
+    document drops (.db/.sqlite exports, browser/app artifacts).
+
+    Read through the stdlib ``sqlite3`` module's ``deserialize``
+    (Python 3.11+; the C library itself, i.e. an EXTERNAL
+    battle-tested reader — the no-hand-rolling posture of the
+    parquet/ORC paths, with upstream SQLite's own famous fuzzing
+    behind it).  Only plain tables are read (``sqlite_master``
+    ``type='table'``, internal ``sqlite_*`` names excluded); views
+    and triggers are never executed; a virtual table's module is
+    absent here, so selecting from one raises and the blob refuses.
+    Corruption surfaces as :class:`DataBlobError` like every other
+    blob format."""
+    if len(data) > max_bytes:
+        raise DataBlobError(
+            f"sqlite blob over size gate ({len(data)} bytes)")
+    if data[:16] != b"SQLite format 3\x00":
+        raise DataBlobError(
+            "not a SQLite database (magic missing)")
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    try:
+        try:
+            con.deserialize(data)
+            tables = [r[0] for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table' "
+                "AND name NOT LIKE 'sqlite_%' ORDER BY name")]
+            out = []
+            total = 0
+            for t in tables:
+                ident = t.replace('"', '""')
+                cur = con.execute(f'SELECT * FROM "{ident}"')
+                cols = [d[0] for d in cur.description]
+                rows = []
+                for rec in cur:
+                    total += max(1, len(cols))
+                    if total > max_cells:
+                        raise DataBlobError(
+                            "sqlite blob over cell gate")
+                    rows.append([_render_cell(v) for v in rec])
+                out.append({"table": t, "columns": cols,
+                            "rows": rows})
+        except sqlite3.Error as e:
+            raise DataBlobError(
+                f"corrupt sqlite blob: {e}") from None
+    finally:
+        con.close()
+    if not out:
+        raise DataBlobError(
+            "SQLite database with no user tables — not a data blob")
+    return out
+
+
 def data_blob_rows(df, id_col: str = "doc_id",
                    asset_col: str = "asset"):
     """Arrow-batched columnar-blob explosion: sniffs parquet (PAR1) vs
-    Avro (``Obj\\x01``) vs ORC (``ORC``), one output row per record,
-    cells tab-joined — the same contract as
-    llm/tabular.delimited_rows, so every blob-borne table lands in
-    one text shape.  Corrupt/unknown blobs isolate as
-    ``decoded_ok=false`` rows."""
+    Avro (``Obj\\x01``) vs ORC (``ORC``) vs SQLite
+    (``SQLite format 3``), one output row per record, cells
+    tab-joined — the same contract as llm/tabular.delimited_rows, so
+    every blob-borne table lands in one text shape.  A SQLite blob is
+    a CONTAINER of tables: each user table emits its own row group
+    with ``fmt='sqlite:<table>'`` and per-table header/row counts.
+    Corrupt/unknown blobs isolate as ``decoded_ok=false`` rows."""
     import pandas as pd
 
     def run(batches):
+        def emit(rows, _id, fmt, out):
+            hdr = "\t".join(out["columns"])
+            n = len(out["rows"])
+            for i, r in enumerate(out["rows"]):
+                rows.append({
+                    "doc_id": _id, "decoded_ok": True,
+                    "fmt": fmt, "row_idx": i, "n_rows": n,
+                    "n_cols": len(out["columns"]),
+                    "header": hdr, "line": "\t".join(r)})
+            if not out["rows"]:
+                rows.append({
+                    "doc_id": _id, "decoded_ok": True,
+                    "fmt": fmt, "row_idx": None, "n_rows": 0,
+                    "n_cols": len(out["columns"]),
+                    "header": hdr, "line": None})
+
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[asset_col]):
                 raw = bytes(payload)
                 try:
                     if raw[:4] == b"PAR1":
-                        fmt, out = "parquet", parquet_rows_blob(raw)
+                        emit(rows, _id, "parquet",
+                             parquet_rows_blob(raw))
                     elif raw[:4] == b"Obj\x01":
-                        fmt, out = "avro", avro_rows_blob(raw)
+                        emit(rows, _id, "avro", avro_rows_blob(raw))
                     elif raw[:3] == b"ORC":
-                        fmt, out = "orc", orc_rows_blob(raw)
+                        emit(rows, _id, "orc", orc_rows_blob(raw))
+                    elif raw[:16] == b"SQLite format 3\x00":
+                        for tbl in sqlite_tables_blob(raw):
+                            emit(rows, _id,
+                                 f"sqlite:{tbl['table']}", tbl)
                     else:
                         raise DataBlobError(
-                            "no parquet/avro/orc magic")
-                    hdr = "\t".join(out["columns"])
-                    n = len(out["rows"])
-                    for i, r in enumerate(out["rows"]):
-                        rows.append({
-                            "doc_id": _id, "decoded_ok": True,
-                            "fmt": fmt, "row_idx": i, "n_rows": n,
-                            "n_cols": len(out["columns"]),
-                            "header": hdr, "line": "\t".join(r)})
-                    if not out["rows"]:
-                        rows.append({
-                            "doc_id": _id, "decoded_ok": True,
-                            "fmt": fmt, "row_idx": None, "n_rows": 0,
-                            "n_cols": len(out["columns"]),
-                            "header": hdr, "line": None})
+                            "no parquet/avro/orc/sqlite magic")
                 except DataBlobError:
                     rows.append({
                         "doc_id": _id, "decoded_ok": False,

@@ -51,6 +51,8 @@ def sniff_document(payload: bytes) -> str:
         # both ends checked: prose that merely STARTS with "ORC"
         # must not route here
         return "orc"
+    if payload[:16] == b"SQLite format 3\x00":
+        return "sqlite"
     if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         return "cfb"
     if payload[:5] == b"{\\rtf":
@@ -312,15 +314,25 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
         lines = ([out["header"]] if out["header"] else []) + out["rows"]
         return {"format": "delimited",
                 "text": "\n".join("\t".join(r) for r in lines)}
-    if fmt in ("parquet", "avro", "orc"):
+    if fmt in ("parquet", "avro", "orc", "sqlite"):
         from verified_sources_spark.llm.datablob import (
             DataBlobError, avro_rows_blob, orc_rows_blob,
-            parquet_rows_blob,
+            parquet_rows_blob, sqlite_tables_blob,
         )
 
         readers = {"parquet": parquet_rows_blob,
                    "avro": avro_rows_blob, "orc": orc_rows_blob}
         try:
+            if fmt == "sqlite":
+                # container of tables: one block per user table,
+                # table name as its block header line
+                blocks = []
+                for tbl in sqlite_tables_blob(payload):
+                    lines = [[tbl["table"]], tbl["columns"]] \
+                        + tbl["rows"]
+                    blocks.append("\n".join(
+                        "\t".join(r) for r in lines))
+                return {"format": fmt, "text": "\n\n".join(blocks)}
             out = readers[fmt](payload)
         except DataBlobError as e:
             raise DocRouteError(f"{fmt}: {e}") from None

@@ -3209,8 +3209,10 @@ ORACLE_SQL["ivfpq_rerank_embeddings"] = f"""
 ORACLE_SQL["data_blob_rows_docs"] = """
     WITH p AS (
         SELECT doc_id, (doc_id % 37) <> 0 AS ok,
+               (doc_id % 11) = 5 AS sqlite,
                CAST(2 + doc_id % 3 AS INTEGER) AS n,
-               CASE WHEN doc_id % 2 = 1 THEN 'avro'
+               CASE WHEN doc_id % 11 = 5 THEN 'sqlite:items'
+                    WHEN doc_id % 2 = 1 THEN 'avro'
                     WHEN doc_id % 6 = 4 THEN 'orc'
                     ELSE 'parquet' END AS fmt,
                COALESCE(text, '') AS t
@@ -3224,6 +3226,13 @@ ORACLE_SQL["data_blob_rows_docs"] = """
            || substr(t, 30 * k + 1, 30) AS line
     FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
     WHERE ok AND k < n
+    UNION ALL
+    -- the sqlite container's second table: its own row group
+    SELECT doc_id, TRUE, 'sqlite:meta', CAST(0 AS INTEGER),
+           CAST(1 AS INTEGER), CAST(2 AS INTEGER),
+           'doc' || chr(9) || 'n',
+           doc_id || chr(9) || n
+    FROM p WHERE ok AND sqlite
     UNION ALL
     SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
     FROM p WHERE NOT ok

@@ -5000,7 +5000,10 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC blob instead, pyarrow.orc) and an AVRO container on
     odd (the repo's own pure-Python codec, container codec cycling
     null / deflate / snappy by ``doc_id % 3`` — snappy is the repo's
-    own block codec, operators/snappy_codec), every 37th a
+    own block codec, operators/snappy_codec), a TWO-TABLE SQLITE
+    database on every ``% 11 == 5`` (stdlib sqlite3 writes it — an
+    external C-library writer cross-checking our read path; each
+    table emits its own ``sqlite:<name>`` row group), every 37th a
     non-columnar payload; explode through llm/datablob.data_blob_rows into the same
     tab-joined per-record contract the CSV front door emits.  The
     oracle replays format, header and every rendered cell in SQL — a
@@ -5038,7 +5041,28 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs = [{"id": did * 10 + k, "name": f"item {k}",
                          "note": t[30 * k : 30 * (k + 1)]}
                         for k in range(2 + did % 3)]
-                if did % 2 == 0:
+                if did % 11 == 5:
+                    # SQLite database blob: TWO user tables (the
+                    # container fan-out — each emits its own
+                    # fmt='sqlite:<table>' row group), written by
+                    # the stdlib sqlite3 C library (an external
+                    # writer cross-checking our read path)
+                    import sqlite3
+
+                    con = sqlite3.connect(":memory:")
+                    con.execute("CREATE TABLE items "
+                                "(id INTEGER, name TEXT, note TEXT)")
+                    con.executemany(
+                        "INSERT INTO items VALUES (?,?,?)",
+                        [(r["id"], r["name"], r["note"])
+                         for r in recs])
+                    con.execute("CREATE TABLE meta "
+                                "(doc INTEGER, n INTEGER)")
+                    con.execute("INSERT INTO meta VALUES (?,?)",
+                                (did, len(recs)))
+                    asset = con.serialize()
+                    con.close()
+                elif did % 2 == 0:
                     buf = io.BytesIO()
                     table = pa.table({
                         "id": [r["id"] for r in recs],
