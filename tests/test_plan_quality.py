@@ -240,3 +240,156 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
         for ln in plan.splitlines():
             if "Exchange" in ln:
                 assert "asset" not in ln, (q, ln)
+
+
+# --- r15: no raw text/payload column may ever be a shuffle KEY -------------
+#
+# The r14 verdict found two graded entries whose window keys were raw
+# nullable payload columns (full page text / dhash-with-nulls) — masked-
+# correct but a megabyte-string sort key plus a single-reducer null
+# partition at crawl scale.  The old gate only scanned Exchange lines for
+# the literal substring "asset", so a *text* shuffle key slipped through.
+# This gate closes the class: for EVERY graded entry, every Exchange
+# hashpartitioning key expression (with _wN window keys resolved through
+# their defining Project) must not reference a raw payload column unless
+# it is wrapped in a hash function (md5/xxhash64/sha2/crc32/hash).
+
+import re
+
+_PAYLOAD_COLS = ("text", "asset", "body", "payload", "html",
+                 "caption", "page_text", "content")
+_PAYLOAD_RE = re.compile(r"\b(?:%s)#\d+" % "|".join(_PAYLOAD_COLS))
+_HASHED_PAYLOAD_RE = re.compile(
+    r"\b(?:md5|xxhash64|sha2|sha1|crc32|hash|murmur3hash)\((?:cast\()?"
+    r"(?:%s)#\d+" % "|".join(_PAYLOAD_COLS))
+
+
+def _balanced_slice(s: str, open_idx: int) -> str:
+    """Return the contents of the parenthesized group opening at
+    ``open_idx`` (which must point at '(')."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1:i]
+    return s[open_idx + 1:]
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return parts
+
+
+def _window_key_defs(plan: str) -> dict[str, str]:
+    """Map each projected window-key alias (_wN) to the expression text
+    that defines it, by balanced backward scan from ' AS _wN#'."""
+    defs: dict[str, str] = {}
+    for m in re.finditer(r" AS (_w\d+)#\d+", plan):
+        end = m.start()
+        depth = 0
+        i = end - 1
+        while i >= 0:
+            ch = plan[i]
+            if ch in ")]":
+                depth += 1
+            elif ch in "([":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            elif ch == "\n":
+                break
+            i -= 1
+        defs[m.group(1)] = plan[i + 1:end].strip()
+    return defs
+
+
+def _exchange_keys(plan: str) -> list[tuple[str, str]]:
+    """All (exchange_line, key_expr) pairs, window aliases resolved."""
+    defs = _window_key_defs(plan)
+    out: list[tuple[str, str]] = []
+    for ln in plan.splitlines():
+        pos = ln.find("Exchange hashpartitioning")
+        if pos < 0:
+            continue
+        open_idx = ln.find("(", pos)
+        inner = _balanced_slice(ln, open_idx)
+        keys = _split_top_level(inner)[:-1]  # last arg = partition count
+        for k in keys:
+            alias = re.match(r"(_w\d+)#\d+", k)
+            if alias and alias.group(1) in defs:
+                k = defs[alias.group(1)]
+            out.append((ln.strip(), k))
+    return out
+
+
+def _assert_no_raw_payload_keys(plan: str, q: str) -> None:
+    for ln, key in _exchange_keys(plan):
+        residue = _HASHED_PAYLOAD_RE.sub("HASHED", key)
+        assert not _PAYLOAD_RE.search(residue), (
+            q, "raw payload column used as shuffle key", key, ln)
+
+
+def test_detector_catches_raw_text_window_key(spark):
+    """The detector itself must fail on the exact shape the r14 verdict
+    found (raw nullable text as a window partition key) and pass on the
+    fixed md5+null-salt shape — otherwise the gate below proves nothing."""
+    from pyspark.sql import functions as F, Window
+
+    # text must be a real source attribute (not an inlinable expression
+    # over id) or Catalyst collapses the projection and the plan text
+    # never mentions it
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(10)], "doc_id long, text string")
+    bad = df.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("text"))
+        .alias("c"))
+    bad_plan = bad._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(AssertionError):
+        _assert_no_raw_payload_keys(bad_plan, "synthetic-bad")
+    # expression key (concat of raw text) must ALSO be caught through
+    # the _wN projection
+    bad2 = df.select(
+        "doc_id", F.count(F.lit(1)).over(
+            Window.partitionBy(F.concat(F.col("text"), F.lit("x"))))
+        .alias("c"))
+    bad2_plan = bad2._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(AssertionError):
+        _assert_no_raw_payload_keys(bad2_plan, "synthetic-bad2")
+    good = df.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy(
+            F.coalesce(F.md5("text"),
+                       F.concat(F.lit("~"),
+                                F.pmod(F.hash("doc_id"), F.lit(1024))
+                                 .cast("string"))))).alias("c"))
+    good_plan = good._jdf.queryExecution().executedPlan().toString()
+    _assert_no_raw_payload_keys(good_plan, "synthetic-good")
+
+
+def test_r15_no_graded_entry_shuffles_on_raw_payload(spark):
+    """Every graded registry entry obeys the key law above."""
+    failures = []
+    for q in QUERIES:
+        try:
+            plan = _plan(spark, q)
+        except Exception as e:  # pragma: no cover - plan build issues
+            failures.append((q, f"plan build failed: {e}"))
+            continue
+        try:
+            _assert_no_raw_payload_keys(plan, q)
+        except AssertionError as e:
+            failures.append((q, str(e)))
+    assert not failures, failures

@@ -4933,8 +4933,10 @@ def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("decoded_ok"))
             .select("doc_id", F.lit("archive").alias("source"),
                     "text"))
+    # group key is the 16-byte md5, never the raw text (exact_dedup law:
+    # the shuffle sorts/compares keys — megabyte texts as keys is waste)
     return (web.unionByName(mail).unionByName(arch)
-            .groupBy("text")
+            .groupBy(F.md5("text").alias("_k"))
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count("*").cast("long").alias("n_copies"),
                  F.array_join(F.array_sort(F.collect_set("source")),
@@ -5246,14 +5248,18 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both stages carry the canonical's payload through min_by
     # aggregations instead of joining back to `good` (each such join
     # would re-run the heavy decode lineage once more)
-    exact = (good.groupBy("text")
-             .agg(F.expr("min_by(struct(doc_id, domain), doc_id)")
+    # group keys are 16-byte md5s of the (raw, normalized) text, never
+    # the text itself (exact_dedup law: shuffle keys get sorted and
+    # compared — full texts as keys is pure waste); the canonical text
+    # rides in the min_by struct as VALUE data, same bytes either way
+    exact = (good.groupBy(F.md5("text").alias("_k"))
+             .agg(F.expr("min_by(struct(doc_id, domain, text), doc_id)")
                    .alias("c"),
                   F.count(F.lit(1)).alias("_copies"))
              .select(F.col("c.doc_id").alias("doc_id"),
                      F.col("c.domain").alias("domain"),
-                     "text", "_copies"))
-    canon = (exact.withColumn("_norm", normalized_text("text"))
+                     F.col("c.text").alias("text"), "_copies"))
+    canon = (exact.withColumn("_norm", F.md5(normalized_text("text")))
              .groupBy("_norm")
              .agg(F.expr("min_by(struct(doc_id, domain, text), doc_id)")
                    .alias("c"),
@@ -5957,7 +5963,14 @@ def wds_multimodal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, exts string, caption string, meta_json string, "
         "png_exact boolean, seg_exact boolean, width int, "
         "height int, dhash string")
-    w = Window.partitionBy("dhash")
+    # Null dhashes (truncated-png rows, 1/19 of docs) are salted
+    # across 1024 partitions instead of collapsing onto one reducer;
+    # the when(isNotNull) masks keep their outputs null either way.
+    w = Window.partitionBy(
+        F.coalesce(F.col("dhash"),
+                   F.concat(F.lit("∅"),
+                            F.pmod(F.hash("doc_id"), F.lit(1024))
+                             .cast("string"))))
     return rows.select(
         "doc_id", "shard_id", "sample_idx", "n_samples", "key",
         "exts", "caption", "meta_json", "png_exact", "seg_exact",
@@ -6096,7 +6109,18 @@ def crawl_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = d.mapInPandas(
         walk, "doc_id long, decoded_ok boolean, path string, "
               "allowed boolean, fetched boolean, text string")
-    w = Window.partitionBy("text")
+    # Window key: 16-byte md5 of the page text, never the raw text —
+    # at crawl scale the shuffle sorts/compares keys, and a megabyte
+    # page as the key is pure waste (same law as exact_dedup.py).
+    # Null texts (disallowed + 404 + failed hosts) are salted across
+    # 1024 partitions instead of hashing to ONE straggler reducer;
+    # the when(isNotNull) masks below keep their outputs null, so
+    # group arithmetic on equal texts is unchanged.
+    w = Window.partitionBy(
+        F.coalesce(F.md5("text"),
+                   F.concat(F.lit("∅"),
+                            F.pmod(F.hash("doc_id"), F.lit(1024))
+                             .cast("string"))))
     return rows.select(
         "doc_id", "decoded_ok", "path", "allowed", "fetched", "text",
         F.when(F.col("text").isNotNull(),
