@@ -672,3 +672,50 @@ def test_fuzz_crawlgov():
     _battery(lambda: fetched[s2loc],
              lambda d: expand_host(rb, idx, {s2loc: d}, "bot"),
              (CrawlGovError,), seed=59)
+
+
+def test_fuzz_wet_wat():
+    """The WET/WAT record doors (r15): mutate a mixed
+    conversion+metadata archive and drive the full per-record path —
+    record walk, conversion charset decode, WAT envelope extraction.
+    decode_body and wat_payload_fields must never raise (they report
+    dirty decodes / json_ok=false instead); only WarcError may escape
+    the walk itself."""
+    import json
+
+    from verified_sources_spark.llm.warc import (
+        WarcError,
+        decode_body,
+        encode_record,
+        encode_warc,
+        iter_records,
+        wat_payload_fields,
+    )
+
+    def enc():
+        recs = []
+        for i in range(2):
+            recs.append(encode_record(
+                warc_type="conversion", uri=f"http://e/{i}",
+                block=f"текст 你好 wet {i}".encode(),
+                extra_headers={"Content-Type": "text/plain"}))
+            recs.append(encode_record(
+                warc_type="metadata", uri=f"http://e/{i}",
+                block=json.dumps({"Envelope": {"Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {"Status": "200"},
+                        "HTML-Metadata": {
+                            "Head": {"Title": "t"},
+                            "Links": [{"url": "/x"}]}}}}}).encode()))
+        return encode_warc(recs, gzip_members=True)
+
+    def dec(data):
+        for hdrs, block in iter_records(data):
+            wtype = hdrs.get("WARC-Type")
+            if wtype == "conversion":
+                ct = hdrs.get("Content-Type", "")
+                decode_body({"content-type": ct} if ct else None, block)
+            elif wtype == "metadata":
+                wat_payload_fields(block)
+
+    _battery(enc, dec, (WarcError,))

@@ -89,3 +89,27 @@ def test_userinfo_newline_stays_case_sensitive(spark):
             df.select(canonical_url("url").alias("c")).collect()]
     assert keys[0] == "http://UserA\nB@h.com/x"
     assert len(set(keys)) == 2
+
+
+def test_base_scheme_resolves_network_path_refs(spark):
+    """base_scheme='http' resolves RFC 3986 §4.2 scheme-relative URLs
+    to the absolute canonical key; the default keeps the passthrough
+    (resolution is opt-in, never invented); absolute inputs are
+    untouched by the parameter; a path-relative '/x' never gains an
+    authority."""
+    from verified_sources_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame(
+        [("//Host.COM:80/a//b#f",), ("http://host.com/a/b",),
+         ("/rel/path",)], "url string")
+    with_base = [r["c"] for r in df.select(
+        canonical_url("url", base_scheme="http").alias("c")).collect()]
+    assert with_base == ["http://host.com/a/b", "http://host.com/a/b",
+                         "/rel/path"]
+    no_base = [r["c"] for r in df.select(
+        canonical_url("url").alias("c")).collect()]
+    assert no_base[0] == "//Host.COM:80/a//b"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        canonical_url("url", base_scheme="ht tp://")

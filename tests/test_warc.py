@@ -293,3 +293,181 @@ def test_brotli_content_encoding():
            b"\x00\x11garbage")
     with pytest.raises(WarcError, match="brotli"):
         http_payload(raw)
+
+
+# --- r15: WET/WAT conversion- and metadata-record doors --------------------
+
+
+def _wet_buffer(gz=False):
+    import json
+
+    recs = [
+        encode_record(warc_type="warcinfo", block=b"sw: t"),
+        encode_record(warc_type="request", uri="http://x.test/a",
+                      block=b"GET /a HTTP/1.1\r\nHost: x.test\r\n\r\n"),
+        encode_record(warc_type="conversion", uri="http://x.test/a",
+                      block="page one text".encode(),
+                      extra_headers={"Content-Type": "text/plain",
+                                     "WARC-Refers-To": "<urn:uuid:a>"}),
+        encode_record(warc_type="response", uri="http://x.test/a",
+                      block=http_response_block(b"<p>poison</p>")),
+        encode_record(warc_type="conversion", uri="http://x.test/b",
+                      block="текст стр".encode("windows-1251"),
+                      extra_headers={
+                          "Content-Type":
+                              "text/plain; charset=windows-1251"}),
+        encode_record(warc_type="metadata", uri="http://x.test/a",
+                      block=json.dumps({"Envelope": {
+                          "Payload-Metadata": {
+                              "HTTP-Response-Metadata": {
+                                  "Response-Message": {"Status": "301"},
+                                  "HTML-Metadata": {
+                                      "Head": {"Title": "A"},
+                                      "Links": [{}, {}, {}]}}}}}).encode()),
+    ]
+    return encode_warc(recs, gzip_members=gz)
+
+
+def test_sniff_warc_flavor():
+    """The flavor comes from the first non-warcinfo record's type —
+    filenames lie; warcinfo-only and unparseable buffers stay 'warc'."""
+    from verified_sources_spark.llm.warc import sniff_warc_flavor
+
+    wet = encode_warc([
+        encode_record(warc_type="warcinfo", block=b"x: y"),
+        encode_record(warc_type="conversion", block=b"t")])
+    wat = encode_warc([
+        encode_record(warc_type="metadata", block=b"{}")])
+    warc = encode_warc([_resp_record()])
+    assert sniff_warc_flavor(wet) == "wet"
+    assert sniff_warc_flavor(wat) == "wat"
+    assert sniff_warc_flavor(warc) == "warc"
+    assert sniff_warc_flavor(encode_warc([
+        encode_record(warc_type="warcinfo", block=b"x: y")])) == "warc"
+    assert sniff_warc_flavor(b"WARC/1.0\r\ngarbage") == "warc"
+
+
+def test_docrouter_routes_warc_flavors_by_name():
+    """A plain WET buffer must NOT walk like text into the document
+    surface (the r14-verdict gap: it would ingest verbatim, WARC
+    headers and all) — all three flavors refuse by name toward their
+    extract surfaces."""
+    from verified_sources_spark.llm.docrouter import (
+        DocRouteError, extract_document, sniff_document,
+    )
+
+    pure_wet = encode_warc([
+        encode_record(warc_type="warcinfo", block=b"x: y"),
+        encode_record(warc_type="conversion", block=b"page text")])
+    assert sniff_document(pure_wet) == "wet"
+    # the interleaved fixture leads with a request record — that is the
+    # real .warc layout (request/response/metadata per capture), and
+    # first-non-warcinfo is what keeps a true WARC from misrouting
+    assert sniff_document(_wet_buffer()) == "warc"
+    assert sniff_document(encode_warc([_resp_record()])) == "warc"
+    assert sniff_document(encode_warc([
+        encode_record(warc_type="metadata", block=b"{}")])) == "wat"
+    with pytest.raises(DocRouteError, match="wet.*wet_extract"):
+        extract_document(pure_wet)
+    with pytest.raises(DocRouteError, match="warc.*warc_extract"):
+        extract_document(_wet_buffer())
+
+
+def test_wet_extract_spark_operator(spark):
+    """Only conversion records ingest (one row each, in order); the
+    request/response/metadata/warcinfo siblings count as skipped; the
+    declared-charset record decodes un-mojibaked; corrupt archives and
+    conversion-free (response-flavor) archives isolate as
+    decoded_ok=false instead of yielding nothing."""
+    from verified_sources_spark.llm.warc import wet_extract
+
+    rows = [
+        (1, bytearray(_wet_buffer(gz=False))),
+        (2, bytearray(_wet_buffer(gz=True))),
+        (3, bytearray(_wet_buffer()[:40])),
+        (4, bytearray(encode_warc([_resp_record()]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, asset binary")
+    got = {}
+    for r in wet_extract(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for did in (1, 2):
+        a, b = sorted(got[did], key=lambda r: r["record_idx"])
+        assert a["text"] == "page one text" and a["charset"] == "utf-8"
+        assert a["refers_to"] == "<urn:uuid:a>"
+        assert b["text"] == "текст стр" and b["charset"] == "cp1251"
+        assert b["decode_clean"] is True
+        assert a["n_conversion"] == 2 and a["n_skipped"] == 4
+        assert a["uri"] == "http://x.test/a"
+        assert b["uri"] == "http://x.test/b"
+    (r3,) = got[3]
+    assert r3["decoded_ok"] is False and r3["text"] is None
+    (r4,) = got[4]
+    assert r4["decoded_ok"] is False and r4["n_conversion"] == 0
+    assert r4["n_skipped"] == 1
+
+
+def test_wat_extract_spark_operator(spark):
+    """Metadata records surface their envelope fields typed; invalid
+    JSON reports json_ok=false without failing the record; corrupt
+    archives isolate."""
+    import json
+
+    from verified_sources_spark.llm.warc import wat_extract
+
+    wat = encode_warc([
+        encode_record(warc_type="warcinfo", block=b"x: y"),
+        encode_record(warc_type="metadata", uri="http://x.test/a",
+                      block=json.dumps({"Envelope": {
+                          "Payload-Metadata": {
+                              "HTTP-Response-Metadata": {
+                                  "Response-Message": {"Status": "404"},
+                                  "HTML-Metadata": {
+                                      "Head": {"Title": "gone"},
+                                      "Links": []}}}}}).encode()),
+        encode_record(warc_type="metadata", uri="http://x.test/b",
+                      block=b"{broken"),
+        encode_record(warc_type="metadata", uri="http://x.test/c",
+                      block=json.dumps({"Envelope": []}).encode()),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(wat)), (2, bytearray(wat[:30]))],
+        "doc_id long, asset binary")
+    got = {}
+    for r in wat_extract(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    a, b, c = sorted(got[1], key=lambda r: r["record_idx"])
+    assert a["json_ok"] is True and a["http_status"] == 404
+    assert a["n_links"] == 0 and a["title"] == "gone"
+    assert a["n_metadata"] == 3 and a["n_skipped"] == 1
+    assert b["json_ok"] is False and b["http_status"] is None
+    # list at an envelope level: json_ok but every typed field null
+    assert c["json_ok"] is True and c["http_status"] is None
+    (r2,) = got[2]
+    assert r2["decoded_ok"] is False
+
+
+def test_wet_extract_bom_and_probed_charsets(spark):
+    """The conversion decode runs the same precedence as response
+    bodies: a BOM wins, and an UNDECLARED GB18030 block reaches the
+    bare-charset probe instead of replace-decoding to mojibake."""
+    import codecs
+
+    from verified_sources_spark.llm.warc import wet_extract
+
+    zh = "你好，世界。这是一段用于测试的中文文本"
+    recs = [
+        encode_record(warc_type="conversion", uri="http://x.test/bom",
+                      block=codecs.BOM_UTF8 + "bom text".encode(),
+                      extra_headers={"Content-Type": "text/plain"}),
+        encode_record(warc_type="conversion", uri="http://x.test/zh",
+                      block=zh.encode("gb18030"),
+                      extra_headers={"Content-Type": "text/plain"}),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_warc(recs)))], "doc_id long, asset binary")
+    a, b = sorted(wet_extract(df).collect(),
+                  key=lambda r: r["record_idx"])
+    assert a["text"] == "bom text" and a["charset"] == "utf-8-sig"
+    assert b["text"] == zh and b["charset"] == "gb18030"
+    assert b["decode_clean"] is True

@@ -24,6 +24,14 @@ the DuckDB oracle replays it bit-for-bit:
   frontiers want them merged).  Pass ``collapse_slashes=False`` for
   the strictly semantics-preserving subset.
 
+- with ``base_scheme='http'`` (or 'https'), a scheme-relative
+  ``//host/path`` input — RFC 3986 §4.2 network-path reference,
+  legal and seen in wild sitemaps — resolves against that scheme
+  and canonicalizes like its absolute form.  The DEFAULT
+  (``base_scheme=None``) keeps the no-authority passthrough:
+  resolution needs a base the URL alone does not carry, and
+  inventing one would merge keys the caller never asserted.
+
 Deliberately NOT done (each would change semantics or need state):
 percent-encoding case-folding (needs replacement-case regex), query
 parameter sorting (order can be semantic), dot-segment resolution
@@ -47,11 +55,20 @@ def _c(col: str | Column) -> Column:
 
 
 def canonical_url(col: str | Column, *,
-                  collapse_slashes: bool = True) -> Column:
+                  collapse_slashes: bool = True,
+                  base_scheme: str | None = None) -> Column:
     u = F.trim(_c(col))
     # (?s): fragments may contain embedded newlines; Java '.' stops
     # at \n without it and the post-newline tail would survive.
     u = F.regexp_replace(u, "(?s)#.*", "")
+    if base_scheme is not None:
+        if not base_scheme.isalnum():
+            raise ValueError(f"bad base_scheme {base_scheme!r}")
+        # network-path references (//host/path) resolve against the
+        # base scheme BEFORE the authority parse, so they share the
+        # absolute form's canonical key
+        u = F.when(u.startswith("//"),
+                   F.concat(F.lit(base_scheme + ":"), u)).otherwise(u)
     auth = F.regexp_extract(u, _AUTH_RX, 0)  # scheme://[user@]host[:port]
     rest = u.substr(F.length(auth) + 1, F.lit(1 << 30))
     scheme = F.lower(F.regexp_extract(auth, _SCHEME_RX, 1))

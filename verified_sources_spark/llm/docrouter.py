@@ -53,6 +53,14 @@ def sniff_document(payload: bytes) -> str:
         return "orc"
     if payload[:16] == b"SQLite format 3\x00":
         return "sqlite"
+    if payload[:5] == b"WARC/":
+        # Common Crawl's three sibling layouts share the container;
+        # the flavor (warc / wet / wat) comes from the record types —
+        # WITHOUT this branch a plain WET buffer walks like text and
+        # would ingest verbatim, WARC headers and all
+        from verified_sources_spark.llm.warc import sniff_warc_flavor
+
+        return sniff_warc_flavor(payload)
     if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         return "cfb"
     if payload[:5] == b"{\\rtf":
@@ -288,6 +296,11 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
             f"{fmt} is a multi-document container — route it to the "
             f"{'wiki_pages' if fmt == 'wikidump' else 'se_posts'} "
             "surface instead")
+    if fmt in ("warc", "wet", "wat"):
+        raise DocRouteError(
+            f"{fmt} is a multi-record web-archive container — route it "
+            "to the warc_extract / wet_extract / wat_extract surface "
+            "instead")
     if fmt == "latex":
         from verified_sources_spark.llm.latex import LatexError, latex_text
 

@@ -47,6 +47,10 @@ __all__ = [
     "encode_record",
     "encode_warc",
     "http_response_block",
+    "sniff_warc_flavor",
+    "wet_extract",
+    "wat_extract",
+    "wat_payload_fields",
 ]
 
 
@@ -524,6 +528,221 @@ def warc_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
     out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
         run, WARC_EXTRACT_SCHEMA
     )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def sniff_warc_flavor(data: bytes) -> str:
+    """'wet' / 'wat' / 'warc' from the first non-warcinfo record's
+    WARC-Type.  Common Crawl ships three sibling layouts over the SAME
+    container: .warc (response/request records), .wet (text extracts as
+    ``conversion`` records) and .wat (per-page JSON as ``metadata``
+    records) — filenames lie, so the router decides by content.  A
+    buffer that parses but never shows a non-warcinfo record, or does
+    not parse at all, reports plain 'warc' (the generic surface owns
+    the refusal story)."""
+    try:
+        for hdrs, _block in iter_records(data):
+            wtype = hdrs.get("WARC-Type", "")
+            if wtype == "warcinfo":
+                continue
+            if wtype == "conversion":
+                return "wet"
+            if wtype == "metadata":
+                return "wat"
+            return "warc"
+    except WarcError:
+        pass
+    return "warc"
+
+
+WET_EXTRACT_SCHEMA = (
+    "doc_id long, decoded_ok boolean, record_idx int, n_conversion int, "
+    "n_skipped int, uri string, refers_to string, charset string, "
+    "decode_clean boolean, text string"
+)
+
+
+def wet_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched WET → text rows: one output row per ``conversion``
+    record (Common Crawl's extracted-text layout — the single most-used
+    crawl-text input for training-data pipelines).  Every other record
+    type (warcinfo, request, response, metadata) is counted in
+    ``n_skipped`` and never ingested — a WET member's siblings carry
+    HTTP envelopes and raw HTML that would poison the text surface.
+
+    Conversion blocks are bare text (no HTTP envelope); the charset
+    rides, if anywhere, on the record's own ``Content-Type`` WARC
+    header, so decode goes through the same precedence as response
+    bodies (BOM → declared charset → bare-charset probe → UTF-8) via
+    :func:`decode_body`.  A truncated/corrupt archive yields ONE
+    ``decoded_ok=false`` row (isolation, never task failure); a healthy
+    archive with zero conversion records — someone fed the response
+    flavor to the WET door — also reports ``decoded_ok=false`` with
+    its ``n_skipped`` populated rather than silently yielding nothing.
+
+    Reference analogue: the file→loader dispatch at
+    /root/reference/sources/unstructured_data/helpers.py:30-63 ingests
+    crawl text files by type; this is that front door for the WET
+    flavor.  Payloads never shuffle.
+    """
+    import pandas as pd
+
+    cols = ["doc_id", "decoded_ok", "record_idx", "n_conversion",
+            "n_skipped", "uri", "refers_to", "charset", "decode_clean",
+            "text"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                base = {"doc_id": _id, "decoded_ok": False,
+                        "record_idx": None, "n_conversion": None,
+                        "n_skipped": None, "uri": None, "refers_to": None,
+                        "charset": None, "decode_clean": None,
+                        "text": None}
+                try:
+                    recs = list(iter_records(bytes(payload)))
+                except WarcError:
+                    rows.append(base)
+                    continue
+                conv = [(h, b) for h, b in recs
+                        if h.get("WARC-Type") == "conversion"]
+                n_skipped = len(recs) - len(conv)
+                if not conv:
+                    rows.append({**base, "n_conversion": 0,
+                                 "n_skipped": n_skipped})
+                    continue
+                for idx, (hdrs, block) in enumerate(conv):
+                    ct = hdrs.get("Content-Type", "")
+                    text, charset, clean = decode_body(
+                        {"content-type": ct} if ct else None, block)
+                    rows.append({
+                        "doc_id": _id, "decoded_ok": True,
+                        "record_idx": idx, "n_conversion": len(conv),
+                        "n_skipped": n_skipped,
+                        "uri": hdrs.get("WARC-Target-URI"),
+                        "refers_to": hdrs.get("WARC-Refers-To"),
+                        "charset": charset, "decode_clean": clean,
+                        "text": text})
+            yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, WET_EXTRACT_SCHEMA)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def _jdict(x) -> dict:
+    """x if it is a JSON object, else {} — a hostile/mutated WAT payload
+    can put a list or scalar at ANY envelope level, and an unguarded
+    .get on it would crash the task instead of reporting json fields
+    null."""
+    return x if isinstance(x, dict) else {}
+
+
+def wat_payload_fields(block: bytes) -> dict:
+    """Typed fields from one WAT ``metadata`` record's JSON payload:
+    ``{'json_ok', 'http_status', 'n_links', 'title'}`` along the
+    canonical Common Crawl envelope path
+    (Envelope → Payload-Metadata → HTTP-Response-Metadata).  Invalid
+    JSON or a non-object root reports ``json_ok=False`` with the typed
+    fields None; a valid envelope missing any level reports that field
+    None — never an exception (this is the per-record unit the fuzz
+    battery drives)."""
+    import json as _json
+
+    out = {"json_ok": False, "http_status": None, "n_links": None,
+           "title": None}
+    try:
+        doc = _json.loads(block.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return out
+    if not isinstance(doc, dict):
+        return out
+    out["json_ok"] = True
+    hr = _jdict(_jdict(_jdict(doc.get("Envelope"))
+                       .get("Payload-Metadata"))
+                .get("HTTP-Response-Metadata"))
+    status = _jdict(hr.get("Response-Message")).get("Status")
+    if isinstance(status, (str, int)) and not isinstance(status, bool):
+        try:
+            out["http_status"] = int(status)
+        except ValueError:
+            pass
+    hm = _jdict(hr.get("HTML-Metadata"))
+    links = hm.get("Links")
+    if isinstance(links, list):
+        out["n_links"] = len(links)
+    title = _jdict(hm.get("Head")).get("Title")
+    if isinstance(title, str):
+        out["title"] = title
+    return out
+
+
+WAT_EXTRACT_SCHEMA = (
+    "doc_id long, decoded_ok boolean, record_idx int, n_metadata int, "
+    "n_skipped int, uri string, refers_to string, json_ok boolean, "
+    "http_status int, n_links int, title string"
+)
+
+
+def wat_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
+    """Arrow-batched WAT → metadata rows: one output row per
+    ``metadata`` record (Common Crawl's per-page JSON layout).  The
+    JSON payload is parsed strictly; the canonical envelope fields —
+    HTTP status, outlink count, page title — surface as typed columns
+    (``Envelope → Payload-Metadata → HTTP-Response-Metadata``), with
+    ``json_ok=false`` (fields null) for records whose payload is not
+    valid JSON.  Same isolation story as :func:`wet_extract`: corrupt
+    archives yield one ``decoded_ok=false`` row, non-metadata records
+    only ever count toward ``n_skipped``."""
+    import pandas as pd
+
+    cols = ["doc_id", "decoded_ok", "record_idx", "n_metadata",
+            "n_skipped", "uri", "refers_to", "json_ok", "http_status",
+            "n_links", "title"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[asset_col]):
+                base = {"doc_id": _id, "decoded_ok": False,
+                        "record_idx": None, "n_metadata": None,
+                        "n_skipped": None, "uri": None,
+                        "refers_to": None, "json_ok": None,
+                        "http_status": None, "n_links": None,
+                        "title": None}
+                try:
+                    recs = list(iter_records(bytes(payload)))
+                except WarcError:
+                    rows.append(base)
+                    continue
+                meta = [(h, b) for h, b in recs
+                        if h.get("WARC-Type") == "metadata"]
+                n_skipped = len(recs) - len(meta)
+                if not meta:
+                    rows.append({**base, "n_metadata": 0,
+                                 "n_skipped": n_skipped})
+                    continue
+                for idx, (hdrs, block) in enumerate(meta):
+                    rows.append({
+                        **base, "doc_id": _id, "decoded_ok": True,
+                        "record_idx": idx, "n_metadata": len(meta),
+                        "n_skipped": n_skipped,
+                        "uri": hdrs.get("WARC-Target-URI"),
+                        "refers_to": hdrs.get("WARC-Refers-To"),
+                        **wat_payload_fields(block)})
+            yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    out = df.select(F.col(id_col), F.col(asset_col)).mapInPandas(
+        run, WAT_EXTRACT_SCHEMA)
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out

@@ -3693,8 +3693,13 @@ ORACLE_SQL["canonical_url_docs"] = """
     SELECT doc_id,
            'http://host' || doc_id || '.example.com/path/' || doc_id
                AS canonical,
-           CAST(5 AS BIGINT) AS n_variants,
-           CAST(5 AS BIGINT) AS n_distinct_raw
+           CAST(6 AS BIGINT) AS n_variants,
+           CAST(6 AS BIGINT) AS n_distinct_raw
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           '//HOST' || doc_id || '.example.com:80/path/' || doc_id,
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     FROM documents
     UNION ALL
     SELECT doc_id,
@@ -3708,4 +3713,88 @@ ORACLE_SQL["canonical_url_docs"] = """
                || '.example.com/u',
            CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     FROM documents
+"""
+
+# WET ingestion (r15): replay of wet_text_docs' minting arithmetic —
+# two conversion rows per healthy doc (charset family by doc_id % 4:
+# bare utf-8 / BOM / declared windows-1251 / probed GB18030), one
+# decoded_ok=false row per truncated archive (doc_id % 17).  The
+# request/response siblings only ever show up as n_skipped=3 — their
+# text reaching the `text` column would fail the hash.
+ORACLE_SQL["wet_text_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 17) <> 0 AS ok,
+               doc_id % 4 AS cs,
+               COALESCE(text, '') AS doc_text
+        FROM documents
+    )
+    SELECT doc_id,
+           ok AS decoded_ok,
+           CASE WHEN ok THEN CAST(0 AS INTEGER) END AS record_idx,
+           CASE WHEN ok THEN CAST(2 AS INTEGER) END AS n_conversion,
+           CASE WHEN ok THEN CAST(3 AS INTEGER) END AS n_skipped,
+           CASE WHEN ok
+                THEN 'http://example.com/wet/' || doc_id || '/0'
+           END AS uri,
+           CASE WHEN ok THEN '<urn:uuid:' || doc_id || '-0>'
+           END AS refers_to,
+           CASE WHEN ok THEN
+                CASE cs WHEN 1 THEN 'utf-8-sig'
+                        WHEN 2 THEN 'cp1251'
+                        WHEN 3 THEN 'gb18030'
+                        ELSE 'utf-8' END
+           END AS charset,
+           CASE WHEN ok THEN TRUE END AS decode_clean,
+           CASE WHEN ok THEN
+                CASE cs WHEN 2 THEN 'привет wet ' || doc_id
+                        WHEN 3 THEN '你好，世界。这是一段用于测试的中文文本 wet '
+                                    || doc_id
+                        ELSE 'wet ' || doc_id || ': ' || doc_text END
+           END AS text
+    FROM p
+    UNION ALL
+    SELECT doc_id, TRUE,
+           CAST(1 AS INTEGER), CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+           'http://example.com/wet/' || doc_id || '/1',
+           '<urn:uuid:' || doc_id || '-1>',
+           'utf-8', TRUE,
+           'wet ' || doc_id || ' part two'
+    FROM p WHERE ok
+"""
+
+# WAT ingestion (r15): replay of wat_metadata_docs — record 0 carries
+# the canonical envelope (status 200 + doc_id % 5, doc_id % 7 links,
+# 'title {doc_id}'); record 1 is invalid JSON on every third doc
+# (json_ok=false, typed fields null) and a minimal valid envelope
+# otherwise; every 13th archive truncated.
+ORACLE_SQL["wat_metadata_docs"] = """
+    WITH p AS (
+        SELECT doc_id, (doc_id % 13) <> 0 AS ok FROM documents
+    )
+    SELECT doc_id,
+           ok AS decoded_ok,
+           CASE WHEN ok THEN CAST(0 AS INTEGER) END AS record_idx,
+           CASE WHEN ok THEN CAST(2 AS INTEGER) END AS n_metadata,
+           CASE WHEN ok THEN CAST(3 AS INTEGER) END AS n_skipped,
+           CASE WHEN ok
+                THEN 'http://example.com/page/' || doc_id || '/0'
+           END AS uri,
+           CASE WHEN ok THEN '<urn:uuid:' || doc_id || '-0>'
+           END AS refers_to,
+           CASE WHEN ok THEN TRUE END AS json_ok,
+           CASE WHEN ok THEN CAST(200 + doc_id % 5 AS INTEGER)
+           END AS http_status,
+           CASE WHEN ok THEN CAST(doc_id % 7 AS INTEGER) END AS n_links,
+           CASE WHEN ok THEN 'title ' || doc_id END AS title
+    FROM p
+    UNION ALL
+    SELECT doc_id, TRUE,
+           CAST(1 AS INTEGER), CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+           'http://example.com/page/' || doc_id || '/1',
+           '<urn:uuid:' || doc_id || '-1>',
+           (doc_id % 3) <> 0,
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS VARCHAR)
+    FROM p WHERE ok
 """
