@@ -180,7 +180,10 @@ def _part_text(part) -> str | None:
     charset = part.get_content_charset() or "utf-8"
     try:
         return payload.decode(charset, errors="strict")
-    except (UnicodeDecodeError, LookupError):
+    except (ValueError, LookupError):
+        # ValueError covers UnicodeDecodeError AND the embedded-null
+        # case: a mutated/hostile charset= parameter containing \x00
+        # raises plain ValueError from codec lookup, not LookupError
         return payload.decode("utf-8", errors="replace")
 
 

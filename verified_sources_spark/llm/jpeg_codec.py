@@ -433,7 +433,13 @@ def decode(data: bytes) -> dict:
                 htables[(cls, tid)] = _huff(bits, values)
                 p += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (8-bit: same decode)
+            if len(seg) < 6:
+                raise JpegError("truncated SOF segment")
             _bits, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * ncomp:
+                raise JpegError(
+                    f"SOF declares {ncomp} components but segment "
+                    f"holds {len(seg)} bytes")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
@@ -443,9 +449,17 @@ def decode(data: bytes) -> dict:
                 )
             frame = {"w": w, "h": h, "comps": comps}
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise JpegError("empty SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise JpegError(
+                    f"SOS declares {ns} scan components but segment "
+                    f"holds {len(seg)} bytes")
             comp_tables = {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
