@@ -15,9 +15,9 @@ shingle → base hash → k linear min-hashes → band → bucket-join:
   builder spent ~0.7s of driver time per plan on py4j round trips —
   pure fixed overhead on short interactive runs and on a 1000-executor
   cluster alike.  The plan Catalyst sees is identical.
-- Candidate generation groups by (band_idx, band_hash): documents agreeing
+- Candidate generation groups by (band_idx, band_key): documents agreeing
   on any band meet in one bucket.  The self-join shuffles only
-  (band_hash, doc_id) pairs — signature-sized, not document-sized — and
+  (band_key, doc_id) pairs — signature-sized, not document-sized — and
   the bucket join is an equi-join Catalyst executes as a hash join.
   All-pairs comparison never happens; cost is O(n·k + candidate pairs).
 - Exact verification (``ngram_jaccard``) runs only on candidates.
@@ -155,7 +155,7 @@ def lsh_candidate_pairs(
        sub-bucket over the cap *proves* the whole bucket is hot (n >= cnt_s),
        so its members star-link to the sub-bucket minimum right here and its
        array never leaves level 1.
-    2. level 2 merges sub-buckets per band hash: exact size/min from count/min
+    2. level 2 merges sub-buckets per band key: exact size/min from count/min
        aggregates, member lists only from sub-buckets at or under the cap —
        every collected row is <= sub_buckets * max_bucket_size elements.
        Buckets <= cap are provably complete there (each sub-bucket <= n <= cap)
@@ -179,7 +179,7 @@ def lsh_candidate_pairs(
     without materialization the whole signature pipeline (the md5 of
     every shingle in the corpus) executes once PER BRANCH, doubling the
     dominant cost at any scale.  l1 is the smallest correct cut: one row
-    per (band, band_hash, salt) with member arrays already capped, orders
+    per (band, band_key, salt) with member arrays already capped, orders
     of magnitude smaller than the corpus.
 
     ``materialize`` picks the mechanism:
@@ -201,11 +201,19 @@ def lsh_candidate_pairs(
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
     cap = int(max_bucket_size)
+    # The band key is the RAW minhash tuple (array<bigint>), not a hash
+    # of it: bucketing only ever tests band equality, and grouping on
+    # the two longs directly is both collision-free and strictly
+    # cheaper than the md5-hex-string key an earlier version built
+    # (per banded row it saved rows_per_band CAST-to-string allocations
+    # + a concat + an md5, and shrank the shuffle/persist key from a
+    # 32-char string to 8·rows_per_band bytes).  Spark hash-partitions
+    # and groups array<bigint> natively.
     band_structs = ", ".join(
-        "struct({b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash)".format(
+        "struct({b} AS band_idx, array({parts}) AS band_key)".format(
             b=b,
             parts=", ".join(
-                f"CAST(mh_{b * rows_per_band + r} AS STRING)"
+                f"mh_{b * rows_per_band + r}"
                 for r in range(rows_per_band)
             ),
         )
@@ -216,7 +224,7 @@ def lsh_candidate_pairs(
     #   signature projection (a drop afterwards would duplicate the hash
     #   expressions into the filter).
     # - banded's REPARTITION hint is the ONE explicit shuffle every stage
-    #   downstream reuses: hash partitioning on (band_idx, band_hash)
+    #   downstream reuses: hash partitioning on (band_idx, band_key)
     #   satisfies the clustering requirement of both the salted level-1
     #   GROUP BY (subset rule) and the level-2 GROUP BY, so neither adds
     #   an exchange — the capped plan keeps the exact two-shuffle shape
@@ -237,13 +245,13 @@ sig AS (
   SELECT id, {_mins_sql(k)} FROM _b
 ),
 banded AS (
-  SELECT /*+ REPARTITION(band_idx, band_hash) */ id, band.band_idx, band.band_hash
+  SELECT /*+ REPARTITION(band_idx, band_key) */ id, band.band_idx, band.band_key
   FROM (SELECT id, explode(array({band_structs})) AS band FROM sig)
 )
-SELECT band_idx, band_hash, pmod(xxhash64(id), {sub_buckets}) AS salt,
+SELECT band_idx, band_key, pmod(xxhash64(id), {sub_buckets}) AS salt,
        count(1) AS cnt_s, min(id) AS min_s, collect_list(id) AS ids_s
 FROM banded
-GROUP BY band_idx, band_hash, pmod(xxhash64(id), {sub_buckets})
+GROUP BY band_idx, band_key, pmod(xxhash64(id), {sub_buckets})
 """
     l1 = df.sparkSession.sql(sql_l1, df=df)
     if materialize == "localCheckpoint":
@@ -262,13 +270,13 @@ GROUP BY band_idx, band_hash, pmod(xxhash64(id), {sub_buckets})
     # one more pass over the cut.
     sql_pairs = f"""
 WITH l2 AS (
-  SELECT band_idx, band_hash,
+  SELECT band_idx, band_key,
          sum(cnt_s) AS bucket_n,
          min(min_s) AS bucket_rep,
          flatten(collect_list(CASE WHEN cnt_s <= {cap} THEN ids_s
                                    ELSE slice(ids_s, 1, 0) END)) AS ids,
          collect_list(min_s) AS sub_reps
-  FROM {{l1}} GROUP BY band_idx, band_hash
+  FROM {{l1}} GROUP BY band_idx, band_key
 ),
 bucket_pairs AS (
   -- complete buckets: combos — for each ids[i], pair with the tail
