@@ -99,3 +99,33 @@ def test_multi_table_probing_reduces_under_merge(spark):
     # default path unchanged: n_tables=1 equals the historical scheme
     sigs = simhash64(df, "doc_id", "text")
     assert sigs.count() == 43
+
+
+def test_fingerprint_consumers_closure_grade_at_default(spark):
+    """r15: the media consumers' grouping regime pinned — on a planted
+    fingerprint corpus (tight hamming balls, the shape re-encoded asset
+    families produce) the consumer default n_tables=4 co-groups EVERY
+    true-closure pair, and over-merge stays impossible (every edge
+    hamming-verified).  Guards the new image/audio/video_dedup_groups
+    default against a probe-table regression."""
+    from fingerprint_recall_sweep import (
+        brute_closure,
+        pairs_of,
+        plant_corpus,
+    )
+
+    from verified_sources_spark.llm.simhash import fingerprint_dedup_groups
+
+    for correlated in (False, True):
+        fps = plant_corpus(800, 6, seed=23, correlated=correlated)
+        truth = pairs_of(brute_closure(fps, 6))
+        df = spark.createDataFrame(
+            [(i, fp - (1 << 64) if fp >= 1 << 63 else fp)
+             for i, fp in fps.items()],
+            "id long, fp long").repartition(8)
+        got_rows = fingerprint_dedup_groups(
+            df, "id", "fp", bits=64, max_hamming=6, n_bands=8,
+            neighbor_window=8, n_tables=4).collect()
+        got = pairs_of({r["id"]: r["group"] for r in got_rows})
+        assert truth - got == set(), (correlated, len(truth - got))
+        assert got - truth == set(), (correlated, len(got - truth))

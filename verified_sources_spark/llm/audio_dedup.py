@@ -99,6 +99,7 @@ def audio_fingerprint(
     asset_col: str = "asset",
     time_slices: int = 9,
     freq_bands: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """(id, decoded_ok, afp, sample_rate, n_frames) — one 64-bit
     spectral fingerprint per WAV asset, Arrow-batched, payloads never
@@ -260,13 +261,19 @@ def audio_dedup_groups(
     neighbor_window: int = 8,
     time_slices: int = 9,
     freq_bands: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """(id, group, group_size) — perceptual near-duplicate audio groups
     under transitive closure of fingerprint hamming <= ``max_hamming``
     edges.  Same guarantees as ``image_dedup_groups``: banded candidates
     linear in the corpus (pigeonhole needs ``n_bands > max_hamming``),
     every edge hamming-verified, and undecodable clips come back as
-    singleton groups (never silently dropped)."""
+    singleton groups (never silently dropped).
+    ``n_tables=4`` (r15 default) runs the Manku multi-table permuted
+    probe: measured under-merge on planted fingerprint corpora drops
+    from ~16% (single table) to ~2% for 4x the (linear) candidate
+    volume — tools/fingerprint_recall_sweep.py pins the numbers.
+    """
     from verified_sources_spark.llm.simhash import fingerprint_dedup_groups
 
     sig = (
@@ -278,7 +285,7 @@ def audio_dedup_groups(
     return fingerprint_dedup_groups(
         sig, id_col, "afp", bits=64, max_hamming=max_hamming,
         n_bands=n_bands, neighbor_window=neighbor_window,
-        all_ids=df.select(id_col),
+        all_ids=df.select(id_col), n_tables=n_tables,
     )
 
 

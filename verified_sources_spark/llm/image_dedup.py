@@ -214,6 +214,7 @@ def image_dedup_groups(
     n_bands: int = 8,
     neighbor_window: int = 8,
     hash_size: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """(id, group, group_size) — perceptual near-duplicate image groups
     under transitive closure of dHash hamming <= ``max_hamming`` edges.
@@ -222,7 +223,12 @@ def image_dedup_groups(
     linear in the corpus (pigeonhole needs ``n_bands > max_hamming``),
     every edge is hamming-verified, under-merge-only sampling, and
     undecodable assets come back as singleton groups (never silently
-    dropped — the caller decides whether broken assets are kept)."""
+    dropped — the caller decides whether broken assets are kept).
+    ``n_tables=4`` (r15 default) runs the Manku multi-table permuted
+    probe: measured under-merge on planted fingerprint corpora drops
+    from ~16% (single table) to ~2% for 4x the (linear) candidate
+    volume — tools/fingerprint_recall_sweep.py pins the numbers.
+    """
     from verified_sources_spark.llm.simhash import fingerprint_dedup_groups
 
     sig = (
@@ -234,7 +240,7 @@ def image_dedup_groups(
     return fingerprint_dedup_groups(
         sig, id_col, "dhash", bits=64, max_hamming=max_hamming,
         n_bands=n_bands, neighbor_window=neighbor_window,
-        all_ids=df.select(id_col),
+        all_ids=df.select(id_col), n_tables=n_tables,
     )
 
 

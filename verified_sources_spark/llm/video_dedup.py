@@ -136,6 +136,7 @@ def video_fingerprint(
     asset_col: str = "asset",
     every_ms: int = 500,
     hash_size: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """(id, decoded_ok, vfp, n_sampled, frame_hashes) — one 64-bit
     temporally-pooled perceptual fingerprint per decodable clip.
@@ -600,6 +601,7 @@ def video_dedup_groups(
     neighbor_window: int = 8,
     every_ms: int = 500,
     hash_size: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """(id, group, group_size) — perceptual near-duplicate video groups
     under transitive closure of pooled-fingerprint hamming <=
@@ -607,7 +609,12 @@ def video_dedup_groups(
     banded candidates linear in the corpus (pigeonhole needs
     ``n_bands > max_hamming``), every edge hamming-verified, and
     undecodable / compressed-codec clips come back as singleton groups
-    (never silently dropped)."""
+    (never silently dropped).
+    ``n_tables=4`` (r15 default) runs the Manku multi-table permuted
+    probe: measured under-merge on planted fingerprint corpora drops
+    from ~16% (single table) to ~2% for 4x the (linear) candidate
+    volume — tools/fingerprint_recall_sweep.py pins the numbers.
+    """
     from verified_sources_spark.llm.simhash import fingerprint_dedup_groups
 
     sig = (
@@ -619,7 +626,7 @@ def video_dedup_groups(
     return fingerprint_dedup_groups(
         sig, id_col, "vfp", bits=64, max_hamming=max_hamming,
         n_bands=n_bands, neighbor_window=neighbor_window,
-        all_ids=df.select(id_col),
+        all_ids=df.select(id_col), n_tables=n_tables,
     )
 
 
