@@ -420,14 +420,18 @@ def test_symbol_text_refusals_by_name():
     sd_len = struct.unpack_from(">I", good, sd_at + 7)[0]
     tr_at = sd_at + 11 + sd_len           # text region header start
     # text region header has 1 referred segment -> data at +12
-    for bitpos, pattern in ((0x01, "Huffman"), (0x02, "refinement"),
+    # r15: the SDHUFF/SBHUFF bit no longer refuses (standard-Huffman
+    # path served) — flipping it on an ARITHMETIC stream now parses
+    # the MQ bytes as Huffman data and must still fail CLOSED as a
+    # Jbig2Error (any message), never escape or garble
+    for bitpos, pattern in ((0x01, None), (0x02, "refinement"),
                             (0x100, "retained|imported")):
         bad = bytearray(good)
         flags = struct.unpack_from(">H", bad, sd_at + 11)[0] | bitpos
         struct.pack_into(">H", bad, sd_at + 11, flags)
         with pytest.raises(Jbig2Error, match=pattern):
             decode_jbig2_embedded(bytes(bad))
-    for bitpos, pattern in ((0x01, "Huffman"), (0x02, "refinement"),
+    for bitpos, pattern in ((0x01, None), (0x02, "refinement"),
                             (0x40, "transposed")):
         bad = bytearray(good)
         flags = struct.unpack_from(">H", bad, tr_at + 12 + 17)[0] | bitpos

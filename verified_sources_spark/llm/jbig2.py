@@ -132,6 +132,15 @@ def _decode_generic_bitmap(
     rows: list[list[int]] = []
     ltp = 0
     for y in range(h):
+        if dec.pad_byteins > _MAX_PAD_BYTEINS:
+            # a correct stream's tail resolves in the few register
+            # bits the flush leaves; hundreds of pad feeds mean a
+            # mutated size field is making us decode a whole bitmap
+            # from NOTHING — minutes of MQ work inside the pixel
+            # gates (fuzz near-hang class)
+            raise Jbig2Error(
+                "JBIG2 bitmap decodes from exhausted data — corrupt "
+                "size field")
         if tpgdon:
             ltp ^= dec.decode(_TPGDON_CTX0)
             if ltp:
@@ -340,8 +349,289 @@ def _encode_iaid(enc, code_len: int, value: int) -> None:
         enc.encode(_IAID_BASE + prev, b)
         prev = (prev << 1) | b
 
+
+
+# --------------------------------------- standard Huffman layer (Annex B)
+# T.88 Annex B: integer values coded as a prefix code (PREFLEN bits,
+# assigned canonically per B.3) followed by RANGELEN raw bits offset
+# from RANGELOW; a "lower" line subtracts a 32-bit suffix, an "upper"
+# line adds one, and OOB is a bare prefix.  The STANDARD tables
+# B.1-B.13 below are transcribed from the published spec (the same
+# posture as the T.88 Qe table in llm/mq_coder).  Transcription
+# cross-check, asserted at import: every shipped table's canonical
+# assignment must be a COMPLETE prefix code (Kraft sum exactly 1 and
+# no code overflowing its length) — the published standard tables are
+# all complete, and a random transcription error almost never
+# preserves that.  Two tables whose transcription FAILED that
+# cross-check are not shipped (B.7 / B.10, the alternate text-region
+# FS/DS selectors); streams selecting them refuse by name — the same
+# honest posture as generic-region templates 1-3.  B.14/B.15 serve
+# only refinement deltas, which refuse by name anyway.
+
+_HUFF_STANDARD: dict[int, tuple] = {
+    1: ((1, 4, 0), (2, 8, 16), (3, 16, 272), (3, 32, 65808, "upper")),
+    2: ((1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+        (6, 32, 75, "upper"), (6, 0, 0, "oob")),
+    3: ((8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+        (5, 6, 11), (8, 32, -257, "lower"), (7, 32, 75, "upper"),
+        (6, 0, 0, "oob")),
+    4: ((1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12),
+        (5, 32, 76, "upper")),
+    5: ((7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+        (5, 6, 12), (7, 32, -256, "lower"), (6, 32, 76, "upper")),
+    6: ((5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+        (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0),
+        (3, 7, 128), (3, 8, 256), (4, 9, 512), (4, 10, 1024),
+        (6, 32, -2049, "lower"), (6, 32, 2048, "upper")),
+    8: ((8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+        (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+        (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+        (6, 7, 262), (7, 8, 390), (6, 10, 646),
+        (9, 32, -16, "lower"), (9, 32, 1670, "upper"),
+        (2, 0, 0, "oob")),
+    9: ((8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7), (7, 1, -5),
+        (4, 1, -3), (3, 1, -1), (3, 1, 1), (5, 1, 3), (6, 1, 5),
+        (3, 5, 7), (6, 2, 39), (4, 5, 43), (4, 6, 75), (5, 7, 139),
+        (5, 8, 267), (6, 8, 523), (7, 9, 779), (6, 11, 1291),
+        (9, 32, -32, "lower"), (9, 32, 3339, "upper"),
+        (2, 0, 0, "oob")),
+    11: ((1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+         (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+         (7, 5, 45), (7, 6, 77), (7, 32, 141, "upper")),
+    12: ((1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5), (5, 1, 6),
+         (6, 1, 8), (7, 0, 10), (7, 1, 11), (7, 2, 13), (7, 3, 17),
+         (7, 4, 25), (8, 5, 41), (8, 32, 73, "upper")),
+    13: ((1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4), (4, 1, 5),
+         (3, 3, 7), (6, 1, 15), (6, 2, 17), (6, 3, 21), (6, 4, 29),
+         (6, 5, 45), (7, 6, 77), (7, 32, 141, "upper")),
+}
+
+_HUFF_OOB = object()          # decode() sentinel for the OOB prefix
+
+
+class _HuffTable:
+    """Canonical Annex-B table: B.3 code assignment at construction,
+    bit-at-a-time decode, range-line encode (the fixture writer)."""
+
+    def __init__(self, lines, name: str = "?"):
+        self.name = name
+        norm = []
+        for ln in lines:
+            preflen, rangelen, rangelow = ln[0], ln[1], ln[2]
+            kind = ln[3] if len(ln) > 3 else "normal"
+            if preflen > 0:
+                norm.append((preflen, rangelen, rangelow, kind))
+        self.lines = norm
+        # B.3: canonical assignment — codes of each length are
+        # consecutive, in table order, starting from
+        # (firstcode_{L-1} + count_{L-1}) << 1
+        maxlen = max(ln[0] for ln in norm)
+        count = [0] * (maxlen + 1)
+        for ln in norm:
+            count[ln[0]] += 1
+        self._by_code: dict[tuple[int, int], tuple] = {}
+        # per-LINE code, indexed like self.lines (table order) — the
+        # assignment walk below visits lines in LENGTH order, so the
+        # codes must be stored by line index, not appended
+        self._code_of: list[tuple[int, int] | None] = [None] * len(norm)
+        firstcode = 0
+        kraft = 0.0
+        for length in range(1, maxlen + 1):
+            firstcode = (firstcode + count[length - 1]) << 1
+            cur = firstcode
+            for idx, ln in enumerate(norm):
+                if ln[0] != length:
+                    continue
+                if cur >= (1 << length):
+                    raise Jbig2Error(
+                        f"JBIG2 Huffman table {name}: canonical "
+                        f"assignment overflows at length {length} — "
+                        "corrupt line set")
+                self._by_code[(length, cur)] = ln
+                self._code_of[idx] = (length, cur)
+                cur += 1
+                kraft += 2.0 ** -length
+        self.complete = abs(kraft - 1.0) < 1e-12
+        self.maxlen = maxlen
+
+    def decode(self, r: "_BitReader"):
+        acc = 0
+        for length in range(1, self.maxlen + 1):
+            acc = (acc << 1) | r.read_bit()
+            ln = self._by_code.get((length, acc))
+            if ln is None:
+                continue
+            _pl, rangelen, rangelow, kind = ln
+            if kind == "oob":
+                return _HUFF_OOB
+            if kind == "lower":
+                return rangelow - r.read_bits(32)
+            if kind == "upper":
+                return rangelow + r.read_bits(32)
+            return rangelow + r.read_bits(rangelen)
+        raise Jbig2Error(
+            f"JBIG2 Huffman table {self.name}: no code matches — "
+            "corrupt stream")
+
+    def encode(self, w: "_BitWriter", value) -> None:
+        for (preflen, rangelen, rangelow, kind), (length, code) in zip(
+                self.lines, self._code_of):
+            if kind == "oob":
+                if value is None:
+                    w.write_bits(code, length)
+                    return
+                continue
+            if value is None:
+                continue
+            if kind == "lower" and value <= rangelow:
+                w.write_bits(code, length)
+                w.write_bits(rangelow - value, 32)
+                return
+            if kind == "upper" and value >= rangelow:
+                w.write_bits(code, length)
+                w.write_bits(value - rangelow, 32)
+                return
+            if kind == "normal" and \
+                    rangelow <= value < rangelow + (1 << rangelen):
+                w.write_bits(code, length)
+                w.write_bits(value - rangelow, rangelen)
+                return
+        raise Jbig2Error(
+            f"JBIG2 Huffman table {self.name} cannot represent "
+            f"{value!r}")
+
+
+def _std_table(number: int, what: str) -> _HuffTable:
+    lines = _HUFF_STANDARD.get(number)
+    if lines is None:
+        raise Jbig2Error(
+            f"JBIG2 standard Huffman table B.{number} ({what}) — "
+            "refusing by name (transcription failed the completeness "
+            "cross-check; not shipped)")
+    return _HuffTable(lines, f"B.{number}")
+
+
+def _assert_standard_tables_complete() -> None:
+    """Import-time transcription cross-check: every shipped standard
+    table must assign a COMPLETE canonical prefix code (Kraft sum 1,
+    no overflow) — true of all published Annex-B tables, and almost
+    never true of a mis-transcribed one."""
+    for num, lines in _HUFF_STANDARD.items():
+        t = _HuffTable(lines, f"B.{num}")
+        if not t.complete:
+            raise AssertionError(
+                f"standard table B.{num} transcription is not a "
+                "complete prefix code")
+
+
+_assert_standard_tables_complete()
+
+
+class _BitReader:
+    """MSB-first bit reader over segment data (the Annex-B side of the
+    house; the MQ coder owns the arithmetic side)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bytepos = 0
+        self.bitpos = 0
+
+    def read_bit(self) -> int:
+        if self.bytepos >= len(self.data):
+            raise Jbig2Error("JBIG2 Huffman data exhausted")
+        b = (self.data[self.bytepos] >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.bitpos = 0
+            self.bytepos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.bytepos += 1
+
+    def take_bytes(self, n: int) -> bytes:
+        """n raw bytes from the current (must-be-aligned) position."""
+        if self.bitpos:
+            raise Jbig2Error("JBIG2 raw read at unaligned bit position")
+        if self.bytepos + n > len(self.data):
+            raise Jbig2Error("truncated JBIG2 Huffman segment data")
+        out = self.data[self.bytepos:self.bytepos + n]
+        self.bytepos += n
+        return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def write_bytes(self, data: bytes) -> None:
+        if self.nbits:
+            raise Jbig2Error("unaligned raw byte write")
+        self.out += data
+
+    def getvalue(self) -> bytes:
+        self.byte_align()
+        return bytes(self.out)
+
+
+def _unpack_bitmap_rows(data: bytes, width: int, height: int):
+    """Uncompressed collective bitmap (BMSIZE=0, §6.5.9): rows padded
+    to byte boundaries, MSB-first, 1 = black."""
+    stride = (width + 7) // 8
+    if len(data) < stride * height:
+        raise Jbig2Error("truncated uncompressed collective bitmap")
+    rows = []
+    for y in range(height):
+        base = y * stride
+        row = bytearray(width)
+        for x in range(width):
+            row[x] = (data[base + (x >> 3)] >> (7 - (x & 7))) & 1
+        rows.append(bytes(row))
+    return rows
+
+
+def _pack_bitmap_rows(rows) -> bytes:
+    width = len(rows[0]) if rows else 0
+    stride = (width + 7) // 8
+    out = bytearray()
+    for row in rows:
+        packed = bytearray(stride)
+        for x, v in enumerate(row):
+            if v:
+                packed[x >> 3] |= 0x80 >> (x & 7)
+        out += packed
+    return bytes(out)
+
+
 # ------------------------------------- symbol dictionary / text region
 
+_MAX_PAD_BYTEINS = 64   # legit flush tails use a handful; see mq_coder
 _MAX_SYM_DIM = 10_000        # one glyph larger than a page is garble
 _MAX_SYM_PIXELS = 1 << 22
 _MAX_SYMS = 1 << 16
@@ -355,16 +645,17 @@ def _be16(d: bytes, pos: int) -> int:
 
 def _decode_symbol_dictionary(d: bytes,
                               input_syms: list) -> list:
-    """Symbol dictionary segment data (T.88 §6.5 / §7.4.3), the
+    """Symbol dictionary segment data (T.88 §6.5 / §7.4.3): the
     arithmetic non-refinement path (SDHUFF=0, SDREFAGG=0, template 0
-    — what mainstream encoders emit).  Height classes via IADH,
-    per-symbol width deltas via IADW (OOB ends a class), bitmaps
-    through ONE shared MQ decoder + GB context array, export runs via
-    IAEX over input+new symbols.  Returns the exported bitmaps."""
+    — what mainstream encoders emit), and (r15) the STANDARD-Huffman
+    path (SDHUFF=1 with Annex-B tables; custom-table selectors refuse
+    by name).  Arithmetic: height classes via IADH, per-symbol width
+    deltas via IADW (OOB ends a class), bitmaps through ONE shared MQ
+    decoder + GB context array, export runs via IAEX over input+new
+    symbols.  Returns the exported bitmaps."""
     flags = _be16(d, 0)
     if flags & 0x01:
-        raise Jbig2Error("JBIG2 Huffman-coded symbol dictionary — "
-                         "refusing by name (no verifier here)")
+        return _decode_symbol_dictionary_huffman(d, input_syms, flags)
     if flags & 0x02:
         raise Jbig2Error("JBIG2 refinement/aggregate symbol coding — "
                          "refusing by name")
@@ -398,6 +689,7 @@ def _decode_symbol_dictionary(d: bytes,
     hcheight = 0
     total_px = 0
     classes = 0
+    dry_symbols = 0
     while len(syms) < numnew:
         classes += 1
         if classes > 2 * numnew + 8:
@@ -430,6 +722,17 @@ def _decode_symbol_dictionary(d: bytes,
             if total_px > _MAX_PIXELS:
                 raise Jbig2Error(
                     "JBIG2 symbol dictionary over total pixel gate")
+            if dec.exhausted:
+                # the final symbol may legitimately resolve from the
+                # flushed register tail; a SECOND symbol starting
+                # after input exhaustion decodes purely from pad bits
+                # — a mutated symbol count otherwise buys minutes of
+                # MQ work inside the pixel gates (fuzz near-hang)
+                dry_symbols += 1
+                if dry_symbols > 1:
+                    raise Jbig2Error(
+                        "JBIG2 symbol dictionary walks past the end "
+                        "of its data — corrupt symbol count")
             syms.append(_decode_generic_bitmap(
                 dec, symwidth, hcheight, at, False))
     # export flags: alternating no-export/export run lengths (§6.5.10)
@@ -457,17 +760,156 @@ def _decode_symbol_dictionary(d: bytes,
     return exported
 
 
+def _decode_symbol_dictionary_huffman(d: bytes, input_syms: list,
+                                      flags: int) -> list:
+    """SDHUFF=1 symbol dictionary (T.88 §6.5.9 / §7.4.3): DH/DW via
+    standard tables B.4-B.5 / B.2-B.3, per-height-class COLLECTIVE
+    bitmaps sized by B.1 — BMSIZE=0 means uncompressed byte-aligned
+    rows, otherwise the MMR (T.6) coder this repo already carries
+    libtiff-verified (llm/fax_codec) — and export runs via B.1.
+    Custom-table selectors, refinement/aggregate coding, and retained
+    contexts refuse by name.  No AT pixels in this header form
+    (§7.4.3.1.2: present only when SDHUFF=0)."""
+    if flags & 0x02:
+        raise Jbig2Error("JBIG2 refinement/aggregate symbol coding — "
+                         "refusing by name")
+    if flags & 0x100 or flags & 0x200:
+        raise Jbig2Error("JBIG2 retained/imported coding contexts — "
+                         "refusing by name")
+    dh_sel = (flags >> 2) & 0x03
+    dw_sel = (flags >> 4) & 0x03
+    if dh_sel >= 2:
+        raise Jbig2Error(
+            "JBIG2 custom/reserved SDHUFFDH table — refusing by name")
+    if dw_sel >= 2:
+        raise Jbig2Error(
+            "JBIG2 custom/reserved SDHUFFDW table — refusing by name")
+    if flags & 0x40:
+        raise Jbig2Error(
+            "JBIG2 custom SDHUFFBMSIZE table — refusing by name")
+    if flags & 0x80:
+        raise Jbig2Error(
+            "JBIG2 custom SDHUFFAGGINST table — refusing by name")
+    tab_dh = _std_table(4 if dh_sel == 0 else 5, "SDHUFFDH")
+    tab_dw = _std_table(2 if dw_sel == 0 else 3, "SDHUFFDW")
+    tab_bm = _std_table(1, "SDHUFFBMSIZE")
+    tab_ex = _std_table(1, "EX runs")
+    if len(d) < 10:
+        raise Jbig2Error("truncated JBIG2 symbol dictionary")
+    numex = _u32(d, 2)
+    numnew = _u32(d, 6)
+    if numnew > _MAX_SYMS or numex > _MAX_SYMS:
+        raise Jbig2Error(
+            f"JBIG2 symbol dictionary declares {numnew} new / "
+            f"{numex} exported symbols — over gate")
+    if numex > len(input_syms) + numnew:
+        raise Jbig2Error(
+            "JBIG2 symbol dictionary exports more symbols than exist")
+    r = _BitReader(d[10:])
+    syms: list = []
+    hcheight = 0
+    total_px = 0
+    classes = 0
+    while len(syms) < numnew:
+        classes += 1
+        if classes > 2 * numnew + 8:
+            raise Jbig2Error(
+                "JBIG2 symbol dictionary height-class walk does not "
+                "converge — corrupt stream")
+        dh = tab_dh.decode(r)
+        if dh is _HUFF_OOB:
+            raise Jbig2Error("OOB height delta in symbol dictionary")
+        hcheight += dh
+        if not 0 < hcheight <= _MAX_SYM_DIM:
+            raise Jbig2Error(
+                f"JBIG2 symbol height {hcheight} out of range")
+        symwidth = 0
+        totwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = tab_dw.decode(r)
+            if dw is _HUFF_OOB:
+                break  # end of this height class
+            symwidth += dw
+            if not 0 < symwidth <= _MAX_SYM_DIM:
+                raise Jbig2Error(
+                    f"JBIG2 symbol width {symwidth} out of range")
+            if len(syms) + len(widths) >= numnew:
+                raise Jbig2Error(
+                    "JBIG2 symbol dictionary decodes more symbols "
+                    "than declared")
+            if symwidth * hcheight > _MAX_SYM_PIXELS:
+                raise Jbig2Error("JBIG2 symbol over pixel gate")
+            total_px += symwidth * hcheight
+            if total_px > _MAX_PIXELS:
+                raise Jbig2Error(
+                    "JBIG2 symbol dictionary over total pixel gate")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            continue
+        # §6.5.9: the height class's symbols ride ONE collective
+        # bitmap, byte-aligned, uncompressed (BMSIZE=0) or MMR
+        bmsize = tab_bm.decode(r)
+        if bmsize is _HUFF_OOB or bmsize < 0:
+            raise Jbig2Error("bad collective bitmap size")
+        r.byte_align()
+        if bmsize == 0:
+            stride = (totwidth + 7) // 8
+            rows = _unpack_bitmap_rows(
+                r.take_bytes(stride * hcheight), totwidth, hcheight)
+        else:
+            try:
+                rows = decode_g4(r.take_bytes(bmsize), totwidth,
+                                 hcheight)
+            except FaxError as e:
+                raise Jbig2Error(
+                    f"bad MMR collective bitmap: {e}") from None
+            if len(rows) < hcheight:
+                raise Jbig2Error(
+                    "MMR collective bitmap shorter than height class")
+            rows = rows[:hcheight]
+        x = 0
+        for wdt in widths:
+            syms.append([row[x:x + wdt] for row in rows])
+            x += wdt
+    # export runs over input+new symbols, via Table B.1 (§6.5.10)
+    allsyms = list(input_syms) + syms
+    ex_flags: list[int] = []
+    ex = 0
+    runs = 0
+    while len(ex_flags) < len(allsyms):
+        runs += 1
+        if runs > 2 * len(allsyms) + 4:
+            raise Jbig2Error(
+                "JBIG2 export-flag walk does not converge")
+        run = tab_ex.decode(r)
+        if run is _HUFF_OOB or run < 0:
+            raise Jbig2Error("bad export run length in dictionary")
+        if len(ex_flags) + run > len(allsyms):
+            raise Jbig2Error("JBIG2 export run overruns symbol count")
+        ex_flags.extend([ex] * run)
+        ex ^= 1
+    exported = [s for s, f in zip(allsyms, ex_flags) if f]
+    if len(exported) != numex:
+        raise Jbig2Error(
+            f"JBIG2 dictionary exported {len(exported)} symbols, "
+            f"declared {numex}")
+    return exported
+
+
 def _decode_text_region(d: bytes, syms: list):
-    """Text region segment data (T.88 §6.4 / §7.4.4), arithmetic
-    non-refinement non-transposed path: strip walk via IADT/IAFS/
-    IADS/IAIT, symbol IDs via the IAID tree, placement by REFCORNER,
-    per-instance composition with SBCOMBOP.  Returns (region info,
-    rows)."""
+    """Text region segment data (T.88 §6.4 / §7.4.4), non-refinement
+    non-transposed: the ARITHMETIC path (strip walk via IADT/IAFS/
+    IADS/IAIT, symbol IDs via the IAID tree) and (r15) the
+    STANDARD-HUFFMAN path (SBHUFF=1, Annex-B tables + the §7.4.4.1.7
+    runcode-coded symbol-ID table; custom-table selectors refuse by
+    name).  Placement by REFCORNER and per-instance SBCOMBOP
+    composition are shared (_text_region_walk).  Returns (region
+    info, rows)."""
     w, h, x, y, op = _region_info(d)
     flags = _be16(d, 17)
-    if flags & 0x01:
-        raise Jbig2Error("JBIG2 Huffman-coded text region — refusing "
-                         "by name (no verifier here)")
+    huffman = bool(flags & 0x01)
     if flags & 0x02:
         raise Jbig2Error("JBIG2 text region with refinement — "
                          "refusing by name")
@@ -481,9 +923,10 @@ def _decode_text_region(d: bytes, syms: list):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    if len(d) < 23:
+    body_at = 25 if huffman else 23
+    if len(d) < body_at:
         raise Jbig2Error("truncated JBIG2 text region")
-    numinst = _u32(d, 19)
+    numinst = _u32(d, 21 if huffman else 19)
     if not syms:
         raise Jbig2Error(
             "JBIG2 text region with no symbols in scope — referred "
@@ -492,32 +935,147 @@ def _decode_text_region(d: bytes, syms: list):
         raise Jbig2Error("JBIG2 text region instance count over gate")
     if w * h > _MAX_PIXELS:
         raise Jbig2Error(f"JBIG2 text region {w}x{h} over pixel gate")
+    strips = 1 << log_strips
+    if huffman:
+        (next_dt, next_fs, next_ds, next_curt, next_sid,
+         exhausted) = _huffman_text_sources(
+            d, _be16(d, 19), body_at, syms, log_strips)
+    else:
+        (next_dt, next_fs, next_ds, next_curt, next_sid,
+         exhausted) = _arith_text_sources(d, body_at, syms, strips)
+    rows = _text_region_walk(
+        w, h, numinst, syms, strips, refcorner, combop, defpixel,
+        dsoffset, next_dt, next_fs, next_ds, next_curt, next_sid,
+        exhausted)
+    return w, h, x, y, op, rows
+
+
+def _arith_text_sources(d: bytes, body_at: int, syms: list,
+                        strips: int):
+    """The five integer sources of the arithmetic text-region walk."""
     code_len = max(1, (len(syms) - 1).bit_length())
     from verified_sources_spark.llm.mq_coder import MQDecoder
 
-    dec = MQDecoder(d[23:], _ctx_total(code_len))
-    strips = 1 << log_strips
+    dec = MQDecoder(d[body_at:], _ctx_total(code_len))
+    return (lambda what: _req_int(dec, "IADT", what),
+            lambda: _req_int(dec, "IAFS", "first S"),
+            lambda: _decode_int(dec, "IADS"),
+            lambda: _req_int(dec, "IAIT", "T offset"),
+            lambda: _decode_iaid(dec, code_len),
+            lambda: dec.exhausted)
+
+
+def _huffman_text_sources(d: bytes, huffflags: int, body_at: int,
+                          syms: list, log_strips: int):
+    """The five integer sources of the SBHUFF=1 walk (§7.4.4.1):
+    FS/DS/DT through the flag-selected standard tables, CURT as
+    LOGSBSTRIPS raw bits, symbol IDs through the runcode-built
+    per-region Huffman table (§7.4.4.1.7)."""
+    fs_sel = huffflags & 0x03
+    ds_sel = (huffflags >> 2) & 0x03
+    dt_sel = (huffflags >> 4) & 0x03
+    if fs_sel == 3 or ds_sel == 3 or dt_sel == 3:
+        raise Jbig2Error(
+            "JBIG2 custom text-region Huffman table — refusing by "
+            "name")
+    tab_fs = _std_table(6 if fs_sel == 0 else 7, "SBHUFFFS")
+    tab_ds = _std_table((8, 9, 10)[ds_sel], "SBHUFFDS")
+    tab_dt = _std_table((11, 12, 13)[dt_sel], "SBHUFFDT")
+    r = _BitReader(d[body_at:])
+    # §7.4.4.1.7: 35 runcode lengths (4 bits each) → runcode prefix
+    # code → SBNUMSYMS symbol-code lengths (32/33/34 are repeats) →
+    # the per-region symbol-ID table; byte-aligned afterwards
+    runlens = [r.read_bits(4) for _ in range(35)]
+    runlines = [(ln, 0, i) for i, ln in enumerate(runlens) if ln > 0]
+    if not runlines:
+        raise Jbig2Error("JBIG2 symbol-ID runcode table is empty")
+    runtab = _HuffTable(runlines, "runcodes")
+    lengths: list[int] = []
+    prevlen = 0
+    while len(lengths) < len(syms):
+        code = runtab.decode(r)
+        if code is _HUFF_OOB:
+            raise Jbig2Error("OOB runcode in symbol-ID code lengths")
+        if code < 32:
+            lengths.append(code)
+            prevlen = code
+        elif code == 32:
+            if not lengths:
+                raise Jbig2Error(
+                    "runcode 32 (repeat previous) as first code")
+            rep = 3 + r.read_bits(2)
+            lengths.extend([prevlen] * rep)
+        elif code == 33:
+            lengths.extend([0] * (3 + r.read_bits(3)))
+        else:  # 34
+            lengths.extend([0] * (11 + r.read_bits(7)))
+    if len(lengths) != len(syms):
+        raise Jbig2Error(
+            "symbol-ID code lengths overrun the symbol count")
+    sym_lines = [(ln, 0, i) for i, ln in enumerate(lengths) if ln > 0]
+    if not sym_lines:
+        raise Jbig2Error("every symbol-ID code length is zero")
+    symtab = _HuffTable(sym_lines, "symbol IDs")
+    r.byte_align()
+
+    def next_dt(_what: str) -> int:
+        v = tab_dt.decode(r)
+        if v is _HUFF_OOB:
+            raise Jbig2Error("OOB strip T delta")
+        return v
+
+    def next_fs() -> int:
+        v = tab_fs.decode(r)
+        if v is _HUFF_OOB:
+            raise Jbig2Error("OOB first S")
+        return v
+
+    def next_ds():
+        v = tab_ds.decode(r)
+        return None if v is _HUFF_OOB else v
+
+    def next_curt() -> int:
+        return r.read_bits(log_strips)
+
+    def next_sid() -> int:
+        v = symtab.decode(r)
+        if v is _HUFF_OOB:
+            raise Jbig2Error("OOB symbol ID")
+        return v
+
+    def exhausted() -> bool:
+        return r.bytepos >= len(r.data)
+
+    return next_dt, next_fs, next_ds, next_curt, next_sid, exhausted
+
+
+def _text_region_walk(w, h, numinst, syms, strips, refcorner, combop,
+                      defpixel, dsoffset, next_dt, next_fs, next_ds,
+                      next_curt, next_sid, exhausted):
+    """§6.4.5 strip walk + placement + composition, shared by the
+    arithmetic and Huffman integer sources."""
     bitmap = [bytearray([defpixel] * w) for _ in range(h)]
     painted = 0  # composited-pixel work gate (bomb protection)
-    stript = -_req_int(dec, "IADT", "initial strip T")
+    stript = -next_dt("initial strip T")
     firsts = 0
     inst = 0
     strip_rounds = 0
+    dry_insts = 0
     while inst < numinst:
         strip_rounds += 1
         if strip_rounds > numinst + 8:
             raise Jbig2Error(
                 "JBIG2 text region strip walk does not converge")
-        stript += _req_int(dec, "IADT", "strip T delta")
+        stript += next_dt("strip T delta")
         first = True
         curs = 0
         while True:
             if first:
-                firsts += _req_int(dec, "IAFS", "first S")
+                firsts += next_fs()
                 curs = firsts
                 first = False
             else:
-                ids = _decode_int(dec, "IADS")
+                ids = next_ds()
                 if ids is None:
                     break  # OOB: end of strip
                 curs += ids + dsoffset
@@ -525,10 +1083,20 @@ def _decode_text_region(d: bytes, syms: list):
                 raise Jbig2Error(
                     "JBIG2 text region decodes more instances than "
                     "declared")
-            curt = _req_int(dec, "IAIT", "T offset") if strips > 1 \
-                else 0
+            if exhausted():
+                # same rule as the dictionary walk: the final
+                # instance may resolve from the flushed register
+                # tail; a SECOND instance starting past the end of
+                # the data is a mutated instance count buying
+                # composition work from pad bits
+                dry_insts += 1
+                if dry_insts > 1:
+                    raise Jbig2Error(
+                        "JBIG2 text region walks past the end of "
+                        "its data — corrupt instance count")
+            curt = next_curt() if strips > 1 else 0
             ti = stript * strips + curt
-            sid = _decode_iaid(dec, code_len)
+            sid = next_sid()
             if sid >= len(syms):
                 raise Jbig2Error(
                     f"JBIG2 symbol id {sid} out of range "
@@ -569,7 +1137,7 @@ def _decode_text_region(d: bytes, syms: list):
                         dst[curs + rx] ^= src[rx] ^ 1
             curs += sw - 1
             inst += 1
-    return w, h, x, y, op, [bytes(r) for r in bitmap]
+    return [bytes(r) for r in bitmap]
 
 
 def _req_int(dec, proc: str, what: str) -> int:

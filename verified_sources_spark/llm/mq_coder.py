@@ -162,6 +162,8 @@ class MQDecoder:
         self._data = data
         self._i = bytearray(n_contexts)
         self._mps = bytearray(n_contexts)
+        self._pad = False
+        self._pad_ins = 0
         self._bp = 0
         self._c = self._byte(0) << 16
         self._bytein()
@@ -172,10 +174,31 @@ class MQDecoder:
     def _byte(self, idx: int) -> int:
         return self._data[idx] if idx < len(self._data) else 0xFF
 
+    @property
+    def exhausted(self) -> bool:
+        """True once decode() has entered the marker-rule 1-bit
+        padding (end of data, or a terminating 0xFF marker).  A few
+        tail decisions legitimately resolve there (the encoder's
+        flush leaves them in the register); WHOLE new structures
+        starting there are garble — callers use this as a work
+        gate."""
+        return self._pad
+
+    @property
+    def pad_byteins(self) -> int:
+        """How many 8-bit pad feeds decode() has consumed past the
+        data/marker.  A correct stream's tail resolves in the ~30
+        register bits the encoder's flush leaves — a handful of pad
+        feeds; hundreds mean the caller is decoding structure from
+        nothing (a mutated size field) and should refuse."""
+        return self._pad_ins
+
     def _bytein(self) -> None:
         if self._byte(self._bp) == 0xFF:
             if self._byte(self._bp + 1) > 0x8F:
                 # marker or end of data: feed 1-bits forever
+                self._pad = True
+                self._pad_ins += 1
                 self._c += 0xFF00
                 self._ct = 8
             else:
