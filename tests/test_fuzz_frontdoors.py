@@ -719,3 +719,30 @@ def test_fuzz_wet_wat():
                 wat_payload_fields(block)
 
     _battery(enc, dec, (WarcError,))
+
+
+def test_fuzz_jbig2_huffman():
+    """The r15 SDHUFF/SBHUFF path: mutate a standard-Huffman
+    symbol/text stream (MMR collective bitmaps) — only Jbig2Error may
+    escape, and the pad-feed gate keeps decode-from-nothing mutants
+    from buying minutes of work."""
+    from verified_sources_spark.llm.fax_codec import FaxError
+    from verified_sources_spark.llm.jbig2 import (
+        Jbig2Error,
+        decode_jbig2_embedded,
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    def glyph(seed, w, h):
+        import random as R
+        rng = R.Random(seed)
+        return [bytes(rng.getrandbits(1) for _ in range(w))
+                for _ in range(h)]
+
+    def enc():
+        syms = [glyph(1, 5, 4), glyph(2, 6, 4), glyph(3, 4, 7)]
+        insts = [(0, 0, 0), (6, 0, 1), (1, 5, 2)]
+        return encode_jbig2_symbol_text_huffman(
+            syms, insts, (16, 12), mmr_bitmaps=True)
+
+    _battery(enc, decode_jbig2_embedded, (Jbig2Error, FaxError))

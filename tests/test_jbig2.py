@@ -641,3 +641,124 @@ def test_halftone_composition_work_gate():
     struct.pack_into(">II", bad, ht_at + 12 + 18, 1 << 13, 1 << 13)
     with pytest.raises(Jbig2Error, match="composition work|pixel gate"):
         decode_jbig2_embedded(bytes(bad))
+
+
+# --- r15: standard-Huffman symbol dictionaries + text regions --------------
+
+
+def test_standard_tables_canonical_codes_pinned():
+    """Annex-B transcription pins: B.1's canonical assignment is the
+    published 0 / 10 / 110 / 111, B.4's is 0 / 10 / 110 / 1110 /
+    11110 / 11111, and every shipped table forms a COMPLETE prefix
+    code (Kraft sum 1) — the cross-check that a mis-transcribed line
+    set almost never survives."""
+    from verified_sources_spark.llm.jbig2 import (
+        _HUFF_STANDARD,
+        _HuffTable,
+    )
+
+    b1 = _HuffTable(_HUFF_STANDARD[1], "B.1")
+    assert b1._code_of == [(1, 0), (2, 2), (3, 6), (3, 7)]
+    b4 = _HuffTable(_HUFF_STANDARD[4], "B.4")
+    assert b4._code_of == [(1, 0), (2, 2), (3, 6), (4, 14), (5, 30),
+                           (5, 31)]
+    for num, lines in _HUFF_STANDARD.items():
+        assert _HuffTable(lines, f"B.{num}").complete, num
+
+
+def test_huffman_symbol_text_pixels_match_arithmetic():
+    """The SDHUFF/SBHUFF path must reconstruct the SAME page as the
+    arithmetic path from the same glyphs/placements — MMR collective
+    bitmaps (through the libtiff-verified fax coder), uncompressed
+    collective bitmaps, and the /JBIG2Globals split all agree."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text,
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    syms = _glyphs(seed=21, n=4)
+    insts = [(0, 0, 0), (5, 0, 2), (10, 0, 3), (2, 7, 1)]
+    want = decode_jbig2_embedded(
+        encode_jbig2_symbol_text(syms, insts, (18, 14)))["rows"]
+    for mmr in (True, False):
+        got = decode_jbig2_embedded(encode_jbig2_symbol_text_huffman(
+            syms, insts, (18, 14), mmr_bitmaps=mmr))
+        assert got["rows"] == want, f"mmr={mmr}"
+    g, page = encode_jbig2_symbol_text_huffman(
+        syms, insts, (18, 14), in_globals=True)
+    assert decode_jbig2_embedded(page, globals_data=g)["rows"] == want
+
+
+def test_huffman_refusals_by_name():
+    """Custom-table selectors, the two NOT-SHIPPED standard tables
+    (B.7 / B.10 — transcription failed the completeness cross-check),
+    and a repeat-previous runcode with no previous all refuse by
+    name."""
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    syms = _glyphs(seed=9, n=2)
+    insts = [(0, 0, 0), (6, 0, 1)]
+    good = encode_jbig2_symbol_text_huffman(syms, insts, (16, 8),
+                                            end_of_page=False)
+    sd_at = 11 + 19
+    sd_len = struct.unpack_from(">I", good, sd_at + 7)[0]
+    tr_at = sd_at + 11 + sd_len
+    # SD flags: force custom/reserved DH (bits 2-3 = 3), custom
+    # BMSIZE (bit 6), refinement (bit 1)
+    for mask, pattern in ((0x0C, "SDHUFFDH"), (0x40, "SDHUFFBMSIZE"),
+                          (0x02, "refinement")):
+        bad = bytearray(good)
+        flags = struct.unpack_from(">H", bad, sd_at + 11)[0] | mask
+        struct.pack_into(">H", bad, sd_at + 11, flags)
+        with pytest.raises(Jbig2Error, match=pattern):
+            decode_jbig2_embedded(bytes(bad))
+    # SD: selector 1 for DH = table B.5 (shipped) but DW selector
+    # composed to 2 = reserved — refuse
+    bad = bytearray(good)
+    flags = struct.unpack_from(">H", bad, sd_at + 11)[0]
+    struct.pack_into(">H", bad, sd_at + 11, (flags & ~0x30) | 0x20)
+    with pytest.raises(Jbig2Error, match="SDHUFFDW"):
+        decode_jbig2_embedded(bytes(bad))
+    # TR huffman flags at +12(header)+17(region info)+2(flags):
+    # FS selector 1 = B.7 (not shipped: refuses by NAME), 3 = custom
+    hf_at = tr_at + 12 + 19
+    for sel, pattern in ((0x0001, "B.7"), (0x0003, "custom")):
+        bad = bytearray(good)
+        struct.pack_into(">H", bad, hf_at, sel)
+        with pytest.raises(Jbig2Error, match=pattern):
+            decode_jbig2_embedded(bytes(bad))
+    # DS selector 2 = B.10 (not shipped)
+    bad = bytearray(good)
+    struct.pack_into(">H", bad, hf_at, 0x0008)
+    with pytest.raises(Jbig2Error, match="B.10"):
+        decode_jbig2_embedded(bytes(bad))
+
+
+def test_huffman_symbol_text_mutation_battery():
+    """Every bit flip in the Huffman symbol/text stream either decodes
+    to SOME page or refuses as Jbig2Error — never an escape, never a
+    near-hang (the pad-feed gate bounds decode-from-nothing work)."""
+    import time
+
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    syms = _glyphs(seed=21, n=4)
+    insts = [(0, 0, 0), (5, 0, 2), (10, 0, 3), (2, 7, 1)]
+    for mmr in (True, False):
+        good = encode_jbig2_symbol_text_huffman(
+            syms, insts, (18, 14), mmr_bitmaps=mmr)
+        rng = random.Random(78)
+        for _ in range(250):
+            i = rng.randrange(len(good))
+            bad = bytearray(good)
+            bad[i] ^= 1 << rng.randrange(8)
+            t0 = time.time()
+            try:
+                decode_jbig2_embedded(bytes(bad))
+            except Jbig2Error:
+                pass
+            assert time.time() - t0 < 5, (mmr, i)

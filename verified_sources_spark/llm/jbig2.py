@@ -26,11 +26,18 @@ bitmap level (the fixture encoders drive their own walks of the
 published model into the MQ encoder; the decoder reconstructs through
 its own walk — they meet only at the published template/procedure
 definitions and coder tables) plus the MQ coder's own randomized
-round-trip/invariant battery.  Generic-region templates 1-3,
-EXTTEMPLATE, Huffman-coded dictionaries/text/halftone, MMR-coded
-pattern/halftone data, refinement/aggregate symbol coding, transposed
-text regions, HENABLESKIP, and refinement segments refuse BY NAME
-(the silent-garble risk the two-sided method exists to prevent).
+round-trip/invariant battery; **standard-Huffman symbol dictionaries
++ text regions** (r15: SDHUFF/SBHUFF=1 with the Annex-B standard
+tables — each import-time-checked to form a COMPLETE canonical prefix
+code, the transcription cross-check; collective height-class bitmaps
+uncompressed or MMR through the libtiff-verified fax coder;
+§7.4.4.1.7 runcode-built symbol-ID tables).  Generic-region templates
+1-3, EXTTEMPLATE, CUSTOM Huffman tables and the two standard tables
+whose transcription failed the completeness cross-check (B.7/B.10),
+Huffman-coded halftone, MMR-coded pattern/halftone data,
+refinement/aggregate symbol coding, transposed text regions,
+HENABLESKIP, and refinement segments refuse BY NAME (the
+silent-garble risk the two-sided method exists to prevent).
 
 Implements the PDF "embedded organization" (T.88 Annex; no file
 header): a stream of segments, each a segment header (§7.2) plus data.
@@ -89,6 +96,7 @@ __all__ = [
     "encode_jbig2_mmr",
     "encode_jbig2_arith",
     "encode_jbig2_symbol_text",
+    "encode_jbig2_symbol_text_huffman",
     "encode_jbig2_halftone",
 ]
 
@@ -1814,6 +1822,150 @@ def encode_jbig2_symbol_text(
                + struct.pack(">H", tr_flags)
                + struct.pack(">I", len(insts))
                + enc2.flush())
+
+    page_info = (struct.pack(">IIII", pw, ph, 0, 0)
+                 + bytes([(page_default & 1) << 2])
+                 + struct.pack(">H", 0))
+    sd_page = 0 if in_globals else 1
+    sd_seg = _segment_header(1, _SYMBOL_DICT, sd_page,
+                             len(sd_body)) + sd_body
+    out = bytearray()
+    out += _segment_header(0, _PAGE_INFO, 1, len(page_info)) + page_info
+    if not in_globals:
+        out += sd_seg
+    out += _segment_header(2, 7, 1, len(tr_body),
+                           referred=(1,)) + tr_body
+    if end_of_page:
+        out += _segment_header(3, _END_OF_PAGE, 1, 0)
+    if in_globals:
+        return bytes(sd_seg), bytes(out)
+    return bytes(out)
+
+
+def encode_jbig2_symbol_text_huffman(
+    symbols: list[list[bytes]],
+    instances: list[tuple[int, int, int]],
+    page_size: tuple[int, int],
+    *,
+    mmr_bitmaps: bool = True,
+    page_default: int = 0,
+    region_op: int = 0,
+    in_globals: bool = False,
+    end_of_page: bool = True,
+) -> bytes | tuple[bytes, bytes]:
+    """PDF-embeddable JBIG2 with a STANDARD-HUFFMAN symbol dictionary
+    + text region (SDHUFF=1/SBHUFF=1) — the fixture writer for the
+    Annex-B path.  Same contract as :func:`encode_jbig2_symbol_text`
+    (height-sorted ``symbols``, TOPLEFT ``instances``), but the
+    integer layer is table-coded: DH via B.4, DW via B.3 (the
+    negative-capable selector, so widths need not be sorted within a
+    class), collective height-class bitmaps either MMR (T.6 — the
+    libtiff-verified fax coder, ``mmr_bitmaps=True``) or uncompressed
+    byte-aligned rows, export runs via B.1; the text region codes
+    FS/DS/DT via B.6/B.8/B.11 and ships a §7.4.4.1.7 runcode-built
+    equal-length symbol-ID table.  The decoder walks the same
+    published layout through its own reader — and on the graded
+    entry both meet the codec-blind dhash oracle against pixels
+    produced by four OTHER codecs."""
+    if not symbols:
+        raise Jbig2Error("fixture needs at least one symbol")
+    heights = [len(s) for s in symbols]
+    if heights != sorted(heights):
+        raise Jbig2Error(
+            "fixture symbols must be sorted by nondecreasing height "
+            "(height classes are delta coded)")
+    pw, ph = page_size
+    n = len(symbols)
+    tab_dh = _std_table(4, "SDHUFFDH")
+    tab_dw = _std_table(3, "SDHUFFDW")
+    tab_bm = _std_table(1, "SDHUFFBMSIZE")
+    tab_fs = _std_table(6, "SBHUFFFS")
+    tab_ds = _std_table(8, "SBHUFFDS")
+    tab_dt = _std_table(11, "SBHUFFDT")
+
+    # ---- symbol dictionary data (§6.5.9 inverse)
+    w_ = _BitWriter()
+    hcheight = 0
+    i = 0
+    while i < n:
+        h = heights[i]
+        tab_dh.encode(w_, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        cls: list[list[bytes]] = []
+        while i < n and heights[i] == h:
+            wdt = len(symbols[i][0])
+            tab_dw.encode(w_, wdt - symwidth)
+            symwidth = wdt
+            cls.append(symbols[i])
+            i += 1
+        tab_dw.encode(w_, None)               # OOB: class ends
+        rows = [b"".join(sym[ry] for sym in cls) for ry in range(h)]
+        if mmr_bitmaps:
+            data = encode_g4(rows)
+            tab_bm.encode(w_, len(data))
+            w_.byte_align()
+            w_.write_bytes(data)
+        else:
+            tab_bm.encode(w_, 0)
+            w_.byte_align()
+            w_.write_bytes(_pack_bitmap_rows(rows))
+    ex = _std_table(1, "EX runs")
+    ex.encode(w_, 0)                          # first run: not exported
+    ex.encode(w_, n)                          # export everything
+    # SDHUFF=1, SDHUFFDH sel 0 (B.4), SDHUFFDW sel 1 (B.3),
+    # B.1 BMSIZE/AGGINST; no AT bytes in this header form
+    sd_flags = 0x0001 | (1 << 4)
+    sd_body = (struct.pack(">H", sd_flags)
+               + struct.pack(">II", n, n)     # numex, numnew
+               + w_.getvalue())
+
+    # ---- text region data (§6.4 inverse with table coding)
+    insts = sorted(instances, key=lambda t: (t[1], t[0]))
+    w2 = _BitWriter()
+    # §7.4.4.1.7 symbol-ID codes: every symbol the same length L —
+    # runcode table gives code L length 1, so each symbol costs 1 bit
+    code_len = max(1, (n - 1).bit_length())
+    for rc in range(35):
+        w2.write_bits(1 if rc == code_len else 0, 4)
+    for _ in range(n):
+        w2.write_bits(0, 1)                   # runcode L, n times
+    w2.byte_align()
+    # strip walk: initial DT must be >= 1 under B.11 — emit 1 and
+    # fold the offset into the first strip's delta
+    tab_dt.encode(w2, 1)
+    prev_t = -1
+    prev_firsts = 0
+    k = 0
+    while k < len(insts):
+        t = insts[k][1]
+        tab_dt.encode(w2, t - prev_t)
+        prev_t = t
+        first = True
+        curs = 0
+        while k < len(insts) and insts[k][1] == t:
+            x, _y, sid = insts[k]
+            if not 0 <= sid < n:
+                raise Jbig2Error(f"instance symbol id {sid} invalid")
+            if first:
+                tab_fs.encode(w2, x - prev_firsts)
+                prev_firsts = x
+                first = False
+            else:
+                tab_ds.encode(w2, x - curs)
+            w2.write_bits(sid, code_len)      # equal-length ID code
+            curs = x + len(symbols[sid][0]) - 1
+            k += 1
+        tab_ds.encode(w2, None)               # OOB: end of strip
+    # flags: SBHUFF=1, REFCORNER=TOPLEFT(1); huffman flags: FS/DS/DT
+    # selectors 0 (B.6/B.8/B.11), no refinement tables, RSIZE B.1
+    tr_flags = 0x0001 | (1 << 4)
+    tr_body = (struct.pack(">IIII", pw, ph, 0, 0)
+               + bytes([region_op & 0x07])
+               + struct.pack(">H", tr_flags)
+               + struct.pack(">H", 0)         # huffman flags
+               + struct.pack(">I", len(insts))
+               + w2.getvalue())
 
     page_info = (struct.pack(">IIII", pw, ph, 0, 0)
                  + bytes([(page_default & 1) << 2])

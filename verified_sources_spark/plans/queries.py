@@ -3196,21 +3196,25 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bits = bytes(1 if g < 128 else 0 for g in gray)
                     rows_ = [bits[y * w:(y + 1) * w] for y in range(h)]
                     if did % 9 == 3:
-                        # rotate the FOUR JBIG2 backends: MMR (T.6),
+                        # rotate the FIVE JBIG2 backends: MMR (T.6),
                         # MQ-ARITHMETIC template 0 with TPGDON
                         # (llm/mq_coder), SYMBOL/TEXT coding (the
                         # real-world majority: the page cut into six
-                        # glyphs re-placed by a text region), and
-                        # HALFTONE (pattern dict + Gray-coded grid) —
+                        # glyphs re-placed by a text region),
+                        # HALFTONE (pattern dict + Gray-coded grid),
+                        # and (r15) STANDARD-HUFFMAN symbol/text
+                        # (SDHUFF/SBHUFF=1, Annex-B tables, MMR or
+                        # uncompressed collective bitmaps) —
                         # identical pixels, so the dhash oracle is
                         # codec-blind
                         from verified_sources_spark.llm.jbig2 import (
                             encode_jbig2_arith,
                             encode_jbig2_halftone,
                             encode_jbig2_symbol_text,
+                            encode_jbig2_symbol_text_huffman,
                         )
 
-                        mode = (did // 9) % 4
+                        mode = (did // 9) % 5
                         if mode == 3:
                             # halftone with 1x1 two-pattern cells: the
                             # full §6.6/§6.7 chain (pattern dict,
@@ -3236,6 +3240,23 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _) in enumerate(cuts)]
                             blob = encode_jbig2_symbol_text(
                                 gsyms, insts, (w, h))
+                        elif mode == 4:
+                            h1 = h // 2
+                            w1 = w // 3
+                            cuts = [(0, 0, w1, h1), (w1, 0, w1, h1),
+                                    (2 * w1, 0, w - 2 * w1, h1),
+                                    (0, h1, w1, h - h1),
+                                    (w1, h1, w1, h - h1),
+                                    (2 * w1, h1, w - 2 * w1, h - h1)]
+                            gsyms = [
+                                [rows_[gy + ry][gx:gx + gw]
+                                 for ry in range(gh)]
+                                for gx, gy, gw, gh in cuts]
+                            insts = [(gx, gy, k) for k, (gx, gy, _,
+                                     _) in enumerate(cuts)]
+                            blob = encode_jbig2_symbol_text_huffman(
+                                gsyms, insts, (w, h),
+                                mmr_bitmaps=(did // 45) % 2 == 0)
                         elif mode == 0:
                             blob = encode_jbig2_arith(
                                 rows_, tpgdon=True)
