@@ -762,3 +762,44 @@ def test_huffman_symbol_text_mutation_battery():
             except Jbig2Error:
                 pass
             assert time.time() - t0 < 5, (mmr, i)
+
+
+def test_huffman_empty_height_class_stays_synchronized():
+    """T.88 §6.5.9 codes BMSIZE for EVERY height class — a conforming
+    stream with an empty class (immediate DW OOB) still carries one,
+    and skipping it would desynchronize everything after (self-review
+    find).  Hand-assembled, since the fixture encoder never emits
+    empty classes."""
+    import struct as S
+
+    from verified_sources_spark.llm.jbig2 import (
+        _BitWriter,
+        _decode_symbol_dictionary_huffman,
+        _pack_bitmap_rows,
+        _std_table,
+    )
+
+    tab_dh = _std_table(4, "DH")
+    tab_dw = _std_table(3, "DW")
+    tab_bm = _std_table(1, "BM")
+    tab_ex = _std_table(1, "EX")
+    w = _BitWriter()
+    # class 1: height 1, EMPTY (immediate OOB) — but BMSIZE is coded
+    tab_dh.encode(w, 1)
+    tab_dw.encode(w, None)
+    tab_bm.encode(w, 0)
+    w.byte_align()
+    # class 2: height 3 (delta 2), one 4-wide symbol, uncompressed
+    sym = [b"\x01\x00\x01\x00", b"\x00\x01\x00\x01", b"\x01\x01\x00\x00"]
+    tab_dh.encode(w, 2)
+    tab_dw.encode(w, 4)
+    tab_dw.encode(w, None)
+    tab_bm.encode(w, 0)
+    w.byte_align()
+    w.write_bytes(_pack_bitmap_rows(sym))
+    tab_ex.encode(w, 0)
+    tab_ex.encode(w, 1)
+    flags = 0x0001 | (1 << 4)          # SDHUFF, DW table B.3
+    body = S.pack(">H", flags) + S.pack(">II", 1, 1) + w.getvalue()
+    (got,) = _decode_symbol_dictionary_huffman(body, [], flags)
+    assert [bytes(r) for r in got] == sym

@@ -471,3 +471,41 @@ def test_wet_extract_bom_and_probed_charsets(spark):
     assert a["text"] == "bom text" and a["charset"] == "utf-8-sig"
     assert b["text"] == zh and b["charset"] == "gb18030"
     assert b["decode_clean"] is True
+
+
+def test_wet_conversion_text_ignores_quoted_meta_tag(spark):
+    """A WET conversion record whose PROSE quotes an HTML meta tag
+    (web-dev tutorials do) must decode by the plain-text precedence —
+    BOM / record Content-Type / bare probe — never by the quoted tag
+    (which would mojibake the rest of the record)."""
+    from verified_sources_spark.llm.warc import wet_extract
+
+    text = '<meta charset="shift_jis"> is how you declare — naïve café'
+    rec = encode_record(warc_type="conversion", uri="http://x.test/t",
+                        block=text.encode("utf-8"),
+                        extra_headers={"Content-Type": "text/plain"})
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_warc([rec])))], "doc_id long, asset binary")
+    (row,) = wet_extract(df).collect()
+    assert row["text"] == text
+    assert row["charset"] == "utf-8" and row["decode_clean"] is True
+
+
+def test_wat_status_outside_int32_reports_null(spark):
+    """A hostile Status like '4294967296' must surface http_status
+    null, not blow up the Arrow int32 batch (per-record isolation)."""
+    import json
+
+    from verified_sources_spark.llm.warc import wat_extract
+
+    rec = encode_record(warc_type="metadata", uri="http://x.test/s",
+                        block=json.dumps({"Envelope": {
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "Response-Message": {
+                                        "Status": "4294967296"}}}}}
+                                         ).encode())
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_warc([rec])))], "doc_id long, asset binary")
+    (row,) = wat_extract(df).collect()
+    assert row["json_ok"] is True and row["http_status"] is None

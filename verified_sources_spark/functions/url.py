@@ -62,7 +62,12 @@ def canonical_url(col: str | Column, *,
     # at \n without it and the post-newline tail would survive.
     u = F.regexp_replace(u, "(?s)#.*", "")
     if base_scheme is not None:
-        if not base_scheme.isalnum():
+        import re as _re
+
+        # RFC 3986 §3.1 scheme grammar — isalnum() would admit
+        # digit-first or fullwidth strings that then fail the
+        # authority regex and silently fall into the passthrough
+        if not _re.fullmatch(r"[A-Za-z][A-Za-z0-9+.-]*", base_scheme):
             raise ValueError(f"bad base_scheme {base_scheme!r}")
         # network-path references (//host/path) resolve against the
         # base scheme BEFORE the authority parse, so they share the

@@ -99,7 +99,6 @@ def audio_fingerprint(
     asset_col: str = "asset",
     time_slices: int = 9,
     freq_bands: int = 8,
-    n_tables: int = 4,
 ) -> DataFrame:
     """(id, decoded_ok, afp, sample_rate, n_frames) — one 64-bit
     spectral fingerprint per WAV asset, Arrow-batched, payloads never

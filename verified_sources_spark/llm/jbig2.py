@@ -697,7 +697,6 @@ def _decode_symbol_dictionary(d: bytes,
     hcheight = 0
     total_px = 0
     classes = 0
-    dry_symbols = 0
     while len(syms) < numnew:
         classes += 1
         if classes > 2 * numnew + 8:
@@ -730,17 +729,19 @@ def _decode_symbol_dictionary(d: bytes,
             if total_px > _MAX_PIXELS:
                 raise Jbig2Error(
                     "JBIG2 symbol dictionary over total pixel gate")
-            if dec.exhausted:
-                # the final symbol may legitimately resolve from the
-                # flushed register tail; a SECOND symbol starting
-                # after input exhaustion decodes purely from pad bits
-                # — a mutated symbol count otherwise buys minutes of
-                # MQ work inside the pixel gates (fuzz near-hang)
-                dry_symbols += 1
-                if dry_symbols > 1:
-                    raise Jbig2Error(
-                        "JBIG2 symbol dictionary walks past the end "
-                        "of its data — corrupt symbol count")
+            if dec.pad_byteins > _MAX_PAD_BYTEINS:
+                # legit low-entropy tails resolve from the flushed
+                # register at near-zero pad consumption (an MPS
+                # decision renormalizes ~never), so several trailing
+                # symbols MAY legitimately start after exhaustion —
+                # but fabricated structure chews pad FEEDS fast.  The
+                # cumulative feed gate bounds decode-from-nothing
+                # work without refusing real low-entropy streams
+                # (self-review find; the bitmap decoder applies the
+                # same gate per row)
+                raise Jbig2Error(
+                    "JBIG2 symbol dictionary decodes from exhausted "
+                    "data — corrupt symbol count")
             syms.append(_decode_generic_bitmap(
                 dec, symwidth, hcheight, at, False))
     # export flags: alternating no-export/export run lengths (§6.5.10)
@@ -854,14 +855,18 @@ def _decode_symbol_dictionary_huffman(d: bytes, input_syms: list,
                     "JBIG2 symbol dictionary over total pixel gate")
             widths.append(symwidth)
             totwidth += symwidth
-        if not widths:
-            continue
         # §6.5.9: the height class's symbols ride ONE collective
-        # bitmap, byte-aligned, uncompressed (BMSIZE=0) or MMR
+        # bitmap, byte-aligned, uncompressed (BMSIZE=0) or MMR.
+        # BMSIZE is coded for EVERY height class — skipping it for an
+        # empty class (zero widths) would desynchronize the reader
+        # against a conforming stream (self-review find)
         bmsize = tab_bm.decode(r)
         if bmsize is _HUFF_OOB or bmsize < 0:
             raise Jbig2Error("bad collective bitmap size")
         r.byte_align()
+        if not widths:
+            r.take_bytes(bmsize)   # empty class: skip its bitmap data
+            continue
         if bmsize == 0:
             stride = (totwidth + 7) // 8
             rows = _unpack_bitmap_rows(
@@ -946,15 +951,15 @@ def _decode_text_region(d: bytes, syms: list):
     strips = 1 << log_strips
     if huffman:
         (next_dt, next_fs, next_ds, next_curt, next_sid,
-         exhausted) = _huffman_text_sources(
+         pad_work) = _huffman_text_sources(
             d, _be16(d, 19), body_at, syms, log_strips)
     else:
         (next_dt, next_fs, next_ds, next_curt, next_sid,
-         exhausted) = _arith_text_sources(d, body_at, syms, strips)
+         pad_work) = _arith_text_sources(d, body_at, syms, strips)
     rows = _text_region_walk(
         w, h, numinst, syms, strips, refcorner, combop, defpixel,
         dsoffset, next_dt, next_fs, next_ds, next_curt, next_sid,
-        exhausted)
+        pad_work)
     return w, h, x, y, op, rows
 
 
@@ -970,7 +975,7 @@ def _arith_text_sources(d: bytes, body_at: int, syms: list,
             lambda: _decode_int(dec, "IADS"),
             lambda: _req_int(dec, "IAIT", "T offset"),
             lambda: _decode_iaid(dec, code_len),
-            lambda: dec.exhausted)
+            lambda: dec.pad_byteins > _MAX_PAD_BYTEINS)
 
 
 def _huffman_text_sources(d: bytes, huffflags: int, body_at: int,
@@ -1051,15 +1056,17 @@ def _huffman_text_sources(d: bytes, huffflags: int, body_at: int,
             raise Jbig2Error("OOB symbol ID")
         return v
 
-    def exhausted() -> bool:
-        return r.bytepos >= len(r.data)
+    def pad_work() -> bool:
+        # the Huffman reader raises on true exhaustion itself; no
+        # pad synthesis exists on this path
+        return False
 
-    return next_dt, next_fs, next_ds, next_curt, next_sid, exhausted
+    return next_dt, next_fs, next_ds, next_curt, next_sid, pad_work
 
 
 def _text_region_walk(w, h, numinst, syms, strips, refcorner, combop,
                       defpixel, dsoffset, next_dt, next_fs, next_ds,
-                      next_curt, next_sid, exhausted):
+                      next_curt, next_sid, pad_work):
     """§6.4.5 strip walk + placement + composition, shared by the
     arithmetic and Huffman integer sources."""
     bitmap = [bytearray([defpixel] * w) for _ in range(h)]
@@ -1068,7 +1075,6 @@ def _text_region_walk(w, h, numinst, syms, strips, refcorner, combop,
     firsts = 0
     inst = 0
     strip_rounds = 0
-    dry_insts = 0
     while inst < numinst:
         strip_rounds += 1
         if strip_rounds > numinst + 8:
@@ -1091,17 +1097,16 @@ def _text_region_walk(w, h, numinst, syms, strips, refcorner, combop,
                 raise Jbig2Error(
                     "JBIG2 text region decodes more instances than "
                     "declared")
-            if exhausted():
-                # same rule as the dictionary walk: the final
-                # instance may resolve from the flushed register
-                # tail; a SECOND instance starting past the end of
-                # the data is a mutated instance count buying
-                # composition work from pad bits
-                dry_insts += 1
-                if dry_insts > 1:
-                    raise Jbig2Error(
-                        "JBIG2 text region walks past the end of "
-                        "its data — corrupt instance count")
+            if pad_work():
+                # same rule as the dictionary walk: legit low-entropy
+                # tails resolve from the register at near-zero pad
+                # consumption, so instances MAY legitimately start
+                # after exhaustion — but a mutated instance count
+                # fabricating placements chews pad feeds fast; the
+                # cumulative gate bounds the work
+                raise Jbig2Error(
+                    "JBIG2 text region decodes from exhausted data "
+                    "— corrupt instance count")
             curt = next_curt() if strips > 1 else 0
             ti = stript * strips + curt
             sid = next_sid()

@@ -136,7 +136,6 @@ def video_fingerprint(
     asset_col: str = "asset",
     every_ms: int = 500,
     hash_size: int = 8,
-    n_tables: int = 4,
 ) -> DataFrame:
     """(id, decoded_ok, vfp, n_sampled, frame_hashes) — one 64-bit
     temporally-pooled perceptual fingerprint per decodable clip.

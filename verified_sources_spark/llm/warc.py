@@ -266,14 +266,18 @@ def _lookup(label: str) -> str | None:
 
 
 def detect_charset(
-    http_headers: dict | None, body: bytes
+    http_headers: dict | None, body: bytes, *,
+    sniff_meta: bool = True,
 ) -> tuple[str, str]:
     """(codec, source) for an HTTP response body, in the precedence
     order real browsers use: BOM beats everything, then the
     Content-Type ``charset=`` parameter, then an HTML ``<meta
     charset>`` sniff over the first 1 KiB, then the UTF-8 default.
     ``source`` ∈ {'bom', 'http-header', 'meta', 'default'} so callers
-    can audit why a page decoded the way it did."""
+    can audit why a page decoded the way it did.  ``sniff_meta=False``
+    drops the meta step — correct for NON-HTML bodies (WET extracted
+    text), where a literal ``<meta charset=...>`` quoted in prose
+    must not hijack the decode."""
     if body[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig", "bom"
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
@@ -284,16 +288,18 @@ def detect_charset(
         codec = _lookup(m.group(1))
         if codec:
             return codec, "http-header"
-    m = _CHARSET_IN_META.search(body[:1024])
-    if m:
-        codec = _lookup(m.group(1).decode("ascii", errors="replace"))
-        if codec:
-            return codec, "meta"
+    if sniff_meta:
+        m = _CHARSET_IN_META.search(body[:1024])
+        if m:
+            codec = _lookup(m.group(1).decode("ascii", errors="replace"))
+            if codec:
+                return codec, "meta"
     return "utf-8", "default"
 
 
 def decode_body(
-    http_headers: dict | None, body: bytes
+    http_headers: dict | None, body: bytes, *,
+    sniff_meta: bool = True,
 ) -> tuple[str, str, bool]:
     """(text, charset, decode_clean): decode an HTTP body honoring the
     charset the page itself declares (header / BOM / meta sniff) —
@@ -309,7 +315,8 @@ def decode_body(
     (llm/text_fix.detect_bare_charset) before the replace-decode: an
     undeclared cp1252/GB18030/Shift_JIS page decodes exactly instead
     of shipping U+FFFD-riddled text with a false clean flag."""
-    charset, src = detect_charset(http_headers, body)
+    charset, src = detect_charset(http_headers, body,
+                                  sniff_meta=sniff_meta)
     try:
         return body.decode(charset), charset, True
     except (UnicodeDecodeError, ValueError):
@@ -616,8 +623,12 @@ def wet_extract(df, id_col: str = "doc_id", asset_col: str = "asset"):
                     continue
                 for idx, (hdrs, block) in enumerate(conv):
                     ct = hdrs.get("Content-Type", "")
+                    # sniff_meta=False: WET conversion records are
+                    # extracted PLAIN TEXT — prose that QUOTES an
+                    # HTML meta tag must not hijack the charset
                     text, charset, clean = decode_body(
-                        {"content-type": ct} if ct else None, block)
+                        {"content-type": ct} if ct else None, block,
+                        sniff_meta=False)
                     rows.append({
                         "doc_id": _id, "decoded_ok": True,
                         "record_idx": idx, "n_conversion": len(conv),
@@ -671,9 +682,14 @@ def wat_payload_fields(block: bytes) -> dict:
     status = _jdict(hr.get("Response-Message")).get("Status")
     if isinstance(status, (str, int)) and not isinstance(status, bool):
         try:
-            out["http_status"] = int(status)
+            v = int(status)
         except ValueError:
-            pass
+            v = None
+        # the output schema types http_status as int32; a hostile
+        # "4294967296" would otherwise blow up the Arrow batch (task
+        # failure) instead of surfacing as a null field
+        if v is not None and -(1 << 31) <= v < (1 << 31):
+            out["http_status"] = v
     hm = _jdict(hr.get("HTML-Metadata"))
     links = hm.get("Links")
     if isinstance(links, list):
