@@ -567,11 +567,17 @@ def test_halftone_refusals_by_name():
     pd_at = 11 + 19
     pd_len = struct.unpack_from(">I", good, pd_at + 7)[0]
     ht_at = pd_at + 11 + pd_len
-    # MMR-coded pattern dictionary
+    # r15: HDMMR=1 pattern dictionaries DECODE now — flipping the bit
+    # on an arithmetic stream parses MQ bytes as T.6, which (like any
+    # flipped coding-mode bit in a checksum-free format) either
+    # refuses or garble-decodes to SOME page; only a raw exception
+    # escape would be a bug
     bad = bytearray(good)
     bad[pd_at + 11] |= 0x01
-    with pytest.raises(Jbig2Error, match="MMR-coded pattern"):
+    try:
         decode_jbig2_embedded(bytes(bad))
+    except Jbig2Error:
+        pass
     # template != 0
     bad = bytearray(good)
     bad[pd_at + 11] |= 0x02
@@ -803,3 +809,19 @@ def test_huffman_empty_height_class_stays_synchronized():
     body = S.pack(">H", flags) + S.pack(">II", 1, 1) + w.getvalue()
     (got,) = _decode_symbol_dictionary_huffman(body, [], flags)
     assert [bytes(r) for r in got] == sym
+
+
+def test_mmr_pattern_dictionary_matches_arithmetic():
+    """r15: HDMMR=1 pattern dictionaries ride the libtiff-verified T.6
+    coder and must reconstruct the SAME halftone page as the
+    arithmetic collective bitmap.  Halftone GRAY-PLANE MMR keeps
+    refusing (its inter-plane framing has no verifier here) — only
+    the single-bitmap pattern-dictionary case is served."""
+    from verified_sources_spark.llm.jbig2 import encode_jbig2_halftone
+
+    pats = _density_patterns()
+    vals = [[0, 3, 1], [2, 1, 0], [3, 0, 2]]
+    want = decode_jbig2_embedded(encode_jbig2_halftone(vals, pats))
+    got = decode_jbig2_embedded(
+        encode_jbig2_halftone(vals, pats, mmr_patterns=True))
+    assert got["rows"] == want["rows"]

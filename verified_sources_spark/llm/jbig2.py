@@ -34,10 +34,13 @@ uncompressed or MMR through the libtiff-verified fax coder;
 §7.4.4.1.7 runcode-built symbol-ID tables).  Generic-region templates
 1-3, EXTTEMPLATE, CUSTOM Huffman tables and the two standard tables
 whose transcription failed the completeness cross-check (B.7/B.10),
-Huffman-coded halftone, MMR-coded pattern/halftone data,
-refinement/aggregate symbol coding, transposed text regions,
-HENABLESKIP, and refinement segments refuse BY NAME (the
-silent-garble risk the two-sided method exists to prevent).
+Huffman-coded halftone, MMR-coded halftone GRAY PLANES (their
+inter-plane framing has no verifier here; HDMMR=1 pattern
+dictionaries DECODE — single-bitmap framing, T.6 via the
+libtiff-verified fax codec), refinement/aggregate symbol coding,
+transposed text regions, HENABLESKIP, and refinement segments refuse
+BY NAME (the silent-garble risk the two-sided method exists to
+prevent).
 
 Implements the PDF "embedded organization" (T.88 Annex; no file
 header): a stream of segments, each a segment header (§7.2) plus data.
@@ -1165,16 +1168,19 @@ def _req_int(dec, proc: str, what: str) -> int:
 def _decode_pattern_dictionary(d: bytes) -> list:
     """Pattern dictionary segment data (T.88 §6.7 / §7.4.4): ONE
     collective generic bitmap of width (GRAYMAX+1)×HDPW sliced into
-    the GRAYMAX+1 patterns; arithmetic template 0 with the spec's
-    A1=(-HDPW, 0) adaptive pixel."""
+    the GRAYMAX+1 patterns — arithmetic template 0 with the spec's
+    A1=(-HDPW, 0) adaptive pixel, or (r15) HDMMR=1 with the single
+    collective bitmap T.6-coded through the libtiff-verified fax
+    codec (the framing is unambiguous: one bitmap, one MMR stream,
+    exactly the generic-region MMR case already served; halftone
+    GRAY-PLANE MMR keeps refusing — its inter-plane framing has no
+    verifier here)."""
     if len(d) < 7:
         raise Jbig2Error("truncated JBIG2 pattern dictionary")
     flags = d[0]
-    if flags & 0x01:
-        raise Jbig2Error("JBIG2 MMR-coded pattern dictionary — "
-                         "refusing by name (arithmetic only here)")
+    mmr = bool(flags & 0x01)
     template = (flags >> 1) & 0x03
-    if template != 0:
+    if not mmr and template != 0:
         raise Jbig2Error(
             f"JBIG2 pattern dictionary template {template} — "
             "refusing by name (only template 0 served)")
@@ -1191,11 +1197,22 @@ def _decode_pattern_dictionary(d: bytes) -> list:
     cw = n * hdpw
     if cw * hdph > _MAX_PIXELS:
         raise Jbig2Error("JBIG2 pattern dictionary over pixel gate")
-    from verified_sources_spark.llm.mq_coder import MQDecoder
+    if mmr:
+        try:
+            rows = decode_g4(d[7:], cw, hdph)
+        except FaxError as e:
+            raise Jbig2Error(
+                f"bad MMR pattern dictionary bitmap: {e}") from None
+        if len(rows) < hdph:
+            raise Jbig2Error(
+                "MMR pattern dictionary bitmap shorter than declared")
+        rows = rows[:hdph]
+    else:
+        from verified_sources_spark.llm.mq_coder import MQDecoder
 
-    at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
-    rows = _decode_generic_bitmap(
-        MQDecoder(d[7:], 1 << 16), cw, hdph, at, False)
+        at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+        rows = _decode_generic_bitmap(
+            MQDecoder(d[7:], 1 << 16), cw, hdph, at, False)
     return [[r[i * hdpw:(i + 1) * hdpw] for r in rows]
             for i in range(n)]
 
@@ -1995,6 +2012,7 @@ def encode_jbig2_halftone(
     values: list[list[int]],
     patterns: list[list[bytes]],
     *,
+    mmr_patterns: bool = False,
     page_size: tuple[int, int] | None = None,
     page_default: int = 0,
     region_op: int = 0,
@@ -2033,15 +2051,24 @@ def encode_jbig2_halftone(
         page_size = (hgw * hdpw, hgh * hdph)
     pw, ph = page_size
 
-    # pattern dictionary: collective bitmap, patterns side by side
+    # pattern dictionary: collective bitmap, patterns side by side —
+    # arithmetic (A1=(-HDPW,0)) or, with ``mmr_patterns``, HDMMR=1
+    # through the libtiff-verified T.6 coder
     collective = [b"".join(p[yy] for p in patterns)
                   for yy in range(hdph)]
-    enc = MQEncoder(1 << 16)
-    _encode_generic_bitmap(enc, collective,
-                           ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2)),
-                           False)
-    pd_body = (bytes([0, hdpw, hdph]) + struct.pack(">I", graymax)
-               + enc.flush())
+    if mmr_patterns:
+        pd_data = encode_g4(collective)
+        pd_flag = 1
+    else:
+        enc = MQEncoder(1 << 16)
+        _encode_generic_bitmap(enc, collective,
+                               ((-hdpw, 0), (-3, -1), (2, -2),
+                                (-2, -2)),
+                               False)
+        pd_data = enc.flush()
+        pd_flag = 0
+    pd_body = (bytes([pd_flag, hdpw, hdph])
+               + struct.pack(">I", graymax) + pd_data)
 
     # halftone region: Gray-coded bitplanes, MSB first (C.5 inverse:
     # plane_msb = bit_msb, plane_j = bit_j XOR bit_{j+1})

@@ -3223,7 +3223,8 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             blob = encode_jbig2_halftone(
                                 [[rows_[yy][xx] for xx in range(w)]
                                  for yy in range(h)],
-                                [[bytes([0])], [bytes([1])]])
+                                [[bytes([0])], [bytes([1])]],
+                                mmr_patterns=(did // 45) % 2 == 1)
                         elif mode == 2:
                             h1 = h // 2
                             w1 = w // 3
