@@ -3798,3 +3798,39 @@ ORACLE_SQL["wat_metadata_docs"] = """
            CAST(NULL AS VARCHAR)
     FROM p WHERE ok
 """
+
+# WET → corpus composition (r15): the conversion-record door feeding
+# the quality gate + cross-shard dedup.  Page A: 6 prefix tokens + the
+# doc text's own tokens, its own group; page B: byte-shared by
+# doc_id % 7 (group count / canonical-min replayed); page C (1 token)
+# falls to the >= 5 gate; doc_id % 19 truncated shards drop whole.
+ORACLE_SQL["wet_corpus_docs"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id % 19) <> 0 AS ok,
+               doc_id % 7 AS g,
+               COALESCE(text, '') AS doc_text
+        FROM documents
+    ),
+    okd AS (SELECT * FROM p WHERE ok),
+    shared AS (
+        SELECT g, COUNT(*) AS n, MIN(doc_id) AS mn FROM okd GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(0 AS INTEGER) AS record_idx,
+           'http://wet.test/' || doc_id || '/a' AS uri,
+           CAST(6 + len(regexp_extract_all(lower(doc_text),
+                                           '[a-z0-9]+')) AS INTEGER)
+               AS n_tokens,
+           CAST(1 AS BIGINT) AS dup_group_size,
+           TRUE AS is_canonical
+    FROM okd
+    UNION ALL
+    SELECT o.doc_id,
+           CAST(1 AS INTEGER),
+           'http://wet.test/' || o.doc_id || '/b',
+           CAST(6 AS INTEGER),
+           CAST(s.n AS BIGINT),
+           o.doc_id = s.mn
+    FROM okd o JOIN shared s ON o.g = s.g
+"""

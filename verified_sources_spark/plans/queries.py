@@ -6344,6 +6344,81 @@ def wat_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title")
 
 
+def wet_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET door composed into the training-data surface: per doc,
+    mint a WET shard of THREE conversion records — a unique prose page
+    (carrying the doc's own text), a page byte-SHARED across shards by
+    ``doc_id % 7`` (seven cross-shard dedup groups), and a junk page
+    that must fall to the quality gate (``token_count >= 5``) — plus a
+    ``request`` sibling that must only ever count as skipped.  Pipeline:
+    llm/warc.wet_extract → token-count filter → cross-shard exact dedup
+    (window keyed on ``md5(text)`` per the r15 shuffle-key law).  Every
+    19th shard truncated → the whole doc's pages drop (isolation).  The
+    oracle replays the token arithmetic (6 prefix tokens + the doc
+    text's own), the shared-group counts and the canonical mins in
+    SQL — Common Crawl's WET format feeding the same dedup surface the
+    response door feeds."""
+    import pandas as pd
+
+    from verified_sources_spark.functions.text import token_count
+    from verified_sources_spark.llm.warc import wet_extract
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+
+    def mint(batches):
+        from verified_sources_spark.llm.warc import (
+            encode_record,
+            encode_warc,
+        )
+
+        ct = {"Content-Type": "text/plain"}
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                doc_text = text or ""
+                recs = [
+                    encode_record(warc_type="warcinfo", block=b"sw: t"),
+                    encode_record(
+                        warc_type="request",
+                        uri=f"http://wet.test/{did}/a",
+                        block=(b"GET /a HTTP/1.1\r\n"
+                               b"Host: wet.test\r\n\r\n")),
+                    encode_record(
+                        warc_type="conversion",
+                        uri=f"http://wet.test/{did}/a",
+                        block=(f"wet corpus {did} unique page body "
+                               f"{doc_text}").encode(),
+                        extra_headers=ct),
+                    encode_record(
+                        warc_type="conversion",
+                        uri=f"http://wet.test/{did}/b",
+                        block=(f"shared wet corpus page number "
+                               f"{did % 7}").encode(),
+                        extra_headers=ct),
+                    encode_record(
+                        warc_type="conversion",
+                        uri=f"http://wet.test/{did}/c",
+                        block=b"tiny",
+                        extra_headers=ct),
+                ]
+                wet = encode_warc(recs, gzip_members=did % 3 == 0)
+                rows.append({"doc_id": did,
+                             "asset": wet[:40] if did % 19 == 0 else wet})
+            yield pd.DataFrame(rows, columns=["doc_id", "asset"])
+
+    assets = d.mapInPandas(mint, "doc_id long, asset binary")
+    pages = wet_extract(assets).filter(
+        F.col("decoded_ok") & (token_count(F.col("text")) >= 5))
+    w = Window.partitionBy(F.md5("text"))
+    return pages.select(
+        "doc_id", "record_idx", "uri",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .alias("is_canonical"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6519,4 +6594,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_corpus_docs": crawl_corpus_docs,
     "wet_text_docs": wet_text_docs,
     "wat_metadata_docs": wat_metadata_docs,
+    "wet_corpus_docs": wet_corpus_docs,
 }
