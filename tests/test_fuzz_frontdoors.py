@@ -746,3 +746,32 @@ def test_fuzz_jbig2_huffman():
             syms, insts, (16, 12), mmr_bitmaps=True)
 
     _battery(enc, decode_jbig2_embedded, (Jbig2Error, FaxError))
+
+
+def test_fuzz_jbig2_custom_tables():
+    """The r15 §B.2 custom-table path: mutate a stream whose
+    DH/DW/FS/DS tables travel as selector-3 table segments — the
+    table reader's gates (span/prefix/range/line-count) plus the
+    shared Huffman work gates must hold; only Jbig2Error/FaxError may
+    escape."""
+    from verified_sources_spark.llm.fax_codec import FaxError
+    from verified_sources_spark.llm.jbig2 import (
+        Jbig2Error,
+        decode_jbig2_embedded,
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    def glyph(seed, w, h):
+        import random as R
+        rng = R.Random(seed)
+        return [bytes(rng.getrandbits(1) for _ in range(w))
+                for _ in range(h)]
+
+    def enc():
+        syms = [glyph(4, 5, 4), glyph(5, 6, 4), glyph(6, 4, 7)]
+        insts = [(0, 0, 0), (6, 0, 1), (1, 5, 2)]
+        return encode_jbig2_symbol_text_huffman(
+            syms, insts, (16, 12), mmr_bitmaps=True,
+            custom_tables=True)
+
+    _battery(enc, decode_jbig2_embedded, (Jbig2Error, FaxError))

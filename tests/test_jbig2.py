@@ -825,3 +825,166 @@ def test_mmr_pattern_dictionary_matches_arithmetic():
     got = decode_jbig2_embedded(
         encode_jbig2_halftone(vals, pats, mmr_patterns=True))
     assert got["rows"] == want["rows"]
+
+
+def test_custom_table_segment_round_trips_standard_tables():
+    """r15 §B.2 custom table segments: re-encoding every SHIPPED
+    standard table as a table segment must parse back line- and
+    CODEWORD-identical (the parsed lines feed the same §B.3 canonical
+    constructor that is codeword-pinned against the published B.1/B.4
+    assignments).  Covers signed HTLOW (B.3/B.5/B.6/B.8), OOB
+    prefixes (B.2/B.3/B.8/B.9) and tables without a lower escape
+    (B.1/B.2/B.4/B.11-13)."""
+    from verified_sources_spark.llm.jbig2 import (
+        _HUFF_STANDARD,
+        _HuffTable,
+        _encode_table_segment_body,
+        _parse_table_segment,
+    )
+
+    for num, lines in _HUFF_STANDARD.items():
+        t0 = _HuffTable(lines, f"B.{num}")
+        t1 = _parse_table_segment(
+            _encode_table_segment_body(lines), f"rt{num}")
+        assert t0.lines == t1.lines, f"B.{num} lines differ"
+        assert t0._code_of == t1._code_of, f"B.{num} codes differ"
+        assert t1.complete, f"B.{num} lost completeness"
+
+
+def test_custom_table_stream_decodes_pixel_identical():
+    """A stream whose DH/DW/FS/DS travel as selector-3 CUSTOM table
+    segments (line-identical re-encodings of B.4/B.3/B.6/B.8) must
+    decode to the SAME pixels as the standard-selector stream — a
+    true cross-check of the §B.2 reader and the §7.4.3.1.6 referral
+    consumption order, since the integer coding is byte-identical."""
+    from verified_sources_spark.llm.jbig2 import (
+        _TABLES,
+        _iter_segments,
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    syms = _glyphs(seed=21, n=4)
+    insts = [(0, 0, 0), (5, 0, 2), (10, 0, 3), (2, 7, 1)]
+    for mmr in (True, False):
+        std = encode_jbig2_symbol_text_huffman(
+            syms, insts, (18, 14), mmr_bitmaps=mmr)
+        cus = encode_jbig2_symbol_text_huffman(
+            syms, insts, (18, 14), mmr_bitmaps=mmr,
+            custom_tables=True)
+        kinds = [s["type"] for s in _iter_segments(cus)]
+        assert kinds.count(_TABLES) == 4
+        assert decode_jbig2_embedded(cus)["rows"] == \
+            decode_jbig2_embedded(std)["rows"], f"mmr={mmr}"
+    g, page = encode_jbig2_symbol_text_huffman(
+        syms, insts, (18, 14), in_globals=True, custom_tables=True)
+    want = decode_jbig2_embedded(
+        encode_jbig2_symbol_text_huffman(syms, insts, (18, 14)))
+    assert decode_jbig2_embedded(page, globals_data=g)["rows"] == \
+        want["rows"]
+
+
+def test_custom_table_nonstandard_value_round_trip():
+    """A hand-built table that matches NO standard one (negative
+    span, uneven range widths, lower+upper+OOB escapes) survives the
+    segment round trip and codes every value in and beyond its span
+    identically before and after."""
+    from verified_sources_spark.llm.jbig2 import (
+        _HUFF_OOB,
+        _BitReader,
+        _BitWriter,
+        _HuffTable,
+        _encode_table_segment_body,
+        _parse_table_segment,
+    )
+
+    lines = ((3, 2, -7), (1, 0, -3), (3, 1, -2), (3, 3, 0),
+             (4, 32, -8, "lower"), (5, 32, 8, "upper"),
+             (5, 0, 0, "oob"))
+    t0 = _HuffTable(lines, "hand")
+    t1 = _parse_table_segment(_encode_table_segment_body(lines), "rt")
+    assert t0.lines == t1.lines and t0._code_of == t1._code_of
+    w = _BitWriter()
+    values = [-7, -4, -3, -2, -1, 0, 7, None, -100, 5000, None]
+    for v in values:
+        t0.encode(w, v)
+    r = _BitReader(w.getvalue())
+    got = [t1.decode(r) for _ in values]
+    assert got == [v if v is not None else _HUFF_OOB for v in values]
+
+
+def test_custom_table_segment_refusals():
+    """§B.2 corrupt-structure gates refuse: truncation, the reserved
+    flag bit, an empty value span, prefix/range lengths over gate,
+    absurd line counts, and an all-zero-prefix table."""
+    import struct as S
+
+    from verified_sources_spark.llm.jbig2 import (
+        _BitWriter,
+        _parse_table_segment,
+    )
+
+    with pytest.raises(Jbig2Error, match="truncated"):
+        _parse_table_segment(b"\x00" * 8)
+    with pytest.raises(Jbig2Error, match="reserved flag"):
+        _parse_table_segment(b"\x80" + b"\x00" * 12)
+    empty = bytes([0x00]) + S.pack(">ii", 5, 5) + b"\x00" * 4
+    with pytest.raises(Jbig2Error, match="empty"):
+        _parse_table_segment(empty)
+    # htps=6: one line with preflen 33 (over the 32 gate)
+    w = _BitWriter()
+    w.write_bits(33, 6)
+    w.write_bits(0, 1)
+    over = bytes([(6 - 1) << 1]) + S.pack(">ii", 0, 1) + w.getvalue()
+    with pytest.raises(Jbig2Error, match="prefix length 33"):
+        _parse_table_segment(over)
+    # htrs=7: one line with rangelen 40 (over the 32 gate)
+    w = _BitWriter()
+    w.write_bits(1, 1)
+    w.write_bits(40, 7)
+    over = (bytes([((7 - 1) << 4)]) + S.pack(">ii", 0, 1)
+            + w.getvalue())
+    with pytest.raises(Jbig2Error, match="range length 40"):
+        _parse_table_segment(over)
+    # rangelen-0 lines marching a huge span: the 4096-line gate
+    march = (bytes([0x00]) + S.pack(">ii", 0, 1 << 20)
+             + b"\xaa" * 2048)
+    with pytest.raises(Jbig2Error, match="absurd number"):
+        _parse_table_segment(march)
+    # every prefix length zero: nothing decodable
+    w = _BitWriter()
+    for _ in range(2):            # one range line + nothing usable
+        w.write_bits(0, 1)
+        w.write_bits(0, 1)
+    w.write_bits(0, 1)            # lower
+    w.write_bits(0, 1)            # upper
+    zero = bytes([0x00]) + S.pack(">ii", 0, 2) + w.getvalue()
+    with pytest.raises(Jbig2Error, match="prefix length zero"):
+        _parse_table_segment(zero)
+
+
+def test_custom_table_stream_mutation_battery():
+    """Every mutated byte of the custom-table stream either decodes
+    to SOME page or refuses as Jbig2Error — never an escape (the
+    §B.2 reader sits in front of the same work gates as the rest of
+    the Huffman path)."""
+    import time
+
+    from verified_sources_spark.llm.jbig2 import (
+        encode_jbig2_symbol_text_huffman,
+    )
+
+    syms = _glyphs(seed=21, n=4)
+    insts = [(0, 0, 0), (5, 0, 2), (10, 0, 3), (2, 7, 1)]
+    good = encode_jbig2_symbol_text_huffman(
+        syms, insts, (18, 14), custom_tables=True)
+    rng = random.Random(151)
+    t0 = time.monotonic()
+    for _ in range(400):
+        bad = bytearray(good)
+        for _ in range(rng.choice((1, 1, 1, 3))):
+            bad[rng.randrange(len(bad))] = rng.randrange(256)
+        try:
+            decode_jbig2_embedded(bytes(bad))
+        except Jbig2Error:
+            pass
+    assert time.monotonic() - t0 < 60

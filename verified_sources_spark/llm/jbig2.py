@@ -31,8 +31,13 @@ round-trip/invariant battery; **standard-Huffman symbol dictionaries
 tables — each import-time-checked to form a COMPLETE canonical prefix
 code, the transcription cross-check; collective height-class bitmaps
 uncompressed or MMR through the libtiff-verified fax coder;
-§7.4.4.1.7 runcode-built symbol-ID tables).  Generic-region templates
-1-3, EXTTEMPLATE, CUSTOM Huffman tables and the two standard tables
+§7.4.4.1.7 runcode-built symbol-ID tables); **custom Huffman table
+segments** (r15: §7.4.13/§B.2 — self-describing tables parsed into
+the same §B.3 canonical-assignment constructor the standard tables go
+through, consumed by selector-3 fields in §7.4.3.1.6 order; the tests
+re-encode every shipped standard table as a segment and require line-
+and codeword-identical parses).  Generic-region templates
+1-3, EXTTEMPLATE, the two standard tables
 whose transcription failed the completeness cross-check (B.7/B.10),
 Huffman-coded halftone, MMR-coded halftone GRAY PLANES (their
 inter-plane framing has no verifier here; HDMMR=1 pattern
@@ -522,6 +527,16 @@ def _std_table(number: int, what: str) -> _HuffTable:
     return _HuffTable(lines, f"B.{number}")
 
 
+def _next_custom(pool: list, what: str) -> "_HuffTable":
+    """§7.4.3.1.6 / §7.4.4.1.4: each custom-table selector consumes
+    the NEXT referred-to table segment, in selector field order."""
+    if not pool:
+        raise Jbig2Error(
+            f"JBIG2 {what} custom-table selector with no referred "
+            "table segment left — corrupt stream")
+    return pool.pop(0)
+
+
 def _assert_standard_tables_complete() -> None:
     """Import-time transcription cross-check: every shipped standard
     table must assign a COMPLETE canonical prefix code (Kraft sum 1,
@@ -640,6 +655,134 @@ def _pack_bitmap_rows(rows) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------- custom table segments (§B.2)
+
+_MAX_TABLE_LINES = 4096    # every published table has < 32 lines
+_MAX_TABLE_PREFLEN = 32    # canonical codes past 32 bits are garble
+
+
+def _parse_table_segment(d: bytes, name: str = "custom") -> _HuffTable:
+    """Custom Huffman table segment data (T.88 §7.4.13 / §B.2): a
+    SELF-DESCRIBING table — one flags byte (bit 0 HTOOB, bits 1-3
+    HTPS-1, bits 4-6 HTRS-1), the signed 32-bit value span
+    [HTLOW, HTHIGH), then one (PREFLEN, RANGELEN) pair per range line
+    walking HTLOW upward in 2^RANGELEN steps, the 32-bit LOWER and
+    UPPER escape lines, and an OOB prefix length when HTOOB=1.
+    PREFLEN 0 marks an unused line (§B.3), so tables without a lower
+    escape or OOB entry encode naturally.  The parsed lines feed the
+    SAME §B.3 canonical-assignment constructor the standard tables go
+    through — the layer that is codeword-pinned against the published
+    B.1/B.4 assignments — so this reader adds only the §B.2 framing,
+    which the tests cross-check by re-encoding every shipped standard
+    table as a segment and requiring line- and codeword-identical
+    parses.  Gates: prefix/range lengths over 32 and line counts over
+    4096 refuse as corrupt (every published table is tiny)."""
+    if len(d) < 9:
+        raise Jbig2Error("truncated JBIG2 table segment")
+    flags = d[0]
+    if flags & 0x80:
+        raise Jbig2Error(
+            "JBIG2 table segment with the reserved flag bit set")
+    htoob = flags & 0x01
+    htps = ((flags >> 1) & 0x07) + 1
+    htrs = ((flags >> 4) & 0x07) + 1
+    htlow, hthigh = struct.unpack_from(">ii", d, 1)
+    if hthigh <= htlow:
+        raise Jbig2Error(
+            f"JBIG2 table segment value span [{htlow}, {hthigh}) "
+            "is empty")
+    r = _BitReader(d[9:])
+    lines: list = []
+    cur = htlow
+    while cur < hthigh:
+        if len(lines) >= _MAX_TABLE_LINES:
+            raise Jbig2Error(
+                "JBIG2 table segment declares an absurd number of "
+                "range lines — corrupt stream")
+        preflen = r.read_bits(htps)
+        rangelen = r.read_bits(htrs)
+        if preflen > _MAX_TABLE_PREFLEN:
+            raise Jbig2Error(
+                f"JBIG2 table segment prefix length {preflen} over "
+                "gate — corrupt stream")
+        if rangelen > 32:
+            raise Jbig2Error(
+                f"JBIG2 table segment range length {rangelen} over "
+                "gate — corrupt stream")
+        lines.append((preflen, rangelen, cur))
+        cur += 1 << rangelen
+    low_pl = r.read_bits(htps)
+    up_pl = r.read_bits(htps)
+    if max(low_pl, up_pl) > _MAX_TABLE_PREFLEN:
+        raise Jbig2Error(
+            "JBIG2 table segment escape prefix length over gate — "
+            "corrupt stream")
+    lines.append((low_pl, 32, htlow - 1, "lower"))
+    lines.append((up_pl, 32, hthigh, "upper"))
+    if htoob:
+        oob_pl = r.read_bits(htps)
+        if oob_pl > _MAX_TABLE_PREFLEN:
+            raise Jbig2Error(
+                "JBIG2 table segment OOB prefix length over gate — "
+                "corrupt stream")
+        lines.append((oob_pl, 0, 0, "oob"))
+    if all(ln[0] == 0 for ln in lines):
+        raise Jbig2Error(
+            "JBIG2 table segment with every prefix length zero")
+    return _HuffTable(lines, name)
+
+
+def _encode_table_segment_body(lines, name: str = "custom") -> bytes:
+    """§B.2 inverse — the fixture writer.  ``lines`` in the
+    ``_HUFF_STANDARD`` tuple form: normal lines must tile a
+    contiguous ascending span (true of every published table and any
+    table expressible in the segment form); lower/OOB lines are
+    optional (encoded as PREFLEN 0 / HTOOB 0)."""
+    normals = [ln for ln in lines if len(ln) < 4 or ln[3] == "normal"]
+    escapes = {ln[3]: ln for ln in lines
+               if len(ln) > 3 and ln[3] != "normal"}
+    if not normals or "upper" not in escapes:
+        raise Jbig2Error(
+            "table segment fixture needs range lines and an upper "
+            "escape")
+    htlow = normals[0][2]
+    cur = htlow
+    for preflen, rangelen, rangelow, *_ in normals:
+        if rangelow != cur:
+            raise Jbig2Error(
+                "table segment fixture lines must tile a contiguous "
+                f"span (expected {cur}, got {rangelow})")
+        cur += 1 << rangelen
+    hthigh = cur
+    if escapes["upper"][2] != hthigh:
+        raise Jbig2Error(
+            "table segment fixture upper escape must start at HTHIGH")
+    if "lower" in escapes and escapes["lower"][2] != htlow - 1:
+        raise Jbig2Error(
+            "table segment fixture lower escape must sit at HTLOW-1")
+    low_pl = escapes["lower"][0] if "lower" in escapes else 0
+    up_pl = escapes["upper"][0]
+    oob_pl = escapes["oob"][0] if "oob" in escapes else None
+    htps = max(pl.bit_length() for pl in
+               [low_pl, up_pl, oob_pl or 0]
+               + [ln[0] for ln in normals]) or 1
+    htrs = max([ln[1] for ln in normals], default=0).bit_length() or 1
+    if htps > 8 or htrs > 8:
+        raise Jbig2Error("table segment fixture field widths over 8")
+    w = _BitWriter()
+    for preflen, rangelen, _rl, *_ in normals:
+        w.write_bits(preflen, htps)
+        w.write_bits(rangelen, htrs)
+    w.write_bits(low_pl, htps)
+    w.write_bits(up_pl, htps)
+    if oob_pl is not None:
+        w.write_bits(oob_pl, htps)
+    flags = ((1 if oob_pl is not None else 0)
+             | ((htps - 1) << 1) | ((htrs - 1) << 4))
+    return (bytes([flags]) + struct.pack(">ii", htlow, hthigh)
+            + w.getvalue())
+
+
 # ------------------------------------- symbol dictionary / text region
 
 _MAX_PAD_BYTEINS = 64   # legit flush tails use a handful; see mq_coder
@@ -655,18 +798,20 @@ def _be16(d: bytes, pos: int) -> int:
 
 
 def _decode_symbol_dictionary(d: bytes,
-                              input_syms: list) -> list:
+                              input_syms: list,
+                              custom_tables=()) -> list:
     """Symbol dictionary segment data (T.88 §6.5 / §7.4.3): the
     arithmetic non-refinement path (SDHUFF=0, SDREFAGG=0, template 0
-    — what mainstream encoders emit), and (r15) the STANDARD-Huffman
-    path (SDHUFF=1 with Annex-B tables; custom-table selectors refuse
-    by name).  Arithmetic: height classes via IADH, per-symbol width
+    — what mainstream encoders emit), and (r15) the Huffman path
+    (SDHUFF=1 with Annex-B standard tables or referred CUSTOM table
+    segments).  Arithmetic: height classes via IADH, per-symbol width
     deltas via IADW (OOB ends a class), bitmaps through ONE shared MQ
     decoder + GB context array, export runs via IAEX over input+new
     symbols.  Returns the exported bitmaps."""
     flags = _be16(d, 0)
     if flags & 0x01:
-        return _decode_symbol_dictionary_huffman(d, input_syms, flags)
+        return _decode_symbol_dictionary_huffman(
+            d, input_syms, flags, custom_tables)
     if flags & 0x02:
         raise Jbig2Error("JBIG2 refinement/aggregate symbol coding — "
                          "refusing by name")
@@ -773,13 +918,16 @@ def _decode_symbol_dictionary(d: bytes,
 
 
 def _decode_symbol_dictionary_huffman(d: bytes, input_syms: list,
-                                      flags: int) -> list:
+                                      flags: int,
+                                      custom_tables=()) -> list:
     """SDHUFF=1 symbol dictionary (T.88 §6.5.9 / §7.4.3): DH/DW via
-    standard tables B.4-B.5 / B.2-B.3, per-height-class COLLECTIVE
-    bitmaps sized by B.1 — BMSIZE=0 means uncompressed byte-aligned
-    rows, otherwise the MMR (T.6) coder this repo already carries
-    libtiff-verified (llm/fax_codec) — and export runs via B.1.
-    Custom-table selectors, refinement/aggregate coding, and retained
+    standard tables B.4-B.5 / B.2-B.3 or CUSTOM table segments
+    (selector 3 / the BMSIZE bit consume the referred-to table
+    segments in §7.4.3.1.6 field order), per-height-class COLLECTIVE
+    bitmaps sized by B.1 or a custom table — BMSIZE=0 means
+    uncompressed byte-aligned rows, otherwise the MMR (T.6) coder
+    this repo already carries libtiff-verified (llm/fax_codec) — and
+    export runs via B.1.  Refinement/aggregate coding and retained
     contexts refuse by name.  No AT pixels in this header form
     (§7.4.3.1.2: present only when SDHUFF=0)."""
     if flags & 0x02:
@@ -788,23 +936,32 @@ def _decode_symbol_dictionary_huffman(d: bytes, input_syms: list,
     if flags & 0x100 or flags & 0x200:
         raise Jbig2Error("JBIG2 retained/imported coding contexts — "
                          "refusing by name")
+    pool = list(custom_tables)
     dh_sel = (flags >> 2) & 0x03
     dw_sel = (flags >> 4) & 0x03
-    if dh_sel >= 2:
+    if dh_sel == 2:
         raise Jbig2Error(
-            "JBIG2 custom/reserved SDHUFFDH table — refusing by name")
-    if dw_sel >= 2:
+            "JBIG2 reserved SDHUFFDH table selector — corrupt stream")
+    if dw_sel == 2:
         raise Jbig2Error(
-            "JBIG2 custom/reserved SDHUFFDW table — refusing by name")
+            "JBIG2 reserved SDHUFFDW table selector — corrupt stream")
+    # §7.4.3.1.6: custom selectors consume the referred-to table
+    # segments in field order — DH, DW, BMSIZE, AGGINST
+    if dh_sel == 3:
+        tab_dh = _next_custom(pool, "SDHUFFDH")
+    else:
+        tab_dh = _std_table(4 if dh_sel == 0 else 5, "SDHUFFDH")
+    if dw_sel == 3:
+        tab_dw = _next_custom(pool, "SDHUFFDW")
+    else:
+        tab_dw = _std_table(2 if dw_sel == 0 else 3, "SDHUFFDW")
     if flags & 0x40:
-        raise Jbig2Error(
-            "JBIG2 custom SDHUFFBMSIZE table — refusing by name")
+        tab_bm = _next_custom(pool, "SDHUFFBMSIZE")
+    else:
+        tab_bm = _std_table(1, "SDHUFFBMSIZE")
     if flags & 0x80:
-        raise Jbig2Error(
-            "JBIG2 custom SDHUFFAGGINST table — refusing by name")
-    tab_dh = _std_table(4 if dh_sel == 0 else 5, "SDHUFFDH")
-    tab_dw = _std_table(2 if dw_sel == 0 else 3, "SDHUFFDW")
-    tab_bm = _std_table(1, "SDHUFFBMSIZE")
+        _next_custom(pool, "SDHUFFAGGINST")   # consumed, unused:
+        # aggregate coding (the only consumer) refused above
     tab_ex = _std_table(1, "EX runs")
     if len(d) < 10:
         raise Jbig2Error("truncated JBIG2 symbol dictionary")
@@ -914,15 +1071,14 @@ def _decode_symbol_dictionary_huffman(d: bytes, input_syms: list,
     return exported
 
 
-def _decode_text_region(d: bytes, syms: list):
+def _decode_text_region(d: bytes, syms: list, custom_tables=()):
     """Text region segment data (T.88 §6.4 / §7.4.4), non-refinement
     non-transposed: the ARITHMETIC path (strip walk via IADT/IAFS/
-    IADS/IAIT, symbol IDs via the IAID tree) and (r15) the
-    STANDARD-HUFFMAN path (SBHUFF=1, Annex-B tables + the §7.4.4.1.7
-    runcode-coded symbol-ID table; custom-table selectors refuse by
-    name).  Placement by REFCORNER and per-instance SBCOMBOP
-    composition are shared (_text_region_walk).  Returns (region
-    info, rows)."""
+    IADS/IAIT, symbol IDs via the IAID tree) and (r15) the HUFFMAN
+    path (SBHUFF=1, Annex-B standard tables or referred CUSTOM table
+    segments + the §7.4.4.1.7 runcode-coded symbol-ID table).
+    Placement by REFCORNER and per-instance SBCOMBOP composition are
+    shared (_text_region_walk).  Returns (region info, rows)."""
     w, h, x, y, op = _region_info(d)
     flags = _be16(d, 17)
     huffman = bool(flags & 0x01)
@@ -955,7 +1111,8 @@ def _decode_text_region(d: bytes, syms: list):
     if huffman:
         (next_dt, next_fs, next_ds, next_curt, next_sid,
          pad_work) = _huffman_text_sources(
-            d, _be16(d, 19), body_at, syms, log_strips)
+            d, _be16(d, 19), body_at, syms, log_strips,
+            custom_tables)
     else:
         (next_dt, next_fs, next_ds, next_curt, next_sid,
          pad_work) = _arith_text_sources(d, body_at, syms, strips)
@@ -982,21 +1139,32 @@ def _arith_text_sources(d: bytes, body_at: int, syms: list,
 
 
 def _huffman_text_sources(d: bytes, huffflags: int, body_at: int,
-                          syms: list, log_strips: int):
+                          syms: list, log_strips: int,
+                          custom_tables=()):
     """The five integer sources of the SBHUFF=1 walk (§7.4.4.1):
-    FS/DS/DT through the flag-selected standard tables, CURT as
-    LOGSBSTRIPS raw bits, symbol IDs through the runcode-built
-    per-region Huffman table (§7.4.4.1.7)."""
+    FS/DS/DT through the flag-selected standard tables or referred
+    CUSTOM table segments (selector 3 consumes them in §7.4.4.1.4
+    field order), CURT as LOGSBSTRIPS raw bits, symbol IDs through
+    the runcode-built per-region Huffman table (§7.4.4.1.7)."""
+    pool = list(custom_tables)
     fs_sel = huffflags & 0x03
     ds_sel = (huffflags >> 2) & 0x03
     dt_sel = (huffflags >> 4) & 0x03
-    if fs_sel == 3 or ds_sel == 3 or dt_sel == 3:
+    if fs_sel == 2:
         raise Jbig2Error(
-            "JBIG2 custom text-region Huffman table — refusing by "
-            "name")
-    tab_fs = _std_table(6 if fs_sel == 0 else 7, "SBHUFFFS")
-    tab_ds = _std_table((8, 9, 10)[ds_sel], "SBHUFFDS")
-    tab_dt = _std_table((11, 12, 13)[dt_sel], "SBHUFFDT")
+            "JBIG2 reserved SBHUFFFS table selector — corrupt stream")
+    if fs_sel == 3:
+        tab_fs = _next_custom(pool, "SBHUFFFS")
+    else:
+        tab_fs = _std_table(6 if fs_sel == 0 else 7, "SBHUFFFS")
+    if ds_sel == 3:
+        tab_ds = _next_custom(pool, "SBHUFFDS")
+    else:
+        tab_ds = _std_table((8, 9, 10)[ds_sel], "SBHUFFDS")
+    if dt_sel == 3:
+        tab_dt = _next_custom(pool, "SBHUFFDT")
+    else:
+        tab_dt = _std_table((11, 12, 13)[dt_sel], "SBHUFFDT")
     r = _BitReader(d[body_at:])
     # §7.4.4.1.7: 35 runcode lengths (4 bits each) → runcode prefix
     # code → SBNUMSYMS symbol-code lengths (32/33/34 are repeats) →
@@ -1318,12 +1486,13 @@ _SYMBOL_DICT = 0
 _TEXT_REGIONS = (4, 6, 7)
 _PATTERN_DICT = 16
 _HALFTONE_REGIONS = (20, 22, 23)
+_TABLES = 53
 
 _TYPE_NAMES = {
     40: "intermediate refinement region",
     42: "immediate refinement region",
     43: "immediate lossless refinement region",
-    52: "profiles", 53: "tables", 54: "color palette",
+    52: "profiles", 54: "color palette",
 }
 
 _MAX_PIXELS = 1 << 26  # 64M page pixels: the decompression-bomb gate
@@ -1415,7 +1584,8 @@ def _region_info(d: bytes) -> tuple[int, int, int, int, int]:
 
 def _check_supported(seg: dict) -> None:
     t = seg["type"]
-    if t in (_SYMBOL_DICT, _PATTERN_DICT) or t in _TEXT_REGIONS \
+    if t in (_SYMBOL_DICT, _PATTERN_DICT, _TABLES) \
+            or t in _TEXT_REGIONS \
             or t in _HALFTONE_REGIONS \
             or t in _GENERIC_REGIONS or t in (
             _PAGE_INFO, _END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE,
@@ -1478,6 +1648,7 @@ def decode_jbig2_embedded(
 
     sym_dicts: dict[int, list] = {}  # segment number -> exported syms
     pat_dicts: dict[int, list] = {}  # segment number -> patterns
+    cust_tables: dict[int, _HuffTable] = {}  # number -> custom table
 
     def _input_symbols(seg: dict) -> list:
         """Concatenate the exported symbols of every referred symbol
@@ -1496,6 +1667,12 @@ def decode_jbig2_embedded(
                 out.extend(pat_dicts[r])
         return out
 
+    def _input_tables(seg: dict) -> list:
+        """Referred-to custom table segments, in referral order —
+        the pool the custom selectors consume (§7.4.3.1.6)."""
+        return [cust_tables[r] for r in seg["referred"]
+                if r in cust_tables]
+
     for seg in _iter_segments(globals_data):
         # globals hold symbol/pattern dictionaries for the text and
         # halftone layers — the same type gate applies
@@ -1506,9 +1683,12 @@ def decode_jbig2_embedded(
             raise Jbig2Error(
                 "JBIG2 region in the globals stream — "
                 "regions are page-associated (T.88 §8.2)")
-        if seg["type"] == _SYMBOL_DICT:
+        if seg["type"] == _TABLES:
+            cust_tables[seg["number"]] = _parse_table_segment(
+                seg["data"], f"custom#{seg['number']}")
+        elif seg["type"] == _SYMBOL_DICT:
             sym_dicts[seg["number"]] = _decode_symbol_dictionary(
-                seg["data"], _input_symbols(seg))
+                seg["data"], _input_symbols(seg), _input_tables(seg))
         elif seg["type"] == _PATTERN_DICT:
             pat_dicts[seg["number"]] = _decode_pattern_dictionary(
                 seg["data"])
@@ -1594,9 +1774,12 @@ def decode_jbig2_embedded(
                 rows = _decode_generic_region_arith(
                     d[26:], w, h, at, tpgdon)
             _composite(page, page_w, page_h, rows, w, h, x, y, op)
+        elif t == _TABLES:
+            cust_tables[seg["number"]] = _parse_table_segment(
+                seg["data"], f"custom#{seg['number']}")
         elif t == _SYMBOL_DICT:
             sym_dicts[seg["number"]] = _decode_symbol_dictionary(
-                seg["data"], _input_symbols(seg))
+                seg["data"], _input_symbols(seg), _input_tables(seg))
         elif t == _PATTERN_DICT:
             pat_dicts[seg["number"]] = _decode_pattern_dictionary(
                 seg["data"])
@@ -1617,7 +1800,7 @@ def decode_jbig2_embedded(
             _check_region_fits(w, h, x, y, page_w, page_h)
             syms = _input_symbols(seg)
             w, h, x, y, op, rows = _decode_text_region(
-                seg["data"], syms)
+                seg["data"], syms, _input_tables(seg))
             _composite(page, page_w, page_h, rows, w, h, x, y, op)
         # 49/50/51/62: frame no-ops / skipped
 
@@ -1874,6 +2057,7 @@ def encode_jbig2_symbol_text_huffman(
     region_op: int = 0,
     in_globals: bool = False,
     end_of_page: bool = True,
+    custom_tables: bool = False,
 ) -> bytes | tuple[bytes, bytes]:
     """PDF-embeddable JBIG2 with a STANDARD-HUFFMAN symbol dictionary
     + text region (SDHUFF=1/SBHUFF=1) — the fixture writer for the
@@ -1885,10 +2069,15 @@ def encode_jbig2_symbol_text_huffman(
     libtiff-verified fax coder, ``mmr_bitmaps=True``) or uncompressed
     byte-aligned rows, export runs via B.1; the text region codes
     FS/DS/DT via B.6/B.8/B.11 and ships a §7.4.4.1.7 runcode-built
-    equal-length symbol-ID table.  The decoder walks the same
-    published layout through its own reader — and on the graded
-    entry both meet the codec-blind dhash oracle against pixels
-    produced by four OTHER codecs."""
+    equal-length symbol-ID table.  With ``custom_tables=True`` the
+    DH/DW/FS/DS tables travel as §B.2 CUSTOM TABLE SEGMENTS (line-
+    identical re-encodings of B.4/B.3/B.6/B.8, selectors set to 3) —
+    byte-identical integer coding, so decode equality against the
+    standard-selector stream is a true cross-check of the §B.2
+    reader and the referred-table consumption order.  The decoder
+    walks the same published layout through its own reader — and on
+    the graded entry both meet the codec-blind dhash oracle against
+    pixels produced by four OTHER codecs."""
     if not symbols:
         raise Jbig2Error("fixture needs at least one symbol")
     heights = [len(s) for s in symbols]
@@ -1936,8 +2125,12 @@ def encode_jbig2_symbol_text_huffman(
     ex.encode(w_, 0)                          # first run: not exported
     ex.encode(w_, n)                          # export everything
     # SDHUFF=1, SDHUFFDH sel 0 (B.4), SDHUFFDW sel 1 (B.3),
-    # B.1 BMSIZE/AGGINST; no AT bytes in this header form
-    sd_flags = 0x0001 | (1 << 4)
+    # B.1 BMSIZE/AGGINST; no AT bytes in this header form —
+    # or selector 3 (custom) with the same tables as §B.2 segments
+    if custom_tables:
+        sd_flags = 0x0001 | (3 << 2) | (3 << 4)
+    else:
+        sd_flags = 0x0001 | (1 << 4)
     sd_body = (struct.pack(">H", sd_flags)
                + struct.pack(">II", n, n)     # numex, numnew
                + w_.getvalue())
@@ -1982,10 +2175,11 @@ def encode_jbig2_symbol_text_huffman(
     # flags: SBHUFF=1, REFCORNER=TOPLEFT(1); huffman flags: FS/DS/DT
     # selectors 0 (B.6/B.8/B.11), no refinement tables, RSIZE B.1
     tr_flags = 0x0001 | (1 << 4)
+    tr_huff = (3 | (3 << 2)) if custom_tables else 0
     tr_body = (struct.pack(">IIII", pw, ph, 0, 0)
                + bytes([region_op & 0x07])
                + struct.pack(">H", tr_flags)
-               + struct.pack(">H", 0)         # huffman flags
+               + struct.pack(">H", tr_huff)   # huffman flags
                + struct.pack(">I", len(insts))
                + w2.getvalue())
 
@@ -1993,16 +2187,35 @@ def encode_jbig2_symbol_text_huffman(
                  + bytes([(page_default & 1) << 2])
                  + struct.pack(">H", 0))
     sd_page = 0 if in_globals else 1
-    sd_seg = _segment_header(1, _SYMBOL_DICT, sd_page,
-                             len(sd_body)) + sd_body
+    if custom_tables:
+        # DH/DW travel with the dictionary, FS/DS with the text
+        # region, all as §B.2 table segments consumed in selector
+        # field order (referred numbers < referring, §7.2.5)
+        oob = bytearray()
+        for num, std in ((1, 4), (2, 3), (3, 6), (4, 8)):
+            body = _encode_table_segment_body(
+                _HUFF_STANDARD[std], f"B.{std}-as-custom")
+            oob += _segment_header(num, _TABLES, sd_page,
+                                   len(body)) + body
+        sd_seg = bytes(oob) + _segment_header(
+            5, _SYMBOL_DICT, sd_page, len(sd_body),
+            referred=(1, 2)) + sd_body
+        tr_seg = _segment_header(6, 7, 1, len(tr_body),
+                                 referred=(5, 3, 4)) + tr_body
+        eop = _segment_header(7, _END_OF_PAGE, 1, 0)
+    else:
+        sd_seg = _segment_header(1, _SYMBOL_DICT, sd_page,
+                                 len(sd_body)) + sd_body
+        tr_seg = _segment_header(2, 7, 1, len(tr_body),
+                                 referred=(1,)) + tr_body
+        eop = _segment_header(3, _END_OF_PAGE, 1, 0)
     out = bytearray()
     out += _segment_header(0, _PAGE_INFO, 1, len(page_info)) + page_info
     if not in_globals:
         out += sd_seg
-    out += _segment_header(2, 7, 1, len(tr_body),
-                           referred=(1,)) + tr_body
+    out += tr_seg
     if end_of_page:
-        out += _segment_header(3, _END_OF_PAGE, 1, 0)
+        out += eop
     if in_globals:
         return bytes(sd_seg), bytes(out)
     return bytes(out)

@@ -3128,12 +3128,14 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCTDecode (a real JPEG) on even ids, Flate-coded raw samples on
     odd, DeviceGray on every 5th, a bilevel scan on every remaining
     3rd — JBIG2 (llm/jbig2, the post-2005 scanned-PDF codec) when
-    ``doc_id % 9 == 3``, rotating FOUR backends by ``doc_id // 9``:
+    ``doc_id % 9 == 3``, rotating SIX backends by ``doc_id // 9``:
     MQ-ARITHMETIC template-0 regions with TPGDON (llm/mq_coder), MMR
     (T.6), SYMBOL/TEXT coding (§6.5/§6.4: the page cut into six
     glyphs, symbol dictionary + text-region placement — the coding
-    real scanned PDFs overwhelmingly use), and HALFTONE coding
+    real scanned PDFs overwhelmingly use), HALFTONE coding
     (§6.7/§6.6: pattern dictionary + Gray-coded bitplane grid),
+    STANDARD-HUFFMAN symbol/text (SDHUFF/SBHUFF=1, Annex-B tables),
+    and CUSTOM-TABLE Huffman (§7.4.13/§B.2 table segments),
     CCITT-G4 (llm/fax_codec) otherwise — every 11th PDF truncated —
     AND mint
     the standalone twin (the same JPEG bytes / a PNG of the same
@@ -3196,15 +3198,17 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bits = bytes(1 if g < 128 else 0 for g in gray)
                     rows_ = [bits[y * w:(y + 1) * w] for y in range(h)]
                     if did % 9 == 3:
-                        # rotate the FIVE JBIG2 backends: MMR (T.6),
+                        # rotate the SIX JBIG2 backends: MMR (T.6),
                         # MQ-ARITHMETIC template 0 with TPGDON
                         # (llm/mq_coder), SYMBOL/TEXT coding (the
                         # real-world majority: the page cut into six
                         # glyphs re-placed by a text region),
                         # HALFTONE (pattern dict + Gray-coded grid),
-                        # and (r15) STANDARD-HUFFMAN symbol/text
+                        # (r15) STANDARD-HUFFMAN symbol/text
                         # (SDHUFF/SBHUFF=1, Annex-B tables, MMR or
-                        # uncompressed collective bitmaps) —
+                        # uncompressed collective bitmaps), and (r15)
+                        # CUSTOM-TABLE Huffman (§B.2 table segments
+                        # re-encoding B.4/B.3/B.6/B.8, selector 3) —
                         # identical pixels, so the dhash oracle is
                         # codec-blind
                         from verified_sources_spark.llm.jbig2 import (
@@ -3214,7 +3218,7 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             encode_jbig2_symbol_text_huffman,
                         )
 
-                        mode = (did // 9) % 5
+                        mode = (did // 9) % 6
                         if mode == 3:
                             # halftone with 1x1 two-pattern cells: the
                             # full §6.6/§6.7 chain (pattern dict,
@@ -3241,7 +3245,7 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _) in enumerate(cuts)]
                             blob = encode_jbig2_symbol_text(
                                 gsyms, insts, (w, h))
-                        elif mode == 4:
+                        elif mode in (4, 5):
                             h1 = h // 2
                             w1 = w // 3
                             cuts = [(0, 0, w1, h1), (w1, 0, w1, h1),
@@ -3257,7 +3261,8 @@ def pdf_image_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _) in enumerate(cuts)]
                             blob = encode_jbig2_symbol_text_huffman(
                                 gsyms, insts, (w, h),
-                                mmr_bitmaps=(did // 45) % 2 == 0)
+                                mmr_bitmaps=(did // 45) % 2 == 0,
+                                custom_tables=mode == 5)
                         elif mode == 0:
                             blob = encode_jbig2_arith(
                                 rows_, tpgdon=True)
