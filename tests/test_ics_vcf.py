@@ -221,7 +221,8 @@ def test_tzid_extreme_dates_resolve_to_null_not_crash():
 def test_tzid_rdate_exdate_transitions():
     """RDATE adds enumerated one-off transitions (historical offset
     changes real exports carry); EXDATE disclaims an onset.  Both in
-    the observance's local clock; PERIOD-valued RDATE refuses."""
+    the observance's local clock; a MALFORMED period (no '/') still
+    poisons the TZID."""
     blob = (
         "BEGIN:VCALENDAR\r\nBEGIN:VTIMEZONE\r\nTZID:H\r\n"
         "BEGIN:STANDARD\r\nDTSTART:19700101T000000\r\n"
@@ -244,3 +245,81 @@ def test_tzid_rdate_exdate_transitions():
     bad = blob.replace(b"RDATE:", b"RDATE;VALUE=PERIOD:")
     out2 = parse_ics(bad)["events"]
     assert out2[0]["start_ms"] is None
+
+
+def test_tzid_period_rdate_transitions():
+    """r15: RDATE;VALUE=PERIOD is honored — the period START is the
+    onset.  A local start behaves exactly like a DATE-TIME RDATE; a
+    Z-suffixed start is a UTC instant shifted by TZOFFSETFROM; the
+    duration/end half is validated but otherwise irrelevant; a
+    malformed end half poisons the TZID."""
+    head = (
+        "BEGIN:VCALENDAR\r\nBEGIN:VTIMEZONE\r\nTZID:P\r\n"
+        "BEGIN:STANDARD\r\nDTSTART:19700101T000000\r\n"
+        "TZOFFSETFROM:+0200\r\nTZOFFSETTO:+0200\r\nEND:STANDARD\r\n"
+        "BEGIN:STANDARD\r\nDTSTART:20200101T000000\r\n"
+        "TZOFFSETFROM:+0200\r\nTZOFFSETTO:+0300\r\n"
+        "EXDATE:20200101T000000\r\n{rdate}\r\n"
+        "END:STANDARD\r\nEND:VTIMEZONE\r\n"
+        "BEGIN:VEVENT\r\nUID:a\r\n"
+        "DTSTART;TZID=P:20240601T120000\r\nEND:VEVENT\r\n"
+        "END:VCALENDAR\r\n")
+
+    def run(rdate):
+        return parse_ics(head.format(rdate=rdate).encode())["events"]
+
+    # local start + duration: onset 2022-01-01 local — +0300 by 2024
+    out = run("RDATE;VALUE=PERIOD:20220101T000000/PT1H")
+    assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 9, 0)
+    # local start + end datetime
+    out = run("RDATE;VALUE=PERIOD:20220101T000000/20220101T020000")
+    assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 9, 0)
+    # Z start: 2021-12-31T22:00Z + TZOFFSETFROM(+0200) = local
+    # 2022-01-01T00:00 — same onset as above
+    out = run("RDATE;VALUE=PERIOD:20211231T220000Z/PT1H")
+    assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 9, 0)
+    # week-form duration
+    out = run("RDATE;VALUE=PERIOD:20220101T000000/P2W")
+    assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 9, 0)
+    # no PERIOD rdate at all: the 2020 onset is EXDATE-disclaimed,
+    # so the event stays +0200 — proves the onsets above came from
+    # the period starts
+    out = run("RDATE:20300101T000000")
+    assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 10, 0)
+    # malformed end halves poison the TZID, parse survives
+    for bad in ("RDATE;VALUE=PERIOD:20220101T000000/P",
+                "RDATE;VALUE=PERIOD:20220101T000000/garble",
+                "RDATE;VALUE=PERIOD:20220101T000000"):
+        out = run(bad)
+        assert out[0]["start_ms"] is None, bad
+
+
+def test_tzid_rrule_until_utc_exact():
+    """r15: a Z-suffixed UNTIL is compared against the onset's UTC
+    instant (onset - TZOFFSETFROM), not the local clock.  Pinned on
+    the boundary case where the two disagree: local onset 03:00
+    under TZOFFSETFROM +0200 is 01:00Z == UNTIL — included by the
+    UTC compare, excluded by the naive one."""
+    blob = (
+        "BEGIN:VCALENDAR\r\nBEGIN:VTIMEZONE\r\nTZID:U\r\n"
+        "BEGIN:STANDARD\r\nDTSTART:19700101T000000\r\n"
+        "TZOFFSETFROM:+0200\r\nTZOFFSETTO:+0200\r\nEND:STANDARD\r\n"
+        "BEGIN:DAYLIGHT\r\nDTSTART:20190331T030000\r\n"
+        "TZOFFSETFROM:+0200\r\nTZOFFSETTO:+0300\r\n"
+        "RRULE:FREQ=YEARLY;BYMONTH=3;BYDAY=-1SU;"
+        "UNTIL=20200329T010000Z\r\n"
+        "END:DAYLIGHT\r\nEND:VTIMEZONE\r\n"
+        "BEGIN:VEVENT\r\nUID:a\r\n"
+        "DTSTART;TZID=U:20200601T120000\r\nEND:VEVENT\r\n"
+        "BEGIN:VEVENT\r\nUID:b\r\n"
+        "DTSTART;TZID=U:20210601T120000\r\nEND:VEVENT\r\n"
+        "END:VCALENDAR\r\n").encode()
+    out = parse_ics(blob)["events"]
+    # 2020-03-29 (last Sunday of March 2020) onset INCLUDED: summer
+    # 2020 is +0300
+    assert out[0]["start_ms"] == _utc_ms(2020, 6, 1, 9, 0)
+    # 2021 onset is past UNTIL: the observance never fires again,
+    # but the 2020 segment's offset (+0300) persists forward — pin
+    # only that the rule expansion stopped producing NEW onsets via
+    # the 2020 inclusion above; 2021 stays on the last segment
+    assert out[1]["start_ms"] is not None

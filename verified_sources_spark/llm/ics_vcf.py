@@ -184,6 +184,37 @@ def _local_dt(v: str):
     raise IcsVcfError(f"not a local date-time: {v!r}")
 
 
+def _tz_period_rdate(obs_cur: dict, v: str) -> dict:
+    """One RDATE;VALUE=PERIOD entry (RFC 5545 §3.3.9
+    ``start/end-or-duration``) on a tz observance: the period START
+    is the transition onset — local starts go straight into the
+    local-clock onset list, Z-suffixed starts are UTC instants
+    shifted by TZOFFSETFROM at expansion time (``rdates_utc``).  The
+    end half must parse as a date-time or an ISO 8601 duration; a
+    malformed period raises, marking the TZID unresolvable instead of
+    guessing."""
+    import re
+
+    if "/" not in v:
+        raise IcsVcfError(f"tz PERIOD RDATE without '/': {v!r}")
+    start, end = v.split("/", 1)
+    start = start.strip()
+    end = end.strip()
+    dur = re.fullmatch(
+        r"[+-]?P(\d+W|(\d+D)?(T(\d+H)?(\d+M)?(\d+S)?)?)", end)
+    if dur is None or not any(c.isdigit() for c in end):
+        # not a duration (incl. the empty 'P'/'PT' degenerates): the
+        # end must be a date-time (same zone grammar as the start) —
+        # parse it purely for validation
+        _local_dt(end.rstrip("Zz"))
+    if start.endswith(("Z", "z")):
+        obs_cur.setdefault("rdates_utc", []).append(
+            _local_dt(start[:-1]))
+    else:
+        obs_cur.setdefault("rdates", []).append(_local_dt(start))
+    return obs_cur
+
+
 def _parse_tz_rrule(s: str) -> dict:
     """The yearly BYMONTH+BYDAY rule (the only form real tz exports
     use: 'last Sunday of March' and friends).  Anything else raises —
@@ -218,13 +249,20 @@ def _parse_tz_rrule(s: str) -> dict:
         raise IcsVcfError(
             f"tz RRULE BYDAY is not ±nWD: {parts.get('BYDAY')!r}")
     until = None
+    until_utc = False
     if "UNTIL" in parts:
-        # UNTIL on tz rules is nominally UTC; transitions are hours
-        # apart so comparing it naively against local onsets is exact
-        # for every real rule set
-        until = _local_dt(parts["UNTIL"].rstrip("Zz"))
+        # UNTIL on tz rules is UTC when Z-suffixed (RFC 5545
+        # §3.3.10); r15: a UTC UNTIL is compared against
+        # onset - TZOFFSETFROM in the onset walk instead of naively
+        # against the local onset (the naive compare was already
+        # exact for real rule sets — transitions sit hours from the
+        # cutoff — this makes it exact for ALL rule sets)
+        raw = parts["UNTIL"]
+        until_utc = raw[-1:] in ("Z", "z")
+        until = _local_dt(raw.rstrip("Zz"))
     return {"month": month, "weekday": _WEEKDAYS[m.group(2)],
-            "n": int(m.group(1)), "until": until}
+            "n": int(m.group(1)), "until": until,
+            "until_utc": until_utc}
 
 
 def _nth_weekday_day(year: int, month: int, weekday: int,
@@ -269,12 +307,24 @@ def _observance_onsets(ob: dict, years) -> list:
                                 d0.hour, d0.minute, d0.second)
             if onset < d0:
                 continue
-            if rr["until"] is not None and onset > rr["until"]:
-                continue
+            if rr["until"] is not None:
+                # Z-suffixed UNTIL is UTC: compare the onset's UTC
+                # instant (onset - TZOFFSETFROM); bare UNTIL is local
+                cand = onset
+                if rr.get("until_utc"):
+                    cand = onset - dt.timedelta(
+                        seconds=ob.get("from") or 0)
+                if cand > rr["until"]:
+                    continue
             out.append(onset)
     # RDATE: enumerated extra one-off transitions; EXDATE: onsets the
-    # export disclaims (both in the observance's local clock)
+    # export disclaims (both in the observance's local clock).
+    # PERIOD-valued RDATE starts land here too — local starts
+    # directly, Z-suffixed starts through TZOFFSETFROM (the onset's
+    # pre-transition clock)
     out.extend(ob.get("rdates", ()))
+    out.extend(u + dt.timedelta(seconds=ob.get("from") or 0)
+               for u in ob.get("rdates_utc", ()))
     ex = set(ob.get("exdates", ()))
     return [o for o in out if o not in ex] if ex else out
 
@@ -412,13 +462,21 @@ def parse_ics(data: bytes) -> dict:
                 elif name == "RDATE":
                     # enumerated EXTRA transitions (historical
                     # one-offs real exports carry alongside the
-                    # rule); PERIOD values refuse via _local_dt
-                    if params.get("VALUE", "DATE-TIME") not in (
-                            "DATE-TIME", "DATE"):
+                    # rule).  r15: VALUE=PERIOD is honored — a
+                    # period's START is the onset (the duration is
+                    # irrelevant to a transition enumeration); the
+                    # end half must still parse as a date-time or an
+                    # ISO duration, else the TZID goes unresolvable
+                    vkind = params.get("VALUE", "DATE-TIME")
+                    if vkind == "PERIOD":
+                        for v in value.split(","):
+                            obs_cur = _tz_period_rdate(obs_cur, v)
+                    elif vkind in ("DATE-TIME", "DATE"):
+                        obs_cur.setdefault("rdates", []).extend(
+                            _local_dt(v) for v in value.split(","))
+                    else:
                         raise IcsVcfError(
                             f"tz RDATE VALUE={params['VALUE']}")
-                    obs_cur.setdefault("rdates", []).extend(
-                        _local_dt(v) for v in value.split(","))
                 elif name == "EXDATE":
                     obs_cur.setdefault("exdates", []).extend(
                         _local_dt(v) for v in value.split(","))
