@@ -210,3 +210,92 @@ def test_sqlite_in_spark_door_and_router(spark):
     assert sniff_document(blob) == "sqlite"
     text = extract_document(blob)["text"]
     assert "a\nx\n7" in text and "b\ny\nhi" in text
+
+
+def _arrow_file_bytes(table: pa.Table) -> bytes:
+    buf = io.BytesIO()
+    with pa.ipc.new_file(buf, table.schema) as wr:
+        wr.write_table(table)
+    return buf.getvalue()
+
+
+def _arrow_stream_bytes(table: pa.Table) -> bytes:
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, table.schema) as wr:
+        wr.write_table(table)
+    return buf.getvalue()
+
+
+def test_arrow_blob_round_trip_and_refusals():
+    """r15 Arrow IPC door: FILE (ARROW1 both ends) and STREAM
+    (continuation marker) formats render the same cells as the
+    parquet door for the same table; truncated/corrupt blobs refuse
+    as DataBlobError; the cell gate holds."""
+    from verified_sources_spark.llm.datablob import arrow_rows_blob
+
+    t = pa.table({"id": [1, 2], "name": ["alpha", None],
+                  "ok": [True, False], "score": [1.5, 2.0]})
+    want = parquet_rows_blob(_pq_bytes(t))
+    fb = _arrow_file_bytes(t)
+    sb = _arrow_stream_bytes(t)
+    assert fb[:6] == b"ARROW1" and fb[-6:] == b"ARROW1"
+    assert sb[:4] == b"\xff\xff\xff\xff"
+    assert arrow_rows_blob(fb) == want
+    assert arrow_rows_blob(sb) == want
+    # file magic with a chopped tail: refuses by name (truncated)
+    with pytest.raises(DataBlobError, match="truncated"):
+        arrow_rows_blob(fb[:-7])
+    # corrupt footer length / truncated stream refuse as DataBlobError
+    bad = bytearray(fb)
+    bad[-10:-6] = b"\xff\xff\xff\x7f"   # absurd footer length
+    with pytest.raises(DataBlobError):
+        arrow_rows_blob(bytes(bad))
+    with pytest.raises(DataBlobError):
+        arrow_rows_blob(sb[:-10])
+    with pytest.raises(DataBlobError, match="not an Arrow"):
+        arrow_rows_blob(b"plain text")
+    big = pa.table({"a": list(range(100))})
+    with pytest.raises(DataBlobError, match="cell gate"):
+        arrow_rows_blob(_arrow_file_bytes(big), max_cells=50)
+
+
+def test_arrow_in_spark_door_and_router(spark):
+    """The operator sniffs both Arrow layouts next to the other four
+    formats; the router serves the FILE format globally (both-ends
+    magic, the ORC posture) and leaves the weak-magic stream form to
+    the column door."""
+    from verified_sources_spark.llm.docrouter import (
+        extract_document, sniff_document,
+    )
+
+    t = pa.table({"id": [7], "name": ["x"], "note": ["y"]})
+    fb = _arrow_file_bytes(t)
+    sb = _arrow_stream_bytes(t)
+    df = spark.createDataFrame(
+        [(1, bytearray(fb)), (2, bytearray(sb)),
+         (3, bytearray(b"ARROW1 but prose"))],
+        "doc_id long, asset binary")
+    out = {r["doc_id"]: r for r in data_blob_rows(df).collect()}
+    assert out[1]["fmt"] == "arrow" and out[1]["decoded_ok"]
+    assert out[2]["fmt"] == "arrows" and out[2]["decoded_ok"]
+    assert out[1]["line"] == out[2]["line"] == "7\tx\ty"
+    assert not out[3]["decoded_ok"]
+    assert sniff_document(fb) == "arrow"
+    assert extract_document(fb)["text"] == "id\tname\tnote\n7\tx\ty"
+    assert sniff_document(b"ARROW1 but prose") != "arrow"
+
+
+def test_arrow_fuzz_battery():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_fuzz_frontdoors import _battery
+
+    from verified_sources_spark.llm.datablob import arrow_rows_blob
+
+    t = pa.table({"id": list(range(20)),
+                  "v": [f"val {i}" for i in range(20)]})
+    _battery(lambda: _arrow_file_bytes(t), arrow_rows_blob,
+             (DataBlobError,))
+    _battery(lambda: _arrow_stream_bytes(t), arrow_rows_blob,
+             (DataBlobError,), seed=31)

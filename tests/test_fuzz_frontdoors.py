@@ -775,3 +775,35 @@ def test_fuzz_jbig2_custom_tables():
             custom_tables=True)
 
     _battery(enc, decode_jbig2_embedded, (Jbig2Error, FaxError))
+
+
+def test_fuzz_arrow_blob():
+    """r15 Arrow IPC door: IPC decode is zero-copy, so this family
+    guards the full-validation pass that keeps mutated offset/length
+    buffers from ABORTING the worker process (found by this battery
+    on the unvalidated first cut) — only DataBlobError may escape."""
+    import io
+
+    import pyarrow as pa
+
+    from verified_sources_spark.llm.datablob import (
+        DataBlobError, arrow_rows_blob,
+    )
+
+    t = pa.table({"id": list(range(20)),
+                  "v": [f"val {i}" for i in range(20)]})
+
+    def enc_file():
+        buf = io.BytesIO()
+        with pa.ipc.new_file(buf, t.schema) as wr:
+            wr.write_table(t)
+        return buf.getvalue()
+
+    def enc_stream():
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, t.schema) as wr:
+            wr.write_table(t)
+        return buf.getvalue()
+
+    _battery(enc_file, arrow_rows_blob, (DataBlobError,))
+    _battery(enc_stream, arrow_rows_blob, (DataBlobError,), seed=31)

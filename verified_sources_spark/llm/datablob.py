@@ -21,20 +21,25 @@ refused as "binary".
   C library via ``deserialize`` — .db/.sqlite application exports are
   the other machine-readable share of real drops; each user table
   emits its own row group.
+- Arrow IPC blobs (round 15) — FILE format (Feather v2, ``ARROW1``
+  magic both ends) and STREAM format — through pyarrow's own IPC
+  reader with a MANDATORY full-validation pass: IPC decode is
+  zero-copy, and without it a mutated offsets buffer aborts the
+  worker process (mutation-battery find, not a theoretical hazard).
 
 All emit the delimited-text contract (one row per record, cells
 tab-joined in column order, header carried) so blob-borne tables land
 in the SAME text shape as CSV/xlsx/ods — dedup and quality scoring
 see one surface.  The document router dispatches by magic (``PAR1``
-/ ``Obj\\x01`` / ``ORC`` / ``SQLite format 3``).
+/ ``Obj\\x01`` / ``ORC`` / ``SQLite format 3`` / ``ARROW1``).
 """
 
 from __future__ import annotations
 
 __all__ = [
     "DataBlobError", "parquet_rows_blob", "avro_rows_blob",
-    "orc_rows_blob", "sqlite_tables_blob", "data_blob_rows",
-    "DATA_BLOB_ROWS_SCHEMA",
+    "orc_rows_blob", "sqlite_tables_blob", "arrow_rows_blob",
+    "data_blob_rows", "DATA_BLOB_ROWS_SCHEMA",
 ]
 
 
@@ -82,7 +87,59 @@ def parquet_rows_blob(data: bytes, max_bytes: int = 256 << 20,
             f"parquet blob over cell gate "
             f"({table.num_rows}x{table.num_columns})")
     cols = list(table.column_names)
-    pylists = [table.column(c).to_pylist() for c in cols]
+    # positional access: a corrupt blob can carry DUPLICATE
+    # column names (fuzz find) and name lookup raises KeyError
+    pylists = [table.column(i).to_pylist()
+               for i in range(table.num_columns)]
+    rows = [[_render_cell(col[i]) for col in pylists]
+            for i in range(table.num_rows)]
+    return {"columns": cols, "rows": rows}
+
+
+def arrow_rows_blob(data: bytes, max_bytes: int = 256 << 20,
+                    max_cells: int = 50_000_000) -> dict:
+    """One Arrow IPC blob — FILE format (``ARROW1`` magic both ends)
+    or STREAM format (the 0xFFFFFFFF continuation marker) — →
+    ``{columns, rows}``.  Arrow IPC is the wire format Spark itself
+    ships batches over and the on-disk Feather v2 format, so blobs of
+    it show up in document drops from analytics tooling; pyarrow (the
+    environment's Arrow C++ binding, already the parquet/ORC reader
+    here) decodes it, with the same size/cell gates as the other
+    columnar doors."""
+    if len(data) > max_bytes:
+        raise DataBlobError(
+            f"arrow blob over size gate ({len(data)} bytes)")
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    if data[:6] == b"ARROW1":
+        if data[-6:] != b"ARROW1":
+            raise DataBlobError(
+                "arrow file blob without the trailing footer magic — "
+                "truncated")
+        opener = ipc.open_file
+    elif data[:4] == b"\xff\xff\xff\xff":
+        opener = ipc.open_stream
+    else:
+        raise DataBlobError("not an Arrow IPC file or stream")
+    try:
+        table = opener(pa.BufferReader(data)).read_all()
+        # IPC decode is ZERO-COPY over the input buffer: without the
+        # full (O(data)) validation pass a mutated offsets/length
+        # buffer aborts the whole worker process inside to_pylist —
+        # found by the mutation battery, not a theoretical hazard
+        table.validate(full=True)
+    except Exception as e:  # pyarrow raises its own zoo of errors
+        raise DataBlobError(f"corrupt arrow blob: {e}") from None
+    if table.num_rows * max(1, table.num_columns) > max_cells:
+        raise DataBlobError(
+            f"arrow blob over cell gate "
+            f"({table.num_rows}x{table.num_columns})")
+    cols = list(table.column_names)
+    # positional access: a corrupt blob can carry DUPLICATE
+    # column names (fuzz find) and name lookup raises KeyError
+    pylists = [table.column(i).to_pylist()
+               for i in range(table.num_columns)]
     rows = [[_render_cell(col[i]) for col in pylists]
             for i in range(table.num_rows)]
     return {"columns": cols, "rows": rows}
@@ -129,7 +186,10 @@ def _orc_decode(data: bytes, max_cells: int) -> dict:
             f"orc blob over cell gate "
             f"({table.num_rows}x{table.num_columns})")
     cols = list(table.column_names)
-    pylists = [table.column(c).to_pylist() for c in cols]
+    # positional access: a corrupt blob can carry DUPLICATE
+    # column names (fuzz find) and name lookup raises KeyError
+    pylists = [table.column(i).to_pylist()
+               for i in range(table.num_columns)]
     rows = [[_render_cell(col[i]) for col in pylists]
             for i in range(table.num_rows)]
     return {"columns": cols, "rows": rows}
@@ -281,7 +341,8 @@ def data_blob_rows(df, id_col: str = "doc_id",
                    asset_col: str = "asset"):
     """Arrow-batched columnar-blob explosion: sniffs parquet (PAR1) vs
     Avro (``Obj\\x01``) vs ORC (``ORC``) vs SQLite
-    (``SQLite format 3``), one output row per record, cells
+    (``SQLite format 3``) vs Arrow IPC (``ARROW1`` file /
+    0xFFFFFFFF stream), one output row per record, cells
     tab-joined — the same contract as llm/tabular.delimited_rows, so
     every blob-borne table lands in one text shape.  A SQLite blob is
     a CONTAINER of tables: each user table emits its own row group
@@ -322,9 +383,15 @@ def data_blob_rows(df, id_col: str = "doc_id",
                         for tbl in sqlite_tables_blob(raw):
                             emit(rows, _id,
                                  f"sqlite:{tbl['table']}", tbl)
+                    elif raw[:6] == b"ARROW1":
+                        emit(rows, _id, "arrow",
+                             arrow_rows_blob(raw))
+                    elif raw[:4] == b"\xff\xff\xff\xff":
+                        emit(rows, _id, "arrows",
+                             arrow_rows_blob(raw))
                     else:
                         raise DataBlobError(
-                            "no parquet/avro/orc/sqlite magic")
+                            "no parquet/avro/orc/sqlite/arrow magic")
                 except DataBlobError:
                     rows.append({
                         "doc_id": _id, "decoded_ok": False,

@@ -53,6 +53,13 @@ def sniff_document(payload: bytes) -> str:
         return "orc"
     if payload[:16] == b"SQLite format 3\x00":
         return "sqlite"
+    if payload[:6] == b"ARROW1" and payload[-6:] == b"ARROW1":
+        # Arrow IPC FILE format carries the magic at both ends (the
+        # ORC posture: prose starting with the word must not route
+        # here); the bare STREAM format has no distinctive magic for
+        # a global sniff and is served only behind the columnar-blob
+        # column door (llm/datablob.data_blob_rows)
+        return "arrow"
     if payload[:5] == b"WARC/":
         # Common Crawl's three sibling layouts share the container;
         # the flavor (warc / wet / wat) comes from the record types —
@@ -327,14 +334,15 @@ def extract_document(payload: bytes, fmt: str | None = None) -> dict:
         lines = ([out["header"]] if out["header"] else []) + out["rows"]
         return {"format": "delimited",
                 "text": "\n".join("\t".join(r) for r in lines)}
-    if fmt in ("parquet", "avro", "orc", "sqlite"):
+    if fmt in ("parquet", "avro", "orc", "sqlite", "arrow"):
         from verified_sources_spark.llm.datablob import (
-            DataBlobError, avro_rows_blob, orc_rows_blob,
-            parquet_rows_blob, sqlite_tables_blob,
+            DataBlobError, arrow_rows_blob, avro_rows_blob,
+            orc_rows_blob, parquet_rows_blob, sqlite_tables_blob,
         )
 
         readers = {"parquet": parquet_rows_blob,
-                   "avro": avro_rows_blob, "orc": orc_rows_blob}
+                   "avro": avro_rows_blob, "orc": orc_rows_blob,
+                   "arrow": arrow_rows_blob}
         try:
             if fmt == "sqlite":
                 # container of tables: one block per user table,

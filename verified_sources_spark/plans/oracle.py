@@ -3212,8 +3212,11 @@ ORACLE_SQL["data_blob_rows_docs"] = """
                (doc_id % 11) = 5 AS sqlite,
                CAST(2 + doc_id % 3 AS INTEGER) AS n,
                CASE WHEN doc_id % 11 = 5 THEN 'sqlite:items'
+                    WHEN doc_id % 2 = 1 AND doc_id % 9 = 7
+                         THEN 'arrows'
                     WHEN doc_id % 2 = 1 THEN 'avro'
                     WHEN doc_id % 6 = 4 THEN 'orc'
+                    WHEN doc_id % 6 = 2 THEN 'arrow'
                     ELSE 'parquet' END AS fmt,
                COALESCE(text, '') AS t
         FROM documents

@@ -5026,10 +5026,12 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, write a real table of ``2 + doc_id % 3`` records (id /
     name / note, the note a 30-char slice of the doc's text) as a
     PARQUET blob on even ids (pyarrow writer; every ``% 6 == 4`` an
-    ORC blob instead, pyarrow.orc) and an AVRO container on
+    ORC blob and every ``% 6 == 2`` an ARROW IPC FILE — Feather v2 —
+    instead) and an AVRO container on
     odd (the repo's own pure-Python codec, container codec cycling
     null / deflate / snappy by ``doc_id % 3`` — snappy is the repo's
-    own block codec, operators/snappy_codec), a TWO-TABLE SQLITE
+    own block codec, operators/snappy_codec; every odd ``% 9 == 7``
+    an ARROW IPC STREAM instead), a TWO-TABLE SQLITE
     database on every ``% 11 == 5`` (stdlib sqlite3 writes it — an
     external C-library writer cross-checking our read path; each
     table emits its own ``sqlite:<name>`` row group), every 37th a
@@ -5101,8 +5103,24 @@ def data_blob_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         import pyarrow.orc as orc
 
                         orc.write_table(table, buf)
+                    elif did % 6 == 2:
+                        # Arrow IPC FILE format (Feather v2):
+                        # ARROW1 magic both ends
+                        with pa.ipc.new_file(buf, table.schema) as wr:
+                            wr.write_table(table)
                     else:
                         pq.write_table(table, buf)
+                    asset = buf.getvalue()
+                elif did % 9 == 7:
+                    # Arrow IPC STREAM format: continuation-marker
+                    # framing, no file footer
+                    buf = io.BytesIO()
+                    table = pa.table({
+                        "id": [r["id"] for r in recs],
+                        "name": [r["name"] for r in recs],
+                        "note": [r["note"] for r in recs]})
+                    with pa.ipc.new_stream(buf, table.schema) as wr:
+                        wr.write_table(table)
                     asset = buf.getvalue()
                 else:
                     # cycle the full container codec set — null /
