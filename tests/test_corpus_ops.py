@@ -231,3 +231,40 @@ def test_incremental_dedup_null_predicate_rows_are_incoming(spark):
     out = {r["doc_id"] for r in
            incremental_dedup(df, "doc_id", "text", F.col("flag") == 1).collect()}
     assert out == {2, 3}
+
+
+def test_dsir_importance_weights(spark):
+    """r15 DSIR-style selection (llm/dsir): documents sharing the
+    target set's bigram vocabulary score above scale·n_ngrams and are
+    selected; alien-vocabulary documents are not; sub-bigram and
+    empty docs pin (0, 0, false).  Integer arithmetic replayed by
+    hand for one doc."""
+    from verified_sources_spark.llm.dsir import importance_weights
+
+    target = spark.createDataFrame(
+        [(100, "quantum error correction codes"),
+         (101, "quantum error mitigation schemes")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "quantum error correction codes"),
+         (2, "cheap viagra casino bonus offer"),
+         (3, "tiny"),
+         (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           importance_weights(corpus, target).collect()}
+    assert out[1]["selected"] and not out[2]["selected"]
+    # doc 1 by hand: 'quantum error' tc=2 rc=1 -> 3*10^6//2 =
+    # 1500000; 'error correction' and 'correction codes' tc=1 rc=1
+    # -> 10^6 each
+    assert out[1]["n_ngrams"] == 3
+    assert out[1]["score"] == 1_500_000 + 2 * 1_000_000
+    assert out[3]["n_ngrams"] == 0 and out[3]["score"] == 0 \
+        and not out[3]["selected"]
+    assert out[4]["n_ngrams"] == 0 and not out[4]["selected"]
+    # hand replay for doc 2 (no bucket collisions with 5 distinct
+    # alien bigrams vs the target set at 8192 buckets, with high
+    # probability — pinned by construction here): every occurrence
+    # has tc=0, rc=1 -> term = 1*10^6 // 2 = 500000; 4 bigrams
+    assert out[2]["n_ngrams"] == 4
+    assert out[2]["score"] == 4 * 500_000

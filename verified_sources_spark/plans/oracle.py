@@ -3837,3 +3837,48 @@ ORACLE_SQL["wet_corpus_docs"] = """
            o.doc_id = s.mn
     FROM okd o JOIN shared s ON o.g = s.g
 """
+
+# DSIR-style importance scores: the full hashed-bigram pipeline in SQL
+# — tokens, space-joined bigrams, 60-bit md5 buckets mod 8192, +1
+# smoothing, per-occurrence (tc+1)*10^6 // (rc+1) integer ratio, the
+# benchmark spine (doc_id % 50 = 0) as the target distribution.  All
+# integer arithmetic: no float term anywhere.
+ORACLE_SQL["dsir_importance_docs"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '[a-z0-9]+') AS toks
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END AS gs
+        FROM toks),
+    occ AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT % 8192
+                    AS BIGINT) AS bucket
+        FROM grams, UNNEST(gs) AS u(g)),
+    tc AS (SELECT bucket, COUNT(*) AS tc FROM occ
+           WHERE doc_id % 50 = 0 GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS rc FROM occ
+           WHERE doc_id % 50 <> 0 GROUP BY bucket),
+    sc AS (
+        SELECT o.doc_id, COUNT(*) AS n_ngrams,
+               SUM((COALESCE(t.tc, 0) + 1) * 1000000
+                   // (COALESCE(r.rc, 0) + 1)) AS score
+        FROM occ o
+        LEFT JOIN tc t USING (bucket)
+        LEFT JOIN rc r USING (bucket)
+        WHERE o.doc_id % 50 <> 0
+        GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           COALESCE(s.score, 0) >
+               COALESCE(s.n_ngrams, 0) * 1000000 AS selected
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+"""

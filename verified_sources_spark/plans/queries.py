@@ -6442,6 +6442,29 @@ def wet_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_canonical"))
 
 
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection over documents (llm/dsir): the
+    benchmark spine (``doc_id % 50 == 0``, the decontamination
+    entries' precedent) acts as the TARGET set and every other doc is
+    scored by its hashed word-bigram likelihood ratio — the
+    integer-exact surrogate of Xie et al.'s importance weight
+    (per-occurrence ``(tc+1)·10^6 DIV (rc+1)``, +1-smoothed, summed).
+    Shapes: tokenize/md5 inside the scan, exchanges carry only
+    (doc_id, bucket) ints, the two bucket-count tables broadcast,
+    one int-keyed aggregation; the corpus bucket cut persists so the
+    hash work runs once.  The oracle replays the full pipeline —
+    tokens, bigrams, 60-bit md5 buckets, smoothing, integer division
+    — in SQL."""
+    from verified_sources_spark.llm.dsir import importance_weights
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return importance_weights(corpus, target).select(
+        "doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("score").cast("long").alias("score"), "selected")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6618,4 +6641,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wet_text_docs": wet_text_docs,
     "wat_metadata_docs": wat_metadata_docs,
     "wet_corpus_docs": wet_corpus_docs,
+    "dsir_importance_docs": dsir_importance_docs,
 }
