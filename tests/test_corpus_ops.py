@@ -254,17 +254,18 @@ def test_dsir_importance_weights(spark):
     out = {r["doc_id"]: r for r in
            importance_weights(corpus, target).collect()}
     assert out[1]["selected"] and not out[2]["selected"]
-    # doc 1 by hand: 'quantum error' tc=2 rc=1 -> 3*10^6//2 =
-    # 1500000; 'error correction' and 'correction codes' tc=1 rc=1
-    # -> 10^6 each
+    # mass totals by hand: Tt = 2 target docs x 3 bigrams = 6,
+    # Tr = 3 + 4 = 7, so R = (7 + 8192) * 10^6 // (6 + 8192)
+    R = (7 + 8192) * 1_000_000 // (6 + 8192)
+    # doc 1: 'quantum error' tc=2 rc=1 -> 3R//2; 'error correction'
+    # and 'correction codes' tc=1 rc=1 -> 2R//2 = R each
     assert out[1]["n_ngrams"] == 3
-    assert out[1]["score"] == 1_500_000 + 2 * 1_000_000
+    assert out[1]["score"] == 3 * R // 2 + 2 * R
     assert out[3]["n_ngrams"] == 0 and out[3]["score"] == 0 \
         and not out[3]["selected"]
     assert out[4]["n_ngrams"] == 0 and not out[4]["selected"]
-    # hand replay for doc 2 (no bucket collisions with 5 distinct
-    # alien bigrams vs the target set at 8192 buckets, with high
-    # probability — pinned by construction here): every occurrence
-    # has tc=0, rc=1 -> term = 1*10^6 // 2 = 500000; 4 bigrams
+    # doc 2 (no bucket collisions with 4 distinct alien bigrams vs
+    # the target set at 8192 buckets — pinned by construction here):
+    # every occurrence has tc=0, rc=1 -> term = R // 2; 4 bigrams
     assert out[2]["n_ngrams"] == 4
-    assert out[2]["score"] == 4 * 500_000
+    assert out[2]["score"] == 4 * (R // 2)

@@ -10,16 +10,26 @@ its target/raw likelihood ratio.
 This implementation keeps the arithmetic INTEGER-EXACT so the result
 is oracle-replayable bit-for-bit (the repo's float-determinism
 posture: no log-sums whose libm rounding could differ between
-engines).  Per n-gram occurrence in bucket ``b`` the ratio term is
+engines).  With Laplace-smoothed bucket distributions
+p̂_t[b] = (tc[b]+1)/(Tt+B) and p̂_r[b] = (rc[b]+1)/(Tr+B) (Tt/Tr the
+total occurrence masses, B the bucket count), the per-occurrence
+ratio term is the integer rendering of scale·p̂_t[b]/p̂_r[b]:
 
-    ((target_count[b] + 1) * scale) DIV (raw_count[b] + 1)
+    R = ((Tr + B) * scale) DIV (Tt + B)          -- once, globally
+    term(b) = ((tc[b] + 1) * R) DIV (rc[b] + 1)
 
-(+1 Laplace smoothing on both sides, ``DIV`` integer division), and a
-document's score is the sum over its occurrences — ``scale`` × the
-average smoothed likelihood ratio, a monotone integer surrogate for
-the DSIR importance weight.  ``selected`` marks documents whose
-average ratio exceeds 1 (score > n_ngrams·scale): more target-like
-than raw-like.
+and a document's score is the sum over its occurrences — ``scale`` ×
+the average smoothed likelihood ratio, a monotone integer surrogate
+for the DSIR importance weight.  The mass normalization matters: an
+unnormalized tc/rc ratio would compare raw counts, so a small target
+set could never select anything (caught by the 100k soak, where
+genuinely target-phrased documents scored 0 selected).  ``selected``
+marks documents whose average ratio exceeds 1
+(score > n_ngrams·scale): likelier under the target distribution
+than under the raw one.  Headroom: each term is ≤ (tc+1)·R < 2^63
+for any corpus where (target mass)·(raw/target mass ratio)·scale
+stays under 9.2e18 — at the default scale that is a ~1e9-occurrence
+target against a ~1000× larger corpus; lower ``scale`` for more.
 
 100 TB shape: tokenize/shingle/hash run inside the scan (JVM-side
 ``regexp_extract_all`` / ``zip_with`` / ``md5`` — the same frozen
@@ -79,14 +89,27 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
     target_counts = _bucket_occurrences(
         target_df, id_col, text_col, n, n_buckets).groupBy(
         "bucket").agg(F.count("*").alias("tc"))
+    target_counts.persist()
     raw_counts = occ.groupBy("bucket").agg(F.count("*").alias("rc"))
+    raw_counts.persist()
+    # one-row mass totals, crossJoined (broadcast) into the scorer —
+    # the repo's one-row-aggregate crossJoin precedent
+    totals = (
+        target_counts.agg(
+            F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+        .crossJoin(raw_counts.agg(
+            F.coalesce(F.sum("rc"), F.lit(0)).alias("tr")))
+        .select(F.expr(
+            f"(tr + {n_buckets}L) * {scale}L "
+            f"DIV (tt + {n_buckets}L)").alias("ratio_scale")))
     scored = (
         occ.join(F.broadcast(target_counts), "bucket", "left")
         .join(F.broadcast(raw_counts), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_ngrams"),
              F.sum(F.expr(
-                 f"(coalesce(tc, 0L) + 1L) * {scale}L "
+                 "(coalesce(tc, 0L) + 1L) * ratio_scale "
                  "DIV (coalesce(rc, 0L) + 1L)")).alias("score")))
     return (
         df.select(id_col).join(scored, id_col, "left")

@@ -3865,13 +3865,19 @@ ORACLE_SQL["dsir_importance_docs"] = """
            WHERE doc_id % 50 = 0 GROUP BY bucket),
     rc AS (SELECT bucket, COUNT(*) AS rc FROM occ
            WHERE doc_id % 50 <> 0 GROUP BY bucket),
+    tot AS (
+        SELECT ((SELECT COALESCE(SUM(rc), 0) FROM rc) + 8192)
+               * 1000000
+               // ((SELECT COALESCE(SUM(tc), 0) FROM tc) + 8192)
+               AS ratio_scale),
     sc AS (
         SELECT o.doc_id, COUNT(*) AS n_ngrams,
-               SUM((COALESCE(t.tc, 0) + 1) * 1000000
+               SUM((COALESCE(t.tc, 0) + 1) * tot.ratio_scale
                    // (COALESCE(r.rc, 0) + 1)) AS score
         FROM occ o
         LEFT JOIN tc t USING (bucket)
         LEFT JOIN rc r USING (bucket)
+        CROSS JOIN tot
         WHERE o.doc_id % 50 <> 0
         GROUP BY o.doc_id)
     SELECT d.doc_id,
