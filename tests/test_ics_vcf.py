@@ -286,8 +286,12 @@ def test_tzid_period_rdate_transitions():
     # the period starts
     out = run("RDATE:20300101T000000")
     assert out[0]["start_ms"] == _utc_ms(2024, 6, 1, 10, 0)
-    # malformed end halves poison the TZID, parse survives
+    # malformed end halves poison the TZID, parse survives —
+    # including the RFC-forbidden dangling-T duration and a
+    # multi-Z date-time
     for bad in ("RDATE;VALUE=PERIOD:20220101T000000/P",
+                "RDATE;VALUE=PERIOD:20220101T000000/P1DT",
+                "RDATE;VALUE=PERIOD:20220101T000000/20220101T020000zz",
                 "RDATE;VALUE=PERIOD:20220101T000000/garble",
                 "RDATE;VALUE=PERIOD:20220101T000000"):
         out = run(bad)

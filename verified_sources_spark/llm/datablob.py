@@ -65,6 +65,23 @@ def _render_cell(v) -> str:
     return str(v)
 
 
+def _table_rows(table, max_cells: int, what: str) -> dict:
+    """Shared pyarrow-Table → ``{columns, rows}`` tail for the three
+    pyarrow-backed doors: cell gate, POSITIONAL column access (a
+    corrupt blob can carry DUPLICATE column names — fuzz find — and
+    name lookup raises KeyError), rendered-string rows."""
+    if table.num_rows * max(1, table.num_columns) > max_cells:
+        raise DataBlobError(
+            f"{what} blob over cell gate "
+            f"({table.num_rows}x{table.num_columns})")
+    cols = list(table.column_names)
+    pylists = [table.column(i).to_pylist()
+               for i in range(table.num_columns)]
+    rows = [[_render_cell(col[i]) for col in pylists]
+            for i in range(table.num_rows)]
+    return {"columns": cols, "rows": rows}
+
+
 def parquet_rows_blob(data: bytes, max_bytes: int = 256 << 20,
                       max_cells: int = 50_000_000) -> dict:
     """One parquet blob → ``{columns, rows}`` (rows as rendered-string
@@ -82,18 +99,7 @@ def parquet_rows_blob(data: bytes, max_bytes: int = 256 << 20,
         table = pq.read_table(io.BytesIO(data))
     except Exception as e:  # pyarrow raises its own zoo of errors
         raise DataBlobError(f"corrupt parquet blob: {e}") from None
-    if table.num_rows * max(1, table.num_columns) > max_cells:
-        raise DataBlobError(
-            f"parquet blob over cell gate "
-            f"({table.num_rows}x{table.num_columns})")
-    cols = list(table.column_names)
-    # positional access: a corrupt blob can carry DUPLICATE
-    # column names (fuzz find) and name lookup raises KeyError
-    pylists = [table.column(i).to_pylist()
-               for i in range(table.num_columns)]
-    rows = [[_render_cell(col[i]) for col in pylists]
-            for i in range(table.num_rows)]
-    return {"columns": cols, "rows": rows}
+    return _table_rows(table, max_cells, "parquet")
 
 
 def arrow_rows_blob(data: bytes, max_bytes: int = 256 << 20,
@@ -131,18 +137,7 @@ def arrow_rows_blob(data: bytes, max_bytes: int = 256 << 20,
         table.validate(full=True)
     except Exception as e:  # pyarrow raises its own zoo of errors
         raise DataBlobError(f"corrupt arrow blob: {e}") from None
-    if table.num_rows * max(1, table.num_columns) > max_cells:
-        raise DataBlobError(
-            f"arrow blob over cell gate "
-            f"({table.num_rows}x{table.num_columns})")
-    cols = list(table.column_names)
-    # positional access: a corrupt blob can carry DUPLICATE
-    # column names (fuzz find) and name lookup raises KeyError
-    pylists = [table.column(i).to_pylist()
-               for i in range(table.num_columns)]
-    rows = [[_render_cell(col[i]) for col in pylists]
-            for i in range(table.num_rows)]
-    return {"columns": cols, "rows": rows}
+    return _table_rows(table, max_cells, "arrow")
 
 
 def avro_rows_blob(data: bytes, max_bytes: int = 256 << 20) -> dict:
@@ -181,18 +176,7 @@ def _orc_decode(data: bytes, max_cells: int) -> dict:
     import pyarrow.orc as orc
 
     table = orc.ORCFile(io.BytesIO(data)).read()
-    if table.num_rows * max(1, table.num_columns) > max_cells:
-        raise DataBlobError(
-            f"orc blob over cell gate "
-            f"({table.num_rows}x{table.num_columns})")
-    cols = list(table.column_names)
-    # positional access: a corrupt blob can carry DUPLICATE
-    # column names (fuzz find) and name lookup raises KeyError
-    pylists = [table.column(i).to_pylist()
-               for i in range(table.num_columns)]
-    rows = [[_render_cell(col[i]) for col in pylists]
-            for i in range(table.num_rows)]
-    return {"columns": cols, "rows": rows}
+    return _table_rows(table, max_cells, "orc")
 
 
 def orc_rows_blob(data: bytes, max_bytes: int = 256 << 20,

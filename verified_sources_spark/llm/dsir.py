@@ -83,7 +83,11 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
     terms (0 for documents under ``n`` tokens), ``selected`` true
     when score > n_ngrams·scale.  Deterministic — no sampling jitter;
     callers wanting DSIR's Gumbel resampling can rank on ``score``
-    with any hash jitter downstream."""
+    with any hash jitter downstream.  Consumers that fully
+    materialize the result should call the returned DataFrame's
+    ``release_feature_cut()`` (the llm/minhash precedent) to drop the
+    persisted per-occurrence cut — a long-lived driver scoring
+    corpus after corpus otherwise accumulates cache entries."""
     occ = _bucket_occurrences(df, id_col, text_col, n, n_buckets)
     occ.persist()
     target_counts = _bucket_occurrences(
@@ -111,7 +115,7 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
              F.sum(F.expr(
                  "(coalesce(tc, 0L) + 1L) * ratio_scale "
                  "DIV (coalesce(rc, 0L) + 1L)")).alias("score")))
-    return (
+    out = (
         df.select(id_col).join(scored, id_col, "left")
         .select(
             F.col(id_col),
@@ -120,3 +124,11 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
         .withColumn(
             "selected",
             F.col("score") > F.col("n_ngrams") * F.lit(scale)))
+
+    def _release() -> None:
+        occ.unpersist()
+        target_counts.unpersist()
+        raw_counts.unpersist()
+
+    out.release_feature_cut = _release
+    return out

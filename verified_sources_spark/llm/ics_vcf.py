@@ -200,13 +200,16 @@ def _tz_period_rdate(obs_cur: dict, v: str) -> dict:
     start, end = v.split("/", 1)
     start = start.strip()
     end = end.strip()
+    # RFC 5545 dur-value: a bare 'T' needs at least one time
+    # component (lookahead), and the whole form at least one digit —
+    # 'P', 'PT' and 'P1DT' are NOT durations
     dur = re.fullmatch(
-        r"[+-]?P(\d+W|(\d+D)?(T(\d+H)?(\d+M)?(\d+S)?)?)", end)
+        r"[+-]?P(\d+W|(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+S)?)?)", end)
     if dur is None or not any(c.isdigit() for c in end):
-        # not a duration (incl. the empty 'P'/'PT' degenerates): the
-        # end must be a date-time (same zone grammar as the start) —
-        # parse it purely for validation
-        _local_dt(end.rstrip("Zz"))
+        # not a duration: the end must be a date-time (same zone
+        # grammar as the start, ONE optional Z) — parse it purely
+        # for validation
+        _local_dt(end[:-1] if end[-1:] in ("Z", "z") else end)
     if start.endswith(("Z", "z")):
         obs_cur.setdefault("rdates_utc", []).append(
             _local_dt(start[:-1]))
