@@ -236,7 +236,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "frontier_audit_docs", "frontier_build_docs",
               "wds_multimodal_docs", "crawl_corpus_docs",
               "wet_text_docs", "wat_metadata_docs",
-              "wet_corpus_docs", "dsir_importance_docs"):
+              "wet_corpus_docs", "dsir_importance_docs",
+              "vocab_estimate_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

@@ -3888,3 +3888,26 @@ ORACLE_SQL["dsir_importance_docs"] = """
     FROM documents d LEFT JOIN sc s USING (doc_id)
     WHERE d.doc_id % 50 <> 0
 """
+
+# Hash-threshold distinct sampling: the subsample cut (60-bit md5 <
+# 2^56), its exact distinct count, and the x16 scale — all replayed.
+ORACLE_SQL["vocab_estimate_docs"] = """
+    WITH toks AS (
+        SELECT lang,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '[a-z0-9]+') AS ts
+        FROM documents),
+    grams AS (
+        SELECT lang,
+               UNNEST(CASE WHEN len(ts) >= 2 THEN list_transform(
+                          generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1])
+                      ELSE [] END) AS g
+        FROM toks)
+    SELECT lang,
+           COUNT(DISTINCT g) AS n_sampled,
+           COUNT(DISTINCT g) * 16 AS estimate
+    FROM grams
+    WHERE ('0x' || substr(md5(g), 1, 15))::UBIGINT < (1::UBIGINT << 56)
+    GROUP BY lang
+"""

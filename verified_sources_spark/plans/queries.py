@@ -6465,6 +6465,35 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("score"), "selected")
 
 
+def vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cardinality sketch over documents (llm/sketches):
+    per-language BIGRAM-vocabulary estimates by hash-threshold
+    distinct sampling — keep bigrams whose 60-bit md5 falls below
+    2^56 (1/16 of the space), count the subsample's exact distincts,
+    scale by 16.  Bit-exact (the frozen md5 family — no HLL, whose
+    estimates are implementation-defined and would break oracle
+    replay), MERGEABLE (the union's subsample is the union of
+    subsamples — the 100 TB shape: per-shard sketches distinct-union
+    away), and the threshold filter runs inside the scan so only
+    ~6% of the gram stream reaches the exchange.  The oracle replays
+    tokens, bigrams, the md5 threshold and the scaling in SQL."""
+    from verified_sources_spark.llm.minhash import (
+        _shingles_sql, _tokens_sql,
+    )
+    from verified_sources_spark.llm.sketches import (
+        hash_sampled_distinct,
+    )
+
+    d = _docs_parallel(spark, sf_dir).select("lang", "text")
+    grams = d.select(
+        "lang", F.expr(_tokens_sql("text")).alias("toks")).select(
+        "lang", F.explode(F.expr(_shingles_sql(2))).alias("gram"))
+    return hash_sampled_distinct(grams, ["lang"], "gram", 4).select(
+        "lang",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("estimate").cast("long").alias("estimate"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6642,4 +6671,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wat_metadata_docs": wat_metadata_docs,
     "wet_corpus_docs": wet_corpus_docs,
     "dsir_importance_docs": dsir_importance_docs,
+    "vocab_estimate_docs": vocab_estimate_docs,
 }
