@@ -224,3 +224,40 @@ def test_crawl_corpus_never_ingests_disallowed(spark):
     assert texts and not any("SECRET" in t for t in texts)
     blocked = [r for r in rows if r["allowed"] is False]
     assert blocked and all(r["text"] is None for r in blocked)
+
+
+def test_blocklist_verdicts(spark):
+    """r15 UT1-style blocklist: apex rules catch all subdomains on
+    LABEL boundaries only (the 'ample2.com' string-suffix trap
+    matches nothing), the most-specific overlapping rule wins,
+    matching is case-folded both sides, and unparseable URLs are
+    unblocked with an empty host."""
+    from pyspark.sql import functions as F
+
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x?y=1"),
+         (2, "https://EXAMPLE.com/"),
+         (3, "https://notexample.com/"),
+         (4, "https://deep.sub.example.com/"),
+         (5, "http://user@sub.blocked.org:8080/p"),
+         (6, "not a url at all"),
+         (7, "https://example.com.evil.net/")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("Example.com",), ("sub.example.com",), ("BLOCKED.org",)],
+        "domain string")
+    out = {r["doc_id"]: r for r in
+           blocklist_verdicts(urls, blocked).collect()}
+    assert out[1]["blocked"] and out[1]["matched_rule"] == "example.com"
+    assert out[2]["blocked"] and out[2]["host"] == "example.com"
+    assert not out[3]["blocked"] and out[3]["matched_rule"] is None
+    # overlapping rules: the LONGEST match wins
+    assert out[4]["matched_rule"] == "sub.example.com"
+    # userinfo and port stripped off the host; case-folded rule
+    assert out[5]["blocked"] and out[5]["host"] == "sub.blocked.org"
+    assert out[5]["matched_rule"] == "blocked.org"
+    assert out[6]["host"] == "" and not out[6]["blocked"]
+    # suffix trap: example.com.evil.net is NOT under example.com
+    assert not out[7]["blocked"]

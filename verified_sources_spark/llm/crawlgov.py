@@ -521,3 +521,51 @@ def sitemap_urls(df, id_col: str = "doc_id", asset_col: str = "asset"):
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out
+
+
+def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
+                       url_col: str = "url"):
+    """UT1-style domain blocklist verdicts: a URL is blocked when its
+    host equals a blocked domain OR sits under one on a LABEL
+    boundary (``a.b.example.com`` matches ``example.com`` but
+    ``notexample.com`` does not — the suffix-string trap the
+    label-chain join cannot fall into).  The curation step RefinedWeb/
+    FineWeb-class pipelines run against the public UT1 lists.
+
+    Shape: each host explodes into its ≤~10 label suffixes
+    (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) and joins the blocklist
+    on EXACT suffix equality — an equi-join on short strings that
+    Spark broadcasts when the list fits (UT1 is ~100 MB) and
+    shuffle-joins otherwise; no regex scan of the corpus either way.
+    Returns (id, host, blocked, matched_rule) with ``matched_rule``
+    the MOST-SPECIFIC (longest) matching entry, deterministically —
+    a host's suffix chain has strictly decreasing lengths, so the
+    max-by-length tiebreak cannot tie."""
+    from pyspark.sql import functions as F
+
+    host = F.lower(F.regexp_extract(
+        F.col(url_col),
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+    hosts = df.select(F.col(id_col), host.alias("host"))
+    sufs = (
+        hosts.withColumn("labels", F.split("host", r"\."))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(
+                "transform(sequence(1, size(labels)), i -> "
+                "array_join(slice(labels, i, size(labels) - i + 1), "
+                "'.'))")).alias("suffix")))
+    rules = blocked_df.select(
+        F.lower(F.col("domain")).alias("suffix")).distinct()
+    matched = (
+        sufs.join(rules, "suffix")
+        .groupBy(id_col)
+        .agg(F.max(F.struct(
+            F.length("suffix").alias("l"),
+            F.col("suffix").alias("rule"))).alias("m")))
+    return (
+        hosts.join(matched, id_col, "left")
+        .select(
+            F.col(id_col), "host",
+            F.col("m").isNotNull().alias("blocked"),
+            F.col("m.rule").alias("matched_rule")))

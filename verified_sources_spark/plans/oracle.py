@@ -3911,3 +3911,36 @@ ORACLE_SQL["vocab_estimate_docs"] = """
     WHERE ('0x' || substr(md5(g), 1, 15))::UBIGINT < (1::UBIGINT << 56)
     GROUP BY lang
 """
+
+# Domain blocklist: the label-suffix chain, the rule join (case-folded)
+# and the longest-match rule selection, replayed.  'ample2.com' pins
+# the label-boundary semantics: every ...example2.com host ends with it
+# as a STRING but no label chain contains it.
+ORACLE_SQL["blocklist_filter_docs"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'w' || (doc_id % 97) || '.site' || (doc_id % 13) ||
+               '.example' || (doc_id % 7) || '.com' AS host
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(string_split(host, '.'))),
+                   i -> array_to_string(
+                       list_slice(string_split(host, '.'), i,
+                                  len(string_split(host, '.'))),
+                       '.'))) AS suffix
+        FROM u),
+    b AS (SELECT * FROM (VALUES ('site5.example3.com'),
+                                ('example3.com'), ('example2.com'),
+                                ('ample2.com'),
+                                ('w11.site4.example6.com'),
+                                ('org')) t(domain)),
+    m AS (
+        SELECT doc_id, arg_max(suffix, length(suffix)) AS matched_rule
+        FROM s JOIN b ON s.suffix = b.domain
+        GROUP BY doc_id)
+    SELECT u.doc_id, u.host,
+           m.doc_id IS NOT NULL AS blocked, m.matched_rule
+    FROM u LEFT JOIN m USING (doc_id)
+"""

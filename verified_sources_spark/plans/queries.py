@@ -6494,6 +6494,39 @@ def vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("estimate").cast("long").alias("estimate"))
 
 
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-blocklist governance over documents
+    (llm/crawlgov.blocklist_verdicts): per doc, mint a URL whose host
+    is three arithmetic labels deep, and judge it against a
+    six-entry blocklist that exercises every semantic edge — an
+    apex-domain rule catching all subdomains (``example3.com``), a
+    MORE-SPECIFIC overlapping rule that must win the longest-match
+    tiebreak (``site5.example3.com``), a case-folded entry
+    (``EXAMPLE2.com`` minted uppercase), a label-boundary TRAP
+    (``ample2.com`` must match nothing even though every
+    ``...example2.com`` host ends with it as a string), a full-host
+    rule whose residue class is absent at this SF, and a bare TLD
+    that matches nothing here (``org``).  Shapes: the host explodes
+    into its label-suffix chain and equi-joins the (broadcastable)
+    rule list — no regex scan; the oracle replays the chain, the
+    join and the arg-max-by-length rule selection in SQL."""
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.expr("concat('https://w', doc_id % 97, '.site', "
+               "doc_id % 13, '.example', doc_id % 7, "
+               "'.com/p/', doc_id)").alias("url"))
+    blocked = spark.createDataFrame(
+        [("site5.example3.com",), ("example3.com",),
+         ("EXAMPLE2.com",), ("ample2.com",),
+         ("w11.site4.example6.com",), ("org",)],
+        "domain string")
+    return blocklist_verdicts(urls, blocked).select(
+        "doc_id", "host", "blocked", "matched_rule")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6672,4 +6705,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wet_corpus_docs": wet_corpus_docs,
     "dsir_importance_docs": dsir_importance_docs,
     "vocab_estimate_docs": vocab_estimate_docs,
+    "blocklist_filter_docs": blocklist_filter_docs,
 }
