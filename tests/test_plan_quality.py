@@ -237,7 +237,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "wds_multimodal_docs", "crawl_corpus_docs",
               "wet_text_docs", "wat_metadata_docs",
               "wet_corpus_docs", "dsir_importance_docs",
-              "vocab_estimate_docs", "blocklist_filter_docs"):
+              "vocab_estimate_docs", "blocklist_filter_docs",
+              "selection_pipeline_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

@@ -3944,3 +3944,82 @@ ORACLE_SQL["blocklist_filter_docs"] = """
            m.doc_id IS NOT NULL AS blocked, m.matched_rule
     FROM u LEFT JOIN m USING (doc_id)
 """
+
+# Selection capstone: blocklist (derived from FIRST PRINCIPLES — the
+# residue classes whose hosts the two rules catch), leader-join dup
+# planting, min-id dedup, then the full DSIR replay over SURVIVORS
+# only.  Any stage leaking a dropped doc into a later stage breaks
+# the replay.
+ORACLE_SQL["selection_pipeline_docs"] = """
+    WITH docs AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    corpus AS (
+        SELECT d.doc_id, l.t
+        FROM docs d
+        JOIN docs l ON l.doc_id = d.doc_id - d.doc_id % 3
+        WHERE d.doc_id % 50 <> 0),
+    blk AS (
+        SELECT doc_id,
+               (doc_id % 7 = 2)
+               OR (doc_id % 13 = 5 AND doc_id % 7 = 3) AS blocked
+        FROM corpus),
+    ded AS (
+        SELECT c.doc_id,
+               c.doc_id <> MIN(c.doc_id)
+                   OVER (PARTITION BY md5(c.t)) AS is_dup
+        FROM corpus c JOIN blk USING (doc_id) WHERE NOT blocked),
+    surv AS (
+        SELECT c.doc_id, c.t
+        FROM corpus c JOIN ded USING (doc_id) WHERE NOT is_dup),
+    tocc AS (
+        SELECT CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT % 8192
+                    AS BIGINT) AS bucket
+        FROM (SELECT UNNEST(CASE WHEN len(ts) >= 2
+                  THEN list_transform(generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1])
+                  ELSE [] END) AS g
+              FROM (SELECT regexp_extract_all(lower(t), '[a-z0-9]+')
+                        AS ts
+                    FROM docs WHERE doc_id % 50 = 0))),
+    socc AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT % 8192
+                    AS BIGINT) AS bucket
+        FROM (SELECT doc_id, UNNEST(CASE WHEN len(ts) >= 2
+                  THEN list_transform(generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1])
+                  ELSE [] END) AS g
+              FROM (SELECT doc_id,
+                        regexp_extract_all(lower(t), '[a-z0-9]+')
+                            AS ts
+                    FROM surv))),
+    tcn AS (SELECT bucket, COUNT(*) AS tc FROM tocc GROUP BY bucket),
+    rcn AS (SELECT bucket, COUNT(*) AS rc FROM socc GROUP BY bucket),
+    tot AS (
+        SELECT ((SELECT COALESCE(SUM(rc), 0) FROM rcn) + 8192)
+               * 1000000
+               // ((SELECT COALESCE(SUM(tc), 0) FROM tcn) + 8192)
+               AS ratio_scale),
+    sc AS (
+        SELECT o.doc_id, COUNT(*) AS n_ngrams,
+               SUM((COALESCE(t.tc, 0) + 1) * tot.ratio_scale
+                   // (COALESCE(r.rc, 0) + 1)) AS score
+        FROM socc o
+        LEFT JOIN tcn t USING (bucket)
+        LEFT JOIN rcn r USING (bucket)
+        CROSS JOIN tot
+        GROUP BY o.doc_id)
+    SELECT c.doc_id, b.blocked,
+           COALESCE(d2.is_dup, FALSE) AS is_dup,
+           CAST(COALESCE(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           COALESCE(s.score > s.n_ngrams * 1000000, FALSE)
+               AS selected,
+           (NOT b.blocked) AND (NOT COALESCE(d2.is_dup, FALSE))
+               AND COALESCE(s.score > s.n_ngrams * 1000000, FALSE)
+               AS kept
+    FROM corpus c
+    JOIN blk b USING (doc_id)
+    LEFT JOIN ded d2 USING (doc_id)
+    LEFT JOIN sc s USING (doc_id)
+"""

@@ -6527,6 +6527,78 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host", "blocked", "matched_rule")
 
 
+def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-selection capstone: the r15 governance + selection
+    operators COMPOSED end-to-end — URL blocklist (llm/crawlgov) →
+    exact dedup (min-id per md5, ids-only shuffle) → DSIR importance
+    selection against the benchmark spine (llm/dsir) — one status row
+    per corpus doc: (blocked, is_dup, n_ngrams, score, selected,
+    kept).  Dropping a doc at stage k provably zeroes its stage-k+1
+    columns, and the DSIR raw distribution is computed over the
+    SURVIVORS only, so the oracle's replay breaks if any stage leaks.
+    The oracle derives the blocklist verdicts from first principles
+    (which rules fire is residue arithmetic: example2.com ⇔ %7==2,
+    site5.example3.com ⇔ %13==5 ∧ %7==3) rather than re-walking the
+    suffix chain — an independent witness, not a reimplementation.
+    Shapes: every exchange carries ids/hashes/bucket ints; text never
+    shuffles (the dedup shuffle is (doc_id, md5) pairs)."""
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+    from verified_sources_spark.llm.dsir import importance_weights
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 50 == 0)
+    # plant EXACT duplicates: every group of 3 consecutive ids
+    # carries its leader's text (id - id % 3), so the dedup stage
+    # has real work — ~2/3 of the corpus collapses — and the oracle
+    # replays the same leader join
+    leaders = d.select(F.col("doc_id").alias("lead_id"),
+                       F.coalesce("text", F.lit("")).alias("lead_text"))
+    corpus = (
+        d.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+        .withColumn("lead_id",
+                    F.col("doc_id") - F.col("doc_id") % 3)
+        .join(leaders, "lead_id")
+        .select("doc_id", F.col("lead_text").alias("text")))
+    urls = corpus.select(
+        "doc_id",
+        F.expr("concat('https://w', doc_id % 97, '.site', "
+               "doc_id % 13, '.example', doc_id % 7, "
+               "'.com/p/', doc_id)").alias("url"))
+    rules = spark.createDataFrame(
+        [("example2.com",), ("site5.example3.com",)], "domain string")
+    verdicts = blocklist_verdicts(urls, rules).select(
+        "doc_id", "blocked")
+    allowed = corpus.join(
+        verdicts.filter(~F.col("blocked")).select("doc_id"),
+        "doc_id", "left_semi")
+    hashes = allowed.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("h"))
+    canon = hashes.groupBy("h").agg(F.min("doc_id").alias("cid"))
+    dup_flags = hashes.join(canon, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("cid")).alias("is_dup"))
+    survivors = allowed.join(
+        dup_flags.filter(~F.col("is_dup")).select("doc_id"),
+        "doc_id", "left_semi")
+    scored = importance_weights(survivors, target)
+    return (
+        corpus.select("doc_id")
+        .join(verdicts, "doc_id", "left")
+        .join(dup_flags, "doc_id", "left")
+        .join(scored.select("doc_id", "n_ngrams", "score",
+                            "selected"), "doc_id", "left")
+        .select(
+            "doc_id", "blocked",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long")
+            .alias("n_ngrams"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            F.coalesce("selected", F.lit(False)).alias("selected"))
+        .withColumn(
+            "kept",
+            ~F.col("blocked") & ~F.col("is_dup") & F.col("selected")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6706,4 +6778,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_docs": dsir_importance_docs,
     "vocab_estimate_docs": vocab_estimate_docs,
     "blocklist_filter_docs": blocklist_filter_docs,
+    "selection_pipeline_docs": selection_pipeline_docs,
 }
