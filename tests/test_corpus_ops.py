@@ -313,3 +313,32 @@ def test_hash_sampled_distinct(spark):
     assert r4["n_sampled"] == r2["n_sampled"]
     with pytest.raises(ValueError, match="sample_log2"):
         hash_sampled_distinct(big, ["grp"], "v", 60)
+
+
+def test_dsir_selection_fidelity_on_planted_mixture(spark):
+    """r15 DSIR fidelity floor (the ring construction, pinned at
+    small scale; tools/soak_r15b.py measures the same construction
+    at 100k: precision 1.0000 / recall 1.0000): ring-A docs share 97
+    bigram types with the target spine regardless of offset, ring-B
+    docs a disjoint ring — selection must fish out exactly the
+    plant."""
+    from pyspark.sql import functions as F
+
+    from verified_sources_spark.llm.dsir import importance_weights
+
+    is_a = (F.col("doc_id") % 50 == 0) | (F.col("doc_id") % 10 == 1)
+    terms = [
+        F.when(is_a, F.concat(F.lit("a"), ((F.col("doc_id") + i)
+                                           % 97).cast("string")))
+        .otherwise(F.concat(F.lit("b"), ((F.col("doc_id") + i)
+                                         % 997).cast("string")))
+        for i in range(40)]
+    d = (spark.range(2000).withColumnRenamed("id", "doc_id")
+         .withColumn("text", F.concat_ws(" ", *terms)))
+    out = importance_weights(
+        d.filter("doc_id % 50 != 0"), d.filter("doc_id % 50 = 0"))
+    sel = {r["doc_id"] for r in out.filter("selected").collect()}
+    planted = {r["doc_id"] for r in
+               d.filter("doc_id % 10 = 1 and doc_id % 50 != 0")
+               .collect()}
+    assert sel == planted    # precision AND recall exactly 1.0

@@ -38,20 +38,26 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
 
     def text_expr(concentrated: bool):
+        """Ring vocabularies give UNAMBIGUOUS planted ground truth:
+        every ring-A document (the target spine %50==0 plus the 10%
+        corpus plant %10==1) shares the same 97 bigram TYPES
+        regardless of its start offset (consecutive tokens walk the
+        ring), and ring-B documents share a disjoint 997-type ring —
+        so selection fidelity is measurable as exact precision/recall
+        against the plant."""
+        is_a = (F.col("doc_id") % 50 == 0) | (F.col("doc_id") % 10 == 1)
         terms = []
         for i in range(40):
             if concentrated and i % 2 == 0:
                 terms.append(F.lit("hotword"))
             else:
-                # target spine AND 10% of the corpus draw from the
-                # narrow slice — the corpus share is what selection
-                # should fish out
-                vocab = F.when((F.col("doc_id") % 50 == 0)
-                               | (F.col("doc_id") % 10 == 1),
-                               (F.col("doc_id") * 7 + i) % 500) \
-                    .otherwise((F.col("doc_id") * 7 + i) % 5000)
-                terms.append(F.concat(F.lit("w"),
-                                      vocab.cast("string")))
+                terms.append(F.when(
+                    is_a,
+                    F.concat(F.lit("a"), ((F.col("doc_id") + i) % 97)
+                             .cast("string")))
+                    .otherwise(F.concat(
+                        F.lit("b"), ((F.col("doc_id") + i) % 997)
+                        .cast("string"))))
         return F.concat_ws(" ", *terms)
 
     for label, concentrated in (("uniform", False),
@@ -64,10 +70,16 @@ def main() -> None:
         t0 = time.time()
         df = QUERIES["dsir_importance_docs"](spark, path)
         rows = df.count()
-        n_sel = df.filter("selected").count()
         dt = time.time() - t0
+        sel = df.filter("selected")
+        n_sel = sel.count()
+        tp = sel.filter("doc_id % 10 = 1").count()
+        n_pos = rows and df.filter("doc_id % 10 = 1").count()
+        prec = tp / n_sel if n_sel else float("nan")
+        rec = tp / n_pos if n_pos else float("nan")
         print(f"  dsir {label} n={n}: {dt:.1f}s, {rows} rows, "
-              f"{n_sel} selected, {n / dt / cores:.0f} docs/s/core",
+              f"{n_sel} selected, precision {prec:.4f}, "
+              f"recall {rec:.4f}, {n / dt / cores:.0f} docs/s/core",
               flush=True)
 
     spark.stop()
