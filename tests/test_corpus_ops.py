@@ -342,3 +342,48 @@ def test_dsir_selection_fidelity_on_planted_mixture(spark):
                d.filter("doc_id % 10 = 1 and doc_id % 50 != 0")
                .collect()}
     assert sel == planted    # precision AND recall exactly 1.0
+
+
+def test_binned_quantiles(spark):
+    """r15 histogram quantiles (llm/sketches): hand-replayed edges on
+    a known distribution, exact-vs-binned agreement within one bin on
+    a bigger one, null drop, clamping, and the integer-threshold
+    boundary (p50 of n=10 must need rank 5, not the IEEE
+    ceil(0.5*10)=5-vs-6 ambiguity)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from verified_sources_spark.llm.sketches import binned_quantiles
+
+    # 10 values 0..9 with bin_width 1: q50 -> rank 5 -> value 4
+    d = spark.createDataFrame(
+        [(float(i),) for i in range(10)] + [(None,)],
+        "v double").withColumn("g", F.lit("a"))
+    (row,) = binned_quantiles(
+        d, ["g"], "v", percentiles=(50, 90, 100),
+        bin_width=1, n_bins=50).collect()
+    assert row["n"] == 10          # the NULL dropped
+    assert row["q50"] == 4         # rank ceil(10*50/100)=5 -> value 4
+    assert row["q90"] == 8
+    assert row["q100"] == 9
+    # clamping: negatives to bin 0, overflow to the last bin edge
+    d2 = spark.createDataFrame(
+        [(-5.0,), (3.0,), (10_000.0,)], "v double") \
+        .withColumn("g", F.lit("a"))
+    (r2,) = binned_quantiles(
+        d2, ["g"], "v", percentiles=(100,), bin_width=5,
+        n_bins=10).collect()
+    assert r2["q100"] == 45        # last bin lower edge (9 * 5)
+    # binned vs exact on a spread: within one bin_width
+    import random
+    rnd = random.Random(5)
+    vals = [float(rnd.randrange(0, 400)) for _ in range(5000)]
+    d3 = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .withColumn("g", F.lit("a"))
+    (r3,) = binned_quantiles(d3, ["g"], "v", bin_width=5,
+                             n_bins=200).collect()
+    for p, col in ((50, "q50"), (90, "q90"), (99, "q99")):
+        exact = sorted(vals)[-(-len(vals) * p // 100) - 1]
+        assert abs(r3[col] - exact) <= 5, (p, r3[col], exact)
+    with pytest.raises(ValueError, match="percentiles"):
+        binned_quantiles(d3, ["g"], "v", percentiles=(0.5,))

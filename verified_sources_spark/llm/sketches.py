@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sampled_distinct"]
+__all__ = ["hash_sampled_distinct", "binned_quantiles"]
 
 
 def hash_sampled_distinct(df: DataFrame, group_cols: list[str],
@@ -59,3 +59,61 @@ def hash_sampled_distinct(df: DataFrame, group_cols: list[str],
         .withColumn(
             "estimate",
             F.expr(f"n_sampled * {1 << sample_log2}L")))
+
+
+def binned_quantiles(df: DataFrame, group_cols: list[str],
+                     value_col: str,
+                     percentiles: tuple[int, ...] = (50, 90, 99),
+                     bin_width: int = 5,
+                     n_bins: int = 200) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width BINNED
+    histogram — the no-global-sort percentile pattern: exact
+    percentiles need a full sort (or Spark's approx_percentile,
+    whose Greenwald-Khanna state is implementation-defined), while a
+    fixed binning needs ONE tiny aggregation, is MERGEABLE (bin
+    counts add), and is bit-exact replayable.
+
+    Integer contract throughout (no float thresholds — ceil(0.9·n)
+    in IEEE doubles rounds the wrong way for some n): percentiles are
+    INTEGERS in [1, 100], the rank threshold is
+    ``(n·p + 99) DIV 100`` (= ceil(n·p/100) exactly), NULL values are
+    dropped before binning, negatives clamp to bin 0 and overflow to
+    the last bin, and the p-th percentile is reported as the LOWER
+    EDGE of the first bin whose cumulative count reaches the
+    threshold — resolution is ``bin_width``, error bounded by one
+    bin.  Returns one row per group: ``n`` plus a ``q<p>`` edge
+    column per requested percentile."""
+    if not percentiles or any(
+            not (isinstance(p, int) and 1 <= p <= 100)
+            for p in percentiles):
+        raise ValueError("percentiles must be ints in [1, 100]")
+    # BIGINT cast first: DIV needs integral operands, and it makes
+    # fractional inputs bin by their truncated value
+    bin_col = F.expr(
+        f"least(greatest(CAST(CAST({value_col} AS BIGINT) "
+        f"DIV {bin_width} AS INT), 0), {n_bins - 1})")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*[F.col(c) for c in group_cols],
+                bin_col.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count("*").alias("_c")))
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*group_cols).orderBy("_bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(*group_cols)
+    cum = (counts
+           .withColumn("_cum", F.sum("_c").over(w))
+           .withColumn("_n", F.sum("_c").over(wn)))
+    aggs = [F.max("_n").alias("n")]
+    for p in percentiles:
+        aggs.append(F.min(F.when(
+            F.col("_cum") >= F.expr(f"(_n * {p}L + 99L) DIV 100L"),
+            F.col("_bin"))).alias(f"_q{p}"))
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    for p in percentiles:
+        out = out.withColumn(
+            f"q{p}", (F.col(f"_q{p}") * F.lit(bin_width))
+            .cast("long")).drop(f"_q{p}")
+    return out

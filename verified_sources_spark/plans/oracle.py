@@ -4023,3 +4023,31 @@ ORACLE_SQL["selection_pipeline_docs"] = """
     LEFT JOIN ded d2 USING (doc_id)
     LEFT JOIN sc s USING (doc_id)
 """
+
+# Binned-histogram quantiles: fixed-width bins, cumulative walk,
+# integer rank thresholds — bin lower edges out.
+ORACLE_SQL["length_quantiles_docs"] = """
+    WITH lens AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(COALESCE(text, '')),
+                                      '[a-z0-9]+')) AS v
+        FROM documents),
+    bins AS (
+        SELECT lang,
+               LEAST(GREATEST(CAST(v // 5 AS INT), 0), 199) AS b,
+               COUNT(*) AS c
+        FROM lens GROUP BY lang, b),
+    cum AS (
+        SELECT lang, b,
+               SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM bins)
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+                         THEN b END) * 5 AS BIGINT) AS q50,
+           CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100
+                         THEN b END) * 5 AS BIGINT) AS q90,
+           CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                         THEN b END) * 5 AS BIGINT) AS q99
+    FROM cum GROUP BY lang
+"""

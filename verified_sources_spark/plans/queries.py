@@ -6599,6 +6599,29 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("blocked") & ~F.col("is_dup") & F.col("selected")))
 
 
+def length_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles from a MERGEABLE binned
+    histogram (llm/sketches.binned_quantiles) — the distribution
+    facts a packing/curriculum stage needs (p50/p90/p99 document
+    lengths) WITHOUT a global sort: one tiny (lang, bin) aggregation,
+    integer rank thresholds ((n·p+99) DIV 100 — no IEEE ceil
+    surprises), bin-edge resolution.  At 100 TB per-shard histograms
+    add; Spark's approx_percentile is deliberately avoided (its GK
+    state is implementation-defined, unreplayable).  The oracle
+    replays binning, the cumulative walk and the thresholds in
+    SQL."""
+    from verified_sources_spark.llm.sketches import binned_quantiles
+
+    d = _docs_parallel(spark, sf_dir).select("lang", "text")
+    lens = d.select(
+        "lang",
+        F.expr("size(regexp_extract_all(lower(coalesce(text, '')), "
+               "'[a-z0-9]+', 0))").alias("n_tokens"))
+    return binned_quantiles(lens, ["lang"], "n_tokens").select(
+        "lang", F.col("n").cast("long").alias("n"),
+        "q50", "q90", "q99")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- TPC-H-ish aggregations / joins (graded 1-12)
     "q1_pricing_summary": q1_pricing_summary,
@@ -6779,4 +6802,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_estimate_docs": vocab_estimate_docs,
     "blocklist_filter_docs": blocklist_filter_docs,
     "selection_pipeline_docs": selection_pipeline_docs,
+    "length_quantiles_docs": length_quantiles_docs,
 }
