@@ -387,3 +387,27 @@ def test_binned_quantiles(spark):
         assert abs(r3[col] - exact) <= 5, (p, r3[col], exact)
     with pytest.raises(ValueError, match="percentiles"):
         binned_quantiles(d3, ["g"], "v", percentiles=(0.5,))
+
+
+def test_binned_quantiles_hardening(spark):
+    """r15 review finds pinned: values >= bin_width*2^31 and ±Inf
+    must not crash under ANSI (BIGINT clamp / try_cast drop);
+    degenerate parameters refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from verified_sources_spark.llm.sketches import binned_quantiles
+
+    d = spark.createDataFrame(
+        [(3.0,), (10737418240.0,), (float("inf"),),
+         (float("-inf"),), (float("nan"),)],
+        "v double").withColumn("g", F.lit("a"))
+    (row,) = binned_quantiles(d, ["g"], "v", percentiles=(100,),
+                              bin_width=5, n_bins=10).collect()
+    assert row["n"] == 2               # Inf/-Inf/NaN dropped
+    assert row["q100"] == 45           # giant value clamps, no crash
+    for bad in (dict(percentiles=(50, 50)),
+                dict(percentiles=(True,)),
+                dict(bin_width=0), dict(n_bins=0)):
+        with pytest.raises(ValueError):
+            binned_quantiles(d, ["g"], "v", **bad)

@@ -261,3 +261,25 @@ def test_blocklist_verdicts(spark):
     assert out[6]["host"] == "" and not out[6]["blocked"]
     # suffix trap: example.com.evil.net is NOT under example.com
     assert not out[7]["blocked"]
+
+
+def test_blocklist_fqdn_and_blank_rule_hardening(spark):
+    """r15 review finds pinned: a trailing-dot FQDN must NOT evade
+    the rules (DNS resolves 'blocked.org.' identically), and a blank
+    blocklist line must not become a rule that matches empty-host
+    unparseable URLs."""
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+
+    urls = spark.createDataFrame(
+        [(1, "https://blocked.org./p"),
+         (2, "https://sub.blocked.org./p"),
+         (3, "unparseable")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("blocked.org",), ("",), ("   ",), ("dotted.net.",)],
+        "domain string")
+    out = {r["doc_id"]: r for r in
+           blocklist_verdicts(urls, blocked).collect()}
+    assert out[1]["blocked"] and out[1]["matched_rule"] == "blocked.org"
+    assert out[2]["blocked"]
+    assert not out[3]["blocked"]       # blank rules dropped

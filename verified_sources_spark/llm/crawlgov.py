@@ -537,15 +537,21 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
     on EXACT suffix equality — an equi-join on short strings that
     Spark broadcasts when the list fits (UT1 is ~100 MB) and
     shuffle-joins otherwise; no regex scan of the corpus either way.
-    Returns (id, host, blocked, matched_rule) with ``matched_rule``
-    the MOST-SPECIFIC (longest) matching entry, deterministically —
-    a host's suffix chain has strictly decreasing lengths, so the
-    max-by-length tiebreak cannot tie."""
+    Both sides normalize: lowercase, ONE trailing dot stripped (a
+    trailing-dot FQDN ``blocked.org.`` resolves identically in DNS
+    and would otherwise evade every rule — review find), and empty
+    rules (blank blocklist lines) are dropped so they cannot match
+    empty-host unparseable URLs.  Returns (id, host, blocked,
+    matched_rule) with ``matched_rule`` the MOST-SPECIFIC (longest)
+    matching entry, deterministically — a host's suffix chain has
+    strictly decreasing lengths, so the max-by-length tiebreak
+    cannot tie."""
     from pyspark.sql import functions as F
 
-    host = F.lower(F.regexp_extract(
+    host = F.regexp_replace(F.lower(F.regexp_extract(
         F.col(url_col),
-        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)),
+        r"\.$", "")
     hosts = df.select(F.col(id_col), host.alias("host"))
     sufs = (
         hosts.withColumn("labels", F.split("host", r"\."))
@@ -555,8 +561,11 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
                 "transform(sequence(1, size(labels)), i -> "
                 "array_join(slice(labels, i, size(labels) - i + 1), "
                 "'.'))")).alias("suffix")))
-    rules = blocked_df.select(
-        F.lower(F.col("domain")).alias("suffix")).distinct()
+    rules = (
+        blocked_df.select(F.regexp_replace(
+            F.lower(F.trim(F.col("domain"))), r"\.$", "")
+            .alias("suffix"))
+        .filter(F.col("suffix") != "").distinct())
     matched = (
         sufs.join(rules, "suffix")
         .groupBy(id_col)

@@ -40,7 +40,9 @@ def hash_sampled_distinct(df: DataFrame, group_cols: list[str],
     Returns one row per group: ``n_sampled`` (exact distinct count of
     the hash-range subsample) and ``estimate`` =
     ``n_sampled << sample_log2``.  Groups whose every value hashes
-    above the threshold estimate 0 — at ``sample_log2=8`` that only
+    above the threshold are ABSENT from the output (the filter runs
+    before the groupBy; callers needing a 0-estimate row should
+    left-join their group universe) — at ``sample_log2=8`` that only
     happens for groups with ≲ a few hundred distinct values, where
     the caller should use an exact count anyway (the estimator's
     regime is the vocabulary too large to count exactly)."""
@@ -76,24 +78,31 @@ def binned_quantiles(df: DataFrame, group_cols: list[str],
     Integer contract throughout (no float thresholds — ceil(0.9·n)
     in IEEE doubles rounds the wrong way for some n): percentiles are
     INTEGERS in [1, 100], the rank threshold is
-    ``(n·p + 99) DIV 100`` (= ceil(n·p/100) exactly), NULL values are
-    dropped before binning, negatives clamp to bin 0 and overflow to
-    the last bin, and the p-th percentile is reported as the LOWER
-    EDGE of the first bin whose cumulative count reaches the
-    threshold — resolution is ``bin_width``, error bounded by one
-    bin.  Returns one row per group: ``n`` plus a ``q<p>`` edge
-    column per requested percentile."""
+    ``(n·p + 99) DIV 100`` (= ceil(n·p/100) exactly), NULL and
+    non-integral-representable values (NaN/±Inf/|v| ≥ 2^63, via
+    try_cast) are dropped before binning, negatives clamp to bin 0
+    and overflow to the last bin — the clamp runs in BIGINT, an INT
+    cast before clamping crashed under ANSI for values ≥
+    bin_width·2^31 (review find) — and the p-th percentile is
+    reported as the LOWER EDGE of the first bin whose cumulative
+    count reaches the threshold — resolution is ``bin_width``, error
+    bounded by one bin.  Returns one row per group: ``n`` plus a
+    ``q<p>`` edge column per requested percentile."""
     if not percentiles or any(
-            not (isinstance(p, int) and 1 <= p <= 100)
+            not (isinstance(p, int) and not isinstance(p, bool)
+                 and 1 <= p <= 100)
             for p in percentiles):
         raise ValueError("percentiles must be ints in [1, 100]")
-    # BIGINT cast first: DIV needs integral operands, and it makes
-    # fractional inputs bin by their truncated value
+    if len(set(percentiles)) != len(percentiles):
+        raise ValueError("percentiles must be distinct")
+    if bin_width < 1 or n_bins < 1:
+        raise ValueError("bin_width and n_bins must be >= 1")
     bin_col = F.expr(
-        f"least(greatest(CAST(CAST({value_col} AS BIGINT) "
-        f"DIV {bin_width} AS INT), 0), {n_bins - 1})")
+        f"CAST(least(greatest(try_cast({value_col} AS BIGINT) "
+        f"DIV {bin_width}, 0L), {n_bins - 1}L) AS INT)")
     counts = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.expr(
+            f"try_cast({value_col} AS BIGINT) IS NOT NULL"))
         .select(*[F.col(c) for c in group_cols],
                 bin_col.alias("_bin"))
         .groupBy(*group_cols, "_bin")

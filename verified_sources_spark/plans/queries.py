@@ -6460,9 +6460,12 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
     target = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
-    return importance_weights(corpus, target).select(
+    scored = importance_weights(corpus, target)
+    out = scored.select(
         "doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
         F.col("score").cast("long").alias("score"), "selected")
+    out.release_feature_cut = scored.release_feature_cut
+    return out
 
 
 def vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6540,8 +6543,13 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which rules fire is residue arithmetic: example2.com ⇔ %7==2,
     site5.example3.com ⇔ %13==5 ∧ %7==3) rather than re-walking the
     suffix chain — an independent witness, not a reimplementation.
-    Shapes: every exchange carries ids/hashes/bucket ints; text never
-    shuffles (the dedup shuffle is (doc_id, md5) pairs)."""
+    Shapes: the OPERATOR stages exchange only ids/hashes/bucket ints
+    (the dedup shuffle is (doc_id, md5) pairs); the one text movement
+    is the MINT-side leader join that plants the duplicates (fixture
+    construction — broadcast at graded SF, co-partitioned on a real
+    corpus).  The minted corpus and the two id-sized flag cuts
+    persist so the mint subtree runs once, not once per consuming
+    branch (review find); release via release_feature_cut."""
     from verified_sources_spark.llm.crawlgov import blocklist_verdicts
     from verified_sources_spark.llm.dsir import importance_weights
 
@@ -6559,6 +6567,7 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id") - F.col("doc_id") % 3)
         .join(leaders, "lead_id")
         .select("doc_id", F.col("lead_text").alias("text")))
+    corpus.persist()
     urls = corpus.select(
         "doc_id",
         F.expr("concat('https://w', doc_id % 97, '.site', "
@@ -6568,6 +6577,7 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("example2.com",), ("site5.example3.com",)], "domain string")
     verdicts = blocklist_verdicts(urls, rules).select(
         "doc_id", "blocked")
+    verdicts.persist()
     allowed = corpus.join(
         verdicts.filter(~F.col("blocked")).select("doc_id"),
         "doc_id", "left_semi")
@@ -6577,11 +6587,12 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = hashes.groupBy("h").agg(F.min("doc_id").alias("cid"))
     dup_flags = hashes.join(canon, "h").select(
         "doc_id", (F.col("doc_id") != F.col("cid")).alias("is_dup"))
+    dup_flags.persist()
     survivors = allowed.join(
         dup_flags.filter(~F.col("is_dup")).select("doc_id"),
         "doc_id", "left_semi")
     scored = importance_weights(survivors, target)
-    return (
+    out = (
         corpus.select("doc_id")
         .join(verdicts, "doc_id", "left")
         .join(dup_flags, "doc_id", "left")
@@ -6597,6 +6608,15 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "kept",
             ~F.col("blocked") & ~F.col("is_dup") & F.col("selected")))
+
+    def _release() -> None:
+        scored.release_feature_cut()
+        corpus.unpersist()
+        verdicts.unpersist()
+        dup_flags.unpersist()
+
+    out.release_feature_cut = _release
+    return out
 
 
 def length_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
