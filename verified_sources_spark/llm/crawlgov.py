@@ -541,7 +541,11 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
     trailing-dot FQDN ``blocked.org.`` resolves identically in DNS
     and would otherwise evade every rule — review find), and empty
     rules (blank blocklist lines) are dropped so they cannot match
-    empty-host unparseable URLs.  Returns (id, host, blocked,
+    empty-host unparseable URLs.  Matching is otherwise
+    BYTE-LITERAL: an internationalized rule matches only hosts in
+    the same form (give punycode rules for punycode hosts — no IDNA
+    conversion here, documented honestly rather than approximated).
+    Returns (id, host, blocked,
     matched_rule) with ``matched_rule`` the MOST-SPECIFIC (longest)
     matching entry, deterministically — a host's suffix chain has
     strictly decreasing lengths, so the max-by-length tiebreak
