@@ -283,3 +283,24 @@ def test_blocklist_fqdn_and_blank_rule_hardening(spark):
     assert out[1]["blocked"] and out[1]["matched_rule"] == "blocked.org"
     assert out[2]["blocked"]
     assert not out[3]["blocked"]       # blank rules dropped
+
+
+def test_blocklist_ip_and_ipv6_hosts(spark):
+    """IP-literal hosts (UT1 lists carry raw IPs): IPv4 matches its
+    exact rule through the chain's full form; bracketed IPv6 extracts
+    to the bare address (one 'label' — exact match only) and no
+    longer parses as '['."""
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+
+    urls = spark.createDataFrame(
+        [(1, "https://93.184.216.34/p"),
+         (2, "https://[2001:db8::1]:8080/p"),
+         (3, "https://[2001:db8::2]/p")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("93.184.216.34",), ("2001:db8::1",)], "domain string")
+    out = {r["doc_id"]: r for r in
+           blocklist_verdicts(urls, blocked).collect()}
+    assert out[1]["blocked"] and out[1]["matched_rule"] == "93.184.216.34"
+    assert out[2]["blocked"] and out[2]["host"] == "2001:db8::1"
+    assert not out[3]["blocked"] and out[3]["host"] == "2001:db8::2"

@@ -552,10 +552,15 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
     cannot tie."""
     from pyspark.sql import functions as F
 
-    host = F.regexp_replace(F.lower(F.regexp_extract(
+    # host: bracketed IPv6 literal or reg-name/IPv4; brackets come
+    # off after extraction (an IPv6 address has no dots, so its
+    # suffix chain is just itself — exact-match rules work, and a
+    # colon-full garble can no longer masquerade as '[')
+    host = F.regexp_replace(F.regexp_replace(F.lower(F.regexp_extract(
         F.col(url_col),
-        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)),
-        r"\.$", "")
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?"
+        r"(\[[^\]/?#]*\]|[^/:?#]+)", 1)),
+        r"^\[|\]$", ""), r"\.$", "")
     hosts = df.select(F.col(id_col), host.alias("host"))
     sufs = (
         hosts.withColumn("labels", F.split("host", r"\."))
