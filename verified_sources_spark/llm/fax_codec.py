@@ -388,9 +388,27 @@ def _decode_1d_row(bits: _Bits, columns: int) -> bytes:
     return bytes(row)
 
 
+_MAX_COLUMNS = 1 << 20   # widest real fax is ~2432 columns
+_MAX_PIXELS = 1 << 26    # decompression-work gate (the jbig2 bound)
+
+
+def _check_dims(columns: int, rows: int | None) -> None:
+    """Declared-dimension gate, BEFORE any row materializes: a
+    bit-flipped TIFF/PDF width can declare a 536M-column page whose
+    per-row numpy walks buy minutes of work inside otherwise-bounded
+    row counts (8-seed fuzz HANG find) — refuse up front, centrally,
+    for every CCITT consumer (TIFF strips, PDF CCITTFaxDecode)."""
+    if columns <= 0 or columns > _MAX_COLUMNS:
+        raise FaxError(f"fax columns {columns} over gate")
+    if rows is not None and columns * max(rows, 0) > _MAX_PIXELS:
+        raise FaxError(
+            f"fax {columns}x{rows} exceeds {_MAX_PIXELS}-pixel gate")
+
+
 def decode_rle(data: bytes, columns: int, rows: int) -> list[bytes]:
     """TIFF COMPRESSION_CCITTRLE: MH 1D rows, each starting on a byte
     boundary, no EOL codes."""
+    _check_dims(columns, rows)
     bits = _Bits(data)
     out = []
     for _ in range(rows):
@@ -425,6 +443,7 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
     """T.4 Group 3 one-dimensional: EOL-framed MH rows (the TIFF
     COMPRESSION_CCITTFAX3 baseline and PDF K=0 with EndOfLine).  Stops
     at ``rows``, RTC (consecutive EOLs), or end of data."""
+    _check_dims(columns, rows)
     bits = _Bits(data)
     out = []
     saw = _skip_eol(bits)
@@ -433,6 +452,8 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
     while rows is None or len(out) < rows:
         if bits.eof():
             break
+        if (len(out) + 1) * columns > _MAX_PIXELS:
+            raise FaxError("G3 stream exceeds the pixel gate")
         out.append(_decode_1d_row(bits, columns))
         # fill + EOL between rows; a second EOL right away = RTC
         if not _skip_eol(bits):
@@ -560,6 +581,7 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
               byte_align: bool = False) -> list[bytes]:
     """T.6 Group 4: every row coded 2D against the previous (imaginary
     all-white first reference), terminated by EOFB (or ``rows``)."""
+    _check_dims(columns, rows)
     bits = _Bits(data)
     out = []
     ref = bytes(columns)
@@ -570,6 +592,8 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             break
         if bits.peek_str(12) == _EOL:
             break  # EOFB
+        if (len(out) + 1) * columns > _MAX_PIXELS:
+            raise FaxError("G4 stream exceeds the pixel gate")
         ref = _decode_2d_row(bits, ref, columns)
         out.append(ref)
     if rows is not None and len(out) < rows:
@@ -735,6 +759,7 @@ def decode_g3_2d(data: bytes, columns: int,
     with T4Options bit 0, PDF CCITTFaxDecode with K > 0.  Each row is
     EOL + tag bit (1 = 1D, 0 = 2D vs the previous row); stops at
     ``rows``, RTC, or end of data."""
+    _check_dims(columns, rows)
     bits = _Bits(data)
     out: list[bytes] = []
     ref = bytes(columns)
@@ -743,6 +768,8 @@ def decode_g3_2d(data: bytes, columns: int,
     while rows is None or len(out) < rows:
         if bits.eof():
             break
+        if (len(out) + 1) * columns > _MAX_PIXELS:
+            raise FaxError("G3 2D stream exceeds the pixel gate")
         tag = bits.read_bit()
         if tag and bits.peek_str(12) == _EOL:
             break  # EOL+1 immediately followed by EOL: RTC

@@ -115,7 +115,11 @@ def parse_mhtml(data: bytes) -> dict:
     charset = root.get_content_charset() or "utf-8"
     try:
         html = payload.decode(charset)
-    except (UnicodeDecodeError, LookupError):
+    except (ValueError, LookupError):
+        # ValueError covers UnicodeDecodeError AND the embedded-null
+        # case: a hostile charset= parameter containing \x00 raises
+        # plain ValueError from codec lookup (8-seed fuzz find —
+        # email_ingest._part_text had the same net already)
         html = payload.decode("utf-8", errors="replace")
     from verified_sources_spark.llm.warc import extract_text
 

@@ -46,7 +46,14 @@ def rfc822_to_row(uid: int, raw: bytes) -> dict[str, Any]:
         elif part.get_content_type() == "text/plain":
             payload = part.get_payload(decode=True) or b""
             charset = part.get_content_charset() or "utf-8"
-            body_parts.append(payload.decode(charset, errors="replace"))
+            try:
+                body_parts.append(
+                    payload.decode(charset, errors="replace"))
+            except (ValueError, LookupError):
+                # errors="replace" does NOT guard the codec LOOKUP: a
+                # hostile charset= with \x00 raises before it applies
+                body_parts.append(
+                    payload.decode("utf-8", errors="replace"))
     return {
         "uid": int(uid),
         "message_id": (msg.get("Message-ID") or "").strip(),
