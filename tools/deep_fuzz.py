@@ -28,7 +28,10 @@ class Hang(Exception):
 def main() -> int:
     import test_fuzz_frontdoors as T
 
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    # default widened 6 -> 8 seeds in r15: two real defects (a tiff
+    # declared-width HANG, an mhtml charset-NUL escape) sat just past
+    # the 6-seed horizon — widen SEEDS, not only mutants-per-seed
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_each = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
