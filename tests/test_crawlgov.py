@@ -304,3 +304,79 @@ def test_blocklist_ip_and_ipv6_hosts(spark):
     assert out[1]["blocked"] and out[1]["matched_rule"] == "93.184.216.34"
     assert out[2]["blocked"] and out[2]["host"] == "2001:db8::1"
     assert not out[3]["blocked"] and out[3]["host"] == "2001:db8::2"
+
+
+def test_idn_fold_host_unit():
+    """r15b IDN fold: per-label ACE encoding via the stdlib's
+    independent RFC 3492 implementation; ASCII labels (incl. existing
+    xn-- forms) bit-identical; refused labels stay byte-literal."""
+    from verified_sources_spark.llm.crawlgov import idn_fold_host
+
+    # public IDNA pairs (authored from the mapping, not round-tripped)
+    assert idn_fold_host("bücher.example") == "xn--bcher-kva.example"
+    assert idn_fold_host("münchen.de") == "xn--mnchen-3ya.de"
+    assert idn_fold_host("пример.испытание") == \
+        "xn--e1afmkfd.xn--80akhbyknj4f"
+    assert idn_fold_host("例え.テスト") == "xn--r8jz45g.xn--zckzah"
+    # nameprep: sharp-s maps to 'ss' (IDNA 2003)
+    assert idn_fold_host("straße.de") == "strasse.de"
+    # ASCII invariance — the fold is a provable no-op
+    for h in ("already.ascii.com", "xn--bcher-kva.example",
+              "93.184.216.34", "2001:db8::1", "", "a..b",
+              "x" * 80 + ".com"):
+        assert idn_fold_host(h) == h
+    # per-label fallback: one refused label cannot poison siblings
+    assert idn_fold_host("ü." + "x" * 80 + ".de") == \
+        "xn--tda." + "x" * 80 + ".de"
+    # idempotence: folding a folded host is a no-op
+    folded = idn_fold_host("mail.bücher.example")
+    assert folded == "mail.xn--bcher-kva.example"
+    assert idn_fold_host(folded) == folded
+
+
+def test_blocklist_idn_fold(spark):
+    """r15b: unicode rules block punycode hosts and vice versa; the
+    nameprep form matches; the ACE-boundary trap ('bcher-kva.example'
+    vs label 'xn--bcher-kva') matches nothing; most-specific wins in
+    ACE space; fold_idn=False restores byte-literal matching."""
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+
+    urls = spark.createDataFrame(
+        [(1, "https://BÜCHER.example/x"),
+         (2, "https://xn--bcher-kva.example/y"),
+         (3, "https://mail.münchen.de/z"),
+         (4, "https://straße.de/w"),
+         (5, "https://пример.bücher.example/v"),
+         (6, "https://plain.ascii.org/u")],
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("bücher.example",), ("xn--mnchen-3ya.de",),
+         ("strasse.de",), ("пример.bücher.example",),
+         ("bcher-kva.example",)], "domain string")
+    out = {r["doc_id"]: r for r in
+           blocklist_verdicts(urls, rules).collect()}
+    assert out[1]["host"] == "xn--bcher-kva.example"
+    assert out[1]["blocked"]
+    assert out[1]["matched_rule"] == "xn--bcher-kva.example"
+    # ACE host caught by the unicode rule (same folded key)
+    assert out[2]["blocked"]
+    # unicode host caught by the ACE rule, under an ASCII subdomain
+    assert out[3]["blocked"]
+    assert out[3]["matched_rule"] == "xn--mnchen-3ya.de"
+    # nameprep: straße.de ≡ strasse.de
+    assert out[4]["blocked"] and out[4]["host"] == "strasse.de"
+    # most-specific rule wins on the FOLDED lengths
+    assert out[5]["matched_rule"] == \
+        "xn--e1afmkfd.xn--bcher-kva.example"
+    # the ACE-boundary trap fires for nobody
+    assert all(r["matched_rule"] != "bcher-kva.example"
+               for r in out.values())
+    assert not out[6]["blocked"]
+    # strict byte-literal posture on request
+    strict = {r["doc_id"]: r for r in
+              blocklist_verdicts(urls, rules, fold_idn=False).collect()}
+    assert strict[1]["host"] == "bücher.example"
+    assert strict[1]["blocked"]          # same-form match still works
+    assert not strict[2]["blocked"]      # cross-form no longer matches
+    assert not strict[3]["blocked"]
+    assert strict[5]["matched_rule"] == "пример.bücher.example"

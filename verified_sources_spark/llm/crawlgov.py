@@ -32,6 +32,7 @@ __all__ = [
     "CrawlGovError", "parse_robots", "is_allowed", "parse_sitemap",
     "encode_robots", "encode_sitemap", "robots_rules", "sitemap_urls",
     "frontier_audit", "frontier_expand", "expand_host",
+    "idn_fold_host",
     "FRONTIER_AUDIT_SCHEMA",
     "FRONTIER_BUILD_SCHEMA",
     "ROBOTS_RULES_SCHEMA", "SITEMAP_URLS_SCHEMA",
@@ -523,8 +524,49 @@ def sitemap_urls(df, id_col: str = "doc_id", asset_col: str = "asset"):
     return out
 
 
+def idn_fold_host(host: str) -> str:
+    """Fold an internationalized hostname to its ASCII-Compatible
+    Encoding (ACE, ``xn--`` labels) per IDNA 2003 — the form the DNS
+    actually resolves, so a unicode blocklist rule and the punycode
+    host a crawler logged land on the SAME key.
+
+    Per-LABEL, via the stdlib's independent RFC 3492 implementation
+    (``encodings.idna.ToASCII``: nameprep → punycode; the same public
+    codec every Python resolver path uses — an external witness, not
+    a transcription):
+
+    - all-ASCII labels pass through BIT-IDENTICAL (ToASCII is only a
+      length check there), so folding is provably a no-op on every
+      ASCII host — including already-encoded ``xn--`` labels;
+    - non-ASCII labels become ``xn--…`` (case-folded and normalized
+      by nameprep: ``MÜNCHEN``→``xn--mnchen-3ya``, ``straße``→
+      ``strasse``);
+    - a label ToASCII REFUSES (empty, >63 chars post-encode,
+      prohibited code points) stays byte-literal — the fold degrades
+      to the old documented posture instead of dropping the host,
+      and one bad label cannot poison its siblings.
+
+    Callers pass hosts already lowercased; IPv4/bracket-stripped
+    IPv6 literals are all-ASCII and untouched.  IDNA 2008/UTS46
+    deviations (e.g. transitional ß handling) follow the stdlib's
+    IDNA 2003 tables — documented, not approximated."""
+    if host is None or host.isascii():
+        return host
+    from encodings.idna import ToASCII
+    out = []
+    for label in host.split("."):
+        if label.isascii():
+            out.append(label)
+        else:
+            try:
+                out.append(ToASCII(label).decode("ascii"))
+            except UnicodeError:
+                out.append(label)
+    return ".".join(out)
+
+
 def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
-                       url_col: str = "url"):
+                       url_col: str = "url", fold_idn: bool = True):
     """UT1-style domain blocklist verdicts: a URL is blocked when its
     host equals a blocked domain OR sits under one on a LABEL
     boundary (``a.b.example.com`` matches ``example.com`` but
@@ -541,10 +583,15 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
     trailing-dot FQDN ``blocked.org.`` resolves identically in DNS
     and would otherwise evade every rule — review find), and empty
     rules (blank blocklist lines) are dropped so they cannot match
-    empty-host unparseable URLs.  Matching is otherwise
-    BYTE-LITERAL: an internationalized rule matches only hosts in
-    the same form (give punycode rules for punycode hosts — no IDNA
-    conversion here, documented honestly rather than approximated).
+    empty-host unparseable URLs.  With ``fold_idn`` (default) BOTH
+    sides additionally fold internationalized labels to their ACE
+    (``xn--``) form via :func:`idn_fold_host`, so a unicode rule
+    matches the punycode host a crawler logged and vice versa; the
+    fold is bit-identical on all-ASCII hosts (the overwhelming
+    majority — the Arrow hop carries only the short host column, and
+    the vectorized path short-circuits ASCII batches), and a label
+    IDNA refuses stays byte-literal.  ``fold_idn=False`` restores
+    the strict byte-literal posture.
     Returns (id, host, blocked,
     matched_rule) with ``matched_rule`` the MOST-SPECIFIC (longest)
     matching entry, deterministically — a host's suffix chain has
@@ -561,6 +608,22 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
         r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?"
         r"(\[[^\]/?#]*\]|[^/:?#]+)", 1)),
         r"^\[|\]$", ""), r"\.$", "")
+    rule_expr = F.regexp_replace(
+        F.lower(F.trim(F.col("domain"))), r"\.$", "")
+    if fold_idn:
+        def _fold_batch(col):
+            # all-ASCII batches short-circuit without a Python loop
+            mask = ~col.map(
+                lambda h: h is None or h.isascii(), na_action=None)
+            if not mask.any():
+                return col
+            out = col.copy()
+            out[mask] = col[mask].map(idn_fold_host)
+            return out
+
+        _fold = F.pandas_udf(_fold_batch, "string")
+        host = _fold(host)
+        rule_expr = _fold(rule_expr)
     hosts = df.select(F.col(id_col), host.alias("host"))
     sufs = (
         hosts.withColumn("labels", F.split("host", r"\."))
@@ -571,9 +634,7 @@ def blocklist_verdicts(df, blocked_df, id_col: str = "doc_id",
                 "array_join(slice(labels, i, size(labels) - i + 1), "
                 "'.'))")).alias("suffix")))
     rules = (
-        blocked_df.select(F.regexp_replace(
-            F.lower(F.trim(F.col("domain"))), r"\.$", "")
-            .alias("suffix"))
+        blocked_df.select(rule_expr.alias("suffix"))
         .filter(F.col("suffix") != "").distinct())
     matched = (
         sufs.join(rules, "suffix")

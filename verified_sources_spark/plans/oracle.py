@@ -4051,3 +4051,36 @@ ORACLE_SQL["length_quantiles_docs"] = """
                          THEN b END) * 5 AS BIGINT) AS q99
     FROM cum GROUP BY lang
 """
+
+# IDN blocklist: the folded (ACE) hosts and verdicts derive from the
+# residue classes with the xn-- strings AUTHORED from the public IDNA
+# mapping — the operator's encoder never runs here, so a folding bug
+# on either side breaks the hash.
+ORACLE_SQL["blocklist_idn_docs"] = """
+    WITH r AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 AS INT) AS p,
+               CAST(doc_id % 6 AS INT) AS b
+        FROM documents),
+    f AS (
+        SELECT doc_id, p, b,
+               (CASE p WHEN 1 THEN 'mail.'
+                       WHEN 2 THEN 'xn--e1afmkfd.'
+                       ELSE '' END) ||
+               (CASE b WHEN 0 THEN 'xn--bcher-kva.example'
+                       WHEN 1 THEN 'xn--bcher-kva.example'
+                       WHEN 2 THEN 'xn--mnchen-3ya.de'
+                       WHEN 3 THEN 'xn--mnchen-3ya.de'
+                       WHEN 4 THEN 'strasse.de'
+                       ELSE 'plain.ascii.org' END) AS host
+        FROM r)
+    SELECT doc_id, host,
+           b < 5 AS blocked,
+           CASE WHEN b IN (0, 1) AND p = 2
+                    THEN 'xn--e1afmkfd.xn--bcher-kva.example'
+                WHEN b IN (0, 1) THEN 'xn--bcher-kva.example'
+                WHEN b IN (2, 3) THEN 'xn--mnchen-3ya.de'
+                WHEN b = 4 THEN 'strasse.de'
+                ELSE NULL END AS matched_rule
+    FROM f
+"""

@@ -6530,6 +6530,49 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host", "blocked", "matched_rule")
 
 
+def blocklist_idn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internationalized-domain blocklist matching
+    (llm/crawlgov.blocklist_verdicts with the default ``fold_idn``):
+    hosts and rules meet on the ACE (punycode ``xn--``) form the DNS
+    actually resolves, so a unicode rule blocks the punycode host a
+    crawler logged and vice versa.  Mint: each doc's host cycles
+    (doc_id%6) through unicode/ACE/uppercase/nameprep forms of two
+    IDN domains plus an ASCII control, under a (doc_id%3) subdomain
+    prefix that is itself sometimes unicode (``пример.``).  Rules
+    arrive in MIXED forms — a unicode rule (``bücher.example``), an
+    ACE rule (``xn--mnchen-3ya.de``), a nameprep target
+    (``strasse.de`` catching ``straße.de``), a most-specific unicode
+    subdomain rule that must win the longest-match tiebreak in ACE
+    space, an ACE-boundary TRAP (``bcher-kva.example`` must match
+    nothing: the folded label is ``xn--bcher-kva``, and matching is
+    on label boundaries, not string suffixes), and a rule absent at
+    every residue.  The oracle derives each FOLDED host from the
+    residue classes with the ACE strings authored from the public
+    IDNA mapping (independent witness — the operator's encoder never
+    runs in the oracle) and replays the verdicts as residue logic."""
+    from verified_sources_spark.llm.crawlgov import blocklist_verdicts
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.expr(
+            "concat('https://', "
+            "element_at(array('', 'mail.', 'пример.'), "
+            "CAST(doc_id % 3 AS INT) + 1), "
+            "element_at(array('bücher.example', "
+            "'xn--bcher-kva.example', 'MÜNCHEN.de', "
+            "'xn--mnchen-3ya.de', 'straße.de', 'plain.ascii.org'), "
+            "CAST(doc_id % 6 AS INT) + 1), "
+            "'/p/', doc_id)").alias("url"))
+    blocked = spark.createDataFrame(
+        [("bücher.example",), ("xn--mnchen-3ya.de",),
+         ("strasse.de",), ("пример.bücher.example",),
+         ("bcher-kva.example",), ("xn--bluhen-nicht",)],
+        "domain string")
+    return blocklist_verdicts(urls, blocked).select(
+        "doc_id", "host", "blocked", "matched_rule")
+
+
 def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-selection capstone: the r15 governance + selection
     operators COMPOSED end-to-end — URL blocklist (llm/crawlgov) →
@@ -6823,4 +6866,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_filter_docs": blocklist_filter_docs,
     "selection_pipeline_docs": selection_pipeline_docs,
     "length_quantiles_docs": length_quantiles_docs,
+    "blocklist_idn_docs": blocklist_idn_docs,
 }
