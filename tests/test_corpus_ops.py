@@ -411,3 +411,111 @@ def test_binned_quantiles_hardening(spark):
                 dict(bin_width=0), dict(n_bins=0)):
         with pytest.raises(ValueError):
             binned_quantiles(d, ["g"], "v", **bad)
+
+
+def test_pmi_collocations(spark):
+    """r15b PMI collocations: hand-computed integer association
+    ratios; unigrams from ALL tokens (short docs included); bigram
+    floor applied after aggregation; null/empty docs contribute
+    nothing; ranking surfaces the planted collocation."""
+    from verified_sources_spark.llm.corpus import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("new york is big",), ("new york city",),
+         ("the city is new",), ("york",), (None,), ("",)],
+        "text string")
+    out = pmi_collocations(df, "text", min_count=2, scale=1000)
+    rows = {(r.w1, r.w2): r for r in out.collect()}
+    # tokens: 4 + 3 + 4 + 1 = 12; c(new)=3 c(york)=3 c('new york')=2
+    # => 2*12*1000 DIV (3*3) = 24000//9 = 2666
+    assert set(rows) == {("new", "york")}
+    r = rows[("new", "york")]
+    assert (r.c_xy, r.c1, r.c2, r.n_tokens, r.pmi_ratio_scaled) == \
+        (2, 3, 3, 12, 2666)
+    out.release_count_table()
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, "text", min_count=0)
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, "text", scale=0)
+
+
+def test_pmi_collocations_matches_brute_force(spark):
+    """Operator counts agree with a brute-force Python recount on a
+    50-doc synthetic corpus with planted repeats."""
+    from collections import Counter
+    import re as _re
+
+    from verified_sources_spark.llm.corpus import pmi_collocations
+
+    docs = []
+    for i in range(50):
+        words = ["alpha", "beta"] if i % 2 else ["gamma", "delta",
+                                                 "alpha"]
+        docs.append(" ".join(words * (1 + i % 3)))
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    uni, big = Counter(), Counter()
+    for d in docs:
+        ts = _re.findall(r"[a-z0-9]+", d.lower())
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    n = sum(uni.values())
+    out = pmi_collocations(df, "text", min_count=3, scale=10**6)
+    got = {(r.w1, r.w2): r for r in out.collect()}
+    want = {p for p, c in big.items() if c >= 3}
+    assert set(got) == want
+    for (w1, w2), r in got.items():
+        c = big[(w1, w2)]
+        assert r.c_xy == c and r.c1 == uni[w1] and r.c2 == uni[w2]
+        assert r.n_tokens == n
+        assert r.pmi_ratio_scaled == (c * n * 10**6) // (uni[w1] * uni[w2])
+    out.release_count_table()
+
+
+def test_hash_sampled_overlap(spark):
+    """r15b pairwise overlap sketch: the sampled counts equal an
+    independent hashlib replay of the threshold cut exactly (the
+    coordinated-sketch property sample(A)∩sample(B)=sample(A∩B)),
+    zero-overlap pairs surface with n_common=0, and the permille
+    Jaccard is the integer ratio of the sampled sets."""
+    import hashlib
+    import itertools
+
+    from verified_sources_spark.llm.sketches import (
+        hash_sampled_overlap,
+    )
+
+    rows = [("A", f"v{i}") for i in range(3000)]
+    rows += [("B", f"v{i}") for i in range(1500, 4500)]
+    rows += [("C", f"v{i}") for i in range(9000, 9100)]
+    rows.append(("C", "v1600"))
+    rows.append(("A", "v7"))          # duplicate — distinct semantics
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = hash_sampled_overlap(df, "g", "v", sample_log2=3)
+    got = {(r.g_a, r.g_b): r for r in out.collect()}
+    out.release_sample_cut()
+
+    thr = 1 << 57
+    sets: dict[str, set] = {}
+    for g, v in rows:
+        sets.setdefault(g, set()).add(v)
+    sub = {g: {v for v in s
+               if int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+               < thr}
+           for g, s in sets.items()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for a, b in itertools.combinations(sorted(sub), 2):
+        na, nb = len(sub[a]), len(sub[b])
+        nc = len(sub[a] & sub[b])
+        r = got[(a, b)]
+        assert (r.n_a, r.n_b, r.n_common) == (na, nb, nc)
+        assert r.inter_estimate == nc * 8
+        assert r.union_estimate == (na + nb - nc) * 8
+        assert r.jaccard_permille == nc * 1000 // (na + nb - nc)
+    # the estimate tracks the true planted overlap (J = 1/3)
+    j = got[("A", "B")].jaccard_permille
+    assert 250 <= j <= 420, j
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_sampled_overlap(df, "g", "v", sample_log2=60)

@@ -151,6 +151,89 @@ def unigram_rarity(df: DataFrame, id_col: str, text_col: str, rare_max_count: in
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-wide PMI collocation ranking — the classic association
+    measure (Church & Hanks 1990) that surfaces multiword units
+    ("new york", "machine learning") for tokenizer vocab curation and
+    boilerplate discovery.
+
+    Integer-exact so the DuckDB oracle replays bit-for-bit: the score
+    is exp(PMI) scaled, ``pmi_ratio_scaled =
+    (c_xy · n_tokens · scale) DIV (c_x · c_y)`` in DECIMAL(38,0) —
+    no log/exp (libm rounding differs across engines).  The bigram
+    probability is normalized by n_tokens rather than n_pairs; the
+    n_tokens/n_pairs correction is a GLOBAL constant (≈1 + one short
+    doc per corpus doc), so the RANKING is identical and callers can
+    apply it from the emitted ``n_tokens``.  Headroom: the
+    intermediate is ≤ n_tokens²·scale < 10^38 for any corpus under
+    ~10^15 tokens, and the bigint result needs
+    n_tokens·scale/min_count < 9.2·10^18 (at the defaults: a ~46
+    trillion-token corpus; lower ``scale`` or raise ``min_count``
+    past that — the dsir headroom convention).
+
+    100 TB shape: ONE tokenizer pass — each row projects its token
+    array once (column reference, not re-derived per element) and
+    emits unigram entries (w2 NULL) and bigram entries through a
+    single explode, so one (w1, w2)-keyed exchange with map-side
+    partial aggregation builds both count tables.  The type-level
+    count table persists (vocab-sized, not occurrence-sized) because
+    three branches consume it; release via
+    ``release_count_table()``.  The c_x/c_y joins are left to AQE —
+    a web corpus's bigram-type table has a long tail, so neither
+    side is forced broadcast; the corpus total is the one-row
+    broadcast crossJoin precedent."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    toks = df.select(tokens(text_col).alias("toks"))
+    entries = (
+        "concat("
+        "transform(toks, w -> named_struct("
+        "'w1', w, 'w2', CAST(NULL AS STRING))), "
+        "filter(zip_with(toks, "
+        "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(a, b) -> named_struct('w1', a, 'w2', b)), "
+        "p -> p.w2 IS NOT NULL))"
+    )
+    occ = toks.select(F.explode(F.expr(entries)).alias("e")).select(
+        F.col("e.w1").alias("w1"), F.col("e.w2").alias("w2"))
+    counts = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    counts.persist()
+    uni = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("tok"), F.col("c").alias("cu"))
+    total = uni.agg(
+        F.coalesce(F.sum("cu"), F.lit(0)).cast("long")
+        .alias("n_tokens"))
+    big = counts.filter(
+        F.col("w2").isNotNull() & (F.col("c") >= min_count)).select(
+        "w1", "w2", F.col("c").alias("c_xy"))
+    out = (
+        big.join(uni.select(F.col("tok").alias("w1"),
+                            F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"),
+                         F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c_xy", "c1", "c2", "n_tokens",
+            F.expr(
+                f"CAST(CAST(c_xy AS DECIMAL(38,0)) * n_tokens * "
+                f"{scale}L DIV (CAST(c1 AS DECIMAL(38,0)) * c2) "
+                "AS BIGINT)").alias("pmi_ratio_scaled")))
+
+    def _release() -> None:
+        counts.unpersist()
+
+    out.release_count_table = _release
+    return out
+
+
 def pack_manifest(
     df: DataFrame, id_col: str, text_col: str, seq_len: int
 ) -> DataFrame:

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sampled_distinct", "binned_quantiles"]
+__all__ = ["hash_sampled_distinct", "binned_quantiles",
+           "hash_sampled_overlap"]
 
 
 def hash_sampled_distinct(df: DataFrame, group_cols: list[str],
@@ -125,4 +126,91 @@ def binned_quantiles(df: DataFrame, group_cols: list[str],
         out = out.withColumn(
             f"q{p}", (F.col(f"_q{p}") * F.lit(bin_width))
             .cast("long")).drop(f"_q{p}")
+    return out
+
+
+def hash_sampled_overlap(df: DataFrame, group_col: str,
+                         value_col: str,
+                         sample_log2: int = 8) -> DataFrame:
+    """Pairwise set-overlap estimates between groups — the
+    train/eval contamination and corpus-similarity measurement a
+    curation pipeline runs before mixing sources: how many distinct
+    values (tokens, n-grams, URLs) do two slices share?
+
+    The same fixed hash-range cut as :func:`hash_sampled_distinct`,
+    which is what makes PAIRWISE estimates sound: the cut is one
+    global function of the VALUE, so it commutes with intersection —
+    ``sample(A) ∩ sample(B) = sample(A ∩ B)`` exactly (a coordinated
+    bottom sketch with fixed θ; independent per-group samples would
+    estimate nothing).  Deterministic and mergeable for the same
+    reasons, and the oracle replays it bit-for-bit.
+
+    Returns one row per unordered group pair (``g_a < g_b``
+    lexicographically): sampled distinct counts ``n_a``/``n_b``/
+    ``n_common``, scaled ``inter_estimate``/``union_estimate``
+    (<< sample_log2), and ``jaccard_permille`` =
+    ``n_common·1000 DIV (n_a + n_b − n_common)`` — an integer ratio
+    of the sampled sets (the θ cancels, so no scaling bias).
+    Pairs whose sampled sets are both empty are ABSENT (the
+    hash_sampled_distinct contract); relative error ~
+    1/sqrt(union/2^sample_log2).
+
+    100 TB shape: the ``h < θ`` filter runs inside the scan, so only
+    ~2^-sample_log2 of the value stream reaches the (group, value)
+    distinct; the pair join keys on the SAMPLED value only, and the
+    group-pair aggregate is #groups²-sized.  Group count is expected
+    small (languages, sources, snapshots) — for G groups the join
+    emits ≤ G²/2 rows per sampled value."""
+    if not 0 <= sample_log2 <= 59:
+        raise ValueError("sample_log2 must be in [0, 59]")
+    threshold = 1 << (60 - sample_log2)
+    sub = (
+        df.select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.col(value_col).alias("_v"),
+            F.expr(f"CAST(conv(substring(md5({value_col}), 1, 15), "
+                   "16, 10) AS BIGINT)").alias("_h"))
+        .filter(F.col("_h") < F.lit(threshold))
+        .select("_g", "_v").distinct())
+    sub.persist()
+    per_group = sub.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sub.alias("a")
+        .join(sub.alias("b"),
+              (F.col("a._v") == F.col("b._v"))
+              & (F.col("a._g") < F.col("b._g")))
+        .groupBy(F.col("a._g").alias("g_a"),
+                 F.col("b._g").alias("g_b"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
+    # every group pair with a non-empty sample appears, even with
+    # zero shared values — the cross of the (tiny) per-group counts
+    all_pairs = (
+        per_group.select(F.col("_g").alias("g_a"),
+                         F.col("n").alias("n_a"))
+        .join(per_group.select(F.col("_g").alias("g_b"),
+                               F.col("n").alias("n_b")),
+              F.col("g_a") < F.col("g_b")))
+    out = (
+        all_pairs.join(pairs, ["g_a", "g_b"], "left")
+        .select(
+            "g_a", "g_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long")
+            .alias("n_common"))
+        .withColumn(
+            "inter_estimate",
+            F.expr(f"n_common * {1 << sample_log2}L"))
+        .withColumn(
+            "union_estimate",
+            F.expr(f"(n_a + n_b - n_common) * {1 << sample_log2}L"))
+        .withColumn(
+            "jaccard_permille",
+            F.expr("n_common * 1000L DIV (n_a + n_b - n_common)")))
+
+    def _release() -> None:
+        sub.unpersist()
+
+    out.release_sample_cut = _release
     return out

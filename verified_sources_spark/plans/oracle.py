@@ -4084,3 +4084,80 @@ ORACLE_SQL["blocklist_idn_docs"] = """
                 ELSE NULL END AS matched_rule
     FROM f
 """
+
+# PMI collocations: tokens, positional bigrams, both count tables and
+# the DECIMAL integer division replayed from scratch; HUGEINT keeps
+# the intermediate exact.
+ORACLE_SQL["pmi_collocations_docs"] = """
+    WITH ts AS (
+        SELECT regexp_extract_all(lower(COALESCE(text, '')),
+                                  '[a-z0-9]+') AS ts
+        FROM documents),
+    uni AS (
+        SELECT w, COUNT(*) AS cu
+        FROM (SELECT UNNEST(ts) AS w FROM ts) GROUP BY w),
+    tot AS (SELECT COALESCE(SUM(cu), 0) AS n_tokens FROM uni),
+    big AS (
+        SELECT w1, w2, COUNT(*) AS c_xy
+        FROM (SELECT UNNEST(list_transform(
+                  generate_series(1, len(ts) - 1), i -> ts[i])) AS w1,
+                     UNNEST(list_transform(
+                  generate_series(1, len(ts) - 1), i -> ts[i + 1])) AS w2
+              FROM ts WHERE len(ts) >= 2)
+        GROUP BY w1, w2
+        HAVING COUNT(*) >= 5)
+    SELECT b.w1, b.w2,
+           CAST(b.c_xy AS BIGINT) AS c_xy,
+           CAST(u1.cu AS BIGINT) AS c1,
+           CAST(u2.cu AS BIGINT) AS c2,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST((b.c_xy::HUGEINT * t.n_tokens * 1000000)
+                // (u1.cu::HUGEINT * u2.cu) AS BIGINT)
+               AS pmi_ratio_scaled
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+"""
+
+# Pairwise corpus overlap: the coordinated bottom sketch replayed —
+# same md5 threshold as vocab_estimate, sampled self-join on gram,
+# integer permille Jaccard.  Every non-empty group pair appears even
+# with zero shared grams.
+ORACLE_SQL["corpus_overlap_docs"] = """
+    WITH toks AS (
+        SELECT lang,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '[a-z0-9]+') AS ts
+        FROM documents),
+    grams AS (
+        SELECT lang,
+               UNNEST(CASE WHEN len(ts) >= 2 THEN list_transform(
+                          generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1])
+                      ELSE [] END) AS g
+        FROM toks),
+    sub AS (
+        SELECT DISTINCT lang, g
+        FROM grams
+        WHERE ('0x' || substr(md5(g), 1, 15))::UBIGINT
+              < (1::UBIGINT << 56)),
+    pg AS (SELECT lang, COUNT(*) AS n FROM sub GROUP BY lang),
+    pr AS (
+        SELECT a.lang AS g_a, b.lang AS g_b, COUNT(*) AS nc
+        FROM sub a JOIN sub b ON a.g = b.g AND a.lang < b.lang
+        GROUP BY a.lang, b.lang)
+    SELECT pa.lang AS g_a, pb.lang AS g_b,
+           CAST(pa.n AS BIGINT) AS n_a,
+           CAST(pb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(pr.nc, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(pr.nc, 0) * 16 AS BIGINT) AS inter_estimate,
+           CAST((pa.n + pb.n - COALESCE(pr.nc, 0)) * 16 AS BIGINT)
+               AS union_estimate,
+           CAST(COALESCE(pr.nc, 0) * 1000
+                // (pa.n + pb.n - COALESCE(pr.nc, 0)) AS BIGINT)
+               AS jaccard_permille
+    FROM pg pa
+    JOIN pg pb ON pa.lang < pb.lang
+    LEFT JOIN pr ON pr.g_a = pa.lang AND pr.g_b = pb.lang
+"""

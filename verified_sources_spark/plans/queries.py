@@ -6497,6 +6497,37 @@ def vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("estimate").cast("long").alias("estimate"))
 
 
+def corpus_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-slice overlap (llm/sketches
+    .hash_sampled_overlap): per language pair, estimated
+    intersection/union/Jaccard of the BIGRAM vocabularies — the
+    contamination/similarity measurement run before mixing sources.
+    The fixed md5-threshold cut (2^56, 1/16 of the 60-bit space —
+    the vocab_estimate sketch) commutes with intersection, so the
+    pair counts are a coordinated bottom sketch: deterministic,
+    mergeable, replayed bit-for-bit by the oracle (sampled
+    self-join, Jaccard as an integer permille ratio — θ cancels, no
+    scaling bias).  Scan-side threshold filter; the pair join keys
+    on SAMPLED grams only; G²-sized output."""
+    from verified_sources_spark.llm.minhash import (
+        _shingles_sql, _tokens_sql,
+    )
+    from verified_sources_spark.llm.sketches import (
+        hash_sampled_overlap,
+    )
+
+    d = _docs_parallel(spark, sf_dir).select("lang", "text")
+    grams = d.select(
+        "lang", F.expr(_tokens_sql("text")).alias("toks")).select(
+        "lang", F.explode(F.expr(_shingles_sql(2))).alias("gram"))
+    out = hash_sampled_overlap(grams, "lang", "gram", 4)
+    result = out.select(
+        "g_a", "g_b", "n_a", "n_b", "n_common",
+        "inter_estimate", "union_estimate", "jaccard_permille")
+    result.release_sample_cut = out.release_sample_cut
+    return result
+
+
 def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain-blocklist governance over documents
     (llm/crawlgov.blocklist_verdicts): per doc, mint a URL whose host
@@ -6571,6 +6602,29 @@ def blocklist_idn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain string")
     return blocklist_verdicts(urls, blocked).select(
         "doc_id", "host", "blocked", "matched_rule")
+
+
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI collocation ranking over documents
+    (llm/corpus.pmi_collocations): bigram types seen ≥5 times scored
+    by the integer-exact scaled association ratio
+    ``(c_xy · n_tokens · 10^6) DIV (c_x · c_y)`` — no log/exp, so
+    the oracle hash-matches bit-for-bit.  One tokenizer pass emits
+    unigram and bigram occurrences through a single explode; one
+    (w1, w2) exchange builds both count tables; the scoring joins
+    are AQE-planned over the type-level (vocab-sized) tables; the
+    corpus total is a one-row broadcast.  The oracle replays tokens,
+    positional bigrams, both counts, and the DECIMAL(38,0) integer
+    division."""
+    from verified_sources_spark.llm.corpus import pmi_collocations
+
+    d = _docs_parallel(spark, sf_dir)
+    out = pmi_collocations(d, "text", min_count=5, scale=1_000_000)
+    result = out.select(
+        "w1", "w2", "c_xy", "c1", "c2", "n_tokens",
+        "pmi_ratio_scaled")
+    result.release_count_table = out.release_count_table
+    return result
 
 
 def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6867,4 +6921,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "selection_pipeline_docs": selection_pipeline_docs,
     "length_quantiles_docs": length_quantiles_docs,
     "blocklist_idn_docs": blocklist_idn_docs,
+    "pmi_collocations_docs": pmi_collocations_docs,
+    "corpus_overlap_docs": corpus_overlap_docs,
 }
