@@ -519,3 +519,36 @@ def test_hash_sampled_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_sampled_overlap(df, "g", "v", sample_log2=60)
+
+
+def test_budget_apportionment(spark):
+    """r15b largest-remainder apportionment: hand-computed floors,
+    leftover goes to the largest remainders with the name-ascending
+    tie-break, allocations sum to the budget exactly; zero total
+    weight allocates nothing; weights aggregate across rows."""
+    import pytest as _pytest
+
+    from verified_sources_spark.llm.corpus import budget_apportionment
+
+    rows = [("en", 7), ("en", 3), ("de", 3), ("fr", 3), ("it", 1)]
+    df = spark.createDataFrame(rows, "g string, w long")
+    out = {r.g: (r.weight, r.alloc)
+           for r in budget_apportionment(df, "g", "w", 100).collect()}
+    # W=17: floors en 58 r14, de 17 r11, fr 17 r11, it 5 r15;
+    # leftover 3 -> it, en, then the de/fr tie broken by name (de)
+    assert out == {"en": (10, 59), "de": (3, 18),
+                   "fr": (3, 17), "it": (1, 6)}
+    assert sum(a for _, a in out.values()) == 100
+    z = spark.createDataFrame([("a", 0), ("b", 0)], "g string, w long")
+    assert {r.g: r.alloc
+            for r in budget_apportionment(z, "g", "w", 50).collect()} \
+        == {"a": 0, "b": 0}
+    # a budget bigger than bigint-safe products: DECIMAL quota path
+    big = spark.createDataFrame(
+        [("a", 3_000_000_000_000), ("b", 1_000_000_000_000)],
+        "g string, w long")
+    got = {r.g: r.alloc for r in budget_apportionment(
+        big, "g", "w", 2_000_000_000_000).collect()}
+    assert got == {"a": 1_500_000_000_000, "b": 500_000_000_000}
+    with _pytest.raises(ValueError):
+        budget_apportionment(df, "g", "w", -1)

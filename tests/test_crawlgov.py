@@ -380,3 +380,27 @@ def test_blocklist_idn_fold(spark):
     assert not strict[2]["blocked"]      # cross-form no longer matches
     assert not strict[3]["blocked"]
     assert strict[5]["matched_rule"] == "пример.bücher.example"
+
+
+def test_fetch_schedule(spark):
+    """r15b politeness schedule: per-host lexicographic slots,
+    offset = slot × delay, NULL/negative delays fall back to the
+    default, makespan = (n−1) × delay."""
+    from verified_sources_spark.llm.crawlgov import fetch_schedule
+
+    rows = [("a.com", "https://a.com/b", 2000),
+            ("a.com", "https://a.com/a", 2000),
+            ("a.com", "https://a.com/c", 2000),
+            ("b.org", "https://b.org/x", None),
+            ("b.org", "https://b.org/y", -5)]
+    df = spark.createDataFrame(
+        rows, "host string, url string, crawl_delay_ms long")
+    out = sorted((r.host, r.url, r.delay_ms, r.position,
+                  r.fetch_offset_ms, r.host_makespan_ms)
+                 for r in fetch_schedule(df).collect())
+    assert out == [
+        ("a.com", "https://a.com/a", 2000, 0, 0, 4000),
+        ("a.com", "https://a.com/b", 2000, 1, 2000, 4000),
+        ("a.com", "https://a.com/c", 2000, 2, 4000, 4000),
+        ("b.org", "https://b.org/x", 1000, 0, 0, 1000),
+        ("b.org", "https://b.org/y", 1000, 1, 1000, 1000)]

@@ -240,7 +240,8 @@ def test_r11_front_doors_never_shuffle_payloads(spark):
               "vocab_estimate_docs", "blocklist_filter_docs",
               "selection_pipeline_docs", "length_quantiles_docs",
               "blocklist_idn_docs", "pmi_collocations_docs",
-              "corpus_overlap_docs"):
+              "corpus_overlap_docs", "link_rank_docs",
+              "token_budget_docs", "fetch_schedule_docs"):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         for ln in plan.splitlines():

@@ -234,6 +234,72 @@ def pmi_collocations(
     return out
 
 
+def budget_apportionment(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Apportion an integer token budget across groups exactly
+    proportionally to their weights — the step BEFORE
+    ``mixture_sample``: given per-source token masses, derive the
+    integer per-source targets that sum to the budget EXACTLY (float
+    rounding of ``budget × share`` loses or invents tokens; a 2T
+    budget misallocated by one part in 2^53 is still thousands of
+    documents).
+
+    Largest-remainder (Hamilton) method, fully deterministic: each
+    group gets ``⌊budget·w/W⌋``; the ``budget − Σ⌊·⌋`` leftover units
+    (strictly fewer than the number of groups) go one each to the
+    largest remainders, ties broken by group name ascending.  The
+    quota product runs in DECIMAL(38,0) (budget·w overflows bigint
+    for trillion-token corpora); remainders are derived by
+    multiply-back subtraction, so no cross-engine ``%`` semantics
+    are in play.  If the total weight is 0, every allocation is 0.
+
+    100 TB shape: one aggregation to the G-sized weight table; the
+    ranking window is GLOBAL but post-aggregation (G = sources/
+    languages, not rows), so the single-partition sort is G log G on
+    one executor — the only correct place for an unpartitioned
+    window in this engine.  Returns (group, weight, alloc) with
+    Σ alloc = budget whenever W > 0."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.coalesce(F.sum(weight_col), F.lit(0)).cast("long")
+        .alias("weight"))
+    tot = agg.agg(F.coalesce(F.sum("weight"), F.lit(0))
+                  .cast("long").alias("_w_total"))
+    quotas = (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "grp", "weight", "_w_total",
+            F.expr(
+                f"CASE WHEN _w_total = 0 THEN 0L ELSE CAST("
+                f"CAST({budget}L AS DECIMAL(38,0)) * weight "
+                "DIV _w_total AS BIGINT) END").alias("floor_alloc"))
+        .withColumn(
+            "remainder",
+            F.expr(
+                f"CASE WHEN _w_total = 0 THEN 0L ELSE CAST("
+                f"CAST({budget}L AS DECIMAL(38,0)) * weight "
+                "- CAST(floor_alloc AS DECIMAL(38,0)) * _w_total "
+                "AS BIGINT) END")))
+    leftover = quotas.agg(
+        F.expr(f"CASE WHEN max(_w_total) = 0 THEN 0L "
+               f"ELSE {budget}L - sum(floor_alloc) END")
+        .alias("_leftover"))
+    w = Window.orderBy(F.col("remainder").desc(), F.col("grp").asc())
+    return (
+        quotas.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            F.col("grp").alias(group_col), "weight",
+            (F.col("floor_alloc")
+             + F.when(F.col("_rk") <= F.col("_leftover"), 1)
+             .otherwise(0)).cast("long").alias("alloc")))
+
+
 def pack_manifest(
     df: DataFrame, id_col: str, text_col: str, seq_len: int
 ) -> DataFrame:

@@ -32,7 +32,7 @@ __all__ = [
     "CrawlGovError", "parse_robots", "is_allowed", "parse_sitemap",
     "encode_robots", "encode_sitemap", "robots_rules", "sitemap_urls",
     "frontier_audit", "frontier_expand", "expand_host",
-    "idn_fold_host",
+    "idn_fold_host", "fetch_schedule",
     "FRONTIER_AUDIT_SCHEMA",
     "FRONTIER_BUILD_SCHEMA",
     "ROBOTS_RULES_SCHEMA", "SITEMAP_URLS_SCHEMA",
@@ -522,6 +522,56 @@ def sitemap_urls(df, id_col: str = "doc_id", asset_col: str = "asset"):
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out
+
+
+def fetch_schedule(df, host_col: str = "host", url_col: str = "url",
+                   delay_ms_col: str = "crawl_delay_ms",
+                   default_delay_ms: int = 1000):
+    """Politeness scheduling over a frontier: per host, assign each
+    URL a fetch slot honoring the host's ``Crawl-delay`` (the
+    de-facto robots extension ``parse_robots`` already carries) —
+    the planning step between frontier construction and the fetcher
+    fleet.
+
+    Deterministic: URLs order lexicographically within their host
+    (re-runs and engines agree), ``position`` is the 0-based slot and
+    ``fetch_offset_ms = position × delay`` the earliest start
+    relative to the host's first fetch.  A NULL/negative per-host
+    delay falls back to ``default_delay_ms``; the delay is read from
+    the host's FIRST frontier row (min over the host — frontier rows
+    for one host share one robots verdict upstream).  Also emits
+    ``host_makespan_ms`` (the host's last slot) so a scheduler can
+    bin-pack hosts onto fetchers by total duration.
+
+    100 TB shape: ONE host-keyed window — per-host sequencing is
+    inherent to politeness (the whole point is that a host's fetches
+    serialize), and a host's frontier is sitemap-sized, not
+    corpus-sized, so the partition is naturally bounded; hosts
+    themselves spread across the cluster.  No payload moves: (host,
+    url, delay) only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    delay = F.when(
+        F.col(delay_ms_col).isNotNull() & (F.col(delay_ms_col) >= 0),
+        F.col(delay_ms_col).cast("long")).otherwise(
+        F.lit(default_delay_ms).cast("long"))
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    wh = Window.partitionBy(host_col)
+    return (
+        df.select(F.col(host_col), F.col(url_col),
+                  delay.alias("_delay"))
+        .withColumn("delay_ms", F.min("_delay").over(wh))
+        .withColumn("position",
+                    (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("fetch_offset_ms",
+                    (F.col("position") * F.col("delay_ms"))
+                    .cast("long"))
+        .withColumn("host_makespan_ms",
+                    ((F.count(F.lit(1)).over(wh) - 1)
+                     * F.col("delay_ms")).cast("long"))
+        .select(host_col, url_col, "delay_ms", "position",
+                "fetch_offset_ms", "host_makespan_ms"))
 
 
 def idn_fold_host(host: str) -> str:

@@ -4161,3 +4161,109 @@ ORACLE_SQL["corpus_overlap_docs"] = """
     JOIN pg pb ON pa.lang < pb.lang
     LEFT JOIN pr ON pr.g_a = pa.lang AND pr.g_b = pb.lang
 """
+
+# Fixed-iteration PageRank: the two power-method steps replayed as
+# CTE hops; every division integer (// floors = Spark DIV on the
+# all-nonnegative ranks), so the chain is bit-exact.
+ORACLE_SQL["link_rank_docs"] = """
+    WITH e AS (
+        SELECT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+        FROM documents),
+    deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
+    spine AS (
+        SELECT n.node,
+               CAST(COALESCE(d.od, 0) AS BIGINT) AS out_degree
+        FROM nodes n LEFT JOIN deg d ON d.src = n.node),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    s1 AS (
+        SELECT e.dst AS node, SUM(r.rank // d.od) AS inflow
+        FROM e JOIN r0 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+    r1 AS (
+        SELECT n.node,
+               150000 + 850 * COALESCE(s.inflow, 0) // 1000 AS rank
+        FROM nodes n LEFT JOIN s1 s USING (node)),
+    s2 AS (
+        SELECT e.dst AS node, SUM(r.rank // d.od) AS inflow
+        FROM e JOIN r1 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+    r2 AS (
+        SELECT n.node,
+               150000 + 850 * COALESCE(s.inflow, 0) // 1000 AS rank
+        FROM nodes n LEFT JOIN s2 s USING (node))
+    SELECT sp.node, sp.out_degree, CAST(r2.rank AS BIGINT) AS rank
+    FROM spine sp JOIN r2 USING (node)
+"""
+
+# Largest-remainder apportionment: floor quotas, multiply-back
+# remainders, rank by (remainder DESC, lang ASC), +1 to the first
+# `leftover` groups.
+ORACLE_SQL["token_budget_docs"] = """
+    WITH w AS (
+        SELECT lang,
+               CAST(SUM(len(regexp_extract_all(
+                   lower(COALESCE(text, '')), '[a-z0-9]+')))
+                   AS BIGINT) AS weight
+        FROM documents GROUP BY lang),
+    t AS (SELECT COALESCE(SUM(weight), 0) AS wt FROM w),
+    q AS (
+        SELECT lang, weight,
+               CASE WHEN t.wt = 0 THEN 0
+                    ELSE (1000000::HUGEINT * weight) // t.wt
+               END AS floor_alloc,
+               CASE WHEN t.wt = 0 THEN 0
+                    ELSE 1000000::HUGEINT * weight
+                         - ((1000000::HUGEINT * weight) // t.wt)
+                           * t.wt
+               END AS remainder
+        FROM w CROSS JOIN t),
+    l AS (
+        SELECT CASE WHEN MAX(t.wt) = 0 THEN 0
+                    ELSE 1000000 - SUM(q.floor_alloc) END AS leftover
+        FROM q CROSS JOIN t),
+    r AS (
+        SELECT lang, weight, floor_alloc,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, lang ASC)
+                   AS rk
+        FROM q)
+    SELECT r.lang, r.weight,
+           CAST(r.floor_alloc
+                + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r CROSS JOIN l
+"""
+
+# Politeness schedule: per-host lexicographic slots, min-delay with
+# NULL→default fallback, offset and makespan arithmetic replayed
+# with window functions.
+ORACLE_SQL["fetch_schedule_docs"] = """
+    WITH f AS (
+        SELECT 'h' || (doc_id % 97) || '.example' AS host,
+               'https://h' || (doc_id % 97) || '.example/p/' || doc_id
+                   AS url,
+               CASE CAST(doc_id % 97 AS INT) % 3
+                    WHEN 0 THEN NULL WHEN 1 THEN 500
+                    ELSE 2000 END AS raw_delay
+        FROM documents),
+    d AS (
+        SELECT host, url,
+               CASE WHEN raw_delay IS NOT NULL AND raw_delay >= 0
+                    THEN raw_delay ELSE 1000 END AS eff
+        FROM f)
+    SELECT host, url,
+           CAST(MIN(eff) OVER (PARTITION BY host) AS BIGINT)
+               AS delay_ms,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+                - 1 AS BIGINT) AS position,
+           CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+                 - 1) * MIN(eff) OVER (PARTITION BY host) AS BIGINT)
+               AS fetch_offset_ms,
+           CAST((COUNT(*) OVER (PARTITION BY host) - 1)
+                * MIN(eff) OVER (PARTITION BY host) AS BIGINT)
+               AS host_makespan_ms
+    FROM d
+"""

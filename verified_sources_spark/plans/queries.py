@@ -6627,6 +6627,70 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def link_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact fixed-iteration PageRank (llm/linkgraph
+    .link_rank) over a link graph minted from doc residues
+    (src = doc_id mod 101, dst = (7·doc_id + 3) mod 101 — parallel
+    edges act as weights, some nodes dangle): two power-method steps
+    at damping 850‰, every division integer, so the oracle replays
+    the whole chain as two CTE hops bit-for-bit.  Shapes: one
+    shuffle per iteration (src-keyed rank join, dst-keyed
+    contribution sum), node-sized rank table, edge/degree tables
+    persisted across iterations."""
+    from verified_sources_spark.llm.linkgraph import link_rank
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"))
+    out = link_rank(edges, "src", "dst", iterations=2,
+                    damping_permille=850, scale=1_000_000)
+    result = out.select("node", "out_degree", "rank")
+    result.release_edges = out.release_edges
+    return result
+
+
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget apportionment across languages
+    (llm/corpus.budget_apportionment): per-lang token masses from
+    the documents table, a 1M-token budget split by the
+    largest-remainder method — integer quotas in DECIMAL(38,0),
+    leftover units to the largest remainders with the name-ascending
+    tie-break, Σ alloc = budget exactly.  The oracle replays token
+    counting, the floor quotas, multiply-back remainders and the
+    rank in SQL."""
+    from verified_sources_spark.llm.corpus import budget_apportionment
+
+    d = _docs_parallel(spark, sf_dir).select(
+        "lang", F.size(tokens("text")).cast("long").alias("n_tok"))
+    return budget_apportionment(d, "lang", "n_tok", 1_000_000).select(
+        "lang", "weight", "alloc")
+
+
+def fetch_schedule_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (llm/crawlgov.fetch_schedule) over a
+    minted frontier: 97 hosts (doc_id mod 97) with per-host
+    crawl delays cycling NULL/500/2000 by host residue (NULL falls
+    back to the 1000 ms default), URLs sequenced lexicographically
+    within their host, fetch offsets = slot × delay, and the
+    per-host makespan for fetcher bin-packing.  One host-keyed
+    window — the politeness serialization itself; the oracle replays
+    the ordering and arithmetic with window functions."""
+    from verified_sources_spark.llm.crawlgov import fetch_schedule
+
+    d = _docs_parallel(spark, sf_dir).select("doc_id")
+    frontier = d.select(
+        F.expr("concat('h', doc_id % 97, '.example')").alias("host"),
+        F.expr("concat('https://h', doc_id % 97, '.example/p/', "
+               "doc_id)").alias("url"),
+        F.expr("CASE CAST(doc_id % 97 AS INT) % 3 WHEN 0 THEN NULL "
+               "WHEN 1 THEN 500L ELSE 2000L END")
+        .alias("crawl_delay_ms"))
+    return fetch_schedule(frontier).select(
+        "host", "url", "delay_ms", "position", "fetch_offset_ms",
+        "host_makespan_ms")
+
+
 def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-selection capstone: the r15 governance + selection
     operators COMPOSED end-to-end — URL blocklist (llm/crawlgov) →
@@ -6923,4 +6987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_idn_docs": blocklist_idn_docs,
     "pmi_collocations_docs": pmi_collocations_docs,
     "corpus_overlap_docs": corpus_overlap_docs,
+    "link_rank_docs": link_rank_docs,
+    "token_budget_docs": token_budget_docs,
+    "fetch_schedule_docs": fetch_schedule_docs,
 }
