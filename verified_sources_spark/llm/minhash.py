@@ -201,28 +201,56 @@ def lsh_candidate_pairs(
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
     cap = int(max_bucket_size)
-    # The band key is the RAW minhash tuple (array<bigint>), not a hash
-    # of it: bucketing only ever tests band equality, and grouping on
-    # the two longs directly is both collision-free and strictly
-    # cheaper than the md5-hex-string key an earlier version built
-    # (per banded row it saved rows_per_band CAST-to-string allocations
-    # + a concat + an md5, and shrank the shuffle/persist key from a
-    # 32-char string to 8·rows_per_band bytes).  Spark hash-partitions
-    # and groups array<bigint> natively.
-    band_structs = ", ".join(
-        "struct({b} AS band_idx, array({parts}) AS band_key)".format(
-            b=b,
-            parts=", ".join(
-                f"mh_{b * rows_per_band + r}"
-                for r in range(rows_per_band)
-            ),
+    # The band key is the RAW minhash tuple, not a hash of it: bucketing
+    # only ever tests band equality, and grouping on the longs directly
+    # is both collision-free and strictly cheaper than the md5-hex-string
+    # key an earlier version built (per banded row it saved rows_per_band
+    # CAST-to-string allocations + a concat + an md5, and shrank the
+    # shuffle/persist key from a 32-char string to 8·rows_per_band
+    # bytes).  When the tuple fits in 62 bits (rows_per_band <= 2 with a
+    # 31-bit P — the default) it is PACKED into one bigint,
+    # ``mh_a·2^31 + mh_b``: exact injective packing, so bucket membership
+    # is untouched, while the shuffle key drops from an array<bigint>
+    # (~8·r bytes + offsets/null header per UnsafeArrayData) to one flat
+    # long, and group-key hashing/equality stops walking array elements.
+    # r15 interleaved A/B at sf0.1: identical 849 pairs, −21 %% best-case
+    # wall (1.071 → 0.843 s) together with the filter move below.
+    if rows_per_band * 31 <= 62:
+        def _packed(b: int) -> str:
+            expr = f"mh_{b * rows_per_band}"
+            for r in range(1, rows_per_band):
+                expr = f"({expr} * 2147483648L + mh_{b * rows_per_band + r})"
+            return expr
+
+        band_structs = ", ".join(
+            f"struct({b} AS band_idx, {_packed(b)} AS band_key)"
+            for b in range(bands)
         )
-        for b in range(bands)
-    )
+        null_guard = "band.band_key IS NOT NULL"
+    else:
+        band_structs = ", ".join(
+            "struct({b} AS band_idx, array({parts}) AS band_key)".format(
+                b=b,
+                parts=", ".join(
+                    f"mh_{b * rows_per_band + r}"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        )
+        null_guard = "band.band_key[0] IS NOT NULL"
     # Plan shape (all one SQL statement; comments map CTE → rationale):
-    # - _t filters un-shingleable docs on the cheap token count BEFORE the
-    #   signature projection (a drop afterwards would duplicate the hash
-    #   expressions into the filter).
+    # - un-shingleable docs (< shingle_n tokens) are dropped by the NULL
+    #   band-key guard ABOVE the explode, not by a token-count WHERE on
+    #   _t: a predicate there references the tokenizer output, and
+    #   Catalyst pushes it below the parallelizing round-robin exchange
+    #   by substituting the full regexp_extract_all into the filter — the
+    #   corpus regex then ran TWICE per surviving row, once of that
+    #   SERIALLY in the scan task (r15 before-plan ops (2)/(4)).  Short
+    #   docs propagate NULL minhashes for free (array_min of an empty
+    #   array), and a predicate on the generator's output cannot be
+    #   pushed below the Generate, so the tokenizer provably runs once,
+    #   after the exchange.
     # - banded's REPARTITION hint is the ONE explicit shuffle every stage
     #   downstream reuses: hash partitioning on (band_idx, band_key)
     #   satisfies the clustering requirement of both the salted level-1
@@ -235,11 +263,8 @@ def lsh_candidate_pairs(
 WITH _t AS (
   SELECT `{id_col}` AS id, {_tokens_sql(f'`{text_col}`')} AS toks FROM {{df}}
 ),
-_s AS (
-  SELECT id, {_shingles_sql(shingle_n)} AS sh FROM _t WHERE size(toks) >= {shingle_n}
-),
 _b AS (
-  SELECT id, {_base_hash_sql('sh')} AS _mh_base FROM _s
+  SELECT id, {_base_hash_sql(_shingles_sql(shingle_n))} AS _mh_base FROM _t
 ),
 sig AS (
   SELECT id, {_mins_sql(k)} FROM _b
@@ -247,6 +272,7 @@ sig AS (
 banded AS (
   SELECT /*+ REPARTITION(band_idx, band_key) */ id, band.band_idx, band.band_key
   FROM (SELECT id, explode(array({band_structs})) AS band FROM sig)
+  WHERE {null_guard}
 )
 SELECT band_idx, band_key, pmod(xxhash64(id), {sub_buckets}) AS salt,
        count(1) AS cnt_s, min(id) AS min_s, collect_list(id) AS ids_s

@@ -219,9 +219,25 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # Aggregate by (region, nation) FIRST, then rollup the tiny
+    # aggregate: rollup's Expand multiplies its input by the number of
+    # grouping sets (3 here), so running it over the joined fact rows
+    # tripled the rows hashed by the aggregation (guide §2.3: aggregate
+    # before you multiply).  The pre-aggregation's partial agg runs
+    # map-side, its exchange carries ≤ |region×nation| rows per task,
+    # and Expand now works on ~25 rows instead of the whole join.
+    # Values are identical: the rollup re-sums exact decimal partials
+    # (associative) and sums the counts; the DuckDB hash gate verifies.
+    pre = joined.groupBy("r_name", "n_name").agg(
+        F.sum(_dec("o_totalprice")).alias("__rev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
-        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        pre.rollup("r_name", "n_name")
+        .agg(
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.sum("__n").alias("n_orders"),
+        )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -253,7 +269,16 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue per customer — exact decimal prefix sums."""
+    """Running revenue per customer — exact prefix sums over scaled longs.
+
+    Same fixed-point trick as q1 (``_scaled_long``): the running frame
+    adds a primitive long per row instead of a BigDecimal, and the final
+    ``sum/100`` double division rounds the same exact rational the
+    decimal cast did (bit-identical, hash-verified against the DuckDB
+    decimal-window oracle).  Overflow headroom: the window sum is
+    bounded per CUSTOMER — lifetime revenue would have to exceed
+    2^63/100 ≈ 9.2e16 dollars before a prefix overflows, while TPC-H
+    customers hold tens of orders at every SF."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -263,7 +288,9 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        (F.sum(_scaled_long(F.col("o_totalprice"), 2)).over(w).cast("double") / F.lit(1e2)).alias(
+            "running_total"
+        ),
     )
 
 
@@ -499,20 +526,45 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality stats, all JVM-side expressions."""
+    """Token counting + quality stats, all JVM-side expressions.
+
+    Staged projections so each expensive expression is EVALUATED ONCE:
+    inlining the ``tokens`` Column into every stat put five copies of
+    ``regexp_extract_all`` in one Project (r15 before-plan), and
+    lambda-bearing trees are CodegenFallback, outside whole-stage
+    codegen's subexpression elimination.  CollapseProject keeps the
+    stages separate precisely because the aliases are non-cheap and
+    multiply referenced; the ratio step references only plain
+    attributes.  Values are unchanged — same expressions, shared
+    instead of repeated."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("long")
     total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v)
-    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
-    return d.select(
+    staged = d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
+        tokens("text").alias("__toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
         n_tok.alias("n_tokens"),
-        (total_len.cast("double") / F.greatest(n_tok, F.lit(1))).alias("avg_token_len"),
+        total_len.alias("__total_len"),
         n_stop.alias("n_stopwords"),
-        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("__total_len").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "avg_token_len"
+        ),
+        "n_stopwords",
+        (F.col("n_stopwords").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "stopword_ratio"
+        ),
     )
 
 
