@@ -25,7 +25,6 @@ from verified_sources_spark.catalog import load_table, load_tables
 from verified_sources_spark.functions import row_digest
 from verified_sources_spark.functions.text import (
     LANG_STOPWORDS,
-    lang_scores,
     tokens,
 )
 from verified_sources_spark.llm.exact_dedup import exact_dedup_groups
@@ -516,12 +515,17 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged so the tokenize+distinct runs once per row, not once per
+    # referencing output column (CollapseProject keeps the stages apart:
+    # the alias is non-cheap and referenced twice) — same values
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokens("text"))
-    return d.select(
+    staged = d.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("__dtoks")
+    )
+    return staged.select(
         "doc_id",
-        F.md5(F.array_join(F.array_sort(toks), " ")).alias("fingerprint"),
-        F.size(toks).cast("long").alias("n_distinct_tokens"),
+        F.md5(F.array_join(F.array_sort(F.col("__dtoks")), " ")).alias("fingerprint"),
+        F.size(F.col("__dtoks")).cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -569,19 +573,52 @@ def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-scoring language ID vs the labeled lang column."""
+    """Stopword-scoring language ID vs the labeled lang column.
+
+    Staged projections: the argmax/tie-break expression references every
+    per-language score several times (inside ``greatest``, each
+    comparison, and the prediction chain), and each score inlined the
+    whole tokenizer — the single flattened Project evaluated
+    ``regexp_extract_all`` tens of times per row.  Tokens, scores, best
+    and the prediction each get their own projection; CollapseProject
+    leaves non-cheap multiply-referenced aliases in place, so every
+    expensive expression now runs once per row.  Same expressions, same
+    values — hash-verified."""
     d = load_table(spark, sf_dir, "documents")
-    scores = lang_scores(F.col("text"))
-    langs = list(scores)
-    best = F.greatest(*[scores[g] for g in langs])
-    pred = F.lit("und")
-    for g in reversed(langs):
-        pred = F.when((scores[g] == best) & (best > 0), F.lit(g)).otherwise(pred)
-    return d.select(
+    langs = list(LANG_STOPWORDS)
+    toks = F.col("__toks")
+    staged = d.select("doc_id", "lang", tokens("text").alias("__toks")).select(
         "doc_id",
         "lang",
-        pred.alias("lang_pred"),
-        (pred == F.col("lang")).cast("int").cast("long").alias("is_match"),
+        *[
+            F.size(
+                F.filter(
+                    toks,
+                    (lambda arr: lambda t: F.array_contains(arr, t))(
+                        F.array(*[F.lit(s) for s in sw])
+                    ),
+                )
+            ).alias(f"__s_{g}")
+            for g, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    staged = staged.select(
+        "doc_id",
+        "lang",
+        *[f"__s_{g}" for g in langs],
+        F.greatest(*[F.col(f"__s_{g}") for g in langs]).alias("__best"),
+    )
+    pred = F.lit("und")
+    for g in reversed(langs):
+        pred = F.when(
+            (F.col(f"__s_{g}") == F.col("__best")) & (F.col("__best") > 0), F.lit(g)
+        ).otherwise(pred)
+    staged = staged.select("doc_id", "lang", pred.alias("lang_pred"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        (F.col("lang_pred") == F.col("lang")).cast("int").cast("long").alias("is_match"),
     )
 
 
@@ -1097,11 +1134,39 @@ def token_child_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic doc-quality heuristic (functions.text.quality_score)."""
-    from verified_sources_spark.functions.text import quality_score
-
+    """Deterministic doc-quality heuristic (functions.text.quality_score
+    formula), staged so the tokenizer runs once per row: the one-Column
+    form inlined ``regexp_extract_all`` into the length score, the
+    stopword count and the ratio denominator (~4 evaluations/row).
+    Same arithmetic, same rounding — hash-verified."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    staged = d.select(
+        "doc_id",
+        tokens("text").alias("__toks"),
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")).alias("__n_punct"),
+        F.length("text").alias("__len"),
+    ).select(
+        "doc_id",
+        F.size(F.col("__toks")).alias("__n_tok"),
+        F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(stop_arr, t))).alias(
+            "__n_stop"
+        ),
+        "__n_punct",
+        "__len",
+    )
+    n_tok = F.col("__n_tok")
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(
+        (F.col("__n_stop") / F.greatest(n_tok, F.lit(1))) * 5.0, F.lit(1.0)
+    )
+    punct_pen = F.col("__n_punct") / F.greatest(F.col("__len"), F.lit(1))
+    return staged.select(
+        "doc_id",
+        F.round(0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_pen), 6).alias(
+            "quality"
+        ),
+    )
 
 
 def dedup_exact_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
