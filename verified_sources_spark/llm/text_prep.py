@@ -25,9 +25,36 @@ published methodology, re-expressed as Spark dataflows):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from verified_sources_spark.functions.text import TOKEN_RE, shingles
+
+
+def _span_occurrences(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(_id, spos, _h, _dup): every sliding ``window``-token span hash
+    occurrence, flagged ``_dup`` when the hash appears in >= 2 DISTINCT
+    documents.
+
+    The distinct-documents test is ``min(_id) != max(_id)`` over a
+    hash-partitioned window — ONE pass over the corpus and one shuffle
+    on the span hash.  The previous formulation self-joined the
+    occurrence table with its own groupBy/count_distinct: the two
+    branches fork the plan DAG and Spark cannot share the subtree, so
+    the dominant cost (tokenize + shingle + md5 + posexplode of the
+    whole corpus) executed TWICE and the join shuffled the occurrence
+    table a second time.  Skew shape is unchanged: a boilerplate span
+    shared by millions of docs is one window partition processed
+    linearly, exactly as it was one grouping key before."""
+    sp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(shingles(text_col, window), lambda s: F.md5(s))
+        ).alias("spos", "_h"),
+    )
+    w = Window.partitionBy("_h")
+    return sp.withColumn("_dup", F.min("_id").over(w) != F.max("_id").over(w))
 
 # kept to the Java/RE2 COMMON regex subset (no lookarounds, no \b at the
 # pattern edge differences): the DuckDB oracle replays these literally
@@ -193,29 +220,22 @@ def duplicate_spans(
     for docs too short to window).  Downstream recipes drop or trim docs
     above a frac threshold.
 
-    Scale shape: spans are md5'd IMMEDIATELY, so the two shuffles carry
-    (hash, doc_id) pairs — never text; both aggregations are map-side
-    partial hash aggs, and the occurrence→span-count join and the
-    span-count groupBy share the same hash key, so the exchange is
-    reused.  A boilerplate span shared by millions of docs is one
-    grouping key with a long count — skew-safe, no pair expansion.
+    Scale shape: spans are md5'd IMMEDIATELY, so the shuffles carry
+    (hash, doc_id) pairs — never text; the cross-document flag comes
+    from ONE hash-partitioned window pass (``_span_occurrences``), so
+    the corpus is tokenized/shingled once and the occurrence table
+    shuffles once.  A boilerplate span shared by millions of docs is
+    one window partition scanned linearly — skew-safe, no pair
+    expansion.
     """
-    occ = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(shingles(text_col, window), lambda s: F.md5(s))
-        ).alias("_h"),
-    )
-    span_docs = occ.groupBy("_h").agg(
-        F.countDistinct(id_col).alias("_ndocs")
-    )
+    occ = _span_occurrences(df, id_col, text_col, window)
     per_doc = (
-        occ.join(span_docs, "_h")
-        .groupBy(id_col)
+        occ.groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum((F.col("_ndocs") >= 2).cast("long")).alias("n_dup_windows"),
+            F.sum(F.col("_dup").cast("long")).alias("n_dup_windows"),
         )
+        .withColumnRenamed("_id", id_col)
     )
     return (
         df.select(id_col)
@@ -257,19 +277,7 @@ def duplicate_span_positions(
 
     Same scale shape as duplicate_spans: spans md5'd immediately,
     shuffles carry (hash, doc, pos) only."""
-    sp = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(shingles(text_col, window), lambda s: F.md5(s))
-        ).alias("spos", "_h"),
-    )
-    dup = sp.join(
-        sp.groupBy("_h")
-        .agg(F.count_distinct("_id").alias("_ndocs"))
-        .filter(F.col("_ndocs") >= 2)
-        .select("_h"),
-        "_h",
-    )
+    dup = _span_occurrences(df, id_col, text_col, window).filter("_dup")
     return (
         dup.select(
             "_id",
@@ -302,9 +310,10 @@ def remove_duplicate_spans(
     Scale shape: span hashes and (doc, position) pairs are the only
     shuffled payloads until the final per-doc reassembly, which carries
     each document's KEPT tokens once (the same cardinality any
-    text-rewrite must touch).  The duplicated-span set is NOT broadcast
-    — it is corpus-sized in the worst case — the join is hash-keyed and
-    left to AQE.  Reassembly sorts per-doc token arrays (array_sort on
+    text-rewrite must touch).  The cross-document duplicate flag is one
+    hash-partitioned window pass over the occurrence table
+    (``_span_occurrences``) — no corpus-sized join side, no second
+    shingle pass.  Reassembly sorts per-doc token arrays (array_sort on
     (pos, term) structs), not a global sort.
     """
     toks = df.select(
@@ -313,19 +322,7 @@ def remove_duplicate_spans(
             "pos", "term"
         ),
     )
-    sp = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(shingles(text_col, window), lambda s: F.md5(s))
-        ).alias("spos", "_h"),
-    )
-    dup = sp.join(
-        sp.groupBy("_h")
-        .agg(F.count_distinct("_id").alias("_ndocs"))
-        .filter(F.col("_ndocs") >= 2)
-        .select("_h"),
-        "_h",
-    )
+    dup = _span_occurrences(df, id_col, text_col, window).filter("_dup")
     covered = dup.select(
         "_id",
         F.explode(
@@ -504,19 +501,12 @@ def remove_maximal_duplicate_spans(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
         ).alias("pos", "term"),
     )
-    sp = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(shingles(text_col, window), lambda s: F.md5(s))
-        ).alias("spos", "_h"),
+    hits = (
+        _span_occurrences(df, id_col, text_col, window)
+        .filter("_dup")
+        .select("_id", "spos")
+        .distinct()
     )
-    hits = sp.join(
-        sp.groupBy("_h")
-        .agg(F.count_distinct("_id").alias("_ndocs"))
-        .filter(F.col("_ndocs") >= 2)
-        .select("_h"),
-        "_h",
-    ).select("_id", "spos").distinct()
 
     w_ord = W.partitionBy("_id").orderBy("spos")
     isl = (
