@@ -69,10 +69,28 @@ def test_token_windows_rejoin_identity_when_nothing_dropped(spark):
     assert out[1] == "a b c d e f g h i j"
 
 
-def test_plan_has_no_corpus_window_or_single_partition(spark):
+def test_plan_shape_hash_partitioned_single_pass(spark):
     lines = split_token_windows(_docs_df(spark), "doc_id", "text", window=2)
     plan = rebuild_docs(
-        line_dedup(lines, min_occurrences=2, keep_first=True), lines
+        line_dedup(lines, min_occurrences=2, keep_first=True, keep_flag="_keep"),
+        None,
+        keep_col="_keep",
     )._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan  # argmin via grouped min-struct, not a window
+    # count/argmin come from a window partitioned by the UNIT HASH — never a
+    # corpus-wide single-partition window
     assert "SinglePartition" not in plan
+    assert "windowspecdefinition(_h#" in plan
+    # the fused flag+rebuild path runs one pass: no groupBy-join-back fork
+    assert "Join" not in plan
+    assert plan.count("regexp_extract_all") == 1
+
+
+def test_flagged_rebuild_matches_two_table_rebuild(spark):
+    lines = split_lines(_docs_df(spark), "doc_id", "text")
+    kept = line_dedup(lines, min_occurrences=2, keep_first=True)
+    old = sorted(map(tuple, rebuild_docs(kept, lines).collect()))
+    flagged = line_dedup(lines, min_occurrences=2, keep_first=True, keep_flag="_keep")
+    new = sorted(
+        map(tuple, rebuild_docs(flagged, None, keep_col="_keep").collect())
+    )
+    assert old == new

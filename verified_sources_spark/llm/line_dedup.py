@@ -50,10 +50,13 @@ def split_token_windows(
 ) -> DataFrame:
     """(id, pos, line) where a unit is a fixed ``window``-token slice —
     the re-lining used for corpora without newline structure.  Stays in
-    one projection (no shuffle): slice the token array per document and
-    posexplode.  Joining the kept units back with a single space
+    two projections (no shuffle): the token array is projected once,
+    then sliced and posexploded — referencing the tokenizer Column
+    directly would inline ``regexp_extract_all`` into every reference
+    (3 copies here).  Joining the kept units back with a single space
     reproduces the tokenized document exactly when nothing is dropped."""
-    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n_units = F.ceil(F.size(toks) / F.lit(window)).cast("int")
     wins: Column = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -61,7 +64,7 @@ def split_token_windows(
             lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
         )
     )
-    return df.select(
+    return staged.select(
         F.col(id_col), F.posexplode(wins).alias("pos", "line")
     )
 
@@ -73,46 +76,86 @@ def line_dedup(
     line_col: str = "line",
     min_occurrences: int = 2,
     keep_first: bool = False,
+    keep_flag: str | None = None,
 ) -> DataFrame:
     """Drop units occurring ``>= min_occurrences`` times corpus-wide.
 
     ``keep_first=True`` keeps the single occurrence with the smallest
     (id, pos) — exact unit-level dedup; ``False`` removes every copy —
     boilerplate scrubbing (a unit repeated that often is chrome, not
-    content).  One aggregation on the unit hash + one join back; both
-    argmin and count come from the same grouped pass."""
+    content).  Count and argmin are window aggregates over the unit
+    hash: ONE pass over the exploded units and one shuffle — the
+    previous groupBy-then-join-back formulation forked the plan DAG, so
+    the document split/explode executed twice and the unit table
+    shuffled twice.
+
+    ``keep_flag``: when set, no rows are dropped — every unit comes back
+    with a boolean column of that name instead.  That lets
+    :func:`rebuild_docs` derive per-document totals and kept units from
+    ONE table (one groupBy) instead of re-deriving the exploded units a
+    second time for the totals side."""
+    from pyspark.sql import Window
+
     h = F.xxhash64(line_col).alias("_h")
     keyed = lines.select(id_col, pos_col, line_col, h)
-    stats = keyed.groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.min(F.struct(id_col, pos_col)).alias("_first"),
+    w = Window.partitionBy("_h")
+    joined = keyed.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "_first", F.min(F.struct(id_col, pos_col)).over(w)
     )
-    joined = keyed.join(stats, "_h")
     below = F.col("_cnt") < min_occurrences
     if keep_first:
         is_first = (F.col(f"_first.{id_col}") == F.col(id_col)) & (
             F.col(f"_first.{pos_col}") == F.col(pos_col)
         )
-        kept = joined.filter(below | is_first)
+        cond = below | is_first
     else:
-        kept = joined.filter(below)
-    return kept.drop("_h", "_cnt", "_first")
+        cond = below
+    if keep_flag is not None:
+        return joined.withColumn(keep_flag, cond).drop("_h", "_cnt", "_first")
+    return joined.filter(cond).drop("_h", "_cnt", "_first")
 
 
 def rebuild_docs(
     kept: DataFrame,
-    all_lines: DataFrame,
+    all_lines: DataFrame | None,
     id_col: str = "doc_id",
     pos_col: str = "pos",
     line_col: str = "line",
     sep: str = "\n",
     out_col: str = "text_clean",
+    keep_col: str | None = None,
 ) -> DataFrame:
     """One row per ORIGINAL document: kept units re-joined in position
     order (documents whose units were all dropped survive with an empty
     string — pipeline composition needs the row), plus kept/dropped
     counts.  collect_list here is per-document only — bounded by the
-    document's own size, never corpus-wide."""
+    document's own size, never corpus-wide.
+
+    Two input shapes:
+    - ``(kept, all_lines)``: kept rows plus the full unit table for the
+      totals — the totals side re-derives the explode.
+    - ``(flagged, None, keep_col=...)``: one table carrying every unit
+      with a boolean keep flag (``line_dedup(..., keep_flag=...)``) —
+      totals, kept text and counts all come from a SINGLE per-document
+      aggregation (collect_list skips the NULLs the flag masks out), so
+      the document split/explode runs once for the whole rebuild."""
+    if all_lines is None:
+        if keep_col is None:
+            raise ValueError("pass all_lines or keep_col")
+        keep = F.col(keep_col)
+        return kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct(pos_col, line_col)))
+                    ),
+                    lambda s: s[line_col],
+                ),
+                sep,
+            ).alias(out_col),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            (F.count(F.lit(1)) - F.count(F.when(keep, F.lit(1)))).alias("n_dropped"),
+        ).select(id_col, out_col, "n_kept", "n_dropped")
     totals = all_lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
     parts = kept.groupBy(id_col).agg(
         F.array_join(

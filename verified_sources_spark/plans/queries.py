@@ -1019,8 +1019,8 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     lines = split_token_windows(d, "doc_id", "text", window=8)
-    kept = line_dedup(lines, min_occurrences=2)
-    return rebuild_docs(kept, lines, sep=" ")
+    flagged = line_dedup(lines, min_occurrences=2, keep_flag="_keep")
+    return rebuild_docs(flagged, None, sep=" ", keep_col="_keep")
 
 
 def line_dedup_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,8 +1035,8 @@ def line_dedup_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     lines = split_token_windows(d, "doc_id", "text", window=8)
-    kept = line_dedup(lines, min_occurrences=2, keep_first=True)
-    return rebuild_docs(kept, lines, sep=" ")
+    flagged = line_dedup(lines, min_occurrences=2, keep_first=True, keep_flag="_keep")
+    return rebuild_docs(flagged, None, sep=" ", keep_col="_keep")
 
 
 # --- rows-only checks (not ANSI-SQL-expressible in the oracle) -------------
