@@ -635,18 +635,46 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, shingle_n=3)
 
 
+# release hooks for the PREVIOUS invocation's persisted LSH cut: a
+# long-lived driver (the bench loops these entries dozens of times per
+# session) otherwise accumulates one MEMORY_AND_DISK cache entry per
+# call — exactly the leak the lsh_candidate_pairs docstring warns about.
+# Dropping the previous cut when a new invocation starts is safe even if
+# the old DataFrame is still referenced (unpersist only forgets blocks;
+# lineage recomputes on demand).
+_lsh_cut_releases: list = []
+
+
+def _release_previous_lsh_cut(hook) -> None:
+    while _lsh_cut_releases:
+        try:
+            _lsh_cut_releases.pop()()
+        except Exception:
+            pass
+    _lsh_cut_releases.append(hook)
+
+
 def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, bands=4, shingle_n=3)
+    pairs = lsh_candidate_pairs(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, bands=4, shingle_n=3)
+    _release_previous_lsh_cut(pairs.release_candidate_cut)
+    return pairs
 
 
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard(_docs_parallel(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.0)
+    out = ngram_jaccard(_docs_parallel(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.0)
+    _release_previous_lsh_cut(out.release_candidate_cut)
+    return out
 
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus side repartitioned like _docs_parallel: the table is one
+    # parquet file (one input split) and the per-pair dot-product fold is
+    # CPU-bound interpreted-eval work, so spread it across cores; the
+    # query side stays on the plain scan (10 rows, broadcast)
     e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
     queries = e.filter(F.col("vec_id") < 10)
-    return cosine_topk(e, queries, k=3)
+    return cosine_topk(corpus, queries, k=3)
 
 
 def cosine_topk_vectorized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
