@@ -136,7 +136,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     max_bucket_size: int = 1024,
     sub_buckets: int = 32,
-    materialize: str | None = "persist",
+    materialize: str | None = "auto",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
 
@@ -171,32 +171,44 @@ def lsh_candidate_pairs(
     star expansion), so the straggler degrades to a linear scan of skinny
     (id, band) rows instead of a quadratic pair blow-up.
 
-    The level-1 summaries are MATERIALIZED before the two pair branches
-    (bucket pairs / hot sub-bucket stars) read them.  The branches form a
-    DAG fork, and Spark cannot share the subtree across them: CTEs
-    inline, and exchange reuse never matches plans containing
-    higher-order functions (lambda variables defeat canonicalization) —
-    without materialization the whole signature pipeline (the md5 of
-    every shingle in the corpus) executes once PER BRANCH, doubling the
-    dominant cost at any scale.  l1 is the smallest correct cut: one row
-    per (band, band_key, salt) with member arrays already capped, orders
-    of magnitude smaller than the corpus.
+    The level-1 summaries can be MATERIALIZED before the two pair
+    branches (bucket pairs / hot sub-bucket stars) read them.  The
+    branches form a DAG fork, and Spark cannot share the subtree across
+    them: CTEs inline, and neither exchange reuse nor cache lookup ever
+    matches plans containing higher-order functions (lambda variables
+    defeat canonicalization) — without materialization the whole
+    signature pipeline (the md5 of every shingle in the corpus) executes
+    once PER BRANCH, doubling the dominant cost at scale.  l1 is the
+    smallest correct cut: one row per (band, band_key, salt) with member
+    arrays already capped, orders of magnitude smaller than the corpus.
 
     ``materialize`` picks the mechanism:
 
-    - ``"persist"`` (default) — StorageLevel MEMORY_AND_DISK; survives
-      executor loss via lineage (Spark's own docs flag localCheckpoint
-      blocks as NOT recoverable), and measures fastest of the
-      materialized modes locally (no separate block-write job).  The
-      returned DataFrame carries a ``release_candidate_cut()`` hook that
-      unpersists the cut — call it once the pairs are materialized
-      (``near_dedup_docs`` does); a long-lived driver that skips it
-      accumulates one cache entry per invocation until session end.
-    - ``"localCheckpoint"`` — lazy, self-cleaning, but blocks are lost
-      with their executor.
-    - ``None`` — no materialization; only sane for interactive runs on
-      small corpora where the 2x pipeline recomputation is cheaper than
-      any materialization overhead.
+    - ``"auto"`` (default) — ``None`` when the input provably holds
+      fewer than ``$SPARK_GRAFT_LSH_MATERIALIZE_MIN_ROWS`` (default
+      200k) rows (driver-only parquet-footer bound, no Spark job — the
+      sessionize probe), ``"localCheckpoint"`` otherwise or when the
+      bound is unknowable.  Rationale, measured r15: on a small corpus
+      the fork's second signature pass back-fills idle cores and costs
+      almost no wall clock, while the checkpoint's block write + stage
+      barrier costs ~0.15 s — but on a saturated cluster the second
+      pass is a genuine 2x of the dominant compute, so big-or-unknown
+      inputs take the single-pass materialization.
+    - ``"localCheckpoint"`` — the only mechanism that actually shares
+      the cut (RDD-identity, immune to the canonicalization failure):
+      executed-plan check shows ONE parquet scan.  Lazy, self-cleaning;
+      blocks are lost with their executor (acceptable: lineage rebuild
+      on loss vs 2x compute on every run).
+    - ``"persist"`` — retained for API compatibility but DOES NOT SHARE
+      the cut: CacheManager lookup goes through the same plan
+      canonicalization that lambda variables defeat, so the cache entry
+      is registered yet never read or even filled (r15 executed-plan
+      check: zero InMemoryTableScan, TWO parquet scans — behaviorally
+      ``None`` plus a dead cache entry).  The earlier belief that this
+      mode materialized fastest timed exactly that double-compute.  The
+      returned DataFrame still carries ``release_candidate_cut()`` to
+      drop the dead entry.
+    - ``None`` — no materialization; the pipeline recomputes per branch.
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
@@ -279,13 +291,29 @@ SELECT band_idx, band_key, pmod(xxhash64(id), {sub_buckets}) AS salt,
 FROM banded
 GROUP BY band_idx, band_key, pmod(xxhash64(id), {sub_buckets})
 """
+    if materialize == "auto":
+        import os
+
+        from verified_sources_spark.operators.sessionize import (
+            _static_row_upper_bound,
+        )
+
+        min_rows = int(
+            os.environ.get("SPARK_GRAFT_LSH_MATERIALIZE_MIN_ROWS", "200000")
+        )
+        bound = _static_row_upper_bound(df)
+        materialize = (
+            None if bound is not None and bound < min_rows else "localCheckpoint"
+        )
     l1 = df.sparkSession.sql(sql_l1, df=df)
     if materialize == "localCheckpoint":
         l1 = l1.localCheckpoint(eager=False)
     elif materialize == "persist":
         l1 = l1.persist()
     elif materialize is not None:
-        raise ValueError("materialize must be 'localCheckpoint', 'persist', or None")
+        raise ValueError(
+            "materialize must be 'auto', 'localCheckpoint', 'persist', or None"
+        )
 
     # Two branches read the materialized cut, not three: the complete-bucket
     # pair expansion and the hot-bucket star are ONE case-expression over l2
