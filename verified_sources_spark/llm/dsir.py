@@ -37,8 +37,10 @@ family llm/minhash uses, one md5 per n-gram, 60-bit prefix); the only
 wide exchanges carry (id, bucket-int) pairs — never text.  Bucket
 count tables are at most ``n_buckets`` rows and BROADCAST to the
 scoring join; the per-document aggregation is a single int-keyed
-shuffle.  The corpus's bucket cut is consumed twice (raw counts +
-scoring) and persisted so the tokenizer+md5 work runs once.
+shuffle.  The corpus's per-(doc, bucket) count cut is consumed twice
+(raw counts + scoring) and localCheckpoint'ed so the tokenizer+md5 work
+runs once — persist() cannot share it (lambda-bearing plans defeat the
+cache lookup's canonicalization; see llm/minhash).
 """
 
 from __future__ import annotations
@@ -88,14 +90,31 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
     ``release_feature_cut()`` (the llm/minhash precedent) to drop the
     persisted per-occurrence cut — a long-lived driver scoring
     corpus after corpus otherwise accumulates cache entries."""
-    occ = _bucket_occurrences(df, id_col, text_col, n, n_buckets)
-    occ.persist()
+    # The shared cut is the per-(doc, bucket) occurrence-count table,
+    # materialized with localCheckpoint, not persist: the cut sits under
+    # a lambda-bearing plan (zip_with shingles), and CacheManager's
+    # lookup canonicalization fails on such plans (the llm/minhash r15
+    # finding) — a persist() here was registered but never read, so the
+    # featurization (and the whole upstream pipeline feeding df)
+    # recomputed once per consumer.  Checkpointing shares the cut by RDD
+    # identity and truncates the lineage, keeping composed callers'
+    # plans bounded.  Counting per (doc, bucket) FIRST (map-side partial
+    # agg) also shrinks what gets materialized and shuffled from one row
+    # per n-gram occurrence to one row per distinct bucket a document
+    # touches; the score is re-expressed as sum(c · term(bucket)) —
+    # identical integer arithmetic to summing term once per occurrence.
+    occ = (
+        _bucket_occurrences(df, id_col, text_col, n, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     target_counts = _bucket_occurrences(
         target_df, id_col, text_col, n, n_buckets).groupBy(
         "bucket").agg(F.count("*").alias("tc"))
-    target_counts.persist()
-    raw_counts = occ.groupBy("bucket").agg(F.count("*").alias("rc"))
-    raw_counts.persist()
+    target_counts = target_counts.localCheckpoint(eager=False)
+    raw_counts = occ.groupBy("bucket").agg(F.sum("_c").alias("rc"))
+    raw_counts = raw_counts.localCheckpoint(eager=False)
     # one-row mass totals, crossJoined (broadcast) into the scorer —
     # the repo's one-row-aggregate crossJoin precedent
     totals = (
@@ -111,10 +130,10 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
         .join(F.broadcast(raw_counts), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_ngrams"),
+        .agg(F.sum("_c").alias("n_ngrams"),
              F.sum(F.expr(
-                 "(coalesce(tc, 0L) + 1L) * ratio_scale "
-                 "DIV (coalesce(rc, 0L) + 1L)")).alias("score")))
+                 "_c * ((coalesce(tc, 0L) + 1L) * ratio_scale "
+                 "DIV (coalesce(rc, 0L) + 1L))")).alias("score")))
     out = (
         df.select(id_col).join(scored, id_col, "left")
         .select(
@@ -126,9 +145,9 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
             F.col("score") > F.col("n_ngrams") * F.lit(scale)))
 
     def _release() -> None:
-        occ.unpersist()
-        target_counts.unpersist()
-        raw_counts.unpersist()
+        # checkpoint blocks self-clean when the RDDs are GC'd; kept as a
+        # no-op hook for API compatibility with existing callers
+        return None
 
     out.release_feature_cut = _release
     return out

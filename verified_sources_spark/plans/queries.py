@@ -6873,7 +6873,14 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id") - F.col("doc_id") % 3)
         .join(leaders, "lead_id")
         .select("doc_id", F.col("lead_text").alias("text")))
-    corpus.persist()
+    # localCheckpoint, not persist: these cuts feed several consumers and
+    # sit under lambda-bearing downstream plans (DSIR shingles), where
+    # cache-lookup canonicalization fails (the llm/minhash r15 finding);
+    # checkpointing also truncates lineage, so the composed capstone's
+    # plan stays bounded instead of re-expanding the whole upstream chain
+    # into every consumer (measured: the un-truncated form reached a ~1 MB
+    # executed plan that AQE re-planned per stage)
+    corpus = corpus.localCheckpoint(eager=False)
     urls = corpus.select(
         "doc_id",
         F.expr("concat('https://w', doc_id % 97, '.site', "
@@ -6882,8 +6889,7 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = spark.createDataFrame(
         [("example2.com",), ("site5.example3.com",)], "domain string")
     verdicts = blocklist_verdicts(urls, rules).select(
-        "doc_id", "blocked")
-    verdicts.persist()
+        "doc_id", "blocked").localCheckpoint(eager=False)
     allowed = corpus.join(
         verdicts.filter(~F.col("blocked")).select("doc_id"),
         "doc_id", "left_semi")
@@ -6893,7 +6899,7 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = hashes.groupBy("h").agg(F.min("doc_id").alias("cid"))
     dup_flags = hashes.join(canon, "h").select(
         "doc_id", (F.col("doc_id") != F.col("cid")).alias("is_dup"))
-    dup_flags.persist()
+    dup_flags = dup_flags.localCheckpoint(eager=False)
     survivors = allowed.join(
         dup_flags.filter(~F.col("is_dup")).select("doc_id"),
         "doc_id", "left_semi")
@@ -6916,10 +6922,9 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("blocked") & ~F.col("is_dup") & F.col("selected")))
 
     def _release() -> None:
+        # checkpoint blocks self-clean on GC; only DSIR's cuts need an
+        # explicit drop
         scored.release_feature_cut()
-        corpus.unpersist()
-        verdicts.unpersist()
-        dup_flags.unpersist()
 
     out.release_feature_cut = _release
     return out
