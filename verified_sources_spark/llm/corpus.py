@@ -205,7 +205,12 @@ def pmi_collocations(
         F.col("e.w1").alias("w1"), F.col("e.w2").alias("w2"))
     counts = occ.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c"))
-    counts.persist()
+    # localCheckpoint, not persist: the count table sits under the
+    # lambda-bearing unigram/bigram explode, where cache-lookup
+    # canonicalization fails (llm/minhash r15 finding) — a persist() was
+    # never read and every consumer (uni, big, the two join sides, the
+    # total) re-ran the explode; checkpoint shares by RDD identity
+    counts = counts.localCheckpoint(eager=False)
     uni = counts.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("tok"), F.col("c").alias("cu"))
     total = uni.agg(
@@ -228,7 +233,8 @@ def pmi_collocations(
                 "AS BIGINT)").alias("pmi_ratio_scaled")))
 
     def _release() -> None:
-        counts.unpersist()
+        # checkpoint blocks self-clean on GC; no-op hook kept for callers
+        return None
 
     out.release_count_table = _release
     return out

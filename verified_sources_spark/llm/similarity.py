@@ -1013,7 +1013,12 @@ def ivfpq_topk(
         resid = (assigned.join(F.broadcast(cent_df), "cluster")
                  .select("_id", F.zip_with(
                      "_sx", "_cv", lambda x, c: x - c).alias("_r")))
-        resid.cache()
+        # localCheckpoint, not cache: the residual frame sits under a
+        # lambda-bearing plan (transform/zip_with), where cache-lookup
+        # canonicalization fails (llm/minhash r15 finding) — a cache()
+        # was never read and every sub-quantizer slice re-ran the
+        # assignment chain; checkpoint shares by RDD identity
+        resid = resid.localCheckpoint(eager=False)
         for s in range(m):
             sliced = resid.select(
                 "_id",
@@ -1024,7 +1029,7 @@ def ivfpq_topk(
                                        lloyd_iters=train_iters,
                                        already_scaled=True),
                 dtype=np.int64)
-        resid.unpersist()
+
 
     qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)

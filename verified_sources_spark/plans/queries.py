@@ -5460,9 +5460,13 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_copies").cast("long").alias("n_copies")))
     # capped feeds three readers (mixture's totals, its row branch,
     # and the final attach join): materialize the metadata-sized cut
-    # once — the lsh materialization precedent (minhash.py docstring)
+    # once.  localCheckpoint, not persist — the cut sits under the
+    # lambda-bearing curation chain, where cache-lookup canonicalization
+    # fails (the llm/minhash r15 finding): a persist() here was dead
+    # weight and every reader recomputed the chain; checkpointing shares
+    # by RDD identity and keeps the composed plan bounded.
     capped = domain_cap(canon, "domain", 30, [F.col("doc_id").asc()],
-                        salt_cols=["doc_id"]).persist()
+                        salt_cols=["doc_id"]).localCheckpoint(eager=False)
     sampled = mixture_sample(
         capped, "doc_id", "text", "domain",
         weights={"wiki": 0.3, "se": 0.2, "chat": 0.1, "code": 0.2,
