@@ -82,3 +82,40 @@ def test_real_corpus_high_j_recall(spark):
         assert all(p in cand for p in high)
     else:
         assert theoretical_recall(0.9, 8, 4) > 0.99  # vacuous guard
+
+
+def test_materialize_modes_share_or_skip_correctly(spark):
+    """r15 materialization contract, pinned on the EXECUTED plan:
+
+    - localCheckpoint is the mode that actually shares the level-1 cut
+      (RDD identity): both pair branches read checkpoint blocks, so the
+      final plan contains ZERO parquet scans of the corpus.
+    - auto on a provably-small corpus (parquet-footer bound under the
+      threshold) skips materialization: the fork recomputes, TWO scans.
+    - persist cannot share (lambda plans defeat cache-lookup
+      canonicalization): it too shows TWO scans — the reason it is no
+      longer the default.  All three modes produce identical pairs.
+    """
+    from verified_sources_spark.llm.minhash import lsh_candidate_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    def scans_and_rows(mode):
+        pairs = lsh_candidate_pairs(
+            docs, "doc_id", "text", materialize=mode
+        )
+        rows = {(int(r["id_a"]), int(r["id_b"])) for r in pairs.collect()}
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        pairs.release_candidate_cut()
+        return plan.count("Scan parquet"), rows
+
+    lc_scans, lc_rows = scans_and_rows("localCheckpoint")
+    auto_scans, auto_rows = scans_and_rows("auto")
+    p_scans, p_rows = scans_and_rows("persist")
+    assert lc_scans == 0
+    # un-materialized fork: the corpus is scanned once PER BRANCH
+    assert auto_scans >= 2
+    assert p_scans == auto_scans  # persist behaves exactly like None
+    assert lc_rows == auto_rows == p_rows
