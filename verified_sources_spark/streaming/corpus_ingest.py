@@ -132,17 +132,33 @@ class TwoTableIngest:
                     "(see run() docstring)"
                 )
             return  # fully committed already (idempotent last-batch replay)
+        # Materialize the BATCH once (r16, guide §2.4 remove recompute):
+        # the input token, the accepted-set plan (whose DAG forks re-read
+        # the batch — in-batch dedup vs exact-dup branches cannot share a
+        # subtree) and the fingerprint append otherwise each re-execute
+        # the batch's source chain; with a mapInPandas mint/decode source
+        # that was 3-4 full Python passes per batch.  A micro-batch is
+        # bounded by definition, so holding its bytes in MEMORY_AND_DISK
+        # for the duration of one apply is the intended working set.
+        batch_df = batch_df.localCheckpoint(eager=True)
         token = self._input_token(batch_df)
         if docs_last is None or batch_id > docs_last:
             # Materialize ONCE: both commits below must describe the same
             # accepted set; without the checkpoint each sink write would
             # recompute the dedup joins.
-            acc = self.accepted(batch_df).localCheckpoint(eager=True)
+            acc_src = self.accepted(batch_df)
+            acc = acc_src.localCheckpoint(eager=True)
             tagged = acc.withColumn(self._STREAM_COL, F.lit(self.stream_id)).withColumn(
                 self._BATCH_COL, F.lit(int(batch_id))
             )
             self.docs_table.append(tagged, stream=(self.stream_id, batch_id, token))
             fp_src = acc
+            # accepted() may attach the (id, kind, fp) rows it already
+            # computed for the in-batch survivors (a superset of the
+            # accepted set) as `_fp_cut` — reusing it saves re-deriving
+            # every fingerprint (for media: re-DECODING every accepted
+            # asset) in the fp append below.
+            fp_cut = getattr(acc_src, "_fp_cut", None)
         else:
             # docs committed, fingerprints missing (crash between the two
             # commits): recover the accepted set from the DOCS TABLE's own
@@ -158,10 +174,19 @@ class TwoTableIngest:
                 ).drop(self._STREAM_COL, self._BATCH_COL)
             else:  # pre-tagging table (legacy): fall back to recompute
                 fp_src = self.accepted(batch_df)
+            fp_cut = None  # recovery path: the cut (if any) described a
+            #                fresh accepted() run, not the committed set
         if fp_last is None or batch_id > fp_last:
-            self.fp_table.append(
-                self._fingerprints(fp_src), stream=(self.stream_id, batch_id, token)
-            )
+            if fp_cut is not None:
+                # identical rows by construction: the cut holds the same
+                # deterministic (id, kind, fp) rows for a superset of
+                # fp_src's ids; the semi-join restricts it exactly
+                fp_df = fp_cut.join(
+                    fp_src.select(self.id_col), self.id_col, "left_semi"
+                )
+            else:
+                fp_df = self._fingerprints(fp_src)
+            self.fp_table.append(fp_df, stream=(self.stream_id, batch_id, token))
 
     def run(self, stream_df: DataFrame, checkpoint_dir: str) -> StreamingQuery:
         """One bounded AvailableNow pass of the landing stream.
@@ -291,7 +316,12 @@ class CorpusIngest(TwoTableIngest):
             .filter(F.col("_rn") == 1)
             .drop("_h", "_rn")
         )
-        batch_fps = self._fingerprints(in_batch)
+        # One signature pass for the whole apply (r16, guide §2.4): the
+        # batch fingerprints feed the in-batch near check, the standing
+        # checks below AND (via the `_fp_cut` contract with apply_batch)
+        # the fp-table append — without the checkpoint each of those DAG
+        # forks re-ran tokenize+shingle+md5+minhash over the batch.
+        batch_fps = self._fingerprints(in_batch).localCheckpoint(eager=False)
         if self.near_dedup:
             # in-batch NEAR dedup (band self-collision, lowest id wins) —
             # without this, near-dups arriving in the same micro-batch all
@@ -300,8 +330,13 @@ class CorpusIngest(TwoTableIngest):
             near_ids = self._in_batch_near_dup_ids(in_batch, batch_fps)
             in_batch = in_batch.join(near_ids, self.id_col, "left_anti")
             batch_fps = batch_fps.join(near_ids, self.id_col, "left_anti")
+
+        def _with_cut(out: DataFrame) -> DataFrame:
+            out._fp_cut = batch_fps  # survivors' (id, kind, fp) rows
+            return out
+
         if not self.fp_table.exists():
-            return in_batch
+            return _with_cut(in_batch)
         standing_rows = self.fp_table.read()
         if self.min_jaccard is None or not self.near_dedup:
             standing = standing_rows.select("kind", "fp").distinct()
@@ -310,7 +345,7 @@ class CorpusIngest(TwoTableIngest):
                 .select(self.id_col)
                 .distinct()
             )
-            return in_batch.join(dup_ids, self.id_col, "left_anti")
+            return _with_cut(in_batch.join(dup_ids, self.id_col, "left_anti"))
 
         # verified mode: exact hashes always reject; band collisions are
         # candidates whose STANDING texts are fetched from the docs table
@@ -349,4 +384,4 @@ class CorpusIngest(TwoTableIngest):
             self.min_jaccard,
         )
         dup_ids = exact_dups.unionByName(near_dups).distinct()
-        return in_batch.join(dup_ids, self.id_col, "left_anti")
+        return _with_cut(in_batch.join(dup_ids, self.id_col, "left_anti"))

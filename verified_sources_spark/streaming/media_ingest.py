@@ -224,8 +224,13 @@ class MediaIngest(TwoTableIngest):
             self.id_col, "modality", "pfp", bands
         ).select(self.id_col, "modality", "pfp", "b.band_idx", "b.band_val")
 
-    def _fingerprints(self, df: DataFrame) -> DataFrame:
-        """(id, kind, fp) fingerprint rows for an accepted set."""
+    def _fingerprints(self, df: DataFrame, pfps: DataFrame | None = None) -> DataFrame:
+        """(id, kind, fp) fingerprint rows for an accepted set.
+
+        ``pfps``: an already-computed (id, modality, pfp) cut covering at
+        least ``df``'s ids (r16) — reusing ``accepted()``'s checkpointed
+        cut avoids a SECOND perceptual decode of every accepted asset;
+        the semi-join restricts it to exactly ``df``'s rows."""
         shas = df.select(
             F.col(self.id_col),
             F.lit("sha").alias("kind"),
@@ -233,7 +238,10 @@ class MediaIngest(TwoTableIngest):
         )
         if not self.near_dedup:
             return shas
-        pfps = self._pfps(df)
+        if pfps is None:
+            pfps = self._pfps(df)
+        else:
+            pfps = pfps.join(df.select(self.id_col), self.id_col, "left_semi")
         pfp_rows = pfps.select(
             F.col(self.id_col),
             F.concat(F.lit("pfp:"), F.col("modality")).alias("kind"),
@@ -294,8 +302,17 @@ class MediaIngest(TwoTableIngest):
             )
             in_batch = in_batch.join(near_ids, self.id_col, "left_anti")
             pfps = pfps.join(near_ids, self.id_col, "left_anti")
+
+        def _with_cut(out: DataFrame) -> DataFrame:
+            # survivors' (id, kind, fp) rows for apply_batch's fp append
+            # (r16): sha rows re-hash the checkpointed batch bytes (cheap
+            # JVM), pfp/band rows come from the checkpointed pfps cut —
+            # no second perceptual decode of accepted assets.
+            out._fp_cut = self._fingerprints(in_batch, pfps=pfps)
+            return out
+
         if not self.fp_table.exists():
-            return in_batch.drop("_sha")
+            return _with_cut(in_batch.drop("_sha"))
         standing = self.fp_table.read()
         exact_dups = (
             in_batch.select(self.id_col, F.col("_sha").alias("fp"))
@@ -339,4 +356,4 @@ class MediaIngest(TwoTableIngest):
                 .distinct()
             )
             dup_ids = exact_dups.unionByName(near_dups).distinct()
-        return in_batch.join(dup_ids, self.id_col, "left_anti").drop("_sha")
+        return _with_cut(in_batch.join(dup_ids, self.id_col, "left_anti").drop("_sha"))
