@@ -103,16 +103,26 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
     # per n-gram occurrence to one row per distinct bucket a document
     # touches; the score is re-expressed as sum(c · term(bucket)) —
     # identical integer arithmetic to summing term once per occurrence.
-    occ = (
+    occ_src = (
         _bucket_occurrences(df, id_col, text_col, n, n_buckets)
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("_c"))
-        .localCheckpoint(eager=False)
     )
-    target_counts = _bucket_occurrences(
+    target_src = _bucket_occurrences(
         target_df, id_col, text_col, n, n_buckets).groupBy(
         "bucket").agg(F.count("*").alias("tc"))
-    target_counts = target_counts.localCheckpoint(eager=False)
+    # The corpus-side and target-side cuts are independent; under AQE a
+    # localCheckpoint executes its query stages at construction time, so
+    # submit both from a small driver pool (guide §2.6) — the target-side
+    # featurization back-fills cores the corpus-side stage tail leaves
+    # idle instead of waiting for it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _occ_f = _pool.submit(occ_src.localCheckpoint, False)
+        _tgt_f = _pool.submit(target_src.localCheckpoint, False)
+        occ = _occ_f.result()
+        target_counts = _tgt_f.result()
     raw_counts = occ.groupBy("bucket").agg(F.sum("_c").alias("rc"))
     raw_counts = raw_counts.localCheckpoint(eager=False)
     # one-row mass totals, crossJoined (broadcast) into the scorer —

@@ -6883,17 +6883,33 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointing also truncates lineage, so the composed capstone's
     # plan stays bounded instead of re-expanding the whole upstream chain
     # into every consumer (measured: the un-truncated form reached a ~1 MB
-    # executed plan that AQE re-planned per stage)
-    corpus = corpus.localCheckpoint(eager=False)
-    urls = corpus.select(
-        "doc_id",
-        F.expr("concat('https://w', doc_id % 97, '.site', "
-               "doc_id % 13, '.example', doc_id % 7, "
-               "'.com/p/', doc_id)").alias("url"))
+    # executed plan that AQE re-planned per stage).
+    #
+    # r16: the url spine is a pure function of doc_id, so the verdicts
+    # cut derives from the id FILTER alone (same id set as the minted
+    # corpus — the leader join is inner against the full table, every
+    # leader exists), not from the corpus cut: that false dependency
+    # serialized the two materializations.  Under AQE a localCheckpoint
+    # runs its query stages at construction time, so the two independent
+    # cuts are submitted from a small driver pool (guide §2.6) and
+    # back-fill each other's stragglers.
+    urls = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select(
+            "doc_id",
+            F.expr("concat('https://w', doc_id % 97, '.site', "
+                   "doc_id % 13, '.example', doc_id % 7, "
+                   "'.com/p/', doc_id)").alias("url")))
     rules = spark.createDataFrame(
         [("example2.com",), ("site5.example3.com",)], "domain string")
-    verdicts = blocklist_verdicts(urls, rules).select(
-        "doc_id", "blocked").localCheckpoint(eager=False)
+    verdicts_src = blocklist_verdicts(urls, rules).select("doc_id", "blocked")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _corpus_f = _pool.submit(corpus.localCheckpoint, False)
+        _verdicts_f = _pool.submit(verdicts_src.localCheckpoint, False)
+        corpus = _corpus_f.result()
+        verdicts = _verdicts_f.result()
     allowed = corpus.join(
         verdicts.filter(~F.col("blocked")).select("doc_id"),
         "doc_id", "left_semi")
