@@ -387,7 +387,16 @@ def test_detector_catches_raw_text_window_key(spark):
 
 
 def test_r15_no_graded_entry_shuffles_on_raw_payload(spark):
-    """Every graded registry entry obeys the key law above."""
+    """Every graded registry entry obeys the key law above — and (r16)
+    none registers a CacheManager entry while being built.  The r15
+    sweep found every persist()/cache() under a lambda-bearing plan is
+    a DEAD entry (CacheManager's canonicalized lookup never matches it,
+    so it is never read or even filled and every consumer silently
+    recomputes the full upstream chain); all sharing moved to
+    localCheckpoint.  Gate the whole class: a future persist() anywhere
+    in an entry's construction fails here and must justify itself."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
     failures = []
     for q in QUERIES:
         try:
@@ -399,4 +408,9 @@ def test_r15_no_graded_entry_shuffles_on_raw_payload(spark):
             _assert_no_raw_payload_keys(plan, q)
         except AssertionError as e:
             failures.append((q, str(e)))
+        if not cache_mgr.isEmpty():
+            failures.append((q, "registered a persist()/cache() entry during "
+                                "construction (dead under lambda-bearing "
+                                "plans — use localCheckpoint)"))
+            spark.catalog.clearCache()
     assert not failures, failures

@@ -111,8 +111,21 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     the tokenizer runs once per row — an index-lambda formulation
     (``element_at(tokens(...), i)``) would re-embed the whole
     ``regexp_extract_all`` inside the per-element lambda and re-tokenize
-    the document for every shingle (observed 50x slowdown)."""
-    toks = tokens(col)
+    the document for every shingle (observed 50x slowdown).
+
+    This form still textually embeds the tokenizer ~2n times (base array
+    + per-shift slice/size references) — an analysis-time tax that
+    interpreted-eval CSE absorbs at runtime (measured r15).  Callers on
+    a hot path can project ``tokens(col)`` once in a staged ``select``
+    and build from the column reference via :func:`shingles_of`."""
+    return shingles_of(tokens(col), n)
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-TOKENIZED array column — pass a
+    staged ``tokens(...)`` projection's column reference so each
+    expensive tokenizer evaluates once per row instead of being
+    re-embedded per shingle-shift reference."""
     if n == 1:
         return toks
 

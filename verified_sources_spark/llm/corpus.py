@@ -501,27 +501,39 @@ def band_table(
     """
     rows_per_band = k // bands
     assert rows_per_band * bands == k, "k must divide into equal bands"
-    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n).filter(
-        F.col("mh_0").isNotNull()
-    )
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    # Un-shingleable docs are dropped by a NULL band-hash guard ABOVE the
+    # explode, not by a `mh_0 IS NOT NULL` filter on sig (r16; the r15
+    # lsh_candidate_pairs class): a predicate on the signature column
+    # gets pushed below the staged projections with the FULL signature
+    # expression substituted in — the optimized plan carried five extra
+    # regexp_extract_all copies per consumer branch, re-running the
+    # dominant per-row work once in the Filter and again in the Project.
+    # The null-propagating concat() yields the same joined string as the
+    # old concat_ws for signed docs (all k mins are null together: they
+    # share _mh_base), so band_hash VALUES — and every standing
+    # fingerprint table built from them — are unchanged; a predicate on
+    # the generator's output cannot be pushed below the Generate.
+    def _joined(b: int):
+        parts: list = []
+        for r in range(rows_per_band):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh_{b * rows_per_band + r}").cast("string"))
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
+            F.md5(_joined(b)).alias("band_hash"),
         )
         for b in range(bands)
     ]
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+        .filter(F.col("band_hash").isNotNull())
+    )
 
 
 def verified_near_inc_ids(
@@ -540,15 +552,19 @@ def verified_near_inc_ids(
     the heavy string work is O(colliding docs), never O(corpus) — shared
     by ``incremental_dedup`` and ``CorpusIngest``.
     """
-    from verified_sources_spark.functions.text import shingles as _shingles
+    from verified_sources_spark.functions.text import shingles_of, tokens
 
     def sets(texts: DataFrame, key: str, out: str) -> DataFrame:
         pruned = texts.join(
             cand.select(F.col(key).alias(id_col)).distinct(), id_col, "left_semi"
         )
+        # staged tokenizer projection (r16, guide §4): one
+        # regexp_extract_all copy per side instead of ~2·shingle_n
         return pruned.select(
-            F.col(id_col).alias(key),
-            F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias(out),
+            F.col(id_col).alias(key), tokens(F.col(text_col)).alias("__toks")
+        ).select(
+            key,
+            F.array_distinct(shingles_of(F.col("__toks"), shingle_n)).alias(out),
         )
 
     pairs = cand.join(sets(inc_texts, "_inc", "_sa"), "_inc").join(
@@ -616,6 +632,20 @@ def incremental_dedup(
     existing_ids = existing.select(id_col)
     incoming_ids = incoming.select(id_col)
     sig_bands = band_table(df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n)
+    # The existing/incoming semi-joins FORK the plan DAG, and Spark
+    # cannot share a lambda-bearing subtree across branches (the
+    # llm/minhash r15 finding) — without materialization the whole
+    # signature pipeline (tokenize+shingle+md5+minhash of EVERY row)
+    # executes once per branch.  Same auto rule as lsh_candidate_pairs:
+    # below the row threshold the fork back-fills idle cores and the
+    # checkpoint barrier would cost more than it saves; above it (or
+    # when the bound is unknowable) one pass wins.
+    from verified_sources_spark.llm.minhash import _materialize_auto_min_rows
+    from verified_sources_spark.operators.sessionize import _static_row_upper_bound
+
+    bound = _static_row_upper_bound(df)
+    if bound is None or bound >= _materialize_auto_min_rows():
+        sig_bands = sig_bands.localCheckpoint(eager=False)
     existing_band_rows = sig_bands.join(existing_ids, id_col, "left_semi")
     incoming_bands = sig_bands.join(incoming_ids, id_col, "left_semi")
     if min_jaccard is None:

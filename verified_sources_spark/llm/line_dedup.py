@@ -12,13 +12,20 @@ fixed token windows for corpora without line structure), count each
 unit corpus-wide, drop units over the occurrence threshold (optionally
 keeping the first occurrence), then reassemble documents in unit order.
 
-Scale shape: the corpus-wide count groups on ``xxhash64(unit)`` — an
-8-byte shuffle key instead of the unit string — and the stats join back
-to the exploded units is a plain shuffle join on that key, so one hot
-unit (a banner occurring millions of times) is ONE aggregation row, not
-a collected bucket; reassembly is a per-document groupBy whose rows are
-the document's own units.  No window over the whole corpus, no
-collect_list across documents, no driver-side state.  Hash collisions
+Scale shape: count and argmin are WINDOW aggregates over
+``xxhash64(unit)`` — an 8-byte shuffle key instead of the unit string —
+so the exploded unit table shuffles ONCE and the document split/explode
+runs once (the former groupBy-then-join-back formulation forked the
+plan DAG: the explode executed twice and the unit table shuffled
+twice).  The cost of the window form is that an unbounded window
+partition BUFFERS its rows in the reducer (spilling to disk past the
+threshold): a banner occurring millions of times is one linear,
+spill-backed partition rather than one pre-aggregated row — soaked at
+1M occurrences of a single hot unit in tools/soak_r16.py (r16) against
+the groupBy+join form; see OPTIMIZATION_r16.md for the numbers.
+Reassembly is a per-document groupBy whose rows are the document's own
+units.  No collect_list across documents, no driver-side state.  Hash
+collisions
 (~2^-64 per pair) can at worst drop an extra unit — the standard
 hash-dedup tradeoff; oracles group by the unit string itself and agree
 on collision-free corpora.

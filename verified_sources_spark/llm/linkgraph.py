@@ -59,20 +59,24 @@ def link_rank(edges: DataFrame, src_col: str, dst_col: str,
         raise ValueError("damping_permille must be in [0, 1000]")
     if scale < 1:
         raise ValueError("scale must be >= 1")
+    # localCheckpoint, not persist (r16): one sharing mechanism repo-wide —
+    # RDD-identity sharing regardless of plan canonicalization, truncated
+    # lineage (the iterative ranks plan stays bounded instead of nesting
+    # the full edge-derivation chain per iteration), self-cleaning blocks
+    # (no unpersist bookkeeping).
     e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
-    e.persist()
+                     F.col(dst_col).alias("dst")).localCheckpoint(eager=False)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
     outdeg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("out_degree"))
-    outdeg.persist()
+    outdeg = outdeg.localCheckpoint(eager=False)
     spine = (nodes.join(outdeg, nodes.node == outdeg.src, "left")
              .select("node",
                      F.coalesce("out_degree", F.lit(0)).cast("long")
                      .alias("out_degree")))
-    spine.persist()
+    spine = spine.localCheckpoint(eager=False)
     d = damping_permille
     base = scale * (1000 - d) // 1000
     ranks = spine.select("node", F.lit(scale).cast("long")
@@ -94,9 +98,9 @@ def link_rank(edges: DataFrame, src_col: str, dst_col: str,
         "node", "out_degree", F.col("rank").cast("long").alias("rank"))
 
     def _release() -> None:
-        e.unpersist()
-        outdeg.unpersist()
-        spine.unpersist()
+        # checkpoint blocks self-clean when the RDDs are GC'd; kept as a
+        # no-op hook for API compatibility with existing callers
+        return None
 
     out.release_edges = _release
     return out

@@ -110,6 +110,19 @@ def _mins_sql(k: int) -> str:
     )
 
 
+def _materialize_auto_min_rows() -> int:
+    """Row threshold for the materialize='auto' decision (shared with
+    ``corpus.incremental_dedup``): inputs provably smaller keep the plan
+    fork (the second pass back-fills idle cores locally), larger or
+    unknowable inputs take the single-pass localCheckpoint."""
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_LSH_MATERIALIZE_MIN_ROWS", "200000"))
+    except ValueError:  # malformed env var: fall back to the default
+        return 200000
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
@@ -196,9 +209,16 @@ def lsh_candidate_pairs(
       inputs take the single-pass materialization.
     - ``"localCheckpoint"`` — the only mechanism that actually shares
       the cut (RDD-identity, immune to the canonicalization failure):
-      executed-plan check shows ONE parquet scan.  Lazy, self-cleaning;
-      blocks are lost with their executor (acceptable: lineage rebuild
-      on loss vs 2x compute on every run).
+      executed-plan check shows ONE parquet scan.  Lazy, self-cleaning.
+      Resilience trade-off, stated precisely: localCheckpoint TRUNCATES
+      lineage, so a checkpoint block lost with its executor is
+      unrecoverable — the JOB FAILS (SparkException on the missing
+      block) rather than recomputing.  Acceptable here: rerunning a
+      failed job beats paying 2x the dominant compute on EVERY run.
+      Fault-sensitive cluster runs that cannot rerun should write the
+      cut to durable storage instead (reliable ``checkpoint()`` after
+      ``sc.setCheckpointDir``, or write+read-back) — at the cost of a
+      full write of the cut.
     - ``"persist"`` — retained for API compatibility but DOES NOT SHARE
       the cut: CacheManager lookup goes through the same plan
       canonicalization that lambda variables defeat, so the cache entry
@@ -292,15 +312,11 @@ FROM banded
 GROUP BY band_idx, band_key, pmod(xxhash64(id), {sub_buckets})
 """
     if materialize == "auto":
-        import os
-
         from verified_sources_spark.operators.sessionize import (
             _static_row_upper_bound,
         )
 
-        min_rows = int(
-            os.environ.get("SPARK_GRAFT_LSH_MATERIALIZE_MIN_ROWS", "200000")
-        )
+        min_rows = _materialize_auto_min_rows()
         bound = _static_row_upper_bound(df)
         materialize = (
             None if bound is not None and bound < min_rows else "localCheckpoint"
@@ -389,9 +405,16 @@ def ngram_jaccard(
     arrays (LSH output × 2 rows), never the corpus."""
     if pairs is None:
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n)
+    # staged tokenizer projection (r16, guide §4 expression duplication):
+    # shingling the token-array column reference leaves ONE
+    # regexp_extract_all copy in the plan (was ~2n)
+    from verified_sources_spark.functions.text import shingles_of, tokens
+
     sets = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select(
+        "__id",
+        F.array_distinct(shingles_of(F.col("__toks"), shingle_n)).alias("sh"),
     )
     sides = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")

@@ -172,7 +172,11 @@ def hash_sampled_overlap(df: DataFrame, group_col: str,
                    "16, 10) AS BIGINT)").alias("_h"))
         .filter(F.col("_h") < F.lit(threshold))
         .select("_g", "_v").distinct())
-    sub.persist()
+    # localCheckpoint, not persist (r16): one mechanism repo-wide — shares
+    # by RDD identity regardless of plan canonicalization, truncates the
+    # tokenizer/shingle lineage above (bounding composed callers' plans),
+    # and self-cleans when the RDD is GC'd (no release bookkeeping).
+    sub = sub.localCheckpoint(eager=False)
     per_group = sub.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -210,7 +214,9 @@ def hash_sampled_overlap(df: DataFrame, group_col: str,
             F.expr("n_common * 1000L DIV (n_a + n_b - n_common)")))
 
     def _release() -> None:
-        sub.unpersist()
+        # checkpoint blocks self-clean when the RDD is GC'd; kept as a
+        # no-op hook for API compatibility with existing callers
+        return None
 
     out.release_sample_cut = _release
     return out

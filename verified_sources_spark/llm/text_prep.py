@@ -381,15 +381,34 @@ def decontaminate(
     (set ``broadcast_benchmark=False`` to let AQE decide for outsized
     ones) and the corpus-side explode + broadcast-hash-join + groupBy
     never shuffles document text, only (id, shingle-hit) rows."""
+    from verified_sources_spark.functions.text import shingles_of, tokens
+
     bench_text_col = bench_text_col or text_col
-    bench_sh = benchmark.select(
-        F.explode(F.array_distinct(shingles(bench_text_col, shingle_n))).alias("sh")
-    ).distinct()
+    # staged tokenizer projections (r16, guide §4 expression duplication):
+    # shingles(col, n=8) textually embeds regexp_extract_all ~2n times per
+    # side (18 copies in this plan before); projecting the token array
+    # once per side and shingling the column reference leaves ONE copy —
+    # CollapseProject keeps the stages apart because the producer alias
+    # is non-cheap and multiply referenced
+    bench_sh = (
+        benchmark.select(tokens(bench_text_col).alias("__toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_of(F.col("__toks"), shingle_n))
+            ).alias("sh")
+        )
+        .distinct()
+    )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    corpus_sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
+    corpus_sh = (
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("__toks"))
+        .select(
+            "_id",
+            F.explode(
+                F.array_distinct(shingles_of(F.col("__toks"), shingle_n))
+            ).alias("sh"),
+        )
     )
     hits = corpus_sh.join(bench_sh, "sh").groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_overlap")

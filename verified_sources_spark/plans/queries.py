@@ -670,35 +670,22 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, shingle_n=3)
 
 
-# release hooks for the PREVIOUS invocation's persisted LSH cut: a
-# long-lived driver (the bench loops these entries dozens of times per
-# session) otherwise accumulates one MEMORY_AND_DISK cache entry per
-# call — exactly the leak the lsh_candidate_pairs docstring warns about.
-# Dropping the previous cut when a new invocation starts is safe even if
-# the old DataFrame is still referenced (unpersist only forgets blocks;
-# lineage recomputes on demand).
-_lsh_cut_releases: list = []
-
-
-def _release_previous_lsh_cut(hook) -> None:
-    while _lsh_cut_releases:
-        try:
-            _lsh_cut_releases.pop()()
-        except Exception:
-            pass
-    _lsh_cut_releases.append(hook)
+# NOTE (r16): the former module-global release-hook registry for LSH cuts
+# is gone.  It existed to unpersist the previous invocation's persist()'d
+# cut, but since r15 these entries run materialize="auto", which never
+# persists (None below the row threshold, localCheckpoint above it —
+# checkpoint blocks self-clean when their RDD is GC'd), so every
+# registered hook was a no-op lambda and the global list was the one
+# piece of cross-invocation mutable state left in the module (unsafe
+# under concurrent sessions/threads for zero benefit).
 
 
 def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, bands=4, shingle_n=3)
-    _release_previous_lsh_cut(pairs.release_candidate_cut)
-    return pairs
+    return lsh_candidate_pairs(_docs_parallel(spark, sf_dir), "doc_id", "text", k=8, bands=4, shingle_n=3)
 
 
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = ngram_jaccard(_docs_parallel(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.0)
-    _release_previous_lsh_cut(out.release_candidate_cut)
-    return out
+    return ngram_jaccard(_docs_parallel(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.0)
 
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
