@@ -40,6 +40,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 AUDIO_FP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -279,7 +281,7 @@ def audio_dedup_groups(
         audio_fingerprint(df, id_col, asset_col, time_slices, freq_bands)
         .filter(F.col("decoded_ok"))
         .select(id_col, "afp")
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     return fingerprint_dedup_groups(
         sig, id_col, "afp", bits=64, max_hamming=max_hamming,

@@ -38,6 +38,8 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.functions.text import tokens
 
 EOW = "</w>"
@@ -207,7 +209,7 @@ def _train_bpe_distributed(wf: DataFrame, n_merges: int) -> list[tuple[str, str]
             F.col("freq").cast("long").alias("freq"),
         )
         .filter(F.size("sym") >= 2)
-        .localCheckpoint(eager=True)
+        .transform(cut, eager=True)
     )
     pair_expr = F.expr(
         "transform(slice(sym, 1, size(sym) - 1), (s, i) -> "
@@ -248,7 +250,7 @@ def _train_bpe_distributed(wf: DataFrame, n_merges: int) -> list[tuple[str, str]
         cur = (
             cur.withColumn("sym", F.expr(fold))
             .filter(F.size("sym") >= 2)
-            .localCheckpoint(eager=True)
+            .transform(cut, eager=True)
         )
     return merges
 

@@ -37,6 +37,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.functions.text import token_count, tokens
 from verified_sources_spark.llm.minhash import minhash_signatures
 from verified_sources_spark.llm.similarity import (
@@ -210,7 +212,7 @@ def pmi_collocations(
     # canonicalization fails (llm/minhash r15 finding) — a persist() was
     # never read and every consumer (uni, big, the two join sides, the
     # total) re-ran the explode; checkpoint shares by RDD identity
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(cut)
     uni = counts.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("tok"), F.col("c").alias("cu"))
     total = uni.agg(
@@ -645,7 +647,7 @@ def incremental_dedup(
 
     bound = _static_row_upper_bound(df)
     if bound is None or bound >= _materialize_auto_min_rows():
-        sig_bands = sig_bands.localCheckpoint(eager=False)
+        sig_bands = sig_bands.transform(cut)
     existing_band_rows = sig_bands.join(existing_ids, id_col, "left_semi")
     incoming_bands = sig_bands.join(incoming_ids, id_col, "left_semi")
     if min_jaccard is None:

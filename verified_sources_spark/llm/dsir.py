@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.llm.minhash import _shingles_sql, _tokens_sql
 
 __all__ = ["importance_weights"]
@@ -119,12 +121,12 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as _pool:
-        _occ_f = _pool.submit(occ_src.localCheckpoint, False)
-        _tgt_f = _pool.submit(target_src.localCheckpoint, False)
+        _occ_f = _pool.submit(cut, occ_src)
+        _tgt_f = _pool.submit(cut, target_src)
         occ = _occ_f.result()
         target_counts = _tgt_f.result()
     raw_counts = occ.groupBy("bucket").agg(F.sum("_c").alias("rc"))
-    raw_counts = raw_counts.localCheckpoint(eager=False)
+    raw_counts = raw_counts.transform(cut)
     # one-row mass totals, crossJoined (broadcast) into the scorer —
     # the repo's one-row-aggregate crossJoin precedent
     totals = (

@@ -36,6 +36,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -235,7 +237,7 @@ def image_dedup_groups(
         image_dhash(df, id_col, asset_col, hash_size)
         .filter(F.col("decoded_ok"))
         .select(id_col, "dhash")
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     return fingerprint_dedup_groups(
         sig, id_col, "dhash", bits=64, max_hamming=max_hamming,

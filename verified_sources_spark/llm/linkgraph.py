@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from verified_sources_spark.cut import cut
+
 __all__ = ["link_rank"]
 
 
@@ -65,18 +67,18 @@ def link_rank(edges: DataFrame, src_col: str, dst_col: str,
     # the full edge-derivation chain per iteration), self-cleaning blocks
     # (no unpersist bookkeeping).
     e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).localCheckpoint(eager=False)
+                     F.col(dst_col).alias("dst")).transform(cut)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
     outdeg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("out_degree"))
-    outdeg = outdeg.localCheckpoint(eager=False)
+    outdeg = outdeg.transform(cut)
     spine = (nodes.join(outdeg, nodes.node == outdeg.src, "left")
              .select("node",
                      F.coalesce("out_degree", F.lit(0)).cast("long")
                      .alias("out_degree")))
-    spine = spine.localCheckpoint(eager=False)
+    spine = spine.transform(cut)
     d = damping_permille
     base = scale * (1000 - d) // 1000
     ranks = spine.select("node", F.lit(scale).cast("long")

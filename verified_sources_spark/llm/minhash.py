@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.functions.text import TOKEN_RE, shingles
 
 # FROZEN universal-hash family parameters: the DuckDB oracle renders the
@@ -323,7 +325,7 @@ GROUP BY band_idx, band_key, pmod(xxhash64(id), {sub_buckets})
         )
     l1 = df.sparkSession.sql(sql_l1, df=df)
     if materialize == "localCheckpoint":
-        l1 = l1.localCheckpoint(eager=False)
+        l1 = l1.transform(cut)
     elif materialize == "persist":
         l1 = l1.persist()
     elif materialize is not None:

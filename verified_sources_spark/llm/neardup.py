@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.llm.minhash import lsh_candidate_pairs, ngram_jaccard
 
 
@@ -52,7 +54,7 @@ def connected_components(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)  # reused every iteration
+    edges = edges.transform(cut, eager=True)  # reused every iteration
 
     labels = (
         edges.groupBy("src")
@@ -61,7 +63,7 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("min_nbr")).alias("component"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut, eager=True)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -98,7 +100,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = jumped.transform(cut, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.functions.text import tokens
 
 
@@ -100,7 +102,7 @@ def simhash_near_pairs(
     # self-join: the two join sides fork the plan DAG, and without the
     # checkpoint the per-token hashing + per-bit aggregations would
     # execute once PER SIDE (Spark cannot share subtrees across a fork)
-    sig = simhash64(df, id_col, text_col, base_hash).localCheckpoint(eager=False)
+    sig = simhash64(df, id_col, text_col, base_hash).transform(cut)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -166,7 +168,7 @@ def simhash_dedup_groups(
     exactly where sorted adjacency chains the whole cluster together.
     """
     bits = _bits_of(base_hash)
-    sig = simhash64(df, id_col, text_col, base_hash).localCheckpoint(eager=False)
+    sig = simhash64(df, id_col, text_col, base_hash).transform(cut)
     # id spine from the INPUT, not the signature table: docs with zero
     # tokens produce no explode rows (hence no signature) but must still
     # appear in the output as their own singleton group

@@ -22,6 +22,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from verified_sources_spark.cut import cut
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -619,7 +621,7 @@ def embedding_near_dups_lsh(
         F.array(
             *[band_bucket(F.col(vec_col), band) for band in range(n_bands)]
         ).alias("__buckets"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut)
     exploded = buckets.select("__id", F.explode("__buckets").alias("__bucket"))
     cand = (
         exploded.select(F.col("__id").alias("id_a"), "__bucket")
@@ -1018,7 +1020,7 @@ def ivfpq_topk(
         # canonicalization fails (llm/minhash r15 finding) — a cache()
         # was never read and every sub-quantizer slice re-ran the
         # assignment chain; checkpoint shares by RDD identity
-        resid = resid.localCheckpoint(eager=False)
+        resid = resid.transform(cut)
         for s in range(m):
             sliced = resid.select(
                 "_id",

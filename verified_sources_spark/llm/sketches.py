@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from verified_sources_spark.cut import cut
+
 __all__ = ["hash_sampled_distinct", "binned_quantiles",
            "hash_sampled_overlap"]
 
@@ -176,7 +178,7 @@ def hash_sampled_overlap(df: DataFrame, group_col: str,
     # by RDD identity regardless of plan canonicalization, truncates the
     # tokenizer/shingle lineage above (bounding composed callers' plans),
     # and self-cleans when the RDD is GC'd (no release bookkeeping).
-    sub = sub.localCheckpoint(eager=False)
+    sub = sub.transform(cut)
     per_group = sub.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"))
     pairs = (

@@ -50,6 +50,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
+from verified_sources_spark.cut import cut
+
 VIDEO_PROBE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -453,7 +455,7 @@ def video_scene_pairs(
         video_shots(df, id_col, asset_col, every_ms, threshold)
         .filter(F.col("decoded_ok"))
         .select(id_col, "shot_idx", "keyframe_hash")
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     bands = shots.select(
         id_col,
@@ -566,7 +568,7 @@ def video_image_matches(
             "shot_idx",
             F.col("keyframe_hash").alias("khash"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     imgs = (
         image_dhash(images, image_id_col, asset_col)
@@ -620,7 +622,7 @@ def video_dedup_groups(
         video_fingerprint(df, id_col, asset_col, every_ms, hash_size)
         .filter(F.col("decoded_ok"))
         .select(id_col, "vfp")
-        .localCheckpoint(eager=False)
+        .transform(cut)
     )
     return fingerprint_dedup_groups(
         sig, id_col, "vfp", bits=64, max_hamming=max_hamming,

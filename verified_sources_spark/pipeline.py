@@ -35,6 +35,8 @@ from typing import Any
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.operators.incremental import (
     CursorStore,
     _cursor_col,
@@ -121,7 +123,7 @@ class Pipeline:
             # below must all describe the same data — a non-deterministic
             # source re-evaluated after the write could otherwise commit a
             # cursor past rows that were never written (silent data loss)
-            df = df.localCheckpoint(eager=True)
+            df = df.transform(cut, eager=True)
 
         sink = self.sink(table_name, partition_by=partition_by)
         if write_disposition == "append":

@@ -21,6 +21,8 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.catalog import load_table, load_tables
 from verified_sources_spark.functions import row_digest
 from verified_sources_spark.functions.text import (
@@ -834,14 +836,14 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    ).localCheckpoint(eager=False)
+    ).transform(cut)
     u2 = (
         ev.filter(F.col("event_type") == "click")
         .join(u1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    ).localCheckpoint(eager=False)
+    ).transform(cut)
     u3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(u2, "user_id")
@@ -5484,7 +5486,7 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weight and every reader recomputed the chain; checkpointing shares
     # by RDD identity and keeps the composed plan bounded.
     capped = domain_cap(canon, "domain", 30, [F.col("doc_id").asc()],
-                        salt_cols=["doc_id"]).localCheckpoint(eager=False)
+                        salt_cols=["doc_id"]).transform(cut)
     sampled = mixture_sample(
         capped, "doc_id", "text", "domain",
         weights={"wiki": 0.3, "se": 0.2, "chat": 0.1, "code": 0.2,
@@ -6924,8 +6926,8 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as _pool:
-        _corpus_f = _pool.submit(corpus.localCheckpoint, False)
-        _verdicts_f = _pool.submit(verdicts_src.localCheckpoint, False)
+        _corpus_f = _pool.submit(cut, corpus)
+        _verdicts_f = _pool.submit(cut, verdicts_src)
         corpus = _corpus_f.result()
         verdicts = _verdicts_f.result()
     allowed = corpus.join(
@@ -6937,7 +6939,7 @@ def selection_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = hashes.groupBy("h").agg(F.min("doc_id").alias("cid"))
     dup_flags = hashes.join(canon, "h").select(
         "doc_id", (F.col("doc_id") != F.col("cid")).alias("is_dup"))
-    dup_flags = dup_flags.localCheckpoint(eager=False)
+    dup_flags = dup_flags.transform(cut)
     survivors = allowed.join(
         dup_flags.filter(~F.col("is_dup")).select("doc_id"),
         "doc_id", "left_semi")

@@ -34,6 +34,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.streaming import StreamingQuery
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.functions.text import quality_score
 from verified_sources_spark.llm.corpus import band_table
 from verified_sources_spark.operators.table_format import ManifestTable
@@ -140,14 +142,14 @@ class TwoTableIngest:
         # that was 3-4 full Python passes per batch.  A micro-batch is
         # bounded by definition, so holding its bytes in MEMORY_AND_DISK
         # for the duration of one apply is the intended working set.
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(cut, eager=True)
         token = self._input_token(batch_df)
         if docs_last is None or batch_id > docs_last:
             # Materialize ONCE: both commits below must describe the same
             # accepted set; without the checkpoint each sink write would
             # recompute the dedup joins.
             acc_src = self.accepted(batch_df)
-            acc = acc_src.localCheckpoint(eager=True)
+            acc = acc_src.transform(cut, eager=True)
             tagged = acc.withColumn(self._STREAM_COL, F.lit(self.stream_id)).withColumn(
                 self._BATCH_COL, F.lit(int(batch_id))
             )
@@ -321,7 +323,7 @@ class CorpusIngest(TwoTableIngest):
         # checks below AND (via the `_fp_cut` contract with apply_batch)
         # the fp-table append — without the checkpoint each of those DAG
         # forks re-ran tokenize+shingle+md5+minhash over the batch.
-        batch_fps = self._fingerprints(in_batch).localCheckpoint(eager=False)
+        batch_fps = self._fingerprints(in_batch).transform(cut)
         if self.near_dedup:
             # in-batch NEAR dedup (band self-collision, lowest id wins) —
             # without this, near-dups arriving in the same micro-batch all

@@ -44,6 +44,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from verified_sources_spark.cut import cut
+
 from verified_sources_spark.operators.table_format import ManifestTable
 from verified_sources_spark.streaming.corpus_ingest import TwoTableIngest
 
@@ -278,7 +280,7 @@ class MediaIngest(TwoTableIngest):
         )
         pfps = None
         if self.near_dedup:
-            pfps = self._pfps(in_batch).localCheckpoint(eager=False)
+            pfps = self._pfps(in_batch).transform(cut)
             bands = self._band_rows(pfps)
             # in-batch perceptual dedup: a hamming-verified collision with
             # a LOWER id drops the doc (pessimistic single-pass, matching
