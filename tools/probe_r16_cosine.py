@@ -27,11 +27,13 @@ from verified_sources_spark.session import get_spark  # noqa: E402
 
 
 def timed(df) -> float:
+    # bench.py's _force_eval methodology: try_sum of xxhash64 over all
+    # columns so every projected expression actually runs
     t0 = time.time()
-    row = df.select(F.xxhash64(*df.columns).alias("h")).agg(
-        F.sum("h"), F.count("*")
-    ).collect()[0]
-    _ = row
+    df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.try_sum(F.xxhash64(*df.columns)).alias("h"),
+    ).collect()
     return time.time() - t0
 
 

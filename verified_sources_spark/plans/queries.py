@@ -692,13 +692,18 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus side repartitioned like _docs_parallel: the table is one
-    # parquet file (one input split) and the per-pair dot-product fold is
-    # CPU-bound interpreted-eval work, so spread it across cores; the
-    # query side stays on the plain scan (10 rows, broadcast)
+    # parquet file (one input split) and the per-pair scoring is
+    # CPU-bound, so spread it across cores; the query side stays on the
+    # plain scan (10 rows).  Implementation is size-adaptive (r16): the
+    # JVM fold below the measured ~20k-row crossover, the Arrow GEMM
+    # path (mapInPandas + numpy matmul) above it — identical results,
+    # see cosine_topk_adaptive's docstring for the A/B numbers.
+    from verified_sources_spark.llm.similarity import cosine_topk_adaptive
+
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _spread(spark, e)
     queries = e.filter(F.col("vec_id") < 10)
-    return cosine_topk(corpus, queries, k=3)
+    return cosine_topk_adaptive(corpus, queries, k=3)
 
 
 def cosine_topk_vectorized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
