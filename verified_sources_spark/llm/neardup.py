@@ -81,13 +81,21 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_label"), F.col("component"))
             ).alias("component"),
+            F.col("component").alias("_prev"),
         )
-        # pointer jumping: component ← component's component (one extra
-        # self-join halves the remaining path length every iteration)
+        # pointer jumping: component ← component's label in the PREVIOUS
+        # iteration's (checkpointed) table, not in ``stepped`` — a
+        # stepped-on-stepped self-join forks an unmaterialized plan, so
+        # the nbr_min shuffle join executed TWICE per iteration (r16;
+        # guide §2.4).  Jumping through the old labels keeps geometric
+        # path-halving (any label is a min over a reachable subset, so
+        # the hash-min fixed point — and therefore the result — is
+        # unchanged) while every per-iteration join reads checkpoint
+        # blocks and runs exactly once.
         jumped = (
             stepped.alias("s")
             .join(
-                stepped.select(
+                labels.select(
                     F.col("node").alias("component"), F.col("component").alias("parent")
                 ).alias("p"),
                 "component",
@@ -98,16 +106,19 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("parent"), F.col("component"))
                 ).alias("component"),
+                F.col("_prev"),
             )
         )
-        new_labels = jumped.transform(cut, eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # carry the changed flag INTO the checkpointed blocks: the
+        # convergence probe is then a scan-and-count of blocks instead of
+        # the former full shuffle join of new labels against old (r16)
+        new_labels = jumped.select(
+            "node",
+            "component",
+            (F.col("component") != F.col("_prev")).alias("_chg"),
+        ).transform(cut, eager=True)
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
