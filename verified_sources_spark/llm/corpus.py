@@ -825,6 +825,12 @@ def semantic_dedup(
     else:
         centroids = train_kmeans(c, "_id", "_v", n_clusters, lloyd_iters)
         assigned = argmin_cluster(c, "_id", "_v", centroids)
+    # assigned feeds the pair stage AND the final kept-join (3 copies of
+    # the quantize+assign subtree in the uncut final plan — each one a
+    # full Python-boundary pass); pairs feeds drops and the absorption
+    # count (2 copies of the applyInPandas cluster stage).  Cut both so
+    # the assignment and the pair scan each execute once (r16, §2.4).
+    assigned = assigned.transform(cut)
     if pairs_impl == "gemm":
         pairs = _cluster_pairs_gemm(assigned, threshold)
     elif pairs_impl == "join":
@@ -846,6 +852,7 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"pairs_impl must be 'gemm' or 'join', got {pairs_impl!r}")
+    pairs = pairs.transform(cut)
     drops = pairs.select(F.col("id_b").alias("_id")).distinct()
     absorbed = pairs.join(drops.withColumnRenamed("_id", "id_a"), "id_a", "left_anti")
     n_absorbed = absorbed.groupBy(F.col("id_a").alias("_id")).agg(
