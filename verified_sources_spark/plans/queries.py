@@ -1619,23 +1619,30 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation chain as ONE Catalyst plan: quality gate → normalized
-    exact dedup (keep canonical) → per-domain cap.  Composition is the
-    point — each stage is the already-verified operator, fused by the
-    optimizer into a single job."""
+    """The curation chain composed: quality gate → normalized exact dedup
+    (keep canonical) → per-domain cap.
+
+    Shape (r16): the dedup decision and the kept rows both need the
+    normalized-content hash, and a plan fork there re-ran the WHOLE
+    quality-gate + normalize + md5 lineage once per consumer (the
+    tokenizer twice over the corpus).  Hash once into a narrow
+    (doc_id, source, n_chars, md5) frame — metadata-sized at any scale,
+    the §2.3 'shuffle keys, not payloads' shape — cut it, and derive
+    both the canonical set and the kept rows from the cut.  Same rows:
+    canonical = min doc_id per md5(normalized text), exactly
+    exact_dedup_groups' contract (it md5-hashes internally)."""
     from verified_sources_spark.functions.text import normalized_text
     from verified_sources_spark.llm.corpus import domain_cap, quality_filter
 
     d = load_table(spark, sf_dir, "documents")
     passing = quality_filter(d, "doc_id", "text").filter(F.col("passes") == 1).select("doc_id")
     good = d.join(passing, "doc_id")
-    normed = good.select(
-        "doc_id", "source", "n_chars", normalized_text(F.col("text")).alias("_n")
-    )
-    canon = exact_dedup_groups(normed, "doc_id", "_n").select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    kept = normed.join(canon, "doc_id", "left_semi")
+    narrow = good.select(
+        "doc_id", "source", "n_chars",
+        F.md5(normalized_text(F.col("text"))).alias("_k"),
+    ).transform(cut)
+    canon = narrow.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+    kept = narrow.join(canon.select("doc_id"), "doc_id", "left_semi")
     capped = domain_cap(
         kept, "source", 10, [F.col("n_chars").desc(), F.col("doc_id").asc()], salt_cols=["doc_id"]
     )
