@@ -160,6 +160,7 @@ def cosine_topk_adaptive(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """``cosine_topk`` with the implementation picked by corpus size.
 
@@ -182,13 +183,38 @@ def cosine_topk_adaptive(
     tie, preferring the scale path at the boundary.  The bound comes
     from parquet footers (driver-only, no job); unknowable bounds take
     the GEMM path — at 100 TB the fold is never the right answer.
+    Callers that already know the corpus size (e.g. from their own
+    footer read) pass ``corpus_rows`` and skip the plan probe entirely.
     """
-    from verified_sources_spark.operators.sessionize import _static_row_upper_bound
-
-    bound = _static_row_upper_bound(corpus)
+    bound = corpus_rows if corpus_rows is not None else _adaptive_bound(corpus)
     if bound is not None and bound < _gemm_min_rows():
         return cosine_topk(corpus, queries, id_col, vec_col, k)
     return cosine_topk_vectorized(corpus, queries, id_col, vec_col, k)
+
+
+# row bounds memoized by (application, file set): the footer probe walks
+# the optimized plan (~60 ms/build measured — the dominant cost of the
+# dispatch), and repeated invocations in one driver (the bench loops
+# entries) should not re-pay it.  Keying on the file set alone can
+# mis-dispatch a differently-shaped plan over the same files (e.g. an
+# exploded view), but the dispatch is PERF-ONLY — both paths return
+# identical rows — so a stale bound can never change results.
+_ADAPTIVE_BOUND_MEMO: dict = {}
+
+
+def _adaptive_bound(corpus: DataFrame):
+    from verified_sources_spark.operators.sessionize import _static_row_upper_bound
+
+    try:
+        files = tuple(sorted(corpus.inputFiles()))
+    except Exception:
+        files = None
+    if not files:
+        return _static_row_upper_bound(corpus)
+    key = (corpus.sparkSession.sparkContext.applicationId, files)
+    if key not in _ADAPTIVE_BOUND_MEMO:
+        _ADAPTIVE_BOUND_MEMO[key] = _static_row_upper_bound(corpus)
+    return _ADAPTIVE_BOUND_MEMO[key]
 
 
 def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:

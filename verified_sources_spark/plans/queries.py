@@ -638,6 +638,39 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, load_table(spark, sf_dir, "documents"))
 
 
+# parquet-footer row counts memoized by table path (metadata only, never
+# rows/results; a regenerated file re-keys via mtime+size).  Feeds
+# cosine_topk_adaptive's size dispatch without the ~50 ms plan-walk the
+# generic _static_row_upper_bound probe pays per build.
+_FOOTER_ROWS_MEMO: dict = {}
+
+
+def _footer_rows(sf_dir: str, name: str) -> int | None:
+    import glob as _glob
+    import os as _os
+
+    base = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    paths = [base] if _os.path.isfile(base) else sorted(
+        _glob.glob(f"{base}/*.parquet")
+    )
+    if not paths:
+        return None
+    try:
+        key = (base, tuple((_os.path.getmtime(p), _os.path.getsize(p)) for p in paths))
+    except OSError:
+        return None
+    if key not in _FOOTER_ROWS_MEMO:
+        try:
+            import pyarrow.parquet as pq
+
+            _FOOTER_ROWS_MEMO[key] = sum(
+                pq.ParquetFile(p).metadata.num_rows for p in paths
+            )
+        except Exception:
+            _FOOTER_ROWS_MEMO[key] = None
+    return _FOOTER_ROWS_MEMO[key]
+
+
 # scan-split counts memoized by (application, file set, parallelism):
 # partitioning METADATA only — never rows or results — so repeated
 # invocations in one driver (the bench loops entries) skip the ~25 ms
@@ -703,7 +736,12 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _spread(spark, e)
     queries = e.filter(F.col("vec_id") < 10)
-    return cosine_topk_adaptive(corpus, queries, k=3)
+    # corpus_rows from the parquet footers directly (memoized per path):
+    # the generic plan-walk probe costs ~50-60 ms per build, a real tax
+    # when the entry is rebuilt per bench rep
+    return cosine_topk_adaptive(
+        corpus, queries, k=3, corpus_rows=_footer_rows(sf_dir, "embeddings")
+    )
 
 
 def cosine_topk_vectorized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
