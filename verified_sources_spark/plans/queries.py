@@ -4166,7 +4166,6 @@ def crawl_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB crawl→corpus job, not an isolated operator)."""
     import pandas as pd
 
-    from verified_sources_spark.llm.exact_dedup import exact_dedup_groups
     from verified_sources_spark.llm.warc import warc_extract
 
     d = _docs_parallel(spark, sf_dir).select("doc_id")
@@ -4205,14 +4204,20 @@ def crawl_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = (warc_extract(assets)
              .filter(F.col("decoded_ok"))
              .select("doc_id", "text"))
-    groups = exact_dedup_groups(pages, "doc_id", "text")
-    return (groups.join(pages.withColumnRenamed("doc_id", "canonical_id"),
-                        "canonical_id")
+    # one aggregation carrying the canonical's text via min_by (the
+    # curation capstone's pattern) instead of exact_dedup_groups + a
+    # join-back to pages: the join's second pages branch re-ran the
+    # whole mint+warc_extract Python chain (r16, §2.4; plan census
+    # showed the MapInPandas mint twice).  Same rows: canonical =
+    # min doc_id per md5(text), the canonical's text rides the struct.
+    return (pages.groupBy(F.md5("text").alias("_k"))
+            .agg(F.expr("min_by(struct(doc_id, text), doc_id)").alias("c"),
+                 F.count(F.lit(1)).alias("n_copies"))
             .select(
-                "canonical_id",
+                F.col("c.doc_id").alias("canonical_id"),
                 F.col("n_copies").cast("long").alias("n_copies"),
-                F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-                "text"))
+                F.size(F.split(F.col("c.text"), " ")).alias("n_tokens"),
+                F.col("c.text").alias("text")))
 
 
 def nested_archive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5159,8 +5164,24 @@ def cross_source_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["doc_id", "warc", "mail", "archive"])
 
+    # assets feeds the three extract legs; uncut, the mint chain (every
+    # doc encoded as WARC + EML + zip) executed once PER LEG — three
+    # full mint passes with two of the three blobs discarded each time
+    # (r16, §2.4; found by the Python-node plan census: the same
+    # MapInPandas mint appeared 3x in the final plan).  Cut only above
+    # the LSH materialize threshold, same policy and rationale as
+    # minhash's materialize="auto": on a small corpus the extra passes
+    # back-fill idle cores while the cut's barrier + payload blocks cost
+    # real wall clock (interleaved A/B at sf0.01: unconditional cut
+    # 1.7-3.1 s vs uncut 1.5-1.9 s warm); on big-or-unknown inputs the
+    # duplicate mint is a genuine 3x of the dominant compute.
+    from verified_sources_spark.llm.minhash import _materialize_auto_min_rows
+
     assets = d.mapInPandas(
         mint, "doc_id long, warc binary, mail binary, archive binary")
+    _bound = _footer_rows(sf_dir, "documents")
+    if _bound is None or _bound >= _materialize_auto_min_rows():
+        assets = assets.transform(cut)
     web = (warc_extract(assets.select("doc_id",
                                       F.col("warc").alias("asset")))
            .filter(F.col("decoded_ok"))
@@ -6095,7 +6116,12 @@ def frontier_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = d.mapInPandas(
         mint, "doc_id long, robots binary, root binary, "
               "child_locs array<string>, child_blobs array<binary>")
-    rows = frontier_expand(assets, agent="enginebot/1.0")
+    # rows feeds the ok-aggregation AND the bad passthrough; uncut, the
+    # union re-ran the Python mint+expand chain once per branch (r16,
+    # §2.4 — plan census: the MapInPandas mint twice).  rows is
+    # metadata-sized (urls + verdicts, no payloads), so the cut is cheap
+    # at any scale.
+    rows = frontier_expand(assets, agent="enginebot/1.0").transform(cut)
     okr = rows.where(F.col("decoded_ok"))
     frontier = (okr.groupBy(canonical_url("loc").alias("canonical"))
                 .agg(F.min("doc_id").alias("doc_id"),
